@@ -1,0 +1,241 @@
+"""Query registry: every operator exposed as (spark, sf_dir) -> DataFrame,
+with a matching DuckDB oracle SQL string.
+
+This is the driver-facing inventory for SURVEY.md §2: each entry is one
+implemented capability, runnable standalone and verified value-by-value
+against DuckDB on the same parquet fixtures.
+
+Determinism contract for oracle-checked queries:
+- every computed column is aliased identically on both sides;
+- group sums over DOUBLE go through DECIMAL(18,2) accumulation (exact,
+  order-independent) and are cast back to DOUBLE, so Spark's partial
+  aggregation order and DuckDB's cannot produce last-ulp differences;
+- outputs are scalar columns only (no maps/arrays) so value hashing is
+  engine-neutral.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_cdc_spark.operators import aggregates, query, transactions
+from mysql_cdc_spark.sources.events_cdc import changes, rows_delta_type, with_changes
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _rows_dt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rows_delta_type(changes(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# CDC core — the reference's own query surface (SURVEY §2.3, §3.1)
+# ---------------------------------------------------------------------------
+
+_ROW_COLS = ["offset", "ts", "db", "tbl", "id", "value", "_delta_type"]
+
+
+@register(
+    "cdc_select_all",
+    with_changes(
+        'SELECT "offset", ts, db, tbl, id, value, _delta_type '
+        "FROM rows_dt WHERE db = 'foo' AND tbl = 'auto'"
+    ),
+)
+def cdc_select_all(spark, sf_dir):
+    """`select * from "foo"."auto"` — reference JdbcClient.java:44."""
+    return query.select_changes(changes(spark, sf_dir), "foo", "auto", columns=_ROW_COLS)
+
+
+@register(
+    "cdc_insert_only",
+    with_changes(
+        'SELECT "offset", ts, db, tbl, id, value, _delta_type '
+        "FROM rows_dt WHERE db = 'foo' AND tbl = 'auto' AND _delta_type = 'insert'"
+    ),
+)
+def cdc_insert_only(spark, sf_dir):
+    """`select * from "foo"."auto" where _delta_type = 'insert'` —
+    the reference's canonical statement (jdbc.clj:117), via its own
+    tokenizer/parser path (R1/R2)."""
+    return query.execute_statement(
+        changes(spark, sf_dir),
+        "select * from \"foo\".\"auto\" where _delta_type = 'insert'",
+    ).select(*_ROW_COLS)
+
+
+@register(
+    "cdc_update_pairs",
+    with_changes(
+        'SELECT "offset", ts, db, tbl, id, value, _delta_type '
+        "FROM rows_dt WHERE _delta_type IN ('update-before','update')"
+    ),
+)
+def cdc_update_pairs(spark, sf_dir):
+    """Update before/after adjacency (R4 pair explode, jdbc.clj:111-112)."""
+    return (
+        _rows_dt(spark, sf_dir)
+        .filter(F.col("_delta_type").isin("update-before", "update"))
+        .select(*_ROW_COLS)
+    )
+
+
+@register(
+    "cdc_running_sum",
+    with_changes(
+        'SELECT "offset", id, value, '
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER "
+        '(ORDER BY "offset" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) '
+        "AS running_sum "
+        "FROM rows_dt WHERE _delta_type = 'update'"
+    ),
+)
+def cdc_running_sum(spark, sf_dir):
+    """A1: running sum over the update stream (mysql_bench.clj:316-334)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("offset").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        _rows_dt(spark, sf_dir)
+        .filter(F.col("_delta_type") == "update")
+        .select(
+            "offset",
+            "id",
+            "value",
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("running_sum"),
+        )
+    )
+
+
+@register(
+    "cdc_update_sum",
+    with_changes(
+        "SELECT db, tbl, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value, "
+        "COUNT(*) AS n_updates "
+        "FROM rows_dt WHERE _delta_type = 'update' GROUP BY db, tbl"
+    ),
+)
+def cdc_update_sum(spark, sf_dir):
+    """A1 (scalable form): per-table update totals."""
+    return (
+        _rows_dt(spark, sf_dir)
+        .filter(F.col("_delta_type") == "update")
+        .groupBy("db", "tbl")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.count(F.lit(1)).cast("bigint").alias("n_updates"),
+        )
+    )
+
+
+@register(
+    "cdc_all_equal",
+    with_changes(
+        "SELECT db, tbl, COUNT(DISTINCT value) AS n_distinct, "
+        "MIN(value) AS min_value, MAX(value) AS max_value, "
+        "MIN(value) = MAX(value) AS all_equal "
+        "FROM rows_dt WHERE _delta_type = 'update' GROUP BY db, tbl"
+    ),
+)
+def cdc_all_equal(spark, sf_dir):
+    """A2: all-after-images-equal invariant (mysql_bench.clj:138-148)."""
+    return aggregates.all_equal_check(_rows_dt(spark, sf_dir))
+
+
+@register(
+    "cdc_count_changes",
+    with_changes(
+        "SELECT db, tbl, _delta_type, COUNT(*) AS n FROM rows_dt GROUP BY db, tbl, _delta_type"
+    ),
+)
+def cdc_count_changes(spark, sf_dir):
+    """A3: change counts per table and delta type."""
+    return aggregates.count_changes(_rows_dt(spark, sf_dir))
+
+
+@register(
+    "cdc_ddl_alerts",
+    with_changes(
+        'SELECT "offset", ts, db, tbl, "sql" AS sql '
+        "FROM changes WHERE op = 'query' AND regexp_matches(\"sql\", '^(ALTER|CREATE|DROP) ')"
+    ),
+)
+def cdc_ddl_alerts(spark, sf_dir):
+    """Schema-change alert filter (design note mysql_binlog.clj:975-976)."""
+    return aggregates.ddl_alerts(changes(spark, sf_dir))
+
+
+@register(
+    "cdc_latest_state",
+    with_changes(
+        "SELECT db, tbl, id, value, \"offset\" AS as_of_offset FROM ("
+        "  SELECT db, tbl, id, value, \"offset\", _delta_type, "
+        "         ROW_NUMBER() OVER (PARTITION BY db, tbl, id ORDER BY \"offset\" DESC) AS rn"
+        "  FROM rows_dt WHERE _delta_type <> 'update-before'"
+        ") WHERE rn = 1 AND _delta_type <> 'delete'"
+    ),
+)
+def cdc_latest_state(spark, sf_dir):
+    """Materialize current table state from the change stream."""
+    return aggregates.latest_state(_rows_dt(spark, sf_dir))
+
+
+@register(
+    "cdc_txn_events",
+    with_changes(
+        'SELECT CAST("offset" // 4 AS BIGINT) AS txn, COUNT(*) AS n_events, '
+        'MIN("offset") AS first_offset, MAX("offset") AS last_offset, MAX(xid) AS xid, '
+        "CAST(MAX(CASE WHEN op = 'update_rows' THEN 1 ELSE 0 END) AS BIGINT) AS has_update "
+        "FROM changes GROUP BY 1"
+    ),
+)
+def cdc_txn_events(spark, sf_dir):
+    """Transaction assembly: the 4-events-per-statement contract
+    (mysql_bench.clj:248-258) checked per transaction."""
+    return transactions.events_per_transaction(changes(spark, sf_dir))
+
+
+@register(
+    "cdc_txn_histogram",
+    with_changes(
+        "SELECT n_events, COUNT(*) AS n_txns FROM ("
+        '  SELECT CAST("offset" // 4 AS BIGINT) AS txn, COUNT(*) AS n_events'
+        "  FROM changes GROUP BY 1"
+        ") GROUP BY n_events"
+    ),
+)
+def cdc_txn_histogram(spark, sf_dir):
+    """Distribution of events per transaction (expect a single (4, N) row)."""
+    return transactions.transaction_size_histogram(changes(spark, sf_dir))
+
+
+@register(
+    "cdc_envelope",
+    with_changes(
+        'SELECT "offset", log_file, ts, server_id, xid, db, tbl, op, '
+        'before_id, before_value, after_id, after_value, "sql" AS sql FROM changes'
+    ),
+)
+def cdc_envelope(spark, sf_dir):
+    """The raw envelope stream itself (S4/D1-D10 product shape)."""
+    return changes(spark, sf_dir).select(
+        "offset", "log_file", "ts", "server_id", "xid", "db", "tbl", "op",
+        "before_id", "before_value", "after_id", "after_value", "sql",
+    )

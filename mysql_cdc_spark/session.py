@@ -1,0 +1,36 @@
+"""Tuned SparkSession builder.
+
+Defaults are chosen for the local[32] test harness but the same knobs
+are the ones that matter on a real cluster: AQE (runtime re-planning,
+skew-join splitting, partition coalescing) and a shuffle-partition
+count sized to the parallelism at hand.  At 100 TB you would raise
+``spark.sql.shuffle.partitions`` (or let AQE coalesce from a high
+initial number) and rely on the same declarative plans.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "mysql-cdc-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # AQE: runtime partition coalescing + skew-join handling. On a
+        # 1000-executor cluster this is what keeps a skewed CDC key or a
+        # hot dedup band from stalling a stage.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", cpus)
+        # Arrow for any pandas-UDF path (similarity / multimodal).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,250 @@
+"""Deterministic change-event stream derived from the `events` fixture.
+
+The reference engine's input is a MySQL binlog: an ordered stream of
+(QUERY, TABLE_MAP, WRITE/UPDATE/DELETE_ROWS, XID) events — one
+single-row UPDATE statement produces exactly those 4 events (reference
+src/cdc/mysql_bench.clj:248-249).  No binlog exists in the test
+fixtures, so we *derive* an equivalent stream deterministically from
+the driver's `events` parquet table: every source event becomes one
+transaction of 4 binlog events, giving us the reference's exact stream
+shape (4-events-per-statement, offsets, rotation, xids) in a form both
+Spark and the DuckDB oracle can compute.
+
+Derivation rules (shared contract between `changes()` and CHANGES_SQL —
+keep the two in lockstep):
+
+  per events row (event_id, ts, user_id, event_type, value):
+    db   = 'foo'  if user_id % 2 = 0 else 'bench'
+    tbl  = 'auto' if user_id % 2 = 0 else 'big'      (FIXTURES.md §1-2)
+    row_op = write_rows  if event_type in (signup, purchase)
+             update_rows if event_type in (click, view)
+             delete_rows otherwise (error)
+    row_id = event_id % 97           (key collisions → latest-state op)
+    emit 4 envelope events with seq 0..3:
+      seq 0  op=query      sql = DDL text when event_id % 50 = 0
+                                 else the matching DML template
+      seq 1  op=table_map
+      seq 2  op=<row_op>   images: write  → after  = (row_id, value)
+                                   update → before = (row_id, value-1.0),
+                                            after  = (row_id, value)
+                                   delete → before = (row_id, value)
+      seq 3  op=xid        xid = event_id
+    offset   = event_id * 4 + seq    (strictly increasing, per §1.5)
+    log_file = printf('binlog.%06d', event_id // 250000)   (rotation)
+    server_id = 1
+
+Scale note: the Spark side is ONE parquet scan + a generator explode
+(`inline`) — a narrow, fully codegen'd stage with no shuffle; at 100 TB
+it parallelizes per input split.  The oracle side is a 4-way UNION ALL
+(clarity over speed — the oracle only ever runs at sf0.01).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_cdc_spark.model import (
+    DT_DELETE,
+    DT_INSERT,
+    DT_UPDATE,
+    DT_UPDATE_BEFORE,
+    OP_DELETE_ROWS,
+    OP_UPDATE_ROWS,
+    OP_WRITE_ROWS,
+    ROW_OPS,
+)
+
+_NULL_ID = F.lit(None).cast("bigint")
+_NULL_VAL = F.lit(None).cast("double")
+_NULL_STR = F.lit(None).cast("string")
+
+
+def _envelope_struct(seq: int, op, xid, before_id, before_value, after_id, after_value, sql):
+    """One envelope struct for `inline`; field order/types fixed across seqs."""
+    return F.struct(
+        (F.col("event_id") * 4 + F.lit(seq)).cast("bigint").alias("offset"),
+        F.format_string("binlog.%06d", (F.col("event_id") / 250000).cast("int")).alias("log_file"),
+        F.col("ts").alias("ts"),
+        F.lit(1).cast("bigint").alias("server_id"),
+        xid.cast("bigint").alias("xid"),
+        F.col("db").alias("db"),
+        F.col("tbl").alias("tbl"),
+        op.cast("string").alias("op"),
+        before_id.cast("bigint").alias("before_id"),
+        before_value.cast("double").alias("before_value"),
+        after_id.cast("bigint").alias("after_id"),
+        after_value.cast("double").alias("after_value"),
+        sql.cast("string").alias("sql"),
+    )
+
+
+def changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change-event envelope stream (batch mode).
+
+    Single scan of events.parquet → `inline` of 4 structs per row: a
+    narrow whole-stage-codegen pipeline, no shuffle, pushdown-friendly.
+    """
+    from mysql_cdc_spark.sources.io import read_table
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "ts",
+            F.when(F.col("user_id") % 2 == 0, F.lit("foo")).otherwise(F.lit("bench")).alias("db"),
+            F.when(F.col("user_id") % 2 == 0, F.lit("auto")).otherwise(F.lit("big")).alias("tbl"),
+            (F.col("event_id") % 97).cast("bigint").alias("row_id"),
+            F.when(F.col("event_type").isin("signup", "purchase"), F.lit(OP_WRITE_ROWS))
+            .when(F.col("event_type").isin("click", "view"), F.lit(OP_UPDATE_ROWS))
+            .otherwise(F.lit(OP_DELETE_ROWS))
+            .alias("row_op"),
+            F.col("value"),
+        )
+    )
+    qualified = F.concat(F.col("db"), F.lit("."), F.col("tbl"))
+    sql_text = (
+        F.when(
+            F.col("event_id") % 50 == 0,
+            F.concat(F.lit("ALTER TABLE "), qualified, F.lit(" ADD COLUMN extra INT")),
+        )
+        .when(
+            F.col("row_op") == OP_WRITE_ROWS,
+            F.concat(F.lit("INSERT INTO "), qualified, F.lit(" (id, value) VALUES (?, ?)")),
+        )
+        .when(
+            F.col("row_op") == OP_UPDATE_ROWS,
+            F.concat(F.lit("UPDATE "), qualified, F.lit(" SET value = ? WHERE id = ?")),
+        )
+        .otherwise(F.concat(F.lit("DELETE FROM "), qualified, F.lit(" WHERE id = ?")))
+    )
+    is_write = F.col("row_op") == OP_WRITE_ROWS
+    is_delete = F.col("row_op") == OP_DELETE_ROWS
+    before_id = F.when(is_write, _NULL_ID).otherwise(F.col("row_id"))
+    before_value = (
+        F.when(is_write, _NULL_VAL)
+        .when(is_delete, F.col("value"))
+        .otherwise(F.col("value") - 1.0)
+    )
+    after_id = F.when(is_delete, _NULL_ID).otherwise(F.col("row_id"))
+    after_value = F.when(is_delete, _NULL_VAL).otherwise(F.col("value"))
+
+    return ev.select(
+        F.inline(
+            F.array(
+                _envelope_struct(0, F.lit("query"), _NULL_ID, _NULL_ID, _NULL_VAL, _NULL_ID, _NULL_VAL, sql_text),
+                _envelope_struct(1, F.lit("table_map"), _NULL_ID, _NULL_ID, _NULL_VAL, _NULL_ID, _NULL_VAL, _NULL_STR),
+                _envelope_struct(2, F.col("row_op"), _NULL_ID, before_id, before_value, after_id, after_value, _NULL_STR),
+                _envelope_struct(3, F.lit("xid"), F.col("event_id"), _NULL_ID, _NULL_VAL, _NULL_ID, _NULL_VAL, _NULL_STR),
+            )
+        )
+    )
+
+
+def rows_delta_type(env: DataFrame) -> DataFrame:
+    """R4: explode row events into delta-type-tagged rows.
+
+    Reference `rows-delta-type` (src/cdc/jdbc.clj:104-115): WRITE rows →
+    "insert", DELETE rows → "delete", each UPDATE row → a pair tagged
+    "update-before" then "update" (adjacency preserved: both tags share
+    the parent offset; `inline` emits them in order within a record).
+    Non-row events are dropped.
+    """
+    row_struct = lambda id_col, val_col, tag: F.struct(  # noqa: E731
+        id_col.cast("bigint").alias("id"),
+        val_col.cast("double").alias("value"),
+        F.lit(tag).alias("_delta_type"),
+    )
+    pair = (
+        F.when(
+            F.col("op") == OP_UPDATE_ROWS,
+            F.array(
+                row_struct(F.col("before_id"), F.col("before_value"), DT_UPDATE_BEFORE),
+                row_struct(F.col("after_id"), F.col("after_value"), DT_UPDATE),
+            ),
+        )
+        .when(
+            F.col("op") == OP_WRITE_ROWS,
+            F.array(row_struct(F.col("after_id"), F.col("after_value"), DT_INSERT)),
+        )
+        .otherwise(F.array(row_struct(F.col("before_id"), F.col("before_value"), DT_DELETE)))
+    )
+    return env.filter(F.col("op").isin(*ROW_OPS)).select(
+        "offset", "log_file", "ts", "db", "tbl", F.inline(pair)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB-oracle equivalent of the derivation above.  `CHANGES_CTE` is a
+# WITH-clause body defining views `changes` (the envelope) and `rows_dt`
+# (the delta-type explode); oracle queries append their SELECT.
+# ---------------------------------------------------------------------------
+
+CHANGES_CTE = """
+ev AS (
+  SELECT event_id, ts, value,
+         CASE WHEN user_id % 2 = 0 THEN 'foo' ELSE 'bench' END AS db,
+         CASE WHEN user_id % 2 = 0 THEN 'auto' ELSE 'big' END AS tbl,
+         CAST(event_id % 97 AS BIGINT) AS row_id,
+         CASE WHEN event_type IN ('signup','purchase') THEN 'write_rows'
+              WHEN event_type IN ('click','view') THEN 'update_rows'
+              ELSE 'delete_rows' END AS row_op,
+         printf('binlog.%06d', CAST(event_id // 250000 AS INT)) AS log_file
+  FROM events
+),
+changes AS (
+  SELECT CAST(event_id*4 AS BIGINT) AS "offset", log_file, ts,
+         CAST(1 AS BIGINT) AS server_id, CAST(NULL AS BIGINT) AS xid,
+         db, tbl, 'query' AS op,
+         CAST(NULL AS BIGINT) AS before_id, CAST(NULL AS DOUBLE) AS before_value,
+         CAST(NULL AS BIGINT) AS after_id,  CAST(NULL AS DOUBLE) AS after_value,
+         CASE WHEN event_id % 50 = 0
+                THEN 'ALTER TABLE ' || db || '.' || tbl || ' ADD COLUMN extra INT'
+              WHEN row_op = 'write_rows'
+                THEN 'INSERT INTO ' || db || '.' || tbl || ' (id, value) VALUES (?, ?)'
+              WHEN row_op = 'update_rows'
+                THEN 'UPDATE ' || db || '.' || tbl || ' SET value = ? WHERE id = ?'
+              ELSE 'DELETE FROM ' || db || '.' || tbl || ' WHERE id = ?' END AS "sql"
+  FROM ev
+  UNION ALL
+  SELECT CAST(event_id*4+1 AS BIGINT), log_file, ts, 1, NULL, db, tbl, 'table_map',
+         NULL, NULL, NULL, NULL, NULL
+  FROM ev
+  UNION ALL
+  SELECT CAST(event_id*4+2 AS BIGINT), log_file, ts, 1, NULL, db, tbl, row_op,
+         CASE WHEN row_op = 'write_rows' THEN NULL ELSE row_id END,
+         CASE WHEN row_op = 'write_rows' THEN NULL
+              WHEN row_op = 'update_rows' THEN value - 1.0
+              ELSE value END,
+         CASE WHEN row_op = 'delete_rows' THEN NULL ELSE row_id END,
+         CASE WHEN row_op = 'delete_rows' THEN NULL ELSE value END,
+         NULL
+  FROM ev
+  UNION ALL
+  SELECT CAST(event_id*4+3 AS BIGINT), log_file, ts, 1, CAST(event_id AS BIGINT),
+         db, tbl, 'xid', NULL, NULL, NULL, NULL, NULL
+  FROM ev
+),
+rows_dt AS (
+  SELECT "offset", log_file, ts, db, tbl,
+         after_id AS id, after_value AS value, 'insert' AS _delta_type
+  FROM changes WHERE op = 'write_rows'
+  UNION ALL
+  SELECT "offset", log_file, ts, db, tbl,
+         before_id, before_value, 'delete'
+  FROM changes WHERE op = 'delete_rows'
+  UNION ALL
+  SELECT "offset", log_file, ts, db, tbl,
+         before_id, before_value, 'update-before'
+  FROM changes WHERE op = 'update_rows'
+  UNION ALL
+  SELECT "offset", log_file, ts, db, tbl,
+         after_id, after_value, 'update'
+  FROM changes WHERE op = 'update_rows'
+)
+""".strip()
+
+
+def with_changes(select_sql: str) -> str:
+    """Wrap an oracle SELECT that reads from `changes` / `rows_dt`."""
+    return f"WITH {CHANGES_CTE}\n{select_sql}"

@@ -1,0 +1,28 @@
+"""Fixture table IO.
+
+The driver's parquet fixtures store some timestamps at nanosecond
+precision, which the Spark vectorized parquet reader rejects
+(PARQUET_TYPE_ILLEGAL).  We read those columns as raw int64
+(`spark.sql.legacy.parquet.nanosAsLong`, runtime-settable) and convert
+to TimestampType with exact integer `div 1000` truncation — matching
+DuckDB's ns→us truncation so oracle comparisons agree bit-for-bit.
+
+Column detection reads only the parquet footer (driver-side, O(1)).
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pyarrow.types as patypes
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for field in pq.read_schema(path):
+        if patypes.is_timestamp(field.type) and field.type.unit == "ns":
+            df = df.withColumn(field.name, F.timestamp_micros(F.expr(f"`{field.name}` div 1000")))
+    return df

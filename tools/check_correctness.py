@@ -1,0 +1,104 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
+DuckDB at the given scale factor, then compares row count, sorted
+column names, and an order-insensitive value hash.
+
+Usage: python tools/check_correctness.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm_cell(v) -> str:
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return str(bool(v))
+    return str(v)
+
+
+def frame_digest(df) -> tuple[int, list[str], str]:
+    """(row_count, sorted column names, order-insensitive value hash)."""
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = sorted("|".join(_norm_cell(v) for v in row) for row in df.itertuples(index=False, name=None))
+    h = hashlib.sha256()
+    for r in rows:
+        h.update(r.encode())
+        h.update(b"\n")
+    return len(rows), cols, h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from mysql_cdc_spark.session import get_spark
+
+    spark = get_spark("check-correctness")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failed, passed, weak = [], [], []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as ex:
+            failed.append(name)
+            print(f"FAIL {name}: spark error: {ex}")
+            continue
+        if name not in oracles:
+            weak.append(name)
+            print(f"weak {name}: rows={len(sdf)} (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as ex:
+            failed.append(name)
+            print(f"FAIL {name}: duckdb error: {ex}")
+            continue
+        sn, sc, sh = frame_digest(sdf)
+        on, oc, oh = frame_digest(odf)
+        if (sn, sc, sh) == (on, oc, oh):
+            passed.append(name)
+            print(f"PASS {name}: rows={sn} [{time.time()-t0:.1f}s]")
+        else:
+            failed.append(name)
+            print(f"FAIL {name}: spark(rows={sn}, cols={sc}, h={sh[:12]}) vs oracle(rows={on}, cols={oc}, h={oh[:12]})")
+            if sc == oc and sn and on:
+                import pandas as pd  # noqa: F401
+                print("  spark head:", sdf[sorted(sdf.columns)].head(3).to_dict("records"))
+                print("  oracle head:", odf[sorted(odf.columns)].head(3).to_dict("records"))
+
+    print(f"\n{len(passed)} passed, {len(failed)} failed, {len(weak)} weak (rows-only)")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
