@@ -1,0 +1,58 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end through the noop sink (full
+materialization, no driver collect bottleneck) — the same way you'd
+measure a production job.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from mysql_cdc_spark.queries import HEADLINE, QUERIES
+    from mysql_cdc_spark.session import get_spark
+
+    spark = get_spark("mysql-cdc-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footers once so per-query numbers measure
+    # the plan, not first-touch costs.
+    QUERIES["cdc_count_changes"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

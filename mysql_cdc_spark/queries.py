@@ -29,6 +29,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Queries bench.py times per round (keep to the ones that represent a
+# distinct execution shape: scan+explode, filter, window, shuffle agg,
+# self-join dedup, ANN, text pipeline).
+HEADLINE: list[str] = [
+    "cdc_envelope",
+    "cdc_select_all",
+    "cdc_update_sum",
+    "cdc_latest_state",
+    "cdc_txn_events",
+]
+
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:

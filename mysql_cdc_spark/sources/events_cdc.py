@@ -55,9 +55,19 @@ from mysql_cdc_spark.model import (
     ROW_OPS,
 )
 
-_NULL_ID = F.lit(None).cast("bigint")
-_NULL_VAL = F.lit(None).cast("double")
-_NULL_STR = F.lit(None).cast("string")
+# Typed NULL literals (functions, not module constants: building a
+# Column requires an active SparkContext, which may not exist at import
+# time under pytest collection).
+def _NULL_ID():
+    return F.lit(None).cast("bigint")
+
+
+def _NULL_VAL():
+    return F.lit(None).cast("double")
+
+
+def _NULL_STR():
+    return F.lit(None).cast("string")
 
 
 def _envelope_struct(seq: int, op, xid, before_id, before_value, after_id, after_value, sql):
@@ -120,22 +130,22 @@ def changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     is_write = F.col("row_op") == OP_WRITE_ROWS
     is_delete = F.col("row_op") == OP_DELETE_ROWS
-    before_id = F.when(is_write, _NULL_ID).otherwise(F.col("row_id"))
+    before_id = F.when(is_write, _NULL_ID()).otherwise(F.col("row_id"))
     before_value = (
-        F.when(is_write, _NULL_VAL)
+        F.when(is_write, _NULL_VAL())
         .when(is_delete, F.col("value"))
         .otherwise(F.col("value") - 1.0)
     )
-    after_id = F.when(is_delete, _NULL_ID).otherwise(F.col("row_id"))
-    after_value = F.when(is_delete, _NULL_VAL).otherwise(F.col("value"))
+    after_id = F.when(is_delete, _NULL_ID()).otherwise(F.col("row_id"))
+    after_value = F.when(is_delete, _NULL_VAL()).otherwise(F.col("value"))
 
     return ev.select(
         F.inline(
             F.array(
-                _envelope_struct(0, F.lit("query"), _NULL_ID, _NULL_ID, _NULL_VAL, _NULL_ID, _NULL_VAL, sql_text),
-                _envelope_struct(1, F.lit("table_map"), _NULL_ID, _NULL_ID, _NULL_VAL, _NULL_ID, _NULL_VAL, _NULL_STR),
-                _envelope_struct(2, F.col("row_op"), _NULL_ID, before_id, before_value, after_id, after_value, _NULL_STR),
-                _envelope_struct(3, F.lit("xid"), F.col("event_id"), _NULL_ID, _NULL_VAL, _NULL_ID, _NULL_VAL, _NULL_STR),
+                _envelope_struct(0, F.lit("query"), _NULL_ID(), _NULL_ID(), _NULL_VAL(), _NULL_ID(), _NULL_VAL(), sql_text),
+                _envelope_struct(1, F.lit("table_map"), _NULL_ID(), _NULL_ID(), _NULL_VAL(), _NULL_ID(), _NULL_VAL(), _NULL_STR()),
+                _envelope_struct(2, F.col("row_op"), _NULL_ID(), before_id, before_value, after_id, after_value, _NULL_STR()),
+                _envelope_struct(3, F.lit("xid"), F.col("event_id"), _NULL_ID(), _NULL_VAL(), _NULL_ID(), _NULL_VAL(), _NULL_STR()),
             )
         )
     )

@@ -1,0 +1,126 @@
+"""Unit tests for the change-event model and the reference query
+surface (SURVEY §5 rebuild test plan: delta-type explode, update-pair
+ordering, 4-events-per-statement, table filters, parser)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_cdc_spark.model import DELTA_TYPES, ENVELOPE_SCHEMA, OPS
+from mysql_cdc_spark.operators import aggregates, query, transactions
+from mysql_cdc_spark.sources.events_cdc import changes, rows_delta_type
+
+
+@pytest.fixture(scope="module")
+def env(spark, sf_dir):
+    return changes(spark, sf_dir).cache()
+
+
+@pytest.fixture(scope="module")
+def rows(env):
+    return rows_delta_type(env).cache()
+
+
+def test_envelope_schema(env):
+    assert [f.name for f in env.schema.fields] == [f.name for f in ENVELOPE_SCHEMA.fields]
+    assert [f.dataType for f in env.schema.fields] == [f.dataType for f in ENVELOPE_SCHEMA.fields]
+
+
+def test_envelope_ops_and_counts(env):
+    ops = {r["op"] for r in env.select("op").distinct().collect()}
+    assert ops <= set(OPS)
+    n_events = env.count()
+    # 4 envelope events per source event (1000 at sf0.001)
+    assert n_events == 4000
+
+
+def test_offsets_strictly_increasing_and_unique(env):
+    assert env.select("offset").distinct().count() == env.count()
+    lo, hi = env.agg(F.min("offset"), F.max("offset")).first()
+    assert lo == 0 and hi == env.count() - 1  # dense block per event
+
+
+def test_xid_only_on_commit(env):
+    assert env.filter((F.col("op") != "xid") & F.col("xid").isNotNull()).count() == 0
+    assert env.filter((F.col("op") == "xid") & F.col("xid").isNull()).count() == 0
+
+
+def test_delta_types(rows):
+    tags = {r["_delta_type"] for r in rows.select("_delta_type").distinct().collect()}
+    assert tags == set(DELTA_TYPES)
+
+
+def test_update_pair_adjacency(rows):
+    """update-before and update share the parent offset; each update
+    event yields exactly one of each (reference jdbc.clj:111-112)."""
+    pairs = (
+        rows.filter(F.col("_delta_type").isin("update-before", "update"))
+        .groupBy("offset")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("_delta_type") == "update-before", 1).otherwise(0)).alias("nb"),
+        )
+    )
+    bad = pairs.filter((F.col("n") != 2) | (F.col("nb") != 1)).count()
+    assert bad == 0
+
+
+def test_four_events_per_transaction(env):
+    """The reference's binlog4 invariant (mysql_bench.clj:252-258)."""
+    hist = transactions.transaction_size_histogram(env).collect()
+    assert len(hist) == 1
+    assert hist[0]["n_events"] == 4
+
+
+def test_table_filter_partitions_stream(env):
+    total = rows_delta_type(env).count()
+    foo = query.select_changes(env, "foo", "auto").count()
+    bench = query.select_changes(env, "bench", "big").count()
+    assert foo + bench == total
+    assert foo > 0 and bench > 0
+
+
+def test_execute_statement_matches_manual(env):
+    via_sql = query.execute_statement(
+        env, "select * from \"foo\".\"auto\" where _delta_type = 'insert'"
+    )
+    manual = query.select_changes(env, "foo", "auto", "insert")
+    assert via_sql.exceptAll(manual).count() == 0
+    assert manual.exceptAll(via_sql).count() == 0
+
+
+def test_parse_statement_rejects_unknown_grammar():
+    for bad in ["insert into t values (1)", "select * from t join u", "delete from x.y"]:
+        with pytest.raises(ValueError):
+            query.parse_statement(bad)
+
+
+def test_latest_state_replay(spark):
+    """Hand-built stream: insert → update → (delete for one key)."""
+    from mysql_cdc_spark.model import ENVELOPE_SCHEMA
+
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    mk = lambda off, op, bid, bval, aid, aval: (  # noqa: E731
+        off, "binlog.000000", ts, 1, None, "foo", "auto", op, bid, bval, aid, aval, None,
+    )
+    data = [
+        mk(0, "write_rows", None, None, 1, 10.0),
+        mk(1, "write_rows", None, None, 2, 20.0),
+        mk(2, "update_rows", 1, 10.0, 1, 11.0),
+        mk(3, "delete_rows", 2, 20.0, None, None),
+    ]
+    env = spark.createDataFrame(data, ENVELOPE_SCHEMA)
+    state = {r["id"]: r["value"] for r in aggregates.latest_state(rows_delta_type(env)).collect()}
+    assert state == {1: 11.0}
+
+
+def test_running_sum_matches_python(env):
+    rows = rows_delta_type(env)
+    got = aggregates.running_sum(rows).orderBy("offset").collect()
+    expected = 0.0
+    for r in got[:50]:
+        expected = round(expected + round(r["value"], 2), 2)
+        assert abs(r["running_sum"] - expected) < 1e-9
