@@ -1,0 +1,263 @@
+"""Full relational surface over the fixture star schema.
+
+The reference declares all of these absent (its DatabaseMetaData
+returns false for GROUP BY :524, outer joins :543/:522/:529, set ops
+:566-567, subqueries :559-562, ORDER BY expressions :520/:542 —
+reference src/cdc/jdbc.clj:397-570).  The rebuilt engine exposes full
+Spark SQL over the same data model, so these queries pin down the
+join/agg/window/set-op/subquery behavior the reference could not
+express (SURVEY §2.5).
+
+Determinism: all DOUBLE aggregations go through exact DECIMAL
+accumulation and are cast back to DOUBLE (see queries.py header).
+
+Scale notes per query are inline; the common themes:
+- dimension joins are broadcast (customer/nation/region are tiny
+  relative to facts at any SF — classic star-schema pattern);
+- fact-side aggregations are partial (map-side) before the shuffle,
+  which Spark does automatically for sum/count/min/max;
+- sorts are only for top-k (LIMIT pushes a TakeOrdered physical op —
+  no global sort materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mysql_cdc_spark.sources.io import read_table
+
+
+def _dec(col: str, p: int = 12, s: int = 2):
+    return F.col(col).cast(f"decimal({p},{s})")
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy groupBy with exact decimal sums.
+
+    One wide scan → map-side partial agg → 4-group shuffle. The filter
+    and the 7-column projection push into the parquet scan.
+    """
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - _dec("l_discount", 4, 2))
+    charge = disc_price * (F.lit(1).cast("decimal(4,2)") + _dec("l_tax", 4, 2))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).cast("bigint").alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""".strip()
+
+
+def segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⨝dim join: orders joined to customer, revenue by segment.
+
+    customer is broadcast (tiny dim): no shuffle of the orders fact —
+    the single shuffle is the 5-group final agg.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+    )
+
+
+SEGMENT_REVENUE_SQL = """
+SELECT c_mktsegment,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""".strip()
+
+
+def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way star join lineitem⨝orders⨝customer⨝nation, revenue per nation.
+
+    lineitem⨝orders shuffles on orderkey (both large); customer and
+    nation broadcast. At 100 TB you would bucket lineitem and orders by
+    orderkey at write time to eliminate that shuffle entirely.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - _dec("l_discount", 4, 2))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+        )
+    )
+
+
+NATION_REVENUE_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+""".strip()
+
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: top-3 orders per customer by totalprice.
+
+    One shuffle on o_custkey; deterministic tiebreak on o_orderkey so
+    ranks are engine-independent.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        read_table(spark, sf_dir, "orders")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+TOP_ORDERS_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+) WHERE rank <= 3
+""".strip()
+
+
+def orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above the global average price.
+
+    The threshold is computed once (exact decimal sum / count → double)
+    and broadcast into the filter — the fact table is scanned once.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    avg_df = orders.agg(
+        (F.sum(_dec("o_totalprice")).cast("double") / F.count(F.lit(1))).alias("avg_price")
+    )
+    return (
+        orders.join(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+ORDERS_ABOVE_AVG_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_totalprice > (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM orders
+)
+""".strip()
+
+
+def repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation: customers with both open ('O') and finished ('F')
+    orders — INTERSECT of two key sets."""
+    orders = read_table(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return o.intersect(f)
+
+
+REPEAT_CUSTOMERS_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""".strip()
+
+
+def top_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY expression + LIMIT: Spark plans TakeOrdered (no global
+    sort materialization). Deterministic tiebreak on the primary key."""
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber"))
+        .limit(10)
+    )
+
+
+TOP_LINEITEMS_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 10
+""".strip()
+
+
+def daily_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time window over the events stream (batch form):
+    per-day, per-type counts and exact sums — the shape of a streaming
+    windowed aggregation (streaming/ runs the same agg incrementally).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("DAY", F.col("ts")).alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+            F.count_distinct(F.col("user_id")).cast("bigint").alias("n_users"),
+        )
+    )
+
+
+DAILY_EVENT_STATS_SQL = """
+SELECT date_trunc('day', ts) AS day, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+""".strip()
+
+
+def cdc_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream⨝dimension join: insert change rows enriched with the
+    customer dimension — the canonical CDC consumer pattern. The dim is
+    broadcast; the change stream never shuffles."""
+    from mysql_cdc_spark.sources.events_cdc import changes, rows_delta_type
+
+    rows = rows_delta_type(changes(spark, sf_dir)).filter(F.col("_delta_type") == "insert")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    return (
+        rows.join(F.broadcast(cust), rows.id == cust.c_custkey)
+        .select("offset", "db", "tbl", "id", "value", "c_name", "c_mktsegment")
+    )

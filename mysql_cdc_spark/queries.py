@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mysql_cdc_spark.operators import aggregates, query, transactions
+from mysql_cdc_spark.operators import aggregates, query, relational, transactions
 from mysql_cdc_spark.sources.events_cdc import changes, rows_delta_type, with_changes
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -250,3 +250,27 @@ def cdc_envelope(spark, sf_dir):
         "offset", "log_file", "ts", "server_id", "xid", "db", "tbl", "op",
         "before_id", "before_value", "after_id", "after_value", "sql",
     )
+
+
+# ---------------------------------------------------------------------------
+# Full relational surface (SURVEY §2.5: joins / aggs / windows / set ops /
+# subqueries / sort+limit — everything the reference declares absent,
+# provided by Spark SQL over the same engine)
+# ---------------------------------------------------------------------------
+
+register("sql_pricing_summary", relational.PRICING_SUMMARY_SQL)(relational.pricing_summary)
+register("sql_segment_revenue", relational.SEGMENT_REVENUE_SQL)(relational.segment_revenue)
+register("sql_nation_revenue", relational.NATION_REVENUE_SQL)(relational.nation_revenue)
+register("sql_top_orders_window", relational.TOP_ORDERS_SQL)(relational.top_orders_per_customer)
+register("sql_orders_above_avg", relational.ORDERS_ABOVE_AVG_SQL)(relational.orders_above_avg)
+register("sql_repeat_customers", relational.REPEAT_CUSTOMERS_SQL)(relational.repeat_customers)
+register("sql_top_lineitems", relational.TOP_LINEITEMS_SQL)(relational.top_lineitems)
+register("sql_daily_event_stats", relational.DAILY_EVENT_STATS_SQL)(relational.daily_event_stats)
+register(
+    "cdc_join_dim",
+    with_changes(
+        'SELECT "offset", db, tbl, id, value, c_name, c_mktsegment '
+        "FROM rows_dt JOIN customer ON id = c_custkey "
+        "WHERE _delta_type = 'insert'"
+    ),
+)(relational.cdc_enriched)
