@@ -10,6 +10,12 @@ DDL alert — the reference's planned schema-change watch on QUERY
    events (design note src/cdc/mysql_binlog.clj:975-976).
 Latest-state — replay the change stream into current table state
    (last image per key wins; delete removes the row).
+
+Numeric contract: every sum over the DOUBLE `value` column goes through
+DECIMAL(18,2) accumulation — exact and order-independent — so results
+are identical across Spark partial-aggregation orders and the DuckDB
+oracle.  The query registry (queries.py) calls these functions directly;
+there is exactly one implementation of each aggregate.
 """
 
 from __future__ import annotations
@@ -17,41 +23,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mysql_cdc_spark.model import DT_DELETE, DT_UPDATE, OP_QUERY
+from mysql_cdc_spark.functions.scan import running_agg
+from mysql_cdc_spark.model import DT_DELETE, DT_UPDATE, DT_UPDATE_BEFORE, OP_QUERY
+
+_DEC = "decimal(18,2)"
 
 
 def running_sum(rows_dt: DataFrame) -> DataFrame:
     """A1: cumulative sum of after-image `value` over update rows,
-    ordered by offset.
+    ordered by offset — the reference's sequential fold, distributed.
 
-    Scale note: a global running sum is inherently a prefix-scan; the
-    window over an unpartitioned ORDER BY collapses to one task. For
-    the bench-scale stream that is fine; at 100 TB the consumer would
-    keep the per-microbatch partial (`groupBy().sum()` with
-    outputMode=update — see streaming/runtime.py) instead of a global
-    ordered prefix. Both are provided; this one matches the
-    reference's semantics exactly.
+    Scale: a two-level chunked prefix scan (functions/scan.py) — the
+    per-row window is PARTITIONED by offset-chunk (bounded task size),
+    the cross-chunk carry is one tiny aggregate — instead of the naive
+    unpartitioned ``Window.orderBy(offset)`` that collapses to a single
+    task.  DECIMAL accumulation keeps the result bit-identical to the
+    sequential form.
     """
-    w = Window.orderBy("offset").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return (
-        rows_dt.filter(F.col("_delta_type") == DT_UPDATE)
-        .select(
-            "offset",
-            "id",
-            "value",
-            F.sum("value").over(w).alias("running_sum"),
-        )
-    )
+    upd = rows_dt.filter(F.col("_delta_type") == DT_UPDATE).select("offset", "id", "value")
+    out = running_agg(upd, "offset", F.col("value").cast(_DEC), "running_sum")
+    return out.select("offset", "id", "value", F.col("running_sum").cast("double").alias("running_sum"))
 
 
 def update_sum(rows_dt: DataFrame) -> DataFrame:
     """A1 scalable form: total of after-image values per (db, tbl) —
-    the per-batch partial a streaming consumer accumulates."""
+    the per-batch partial a streaming consumer accumulates.  One
+    map-side-combined shuffle on a tiny key space."""
     return (
         rows_dt.filter(F.col("_delta_type") == DT_UPDATE)
         .groupBy("db", "tbl")
         .agg(
-            F.sum("value").alias("sum_value"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
             F.count(F.lit(1)).cast("bigint").alias("n_updates"),
         )
     )
@@ -99,20 +101,26 @@ def ddl_alerts(env: DataFrame) -> DataFrame:
 
 def latest_state(rows_dt: DataFrame) -> DataFrame:
     """Replay the change stream into current state: for each
-    (db, tbl, id) take the image with the highest offset, preferring
-    the post-image of an update pair; drop keys whose last change is a
-    delete.
+    (db, tbl, id) take the image with the highest offset (update
+    after-images only — `update-before` excluded up front); drop keys
+    whose last change is a delete.
 
-    Scale note: one shuffle on (db, tbl, id) — the natural partitioning
-    for CDC materialization; at 100 TB you'd bucket the sink by the
-    same key so repeated replays stay co-located. `update-before`
-    images are excluded up front so the window only ranks real images
-    (filter is pushed below the shuffle).
+    Scale: a single ``max_by`` aggregation — one map-side-combinable
+    shuffle on (db, tbl, id), NO per-key sort.  (Round 1 used
+    ``row_number()`` over a window, which sorts every key group — with
+    a compressed key space that is a skew trap; an aggregate tracks
+    only the current max per key.)  Offsets are unique, so max_by is
+    deterministic.  At 100 TB you'd bucket the sink by the same key so
+    repeated replays stay co-located.
     """
-    w = Window.partitionBy("db", "tbl", "id").orderBy(F.col("offset").desc())
     return (
-        rows_dt.filter(F.col("_delta_type") != "update-before")
-        .withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("_delta_type") != DT_DELETE))
-        .select("db", "tbl", "id", "value", F.col("offset").alias("as_of_offset"))
+        rows_dt.filter(F.col("_delta_type") != DT_UPDATE_BEFORE)
+        .groupBy("db", "tbl", "id")
+        .agg(
+            F.expr("max_by(value, offset)").alias("value"),
+            F.expr("max_by(_delta_type, offset)").alias("__last_dt"),
+            F.max("offset").alias("as_of_offset"),
+        )
+        .filter(F.col("__last_dt") != DT_DELETE)
+        .select("db", "tbl", "id", "value", "as_of_offset")
     )

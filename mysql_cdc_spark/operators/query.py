@@ -48,7 +48,7 @@ def select_changes(env: DataFrame, db: str, table: str, delta_type: str | None =
 _STMT_RE = re.compile(
     r"""^\s*select\s+(?P<select>.+?)\s+from\s+
         "?(?P<db>[\w]+)"?\s*\.\s*"?(?P<table>[\w]+)"?
-        (?:\s+where\s+_delta_type\s*=\s*'(?P<dt>[\w-]+)')?\s*;?\s*$""",
+        (?:\s+where\s+_delta_type\s*=\s*'(?P<dt>[^']*)')?\s*;?\s*$""",
     re.IGNORECASE | re.VERBOSE,
 )
 
@@ -56,7 +56,10 @@ _STMT_RE = re.compile(
 def parse_statement(sql: str) -> dict:
     """R1+R2 (jdbc.clj:119-147): the reference's entire SQL grammar.
 
-    Kept for API parity with the reference driver; anything richer goes
+    The reference tokenizer preserves whitespace inside the quoted
+    delta-type literal (its own example statement uses `'  insert'`,
+    jdbc.clj:117) — we accept any quoted content and strip it, so both
+    `'insert'` and `'  insert'` select inserts.  Anything richer goes
     straight to ``spark.sql`` (the rebuilt engine exposes full Spark
     SQL — see operators/relational.py).
     """
@@ -64,11 +67,12 @@ def parse_statement(sql: str) -> dict:
     if m is None:
         raise ValueError(f"cannot parse statement (reference grammar): {sql!r}")
     cols = [c.strip() for c in m.group("select").split(",")]
+    dt = m.group("dt")
     return {
         "select": cols,
         "db": m.group("db"),
         "table": m.group("table"),
-        "delta_type": m.group("dt"),
+        "delta_type": dt.strip() if dt is not None else None,
     }
 
 

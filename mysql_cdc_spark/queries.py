@@ -118,20 +118,11 @@ def cdc_update_pairs(spark, sf_dir):
     ),
 )
 def cdc_running_sum(spark, sf_dir):
-    """A1: running sum over the update stream (mysql_bench.clj:316-334)."""
-    from pyspark.sql import Window
+    """A1: running sum over the update stream (mysql_bench.clj:316-334).
 
-    w = Window.orderBy("offset").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return (
-        _rows_dt(spark, sf_dir)
-        .filter(F.col("_delta_type") == "update")
-        .select(
-            "offset",
-            "id",
-            "value",
-            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("running_sum"),
-        )
-    )
+    Distributed chunked prefix scan (functions/scan.py) — bit-identical
+    to the oracle's sequential cumsum, but partition-parallel."""
+    return aggregates.running_sum(_rows_dt(spark, sf_dir))
 
 
 @register(
@@ -145,15 +136,7 @@ def cdc_running_sum(spark, sf_dir):
 )
 def cdc_update_sum(spark, sf_dir):
     """A1 (scalable form): per-table update totals."""
-    return (
-        _rows_dt(spark, sf_dir)
-        .filter(F.col("_delta_type") == "update")
-        .groupBy("db", "tbl")
-        .agg(
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
-            F.count(F.lit(1)).cast("bigint").alias("n_updates"),
-        )
-    )
+    return aggregates.update_sum(_rows_dt(spark, sf_dir))
 
 
 @register(
@@ -208,33 +191,62 @@ def cdc_latest_state(spark, sf_dir):
     return aggregates.latest_state(_rows_dt(spark, sf_dir))
 
 
+# Oracle-side general transaction tagging: count of xid commits
+# strictly before each event (same rule as operators/transactions.py,
+# NOT the fixture-specific `offset div 4`).
+_TAGGED_CTE = (
+    ", tagged AS (SELECT *, CAST(COALESCE(SUM(CASE WHEN op = 'xid' THEN 1 ELSE 0 END) "
+    'OVER (ORDER BY "offset" ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS txn '
+    "FROM changes)"
+)
+
+
 @register(
     "cdc_txn_events",
     with_changes(
-        'SELECT CAST("offset" // 4 AS BIGINT) AS txn, COUNT(*) AS n_events, '
+        _TAGGED_CTE
+        + " SELECT txn, COUNT(*) AS n_events, "
         'MIN("offset") AS first_offset, MAX("offset") AS last_offset, MAX(xid) AS xid, '
         "CAST(MAX(CASE WHEN op = 'update_rows' THEN 1 ELSE 0 END) AS BIGINT) AS has_update "
-        "FROM changes GROUP BY 1"
+        "FROM tagged GROUP BY txn"
     ),
 )
 def cdc_txn_events(spark, sf_dir):
-    """Transaction assembly: the 4-events-per-statement contract
-    (mysql_bench.clj:248-258) checked per transaction."""
+    """Transaction assembly at xid boundaries (general rule; the
+    derived stream reproduces the 4-events-per-statement invariant,
+    mysql_bench.clj:248-258)."""
     return transactions.events_per_transaction(changes(spark, sf_dir))
 
 
 @register(
     "cdc_txn_histogram",
     with_changes(
-        "SELECT n_events, COUNT(*) AS n_txns FROM ("
-        '  SELECT CAST("offset" // 4 AS BIGINT) AS txn, COUNT(*) AS n_events'
-        "  FROM changes GROUP BY 1"
+        _TAGGED_CTE
+        + " SELECT n_events, COUNT(*) AS n_txns FROM ("
+        "  SELECT txn, COUNT(*) AS n_events FROM tagged GROUP BY txn"
         ") GROUP BY n_events"
     ),
 )
 def cdc_txn_histogram(spark, sf_dir):
     """Distribution of events per transaction (expect a single (4, N) row)."""
     return transactions.transaction_size_histogram(changes(spark, sf_dir))
+
+
+@register(
+    "cdc_committed_rows",
+    with_changes(
+        _TAGGED_CTE
+        + ' SELECT "offset", txn, db, tbl, op, before_id, before_value, '
+        "after_id, after_value, commit_xid FROM ("
+        "  SELECT *, MAX(xid) OVER (PARTITION BY txn) AS commit_xid FROM tagged"
+        ") WHERE op IN ('write_rows','update_rows','delete_rows') "
+        "AND commit_xid IS NOT NULL"
+    ),
+)
+def cdc_committed_rows(spark, sf_dir):
+    """Row events with their commit xid attached (single-pass window,
+    no self-join — reference commit assembly, mysql_binlog.clj:393-394)."""
+    return transactions.committed_rows(changes(spark, sf_dir))
 
 
 @register(

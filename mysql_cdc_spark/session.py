@@ -29,6 +29,10 @@ def get_spark(app_name: str = "mysql-cdc-spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", cpus)
         # Arrow for any pandas-UDF path (similarity / multimodal).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Driver fixtures store ns-precision timestamps; read them as raw
+        # int64 everywhere (sources/io.py converts with exact `div 1000`).
+        # Set once here so per-read code never mutates session config.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))

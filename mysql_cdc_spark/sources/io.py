@@ -19,8 +19,14 @@ from pyspark.sql import functions as F
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table; ns-timestamp columns arrive as int64
+    (``spark.sql.legacy.parquet.nanosAsLong`` is set at session build —
+    session.py) and are converted here with exact integer truncation."""
     path = f"{sf_dir}/{name}.parquet"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        # Defensive for externally-built sessions (e.g. the driver's):
+        # this is the one config the fixture reader cannot do without.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for field in pq.read_schema(path):
         if patypes.is_timestamp(field.type) and field.type.unit == "ns":
