@@ -1,0 +1,191 @@
+"""Text-analysis operators over the `documents` table — the
+LLM-training-data half of the engine (BASELINE north star; the
+reference itself has no text ops, so these are designed Spark-first).
+
+Everything here is built from JVM-side `pyspark.sql.functions` only —
+no Python UDFs — so the hot path stays inside whole-stage codegen and
+scales linearly with input splits.  Per-document features use
+array-expression pipelines (`transform`/`filter`/`aggregate`) instead
+of explode+groupBy wherever the aggregation is row-local: no shuffle at
+all for stats/fingerprints/lang-id; corpus-level aggregates (top
+n-grams) are one explode + one map-side-combined shuffle.
+
+Determinism contract (oracle = DuckDB on the same parquet):
+- tokenization = ``regexp_split(lower(trim(text)), '\\s+')`` on both
+  engines;
+- ratios are single IEEE double divisions of exact integer counts —
+  bit-identical across engines, no rounding needed;
+- fingerprints are lexicographic MINs of lowercase-hex md5 strings —
+  engine-neutral (ASCII collation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lexicons for the n-gram/stopword lang-id
+# heuristic.  Chosen public top-frequency function words; the heuristic
+# is deterministic, which is what the oracle checks — accuracy is data-
+# dependent (the synthetic fixture uses one shared vocabulary).
+LEXICONS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "fr": ("le", "la", "les", "et", "un", "une", "du"),
+    "de": ("der", "die", "das", "und", "ein", "nicht"),
+    "es": ("el", "los", "las", "y", "que", "por"),
+}
+
+STOPWORDS = LEXICONS["en"] + ("it", "for", "on")
+
+# "BPE-ish" word-piece pattern: runs of alphanumerics or single
+# non-space symbols — a cheap proxy for subword token counting.
+# (No backslash classes: the pattern is embedded in SQL string
+# literals on both engines, which escape backslashes differently.)
+BPE_PATTERN = "[a-z0-9]+|[^a-z0-9 ]"
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def with_tokens(docs: DataFrame) -> DataFrame:
+    """Append the canonical `tokens` array (whitespace tokenization of
+    lowercased text — the shared contract with every oracle)."""
+    return docs.withColumn("tokens", F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+
+
+def doc_stats(docs: DataFrame) -> DataFrame:
+    """Per-document size/diversity stats — narrow, shuffle-free."""
+    return with_tokens(docs).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).cast("bigint").alias("n_distinct_tokens"),
+        # Single double division of exact ints — bit-identical to the oracle.
+        (
+            F.expr("aggregate(tokens, 0L, (acc, x) -> acc + length(x))").cast("double")
+            / F.size("tokens").cast("double")
+        ).alias("avg_token_len"),
+        (
+            F.size(F.array_distinct("tokens")).cast("double")
+            / F.size("tokens").cast("double")
+        ).alias("type_token_ratio"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality scoring: stopword ratio, alpha-token ratio,
+    length band — the standard cheap pre-filters of a training-data
+    pipeline.  All components are exact-count divisions; the composite
+    is a fixed linear combination evaluated identically by the oracle.
+    """
+    toks = with_tokens(docs)
+    n = F.size("tokens").cast("double")
+    n_stop = F.expr(
+        f"size(filter(tokens, x -> x in ({_sql_list(STOPWORDS)})))"
+    ).cast("double")
+    n_alpha = F.expr("size(filter(tokens, x -> x rlike '^[a-z]+$'))").cast("double")
+    stop_ratio = n_stop / n
+    alpha_ratio = n_alpha / n
+    len_ok = ((F.size("tokens") >= 20) & (F.size("tokens") <= 1000)).cast("int").cast("double")
+    return toks.select(
+        "doc_id",
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        len_ok.alias("length_ok"),
+        (stop_ratio * F.lit(0.3) + alpha_ratio * F.lit(0.5) + len_ok * F.lit(0.2)).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Language-ID heuristic: CJK script check, else stopword-lexicon
+    argmax with a fixed tie-break cascade (en > fr > de > es)."""
+    toks = with_tokens(docs)
+    score = {
+        lang: F.expr(f"size(filter(tokens, x -> x in ({_sql_list(words)})))")
+        for lang, words in LEXICONS.items()
+    }
+    has_cjk = F.col("text").rlike("[\\x{4e00}-\\x{9fff}]")
+    pred = (
+        F.when(has_cjk, F.lit("zh"))
+        .when(
+            (score["en"] >= score["fr"]) & (score["en"] >= score["de"]) & (score["en"] >= score["es"]),
+            F.lit("en"),
+        )
+        .when((score["fr"] >= score["de"]) & (score["fr"] >= score["es"]), F.lit("fr"))
+        .when(score["de"] >= score["es"], F.lit("de"))
+        .otherwise(F.lit("es"))
+    )
+    return toks.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("agrees"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Token counting per source: whitespace tokens and a BPE-ish
+    word-piece regex count — one tiny-key shuffle."""
+    toks = with_tokens(docs).select(
+        "source",
+        F.size("tokens").alias("ws"),
+        F.size(F.expr(f"regexp_extract_all(lower(text), '{BPE_PATTERN}', 0)")).alias("bpe"),
+        F.length("text").alias("chars"),
+    )
+    return toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("ws").cast("bigint").alias("ws_tokens"),
+        F.sum("bpe").cast("bigint").alias("bpe_tokens"),
+        F.sum("chars").cast("bigint").alias("total_chars"),
+        (F.sum("ws").cast("double") / F.count(F.lit(1)).cast("double")).alias("avg_ws_tokens"),
+    )
+
+
+def top_ngrams(docs: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
+    """Corpus top-k word n-grams: per-row n-gram arrays (no
+    intermediate shuffle), one explode, one map-side-combined count,
+    TakeOrdered top-k with a total order (count desc, ngram asc)."""
+    # Guarded: Spark's sequence(1, k) DESCENDS for k < 1, so short rows
+    # must yield an empty array, not a bogus descending range.
+    grams = with_tokens(docs).select(
+        F.explode(
+            F.expr(
+                f"case when size(tokens) >= {n} then "
+                f"transform(sequence(1, size(tokens) - {n - 1}), "
+                f"i -> concat_ws(' ', slice(tokens, i, {n}))) "
+                f"else array() end"
+            )
+        ).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("ngram"))
+        .limit(k)
+    )
+
+
+def fingerprints(docs: DataFrame, shingle: int = 8, seeds: int = 4) -> DataFrame:
+    """Document fingerprinting: minhash over character shingles.
+
+    Per seed s, fp_s = MIN over shingles of md5('s:' || shingle) — a
+    rolling-window signature computed entirely as an array expression
+    (`transform` + `array_min`): no explode, no shuffle, one codegen
+    stage.  Lowercase-hex md5 MIN is engine-neutral.
+    """
+    t = F.lower(F.trim(F.col("text")))
+    out = docs.select("doc_id", t.alias("t"))
+    span = f"greatest(length(t) - {shingle - 1}, 1)"
+    for s in range(seeds):
+        out = out.withColumn(
+            f"fp{s}",
+            F.expr(
+                f"array_min(transform(sequence(1, {span}), "
+                f"i -> md5(concat('{s}:', substring(t, i, {shingle})))))"
+            ),
+        )
+    return out.drop("t")

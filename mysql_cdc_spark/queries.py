@@ -265,6 +265,129 @@ def cdc_envelope(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# LLM-training-data pipeline: text analysis over `documents`
+# (functions/text.py — JVM-side array expressions, no Python UDFs)
+# ---------------------------------------------------------------------------
+
+from mysql_cdc_spark.functions import text as T  # noqa: E402
+
+_TOKS_CTE = (
+    "WITH toks AS (SELECT doc_id, lang, source, text, "
+    r"regexp_split_to_array(lower(trim(text)), '\s+') AS tokens FROM documents)"
+)
+
+
+@register(
+    "llm_text_stats",
+    _TOKS_CTE + " SELECT doc_id, lang, source, "
+    "CAST(length(text) AS BIGINT) AS n_chars, "
+    "CAST(len(tokens) AS BIGINT) AS n_tokens, "
+    "CAST(len(list_distinct(tokens)) AS BIGINT) AS n_distinct_tokens, "
+    "CAST(list_sum(list_transform(tokens, x -> length(x))) AS DOUBLE) / CAST(len(tokens) AS DOUBLE) AS avg_token_len, "
+    "CAST(len(list_distinct(tokens)) AS DOUBLE) / CAST(len(tokens) AS DOUBLE) AS type_token_ratio "
+    "FROM toks",
+)
+def llm_text_stats(spark, sf_dir):
+    """Per-document size/diversity stats (shuffle-free)."""
+    from mysql_cdc_spark.sources.io import read_table
+
+    return T.doc_stats(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_quality_score",
+    _TOKS_CTE + ", q AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens, "
+    f"CAST(len(list_filter(tokens, x -> x IN ({', '.join(repr(w) for w in T.STOPWORDS)}))) AS DOUBLE)"
+    " / CAST(len(tokens) AS DOUBLE) AS stopword_ratio, "
+    "CAST(len(list_filter(tokens, x -> regexp_matches(x, '^[a-z]+$'))) AS DOUBLE)"
+    " / CAST(len(tokens) AS DOUBLE) AS alpha_ratio, "
+    "CAST(CASE WHEN len(tokens) BETWEEN 20 AND 1000 THEN 1 ELSE 0 END AS DOUBLE) AS length_ok "
+    "FROM toks) "
+    "SELECT doc_id, n_tokens, stopword_ratio, alpha_ratio, length_ok, "
+    "stopword_ratio * 0.3 + alpha_ratio * 0.5 + length_ok * 0.2 AS quality FROM q",
+)
+def llm_quality_score(spark, sf_dir):
+    """Heuristic quality scoring (training-data pre-filter)."""
+    from mysql_cdc_spark.sources.io import read_table
+
+    return T.quality_score(read_table(spark, sf_dir, "documents"))
+
+
+def _lex_sql(lang: str) -> str:
+    return f"len(list_filter(tokens, x -> x IN ({', '.join(repr(w) for w in T.LEXICONS[lang])})))"
+
+
+@register(
+    "llm_lang_id",
+    _TOKS_CTE + ", s AS (SELECT doc_id, lang, text, tokens, "
+    + ", ".join(f"{_lex_sql(lg)} AS s_{lg}" for lg in ("en", "fr", "de", "es"))
+    + " FROM toks) "
+    "SELECT doc_id, lang AS labeled_lang, pred_lang, pred_lang = lang AS agrees FROM ("
+    "  SELECT doc_id, lang, CASE "
+    r"  WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh' "
+    "  WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en' "
+    "  WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr' "
+    "  WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS pred_lang FROM s)",
+)
+def llm_lang_id(spark, sf_dir):
+    """n-gram/stopword language-ID heuristic."""
+    from mysql_cdc_spark.sources.io import read_table
+
+    return T.lang_id(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_token_counts",
+    _TOKS_CTE + " SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(len(tokens)) AS BIGINT) AS ws_tokens, "
+    f"CAST(SUM(len(regexp_extract_all(lower(text), '{T.BPE_PATTERN}'))) AS BIGINT) AS bpe_tokens, "
+    "CAST(SUM(length(text)) AS BIGINT) AS total_chars, "
+    "CAST(SUM(len(tokens)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_ws_tokens "
+    "FROM toks GROUP BY source",
+)
+def llm_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish token counting per source."""
+    from mysql_cdc_spark.sources.io import read_table
+
+    return T.token_counts(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_top_ngrams",
+    _TOKS_CTE + ", grams AS ("
+    "  SELECT tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS ngram"
+    "  FROM (SELECT tokens, unnest(range(1, greatest(len(tokens)-2, 0)+1)) AS i FROM toks)"
+    ") SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n FROM grams "
+    "GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20",
+)
+def llm_top_ngrams(spark, sf_dir):
+    """Corpus top-20 word trigrams (explode → map-side-combined count
+    → TakeOrdered)."""
+    from mysql_cdc_spark.sources.io import read_table
+
+    return T.top_ngrams(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_fingerprint",
+    "WITH t AS (SELECT doc_id, lower(trim(text)) AS t FROM documents) "
+    "SELECT doc_id, "
+    + ", ".join(
+        "list_min(list_transform(range(1, greatest(length(t)-7, 1)+1), "
+        f"i -> md5('{s}:' || substr(t, i, 8)))) AS fp{s}"
+        for s in range(4)
+    )
+    + " FROM t",
+)
+def llm_fingerprint(spark, sf_dir):
+    """Minhash-over-char-shingles document fingerprints (rolling-window
+    signature, shuffle-free array expressions)."""
+    from mysql_cdc_spark.sources.io import read_table
+
+    return T.fingerprints(read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # Full relational surface (SURVEY §2.5: joins / aggs / windows / set ops /
 # subqueries / sort+limit — everything the reference declares absent,
 # provided by Spark SQL over the same engine)
