@@ -1,0 +1,291 @@
+"""Deduplication operators over the `documents` table — the core of an
+LLM-training-data pipeline (exact, MinHash-LSH, SimHash, n-gram
+Jaccard).  The reference engine has no analog; these are designed
+Spark-first for the 100 TB case:
+
+- NOTHING here is all-pairs.  Near-dup candidate generation is always
+  a bucketed equi-join (LSH band buckets / SimHash bands / inverted
+  shingle index), so the shuffle key is the bucket id and Catalyst+AQE
+  handle skewed buckets.
+- Per-document signatures (minhash, simhash) are computed as array
+  expressions (`transform`/`aggregate`) — no explode, no Python UDF,
+  one codegen stage per scan.
+- Exact verification runs on candidate pairs only.
+
+Determinism contract (shared with the DuckDB oracles in queries.py):
+signatures are lexicographic MINs of lowercase-hex md5 strings and
+integer bit-arithmetic on md5 hex digits — engine-neutral; Jaccard is
+one IEEE division of exact integer counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SHINGLE_WORDS = 3          # word n-gram size for shingling
+MINHASH_K = 8              # minhash signature length
+LSH_BANDS = 4              # bands of MINHASH_K / LSH_BANDS rows each
+JACCARD_THRESHOLD = 0.5
+MAX_SHINGLE_DF = 1000      # inverted-index frequency cap (scale guard)
+SIMHASH_BITS = 64
+HAMMING_THRESHOLD = 6
+
+
+def normalized(docs: DataFrame) -> DataFrame:
+    """Canonical normalization shared by every dedup operator."""
+    return docs.withColumn("norm_text", F.lower(F.trim(F.col("text"))))
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup: md5 over normalized text; canonical = lowest doc_id
+    in each content group.
+
+    Scale: one groupBy on the content hash (map-side combinable) + an
+    equi-join back on the same key — both shuffles share the hash key,
+    so AQE co-partitions them; no windows, no skew beyond true dup
+    groups (which AQE's skew-join splits).
+    """
+    hashed = normalized(docs).select(
+        "doc_id", F.md5(F.col("norm_text")).alias("content_hash")
+    )
+    groups = hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+    )
+    return (
+        hashed.join(groups, "content_hash")
+        .select(
+            "doc_id",
+            "content_hash",
+            "keep_doc_id",
+            "n_copies",
+            (F.col("doc_id") == F.col("keep_doc_id")).alias("is_canonical"),
+        )
+    )
+
+
+def with_shingles(docs: DataFrame, n: int = SHINGLE_WORDS) -> DataFrame:
+    """Append the distinct word-n-gram shingle set (array column)."""
+    toks = normalized(docs).withColumn("tokens", F.split(F.col("norm_text"), r"\s+"))
+    return toks.withColumn(
+        "shingles",
+        F.expr(
+            f"array_distinct(case when size(tokens) >= {n} then "
+            f"transform(sequence(1, size(tokens) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(tokens, i, {n}))) "
+            f"else array() end)"
+        ),
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """k-row MinHash signature per document: m_s = MIN over shingles of
+    md5('s:' || shingle).  Pure array expressions — shuffle-free."""
+    sh = with_shingles(docs)
+    cols = [
+        F.expr(
+            f"array_min(transform(shingles, x -> md5(concat('{s}:', x))))"
+        ).alias(f"mh{s}")
+        for s in range(k)
+    ]
+    return sh.select("doc_id", "shingles", *cols)
+
+
+def _band_key(b: int, rows_per_band: int) -> F.Column:
+    parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+    return F.md5(F.concat_ws("|", F.lit(str(b)), *parts))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH + exact verify.
+
+    Candidates = documents agreeing on at least one full band (an
+    equi-join on (band_id, band_hash) — bucketed, never all-pairs);
+    each candidate pair is then verified with the exact shingle-set
+    Jaccard, keeping pairs >= threshold.
+    """
+    rows_per_band = k // bands
+    sigs = minhash_signatures(docs, k).cache()
+    band_rows = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    _band_key(b, rows_per_band).alias("band_hash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_hash")
+
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sh = sigs.select("doc_id", "shingles")
+    verified = (
+        candidates.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint"))
+        .withColumn("n_a", F.size("sh_a").cast("bigint"))
+        .withColumn("n_b", F.size("sh_b").cast("bigint"))
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "n_a", "n_b", "jaccard")
+    )
+    return verified
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    max_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via an inverted shingle
+    index: explode distinct shingles, equi-join on the shingle, count
+    common shingles per pair, compute Jaccard from the exact counts.
+
+    Complete for any threshold > 0 among pairs sharing at least one
+    sub-cap shingle.  `max_df` drops ultra-common shingles from the
+    index (standard frequency-cap guard: at 100 TB a stop-shingle
+    would otherwise generate a quadratic bucket); the cap is part of
+    the operator contract and mirrored by the oracle.
+    """
+    sh = with_shingles(docs).select("doc_id", "shingles")
+    sizes = sh.select("doc_id", F.size("shingles").cast("bigint").alias("n_sh"))
+    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    df_ok = (
+        inv.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    inv = inv.join(df_ok, "shingle")
+
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "n_a", "n_b", "jaccard")
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+# Engine-neutral md5-hex bit extraction: bit j of a token's 64-bit
+# simhash contribution is bit (3 - j%4) of hex digit j/4 of md5(token).
+_HEX = "0123456789abcdef"
+
+
+def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """64-bit SimHash per document as a bit string.
+
+    Features are the distinct word-3-gram shingles (single tokens are
+    too coarse on a small shared vocabulary: near-identical token SETS
+    collapse every signature together and the LSH bands degenerate into
+    one giant bucket).  Feature md5s are computed ONCE (`transform`
+    over the shingle array), then each output bit is a majority vote
+    (`aggregate`) over those cached hashes — all array expressions, no
+    explode, no shuffle.
+    """
+    hashed = with_shingles(docs).withColumn(
+        "thash", F.expr("transform(shingles, t -> md5(t))")
+    )
+    bit_expr = (
+        f"array_join(transform(sequence(0, {bits - 1}), j -> "
+        f"case when aggregate(thash, 0, (acc, h) -> acc + "
+        f"2 * ((shiftright(instr('{_HEX}', substring(h, 1 + (j div 4), 1)) - 1, "
+        f"3 - (j % 4))) % 2) - 1) >= 0 then '1' else '0' end), '')"
+    )
+    return hashed.select("doc_id", F.expr(bit_expr).alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    bits: int = SIMHASH_BITS,
+    bands: int = 4,
+    max_hamming: int = HAMMING_THRESHOLD,
+) -> DataFrame:
+    """Near-dup pairs via SimHash: candidates share at least one of
+    `bands` contiguous signature blocks (equi-join on (band, block)),
+    verified by exact Hamming distance <= max_hamming.
+
+    By pigeonhole, any pair within Hamming distance < `bands` is
+    guaranteed caught; beyond that recall degrades gracefully — the
+    standard SimHash banding trade-off (the oracle mirrors the same
+    banding, so results are exactly reproducible).
+    """
+    width = bits // bands
+    sigs = simhash_signatures(docs, bits).cache()
+    band_rows = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.substring("simhash", 1 + b * width, width).alias("block"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.block")
+
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    s = sigs.select("doc_id", "simhash")
+    return (
+        candidates.join(s.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("simhash", "sig_a"), "doc_a")
+        .join(s.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("simhash", "sig_b"), "doc_b")
+        .withColumn(
+            "hamming",
+            F.expr(
+                f"size(filter(sequence(1, {bits}), "
+                f"i -> substring(sig_a, i, 1) != substring(sig_b, i, 1)))"
+            ).cast("bigint"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

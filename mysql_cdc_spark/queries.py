@@ -388,6 +388,128 @@ def llm_fingerprint(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# LLM-training-data pipeline: deduplication over `documents`
+# (operators/dedup.py — bucketed candidate joins, never all-pairs)
+# ---------------------------------------------------------------------------
+
+from mysql_cdc_spark.operators import dedup  # noqa: E402
+
+
+def _docs(spark, sf_dir):
+    from mysql_cdc_spark.sources.io import read_table
+
+    return read_table(spark, sf_dir, "documents")
+
+
+# Shared oracle CTEs: normalization → tokens → distinct word-3-gram
+# shingle sets (mirrors dedup.with_shingles).
+_SHINGLE_CTE = (
+    "WITH norm AS (SELECT doc_id, lower(trim(text)) AS norm_text FROM documents), "
+    r"toks AS (SELECT doc_id, regexp_split_to_array(norm_text, '\s+') AS tokens FROM norm), "
+    "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(tokens) >= 3 THEN "
+    "[tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] for i in range(1, len(tokens)-1)] "
+    "ELSE [] END) AS shingles FROM toks)"
+)
+
+_MINHASH_CTE = _SHINGLE_CTE + ", mh AS (SELECT doc_id, shingles, " + ", ".join(
+    f"list_min(list_transform(shingles, x -> md5('{s}:' || x))) AS mh{s}"
+    for s in range(dedup.MINHASH_K)
+) + " FROM sh)"
+
+_BAND_CTE = _MINHASH_CTE + ", bandrows AS (" + " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, "
+    f"md5('{b}' || '|' || mh{2 * b} || '|' || mh{2 * b + 1}) AS band_hash FROM mh"
+    for b in range(dedup.LSH_BANDS)
+) + ")"
+
+
+@register(
+    "llm_dedup_exact",
+    "WITH h AS (SELECT doc_id, md5(lower(trim(text))) AS content_hash FROM documents), "
+    "g AS (SELECT content_hash, MIN(doc_id) AS keep_doc_id, "
+    "CAST(COUNT(*) AS BIGINT) AS n_copies FROM h GROUP BY content_hash) "
+    "SELECT h.doc_id, h.content_hash, g.keep_doc_id, g.n_copies, "
+    "h.doc_id = g.keep_doc_id AS is_canonical FROM h JOIN g USING (content_hash)",
+)
+def llm_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash; canonical = lowest doc_id."""
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+@register(
+    "llm_dedup_minhash",
+    _BAND_CTE + ", cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM bandrows a JOIN bandrows b ON a.band = b.band AND a.band_hash = b.band_hash "
+    "AND a.doc_id < b.doc_id) "
+    "SELECT doc_a, doc_b, common, n_a, n_b, jaccard FROM ("
+    "  SELECT c.doc_a, c.doc_b, "
+    "  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS common, "
+    "  CAST(len(sa.shingles) AS BIGINT) AS n_a, CAST(len(sb.shingles) AS BIGINT) AS n_b, "
+    "  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / "
+    "  CAST(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS jaccard "
+    "  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b"
+    f") WHERE jaccard >= {dedup.JACCARD_THRESHOLD}",
+)
+def llm_dedup_minhash(spark, sf_dir):
+    """Banded MinHash-LSH near-dup pairs + exact Jaccard verify."""
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+@register(
+    "llm_dedup_jaccard",
+    _SHINGLE_CTE + ", sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh FROM sh), "
+    "inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh), "
+    f"dfok AS (SELECT shingle FROM inv0 GROUP BY shingle HAVING COUNT(*) <= {dedup.MAX_SHINGLE_DF}), "
+    "inv AS (SELECT inv0.doc_id, inv0.shingle FROM inv0 JOIN dfok USING (shingle)), "
+    "co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common "
+    "FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+    "SELECT doc_a, doc_b, common, n_a, n_b, jaccard FROM ("
+    "  SELECT c.doc_a, c.doc_b, c.common, sa.n_sh AS n_a, sb.n_sh AS n_b, "
+    "  CAST(c.common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - c.common AS DOUBLE) AS jaccard "
+    "  FROM co c JOIN sizes sa ON sa.doc_id = c.doc_a JOIN sizes sb ON sb.doc_id = c.doc_b"
+    f") WHERE jaccard >= {dedup.JACCARD_THRESHOLD}",
+)
+def llm_dedup_jaccard(spark, sf_dir):
+    """Exact n-gram-Jaccard pairs via inverted shingle index."""
+    return dedup.jaccard_pairs(_docs(spark, sf_dir))
+
+
+_SIMHASH_CTE = (
+    _SHINGLE_CTE + ", "
+    "th AS (SELECT doc_id, list_transform(shingles, t -> md5(t)) AS thash FROM sh), "
+    "sig AS (SELECT doc_id, array_to_string([CASE WHEN list_sum(list_transform(thash, h -> "
+    "2 * (((instr('0123456789abcdef', substr(h, 1 + (j // 4), 1)) - 1 >> (3 - (j % 4))) & 1)) - 1)) >= 0 "
+    "THEN '1' ELSE '0' END for j in range(0, 64)], '') AS simhash FROM th)"
+)
+
+
+@register("llm_simhash", _SIMHASH_CTE + " SELECT doc_id, simhash FROM sig")
+def llm_simhash(spark, sf_dir):
+    """64-bit SimHash signatures (md5-bit majority vote, shuffle-free)."""
+    return dedup.simhash_signatures(_docs(spark, sf_dir))
+
+
+@register(
+    "llm_simhash_pairs",
+    _SIMHASH_CTE + ", sbands AS (" + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, substr(simhash, {1 + 16 * b}, 16) AS block FROM sig"
+        for b in range(4)
+    ) + "), "
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM sbands a JOIN sbands b ON a.band = b.band AND a.block = b.block "
+    "AND a.doc_id < b.doc_id) "
+    "SELECT doc_a, doc_b, hamming FROM ("
+    "  SELECT c.doc_a, c.doc_b, CAST(len(list_filter(range(1, 65), "
+    "  i -> substr(sa.simhash, i, 1) != substr(sb2.simhash, i, 1))) AS BIGINT) AS hamming "
+    "  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb2 ON sb2.doc_id = c.doc_b"
+    f") WHERE hamming <= {dedup.HAMMING_THRESHOLD}",
+)
+def llm_simhash_pairs(spark, sf_dir):
+    """SimHash banded near-dup pairs, exact Hamming verify."""
+    return dedup.simhash_pairs(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # Full relational surface (SURVEY §2.5: joins / aggs / windows / set ops /
 # subqueries / sort+limit — everything the reference declares absent,
 # provided by Spark SQL over the same engine)

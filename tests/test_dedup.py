@@ -1,0 +1,67 @@
+"""Dedup operator tests on hand-built corpora with planted duplicates."""
+
+from __future__ import annotations
+
+import pytest
+
+from mysql_cdc_spark.operators import dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "near the warm fire and the birds sing in the tall green trees today"
+)
+NEAR = BASE.replace("lazy dog", "lazy wolf")  # one-word edit → high jaccard
+OTHER = (
+    "completely different content about databases query engines shuffle "
+    "partitions and adaptive execution plans running on large clusters"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE, "en", "s0", len(BASE)),
+        (1, BASE.upper(), "en", "s1", len(BASE)),   # exact dup after normalize
+        (2, NEAR, "en", "s2", len(NEAR)),           # near dup of 0
+        (3, OTHER, "en", "s3", len(OTHER)),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_exact_dedup_groups_normalized_copies(docs):
+    got = {r["doc_id"]: (r["keep_doc_id"], r["is_canonical"], r["n_copies"])
+           for r in dedup.exact_dedup(docs).collect()}
+    assert got[0] == (0, True, 2)
+    assert got[1] == (0, False, 2)
+    assert got[2][1] and got[3][1]  # unique docs are their own canonical
+
+
+def test_minhash_lsh_finds_planted_near_dup(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in dedup.minhash_lsh_pairs(docs).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0   # exact dup
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.7    # near dup
+    assert not any(3 in p for p in pairs)             # unrelated doc never paired
+
+
+def test_jaccard_pairs_exact_counts(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in dedup.jaccard_pairs(docs).collect()}
+    assert pairs[(0, 1)]["jaccard"] == 1.0
+    r = pairs[(0, 2)]
+    # one-word edit in the middle breaks exactly 3 word-trigrams
+    assert r["common"] == r["n_a"] - 3
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_properties(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(docs).collect()}
+    assert all(len(s) == 64 and set(s) <= {"0", "1"} for s in sigs.values())
+    assert sigs[0] == sigs[1]  # normalization-equal docs → identical signature
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))  # noqa: E731
+    assert ham(sigs[0], sigs[2]) < ham(sigs[0], sigs[3])
+
+
+def test_simhash_pairs_catches_dups_only(docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dedup.simhash_pairs(docs).collect()}
+    assert (0, 1) in pairs
+    assert not any(3 in p for p in pairs)
