@@ -1,0 +1,248 @@
+"""Similarity search over the `embeddings` table (array<float> column)
+— brute-force cosine top-k as the exact baseline, sign-random-projection
+LSH as the scale path, plus exact vector aggregation (centroids).
+
+Engine-neutral exactness ("quantized-integer" contract, shared with the
+DuckDB oracles):
+
+  q_j = CAST(floor(CAST(x_j AS DOUBLE) * 1e6) AS BIGINT)
+
+Dot products and squared norms over q are pure BIGINT arithmetic —
+associative, order-independent, overflow-safe (|q| <= ~1e6, 64 dims →
+dot <= ~6.4e13 << 2^63) — so every engine computes the identical
+integer.  The ONLY floating-point steps are one multiply, one sqrt and
+one divide at the very end (cosine = dot / sqrt(na*nb)), each a single
+IEEE-754 operation on identical inputs → bit-identical doubles across
+Spark and DuckDB.  No rounding, no tolerance.
+
+Spark-plan shape:
+- embeddings stay as ARRAY columns end-to-end; dot products are
+  `zip_with` + `aggregate` (JVM codegen, no explode, no Python UDF);
+- the query set is broadcast (it is small by construction); the corpus
+  scan stays partition-parallel — per-partition local top-k first
+  (window over (query, shard)), then a global top-k over the tiny
+  shard-winner set: no single giant window partition;
+- LSH candidates come from an equi-join on (band, bucket-key): never
+  all-pairs.
+
+The hyperplane weights are md5-derived integers computed once in
+Python (hashlib) and embedded as literals in BOTH the Spark plan and
+the generated oracle SQL — one definition, two engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT = 1_000_000
+DIMS = 64
+N_PLANES = 8
+PLANES_PER_BAND = 4          # 2 bands of 4 sign bits → 16 buckets/band
+DEFAULT_K = 5
+DEFAULT_N_QUERIES = 10
+NEARDUP_COS = 0.3
+
+
+def _weight(p: int, j: int) -> int:
+    """Deterministic pseudo-random odd weight in [-15, 15] from md5 —
+    reproducible in any engine/language (here: computed once, embedded
+    as literals everywhere)."""
+    d = int(hashlib.md5(f"{p}:{j}".encode()).hexdigest()[0], 16)
+    return 2 * d - 15
+
+
+WEIGHTS = [[_weight(p, j) for j in range(DIMS)] for p in range(N_PLANES)]
+
+
+def quantized(emb: DataFrame) -> DataFrame:
+    """Append the quantized integer vector `qv` and its squared norm
+    `nq` (both exact BIGINT)."""
+    return (
+        emb.withColumn(
+            "qv",
+            F.expr(f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"),
+        )
+        .withColumn("nq", F.expr("aggregate(qv, 0L, (acc, v) -> acc + v * v)"))
+    )
+
+
+def _cosine(dot_col: str, na: str, nb: str) -> F.Column:
+    return F.col(dot_col).cast("double") / F.sqrt(
+        F.col(na).cast("double") * F.col(nb).cast("double")
+    )
+
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+
+
+def knn(
+    emb: DataFrame,
+    n_queries: int = DEFAULT_N_QUERIES,
+    k: int = DEFAULT_K,
+    shards: int = 16,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast the query vectors,
+    scan the corpus once, two-stage top-k (per-shard then global) so no
+    window partition ever holds the whole corpus.
+
+    This is the exact baseline; at 100 TB the linear scan per query is
+    the cost — use `ann_lsh` for the bucketed approximate path.
+    """
+    q = quantized(emb)
+    queries = q.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nq").alias("q_nq"),
+    )
+    corpus = q.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qv").alias("c_qv"),
+        F.col("nq").alias("c_nq"),
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dot", F.expr(_DOT.format(a="q_qv", b="c_qv")))
+        .withColumn("cosine", _cosine("dot", "q_nq", "c_nq"))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    order = [F.col("cosine").desc(), F.col("neighbor_id")]
+    local = Window.partitionBy("query_id", F.col("neighbor_id") % shards).orderBy(*order)
+    survivors = (
+        scored.withColumn("lr", F.row_number().over(local))
+        .filter(F.col("lr") <= k)
+        .drop("lr")
+    )
+    final = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(final).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _band_bits(qv_col: str, band: int) -> F.Column:
+    """4 sign bits of the band's hyperplane projections, as a string
+    bucket key.  Integer-exact: w·q is BIGINT arithmetic."""
+    bits = []
+    for p in range(band * PLANES_PER_BAND, (band + 1) * PLANES_PER_BAND):
+        w = "array(" + ",".join(str(v) for v in WEIGHTS[p]) + ")"
+        dot = _DOT.format(a=qv_col, b=w)
+        bits.append(f"case when {dot} >= 0 then '1' else '0' end")
+    return F.expr("concat(" + ",".join(bits) + ")")
+
+
+def lsh_buckets(emb: DataFrame) -> DataFrame:
+    """(vec_id, band, bucket) rows: one row per band per vector."""
+    q = quantized(emb)
+    n_bands = N_PLANES // PLANES_PER_BAND
+    return q.select(
+        "vec_id",
+        "qv",
+        "nq",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), _band_bits("qv", b).alias("bucket"))
+                for b in range(n_bands)
+            ])
+        ).alias("bb"),
+    ).select("vec_id", "qv", "nq", "bb.band", "bb.bucket")
+
+
+def ann_lsh(
+    emb: DataFrame,
+    n_queries: int = DEFAULT_N_QUERIES,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors sharing at least
+    one LSH band bucket with the query (equi-join on (band, bucket)),
+    exact cosine re-rank within candidates.
+
+    Recall is the standard sign-LSH trade-off (more planes/bands →
+    better); determinism is total — the oracle replicates the same
+    buckets, so results are exactly reproducible.
+    """
+    buckets = lsh_buckets(emb)
+    queries = buckets.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nq").alias("q_nq"),
+        "band",
+        "bucket",
+    )
+    corpus = buckets.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qv").alias("c_qv"),
+        F.col("nq").alias("c_nq"),
+        "band",
+        "bucket",
+    )
+    cand = (
+        corpus.join(
+            F.broadcast(queries),
+            ["band", "bucket"],
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "q_qv", "q_nq", "c_qv", "c_nq")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = (
+        cand.withColumn("dot", F.expr(_DOT.format(a="q_qv", b="c_qv")))
+        .withColumn("cosine", _cosine("dot", "q_nq", "c_nq"))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = NEARDUP_COS) -> DataFrame:
+    """Embedding-cosine near-dup pairs: candidates share an LSH band
+    bucket (bucketed self-join), verified by exact cosine >= threshold.
+    Same recall caveat (and same determinism guarantee) as `ann_lsh`."""
+    buckets = lsh_buckets(emb)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.qv").alias("qa"),
+            F.col("a.nq").alias("na"),
+            F.col("b.qv").alias("qb"),
+            F.col("b.nq").alias("nb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cand.withColumn("dot", F.expr(_DOT.format(a="qa", b="qb")))
+        .withColumn("cosine", _cosine("dot", "na", "nb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def label_centroids(emb: DataFrame) -> DataFrame:
+    """Exact per-label centroids: positional explode → integer sums per
+    (label, dim) → single double division.  One map-side-combined
+    shuffle on (label, dim) — the canonical distributed vector mean."""
+    q = quantized(emb)
+    exploded = q.select("label", F.posexplode("qv").alias("dim", "qval"))
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("qval").cast("bigint").alias("qsum"),
+        )
+        .withColumn("mean", F.col("qsum").cast("double") / F.col("n").cast("double") / F.lit(float(QUANT)))
+        .select("label", "dim", "n", "qsum", "mean")
+    )

@@ -510,6 +510,112 @@ def llm_simhash_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# LLM-training-data pipeline: similarity search over `embeddings`
+# (operators/similarity.py — quantized-integer cosine, LSH buckets)
+# ---------------------------------------------------------------------------
+
+from mysql_cdc_spark.operators import similarity  # noqa: E402
+
+_EMB_CTE = (
+    "WITH q AS (SELECT vec_id, label, list_transform(embedding, "
+    f"x -> CAST(floor(CAST(x AS DOUBLE) * {similarity.QUANT}) AS BIGINT)) AS qv FROM embeddings), "
+    "n AS (SELECT vec_id, label, qv, CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS nq FROM q)"
+)
+
+_SQL_COS = (
+    "CAST(list_sum([{a}.qv[i] * {b}.qv[i] for i in range(1, len({a}.qv)+1)]) AS DOUBLE)"
+    " / sqrt(CAST({a}.nq AS DOUBLE) * CAST({b}.nq AS DOUBLE))"
+)
+
+
+def _sql_band_bits(band: int) -> str:
+    bits = []
+    for p in range(band * similarity.PLANES_PER_BAND, (band + 1) * similarity.PLANES_PER_BAND):
+        w = "[" + ",".join(str(v) for v in similarity.WEIGHTS[p]) + "]"
+        bits.append(
+            f"CASE WHEN list_sum([qv[i] * ({w})[i] for i in range(1, len(qv)+1)]) >= 0 "
+            "THEN '1' ELSE '0' END"
+        )
+    return " || ".join(bits)
+
+
+_BKT_CTE = _EMB_CTE + ", bkt AS (" + " UNION ALL ".join(
+    f"SELECT vec_id, qv, nq, {b} AS band, {_sql_band_bits(b)} AS bucket FROM n"
+    for b in range(similarity.N_PLANES // similarity.PLANES_PER_BAND)
+) + ")"
+
+
+def _emb(spark, sf_dir):
+    from mysql_cdc_spark.sources.io import read_table
+
+    return read_table(spark, sf_dir, "embeddings")
+
+
+@register(
+    "llm_knn",
+    _EMB_CTE + ", pairs AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, "
+    + _SQL_COS.format(a="a", b="b") + " AS cosine "
+    f"FROM n a, n b WHERE a.vec_id < {similarity.DEFAULT_N_QUERIES} AND b.vec_id != a.vec_id) "
+    "SELECT query_id, neighbor_id, cosine, rank FROM ("
+    "  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
+    "  ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM pairs"
+    f") WHERE rank <= {similarity.DEFAULT_K}",
+)
+def llm_knn(spark, sf_dir):
+    """Exact brute-force cosine top-k (broadcast queries, sharded
+    two-stage top-k — the exact baseline for ann_lsh)."""
+    return similarity.knn(_emb(spark, sf_dir))
+
+
+@register(
+    "llm_ann_lsh",
+    _BKT_CTE + ", cand AS (SELECT DISTINCT qq.vec_id AS query_id, c.vec_id AS neighbor_id "
+    "FROM bkt qq JOIN bkt c ON qq.band = c.band AND qq.bucket = c.bucket "
+    f"AND qq.vec_id < {similarity.DEFAULT_N_QUERIES} AND c.vec_id != qq.vec_id), "
+    "scored AS (SELECT cand.query_id, cand.neighbor_id, "
+    + _SQL_COS.format(a="a", b="b") + " AS cosine "
+    "FROM cand JOIN n a ON a.vec_id = cand.query_id JOIN n b ON b.vec_id = cand.neighbor_id) "
+    "SELECT query_id, neighbor_id, cosine, rank FROM ("
+    "  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
+    "  ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM scored"
+    f") WHERE rank <= {similarity.DEFAULT_K}",
+)
+def llm_ann_lsh(spark, sf_dir):
+    """Approximate top-k via sign-random-projection LSH buckets +
+    exact re-rank (bucketed equi-join, never all-pairs)."""
+    return similarity.ann_lsh(_emb(spark, sf_dir))
+
+
+@register(
+    "llm_embed_neardup",
+    _BKT_CTE + ", cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b "
+    "FROM bkt a JOIN bkt b ON a.band = b.band AND a.bucket = b.bucket "
+    "AND a.vec_id < b.vec_id) "
+    "SELECT vec_a, vec_b, cosine FROM ("
+    "  SELECT cand.vec_a, cand.vec_b, " + _SQL_COS.format(a="a", b="b") + " AS cosine "
+    "  FROM cand JOIN n a ON a.vec_id = cand.vec_a JOIN n b ON b.vec_id = cand.vec_b"
+    f") WHERE cosine >= {similarity.NEARDUP_COS}",
+)
+def llm_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via LSH buckets + exact verify."""
+    return similarity.embedding_neardup_pairs(_emb(spark, sf_dir))
+
+
+@register(
+    "llm_label_centroids",
+    _EMB_CTE + ", e AS (SELECT label, unnest(range(0, len(qv))) AS dim, unnest(qv) AS qval FROM q) "
+    "SELECT label, CAST(dim AS INT) AS dim, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(qval) AS BIGINT) AS qsum, "
+    f"CAST(SUM(qval) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / {float(similarity.QUANT)} AS mean "
+    "FROM e GROUP BY label, dim",
+)
+def llm_label_centroids(spark, sf_dir):
+    """Exact per-label embedding centroids (integer sums per (label,
+    dim), one map-side-combined shuffle)."""
+    return similarity.label_centroids(_emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # Full relational surface (SURVEY §2.5: joins / aggs / windows / set ops /
 # subqueries / sort+limit — everything the reference declares absent,
 # provided by Spark SQL over the same engine)

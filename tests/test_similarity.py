@@ -1,0 +1,90 @@
+"""Similarity operator tests: exactness of the quantized-integer cosine
+against a NumPy reference, top-k ordering, LSH candidate containment."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from mysql_cdc_spark.operators import similarity
+
+
+def _vec(seed: int, dims: int = 64) -> list[float]:
+    # Deterministic pseudo-random unit-ish vector without RNG state.
+    raw = [math.sin(seed * 31 + j * 7) for j in range(dims)]
+    norm = math.sqrt(sum(x * x for x in raw))
+    return [float(x / norm) for x in raw]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [(i, _vec(i), i % 3) for i in range(30)]
+    # plant a near-duplicate of vector 0
+    rows.append((30, [float(x) for x in _vec(0)], 0))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def _quant_cos(a, b):
+    qa = [math.floor(float(x) * similarity.QUANT) for x in a]
+    qb = [math.floor(float(x) * similarity.QUANT) for x in b]
+    dot = sum(x * y for x, y in zip(qa, qb))
+    na = sum(x * x for x in qa)
+    nb = sum(x * x for x in qb)
+    return dot / math.sqrt(float(na) * float(nb))
+
+
+def test_knn_matches_python_reference(spark, emb):
+    import numpy as np  # noqa: F401  (env sanity)
+
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in emb.collect()}  # float32 round-trip, as Spark sees them
+    got = similarity.knn(emb, n_queries=3, k=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cosine"]))
+    for qid in range(3):
+        scored = sorted(
+            ((-_quant_cos(vecs[qid], vecs[nid]), nid) for nid in vecs if nid != qid),
+        )[:4]
+        expect = [(i + 1, nid, -negcos) for i, (negcos, nid) in enumerate(scored)]
+        assert sorted(by_q[qid]) == expect
+
+
+def test_knn_finds_planted_duplicate(emb):
+    got = similarity.knn(emb, n_queries=1, k=1).collect()
+    assert got[0]["neighbor_id"] == 30
+    assert got[0]["cosine"] > 0.999999
+
+
+def test_ann_results_are_subset_of_knn_universe(emb):
+    """Every ANN hit must carry the exact cosine and correct per-query
+    descending rank order."""
+    got = similarity.ann_lsh(emb, n_queries=5, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cosine"]))
+    for q, rows in by_q.items():
+        rows.sort()
+        coss = [c for _, c in rows]
+        assert coss == sorted(coss, reverse=True)
+        assert [r for r, _ in rows] == list(range(1, len(rows) + 1))
+
+
+def test_ann_finds_planted_duplicate(emb):
+    """cos≈1 ⇒ identical sign pattern on every hyperplane ⇒ the pair
+    shares ALL bands: LSH must surface it."""
+    got = similarity.ann_lsh(emb, n_queries=1, k=1).collect()
+    assert got and got[0]["neighbor_id"] == 30
+
+
+def test_label_centroids_exact(emb):
+    rows = emb.collect()
+    got = {(r["label"], r["dim"]): (r["n"], r["qsum"]) for r in
+           similarity.label_centroids(emb).collect()}
+    for label in (0, 1, 2):
+        members = [[math.floor(float(x) * similarity.QUANT) for x in r["embedding"]]
+                   for r in rows if r["label"] == label]
+        for dim in (0, 13, 63):
+            expect = (len(members), sum(m[dim] for m in members))
+            assert got[(label, dim)] == expect
