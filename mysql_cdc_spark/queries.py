@@ -265,6 +265,78 @@ def cdc_envelope(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Streaming parity: the SAME operators over a Structured Streaming
+# source, drained with Trigger.AvailableNow into a memory sink and
+# checked against the BATCH oracle — streaming/batch equivalence is the
+# correctness contract (streaming/runtime.py).
+# ---------------------------------------------------------------------------
+
+_STREAM_TMP = "/root/repo/.stream_tmp"
+
+
+def _stream_env(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The envelope stream as a streaming DataFrame over a materialized
+    event-log directory (built once per sf_dir)."""
+    import pathlib
+
+    from mysql_cdc_spark.streaming import runtime as rt
+
+    log_dir = pathlib.Path(_STREAM_TMP) / f"log_{pathlib.Path(sf_dir).name}"
+    if not (log_dir / "_SUCCESS").exists():
+        rt.write_event_log(changes(spark, sf_dir), str(log_dir))
+    return rt.open_stream(spark, str(log_dir))
+
+
+def _drain(transformed: DataFrame, output_mode: str = "append") -> DataFrame:
+    import shutil
+    import uuid
+
+    from mysql_cdc_spark.streaming import runtime as rt
+
+    name = f"sink_{uuid.uuid4().hex[:10]}"
+    cp = f"{_STREAM_TMP}/cp_{name}"
+    try:
+        return rt.run_to_memory(transformed, name, cp, output_mode)
+    finally:
+        shutil.rmtree(cp, ignore_errors=True)
+
+
+@register(
+    "cdc_stream_select_all",
+    with_changes(
+        'SELECT "offset", ts, db, tbl, id, value, _delta_type '
+        "FROM rows_dt WHERE db = 'foo' AND tbl = 'auto'"
+    ),
+)
+def cdc_stream_select_all(spark, sf_dir):
+    """`select * from "foo"."auto"` executed on the STREAMING path
+    (file-stream source → same R3/R4 operators → memory sink); the
+    oracle is the batch semantics — equivalence proven by hash."""
+    return _drain(
+        query.select_changes(_stream_env(spark, sf_dir), "foo", "auto", columns=_ROW_COLS)
+    )
+
+
+@register(
+    "cdc_stream_update_sum",
+    with_changes(
+        "SELECT db, tbl, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value, "
+        "COUNT(*) AS n_updates "
+        "FROM rows_dt WHERE _delta_type = 'update' GROUP BY db, tbl"
+    ),
+)
+def cdc_stream_update_sum(spark, sf_dir):
+    """Streaming aggregation (complete output mode) of the A1 update
+    totals — the reference's running consumer aggregate as a stateful
+    streaming query, batch-equivalent by oracle."""
+    return _drain(
+        aggregates.update_sum(rows_delta_type(_stream_env(spark, sf_dir))),
+        output_mode="complete",
+    )
+
+
+# ---------------------------------------------------------------------------
 # LLM-training-data pipeline: text analysis over `documents`
 # (functions/text.py — JVM-side array expressions, no Python UDFs)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,195 @@
+"""Structured Streaming runtime: the reference's continuous-ingest half
+rebuilt on Spark's file-stream source.
+
+Reference mechanism → Spark mapping (SURVEY §2.6):
+
+  mmap + inotify tail (mysql_binlog.clj:696-705, :833-857)
+      → `spark.readStream` file source polling a log directory
+  notification debounce (:765-799)
+      → micro-batch trigger interval / Trigger.AvailableNow
+  incremental turn, byte offset in agent state (:907-919)
+      → checkpointed source offsets (durable, unlike the reference's
+        in-memory offset, which loses position on restart)
+  log rotation: ROTATE → new file, offset reset (:888-905)
+      → new files discovered by the source; per-file progress is the
+        offset unit, so "reset to 4" is implicit
+  torn-tail guard: partially written trailing event not emitted
+      (:316, :326-328, design note :986-987)
+      → file-level atomicity: the append unit is a whole committed
+        file (writers stage + rename; Spark's commit protocol does
+        this), so a torn tail never becomes visible to the source
+  bounded LinkedBlockingQueue(10) backpressure (jdbc.clj:41-48)
+      → `maxFilesPerTrigger` rate limiting
+  event-fn callback per turn (mysql_binlog.clj:804-811, :918)
+      → `foreachBatch`
+  blocking forward-only ResultSet over the queue (jdbc.clj:205-331)
+      → memory sink + `StreamingCursor` (operators/cursor.py provides
+        the batch flavor)
+  cdc-init/cdc-start/cdc-stop lifecycle (:804-811, :921-938)
+      → `CDCRuntime.start()/stop()`
+
+The operators are ordinary DataFrame transforms, so the SAME functions
+(rows_delta_type, select_changes, aggregates with output modes) run on
+the batch and the streaming DataFrame — one code path, two modes,
+exactly how Spark file sources are structured (SURVEY §3.3).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_cdc_spark.model import ENVELOPE_SCHEMA
+
+
+def write_event_log(env: DataFrame, log_dir: str, n_files: int = 4) -> None:
+    """Materialize an envelope batch as an append-only directory of
+    parquet 'log files' (contiguous offset ranges, mirroring binlog
+    rotation: each range-partition plays the role of one binlog file).
+    """
+    (
+        env.repartitionByRange(n_files, "offset")
+        .sortWithinPartitions("offset")
+        .write.mode("overwrite")
+        .parquet(log_dir)
+    )
+
+
+def open_stream(
+    spark: SparkSession,
+    log_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """S2-S9: the change-event stream as a streaming DataFrame.
+
+    `maxFilesPerTrigger` is the backpressure bound (the reference's
+    queue capacity 10, jdbc.clj:44); offsets/rotation/initial position
+    are handled by the source + checkpoint.
+    """
+    reader = spark.readStream.schema(ENVELOPE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(log_dir)
+
+
+class CDCRuntime:
+    """S10 lifecycle wrapper: cdc-init/cdc-start/cdc-stop
+    (mysql_binlog.clj:804-811, :921-938).
+
+    `event_fn` receives each micro-batch as a (batch_df, batch_id)
+    pair — the reference's per-turn callback (:918) — via
+    `foreachBatch`.  `checkpoint_dir` makes progress durable (the
+    reference keeps its offset only in agent memory and re-reads from
+    scratch after a crash; checkpointing is strictly better recovery).
+    """
+
+    def __init__(
+        self,
+        stream: DataFrame,
+        event_fn: Callable[[DataFrame, int], None],
+        checkpoint_dir: str,
+        available_now: bool = True,
+    ) -> None:
+        self._stream = stream
+        self._event_fn = event_fn
+        self._checkpoint = checkpoint_dir
+        self._available_now = available_now
+        self.query = None
+
+    def start(self) -> "CDCRuntime":
+        writer = (
+            self._stream.writeStream.foreachBatch(self._event_fn)
+            .option("checkpointLocation", self._checkpoint)
+        )
+        if self._available_now:
+            writer = writer.trigger(availableNow=True)
+        self.query = writer.start()
+        return self
+
+    def await_termination(self, timeout: float | None = None) -> None:
+        if self.query is not None:
+            self.query.awaitTermination(timeout)
+
+    def stop(self) -> None:
+        if self.query is not None and self.query.isActive:
+            self.query.stop()
+
+
+def run_to_memory(
+    transformed: DataFrame,
+    sink_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Drain everything currently in the log through the streaming
+    engine into a memory sink (Trigger.AvailableNow), and return the
+    sink table — the streaming counterpart of a batch query, used by
+    the batch-equivalence oracle entries.  Use output_mode='complete'
+    for streaming aggregations."""
+    q = (
+        transformed.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return transformed.sparkSession.table(sink_name)
+
+
+class StreamingCursor:
+    """R9 for the streaming path: a forward-only blocking cursor over a
+    memory-sink table, reproducing the reference ResultSet's contract
+    (jdbc.clj:205-331): `next()` advances or blocks until new rows
+    arrive (queue `.take`, :174, :213-218); rows are delivered in
+    offset order; the cursor starts before the first row.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sink_name: str,
+        order_col: str = "offset",
+        poll_interval: float = 0.2,
+    ) -> None:
+        self._spark = spark
+        self._sink = sink_name
+        self._order = order_col
+        self._poll = poll_interval
+        self._buffer: list[Row] = []
+        self._pos = -1          # before-first-row
+        self._last_seen = None
+        self.current: Row | None = None
+
+    def _fetch_newer(self) -> list[Row]:
+        t = self._spark.table(self._sink)
+        if self._last_seen is not None:
+            t = t.filter(F.col(self._order) > self._last_seen)
+        return t.orderBy(self._order).collect()
+
+    def next(self, timeout: float | None = None) -> bool:
+        """Advance to the next row; block (poll) until one is
+        available or `timeout` elapses.  Returns False on timeout."""
+        if self._pos + 1 >= len(self._buffer):
+            deadline = None if timeout is None else time.monotonic() + timeout
+            while True:
+                newer = self._fetch_newer()
+                if newer:
+                    self._buffer = newer
+                    self._pos = -1
+                    self._last_seen = newer[-1][self._order]
+                    break
+                if deadline is not None and time.monotonic() >= deadline:
+                    return False
+                time.sleep(self._poll)
+        self._pos += 1
+        self.current = self._buffer[self._pos]
+        return True
+
+    def __iter__(self) -> Iterator[Row]:
+        while self.next(timeout=0):
+            yield self.current

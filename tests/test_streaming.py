@@ -1,0 +1,102 @@
+"""Streaming runtime tests: batch equivalence, checkpointed offset
+resume, rotation as multi-file discovery, backpressure batching, and
+the blocking forward-only cursor (SURVEY §2.6 checklist)."""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_cdc_spark.operators import query
+from mysql_cdc_spark.sources.events_cdc import changes
+from mysql_cdc_spark.streaming import runtime as rt
+
+TMP = "/root/repo/.stream_tmp/test"
+
+
+@pytest.fixture()
+def scratch():
+    d = f"{TMP}/{uuid.uuid4().hex[:10]}"
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _env(spark, sf_dir, lo, hi):
+    return changes(spark, sf_dir).filter((F.col("offset") >= lo) & (F.col("offset") < hi))
+
+
+def test_streaming_batch_equivalence(spark, sf_dir, scratch):
+    env = changes(spark, sf_dir)
+    rt.write_event_log(env, f"{scratch}/log", n_files=3)
+    stream = rt.open_stream(spark, f"{scratch}/log")
+    got = rt.run_to_memory(
+        query.select_changes(stream, "foo", "auto"),
+        f"t_{uuid.uuid4().hex[:8]}",
+        f"{scratch}/cp",
+    )
+    expect = query.select_changes(env, "foo", "auto")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_checkpointed_offset_resume(spark, sf_dir, scratch):
+    """Stop, append a new log file, restart with the SAME checkpoint:
+    only the new file is processed — the reference's incremental-turn
+    offset semantics (mysql_binlog.clj:907-919), made durable."""
+    log, cp = f"{scratch}/log", f"{scratch}/cp"
+    rt.write_event_log(_env(spark, sf_dir, 0, 2000), log, n_files=2)
+
+    delivered: list[list[int]] = []
+
+    def event_fn(batch_df, batch_id):
+        delivered.append([r["offset"] for r in batch_df.select("offset").collect()])
+
+    runtime = rt.CDCRuntime(rt.open_stream(spark, log), event_fn, cp).start()
+    runtime.await_termination()
+    first_run = sorted(o for b in delivered for o in b)
+    assert first_run == list(range(2000))
+
+    # log rotation: a new file appears in the directory
+    _env(spark, sf_dir, 2000, 4000).coalesce(1).write.mode("append").parquet(log)
+    delivered.clear()
+    runtime2 = rt.CDCRuntime(rt.open_stream(spark, log), event_fn, cp).start()
+    runtime2.await_termination()
+    second_run = sorted(o for b in delivered for o in b)
+    assert second_run == list(range(2000, 4000))  # no reprocessing, no loss
+
+
+def test_backpressure_bounds_batch_size(spark, sf_dir, scratch):
+    """maxFilesPerTrigger=1 → one log file per micro-batch (the
+    reference's bounded-queue backpressure, jdbc.clj:44)."""
+    log, cp = f"{scratch}/log", f"{scratch}/cp"
+    rt.write_event_log(_env(spark, sf_dir, 0, 3000), log, n_files=3)
+
+    batches: list[int] = []
+
+    def event_fn(batch_df, batch_id):
+        batches.append(batch_df.count())
+
+    rt.CDCRuntime(
+        rt.open_stream(spark, log, max_files_per_trigger=1), event_fn, cp
+    ).start().await_termination()
+    assert len(batches) >= 3
+    assert sum(batches) == 3000
+
+
+def test_streaming_cursor_forward_only_blocking(spark, sf_dir, scratch):
+    log, cp = f"{scratch}/log", f"{scratch}/cp"
+    rt.write_event_log(_env(spark, sf_dir, 0, 400), log, n_files=1)
+    name = f"cur_{uuid.uuid4().hex[:8]}"
+    rt.run_to_memory(rt.open_stream(spark, log), name, cp)
+
+    cur = rt.StreamingCursor(spark, name)
+    assert cur.current is None            # before-first-row
+    assert cur.next(timeout=10)
+    assert cur.current["offset"] == 0
+    seen = [cur.current["offset"]]
+    while cur.next(timeout=0):
+        seen.append(cur.current["offset"])
+    assert seen == list(range(400))       # offset order, each exactly once
+    assert not cur.next(timeout=0.3)      # drained → blocking poll times out
