@@ -337,6 +337,96 @@ def cdc_stream_update_sum(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Binlog byte codec end-to-end (sources/binlog_codec.py + binlog_source
+# .py): events → REAL binlog bytes (driver-side encode) → binaryFile +
+# mapInPandas decode on executors → envelope, hash-checked against the
+# same derivation done in SQL.  This exercises D1-D12 (headers,
+# table-map, row bitfields/null maps, packed decimal, packed ints).
+# ---------------------------------------------------------------------------
+
+_BINLOG_ORACLE = """
+WITH ev AS (
+  SELECT event_id,
+         CASE WHEN user_id % 2 = 0 THEN 'foo' ELSE 'bench' END AS db,
+         CASE WHEN user_id % 2 = 0 THEN 'auto' ELSE 'big' END AS tbl,
+         CAST(event_id % 97 AS BIGINT) AS row_id,
+         CASE WHEN event_type IN ('signup','purchase') THEN 'write_rows'
+              WHEN event_type IN ('click','view') THEN 'update_rows'
+              ELSE 'delete_rows' END AS row_op,
+         printf('%d.%04d', event_id % 100000, event_id % 10000) AS val,
+         printf('%d.%04d', (event_id+1) % 100000, (event_id+3) % 10000) AS val_before,
+         CASE WHEN event_id % 10 = 0 THEN NULL ELSE event_type END AS word,
+         CASE WHEN event_id % 50 = 0
+                THEN 'ALTER TABLE ' || db || '.' || tbl || ' ADD COLUMN extra INT'
+              WHEN event_type IN ('signup','purchase')
+                THEN 'INSERT INTO ' || db || '.' || tbl || ' (id, value) VALUES (?, ?)'
+              WHEN event_type IN ('click','view')
+                THEN 'UPDATE ' || db || '.' || tbl || ' SET value = ? WHERE id = ?'
+              ELSE 'DELETE FROM ' || db || '.' || tbl || ' WHERE id = ?' END AS sql_text
+  FROM events
+)
+SELECT * FROM (
+  SELECT CAST(event_id*4 AS BIGINT) AS seq, 'query' AS op, db,
+         CAST(NULL AS VARCHAR) AS tbl, CAST(NULL AS BIGINT) AS xid, sql_text AS "sql",
+         CAST(NULL AS BIGINT) AS before_id, CAST(NULL AS VARCHAR) AS before_val,
+         CAST(NULL AS VARCHAR) AS before_word,
+         CAST(NULL AS BIGINT) AS after_id, CAST(NULL AS VARCHAR) AS after_val,
+         CAST(NULL AS VARCHAR) AS after_word
+  FROM ev
+  UNION ALL
+  SELECT CAST(event_id*4+1 AS BIGINT), 'table_map', db, tbl, NULL, NULL,
+         NULL, NULL, NULL, NULL, NULL, NULL
+  FROM ev
+  UNION ALL
+  SELECT CAST(event_id*4+2 AS BIGINT), row_op, db, tbl, NULL, NULL,
+         CASE WHEN row_op = 'write_rows' THEN NULL ELSE row_id END,
+         CASE WHEN row_op = 'write_rows' THEN NULL
+              WHEN row_op = 'update_rows' THEN val_before ELSE val END,
+         CASE WHEN row_op = 'write_rows' THEN NULL ELSE word END,
+         CASE WHEN row_op = 'delete_rows' THEN NULL ELSE row_id END,
+         CASE WHEN row_op = 'delete_rows' THEN NULL ELSE val END,
+         CASE WHEN row_op = 'delete_rows' THEN NULL ELSE word END
+  FROM ev
+  UNION ALL
+  SELECT CAST(event_id*4+3 AS BIGINT), 'xid', CAST(NULL AS VARCHAR), NULL,
+         CAST(event_id AS BIGINT), NULL, NULL, NULL, NULL, NULL, NULL, NULL
+  FROM ev
+)
+""".strip()
+
+
+@register("cdc_binlog_envelope", _BINLOG_ORACLE)
+def cdc_binlog_envelope(spark, sf_dir):
+    """Full binlog fidelity path: encode the derived change stream as
+    real v4 binlog BYTES, decode with the pure-Python codec via
+    binaryFile + mapInPandas, and project the envelope.  The oracle
+    re-derives the same records relationally — so every header, packed
+    int, bitfield, null map and packed decimal must round-trip."""
+    import pathlib
+
+    from mysql_cdc_spark.sources import binlog_source as bs
+
+    out_dir = pathlib.Path(_STREAM_TMP) / f"binlog_{pathlib.Path(sf_dir).name}"
+    if not any(out_dir.glob("binlog.*")):
+        bs.generate_binlog_from_events(sf_dir, str(out_dir))
+    env = bs.read_binlog_envelope(spark, str(out_dir))
+    return env.select(
+        "seq",
+        "op",
+        "db",
+        "tbl",
+        "xid",
+        "sql",
+        F.element_at("before", "id").cast("bigint").alias("before_id"),
+        F.element_at("before", "val").alias("before_val"),
+        F.element_at("before", "word").alias("before_word"),
+        F.element_at("after", "id").cast("bigint").alias("after_id"),
+        F.element_at("after", "val").alias("after_val"),
+        F.element_at("after", "word").alias("after_word"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # LLM-training-data pipeline: text analysis over `documents`
 # (functions/text.py — JVM-side array expressions, no Python UDFs)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,211 @@
+"""Spark integration for the binlog codec: `binaryFile` scan +
+`mapInPandas` decode into the generic MAP-payload envelope (SURVEY
+§1.4 — dynamic per-table schemas; the nil-vs-'_' distinction survives
+as value-None vs key-absent in the MAP images).
+
+Plan shape: one task per binlog file — decoding a log is inherently
+sequential WITHIN a file (events are offset-chained, table-map state
+threads through — reference read-binlog, mysql_binlog.clj:707-752),
+and embarrassingly parallel ACROSS files; at 100 TB a binlog directory
+is thousands of rotated files, so the `binaryFile` scan parallelizes
+per file.  The Python decode is Arrow-batched via `mapInPandas` (never
+row-at-a-time UDFs).
+
+The writer half (fixture generation from the `events` table) gives the
+codec an end-to-end oracle: encode driver-side → decode on executors →
+compare against the same derivation done in SQL by DuckDB.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from mysql_cdc_spark.sources.binlog_codec import (
+    DELETE_ROWS_EVENT,
+    TYPE_LONG,
+    TYPE_NEWDECIMAL,
+    TYPE_VARCHAR,
+    UPDATE_ROWS_EVENT,
+    WRITE_ROWS_EVENT,
+    BinlogWriter,
+    TableDef,
+    decode_binlog,
+)
+
+# Real column names for the fixture tables — the catalog lookup the
+# reference planned but never built (mysql_binlog.clj:505-508 "read
+# column names from schema tables"; its JDBC layer falls back to
+# ordinals, jdbc.clj:82).
+FIXTURE_CATALOG = {
+    ("foo", "auto"): ["id", "val", "word"],
+    ("bench", "big"): ["id", "val", "word"],
+}
+
+# (type, metadata) per column: INT, DECIMAL(12,4), VARCHAR(50) — the
+# reference's three supported types, in its own bench-table shape
+# (create-big-table, mysql_bench.clj:84-97).
+FIXTURE_COLUMNS = [
+    (TYPE_LONG, None),
+    (TYPE_NEWDECIMAL, (12, 4)),
+    (TYPE_VARCHAR, 50),
+]
+
+BINLOG_ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("log_file", T.StringType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("server_id", T.LongType(), False),
+        T.StructField("xid", T.LongType(), True),
+        T.StructField("db", T.StringType(), True),
+        T.StructField("tbl", T.StringType(), True),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("row_idx", T.LongType(), False),
+        T.StructField("before", T.MapType(T.StringType(), T.StringType(), True), True),
+        T.StructField("after", T.MapType(T.StringType(), T.StringType(), True), True),
+        T.StructField("sql", T.StringType(), True),
+    ]
+)
+
+_ENVELOPE_OPS = ("query", "table_map", "write_rows", "update_rows", "delete_rows", "xid")
+
+
+def _stringify(image: dict | None) -> dict | None:
+    if image is None:
+        return None
+    return {k: (None if v is None else str(v)) for k, v in image.items()}
+
+
+def read_binlog_envelope(
+    spark: SparkSession,
+    path: str,
+    catalog: dict[tuple[str, str], list[str]] | None = None,
+) -> DataFrame:
+    """Decode every binlog file under `path` into envelope records
+    (one record per row image pair; non-row events emit one record)."""
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    cat = catalog or FIXTURE_CATALOG
+
+    def decode_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in BINLOG_ENVELOPE_SCHEMA.fields]
+        for pdf in batches:
+            out: list[dict] = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                log_file = str(fpath).rsplit("/", 1)[-1]
+                seq = 0
+                for ev in decode_binlog(bytes(content), cat):
+                    if ev["op"] not in _ENVELOPE_OPS:
+                        continue
+                    base = {
+                        "log_file": log_file, "seq": seq, "offset": ev["offset"],
+                        "ts": ev["ts"], "server_id": ev["server_id"],
+                        "xid": ev["xid"], "db": ev["db"], "tbl": ev["tbl"],
+                        "op": ev["op"], "row_idx": 0,
+                        "before": None, "after": None, "sql": ev["sql"],
+                    }
+                    seq += 1
+                    if ev["op"].endswith("_rows"):
+                        before = ev["before"] or []
+                        after = ev["after"] or []
+                        for ri in range(max(len(before), len(after))):
+                            rec = dict(base)
+                            rec["row_idx"] = ri
+                            rec["before"] = _stringify(before[ri]) if ri < len(before) else None
+                            rec["after"] = _stringify(after[ri]) if ri < len(after) else None
+                            out.append(rec)
+                    else:
+                        out.append(base)
+            yield pd.DataFrame(out, columns=cols)
+
+    return files.mapInPandas(decode_part, BINLOG_ENVELOPE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic fixture generation: events.parquet → real binlog bytes
+# ---------------------------------------------------------------------------
+
+def _fixture_rows(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type"])
+    pdf = ev.to_pandas().sort_values("event_id").reset_index(drop=True)
+    return pdf
+
+
+def fixture_val(event_id: int) -> str:
+    return f"{event_id % 100000}.{event_id % 10000:04d}"
+
+
+def fixture_val_before(event_id: int) -> str:
+    return f"{(event_id + 1) % 100000}.{(event_id + 3) % 10000:04d}"
+
+
+def generate_binlog_from_events(
+    sf_dir: str, out_dir: str, rotate_every: int = 250_000
+) -> list[str]:
+    """Encode the derived change stream as REAL binlog bytes — the same
+    derivation rules as sources/events_cdc.py (db/tbl from user_id
+    parity, op from event_type, 4 events per source event), but at the
+    byte level: QUERY + TABLE_MAP + ROWS + XID per transaction, files
+    rotated every `rotate_every` source events.  Idempotent."""
+    os.makedirs(out_dir, exist_ok=True)
+    pdf = _fixture_rows(sf_dir)
+    tables = {
+        db_tbl: TableDef(db_tbl[0], db_tbl[1], FIXTURE_COLUMNS, table_id=tid + 1)
+        for tid, db_tbl in enumerate(FIXTURE_CATALOG)
+    }
+    written: list[str] = []
+    writer: BinlogWriter | None = None
+    fname = None
+    for event_id, user_id, event_type in zip(
+        pdf["event_id"], pdf["user_id"], pdf["event_type"]
+    ):
+        event_id, user_id = int(event_id), int(user_id)
+        file_no = event_id // rotate_every
+        if writer is None or fname != f"binlog.{file_no:06d}":
+            if writer is not None:
+                with open(os.path.join(out_dir, fname), "wb") as fh:
+                    fh.write(writer.getvalue())
+                written.append(fname)
+            fname = f"binlog.{file_no:06d}"
+            writer = BinlogWriter()
+
+        db, tbl = ("foo", "auto") if user_id % 2 == 0 else ("bench", "big")
+        t = tables[(db, tbl)]
+        ts = event_id % (1 << 31)
+        row_id = event_id % 97
+        val = fixture_val(event_id)
+        word = None if event_id % 10 == 0 else str(event_type)
+        qualified = f"{db}.{tbl}"
+
+        if event_type in ("signup", "purchase"):
+            op, sql = WRITE_ROWS_EVENT, f"INSERT INTO {qualified} (id, value) VALUES (?, ?)"
+        elif event_type in ("click", "view"):
+            op, sql = UPDATE_ROWS_EVENT, f"UPDATE {qualified} SET value = ? WHERE id = ?"
+        else:
+            op, sql = DELETE_ROWS_EVENT, f"DELETE FROM {qualified} WHERE id = ?"
+        if event_id % 50 == 0:
+            sql = f"ALTER TABLE {qualified} ADD COLUMN extra INT"
+
+        writer.write_query(db, sql, ts)
+        writer.write_table_map(t, ts)
+        if op == WRITE_ROWS_EVENT:
+            writer.write_rows(op, t, [[row_id, val, word]], ts=ts)
+        elif op == UPDATE_ROWS_EVENT:
+            before = [row_id, fixture_val_before(event_id), word]
+            writer.write_rows(op, t, [(before, [row_id, val, word])], ts=ts)
+        else:
+            writer.write_rows(op, t, [[row_id, val, word]], ts=ts)
+        writer.write_xid(event_id, ts)
+
+    if writer is not None:
+        with open(os.path.join(out_dir, fname), "wb") as fh:
+            fh.write(writer.getvalue())
+        written.append(fname)
+    return written

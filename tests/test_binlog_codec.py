@@ -1,0 +1,186 @@
+"""Binlog codec unit tests (SURVEY §5 rebuild plan: codec round-trips
+over synthesized byte vectors, decimal sign-XOR/leading-zero edges,
+torn-tail hold-back, rotation, table-map threading, null/used-columns
+bitfields)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mysql_cdc_spark.sources.binlog_codec import (
+    MAGIC,
+    TYPE_LONG,
+    TYPE_NEWDECIMAL,
+    TYPE_VARCHAR,
+    UPDATE_ROWS_EVENT,
+    WRITE_ROWS_EVENT,
+    BinlogWriter,
+    TableDef,
+    decimal_bin_size,
+    decode_binlog,
+    decode_decimal,
+    enc_packed_int,
+    encode_decimal,
+    is_binlog,
+    read_packed_int,
+)
+
+T3 = TableDef("foo", "auto", [(TYPE_LONG, None), (TYPE_NEWDECIMAL, (12, 4)), (TYPE_VARCHAR, 50)])
+CAT = {("foo", "auto"): ["id", "val", "word"]}
+
+
+# --- packed decimal ----------------------------------------------------------
+
+DECIMAL_VECTORS = [
+    ("0.0000", 12, 4),
+    ("1234.5678", 12, 4),
+    ("-1234.5678", 12, 4),          # sign XOR + complement
+    ("-0.0001", 12, 4),             # negative with zero integer part
+    ("99999999.9999", 12, 4),       # max magnitude
+    ("0.0056", 12, 4),              # leading zeros in fraction
+    ("-7.25", 5, 2),
+    ("3", 5, 0),                    # scale-0
+    ("123456789012345678.123456789", 27, 9),  # multi-group both sides
+    ("-999999999.999999999", 18, 9),
+]
+
+
+@pytest.mark.parametrize("txt,p,s", DECIMAL_VECTORS)
+def test_decimal_roundtrip(txt, p, s):
+    b = encode_decimal(txt, p, s)
+    assert len(b) == decimal_bin_size(p, s)
+    assert decode_decimal(b, p, s) == txt
+
+
+def test_decimal_negative_zero_normalizes():
+    assert decode_decimal(encode_decimal("-0.0000", 12, 4), 12, 4) == "0.0000"
+
+
+def test_decimal_sign_bit_layout():
+    # positive values store MSB set; negatives clear (sign XOR 0x80)
+    assert encode_decimal("1.0000", 12, 4)[0] & 0x80
+    assert not encode_decimal("-1.0000", 12, 4)[0] & 0x80
+
+
+def test_decimal_bin_size_reference_shape():
+    # the reference sizes its bench rows with decimalBinSize(12,4)
+    # (mysql_bench.clj:116-124) — 12,4 → intg 8 → 4+ frac 4 → 2 = 6
+    assert decimal_bin_size(12, 4) == 6
+    assert decimal_bin_size(27, 9) == 12  # 2 full int groups + 1 full frac group
+
+
+# --- packed ints -------------------------------------------------------------
+
+@pytest.mark.parametrize("n", [0, 1, 250, 251, 65535, 65536, 1 << 23, 1 << 24, 1 << 40])
+def test_packed_int_roundtrip(n):
+    buf = enc_packed_int(n) + b"tail"
+    v, pos = read_packed_int(buf, 0)
+    assert v == n and pos == len(buf) - 4
+
+
+# --- event stream ------------------------------------------------------------
+
+def _small_log() -> bytes:
+    w = BinlogWriter()
+    w.write_query("foo", "INSERT INTO foo.auto VALUES (?)", ts=100)
+    w.write_table_map(T3, ts=100)
+    w.write_rows(WRITE_ROWS_EVENT, T3, [[5, "12.3400", "hello"], [6, "-1.0001", None]], ts=100)
+    w.write_xid(42, ts=100)
+    w.write_rows(UPDATE_ROWS_EVENT, T3, [([5, "12.3400", "hello"], [5, "99.0000", "bye"])], ts=101)
+    w.write_xid(43, ts=101)
+    return w.getvalue()
+
+
+def test_magic_and_validation():
+    data = _small_log()
+    assert data[:4] == MAGIC and is_binlog(data)
+    assert not is_binlog(b"nope")
+    with pytest.raises(ValueError):
+        decode_binlog(b"not a binlog")
+
+
+def test_full_decode_round_trip():
+    evs = decode_binlog(_small_log(), CAT)
+    ops = [e["op"] for e in evs]
+    assert ops == ["format_description", "query", "table_map", "write_rows",
+                   "xid", "update_rows", "xid"]
+    q = evs[1]
+    assert (q["db"], q["sql"], q["ts"]) == ("foo", "INSERT INTO foo.auto VALUES (?)", 100)
+    wr = evs[3]
+    assert wr["after"] == [
+        {"id": 5, "val": "12.3400", "word": "hello"},
+        {"id": 6, "val": "-1.0001", "word": None},   # null bitmap
+    ]
+    up = evs[5]
+    assert up["before"] == [{"id": 5, "val": "12.3400", "word": "hello"}]
+    assert up["after"] == [{"id": 5, "val": "99.0000", "word": "bye"}]
+    assert evs[4]["xid"] == 42 and evs[6]["xid"] == 43
+    # offsets chain: each event's offset is the previous event's next
+    for prev, cur in zip(evs, evs[1:]):
+        assert cur["offset"] == prev["next"]
+
+
+def test_torn_tail_holdback():
+    """A partially written trailing event is not emitted (reference
+    :316, :326-328) — at ANY truncation point."""
+    data = _small_log()
+    full = len(decode_binlog(data, CAT))
+    # final event is XID: 19B header + 8B body = 27B
+    for cut in (1, 5, 10, 18, 19, 26):   # truncate inside the final event
+        evs = decode_binlog(data[:-cut], CAT)
+        assert len(evs) == full - 1
+        assert evs[-1]["op"] == "update_rows"
+    evs = decode_binlog(data[:-28], CAT)  # cut reaches into the event before
+    assert len(evs) == full - 2
+
+
+def test_used_columns_partial_image():
+    """Unused column → key ABSENT; NULL column → key with None (the
+    reference's '_' vs nil distinction, :604 vs :606-608)."""
+    w = BinlogWriter()
+    w.write_table_map(T3)
+    w.write_rows(WRITE_ROWS_EVENT, T3, [[7, None]], present=[True, True, False])
+    evs = decode_binlog(w.getvalue(), CAT)
+    img = evs[-1]["after"][0]
+    assert img == {"id": 7, "val": None}
+    assert "word" not in img
+
+
+def test_row_event_without_table_map_raises():
+    w = BinlogWriter()
+    w.write_rows(WRITE_ROWS_EVENT, T3, [[1, "1.0000", "x"]])
+    with pytest.raises(ValueError, match="TABLE_MAP"):
+        decode_binlog(w.getvalue(), CAT)
+
+
+def test_rotate_event_decoded():
+    w = BinlogWriter()
+    w.write_query("foo", "X")
+    w.write_rotate("binlog.000002")
+    evs = decode_binlog(w.getvalue(), CAT)
+    assert evs[-1]["op"] == "rotate" and evs[-1]["sql"] == "binlog.000002"
+
+
+def test_multi_table_map_threading():
+    """The decode loop threads the LATEST table map (reference
+    :715-729): rows bind to the most recent one."""
+    other = TableDef("bench", "big", T3.columns, table_id=2)
+    w = BinlogWriter()
+    w.write_table_map(T3)
+    w.write_rows(WRITE_ROWS_EVENT, T3, [[1, "1.0000", "a"]])
+    w.write_table_map(other)
+    w.write_rows(WRITE_ROWS_EVENT, other, [[2, "2.0000", "b"]])
+    evs = decode_binlog(w.getvalue(), {**CAT, ("bench", "big"): ["id", "val", "word"]})
+    rows = [e for e in evs if e["op"] == "write_rows"]
+    assert (rows[0]["db"], rows[0]["tbl"]) == ("foo", "auto")
+    assert (rows[1]["db"], rows[1]["tbl"]) == ("bench", "big")
+
+
+def test_ordinal_names_without_catalog():
+    """No catalog → ordinal column names, like the reference's JDBC
+    layer (jdbc.clj:82)."""
+    w = BinlogWriter()
+    w.write_table_map(T3)
+    w.write_rows(WRITE_ROWS_EVENT, T3, [[1, "1.0000", "x"]])
+    evs = decode_binlog(w.getvalue())
+    assert evs[-1]["after"] == [{"1": 1, "2": "1.0000", "3": "x"}]
