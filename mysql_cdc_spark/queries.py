@@ -778,6 +778,48 @@ def llm_label_centroids(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Multimodal columns (functions/multimodal.py): binary payloads through
+# Arrow-batched mapInPandas.  The decode is a deterministic byte-level
+# fake (real codecs absent — see module doc), so the oracle can
+# reconstruct the same features from the md5 hex string.
+# ---------------------------------------------------------------------------
+
+_HEXVAL = "(instr('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+
+
+@register(
+    "mm_media_features",
+    "WITH m AS (SELECT event_id, md5(CAST(event_id AS VARCHAR)) AS h FROM events) "
+    "SELECT event_id AS media_id, "
+    "CASE event_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, "
+    "CAST(16 AS BIGINT) AS n_bytes, substr(h, 1, 8) AS head_hex, "
+    "CAST(list_sum([16 * " + _HEXVAL.format(pos="2*j + 1") + " + "
+    + _HEXVAL.format(pos="2*j + 2") + " for j in range(0, 16)]) % 256 AS BIGINT) AS byte_sum "
+    "FROM m",
+)
+def mm_media_features(spark, sf_dir):
+    """Binary-payload feature extraction through mapInPandas (the
+    multimodal plumbing, with deterministic fake decode)."""
+    from mysql_cdc_spark.functions import multimodal as mm
+
+    return mm.extract_features(mm.synth_media(spark, sf_dir))
+
+
+@register(
+    "mm_frame_sample",
+    "SELECT CAST(event_id AS BIGINT) AS media_id, CAST(f AS BIGINT) AS frame_idx "
+    "FROM events, unnest(range(0, event_id % 7 + 1, 2)) AS t(f) "
+    "WHERE event_id % 3 = 2",
+)
+def mm_frame_sample(spark, sf_dir):
+    """Video frame-index sampling (every 2nd frame from metadata) via
+    mapInPandas — the explode half of a frame pipeline."""
+    from mysql_cdc_spark.functions import multimodal as mm
+
+    return mm.sample_frames(mm.synth_media(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # Full relational surface (SURVEY §2.5: joins / aggs / windows / set ops /
 # subqueries / sort+limit — everything the reference declares absent,
 # provided by Spark SQL over the same engine)
