@@ -2,19 +2,38 @@
 
 A from-scratch rebuild of the capabilities of hoeck/mysql-cdc (a MySQL
 binlog CDC reader with a streaming-SQL JDBC driver) on top of Apache
-Spark: the change-event data model is a DataFrame, the query surface is
-Spark SQL, the streaming runtime is Structured Streaming, and the
-binlog byte-level codec is a pure-Python module exposed through
-``mapPartitions`` over ``binaryFile`` scans.
+Spark — the change-event data model is a DataFrame, the query surface
+is Spark SQL, the streaming runtime is Structured Streaming, the binlog
+byte codec is pure Python behind a `binaryFile` + `mapInPandas` scan —
+plus the LLM-training-data operators (dedup, similarity search, text
+analysis, multimodal plumbing) a 100 TB pipeline needs.
 
 Layout:
-    model.py       — change-event envelope schema + delta-type vocabulary
-    session.py     — tuned SparkSession builder
-    sources/       — event-stream derivation, fixture readers, binlog codec
-    operators/     — query surface (filter/explode/project), transactions,
-                     aggregates, dedup, similarity, text analysis
-    functions/     — reusable column expressions
-    streaming/     — Structured Streaming runtime (cursor, lifecycle)
+    model.py       — change-event envelope schemas + delta-type vocabulary
+    session.py     — tuned SparkSession builder (AQE, Arrow, shuffle sizing)
+    queries.py     — driver-facing registry: every operator as a
+                     (spark, sf_dir) -> DataFrame with a DuckDB oracle
+    sources/
+        events_cdc.py     — derived change-event stream (envelope + explode)
+        io.py             — fixture readers (ns-timestamp handling)
+        binlog_codec.py   — v4 binlog byte codec (D1-D12, packed decimal)
+        binlog_source.py  — binaryFile + mapInPandas decode, fixture writer
+    operators/
+        query.py          — the reference's SQL surface (R1-R6, R10)
+        relational.py     — joins/aggs/windows/set-ops (SURVEY §2.5)
+        transactions.py   — xid-boundary transaction assembly
+        aggregates.py     — running/grouped aggregates, latest-state replay
+        dedup.py          — exact / MinHash-LSH / SimHash / n-gram Jaccard
+        similarity.py     — quantized-integer cosine KNN, LSH ANN, centroids
+        cursor.py         — forward-only ResultSet cursor (R9)
+    functions/
+        scan.py           — chunked distributed prefix scans
+        text.py           — tokenization contract + text analysis
+        multimodal.py     — binary media columns through mapInPandas
+    streaming/
+        runtime.py        — file-stream CDC source, checkpointed offsets,
+                            rotation, backpressure, blocking cursor,
+                            foreachBatch lifecycle
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -23,9 +23,10 @@ before_id / before_value   update/delete before-image (typed columns —
 after_id / after_value     insert/update after-image
 sql        STRING     QUERY_EVENT statement text (:376-378)
 
-The generic engine (sources/fixtures.py, streaming/) also supports a
-MAP<STRING,STRING> image payload for dynamic per-table schemas; the
-typed columns here are the "registered schema" fast path.
+The binlog decode path (sources/binlog_source.py) produces the generic
+MAP<STRING,STRING> image payload for dynamic per-table schemas
+(GENERIC_ENVELOPE_SCHEMA below is its core shape); the typed columns
+here are the "registered schema" fast path used by the derived stream.
 
 Delta-type vocabulary (reference src/cdc/jdbc.clj:104-115):
 WRITE rows → ``insert``; DELETE rows → ``delete``; UPDATE rows →

@@ -29,15 +29,19 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
-# Queries bench.py times per round (keep to the ones that represent a
-# distinct execution shape: scan+explode, filter, window, shuffle agg,
-# self-join dedup, ANN, text pipeline).
+# Queries bench.py times per round — one per distinct execution shape:
+# scan+explode, narrow filter, shuffle agg, max_by state replay,
+# prefix-scan txn assembly, LSH dedup self-join, broadcast KNN,
+# array-expression text pipeline.
 HEADLINE: list[str] = [
     "cdc_envelope",
     "cdc_select_all",
     "cdc_update_sum",
     "cdc_latest_state",
     "cdc_txn_events",
+    "llm_dedup_minhash",
+    "llm_knn",
+    "llm_text_stats",
 ]
 
 
