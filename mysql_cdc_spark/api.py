@@ -1,0 +1,122 @@
+"""R10: the driver / connection / statement surface — the reference's
+JDBC entry points (CDCDriver.clj + the Statement/Connection deftypes in
+src/cdc/jdbc.clj) as a thin Python API over the engine.
+
+Contract parity:
+- URL scheme `jdbc:mysql-cdc:<source>` with the same accept rule
+  (-acceptsURL regex, CDCDriver.clj:37-38); `<source>` here is the
+  fixture directory (stands in for the binlog index file path)
+- ONE global connection (singleton enforced, CDCDriver.clj:54-59,
+  jdbc.clj:348-353): connecting again while open returns the same
+  object
+- ONE statement per connection (jdbc.clj:581-586)
+- `execute_query` parses the reference grammar (R1/R2) and returns a
+  forward-only cursor (R9); `execute_update` is unsupported
+  (jdbc.clj:368-371); the connection is read-only (:613, :482)
+- R12 catalog: `list_tables` is backed by `spark.catalog` over
+  registered views — strictly richer than the reference, whose every
+  DatabaseMetaData query returns an EMPTY resultset (jdbc.clj:397-570)
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import SparkSession
+
+from mysql_cdc_spark.operators import query as q
+from mysql_cdc_spark.operators.cursor import ForwardOnlyCursor
+from mysql_cdc_spark.sources.events_cdc import changes
+
+URL_RE = re.compile(r"^jdbc:mysql-cdc:(?P<source>.+)$")
+
+
+def accepts_url(url: str) -> bool:
+    """CDCDriver.-acceptsURL (CDCDriver.clj:37-38)."""
+    return URL_RE.match(url) is not None
+
+
+class UnsupportedOperation(RuntimeError):
+    """The reference throws on every write/scroll path."""
+
+
+class CDCStatement:
+    def __init__(self, conn: "CDCConnection") -> None:
+        self._conn = conn
+        self.closed = False
+
+    def execute_query(self, sql: str) -> ForwardOnlyCursor:
+        """Parse a reference-grammar statement and open a forward-only
+        cursor over the change stream (jdbc.clj:348-353 → :164-185)."""
+        if self.closed or self._conn.closed:
+            raise RuntimeError("statement is closed")
+        env = changes(self._conn.spark, self._conn.source)
+        return ForwardOnlyCursor(q.execute_statement(env, sql))
+
+    def execute_update(self, sql: str) -> int:
+        raise UnsupportedOperation("unsupported: executeUpdate (jdbc.clj:368-371)")
+
+    def close(self) -> None:
+        self.closed = True
+
+
+class CDCConnection:
+    _instance: "CDCConnection | None" = None
+
+    def __init__(self, spark: SparkSession, source: str) -> None:
+        self.spark = spark
+        self.source = source
+        self.closed = False
+        self._statement: CDCStatement | None = None
+
+    # -- singleton driver entry (CDCDriver.clj:54-59) -----------------
+
+    @classmethod
+    def connect(cls, url: str, spark: SparkSession) -> "CDCConnection":
+        m = URL_RE.match(url)
+        if m is None:
+            raise ValueError(f"URL not accepted by this driver: {url!r}")
+        if cls._instance is not None and not cls._instance.closed:
+            return cls._instance
+        cls._instance = cls(spark, m.group("source"))
+        return cls._instance
+
+    # -- statement (one per connection, jdbc.clj:581-586) -------------
+
+    def create_statement(self) -> CDCStatement:
+        if self.closed:
+            raise RuntimeError("connection is closed")
+        if self._statement is None or self._statement.closed:
+            self._statement = CDCStatement(self)
+            return self._statement
+        raise RuntimeError("only one open statement per connection (jdbc.clj:581-586)")
+
+    # -- metadata -----------------------------------------------------
+
+    @property
+    def read_only(self) -> bool:
+        return True  # jdbc.clj:613, :482
+
+    def list_tables(self) -> list[str]:
+        """R12, richer than the reference's empty sets: the registered
+        temp views visible to Spark SQL."""
+        return sorted(t.name for t in self.spark.catalog.listTables())
+
+    def register_views(self) -> None:
+        """Expose the change stream to `spark.sql` as views (`changes`
+        and `rows_dt`) — the catalog entries the reference never had."""
+        env = changes(self.spark, self.source)
+        env.createOrReplaceTempView("changes")
+        from mysql_cdc_spark.sources.events_cdc import rows_delta_type
+
+        rows_delta_type(env).createOrReplaceTempView("rows_dt")
+
+    def close(self) -> None:
+        if self._statement is not None:
+            self._statement.close()
+        self.closed = True
+
+
+def connect(url: str, spark: SparkSession) -> CDCConnection:
+    """Module-level DriverManager.getConnection analog."""
+    return CDCConnection.connect(url, spark)
