@@ -70,9 +70,13 @@ def running_agg(
     )
     intra = tagged.withColumn(_INTRA, F.sum(value).over(intra_w))
 
-    # Per-chunk totals: one row per chunk — tiny relative to the data
-    # (chunk_span× reduction), so the cumulative window over chunk ids
-    # is cheap; its result is broadcast back.
+    # Per-chunk totals go through a plain groupBy: the partial
+    # aggregate collapses each map task to ~one row per chunk BEFORE
+    # its exchange, so this branch's shuffle is a chunk_span× reduction
+    # (a windowed-totals formulation was tried and is strictly worse:
+    # it shuffles and sorts a full copy of the data).  The cumulative
+    # carry window then runs over chunk ids only — tiny — and is
+    # broadcast back.
     carry_w = Window.orderBy(_CHUNK).rowsBetween(Window.unboundedPreceding, -1)
     carries = (
         tagged.groupBy(_CHUNK)

@@ -80,12 +80,21 @@ def with_shingles(docs: DataFrame, n: int = SHINGLE_WORDS) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """k-row MinHash signature per document: m_s = MIN over shingles of
-    md5('s:' || shingle).  Pure array expressions — shuffle-free."""
-    sh = with_shingles(docs)
+    """k-row MinHash signature per document: ONE md5 per shingle,
+    sliced into k disjoint 4-hex-digit (16-bit) sub-hashes; m_s = MIN
+    over shingles of slice s.  Slicing a single 128-bit hash into k
+    independent projections is the standard one-hash minhash trick —
+    8× less hashing than k separate salted md5s; the (rare) 16-bit
+    min ties only ever ADD band candidates, which the exact verify
+    step filters.  Pure array expressions — shuffle-free."""
+    if k > 8:
+        raise ValueError("md5 slicing supports at most 8 16-bit sub-hashes")
+    sh = with_shingles(docs).withColumn(
+        "hashes", F.expr("transform(shingles, x -> md5(x))")
+    )
     cols = [
         F.expr(
-            f"array_min(transform(shingles, x -> md5(concat('{s}:', x))))"
+            f"array_min(transform(hashes, h -> substring(h, {4 * s + 1}, 4)))"
         ).alias(f"mh{s}")
         for s in range(k)
     ]

@@ -577,10 +577,15 @@ _SHINGLE_CTE = (
     "ELSE [] END) AS shingles FROM toks)"
 )
 
-_MINHASH_CTE = _SHINGLE_CTE + ", mh AS (SELECT doc_id, shingles, " + ", ".join(
-    f"list_min(list_transform(shingles, x -> md5('{s}:' || x))) AS mh{s}"
-    for s in range(dedup.MINHASH_K)
-) + " FROM sh)"
+_MINHASH_CTE = _SHINGLE_CTE + (
+    ", hh AS (SELECT doc_id, shingles, list_transform(shingles, x -> md5(x)) AS hashes FROM sh)"
+    ", mh AS (SELECT doc_id, shingles, "
+    + ", ".join(
+        f"list_min(list_transform(hashes, h -> substr(h, {4 * s + 1}, 4))) AS mh{s}"
+        for s in range(dedup.MINHASH_K)
+    )
+    + " FROM hh)"
+)
 
 _BAND_CTE = _MINHASH_CTE + ", bandrows AS (" + " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band, "
