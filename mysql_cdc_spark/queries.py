@@ -322,6 +322,34 @@ def cdc_stream_select_all(spark, sf_dir):
 
 
 @register(
+    "cdc_stream_windowed",
+    with_changes(
+        "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, db, "
+        "COUNT(*) AS n_events, "
+        "CAST(SUM(CASE WHEN op IN ('write_rows','update_rows','delete_rows') THEN 1 ELSE 0 END) AS BIGINT) AS n_row_events "
+        "FROM changes GROUP BY 1, 2"
+    ),
+)
+def cdc_stream_windowed(spark, sf_dir):
+    """Event-time tumbling-window aggregation on the STREAM (Spark
+    `window()` — 1-day buckets align with date_trunc): per-day per-db
+    event counts, complete output mode, batch-equivalent by oracle.
+    (SURVEY §2.6: windows available via window(ts, ...) when needed.)"""
+    env = _stream_env(spark, sf_dir)
+    agg = (
+        env.groupBy(F.window("ts", "1 day").alias("w"), "db")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(
+                F.when(F.col("op").isin("write_rows", "update_rows", "delete_rows"), 1).otherwise(0)
+            ).cast("bigint").alias("n_row_events"),
+        )
+        .select(F.col("w.start").alias("window_start"), "db", "n_events", "n_row_events")
+    )
+    return _drain(agg, output_mode="complete")
+
+
+@register(
     "cdc_stream_update_sum",
     with_changes(
         "SELECT db, tbl, "
@@ -427,6 +455,63 @@ def cdc_binlog_envelope(spark, sf_dir):
         F.element_at("after", "id").cast("bigint").alias("after_id"),
         F.element_at("after", "val").alias("after_val"),
         F.element_at("after", "word").alias("after_word"),
+    )
+
+
+@register(
+    "cdc_binlog_typed_state",
+    """
+WITH ev AS (
+  SELECT event_id,
+         CAST(event_id % 97 AS BIGINT) AS id,
+         CAST(event_id*4+2 AS BIGINT) AS seq,
+         CASE WHEN event_type IN ('signup','purchase') THEN 'write_rows'
+              WHEN event_type IN ('click','view') THEN 'update_rows'
+              ELSE 'delete_rows' END AS row_op,
+         printf('%d.%04d', event_id % 100000, event_id % 10000) AS v,
+         CASE WHEN event_id % 10 = 0 THEN NULL ELSE event_type END AS w
+  FROM events WHERE user_id % 2 = 0
+)
+SELECT id, val, word, as_of_seq FROM (
+  SELECT id,
+         CASE WHEN row_op = 'delete_rows' THEN NULL ELSE v END AS val,
+         CASE WHEN row_op = 'delete_rows' THEN NULL ELSE w END AS word,
+         seq AS as_of_seq, row_op,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+  FROM ev
+) WHERE rn = 1 AND row_op <> 'delete_rows'
+""".strip(),
+)
+def cdc_binlog_typed_state(spark, sf_dir):
+    """Typed per-table view over the binlog-decoded MAP envelope
+    (dynamic→typed bridge), replayed into current state of foo.auto:
+    one max_by aggregation per key over the real byte-decoded stream."""
+    import pathlib
+
+    from mysql_cdc_spark.sources import binlog_source as bs
+
+    out_dir = pathlib.Path(_STREAM_TMP) / f"binlog_{pathlib.Path(sf_dir).name}"
+    if not any(out_dir.glob("binlog.*")):
+        bs.generate_binlog_from_events(sf_dir, str(out_dir))
+    env = bs.read_binlog_envelope(spark, str(out_dir))
+    typed = bs.typed_changes(
+        env, "foo", "auto", {"id": "bigint", "val": "string", "word": "string"}
+    )
+    keyed = typed.select(
+        F.coalesce("after_id", "before_id").alias("id"),
+        "seq",
+        "op",
+        F.col("after_val").alias("val"),
+        F.col("after_word").alias("word"),
+    )
+    return (
+        keyed.groupBy("id")
+        .agg(
+            F.expr("max_by(struct(val, word, op), seq)").alias("last"),
+            F.max("seq").alias("as_of_seq"),
+        )
+        .filter(F.col("last.op") != "delete_rows")
+        .select("id", F.col("last.val").alias("val"), F.col("last.word").alias("word"), "as_of_seq")
     )
 
 

@@ -126,6 +126,33 @@ def read_binlog_envelope(
     return files.mapInPandas(decode_part, BINLOG_ENVELOPE_SCHEMA)
 
 
+def typed_changes(
+    env: DataFrame, db: str, tbl: str, columns: dict[str, str]
+) -> DataFrame:
+    """SURVEY §1.4 dynamic→typed bridge: a typed per-table view over
+    the generic MAP-payload envelope.  `columns` maps column name →
+    Spark type; each image side becomes typed `before_*` / `after_*`
+    columns (absent key and SQL NULL both surface as NULL here — the
+    distinction lives in the MAP layer for consumers that need it).
+
+    Narrow filter+project — the (db, tbl) predicate prunes before any
+    downstream shuffle, and at 100 TB a per-table view reads only its
+    table's row events.
+    """
+    from pyspark.sql import functions as F
+
+    rows = env.filter(
+        (F.col("db") == db) & (F.col("tbl") == tbl)
+        & F.col("op").isin("write_rows", "update_rows", "delete_rows")
+    )
+    typed = [
+        F.element_at(side, name).cast(dtype).alias(f"{prefix}{name}")
+        for side, prefix in ((F.col("before"), "before_"), (F.col("after"), "after_"))
+        for name, dtype in columns.items()
+    ]
+    return rows.select("log_file", "seq", "offset", "op", "row_idx", *typed)
+
+
 # ---------------------------------------------------------------------------
 # Deterministic fixture generation: events.parquet → real binlog bytes
 # ---------------------------------------------------------------------------

@@ -100,3 +100,44 @@ def test_streaming_cursor_forward_only_blocking(spark, sf_dir, scratch):
         seen.append(cur.current["offset"])
     assert seen == list(range(400))       # offset order, each exactly once
     assert not cur.next(timeout=0.3)      # drained → blocking poll times out
+
+
+def test_watermark_closes_windows_incrementally(spark, sf_dir, scratch):
+    """Append-mode windowed agg with a watermark: as micro-batches
+    advance event time, CLOSED windows are emitted exactly once and
+    the still-open tail window is withheld (late-data semantics the
+    reference never had — SURVEY §2.6 'watermarks: none')."""
+    import pyspark.sql.functions as F
+
+    env = changes(spark, sf_dir)
+    log, cp = f"{scratch}/log", f"{scratch}/cp"
+    # range-partition by offset → file order tracks event time
+    rt.write_event_log(env, log, n_files=4)
+
+    stream = rt.open_stream(spark, log, max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "n")
+    )
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    got = {
+        (r["ws"], r["we"]): r["n"]
+        for r in rt.run_to_memory(agg, name, cp, output_mode="append").collect()
+    }
+
+    batch = {
+        (r["ws"], r["we"]): r["n"]
+        for r in env.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "n")
+        .collect()
+    }
+    assert got  # some windows closed and were emitted
+    assert set(got) < set(batch)  # the open tail window is withheld
+    for k, n in got.items():
+        assert batch[k] == n  # each closed window emitted complete, once
+    # everything before the final (still-open) window must have closed
+    last_open = max(batch)
+    assert set(batch) - set(got) <= {last_open}
