@@ -231,6 +231,86 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = NEARDUP_COS) -> D
     )
 
 
+def _quantized_centroids(emb: DataFrame) -> DataFrame:
+    """Coarse-quantizer cells: per-label centroid re-quantized to the
+    same integer scale as the vectors (floor(csum/n) per dim — one
+    IEEE divide + floor, engine-deterministic; bounded ≤ QUANT so all
+    downstream dot products stay exact BIGINT)."""
+    cents = label_centroids(emb).withColumn(
+        "cq",
+        F.floor(F.col("qsum").cast("double") / F.col("n").cast("double")).cast("bigint"),
+    )
+    return (
+        cents.groupBy("label")
+        .agg(F.expr("array_agg(struct(dim, cq))").alias("pairs"))
+        .select(
+            "label",
+            F.expr("transform(array_sort(pairs, (a, b) -> a.dim - b.dim), p -> p.cq)").alias("cqv"),
+        )
+        .withColumn("ncq", F.expr("aggregate(cqv, 0L, (acc, v) -> acc + v * v)"))
+    )
+
+
+def _cell_assign(q: DataFrame, cents: DataFrame, probes: int) -> DataFrame:
+    """Rank cells per vector by exact-integer cosine; keep top
+    `probes` (probes=1 → the IVF assignment)."""
+    scored = (
+        q.select("vec_id", "qv", "nq")  # drop the vector's own label
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cdot", F.expr(_DOT.format(a="qv", b="cqv")))
+        .withColumn("ccos", _cosine("cdot", "nq", "ncq"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("label"))
+    return (
+        scored.withColumn("cr", F.row_number().over(w))
+        .filter(F.col("cr") <= probes)
+        .select("vec_id", "qv", "nq", F.col("label").alias("cell"))
+    )
+
+
+def ann_ivf(
+    emb: DataFrame,
+    n_queries: int = DEFAULT_N_QUERIES,
+    k: int = DEFAULT_K,
+    probes: int = 2,
+) -> DataFrame:
+    """IVF-flavored ANN: the label centroids act as the coarse
+    quantizer — every corpus vector is assigned to its nearest cell
+    (exact-integer cosine, 1 probe), queries probe the `probes`
+    nearest cells, and only vectors in probed cells are exactly
+    re-ranked.  The candidate join is an equi-join on the cell id —
+    at 100 TB this is the inverted-file structure: one partition per
+    cell, queries touch `probes` partitions instead of the corpus.
+    """
+    q = quantized(emb)
+    cents = _quantized_centroids(emb)
+    corpus = _cell_assign(q, cents, probes=1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qv").alias("c_qv"),
+        F.col("nq").alias("c_nq"),
+        "cell",
+    )
+    queries = _cell_assign(q.filter(F.col("vec_id") < n_queries), cents, probes=probes).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nq").alias("q_nq"),
+        "cell",
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("dot", F.expr(_DOT.format(a="q_qv", b="c_qv")))
+        .withColumn("cosine", _cosine("dot", "q_nq", "c_nq"))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def label_centroids(emb: DataFrame) -> DataFrame:
     """Exact per-label centroids: positional explode → integer sums per
     (label, dim) → single double division.  One map-side-combined

@@ -857,6 +857,44 @@ def llm_embed_neardup(spark, sf_dir):
     return similarity.embedding_neardup_pairs(_emb(spark, sf_dir))
 
 
+_IVF_CTE = _EMB_CTE + (
+    ", cent AS (SELECT label, dim, CAST(floor(CAST(SUM(qval) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cq "
+    "FROM (SELECT label, unnest(range(0, len(qv))) AS dim, unnest(qv) AS qval FROM q) GROUP BY label, dim), "
+    "cvec AS (SELECT label, list(cq ORDER BY dim) AS cqv FROM cent GROUP BY label), "
+    "cn AS (SELECT label, cqv, CAST(list_sum(list_transform(cqv, v -> v * v)) AS BIGINT) AS ncq FROM cvec)"
+)
+
+_IVF_CELL_COS = (
+    "CAST(list_sum([n.qv[i] * c.cqv[i] for i in range(1, len(n.qv)+1)]) AS DOUBLE)"
+    " / sqrt(CAST(n.nq AS DOUBLE) * CAST(c.ncq AS DOUBLE))"
+)
+
+
+@register(
+    "llm_ann_ivf",
+    _IVF_CTE + ", assign AS (SELECT vec_id, cell FROM ("
+    "  SELECT n.vec_id, c.label AS cell, ROW_NUMBER() OVER (PARTITION BY n.vec_id "
+    f"  ORDER BY ({_IVF_CELL_COS}) DESC, c.label) AS cr FROM n, cn c) WHERE cr = 1), "
+    "probe AS (SELECT vec_id, cell FROM ("
+    "  SELECT n.vec_id, c.label AS cell, ROW_NUMBER() OVER (PARTITION BY n.vec_id "
+    f"  ORDER BY ({_IVF_CELL_COS}) DESC, c.label) AS cr FROM n, cn c "
+    f"  WHERE n.vec_id < {similarity.DEFAULT_N_QUERIES}) WHERE cr <= 2), "
+    "cand AS (SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id "
+    "FROM probe p JOIN assign a ON a.cell = p.cell AND a.vec_id != p.vec_id), "
+    "scored AS (SELECT cand.query_id, cand.neighbor_id, "
+    + _SQL_COS.format(a="a", b="b") + " AS cosine "
+    "FROM cand JOIN n a ON a.vec_id = cand.query_id JOIN n b ON b.vec_id = cand.neighbor_id) "
+    "SELECT query_id, neighbor_id, cosine, rank FROM ("
+    "  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
+    "  ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM scored"
+    f") WHERE rank <= {similarity.DEFAULT_K}",
+)
+def llm_ann_ivf(spark, sf_dir):
+    """IVF-flavored ANN: exact-integer centroid cells as the coarse
+    quantizer, queries probe 2 cells, exact re-rank inside cells."""
+    return similarity.ann_ivf(_emb(spark, sf_dir))
+
+
 @register(
     "llm_label_centroids",
     _EMB_CTE + ", e AS (SELECT label, unnest(range(0, len(qv))) AS dim, unnest(qv) AS qval FROM q) "
@@ -869,6 +907,66 @@ def llm_label_centroids(spark, sf_dir):
     """Exact per-label embedding centroids (integer sums per (label,
     dim), one map-side-combined shuffle)."""
     return similarity.label_centroids(_emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation: dedup + quality filter + per-language
+# stats composed into one pipeline — the shape of a real training-data
+# job (every stage is an operator already verified above).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_curated_corpus",
+    "WITH norm AS (SELECT doc_id, lang, lower(trim(text)) AS norm_text FROM documents), "
+    r"toksl AS (SELECT doc_id, lang, regexp_split_to_array(norm_text, '\s+') AS tokens FROM norm), "
+    "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(tokens) >= 3 THEN "
+    "[tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] for i in range(1, len(tokens)-1)] "
+    "ELSE [] END) AS shingles FROM toksl), "
+    "sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh FROM sh), "
+    "inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh), "
+    f"dfok AS (SELECT shingle FROM inv0 GROUP BY shingle HAVING COUNT(*) <= {dedup.MAX_SHINGLE_DF}), "
+    "inv AS (SELECT inv0.doc_id, inv0.shingle FROM inv0 JOIN dfok USING (shingle)), "
+    "co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common "
+    "FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "pairs AS (SELECT doc_b FROM co c JOIN sizes sa ON sa.doc_id = c.doc_a "
+    "JOIN sizes sb ON sb.doc_id = c.doc_b "
+    "WHERE CAST(c.common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - c.common AS DOUBLE) >= "
+    f"{dedup.JACCARD_THRESHOLD}), "
+    "dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs), "
+    "qual AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens, "
+    f"CAST(len(list_filter(tokens, x -> x IN ({', '.join(repr(w) for w in T.STOPWORDS)}))) AS DOUBLE)"
+    " / CAST(len(tokens) AS DOUBLE) * 0.3 + "
+    "CAST(len(list_filter(tokens, x -> regexp_matches(x, '^[a-z]+$'))) AS DOUBLE)"
+    " / CAST(len(tokens) AS DOUBLE) * 0.5 + "
+    "CAST(CASE WHEN len(tokens) BETWEEN 20 AND 1000 THEN 1 ELSE 0 END AS DOUBLE) * 0.2 AS quality "
+    "FROM toksl) "
+    "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens "
+    "FROM toksl t JOIN qual USING (doc_id) "
+    "WHERE qual.quality >= 0.5 AND t.doc_id NOT IN (SELECT doc_id FROM dropped) "
+    "GROUP BY lang",
+)
+def llm_curated_corpus(spark, sf_dir):
+    """The composed training-data job: drop near-duplicates (exact
+    inverted-index Jaccard, keep the lower doc_id), drop low-quality
+    docs, and report the surviving corpus per language."""
+    docs = _docs(spark, sf_dir)
+    dropped = (
+        dedup.jaccard_pairs(docs)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    quality = T.quality_score(docs).select("doc_id", "n_tokens", "quality")
+    return (
+        docs.join(dropped, "doc_id", "left_anti")
+        .join(quality, "doc_id")
+        .filter(F.col("quality") >= 0.5)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -88,3 +88,21 @@ def test_label_centroids_exact(emb):
         for dim in (0, 13, 63):
             expect = (len(members), sum(m[dim] for m in members))
             assert got[(label, dim)] == expect
+
+
+def test_ivf_finds_planted_duplicate(emb):
+    """cos≈1 ⇒ same nearest centroid ⇒ same cell ⇒ IVF must pair them."""
+    got = similarity.ann_ivf(emb, n_queries=1, k=1).collect()
+    assert got and got[0]["neighbor_id"] == 30
+    assert got[0]["cosine"] > 0.999999
+
+
+def test_ivf_ranks_descending(emb):
+    got = similarity.ann_ivf(emb, n_queries=5, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cosine"]))
+    for rows in by_q.values():
+        rows.sort()
+        coss = [c for _, c in rows]
+        assert coss == sorted(coss, reverse=True)

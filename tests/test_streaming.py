@@ -109,10 +109,22 @@ def test_watermark_closes_windows_incrementally(spark, sf_dir, scratch):
     reference never had — SURVEY §2.6 'watermarks: none')."""
     import pyspark.sql.functions as F
 
+    import time
+
     env = changes(spark, sf_dir)
     log, cp = f"{scratch}/log", f"{scratch}/cp"
-    # range-partition by offset → file order tracks event time
-    rt.write_event_log(env, log, n_files=4)
+    # The file source orders batches by file MODIFICATION TIME, so the
+    # four offset ranges are appended sequentially with distinct
+    # mtimes — guaranteeing event time advances batch over batch
+    # (a single range-partitioned write gives all parts the same
+    # mtime: nondeterministic order → spurious "late" drops).
+    n = env.count()
+    step = (n + 3) // 4
+    for i in range(4):
+        _env(spark, sf_dir, i * step, min((i + 1) * step, n)).coalesce(1).write.mode(
+            "append"
+        ).parquet(log)
+        time.sleep(0.4)
 
     stream = rt.open_stream(spark, log, max_files_per_trigger=1)
     agg = (
