@@ -276,6 +276,9 @@ def cdc_envelope(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _STREAM_TMP = "/root/repo/.stream_tmp"
+# Bump when the derivation rules change: versioned scratch dirs ensure
+# stale materializations from an older derivation are never reused.
+_FIXTURE_VERSION = 2
 
 
 def _stream_env(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,7 +288,7 @@ def _stream_env(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mysql_cdc_spark.streaming import runtime as rt
 
-    log_dir = pathlib.Path(_STREAM_TMP) / f"log_{pathlib.Path(sf_dir).name}"
+    log_dir = pathlib.Path(_STREAM_TMP) / f"log_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
     if not (log_dir / "_SUCCESS").exists():
         rt.write_event_log(changes(spark, sf_dir), str(log_dir))
     return rt.open_stream(spark, str(log_dir))
@@ -438,7 +441,7 @@ def cdc_binlog_envelope(spark, sf_dir):
 
     from mysql_cdc_spark.sources import binlog_source as bs
 
-    out_dir = pathlib.Path(_STREAM_TMP) / f"binlog_{pathlib.Path(sf_dir).name}"
+    out_dir = pathlib.Path(_STREAM_TMP) / f"binlog_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
     if not any(out_dir.glob("binlog.*")):
         bs.generate_binlog_from_events(sf_dir, str(out_dir))
     env = bs.read_binlog_envelope(spark, str(out_dir))
@@ -490,7 +493,7 @@ def cdc_binlog_typed_state(spark, sf_dir):
 
     from mysql_cdc_spark.sources import binlog_source as bs
 
-    out_dir = pathlib.Path(_STREAM_TMP) / f"binlog_{pathlib.Path(sf_dir).name}"
+    out_dir = pathlib.Path(_STREAM_TMP) / f"binlog_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
     if not any(out_dir.glob("binlog.*")):
         bs.generate_binlog_from_events(sf_dir, str(out_dir))
     env = bs.read_binlog_envelope(spark, str(out_dir))

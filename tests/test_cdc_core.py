@@ -124,3 +124,11 @@ def test_running_sum_matches_python(env):
     for r in got[:50]:
         expected = round(expected + round(r["value"], 2), 2)
         assert abs(r["running_sum"] - expected) < 1e-9
+
+
+def test_parse_statement_strips_padded_delta_type():
+    """The reference's own example uses a whitespace-padded literal
+    `'  insert'` (jdbc.clj:117) — the tokenizer preserves it and the
+    filter still matches after normalization."""
+    q = query.parse_statement("select * from \"foo\".\"auto\" where _delta_type = '  insert'")
+    assert q["delta_type"] == "insert"
