@@ -490,7 +490,13 @@ def decode_binlog(
             ev["op"] = "rotate"
             ev["sql"] = body[8:].decode("latin-1")  # next log name
         elif type_code == FORMAT_DESCRIPTION_EVENT:
+            # D2 (reference read-v4-format-description :343-353):
+            # binlog_version u16, server_version char[50], create_ts
+            # u32, header_length u8
             ev["op"] = "format_description"
+            ev["binlog_version"] = int.from_bytes(body[0:2], "little")
+            ev["server_version"] = body[2:52].split(b"\x00", 1)[0].decode("latin-1")
+            ev["header_length"] = body[56] if len(body) > 56 else HEADER_LEN
         else:
             ev["op"] = f"unknown_{type_code}"  # bare header pass-through
         events.append(ev)

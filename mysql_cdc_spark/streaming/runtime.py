@@ -58,20 +58,36 @@ def write_event_log(env: DataFrame, log_dir: str, n_files: int = 4) -> None:
     )
 
 
+def most_recent_log(index_file: str) -> str:
+    """S5: log-index discovery — the LAST line of the index file names
+    the live log (reference most-recent-binlog, mysql_binlog.clj:
+    813-817)."""
+    with open(index_file) as fh:
+        lines = [ln.strip() for ln in fh if ln.strip()]
+    if not lines:
+        raise ValueError(f"empty log index: {index_file}")
+    return lines[-1]
+
+
 def open_stream(
     spark: SparkSession,
     log_dir: str,
     max_files_per_trigger: int | None = None,
+    latest_first: bool = False,
 ) -> DataFrame:
     """S2-S9: the change-event stream as a streaming DataFrame.
 
     `maxFilesPerTrigger` is the backpressure bound (the reference's
     queue capacity 10, jdbc.clj:44); offsets/rotation/initial position
-    are handled by the source + checkpoint.
+    are handled by the source + checkpoint.  `latest_first` prefers
+    the newest files — the reference's start-at-the-live-log initial
+    position (:925-928) for catch-up scenarios.
     """
     reader = spark.readStream.schema(ENVELOPE_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if latest_first:
+        reader = reader.option("latestFirst", "true")
     return reader.parquet(log_dir)
 
 

@@ -184,3 +184,14 @@ def test_ordinal_names_without_catalog():
     w.write_rows(WRITE_ROWS_EVENT, T3, [[1, "1.0000", "x"]])
     evs = decode_binlog(w.getvalue())
     assert evs[-1]["after"] == [{"1": 1, "2": "1.0000", "3": "x"}]
+
+
+def test_format_description_fields_decoded():
+    """D2: binlog version, server version, header length (reference
+    read-v4-format-description :343-353)."""
+    w = BinlogWriter()
+    fde = decode_binlog(w.getvalue())[0]
+    assert fde["op"] == "format_description"
+    assert fde["binlog_version"] == 4
+    assert fde["server_version"] == "5.5.62-spark-cdc"
+    assert fde["header_length"] == 19

@@ -91,3 +91,21 @@ def test_running_agg_exclusive_counts_prior_rows(spark):
                              inclusive=False, chunk_span=3).collect()
     }
     assert got == {i: i for i in range(20)}
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salted equi-join is row-identical to the plain join, with the
+    hot key spread across salt partitions."""
+    from mysql_cdc_spark.functions.skew import salted_join
+    from mysql_cdc_spark.sources.events_cdc import changes, rows_delta_type
+    from mysql_cdc_spark.sources.io import read_table
+
+    rows = rows_delta_type(changes(spark, sf_dir)).select("offset", "id", "value")
+    dim = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), "c_mktsegment"
+    )
+    plain = rows.join(dim, "id").collect()
+    salted = salted_join(rows, dim, ["id"], n_salts=8).collect()
+    assert sorted(map(tuple, salted)) == sorted(map(tuple, plain))
+    left = salted_join(rows, dim, ["id"], n_salts=4, how="left").collect()
+    assert len(left) >= len(plain)

@@ -153,3 +153,21 @@ def test_watermark_closes_windows_incrementally(spark, sf_dir, scratch):
     # everything before the final (still-open) window must have closed
     last_open = max(batch)
     assert set(batch) - set(got) <= {last_open}
+
+
+def test_most_recent_log_discovery(scratch):
+    """S5: the last line of the index names the live log (reference
+    most-recent-binlog, mysql_binlog.clj:813-817)."""
+    import os
+
+    os.makedirs(scratch, exist_ok=True)
+    idx = f"{scratch}/binlog-files.index"
+    with open(idx, "w") as fh:
+        fh.write("binlog.000001\nbinlog.000002\nbinlog.000003\n")
+    assert rt.most_recent_log(idx) == "binlog.000003"
+    with open(f"{scratch}/empty.index", "w") as fh:
+        fh.write("\n")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rt.most_recent_log(f"{scratch}/empty.index")
