@@ -53,6 +53,46 @@ class CDCStatement:
         env = changes(self._conn.spark, self._conn.source)
         return ForwardOnlyCursor(q.execute_statement(env, sql))
 
+    def execute_query_stream(
+        self,
+        sql: str,
+        trigger_seconds: float = 0.5,
+        log_dir: str | None = None,
+    ):
+        """The CONTINUOUS form — the reference's defining behavior:
+        `executeQuery` opens a query that never terminates; the cursor
+        blocks in `next()` until the log grows (jdbc.clj:213-218
+        blocking on the queue `.take`).
+
+        Returns (StreamingCursor, StreamingQuery handle): iterate the
+        cursor; call `handle.stop()` to end the continuous query.
+        `log_dir` overrides the materialized event-log directory (a
+        live deployment points this at the real ingest directory).
+        """
+        import uuid
+
+        from mysql_cdc_spark.streaming import runtime as rt
+
+        if self.closed or self._conn.closed:
+            raise RuntimeError("statement is closed")
+        spark = self._conn.spark
+        if log_dir is None:
+            log_dir = rt.ensure_event_log(spark, self._conn.source)
+        stream = rt.open_stream(spark, log_dir)
+        parsed = q.parse_statement(sql)
+        out = q.select_changes(
+            stream, parsed["db"], parsed["table"], parsed["delta_type"]
+        )
+        name = f"cdc_{uuid.uuid4().hex[:10]}"
+        query_handle = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"/root/repo/.stream_tmp/cp_{name}")
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .start()
+        )
+        return rt.StreamingCursor(spark, name), query_handle
+
     def execute_update(self, sql: str) -> int:
         raise UnsupportedOperation("unsupported: executeUpdate (jdbc.clj:368-371)")
 

@@ -284,14 +284,10 @@ _FIXTURE_VERSION = 2
 def _stream_env(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The envelope stream as a streaming DataFrame over a materialized
     event-log directory (built once per sf_dir)."""
-    import pathlib
-
     from mysql_cdc_spark.streaming import runtime as rt
 
-    log_dir = pathlib.Path(_STREAM_TMP) / f"log_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
-    if not (log_dir / "_SUCCESS").exists():
-        rt.write_event_log(changes(spark, sf_dir), str(log_dir))
-    return rt.open_stream(spark, str(log_dir))
+    log_dir = rt.ensure_event_log(spark, sf_dir, _STREAM_TMP, _FIXTURE_VERSION)
+    return rt.open_stream(spark, log_dir)
 
 
 def _drain(transformed: DataFrame, output_mode: str = "append") -> DataFrame:

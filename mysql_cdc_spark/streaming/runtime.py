@@ -58,6 +58,26 @@ def write_event_log(env: DataFrame, log_dir: str, n_files: int = 4) -> None:
     )
 
 
+def ensure_event_log(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str = "/root/repo/.stream_tmp",
+    version: int = 2,
+    n_files: int = 4,
+) -> str:
+    """Materialize (once) the derived envelope stream for `sf_dir` as
+    a versioned event-log directory and return its path — the shared
+    entry point for the streaming query registry and the driver API."""
+    import pathlib
+
+    from mysql_cdc_spark.sources.events_cdc import changes
+
+    log_dir = pathlib.Path(root) / f"log_{pathlib.Path(sf_dir).name}_v{version}"
+    if not (log_dir / "_SUCCESS").exists():
+        write_event_log(changes(spark, sf_dir), str(log_dir), n_files=n_files)
+    return str(log_dir)
+
+
 def most_recent_log(index_file: str) -> str:
     """S5: log-index discovery — the LAST line of the index file names
     the live log (reference most-recent-binlog, mysql_binlog.clj:

@@ -78,3 +78,41 @@ def test_closed_connection_rejects_work(spark, sf_dir):
         st.execute_query('select * from "foo"."auto"')
     with pytest.raises(RuntimeError):
         conn.create_statement()
+
+
+def test_continuous_query_blocks_then_delivers_new_rows(spark, sf_dir):
+    """The reference's continuous-query contract end-to-end through
+    the driver API: the cursor drains current inserts, BLOCKS when the
+    log is exhausted, and unblocks when new events are appended."""
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_spark.sources.events_cdc import changes
+    from mysql_cdc_spark.streaming import runtime as rt
+
+    scratch = f"/root/repo/.stream_tmp/test/{uuid.uuid4().hex[:10]}"
+    env = changes(spark, sf_dir)
+    first = env.filter(F.col("offset") < 2000)
+    second = env.filter((F.col("offset") >= 2000) & (F.col("offset") < 4000))
+    rt.write_event_log(first, f"{scratch}/log", n_files=1)
+
+    conn = api.connect(f"jdbc:mysql-cdc:{sf_dir}", spark)
+    cur, handle = conn.create_statement().execute_query_stream(
+        'select * from "foo"."auto"', trigger_seconds=0.3, log_dir=f"{scratch}/log"
+    )
+    try:
+        assert cur.next(timeout=15)             # first row arrives
+        n_first = 1
+        while cur.next(timeout=2):              # drain what's in the log
+            n_first += 1
+        assert n_first > 0
+        assert not cur.next(timeout=1)          # log exhausted → blocks
+
+        second.coalesce(1).write.mode("append").parquet(f"{scratch}/log")
+        assert cur.next(timeout=30)             # unblocks on new data
+        assert cur.current["offset"] >= 2000
+    finally:
+        handle.stop()
+        shutil.rmtree(scratch, ignore_errors=True)
