@@ -441,6 +441,16 @@ def cdc_binlog_envelope(spark, sf_dir):
     if not any(out_dir.glob("binlog.*")):
         bs.generate_binlog_from_events(sf_dir, str(out_dir))
     env = bs.read_binlog_envelope(spark, str(out_dir))
+    # Global event number across rotated files: each log file holds
+    # rotate_every=250k source events × 4 envelope events = 1e6, so
+    # seq_global = file_index * 1e6 + seq_in_file (single-file logs
+    # reduce to seq_in_file).  Keeps the oracle's 4*event_id+k
+    # numbering valid at any scale factor.
+    env = env.withColumn(
+        "seq",
+        F.regexp_extract("log_file", r"binlog\.(\d+)", 1).cast("bigint") * 1000000
+        + F.col("seq"),
+    )
     return env.select(
         "seq",
         "op",
