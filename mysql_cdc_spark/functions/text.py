@@ -172,20 +172,24 @@ def top_ngrams(docs: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
 def fingerprints(docs: DataFrame, shingle: int = 8, seeds: int = 4) -> DataFrame:
     """Document fingerprinting: minhash over character shingles.
 
-    Per seed s, fp_s = MIN over shingles of md5('s:' || shingle) — a
-    rolling-window signature computed entirely as an array expression
+    ONE md5 per shingle position, sliced into `seeds` disjoint
+    8-hex-digit (32-bit) sub-hashes; fp_s = MIN over shingles of slice
+    s (the one-hash minhash trick, as in operators/dedup.py) — a
+    rolling-window signature computed entirely as array expressions
     (`transform` + `array_min`): no explode, no shuffle, one codegen
-    stage.  Lowercase-hex md5 MIN is engine-neutral.
+    stage.  Lowercase-hex MIN is engine-neutral.
     """
+    if seeds > 4:
+        raise ValueError("md5 slicing supports at most 4 32-bit sub-hashes")
     t = F.lower(F.trim(F.col("text")))
-    out = docs.select("doc_id", t.alias("t"))
     span = f"greatest(length(t) - {shingle - 1}, 1)"
+    out = docs.select("doc_id", t.alias("t")).withColumn(
+        "hashes",
+        F.expr(f"transform(sequence(1, {span}), i -> md5(substring(t, i, {shingle})))"),
+    )
     for s in range(seeds):
         out = out.withColumn(
             f"fp{s}",
-            F.expr(
-                f"array_min(transform(sequence(1, {span}), "
-                f"i -> md5(concat('{s}:', substring(t, i, {shingle})))))"
-            ),
+            F.expr(f"array_min(transform(hashes, h -> substring(h, {8 * s + 1}, 8)))"),
         )
-    return out.drop("t")
+    return out.drop("t", "hashes")

@@ -630,14 +630,15 @@ def llm_top_ngrams(spark, sf_dir):
 
 @register(
     "llm_fingerprint",
-    "WITH t AS (SELECT doc_id, lower(trim(text)) AS t FROM documents) "
+    "WITH t AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), "
+    "hh AS (SELECT doc_id, list_transform(range(1, greatest(length(t)-7, 1)+1), "
+    "i -> md5(substr(t, i, 8))) AS hashes FROM t) "
     "SELECT doc_id, "
     + ", ".join(
-        "list_min(list_transform(range(1, greatest(length(t)-7, 1)+1), "
-        f"i -> md5('{s}:' || substr(t, i, 8)))) AS fp{s}"
+        f"list_min(list_transform(hashes, h -> substr(h, {8 * s + 1}, 8))) AS fp{s}"
         for s in range(4)
     )
-    + " FROM t",
+    + " FROM hh",
 )
 def llm_fingerprint(spark, sf_dir):
     """Minhash-over-char-shingles document fingerprints (rolling-window
