@@ -105,22 +105,28 @@ def latest_state(rows_dt: DataFrame) -> DataFrame:
     after-images only — `update-before` excluded up front); drop keys
     whose last change is a delete.
 
-    Scale: a single ``max_by`` aggregation — one map-side-combinable
-    shuffle on (db, tbl, id), NO per-key sort.  (Round 1 used
-    ``row_number()`` over a window, which sorts every key group — with
-    a compressed key space that is a skew trap; an aggregate tracks
-    only the current max per key.)  Offsets are unique, so max_by is
-    deterministic.  At 100 TB you'd bucket the sink by the same key so
-    repeated replays stay co-located.
+    Scale: a single MAX aggregation over struct(offset, ...) — the
+    unique offset leads the struct ordering, so max(struct) IS the
+    latest image in one aggregate buffer (``max_by`` needs one buffer
+    per output column).  Struct aggregates execute as SortAggregate
+    (sorted by GROUP KEY, with map-side partial_max combining before
+    the shuffle) — crucially an aggregate tracks ONE current-max per
+    key, so a hot key costs O(1) state, unlike round 1's
+    ``row_number()`` window which materialized and sorted every hot
+    key's rows in one task.  One shuffle on (db, tbl, id).  At 100 TB
+    you'd bucket the sink by the same key so repeated replays stay
+    co-located.
     """
     return (
         rows_dt.filter(F.col("_delta_type") != DT_UPDATE_BEFORE)
         .groupBy("db", "tbl", "id")
-        .agg(
-            F.expr("max_by(value, offset)").alias("value"),
-            F.expr("max_by(_delta_type, offset)").alias("__last_dt"),
-            F.max("offset").alias("as_of_offset"),
+        .agg(F.max(F.struct("offset", "value", "_delta_type")).alias("last"))
+        .filter(F.col("last._delta_type") != DT_DELETE)
+        .select(
+            "db",
+            "tbl",
+            "id",
+            F.col("last.value").alias("value"),
+            F.col("last.offset").alias("as_of_offset"),
         )
-        .filter(F.col("__last_dt") != DT_DELETE)
-        .select("db", "tbl", "id", "value", "as_of_offset")
     )
