@@ -44,9 +44,12 @@ def events_per_transaction(env: DataFrame) -> DataFrame:
     binlog4 invariant (4 events per single-row statement,
     mysql_bench.clj:252-258): `n_events` is 4 for every transaction —
     but the grouping itself is xid-boundary-general (see module doc).
+
+    Projected to the three needed columns BEFORE the prefix scan, so
+    the chunk window sorts narrow rows, not the full envelope.
     """
     return (
-        with_txn(env)
+        with_txn(env.select("offset", "xid", "op"))
         .groupBy("txn")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
