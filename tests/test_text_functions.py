@@ -1,0 +1,57 @@
+"""Edge-case tests for the text-analysis functions (shapes the fixture
+corpus cannot reach: tiny docs, padded whitespace, short-token guards)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mysql_cdc_spark.functions import text as T
+
+
+@pytest.fixture()
+def tiny(spark):
+    rows = [
+        (0, "  One  two  ", "en", "s", 12),     # padded + multi-space
+        (1, "solo", "en", "s", 4),              # single token (< trigram)
+        (2, "a b", "en", "s", 3),               # two tokens (< trigram)
+        (3, "the quick brown the quick brown fox", "en", "s", 35),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_tokenization_contract_trims_and_splits(tiny):
+    toks = {r["doc_id"]: r["tokens"] for r in T.with_tokens(tiny).collect()}
+    assert toks[0] == ["one", "two"]          # trim + lower + \s+ split
+    assert toks[1] == ["solo"]
+
+
+def test_doc_stats_on_tiny_docs(tiny):
+    stats = {r["doc_id"]: r for r in T.doc_stats(tiny).collect()}
+    assert stats[1]["n_tokens"] == 1
+    assert stats[1]["avg_token_len"] == 4.0
+    assert stats[3]["n_distinct_tokens"] == 4  # the/quick/brown/fox
+    assert stats[3]["type_token_ratio"] == 4 / 7
+
+
+def test_top_ngrams_short_doc_guard(tiny):
+    """Docs with < n tokens yield NO n-grams (Spark's sequence() would
+    silently DESCEND without the guard)."""
+    grams = {r["ngram"]: r["n"] for r in T.top_ngrams(tiny, n=3, k=10).collect()}
+    assert "the quick brown" in grams and grams["the quick brown"] == 2
+    assert not any("solo" in g for g in grams)
+    assert not any(g.startswith("a b") for g in grams)
+
+
+def test_fingerprints_shorter_than_shingle(tiny):
+    fps = {r["doc_id"]: r for r in T.fingerprints(tiny).collect()}
+    for d in (0, 1, 2, 3):   # every doc gets 4 well-formed slices
+        for s in range(4):
+            v = fps[d][f"fp{s}"]
+            assert isinstance(v, str) and len(v) == 8
+
+
+def test_lang_id_deterministic_tiebreak(tiny):
+    got = {r["doc_id"]: r["pred_lang"] for r in T.lang_id(tiny).collect()}
+    assert got[1] == "en"    # zero hits everywhere → cascade picks en
