@@ -11,6 +11,8 @@ analysis, multimodal plumbing) a 100 TB pipeline needs.
 Layout:
     model.py       — change-event envelope schemas + delta-type vocabulary
     session.py     — tuned SparkSession builder (AQE, Arrow, shuffle sizing)
+    api.py         — JDBC-style driver surface (connection/statement/
+                     cursor, batch + continuous streaming queries)
     queries.py     — driver-facing registry: every operator as a
                      (spark, sf_dir) -> DataFrame with a DuckDB oracle
     sources/
@@ -29,6 +31,7 @@ Layout:
     functions/
         scan.py           — chunked distributed prefix scans
         text.py           — tokenization contract + text analysis
+        skew.py           — deterministic salted equi-join
         multimodal.py     — binary media columns through mapInPandas
     streaming/
         runtime.py        — file-stream CDC source, checkpointed offsets,

@@ -20,7 +20,7 @@ there is exactly one implementation of each aggregate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mysql_cdc_spark.functions.scan import running_agg
