@@ -27,6 +27,10 @@ def get_spark(app_name: str = "mysql-cdc-spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", cpus)
+        # Input-split sizing: 128 MiB splits keep scan tasks uniform; at
+        # 100 TB that is ~800k splits — raise alongside executor count
+        # so task count stays ~2-3× total cores.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
         # Arrow for any pandas-UDF path (similarity / multimodal).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Driver fixtures store ns-precision timestamps; read them as raw

@@ -195,3 +195,41 @@ def test_format_description_fields_decoded():
     assert fde["binlog_version"] == 4
     assert fde["server_version"] == "5.5.62-spark-cdc"
     assert fde["header_length"] == 19
+
+
+def test_spark_source_multi_row_events(spark):
+    """Multi-row rows-events through the FULL Spark path (binaryFile →
+    mapInPandas): one envelope record per row image, sharing the
+    event's seq, ordered by row_idx."""
+    import os
+    import shutil
+    import uuid
+
+    from mysql_cdc_spark.sources.binlog_source import read_binlog_envelope
+
+    scratch = f"/root/repo/.stream_tmp/test/{uuid.uuid4().hex[:10]}"
+    os.makedirs(scratch, exist_ok=True)
+    w = BinlogWriter()
+    w.write_table_map(T3)
+    w.write_rows(
+        WRITE_ROWS_EVENT, T3,
+        [[1, "1.0000", "a"], [2, "2.0000", None], [3, "3.0000", "c"]],
+    )
+    w.write_rows(
+        UPDATE_ROWS_EVENT, T3,
+        [([1, "1.0000", "a"], [1, "9.0000", "z"]),
+         ([2, "2.0000", None], [2, "8.0000", "y"])],
+    )
+    with open(f"{scratch}/binlog.000000", "wb") as fh:
+        fh.write(w.getvalue())
+    try:
+        env = read_binlog_envelope(spark, scratch).orderBy("seq", "row_idx").collect()
+        writes = [r for r in env if r["op"] == "write_rows"]
+        assert [(r["seq"], r["row_idx"]) for r in writes] == [(1, 0), (1, 1), (1, 2)]
+        assert writes[1]["after"] == {"id": "2", "val": "2.0000", "word": None}
+        updates = [r for r in env if r["op"] == "update_rows"]
+        assert [(r["row_idx"]) for r in updates] == [0, 1]
+        assert updates[0]["before"]["val"] == "1.0000"
+        assert updates[0]["after"]["val"] == "9.0000"
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
