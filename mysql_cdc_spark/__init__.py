@@ -32,6 +32,7 @@ Layout:
         scan.py           — chunked distributed prefix scans
         text.py           — tokenization contract + text analysis
         skew.py           — deterministic salted equi-join
+        bucketing.py      — bucketed sinks (shuffle-free co-located joins)
         multimodal.py     — binary media columns through mapInPandas
     streaming/
         runtime.py        — file-stream CDC source, checkpointed offsets,
