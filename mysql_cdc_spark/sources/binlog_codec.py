@@ -421,20 +421,39 @@ def decode_binlog(
     data: bytes,
     catalog: dict[tuple[str, str], list[str]] | None = None,
     start_offset: int = 4,
+    table_map: TableMapState | None = None,
 ) -> list[dict]:
     """D1+S3/S4: walk the event chain from `start_offset`, threading
     table-map state, with the torn-tail guard (a header or body that
     does not fit inside the data is NOT emitted — reference :316,
     :326-328).  Returns one dict per decoded event.
 
-    Row events without a preceding TABLE_MAP raise, as in the
-    reference (:727-729).
+    `table_map` carries decode state ACROSS incremental reads (the
+    reference threads it through agent state between turns, :911-913);
+    the final state is available on the last event's ``_table_map``
+    via `decode_binlog_incremental`.  Row events without any TABLE_MAP
+    raise, as in the reference (:727-729).
     """
+    events, _, _ = decode_binlog_incremental(data, start_offset, table_map, catalog)
+    return events
+
+
+def decode_binlog_incremental(
+    data: bytes,
+    start_offset: int = 4,
+    table_map: TableMapState | None = None,
+    catalog: dict[tuple[str, str], list[str]] | None = None,
+) -> tuple[list[dict], int, TableMapState | None]:
+    """S9 incremental-turn form: decode `[start_offset, end-of-data)`
+    and return (events, next_offset, table_map_state) so the caller
+    can resume exactly where this read stopped (reference cdc-turn,
+    mysql_binlog.clj:907-919: offset ← (:next (peek events)),
+    table-map carried in agent state)."""
     if not is_binlog(data):
         raise ValueError("not a binlog file (bad magic)")
     catalog = catalog or {}
     events: list[dict] = []
-    tmap: TableMapState | None = None
+    tmap = table_map
     seq = 0
     pos = start_offset
     while pos + HEADER_LEN <= len(data):
@@ -502,4 +521,4 @@ def decode_binlog(
         events.append(ev)
         seq += 1
         pos = next_pos if next_pos > pos else pos + event_len
-    return events
+    return events, pos, tmap

@@ -1,0 +1,91 @@
+"""BinlogTailer: the reference's incremental ingest loop over REAL
+binlog bytes — cdc-init/cdc-turn/cdc-log-rotation (reference
+src/cdc/mysql_binlog.clj:804-938) as a polling tailer.
+
+Each `turn()` reads `[offset, end-of-file)`, decodes complete events
+(the torn-tail guard holds back a partially-written trailing event —
+it is re-read next turn once the writer finishes it), advances the
+offset to the last event's `next`, carries the table-map state across
+turns, and hands the batch to `event_fn`.  A ROTATE event switches to
+the named next log, resets the offset to 4 (past the magic) and clears
+the table-map — exactly the reference's rotation rule (:888-905).
+
+This is the driver-side ingest half for real byte logs; the decoded
+batches become DataFrames via `spark.createDataFrame` (or are appended
+to the parquet event-log consumed by streaming/runtime.py, which then
+provides checkpointing/backpressure/sinks).  Where the reference used
+inotify (:833-857), `run()` polls — the Structured-Streaming analog of
+a trigger interval.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections.abc import Callable
+
+from mysql_cdc_spark.sources.binlog_codec import (
+    TableMapState,
+    decode_binlog_incremental,
+)
+
+_ENVELOPE_OPS = ("query", "table_map", "write_rows", "update_rows", "delete_rows", "xid")
+
+
+class BinlogTailer:
+    def __init__(
+        self,
+        log_dir: str,
+        first_log: str,
+        event_fn: Callable[[list[dict]], None],
+        catalog: dict[tuple[str, str], list[str]] | None = None,
+    ) -> None:
+        self.log_dir = log_dir
+        self.current_log = first_log
+        self.offset = 4                      # skip magic (reference :927, :710)
+        self.table_map: TableMapState | None = None
+        self.event_fn = event_fn
+        self.catalog = catalog or {}
+
+    @property
+    def _path(self) -> str:
+        return os.path.join(self.log_dir, self.current_log)
+
+    def turn(self) -> int:
+        """One incremental read (reference cdc-turn :907-919).
+        Returns the number of envelope events delivered."""
+        with open(self._path, "rb") as fh:
+            data = fh.read()
+        events, next_offset, tmap = decode_binlog_incremental(
+            data, self.offset, self.table_map, self.catalog
+        )
+        self.offset = next_offset
+        self.table_map = tmap
+
+        rotate_to = None
+        batch = []
+        for ev in events:
+            if ev["op"] == "rotate":
+                rotate_to = ev["sql"]        # next log file name
+            elif ev["op"] in _ENVELOPE_OPS:
+                ev["log_file"] = self.current_log
+                batch.append(ev)
+        if batch:
+            self.event_fn(batch)
+        if rotate_to is not None:
+            # reference cdc-log-rotation (:888-905): new file, offset 4,
+            # table-map cleared, immediate re-read of the new log
+            self.current_log = rotate_to
+            self.offset = 4
+            self.table_map = None
+            return len(batch) + self.turn()
+        return len(batch)
+
+    def run(self, poll_seconds: float = 0.2, max_turns: int | None = None) -> None:
+        """Poll loop (inotify stand-in).  Bounded by max_turns for
+        testability; production would run until stopped."""
+        turns = 0
+        while max_turns is None or turns < max_turns:
+            self.turn()
+            turns += 1
+            time.sleep(poll_seconds)

@@ -1,0 +1,116 @@
+"""BinlogTailer tests: incremental turns over a GROWING real-byte
+binlog — offset advance, torn-tail retry, table-map carry across
+turns, rotation follow (reference cdc-turn/cdc-log-rotation)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pytest
+
+from mysql_cdc_spark.sources.binlog_codec import (
+    TYPE_LONG,
+    TYPE_NEWDECIMAL,
+    TYPE_VARCHAR,
+    WRITE_ROWS_EVENT,
+    BinlogWriter,
+    TableDef,
+)
+from mysql_cdc_spark.streaming.binlog_tailer import BinlogTailer
+
+T3 = TableDef("foo", "auto", [(TYPE_LONG, None), (TYPE_NEWDECIMAL, (12, 4)), (TYPE_VARCHAR, 50)])
+CAT = {("foo", "auto"): ["id", "val", "word"]}
+
+
+@pytest.fixture()
+def log_dir():
+    d = f"/root/repo/.stream_tmp/test/{uuid.uuid4().hex[:10]}"
+    os.makedirs(d, exist_ok=True)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write(log_dir, name, data):
+    with open(os.path.join(log_dir, name), "wb") as fh:
+        fh.write(data)
+
+
+def test_incremental_turns_deliver_each_event_once(log_dir):
+    w = BinlogWriter()
+    w.write_table_map(T3)
+    w.write_rows(WRITE_ROWS_EVENT, T3, [[1, "1.0000", "a"]])
+    w.write_xid(1)
+    _write(log_dir, "binlog.000001", w.getvalue())
+
+    batches = []
+    tailer = BinlogTailer(log_dir, "binlog.000001", batches.append, CAT)
+    assert tailer.turn() == 3
+    assert tailer.turn() == 0              # nothing new → empty turn
+
+    # the log grows: next turn must deliver ONLY the new events,
+    # binding rows via the table-map carried from turn 1
+    w.write_rows(WRITE_ROWS_EVENT, T3, [[2, "2.0000", "b"]])
+    w.write_xid(2)
+    _write(log_dir, "binlog.000001", w.getvalue())
+    assert tailer.turn() == 2
+    flat = [e for b in batches for e in b]
+    assert [e["op"] for e in flat] == ["table_map", "write_rows", "xid", "write_rows", "xid"]
+    assert flat[3]["after"] == [{"id": 2, "val": "2.0000", "word": "b"}]
+    offsets = [e["offset"] for e in flat]
+    assert offsets == sorted(set(offsets))  # each event exactly once, in order
+
+
+def test_torn_tail_retried_next_turn(log_dir):
+    w = BinlogWriter()
+    w.write_table_map(T3)
+    w.write_rows(WRITE_ROWS_EVENT, T3, [[1, "1.0000", "a"]])
+    data = w.getvalue()
+    _write(log_dir, "binlog.000001", data[:-7])   # writer mid-flight
+
+    batches = []
+    tailer = BinlogTailer(log_dir, "binlog.000001", batches.append, CAT)
+    assert tailer.turn() == 1                     # only the table_map
+    _write(log_dir, "binlog.000001", data)        # write completes
+    assert tailer.turn() == 1                     # the held-back row event
+    assert batches[-1][0]["op"] == "write_rows"
+
+
+def test_rotation_follow_resets_state(log_dir):
+    w1 = BinlogWriter()
+    w1.write_table_map(T3)
+    w1.write_rows(WRITE_ROWS_EVENT, T3, [[1, "1.0000", "a"]])
+    w1.write_rotate("binlog.000002")
+    _write(log_dir, "binlog.000001", w1.getvalue())
+
+    w2 = BinlogWriter()
+    w2.write_table_map(T3)
+    w2.write_rows(WRITE_ROWS_EVENT, T3, [[2, "2.0000", "b"]])
+    _write(log_dir, "binlog.000002", w2.getvalue())
+
+    batches = []
+    tailer = BinlogTailer(log_dir, "binlog.000001", batches.append, CAT)
+    n = tailer.turn()                      # crosses the rotation
+    assert n == 4                          # 2 events per file (tm + row)
+    assert tailer.current_log == "binlog.000002"
+    flat = [e for b in batches for e in b]
+    assert [e["log_file"] for e in flat] == ["binlog.000001"] * 2 + ["binlog.000002"] * 2
+    assert flat[-1]["after"] == [{"id": 2, "val": "2.0000", "word": "b"}]
+
+
+def test_rows_after_rotation_need_fresh_table_map(log_dir):
+    """Rotation clears the table-map (reference :904): a row event in
+    the new log WITHOUT its own TABLE_MAP must raise."""
+    w1 = BinlogWriter()
+    w1.write_table_map(T3)
+    w1.write_rotate("binlog.000002")
+    _write(log_dir, "binlog.000001", w1.getvalue())
+
+    w2 = BinlogWriter()
+    w2.write_rows(WRITE_ROWS_EVENT, T3, [[9, "9.0000", "x"]])  # no map!
+    _write(log_dir, "binlog.000002", w2.getvalue())
+
+    tailer = BinlogTailer(log_dir, "binlog.000001", lambda b: None, CAT)
+    with pytest.raises(ValueError, match="TABLE_MAP"):
+        tailer.turn()
