@@ -1,0 +1,56 @@
+"""Property tests for the chunked distributed prefix scan: for ANY
+values, ANY chunk span and ANY marker placement, the distributed
+result equals the sequential fold."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mysql_cdc_spark.functions.scan import running_agg
+
+# Cents values (exact under DECIMAL(18,2)), including negatives.
+_VALUES = st.lists(
+    st.integers(-10_000, 10_000).map(lambda c: Decimal(c) / 100),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(_VALUES, st.integers(1, 16))
+@settings(max_examples=15, deadline=None)
+def test_running_sum_equals_sequential_fold(spark, vals, chunk_span):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "offset long, v decimal(18,2)"
+    )
+    got = {
+        r["offset"]: Decimal(r["rs"])
+        for r in running_agg(df, "offset", F.col("v"), "rs", chunk_span=chunk_span).collect()
+    }
+    acc = Decimal(0)
+    for i, v in enumerate(vals):
+        acc += v
+        assert got[i] == acc
+
+
+@given(st.lists(st.booleans(), min_size=1, max_size=60), st.integers(1, 16))
+@settings(max_examples=15, deadline=None)
+def test_marker_prefix_count_equals_sequential(spark, markers, chunk_span):
+    """The transaction-tagging form: count of markers STRICTLY before
+    each row (inclusive=False) for arbitrary marker placement."""
+    df = spark.createDataFrame(
+        [(i, int(m)) for i, m in enumerate(markers)], "offset long, m long"
+    )
+    got = {
+        r["offset"]: int(r["cnt"])
+        for r in running_agg(
+            df, "offset", F.col("m"), "cnt", inclusive=False, chunk_span=chunk_span
+        ).collect()
+    }
+    seen = 0
+    for i, m in enumerate(markers):
+        assert got[i] == seen
+        seen += int(m)
