@@ -36,6 +36,7 @@ DEFAULT_CHUNK_SPAN = 65536
 
 _CHUNK = "__chunk"
 _INTRA = "__intra"
+_TOTAL = "__total"
 _CARRY = "__carry"
 
 
@@ -68,19 +69,25 @@ def running_agg(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, end)
     )
-    intra = tagged.withColumn(_INTRA, F.sum(value).over(intra_w))
+    # The whole-partition total rides the SAME Exchange(chunk) + sort as
+    # the running frame (second Window op, identical partitioning), so
+    # the carry branch below derives from the shuffled data instead of
+    # re-reading the source: both sides of the diamond sit on one
+    # exchange, which ReuseExchange computes once.  (The previous
+    # formulation aggregated the carries straight off the source — a
+    # second full scan + explode of the input per run.)
+    windowed = tagged.withColumn(_INTRA, F.sum(value).over(intra_w)).withColumn(
+        _TOTAL, F.sum(value).over(Window.partitionBy(_CHUNK))
+    )
 
-    # Per-chunk totals go through a plain groupBy: the partial
-    # aggregate collapses each map task to ~one row per chunk BEFORE
-    # its exchange, so this branch's shuffle is a chunk_span× reduction
-    # (a windowed-totals formulation was tried and is strictly worse:
-    # it shuffles and sorts a full copy of the data).  The cumulative
-    # carry window then runs over chunk ids only — tiny — and is
-    # broadcast back.
+    # One row per chunk: input is already hash-partitioned by chunk, so
+    # this groupBy needs no new exchange.  The cumulative carry window
+    # then runs over chunk ids only — N/chunk_span rows, small enough
+    # for one task up to extreme scale — and is broadcast back.
     carry_w = Window.orderBy(_CHUNK).rowsBetween(Window.unboundedPreceding, -1)
     carries = (
-        tagged.groupBy(_CHUNK)
-        .agg(F.sum(value).alias("__chunk_total"))
+        windowed.groupBy(_CHUNK)
+        .agg(F.first(_TOTAL).alias("__chunk_total"))
         .withColumn(_CARRY, F.sum("__chunk_total").over(carry_w))
         .select(_CHUNK, _CARRY)
     )
@@ -89,10 +96,10 @@ def running_agg(
     # Spark unifies the addition's type.  NULLs appear only where a
     # window frame is empty (first chunk / first row) — they mean 0.
     return (
-        intra.join(F.broadcast(carries), _CHUNK, "left")
+        windowed.join(F.broadcast(carries), _CHUNK, "left")
         .withColumn(
             out_col,
             F.coalesce(F.col(_CARRY), F.lit(0)) + F.coalesce(F.col(_INTRA), F.lit(0)),
         )
-        .drop(_CHUNK, _INTRA, _CARRY)
+        .drop(_CHUNK, _INTRA, _TOTAL, _CARRY)
     )

@@ -33,10 +33,28 @@ keep the two in lockstep):
     log_file = printf('binlog.%06d', event_id // 250000)   (rotation)
     server_id = 1
 
-Scale note: the Spark side is ONE parquet scan + a generator explode
-(`inline`) — a narrow, fully codegen'd stage with no shuffle; at 100 TB
-it parallelizes per input split.  The oracle side is a 4-way UNION ALL
-(clarity over speed — the oracle only ever runs at sf0.01).
+Scale note: the Spark side is ONE parquet scan + a 4-way sequence
+explode and a plain projection — a narrow, fully codegen'd stage with
+no shuffle; at 100 TB it parallelizes per input split.  The envelope
+columns are computed in a normal Project ABOVE the generator (not
+inside an `inline(array(struct(...)))`): Catalyst cannot prune struct
+fields through a generator, so the inline formulation paid for all 13
+envelope expressions (format_string, SQL-text concat, ...) even in
+queries that read three columns; with the projection form, column
+pruning deletes the unused expressions outright (verified in
+`.explain`).  The oracle side is a 4-way UNION ALL (clarity over speed
+— the oracle only ever runs at sf0.01).
+
+Small-input rebalance: a fixture file below one split
+(`maxPartitionBytes`) is a single parquet row group — the scan cannot
+parallelize no matter the config, and the 4× explode amplifies inside
+that one task.  When (and only when) the input is too small to split
+naturally, the cheap pre-explode rows are hash-repartitioned by
+`event_id` across the session's parallelism.  At production scale the
+file count/size clears the threshold and no extra shuffle exists.
+(Hash, not round-robin: RoundRobinPartitioning sorts every column of
+every row first — `spark.sql.execution.sortBeforeRepartition` — which
+measured 5× slower end-to-end.)
 """
 
 from __future__ import annotations
@@ -66,34 +84,30 @@ def _NULL_VAL():
     return F.lit(None).cast("double")
 
 
-def _NULL_STR():
-    return F.lit(None).cast("string")
+def _rebalance_small_input(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Hash-repartition the pre-explode rows iff the file is too small
+    for the scan to split on its own (see module docstring).  Driver-side
+    O(1): one stat call, no job."""
+    import os
 
-
-def _envelope_struct(seq: int, op, xid, before_id, before_value, after_id, after_value, sql):
-    """One envelope struct for `inline`; field order/types fixed across seqs."""
-    return F.struct(
-        (F.col("event_id") * 4 + F.lit(seq)).cast("bigint").alias("offset"),
-        F.format_string("binlog.%06d", (F.col("event_id") / 250000).cast("int")).alias("log_file"),
-        F.col("ts").alias("ts"),
-        F.lit(1).cast("bigint").alias("server_id"),
-        xid.cast("bigint").alias("xid"),
-        F.col("db").alias("db"),
-        F.col("tbl").alias("tbl"),
-        op.cast("string").alias("op"),
-        before_id.cast("bigint").alias("before_id"),
-        before_value.cast("double").alias("before_value"),
-        after_id.cast("bigint").alias("after_id"),
-        after_value.cast("double").alias("after_value"),
-        sql.cast("string").alias("sql"),
-    )
+    try:
+        max_bytes = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    except ValueError:
+        max_bytes = 134217728
+    parallelism = spark.sparkContext.defaultParallelism
+    natural_splits = max(1, os.path.getsize(path) // max_bytes)
+    if natural_splits < parallelism // 2:
+        return df.repartition(parallelism, "event_id")
+    return df
 
 
 def changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The change-event envelope stream (batch mode).
 
-    Single scan of events.parquet → `inline` of 4 structs per row: a
-    narrow whole-stage-codegen pipeline, no shuffle, pushdown-friendly.
+    Single scan of events.parquet → explode of the 0..3 statement
+    sequence → one projection computing the envelope columns: a narrow
+    whole-stage-codegen pipeline, no shuffle (beyond the small-input
+    rebalance), pushdown- and pruning-friendly.
     """
     from mysql_cdc_spark.sources.io import read_table
 
@@ -128,6 +142,8 @@ def changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.concat(F.lit("DELETE FROM "), qualified, F.lit(" WHERE id = ?")))
     )
+    ev = _rebalance_small_input(spark, ev, f"{sf_dir}/events.parquet")
+
     is_write = F.col("row_op") == OP_WRITE_ROWS
     is_delete = F.col("row_op") == OP_DELETE_ROWS
     before_id = F.when(is_write, _NULL_ID()).otherwise(F.col("row_id"))
@@ -139,14 +155,36 @@ def changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     after_id = F.when(is_delete, _NULL_ID()).otherwise(F.col("row_id"))
     after_value = F.when(is_delete, _NULL_VAL()).otherwise(F.col("value"))
 
-    return ev.select(
-        F.inline(
-            F.array(
-                _envelope_struct(0, F.lit("query"), _NULL_ID(), _NULL_ID(), _NULL_VAL(), _NULL_ID(), _NULL_VAL(), sql_text),
-                _envelope_struct(1, F.lit("table_map"), _NULL_ID(), _NULL_ID(), _NULL_VAL(), _NULL_ID(), _NULL_VAL(), _NULL_STR()),
-                _envelope_struct(2, F.col("row_op"), _NULL_ID(), before_id, before_value, after_id, after_value, _NULL_STR()),
-                _envelope_struct(3, F.lit("xid"), F.col("event_id"), _NULL_ID(), _NULL_VAL(), _NULL_ID(), _NULL_VAL(), _NULL_STR()),
-            )
+    seq = F.col("__seq")
+    is_row_seq = seq == 2
+    return (
+        ev.select(
+            "*",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2), F.lit(3))).alias("__seq"),
+        )
+        .select(
+            (F.col("event_id") * 4 + seq).cast("bigint").alias("offset"),
+            # Integer `div`, matching the oracle's `//` exactly past 2^53
+            # (a double divide + truncate would not — advisor nit).
+            F.format_string(
+                "binlog.%06d", F.expr("cast(event_id div 250000 as int)")
+            ).alias("log_file"),
+            F.col("ts"),
+            F.lit(1).cast("bigint").alias("server_id"),
+            F.when(seq == 3, F.col("event_id")).cast("bigint").alias("xid"),
+            F.col("db"),
+            F.col("tbl"),
+            F.when(seq == 0, F.lit("query"))
+            .when(seq == 1, F.lit("table_map"))
+            .when(seq == 2, F.col("row_op"))
+            .otherwise(F.lit("xid"))
+            .cast("string")
+            .alias("op"),
+            F.when(is_row_seq, before_id).cast("bigint").alias("before_id"),
+            F.when(is_row_seq, before_value).cast("double").alias("before_value"),
+            F.when(is_row_seq, after_id).cast("bigint").alias("after_id"),
+            F.when(is_row_seq, after_value).cast("double").alias("after_value"),
+            F.when(seq == 0, sql_text).cast("string").alias("sql"),
         )
     )
 
