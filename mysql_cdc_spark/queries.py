@@ -524,6 +524,47 @@ def cdc_binlog_typed_state(spark, sf_dir):
     )
 
 
+@register(
+    "cdc_binlog_enum_set",
+    """
+WITH ev AS (
+  SELECT event_id, ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS k FROM events
+)
+SELECT CAST(3*k+1 AS BIGINT) AS seq,
+       CAST(event_id % 97 AS BIGINT) AS id,
+       CASE WHEN event_id % 7 = 0 THEN NULL
+            ELSE CAST(1 + event_id % 5 AS VARCHAR) END AS state,
+       CAST(1 + event_id % 300 AS VARCHAR) AS wide,
+       printf('%02x', event_id % 16) AS flags,
+       printf('%02x%02x', (event_id % 4096) % 256, (event_id % 4096) // 256) AS perms
+FROM ev
+""".strip(),
+)
+def cdc_binlog_enum_set(spark, sf_dir):
+    """ENUM + SET columns through the full byte path (reference
+    read-type, mysql_binlog.clj:530-536): encode bench.tags (both ENUM
+    ordinal widths, both SET bitset widths, NULLable ENUM) as real
+    binlog bytes, decode via binaryFile + mapInPandas, and project the
+    after-images.  ENUM surfaces as its 1-based ordinal; SET as the
+    little-endian hex of its raw bitset bytes."""
+    import pathlib
+
+    from mysql_cdc_spark.sources import binlog_source as bs
+
+    out_dir = pathlib.Path(_STREAM_TMP) / f"binlog_enumset_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
+    if not any(out_dir.glob("binlog.*")):
+        bs.generate_enum_set_binlog(sf_dir, str(out_dir))
+    env = bs.read_binlog_envelope(spark, str(out_dir))
+    return env.filter(F.col("op") == "write_rows").select(
+        "seq",
+        F.element_at("after", "id").cast("bigint").alias("id"),
+        F.element_at("after", "state").alias("state"),
+        F.element_at("after", "wide").alias("wide"),
+        F.element_at("after", "flags").alias("flags"),
+        F.element_at("after", "perms").alias("perms"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-training-data pipeline: text analysis over `documents`
 # (functions/text.py — JVM-side array expressions, no Python UDFs)

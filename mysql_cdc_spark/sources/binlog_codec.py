@@ -25,8 +25,13 @@ format itself:
                               leading-zero trim :206-226)
   packed ints / bitfields   ~ :193-211, :127-133
 
-Supported column types match the reference's scope (README:6): LONG,
-VARCHAR/VAR_STRING/STRING, NEWDECIMAL.
+Supported column types match the reference's decoder (read-type,
+mysql_binlog.clj:528-558 — strictly wider than its README:6 scope):
+LONG, VARCHAR/VAR_STRING/STRING, NEWDECIMAL, ENUM (1/2-byte ordinal,
+:533-536) and SET (raw bitset bytes, :530-531).  On the wire ENUM/SET
+columns travel as MYSQL_TYPE_STRING with the real type in metadata
+byte 0 and the pack length in byte 1 (public format; the reference
+re-derives the real type the same way in read-field :560-580).
 """
 
 from __future__ import annotations
@@ -54,6 +59,8 @@ TYPE_VARCHAR = 15
 TYPE_STRING = 254
 TYPE_VAR_STRING = 253
 TYPE_NEWDECIMAL = 246
+TYPE_ENUM = 247
+TYPE_SET = 248
 
 OP_NAMES = {
     QUERY_EVENT: "query",
@@ -202,12 +209,24 @@ def _bit(buf: bytes, i: int) -> bool:
 # Writer (test/fixture generator — the inverse of the decoder)
 # ---------------------------------------------------------------------------
 
+def enum_pack_len(n_values: int) -> int:
+    """Bytes per ENUM ordinal: 1 below 256 values, else 2 (the 1-or-2
+    dispatch the reference makes on metadata, :533-536)."""
+    return 1 if n_values < 256 else 2
+
+
+def set_pack_len(n_members: int) -> int:
+    """Bytes per SET bitset: one bit per member, byte-rounded."""
+    return (n_members + 7) // 8
+
+
 @dataclass
 class TableDef:
     db: str
     table: str
     # list of (type_code, metadata): LONG → None; VARCHAR → max_len;
-    # NEWDECIMAL → (precision, scale)
+    # NEWDECIMAL → (precision, scale); ENUM → n_values (1-based
+    # ordinals); SET → n_members
     columns: list[tuple[int, object]]
     table_id: int = 1
 
@@ -249,7 +268,11 @@ class BinlogWriter:
         body += bytes([len(dbb)]) + dbb + b"\x00"
         body += bytes([len(tbb)]) + tbb + b"\x00"
         body += enc_packed_int(len(t.columns))
-        body += bytes(tc for tc, _ in t.columns)
+        # ENUM/SET travel as MYSQL_TYPE_STRING on the wire; the real
+        # type rides in metadata byte 0 (public format).
+        body += bytes(
+            TYPE_STRING if tc in (TYPE_ENUM, TYPE_SET) else tc for tc, _ in t.columns
+        )
         meta = bytearray()
         for tc, m in t.columns:
             if tc in (TYPE_VARCHAR, TYPE_VAR_STRING):
@@ -258,6 +281,10 @@ class BinlogWriter:
                 meta += bytes([m[0], m[1]])
             elif tc == TYPE_STRING:
                 meta += bytes([m[0], m[1]])
+            elif tc == TYPE_ENUM:
+                meta += bytes([TYPE_ENUM, enum_pack_len(int(m))])
+            elif tc == TYPE_SET:
+                meta += bytes([TYPE_SET, set_pack_len(int(m))])
         body += enc_packed_int(len(meta)) + bytes(meta)
         body += _bitmap_bytes([True] * len(t.columns))  # nullability
         self._emit(TABLE_MAP_EVENT, body, ts)
@@ -272,6 +299,12 @@ class BinlogWriter:
             return pre + raw
         if tc == TYPE_NEWDECIMAL:
             return encode_decimal(str(v), m[0], m[1])
+        if tc == TYPE_ENUM:
+            return int(v).to_bytes(enum_pack_len(int(m)), "little")
+        if tc == TYPE_SET:
+            if isinstance(v, (bytes, bytearray)):
+                return bytes(v)
+            return int(v).to_bytes(set_pack_len(int(m)), "little")
         raise ValueError(f"unsupported column type {tc}")
 
     def _encode_image(self, t: TableDef, present: list[bool], values: list) -> bytes:
@@ -373,11 +406,18 @@ def _read_value(body: bytes, pos: int, tc: int, meta) -> tuple[object, int]:
     """D9 field decode (reference read-type :528-558; CHAR packed
     metadata special case read-field :560-580)."""
     if tc == TYPE_STRING and isinstance(meta, tuple):
-        # CHAR with pack_length folded into the metadata high bits:
-        # re-derive real type + max length (public format, as in the
-        # MySQL internals manual; reference handles the same case at
-        # :566-579).
+        # The metadata's first byte carries the REAL type: ENUM/SET
+        # hybrids, or CHAR with pack_length folded into the high bits.
+        # Re-derive type + length (public format, as in the MySQL
+        # internals manual; reference does the same in read-field
+        # :566-579 and then dispatches ENUM/SET in read-type :530-536).
         m0, m1 = meta
+        if m0 == TYPE_ENUM:
+            # 1- or 2-byte ordinal (1-based; 0 = invalid/empty)
+            return int.from_bytes(body[pos:pos + m1], "little"), pos + m1
+        if m0 == TYPE_SET:
+            # raw bitset bytes, as the reference keeps them (:530-531)
+            return bytes(body[pos:pos + m1]), pos + m1
         if m0 and (m0 & 0x30) != 0x30:
             maxlen = m1 | (((m0 & 0x30) ^ 0x30) << 4)
         else:

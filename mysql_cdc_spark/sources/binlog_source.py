@@ -27,8 +27,10 @@ from pyspark.sql import types as T
 
 from mysql_cdc_spark.sources.binlog_codec import (
     DELETE_ROWS_EVENT,
+    TYPE_ENUM,
     TYPE_LONG,
     TYPE_NEWDECIMAL,
+    TYPE_SET,
     TYPE_VARCHAR,
     UPDATE_ROWS_EVENT,
     WRITE_ROWS_EVENT,
@@ -44,6 +46,7 @@ from mysql_cdc_spark.sources.binlog_codec import (
 FIXTURE_CATALOG = {
     ("foo", "auto"): ["id", "val", "word"],
     ("bench", "big"): ["id", "val", "word"],
+    ("bench", "tags"): ["id", "state", "wide", "flags", "perms"],
 }
 
 # (type, metadata) per column: INT, DECIMAL(12,4), VARCHAR(50) — the
@@ -53,6 +56,17 @@ FIXTURE_COLUMNS = [
     (TYPE_LONG, None),
     (TYPE_NEWDECIMAL, (12, 4)),
     (TYPE_VARCHAR, 50),
+]
+
+# ENUM/SET coverage table (reference read-type :530-536): both ordinal
+# widths (5 values → 1 byte, 300 values → 2 bytes) and both bitset
+# widths (4 members → 1 byte, 12 members → 2 bytes).
+ENUM_SET_COLUMNS = [
+    (TYPE_LONG, None),
+    (TYPE_ENUM, 5),
+    (TYPE_ENUM, 300),
+    (TYPE_SET, 4),
+    (TYPE_SET, 12),
 ]
 
 BINLOG_ENVELOPE_SCHEMA = T.StructType(
@@ -77,9 +91,15 @@ _ENVELOPE_OPS = ("query", "table_map", "write_rows", "update_rows", "delete_rows
 
 
 def _stringify(image: dict | None) -> dict | None:
+    # SET columns decode to raw bitset bytes (reference keeps byte[],
+    # mysql_binlog.clj:530-531); the MAP envelope carries them as
+    # lowercase hex so the payload stays a string map.
     if image is None:
         return None
-    return {k: (None if v is None else str(v)) for k, v in image.items()}
+    return {
+        k: (None if v is None else (v.hex() if isinstance(v, bytes) else str(v)))
+        for k, v in image.items()
+    }
 
 
 def read_binlog_envelope(
@@ -236,3 +256,33 @@ def generate_binlog_from_events(
             fh.write(writer.getvalue())
         written.append(fname)
     return written
+
+
+def generate_enum_set_binlog(sf_dir: str, out_dir: str) -> str:
+    """Encode an insert-only change stream for `bench.tags` — the
+    ENUM/SET coverage table — as real binlog bytes.  Per events row:
+    TABLE_MAP + WRITE_ROWS + XID with
+
+        state = NULL if event_id % 7 = 0 else 1 + event_id % 5 (ENUM-1B)
+        wide  = 1 + event_id % 300                             (ENUM-2B)
+        flags = event_id % 16                                  (SET-1B)
+        perms = event_id % 4096                                (SET-2B)
+
+    exercising both ENUM ordinal widths, both SET bitset widths, and
+    NULL bitmap interaction with ENUM columns.  Idempotent."""
+    os.makedirs(out_dir, exist_ok=True)
+    pdf = _fixture_rows(sf_dir)
+    t = TableDef("bench", "tags", ENUM_SET_COLUMNS, table_id=9)
+    writer = BinlogWriter()
+    for event_id in pdf["event_id"]:
+        event_id = int(event_id)
+        ts = event_id % (1 << 31)
+        state = None if event_id % 7 == 0 else 1 + event_id % 5
+        row = [event_id % 97, state, 1 + event_id % 300, event_id % 16, event_id % 4096]
+        writer.write_table_map(t, ts)
+        writer.write_rows(WRITE_ROWS_EVENT, t, [row], ts=ts)
+        writer.write_xid(event_id, ts)
+    path = os.path.join(out_dir, "binlog.000000")
+    with open(path, "wb") as fh:
+        fh.write(writer.getvalue())
+    return path

@@ -233,3 +233,57 @@ def test_spark_source_multi_row_events(spark):
         assert updates[0]["after"]["val"] == "9.0000"
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# --- ENUM / SET (reference read-type :530-536) -------------------------------
+
+from mysql_cdc_spark.sources.binlog_codec import TYPE_ENUM, TYPE_SET  # noqa: E402
+
+T_ES = TableDef(
+    "bench", "tags",
+    [(TYPE_LONG, None), (TYPE_ENUM, 5), (TYPE_ENUM, 300), (TYPE_SET, 4), (TYPE_SET, 12)],
+)
+CAT_ES = {("bench", "tags"): ["id", "state", "wide", "flags", "perms"]}
+
+
+def test_enum_set_roundtrip():
+    """ENUM decodes to its 1/2-byte ordinal, SET to raw bitset bytes —
+    both widths of each."""
+    w = BinlogWriter()
+    w.write_table_map(T_ES)
+    w.write_rows(WRITE_ROWS_EVENT, T_ES, [[7, 3, 257, 0b1010, 0xABC]])
+    after = decode_binlog(w.getvalue(), CAT_ES)[-1]["after"][0]
+    assert after["state"] == 3
+    assert after["wide"] == 257                       # needs the 2-byte width
+    assert after["flags"] == bytes([0b1010])          # raw bitset bytes
+    assert after["perms"] == (0xABC).to_bytes(2, "little")
+
+
+def test_enum_null_and_set_zero():
+    """NULL bitmap interacts correctly with ENUM/SET columns."""
+    w = BinlogWriter()
+    w.write_table_map(T_ES)
+    w.write_rows(WRITE_ROWS_EVENT, T_ES, [[1, None, 1, 0, None]])
+    after = decode_binlog(w.getvalue(), CAT_ES)[-1]["after"][0]
+    assert after["state"] is None
+    assert after["flags"] == b"\x00"
+    assert after["perms"] is None
+
+
+def test_enum_set_wire_format_is_string_hybrid():
+    """On the wire ENUM/SET columns travel as MYSQL_TYPE_STRING with
+    the real type in metadata byte 0 (public format) — the table-map
+    state must record the hybrid, not a private type code."""
+    from mysql_cdc_spark.sources.binlog_codec import (
+        TYPE_STRING,
+        decode_binlog_incremental,
+    )
+
+    w = BinlogWriter()
+    w.write_table_map(T_ES)
+    _, _, tmap = decode_binlog_incremental(w.getvalue(), catalog=CAT_ES)
+    assert tmap.col_types == [TYPE_LONG, TYPE_STRING, TYPE_STRING, TYPE_STRING, TYPE_STRING]
+    assert tmap.col_meta[1] == (TYPE_ENUM, 1)
+    assert tmap.col_meta[2] == (TYPE_ENUM, 2)
+    assert tmap.col_meta[3] == (TYPE_SET, 1)
+    assert tmap.col_meta[4] == (TYPE_SET, 2)

@@ -107,3 +107,27 @@ def test_torn_tail_never_yields_partial_event(vals, cut):
     assert len(part) <= len(full)
     for a, b in zip(part, full):
         assert a == b  # a prefix, never a mangled event
+
+
+from mysql_cdc_spark.sources.binlog_codec import TYPE_ENUM, TYPE_SET  # noqa: E402
+
+
+@given(
+    n_values=st.integers(1, 1000),
+    n_members=st.integers(1, 64),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_enum_set_roundtrip_property(n_values, n_members, data):
+    """Any ENUM ordinal within range and any SET bitset round-trips at
+    both metadata widths (1/2-byte ordinal, 1..8-byte bitset)."""
+    t = TableDef("d", "t", [(TYPE_ENUM, n_values), (TYPE_SET, n_members)])
+    ordinal = data.draw(st.integers(1, n_values))
+    bitset = data.draw(st.integers(0, 2**n_members - 1))
+    w = BinlogWriter()
+    w.write_table_map(t)
+    w.write_rows(WRITE_ROWS_EVENT, t, [[ordinal, bitset]])
+    after = decode_binlog(w.getvalue(), {("d", "t"): ["e", "s"]})[-1]["after"][0]
+    assert after["e"] == ordinal
+    from mysql_cdc_spark.sources.binlog_codec import set_pack_len
+    assert after["s"] == bitset.to_bytes(set_pack_len(n_members), "little")
