@@ -483,19 +483,31 @@ def decode_binlog_incremental(
     start_offset: int = 4,
     table_map: TableMapState | None = None,
     catalog: dict[tuple[str, str], list[str]] | None = None,
+    *,
+    base: int = 0,
 ) -> tuple[list[dict], int, TableMapState | None]:
     """S9 incremental-turn form: decode `[start_offset, end-of-data)`
     and return (events, next_offset, table_map_state) so the caller
     can resume exactly where this read stopped (reference cdc-turn,
     mysql_binlog.clj:907-919: offset ← (:next (peek events)),
-    table-map carried in agent state)."""
-    if not is_binlog(data):
+    table-map carried in agent state).
+
+    ``base`` is the absolute file position of ``data[0]``: a tailer
+    that seeks to its saved offset and reads only the new tail passes
+    the tail bytes with ``base=offset`` (mirroring the reference's
+    map-from-offset mmap, with-open-binlog* :696-705) — reported
+    offsets and the returned next_offset stay absolute.  With the
+    default ``base=0`` the data must start with the 4-byte magic.
+    """
+    if base == 0 and not is_binlog(data):
         raise ValueError("not a binlog file (bad magic)")
+    if start_offset < base:
+        raise ValueError(f"start_offset {start_offset} precedes base {base}")
     catalog = catalog or {}
     events: list[dict] = []
     tmap = table_map
     seq = 0
-    pos = start_offset
+    pos = start_offset - base  # index into `data`; absolute = base + pos
     while pos + HEADER_LEN <= len(data):
         ts, type_code, server_id, event_len, next_pos, flags = struct.unpack_from(
             "<IBIIIH", data, pos
@@ -504,7 +516,7 @@ def decode_binlog_incremental(
             break  # torn tail: incomplete trailing event, retry next turn
         body = bytes(data[pos + HEADER_LEN:pos + event_len])
         ev: dict = {
-            "seq": seq, "offset": pos, "ts": ts, "server_id": server_id,
+            "seq": seq, "offset": base + pos, "ts": ts, "server_id": server_id,
             "event_len": event_len, "next": next_pos, "flags": flags,
             "op": OP_NAMES.get(type_code), "db": None, "tbl": None,
             "xid": None, "sql": None, "before": None, "after": None,
@@ -560,5 +572,6 @@ def decode_binlog_incremental(
             ev["op"] = f"unknown_{type_code}"  # bare header pass-through
         events.append(ev)
         seq += 1
-        pos = next_pos if next_pos > pos else pos + event_len
-    return events, pos, tmap
+        rel_next = next_pos - base  # header's `next` is absolute
+        pos = rel_next if rel_next > pos else pos + event_len
+    return events, base + pos, tmap

@@ -25,6 +25,7 @@ import time
 from collections.abc import Callable
 
 from mysql_cdc_spark.sources.binlog_codec import (
+    MAGIC,
     TableMapState,
     decode_binlog_incremental,
 )
@@ -46,6 +47,8 @@ class BinlogTailer:
         self.table_map: TableMapState | None = None
         self.event_fn = event_fn
         self.catalog = catalog or {}
+        self._magic_ok = False               # validated once per log file
+        self.last_read_bytes = 0             # I/O per turn (observability/tests)
 
     @property
     def _path(self) -> str:
@@ -53,33 +56,55 @@ class BinlogTailer:
 
     def turn(self) -> int:
         """One incremental read (reference cdc-turn :907-919).
-        Returns the number of envelope events delivered."""
-        with open(self._path, "rb") as fh:
-            data = fh.read()
-        events, next_offset, tmap = decode_binlog_incremental(
-            data, self.offset, self.table_map, self.catalog
-        )
-        self.offset = next_offset
-        self.table_map = tmap
+        Returns the number of envelope events delivered.
 
-        rotate_to = None
-        batch = []
-        for ev in events:
-            if ev["op"] == "rotate":
-                rotate_to = ev["sql"]        # next log file name
-            elif ev["op"] in _ENVELOPE_OPS:
-                ev["log_file"] = self.current_log
-                batch.append(ev)
-        if batch:
-            self.event_fn(batch)
-        if rotate_to is not None:
+        I/O is proportional to NEW bytes only: seek to the saved offset
+        and read the tail — the reference's mmap maps `[offset, size)`
+        the same way (with-open-binlog*, mysql_binlog.clj:696-705,
+        size-offset bytes at :703).  Reading from byte 0 every poll
+        would be O(file) per turn → O(file²) over a growing log's life.
+        """
+        delivered = 0
+        while True:
+            with open(self._path, "rb") as fh:
+                if not self._magic_ok:
+                    if fh.read(4) != MAGIC:
+                        raise ValueError(f"{self._path}: not a binlog file (bad magic)")
+                    self._magic_ok = True
+                fh.seek(self.offset)
+                tail = fh.read()
+            self.last_read_bytes = len(tail)
+            events, next_offset, tmap = decode_binlog_incremental(
+                tail, self.offset, self.table_map, self.catalog, base=self.offset
+            )
+            self.offset = next_offset
+            self.table_map = tmap
+
+            rotate_to = None
+            batch = []
+            for ev in events:
+                if ev["op"] == "rotate":
+                    rotate_to = ev["sql"]    # next log file name
+                elif ev["op"] in _ENVELOPE_OPS:
+                    ev["log_file"] = self.current_log
+                    batch.append(ev)
+            if batch:
+                self.event_fn(batch)
+            delivered += len(batch)
+            if rotate_to is None:
+                return delivered
             # reference cdc-log-rotation (:888-905): new file, offset 4,
-            # table-map cleared, immediate re-read of the new log
+            # table-map cleared, immediate re-read of the new log.  If
+            # the writer announced the rotation before creating the new
+            # file, defer the re-read to the next poll instead of
+            # crashing mid-rotation; iterate (not recurse) so long
+            # rotation chains cannot grow the stack.
             self.current_log = rotate_to
             self.offset = 4
             self.table_map = None
-            return len(batch) + self.turn()
-        return len(batch)
+            self._magic_ok = False
+            if not os.path.exists(self._path):
+                return delivered
 
     def run(self, poll_seconds: float = 0.2, max_turns: int | None = None) -> None:
         """Poll loop (inotify stand-in).  Bounded by max_turns for

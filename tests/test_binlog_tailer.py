@@ -114,3 +114,74 @@ def test_rows_after_rotation_need_fresh_table_map(log_dir):
     tailer = BinlogTailer(log_dir, "binlog.000001", lambda b: None, CAT)
     with pytest.raises(ValueError, match="TABLE_MAP"):
         tailer.turn()
+
+
+def test_turn_io_proportional_to_delta(log_dir):
+    """Each turn reads ~only the NEW bytes (reference maps [offset,
+    size), with-open-binlog* :696-705) — not the whole file again."""
+    w = BinlogWriter()
+    w.write_table_map(T3)
+    w.write_rows(WRITE_ROWS_EVENT, T3, [[1, "1.0000", "a"]])
+    w.write_xid(1)
+    _write(log_dir, "binlog.000001", w.getvalue())
+    size1 = len(w.getvalue())
+
+    tailer = BinlogTailer(log_dir, "binlog.000001", lambda b: None, CAT)
+    tailer.turn()
+    assert tailer.last_read_bytes == size1 - 4     # first turn: all but magic
+
+    before_growth = len(w.getvalue())
+    w.write_rows(WRITE_ROWS_EVENT, T3, [[2, "2.0000", "b"]])
+    w.write_xid(2)
+    _write(log_dir, "binlog.000001", w.getvalue())
+    delta = len(w.getvalue()) - before_growth
+
+    assert tailer.turn() == 2
+    assert tailer.last_read_bytes == delta          # tail-only read
+    tailer.turn()
+    assert tailer.last_read_bytes == 0              # empty poll reads nothing
+
+
+def test_rotation_to_missing_file_defers_not_crashes(log_dir):
+    """Writer announced the rotation before creating the next file:
+    the tailer must deliver what it has and retry next poll, not die
+    mid-rotation (advisor finding)."""
+    w1 = BinlogWriter()
+    w1.write_table_map(T3)
+    w1.write_rows(WRITE_ROWS_EVENT, T3, [[1, "1.0000", "a"]])
+    w1.write_rotate("binlog.000002")
+    _write(log_dir, "binlog.000001", w1.getvalue())
+
+    batches = []
+    tailer = BinlogTailer(log_dir, "binlog.000001", batches.append, CAT)
+    assert tailer.turn() == 2                       # tm + row; no crash
+    assert tailer.current_log == "binlog.000002"    # state advanced
+
+    w2 = BinlogWriter()
+    w2.write_table_map(T3)
+    w2.write_rows(WRITE_ROWS_EVENT, T3, [[2, "2.0000", "b"]])
+    _write(log_dir, "binlog.000002", w2.getvalue())
+    assert tailer.turn() == 2                       # next poll picks it up
+    flat = [e for b in batches for e in b]
+    assert flat[-1]["after"] == [{"id": 2, "val": "2.0000", "word": "b"}]
+
+
+def test_long_rotation_chain_is_iterative(log_dir):
+    """A chain of N back-to-back rotations is followed in ONE turn
+    without growing the Python stack (loop, not recursion)."""
+    n = 60
+    for i in range(1, n):
+        w = BinlogWriter()
+        w.write_table_map(T3)
+        w.write_rows(WRITE_ROWS_EVENT, T3, [[i, f"{i}.0000", "x"]])
+        w.write_rotate(f"binlog.{i + 1:06d}")
+        _write(log_dir, f"binlog.{i:06d}", w.getvalue())
+    w = BinlogWriter()
+    w.write_table_map(T3)
+    w.write_rows(WRITE_ROWS_EVENT, T3, [[n, f"{n}.0000", "x"]])
+    _write(log_dir, f"binlog.{n:06d}", w.getvalue())
+
+    batches = []
+    tailer = BinlogTailer(log_dir, "binlog.000001", batches.append, CAT)
+    assert tailer.turn() == 2 * n
+    assert tailer.current_log == f"binlog.{n:06d}"
