@@ -278,7 +278,7 @@ def cdc_envelope(spark, sf_dir):
 _STREAM_TMP = "/root/repo/.stream_tmp"
 # Bump when the derivation rules change: versioned scratch dirs ensure
 # stale materializations from an older derivation are never reused.
-_FIXTURE_VERSION = 2
+_FIXTURE_VERSION = 3
 
 
 def _stream_env(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -402,11 +402,14 @@ SELECT * FROM (
          CAST(NULL AS BIGINT) AS before_id, CAST(NULL AS VARCHAR) AS before_val,
          CAST(NULL AS VARCHAR) AS before_word,
          CAST(NULL AS BIGINT) AS after_id, CAST(NULL AS VARCHAR) AS after_val,
-         CAST(NULL AS VARCHAR) AS after_word
+         CAST(NULL AS VARCHAR) AS after_word,
+         CAST(event_id % 100000 AS BIGINT) AS thread_id,
+         CAST(event_id % 3600 AS BIGINT) AS exec_time,
+         CAST(CASE WHEN event_id % 1000 = 0 THEN 1062 ELSE 0 END AS BIGINT) AS error_code
   FROM ev
   UNION ALL
   SELECT CAST(event_id*4+1 AS BIGINT), 'table_map', db, tbl, NULL, NULL,
-         NULL, NULL, NULL, NULL, NULL, NULL
+         NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
   FROM ev
   UNION ALL
   SELECT CAST(event_id*4+2 AS BIGINT), row_op, db, tbl, NULL, NULL,
@@ -416,11 +419,13 @@ SELECT * FROM (
          CASE WHEN row_op = 'write_rows' THEN NULL ELSE word END,
          CASE WHEN row_op = 'delete_rows' THEN NULL ELSE row_id END,
          CASE WHEN row_op = 'delete_rows' THEN NULL ELSE val END,
-         CASE WHEN row_op = 'delete_rows' THEN NULL ELSE word END
+         CASE WHEN row_op = 'delete_rows' THEN NULL ELSE word END,
+         NULL, NULL, NULL
   FROM ev
   UNION ALL
   SELECT CAST(event_id*4+3 AS BIGINT), 'xid', CAST(NULL AS VARCHAR), NULL,
-         CAST(event_id AS BIGINT), NULL, NULL, NULL, NULL, NULL, NULL, NULL
+         CAST(event_id AS BIGINT), NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+         NULL, NULL, NULL
   FROM ev
 )
 """.strip()
@@ -464,6 +469,9 @@ def cdc_binlog_envelope(spark, sf_dir):
         F.element_at("after", "id").cast("bigint").alias("after_id"),
         F.element_at("after", "val").alias("after_val"),
         F.element_at("after", "word").alias("after_word"),
+        "thread_id",
+        "exec_time",
+        "error_code",
     )
 
 

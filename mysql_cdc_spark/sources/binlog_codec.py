@@ -257,9 +257,20 @@ class BinlogWriter:
         body += bytes(27)  # post-header length table (unused by us)
         self._emit(FORMAT_DESCRIPTION_EVENT, body)
 
-    def write_query(self, db: str, sql: str, ts: int = 0) -> None:
+    def write_query(
+        self,
+        db: str,
+        sql: str,
+        ts: int = 0,
+        thread_id: int = 0,
+        exec_time: int = 0,
+        error_code: int = 0,
+    ) -> None:
         dbb, sqlb = db.encode("latin-1"), sql.encode("latin-1")
-        body = struct.pack("<IIBHH", 0, 0, len(dbb), 0, 0) + dbb + b"\x00" + sqlb
+        body = (
+            struct.pack("<IIBHH", thread_id, exec_time, len(dbb), error_code, 0)
+            + dbb + b"\x00" + sqlb
+        )
         self._emit(QUERY_EVENT, body, ts)
 
     def write_table_map(self, t: TableDef, ts: int = 0) -> None:
@@ -523,8 +534,13 @@ def decode_binlog_incremental(
         }
         if type_code == QUERY_EVENT:
             # post-header: thread_id u32, exec_time u32, db_len u8,
-            # error_code u16, status_vars_len u16 (v4)
+            # error_code u16, status_vars_len u16 (v4).  The reference
+            # surfaces all of these for its DBA-facing consumers
+            # (read-query, mysql_binlog.clj:368-383).
+            ev["thread_id"] = int.from_bytes(body[0:4], "little")
+            ev["exec_time"] = int.from_bytes(body[4:8], "little")
             db_len = body[8]
+            ev["error_code"] = int.from_bytes(body[9:11], "little")
             sv_len = int.from_bytes(body[11:13], "little")
             p = 13 + sv_len
             ev["db"] = body[p:p + db_len].decode("latin-1")

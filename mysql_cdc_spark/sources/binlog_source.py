@@ -84,6 +84,11 @@ BINLOG_ENVELOPE_SCHEMA = T.StructType(
         T.StructField("before", T.MapType(T.StringType(), T.StringType(), True), True),
         T.StructField("after", T.MapType(T.StringType(), T.StringType(), True), True),
         T.StructField("sql", T.StringType(), True),
+        # QUERY_EVENT post-header fields (reference read-query,
+        # mysql_binlog.clj:368-383); NULL on non-query events.
+        T.StructField("thread_id", T.LongType(), True),
+        T.StructField("exec_time", T.LongType(), True),
+        T.StructField("error_code", T.LongType(), True),
     ]
 )
 
@@ -128,6 +133,9 @@ def read_binlog_envelope(
                         "xid": ev["xid"], "db": ev["db"], "tbl": ev["tbl"],
                         "op": ev["op"], "row_idx": 0,
                         "before": None, "after": None, "sql": ev["sql"],
+                        "thread_id": ev.get("thread_id"),
+                        "exec_time": ev.get("exec_time"),
+                        "error_code": ev.get("error_code"),
                     }
                     seq += 1
                     if ev["op"].endswith("_rows"):
@@ -240,7 +248,15 @@ def generate_binlog_from_events(
         if event_id % 50 == 0:
             sql = f"ALTER TABLE {qualified} ADD COLUMN extra INT"
 
-        writer.write_query(db, sql, ts)
+        # Non-trivial post-header fields so the oracle checks them:
+        # a synthetic session id, a bounded exec time, and a dup-key
+        # error code on every 1000th statement.
+        writer.write_query(
+            db, sql, ts,
+            thread_id=event_id % 100000,
+            exec_time=event_id % 3600,
+            error_code=1062 if event_id % 1000 == 0 else 0,
+        )
         writer.write_table_map(t, ts)
         if op == WRITE_ROWS_EVENT:
             writer.write_rows(op, t, [[row_id, val, word]], ts=ts)

@@ -287,3 +287,18 @@ def test_enum_set_wire_format_is_string_hybrid():
     assert tmap.col_meta[2] == (TYPE_ENUM, 2)
     assert tmap.col_meta[3] == (TYPE_SET, 1)
     assert tmap.col_meta[4] == (TYPE_SET, 2)
+
+
+def test_query_event_post_header_fields():
+    """D3 full decode: thread_id, exec_time, error_code surfaced
+    (reference read-query, mysql_binlog.clj:368-383)."""
+    w = BinlogWriter()
+    w.write_query("foo", "UPDATE t SET x = 1", ts=7,
+                  thread_id=4242, exec_time=3, error_code=1062)
+    ev = decode_binlog(w.getvalue())[-1]
+    assert ev["op"] == "query"
+    assert ev["thread_id"] == 4242
+    assert ev["exec_time"] == 3
+    assert ev["error_code"] == 1062
+    assert ev["db"] == "foo"
+    assert ev["sql"] == "UPDATE t SET x = 1"
