@@ -84,13 +84,29 @@ class CDCStatement:
             stream, parsed["db"], parsed["table"], parsed["delta_type"]
         )
         name = f"cdc_{uuid.uuid4().hex[:10]}"
+        cp_dir = f"/root/repo/.stream_tmp/cp_{name}"
         query_handle = (
             out.writeStream.format("memory")
             .queryName(name)
-            .option("checkpointLocation", f"/root/repo/.stream_tmp/cp_{name}")
+            .option("checkpointLocation", cp_dir)
             .trigger(processingTime=f"{trigger_seconds} seconds")
             .start()
         )
+        # A memory-sink continuous query has no durable output to
+        # protect: remove its per-call checkpoint when it stops so
+        # repeated queries don't accumulate orphaned state (advisor
+        # finding; same hygiene as the registry's _drain).
+        original_stop = query_handle.stop
+
+        def _stop_and_clean() -> None:
+            import shutil
+
+            try:
+                original_stop()
+            finally:
+                shutil.rmtree(cp_dir, ignore_errors=True)
+
+        query_handle.stop = _stop_and_clean
         return rt.StreamingCursor(spark, name), query_handle
 
     def execute_update(self, sql: str) -> int:
@@ -117,6 +133,15 @@ class CDCConnection:
         if m is None:
             raise ValueError(f"URL not accepted by this driver: {url!r}")
         if cls._instance is not None and not cls._instance.closed:
+            # Singleton semantics (CDCDriver.clj:54-59) hold only for
+            # the SAME source: silently handing back a connection bound
+            # to a different directory would misdirect every query
+            # (advisor finding) — make the caller close it first.
+            if cls._instance.source != m.group("source"):
+                raise RuntimeError(
+                    f"a connection to {cls._instance.source!r} is already open; "
+                    "close it before connecting to a different source"
+                )
             return cls._instance
         cls._instance = cls(spark, m.group("source"))
         return cls._instance

@@ -24,9 +24,58 @@ distributed operator (the query plan upstream stays fully parallel).
 
 from __future__ import annotations
 
+import datetime as _dt
+import decimal as _decimal
 from typing import Any
 
 from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+class ResultSetMetaData:
+    """The reference's ResultSetMetaData surface (jdbc.clj:78-91) over
+    a static DataFrame schema: column count, 1-based names, and a
+    JDBC-ish type name per column.  The reference infers types from the
+    first data row (getColumnType value-switch, :83-88); a schema-first
+    engine knows them before any row arrives."""
+
+    _JDBC_NAMES = {
+        T.LongType: "BIGINT",
+        T.IntegerType: "INTEGER",
+        T.ShortType: "SMALLINT",
+        T.ByteType: "TINYINT",
+        T.DoubleType: "DOUBLE",
+        T.FloatType: "REAL",
+        T.StringType: "VARCHAR",
+        T.BooleanType: "BOOLEAN",
+        T.TimestampType: "TIMESTAMP",
+        T.DateType: "DATE",
+        T.BinaryType: "VARBINARY",
+    }
+
+    def __init__(self, schema: T.StructType) -> None:
+        self._schema = schema
+
+    @property
+    def column_count(self) -> int:
+        return len(self._schema.fields)
+
+    def _field(self, i: int) -> T.StructField:
+        if not 1 <= i <= len(self._schema.fields):
+            raise IndexError(f"column ordinal out of range: {i}")
+        return self._schema.fields[i - 1]
+
+    def column_name(self, i: int) -> str:
+        return self._field(i).name
+
+    def column_type_name(self, i: int) -> str:
+        dt = self._field(i).dataType
+        if isinstance(dt, T.DecimalType):
+            return f"DECIMAL({dt.precision},{dt.scale})"
+        return self._JDBC_NAMES.get(type(dt), dt.simpleString().upper())
+
+    def is_nullable(self, i: int) -> bool:
+        return self._field(i).nullable
 
 
 class ForwardOnlyCursor:
@@ -49,6 +98,9 @@ class ForwardOnlyCursor:
     @property
     def column_types(self) -> list[str]:
         return [f.dataType.simpleString() for f in self._schema.fields]
+
+    def get_metadata(self) -> ResultSetMetaData:
+        return ResultSetMetaData(self._schema)
 
     def find_column(self, label: str | int) -> int:
         """1-based ordinal for a name or a printed ordinal (reference
@@ -103,6 +155,43 @@ class ForwardOnlyCursor:
     def get_string(self, label: str | int) -> str | None:
         v = self._value(label)
         return None if v is None else str(v)
+
+    def get_boolean(self, label: str | int) -> bool:
+        v = self._value(label)
+        return False if v is None else bool(v)     # JDBC null → false + wasNull
+
+    def get_decimal(self, label: str | int) -> _decimal.Decimal | None:
+        """Exact decimal (reference getBigDecimal converts its packed
+        Decimal via BigDecimal, jdbc.clj:244-245)."""
+        v = self._value(label)
+        if v is None:
+            return None
+        if isinstance(v, _decimal.Decimal):
+            return v
+        # going through str keeps DOUBLE values at their printed form
+        # rather than the binary expansion, matching BigDecimal.(str x)
+        return _decimal.Decimal(str(v))
+
+    def get_timestamp(self, label: str | int) -> _dt.datetime | None:
+        """Timestamp getter (reference getTimestamp, jdbc.clj:228-291
+        getter block).  Accepts native datetimes, epoch seconds, or
+        ISO strings."""
+        v = self._value(label)
+        if v is None:
+            return None
+        if isinstance(v, _dt.datetime):
+            return v
+        if isinstance(v, _dt.date):
+            return _dt.datetime(v.year, v.month, v.day)
+        if isinstance(v, (int, float)):
+            return _dt.datetime.fromtimestamp(v, tz=_dt.timezone.utc).replace(tzinfo=None)
+        return _dt.datetime.fromisoformat(str(v))
+
+    def get_bytes(self, label: str | int) -> bytes | None:
+        v = self._value(label)
+        if v is None:
+            return None
+        return bytes(v) if isinstance(v, (bytes, bytearray)) else str(v).encode()
 
     def was_null(self) -> bool:
         return self._was_null

@@ -789,11 +789,16 @@ def llm_dedup_jaccard(spark, sf_dir):
     return dedup.jaccard_pairs(_docs(spark, sf_dir))
 
 
+# COALESCE(..., 0) mirrors Spark's aggregate() seed: a doc with an
+# EMPTY shingle set (under 3 tokens) sums to 0 on both engines, so
+# every bit passes >= 0 and both sides emit the all-'1's signature —
+# without it DuckDB's list_sum over [] is NULL and the signatures
+# diverge (advisor finding; latent until a short-doc fixture appears).
 _SIMHASH_CTE = (
     _SHINGLE_CTE + ", "
     "th AS (SELECT doc_id, list_transform(shingles, t -> md5(t)) AS thash FROM sh), "
-    "sig AS (SELECT doc_id, array_to_string([CASE WHEN list_sum(list_transform(thash, h -> "
-    "2 * (((instr('0123456789abcdef', substr(h, 1 + (j // 4), 1)) - 1 >> (3 - (j % 4))) & 1)) - 1)) >= 0 "
+    "sig AS (SELECT doc_id, array_to_string([CASE WHEN COALESCE(list_sum(list_transform(thash, h -> "
+    "2 * (((instr('0123456789abcdef', substr(h, 1 + (j // 4), 1)) - 1 >> (3 - (j % 4))) & 1)) - 1)), 0) >= 0 "
     "THEN '1' ELSE '0' END for j in range(0, 64)], '') AS simhash FROM th)"
 )
 

@@ -116,3 +116,18 @@ def test_continuous_query_blocks_then_delivers_new_rows(spark, sf_dir):
     finally:
         handle.stop()
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_connect_different_source_raises(spark):
+    from mysql_cdc_spark import api
+
+    api.CDCConnection._instance = None
+    c1 = api.connect("jdbc:mysql-cdc:/root/testdata/sf0.001", spark)
+    with pytest.raises(RuntimeError, match="already open"):
+        api.connect("jdbc:mysql-cdc:/root/testdata/sf0.01", spark)
+    # same source still returns the singleton; after close, reconnect works
+    assert api.connect("jdbc:mysql-cdc:/root/testdata/sf0.001", spark) is c1
+    c1.close()
+    c2 = api.connect("jdbc:mysql-cdc:/root/testdata/sf0.01", spark)
+    assert c2.source == "/root/testdata/sf0.01"
+    c2.close()

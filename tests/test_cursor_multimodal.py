@@ -96,3 +96,53 @@ def test_frame_sample_only_videos(spark, sf_dir):
 def test_decode_media_is_stubbed():
     with pytest.raises(NotImplementedError, match="codec"):
         mm.decode_media(b"\x00", "image")
+
+
+@pytest.fixture()
+def typed_df(spark):
+    from decimal import Decimal
+
+    return spark.createDataFrame(
+        [
+            (1, Decimal("12.3400"), "2024-03-01T10:30:00", True, b"\x01\x02"),
+            (2, None, None, None, None),
+        ],
+        "id long, amount decimal(12,4), at string, ok boolean, blob binary",
+    )
+
+
+def test_typed_getters(typed_df):
+    """get_decimal/get_timestamp/get_boolean/get_bytes with per-type
+    wasNull semantics (reference jdbc.clj:228-291, wasNull :187-199)."""
+    from datetime import datetime
+    from decimal import Decimal
+
+    cur = ForwardOnlyCursor(typed_df.orderBy("id"))
+    assert cur.next()
+    assert cur.get_decimal("amount") == Decimal("12.3400")
+    assert not cur.was_null()
+    assert cur.get_timestamp("at") == datetime(2024, 3, 1, 10, 30)
+    assert cur.get_boolean("ok") is True
+    assert cur.get_bytes("blob") == b"\x01\x02"
+
+    assert cur.next()
+    assert cur.get_decimal("amount") is None and cur.was_null()
+    assert cur.get_timestamp("at") is None and cur.was_null()
+    assert cur.get_boolean("ok") is False and cur.was_null()  # JDBC null->false
+    assert cur.get_bytes("blob") is None and cur.was_null()
+
+
+def test_result_set_metadata(typed_df):
+    """ResultSetMetaData shape (reference jdbc.clj:78-91): count,
+    1-based names, JDBC type names, nullability."""
+    md = ForwardOnlyCursor(typed_df).get_metadata()
+    assert md.column_count == 5
+    assert [md.column_name(i) for i in range(1, 6)] == ["id", "amount", "at", "ok", "blob"]
+    assert md.column_type_name(1) == "BIGINT"
+    assert md.column_type_name(2) == "DECIMAL(12,4)"
+    assert md.column_type_name(3) == "VARCHAR"
+    assert md.column_type_name(4) == "BOOLEAN"
+    assert md.column_type_name(5) == "VARBINARY"
+    assert md.is_nullable(2)
+    with pytest.raises(IndexError):
+        md.column_name(6)

@@ -65,3 +65,19 @@ def test_simhash_pairs_catches_dups_only(docs):
     pairs = {(r["doc_a"], r["doc_b"]) for r in dedup.simhash_pairs(docs).collect()}
     assert (0, 1) in pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_simhash_empty_shingle_convention(spark):
+    """Docs with under 3 tokens have an empty shingle set: the majority
+    vote sums a seed-only 0, so every bit passes >= 0 and the signature
+    is all '1's — a convention the DuckDB oracle mirrors via
+    COALESCE(list_sum(...), 0) (advisor finding)."""
+    from mysql_cdc_spark.operators.dedup import simhash_signatures
+
+    docs = spark.createDataFrame(
+        [(1, "just two"), (2, "three token doc here")],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    assert sigs[1] == "1" * 64
+    assert set(sigs[2]) <= {"0", "1"} and sigs[2] != "1" * 64
