@@ -107,6 +107,44 @@ def _stringify(image: dict | None) -> dict | None:
     }
 
 
+def envelope_records(
+    events: list[dict], log_file: str, seq_start: int = 0
+) -> tuple[list[dict], int]:
+    """Flatten decoded codec events into envelope records (one per row
+    image pair; non-row events emit one record).  Returns (records,
+    next_seq) so callers that deliver a file's events across several
+    batches — the incremental tailer — keep per-file seq continuity.
+    Shared by the batch binaryFile path and the streaming bridge."""
+    out: list[dict] = []
+    seq = seq_start
+    for ev in events:
+        if ev["op"] not in _ENVELOPE_OPS:
+            continue
+        base = {
+            "log_file": log_file, "seq": seq, "offset": ev["offset"],
+            "ts": ev["ts"], "server_id": ev["server_id"],
+            "xid": ev["xid"], "db": ev["db"], "tbl": ev["tbl"],
+            "op": ev["op"], "row_idx": 0,
+            "before": None, "after": None, "sql": ev["sql"],
+            "thread_id": ev.get("thread_id"),
+            "exec_time": ev.get("exec_time"),
+            "error_code": ev.get("error_code"),
+        }
+        seq += 1
+        if ev["op"].endswith("_rows"):
+            before = ev["before"] or []
+            after = ev["after"] or []
+            for ri in range(max(len(before), len(after))):
+                rec = dict(base)
+                rec["row_idx"] = ri
+                rec["before"] = _stringify(before[ri]) if ri < len(before) else None
+                rec["after"] = _stringify(after[ri]) if ri < len(after) else None
+                out.append(rec)
+        else:
+            out.append(base)
+    return out, seq
+
+
 def read_binlog_envelope(
     spark: SparkSession,
     path: str,
@@ -123,32 +161,8 @@ def read_binlog_envelope(
             out: list[dict] = []
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 log_file = str(fpath).rsplit("/", 1)[-1]
-                seq = 0
-                for ev in decode_binlog(bytes(content), cat):
-                    if ev["op"] not in _ENVELOPE_OPS:
-                        continue
-                    base = {
-                        "log_file": log_file, "seq": seq, "offset": ev["offset"],
-                        "ts": ev["ts"], "server_id": ev["server_id"],
-                        "xid": ev["xid"], "db": ev["db"], "tbl": ev["tbl"],
-                        "op": ev["op"], "row_idx": 0,
-                        "before": None, "after": None, "sql": ev["sql"],
-                        "thread_id": ev.get("thread_id"),
-                        "exec_time": ev.get("exec_time"),
-                        "error_code": ev.get("error_code"),
-                    }
-                    seq += 1
-                    if ev["op"].endswith("_rows"):
-                        before = ev["before"] or []
-                        after = ev["after"] or []
-                        for ri in range(max(len(before), len(after))):
-                            rec = dict(base)
-                            rec["row_idx"] = ri
-                            rec["before"] = _stringify(before[ri]) if ri < len(before) else None
-                            rec["after"] = _stringify(after[ri]) if ri < len(after) else None
-                            out.append(rec)
-                    else:
-                        out.append(base)
+                recs, _ = envelope_records(decode_binlog(bytes(content), cat), log_file)
+                out.extend(recs)
             yield pd.DataFrame(out, columns=cols)
 
     return files.mapInPandas(decode_part, BINLOG_ENVELOPE_SCHEMA)

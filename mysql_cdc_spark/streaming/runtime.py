@@ -177,6 +177,63 @@ def run_to_memory(
     return transformed.sparkSession.table(sink_name)
 
 
+def binlog_event_log_fn(spark: SparkSession, out_dir: str):
+    """The composed real-byte ingest path's write half: an `event_fn`
+    for `BinlogTailer` that appends each delivered batch to a parquet
+    event-log directory, which `open_binlog_stream` then consumes as a
+    file-stream source.  Together these wire the reference's two halves
+    end-to-end: mmap-tail ingest (cdc-turn) feeding the continuous
+    query surface (jdbc.clj) — tailer → event-log → stream → sink.
+
+    Per-file seq continuity is kept across turns (a tailer delivers a
+    growing file's events over many batches); each append commits
+    atomically via Spark's parquet protocol, so the stream source never
+    observes a torn file — the file-level analog of the byte-level
+    torn-tail guard.
+    """
+    import pandas as pd
+
+    from mysql_cdc_spark.sources.binlog_source import (
+        BINLOG_ENVELOPE_SCHEMA,
+        envelope_records,
+    )
+
+    seqs: dict[str, int] = {}
+    cols = [f.name for f in BINLOG_ENVELOPE_SCHEMA.fields]
+
+    def event_fn(batch: list[dict]) -> None:
+        records: list[dict] = []
+        for ev in batch:
+            lf = ev.get("log_file", "binlog")
+            recs, seqs[lf] = envelope_records([ev], lf, seqs.get(lf, 0))
+            records.extend(recs)
+        if records:
+            pdf = pd.DataFrame(records, columns=cols)
+            (
+                spark.createDataFrame(pdf, BINLOG_ENVELOPE_SCHEMA)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+
+    return event_fn
+
+
+def open_binlog_stream(
+    spark: SparkSession,
+    log_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The byte-decoded envelope as a streaming DataFrame (MAP-payload
+    schema) over a tailer-fed event-log directory."""
+    from mysql_cdc_spark.sources.binlog_source import BINLOG_ENVELOPE_SCHEMA
+
+    reader = spark.readStream.schema(BINLOG_ENVELOPE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(log_dir)
+
+
 def idempotent_parquet_sink(out_dir: str):
     """Exactly-once delivery from an at-least-once stream: an event_fn
     for `foreachBatch` that writes each micro-batch to a path keyed by
