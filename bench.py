@@ -45,6 +45,14 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    # End-to-end CDC latency (BASELINE.md metric 3): the reference's
+    # binlog2−binlog3−binlog4 decomposition — full turn minus pure
+    # byte-write minus pure incremental-decode = the streaming
+    # delivery layer's per-turn cost (append → sink-visible).
+    from mysql_cdc_spark.streaming.latency import measure_latency
+
+    latency = measure_latency(spark, turns=20)
+
     # Round 1's self-calibrated baseline (6.27s, BENCH_r01) covered
     # exactly these five queries; the headline set has since grown
     # (dedup/KNN/text shapes), so report the like-for-like subtotal
@@ -64,6 +72,7 @@ def main() -> None:
                 "baseline5_total": round(
                     sum(timings[q] for q in baseline5 if q in timings), 4
                 ),
+                "latency": latency,
                 "sf": sf,
             }
         )
