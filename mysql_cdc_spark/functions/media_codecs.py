@@ -1,0 +1,163 @@
+"""Minimal pure-Python media codecs: PNG (8-bit gray/RGB/RGBA) and
+WAV (16-bit PCM).  Stdlib only (struct + zlib) — written against the
+PUBLIC format specifications (PNG: RFC 2083 / W3C PNG spec; WAV:
+RIFF/WAVE PCM layout), so multimodal feature extraction can run on
+REAL bytes in this container without PIL/torchaudio.
+
+Scope: what a feature-extraction pipeline needs — full chunk walking
+with CRC verification, all five PNG scanline filters on decode
+(encode emits filter 0), single-IDAT or multi-IDAT streams, PCM16
+mono/stereo WAV.  Interlaced PNG and non-PCM WAV are out of scope and
+raise cleanly.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+_COLOR_TYPE_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA
+_CHANNELS_COLOR_TYPE = {1: 0, 3: 2, 4: 6}
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, pixels: bytes, channels: int = 3) -> bytes:
+    """8-bit PNG from raw row-major samples (len = w*h*channels)."""
+    if channels not in _CHANNELS_COLOR_TYPE:
+        raise ValueError(f"unsupported channel count {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer does not match dimensions")
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, _CHANNELS_COLOR_TYPE[channels], 0, 0, 0
+    )
+    stride = width * channels
+    raw = b"".join(
+        b"\x00" + pixels[y * stride:(y + 1) * stride] for y in range(height)
+    )
+    return (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """→ (width, height, channels, raw row-major samples).  Verifies
+    the signature and every chunk CRC; applies scanline filters
+    0 (none), 1 (sub), 2 (up), 3 (average), 4 (paeth)."""
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    width = height = channels = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r}: CRC mismatch")
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported bit depth {depth}")
+            if color_type not in _COLOR_TYPE_CHANNELS:
+                raise ValueError(f"unsupported color type {color_type}")
+            if interlace:
+                raise ValueError("interlaced PNG not supported")
+            channels = _COLOR_TYPE_CHANNELS[color_type]
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG data length mismatch")
+    out = bytearray(stride * height)
+    prev = bytearray(stride)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        row = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        if f == 1:      # sub
+            for i in range(channels, stride):
+                row[i] = (row[i] + row[i - channels]) & 0xFF
+        elif f == 2:    # up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif f == 3:    # average
+            for i in range(stride):
+                a = row[i - channels] if i >= channels else 0
+                row[i] = (row[i] + (a + prev[i]) // 2) & 0xFF
+        elif f == 4:    # paeth
+            for i in range(stride):
+                a = row[i - channels] if i >= channels else 0
+                c = prev[i - channels] if i >= channels else 0
+                row[i] = (row[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y * stride:(y + 1) * stride] = row
+        prev = row
+    return width, height, channels, bytes(out)
+
+
+# --- WAV (RIFF / PCM16) ------------------------------------------------------
+
+def encode_wav(samples: list[int], rate: int = 8000, channels: int = 1) -> bytes:
+    """16-bit PCM WAV from interleaved samples (-32768..32767)."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
+    """→ (rate, channels, interleaved 16-bit samples)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    rate = channels = None
+    samples: list[int] = []
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (length,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8:pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            audio_format, channels, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if audio_format != 1 or bits != 16:
+                raise ValueError("only 16-bit PCM WAV supported")
+        elif tag == b"data":
+            samples = list(struct.unpack(f"<{len(body) // 2}h", body[:len(body) & ~1]))
+    if rate is None:
+        raise ValueError("WAV missing fmt chunk")
+    return rate, channels, samples

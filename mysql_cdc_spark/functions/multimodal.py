@@ -5,12 +5,16 @@ with a binary column — and the Spark-side plumbing (schema, partition
 parallelism, batch iteration, UDF signatures) is what has to be right;
 the pixel/sample decode itself is a library call.
 
-The actual media codecs (PIL/cv2/torchaudio/av) are NOT available in
-this container, so `decode_media` is STUBBED: it raises
-NotImplementedError when a real codec is requested, and the feature
-extractors use a clearly-marked deterministic fake (byte-level stats)
-so every piece of plumbing is testable end-to-end.  Swap `_FAKE_DECODE`
-for a real decoder and nothing else changes.
+Image and audio decode are REAL: pure-Python PNG/WAV codecs
+(functions/media_codecs.py, public formats, stdlib only) run inside
+the Arrow-batched executors — `synth_real_media` +
+`extract_decoded_features` exercise the full encode→bytes→decode
+path with no fakes.  Video container demuxing (mp4/mkv) would need a
+library (av/ffmpeg) this environment doesn't have, so video payloads
+stay opaque: `sample_frames` emits the frame-index explode and
+`decode_media` raises for kind='video'.  The byte-level fake features
+(`extract_features`) are kept alongside as the cheap
+no-decode-required path.
 """
 
 from __future__ import annotations
@@ -82,12 +86,27 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_media(payload: bytes, kind: str):
-    """Real media decode — STUB.  The container has no media codecs;
-    a production deployment plugs PIL/torchaudio/av in here."""
+    """Real media decode via the pure-Python PNG/WAV codecs
+    (functions/media_codecs.py — public formats, stdlib only):
+
+      image → (width, height, channels, raw pixel bytes)
+      audio → (rate, channels, 16-bit samples)
+
+    Video stays honestly unsupported: real container demuxing (mp4/
+    mkv) needs a library (av/ffmpeg) this environment doesn't have —
+    a video pipeline samples frame indices here (`sample_frames`) and
+    decodes per-frame images with the image path.
+    """
+    from mysql_cdc_spark.functions.media_codecs import decode_png, decode_wav
+
+    if kind == "image":
+        return decode_png(payload)
+    if kind == "audio":
+        return decode_wav(payload)
     raise NotImplementedError(
-        f"media decode for kind={kind!r} requires a codec library "
-        "(PIL/torchaudio/av) not present in this environment; "
-        "use the deterministic byte-level features instead"
+        f"media decode for kind={kind!r} requires a container demuxer "
+        "(av/ffmpeg) not present in this environment; sample frames and "
+        "decode them as images instead"
     )
 
 
@@ -116,6 +135,102 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+REAL_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("px_sum", T.LongType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("sample_sum", T.LongType(), True),
+    ]
+)
+
+# Deterministic real-payload generation rules (shared with the DuckDB
+# oracle's closed forms — keep in lockstep):
+#   image: 8×8 RGB, even rows solid A = id % 256, odd rows solid
+#          B = (id * 3) % 256 (all three channels equal)
+#          → px_sum = 3 * 32 * (A + B)
+#   audio: 32 PCM16 samples s_i = ((id*7 + i*13) % 65536) - 32768,
+#          rate 8000 → sample_sum = Σ s_i
+_IMG_W = _IMG_H = 8
+_N_SAMPLES = 32
+
+
+def synth_real_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media table whose payloads are REAL encoded bytes (PNG/WAV via
+    the pure-Python codecs) derived deterministically from `events`.
+    Video rows are excluded (no container format without a demuxer)."""
+    from mysql_cdc_spark.functions.media_codecs import encode_png, encode_wav
+    from mysql_cdc_spark.sources.io import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("media_id"),
+        F.element_at(
+            F.array(*[F.lit(k) for k in KINDS]), (F.col("event_id") % 3 + 1).cast("int")
+        ).alias("kind"),
+    ).filter(F.col("kind") != "video")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid, kind in zip(pdf["media_id"], pdf["kind"]):
+                mid = int(mid)
+                if kind == "image":
+                    a, b = mid % 256, (mid * 3) % 256
+                    rows = [(a if y % 2 == 0 else b) for y in range(_IMG_H)]
+                    pixels = bytes(
+                        v for v in rows for _ in range(_IMG_W) for v in (v, v, v)
+                    )
+                    payloads.append(encode_png(_IMG_W, _IMG_H, pixels))
+                else:
+                    samples = [
+                        ((mid * 7 + i * 13) % 65536) - 32768 for i in range(_N_SAMPLES)
+                    ]
+                    payloads.append(encode_wav(samples))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "kind": pdf["kind"], "payload": payloads}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return ev.mapInPandas(gen, schema)
+
+
+def extract_decoded_features(media: DataFrame) -> DataFrame:
+    """Feature extraction over REAL bytes: decode each payload with the
+    PNG/WAV codecs and emit decoded-domain features — the full
+    encode→bytes→decode→features path running Arrow-batched on
+    executors (no fakes anywhere)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                d = decode_media(bytes(payload), str(kind))
+                if kind == "image":
+                    w, h, _ch, pixels = d
+                    rows.append((mid, kind, w, h, sum(pixels), None, None))
+                else:
+                    _rate, _ch, samples = d
+                    rows.append((mid, kind, None, None, None, len(samples), sum(samples)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "width", "height",
+                    "px_sum", "n_samples", "sample_sum",
+                ],
+            )
+
+    return media.mapInPandas(run, REAL_FEATURE_SCHEMA)
 
 
 def sample_frames(media: DataFrame, step: int = 2) -> DataFrame:

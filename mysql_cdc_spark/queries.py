@@ -1131,6 +1131,31 @@ def mm_frame_sample(spark, sf_dir):
     return mm.sample_frames(mm.synth_media(spark, sf_dir))
 
 
+@register(
+    "mm_decoded_features",
+    "SELECT CAST(event_id AS BIGINT) AS media_id, 'image' AS kind, "
+    "8 AS width, 8 AS height, "
+    "CAST(3*32*((event_id % 256) + ((event_id*3) % 256)) AS BIGINT) AS px_sum, "
+    "CAST(NULL AS INTEGER) AS n_samples, CAST(NULL AS BIGINT) AS sample_sum "
+    "FROM events WHERE event_id % 3 = 0 "
+    "UNION ALL "
+    "SELECT CAST(event_id AS BIGINT), 'audio', NULL, NULL, NULL, 32, "
+    "(SELECT CAST(SUM(((event_id*7 + i*13) % 65536) - 32768) AS BIGINT) "
+    " FROM range(32) t(i)) "
+    "FROM events WHERE event_id % 3 = 1",
+)
+def mm_decoded_features(spark, sf_dir):
+    """REAL media decode end-to-end: payloads are genuine PNG/WAV
+    bytes (pure-Python codecs, functions/media_codecs.py) encoded on
+    executors, decoded back on executors, and reduced to decoded-domain
+    features (pixel sums, sample sums).  The oracle computes the same
+    features in closed form from the generation rules — so the whole
+    encode→bytes→decode chain must be lossless."""
+    from mysql_cdc_spark.functions import multimodal as mm
+
+    return mm.extract_decoded_features(mm.synth_real_media(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Full relational surface (SURVEY §2.5: joins / aggs / windows / set ops /
 # subqueries / sort+limit — everything the reference declares absent,

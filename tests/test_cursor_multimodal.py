@@ -93,9 +93,13 @@ def test_frame_sample_only_videos(spark, sf_dir):
         assert sorted(idxs) == list(range(0, n, 2))
 
 
-def test_decode_media_is_stubbed():
-    with pytest.raises(NotImplementedError, match="codec"):
-        mm.decode_media(b"\x00", "image")
+def test_decode_media_video_is_stubbed():
+    """Image/audio decode are real (pure-Python PNG/WAV codecs); only
+    video container demuxing remains honestly unsupported."""
+    with pytest.raises(NotImplementedError, match="demuxer"):
+        mm.decode_media(b"\x00", "video")
+    with pytest.raises(ValueError, match="PNG"):
+        mm.decode_media(b"\x00", "image")  # real decoder rejects bad bytes
 
 
 @pytest.fixture()
