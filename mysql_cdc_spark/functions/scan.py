@@ -36,7 +36,6 @@ DEFAULT_CHUNK_SPAN = 65536
 
 _CHUNK = "__chunk"
 _INTRA = "__intra"
-_TOTAL = "__total"
 _CARRY = "__carry"
 
 
@@ -69,25 +68,23 @@ def running_agg(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, end)
     )
-    # The whole-partition total rides the SAME Exchange(chunk) + sort as
-    # the running frame (second Window op, identical partitioning), so
-    # the carry branch below derives from the shuffled data instead of
-    # re-reading the source: both sides of the diamond sit on one
-    # exchange, which ReuseExchange computes once.  (The previous
-    # formulation aggregated the carries straight off the source — a
-    # second full scan + explode of the input per run.)
-    windowed = tagged.withColumn(_INTRA, F.sum(value).over(intra_w)).withColumn(
-        _TOTAL, F.sum(value).over(Window.partitionBy(_CHUNK))
-    )
+    intra = tagged.withColumn(_INTRA, F.sum(value).over(intra_w))
 
-    # One row per chunk: input is already hash-partitioned by chunk, so
-    # this groupBy needs no new exchange.  The cumulative carry window
-    # then runs over chunk ids only — N/chunk_span rows, small enough
-    # for one task up to extreme scale — and is broadcast back.
+    # Per-chunk totals go through a plain groupBy ON THE SOURCE: the
+    # partial aggregate collapses each map task to ~one row per chunk
+    # BEFORE its exchange, so this branch's shuffle is a chunk_span×
+    # reduction.  Yes, that re-reads the (column-pruned) source — a
+    # shared-exchange formulation was tried TWICE and measured worse
+    # both times: column pruning specializes each branch's subtree, so
+    # ReusedExchange never materializes, and deriving totals from the
+    # window output forces a FULL-data exchange for the carry branch
+    # where this groupBy ships one row per chunk (1.42s vs 1.10s at
+    # sf0.1 — see PLANS.md).  The cumulative carry window then runs
+    # over chunk ids only — tiny — and is broadcast back.
     carry_w = Window.orderBy(_CHUNK).rowsBetween(Window.unboundedPreceding, -1)
     carries = (
-        windowed.groupBy(_CHUNK)
-        .agg(F.first(_TOTAL).alias("__chunk_total"))
+        tagged.groupBy(_CHUNK)
+        .agg(F.sum(value).alias("__chunk_total"))
         .withColumn(_CARRY, F.sum("__chunk_total").over(carry_w))
         .select(_CHUNK, _CARRY)
     )
@@ -96,10 +93,10 @@ def running_agg(
     # Spark unifies the addition's type.  NULLs appear only where a
     # window frame is empty (first chunk / first row) — they mean 0.
     return (
-        windowed.join(F.broadcast(carries), _CHUNK, "left")
+        intra.join(F.broadcast(carries), _CHUNK, "left")
         .withColumn(
             out_col,
             F.coalesce(F.col(_CARRY), F.lit(0)) + F.coalesce(F.col(_INTRA), F.lit(0)),
         )
-        .drop(_CHUNK, _INTRA, _TOTAL, _CARRY)
+        .drop(_CHUNK, _INTRA, _CARRY)
     )
