@@ -1,0 +1,150 @@
+"""Corpus-management operators for a training-data pipeline: the
+steps that turn a deduplicated document pool into model-ready data —
+deterministic split assignment, length bucketing for batch packing,
+and duplicate-cluster resolution (connected components over near-dup
+pairs).
+
+These go beyond the reference's surface (its product ends at the
+change stream) but are first-class here: at 100 TB every one of these
+is a distributed job, and each has an exact DuckDB oracle so the
+implementations stay verifiable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Split thresholds on a 256-bucket md5 space: ~90/5/5.  Integer
+# boundaries keep both engines' comparisons exact.
+TRAIN_CUT = 230
+VAL_CUT = 243
+
+# First two hex digits of md5('split:' || doc_id) → 0..255.  The
+# instr-based digit parse is engine-neutral (Spark `instr` and DuckDB
+# `instr` agree); going through conv()/hex casts is not.
+_BUCKET_EXPR = (
+    "(instr('0123456789abcdef', substring(md5(concat('split:', cast(doc_id as string))), 1, 1)) - 1) * 16 "
+    "+ instr('0123456789abcdef', substring(md5(concat('split:', cast(doc_id as string))), 2, 1)) - 1"
+)
+
+
+def split_assign(docs: DataFrame) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent
+    hash of the document id.
+
+    Hash-based (not random) so the split is stable under reruns,
+    repartitions, and incremental corpus growth — a doc never migrates
+    between splits when new data arrives.  Narrow (no shuffle): one
+    md5 + projection per row.
+    """
+    bucket = F.expr(_BUCKET_EXPR).cast("bigint")
+    return docs.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        F.when(bucket < TRAIN_CUT, F.lit("train"))
+        .when(bucket < VAL_CUT, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+# Power-of-two token-length boundaries (lower bound of each bucket).
+_LEN_BOUNDS = [1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096]
+
+
+def _bucket_case(n_col: str) -> str:
+    # Explicit CASE chain (not floor(log2(n))) so both engines compute
+    # identical integer buckets with no float involvement.
+    parts = []
+    for lo, hi in zip(_LEN_BOUNDS, _LEN_BOUNDS[1:]):
+        parts.append(f"WHEN {n_col} < {hi} THEN {lo}")
+    return f"CASE WHEN {n_col} < 1 THEN 0 " + " ".join(parts) + f" ELSE {_LEN_BOUNDS[-1]} END"
+
+
+def length_buckets(docs: DataFrame) -> DataFrame:
+    """Per-(lang, power-of-two token-length bucket) doc and token
+    totals — the histogram a sequence-packing/batching stage feeds on.
+    One map-side-combined shuffle on a tiny key space."""
+    toks = docs.select(
+        "lang",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    bucketed = toks.withColumn("bucket", F.expr(_bucket_case("n_tokens")).cast("bigint"))
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
+def duplicate_components(
+    docs: DataFrame, pairs: DataFrame | None = None, max_iter: int = 25
+) -> DataFrame:
+    """Connected components over verified near-dup pairs: every doc
+    gets a component label (the minimum doc_id reachable through dup
+    edges; singletons label themselves), plus the component size and a
+    canonical flag — the step that turns PAIRS into KEEP/DROP
+    decisions for an actual dedup pass.
+
+    Algorithm: iterative min-label propagation.  Each round is one
+    shuffle join (labels ⇢ neighbors) + a min-aggregate; rounds needed
+    = graph diameter, and near-dup clusters are small and dense in
+    practice (diameter 1-3).  `localCheckpoint` truncates the plan
+    lineage each round so the iteration count doesn't compound the
+    DAG.  For adversarial path-shaped graphs the same loop slots in
+    the large-star/small-star alternation (O(log n) rounds, as in the
+    map-reduce connected-components literature); not needed for dup
+    clusters.  Convergence is detected by a changed-label count — the
+    one intentional driver-side scalar per round.
+    """
+    if pairs is None:
+        from mysql_cdc_spark.operators.dedup import minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(docs)
+    p = pairs.select("doc_a", "doc_b")
+    edges = (
+        p.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(p.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("component")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"label propagation did not converge in {max_iter} rounds")
+    from pyspark.sql import Window
+
+    size_w = Window.partitionBy("component")
+    return labels.select(
+        "doc_id",
+        "component",
+        F.count(F.lit(1)).over(size_w).cast("bigint").alias("component_size"),
+        (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+    )

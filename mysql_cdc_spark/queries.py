@@ -1090,10 +1090,76 @@ def llm_curated_corpus(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Corpus management (operators/corpus.py): split assignment, length
+# bucketing, duplicate-cluster resolution — the post-dedup steps of a
+# training-data pipeline.
+# ---------------------------------------------------------------------------
+
+from mysql_cdc_spark.operators import corpus  # noqa: E402
+
+
+@register(
+    "llm_split_assign",
+    "SELECT doc_id, lang, CAST(b AS BIGINT) AS bucket, "
+    f"CASE WHEN b < {corpus.TRAIN_CUT} THEN 'train' "
+    f"WHEN b < {corpus.VAL_CUT} THEN 'val' ELSE 'test' END AS split "
+    "FROM (SELECT doc_id, lang, "
+    "(instr('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 "
+    "+ instr('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS b "
+    "FROM documents)",
+)
+def llm_split_assign(spark, sf_dir):
+    """Deterministic hash-based train/val/test assignment (stable under
+    reruns and incremental corpus growth; no RNG, no shuffle)."""
+    return corpus.split_assign(_docs(spark, sf_dir))
+
+
+@register(
+    "llm_length_buckets",
+    "WITH toks AS (SELECT lang, "
+    r"CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens "
+    "FROM documents) "
+    "SELECT lang, CAST(" + corpus._bucket_case("n_tokens") + " AS BIGINT) AS bucket, "
+    "CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens "
+    "FROM toks GROUP BY 1, 2",
+)
+def llm_length_buckets(spark, sf_dir):
+    """Power-of-two token-length histogram per language — the input to
+    a sequence-packing/batching stage."""
+    return corpus.length_buckets(_docs(spark, sf_dir))
+
+
+@register(
+    "llm_dup_components",
+    _BAND_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + ", cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM bandrows a JOIN bandrows b ON a.band = b.band AND a.band_hash = b.band_hash "
+    "AND a.doc_id < b.doc_id), "
+    "vp AS (SELECT doc_a, doc_b FROM ("
+    "  SELECT c.doc_a, c.doc_b, "
+    "  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / "
+    "  CAST(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS jaccard "
+    "  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b"
+    f") WHERE jaccard >= {dedup.JACCARD_THRESHOLD}), "
+    "edges AS (SELECT doc_a AS src, doc_b AS dst FROM vp "
+    "UNION ALL SELECT doc_b, doc_a FROM vp), "
+    "reach AS (SELECT doc_id AS doc, doc_id AS other FROM documents "
+    "UNION SELECT r.doc, e.dst FROM reach r JOIN edges e ON e.src = r.other), "
+    "comp AS (SELECT doc, MIN(other) AS component FROM reach GROUP BY doc) "
+    "SELECT doc AS doc_id, component, "
+    "CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS component_size, "
+    "doc = component AS is_canonical FROM comp",
+)
+def llm_dup_components(spark, sf_dir):
+    """Connected components over verified MinHash near-dup pairs
+    (iterative min-label propagation; oracle = recursive CTE closure):
+    pairs → keep/drop decisions."""
+    return corpus.duplicate_components(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # Multimodal columns (functions/multimodal.py): binary payloads through
-# Arrow-batched mapInPandas.  The decode is a deterministic byte-level
-# fake (real codecs absent — see module doc), so the oracle can
-# reconstruct the same features from the md5 hex string.
+# Arrow-batched mapInPandas.
 # ---------------------------------------------------------------------------
 
 _HEXVAL = "(instr('0123456789abcdef', substr(h, {pos}, 1)) - 1)"

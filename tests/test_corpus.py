@@ -1,0 +1,89 @@
+"""Corpus-management operator tests: split determinism, length
+buckets, and connected-components label propagation on adversarial
+graph shapes the fixtures don't produce."""
+
+from __future__ import annotations
+
+import pytest
+
+from mysql_cdc_spark.operators import corpus
+
+
+def test_split_assign_deterministic_and_complete(spark):
+    docs = spark.createDataFrame(
+        [(i, "text", "en") for i in range(200)], "doc_id long, text string, lang string"
+    )
+    a = {r["doc_id"]: (r["bucket"], r["split"]) for r in corpus.split_assign(docs).collect()}
+    b = {r["doc_id"]: (r["bucket"], r["split"]) for r in corpus.split_assign(docs).collect()}
+    assert a == b                                     # rerun-stable
+    splits = {s for _, s in a.values()}
+    assert splits == {"train", "val", "test"}
+    n_train = sum(1 for _, s in a.values() if s == "train")
+    assert n_train > 150                              # ~90% of 200
+
+
+def test_split_stable_under_corpus_growth(spark):
+    """A doc's split never changes when new docs arrive (hash-based,
+    not positional/random)."""
+    small = spark.createDataFrame(
+        [(i, "t", "en") for i in range(50)], "doc_id long, text string, lang string"
+    )
+    big = spark.createDataFrame(
+        [(i, "t", "en") for i in range(500)], "doc_id long, text string, lang string"
+    )
+    s1 = {r["doc_id"]: r["split"] for r in corpus.split_assign(small).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in corpus.split_assign(big).collect()}
+    assert all(s2[k] == v for k, v in s1.items())
+
+
+def test_length_buckets_power_of_two(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "one", "en"),                    # 1 token  → bucket 1
+            (2, "a b c", "en"),                  # 3 tokens → bucket 2
+            (3, " ".join(["w"] * 16), "en"),     # 16       → bucket 16
+            (4, " ".join(["w"] * 17), "en"),     # 17       → bucket 16
+            (5, " ".join(["w"] * 5000), "de"),   # beyond   → top bucket
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {(r["lang"], r["bucket"]): (r["n_docs"], r["total_tokens"])
+           for r in corpus.length_buckets(docs).collect()}
+    assert got[("en", 1)] == (1, 1)
+    assert got[("en", 2)] == (1, 3)
+    assert got[("en", 16)] == (2, 33)
+    assert got[("de", 4096)] == (1, 5000)
+
+
+def _docs_df(spark, n):
+    return spark.createDataFrame(
+        [(i, "t", "en") for i in range(n)], "doc_id long, text string, lang string"
+    )
+
+
+def _pairs_df(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+
+def test_components_chain_needs_multiple_rounds(spark):
+    """A path graph 0-1-2-...-7 has diameter 7: labels must propagate
+    across rounds, not just one hop."""
+    docs = _docs_df(spark, 10)
+    pairs = _pairs_df(spark, [(i, i + 1) for i in range(7)])
+    got = {r["doc_id"]: (r["component"], r["component_size"], r["is_canonical"])
+           for r in corpus.duplicate_components(docs, pairs).collect()}
+    for i in range(8):
+        assert got[i] == (0, 8, i == 0)
+    assert got[8] == (8, 1, True)                    # singletons self-label
+    assert got[9] == (9, 1, True)
+
+
+def test_components_two_clusters_and_convergence_guard(spark):
+    docs = _docs_df(spark, 6)
+    pairs = _pairs_df(spark, [(0, 1), (1, 2), (4, 5)])
+    got = {r["doc_id"]: r["component"] for r in corpus.duplicate_components(docs, pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4}
+    with pytest.raises(RuntimeError, match="converge"):
+        corpus.duplicate_components(
+            _docs_df(spark, 5), _pairs_df(spark, [(i, i + 1) for i in range(4)]), max_iter=1
+        )
