@@ -78,6 +78,38 @@ def length_buckets(docs: DataFrame) -> DataFrame:
     )
 
 
+def pack_sequences(docs: DataFrame, capacity: int = 512) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid out in a
+    deterministic global token stream (ordered by doc_id) and cut into
+    fixed-`capacity` training sequences; each doc reports the sequence
+    range it lands in.  This is the standard pretraining packing shape
+    (docs may span sequence boundaries).
+
+    The global token offset is the chunked distributed prefix scan
+    (functions/scan.py) — the same machinery as transaction tagging,
+    reused on a different domain; no single-task global window.  The
+    rest is narrow arithmetic.
+    """
+    from mysql_cdc_spark.functions.scan import running_agg
+
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    placed = running_agg(
+        toks, "doc_id", F.col("n_tokens"), "tok_start", inclusive=False
+    ).withColumn("tok_end", F.col("tok_start") + F.col("n_tokens"))
+    return placed.select(
+        "doc_id",
+        "n_tokens",
+        "tok_start",
+        F.expr(f"tok_start div {capacity}").alias("seq_start"),
+        # last token of the doc sits in this sequence (empty docs
+        # degenerate to seq_start)
+        F.expr(f"greatest(tok_end - 1, tok_start) div {capacity}").alias("seq_end"),
+    )
+
+
 def duplicate_components(
     docs: DataFrame, pairs: DataFrame | None = None, max_iter: int = 25
 ) -> DataFrame:

@@ -532,6 +532,44 @@ def cdc_binlog_typed_state(spark, sf_dir):
     )
 
 
+@register(
+    "cdc_stream_latest_state",
+    with_changes(
+        "SELECT db, tbl, id, value, \"offset\" AS as_of_offset FROM ("
+        "  SELECT db, tbl, id, value, \"offset\", _delta_type, "
+        "         ROW_NUMBER() OVER (PARTITION BY db, tbl, id ORDER BY \"offset\" DESC) AS rn"
+        "  FROM rows_dt WHERE _delta_type <> 'update-before'"
+        ") WHERE rn = 1 AND _delta_type <> 'delete'"
+    ),
+)
+def cdc_stream_latest_state(spark, sf_dir):
+    """Latest-state replay as a CUSTOM STATEFUL streaming operator
+    (applyInPandasWithState, update mode): per-key (offset, value,
+    delta_type) state carried across micro-batches — forced through
+    FOUR batches (maxFilesPerTrigger=1) so state transfer is actually
+    exercised — then reduced to the final image per key.  Oracle: the
+    batch latest-state semantics."""
+    from mysql_cdc_spark.streaming import runtime as rt
+    from mysql_cdc_spark.streaming.stateful import latest_state_stateful
+
+    log_dir = rt.ensure_event_log(spark, sf_dir, _STREAM_TMP, _FIXTURE_VERSION)
+    stream = rt.open_stream(spark, log_dir, max_files_per_trigger=1)
+    updates = _drain(
+        latest_state_stateful(rows_delta_type(stream)), output_mode="update"
+    )
+    # The sink holds one update per (key, batch that touched it); the
+    # final image per key is the one with the highest offset.
+    return (
+        updates.groupBy("db", "tbl", "id")
+        .agg(
+            F.expr("max_by(struct(value, is_deleted), as_of_offset)").alias("last"),
+            F.max("as_of_offset").alias("as_of_offset"),
+        )
+        .filter(~F.col("last.is_deleted"))
+        .select("db", "tbl", "id", F.col("last.value").alias("value"), "as_of_offset")
+    )
+
+
 @register("cdc_binlog_stream", _BINLOG_ORACLE)
 def cdc_binlog_stream(spark, sf_dir):
     """The composed real-byte ingest path END-TO-END: byte binlog →
@@ -1127,6 +1165,27 @@ def llm_length_buckets(spark, sf_dir):
     """Power-of-two token-length histogram per language — the input to
     a sequence-packing/batching stage."""
     return corpus.length_buckets(_docs(spark, sf_dir))
+
+
+@register(
+    "llm_pack_sequences",
+    "WITH toks AS (SELECT doc_id, "
+    r"CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens "
+    "FROM documents), "
+    "placed AS (SELECT doc_id, n_tokens, "
+    "CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start "
+    "FROM toks) "
+    "SELECT doc_id, n_tokens, tok_start, "
+    "CAST(tok_start // 512 AS BIGINT) AS seq_start, "
+    "CAST(greatest(tok_start + n_tokens - 1, tok_start) // 512 AS BIGINT) AS seq_end "
+    "FROM placed",
+)
+def llm_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (capacity 512): global token
+    offsets via the chunked distributed prefix scan, then narrow
+    arithmetic to sequence ranges."""
+    return corpus.pack_sequences(_docs(spark, sf_dir), capacity=512)
 
 
 @register(

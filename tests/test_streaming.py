@@ -272,3 +272,56 @@ def test_tailer_to_stream_incremental(spark):
         assert {r["batch_id"] for r in rows} == {0, 1}         # incremental drains
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_stateful_latest_state_across_batches(spark):
+    """applyInPandasWithState carries per-key state across micro-batches:
+    with one file per trigger, a key updated in a later file must beat
+    its earlier image via STATE, and each touching batch emits an
+    update row."""
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_spark.model import ENVELOPE_SCHEMA
+    from mysql_cdc_spark.sources.events_cdc import rows_delta_type
+    from mysql_cdc_spark.streaming import runtime as rt
+    from mysql_cdc_spark.streaming.stateful import latest_state_stateful
+
+    scratch = f"/root/repo/.stream_tmp/test/{uuid.uuid4().hex[:10]}"
+    log_dir = f"{scratch}/log"
+
+    from datetime import datetime
+
+    def env_row(offset, op, rid, val):
+        return (offset, "binlog.000000", datetime(2024, 1, 1), 1, None, "foo", "auto", op,
+                rid if op != "write_rows" else None,
+                val - 1.0 if op == "update_rows" else None,
+                rid, val, None)
+
+    try:
+        rows1 = [env_row(0, "write_rows", 1, 10.0), env_row(4, "write_rows", 2, 20.0)]
+        rows2 = [env_row(8, "update_rows", 1, 99.0)]
+        for i, rows in enumerate([rows1, rows2]):
+            spark.createDataFrame(rows, ENVELOPE_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(log_dir)
+
+        stream = rt.open_stream(spark, log_dir, max_files_per_trigger=1)
+        sink = f"st_{uuid.uuid4().hex[:8]}"
+        out = rt.run_to_memory(
+            latest_state_stateful(rows_delta_type(stream)),
+            sink, f"{scratch}/cp", output_mode="update",
+        )
+        rows = out.orderBy("id", "as_of_offset").collect()
+        by_key = {}
+        for r in rows:
+            by_key.setdefault(r["id"], []).append((r["as_of_offset"], r["value"]))
+        # key 1: initial insert (offset 0) then the update's after-image
+        # (offset 9 = update tag offset) must win THROUGH state
+        assert by_key[1][-1][1] == 99.0
+        assert len(by_key[1]) >= 2          # one update row per touching batch
+        assert by_key[2] == [(4, 20.0)]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
