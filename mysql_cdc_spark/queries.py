@@ -570,6 +570,39 @@ def cdc_stream_latest_state(spark, sf_dir):
     )
 
 
+@register(
+    "cdc_stream_dedup",
+    with_changes(
+        'SELECT "offset", log_file, ts, server_id, xid, db, tbl, op, '
+        'before_id, before_value, after_id, after_value, "sql" AS sql FROM changes'
+    ),
+)
+def cdc_stream_dedup(spark, sf_dir):
+    """Streaming deduplication: the source log REPLAYED TWICE (every
+    event delivered at least twice — the at-least-once failure mode a
+    CDC consumer must survive), streamed through `dropDuplicates` on
+    the offset key; the result must hash-match the single-copy
+    envelope.  State is one entry per offset; an unbounded deployment
+    bounds it with `withWatermark` + dropDuplicatesWithinWatermark
+    (late re-deliveries beyond the watermark are the checkpoint's job,
+    not the dedup state's)."""
+    import pathlib
+
+    from mysql_cdc_spark.streaming import runtime as rt
+
+    dup_dir = pathlib.Path(_STREAM_TMP) / f"dup_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
+    if not (dup_dir / "_DUP_DONE").exists():
+        env = changes(spark, sf_dir)
+        for _ in range(2):  # two full copies of the log
+            env.coalesce(4).write.mode("append").parquet(str(dup_dir))
+        (dup_dir / "_DUP_DONE").touch()
+    stream = rt.open_stream(spark, str(dup_dir)).dropDuplicates(["offset"])
+    return _drain(stream).select(
+        "offset", "log_file", "ts", "server_id", "xid", "db", "tbl", "op",
+        "before_id", "before_value", "after_id", "after_value", "sql",
+    )
+
+
 @register("cdc_binlog_stream", _BINLOG_ORACLE)
 def cdc_binlog_stream(spark, sf_dir):
     """The composed real-byte ingest path END-TO-END: byte binlog →
