@@ -87,3 +87,40 @@ def test_components_two_clusters_and_convergence_guard(spark):
         corpus.duplicate_components(
             _docs_df(spark, 5), _pairs_df(spark, [(i, i + 1) for i in range(4)]), max_iter=1
         )
+
+
+def test_components_match_union_find_on_random_graphs(spark):
+    """Property check: label propagation must agree with a reference
+    union-find on arbitrary random graphs (one seeded batch keeps the
+    Spark round count manageable)."""
+    import random
+
+    rng = random.Random(42)
+    for _ in range(3):
+        n = rng.randint(5, 30)
+        m = rng.randint(0, n)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expect = {}
+        for i in range(n):
+            r = find(i)
+            expect[i] = min(j for j in range(n) if find(j) == r)
+
+        docs = _docs_df(spark, n)
+        pairs = _pairs_df(spark, [(min(a, b), max(a, b)) for a, b in edges] or [(0, 0)])
+        got = {r["doc_id"]: r["component"]
+               for r in corpus.duplicate_components(docs, pairs).collect()}
+        assert got == expect
