@@ -1166,6 +1166,7 @@ def llm_curated_corpus(spark, sf_dir):
 # training-data pipeline.
 # ---------------------------------------------------------------------------
 
+from mysql_cdc_spark.functions import pii  # noqa: E402
 from mysql_cdc_spark.operators import corpus  # noqa: E402
 
 
@@ -1198,6 +1199,72 @@ def llm_length_buckets(spark, sf_dir):
     """Power-of-two token-length histogram per language — the input to
     a sequence-packing/batching stage."""
     return corpus.length_buckets(_docs(spark, sf_dir))
+
+
+# PII scan: the fixture docs carry no PII, so both sides inject the
+# same deterministic synthetic PII before scanning — the machinery
+# (shared RE2-safe patterns, fixed redaction order) is what's checked.
+# CAST(... AS STRING): STRING is valid in both Spark SQL and DuckDB
+# (where it aliases VARCHAR), so the expression is shared verbatim.
+_PII_AUG = (
+    "text || CASE WHEN doc_id % 3 = 0 "
+    "THEN ' contact user' || CAST(doc_id AS STRING) || '@example.com' ELSE '' END "
+    "|| CASE WHEN doc_id % 5 = 0 "
+    "THEN ' from 10.0.' || CAST(doc_id % 256 AS STRING) || '.1' ELSE '' END "
+    "|| CASE WHEN doc_id % 7 = 0 "
+    "THEN ' call +1 555 ' || CAST(1000 + doc_id % 9000 AS STRING) ELSE '' END"
+)
+
+
+@register(
+    "llm_pii_scan",
+    "WITH aug AS (SELECT doc_id, " + _PII_AUG + " AS text FROM documents) "
+    "SELECT doc_id, "
+    + ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS {name}"
+        for p, name in [
+            (pii.EMAIL_RE, "n_emails"),
+            (pii.IPV4_RE, "n_ips"),
+            (pii.PHONE_RE, "n_phones"),
+        ]
+    )
+    + ", "
+    + "regexp_replace(regexp_replace(regexp_replace(text, "
+    f"'{pii.EMAIL_RE}', '<EMAIL>', 'g'), "
+    f"'{pii.IPV4_RE}', '<IP>', 'g'), "
+    f"'{pii.PHONE_RE}', '<PHONE>', 'g') AS redacted_text "
+    "FROM aug",
+)
+def llm_pii_scan(spark, sf_dir):
+    """PII detection + redaction (emails / IPv4 / phone numbers) as
+    JVM-side regex expressions; patterns are RE2-safe and shared
+    verbatim with the oracle."""
+    augmented = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_PII_AUG).alias("text")
+    )
+    return pii.pii_scan(augmented)
+
+
+@register(
+    "llm_contamination",
+    _SHINGLE_CTE
+    + ", inv0 AS (SELECT doc_id, doc_id % 20 = 0 AS bench, unnest(shingles) AS shingle FROM sh), "
+    f"dfok AS (SELECT shingle FROM inv0 GROUP BY shingle HAVING COUNT(*) <= {dedup.MAX_SHINGLE_DF}), "
+    "inv AS (SELECT inv0.* FROM inv0 JOIN dfok USING (shingle)) "
+    "SELECT t.doc_id AS train_doc_id, b.doc_id AS bench_doc_id, "
+    "CAST(COUNT(*) AS BIGINT) AS n_shared "
+    "FROM inv t JOIN inv b ON t.shingle = b.shingle AND NOT t.bench AND b.bench "
+    "GROUP BY 1, 2 HAVING COUNT(*) >= 2",
+)
+def llm_contamination(spark, sf_dir):
+    """Benchmark-contamination scan: training docs sharing ≥2 distinct
+    word-3-gram shingles with the held-out set (doc_id % 20 = 0), via
+    capped inverted-index equi-join — never all-pairs."""
+    from mysql_cdc_spark.operators.contamination import benchmark_contamination
+
+    return benchmark_contamination(
+        _docs(spark, sf_dir), F.col("doc_id") % 20 == 0
+    )
 
 
 @register(

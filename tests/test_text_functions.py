@@ -55,3 +55,38 @@ def test_fingerprints_shorter_than_shingle(tiny):
 def test_lang_id_deterministic_tiebreak(tiny):
     got = {r["doc_id"]: r["pred_lang"] for r in T.lang_id(tiny).collect()}
     assert got[1] == "en"    # zero hits everywhere → cascade picks en
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    from mysql_cdc_spark.functions.pii import pii_scan
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d+x@e.org, ip 10.0.0.1, call +44 123 4567"),
+            (2, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_scan(docs).collect()}
+    assert (got[1]["n_emails"], got[1]["n_ips"], got[1]["n_phones"]) == (2, 1, 1)
+    assert got[1]["redacted_text"] == "mail <EMAIL> and <EMAIL>, ip <IP>, call <PHONE>"
+    assert (got[2]["n_emails"], got[2]["n_ips"], got[2]["n_phones"]) == (0, 0, 0)
+    assert got[2]["redacted_text"] == "clean text with no pii at all"
+
+
+def test_contamination_requires_min_shared(spark):
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_spark.operators.contamination import benchmark_contamination
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),          # benchmark
+            (1, "alpha beta gamma delta zeta"),             # shares 2 shingles
+            (2, "alpha beta gamma other words here"),       # shares 1 shingle
+            (3, "completely different text entirely now"),  # shares 0
+        ],
+        "doc_id long, text string",
+    )
+    got = benchmark_contamination(docs, F.col("doc_id") == 0).collect()
+    assert [(r["train_doc_id"], r["bench_doc_id"], r["n_shared"]) for r in got] == [(1, 0, 2)]
