@@ -53,6 +53,16 @@ def main() -> None:
 
     latency = measure_latency(spark, turns=20)
 
+    # Decode throughput (BASELINE.md metric 1): envelope events/sec
+    # through the full scan→explode→project pipeline (4 events per
+    # source row), from the measured envelope wall.
+    n_envelope = (
+        spark.read.parquet(f"{sf_dir}/events.parquet").count() * 4
+    )
+    decode_rows_per_sec = (
+        round(n_envelope / timings["cdc_envelope"]) if timings.get("cdc_envelope") else None
+    )
+
     # Round 1's self-calibrated baseline (6.27s, BENCH_r01) covered
     # exactly these five queries; the headline set has since grown
     # (dedup/KNN/text shapes), so report the like-for-like subtotal
@@ -73,6 +83,7 @@ def main() -> None:
                     sum(timings[q] for q in baseline5 if q in timings), 4
                 ),
                 "latency": latency,
+                "decode_rows_per_sec": decode_rows_per_sec,
                 "sf": sf,
             }
         )

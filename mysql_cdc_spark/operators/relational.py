@@ -249,6 +249,71 @@ GROUP BY 1, 2
 """.strip()
 
 
+SESSION_GAP_MINUTES = 30
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: consecutive events of a user belong to
+    one session until a gap over SESSION_GAP_MINUTES; per session emit
+    bounds, event count, and exact value total.
+
+    Plan: lag window + cumulative session counter, both PARTITIONED BY
+    user — bounded per-user partitions (no global window), one shuffle
+    on user_id, then a map-side-combined groupBy on (user, session).
+    The streaming twin is `F.session_window(ts, gap)`; this is the
+    batch derivation both can be checked against.
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = SESSION_GAP_MINUTES * 60
+    # Exact integer microseconds on BOTH engines (unix_micros /
+    # epoch_us) — a seconds-granularity cast would truncate fractional
+    # seconds differently than DuckDB's fractional epoch().
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(by_user)
+            > gap_s * 1_000_000,
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint"),
+    ).withColumn(
+        "session_no",
+        F.sum("new_session").over(
+            by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return marked.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(_dec("value")).cast("double").alias("sum_value"),
+    )
+
+
+USER_SESSIONS_SQL = f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {SESSION_GAP_MINUTES * 60 * 1000000}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+  FROM marked
+)
+SELECT user_id, session_no, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM numbered GROUP BY 1, 2
+""".strip()
+
+
 def cdc_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream⨝dimension join: insert change rows enriched with the
     customer dimension — the canonical CDC consumer pattern. The dim is

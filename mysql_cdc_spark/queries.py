@@ -1395,6 +1395,7 @@ register("sql_orders_above_avg", relational.ORDERS_ABOVE_AVG_SQL)(relational.ord
 register("sql_repeat_customers", relational.REPEAT_CUSTOMERS_SQL)(relational.repeat_customers)
 register("sql_top_lineitems", relational.TOP_LINEITEMS_SQL)(relational.top_lineitems)
 register("sql_daily_event_stats", relational.DAILY_EVENT_STATS_SQL)(relational.daily_event_stats)
+register("sql_user_sessions", relational.USER_SESSIONS_SQL)(relational.user_sessions)
 register(
     "cdc_join_dim",
     with_changes(
