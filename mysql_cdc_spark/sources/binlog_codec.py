@@ -532,62 +532,93 @@ def decode_binlog_incremental(
             "op": OP_NAMES.get(type_code), "db": None, "tbl": None,
             "xid": None, "sql": None, "before": None, "after": None,
         }
-        if type_code == QUERY_EVENT:
-            # post-header: thread_id u32, exec_time u32, db_len u8,
-            # error_code u16, status_vars_len u16 (v4).  The reference
-            # surfaces all of these for its DBA-facing consumers
-            # (read-query, mysql_binlog.clj:368-383).
-            ev["thread_id"] = int.from_bytes(body[0:4], "little")
-            ev["exec_time"] = int.from_bytes(body[4:8], "little")
-            db_len = body[8]
-            ev["error_code"] = int.from_bytes(body[9:11], "little")
-            sv_len = int.from_bytes(body[11:13], "little")
-            p = 13 + sv_len
-            ev["db"] = body[p:p + db_len].decode("latin-1")
-            ev["sql"] = body[p + db_len + 1:].decode("latin-1")
-        elif type_code == TABLE_MAP_EVENT:
-            tmap = _read_table_map(body)
-            tmap.names = catalog.get((tmap.db, tmap.table), [])
-            ev["db"], ev["tbl"] = tmap.db, tmap.table
-        elif type_code in (WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT, DELETE_ROWS_EVENT):
-            if tmap is None:
-                raise ValueError("row event without preceding TABLE_MAP")
-            ev["db"], ev["tbl"] = tmap.db, tmap.table
-            n_cols, p = read_packed_int(body, 8)
-            bm_bytes = (n_cols + 7) // 8
-            used1 = body[p:p + bm_bytes]; p += bm_bytes
-            used2 = None
-            if type_code == UPDATE_ROWS_EVENT:
-                used2 = body[p:p + bm_bytes]; p += bm_bytes
-            rows_before, rows_after = [], []
-            while p < len(body):
-                img1, p = _read_image(body, p, tmap, used1)
-                if type_code == UPDATE_ROWS_EVENT:
-                    img2, p = _read_image(body, p, tmap, used2)
-                    rows_before.append(img1); rows_after.append(img2)
-                elif type_code == WRITE_ROWS_EVENT:
-                    rows_after.append(img1)
-                else:
-                    rows_before.append(img1)
-            ev["before"] = rows_before or None
-            ev["after"] = rows_after or None
-        elif type_code == XID_EVENT:
-            ev["xid"] = struct.unpack_from("<Q", body, 0)[0]
-        elif type_code == ROTATE_EVENT:
-            ev["op"] = "rotate"
-            ev["sql"] = body[8:].decode("latin-1")  # next log name
-        elif type_code == FORMAT_DESCRIPTION_EVENT:
-            # D2 (reference read-v4-format-description :343-353):
-            # binlog_version u16, server_version char[50], create_ts
-            # u32, header_length u8
-            ev["op"] = "format_description"
-            ev["binlog_version"] = int.from_bytes(body[0:2], "little")
-            ev["server_version"] = body[2:52].split(b"\x00", 1)[0].decode("latin-1")
-            ev["header_length"] = body[56] if len(body) > 56 else HEADER_LEN
-        else:
-            ev["op"] = f"unknown_{type_code}"  # bare header pass-through
+        try:
+            _decode_body(ev, type_code, body, catalog, tmap)
+        except ValueError:
+            raise
+        except Exception as exc:
+            # A complete-but-malformed event (flipped bits, bad length
+            # fields) must surface as a diagnosable decode error, not a
+            # raw IndexError/struct.error from body parsing.  Torn
+            # TAILS never reach here — the fits-in-data guard above
+            # holds them back for the next turn.
+            raise ValueError(
+                f"corrupt {OP_NAMES.get(type_code, type_code)} event at "
+                f"offset {base + pos}: {exc!r}"
+            ) from exc
+        if ev.get("_new_table_map") is not None:
+            tmap = ev.pop("_new_table_map")
         events.append(ev)
         seq += 1
         rel_next = next_pos - base  # header's `next` is absolute
         pos = rel_next if rel_next > pos else pos + event_len
     return events, base + pos, tmap
+
+
+def _decode_body(
+    ev: dict,
+    type_code: int,
+    body: bytes,
+    catalog: dict,
+    tmap: TableMapState | None,
+) -> None:
+    """Type-specific body decode into `ev`.  A new TABLE_MAP is handed
+    back via ev["_new_table_map"] (the caller threads it)."""
+    if type_code == QUERY_EVENT:
+        # post-header: thread_id u32, exec_time u32, db_len u8,
+        # error_code u16, status_vars_len u16 (v4).  The reference
+        # surfaces all of these for its DBA-facing consumers
+        # (read-query, mysql_binlog.clj:368-383).
+        ev["thread_id"] = int.from_bytes(body[0:4], "little")
+        ev["exec_time"] = int.from_bytes(body[4:8], "little")
+        db_len = body[8]
+        ev["error_code"] = int.from_bytes(body[9:11], "little")
+        sv_len = int.from_bytes(body[11:13], "little")
+        p = 13 + sv_len
+        ev["db"] = body[p:p + db_len].decode("latin-1")
+        ev["sql"] = body[p + db_len + 1:].decode("latin-1")
+    elif type_code == TABLE_MAP_EVENT:
+        new_map = _read_table_map(body)
+        new_map.names = catalog.get((new_map.db, new_map.table), [])
+        ev["db"], ev["tbl"] = new_map.db, new_map.table
+        ev["_new_table_map"] = new_map
+    elif type_code in (WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT, DELETE_ROWS_EVENT):
+        if tmap is None:
+            raise ValueError("row event without preceding TABLE_MAP")
+        ev["db"], ev["tbl"] = tmap.db, tmap.table
+        n_cols, p = read_packed_int(body, 8)
+        bm_bytes = (n_cols + 7) // 8
+        used1 = body[p:p + bm_bytes]; p += bm_bytes
+        used2 = None
+        if type_code == UPDATE_ROWS_EVENT:
+            used2 = body[p:p + bm_bytes]; p += bm_bytes
+        rows_before, rows_after = [], []
+        while p < len(body):
+            p0 = p
+            img1, p = _read_image(body, p, tmap, used1)
+            if type_code == UPDATE_ROWS_EVENT:
+                img2, p = _read_image(body, p, tmap, used2)
+                rows_before.append(img1); rows_after.append(img2)
+            elif type_code == WRITE_ROWS_EVENT:
+                rows_after.append(img1)
+            else:
+                rows_before.append(img1)
+            if p <= p0:  # zero-width image on a non-empty tail = corrupt
+                raise ValueError("row image consumed no bytes")
+        ev["before"] = rows_before or None
+        ev["after"] = rows_after or None
+    elif type_code == XID_EVENT:
+        ev["xid"] = struct.unpack_from("<Q", body, 0)[0]
+    elif type_code == ROTATE_EVENT:
+        ev["op"] = "rotate"
+        ev["sql"] = body[8:].decode("latin-1")  # next log name
+    elif type_code == FORMAT_DESCRIPTION_EVENT:
+        # D2 (reference read-v4-format-description :343-353):
+        # binlog_version u16, server_version char[50], create_ts
+        # u32, header_length u8
+        ev["op"] = "format_description"
+        ev["binlog_version"] = int.from_bytes(body[0:2], "little")
+        ev["server_version"] = body[2:52].split(b"\x00", 1)[0].decode("latin-1")
+        ev["header_length"] = body[56] if len(body) > 56 else HEADER_LEN
+    else:
+        ev["op"] = f"unknown_{type_code}"  # bare header pass-through

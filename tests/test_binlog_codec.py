@@ -302,3 +302,34 @@ def test_query_event_post_header_fields():
     assert ev["error_code"] == 1062
     assert ev["db"] == "foo"
     assert ev["sql"] == "UPDATE t SET x = 1"
+
+
+def test_corrupt_event_raises_value_error():
+    """A complete-but-malformed event surfaces as a diagnosable
+    ValueError (offset + event kind), never a raw IndexError/
+    struct.error from body parsing."""
+    w = BinlogWriter()
+    w.write_table_map(T3)
+    w.write_rows(WRITE_ROWS_EVENT, T3, [[1, "1.0000", "abc"]])
+    # an XID event whose body is shorter than its 8-byte payload —
+    # complete per the header (so not held back as torn), but malformed
+    w._emit(16, b"\x01\x02")  # XID_EVENT with a 2-byte body
+    with pytest.raises(ValueError, match="corrupt xid.*offset"):
+        decode_binlog(w.getvalue(), CAT)
+
+
+def test_garbage_bodies_never_crash_unhandled():
+    """Fuzz: random bytes stuffed into known event types decode or
+    raise ValueError - nothing else escapes."""
+    import random
+
+    rng = random.Random(7)
+    for _ in range(200):
+        w = BinlogWriter()
+        w.write_table_map(T3)
+        body = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 40)))
+        w._emit(rng.choice([2, 16, 19, 23, 24, 25]), body)
+        try:
+            decode_binlog(w.getvalue(), CAT)
+        except ValueError:
+            pass
