@@ -571,6 +571,42 @@ def cdc_stream_latest_state(spark, sf_dir):
 
 
 @register(
+    "cdc_stream_sessions",
+    with_changes(
+        ", marked AS ("
+        "  SELECT db, ts, CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000 "
+        "         THEN 1 ELSE 0 END AS new_session FROM changes "
+        '  WINDOW w AS (PARTITION BY db ORDER BY ts, "offset")'
+        "), numbered AS ("
+        "  SELECT db, ts, SUM(new_session) OVER (PARTITION BY db ORDER BY ts "
+        "         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s FROM marked"
+        ") SELECT db, MIN(ts) AS session_start, "
+        "MAX(ts) + INTERVAL 30 MINUTE AS session_end, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events "
+        "FROM numbered GROUP BY db, s"
+    ),
+)
+def cdc_stream_sessions(spark, sf_dir):
+    """NATIVE streaming session windows (`F.session_window`, 30-minute
+    gap, complete mode) over the change stream, per db.  Oracle:
+    gap-based sessionization in SQL — note Spark's half-open window
+    semantics make a gap of exactly 30:00 start a NEW session (>=, not
+    >), and session_end = last event + gap."""
+    stream = _stream_env(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.session_window("ts", "30 minutes").alias("w"), "db")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "db",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _drain(agg, output_mode="complete")
+
+
+@register(
     "cdc_stream_dedup",
     with_changes(
         'SELECT "offset", log_file, ts, server_id, xid, db, tbl, op, '
