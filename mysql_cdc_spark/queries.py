@@ -278,7 +278,7 @@ def cdc_envelope(spark, sf_dir):
 _STREAM_TMP = "/root/repo/.stream_tmp"
 # Bump when the derivation rules change: versioned scratch dirs ensure
 # stale materializations from an older derivation are never reused.
-_FIXTURE_VERSION = 3
+_FIXTURE_VERSION = 4
 
 
 def _stream_env(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -447,13 +447,15 @@ def cdc_binlog_envelope(spark, sf_dir):
         bs.generate_binlog_from_events(sf_dir, str(out_dir))
     env = bs.read_binlog_envelope(spark, str(out_dir))
     # Global event number across rotated files: each log file holds
-    # rotate_every=250k source events × 4 envelope events = 1e6, so
-    # seq_global = file_index * 1e6 + seq_in_file (single-file logs
-    # reduce to seq_in_file).  Keeps the oracle's 4*event_id+k
-    # numbering valid at any scale factor.
+    # ROTATE_EVERY source events × 4 envelope events, so seq_global =
+    # file_index * (4 * ROTATE_EVERY) + seq_in_file.  Keeps the
+    # oracle's 4*event_id+k numbering valid at any scale factor while
+    # the sf0.01 gate spans several files (parallel decode + rotation
+    # exercised in the oracle path itself).
     env = env.withColumn(
         "seq",
-        F.regexp_extract("log_file", r"binlog\.(\d+)", 1).cast("bigint") * 1000000
+        F.regexp_extract("log_file", r"binlog\.(\d+)", 1).cast("bigint")
+        * (4 * bs.ROTATE_EVERY)
         + F.col("seq"),
     )
     return env.select(
@@ -511,6 +513,14 @@ def cdc_binlog_typed_state(spark, sf_dir):
     if not any(out_dir.glob("binlog.*")):
         bs.generate_binlog_from_events(sf_dir, str(out_dir))
     env = bs.read_binlog_envelope(spark, str(out_dir))
+    # Same global event numbering as cdc_binlog_envelope: replay order
+    # across rotated files must follow (file, seq_in_file).
+    env = env.withColumn(
+        "seq",
+        F.regexp_extract("log_file", r"binlog\.(\d+)", 1).cast("bigint")
+        * (4 * bs.ROTATE_EVERY)
+        + F.col("seq"),
+    )
     typed = bs.typed_changes(
         env, "foo", "auto", {"id": "bigint", "val": "string", "word": "string"}
     )
@@ -673,7 +683,8 @@ def cdc_binlog_stream(spark, sf_dir):
         env = rt.open_binlog_stream(spark, ev_dir)
         env = env.withColumn(
             "seq",
-            F.regexp_extract("log_file", r"binlog\.(\d+)", 1).cast("bigint") * 1000000
+            F.regexp_extract("log_file", r"binlog\.(\d+)", 1).cast("bigint")
+            * (4 * bs.ROTATE_EVERY)
             + F.col("seq"),
         )
         projected = env.select(

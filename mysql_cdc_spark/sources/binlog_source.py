@@ -215,14 +215,25 @@ def fixture_val_before(event_id: int) -> str:
     return f"{(event_id + 1) % 100000}.{(event_id + 3) % 10000:04d}"
 
 
+# Rotation period for the byte-binlog fixtures: small enough that the
+# sf0.01 CORRECTNESS run spans several files — so the oracle gate
+# itself exercises multi-file parallel decode (one binaryFile task per
+# log) and the tailer's rotation-following over real ROTATE events,
+# not just the unit tests.  Envelope seq numbering depends on it:
+# global seq = file_index * (4 * ROTATE_EVERY) + seq_in_file.
+ROTATE_EVERY = 2_500
+
+
 def generate_binlog_from_events(
-    sf_dir: str, out_dir: str, rotate_every: int = 250_000
+    sf_dir: str, out_dir: str, rotate_every: int = ROTATE_EVERY
 ) -> list[str]:
     """Encode the derived change stream as REAL binlog bytes — the same
     derivation rules as sources/events_cdc.py (db/tbl from user_id
     parity, op from event_type, 4 events per source event), but at the
     byte level: QUERY + TABLE_MAP + ROWS + XID per transaction, files
-    rotated every `rotate_every` source events.  Idempotent."""
+    rotated every `rotate_every` source events and chained with a
+    ROTATE event naming the next log (as real binlogs are).
+    Idempotent."""
     os.makedirs(out_dir, exist_ok=True)
     pdf = _fixture_rows(sf_dir)
     tables = {
@@ -239,6 +250,7 @@ def generate_binlog_from_events(
         file_no = event_id // rotate_every
         if writer is None or fname != f"binlog.{file_no:06d}":
             if writer is not None:
+                writer.write_rotate(f"binlog.{file_no:06d}")
                 with open(os.path.join(out_dir, fname), "wb") as fh:
                     fh.write(writer.getvalue())
                 written.append(fname)
