@@ -584,11 +584,17 @@ def cdc_stream_latest_state(spark, sf_dir):
     "cdc_stream_sessions",
     with_changes(
         ", marked AS ("
-        "  SELECT db, ts, CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000 "
+        '  SELECT db, ts, "offset", '
+        "         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000 "
         "         THEN 1 ELSE 0 END AS new_session FROM changes "
         '  WINDOW w AS (PARTITION BY db ORDER BY ts, "offset")'
         "), numbered AS ("
-        "  SELECT db, ts, SUM(new_session) OVER (PARTITION BY db ORDER BY ts "
+        # ORDER BY must be TOTAL (ts has 4-way ties per statement): a
+        # ts-only ROWS frame assigns tied rows arbitrary session
+        # numbers run-to-run.  With the offset tiebreak the boundary
+        # row (min offset of its tie group) leads the group, so the
+        # whole group lands in one session — matching session_window.
+        '  SELECT db, ts, SUM(new_session) OVER (PARTITION BY db ORDER BY ts, "offset" '
         "         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s FROM marked"
         ") SELECT db, MIN(ts) AS session_start, "
         "MAX(ts) + INTERVAL 30 MINUTE AS session_end, "
