@@ -581,6 +581,52 @@ def cdc_stream_latest_state(spark, sf_dir):
 
 
 @register(
+    "cdc_binlog_tags_typed",
+    """
+WITH ev AS (
+  SELECT event_id, ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS k FROM events
+)
+SELECT CAST(3*k+1 AS BIGINT) AS seq,
+       CAST(event_id % 97 AS BIGINT) AS id,
+       CASE WHEN event_id % 7 = 0 THEN NULL
+            ELSE CAST(1 + event_id % 5 AS INTEGER) END AS state_ordinal,
+       CAST(event_id % 16 AS BIGINT) AS flags_bits,
+       CAST(event_id % 4096 AS BIGINT) AS perms_bits
+FROM ev
+""".strip(),
+)
+def cdc_binlog_tags_typed(spark, sf_dir):
+    """Dynamic→typed bridge over ENUM/SET columns: the MAP envelope's
+    string payload cast to typed columns — ENUM ordinal to INT, SET
+    little-endian hex back to its BIGINT bitset (conv() reverses the
+    byte order; engine-neutral via the oracle's closed form)."""
+    import pathlib
+
+    from mysql_cdc_spark.sources import binlog_source as bs
+
+    out_dir = pathlib.Path(_STREAM_TMP) / f"binlog_enumset_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
+    if not any(out_dir.glob("binlog.*")):
+        bs.generate_enum_set_binlog(sf_dir, str(out_dir))
+    env = bs.read_binlog_envelope(spark, str(out_dir))
+
+    def hex_le_to_long(col: str):
+        # reverse the little-endian byte hex (pairs) then conv base 16
+        return F.expr(
+            "conv(array_join(reverse(transform("
+            f"  sequence(0, length(element_at(after, '{col}')) div 2 - 1),"
+            f"  i -> substring(element_at(after, '{col}'), i * 2 + 1, 2))), ''), 16, 10)"
+        ).cast("bigint")
+
+    return env.filter(F.col("op") == "write_rows").select(
+        "seq",
+        F.element_at("after", "id").cast("bigint").alias("id"),
+        F.element_at("after", "state").cast("int").alias("state_ordinal"),
+        hex_le_to_long("flags").alias("flags_bits"),
+        hex_le_to_long("perms").alias("perms_bits"),
+    )
+
+
+@register(
     "cdc_stream_sessions",
     with_changes(
         ", marked AS ("
