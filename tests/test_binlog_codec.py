@@ -333,3 +333,31 @@ def test_garbage_bodies_never_crash_unhandled():
             decode_binlog(w.getvalue(), CAT)
         except ValueError:
             pass
+
+
+def test_schema_evolution_mid_stream():
+    """ALTER TABLE mid-log: a later TABLE_MAP for the same table adds a
+    column; rows before bind to the old shape, rows after to the new —
+    the threaded table-map state must swap cleanly (reference threads
+    the LATEST map, :715-729)."""
+    from mysql_cdc_spark.sources.binlog_codec import TYPE_ENUM
+
+    t_v1 = TableDef("foo", "auto", [(TYPE_LONG, None), (TYPE_VARCHAR, 20)], table_id=1)
+    t_v2 = TableDef(
+        "foo", "auto",
+        [(TYPE_LONG, None), (TYPE_VARCHAR, 20), (TYPE_ENUM, 5)], table_id=2,
+    )
+    cat = {("foo", "auto"): ["id", "name", "status"]}
+
+    w = BinlogWriter()
+    w.write_table_map(t_v1)
+    w.write_rows(WRITE_ROWS_EVENT, t_v1, [[1, "before"]])
+    w.write_query("foo", "ALTER TABLE foo.auto ADD COLUMN status ENUM('a','b','c','d','e')")
+    w.write_table_map(t_v2)
+    w.write_rows(WRITE_ROWS_EVENT, t_v2, [[2, "after", 3]])
+
+    evs = decode_binlog(w.getvalue(), cat)
+    rows = [e for e in evs if e["op"] == "write_rows"]
+    assert rows[0]["after"] == [{"id": 1, "name": "before"}]       # old shape
+    assert rows[1]["after"] == [{"id": 2, "name": "after", "status": 3}]  # new shape
+    assert any(e["op"] == "query" and "ALTER" in e["sql"] for e in evs)
