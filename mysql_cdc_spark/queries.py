@@ -1270,6 +1270,37 @@ from mysql_cdc_spark.operators import corpus  # noqa: E402
 
 
 @register(
+    "llm_jsonl_ingest",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def llm_jsonl_ingest(spark, sf_dir):
+    """Raw-corpus ingest from gzip JSONL — the wire format training
+    data usually arrives in: documents are exported once to
+    .jsonl.gz (scratch, idempotent) and read back with an explicit
+    schema (no inference job at scale); the round trip must be
+    lossless vs the parquet original.  At 100 TB a JSONL directory is
+    thousands of gzip shards; gzip is splittable per FILE, so shard
+    count = parallelism — exactly how public corpora ship."""
+    import pathlib
+
+    out = pathlib.Path(_STREAM_TMP) / f"jsonl_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
+    if not (out / "_SUCCESS").exists():
+        (
+            _docs(spark, sf_dir)
+            .repartition(4)
+            .write.mode("overwrite")
+            .option("compression", "gzip")
+            .json(str(out))
+        )
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    return (
+        spark.read.schema(schema)
+        .json(str(out))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+
+
+@register(
     "llm_split_assign",
     "SELECT doc_id, lang, CAST(b AS BIGINT) AS bucket, "
     f"CASE WHEN b < {corpus.TRAIN_CUT} THEN 'train' "
