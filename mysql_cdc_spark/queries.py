@@ -281,6 +281,29 @@ _STREAM_TMP = "/root/repo/.stream_tmp"
 _FIXTURE_VERSION = 4
 
 
+def _gc_stale_fixture_versions() -> None:
+    """Remove scratch fixture dirs from older _FIXTURE_VERSIONs (and
+    orphaned one-shot scratch like blstream_*/cp_*) so version bumps
+    don't accumulate dead materializations across rounds."""
+    import pathlib
+    import re
+    import shutil
+
+    root = pathlib.Path(_STREAM_TMP)
+    if not root.exists():
+        return
+    versioned = re.compile(r".*_v(\d+)$")
+    for child in root.iterdir():
+        m = versioned.match(child.name)
+        if m and int(m.group(1)) < _FIXTURE_VERSION:
+            shutil.rmtree(child, ignore_errors=True)
+        elif child.name.startswith(("blstream_", "cp_")):
+            shutil.rmtree(child, ignore_errors=True)
+
+
+_gc_stale_fixture_versions()
+
+
 def _stream_env(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The envelope stream as a streaming DataFrame over a materialized
     event-log directory (built once per sf_dir)."""
