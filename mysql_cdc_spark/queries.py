@@ -1229,6 +1229,18 @@ def llm_label_centroids(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+# The DuckDB quality-score formula over a `tokens` list column —
+# shared by both curated-corpus variants (mirrors functions/text.py's
+# quality_score exactly).
+_QUALITY_EXPR_SQL = (
+    f"CAST(len(list_filter(tokens, x -> x IN ({', '.join(repr(w) for w in T.STOPWORDS)}))) AS DOUBLE)"
+    " / CAST(len(tokens) AS DOUBLE) * 0.3 + "
+    "CAST(len(list_filter(tokens, x -> regexp_matches(x, '^[a-z]+$'))) AS DOUBLE)"
+    " / CAST(len(tokens) AS DOUBLE) * 0.5 + "
+    "CAST(CASE WHEN len(tokens) BETWEEN 20 AND 1000 THEN 1 ELSE 0 END AS DOUBLE) * 0.2"
+)
+
+
 @register(
     "llm_curated_corpus",
     "WITH norm AS (SELECT doc_id, lang, lower(trim(text)) AS norm_text FROM documents), "
@@ -1248,12 +1260,8 @@ def llm_label_centroids(spark, sf_dir):
     f"{dedup.JACCARD_THRESHOLD}), "
     "dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs), "
     "qual AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens, "
-    f"CAST(len(list_filter(tokens, x -> x IN ({', '.join(repr(w) for w in T.STOPWORDS)}))) AS DOUBLE)"
-    " / CAST(len(tokens) AS DOUBLE) * 0.3 + "
-    "CAST(len(list_filter(tokens, x -> regexp_matches(x, '^[a-z]+$'))) AS DOUBLE)"
-    " / CAST(len(tokens) AS DOUBLE) * 0.5 + "
-    "CAST(CASE WHEN len(tokens) BETWEEN 20 AND 1000 THEN 1 ELSE 0 END AS DOUBLE) * 0.2 AS quality "
-    "FROM toksl) "
+    + _QUALITY_EXPR_SQL
+    + " AS quality FROM toksl) "
     "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens "
     "FROM toksl t JOIN qual USING (doc_id) "
     "WHERE qual.quality >= 0.5 AND t.doc_id NOT IN (SELECT doc_id FROM dropped) "
@@ -1272,6 +1280,59 @@ def llm_curated_corpus(spark, sf_dir):
     quality = T.quality_score(docs).select("doc_id", "n_tokens", "quality")
     return (
         docs.join(dropped, "doc_id", "left_anti")
+        .join(quality, "doc_id")
+        .filter(F.col("quality") >= 0.5)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+@register(
+    "llm_curated_corpus_cc",
+    _BAND_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + ", cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM bandrows a JOIN bandrows b ON a.band = b.band AND a.band_hash = b.band_hash "
+    "AND a.doc_id < b.doc_id), "
+    "vp AS (SELECT doc_a, doc_b FROM ("
+    "  SELECT c.doc_a, c.doc_b, "
+    "  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / "
+    "  CAST(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS jaccard "
+    "  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b"
+    f") WHERE jaccard >= {dedup.JACCARD_THRESHOLD}), "
+    "edges AS (SELECT doc_a AS src, doc_b AS dst FROM vp "
+    "UNION ALL SELECT doc_b, doc_a FROM vp), "
+    "reach AS (SELECT doc_id AS doc, doc_id AS other FROM documents "
+    "UNION SELECT r.doc, e.dst FROM reach r JOIN edges e ON e.src = r.other), "
+    "comp AS (SELECT doc, MIN(other) AS component FROM reach GROUP BY doc), "
+    "qual AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens, "
+    + _QUALITY_EXPR_SQL
+    + " AS quality FROM toks) "
+    "SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(q.n_tokens) AS BIGINT) AS total_tokens "
+    "FROM documents d "
+    "JOIN comp c ON c.doc = d.doc_id AND c.doc = c.component "
+    "JOIN qual q ON q.doc_id = d.doc_id "
+    "WHERE q.quality >= 0.5 GROUP BY d.lang",
+)
+def llm_curated_corpus_cc(spark, sf_dir):
+    """Cluster-correct curation: keep only each duplicate CLUSTER's
+    canonical doc (connected components over verified MinHash pairs),
+    then quality-filter and report per language.  Stricter than the
+    pair-based drop in llm_curated_corpus: in a star-shaped cluster
+    (1-3, 2-3) the pair rule keeps both 1 and 2; components keep only
+    the canonical 1."""
+    docs = _docs(spark, sf_dir)
+    keep = (
+        corpus.duplicate_components(docs)
+        .filter(F.col("is_canonical"))
+        .select("doc_id")
+    )
+    quality = T.quality_score(docs).select("doc_id", "n_tokens", "quality")
+    return (
+        docs.join(keep, "doc_id")
         .join(quality, "doc_id")
         .filter(F.col("quality") >= 0.5)
         .groupBy("lang")
