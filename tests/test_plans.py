@@ -1,0 +1,87 @@
+"""Plan-regression tests: the physical-plan properties PLANS.md claims
+are asserted here, so an innocent refactor that silently de-optimizes a
+headline query (drops a pushdown, adds a cartesian product, loses a
+map-side partial) fails CI instead of surfacing in the next bench.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mysql_cdc_spark.queries import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    return QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+HEADLINE_NAMES = [
+    "cdc_envelope", "cdc_select_all", "cdc_update_sum",
+    "cdc_latest_state", "cdc_txn_events", "llm_text_stats",
+]
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    """The only nested-loop join allowed is the documented broadcast
+    NLJ in the KNN scorer; plain CartesianProduct is always a bug."""
+    for name in [*HEADLINE_NAMES, "llm_dedup_minhash", "llm_knn", "llm_dup_components"]:
+        assert "CartesianProduct" not in _plan(spark, sf_dir, name), name
+
+
+def test_envelope_prunes_unused_expressions(spark, sf_dir):
+    """Generator pruning (PLANS.md fix 1): a query that doesn't read
+    log_file/sql must not compute format_string or the SQL-text
+    concat."""
+    plan = _plan(spark, sf_dir, "cdc_txn_events")
+    assert "format_string" not in plan
+    assert "INSERT INTO" not in plan
+
+
+def test_aggregations_have_map_side_partials(spark, sf_dir):
+    """Every shuffle aggregate combines before its exchange."""
+    for name in ["cdc_update_sum", "cdc_count_changes", "cdc_latest_state"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "partial_" in plan, name
+
+
+def test_latest_state_is_single_shuffle_aggregate(spark, sf_dir):
+    """State replay must stay max(struct) aggregation (O(1) state per
+    key), not a row_number window (sorts every hot key's rows)."""
+    plan = _plan(spark, sf_dir, "cdc_latest_state")
+    assert "partial_max" in plan
+    assert "row_number" not in plan
+
+
+def test_knn_pushes_topk_before_exchange(spark, sf_dir):
+    """Top-k must rank-limit on the map side (WindowGroupLimit
+    Partial), not ship every scored pair."""
+    plan = _plan(spark, sf_dir, "llm_knn")
+    assert "WindowGroupLimit" in plan
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    """The customer dimension join must broadcast, never shuffle the
+    change stream."""
+    plan = _plan(spark, sf_dir, "cdc_join_dim")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filters_reach_the_scan(spark, sf_dir):
+    """Filter pushdown: a selective documents query must show pushed
+    filters at the parquet scan."""
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_spark.sources.io import read_table
+
+    df = read_table(spark, sf_dir, "documents").filter(F.col("lang") == "en").select("doc_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "lang" in plan.split("PushedFilters")[1][:80]
+
+
+def test_no_python_udfs_in_relational_paths(spark, sf_dir):
+    """Text/dedup/CDC paths are JVM-side expressions; BatchEvalPython
+    (row-at-a-time Python) must never appear.  (mapInPandas shows as
+    ArrowEvalPython/MapInPandas and only in the multimodal/binlog
+    paths.)"""
+    for name in [*HEADLINE_NAMES, "llm_dedup_minhash", "llm_quality_score", "llm_lang_id"]:
+        assert "BatchEvalPython" not in _plan(spark, sf_dir, name), name
