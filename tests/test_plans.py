@@ -11,6 +11,16 @@ import pytest
 from mysql_cdc_spark.queries import QUERIES
 
 
+@pytest.fixture(autouse=True)
+def _no_cache_substitution(spark):
+    """Other test modules cache fixture DataFrames; the CacheManager
+    would substitute those cached (fully-computed) plans into the
+    queries under inspection and mask the pruning/pushdown properties
+    being asserted."""
+    spark.catalog.clearCache()
+    yield
+
+
 def _plan(spark, sf_dir, name: str) -> str:
     return QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
 
