@@ -22,22 +22,31 @@ Layout:
         binlog_source.py  — binaryFile + mapInPandas decode, fixture writer
     operators/
         query.py          — the reference's SQL surface (R1-R6, R10)
-        relational.py     — joins/aggs/windows/set-ops (SURVEY §2.5)
+        relational.py     — joins/aggs/windows/set-ops (SURVEY §2.5),
+                            gap-based sessionization
         transactions.py   — xid-boundary transaction assembly
         aggregates.py     — running/grouped aggregates, latest-state replay
         dedup.py          — exact / MinHash-LSH / SimHash / n-gram Jaccard
         similarity.py     — quantized-integer cosine KNN, LSH ANN, centroids
-        cursor.py         — forward-only ResultSet cursor (R9)
+        corpus.py         — splits, length buckets, sequence packing,
+                            duplicate-cluster connected components
+        contamination.py  — benchmark-overlap scan (capped inverted index)
+        cursor.py         — forward-only ResultSet cursor (R9) + metadata
     functions/
         scan.py           — chunked distributed prefix scans
         text.py           — tokenization contract + text analysis
+        pii.py            — PII detection + redaction (RE2-safe regexes)
         skew.py           — deterministic salted equi-join
         bucketing.py      — bucketed sinks (shuffle-free co-located joins)
         multimodal.py     — binary media columns through mapInPandas
+        media_codecs.py   — pure-Python PNG / PCM-WAV codecs
     streaming/
         runtime.py        — file-stream CDC source, checkpointed offsets,
                             rotation, backpressure, blocking cursor,
-                            foreachBatch lifecycle
+                            foreachBatch lifecycle, binlog event-log bridge
+        binlog_tailer.py  — incremental real-byte tail (cdc-turn loop)
+        stateful.py       — applyInPandasWithState latest-state reducer
+        latency.py        — end-to-end CDC latency decomposition bench
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
