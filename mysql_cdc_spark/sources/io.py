@@ -21,14 +21,25 @@ from pyspark.sql import functions as F
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table; ns-timestamp columns arrive as int64
     (``spark.sql.legacy.parquet.nanosAsLong`` is set at session build —
-    session.py) and are converted here with exact integer truncation."""
+    session.py) and are converted here with exact integer truncation.
+    The table may be a single file (driver fixtures) or a directory of
+    part files (derived/stress tables)."""
+    import glob
+    import os
+
     path = f"{sf_dir}/{name}.parquet"
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         # Defensive for externally-built sessions (e.g. the driver's):
         # this is the one config the fixture reader cannot do without.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    for field in pq.read_schema(path):
+    schema_file = path
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(f"{path}/*.parquet"))
+        if not parts:
+            return df  # empty directory table: nothing to convert
+        schema_file = parts[0]
+    for field in pq.read_schema(schema_file):
         if patypes.is_timestamp(field.type) and field.type.unit == "ns":
             df = df.withColumn(field.name, F.timestamp_micros(F.expr(f"`{field.name}` div 1000")))
     return df
