@@ -124,3 +124,29 @@ def test_components_match_union_find_on_random_graphs(spark):
         got = {r["doc_id"]: r["component"]
                for r in corpus.duplicate_components(docs, pairs).collect()}
         assert got == expect
+
+
+def test_pack_sequences_matches_python_reference(spark):
+    """Property: distributed packing equals a sequential cumsum over
+    doc_id order, for arbitrary token counts (including empty docs)."""
+    import random
+
+    rng = random.Random(11)
+    texts = []
+    for i in range(60):
+        n = rng.choice([0, 1, 2, 17, 100, 511, 512, 513])
+        texts.append((i, " ".join(["w"] * n) if n else ""))
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+
+    got = {r["doc_id"]: (r["n_tokens"], r["tok_start"], r["seq_start"], r["seq_end"])
+           for r in corpus.pack_sequences(docs, capacity=512).collect()}
+
+    # sequential reference (note: split of "" yields one empty token on
+    # both engines — the shared tokenization contract)
+    acc = 0
+    for i, text in texts:
+        n = len(text.split(" ")) if text else 1
+        seq_start = acc // 512
+        seq_end = max(acc + n - 1, acc) // 512
+        assert got[i] == (n, acc, seq_start, seq_end), i
+        acc += n

@@ -325,3 +325,44 @@ def test_stateful_latest_state_across_batches(spark):
         assert by_key[2] == [(4, 20.0)]
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_dedup_within_watermark_bounded_state(spark):
+    """The bounded-state variant of streaming dedup:
+    dropDuplicatesWithinWatermark keeps offsets only within the
+    watermark horizon — re-deliveries inside the window are dropped,
+    state does not grow forever (the unbounded-corpus deployment
+    shape; cdc_stream_dedup uses the exact-state form)."""
+    import shutil
+    import uuid
+    from datetime import datetime, timedelta
+
+    from mysql_cdc_spark.model import ENVELOPE_SCHEMA
+
+    scratch = f"/root/repo/.stream_tmp/test/{uuid.uuid4().hex[:10]}"
+    log = f"{scratch}/log"
+    try:
+        base = datetime(2024, 1, 1)
+
+        def env_row(offset, minutes):
+            return (offset, "binlog.000000", base + timedelta(minutes=minutes), 1,
+                    None, "foo", "auto", "write_rows", None, None, offset % 97,
+                    1.0, None)
+
+        rows = [env_row(i, i) for i in range(20)]
+        dup = rows + rows[5:15]          # re-delivery of a middle slice
+        spark.createDataFrame(dup, ENVELOPE_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(log)
+
+        stream = (
+            rt.open_stream(spark, log)
+            .withWatermark("ts", "2 hours")
+            .dropDuplicatesWithinWatermark(["offset"])
+        )
+        sink = f"wd_{uuid.uuid4().hex[:8]}"
+        out = rt.run_to_memory(stream, sink, f"{scratch}/cp")
+        offsets = sorted(r["offset"] for r in out.collect())
+        assert offsets == list(range(20))   # every event once, dupes dropped
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
