@@ -219,7 +219,7 @@ def cdc_txn_events(spark, sf_dir):
     """Transaction assembly at xid boundaries (general rule; the
     derived stream reproduces the 4-events-per-statement invariant,
     mysql_bench.clj:248-258)."""
-    return transactions.events_per_transaction(changes(spark, sf_dir))
+    return transactions.events_per_transaction(changes(spark, sf_dir, rebalance=False))
 
 
 @register(
@@ -233,7 +233,7 @@ def cdc_txn_events(spark, sf_dir):
 )
 def cdc_txn_histogram(spark, sf_dir):
     """Distribution of events per transaction (expect a single (4, N) row)."""
-    return transactions.transaction_size_histogram(changes(spark, sf_dir))
+    return transactions.transaction_size_histogram(changes(spark, sf_dir, rebalance=False))
 
 
 @register(
@@ -250,7 +250,7 @@ def cdc_txn_histogram(spark, sf_dir):
 def cdc_committed_rows(spark, sf_dir):
     """Row events with their commit xid attached (single-pass window,
     no self-join — reference commit assembly, mysql_binlog.clj:393-394)."""
-    return transactions.committed_rows(changes(spark, sf_dir))
+    return transactions.committed_rows(changes(spark, sf_dir, rebalance=False))
 
 
 @register(

