@@ -314,6 +314,92 @@ FROM numbered GROUP BY 1, 2
 """.strip()
 
 
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (NOT EXISTS — §2.5 declared-absent shape): customers
+    with no big-ticket order (none above 150k), per market segment.
+    Left-anti hash join; the filtered orders side reduces to its
+    distinct keys before the join."""
+    cust = read_table(spark, sf_dir, "customer")
+    big = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.min("c_custkey").alias("min_custkey"),
+        )
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       MIN(c_custkey) AS min_custkey
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000
+)
+GROUP BY c_mktsegment
+""".strip()
+
+
+def order_size_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (UNION ALL + INTERSECT — §2.5 declared-absent
+    shapes): orders that are both high-value AND multi-line, unioned
+    with single-line low-value ones, each class labeled."""
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = read_table(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    high = orders.filter(F.col("o_totalprice") > 200000).select("o_orderkey")
+    multi = li.filter(F.col("n_lines") >= 5).select(F.col("l_orderkey").alias("o_orderkey"))
+    big_busy = high.intersect(multi).withColumn("class", F.lit("big_busy"))
+    small_quiet = (
+        orders.filter(F.col("o_totalprice") < 20000)
+        .select("o_orderkey")
+        .intersect(li.filter(F.col("n_lines") == 1).select(F.col("l_orderkey").alias("o_orderkey")))
+        .withColumn("class", F.lit("small_quiet"))
+    )
+    return (
+        big_busy.unionByName(small_quiet)
+        .groupBy("class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("o_orderkey").alias("min_orderkey"),
+            F.max("o_orderkey").alias("max_orderkey"),
+        )
+    )
+
+
+ORDER_SIZE_CLASSES_SQL = """
+WITH li AS (SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY l_orderkey),
+big_busy AS (
+  SELECT o_orderkey FROM orders WHERE o_totalprice > 200000
+  INTERSECT
+  SELECT l_orderkey FROM li WHERE n_lines >= 5
+),
+small_quiet AS (
+  SELECT o_orderkey FROM orders WHERE o_totalprice < 20000
+  INTERSECT
+  SELECT l_orderkey FROM li WHERE n_lines = 1
+),
+unioned AS (
+  SELECT o_orderkey, 'big_busy' AS class FROM big_busy
+  UNION ALL
+  SELECT o_orderkey, 'small_quiet' FROM small_quiet
+)
+SELECT class, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(o_orderkey) AS min_orderkey, MAX(o_orderkey) AS max_orderkey
+FROM unioned GROUP BY class
+""".strip()
+
+
 def cdc_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream⨝dimension join: insert change rows enriched with the
     customer dimension — the canonical CDC consumer pattern. The dim is

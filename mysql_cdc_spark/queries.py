@@ -1610,6 +1610,12 @@ register("sql_repeat_customers", relational.REPEAT_CUSTOMERS_SQL)(relational.rep
 register("sql_top_lineitems", relational.TOP_LINEITEMS_SQL)(relational.top_lineitems)
 register("sql_daily_event_stats", relational.DAILY_EVENT_STATS_SQL)(relational.daily_event_stats)
 register("sql_user_sessions", relational.USER_SESSIONS_SQL)(relational.user_sessions)
+register("sql_customers_no_orders", relational.CUSTOMERS_WITHOUT_ORDERS_SQL)(
+    relational.customers_without_orders
+)
+register("sql_order_size_classes", relational.ORDER_SIZE_CLASSES_SQL)(
+    relational.order_size_classes
+)
 register(
     "cdc_join_dim",
     with_changes(
