@@ -99,6 +99,61 @@ def ddl_alerts(env: DataFrame) -> DataFrame:
     ).select("offset", "ts", "db", "tbl", "sql")
 
 
+def latest_state_with_tombstones(rows_dt: DataFrame) -> DataFrame:
+    """Per-key last image INCLUDING delete tombstones — the delta shape
+    incremental maintenance needs (a delete must override an older
+    snapshot row, so it cannot be filtered out of the delta)."""
+    return (
+        rows_dt.filter(F.col("_delta_type") != DT_UPDATE_BEFORE)
+        .groupBy("db", "tbl", "id")
+        .agg(F.max(F.struct("offset", "value", "_delta_type")).alias("last"))
+        .select(
+            "db",
+            "tbl",
+            "id",
+            F.col("last.value").alias("value"),
+            F.col("last.offset").alias("as_of_offset"),
+            (F.col("last._delta_type") == DT_DELETE).alias("is_deleted"),
+        )
+    )
+
+
+def apply_changes(snapshot: DataFrame, rows_dt_batch: DataFrame) -> DataFrame:
+    """Incremental materialized-view maintenance: merge a change batch
+    into an existing state snapshot WITHOUT recomputing history.
+
+        new_state = snapshot ⟗ latest_of(batch)   (full outer on key)
+                    — batch image wins where present, delete tombstones
+                      drop the row, untouched snapshot rows pass through
+
+    Exactly the production CDC pattern: the snapshot is bucketed by
+    (db, tbl, id) (functions/bucketing.py) so repeated applications
+    co-locate and the join never reshuffles the big side; the batch
+    side is one map-side-combined aggregate of the NEW data only.
+    Equivalence with full recompute is oracle-checked
+    (cdc_incremental_state)."""
+    delta = latest_state_with_tombstones(rows_dt_batch)
+    keys = ["db", "tbl", "id"]
+    s = snapshot.select(
+        *keys,
+        F.col("value").alias("s_value"),
+        F.col("as_of_offset").alias("s_offset"),
+    )
+    # "delta present" is keyed on as_of_offset (never NULL in a delta
+    # row) — NOT a value coalesce, which would wrongly resurrect the
+    # snapshot value if a batch update legitimately set NULL.
+    delta_present = F.col("as_of_offset").isNotNull()
+    return (
+        s.join(delta, keys, "full_outer")
+        .filter(~F.coalesce(F.col("is_deleted"), F.lit(False)))
+        .select(
+            *keys,
+            F.when(delta_present, F.col("value")).otherwise(F.col("s_value")).alias("value"),
+            F.coalesce(F.col("as_of_offset"), F.col("s_offset")).alias("as_of_offset"),
+        )
+    )
+
+
 def latest_state(rows_dt: DataFrame) -> DataFrame:
     """Replay the change stream into current state: for each
     (db, tbl, id) take the image with the highest offset (update

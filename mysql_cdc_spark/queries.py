@@ -206,6 +206,29 @@ _TAGGED_CTE = (
 
 
 @register(
+    "cdc_incremental_state",
+    with_changes(
+        "SELECT db, tbl, id, value, \"offset\" AS as_of_offset FROM ("
+        "  SELECT db, tbl, id, value, \"offset\", _delta_type, "
+        "         ROW_NUMBER() OVER (PARTITION BY db, tbl, id ORDER BY \"offset\" DESC) AS rn"
+        "  FROM rows_dt WHERE _delta_type <> 'update-before'"
+        ") WHERE rn = 1 AND _delta_type <> 'delete'"
+    ),
+)
+def cdc_incremental_state(spark, sf_dir):
+    """Incremental materialized-view maintenance: build the state
+    snapshot from the FIRST half of the log, then apply the second
+    half as a change batch (full-outer merge with tombstones,
+    operators/aggregates.py:apply_changes) — the result must equal a
+    full recompute over the whole log (the oracle)."""
+    rows = _rows_dt(spark, sf_dir)
+    mid = int(rows.agg(F.max("offset")).collect()[0][0]) // 2
+    snapshot = aggregates.latest_state(rows.filter(F.col("offset") <= mid))
+    batch = rows.filter(F.col("offset") > mid)
+    return aggregates.apply_changes(snapshot, batch)
+
+
+@register(
     "cdc_txn_events",
     with_changes(
         _TAGGED_CTE

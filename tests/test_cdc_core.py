@@ -132,3 +132,28 @@ def test_parse_statement_strips_padded_delta_type():
     filter still matches after normalization."""
     q = query.parse_statement("select * from \"foo\".\"auto\" where _delta_type = '  insert'")
     assert q["delta_type"] == "insert"
+
+
+def test_apply_changes_delete_and_null_semantics(spark):
+    """Incremental merge edge cases: a batch delete drops a snapshot
+    row; a batch update that sets NULL must NOT resurrect the snapshot
+    value; untouched snapshot rows pass through."""
+    from mysql_cdc_spark.operators.aggregates import apply_changes
+
+    snapshot = spark.createDataFrame(
+        [("foo", "auto", 1, 10.0, 100), ("foo", "auto", 2, 20.0, 104),
+         ("foo", "auto", 3, 30.0, 108)],
+        "db string, tbl string, id long, value double, as_of_offset long",
+    )
+    batch = spark.createDataFrame(
+        [(200, "foo", "auto", 1, None, "delete"),       # delete key 1
+         (204, "foo", "auto", 2, None, "update"),       # NULL-valued update
+         (208, "foo", "auto", 9, 90.0, "insert")],      # brand-new key
+        "offset long, db string, tbl string, id long, value double, _delta_type string",
+    )
+    got = {r["id"]: (r["value"], r["as_of_offset"])
+           for r in apply_changes(snapshot, batch).collect()}
+    assert 1 not in got                                # tombstone applied
+    assert got[2] == (None, 204)                       # NULL survives, not 20.0
+    assert got[3] == (30.0, 108)                       # untouched passthrough
+    assert got[9] == (90.0, 208)                       # new key inserted
