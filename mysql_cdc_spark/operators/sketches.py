@@ -1,0 +1,230 @@
+"""Deterministic cardinality sketches: HyperLogLog and KMV
+(k-minimum-values), built so Spark and the DuckDB oracle produce
+BIT-IDENTICAL results.
+
+Sketches are the scale path for distinct-count questions: an exact
+COUNT(DISTINCT x) over 100 TB shuffles every distinct value; an HLL
+shuffles at most `m` (here 1024) register rows and is mergeable across
+partitions, days, and tables (register-wise MAX).  The reference
+engine has no aggregation at all (reference src/cdc/jdbc.clj:524);
+Spark's built-in approx_count_distinct is a non-portable HLL++ whose
+estimate no oracle can reproduce — so this module rebuilds the
+classic Flajolet HLL from public formulas with three determinism
+rules:
+
+1. the hash is md5 (identical on both engines), parsed hex-digit by
+   hex-digit with `instr` (the engine-neutral parse — conv()/hex
+   casts are not portable);
+2. register math is pure integer: rho via the bit-length of a 52-bit
+   value (`length(bin(v))` / `length(printf('%b', v))`), the register
+   sum as SUM(1 << (50 - rho)) in BIGINT — no float accumulation
+   whose ordering could differ;
+3. the estimate applies ONE float operation at the end — a division
+   of an embedded double literal by the integer register sum — so the
+   raw-HLL estimate alpha*m^2/sum(2^-M_j) is reproduced exactly.
+   (The low-cardinality linear-counting branch needs ln(), which is
+   not guaranteed bit-identical across libm builds, so it is
+   deliberately omitted; below ~2.5m distinct the estimate is biased,
+   as documented by Flajolet et al. — acceptable for a scale
+   estimator, and the determinism contract is kept.)
+
+KMV keeps the k smallest distinct 52-bit hash values; the estimate
+(k-1) * 2^52 / kth_min is again a single division of exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_HEX = "0123456789abcdef"
+
+HLL_B = 10            # register index bits
+HLL_M = 1 << HLL_B    # 1024 registers — small enough that the raw
+# estimator (no linear-counting branch, see module docstring) is in
+# its accurate regime (n >= 2.5m) from the correctness-gate SF up;
+# relative error ~1.04/sqrt(m) ≈ 3.2%.
+RHO_CAP = 50          # cap so SUM(1 << (50 - rho)) fits in BIGINT
+KMV_K = 512
+
+# alpha_m * m^2 * 2^50 for m=4096, embedded as ONE double literal in
+# both engines (the numerator of the final division).
+_ALPHA_M2_SHIFT = repr(0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M * float(1 << RHO_CAP))
+# (KMV_K - 1) * 2^52: exactly representable in a double (9-bit mantissa).
+_KMV_NUM = repr(float(KMV_K - 1) * float(1 << 52))
+
+
+def _digit(col: str, i: int) -> str:
+    """0..15 value of 1-indexed hex digit i of column `col` (BIGINT,
+    so the 16^k place-value products never overflow 32-bit ints)."""
+    return f"CAST(instr('{_HEX}', substring({col}, {i}, 1)) - 1 AS BIGINT)"
+
+
+def bucket_expr(col: str = "h") -> str:
+    """First 3 hex digits (12 bits) -> register index 0..m-1."""
+    return f"(({_digit(col, 1)} * 256 + {_digit(col, 2)} * 16 + {_digit(col, 3)}) % {HLL_M})"
+
+
+def v52_expr(col: str = "h", skip: int = 3) -> str:
+    """Hex digits skip+1..skip+13 -> 52-bit integer (exact in BIGINT)."""
+    terms = [
+        f"{_digit(col, skip + 1 + j)} * {16 ** (12 - j)}" for j in range(13)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def rho_case(v: str, binfn: str) -> str:
+    """Position of the highest set bit from the top of the 52-bit
+    field, capped: rho = 53 - bit_length(v).  `binfn` formats an
+    integer in binary ('bin' on Spark, printf-%b on DuckDB)."""
+    return (
+        f"CASE WHEN {v} = 0 THEN {RHO_CAP} "
+        f"ELSE LEAST(53 - LENGTH({binfn}), {RHO_CAP}) END"
+    )
+
+
+# The concrete label both engines hash: user-minute activity
+# (user_id + epoch-seconds of the minute — integers, so the string is
+# trivially identical across engines; never format timestamps).
+SPARK_LABEL = (
+    "concat(cast(user_id as string), ':', "
+    "cast(cast(date_trunc('MINUTE', ts) as long) as string))"
+)
+ORACLE_LABEL = (
+    "CAST(user_id AS VARCHAR) || ':' || "
+    "CAST(epoch_us(date_trunc('minute', ts)) // 1000000 AS VARCHAR)"
+)
+
+
+def _hashed(events: DataFrame, label_sql: str = SPARK_LABEL) -> DataFrame:
+    return events.select(F.expr(f"md5({label_sql})").alias("h"))
+
+
+def hll_registers(events: DataFrame, label_sql: str = SPARK_LABEL) -> DataFrame:
+    """(bucket, max-rho) register table — the sketch itself.  One
+    narrow hash pass, one map-side-combined shuffle on <= 4096 keys."""
+    hashed = _hashed(events, label_sql)
+    # name v as a column so the 13-digit parse is evaluated once per
+    # row (inlining it into the CASE would duplicate the whole parse)
+    hv = hashed.select(
+        F.expr(bucket_expr("h")).cast("bigint").alias("bucket"),
+        F.expr(v52_expr("h")).alias("v"),
+    )
+    rows = hv.select("bucket", F.expr(rho_case("v", "bin(v)")).cast("bigint").alias("rho"))
+    return rows.groupBy("bucket").agg(F.max("rho").alias("m"))
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """Collapse a register table to (registers_used, s_total,
+    estimate).  s_total is the exact integer register sum including
+    the 2^50 contribution of every empty register."""
+    agg = registers.agg(
+        F.count(F.lit(1)).cast("bigint").alias("registers_used"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), cast(50 - m as int))")).alias("s_present"),
+    )
+    s_total = (F.col("s_present") + (F.lit(HLL_M) - F.col("registers_used")) * F.lit(1 << RHO_CAP)).cast("bigint")
+    return agg.select(
+        F.col("registers_used"),
+        s_total.alias("s_total"),
+        (F.expr(f"CAST({_ALPHA_M2_SHIFT} AS DOUBLE)") / s_total.cast("double")).alias("estimate"),
+    )
+
+
+def hll_user_minutes(events: DataFrame) -> DataFrame:
+    """Distinct active user-minutes, estimated by HLL."""
+    return hll_estimate(hll_registers(events))
+
+
+def hll_user_minutes_merged_daily(events: DataFrame) -> DataFrame:
+    """The same estimate through the MERGE path: build an independent
+    register table per day (what a warehouse would persist as a daily
+    sketch column), then merge all days with register-wise MAX.
+
+    Equality with `hll_user_minutes` (enforced by the shared oracle)
+    is the mergeability proof: max-per-register commutes with union,
+    so daily sketches answer any date-range distinct question without
+    touching raw data again.
+    """
+    hashed = events.select(
+        F.date_trunc("DAY", F.col("ts")).alias("day"),
+        F.expr(f"md5({SPARK_LABEL})").alias("h"),
+    )
+    hv = hashed.select(
+        "day",
+        F.expr(bucket_expr("h")).cast("bigint").alias("bucket"),
+        F.expr(v52_expr("h")).alias("v"),
+    )
+    rows = hv.select(
+        "day", "bucket", F.expr(rho_case("v", "bin(v)")).cast("bigint").alias("rho")
+    )
+    daily = rows.groupBy("day", "bucket").agg(F.max("rho").alias("m"))
+    merged = daily.groupBy("bucket").agg(F.max("m").alias("m"))
+    return hll_estimate(merged)
+
+
+def kmv_user_minutes(events: DataFrame, k: int = KMV_K) -> DataFrame:
+    """KMV distinct-count: k smallest distinct 52-bit hashes.
+
+    distinct() is one shuffle on the hash; the k-smallest selection is
+    a TakeOrdered (per-partition top-k, tiny driver merge) — no global
+    sort.  Exact count is returned when fewer than k distinct values
+    exist (the sketch degenerates to exact, per the KMV paper).
+    """
+    vs = _hashed(events).select(F.expr(v52_expr("h")).cast("bigint").alias("v")).distinct()
+    topk = vs.orderBy("v").limit(k)
+    agg = topk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seen"),
+        F.max("v").cast("bigint").alias("kth"),
+    )
+    return agg.select(
+        "n_seen",
+        "kth",
+        F.when(F.col("n_seen") < k, F.col("n_seen").cast("double"))
+        .otherwise(F.expr(f"CAST({_KMV_NUM} AS DOUBLE)") / F.col("kth").cast("double"))
+        .alias("estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL builders (DuckDB) — same constants, same structure
+# ---------------------------------------------------------------------------
+
+
+def _rho_duck(v: str) -> str:
+    return rho_case(v, f"printf('%b', {v})")
+
+
+def hll_estimate_oracle(regs_cte: str) -> str:
+    """Shared tail: registers CTE -> (registers_used, s_total, estimate)."""
+    return (
+        f"{regs_cte}, agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS used, "
+        f"CAST(SUM(CAST(1 AS BIGINT) << CAST(50 - m AS INTEGER)) AS BIGINT) AS s_present FROM regs) "
+        f"SELECT used AS registers_used, "
+        f"CAST(s_present + ({HLL_M} - used) * (CAST(1 AS BIGINT) << {RHO_CAP}) AS BIGINT) AS s_total, "
+        f"CAST({_ALPHA_M2_SHIFT} AS DOUBLE) / "
+        f"CAST(s_present + ({HLL_M} - used) * (CAST(1 AS BIGINT) << {RHO_CAP}) AS DOUBLE) AS estimate "
+        f"FROM agg"
+    )
+
+
+def hll_user_minutes_oracle() -> str:
+    v = v52_expr("h")
+    regs = (
+        f"WITH labels AS (SELECT md5({ORACLE_LABEL}) AS h FROM events), "
+        f"hv AS (SELECT {bucket_expr('h')} AS bucket, {v} AS v FROM labels), "
+        f"regs AS (SELECT bucket, MAX({_rho_duck('v')}) AS m FROM hv GROUP BY bucket)"
+    )
+    return hll_estimate_oracle(regs)
+
+
+def kmv_user_minutes_oracle(k: int = KMV_K) -> str:
+    v = v52_expr("h")
+    return (
+        f"WITH labels AS (SELECT md5({ORACLE_LABEL}) AS h FROM events), "
+        f"vs AS (SELECT DISTINCT {v} AS v FROM labels), "
+        f"topk AS (SELECT v FROM vs ORDER BY v LIMIT {k}) "
+        f"SELECT CAST(COUNT(*) AS BIGINT) AS n_seen, CAST(MAX(v) AS BIGINT) AS kth, "
+        f"CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE) "
+        f"ELSE CAST({_KMV_NUM} AS DOUBLE) / CAST(MAX(v) AS DOUBLE) END AS estimate "
+        f"FROM topk"
+    )

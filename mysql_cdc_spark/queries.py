@@ -32,7 +32,8 @@ ORACLES: dict[str, str] = {}
 # Queries bench.py times per round — one per distinct execution shape:
 # scan+explode, narrow filter, shuffle agg, max_by state replay,
 # prefix-scan txn assembly, LSH dedup self-join, broadcast KNN,
-# array-expression text pipeline.
+# array-expression text pipeline, union+window as-of join, bucketed
+# range join, HLL register build.
 HEADLINE: list[str] = [
     "cdc_envelope",
     "cdc_select_all",
@@ -42,6 +43,9 @@ HEADLINE: list[str] = [
     "llm_dedup_minhash",
     "llm_knn",
     "llm_text_stats",
+    "ts_asof_join",
+    "ts_range_join",
+    "sk_hll_user_minutes",
 ]
 
 
@@ -1647,3 +1651,116 @@ register(
         "WHERE _delta_type = 'insert'"
     ),
 )(relational.cdc_enriched)
+
+
+# ---------------------------------------------------------------------------
+# Time-series operators (as-of join, range join, hierarchical rollup)
+# and deterministic sketches — operators Spark has no built-in for,
+# composed from shuffle-sane DataFrame primitives (operators/timeseries.py,
+# operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+from mysql_cdc_spark.operators import sketches, timeseries  # noqa: E402
+
+
+def _events(spark, sf_dir):
+    from mysql_cdc_spark.sources.io import read_table
+
+    return read_table(spark, sf_dir, "events")
+
+
+@register(
+    "ts_asof_join",
+    "WITH l AS (SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'purchase'), "
+    "r AS (SELECT user_id, ts, event_id, value, "
+    "LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt "
+    "FROM events WHERE event_type = 'click') "
+    "SELECT l.event_id, l.ts, l.user_id, l.value, "
+    "r.event_id AS click_event_id, r.ts AS click_ts, r.value AS click_value "
+    "FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts "
+    "AND (l.ts < r.nxt OR r.nxt IS NULL) AND r.ts >= l.ts - INTERVAL 3600 SECOND",
+)
+def ts_asof_join(spark, sf_dir):
+    """Last-click attribution: each purchase joined as-of backward to
+    the user's most recent click within 1 hour.  Union+ordered-window
+    formulation — ONE shuffle on user_id, no range explosion (the
+    oracle's LEAD-interval LEFT JOIN is the same semantics declared
+    relationally)."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    return timeseries.asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        ts="ts",
+        payload=["event_id", "ts", "value"],
+        tie="event_id",
+        prefix="click_",
+        tolerance_seconds=3600,
+    )
+
+
+@register(
+    "ts_range_join",
+    "WITH iv AS (SELECT event_id AS incident_id, "
+    "ts - INTERVAL 30 MINUTE AS w_start, ts + INTERVAL 30 MINUTE AS w_end "
+    "FROM events WHERE event_type = 'error' AND value > 100.0) "
+    "SELECT incident_id, w_start, w_end, COUNT(*) AS n_events, "
+    "CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value "
+    "FROM iv JOIN events e ON e.ts >= iv.w_start AND e.ts < iv.w_end "
+    "GROUP BY 1, 2, 3",
+)
+def ts_range_join(spark, sf_dir):
+    """Interval containment as a bucketed equi-join: ±30min windows
+    around high-value errors, aggregating the events inside each.  The
+    bucket key keeps Catalyst off the BroadcastNestedLoopJoin path the
+    oracle's BETWEEN join would imply."""
+    return timeseries.incident_window_stats(_events(spark, sf_dir))
+
+
+@register(
+    "ts_rollup_daily",
+    "SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n, "
+    "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value, "
+    "MIN(value) AS min_value, MAX(value) AS max_value, "
+    "COUNT(DISTINCT date_trunc('minute', ts)) AS n_minutes "
+    "FROM events GROUP BY 1, 2",
+)
+def ts_rollup_daily(spark, sf_dir):
+    """Hypertable-style continuous aggregate: day level computed
+    through minute → hour → day re-aggregation (each level reads the
+    previous one, never raw).  The oracle aggregates raw directly —
+    hash equality proves the hierarchy is exact (DECIMAL partials all
+    the way down)."""
+    return timeseries.rollup_day_via_hierarchy(_events(spark, sf_dir))
+
+
+@register("sk_hll_user_minutes", sketches.hll_user_minutes_oracle())
+def sk_hll_user_minutes(spark, sf_dir):
+    """Deterministic HyperLogLog (m=1024, md5-hashed, integer register
+    sum, one final float division) estimating distinct active
+    user-minutes.  The oracle rebuilds the identical sketch in SQL —
+    estimate matches to the BIT."""
+    return sketches.hll_user_minutes(_events(spark, sf_dir))
+
+
+@register("sk_hll_merge_daily", sketches.hll_user_minutes_oracle())
+def sk_hll_merge_daily(spark, sf_dir):
+    """Mergeability proof: independent per-day HLL register tables
+    merged by register-wise MAX give bit-identical output to the
+    direct sketch (same oracle text as sk_hll_user_minutes on
+    purpose) — the property that lets daily sketches answer any
+    date-range distinct question without rescanning raw data."""
+    return sketches.hll_user_minutes_merged_daily(_events(spark, sf_dir))
+
+
+@register("sk_kmv_user_minutes", sketches.kmv_user_minutes_oracle())
+def sk_kmv_user_minutes(spark, sf_dir):
+    """KMV (k-minimum-values, k=512) distinct estimate over the same
+    label space: distinct 52-bit hashes, TakeOrdered k-smallest, one
+    final float division.  Degenerates to the exact count when fewer
+    than k distinct values exist."""
+    return sketches.kmv_user_minutes(_events(spark, sf_dir))

@@ -1,0 +1,213 @@
+"""Unit tests for the time-series operators (as-of join, bucketed
+range join, rollup hierarchy) and the deterministic sketches."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mysql_cdc_spark.operators import sketches, timeseries
+from mysql_cdc_spark.sources.io import read_table
+
+
+def _ts(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 12, minute, second)
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+
+def _asof(spark, left_rows, right_rows, tolerance=None):
+    left = spark.createDataFrame(
+        [Row(event_id=i, ts=t, user_id=u, value=v) for (i, t, u, v) in left_rows]
+    )
+    right = spark.createDataFrame(
+        [Row(event_id=i, ts=t, user_id=u, value=v) for (i, t, u, v) in right_rows]
+    )
+    out = timeseries.asof_join(
+        left, right, on=["user_id"], ts="ts", payload=["event_id", "ts", "value"],
+        tie="event_id", prefix="m_", tolerance_seconds=tolerance,
+    )
+    return {r["event_id"]: r for r in out.collect()}
+
+
+def test_asof_picks_most_recent_at_or_before(spark):
+    got = _asof(
+        spark,
+        left_rows=[(100, _ts(10), 1, 1.0), (101, _ts(20), 1, 1.0)],
+        right_rows=[(1, _ts(5), 1, 5.0), (2, _ts(15), 1, 6.0), (3, _ts(25), 1, 7.0)],
+    )
+    assert got[100]["m_event_id"] == 1
+    assert got[101]["m_event_id"] == 2
+
+
+def test_asof_equal_ts_matches_and_ties_break_by_largest_id(spark):
+    # right at exactly left.ts is eligible (<=); two right rows at the
+    # same (user, ts) resolve to the larger event_id.
+    got = _asof(
+        spark,
+        left_rows=[(100, _ts(10), 1, 1.0)],
+        right_rows=[(1, _ts(10), 1, 5.0), (2, _ts(10), 1, 6.0)],
+    )
+    assert got[100]["m_event_id"] == 2
+    assert got[100]["m_value"] == 6.0
+
+
+def test_asof_no_match_and_key_isolation(spark):
+    got = _asof(
+        spark,
+        left_rows=[(100, _ts(10), 1, 1.0), (101, _ts(10), 2, 1.0)],
+        right_rows=[(1, _ts(5), 2, 5.0)],
+    )
+    assert got[100]["m_event_id"] is None  # user 1 has no clicks
+    assert got[101]["m_event_id"] == 1     # user 2 unaffected
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    got = _asof(
+        spark,
+        left_rows=[(100, _ts(10), 1, 1.0)],
+        right_rows=[(1, _ts(0), 1, 5.0)],
+        tolerance=300,  # 5 min; the only candidate is 10 min old
+    )
+    assert got[100]["m_event_id"] is None
+    assert got[100]["m_value"] is None
+
+
+def test_asof_plan_is_single_shuffle(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    out = timeseries.asof_join(
+        ev.filter(F.col("event_type") == "purchase").select("event_id", "ts", "user_id"),
+        ev.filter(F.col("event_type") == "click"),
+        on=["user_id"], ts="ts", payload=["event_id"], tie="event_id",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # the union+window formulation needs exactly one exchange (on user_id)
+    assert plan.count("Exchange") == 1
+
+
+# ---------------------------------------------------------------------------
+# bucketed range join
+# ---------------------------------------------------------------------------
+
+
+def test_range_join_boundaries_and_bucket_spanning(spark):
+    # interval [12:10, 12:20) with a 300s bucket → spans 3 buckets
+    iv = spark.createDataFrame(
+        [Row(incident_id=1, w_start=_ts(10), w_end=_ts(20))]
+    )
+    pts = spark.createDataFrame(
+        [
+            Row(event_id=1, ts=_ts(9, 59)),   # before start → out
+            Row(event_id=2, ts=_ts(10)),      # == start → in (inclusive)
+            Row(event_id=3, ts=_ts(14, 30)),  # middle bucket → in, once
+            Row(event_id=4, ts=_ts(19, 59)),  # last second → in
+            Row(event_id=5, ts=_ts(20)),      # == end → out (exclusive)
+        ]
+    )
+    got = timeseries.range_join(pts, iv, ts="ts", start="w_start", end="w_end",
+                                bucket_seconds=300)
+    ids = sorted(r["event_id"] for r in got.collect())
+    assert ids == [2, 3, 4]  # each exactly once — no bucket-overlap dupes
+
+
+def test_range_join_multiple_overlapping_intervals(spark):
+    iv = spark.createDataFrame(
+        [
+            Row(incident_id=1, w_start=_ts(0), w_end=_ts(30)),
+            Row(incident_id=2, w_start=_ts(10), w_end=_ts(40)),
+        ]
+    )
+    pts = spark.createDataFrame([Row(event_id=1, ts=_ts(15))])
+    got = timeseries.range_join(pts, iv, ts="ts", start="w_start", end="w_end")
+    assert sorted(r["incident_id"] for r in got.collect()) == [1, 2]
+
+
+def test_range_join_plan_has_no_nested_loop(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    out = timeseries.incident_window_stats(ev, threshold=100.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+# ---------------------------------------------------------------------------
+# rollup hierarchy
+# ---------------------------------------------------------------------------
+
+
+def test_rollup_hierarchy_equals_direct_day_aggregation(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    via = timeseries.rollup_day_via_hierarchy(ev)
+    direct = ev.groupBy(
+        F.date_trunc("DAY", F.col("ts")).alias("day"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.count_distinct(F.date_trunc("MINUTE", F.col("ts"))).cast("bigint").alias("n_minutes"),
+    )
+    v = {tuple(r[:2]): tuple(r[2:]) for r in via.collect()}
+    d = {tuple(r[:2]): tuple(r[2:]) for r in direct.collect()}
+    assert v == d
+
+
+# ---------------------------------------------------------------------------
+# sketches
+# ---------------------------------------------------------------------------
+
+
+def _exact_user_minutes(spark, sf_dir) -> int:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.select("user_id", F.date_trunc("MINUTE", F.col("ts")).alias("m"))
+        .distinct()
+        .count()
+    )
+
+
+def test_hll_estimate_within_tolerance(spark):
+    # accuracy is asserted at sf0.01 (~10k distinct ≈ 10m — inside the
+    # raw estimator's accurate regime; sf0.001's ~1k distinct ≈ m is
+    # the documented low-cardinality bias zone).
+    ev = read_table(spark, "/root/testdata/sf0.01", "events")
+    est = sketches.hll_user_minutes(ev).collect()[0]["estimate"]
+    exact = _exact_user_minutes(spark, "/root/testdata/sf0.01")
+    assert abs(est - exact) / exact < 0.10
+
+
+def test_hll_merge_is_exactly_the_direct_sketch(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    direct = sketches.hll_user_minutes(ev).collect()[0]
+    merged = sketches.hll_user_minutes_merged_daily(ev).collect()[0]
+    assert direct["s_total"] == merged["s_total"]
+    assert direct["estimate"] == merged["estimate"]  # bit-identical
+
+
+def test_kmv_estimate_and_degenerate_exact_mode(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    exact = _exact_user_minutes(spark, sf_dir)
+    est = sketches.kmv_user_minutes(ev).collect()[0]["estimate"]
+    assert 0.8 * exact < est < 1.25 * exact
+    # k larger than the distinct count → sketch returns the exact count
+    degen = sketches.kmv_user_minutes(ev, k=10 * exact).collect()[0]
+    assert degen["n_seen"] == exact and degen["estimate"] == float(exact)
+
+
+def test_sketch_oracle_builders_are_wellformed_sql():
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "'/root/testdata/sf0.001/events.parquet'"
+    )
+    hll = con.execute(sketches.hll_user_minutes_oracle()).fetchall()
+    kmv = con.execute(sketches.kmv_user_minutes_oracle()).fetchall()
+    assert len(hll) == 1 and hll[0][2] > 0
+    assert len(kmv) == 1 and kmv[0][2] > 0
