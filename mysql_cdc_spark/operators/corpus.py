@@ -180,3 +180,27 @@ def duplicate_components(
         F.count(F.lit(1)).over(size_w).cast("bigint").alias("component_size"),
         (F.col("doc_id") == F.col("component")).alias("is_canonical"),
     )
+
+
+SAMPLE_CUT = 13  # of 256 → ~5.1% sample
+
+
+def hash_sample(docs: DataFrame, cut: int = SAMPLE_CUT, salt: str = "sample") -> DataFrame:
+    """Deterministic ~cut/256 sample of the corpus: keep documents
+    whose salted-md5 bucket falls below `cut`.
+
+    Hash-based (not rand()) for the same reason as split_assign: the
+    sample is reproducible across reruns, executors, and partitionings,
+    and it composes — a doc's membership never depends on what else is
+    in the corpus, so incremental ingestion keeps the same sample.
+    Narrow plan: one md5 + filter per row, fully pushed parallel scan.
+    """
+    bucket = (
+        F.expr(
+            f"(instr('0123456789abcdef', substring(md5(concat('{salt}:', cast(doc_id as string))), 1, 1)) - 1) * 16 "
+            f"+ instr('0123456789abcdef', substring(md5(concat('{salt}:', cast(doc_id as string))), 2, 1)) - 1"
+        )
+    ).cast("bigint")
+    return docs.select("doc_id", "lang", "source", bucket.alias("bucket")).where(
+        F.col("bucket") < cut
+    )

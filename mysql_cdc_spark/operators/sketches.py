@@ -47,8 +47,8 @@ HLL_M = 1 << HLL_B    # 1024 registers — small enough that the raw
 RHO_CAP = 50          # cap so SUM(1 << (50 - rho)) fits in BIGINT
 KMV_K = 512
 
-# alpha_m * m^2 * 2^50 for m=4096, embedded as ONE double literal in
-# both engines (the numerator of the final division).
+# alpha_m * m^2 * 2^50, embedded as ONE double literal in both
+# engines (the numerator of the final division).
 _ALPHA_M2_SHIFT = repr(0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M * float(1 << RHO_CAP))
 # (KMV_K - 1) * 2^52: exactly representable in a double (9-bit mantissa).
 _KMV_NUM = repr(float(KMV_K - 1) * float(1 << 52))
@@ -227,4 +227,72 @@ def kmv_user_minutes_oracle(k: int = KMV_K) -> str:
         f"CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE) "
         f"ELSE CAST({_KMV_NUM} AS DOUBLE) / CAST(MAX(v) AS DOUBLE) END AS estimate "
         f"FROM topk"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact distributed quantiles via bounded-domain binning
+# ---------------------------------------------------------------------------
+
+QUANTILE_PCTS = [50, 90, 99]
+
+
+def value_quantiles(events: DataFrame, pcts: list[int] | None = None) -> DataFrame:
+    """EXACT lower quantiles of `value`, computed distributed: bin to
+    fixed-point cents (the column's native precision), histogram with
+    one map-side-combined shuffle, cumulative counts over the bin
+    table, then the smallest bin reaching each ceil(p*n/100) rank.
+
+    The usual objection to windowed cumsum — a single-partition global
+    window — does not apply: the window runs over the HISTOGRAM, whose
+    size is bounded by the value domain (~50k bins here), not by the
+    data.  That is the trick: at 100 TB the raw table is arbitrarily
+    large but the bin table is constant-size, so exact quantiles cost
+    one aggregation plus an O(domain) driver-light pass — no t-digest
+    approximation needed when the domain is fixed-point.
+
+    Output: one row, p{N} DOUBLE per requested percentile (cents/100).
+    """
+    pcts = QUANTILE_PCTS if pcts is None else pcts
+    bins = (
+        events.select(
+            (F.col("value").cast("decimal(12,2)") * 100).cast("bigint").alias("cents")
+        )
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = bins.select(
+        "cents",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).alias("total"),
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"-((-total * {p}) div 100)"), F.col("cents")
+            )
+        ).alias(f"p{p}_cents")
+        for p in pcts
+    ]
+    row = cum.agg(*aggs)
+    return row.select(
+        *[(F.col(f"p{p}_cents").cast("double") / 100.0).alias(f"p{p}") for p in pcts]
+    )
+
+
+def value_quantiles_oracle(pcts: list[int] | None = None) -> str:
+    pcts = QUANTILE_PCTS if pcts is None else pcts
+    sel = ", ".join(
+        f"CAST(MIN(CASE WHEN cum >= -((-total * {p}) // 100) THEN cents END) AS DOUBLE) / 100.0 AS p{p}"
+        for p in pcts
+    )
+    return (
+        "WITH bins AS (SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents, "
+        "COUNT(*) AS n FROM events GROUP BY 1), "
+        "cum AS (SELECT cents, SUM(n) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING "
+        "AND CURRENT ROW) AS cum, SUM(n) OVER () AS total FROM bins) "
+        f"SELECT {sel} FROM cum"
     )

@@ -224,3 +224,42 @@ def rollup_day_via_hierarchy(events: DataFrame) -> DataFrame:
         F.max("max_value").alias("max_value"),
         F.sum("n_minutes").cast("bigint").alias("n_minutes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis
+# ---------------------------------------------------------------------------
+
+FUNNEL_WINDOW_HOURS = 72
+
+
+def funnel(events: DataFrame, steps: list[str], window_hours: int = FUNNEL_WINDOW_HOURS) -> DataFrame:
+    """Ordered funnel: per user, the earliest completion time of each
+    step, where step N must occur within `window_hours` after the
+    user's step-N-1 time (classic product-analytics funnel).
+
+    One row per user who completed step 1, with t1..tK columns (NULL
+    once the chain breaks).  Each stage is a min-aggregation joined to
+    the previous stage on user_id — K-1 small shuffles on the user
+    key, partials map-side combined; no windows, no per-user sorting,
+    so per-stage state is O(1) per user regardless of event volume.
+    """
+    out = (
+        events.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        prev = f"t{i - 1}"
+        nxt = (
+            events.filter(F.col("event_type") == step)
+            .join(out.select("user_id", prev), "user_id")
+            .where(
+                (F.col("ts") >= F.col(prev))
+                & (F.col("ts") < F.col(prev) + F.expr(f"INTERVAL {window_hours} HOUR"))
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(f"t{i}"))
+        )
+        out = out.join(nxt, "user_id", "left")
+    return out

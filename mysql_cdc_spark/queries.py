@@ -417,6 +417,49 @@ def cdc_stream_update_sum(spark, sf_dir):
     )
 
 
+@register(
+    "cdc_stream_join",
+    with_changes(
+        "SELECT i.id, i.ts AS ins_ts, i.value AS ins_value, "
+        "u.ts AS upd_ts, u.value AS upd_value "
+        "FROM rows_dt i JOIN rows_dt u ON u.id = i.id "
+        "AND i._delta_type = 'insert' AND u._delta_type = 'update' "
+        "AND i.db = 'foo' AND i.tbl = 'auto' AND u.db = 'foo' AND u.tbl = 'auto' "
+        "AND u.ts >= i.ts AND u.ts <= i.ts + INTERVAL 7 DAY"
+    ),
+)
+def cdc_stream_join(spark, sf_dir):
+    """STREAM-STREAM inner join (the last big Structured Streaming
+    primitive): each insert joined to the updates that hit the same id
+    within 7 days, both sides watermarked so the join state is GC-able
+    (Spark buffers each side keyed by id + event-time range; the
+    watermark bounds how long an insert waits for updates).  Append
+    mode, batch-equivalent by oracle."""
+    rows = rows_delta_type(_stream_env(spark, sf_dir))
+    base = rows.filter((F.col("db") == "foo") & (F.col("tbl") == "auto"))
+    ins = (
+        base.filter(F.col("_delta_type") == "insert")
+        .select("id", F.col("ts").alias("ins_ts"), F.col("value").alias("ins_value"))
+        .withWatermark("ins_ts", "1 hour")
+    )
+    upd = (
+        base.filter(F.col("_delta_type") == "update")
+        .select(
+            F.col("id").alias("uid"),
+            F.col("ts").alias("upd_ts"),
+            F.col("value").alias("upd_value"),
+        )
+        .withWatermark("upd_ts", "1 hour")
+    )
+    joined = ins.join(
+        upd,
+        (F.col("id") == F.col("uid"))
+        & (F.col("upd_ts") >= F.col("ins_ts"))
+        & (F.col("upd_ts") <= F.col("ins_ts") + F.expr("INTERVAL 7 DAY")),
+    ).select("id", "ins_ts", "ins_value", "upd_ts", "upd_value")
+    return _drain(joined, output_mode="append")
+
+
 # ---------------------------------------------------------------------------
 # Binlog byte codec end-to-end (sources/binlog_codec.py + binlog_source
 # .py): events → REAL binlog bytes (driver-side encode) → binaryFile +
@@ -1764,3 +1807,46 @@ def sk_kmv_user_minutes(spark, sf_dir):
     final float division.  Degenerates to the exact count when fewer
     than k distinct values exist."""
     return sketches.kmv_user_minutes(_events(spark, sf_dir))
+
+
+@register(
+    "ts_funnel",
+    "WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1), "
+    "s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id "
+    "WHERE e.event_type = 'click' AND e.ts >= s1.t1 AND e.ts < s1.t1 + INTERVAL 72 HOUR GROUP BY 1), "
+    "s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 ON e.user_id = s2.user_id "
+    "WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 AND e.ts < s2.t2 + INTERVAL 72 HOUR GROUP BY 1) "
+    "SELECT s1.user_id, s1.t1, s2.t2, s3.t3 FROM s1 "
+    "LEFT JOIN s2 ON s1.user_id = s2.user_id LEFT JOIN s3 ON s1.user_id = s3.user_id",
+)
+def ts_funnel(spark, sf_dir):
+    """view → click → purchase funnel, each step within 72h of the
+    previous: per-user earliest step times, NULL past the break.
+    Stage-wise min-aggregations joined on user_id — O(1) state per
+    user, no per-user event sorting."""
+    return timeseries.funnel(_events(spark, sf_dir), ["view", "click", "purchase"])
+
+
+@register("sk_value_quantiles", sketches.value_quantiles_oracle())
+def sk_value_quantiles(spark, sf_dir):
+    """Exact p50/p90/p99 of event value by fixed-point histogram:
+    the cumulative window runs over the domain-bounded bin table
+    (~50k rows max), never the data — exact distributed quantiles
+    without a t-digest."""
+    return sketches.value_quantiles(_events(spark, sf_dir))
+
+
+@register(
+    "llm_sample_hash",
+    f"SELECT doc_id, lang, source, "
+    f"(instr('0123456789abcdef', substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 "
+    f"+ instr('0123456789abcdef', substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bucket "
+    f"FROM documents WHERE "
+    f"(instr('0123456789abcdef', substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 "
+    f"+ instr('0123456789abcdef', substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1 < {corpus.SAMPLE_CUT}",
+)
+def llm_sample_hash(spark, sf_dir):
+    """Deterministic ~5% eval-set sample: salted-md5 bucket < cut.
+    Reproducible under reruns and incremental corpus growth (membership
+    is per-doc, content-independent)."""
+    return corpus.hash_sample(_docs(spark, sf_dir))

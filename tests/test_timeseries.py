@@ -211,3 +211,71 @@ def test_sketch_oracle_builders_are_wellformed_sql():
     kmv = con.execute(sketches.kmv_user_minutes_oracle()).fetchall()
     assert len(hll) == 1 and hll[0][2] > 0
     assert len(kmv) == 1 and kmv[0][2] > 0
+
+
+# ---------------------------------------------------------------------------
+# funnel
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_chain_and_break_semantics(spark):
+    rows = [
+        # user 1 completes all three steps in order
+        Row(event_id=1, ts=_ts(0), user_id=1, event_type="view", value=0.0),
+        Row(event_id=2, ts=_ts(5), user_id=1, event_type="click", value=0.0),
+        Row(event_id=3, ts=_ts(9), user_id=1, event_type="purchase", value=0.0),
+        # user 2: purchase BEFORE click → chain breaks at step 3
+        Row(event_id=4, ts=_ts(0), user_id=2, event_type="view", value=0.0),
+        Row(event_id=5, ts=_ts(8), user_id=2, event_type="click", value=0.0),
+        Row(event_id=6, ts=_ts(4), user_id=2, event_type="purchase", value=0.0),
+        # user 3 never viewed → not in output at all
+        Row(event_id=7, ts=_ts(1), user_id=3, event_type="click", value=0.0),
+    ]
+    ev = spark.createDataFrame(rows)
+    got = {r["user_id"]: r for r in timeseries.funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["t1"] == _ts(0) and got[1]["t2"] == _ts(5) and got[1]["t3"] == _ts(9)
+    assert got[2]["t2"] == _ts(8) and got[2]["t3"] is None
+
+
+def test_funnel_window_expiry(spark):
+    rows = [
+        Row(event_id=1, ts=_ts(0), user_id=1, event_type="view", value=0.0),
+        Row(event_id=2, ts=dt.datetime(2024, 1, 5, 12, 0), user_id=1, event_type="click", value=0.0),
+    ]
+    ev = spark.createDataFrame(rows)
+    got = timeseries.funnel(ev, ["view", "click"], window_hours=72).collect()[0]
+    assert got["t2"] is None  # click came 4 days later — outside 72h
+
+
+# ---------------------------------------------------------------------------
+# quantiles + hash sample
+# ---------------------------------------------------------------------------
+
+
+def test_value_quantiles_match_exact_sort(spark, sf_dir):
+    import math
+
+    ev = read_table(spark, sf_dir, "events")
+    got = sketches.value_quantiles(ev).collect()[0]
+    vals = sorted(r["value"] for r in ev.select("value").collect())
+    n = len(vals)
+    for p in (50, 90, 99):
+        # lower quantile: smallest element with rank >= ceil(p*n/100),
+        # on cent-rounded values (the column's own precision)
+        expect = round(vals[math.ceil(n * p / 100) - 1], 2)
+        assert abs(got[f"p{p}"] - expect) < 0.005, (p, got[f"p{p}"], expect)
+
+
+def test_hash_sample_deterministic_and_composable(spark, sf_dir):
+    from mysql_cdc_spark.operators import corpus
+
+    docs = read_table(spark, sf_dir, "documents")
+    s1 = {r["doc_id"] for r in corpus.hash_sample(docs).collect()}
+    s2 = {r["doc_id"] for r in corpus.hash_sample(docs).collect()}
+    assert s1 == s2 and 0 < len(s1) < docs.count()
+    # membership is per-doc: sampling half the corpus yields exactly
+    # the intersection (incremental ingestion keeps the sample stable)
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    sh = {r["doc_id"] for r in corpus.hash_sample(half).collect()}
+    assert sh == {d for d in s1 if d % 2 == 0}
