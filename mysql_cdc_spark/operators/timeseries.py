@@ -263,3 +263,86 @@ def funnel(events: DataFrame, steps: list[str], window_hours: int = FUNNEL_WINDO
         )
         out = out.join(nxt, "user_id", "left")
     return out
+
+
+# ---------------------------------------------------------------------------
+# time-weighted average (LOCF integral)
+# ---------------------------------------------------------------------------
+
+
+def time_weighted_avg(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """Per-key time-weighted mean of `value` under LOCF semantics
+    (each observation holds until the next one): sum(value * dt) /
+    sum(dt), dt in exact integer microseconds, value accumulated in
+    DECIMAL — one float division at the very end.
+
+    The irregular-sample average a plain AVG gets wrong (it weights
+    bursts of events equally with long quiet holds).  One shuffle on
+    the key; per-key window partitions are bounded by that key's event
+    count.  The final (keyless) open events carry no span and drop
+    out, matching the continuous-aggregate definition.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy("ts", "event_id")
+    seq = events.select(
+        key,
+        F.col("value").cast("decimal(12,2)").alias("v"),
+        F.expr("unix_micros(ts)").alias("us"),
+        F.lead(F.expr("unix_micros(ts)")).over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    dur = (F.col("nxt") - F.col("us")).cast("decimal(20,0)")
+    return seq.groupBy(key).agg(
+        (
+            F.sum(F.col("v") * dur).cast("double")
+            / F.sum(F.col("nxt") - F.col("us")).cast("double")
+        ).alias("twa"),
+        F.sum(F.col("nxt") - F.col("us")).cast("bigint").alias("span_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# gap filling (dense time grid + LOCF)
+# ---------------------------------------------------------------------------
+
+
+def gapfill_hourly(events: DataFrame) -> DataFrame:
+    """Dense (hour × event_type) grid over the observed time span:
+    event counts zero-filled, last observed value carried forward
+    (LOCF) across empty hours — TimescaleDB's time_bucket_gapfill +
+    locf() shape.
+
+    The grid is generated from a single-row bounds aggregate
+    (sequence + explode), so its size is bounded by the time span ×
+    type cardinality — independent of event volume; the LOCF window
+    partitions by type over that bounded grid, never over raw data.
+    `last_value` inside each hour is picked by max_by over (ts,
+    event_id) — deterministic under timestamp ties.
+    """
+    from pyspark.sql import Window
+
+    bounds = events.agg(
+        F.date_trunc("HOUR", F.min("ts")).alias("lo"),
+        F.date_trunc("HOUR", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour")
+    )
+    types = events.select("event_type").distinct()
+    grid = hours.crossJoin(F.broadcast(types))
+    hourly = events.groupBy(
+        F.date_trunc("HOUR", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("max_by(value, struct(ts, event_id))").alias("last_in_hour"),
+    )
+    filled = grid.join(hourly, ["hour", "event_type"], "left")
+    locf = Window.partitionBy("event_type").orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return filled.select(
+        "hour",
+        "event_type",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+        F.last("last_in_hour", ignorenulls=True).over(locf).alias("locf_value"),
+    )

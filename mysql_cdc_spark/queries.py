@@ -1850,3 +1850,94 @@ def llm_sample_hash(spark, sf_dir):
     Reproducible under reruns and incremental corpus growth (membership
     is per-doc, content-independent)."""
     return corpus.hash_sample(_docs(spark, sf_dir))
+
+
+@register(
+    "ts_time_weighted_avg",
+    "WITH seq AS (SELECT user_id, CAST(value AS DECIMAL(12,2)) AS v, epoch_us(ts) AS us, "
+    "LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events) "
+    "SELECT user_id, "
+    "CAST(SUM(v * CAST(nxt - us AS DECIMAL(20,0))) AS DOUBLE) / CAST(SUM(nxt - us) AS DOUBLE) AS twa, "
+    "CAST(SUM(nxt - us) AS BIGINT) AS span_us "
+    "FROM seq WHERE nxt IS NOT NULL GROUP BY user_id",
+)
+def ts_time_weighted_avg(spark, sf_dir):
+    """Per-user time-weighted mean under LOCF semantics: exact
+    integer-microsecond durations weighting DECIMAL values, one float
+    division at the end — the irregular-sampling average plain AVG
+    gets wrong."""
+    return timeseries.time_weighted_avg(_events(spark, sf_dir))
+
+
+@register(
+    "ts_gapfill_hourly",
+    "WITH bounds AS (SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events), "
+    "hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds), "
+    "types AS (SELECT DISTINCT event_type FROM events), "
+    "grid AS (SELECT hour, event_type FROM hours CROSS JOIN types), "
+    "hourly AS (SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2), "
+    "ranked AS (SELECT date_trunc('hour', ts) AS hour, event_type, value, "
+    "ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts), event_type ORDER BY ts DESC, event_id DESC) AS rn FROM events), "
+    "filled AS (SELECT g.hour, g.event_type, CAST(COALESCE(h.n, 0) AS BIGINT) AS n, l.value AS last_in_hour "
+    "FROM grid g LEFT JOIN hourly h ON g.hour = h.hour AND g.event_type = h.event_type "
+    "LEFT JOIN (SELECT hour, event_type, value FROM ranked WHERE rn = 1) l "
+    "ON g.hour = l.hour AND g.event_type = l.event_type) "
+    "SELECT hour, event_type, n, "
+    "last_value(last_in_hour IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hour "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value FROM filled",
+)
+def ts_gapfill_hourly(spark, sf_dir):
+    """Dense hourly grid per event type with zero-filled counts and
+    last-observation-carried-forward values (time_bucket_gapfill +
+    locf shape).  Grid size is bounded by span × type cardinality,
+    independent of event volume."""
+    return timeseries.gapfill_hourly(_events(spark, sf_dir))
+
+
+@register(
+    "sql_sales_cube",
+    "SELECT o_orderstatus AS status, o_orderpriority AS priority, COUNT(*) AS n, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue "
+    "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)",
+)
+def sql_sales_cube(spark, sf_dir):
+    """CUBE grouping sets (all four status x priority marginals in one
+    pass — Spark expands to a single expand+agg, not four scans)."""
+    from mysql_cdc_spark.sources.io import read_table
+
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.cube(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "sql_event_pivot",
+    "SELECT date_trunc('day', ts) AS day, "
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
+        for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY 1",
+)
+def sql_event_pivot(spark, sf_dir):
+    """Pivot: per-day event counts spread across one column per type
+    (explicit value list keeps the schema static — required for any
+    production pivot; zero-filled like the oracle's CASE sums)."""
+    ev = _events(spark, sf_dir)
+    out = (
+        ev.groupBy(F.date_trunc("DAY", F.col("ts")).alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)).cast("bigint"))
+    )
+    return out.na.fill(0, _EVENT_TYPES)

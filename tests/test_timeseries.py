@@ -279,3 +279,50 @@ def test_hash_sample_deterministic_and_composable(spark, sf_dir):
     half = docs.where(F.col("doc_id") % 2 == 0)
     sh = {r["doc_id"] for r in corpus.hash_sample(half).collect()}
     assert sh == {d for d in s1 if d % 2 == 0}
+
+
+# ---------------------------------------------------------------------------
+# time-weighted average + gapfill
+# ---------------------------------------------------------------------------
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    rows = [
+        # value 10 held for 60s, then 20 held for 180s → twa = (10*60+20*180)/240 = 17.5
+        Row(event_id=1, ts=_ts(0), user_id=1, event_type="view", value=10.0),
+        Row(event_id=2, ts=_ts(1), user_id=1, event_type="view", value=20.0),
+        Row(event_id=3, ts=_ts(4), user_id=1, event_type="view", value=99.0),  # open tail: no span
+        # single-event user: no spans at all → absent from output
+        Row(event_id=4, ts=_ts(0), user_id=2, event_type="view", value=5.0),
+    ]
+    ev = spark.createDataFrame(rows)
+    got = {r["user_id"]: r for r in timeseries.time_weighted_avg(ev).collect()}
+    assert set(got) == {1}
+    assert abs(got[1]["twa"] - 17.5) < 1e-9
+    assert got[1]["span_us"] == 240_000_000
+
+
+def test_gapfill_zero_fills_and_carries_forward(spark):
+    rows = [
+        Row(event_id=1, ts=_ts(0), user_id=1, event_type="click", value=7.0),
+        # two empty hours, then another click
+        Row(event_id=2, ts=dt.datetime(2024, 1, 1, 15, 30), user_id=1, event_type="click", value=9.0),
+    ]
+    ev = spark.createDataFrame(rows)
+    got = {r["hour"]: r for r in timeseries.gapfill_hourly(ev).collect()}
+    hours = sorted(got)
+    assert len(hours) == 4  # 12:00..15:00 dense
+    assert [got[h]["n"] for h in hours] == [1, 0, 0, 1]
+    # LOCF: the empty hours carry 7.0 forward; the last hour shows 9.0
+    assert [got[h]["locf_value"] for h in hours] == [7.0, 7.0, 7.0, 9.0]
+
+
+def test_gapfill_last_in_hour_tiebreak(spark):
+    same_ts = _ts(0)
+    rows = [
+        Row(event_id=1, ts=same_ts, user_id=1, event_type="click", value=1.0),
+        Row(event_id=2, ts=same_ts, user_id=1, event_type="click", value=2.0),
+    ]
+    ev = spark.createDataFrame(rows)
+    got = timeseries.gapfill_hourly(ev).collect()
+    assert len(got) == 1 and got[0]["locf_value"] == 2.0  # larger event_id wins
