@@ -296,3 +296,33 @@ def value_quantiles_oracle(pcts: list[int] | None = None) -> str:
         "AND CURRENT ROW) AS cum, SUM(n) OVER () AS total FROM bins) "
         f"SELECT {sel} FROM cum"
     )
+
+
+def hll_by_group(events: DataFrame, group: str) -> DataFrame:
+    """Per-group HLL estimates in one pass: registers keyed by
+    (group, bucket) — the shuffle carries at most m rows per group —
+    then the estimator collapses each group's registers."""
+    hashed = events.select(group, F.expr(f"md5({SPARK_LABEL})").alias("h"))
+    hv = hashed.select(
+        group,
+        F.expr(bucket_expr("h")).cast("bigint").alias("bucket"),
+        F.expr(v52_expr("h")).alias("v"),
+    )
+    rows = hv.select(
+        group, "bucket", F.expr(rho_case("v", "bin(v)")).cast("bigint").alias("rho")
+    )
+    regs = rows.groupBy(group, "bucket").agg(F.max("rho").alias("m"))
+    agg = regs.groupBy(group).agg(
+        F.count(F.lit(1)).cast("bigint").alias("registers_used"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), cast(50 - m as int))")).alias("s_present"),
+    )
+    s_total = (
+        F.col("s_present")
+        + (F.lit(HLL_M) - F.col("registers_used")) * F.lit(1 << RHO_CAP)
+    ).cast("bigint")
+    return agg.select(
+        group,
+        F.col("registers_used"),
+        s_total.alias("s_total"),
+        (F.expr(f"CAST({_ALPHA_M2_SHIFT} AS DOUBLE)") / s_total.cast("double")).alias("estimate"),
+    )

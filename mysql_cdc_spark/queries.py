@@ -1941,3 +1941,56 @@ def sql_event_pivot(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint"))
     )
     return out.na.fill(0, _EVENT_TYPES)
+
+
+@register(
+    "cdc_stream_join_dim",
+    with_changes(
+        'SELECT "offset", db, tbl, id, value, c_name, c_mktsegment '
+        "FROM rows_dt JOIN customer ON id = c_custkey "
+        "WHERE _delta_type = 'insert'"
+    ),
+)
+def cdc_stream_join_dim(spark, sf_dir):
+    """STREAM-STATIC join (the third Structured Streaming join mode,
+    next to batch cdc_join_dim and stream-stream cdc_stream_join):
+    the live change stream enriched against a broadcast batch
+    dimension — no stream-side shuffle, no join state, the dimension
+    is re-resolvable per micro-batch (slowly-changing dims pick up
+    updates between triggers for free)."""
+    from mysql_cdc_spark.sources.io import read_table
+
+    rows = rows_delta_type(_stream_env(spark, sf_dir)).filter(
+        F.col("_delta_type") == "insert"
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    joined = rows.join(F.broadcast(cust), rows.id == cust.c_custkey).select(
+        "offset", "db", "tbl", "id", "value", "c_name", "c_mktsegment"
+    )
+    return _drain(joined)
+
+
+@register(
+    "sk_hll_by_type",
+    "WITH labels AS (SELECT event_type, md5(" + sketches.ORACLE_LABEL + ") AS h FROM events), "
+    "hv AS (SELECT event_type, " + sketches.bucket_expr("h") + " AS bucket, "
+    + sketches.v52_expr("h") + " AS v FROM labels), "
+    "regs AS (SELECT event_type, bucket, MAX(CASE WHEN v = 0 THEN 50 "
+    "ELSE LEAST(53 - LENGTH(printf('%b', v)), 50) END) AS m FROM hv GROUP BY 1, 2), "
+    "agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS used, "
+    "CAST(SUM(CAST(1 AS BIGINT) << CAST(50 - m AS INTEGER)) AS BIGINT) AS s_present "
+    "FROM regs GROUP BY 1) "
+    "SELECT event_type, used AS registers_used, "
+    f"CAST(s_present + ({sketches.HLL_M} - used) * (CAST(1 AS BIGINT) << {sketches.RHO_CAP}) AS BIGINT) AS s_total, "
+    f"CAST({sketches._ALPHA_M2_SHIFT} AS DOUBLE) / "
+    f"CAST(s_present + ({sketches.HLL_M} - used) * (CAST(1 AS BIGINT) << {sketches.RHO_CAP}) AS DOUBLE) AS estimate "
+    "FROM agg",
+)
+def sk_hll_by_type(spark, sf_dir):
+    """GROUPED HLL: one register table per event_type in a single
+    aggregation pass (group key + bucket), estimates per group — the
+    per-segment distinct-count pattern (registers per group are still
+    <= m rows: the shuffle stays tiny however large the data)."""
+    return sketches.hll_by_group(_events(spark, sf_dir), "event_type")
