@@ -326,3 +326,102 @@ def hll_by_group(events: DataFrame, group: str) -> DataFrame:
         s_total.alias("s_total"),
         (F.expr(f"CAST({_ALPHA_M2_SHIFT} AS DOUBLE)") / s_total.cast("double")).alias("estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (heavy-hitter frequency estimation)
+# ---------------------------------------------------------------------------
+
+CMS_D = 4    # hash rows
+CMS_W = 512  # counters per row
+TOPK_TOKENS = 20
+
+
+def _cms_bucket(token_col: str, j: int) -> str:
+    """Row-j counter index for a token: first 4 hex digits of the
+    salted md5, mod w — integer-only, engine-neutral."""
+    h = f"md5(concat('cms{j}:', {token_col}))"
+    d = [
+        f"CAST(instr('{_HEX}', substring({h}, {i}, 1)) - 1 AS BIGINT)"
+        for i in (1, 2, 3, 4)
+    ]
+    return f"(({d[0]} * 4096 + {d[1]} * 256 + {d[2]} * 16 + {d[3]}) % {CMS_W})"
+
+
+def cms_heavy_hitters(docs: DataFrame, k: int = TOPK_TOKENS) -> DataFrame:
+    """Count-min sketch over the token stream, evaluated on the exact
+    top-k tokens: per token, `cms_n` = min over the d salted hash rows
+    of that row's counter — always >= the true count (one-sided error,
+    the CMS guarantee), equal when no collision hit all d rows.
+
+    Scale shape: the sketch is d*w = 2048 integer counters however
+    large the corpus (one map-side-combined shuffle on (row, bucket));
+    the exact top-k here exists only to EVALUATE the sketch against
+    ground truth and is itself a TakeOrdered, not a global sort.
+    All-integer math — bit-identical across engines.
+    """
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    pairs = toks.select(
+        "token",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.expr(_cms_bucket("token", j)).alias("bucket"),
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("jb"),
+    ).select("token", "jb.j", "jb.bucket")
+    sketch = pairs.groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("counter")
+    )
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("token").asc())
+        .limit(k)
+    )
+    probes = exact.select(
+        "token",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.expr(_cms_bucket("token", j)).alias("bucket"),
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("jb"),
+    ).select("token", "exact_n", "jb.j", "jb.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("counter").cast("bigint").alias("cms_n"))
+    )
+
+
+def cms_heavy_hitters_oracle(k: int = TOPK_TOKENS) -> str:
+    jrows = ", ".join(str(j) for j in range(CMS_D))
+    bucket = _cms_bucket("token", 0).replace(
+        "'cms0:'", "'cms' || CAST(j AS VARCHAR) || ':'"
+    )
+    return (
+        "WITH toks AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token "
+        "FROM documents), toks2 AS (SELECT token FROM toks WHERE token <> ''), "
+        f"pairs AS (SELECT token, j, {bucket} AS bucket FROM toks2 CROSS JOIN (SELECT unnest([{jrows}]) AS j)), "
+        "sketch AS (SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS counter FROM pairs GROUP BY 1, 2), "
+        "exact AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_n FROM toks2 GROUP BY 1 "
+        f"ORDER BY exact_n DESC, token ASC LIMIT {k}), "
+        f"probes AS (SELECT token, exact_n, j, {bucket} AS bucket FROM exact CROSS JOIN (SELECT unnest([{jrows}]) AS j)) "
+        "SELECT p.token, p.exact_n, CAST(MIN(s.counter) AS BIGINT) AS cms_n "
+        "FROM probes p JOIN sketch s ON p.j = s.j AND p.bucket = s.bucket "
+        "GROUP BY 1, 2"
+    )

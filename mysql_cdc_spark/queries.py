@@ -1994,3 +1994,52 @@ def sk_hll_by_type(spark, sf_dir):
     per-segment distinct-count pattern (registers per group are still
     <= m rows: the shuffle stays tiny however large the data)."""
     return sketches.hll_by_group(_events(spark, sf_dir), "event_type")
+
+
+# Engine-neutral row checksum: md5 of a canonical '|'-joined string,
+# folded to a 52-bit int (sketches.v52_expr idiom) and BIT_XOR-folded
+# (pt-table-checksum's aggregate: commutative, associative, and bounded
+# to 52 bits at any row count — a SUM would overflow) — an
+# order-insensitive table checksum (the pt-table-checksum pattern for
+# validating a replica against the change stream).  Value goes through
+# DECIMAL(12,2) so both engines format the identical string.
+_CKSUM_ROW_SPARK = (
+    "concat(cast(`offset` as string), '|', coalesce(cast(id as string), 'N'), '|', "
+    "coalesce(cast(cast(value as decimal(12,2)) as string), 'N'), '|', _delta_type)"
+)
+_CKSUM_ROW_ORACLE = (
+    "CAST(\"offset\" AS VARCHAR) || '|' || COALESCE(CAST(id AS VARCHAR), 'N') || '|' || "
+    "COALESCE(CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR), 'N') || '|' || _delta_type"
+)
+
+
+@register(
+    "cdc_table_checksum",
+    with_changes(
+        "SELECT db, tbl, COUNT(*) AS n_rows, "
+        f"CAST(BIT_XOR({sketches.v52_expr(f'md5({_CKSUM_ROW_ORACLE})')}) AS BIGINT) AS checksum "
+        "FROM rows_dt GROUP BY db, tbl"
+    ),
+)
+def cdc_table_checksum(spark, sf_dir):
+    """Order-insensitive per-table checksum of the change stream —
+    the replica-consistency check a CDC consumer runs against the
+    source (BIT_XOR of 52-bit md5 folds commutes with any partitioning
+    / arrival order — offsets make rows unique, so cancellation cannot
+    hide dupes — one map-side-combined shuffle on (db, tbl))."""
+    rows = rows_delta_type(changes(spark, sf_dir))
+    return rows.groupBy("db", "tbl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.expr(f"bit_xor({sketches.v52_expr(f'md5({_CKSUM_ROW_SPARK})')})")
+        .cast("bigint")
+        .alias("checksum"),
+    )
+
+
+@register("sk_cms_tokens", sketches.cms_heavy_hitters_oracle())
+def sk_cms_tokens(spark, sf_dir):
+    """Count-min sketch frequency estimates for the exact top-20
+    tokens: d=4 salted hash rows x w=512 integer counters (2048 cells
+    regardless of corpus size), estimate = min over rows — one-sided
+    error, all-integer, bit-identical to the oracle's sketch."""
+    return sketches.cms_heavy_hitters(_docs(spark, sf_dir))

@@ -326,3 +326,46 @@ def test_gapfill_last_in_hour_tiebreak(spark):
     ev = spark.createDataFrame(rows)
     got = timeseries.gapfill_hourly(ev).collect()
     assert len(got) == 1 and got[0]["locf_value"] == 2.0  # larger event_id wins
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch + table checksum
+# ---------------------------------------------------------------------------
+
+
+def test_cms_one_sided_error(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    rows = sketches.cms_heavy_hitters(docs).collect()
+    assert len(rows) == sketches.TOPK_TOKENS
+    for r in rows:
+        assert r["cms_n"] >= r["exact_n"], r  # CMS never underestimates
+
+
+def test_table_checksum_detects_single_row_change(spark, sf_dir):
+    from mysql_cdc_spark.queries import QUERIES
+
+    base = {(r["db"], r["tbl"]): r["checksum"] for r in
+            QUERIES["cdc_table_checksum"](spark, sf_dir).collect()}
+    # recompute with one row's value perturbed — the checksum must move
+    from mysql_cdc_spark.queries import _CKSUM_ROW_SPARK
+    from mysql_cdc_spark.operators import sketches as sk
+    from mysql_cdc_spark.sources.events_cdc import changes, rows_delta_type
+
+    rows = rows_delta_type(changes(spark, sf_dir))
+    tampered = rows.withColumn(
+        "value",
+        F.when(F.col("offset") == rows.select(F.min("offset")).collect()[0][0],
+               F.col("value") + 1.0).otherwise(F.col("value")),
+    )
+    got = {
+        (r["db"], r["tbl"]): r["checksum"]
+        for r in tampered.groupBy("db", "tbl")
+        .agg(
+            F.expr(f"bit_xor({sk.v52_expr(f'md5({_CKSUM_ROW_SPARK})')})")
+            .cast("bigint")
+            .alias("checksum")
+        )
+        .collect()
+    }
+    assert base.keys() == got.keys()
+    assert sum(1 for k in base if base[k] != got[k]) == 1  # exactly the touched table
