@@ -2043,3 +2043,77 @@ def sk_cms_tokens(spark, sf_dir):
     regardless of corpus size), estimate = min over rows — one-sided
     error, all-integer, bit-identical to the oracle's sketch."""
     return sketches.cms_heavy_hitters(_docs(spark, sf_dir))
+
+
+@register(
+    "sql_skew_normalize",
+    "WITH dim AS (SELECT event_type, MAX(value) AS max_v FROM events GROUP BY 1) "
+    "SELECT e.event_type, COUNT(*) AS n, "
+    "CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value, "
+    "MAX(d.max_v) AS max_v, "
+    "CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) / MAX(d.max_v) AS ratio "
+    "FROM events e JOIN dim d ON e.event_type = d.event_type GROUP BY 1",
+)
+def sql_skew_normalize(spark, sf_dir):
+    """The canonical hot-key join (every fact row joins one of FIVE
+    dimension keys) through the explicit salted-join path: the fact
+    side gets a whole-row-hash salt, the 5-row dim replicates 16x, and
+    the hot keys spread over 16 partitions instead of 1.  Semantics
+    are row-identical to the plain join (oracle).  At THIS dim size
+    Catalyst would broadcast anyway — salting is the tool for when the
+    build side is too big to broadcast and AQE's skew splitting can't
+    reach the join (see functions/skew.py)."""
+    from mysql_cdc_spark.functions.skew import salted_join
+
+    ev = _events(spark, sf_dir)
+    dim = ev.groupBy("event_type").agg(F.max("value").alias("max_v"))
+    joined = salted_join(ev.select("event_type", "value"), dim, on=["event_type"], n_salts=16)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        F.max("max_v").alias("max_v"),
+        (
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double") / F.max("max_v")
+        ).alias("ratio"),
+    )
+
+
+def _stream_hll_oracle() -> str:
+    from mysql_cdc_spark.sources.events_cdc import CHANGES_CTE
+
+    label = "'id:' || CAST(after_id AS VARCHAR)"
+    v = sketches.v52_expr("h")
+    regs = (
+        f"WITH {CHANGES_CTE}, "
+        f"labels AS (SELECT md5({label}) AS h FROM changes "
+        "WHERE op IN ('write_rows', 'update_rows', 'delete_rows') AND after_id IS NOT NULL), "
+        f"hv AS (SELECT {sketches.bucket_expr('h')} AS bucket, {v} AS v FROM labels), "
+        "regs AS (SELECT bucket, MAX(CASE WHEN v = 0 THEN 50 "
+        "ELSE LEAST(53 - LENGTH(printf('%b', v)), 50) END) AS m FROM hv GROUP BY bucket)"
+    )
+    return sketches.hll_estimate_oracle(regs)
+
+
+@register("cdc_stream_hll", _stream_hll_oracle())
+def cdc_stream_hll(spark, sf_dir):
+    """STREAMING sketch maintenance: the HLL register table lives as
+    streaming aggregation state (groupBy bucket, max rho — at most
+    1024 rows of state however long the stream runs), drained complete
+    and collapsed to the estimate on demand.  The batch oracle over
+    the same label stream must match bit-for-bit: incremental register
+    maintenance is exactly as correct as a full recompute."""
+    env = _stream_env(spark, sf_dir)
+    labels = env.where(
+        F.col("op").isin("write_rows", "update_rows", "delete_rows")
+        & F.col("after_id").isNotNull()
+    ).select(F.expr("md5(concat('id:', cast(after_id as string)))").alias("h"))
+    hv = labels.select(
+        F.expr(sketches.bucket_expr("h")).cast("bigint").alias("bucket"),
+        F.expr(sketches.v52_expr("h")).alias("v"),
+    )
+    rows = hv.select(
+        "bucket", F.expr(sketches.rho_case("v", "bin(v)")).cast("bigint").alias("rho")
+    )
+    regs_stream = rows.groupBy("bucket").agg(F.max("rho").alias("m"))
+    registers = _drain(regs_stream, output_mode="complete")
+    return sketches.hll_estimate(registers)
