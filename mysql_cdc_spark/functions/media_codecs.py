@@ -161,3 +161,101 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
     if rate is None:
         raise ValueError("WAV missing fmt chunk")
     return rate, channels, samples
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF) — uncompressed 24-bit DIB frames
+# ---------------------------------------------------------------------------
+# Written against the public RIFF/AVI container layout (Microsoft
+# 'AVI RIFF File Reference'): RIFF('AVI ') → LIST('hdrl') with the
+# 'avih' main header and one LIST('strl') video stream (strh/strf
+# BITMAPINFOHEADER), then LIST('movi') holding one '00db'
+# (uncompressed DIB) chunk per frame.  Enough of the real container
+# for any standards-following demuxer to open; no compression.
+
+import struct as _struct
+
+
+def _riff_chunk(tag: bytes, data: bytes) -> bytes:
+    pad = b"\x00" if len(data) % 2 else b""
+    return tag + _struct.pack("<I", len(data)) + data + pad
+
+
+def _riff_list(list_type: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + body)
+
+
+def encode_avi(width: int, height: int, frames: list[bytes], fps: int = 10) -> bytes:
+    """Encode raw 24-bit BGR frames (w*h*3 bytes each, rows 4-byte
+    aligned — keep width*3 % 4 == 0) as an uncompressed AVI."""
+    frame_size = width * height * 3
+    for f in frames:
+        if len(f) != frame_size:
+            raise ValueError(f"frame must be exactly {frame_size} bytes")
+    avih = _struct.pack(
+        "<10I",
+        1_000_000 // fps,          # dwMicroSecPerFrame
+        frame_size * fps,          # dwMaxBytesPerSec
+        0,                         # dwPaddingGranularity
+        0x10,                      # dwFlags: AVIF_HASINDEX off, interleaved off; 0x10=TRUSTCKTYPE
+        len(frames),               # dwTotalFrames
+        0,                         # dwInitialFrames
+        1,                         # dwStreams
+        frame_size,                # dwSuggestedBufferSize
+        width,
+        height,
+    ) + b"\x00" * 16               # dwReserved[4]
+    strh = (
+        b"vids" + b"DIB "
+        + _struct.pack("<10I", 0, 0, 0, 1, fps, 0, len(frames), frame_size, 0xFFFFFFFF, 0)
+        + _struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = _struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_size, 0, 0, 0, 0
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi = _riff_list(b"movi", b"".join(_riff_chunk(b"00db", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def decode_avi(data: bytes) -> tuple[int, int, int, list[bytes]]:
+    """Parse the RIFF structure back: (width, height, n_frames,
+    frames).  Validates the RIFF/AVI signature, walks the chunk tree,
+    reads dimensions from 'avih', and collects '00db'/'00dc' frame
+    chunks from LIST('movi')."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI (RIFF) payload")
+    declared = _struct.unpack("<I", data[4:8])[0]
+    if declared + 8 > len(data):
+        raise ValueError("truncated AVI payload")
+    width = height = total = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, off: int, end: int) -> None:
+        nonlocal width, height, total
+        while off + 8 <= end:
+            tag = buf[off : off + 4]
+            size = _struct.unpack("<I", buf[off + 4 : off + 8])[0]
+            payload_end = off + 8 + size
+            if payload_end > end:
+                raise ValueError("corrupt AVI chunk size")
+            if tag == b"LIST":
+                walk(buf, off + 12, payload_end)
+            elif tag == b"avih":
+                fields = _struct.unpack("<10I", buf[off + 8 : off + 48])
+                total, width, height = fields[4], fields[8], fields[9]
+            elif tag in (b"00db", b"00dc"):
+                frames.append(buf[off + 8 : payload_end])
+            off = payload_end + (size % 2)
+
+    walk(data, 12, 8 + declared)
+    if width is None or height is None:
+        raise ValueError("AVI missing avih header")
+    if total is not None and total != len(frames):
+        raise ValueError(f"AVI declares {total} frames, found {len(frames)}")
+    return width, height, len(frames), frames

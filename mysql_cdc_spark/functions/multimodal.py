@@ -5,15 +5,14 @@ with a binary column — and the Spark-side plumbing (schema, partition
 parallelism, batch iteration, UDF signatures) is what has to be right;
 the pixel/sample decode itself is a library call.
 
-Image and audio decode are REAL: pure-Python PNG/WAV codecs
+All three decode paths are REAL: pure-Python PNG/WAV/AVI codecs
 (functions/media_codecs.py, public formats, stdlib only) run inside
 the Arrow-batched executors — `synth_real_media` +
 `extract_decoded_features` exercise the full encode→bytes→decode
-path with no fakes.  Video container demuxing (mp4/mkv) would need a
-library (av/ffmpeg) this environment doesn't have, so video payloads
-stay opaque: `sample_frames` emits the frame-index explode and
-`decode_media` raises for kind='video'.  The byte-level fake features
-(`extract_features`) are kept alongside as the cheap
+path with no fakes.  Video uses the uncompressed RIFF/AVI container
+(raw 24-bit DIB frames) — compressed codecs (h264 etc.) would need
+av/ffmpeg, which this environment doesn't have.  The byte-level fake
+features (`extract_features`) are kept alongside as the cheap
 no-decode-required path.
 """
 
@@ -91,23 +90,23 @@ def decode_media(payload: bytes, kind: str):
 
       image → (width, height, channels, raw pixel bytes)
       audio → (rate, channels, 16-bit samples)
-
-    Video stays honestly unsupported: real container demuxing (mp4/
-    mkv) needs a library (av/ffmpeg) this environment doesn't have —
-    a video pipeline samples frame indices here (`sample_frames`) and
-    decodes per-frame images with the image path.
+      video → (width, height, n_frames, raw BGR frame list) via the
+              uncompressed RIFF/AVI demuxer (compressed codecs would
+              need av/ffmpeg, not present here)
     """
-    from mysql_cdc_spark.functions.media_codecs import decode_png, decode_wav
+    from mysql_cdc_spark.functions.media_codecs import (
+        decode_avi,
+        decode_png,
+        decode_wav,
+    )
 
     if kind == "image":
         return decode_png(payload)
     if kind == "audio":
         return decode_wav(payload)
-    raise NotImplementedError(
-        f"media decode for kind={kind!r} requires a container demuxer "
-        "(av/ffmpeg) not present in this environment; sample frames and "
-        "decode them as images instead"
-    )
+    if kind == "video":
+        return decode_avi(payload)
+    raise ValueError(f"unknown media kind {kind!r}")
 
 
 def _fake_features(payload: bytes) -> tuple[int, str, int]:
@@ -156,15 +155,23 @@ REAL_FEATURE_SCHEMA = T.StructType(
 #          → px_sum = 3 * 32 * (A + B)
 #   audio: 32 PCM16 samples s_i = ((id*7 + i*13) % 65536) - 32768,
 #          rate 8000 → sample_sum = Σ s_i
+#   video: 5 solid 4×4 BGR frames, frame f value v_f =
+#          (id*5 + f*17) % 256 → px_sum = 48 * Σ_f v_f, n_samples = 5
 _IMG_W = _IMG_H = 8
 _N_SAMPLES = 32
+_VID_W = _VID_H = 4   # width*3 stays 4-byte aligned (DIB row rule)
+_N_FRAMES = 5         # fixed so the oracle's range() is uncorrelated
 
 
 def synth_real_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Media table whose payloads are REAL encoded bytes (PNG/WAV via
-    the pure-Python codecs) derived deterministically from `events`.
-    Video rows are excluded (no container format without a demuxer)."""
-    from mysql_cdc_spark.functions.media_codecs import encode_png, encode_wav
+    """Media table whose payloads are REAL encoded bytes (PNG/WAV/AVI
+    via the pure-Python codecs) derived deterministically from
+    `events` — all three kinds."""
+    from mysql_cdc_spark.functions.media_codecs import (
+        encode_avi,
+        encode_png,
+        encode_wav,
+    )
     from mysql_cdc_spark.sources.io import read_table
 
     ev = read_table(spark, sf_dir, "events").select(
@@ -172,7 +179,7 @@ def synth_real_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(
             F.array(*[F.lit(k) for k in KINDS]), (F.col("event_id") % 3 + 1).cast("int")
         ).alias("kind"),
-    ).filter(F.col("kind") != "video")
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -186,11 +193,17 @@ def synth_real_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                         v for v in rows for _ in range(_IMG_W) for v in (v, v, v)
                     )
                     payloads.append(encode_png(_IMG_W, _IMG_H, pixels))
-                else:
+                elif kind == "audio":
                     samples = [
                         ((mid * 7 + i * 13) % 65536) - 32768 for i in range(_N_SAMPLES)
                     ]
                     payloads.append(encode_wav(samples))
+                else:
+                    frames = [
+                        bytes([(mid * 5 + f * 17) % 256]) * (_VID_W * _VID_H * 3)
+                        for f in range(_N_FRAMES)
+                    ]
+                    payloads.append(encode_avi(_VID_W, _VID_H, frames))
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "kind": pdf["kind"], "payload": payloads}
             )
@@ -207,9 +220,10 @@ def synth_real_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def extract_decoded_features(media: DataFrame) -> DataFrame:
     """Feature extraction over REAL bytes: decode each payload with the
-    PNG/WAV codecs and emit decoded-domain features — the full
+    PNG/WAV/AVI codecs and emit decoded-domain features — the full
     encode→bytes→decode→features path running Arrow-batched on
-    executors (no fakes anywhere)."""
+    executors (no fakes anywhere).  Video emits the all-frame pixel
+    sum in px_sum and the frame count in n_samples."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -219,9 +233,13 @@ def extract_decoded_features(media: DataFrame) -> DataFrame:
                 if kind == "image":
                     w, h, _ch, pixels = d
                     rows.append((mid, kind, w, h, sum(pixels), None, None))
-                else:
+                elif kind == "audio":
                     _rate, _ch, samples = d
                     rows.append((mid, kind, None, None, None, len(samples), sum(samples)))
+                else:
+                    w, h, n, frames = d
+                    px = sum(sum(f) for f in frames)
+                    rows.append((mid, kind, w, h, px, n, None))
             yield pd.DataFrame(
                 rows,
                 columns=[

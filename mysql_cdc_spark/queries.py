@@ -1651,15 +1651,21 @@ def mm_frame_sample(spark, sf_dir):
     "SELECT CAST(event_id AS BIGINT), 'audio', NULL, NULL, NULL, 32, "
     "(SELECT CAST(SUM(((event_id*7 + i*13) % 65536) - 32768) AS BIGINT) "
     " FROM range(32) t(i)) "
-    "FROM events WHERE event_id % 3 = 1",
+    "FROM events WHERE event_id % 3 = 1 "
+    "UNION ALL "
+    "SELECT CAST(event_id AS BIGINT), 'video', 4, 4, "
+    "(SELECT CAST(48 * SUM((event_id*5 + f*17) % 256) AS BIGINT) FROM range(5) t(f)), "
+    "5, CAST(NULL AS BIGINT) "
+    "FROM events WHERE event_id % 3 = 2",
 )
 def mm_decoded_features(spark, sf_dir):
-    """REAL media decode end-to-end: payloads are genuine PNG/WAV
+    """REAL media decode end-to-end: payloads are genuine PNG/WAV/AVI
     bytes (pure-Python codecs, functions/media_codecs.py) encoded on
     executors, decoded back on executors, and reduced to decoded-domain
-    features (pixel sums, sample sums).  The oracle computes the same
-    features in closed form from the generation rules — so the whole
-    encode→bytes→decode chain must be lossless."""
+    features (pixel sums, sample sums, per-frame sums).  The oracle
+    computes the same features in closed form from the generation
+    rules — so the whole encode→bytes→decode chain must be
+    lossless for all three modalities."""
     from mysql_cdc_spark.functions import multimodal as mm
 
     return mm.extract_decoded_features(mm.synth_real_media(spark, sf_dir))

@@ -93,13 +93,13 @@ def test_frame_sample_only_videos(spark, sf_dir):
         assert sorted(idxs) == list(range(0, n, 2))
 
 
-def test_decode_media_video_is_stubbed():
-    """Image/audio decode are real (pure-Python PNG/WAV codecs); only
-    video container demuxing remains honestly unsupported."""
-    with pytest.raises(NotImplementedError, match="demuxer"):
-        mm.decode_media(b"\x00", "video")
+def test_decode_media_rejects_bad_bytes_per_kind():
+    """All three decoders are real (pure-Python PNG/WAV/AVI codecs)
+    and each validates its container signature."""
+    with pytest.raises(ValueError, match="RIFF"):
+        mm.decode_media(b"\x00", "video")  # real demuxer rejects bad bytes
     with pytest.raises(ValueError, match="PNG"):
-        mm.decode_media(b"\x00", "image")  # real decoder rejects bad bytes
+        mm.decode_media(b"\x00", "image")
 
 
 @pytest.fixture()

@@ -145,9 +145,58 @@ def test_wav_rejects_non_pcm():
 def test_decode_media_dispatch():
     from mysql_cdc_spark.functions.multimodal import decode_media
 
+    from mysql_cdc_spark.functions.media_codecs import encode_avi
+
     png = encode_png(2, 2, bytes(12))
     assert decode_media(png, "image")[:2] == (2, 2)
     wav = encode_wav([5, -5])
     assert decode_media(wav, "audio") == (8000, 1, [5, -5])
-    with pytest.raises(NotImplementedError):
-        decode_media(b"whatever", "video")
+    avi = encode_avi(4, 4, [bytes(48)])
+    assert decode_media(avi, "video")[:3] == (4, 4, 1)
+    with pytest.raises(ValueError):
+        decode_media(b"whatever", "unknown-kind")
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF) container
+# ---------------------------------------------------------------------------
+
+
+def test_avi_round_trip_multi_frame():
+    from mysql_cdc_spark.functions.media_codecs import decode_avi, encode_avi
+
+    frames = [bytes([(i * 7 + j) % 256 for j in range(4 * 4 * 3)]) for i in range(6)]
+    data = encode_avi(4, 4, frames, fps=24)
+    w, h, n, out = decode_avi(data)
+    assert (w, h, n) == (4, 4, 6)
+    assert out == frames
+
+
+def test_avi_rejects_non_riff_and_truncation():
+    import pytest
+
+    from mysql_cdc_spark.functions.media_codecs import decode_avi, encode_avi
+
+    with pytest.raises(ValueError):
+        decode_avi(b"not an avi at all")
+    good = encode_avi(4, 4, [b"\x00" * 48])
+    with pytest.raises(ValueError):
+        decode_avi(good[: len(good) - 10])  # declared RIFF size overruns
+
+
+def test_avi_frame_size_enforced():
+    import pytest
+
+    from mysql_cdc_spark.functions.media_codecs import encode_avi
+
+    with pytest.raises(ValueError):
+        encode_avi(4, 4, [b"\x00" * 47])
+
+
+def test_avi_odd_frame_padding():
+    # odd-sized chunks get a RIFF pad byte; decode must skip it
+    from mysql_cdc_spark.functions.media_codecs import decode_avi, encode_avi
+
+    frames = [bytes([i] * 9) for i in range(3)]  # 1x3 RGB = 9 bytes (odd)
+    w, h, n, out = decode_avi(encode_avi(3, 1, frames))
+    assert (w, h, n) == (3, 1, 3) and out == frames
