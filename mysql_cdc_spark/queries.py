@@ -892,6 +892,70 @@ def cdc_binlog_enum_set(spark, sf_dir):
     )
 
 
+@register(
+    "cdc_binlog_wide_types",
+    """
+WITH ev AS (
+  SELECT event_id, ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS k FROM events
+)
+SELECT CAST(3*k+1 AS BIGINT) AS seq,
+       CAST(event_id % 97 AS BIGINT) AS id,
+       CAST((event_id % 256) - 128 AS BIGINT) AS t8,
+       CASE WHEN event_id % 13 = 0 THEN NULL
+            ELSE CAST(((event_id*7) % 65536) - 32768 AS BIGINT) END AS t16,
+       CAST(((event_id*131) % 16777216) - 8388608 AS BIGINT) AS t24,
+       CAST((event_id - 5000) * 1000000007 AS BIGINT) AS t64,
+       CAST(event_id % 131072 AS DOUBLE) / 64 AS f32,
+       CAST(event_id AS DOUBLE) / 1024 AS f64,
+       CAST(1970 + event_id % 100 AS BIGINT) AS yr,
+       CAST(DATE '1970-01-01' + CAST(event_id % 20000 AS INT) AS VARCHAR) AS d,
+       strftime(TIMESTAMP '2020-01-01' + to_seconds(event_id),
+                '%Y-%m-%d %H:%M:%S') AS dt,
+       printf('%d.%02d', 1500000000 + event_id, event_id % 100) AS ts,
+       printf('%s%02d:%02d:%02d.%03d',
+              CASE WHEN (event_id % 7200) - 3600 < 0 THEN '-' ELSE '' END,
+              abs((event_id % 7200) - 3600)//3600,
+              (abs((event_id % 7200) - 3600)%3600)//60,
+              abs((event_id % 7200) - 3600)%60,
+              (event_id*37)%1000) AS tm,
+       CASE WHEN event_id % 17 = 0 THEN NULL
+            ELSE lower(hex(encode(CAST(event_id AS VARCHAR)))) END AS bl
+FROM ev
+""".strip(),
+)
+def cdc_binlog_wide_types(spark, sf_dir):
+    """Full MySQL type matrix through the byte path — every type here
+    is BEYOND the reference's decoder (read-type, mysql_binlog.clj:558
+    throws on all of them): TINY/SHORT/INT24/LONGLONG signed ints,
+    FLOAT/DOUBLE (exact binary fractions so the envelope's string form
+    round-trips), YEAR, DATE, packed DATETIME2/TIMESTAMP2/TIME2 with
+    0/2/3-digit fractional seconds (TIME2 exercising negative values
+    through the offset-binary sign), and BLOB (hex in the envelope).
+    Encode bench.wide as real binlog bytes, decode via binaryFile +
+    mapInPandas, project + cast the after-images; the oracle recomputes
+    every column in closed form from event_id."""
+    import pathlib
+
+    from mysql_cdc_spark.sources import binlog_source as bs
+
+    out_dir = pathlib.Path(_STREAM_TMP) / f"binlog_wide_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
+    if not any(out_dir.glob("binlog.*")):
+        bs.generate_wide_binlog(sf_dir, str(out_dir))
+    env = bs.read_binlog_envelope(spark, str(out_dir))
+    after = F.col("after")
+    return env.filter(F.col("op") == "write_rows").select(
+        "seq",
+        *[
+            F.element_at(after, c).cast("bigint").alias(c)
+            for c in ("id", "t8", "t16", "t24", "t64")
+        ],
+        F.element_at(after, "f32").cast("double").alias("f32"),
+        F.element_at(after, "f64").cast("double").alias("f64"),
+        F.element_at(after, "yr").cast("bigint").alias("yr"),
+        *[F.element_at(after, c).alias(c) for c in ("d", "dt", "ts", "tm", "bl")],
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-training-data pipeline: text analysis over `documents`
 # (functions/text.py — JVM-side array expressions, no Python UDFs)

@@ -25,13 +25,18 @@ format itself:
                               leading-zero trim :206-226)
   packed ints / bitfields   ~ :193-211, :127-133
 
-Supported column types match the reference's decoder (read-type,
-mysql_binlog.clj:528-558 — strictly wider than its README:6 scope):
-LONG, VARCHAR/VAR_STRING/STRING, NEWDECIMAL, ENUM (1/2-byte ordinal,
-:533-536) and SET (raw bitset bytes, :530-531).  On the wire ENUM/SET
-columns travel as MYSQL_TYPE_STRING with the real type in metadata
-byte 0 and the pack length in byte 1 (public format; the reference
-re-derives the real type the same way in read-field :560-580).
+Supported column types are a strict SUPERSET of the reference's
+decoder (read-type, mysql_binlog.clj:528-558, which handles LONG,
+VARCHAR/VAR_STRING/STRING, NEWDECIMAL, ENUM and SET and throws on
+everything else).  Beyond those this codec also decodes the full
+common MySQL matrix — TINY/SHORT/INT24/LONGLONG, FLOAT/DOUBLE, YEAR,
+DATE, and the 5.6+ packed temporals DATETIME2/TIMESTAMP2/TIME2 (with
+fractional seconds), plus BLOB/TEXT — all from the public binlog row
+format, so real tables decode instead of raising.  On the wire
+ENUM/SET columns travel as MYSQL_TYPE_STRING with the real type in
+metadata byte 0 and the pack length in byte 1 (public format; the
+reference re-derives the real type the same way in read-field
+:560-580).
 """
 
 from __future__ import annotations
@@ -54,13 +59,28 @@ UPDATE_ROWS_EVENT = 24  # v1
 DELETE_ROWS_EVENT = 25  # v1
 
 # Column type codes (public; reference table :430-457)
+TYPE_TINY = 1
+TYPE_SHORT = 2
 TYPE_LONG = 3
+TYPE_FLOAT = 4
+TYPE_DOUBLE = 5
+TYPE_LONGLONG = 8
+TYPE_INT24 = 9
+TYPE_DATE = 10
+TYPE_YEAR = 13
 TYPE_VARCHAR = 15
-TYPE_STRING = 254
-TYPE_VAR_STRING = 253
+TYPE_TIMESTAMP2 = 17
+TYPE_DATETIME2 = 18
+TYPE_TIME2 = 19
 TYPE_NEWDECIMAL = 246
 TYPE_ENUM = 247
 TYPE_SET = 248
+TYPE_BLOB = 252
+TYPE_VAR_STRING = 253
+TYPE_STRING = 254
+
+# Fixed-width integer family: (storage bytes, signed struct/int decode)
+_INT_TYPES = {TYPE_TINY: 1, TYPE_SHORT: 2, TYPE_INT24: 3, TYPE_LONG: 4, TYPE_LONGLONG: 8}
 
 OP_NAMES = {
     QUERY_EVENT: "query",
@@ -206,6 +226,124 @@ def _bit(buf: bytes, i: int) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Temporal codecs (DATETIME2 / TIMESTAMP2 / TIME2 / DATE / YEAR) — the
+# MySQL 5.6+ packed formats, written fresh from the public layout
+# (my_time.h / my_time.cc in the MySQL source tree, documented in the
+# internals manual).  These types are BEYOND the reference's decoder
+# (read-type, mysql_binlog.clj:528-558 throws on them) — capability is
+# strictly wider so real tables with temporal columns decode.
+# ---------------------------------------------------------------------------
+
+def frac_bytes(fsp: int) -> int:
+    """Storage bytes for an fsp-digit fractional-seconds field:
+    ceil(fsp/2) packed-BCD-ish bytes (0..3)."""
+    if not 0 <= fsp <= 6:
+        raise ValueError(f"fsp out of range: {fsp}")
+    return (fsp + 1) // 2
+
+
+def _frac_to_bytes(frac: int, fsp: int) -> bytes:
+    n = frac_bytes(fsp)
+    if frac >= 10 ** fsp:
+        raise ValueError(f"fraction {frac} exceeds fsp={fsp}")
+    return frac.to_bytes(n, "big") if n else b""
+
+
+def encode_datetime2(text: str, fsp: int = 0) -> bytes:
+    """'YYYY-MM-DD HH:MM:SS[.ffff]' → 5-byte offset-binary int part
+    (sign bit | 17b year*13+month | 5b day | 5b hour | 6b min | 6b sec,
+    big-endian, +2^39 offset) + fsp fraction bytes."""
+    date_part, _, time_part = text.partition(" ")
+    y, mo, d = (int(x) for x in date_part.split("-"))
+    hms, _, fr = time_part.partition(".")
+    h, mi, s = (int(x) for x in hms.split(":"))
+    frac = int(fr.ljust(fsp, "0")) if fsp else 0
+    intpart = ((y * 13 + mo) << 22) | (d << 17) | (h << 12) | (mi << 6) | s
+    return (intpart + (1 << 39)).to_bytes(5, "big") + _frac_to_bytes(frac, fsp)
+
+
+def decode_datetime2(data: bytes, fsp: int = 0) -> str:
+    stored = int.from_bytes(data[:5], "big") - (1 << 39)
+    ym = stored >> 22
+    y, mo = ym // 13, ym % 13
+    d = (stored >> 17) & 0x1F
+    h = (stored >> 12) & 0x1F
+    mi = (stored >> 6) & 0x3F
+    s = stored & 0x3F
+    out = f"{y:04d}-{mo:02d}-{d:02d} {h:02d}:{mi:02d}:{s:02d}"
+    if fsp:
+        frac = int.from_bytes(data[5:5 + frac_bytes(fsp)], "big")
+        out += f".{frac:0{fsp}d}"
+    return out
+
+
+def encode_timestamp2(value, fsp: int = 0) -> bytes:
+    """Epoch seconds (int, or 'sec.frac' string when fsp>0) →
+    4-byte BIG-endian seconds + fraction bytes (unlike the legacy
+    little-endian TIMESTAMP)."""
+    if isinstance(value, str):
+        sec_s, _, fr = value.partition(".")
+        sec, frac = int(sec_s), int(fr.ljust(fsp, "0")) if fsp else 0
+    else:
+        sec, frac = int(value), 0
+    return sec.to_bytes(4, "big") + _frac_to_bytes(frac, fsp)
+
+
+def decode_timestamp2(data: bytes, fsp: int = 0):
+    sec = int.from_bytes(data[:4], "big")
+    if not fsp:
+        return sec
+    frac = int.from_bytes(data[4:4 + frac_bytes(fsp)], "big")
+    return f"{sec}.{frac:0{fsp}d}"
+
+
+def encode_time2(text: str, fsp: int = 0) -> bytes:
+    """'[-]HH:MM:SS[.ffff]' → offset-binary over the WHOLE 3+frac
+    field (sign | 1 reserved | 10b hour | 6b min | 6b sec | fraction),
+    so negative times order correctly under memcmp — the property the
+    on-disk format is designed around."""
+    neg = text.startswith("-")
+    hms, _, fr = text.lstrip("-").partition(".")
+    h, mi, s = (int(x) for x in hms.split(":"))
+    frac = int(fr.ljust(fsp, "0")) if fsp else 0
+    if h > 838:
+        raise ValueError(f"TIME hour out of range: {h}")
+    nb = 3 + frac_bytes(fsp)
+    packed = (((h << 12) | (mi << 6) | s) << (8 * frac_bytes(fsp))) | frac
+    if neg:
+        packed = -packed
+    return (packed + (1 << (8 * nb - 1))).to_bytes(nb, "big")
+
+
+def decode_time2(data: bytes, fsp: int = 0) -> str:
+    nb = 3 + frac_bytes(fsp)
+    packed = int.from_bytes(data[:nb], "big") - (1 << (8 * nb - 1))
+    sign = "-" if packed < 0 else ""
+    packed = abs(packed)
+    frac = packed & ((1 << (8 * frac_bytes(fsp))) - 1) if fsp else 0
+    intpart = packed >> (8 * frac_bytes(fsp))
+    h = (intpart >> 12) & 0x3FF
+    mi = (intpart >> 6) & 0x3F
+    s = intpart & 0x3F
+    out = f"{sign}{h:02d}:{mi:02d}:{s:02d}"
+    if fsp:
+        out += f".{frac:0{fsp}d}"
+    return out
+
+
+def encode_date(text: str) -> bytes:
+    """'YYYY-MM-DD' → 3 bytes little-endian: day(5) | month(4) |
+    year(15)."""
+    y, mo, d = (int(x) for x in text.split("-"))
+    return (d | (mo << 5) | (y << 9)).to_bytes(3, "little")
+
+
+def decode_date(data: bytes) -> str:
+    v = int.from_bytes(data[:3], "little")
+    return f"{v >> 9:04d}-{(v >> 5) & 0xF:02d}-{v & 0x1F:02d}"
+
+
+# ---------------------------------------------------------------------------
 # Writer (test/fixture generator — the inverse of the decoder)
 # ---------------------------------------------------------------------------
 
@@ -296,14 +434,40 @@ class BinlogWriter:
                 meta += bytes([TYPE_ENUM, enum_pack_len(int(m))])
             elif tc == TYPE_SET:
                 meta += bytes([TYPE_SET, set_pack_len(int(m))])
+            elif tc == TYPE_FLOAT:
+                meta += bytes([4])        # pack length
+            elif tc == TYPE_DOUBLE:
+                meta += bytes([8])
+            elif tc in (TYPE_DATETIME2, TYPE_TIMESTAMP2, TYPE_TIME2):
+                meta += bytes([int(m or 0)])   # fsp
+            elif tc == TYPE_BLOB:
+                meta += bytes([int(m or 2)])   # length-prefix bytes
         body += enc_packed_int(len(meta)) + bytes(meta)
         body += _bitmap_bytes([True] * len(t.columns))  # nullability
         self._emit(TABLE_MAP_EVENT, body, ts)
 
     def _encode_value(self, col: tuple[int, object], v) -> bytes:
         tc, m = col
-        if tc == TYPE_LONG:
-            return struct.pack("<i", int(v))
+        if tc in _INT_TYPES:
+            return int(v).to_bytes(_INT_TYPES[tc], "little", signed=True)
+        if tc == TYPE_FLOAT:
+            return struct.pack("<f", float(v))
+        if tc == TYPE_DOUBLE:
+            return struct.pack("<d", float(v))
+        if tc == TYPE_YEAR:
+            y = int(v)
+            return bytes([0 if y == 0 else y - 1900])
+        if tc == TYPE_DATE:
+            return encode_date(str(v))
+        if tc == TYPE_DATETIME2:
+            return encode_datetime2(str(v), int(m or 0))
+        if tc == TYPE_TIMESTAMP2:
+            return encode_timestamp2(v, int(m or 0))
+        if tc == TYPE_TIME2:
+            return encode_time2(str(v), int(m or 0))
+        if tc == TYPE_BLOB:
+            raw = bytes(v) if isinstance(v, (bytes, bytearray)) else str(v).encode("latin-1")
+            return len(raw).to_bytes(int(m or 2), "little") + raw
         if tc in (TYPE_VARCHAR, TYPE_VAR_STRING):
             raw = str(v).encode("latin-1")
             pre = bytes([len(raw)]) if int(m) < 256 else len(raw).to_bytes(2, "little")
@@ -407,6 +571,11 @@ def _read_table_map(body: bytes) -> TableMapState:
             col_meta.append((body[pos], body[pos + 1])); pos += 2
         elif tc == TYPE_STRING:
             col_meta.append((body[pos], body[pos + 1])); pos += 2
+        elif tc in (TYPE_FLOAT, TYPE_DOUBLE, TYPE_DATETIME2, TYPE_TIMESTAMP2,
+                    TYPE_TIME2, TYPE_BLOB):
+            # one metadata byte: pack length (float/double), fsp
+            # (temporal2), or length-prefix width (blob)
+            col_meta.append(body[pos]); pos += 1
         else:
             col_meta.append(None)
     pos = meta_end
@@ -434,8 +603,32 @@ def _read_value(body: bytes, pos: int, tc: int, meta) -> tuple[object, int]:
         else:
             maxlen = m1
         tc, meta = TYPE_VAR_STRING, maxlen
-    if tc == TYPE_LONG:
-        return struct.unpack_from("<i", body, pos)[0], pos + 4
+    if tc in _INT_TYPES:
+        n = _INT_TYPES[tc]
+        return int.from_bytes(body[pos:pos + n], "little", signed=True), pos + n
+    if tc == TYPE_FLOAT:
+        return struct.unpack_from("<f", body, pos)[0], pos + 4
+    if tc == TYPE_DOUBLE:
+        return struct.unpack_from("<d", body, pos)[0], pos + 8
+    if tc == TYPE_YEAR:
+        v = body[pos]
+        return (0 if v == 0 else 1900 + v), pos + 1
+    if tc == TYPE_DATE:
+        return decode_date(body[pos:pos + 3]), pos + 3
+    if tc == TYPE_DATETIME2:
+        n = 5 + frac_bytes(int(meta))
+        return decode_datetime2(body[pos:pos + n], int(meta)), pos + n
+    if tc == TYPE_TIMESTAMP2:
+        n = 4 + frac_bytes(int(meta))
+        return decode_timestamp2(body[pos:pos + n], int(meta)), pos + n
+    if tc == TYPE_TIME2:
+        n = 3 + frac_bytes(int(meta))
+        return decode_time2(body[pos:pos + n], int(meta)), pos + n
+    if tc == TYPE_BLOB:
+        n = int(meta)
+        ln = int.from_bytes(body[pos:pos + n], "little")
+        pos += n
+        return bytes(body[pos:pos + ln]), pos + ln
     if tc in (TYPE_VARCHAR, TYPE_VAR_STRING):
         if int(meta) < 256:
             ln = body[pos]; pos += 1

@@ -27,11 +27,23 @@ from pyspark.sql import types as T
 
 from mysql_cdc_spark.sources.binlog_codec import (
     DELETE_ROWS_EVENT,
+    TYPE_BLOB,
+    TYPE_DATE,
+    TYPE_DATETIME2,
+    TYPE_DOUBLE,
     TYPE_ENUM,
+    TYPE_FLOAT,
+    TYPE_INT24,
     TYPE_LONG,
+    TYPE_LONGLONG,
     TYPE_NEWDECIMAL,
     TYPE_SET,
+    TYPE_SHORT,
+    TYPE_TIME2,
+    TYPE_TIMESTAMP2,
+    TYPE_TINY,
     TYPE_VARCHAR,
+    TYPE_YEAR,
     UPDATE_ROWS_EVENT,
     WRITE_ROWS_EVENT,
     BinlogWriter,
@@ -47,6 +59,10 @@ FIXTURE_CATALOG = {
     ("foo", "auto"): ["id", "val", "word"],
     ("bench", "big"): ["id", "val", "word"],
     ("bench", "tags"): ["id", "state", "wide", "flags", "perms"],
+    ("bench", "wide"): [
+        "id", "t8", "t16", "t24", "t64", "f32", "f64",
+        "yr", "d", "dt", "ts", "tm", "bl",
+    ],
 }
 
 # (type, metadata) per column: INT, DECIMAL(12,4), VARCHAR(50) — the
@@ -67,6 +83,26 @@ ENUM_SET_COLUMNS = [
     (TYPE_ENUM, 300),
     (TYPE_SET, 4),
     (TYPE_SET, 12),
+]
+
+# Wide-type coverage table (BEYOND the reference's decoder, which
+# throws on all of these — read-type, mysql_binlog.clj:558): the full
+# common MySQL type matrix through the byte path.  fsp choices cover
+# zero-, one- and two-byte fractional fields.
+WIDE_COLUMNS = [
+    (TYPE_LONG, None),          # id
+    (TYPE_TINY, None),          # t8
+    (TYPE_SHORT, None),         # t16
+    (TYPE_INT24, None),         # t24
+    (TYPE_LONGLONG, None),      # t64
+    (TYPE_FLOAT, None),         # f32
+    (TYPE_DOUBLE, None),        # f64
+    (TYPE_YEAR, None),          # yr
+    (TYPE_DATE, None),          # d
+    (TYPE_DATETIME2, 0),        # dt    (fsp 0)
+    (TYPE_TIMESTAMP2, 2),       # ts    (fsp 2 → 1 frac byte)
+    (TYPE_TIME2, 3),            # tm    (fsp 3 → 2 frac bytes, signed)
+    (TYPE_BLOB, 2),             # bl    (2-byte length prefix)
 ]
 
 BINLOG_ENVELOPE_SCHEMA = T.StructType(
@@ -298,6 +334,69 @@ def generate_binlog_from_events(
             fh.write(writer.getvalue())
         written.append(fname)
     return written
+
+
+def generate_wide_binlog(sf_dir: str, out_dir: str) -> str:
+    """Encode an insert-only change stream for `bench.wide` — the
+    full-type-matrix coverage table — as real binlog bytes.  Every
+    value is a closed-form function of event_id so the DuckDB oracle
+    can recompute it without touching the byte path:
+
+        id  = event_id % 97                         (LONG)
+        t8  = (event_id % 256) - 128                (TINY, signed)
+        t16 = NULL if event_id % 13 = 0
+              else ((event_id*7) % 65536) - 32768   (SHORT + NULLs)
+        t24 = ((event_id*131) % 2^24) - 2^23        (INT24, signed)
+        t64 = (event_id - 5000) * 1000000007        (LONGLONG, signed)
+        f32 = (event_id % 2^17) / 64                (FLOAT — exact:
+              needs <= 17 mantissa bits < float32's 24)
+        f64 = event_id / 1024                       (DOUBLE — exact)
+        yr  = 1970 + event_id % 100                 (YEAR)
+        d   = 1970-01-01 + (event_id % 20000) days  (DATE)
+        dt  = 2020-01-01 00:00:00 + event_id sec    (DATETIME2 fsp 0)
+        ts  = 1500000000 + event_id (.frac2)        (TIMESTAMP2 fsp 2)
+        tm  = event_id % 7200 - 3600 sec (.frac3)   (TIME2 fsp 3,
+              exercising NEGATIVE times / offset-binary sign)
+        bl  = NULL if event_id % 17 = 0
+              else ascii digits of event_id         (BLOB + NULLs)
+
+    All of these types are beyond the reference decoder's scope
+    (read-type, mysql_binlog.clj:558 throws).  Idempotent."""
+    import datetime as _dt
+
+    os.makedirs(out_dir, exist_ok=True)
+    pdf = _fixture_rows(sf_dir)
+    t = TableDef("bench", "wide", WIDE_COLUMNS, table_id=11)
+    writer = BinlogWriter()
+    epoch_day = _dt.date(1970, 1, 1)
+    dt0 = _dt.datetime(2020, 1, 1)
+    for event_id in pdf["event_id"]:
+        e = int(event_id)
+        ts = e % (1 << 31)
+        v = e % 7200 - 3600
+        av = abs(v)
+        row = [
+            e % 97,
+            (e % 256) - 128,
+            None if e % 13 == 0 else ((e * 7) % 65536) - 32768,
+            ((e * 131) % (1 << 24)) - (1 << 23),
+            (e - 5000) * 1000000007,
+            (e % (1 << 17)) / 64.0,
+            e / 1024.0,
+            1970 + e % 100,
+            (epoch_day + _dt.timedelta(days=e % 20000)).isoformat(),
+            (dt0 + _dt.timedelta(seconds=e)).strftime("%Y-%m-%d %H:%M:%S"),
+            f"{1_500_000_000 + e}.{e % 100:02d}",
+            f"{'-' if v < 0 else ''}{av // 3600:02d}:{av % 3600 // 60:02d}:{av % 60:02d}.{e * 37 % 1000:03d}",
+            None if e % 17 == 0 else str(e).encode("latin-1"),
+        ]
+        writer.write_table_map(t, ts)
+        writer.write_rows(WRITE_ROWS_EVENT, t, [row], ts=ts)
+        writer.write_xid(e, ts)
+    path = os.path.join(out_dir, "binlog.000000")
+    with open(path, "wb") as fh:
+        fh.write(writer.getvalue())
+    return path
 
 
 def generate_enum_set_binlog(sf_dir: str, out_dir: str) -> str:

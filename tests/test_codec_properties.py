@@ -131,3 +131,93 @@ def test_enum_set_roundtrip_property(n_values, n_members, data):
     assert after["e"] == ordinal
     from mysql_cdc_spark.sources.binlog_codec import set_pack_len
     assert after["s"] == bitset.to_bytes(set_pack_len(n_members), "little")
+
+
+# --- wide-type round-trip properties ----------------------------------------
+
+
+@st.composite
+def time_strings(draw):
+    fsp = draw(st.integers(0, 6))
+    h = draw(st.integers(0, 838))
+    m, s = draw(st.integers(0, 59)), draw(st.integers(0, 59))
+    neg = draw(st.booleans()) and (h or m or s)
+    frac = draw(st.integers(0, 10**fsp - 1)) if fsp else 0
+    txt = f"{'-' if neg else ''}{h:02d}:{m:02d}:{s:02d}"
+    if fsp:
+        txt += f".{frac:0{fsp}d}"
+    return txt, fsp
+
+
+@given(time_strings())
+@settings(max_examples=300, deadline=None)
+def test_time2_roundtrip_property(t):
+    from mysql_cdc_spark.sources.binlog_codec import decode_time2, encode_time2
+
+    txt, fsp = t
+    assert decode_time2(encode_time2(txt, fsp), fsp) == txt
+
+
+@st.composite
+def datetime_strings(draw):
+    fsp = draw(st.integers(0, 6))
+    y = draw(st.integers(1, 9999))
+    mo, d = draw(st.integers(1, 12)), draw(st.integers(1, 28))
+    h, mi, s = draw(st.integers(0, 23)), draw(st.integers(0, 59)), draw(st.integers(0, 59))
+    frac = draw(st.integers(0, 10**fsp - 1)) if fsp else 0
+    txt = f"{y:04d}-{mo:02d}-{d:02d} {h:02d}:{mi:02d}:{s:02d}"
+    if fsp:
+        txt += f".{frac:0{fsp}d}"
+    return txt, fsp
+
+
+@given(datetime_strings())
+@settings(max_examples=300, deadline=None)
+def test_datetime2_roundtrip_property(t):
+    from mysql_cdc_spark.sources.binlog_codec import decode_datetime2, encode_datetime2
+
+    txt, fsp = t
+    assert decode_datetime2(encode_datetime2(txt, fsp), fsp) == txt
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(0, 6))
+@settings(max_examples=200, deadline=None)
+def test_timestamp2_roundtrip_property(sec, fsp):
+    from mysql_cdc_spark.sources.binlog_codec import decode_timestamp2, encode_timestamp2
+
+    if fsp == 0:
+        assert decode_timestamp2(encode_timestamp2(sec, 0), 0) == sec
+    else:
+        txt = f"{sec}.{0:0{fsp}d}"
+        assert decode_timestamp2(encode_timestamp2(txt, fsp), fsp) == txt
+
+
+@given(st.dates())
+@settings(max_examples=200, deadline=None)
+def test_date_roundtrip_property(d):
+    from mysql_cdc_spark.sources.binlog_codec import decode_date, encode_date
+
+    assert decode_date(encode_date(d.isoformat())) == d.isoformat()
+
+
+@given(
+    st.integers(-128, 127), st.integers(-(2**15), 2**15 - 1),
+    st.integers(-(2**23), 2**23 - 1), st.integers(-(2**63), 2**63 - 1),
+    st.binary(max_size=300),
+)
+@settings(max_examples=200, deadline=None)
+def test_int_and_blob_row_roundtrip_property(t8, t16, t24, t64, blob):
+    from mysql_cdc_spark.sources.binlog_codec import (
+        TYPE_BLOB, TYPE_INT24, TYPE_LONGLONG, TYPE_SHORT, TYPE_TINY,
+    )
+
+    cols = [
+        (TYPE_TINY, None), (TYPE_SHORT, None), (TYPE_INT24, None),
+        (TYPE_LONGLONG, None), (TYPE_BLOB, 2),
+    ]
+    t = TableDef("d", "w", cols)
+    w = BinlogWriter()
+    w.write_table_map(t)
+    w.write_rows(WRITE_ROWS_EVENT, t, [[t8, t16, t24, t64, blob]])
+    img = decode_binlog(w.getvalue(), {})[-1]["after"][0]
+    assert [img[str(i + 1)] for i in range(5)] == [t8, t16, t24, t64, blob]
