@@ -83,7 +83,9 @@ def tfidf_top_terms(docs: DataFrame, k: int = 10) -> DataFrame:
             "doc_id",
             "term",
             F.col("tf").cast("bigint").alias("tf"),
-            "tfidf",
+            # ranked on the exact decimal; surfaced as double (the
+            # engine-neutral interchange type — value is identical)
+            F.col("tfidf").cast("double").alias("tfidf"),
             F.col("rk").cast("bigint").alias("rk"),
         )
     )
@@ -160,5 +162,10 @@ def bm25_search(
     return (
         scores.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("qid", "doc_id", "score", F.col("rk").cast("bigint").alias("rk"))
+        .select(
+            "qid",
+            "doc_id",
+            F.col("score").cast("double").alias("score"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
     )

@@ -311,6 +311,88 @@ def ann_ivf(
     )
 
 
+KMEANS_K = 4
+KMEANS_ITERS = 2
+
+
+def _nearest_centroid(q: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid by EXACT integer
+    squared-L2 (zip_with + aggregate over BIGINTs — associative, so
+    partition order can't change the result); ties break on the lower
+    centroid id.  Centroids are broadcast (K rows)."""
+    dist = "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+    scored = q.crossJoin(F.broadcast(cents)).withColumn("dist", F.expr(dist))
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "qv", "cid", "dist")
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Lloyd's k-means over the quantized integer vectors, run for a
+    FIXED number of iterations so the result is a pure function of the
+    input (seeds = the k lowest vec_ids; every assignment is an exact
+    BIGINT argmin; centroid updates are floor(sum/n) per dimension —
+    one IEEE divide + floor on exact integer inputs, the same
+    engine-deterministic contract as `_quantized_centroids`).
+
+    Scale shape per iteration: one broadcast of K centroid rows + one
+    map-side-combined shuffle on (cid, dim) for the update — the
+    canonical distributed k-means; nothing grows with K*N except the
+    broadcast compare, and K is small.  The driver loop is `iters`
+    plan-building steps, not data pulls (no collect; the centroid
+    frame stays distributed and is broadcast by the optimizer).
+
+    Returns (vec_id, cid, dist) after `iters` assignment rounds.
+    """
+    q = quantized(emb).select("vec_id", "qv")
+    cents = q.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+    assigned = _nearest_centroid(q, cents)
+    for _ in range(iters - 1):
+        cents = (
+            assigned.select("cid", F.posexplode("qv").alias("dim", "v"))
+            .groupBy("cid", "dim")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .withColumn(
+                "cvd",
+                F.floor(F.col("s").cast("double") / F.col("n").cast("double")).cast("bigint"),
+            )
+            .groupBy("cid")
+            .agg(F.expr("array_agg(struct(dim, cvd))").alias("pairs"))
+            .select(
+                "cid",
+                F.expr(
+                    "transform(array_sort(pairs, (a, b) -> a.dim - b.dim), p -> p.cvd)"
+                ).alias("cv"),
+            )
+        )
+        assigned = _nearest_centroid(q, cents)
+    return assigned.select(
+        "vec_id",
+        F.col("cid").cast("bigint").alias("cid"),
+        F.col("dist").cast("bigint").alias("dist"),
+    )
+
+
+def kmeans_sizes(emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> DataFrame:
+    """Cluster cardinalities + exact total within-cluster squared
+    distance (all BIGINT) — the convergence diagnostic."""
+    return (
+        kmeans_assign(emb, k, iters)
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum("dist").cast("bigint").alias("total_dist"),
+        )
+    )
+
+
 def label_centroids(emb: DataFrame) -> DataFrame:
     """Exact per-label centroids: positional explode → integer sums per
     (label, dim) → single double division.  One map-side-combined

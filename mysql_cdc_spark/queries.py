@@ -1213,6 +1213,75 @@ def llm_simhash_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# LLM-training-data pipeline: ranked retrieval (operators/retrieval.py —
+# TF-IDF / BM25, decimal-rounded scores for engine-exact determinism)
+# ---------------------------------------------------------------------------
+
+from mysql_cdc_spark.operators import retrieval  # noqa: E402
+
+_TF_CTE = (
+    r"WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') "
+    "AS tokens FROM documents), "
+    "tf AS (SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf "
+    "FROM (SELECT doc_id, unnest(tokens) AS t FROM toks) GROUP BY doc_id, t)"
+)
+
+
+@register(
+    "llm_tfidf",
+    _TF_CTE + ", "
+    "df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+    "n AS (SELECT COUNT(*) AS n FROM documents), "
+    "scored AS (SELECT tf.doc_id, tf.term, tf.tf, "
+    "  CAST(round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) AS DECIMAL(18,6)) AS tfidf "
+    "  FROM tf JOIN df USING (term) CROSS JOIN n), "
+    "rked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+    "  ORDER BY tfidf DESC, term) AS rk FROM scored) "
+    "SELECT doc_id, term, tf, CAST(tfidf AS DOUBLE) AS tfidf, "
+    "CAST(rk AS BIGINT) AS rk FROM rked WHERE rk <= 10",
+)
+def llm_tfidf(spark, sf_dir):
+    """Top-10 TF-IDF terms per document.  Scores are rounded to
+    DECIMAL(18,6) before ranking so the top-k cut (and the hash) is
+    engine-exact; ties break by term."""
+    return retrieval.tfidf_top_terms(_docs(spark, sf_dir))
+
+
+@register(
+    "llm_bm25",
+    "WITH qt(qid, term) AS (VALUES "
+    + ", ".join(f"('{q}', '{t}')" for q, t in retrieval.BM25_QUERIES)
+    + "), "
+    r"toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') "
+    "AS tokens FROM documents), "
+    "lens AS (SELECT doc_id, len(tokens) AS dl FROM toks), "
+    "stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM lens), "
+    "hits AS (SELECT doc_id, t AS term, COUNT(*) AS tf "
+    "  FROM (SELECT doc_id, unnest(tokens) AS t FROM toks) "
+    "  WHERE t IN (SELECT DISTINCT term FROM qt) GROUP BY doc_id, t), "
+    "df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY term), "
+    "contrib AS (SELECT qt.qid, h.doc_id, "
+    f"  CAST(round(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * h.tf * {retrieval.K1 + 1.0} / "
+    f"    (h.tf + {retrieval.K1} * ({1.0 - retrieval.B} + {retrieval.B} * l.dl / s.avgdl)), 6) "
+    "    AS DECIMAL(18,6)) AS part "
+    "  FROM hits h JOIN df d USING (term) JOIN qt ON qt.term = h.term "
+    "  JOIN lens l ON l.doc_id = h.doc_id CROSS JOIN stats s), "
+    "scores AS (SELECT qid, doc_id, CAST(SUM(part) AS DECIMAL(18,6)) AS score "
+    "  FROM contrib GROUP BY qid, doc_id), "
+    "rked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid "
+    "  ORDER BY score DESC, doc_id) AS rk FROM scores) "
+    "SELECT qid, doc_id, CAST(score AS DOUBLE) AS score, "
+    "CAST(rk AS BIGINT) AS rk FROM rked WHERE rk <= 10",
+)
+def llm_bm25(spark, sf_dir):
+    """Top-10 documents per benchmark query under BM25.  Per-term
+    contributions are rounded to DECIMAL(18,6) BEFORE the per-(query,
+    doc) sum — an exact, order-independent decimal fold (float
+    addition is not associative across Spark partitions)."""
+    return retrieval.bm25_search(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # LLM-training-data pipeline: similarity search over `embeddings`
 # (operators/similarity.py — quantized-integer cosine, LSH buckets)
 # ---------------------------------------------------------------------------
@@ -1340,6 +1409,58 @@ def llm_ann_ivf(spark, sf_dir):
     """IVF-flavored ANN: exact-integer centroid cells as the coarse
     quantizer, queries probe 2 cells, exact re-rank inside cells."""
     return similarity.ann_ivf(_emb(spark, sf_dir))
+
+
+def _kmeans_oracle_sql() -> str:
+    """Unroll the fixed-iteration Lloyd loop as chained CTEs — the
+    same exact-integer argmin + floor-mean update the Spark operator
+    runs, so assignments hash-match bit-for-bit."""
+    dist = "list_sum([(q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]) for i in range(1, len(q.qv)+1)])"
+    parts = [
+        f"c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {similarity.KMEANS_K})"
+    ]
+    for it in range(similarity.KMEANS_ITERS):
+        parts.append(
+            f"a{it} AS (SELECT vec_id, qv, cid, dist FROM ("
+            f"  SELECT q.vec_id, q.qv, c.cid, {dist} AS dist, "
+            f"  ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {dist}, c.cid) AS rn "
+            f"  FROM q, c{it} c) WHERE rn = 1)"
+        )
+        if it + 1 < similarity.KMEANS_ITERS:
+            parts.append(
+                f"c{it + 1} AS (SELECT cid, list(cvd ORDER BY dim) AS cv FROM ("
+                f"  SELECT cid, dim, CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cvd "
+                f"  FROM (SELECT cid, unnest(range(0, len(qv))) AS dim, unnest(qv) AS v FROM a{it}) "
+                f"  GROUP BY cid, dim) GROUP BY cid)"
+            )
+    last = f"a{similarity.KMEANS_ITERS - 1}"
+    return (
+        _EMB_CTE + ", " + ", ".join(parts)
+        + f" SELECT vec_id, CAST(cid AS BIGINT) AS cid, CAST(dist AS BIGINT) AS dist FROM {last}"
+    )
+
+
+@register("llm_kmeans", _kmeans_oracle_sql())
+def llm_kmeans(spark, sf_dir):
+    """Distributed Lloyd k-means over quantized integer embeddings,
+    fixed iterations: exact BIGINT squared-L2 argmin (tie → lower
+    centroid id), floor(sum/n) centroid updates.  Per iteration: one
+    K-row broadcast + one map-side-combined (cid, dim) shuffle."""
+    return similarity.kmeans_assign(_emb(spark, sf_dir))
+
+
+@register(
+    "llm_kmeans_sizes",
+    _kmeans_oracle_sql().replace(
+        "SELECT vec_id, CAST(cid AS BIGINT) AS cid, CAST(dist AS BIGINT) AS dist FROM",
+        "SELECT CAST(cid AS BIGINT) AS cid, CAST(COUNT(*) AS BIGINT) AS n_members, "
+        "CAST(SUM(dist) AS BIGINT) AS total_dist FROM",
+    ) + " GROUP BY cid",
+)
+def llm_kmeans_sizes(spark, sf_dir):
+    """Cluster cardinalities + exact total within-cluster squared
+    distance after the fixed k-means iterations."""
+    return similarity.kmeans_sizes(_emb(spark, sf_dir))
 
 
 @register(

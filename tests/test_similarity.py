@@ -106,3 +106,51 @@ def test_ivf_ranks_descending(emb):
         rows.sort()
         coss = [c for _, c in rows]
         assert coss == sorted(coss, reverse=True)
+
+
+# --- k-means ---------------------------------------------------------------
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    from mysql_cdc_spark.operators.similarity import kmeans_assign
+
+    # two tight groups far apart; seeds 0 and 1 land one in each
+    rows = [
+        (0, "a", [0.0] * 63 + [0.1]),
+        (1, "a", [1.0] * 63 + [0.9]),
+        (2, "a", [0.01] * 63 + [0.12]),
+        (3, "a", [0.99] * 63 + [0.88]),
+        (4, "a", [0.02] * 63 + [0.11]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    out = {r.vec_id: r.cid for r in kmeans_assign(emb, k=2, iters=2).collect()}
+    assert out[0] == out[2] == out[4]
+    assert out[1] == out[3]
+    assert out[0] != out[1]
+
+
+def test_kmeans_deterministic_and_exact(spark):
+    from mysql_cdc_spark.operators.similarity import kmeans_assign
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, "x", [rng.uniform(-1, 1) for _ in range(64)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    a = sorted((r.vec_id, r.cid, r.dist) for r in kmeans_assign(emb).collect())
+    b = sorted((r.vec_id, r.cid, r.dist) for r in kmeans_assign(emb).collect())
+    assert a == b  # bit-exact across runs (integer argmin, fixed seeds)
+    assert all(d >= 0 for _, _, d in a)
+
+
+def test_kmeans_seed_vectors_have_zero_distance_iter1(spark):
+    from mysql_cdc_spark.operators.similarity import kmeans_assign
+
+    rows = [(i, "x", [float(i)] * 64) for i in range(6)]
+    emb = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    # with a single iteration, each seed is its own centroid → dist 0
+    out = {r.vec_id: r for r in kmeans_assign(emb, k=3, iters=1).collect()}
+    for i in range(3):
+        assert out[i].cid == i and out[i].dist == 0
