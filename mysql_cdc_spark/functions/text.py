@@ -193,3 +193,40 @@ def fingerprints(docs: DataFrame, shingle: int = 8, seeds: int = 4) -> DataFrame
             F.expr(f"array_min(transform(hashes, h -> substring(h, {8 * s + 1}, 8)))"),
         )
     return out.drop("t", "hashes")
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style intra-document repetition: over ALL word 3-grams
+    (not the distinct set), the fraction of occurrences that are
+    repeats of an earlier gram — `1 - distinct/total`.  High values
+    flag degenerate/boilerplate text (lyrics loops, template spam)
+    that per-corpus dedup can't see because the repetition is inside
+    one document.
+
+    Shuffle-free: the gram list, its distinct set, and the division
+    are array expressions per row; the only IEEE op is one division of
+    two exact integers.  Empty gram lists (< 3 tokens) score 0.0 by
+    convention on both engines.
+    """
+    grams = (
+        "case when size(tokens) >= 3 then transform(sequence(1, size(tokens) - 2), "
+        "i -> concat(tokens[i - 1], ' ', tokens[i], ' ', tokens[i + 1])) "
+        "else array() end"
+    )
+    return (
+        with_tokens(docs)
+        .withColumn("grams", F.expr(grams))
+        .select(
+            "doc_id",
+            F.size("grams").cast("bigint").alias("n_grams"),
+            F.size(F.array_distinct(F.col("grams"))).cast("bigint").alias("n_distinct"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.when(
+                F.col("n_grams") > 0,
+                (F.col("n_grams") - F.col("n_distinct")).cast("double")
+                / F.col("n_grams").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )

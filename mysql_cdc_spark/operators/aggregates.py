@@ -185,3 +185,35 @@ def latest_state(rows_dt: DataFrame) -> DataFrame:
             F.col("last.offset").alias("as_of_offset"),
         )
     )
+
+
+def state_asof(rows_dt: DataFrame, num: int = 1, den: int = 2) -> DataFrame:
+    """Point-in-time table reconstruction: the state `latest_state`
+    would have shown when `num/den` of the offset range had been
+    consumed (cutoff = max_offset * num div den — exact integer
+    arithmetic, identical on both engines).
+
+    The time-travel half of a CDC consumer: "what did the table look
+    like at offset T?" is the same one-shuffle max(struct) replay as
+    latest-state, restricted to events at or before the cutoff.  The
+    cutoff is a one-row aggregate broadcast against the stream — at
+    100 TB a caller passes a literal offset instead and the filter
+    pushes into the parquet scan as a min/max row-group prune.
+    """
+    cutoff = rows_dt.agg(
+        F.expr(f"max(offset) * {num} div {den}").cast("bigint").alias("cutoff")
+    )
+    return (
+        rows_dt.join(F.broadcast(cutoff))
+        .filter((F.col("offset") <= F.col("cutoff")) & (F.col("_delta_type") != DT_UPDATE_BEFORE))
+        .groupBy("db", "tbl", "id")
+        .agg(F.max(F.struct("offset", "value", "_delta_type")).alias("last"))
+        .filter(F.col("last._delta_type") != DT_DELETE)
+        .select(
+            "db",
+            "tbl",
+            "id",
+            F.col("last.value").alias("value"),
+            F.col("last.offset").alias("as_of_offset"),
+        )
+    )

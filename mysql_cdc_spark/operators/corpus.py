@@ -204,3 +204,89 @@ def hash_sample(docs: DataFrame, cut: int = SAMPLE_CUT, salt: str = "sample") ->
     return docs.select("doc_id", "lang", "source", bucket.alias("bucket")).where(
         F.col("bucket") < cut
     )
+
+
+# Per-source mixture cuts on the 256-bucket hash space — the standard
+# training-data "data mixture" step: curated sources kept whole,
+# mid-tier sources downsampled, bulk web scraped sources thinned hard.
+# Integer cuts (not float rates) keep the keep/drop decision exact on
+# both engines.  Unknown sources default to 0 (dropped) — a new feed
+# must be explicitly weighted before it can enter the mix.
+MIXTURE_CUTS: dict[str, int] = {
+    f"src{i}": (256 if i < 4 else 128 if i < 10 else 64 if i < 16 else 16)
+    for i in range(20)
+}
+
+
+def _mixture_case() -> str:
+    whens = " ".join(f"WHEN '{s}' THEN {c}" for s, c in sorted(MIXTURE_CUTS.items()))
+    return f"CASE source {whens} ELSE 0 END"
+
+
+def mixture_sample(docs: DataFrame, salt: str = "mix") -> DataFrame:
+    """Deterministic weighted domain mixing: keep each document iff its
+    salted-md5 bucket falls below its source's cut (cut/256 ≈ the
+    source's sampling rate).
+
+    The workhorse of corpus composition — e.g. keep 100% of curated
+    sources but 6% of crawl — expressed so membership is a pure
+    function of (doc_id, source): stable under reruns, repartitioning,
+    and incremental ingestion, and trivially auditable (the bucket is
+    returned).  Narrow, shuffle-free plan: one md5 + CASE + filter per
+    row; the per-source cut is a constant-folded CASE, not a join.
+    """
+    bucket = F.expr(
+        f"(instr('0123456789abcdef', substring(md5(concat('{salt}:', cast(doc_id as string))), 1, 1)) - 1) * 16 "
+        f"+ instr('0123456789abcdef', substring(md5(concat('{salt}:', cast(doc_id as string))), 2, 1)) - 1"
+    ).cast("bigint")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            bucket.alias("bucket"),
+            F.expr(_mixture_case()).cast("bigint").alias("cut"),
+        )
+        .where(F.col("bucket") < F.col("cut"))
+    )
+
+
+def cross_dup_fraction(docs: DataFrame) -> DataFrame:
+    """Per-document fraction of its distinct shingles that also occur
+    in at least one OTHER document — the cross-document duplication
+    score used to rank documents for substring-level dedup (a doc
+    scoring ~1.0 is boilerplate or a copy; ~0.0 is unique text).
+
+    Scale shape: explode distinct shingles (one row per (doc, shingle)),
+    a map-side-combined count per shingle (document frequency), one
+    equi-join back on the shingle, one count per doc — two shuffle keys
+    (shingle, then doc_id), both uniformly distributed, no pair
+    explosion anywhere (unlike near-dup joins this never materializes
+    doc×doc candidates, so no frequency cap is needed).
+    """
+    from mysql_cdc_spark.operators.dedup import with_shingles
+
+    shingled = with_shingles(docs).select(
+        "doc_id", F.col("shingles"), F.size("shingles").alias("n_sh")
+    )
+    sizes = shingled.select("doc_id", "n_sh")
+    inv = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    # df counts docs per shingle (shingle sets are distinct within a
+    # doc, so COUNT(*) == document frequency).
+    df = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    dup_counts = (
+        inv.join(df.filter(F.col("df") > 1), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    return (
+        sizes.join(dup_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_sh").cast("bigint").alias("n_shingles"),
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("bigint").alias("n_shared"),
+            F.when(F.col("n_sh") > 0,
+                   F.coalesce(F.col("n_dup"), F.lit(0)).cast("double") / F.col("n_sh").cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias("shared_frac"),
+        )
+    )

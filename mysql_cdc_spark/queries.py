@@ -2308,3 +2308,80 @@ def cdc_stream_hll(spark, sf_dir):
     regs_stream = rows.groupBy("bucket").agg(F.max("rho").alias("m"))
     registers = _drain(regs_stream, output_mode="complete")
     return sketches.hll_estimate(registers)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch: point-in-time CDC state, corpus mixture, repetition
+# and cross-document duplication scoring
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_state_asof",
+    with_changes(
+        'SELECT db, tbl, id, value, "offset" AS as_of_offset FROM ('
+        '  SELECT db, tbl, id, value, "offset", _delta_type, '
+        '         ROW_NUMBER() OVER (PARTITION BY db, tbl, id ORDER BY "offset" DESC) AS rn'
+        "  FROM rows_dt WHERE _delta_type <> 'update-before'"
+        '  AND "offset" <= (SELECT MAX("offset") * 1 // 2 FROM rows_dt)'
+        ") WHERE rn = 1 AND _delta_type <> 'delete'"
+    ),
+)
+def cdc_state_asof(spark, sf_dir):
+    """Time travel: table state as of the offset-range midpoint —
+    same one-shuffle max(struct) replay as cdc_latest_state over the
+    cutoff-filtered stream."""
+    return aggregates.state_asof(_rows_dt(spark, sf_dir))
+
+
+@register(
+    "llm_mixture_sample",
+    "SELECT doc_id, source, CAST(b AS BIGINT) AS bucket, CAST(cut AS BIGINT) AS cut "
+    "FROM (SELECT doc_id, source, "
+    "(instr('0123456789abcdef', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 "
+    "+ instr('0123456789abcdef', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS b, "
+    + corpus._mixture_case() + " AS cut FROM documents) WHERE b < cut",
+)
+def llm_mixture_sample(spark, sf_dir):
+    """Deterministic weighted domain mixing (per-source keep rates as
+    integer cuts of the 256-bucket hash space)."""
+    return corpus.mixture_sample(_docs(spark, sf_dir))
+
+
+@register(
+    "llm_repetition",
+    r"WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') "
+    "AS tokens FROM documents), "
+    "g AS (SELECT doc_id, CASE WHEN len(tokens) >= 3 THEN "
+    "[tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] for i in range(1, len(tokens)-1)] "
+    "ELSE [] END AS grams FROM toks) "
+    "SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams, "
+    "CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct, "
+    "CASE WHEN len(grams) > 0 THEN "
+    "CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE) "
+    "ELSE 0.0 END AS dup_frac FROM g",
+)
+def llm_repetition(spark, sf_dir):
+    """Gopher-style intra-document repeated-3-gram fraction (array
+    expressions, shuffle-free)."""
+    return T.repetition_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "llm_cross_dup",
+    _SHINGLE_CTE + ", "
+    "sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh), "
+    "inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh), "
+    "dfc AS (SELECT shingle, COUNT(*) AS df FROM inv GROUP BY shingle), "
+    "dup AS (SELECT i.doc_id, COUNT(*) AS n_dup FROM inv i "
+    "JOIN dfc ON i.shingle = dfc.shingle AND dfc.df > 1 GROUP BY i.doc_id) "
+    "SELECT s.doc_id, CAST(s.n_sh AS BIGINT) AS n_shingles, "
+    "CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_shared, "
+    "CASE WHEN s.n_sh > 0 THEN CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / CAST(s.n_sh AS DOUBLE) "
+    "ELSE 0.0 END AS shared_frac "
+    "FROM sizes s LEFT JOIN dup d ON s.doc_id = d.doc_id",
+)
+def llm_cross_dup(spark, sf_dir):
+    """Per-document cross-corpus duplicated-shingle fraction via the
+    inverted index (no pair materialization)."""
+    return corpus.cross_dup_fraction(_docs(spark, sf_dir))

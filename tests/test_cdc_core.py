@@ -157,3 +157,30 @@ def test_apply_changes_delete_and_null_semantics(spark):
     assert got[2] == (None, 204)                       # NULL survives, not 20.0
     assert got[3] == (30.0, 108)                       # untouched passthrough
     assert got[9] == (90.0, 208)                       # new key inserted
+
+
+def test_state_asof_midpoint_vs_full(spark):
+    """Time travel: cutoff = max_offset * num div den.  At the
+    midpoint only offsets 0..1 are visible; at den=den the replay
+    equals latest_state."""
+    from mysql_cdc_spark.model import ENVELOPE_SCHEMA
+
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    mk = lambda off, op, bid, bval, aid, aval: (  # noqa: E731
+        off, "binlog.000000", ts, 1, None, "foo", "auto", op, bid, bval, aid, aval, None,
+    )
+    data = [
+        mk(0, "write_rows", None, None, 1, 10.0),
+        mk(1, "write_rows", None, None, 2, 20.0),
+        mk(2, "update_rows", 1, 10.0, 1, 11.0),
+        mk(3, "delete_rows", 2, 20.0, None, None),
+    ]
+    rows = rows_delta_type(spark.createDataFrame(data, ENVELOPE_SCHEMA))
+    # cutoff = 3 * 1 div 2 = 1 → inserts only
+    mid = {r["id"]: r["value"] for r in aggregates.state_asof(rows, 1, 2).collect()}
+    assert mid == {1: 10.0, 2: 20.0}
+    # cutoff = 3 → identical to latest_state
+    full = {r["id"]: r["value"] for r in aggregates.state_asof(rows, 1, 1).collect()}
+    assert full == {1: 11.0}

@@ -150,3 +150,76 @@ def test_pack_sequences_matches_python_reference(spark):
         seq_end = max(acc + n - 1, acc) // 512
         assert got[i] == (n, acc, seq_start, seq_end), i
         acc += n
+
+
+# ---------------------------------------------------------------------------
+# Round-3: mixture sampling + cross-document duplication scoring
+# ---------------------------------------------------------------------------
+
+
+def _src_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_mixture_sample_full_rate_source_keeps_all(spark):
+    """cut=256 covers every bucket (0..255) → src0 docs all survive."""
+    docs = _src_docs(spark, [(i, "t", "src0") for i in range(100)])
+    assert corpus.mixture_sample(docs).count() == 100
+
+
+def test_mixture_sample_unknown_source_dropped(spark):
+    docs = _src_docs(spark, [(i, "t", "mystery_feed") for i in range(100)])
+    assert corpus.mixture_sample(docs).count() == 0
+
+
+def test_mixture_sample_rate_ordering_and_determinism(spark):
+    """Higher cut ⇒ superset of kept docs (same hash space); reruns
+    identical; membership is a pure function of (doc_id, source)."""
+    n = 2000
+    low = corpus.mixture_sample(
+        _src_docs(spark, [(i, "t", "src16") for i in range(n)])  # cut 16
+    )
+    mid = corpus.mixture_sample(
+        _src_docs(spark, [(i, "t", "src10") for i in range(n)])  # cut 64
+    )
+    kept_low = {r["doc_id"] for r in low.collect()}
+    kept_mid = {r["doc_id"] for r in mid.collect()}
+    assert kept_low <= kept_mid
+    assert 0 < len(kept_low) < len(kept_mid) < n
+    # ~16/256 and ~64/256 keep rates, loose 2x bounds
+    assert n * 16 / 256 / 2 < len(kept_low) < n * 16 / 256 * 2
+    again = {r["doc_id"] for r in corpus.mixture_sample(
+        _src_docs(spark, [(i, "t", "src16") for i in range(n)])).collect()}
+    assert again == kept_low
+
+
+def test_cross_dup_fraction_copies_vs_unique(spark):
+    """Two identical docs share every shingle (frac 1.0); a disjoint
+    doc shares none (0.0); a too-short doc has zero shingles."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "zeta eta theta iota kappa"),
+            (4, "hi"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in corpus.cross_dup_fraction(docs).collect()}
+    assert got[1]["shared_frac"] == 1.0 and got[1]["n_shingles"] == 3
+    assert got[2]["shared_frac"] == 1.0
+    assert got[3]["shared_frac"] == 0.0 and got[3]["n_shared"] == 0
+    assert got[4]["n_shingles"] == 0 and got[4]["shared_frac"] == 0.0
+
+
+def test_cross_dup_fraction_partial_overlap(spark):
+    """Doc sharing exactly one of its shingles with another doc."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # shingles: 'a b c', 'b c d'
+            (2, "x b c d"),        # shingles: 'x b c', 'b c d'
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["shared_frac"] for r in corpus.cross_dup_fraction(docs).collect()}
+    assert got[1] == 0.5 and got[2] == 0.5

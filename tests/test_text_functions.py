@@ -90,3 +90,22 @@ def test_contamination_requires_min_shared(spark):
     )
     got = benchmark_contamination(docs, F.col("doc_id") == 0).collect()
     assert [(r["train_doc_id"], r["bench_doc_id"], r["n_shared"]) for r in got] == [(1, 0, 2)]
+
+
+def test_repetition_stats_degenerate_loop(spark):
+    """'a b c' ×3 → 7 overlapping 3-grams, 3 distinct → dup 4/7."""
+    from mysql_cdc_spark.functions.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),
+            (2, "all words here are quite distinct tokens"),
+            (3, "tiny doc"),          # < 3 tokens → no grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[1]["n_grams"] == 7 and got[1]["n_distinct"] == 3
+    assert abs(got[1]["dup_frac"] - 4.0 / 7.0) < 1e-12
+    assert got[2]["dup_frac"] == 0.0
+    assert got[3]["n_grams"] == 0 and got[3]["dup_frac"] == 0.0
