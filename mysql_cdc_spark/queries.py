@@ -2385,3 +2385,67 @@ def llm_cross_dup(spark, sf_dir):
     """Per-document cross-corpus duplicated-shingle fraction via the
     inverted index (no pair materialization)."""
     return corpus.cross_dup_fraction(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# CDC history consumers: SCD2 dimension build + net-change compaction
+# ---------------------------------------------------------------------------
+
+from mysql_cdc_spark.operators import history  # noqa: E402
+
+
+@register(
+    "cdc_scd2",
+    with_changes(
+        'SELECT db, tbl, id, value, "offset" AS valid_from, valid_to, '
+        "valid_to IS NULL AS is_current FROM ("
+        '  SELECT db, tbl, id, value, _delta_type, "offset", '
+        '         LEAD("offset") OVER (PARTITION BY db, tbl, id ORDER BY "offset") AS valid_to'
+        "  FROM rows_dt WHERE _delta_type <> 'update-before'"
+        ") WHERE _delta_type <> 'delete'"
+    ),
+)
+def cdc_scd2(spark, sf_dir):
+    """Type-2 dimension: every version of every key with its offset
+    validity interval (lead-window close, deletes terminate)."""
+    return history.scd2_intervals(_rows_dt(spark, sf_dir))
+
+
+@register(
+    "cdc_net_changes",
+    with_changes(
+        ', b AS (SELECT MAX("offset") * 1 // 3 AS lo, MAX("offset") * 2 // 3 AS hi FROM rows_dt), '
+        'nev AS (SELECT r.db, r.tbl, r.id, r.value, r._delta_type, r."offset", b.lo, b.hi '
+        "FROM rows_dt r CROSS JOIN b WHERE r._delta_type <> 'update-before' AND r.\"offset\" <= b.hi), "
+        "pre AS (SELECT db, tbl, id, value, _delta_type, "
+        'ROW_NUMBER() OVER (PARTITION BY db, tbl, id ORDER BY "offset" DESC) AS rn '
+        'FROM nev WHERE "offset" <= lo), '
+        "cur AS (SELECT db, tbl, id, value, _delta_type, "
+        'ROW_NUMBER() OVER (PARTITION BY db, tbl, id ORDER BY "offset" DESC) AS rn FROM nev), '
+        'touched AS (SELECT DISTINCT db, tbl, id FROM nev WHERE "offset" > lo) '
+        "SELECT t.db, t.tbl, t.id, "
+        "CASE WHEN NOT (p.id IS NOT NULL AND p._delta_type <> 'delete') AND c._delta_type <> 'delete' THEN 'insert' "
+        "     WHEN (p.id IS NOT NULL AND p._delta_type <> 'delete') AND c._delta_type = 'delete' THEN 'delete' "
+        "     WHEN (p.id IS NOT NULL AND p._delta_type <> 'delete') AND c._delta_type <> 'delete' AND p.value <> c.value THEN 'update' "
+        "END AS net_op, "
+        "CASE WHEN p.id IS NOT NULL AND p._delta_type <> 'delete' THEN p.value END AS old_value, "
+        "CASE WHEN c._delta_type <> 'delete' THEN c.value END AS new_value "
+        "FROM touched t "
+        "LEFT JOIN (SELECT * FROM pre WHERE rn = 1) p ON t.db = p.db AND t.tbl = p.tbl AND t.id = p.id "
+        "JOIN (SELECT * FROM cur WHERE rn = 1) c ON t.db = c.db AND t.tbl = c.tbl AND t.id = c.id "
+        "WHERE CASE WHEN NOT (p.id IS NOT NULL AND p._delta_type <> 'delete') AND c._delta_type <> 'delete' THEN 'insert' "
+        "     WHEN (p.id IS NOT NULL AND p._delta_type <> 'delete') AND c._delta_type = 'delete' THEN 'delete' "
+        "     WHEN (p.id IS NOT NULL AND p._delta_type <> 'delete') AND c._delta_type <> 'delete' AND p.value <> c.value THEN 'update' "
+        "END IS NOT NULL"
+    ),
+)
+def cdc_net_changes(spark, sf_dir):
+    """Net-change compaction between the 1/3 and 2/3 offsets of the
+    stream: one classified row per touched key (single conditional
+    max(struct) aggregate, one shuffle)."""
+    rows = _rows_dt(spark, sf_dir)
+    bounds = rows.agg(
+        F.expr("max(offset) * 1 div 3").cast("bigint").alias("lo"),
+        F.expr("max(offset) * 2 div 3").cast("bigint").alias("hi"),
+    )
+    return history.net_changes(rows, bounds)
