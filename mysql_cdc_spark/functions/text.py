@@ -230,3 +230,58 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
             ).otherwise(F.lit(0.0)),
         )
     )
+
+
+def hex_int_sql(expr: str, start: int, n: int) -> str:
+    """SQL for parsing `n` hex chars of string expression `expr`
+    (1-based `start`) into an integer — built from instr/substring
+    only, which behave identically in Spark SQL and DuckDB, so the
+    SAME generated text runs on both engines (the contract every
+    hash-derived score here relies on)."""
+    terms = [
+        f"(instr('0123456789abcdef', substring({expr}, {start + i}, 1)) - 1) * {16 ** (n - 1 - i)}"
+        if i < n - 1
+        else f"(instr('0123456789abcdef', substring({expr}, {start + i}, 1)) - 1)"
+        for i in range(n)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+#: Hashed-feature dimensionality and weight range of the stand-in
+#: linear quality model (see quality_classifier).
+CLASSIFIER_DIM = 1024
+CLASSIFIER_WEIGHT_MOD = 2001  # weights span [-1000, 1000]
+
+
+def classifier_weight_sql(token_expr: str) -> str:
+    """Per-token weight of the hashed linear model, as engine-neutral
+    SQL: feature bucket = 16 md5 bits mod CLASSIFIER_DIM (the hashing
+    trick — colliding tokens share a weight), weight = 16 bits of the
+    bucket's own md5 mod CLASSIFIER_WEIGHT_MOD, centered."""
+    bucket = f"({hex_int_sql(f'md5({token_expr})', 1, 4)} % {CLASSIFIER_DIM})"
+    wh = "md5(concat('w:', cast(" + bucket + " as string)))"
+    return f"({hex_int_sql(wh, 1, 4)} % {CLASSIFIER_WEIGHT_MOD} - 1000)"
+
+
+def quality_classifier(docs: DataFrame) -> DataFrame:
+    """fastText-style hashed linear classifier over the token stream:
+    logit = Σ_tokens weight[md5-bucket(token)], keep = logit ≥ 0.
+
+    The weights here are pseudo-random integers derived from the
+    bucket's md5 — a deterministic stand-in for trained parameters
+    (the container has no model artifacts); the EXECUTION shape is
+    the real contract: per-doc scoring is a pure array expression —
+    two md5s per token, integer sum, zero shuffles, zero Python — so
+    swapping in trained weights (a broadcast 1024-entry map) changes
+    nothing about the plan.  Exact: the logit is a BIGINT sum, the
+    keep decision an integer comparison — bit-identical on any
+    engine, no sigmoid needed for a threshold test.
+    """
+    w = classifier_weight_sql("t")
+    logit = f"aggregate(transform(tokens, t -> cast({w} as bigint)), 0L, (acc, x) -> acc + x)"
+    return with_tokens(docs).select(
+        "doc_id",
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        F.expr(logit).alias("logit"),
+        (F.expr(logit) >= 0).alias("keep"),
+    )

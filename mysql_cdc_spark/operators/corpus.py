@@ -12,7 +12,7 @@ implementations stay verifiable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Split thresholds on a 256-bucket md5 space: ~90/5/5.  Integer
@@ -289,4 +289,61 @@ def cross_dup_fraction(docs: DataFrame) -> DataFrame:
             .otherwise(F.lit(0.0))
             .alias("shared_frac"),
         )
+    )
+
+
+def unigram_rarity(docs: DataFrame) -> DataFrame:
+    """Corpus-statistics rarity score — the shuffle-based half of
+    quality filtering (the per-doc classifier sees one document; this
+    sees the whole corpus): mean corpus term-frequency of a doc's
+    tokens.  Common-word soup scores high, rare/technical text scores
+    low — a deterministic, integer-exact stand-in for the KenLM
+    perplexity filter in CCNet-style pipelines (same join shape; a
+    real LM table would broadcast or shuffle-join exactly like the
+    vocab here).
+
+    Scale shape: one map-side-combined count per token (vocab), one
+    equi-join of the token stream back on the token key, one count
+    per doc.  The token key is Zipf-skewed — stopwords are hot — so
+    at 100 TB this is THE canonical AQE-skew-join case (or cap the
+    vocab join with a frequency ceiling like the Jaccard dedup path);
+    at bench SFs the vocab side broadcasts.  All-integer sums; the
+    single IEEE op is the final mean division.
+    """
+    from mysql_cdc_spark.functions.text import with_tokens
+
+    inv = with_tokens(docs).select("doc_id", F.explode("tokens").alias("token"))
+    vocab = inv.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        inv.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("tf").cast("bigint").alias("sum_tf"),
+        )
+        .withColumn(
+            "mean_tf", F.col("sum_tf").cast("double") / F.col("n_tokens").cast("double")
+        )
+    )
+
+
+def stratified_sample(docs: DataFrame, cap: int = 20, salt: str = "strat") -> DataFrame:
+    """Per-stratum quota sampling: at most `cap` docs per
+    (lang, source), chosen by salted-md5 order — deterministic,
+    rerun-stable, and unbiased within the stratum (hash order is
+    corpus-order-independent).  Complements `mixture_sample`: rates
+    vs exact quotas.
+
+    Scale: one shuffle on the stratum key + a per-stratum top-`cap`
+    window.  Catalyst rewrites rank-limit windows into
+    WindowGroupLimit (per-partition partial top-k before the
+    exchange), so a hot stratum ships only `cap` candidate rows per
+    input partition, never its full contents.
+    """
+    order = F.md5(F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang", "source").orderBy(order.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= cap)
     )

@@ -2449,3 +2449,54 @@ def cdc_net_changes(spark, sf_dir):
         F.expr("max(offset) * 2 div 3").cast("bigint").alias("hi"),
     )
     return history.net_changes(rows, bounds)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch: model-based quality scoring, corpus rarity, quota sampling
+# ---------------------------------------------------------------------------
+
+_W_SQL = T.classifier_weight_sql("t")
+_LOGIT_SQL = f"CAST(coalesce(list_sum(list_transform(tokens, t -> {_W_SQL})), 0) AS BIGINT)"
+
+
+@register(
+    "llm_quality_model",
+    _TOKS_CTE + f" SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens, "
+    f"{_LOGIT_SQL} AS logit, {_LOGIT_SQL} >= 0 AS keep FROM toks",
+)
+def llm_quality_model(spark, sf_dir):
+    """Hashed-feature linear quality classifier: BIGINT logit from two
+    md5s per token, pure array expressions (engine-neutral SQL shared
+    with the oracle)."""
+    return T.quality_classifier(_docs(spark, sf_dir))
+
+
+@register(
+    "llm_unigram_rarity",
+    _TOKS_CTE + ", inv AS (SELECT doc_id, unnest(tokens) AS token FROM toks), "
+    "v AS (SELECT token, COUNT(*) AS tf FROM inv GROUP BY token) "
+    "SELECT inv.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+    "CAST(SUM(v.tf) AS BIGINT) AS sum_tf, "
+    "CAST(SUM(v.tf) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_tf "
+    "FROM inv JOIN v ON inv.token = v.token GROUP BY inv.doc_id",
+)
+def llm_unigram_rarity(spark, sf_dir):
+    """Mean corpus term-frequency per document (CCNet-perplexity-proxy
+    rarity signal; vocab count + token equi-join, integer-exact)."""
+    return corpus.unigram_rarity(_docs(spark, sf_dir))
+
+
+@register(
+    "llm_stratified_sample",
+    "SELECT doc_id, lang, source, rk FROM ("
+    "  SELECT doc_id, lang, source, CAST(ROW_NUMBER() OVER ("
+    "    PARTITION BY lang, source "
+    "    ORDER BY md5('strat:' || CAST(doc_id AS STRING)), doc_id) AS BIGINT) AS rk"
+    "  FROM documents"
+    ") WHERE rk <= 5",
+)
+def llm_stratified_sample(spark, sf_dir):
+    """Deterministic per-(lang, source) quota sample: salted-hash
+    order, WindowGroupLimit top-k per stratum."""
+    df = corpus.stratified_sample(_docs(spark, sf_dir), cap=5)
+    return df.withColumn("rk", F.col("rk").cast("bigint"))

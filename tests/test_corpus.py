@@ -223,3 +223,33 @@ def test_cross_dup_fraction_partial_overlap(spark):
     )
     got = {r["doc_id"]: r["shared_frac"] for r in corpus.cross_dup_fraction(docs).collect()}
     assert got[1] == 0.5 and got[2] == 0.5
+
+
+def test_unigram_rarity_exact_counts(spark):
+    """'the' appears 4× corpus-wide, 'rare' once — per-doc mean term
+    frequency is an exact integer ratio."""
+    docs = spark.createDataFrame(
+        [(1, "the the cat"), (2, "the the rare")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in corpus.unigram_rarity(docs).collect()}
+    # doc1: tokens the(4) the(4) cat(1) → sum 9, mean 3.0
+    assert got[1]["n_tokens"] == 3 and got[1]["sum_tf"] == 9 and got[1]["mean_tf"] == 3.0
+    # doc2: the(4) the(4) rare(1) → sum 9
+    assert got[2]["sum_tf"] == 9
+
+
+def test_stratified_sample_quota_and_stability(spark):
+    docs = spark.createDataFrame(
+        [(i, "t", "en" if i % 2 else "de", f"src{i % 3}") for i in range(120)],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = corpus.stratified_sample(docs, cap=4).collect()
+    from collections import Counter
+
+    per = Counter((r["lang"], r["source"]) for r in got)
+    assert all(v == 4 for v in per.values()) and len(per) == 6
+    # growth stability: the winners at cap=2 are a prefix of cap=4's
+    top2 = {(r["lang"], r["source"], r["doc_id"]) for r in corpus.stratified_sample(docs, cap=2).collect()}
+    top4 = {(r["lang"], r["source"], r["doc_id"]) for r in got if r["rk"] <= 2}
+    assert top2 == top4

@@ -109,3 +109,30 @@ def test_repetition_stats_degenerate_loop(spark):
     assert abs(got[1]["dup_frac"] - 4.0 / 7.0) < 1e-12
     assert got[2]["dup_frac"] == 0.0
     assert got[3]["n_grams"] == 0 and got[3]["dup_frac"] == 0.0
+
+
+def test_quality_classifier_exact_logit(spark):
+    """Logit equals the Python re-computation of the same md5 hash
+    chain; identical docs get identical logits."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma")],
+        "doc_id long, text string",
+    )
+    from mysql_cdc_spark.functions.text import (
+        CLASSIFIER_DIM,
+        CLASSIFIER_WEIGHT_MOD,
+        quality_classifier,
+    )
+
+    def weight(tok):
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % CLASSIFIER_DIM
+        wh = hashlib.md5(f"w:{b}".encode()).hexdigest()
+        return int(wh[:4], 16) % CLASSIFIER_WEIGHT_MOD - 1000
+
+    got = {r["doc_id"]: r for r in quality_classifier(docs).collect()}
+    assert got[1]["logit"] == weight("alpha") + weight("beta")
+    assert got[1]["logit"] == got[2]["logit"]
+    assert got[3]["logit"] == weight("gamma")
+    assert got[3]["keep"] == (got[3]["logit"] >= 0)
