@@ -298,3 +298,80 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def dup_spans(docs: DataFrame, width: int = 8, k: int = 9) -> DataFrame:
+    """Duplicated-passage detection via winnowing fingerprints
+    (Schleimer et al., "Winnowing: Local Algorithms for Document
+    Fingerprinting" — the MOSS algorithm): the scalable approximation
+    of exact substring dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better": long verbatim spans shared
+    across documents, which shingle/MinHash dedup under-weights
+    because it scores whole-document similarity).
+
+    Hash every `width`-token gram (stride 1), then select the MINIMUM
+    hash in each sliding window of `k` consecutive gram hashes.
+    Selection by local minimum makes fingerprints alignment-free —
+    winnowing's guarantee: any verbatim run of ≥ width + k − 1 tokens
+    shared by two docs contains a full k-window of identical gram
+    hashes on both sides, whose minimum both select.  (A fixed-stride
+    scheme has no such guarantee: windows only align when the run
+    starts at the same offset mod stride in both docs.)  A selected
+    fingerprint seen in ≥2 distinct docs marks a cross-document
+    duplicated span; per doc we report the share of its fingerprints
+    that are shared — near 1.0 means the doc is assembled from
+    passages that exist verbatim elsewhere.
+
+    Scale shape: fingerprint construction is a pure array expression
+    (O(n·k) per doc, zero shuffles); then explode distinct
+    (doc, fingerprint) pairs, one map-side-combined count per
+    fingerprint, equi-join back, count per doc — same two
+    uniformly-distributed shuffle keys as the inverted-index Jaccard
+    path, no doc-pair materialization.  Fingerprints are md5s —
+    effectively unique per distinct text, so the join key has no
+    Zipf skew (unlike token joins).
+    """
+    grams = (
+        f"case when size(tokens) >= {width} then "
+        f"transform(sequence(1, size(tokens) - {width - 1}), "
+        f"i -> md5(concat_ws(' ', slice(tokens, i, {width})))) "
+        f"else array() end"
+    )
+    wins = (
+        f"case when size(grams) >= {k} then "
+        f"array_distinct(transform(sequence(1, size(grams) - {k - 1}), "
+        f"j -> array_min(slice(grams, j, {k})))) "
+        f"else array() end"
+    )
+    toks = normalized(docs).withColumn("tokens", F.split(F.col("norm_text"), r"\s+"))
+    # cache() the materialized fingerprint arrays before fan-out: the
+    # explode's Generate and the two aggregate branches would each
+    # re-inline the O(n·k) gram/min-select chain otherwise (measured
+    # 20× slower at sf0.01 — same trap, and same fix, as the MinHash
+    # signature reuse above).
+    sh = (
+        toks.withColumn("grams", F.expr(grams))
+        .withColumn("wins", F.expr(wins))
+        .select("doc_id", "wins", F.size("wins").alias("n_win"))
+        .cache()
+    )
+    sizes = sh.select("doc_id", "n_win")
+    inv = sh.select("doc_id", F.explode("wins").alias("whash"))
+    df_counts = inv.groupBy("whash").agg(F.count(F.lit(1)).alias("df"))
+    shared = (
+        inv.join(df_counts.filter(F.col("df") > 1), "whash")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return sizes.join(shared, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_win").cast("bigint").alias("n_windows"),
+        F.coalesce(F.col("n_shared"), F.lit(0)).cast("bigint").alias("n_shared"),
+        F.when(
+            F.col("n_win") > 0,
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("double")
+            / F.col("n_win").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("span_frac"),
+    )

@@ -2500,3 +2500,72 @@ def llm_stratified_sample(spark, sf_dir):
     order, WindowGroupLimit top-k per stratum."""
     df = corpus.stratified_sample(_docs(spark, sf_dir), cap=5)
     return df.withColumn("rk", F.col("rk").cast("bigint"))
+
+
+@register(
+    "ev_json_props",
+    "SELECT event_type, COUNT(*) AS n, "
+    "CAST(SUM(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k, "
+    "CAST(MIN(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS min_k, "
+    "CAST(MAX(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS max_k "
+    "FROM events WHERE CAST(props->>'k' AS INTEGER) > 10 "
+    "GROUP BY event_type",
+)
+def ev_json_props(spark, sf_dir):
+    """Semi-structured extraction: parse the JSON `props` payload with
+    a typed `from_json` schema (JVM-side Jackson parse, no Python),
+    filter on the extracted field, aggregate per event type.
+
+    Scale: the parse is a narrow per-row expression; the filter sits
+    directly on it pre-shuffle so only qualifying rows reach the
+    map-side-combined aggregate.  With a columnar sink (or Spark's
+    JSON scan schema inference) the `$.k` access would prune to one
+    parsed field — here the payload is a single-key object anyway.
+    Integer-exact aggregates.
+    """
+    ev = _events(spark, sf_dir).withColumn(
+        "k", F.from_json("props", "struct<k:int>").getField("k")
+    )
+    return (
+        ev.filter(F.col("k") > 10)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+    )
+
+
+_SPAN_CTE = (
+    r"WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tokens "
+    "FROM documents), "
+    "g AS (SELECT doc_id, CASE WHEN len(tokens) >= 8 THEN "
+    "[md5(array_to_string(tokens[i : i+7], ' ')) for i in range(1, len(tokens) - 6)] "
+    "ELSE [] END AS grams FROM toks), "
+    "sh AS (SELECT doc_id, CASE WHEN len(grams) >= 9 THEN "
+    "list_distinct([list_min(grams[j : j+8]) for j in range(1, len(grams) - 7)]) "
+    "ELSE [] END AS wins FROM g), "
+    "sizes AS (SELECT doc_id, len(wins) AS n_win FROM sh), "
+    "inv AS (SELECT doc_id, unnest(wins) AS whash FROM sh), "
+    "dfc AS (SELECT whash, COUNT(*) AS df FROM inv GROUP BY whash), "
+    "dup AS (SELECT i.doc_id, COUNT(*) AS n_shared FROM inv i "
+    "JOIN dfc ON i.whash = dfc.whash AND dfc.df > 1 GROUP BY i.doc_id)"
+)
+
+
+@register(
+    "llm_dup_spans",
+    _SPAN_CTE + " SELECT s.doc_id, CAST(s.n_win AS BIGINT) AS n_windows, "
+    "CAST(COALESCE(d.n_shared, 0) AS BIGINT) AS n_shared, "
+    "CASE WHEN s.n_win > 0 THEN CAST(COALESCE(d.n_shared, 0) AS DOUBLE) / CAST(s.n_win AS DOUBLE) "
+    "ELSE 0.0 END AS span_frac "
+    "FROM sizes s LEFT JOIN dup d ON s.doc_id = d.doc_id",
+)
+def llm_dup_spans(spark, sf_dir):
+    """Cross-document duplicated-passage share via winnowing
+    fingerprints (8-token grams, k=9 min-selection — alignment-free
+    substring-dedup approximation; inverted index, no pair
+    explosion)."""
+    return dedup.dup_spans(_docs(spark, sf_dir))

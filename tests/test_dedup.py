@@ -81,3 +81,24 @@ def test_simhash_empty_shingle_convention(spark):
     sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
     assert sigs[1] == "1" * 64
     assert set(sigs[2]) <= {"0", "1"} and sigs[2] != "1" * 64
+
+
+def test_dup_spans_detects_copied_passage(spark):
+    """A 24-token passage pasted into two docs is flagged on both; a
+    unique doc and a short doc are not."""
+    passage = " ".join(f"p{i}" for i in range(24))
+    docs = spark.createDataFrame(
+        [
+            (1, passage + " unique tail one two three"),
+            (2, "different head words here " + passage),
+            (3, " ".join(f"u{i}" for i in range(30))),
+            (4, "way too short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup.dup_spans(docs).collect()}
+    # winnowing guarantee: any shared run >= width + k - 1 = 16 tokens
+    # yields a common selected fingerprint, regardless of alignment
+    assert got[1]["n_shared"] >= 1 and got[2]["n_shared"] >= 1
+    assert got[3]["n_shared"] == 0 and got[3]["n_windows"] > 0
+    assert got[4]["n_windows"] == 0 and got[4]["span_frac"] == 0.0
