@@ -21,7 +21,7 @@ Determinism contract (oracle = DuckDB on the same parquet):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lexicons for the n-gram/stopword lang-id
@@ -284,4 +284,47 @@ def quality_classifier(docs: DataFrame) -> DataFrame:
         F.size("tokens").cast("bigint").alias("n_tokens"),
         F.expr(logit).alias("logit"),
         (F.expr(logit) >= 0).alias("keep"),
+    )
+
+
+def bigram_lm(docs: DataFrame, min_count: int = 5) -> DataFrame:
+    """Corpus bigram language model: conditional continuation
+    probability P(w2 | w1) = c(w1,w2) / Σ_x c(w1,x), estimated from
+    the whole corpus — the statistical core of n-gram LM scoring and
+    of phrase-mining (a bigram whose continuation probability is high
+    is a collocation).  The denominator is derived from the bigram
+    table itself (sum over continuations), so the corpus is read
+    ONCE.
+
+    Scale shape: one explode of per-row bigram arrays → map-side-
+    combined count on (w1, w2) → an unordered window sum partitioned
+    by w1 (second shuffle, on the lighter already-aggregated table).
+    Zipf skew on w1 is bounded by the vocabulary's continuation
+    fan-out, not the token stream.  All counts are BIGINT; the single
+    IEEE op is the final division.
+    """
+    grams = with_tokens(docs).select(
+        F.explode(
+            F.expr(
+                "case when size(tokens) >= 2 then "
+                "transform(sequence(1, size(tokens) - 1), "
+                "i -> struct(tokens[i - 1] as w1, tokens[i] as w2)) "
+                "else array() end"
+            )
+        ).alias("bg")
+    )
+    counts = grams.select("bg.w1", "bg.w2").groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.partitionBy("w1")
+    return (
+        counts.withColumn("c1", F.sum("c").over(w).cast("bigint"))
+        .filter(F.col("c") >= min_count)
+        .select(
+            "w1",
+            "w2",
+            "c",
+            "c1",
+            (F.col("c").cast("double") / F.col("c1").cast("double")).alias("cond_p"),
+        )
     )

@@ -32,7 +32,11 @@ def benchmark_contamination(
     """(train_doc_id, bench_doc_id, n_shared) for every train/benchmark
     pair sharing ≥ `min_shared` distinct shingles (after the frequency
     cap).  `is_benchmark` is a boolean Column over `docs`."""
-    shingled = with_shingles(docs).withColumn("__bench", is_benchmark)
+    # cache(): the exploded subtree is consumed three times (df cap,
+    # train side, bench side) and Generate re-inlines the shingle
+    # array chain per element without a materialization boundary
+    # (the jaccard_pairs / dup_spans trap).
+    shingled = with_shingles(docs).withColumn("__bench", is_benchmark).cache()
     inv = shingled.select(
         "doc_id", "__bench", F.explode("shingles").alias("shingle")
     )

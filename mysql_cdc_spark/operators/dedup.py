@@ -179,7 +179,12 @@ def jaccard_pairs(
     would otherwise generate a quadratic bucket); the cap is part of
     the operator contract and mirrored by the oracle.
     """
-    sh = with_shingles(docs).select("doc_id", "shingles")
+    # cache(): this subtree is consumed five times (sizes ×2, the
+    # df-cap build, both sides of the self-join) and the explode's
+    # Generate re-inlines the shingle array chain per emitted element
+    # without a materialization boundary (measured 17× at sf0.1 —
+    # same trap as the winnowing fingerprints below).
+    sh = with_shingles(docs).select("doc_id", "shingles").cache()
     sizes = sh.select("doc_id", F.size("shingles").cast("bigint").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     df_ok = (

@@ -305,7 +305,7 @@ def cdc_envelope(spark, sf_dir):
 _STREAM_TMP = "/root/repo/.stream_tmp"
 # Bump when the derivation rules change: versioned scratch dirs ensure
 # stale materializations from an older derivation are never reused.
-_FIXTURE_VERSION = 4
+_FIXTURE_VERSION = 5
 
 
 def _gc_stale_fixture_versions() -> None:
@@ -710,8 +710,15 @@ def cdc_binlog_tags_typed(spark, sf_dir):
             f"  i -> substring(element_at(after, '{col}'), i * 2 + 1, 2))), ''), 16, 10)"
         ).cast("bigint")
 
+    # 3 envelope events per source row; global seq across the rotation
+    # chain (see cdc_binlog_enum_set).
+    seq_global = (
+        F.regexp_extract("log_file", r"binlog\.(\d+)", 1).cast("bigint")
+        * (3 * bs.ROTATE_EVERY)
+        + F.col("seq")
+    )
     return env.filter(F.col("op") == "write_rows").select(
-        "seq",
+        seq_global.alias("seq"),
         F.element_at("after", "id").cast("bigint").alias("id"),
         F.element_at("after", "state").cast("int").alias("state_ordinal"),
         hex_le_to_long("flags").alias("flags_bits"),
@@ -882,8 +889,17 @@ def cdc_binlog_enum_set(spark, sf_dir):
     if not any(out_dir.glob("binlog.*")):
         bs.generate_enum_set_binlog(sf_dir, str(out_dir))
     env = bs.read_binlog_envelope(spark, str(out_dir))
+    # 3 envelope events per source row (TABLE_MAP, WRITE_ROWS, XID);
+    # rotated files hold ROTATE_EVERY rows each, so seq_global =
+    # file_index * (3 * ROTATE_EVERY) + seq_in_file keeps the oracle's
+    # 3k+1 numbering valid across the rotation chain.
+    seq_global = (
+        F.regexp_extract("log_file", r"binlog\.(\d+)", 1).cast("bigint")
+        * (3 * bs.ROTATE_EVERY)
+        + F.col("seq")
+    )
     return env.filter(F.col("op") == "write_rows").select(
-        "seq",
+        seq_global.alias("seq"),
         F.element_at("after", "id").cast("bigint").alias("id"),
         F.element_at("after", "state").alias("state"),
         F.element_at("after", "wide").alias("wide"),
@@ -943,8 +959,15 @@ def cdc_binlog_wide_types(spark, sf_dir):
         bs.generate_wide_binlog(sf_dir, str(out_dir))
     env = bs.read_binlog_envelope(spark, str(out_dir))
     after = F.col("after")
+    # 3 envelope events per source row; global seq across the rotation
+    # chain (see cdc_binlog_enum_set).
+    seq_global = (
+        F.regexp_extract("log_file", r"binlog\.(\d+)", 1).cast("bigint")
+        * (3 * bs.ROTATE_EVERY)
+        + F.col("seq")
+    )
     return env.filter(F.col("op") == "write_rows").select(
-        "seq",
+        seq_global.alias("seq"),
         *[
             F.element_at(after, c).cast("bigint").alias(c)
             for c in ("id", "t8", "t16", "t24", "t64")
@@ -2569,3 +2592,21 @@ def llm_dup_spans(spark, sf_dir):
     substring-dedup approximation; inverted index, no pair
     explosion)."""
     return dedup.dup_spans(_docs(spark, sf_dir))
+
+
+@register(
+    "llm_bigram_lm",
+    _TOKS_CTE + ", bg AS (SELECT unnest(CASE WHEN len(tokens) >= 2 THEN "
+    "[tokens[i] || ' ' || tokens[i+1] for i in range(1, len(tokens))] "
+    "ELSE [] END) AS g FROM toks), "
+    "c AS (SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2, "
+    "COUNT(*) AS c FROM bg GROUP BY 1, 2) "
+    "SELECT w1, w2, CAST(c AS BIGINT) AS c, CAST(c1 AS BIGINT) AS c1, "
+    "CAST(c AS DOUBLE) / CAST(c1 AS DOUBLE) AS cond_p FROM ("
+    "  SELECT w1, w2, c, SUM(c) OVER (PARTITION BY w1) AS c1 FROM c"
+    ") WHERE c >= 5",
+)
+def llm_bigram_lm(spark, sf_dir):
+    """Corpus bigram LM: P(w2|w1) from one pass over the token stream
+    (continuation-sum denominator, integer-exact)."""
+    return T.bigram_lm(_docs(spark, sf_dir))

@@ -189,6 +189,15 @@ def read_binlog_envelope(
     """Decode every binlog file under `path` into envelope records
     (one record per row image pair; non-row events emit one record)."""
     files = spark.read.format("binaryFile").load(path).select("path", "content")
+    # binaryFile packs many small logs into one 128 MB split, which
+    # would serialize the per-file Python decode onto one core; hash-
+    # distributing by path restores one-task-per-file parallelism
+    # (measured 4× on the sf0.1 fixtures).  At 100 TB (files ≫ cores)
+    # the hash distribution is equally valid — each task decodes its
+    # own subset of whole files.
+    files = files.repartition(
+        spark.sparkContext.defaultParallelism, "path"
+    )
     cat = catalog or FIXTURE_CATALOG
 
     def decode_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -336,6 +345,31 @@ def generate_binlog_from_events(
     return written
 
 
+def _write_rotated(out_dir: str, event_ids, emit, rotate_every: int = ROTATE_EVERY) -> str:
+    """Drive a per-row `emit(writer, event_id)` callback across a
+    ROTATE-chained file sequence (one file per `rotate_every` rows,
+    each ending in a ROTATE event naming its successor — real binlog
+    layout, and the unit of decode parallelism: `binaryFile` runs one
+    task per file)."""
+    os.makedirs(out_dir, exist_ok=True)
+    writer: BinlogWriter | None = None
+    fname = None
+    for k, event_id in enumerate(event_ids):
+        file_no = k // rotate_every
+        if writer is None or fname != f"binlog.{file_no:06d}":
+            if writer is not None:
+                writer.write_rotate(f"binlog.{file_no:06d}")
+                with open(os.path.join(out_dir, fname), "wb") as fh:
+                    fh.write(writer.getvalue())
+            fname = f"binlog.{file_no:06d}"
+            writer = BinlogWriter()
+        emit(writer, int(event_id))
+    if writer is not None:
+        with open(os.path.join(out_dir, fname), "wb") as fh:
+            fh.write(writer.getvalue())
+    return os.path.join(out_dir, "binlog.000000")
+
+
 def generate_wide_binlog(sf_dir: str, out_dir: str) -> str:
     """Encode an insert-only change stream for `bench.wide` — the
     full-type-matrix coverage table — as real binlog bytes.  Every
@@ -364,14 +398,12 @@ def generate_wide_binlog(sf_dir: str, out_dir: str) -> str:
     (read-type, mysql_binlog.clj:558 throws).  Idempotent."""
     import datetime as _dt
 
-    os.makedirs(out_dir, exist_ok=True)
     pdf = _fixture_rows(sf_dir)
     t = TableDef("bench", "wide", WIDE_COLUMNS, table_id=11)
-    writer = BinlogWriter()
     epoch_day = _dt.date(1970, 1, 1)
     dt0 = _dt.datetime(2020, 1, 1)
-    for event_id in pdf["event_id"]:
-        e = int(event_id)
+
+    def emit(writer: BinlogWriter, e: int) -> None:
         ts = e % (1 << 31)
         v = e % 7200 - 3600
         av = abs(v)
@@ -393,10 +425,8 @@ def generate_wide_binlog(sf_dir: str, out_dir: str) -> str:
         writer.write_table_map(t, ts)
         writer.write_rows(WRITE_ROWS_EVENT, t, [row], ts=ts)
         writer.write_xid(e, ts)
-    path = os.path.join(out_dir, "binlog.000000")
-    with open(path, "wb") as fh:
-        fh.write(writer.getvalue())
-    return path
+
+    return _write_rotated(out_dir, pdf["event_id"], emit)
 
 
 def generate_enum_set_binlog(sf_dir: str, out_dir: str) -> str:
@@ -411,19 +441,15 @@ def generate_enum_set_binlog(sf_dir: str, out_dir: str) -> str:
 
     exercising both ENUM ordinal widths, both SET bitset widths, and
     NULL bitmap interaction with ENUM columns.  Idempotent."""
-    os.makedirs(out_dir, exist_ok=True)
     pdf = _fixture_rows(sf_dir)
     t = TableDef("bench", "tags", ENUM_SET_COLUMNS, table_id=9)
-    writer = BinlogWriter()
-    for event_id in pdf["event_id"]:
-        event_id = int(event_id)
+
+    def emit(writer: BinlogWriter, event_id: int) -> None:
         ts = event_id % (1 << 31)
         state = None if event_id % 7 == 0 else 1 + event_id % 5
         row = [event_id % 97, state, 1 + event_id % 300, event_id % 16, event_id % 4096]
         writer.write_table_map(t, ts)
         writer.write_rows(WRITE_ROWS_EVENT, t, [row], ts=ts)
         writer.write_xid(event_id, ts)
-    path = os.path.join(out_dir, "binlog.000000")
-    with open(path, "wb") as fh:
-        fh.write(writer.getvalue())
-    return path
+
+    return _write_rotated(out_dir, pdf["event_id"], emit)

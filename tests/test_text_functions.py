@@ -136,3 +136,20 @@ def test_quality_classifier_exact_logit(spark):
     assert got[1]["logit"] == got[2]["logit"]
     assert got[3]["logit"] == weight("gamma")
     assert got[3]["keep"] == (got[3]["logit"] >= 0)
+
+
+def test_bigram_lm_conditional_probabilities(spark):
+    from mysql_cdc_spark.functions.text import bigram_lm
+
+    docs = spark.createDataFrame(
+        [(i, "to be or not to be") for i in range(5)],
+        "doc_id long, text string",
+    )
+    got = {(r["w1"], r["w2"]): r for r in bigram_lm(docs, min_count=5).collect()}
+    # 'to' continues to 'be' 10x (2 per doc); c1('to') = 10
+    assert got[("to", "be")]["c"] == 10 and got[("to", "be")]["c1"] == 10
+    assert got[("to", "be")]["cond_p"] == 1.0
+    # 'be' continues only to 'or' (5x); the doc-final 'be' has no
+    # continuation so c1('be') = 5
+    assert got[("be", "or")]["c"] == 5 and got[("be", "or")]["c1"] == 5
+    assert got[("or", "not")]["cond_p"] == 1.0 and got[("not", "to")]["c"] == 5
