@@ -412,3 +412,352 @@ def cdc_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.join(F.broadcast(cust), rows.id == cust.c_custkey)
         .select("offset", "db", "tbl", "id", "value", "c_name", "c_mktsegment")
     )
+
+
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — EXISTS decorrelated to a LEFT SEMI join:
+    orders with at least one lineitem shipped >30 days after the order
+    date, counted per priority.
+
+    Catalyst rewrites the semi join to a shuffled hash semi-join on
+    l_orderkey; only (l_orderkey, l_shipdate) is read from lineitem
+    (column pruning) and the date arithmetic stays codegen'd. At
+    100 TB both sides are bucketed by orderkey at write time, which
+    turns this into a shuffle-free co-located semi join.
+    """
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+
+
+ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+)
+GROUP BY o_orderpriority
+""".strip()
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — LEFT OUTER join preserved through a two-level
+    aggregation: how many customers placed exactly N orders (including
+    N=0, which an inner join would silently drop).
+
+    First agg shuffles on c_custkey (map-side combined), second on the
+    tiny c_count domain. The outer join itself broadcasts nothing —
+    both sides are keyed fact tables — but at scale the first groupBy
+    reuses the join's hash partitioning on the key (no extra shuffle:
+    Catalyst sees the co-partitioning).
+    """
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+CUSTOMER_ORDER_DISTRIBUTION_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+""".strip()
+
+
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — scalar MAX subquery over a grouped view:
+    supplier(s) whose lineitem revenue equals the global maximum.
+
+    Revenue stays DECIMAL through the max-equality comparison (exact on
+    both engines; a double max would make ties engine-dependent) and is
+    cast to double only for output. The rev aggregate is computed once
+    and reused for the max via a broadcast single-row join; supplier is
+    broadcast onto the winners.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev_expr = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(4,2)") - _dec("l_discount", 4, 2)
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(rev_expr).alias("total_rev"))
+    max_rev = rev.agg(F.max("total_rev").alias("max_rev"))
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(max_rev))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev"))
+    )
+
+
+TOP_REVENUE_SUPPLIER_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+""".strip()
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated aggregate subquery decorrelated to
+    a per-key aggregate join: revenue from lineitems whose quantity is
+    below half their part's average quantity.
+
+    The threshold comparison is kept EXACT by clearing the division:
+    qty < sum/(2*cnt)  ⇔  2*qty*cnt < sum, all in decimal — no
+    engine-dependent double rounding at the boundary. lineitem is
+    scanned twice (agg + probe); at 100 TB the per-part aggregate is
+    small and broadcast, so the probe side never shuffles.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(_dec("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    probe = li.join(
+        F.broadcast(per_part.withColumnRenamed("l_partkey", "pk")),
+        F.col("l_partkey") == F.col("pk"),
+    )
+    small = probe.filter(
+        _dec("l_quantity") * 2 * F.col("cnt") < F.col("sum_qty")
+    )
+    return small.agg(
+        F.sum(_dec("l_extendedprice")).cast("double").alias("small_qty_revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+    )
+
+
+SMALL_QUANTITY_REVENUE_SQL = """
+WITH pq AS (
+  SELECT l_partkey AS pk,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS small_qty_revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM lineitem JOIN pq ON l_partkey = pk
+WHERE CAST(l_quantity AS DECIMAL(12,2)) * 2 * cnt < sum_qty
+""".strip()
+
+
+LARGE_ORDER_MIN_QTY = 250
+
+
+def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — HAVING-filtered group feeding an IN-subquery
+    join: orders whose total lineitem quantity exceeds a threshold,
+    with customer attribution.
+
+    The HAVING aggregate shrinks lineitem to a tiny key set (p99 of
+    order quantity is below the threshold), which then broadcasts onto
+    orders and customer — the classic "reduce then join" plan that
+    avoids shuffling either fact table at scale.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > LARGE_ORDER_MIN_QTY)
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+LARGE_QUANTITY_ORDERS_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > {LARGE_ORDER_MIN_QTY}
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       CAST(total_qty AS DOUBLE) AS total_qty
+FROM big JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+""".strip()
+
+
+MARKET_SHARE_REGION = "EUROPE"
+MARKET_SHARE_NATION = "NATION_7"
+
+
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — the same dimension (nation) joined through TWO
+    different foreign-key paths: customer-side nation (restricting the
+    market to one region) and supplier-side nation (the share
+    numerator), per order year.
+
+    All four dimension hops broadcast; the only big-table shuffle is
+    lineitem⨝orders on orderkey. Numerator and denominator accumulate
+    in exact decimal; the share is one double division at the end
+    (deterministic given exact inputs on both engines).
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    cust_region = (
+        cust.join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            cust.c_nationkey == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == MARKET_SHARE_REGION)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = (
+        read_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    volume = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(4,2)") - _dec("l_discount", 4, 2)
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_region), orders.o_custkey == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            volume.alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    agg = joined.groupBy("o_year").agg(
+        F.sum(F.when(F.col("supp_nation") == MARKET_SHARE_NATION, F.col("volume")).otherwise(F.lit(0).cast("decimal(12,2)"))).alias("nation_vol"),
+        F.sum("volume").alias("total_vol"),
+    )
+    return agg.select(
+        "o_year",
+        F.col("nation_vol").cast("double").alias("nation_volume"),
+        F.col("total_vol").cast("double").alias("total_volume"),
+        (F.col("nation_vol").cast("double") / F.col("total_vol").cast("double")).alias("market_share"),
+    )
+
+
+NATION_MARKET_SHARE_SQL = f"""
+WITH vol AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE o_custkey IN (
+    SELECT c_custkey FROM customer
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region ON cn.n_regionkey = r_regionkey
+    WHERE r_name = '{MARKET_SHARE_REGION}'
+  )
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = '{MARKET_SHARE_NATION}' THEN volume ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS nation_volume,
+       CAST(SUM(volume) AS DOUBLE) AS total_volume,
+       CAST(SUM(CASE WHEN supp_nation = '{MARKET_SHARE_NATION}' THEN volume ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS market_share
+FROM vol GROUP BY o_year
+""".strip()
+
+
+IDLE_SINCE = "2001-01-01"
+
+
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — scalar subquery threshold + NOT EXISTS:
+    customers whose balance exceeds the average positive balance but
+    who placed no order since IDLE_SINCE (every fixture custkey has
+    SOME order, so the recency predicate is what makes the anti join
+    selective), aggregated per nation.
+
+    The threshold is one broadcast scalar; the anti join probes orders'
+    (o_custkey, o_orderdate) only (pruned scan, date filter pushed
+    down). The exact-decimal sum → one double division keeps the
+    threshold bit-identical across engines.
+    """
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    thr = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    recent = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(IDLE_SINCE).cast("timestamp"))
+        .select("o_custkey")
+    )
+    rich = cust.join(F.broadcast(thr)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("total_balance"),
+    )
+
+
+IDLE_RICH_CUSTOMERS_SQL = f"""
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+    FROM customer WHERE c_acctbal > 0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '{IDLE_SINCE}'
+  )
+GROUP BY c_nationkey
+""".strip()

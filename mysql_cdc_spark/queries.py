@@ -1900,6 +1900,27 @@ register("sql_customers_no_orders", relational.CUSTOMERS_WITHOUT_ORDERS_SQL)(
 register("sql_order_size_classes", relational.ORDER_SIZE_CLASSES_SQL)(
     relational.order_size_classes
 )
+register("sql_priority_semijoin", relational.ORDER_PRIORITY_SQL)(
+    relational.order_priority_check
+)
+register("sql_cust_order_dist", relational.CUSTOMER_ORDER_DISTRIBUTION_SQL)(
+    relational.customer_order_distribution
+)
+register("sql_top_supplier", relational.TOP_REVENUE_SUPPLIER_SQL)(
+    relational.top_revenue_supplier
+)
+register("sql_small_qty_revenue", relational.SMALL_QUANTITY_REVENUE_SQL)(
+    relational.small_quantity_revenue
+)
+register("sql_large_orders", relational.LARGE_QUANTITY_ORDERS_SQL)(
+    relational.large_quantity_orders
+)
+register("sql_market_share", relational.NATION_MARKET_SHARE_SQL)(
+    relational.nation_market_share
+)
+register("sql_idle_rich_customers", relational.IDLE_RICH_CUSTOMERS_SQL)(
+    relational.idle_rich_customers
+)
 register(
     "cdc_join_dim",
     with_changes(
