@@ -217,3 +217,46 @@ def state_asof(rows_dt: DataFrame, num: int = 1, den: int = 2) -> DataFrame:
             F.col("last.offset").alias("as_of_offset"),
         )
     )
+
+
+HOT_KEY_TOP_N = 5
+
+
+def hot_keys(rows_dt: DataFrame, top_n: int = HOT_KEY_TOP_N) -> DataFrame:
+    """Operational skew monitor: the most-changed keys per table, with
+    each key's share of the table's total change volume.
+
+    This is the diagnostic that DECIDES when a downstream keyed
+    aggregation or state-store needs salting (a share near 1.0 means
+    one key dominates the partition) — the CDC analog of the
+    reference's per-table row counting (mysql_bench.clj:99-101), cut
+    by key instead of table.
+
+    Plan: one map-side-combined groupBy on (db, tbl, id), then a
+    per-table window over the (small) per-key count frame for total +
+    rank — the window input is |distinct keys|, not |changes|, so the
+    per-table partitions stay bounded even when the change log is not.
+    """
+    from pyspark.sql import Window
+
+    per_key = rows_dt.groupBy("db", "tbl", "id").agg(
+        F.count(F.lit(1)).alias("n_changes")
+    )
+    by_table = Window.partitionBy("db", "tbl")
+    ranked = per_key.withColumn(
+        "table_changes", F.sum("n_changes").over(by_table)
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            by_table.orderBy(F.col("n_changes").desc(), F.col("id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= top_n).select(
+        "db",
+        "tbl",
+        "id",
+        F.col("n_changes").cast("bigint").alias("n_changes"),
+        F.col("table_changes").cast("bigint").alias("table_changes"),
+        (F.col("n_changes").cast("double") / F.col("table_changes").cast("double")).alias("share"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )

@@ -347,3 +347,81 @@ def stratified_sample(docs: DataFrame, cap: int = 20, salt: str = "strat") -> Da
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= cap)
     )
+
+
+def source_overlap(docs: DataFrame) -> DataFrame:
+    """Pairwise cross-source shingle overlap matrix: for every source
+    pair (a < b), the distinct word-3-gram shingles they share and the
+    Jaccard similarity of their shingle sets — the corpus-level
+    redundancy report that tells a curation pipeline which source pairs
+    to cross-deduplicate first.
+
+    Scale shape: the unit of joining is the DISTINCT (source, shingle)
+    pair — bounded by |sources| × |vocab³|, not by document count — and
+    the shingle-keyed self-join fans out to at most
+    |sources|·(|sources|−1)/2 rows per shingle (sources are ~tens, so
+    no frequency cap is needed, unlike document-keyed near-dup joins).
+    Two shuffles total: the distinct, then the join+pair groupBy.
+    """
+    from mysql_cdc_spark.operators.dedup import with_shingles
+
+    inv = (
+        with_shingles(docs)
+        .select("source", F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    sizes = inv.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = inv.select(F.col("source").alias("source_a"), "shingle")
+    b = inv.select(F.col("source").alias("source_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def zipf_slope(docs: DataFrame) -> DataFrame:
+    """Zipf-law fit over the corpus unigram distribution: the OLS slope
+    of ln(frequency) on ln(rank) (Zipf's law predicts ≈ −1; a much
+    flatter slope flags synthetic or templated text — a corpus-level
+    quality signal).
+
+    Plan: explode tokens → map-side-combined frequency count (the only
+    data-sized shuffle), then rank + regression over the VOCABULARY
+    (tiny relative to the corpus — the window and regr_slope run on
+    |vocab| rows). Rank ties broken by token so both engines rank
+    identically; the slope is rounded to 6 decimals because the OLS
+    accumulation order differs between engines (error ~1e-14, far
+    below the rounding grain).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    ranked = freq.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("freq").desc(), F.col("tok"))),
+    )
+    return ranked.agg(
+        F.round(F.regr_slope(F.log("freq"), F.log("rank")), 6).alias("zipf_slope"),
+        F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+        F.sum("freq").cast("bigint").alias("total_tokens"),
+    )

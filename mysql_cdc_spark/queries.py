@@ -2631,3 +2631,75 @@ def llm_bigram_lm(spark, sf_dir):
     """Corpus bigram LM: P(w2|w1) from one pass over the token stream
     (continuation-sum denominator, integer-exact)."""
     return T.bigram_lm(_docs(spark, sf_dir))
+
+
+@register(
+    "cdc_hot_keys",
+    with_changes(
+        ", per_key AS ("
+        "  SELECT db, tbl, id, COUNT(*) AS n_changes FROM rows_dt GROUP BY db, tbl, id"
+        "), ranked AS ("
+        "  SELECT db, tbl, id, n_changes, "
+        "         SUM(n_changes) OVER (PARTITION BY db, tbl) AS table_changes, "
+        "         ROW_NUMBER() OVER (PARTITION BY db, tbl ORDER BY n_changes DESC, id) AS rank"
+        "  FROM per_key"
+        ") "
+        "SELECT db, tbl, id, CAST(n_changes AS BIGINT) AS n_changes, "
+        "CAST(table_changes AS BIGINT) AS table_changes, "
+        "CAST(n_changes AS DOUBLE) / CAST(table_changes AS DOUBLE) AS share, "
+        "CAST(rank AS BIGINT) AS rank "
+        "FROM ranked WHERE rank <= 5"
+    ),
+)
+def cdc_hot_keys(spark, sf_dir):
+    """Skew monitor: top-5 most-changed keys per table with their share
+    of table change volume — the signal that triggers salting of keyed
+    downstream state."""
+    return aggregates.hot_keys(_rows_dt(spark, sf_dir))
+
+
+_SRC_SHINGLE_CTE = (
+    "WITH norm AS (SELECT doc_id, source, lower(trim(text)) AS norm_text FROM documents), "
+    r"toks AS (SELECT doc_id, source, regexp_split_to_array(norm_text, '\s+') AS tokens FROM norm), "
+    "sh AS (SELECT doc_id, source, list_distinct(CASE WHEN len(tokens) >= 3 THEN "
+    "[tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] for i in range(1, len(tokens)-1)] "
+    "ELSE [] END) AS shingles FROM toks), "
+    "inv AS (SELECT DISTINCT source, shingle FROM "
+    "  (SELECT source, unnest(shingles) AS shingle FROM sh)), "
+    "sizes AS (SELECT source, COUNT(*) AS n FROM inv GROUP BY source)"
+)
+
+
+@register(
+    "llm_source_overlap",
+    _SRC_SHINGLE_CTE + ", inter AS ("
+    "  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common"
+    "  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.source < b.source"
+    "  GROUP BY 1, 2) "
+    "SELECT source_a, source_b, CAST(n_common AS BIGINT) AS n_common, "
+    "CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard "
+    "FROM inter "
+    "JOIN sizes sa ON sa.source = source_a "
+    "JOIN sizes sb ON sb.source = source_b",
+)
+def llm_source_overlap(spark, sf_dir):
+    """Cross-source shingle-overlap matrix (pairwise Jaccard over
+    source shingle sets) — ranks source pairs for cross-dedup."""
+    return corpus.source_overlap(_docs(spark, sf_dir))
+
+
+@register(
+    "llm_zipf_slope",
+    r"WITH toks AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok "
+    "FROM documents), "
+    "freq AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok), "
+    "ranked AS (SELECT tok, freq, ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank FROM freq) "
+    "SELECT round(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope, "
+    "CAST(COUNT(*) AS BIGINT) AS n_vocab, CAST(SUM(freq) AS BIGINT) AS total_tokens "
+    "FROM ranked",
+)
+def llm_zipf_slope(spark, sf_dir):
+    """Zipf-exponent fit of the corpus unigram distribution (OLS of
+    ln freq on ln rank) — corpus-quality signal, regression over the
+    vocabulary only."""
+    return corpus.zipf_slope(_docs(spark, sf_dir))

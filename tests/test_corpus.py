@@ -253,3 +253,52 @@ def test_stratified_sample_quota_and_stability(spark):
     top2 = {(r["lang"], r["source"], r["doc_id"]) for r in corpus.stratified_sample(docs, cap=2).collect()}
     top4 = {(r["lang"], r["source"], r["doc_id"]) for r in got if r["rk"] <= 2}
     assert top2 == top4
+
+
+def test_source_overlap_jaccard_on_known_sets(spark):
+    """Two sources sharing exactly one of three total shingles →
+    Jaccard 1/3; disjoint sources never appear in the matrix."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c x", "en", "s1"),   # shingles: "a b c", "b c x"
+            (2, "a b c y", "en", "s2"),   # shingles: "a b c", "b c y"
+            (3, "p q r s", "en", "s3"),   # disjoint
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = {(r["source_a"], r["source_b"]): r for r in corpus.source_overlap(docs).collect()}
+    assert set(rows) == {("s1", "s2")}
+    r = rows[("s1", "s2")]
+    assert r["n_common"] == 1
+    assert abs(r["jaccard"] - 1 / 3) < 1e-12
+
+
+def test_zipf_slope_exact_powerlaw(spark):
+    """A corpus built to follow freq(rank) = 8/rank exactly at ranks
+    1,2,4,8 fits slope −1."""
+    words = ["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"] * 1
+    docs = spark.createDataFrame(
+        [(1, " ".join(words), "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    r = corpus.zipf_slope(docs).collect()[0]
+    assert r["n_vocab"] == 4
+    assert r["total_tokens"] == 15
+    # ranks 1,2,3,4 with freqs 8,4,2,1 is not exactly 1/rank at rank 3
+    # (freq 2 vs 8/3) — the OLS slope over (ln r, ln f) for this
+    # geometric sequence is still strictly negative and close to -1.5.
+    assert r["zipf_slope"] < -1.0
+
+
+def test_hot_keys_share_and_rank(spark):
+    from mysql_cdc_spark.operators import aggregates
+
+    rows = spark.createDataFrame(
+        [("d", "t", 1, 6.0, "update"), ("d", "t", 1, 7.0, "update"),
+         ("d", "t", 1, 8.0, "update"), ("d", "t", 2, 9.0, "insert")],
+        "db string, tbl string, id long, value double, _delta_type string",
+    )
+    got = {r["id"]: r for r in aggregates.hot_keys(rows).collect()}
+    assert got[1]["rank"] == 1 and got[1]["n_changes"] == 3
+    assert abs(got[1]["share"] - 0.75) < 1e-12
+    assert got[2]["rank"] == 2 and abs(got[2]["share"] - 0.25) < 1e-12
