@@ -95,3 +95,32 @@ def test_no_python_udfs_in_relational_paths(spark, sf_dir):
     paths.)"""
     for name in [*HEADLINE_NAMES, "llm_dedup_minhash", "llm_quality_score", "llm_lang_id"]:
         assert "BatchEvalPython" not in _plan(spark, sf_dir, name), name
+
+
+def test_priority_semijoin_is_semi_not_inner(spark, sf_dir):
+    """Q4 shape: the EXISTS must plan as a LeftSemi hash join (dedups
+    while joining), never an inner join + distinct."""
+    plan = _plan(spark, sf_dir, "sql_priority_semijoin")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_large_orders_broadcasts_reduced_side(spark, sf_dir):
+    """Q18 shape: the HAVING-reduced orderkey set must broadcast onto
+    the fact tables — no shuffle of orders."""
+    plan = _plan(spark, sf_dir, "sql_large_orders")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_idle_rich_customers_is_anti_join(spark, sf_dir):
+    """Q22 shape: NOT EXISTS plans as LeftAnti."""
+    plan = _plan(spark, sf_dir, "sql_idle_rich_customers")
+    assert "LeftAnti" in plan
+
+
+def test_hot_keys_aggregates_before_window(spark, sf_dir):
+    """The window (total + rank) must run over the per-key aggregate,
+    not the raw change log: the plan has a partial count first."""
+    plan = _plan(spark, sf_dir, "cdc_hot_keys")
+    assert "partial_count" in plan
+    assert "row_number" in plan
