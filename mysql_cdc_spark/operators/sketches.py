@@ -425,3 +425,85 @@ def cms_heavy_hitters_oracle(k: int = TOPK_TOKENS) -> str:
         "FROM probes p JOIN sketch s ON p.j = s.j AND p.bucket = s.bucket "
         "GROUP BY 1, 2"
     )
+
+
+# --- Bloom-filter prefilter -------------------------------------------------
+#
+# The broadcast-membership scale pattern: testing a 100 TB corpus
+# against a large blocklist with an equi-join shuffles the corpus on
+# the join key; a Bloom filter of the blocklist is a few KB..MB that
+# BROADCASTS, so the corpus is filtered in place with zero shuffle and
+# a bounded false-positive rate (only the small surviving fraction
+# needs the exact verify join).  Deterministic by construction: bit
+# positions are exact md5 hex-digit integers, the filter is the sorted
+# distinct-position set — no platform hashing anywhere.
+
+BLOOM_M = 4096        # filter bits
+BLOOM_K = 4           # hash functions = disjoint 3-hex-digit md5 slices
+
+
+def _bloom_pos(col: str, j: int) -> str:
+    """Position j (0..BLOOM_K-1): 3 hex digits at offset 1+3j of the
+    key hash — 12 bits, exactly 0..BLOOM_M-1, disjoint slices per j."""
+    i = 1 + 3 * j
+    return f"({_digit(col, i)} * 256 + {_digit(col, i + 1)} * 16 + {_digit(col, i + 2)})"
+
+
+def _bloom_positions(col: str) -> str:
+    return "array(" + ", ".join(_bloom_pos(col, j) for j in range(BLOOM_K)) + ")"
+
+
+def bloom_prefilter(docs: DataFrame, blocked_source: str = "src0") -> DataFrame:
+    """Per-document Bloom membership test against the blocklist (docs
+    of `blocked_source`), alongside the exact answer so the
+    false-positive accounting is part of the result contract.
+
+    Plan: the filter is ONE aggregate row (sorted distinct positions,
+    ≤ BLOOM_M ints) broadcast to the probe side — the corpus-sized
+    probe never shuffles. The exact column is the verify join the
+    filter exists to shrink; it is computed here over all docs only to
+    certify the no-false-negative property per row.
+    """
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text")).alias("h"),
+    ).withColumn("positions", F.expr(_bloom_positions("h")))
+    filt = (
+        keyed.filter(F.col("source") == blocked_source)
+        .select(F.explode("positions").alias("p"))
+        .distinct()
+        .agg(F.sort_array(F.collect_set("p")).alias("bits"))
+    )
+    blocked = (
+        keyed.filter(F.col("source") == blocked_source)
+        .select(F.col("h").alias("bh"))
+        .distinct()
+    )
+    probed = keyed.join(F.broadcast(filt)).withColumn(
+        "bloom_hit", F.expr("forall(positions, p -> array_contains(bits, p))")
+    )
+    return (
+        probed.join(
+            F.broadcast(blocked), probed.h == F.col("bh"), "left_outer"
+        )
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.col("bh").isNotNull().alias("exact_hit"),
+        )
+    )
+
+
+def bloom_prefilter_oracle(blocked_source: str = "src0") -> str:
+    pos_list = "[" + ", ".join(_bloom_pos("h", j) for j in range(BLOOM_K)) + "]"
+    return (
+        f"WITH keyed AS (SELECT doc_id, source, md5(text) AS h FROM documents), "
+        f"pos AS (SELECT doc_id, source, h, {pos_list} AS positions FROM keyed), "
+        f"filt AS (SELECT list_sort(list_distinct(flatten(list(positions)))) AS bits "
+        f"FROM pos WHERE source = '{blocked_source}'), "
+        f"blocked AS (SELECT DISTINCT h AS bh FROM keyed WHERE source = '{blocked_source}') "
+        f"SELECT doc_id, list_has_all(bits, positions) AS bloom_hit, "
+        f"(bh IS NOT NULL) AS exact_hit "
+        f"FROM pos CROSS JOIN filt LEFT JOIN blocked ON h = bh"
+    )

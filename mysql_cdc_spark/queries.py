@@ -2703,3 +2703,12 @@ def llm_zipf_slope(spark, sf_dir):
     ln freq on ln rank) — corpus-quality signal, regression over the
     vocabulary only."""
     return corpus.zipf_slope(_docs(spark, sf_dir))
+
+
+@register("sk_bloom_prefilter", sketches.bloom_prefilter_oracle())
+def sk_bloom_prefilter(spark, sf_dir):
+    """Broadcast Bloom-filter membership prefilter vs a blocklist
+    source, with the exact verify column certifying zero false
+    negatives (m=4096, k=4 disjoint md5 slices — fully
+    deterministic)."""
+    return sketches.bloom_prefilter(_docs(spark, sf_dir))

@@ -369,3 +369,37 @@ def test_table_checksum_detects_single_row_change(spark, sf_dir):
     }
     assert base.keys() == got.keys()
     assert sum(1 for k in base if base[k] != got[k]) == 1  # exactly the touched table
+
+
+def test_bloom_prefilter_no_false_negatives_and_fp_accounting(spark):
+    """Every exact hit is a bloom hit (no false negatives — the
+    property the prefilter pattern depends on), and a hand-searched
+    colliding key shows up as bloom_hit=True/exact_hit=False (the
+    false positive the exact verify join exists to remove)."""
+    import hashlib
+
+    from mysql_cdc_spark.operators import sketches
+
+    def positions(text: str) -> set[int]:
+        h = hashlib.md5(text.encode()).hexdigest()
+        return {int(h[3 * j : 3 * j + 3], 16) for j in range(sketches.BLOOM_K)}
+
+    blocked = [f"blocked text number {i}" for i in range(200)]
+    bits = set().union(*(positions(t) for t in blocked))
+    fp = next(
+        t
+        for t in (f"probe candidate {i}" for i in range(100_000))
+        if positions(t) <= bits
+    )
+    rows = [(i, t, "en", "bad") for i, t in enumerate(blocked)]
+    rows += [(1000, fp, "en", "ok"), (1001, "certainly not blocked text", "en", "ok")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    got = {
+        r["doc_id"]: (r["bloom_hit"], r["exact_hit"])
+        for r in sketches.bloom_prefilter(docs, blocked_source="bad").collect()
+    }
+    assert all(got[i] == (True, True) for i in range(200))   # no FN
+    assert got[1000] == (True, False)                        # engineered FP
+    assert got[1001] == (False, False)
