@@ -346,3 +346,60 @@ def gapfill_hourly(events: DataFrame) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
         F.last("last_in_hour", ignorenulls=True).over(locf).alias("locf_value"),
     )
+
+
+def ohlc_bars(events: DataFrame, bucket: str = "hour", key: str = "user_id") -> DataFrame:
+    """Downsampling to OHLC bars: per key and time bucket, the opening
+    and closing value (first/last event), the high/low, and exact
+    volume — the standard tick→bar compaction for financial/metric
+    streams.
+
+    Open/close use `min_by`/`max_by` over a lexicographic
+    (timestamp, event_id) string key — a single map-side-combinable
+    aggregate per bar (O(1) state per group), NOT a row_number window
+    (which would sort every bar's ticks).  The zero-padded key makes
+    string order equal numeric order on both engines, so ties at the
+    same microsecond break identically.
+    """
+    k = F.format_string("%020d-%010d", F.unix_micros("ts"), F.col("event_id"))
+    return (
+        events.groupBy(
+            F.col(key),
+            F.date_trunc(bucket, F.col("ts")).alias("bar_ts"),
+        )
+        .agg(
+            F.expr("min_by(value, k)").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr("max_by(value, k)").alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("volume"),
+        )
+    )
+
+
+def _ohlc_with_key(events: DataFrame) -> DataFrame:
+    return events.withColumn(
+        "k", F.format_string("%020d-%010d", F.unix_micros("ts"), F.col("event_id"))
+    )
+
+
+def ohlc_hourly(events: DataFrame) -> DataFrame:
+    return ohlc_bars(_ohlc_with_key(events))
+
+
+OHLC_HOURLY_SQL = """
+WITH keyed AS (
+  SELECT user_id, ts, event_id, value,
+         printf('%020d-%010d', epoch_us(ts), event_id) AS k
+  FROM events
+)
+SELECT user_id, date_trunc('hour', ts) AS bar_ts,
+       arg_min(value, k) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, k) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+FROM keyed GROUP BY 1, 2
+""".strip()

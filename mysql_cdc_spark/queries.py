@@ -2712,3 +2712,12 @@ def sk_bloom_prefilter(spark, sf_dir):
     negatives (m=4096, k=4 disjoint md5 slices — fully
     deterministic)."""
     return sketches.bloom_prefilter(_docs(spark, sf_dir))
+
+
+@register("ts_ohlc_hourly", timeseries.OHLC_HOURLY_SQL)
+def ts_ohlc_hourly(spark, sf_dir):
+    """Tick→bar OHLC compaction per user-hour: open/close via
+    min_by/max_by over a lexicographic (ts, event_id) key (O(1)
+    combinable state per bar — no per-bar sort), exact decimal
+    volume."""
+    return timeseries.ohlc_hourly(_events(spark, sf_dir))

@@ -403,3 +403,28 @@ def test_bloom_prefilter_no_false_negatives_and_fp_accounting(spark):
     assert all(got[i] == (True, True) for i in range(200))   # no FN
     assert got[1000] == (True, False)                        # engineered FP
     assert got[1001] == (False, False)
+
+
+def test_ohlc_hand_computed_with_microsecond_tie(spark):
+    """Open/close pick by (ts, event_id): two ticks at the same
+    microsecond break the tie on event_id."""
+    from datetime import datetime
+
+    from mysql_cdc_spark.operators import timeseries as T
+
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, t0, 7, 5.0),                          # same ts, higher id
+        (2, t0, 3, 9.0),                          # same ts, lower id → open
+        (3, datetime(2024, 1, 1, 10, 30, 0), 9, 1.0),
+        (4, datetime(2024, 1, 1, 10, 59, 0), 1, 4.0),  # latest ts → close
+    ]
+    ev = spark.createDataFrame(
+        [(r[2], r[1], 42, "e", r[3], "{}") for r in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    bar = T.ohlc_hourly(ev).collect()
+    assert len(bar) == 1
+    b = bar[0]
+    assert (b["open"], b["high"], b["low"], b["close"]) == (9.0, 9.0, 1.0, 4.0)
+    assert b["n_ticks"] == 4 and abs(b["volume"] - 19.0) < 1e-9
