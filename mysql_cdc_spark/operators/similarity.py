@@ -408,3 +408,57 @@ def label_centroids(emb: DataFrame) -> DataFrame:
         .withColumn("mean", F.col("qsum").cast("double") / F.col("n").cast("double") / F.lit(float(QUANT)))
         .select("label", "dim", "n", "qsum", "mean")
     )
+
+
+PQ_M = 4              # subspaces
+PQ_KSUB = 16          # codebook entries per subspace → 4 bits/subspace
+
+
+def pq_codes(emb: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB) -> DataFrame:
+    """Product-quantization encoding: split each vector into `m`
+    subvectors, assign each subvector to its nearest codebook entry by
+    EXACT integer squared-L2, emit the code word plus the exact
+    reconstruction error.  64 dims × 4 bytes become m×log2(ksub) bits
+    (here 16 bits — a 128× compression), which is what makes
+    billion-vector ANN indexes fit in memory; search then scans codes
+    with per-subspace lookup tables instead of raw vectors.
+
+    Deterministic contract: codebooks are the quantized subvectors of
+    the `ksub` lowest vec_ids (same seeding rule as kmeans_assign);
+    assignments are BIGINT argmins with ties to the lower code — a
+    pure function of the input on any engine.
+
+    Scale shape: the codebook is m·ksub tiny rows, broadcast; the data
+    side explodes to m rows per vector (bounded fan-out), does a
+    broadcast join + per-(vector, subspace) argmin, and folds back
+    with one groupBy on vec_id.  No all-pairs anything; shuffle volume
+    is m rows per input vector.
+    """
+    d_sub = DIMS // m
+    q = quantized(emb).select("vec_id", "qv")
+    sub = q.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), s -> slice(qv, s * {d_sub} + 1, {d_sub}))"
+            )
+        ).alias("sub", "sv"),
+    )
+    cb = sub.filter(F.col("vec_id") < ksub).select(
+        F.col("vec_id").alias("code"),
+        F.col("sub").alias("csub"),
+        F.col("sv").alias("cv"),
+    )
+    dist = "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+    scored = sub.join(F.broadcast(cb), F.col("sub") == F.col("csub")).withColumn(
+        "dist", F.expr(dist)
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy(F.col("dist").asc(), F.col("code").asc())
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.groupBy("vec_id").agg(
+        F.expr(
+            "concat_ws('-', transform(array_sort(array_agg(struct(sub, code)), "
+            "(a, b) -> a.sub - b.sub), p -> CAST(p.code AS STRING)))"
+        ).alias("codes"),
+        F.sum("dist").cast("bigint").alias("recon_err"),
+    )

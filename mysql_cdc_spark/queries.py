@@ -2721,3 +2721,33 @@ def ts_ohlc_hourly(spark, sf_dir):
     combinable state per bar — no per-bar sort), exact decimal
     volume."""
     return timeseries.ohlc_hourly(_events(spark, sf_dir))
+
+
+_PQ_DSUB = similarity.DIMS // similarity.PQ_M
+_PQ_DIST = (
+    f"list_sum([(s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]) "
+    f"for i in range(1, {_PQ_DSUB} + 1)])"
+)
+
+
+@register(
+    "llm_pq_codes",
+    _EMB_CTE + f", subs AS ("
+    f"  SELECT vec_id, CAST(t.s AS INTEGER) AS sub, "
+    f"  qv[t.s * {_PQ_DSUB} + 1 : (t.s + 1) * {_PQ_DSUB}] AS sv "
+    f"  FROM q CROSS JOIN range({similarity.PQ_M}) t(s)), "
+    f"cb AS (SELECT vec_id AS code, sub AS csub, sv AS cv FROM subs "
+    f"  WHERE vec_id < {similarity.PQ_KSUB}), "
+    f"best AS (SELECT vec_id, sub, code, dist FROM ("
+    f"  SELECT s.vec_id, s.sub, c.code, {_PQ_DIST} AS dist, "
+    f"  ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub ORDER BY {_PQ_DIST}, c.code) AS rn "
+    f"  FROM subs s JOIN cb c ON s.sub = c.csub) WHERE rn = 1) "
+    f"SELECT vec_id, string_agg(CAST(code AS VARCHAR), '-' ORDER BY sub) AS codes, "
+    f"CAST(SUM(dist) AS BIGINT) AS recon_err "
+    f"FROM best GROUP BY vec_id",
+)
+def llm_pq_codes(spark, sf_dir):
+    """Product-quantization codes (4 subspaces × 16-entry codebooks,
+    exact integer argmin) + exact reconstruction error — the
+    compressed-index encoding step for billion-vector ANN."""
+    return similarity.pq_codes(_emb(spark, sf_dir))

@@ -154,3 +154,21 @@ def test_kmeans_seed_vectors_have_zero_distance_iter1(spark):
     out = {r.vec_id: r for r in kmeans_assign(emb, k=3, iters=1).collect()}
     for i in range(3):
         assert out[i].cid == i and out[i].dist == 0
+
+
+def test_pq_codes_seed_vectors_have_zero_error(spark, sf_dir):
+    """A codebook seed vector reconstructs itself exactly (error 0,
+    codes = its own id in every subspace); every vector gets exactly
+    PQ_M codes."""
+    from mysql_cdc_spark.operators import similarity as S
+    from mysql_cdc_spark.sources.io import read_table
+
+    got = {r["vec_id"]: r for r in S.pq_codes(read_table(spark, sf_dir, "embeddings")).collect()}
+    for seed in range(3):
+        assert got[seed]["recon_err"] == 0
+        assert got[seed]["codes"] == "-".join([str(seed)] * S.PQ_M)
+    assert all(len(r["codes"].split("-")) == S.PQ_M for r in got.values())
+    # non-seed vectors have strictly positive error (vectors are dense
+    # floats — exact collision with a seed subvector is not possible
+    # in this fixture)
+    assert got[max(got)]["recon_err"] > 0
