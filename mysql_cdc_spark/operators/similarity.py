@@ -434,6 +434,20 @@ def pq_codes(emb: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB) -> DataFrame:
     with one groupBy on vec_id.  No all-pairs anything; shuffle volume
     is m rows per input vector.
     """
+    best = pq_subcodes(emb, m, ksub)
+    return best.groupBy("vec_id").agg(
+        F.expr(
+            "concat_ws('-', transform(array_sort(array_agg(struct(sub, code)), "
+            "(a, b) -> a.sub - b.sub), p -> CAST(p.code AS STRING)))"
+        ).alias("codes"),
+        F.sum("dist").cast("bigint").alias("recon_err"),
+    )
+
+
+def pq_subcodes(emb: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB) -> DataFrame:
+    """(vec_id, sub, code, dist): the per-subspace PQ assignment —
+    the shared build step for `pq_codes` (the stored index) and
+    `ann_adc` (the search path)."""
     d_sub = DIMS // m
     q = quantized(emb).select("vec_id", "qv")
     sub = q.select(
@@ -454,11 +468,80 @@ def pq_codes(emb: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB) -> DataFrame:
         "dist", F.expr(dist)
     )
     w = Window.partitionBy("vec_id", "sub").orderBy(F.col("dist").asc(), F.col("code").asc())
-    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    return best.groupBy("vec_id").agg(
-        F.expr(
-            "concat_ws('-', transform(array_sort(array_agg(struct(sub, code)), "
-            "(a, b) -> a.sub - b.sub), p -> CAST(p.code AS STRING)))"
-        ).alias("codes"),
-        F.sum("dist").cast("bigint").alias("recon_err"),
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", "code", "dist")
+    )
+
+
+def ann_adc(
+    emb: DataFrame,
+    n_queries: int = DEFAULT_N_QUERIES,
+    k: int = DEFAULT_K,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+) -> DataFrame:
+    """PQ asymmetric-distance search: each query keeps its FULL vector,
+    the database is only its PQ codes; distance(query, vec) =
+    Σ_sub LUT[query][sub][code(vec, sub)], where the LUT holds the
+    exact integer squared-L2 from the query's subvector to every
+    codebook entry.
+
+    This is how a compressed ANN index actually answers queries: the
+    corpus-sized operand is the CODES table (m small ints per vector,
+    not DIMS floats); per query the work is one LUT of m·ksub entries
+    (broadcast — here 640 rows total) + a code lookup join.  All
+    integer, ties to the lower neighbor id; two-stage top-k like knn.
+    """
+    d_sub = DIMS // m
+    q = quantized(emb).select("vec_id", "qv")
+    qsub = (
+        q.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {m - 1}), s -> slice(qv, s * {d_sub} + 1, {d_sub}))"
+                )
+            ).alias("sub", "qsv"),
+        )
+    )
+    cb = pq_subcodes(emb, m, ksub).alias("codes")
+    cb_entries = (
+        q.filter(F.col("vec_id") < ksub)
+        .select(
+            F.col("vec_id").alias("code"),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {m - 1}), s -> slice(qv, s * {d_sub} + 1, {d_sub}))"
+                )
+            ).alias("csub", "cv"),
+        )
+    )
+    lut_dist = "aggregate(zip_with(qsv, cv, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+    lut = (
+        qsub.join(F.broadcast(cb_entries), F.col("sub") == F.col("csub"))
+        .withColumn("d", F.expr(lut_dist))
+        .select("query_id", "sub", "code", "d")
+    )
+    scored = (
+        cb.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").cast("bigint").alias("adc_dist"))
+    )
+    order = [F.col("adc_dist").asc(), F.col("neighbor_id")]
+    shards = 16
+    local = Window.partitionBy("query_id", F.col("neighbor_id") % shards).orderBy(*order)
+    survivors = (
+        scored.withColumn("lr", F.row_number().over(local))
+        .filter(F.col("lr") <= k)
+        .drop("lr")
+    )
+    final = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(final).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
     )

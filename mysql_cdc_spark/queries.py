@@ -2730,8 +2730,7 @@ _PQ_DIST = (
 )
 
 
-@register(
-    "llm_pq_codes",
+_PQ_BEST_CTE = (
     _EMB_CTE + f", subs AS ("
     f"  SELECT vec_id, CAST(t.s AS INTEGER) AS sub, "
     f"  qv[t.s * {_PQ_DSUB} + 1 : (t.s + 1) * {_PQ_DSUB}] AS sv "
@@ -2741,13 +2740,51 @@ _PQ_DIST = (
     f"best AS (SELECT vec_id, sub, code, dist FROM ("
     f"  SELECT s.vec_id, s.sub, c.code, {_PQ_DIST} AS dist, "
     f"  ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub ORDER BY {_PQ_DIST}, c.code) AS rn "
-    f"  FROM subs s JOIN cb c ON s.sub = c.csub) WHERE rn = 1) "
-    f"SELECT vec_id, string_agg(CAST(code AS VARCHAR), '-' ORDER BY sub) AS codes, "
-    f"CAST(SUM(dist) AS BIGINT) AS recon_err "
-    f"FROM best GROUP BY vec_id",
+    f"  FROM subs s JOIN cb c ON s.sub = c.csub) WHERE rn = 1)"
+)
+
+
+@register(
+    "llm_pq_codes",
+    _PQ_BEST_CTE
+    + " SELECT vec_id, string_agg(CAST(code AS VARCHAR), '-' ORDER BY sub) AS codes, "
+    "CAST(SUM(dist) AS BIGINT) AS recon_err "
+    "FROM best GROUP BY vec_id",
 )
 def llm_pq_codes(spark, sf_dir):
     """Product-quantization codes (4 subspaces × 16-entry codebooks,
     exact integer argmin) + exact reconstruction error — the
     compressed-index encoding step for billion-vector ANN."""
     return similarity.pq_codes(_emb(spark, sf_dir))
+
+
+_ADC_LUT_DIST = (
+    f"list_sum([(qs.qsv[i] - ce.cv[i]) * (qs.qsv[i] - ce.cv[i]) "
+    f"for i in range(1, {_PQ_DSUB} + 1)])"
+)
+
+
+@register(
+    "llm_ann_adc",
+    _PQ_BEST_CTE + f", qsub AS ("
+    f"  SELECT vec_id AS query_id, CAST(t.s AS INTEGER) AS sub, "
+    f"  qv[t.s * {_PQ_DSUB} + 1 : (t.s + 1) * {_PQ_DSUB}] AS qsv "
+    f"  FROM q CROSS JOIN range({similarity.PQ_M}) t(s) "
+    f"  WHERE vec_id < {similarity.DEFAULT_N_QUERIES}), "
+    f"lut AS (SELECT qs.query_id, qs.sub, ce.code, {_ADC_LUT_DIST} AS d "
+    f"  FROM qsub qs JOIN cb ce ON qs.sub = ce.csub), "
+    f"scored AS (SELECT l.query_id, b.vec_id AS neighbor_id, "
+    f"  CAST(SUM(l.d) AS BIGINT) AS adc_dist "
+    f"  FROM best b JOIN lut l ON b.sub = l.sub AND b.code = l.code "
+    f"  WHERE b.vec_id <> l.query_id GROUP BY 1, 2) "
+    f"SELECT query_id, neighbor_id, adc_dist, CAST(rank AS BIGINT) AS rank FROM ("
+    f"  SELECT query_id, neighbor_id, adc_dist, "
+    f"  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank "
+    f"  FROM scored) WHERE rank <= {similarity.DEFAULT_K}",
+)
+def llm_ann_adc(spark, sf_dir):
+    """PQ asymmetric-distance top-k: queries keep full vectors, the
+    corpus is searched through its 16-bit PQ codes via broadcast
+    per-query lookup tables — all-integer, the compressed-index
+    search path."""
+    return similarity.ann_adc(_emb(spark, sf_dir))
