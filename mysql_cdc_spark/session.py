@@ -37,6 +37,11 @@ def get_spark(app_name: str = "mysql-cdc-spark") -> SparkSession:
         # int64 everywhere (sources/io.py converts with exact `div 1000`).
         # Set once here so per-read code never mutates session config.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Fixtures also carry naive us-precision timestamps; read them as
+        # TimestampType (session tz = UTC, values unchanged) rather than
+        # TIMESTAMP_NTZ so the envelope schema is stable across fixture
+        # precision changes.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))

@@ -32,6 +32,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Defensive for externally-built sessions (e.g. the driver's):
         # this is the one config the fixture reader cannot do without.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false":
+        # Naive us-precision fixture timestamps must read as TimestampType
+        # (UTC session), not TIMESTAMP_NTZ, for a stable envelope schema.
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     schema_file = path
     if os.path.isdir(path):
