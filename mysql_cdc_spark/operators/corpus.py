@@ -425,3 +425,102 @@ def zipf_slope(docs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
         F.sum("freq").cast("bigint").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Probability-proportional-to-size (πps) weighted sampling
+# ---------------------------------------------------------------------------
+
+# Poisson πps sampling with exact integer comparisons: document i is
+# kept iff  hash_i < min(M, RATE_NUM * w_i)  where hash_i is uniform on
+# [0, M) from 6 salted md5 hex digits (M = 16^6) and w_i = max(1,
+# n_chars).  Inclusion probability is therefore exactly
+# min(M, RATE_NUM*w_i)/M — no floats anywhere in the keep/drop
+# decision, so Spark and the oracle agree bit-for-bit, and membership
+# is per-doc and content-independent (stable under reruns, executors,
+# and incremental corpus growth, like split_assign/hash_sample).
+PPS_M = 16 ** 6
+PPS_RATE_NUM = 16384  # ≈0.29 inclusion at the fixture's ~300-char mean
+
+
+def _hex_bucket6(salted: str) -> str:
+    """Engine-neutral SQL for int(first 6 hex digits of md5(salted)).
+    `salted` is a SQL string expression; instr-based digit parse works
+    identically in Spark SQL and DuckDB (see _BUCKET_EXPR)."""
+    digits = " + ".join(
+        f"(instr('0123456789abcdef', substring(md5({salted}), {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"({digits})"
+
+
+def weighted_sample(docs: DataFrame, rate_num: int = PPS_RATE_NUM) -> DataFrame:
+    """Weighted (length-proportional) corpus sample with exact
+    Horvitz–Thompson reweighting.
+
+    The standard curation move "sample long documents preferentially"
+    done as Poisson πps: keep-probability ∝ doc length, capped at 1.
+    `ht_weight` = M / min(M, rate*w) is the inverse inclusion
+    probability — downstream token counts weighted by it are unbiased
+    estimates of the full-corpus counts.  The division is one IEEE op
+    on exact integers (correctly rounded, engine-identical).
+
+    Narrow plan: md5 + integer compare per row, no shuffle; the filter
+    sits against the scan.
+    """
+    salted = "concat('pps:', cast(doc_id as string))"
+    bucket = F.expr(_hex_bucket6(salted)).cast("bigint")
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("bigint")
+    cut = F.least(F.lit(PPS_M).cast("bigint"), F.lit(rate_num) * w)
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            bucket.alias("bucket"),
+            cut.alias("cut"),
+        )
+        .where(F.col("bucket") < F.col("cut"))
+        .withColumn(
+            "ht_weight", F.lit(float(PPS_M)) / F.col("cut").cast("double")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Output shard planning
+# ---------------------------------------------------------------------------
+
+SHARD_TARGET_CHARS = 8192
+
+
+def shard_plan(docs: DataFrame, target_chars: int = SHARD_TARGET_CHARS) -> DataFrame:
+    """Plan fixed-size output shards: documents are laid out in doc_id
+    order, cut every `target_chars` characters (a doc belongs to the
+    shard its FIRST character lands in), and rolled up to one planning
+    row per shard — the step that decides output file boundaries when
+    writing a curated corpus, sized so every file lands near the
+    parquet sweet spot instead of the small-file swamp.
+
+    The running character offset is the chunked distributed prefix scan
+    (functions/scan.py — no single-task global window); the rollup is
+    one map-side-combined aggregate over shard ids.
+    """
+    from mysql_cdc_spark.functions.scan import running_agg
+
+    sized = docs.select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
+    placed = running_agg(sized, "doc_id", F.col("n_chars"), "char_start", inclusive=False)
+    return (
+        placed.select(
+            "doc_id",
+            "n_chars",
+            F.expr(f"char_start div {target_chars}").alias("shard_id"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("shard_chars"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+    )

@@ -1,0 +1,85 @@
+"""Single-pass data profiling: per-column null counts, exact distinct
+counts, and min/max — the data-quality step run before any table is
+admitted to a pipeline.
+
+The reference has no profiling surface (its DatabaseMetaData returns
+empty sets for everything, reference src/cdc/jdbc.clj:397-570); this is
+first-class here because at 100 TB "is this feed broken?" must be
+answerable from ONE scan of the data, not one scan per column.
+
+Plan shape: every metric for every column is computed in a single
+aggregate over one scan — Catalyst plans the multiple COUNT(DISTINCT)s
+via Expand (one pass, ~n_cols row amplification map-side, partial
+aggregation before the one exchange).  The per-column rows are then
+produced driver-free with an `stack` unpivot of the 1-row aggregate.
+At extreme scale the exact distinct counts swap for the HLL registers
+in operators/sketches.py (approx_count_distinct) without changing the
+output shape; exact is kept here so the DuckDB oracle can verify
+values bit-for-bit.
+
+Value normalization keeps min/max engine-neutral: timestamps profile
+as epoch microseconds, DOUBLE goes through DECIMAL(18,6) so its string
+form is padded identically on both engines, strings compare in binary
+collation (both engines' default).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (column, normalized-value SQL expression) — identical text runs on
+# Spark and DuckDB; BIGINT/VARCHAR-valued so min/max stringify stably.
+PROFILE_COLS: list[tuple[str, str]] = [
+    ("event_id", "event_id"),
+    ("ts", "unix_micros_ts"),  # pre-derived (engines name epoch-us differently)
+    ("user_id", "user_id"),
+    ("event_type", "event_type"),
+    ("value", "cast(value as decimal(18,6))"),
+    ("props", "props"),
+]
+
+
+def profile_events(events: DataFrame) -> DataFrame:
+    """Profile the events table: one row per column with
+    (n_rows, n_null, n_distinct, min_val, max_val)."""
+    src = events.withColumn("unix_micros_ts", F.unix_micros(F.col("ts")))
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for name, expr in PROFILE_COLS:
+        c = F.expr(expr)
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"{name}__n_null"),
+            F.count_distinct(c).cast("bigint").alias(f"{name}__n_distinct"),
+            F.min(c).cast("string").alias(f"{name}__min"),
+            F.max(c).cast("string").alias(f"{name}__max"),
+        ]
+    one = src.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', {name}__n_null, {name}__n_distinct, {name}__min, {name}__max"
+        for name, _ in PROFILE_COLS
+    )
+    return one.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {stack_args}) "
+            "as (col_name, n_null, n_distinct, min_val, max_val)"
+        ),
+    ).select("col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
+
+
+def profile_oracle_sql() -> str:
+    """DuckDB oracle: same metrics as a UNION ALL of per-column
+    aggregates over a shared normalized projection."""
+    parts = []
+    for name, expr in PROFILE_COLS:
+        parts.append(
+            f"SELECT '{name}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            f"CAST(COUNT(*) - COUNT({expr}) AS BIGINT) AS n_null, "
+            f"CAST(COUNT(DISTINCT {expr}) AS BIGINT) AS n_distinct, "
+            f"CAST(MIN({expr}) AS VARCHAR) AS min_val, "
+            f"CAST(MAX({expr}) AS VARCHAR) AS max_val FROM src"
+        )
+    union = " UNION ALL ".join(parts)
+    return (
+        "WITH src AS (SELECT *, epoch_us(ts) AS unix_micros_ts FROM events) " + union
+    )

@@ -403,3 +403,67 @@ SELECT user_id, date_trunc('hour', ts) AS bar_ts,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
 FROM keyed GROUP BY 1, 2
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window anomaly detection
+# ---------------------------------------------------------------------------
+
+ZSCORE_LOOKBACK = 50  # trailing events per key
+ZSCORE_MIN_N = 20  # refuse to score until this much history exists
+ZSCORE_THRESHOLD = 3.0
+
+
+def zscore_anomaly(
+    events: DataFrame,
+    lookback: int = ZSCORE_LOOKBACK,
+    min_n: int = ZSCORE_MIN_N,
+    threshold: float = ZSCORE_THRESHOLD,
+) -> DataFrame:
+    """Per-user trailing-window z-score outliers: flag events whose
+    value deviates more than `threshold` standard deviations from that
+    user's own previous `lookback` events — the streaming-metrics
+    anomaly shape (fraud spikes, sensor glitches, metric regressions).
+
+    Exactness contract: the window sums (n, Σx, Σx²) accumulate in
+    DECIMAL via a pre-cast of value to DECIMAL(18,6) — associative and
+    order-independent, so partial aggregation cannot drift.  Mean,
+    variance, and z are then derived in DOUBLE with an expression tree
+    written identically in the oracle: every step (cast, /, *, -, sqrt)
+    is a correctly-rounded IEEE op on identical inputs, so both engines
+    produce bit-identical z values and the threshold compare can be
+    exact.
+
+    Scale: one shuffle on user_id; the frame is ROWS-bounded
+    (`lookback` rows), so per-row window state is O(1) and per-key
+    partitions are bounded by that key's history, independent of total
+    data size.  The exclusive frame (1 PRECEDING) means an anomaly
+    never masks itself by inflating its own baseline.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-lookback, -1)
+    )
+    vdec = F.col("value").cast("decimal(18,6)")
+    scored = events.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count(vdec).over(w).cast("bigint").alias("n_hist"),
+        F.sum(vdec).over(w).alias("s1"),
+        F.sum(vdec * vdec).over(w).alias("s2"),
+    )
+    n = F.col("n_hist").cast("double")
+    mean = F.col("s1").cast("double") / n
+    var = F.col("s2").cast("double") / n - mean * mean
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        scored.where(F.col("n_hist") >= min_n)
+        .withColumn("mean_hist", mean)
+        .withColumn("var_hist", var)
+        .where(F.col("var_hist") > 0)
+        .withColumn("z", z)
+        .where(F.abs(F.col("z")) > threshold)
+        .select("event_id", "user_id", "value", "n_hist", "mean_hist", "z")
+    )

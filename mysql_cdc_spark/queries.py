@@ -2788,3 +2788,96 @@ def llm_ann_adc(spark, sf_dir):
     per-query lookup tables — all-integer, the compressed-index
     search path."""
     return similarity.ann_adc(_emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round 6 — πps weighted sampling, shard planning, profiling, anomaly,
+# incremental-view maintenance, schema evolution, BPE
+# ---------------------------------------------------------------------------
+
+_PPS_SALTED = "'pps:' || CAST(doc_id AS VARCHAR)"
+_PPS_BUCKET = " + ".join(
+    f"(instr('0123456789abcdef', substring(md5({_PPS_SALTED}), {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+    for i in range(6)
+)
+
+
+@register(
+    "llm_weighted_sample",
+    "WITH scored AS ("
+    "  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, "
+    f"  CAST({_PPS_BUCKET} AS BIGINT) AS bucket, "
+    f"  CAST(least({corpus.PPS_M}, {corpus.PPS_RATE_NUM} * greatest(CAST(n_chars AS BIGINT), 1)) AS BIGINT) AS cut "
+    "  FROM documents) "
+    f"SELECT doc_id, source, n_chars, bucket, cut, "
+    f"CAST({corpus.PPS_M} AS DOUBLE) / CAST(cut AS DOUBLE) AS ht_weight "
+    "FROM scored WHERE bucket < cut",
+)
+def llm_weighted_sample(spark, sf_dir):
+    """Poisson πps (length-proportional) sample with exact integer
+    keep/drop decisions and Horvitz–Thompson inverse-probability
+    weights — unbiased downstream corpus statistics from the sample."""
+    return corpus.weighted_sample(_docs(spark, sf_dir))
+
+
+@register(
+    "llm_shard_plan",
+    "WITH placed AS ("
+    "  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, "
+    "  CAST(COALESCE(SUM(CAST(n_chars AS BIGINT)) OVER ("
+    "    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS char_start "
+    "  FROM documents) "
+    f"SELECT char_start // {corpus.SHARD_TARGET_CHARS} AS shard_id, "
+    "CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS shard_chars, "
+    "CAST(MIN(doc_id) AS BIGINT) AS first_doc, CAST(MAX(doc_id) AS BIGINT) AS last_doc "
+    "FROM placed GROUP BY 1",
+)
+def llm_shard_plan(spark, sf_dir):
+    """Output-shard planning: cut the doc_id-ordered corpus every
+    SHARD_TARGET_CHARS characters via the distributed prefix scan and
+    roll up one planning row per output file — the anti-small-files
+    step of a 100 TB corpus write."""
+    return corpus.shard_plan(_docs(spark, sf_dir))
+
+
+from mysql_cdc_spark.operators import profiling  # noqa: E402
+
+
+@register("dq_profile_events", profiling.profile_oracle_sql())
+def dq_profile_events(spark, sf_dir):
+    """Single-pass table profile (null/distinct/min/max per column) —
+    the data-quality admission check, one scan regardless of column
+    count (Expand-planned multi-distinct)."""
+    return profiling.profile_events(_events(spark, sf_dir))
+
+
+_Z_SRC = (
+    "SELECT event_id, user_id, value, "
+    "CAST(COUNT(CAST(value AS DECIMAL(18,6))) OVER w AS BIGINT) AS n_hist, "
+    "SUM(CAST(value AS DECIMAL(18,6))) OVER w AS s1, "
+    "SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) OVER w AS s2 "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id "
+    f"ROWS BETWEEN {timeseries.ZSCORE_LOOKBACK} PRECEDING AND 1 PRECEDING)"
+)
+
+
+@register(
+    "ts_zscore_anomaly",
+    f"WITH scored AS ({_Z_SRC}), "
+    "derived AS ("
+    "  SELECT event_id, user_id, value, n_hist, "
+    "  CAST(s1 AS DOUBLE) / CAST(n_hist AS DOUBLE) AS mean_hist, "
+    "  CAST(s2 AS DOUBLE) / CAST(n_hist AS DOUBLE) "
+    "    - (CAST(s1 AS DOUBLE) / CAST(n_hist AS DOUBLE)) "
+    "      * (CAST(s1 AS DOUBLE) / CAST(n_hist AS DOUBLE)) AS var_hist "
+    f"  FROM scored WHERE n_hist >= {timeseries.ZSCORE_MIN_N}) "
+    "SELECT event_id, user_id, value, n_hist, mean_hist, "
+    "(value - mean_hist) / sqrt(var_hist) AS z "
+    "FROM derived WHERE var_hist > 0 "
+    f"AND abs((value - mean_hist) / sqrt(var_hist)) > {timeseries.ZSCORE_THRESHOLD}",
+)
+def ts_zscore_anomaly(spark, sf_dir):
+    """Per-user trailing-window z-score outliers: DECIMAL window sums,
+    identical IEEE derivation on both engines, ROWS-bounded frame
+    (O(1) window state per row at any scale)."""
+    return timeseries.zscore_anomaly(_events(spark, sf_dir))

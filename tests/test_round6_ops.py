@@ -1,0 +1,150 @@
+"""Round-6 operators: πps weighted sampling, shard planning,
+single-pass profiling, trailing-window z-score anomalies."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from mysql_cdc_spark.operators import corpus, profiling, timeseries
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long"
+    )
+
+
+def test_weighted_sample_inclusion_exact(spark):
+    """Keep decision is bucket < min(M, rate*w) exactly, and the HT
+    weight is the inverse inclusion probability."""
+    docs = _docs(spark, [(i, "src0", 100 + i) for i in range(300)])
+    kept = corpus.weighted_sample(docs).collect()
+    assert 0 < len(kept) < 300
+    for r in kept:
+        cut = min(corpus.PPS_M, corpus.PPS_RATE_NUM * max(1, r["n_chars"]))
+        assert r["bucket"] < cut
+        assert r["cut"] == cut
+        assert math.isclose(r["ht_weight"], corpus.PPS_M / cut, rel_tol=0, abs_tol=0)
+
+
+def test_weighted_sample_prefers_long_docs(spark):
+    """Inclusion rate of long docs must exceed short docs (that's the
+    πps point)."""
+    short = _docs(spark, [(i, "s", 50) for i in range(2000)])
+    long_ = _docs(spark, [(i, "s", 800) for i in range(2000)])
+    n_short = corpus.weighted_sample(short).count()
+    n_long = corpus.weighted_sample(long_).count()
+    assert n_long > n_short * 3
+
+
+def test_weighted_sample_caps_at_certainty(spark):
+    """Very long docs hit p=1: always kept, ht_weight exactly 1."""
+    docs = _docs(spark, [(i, "s", 10_000_000) for i in range(50)])
+    kept = corpus.weighted_sample(docs).collect()
+    assert len(kept) == 50
+    assert all(r["ht_weight"] == 1.0 for r in kept)
+
+
+def test_weighted_sample_membership_stable_under_growth(spark):
+    small = _docs(spark, [(i, "s", 300) for i in range(100)])
+    big = _docs(spark, [(i, "s", 300) for i in range(1000)])
+    k1 = {r["doc_id"] for r in corpus.weighted_sample(small).collect()}
+    k2 = {r["doc_id"] for r in corpus.weighted_sample(big).collect()}
+    assert k1 == {d for d in k2 if d < 100}
+
+
+def test_shard_plan_partitions_all_docs_in_order(spark):
+    docs = spark.createDataFrame(
+        [(i, 1000) for i in range(100)], "doc_id long, n_chars long"
+    )
+    plan = sorted(
+        corpus.shard_plan(docs, target_chars=8192).collect(),
+        key=lambda r: r["shard_id"],
+    )
+    # 100 docs * 1000 chars / 8192 → shards of 9,8,8,... docs
+    assert sum(r["n_docs"] for r in plan) == 100
+    assert plan[0]["first_doc"] == 0 and plan[-1]["last_doc"] == 99
+    # contiguous, non-overlapping doc ranges in shard order
+    for a, b in zip(plan, plan[1:]):
+        assert a["last_doc"] + 1 == b["first_doc"]
+    # docs are assigned by char_start div target, so every shard holds
+    # floor/ceil(target/1000) docs except the remainder tail
+    assert all(r["n_docs"] in (8, 9) for r in plan[:-1])
+    assert 1 <= plan[-1]["n_docs"] <= 9
+
+
+def test_shard_plan_empty_docs_do_not_advance(spark):
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, 0), (4, 10)], "doc_id long, n_chars long"
+    )
+    plan = corpus.shard_plan(docs, target_chars=100).collect()
+    assert len(plan) == 1 and plan[0]["n_docs"] == 4
+
+
+def test_profile_events_matches_manual(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, "2026-01-01 00:00:00", 10, "click", 1.5, '{"a":1}'),
+            (2, "2026-01-01 00:00:01", 10, "view", 2.5, None),
+            (3, "2026-01-01 00:00:02", 11, "click", None, '{"b":2}'),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    prof = {r["col_name"]: r for r in profiling.profile_events(ev).collect()}
+    assert set(prof) == {c for c, _ in profiling.PROFILE_COLS}
+    assert prof["value"]["n_null"] == 1
+    assert prof["value"]["n_distinct"] == 2
+    assert prof["value"]["min_val"] == "1.500000"  # decimal-padded form
+    assert prof["props"]["n_null"] == 1
+    assert prof["event_type"]["n_distinct"] == 2
+    assert prof["user_id"]["min_val"] == "10" and prof["user_id"]["max_val"] == "11"
+    assert all(r["n_rows"] == 3 for r in prof.values())
+
+
+def test_profile_single_scan(spark):
+    """The whole profile is ONE aggregate over one scan (Expand-based
+    multi-distinct), not one job per column."""
+    ev = spark.createDataFrame(
+        [(1, "2026-01-01 00:00:00", 1, "t", 1.0, "p")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    plan = profiling.profile_events(ev)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("logicalrdd") == 1  # the one scan
+
+
+def test_zscore_flags_planted_outlier(spark):
+    # mildly varying baseline (constant history has zero variance and
+    # is correctly unscoreable)
+    rows = [(i, 1, 10.0 + (i % 5) * 0.1) for i in range(60)]
+    rows[55] = (55, 1, 500.0)  # the spike
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    hits = timeseries.zscore_anomaly(ev).collect()
+    assert [r["event_id"] for r in hits] == [55]
+    assert hits[0]["n_hist"] >= timeseries.ZSCORE_MIN_N
+
+
+def test_zscore_constant_history_never_divides_by_zero(spark):
+    ev = spark.createDataFrame(
+        [(i, 1, 7.0) for i in range(40)], "event_id long, user_id long, value double"
+    )
+    assert timeseries.zscore_anomaly(ev).count() == 0
+
+
+def test_zscore_requires_min_history(spark):
+    """First events of a key are never scored (cold-start guard)."""
+    rows = [(i, 1, 10.0 if i else 9999.0) for i in range(10)]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    assert timeseries.zscore_anomaly(ev).count() == 0
+
+
+def test_zscore_excludes_self_from_baseline(spark):
+    """The spike does not inflate its own baseline (exclusive frame):
+    two consecutive spikes are BOTH flagged."""
+    rows = [(i, 1, 10.0 + (i % 5) * 0.1) for i in range(60)]
+    rows[50] = (50, 1, 400.0)
+    rows[51] = (51, 1, 400.0)
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    hits = sorted(r["event_id"] for r in timeseries.zscore_anomaly(ev).collect())
+    assert 50 in hits and 51 in hits
