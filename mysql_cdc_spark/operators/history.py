@@ -111,3 +111,65 @@ def net_changes(rows_dt: DataFrame, bounds: DataFrame | tuple[int, int]) -> Data
             F.when(exists, F.col("cur.value")).alias("new_value"),
         )
     )
+
+
+def schema_evolution(changes: DataFrame) -> DataFrame:
+    """Schema-version timeline per table, folded from DDL events.
+
+    The reference's schema system is *dynamic*: the live column set is
+    whatever the stream has declared so far (SURVEY §1.4; reference
+    discovers schema from the stream rather than a catalog).  This
+    operator materializes that idea for ALTER TABLE ADD/DROP COLUMN
+    statements: every DDL event becomes one schema version carrying the
+    net presence of its column and the table's dynamic-column count
+    after the statement.
+
+    Pure integer window algebra — exact on any engine:
+
+      net_after(db,tbl,col)  = Σ ±1 over that column's DDLs ≤ offset
+      present Δ              = [net_after > 0] − [net_before > 0]
+      n_extra_cols(db,tbl)   = Σ presence Δ over the table's DDLs ≤ offset
+
+    (A DROP of a never-added column drives net negative; presence
+    stays false and the count is unaffected — re-ADDs then count from
+    the correct baseline.)
+
+    Scale: DDLs are a vanishing fraction of a binlog; both windows run
+    on the filtered DDL set only, keyed by table — bounded partitions
+    regardless of total log size.
+    """
+    ddl = changes.where(
+        (F.col("op") == "query") & F.col("sql").rlike("^ALTER TABLE ")
+    ).select(
+        "offset",
+        "db",
+        "tbl",
+        F.regexp_extract("sql", r" (ADD|DROP) COLUMN ", 1).alias("action"),
+        F.regexp_extract("sql", r" (ADD|DROP) COLUMN (\w+)", 2).alias("col"),
+    )
+    signed = ddl.withColumn(
+        "delta", F.when(F.col("action") == "ADD", F.lit(1)).otherwise(F.lit(-1))
+    )
+    col_w = (
+        Window.partitionBy("db", "tbl", "col")
+        .orderBy("offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_net = signed.withColumn("net_after", F.sum("delta").over(col_w).cast("bigint"))
+    present_after = (F.col("net_after") > 0).cast("bigint")
+    present_before = ((F.col("net_after") - F.col("delta")) > 0).cast("bigint")
+    with_presence = with_net.withColumn("presence_delta", present_after - present_before)
+    tbl_w = (
+        Window.partitionBy("db", "tbl")
+        .orderBy("offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return with_presence.select(
+        "offset",
+        "db",
+        "tbl",
+        "action",
+        "col",
+        "net_after",
+        F.sum("presence_delta").over(tbl_w).cast("bigint").alias("n_extra_cols"),
+    )

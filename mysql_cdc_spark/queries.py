@@ -305,7 +305,7 @@ def cdc_envelope(spark, sf_dir):
 _STREAM_TMP = "/root/repo/.stream_tmp"
 # Bump when the derivation rules change: versioned scratch dirs ensure
 # stale materializations from an older derivation are never reused.
-_FIXTURE_VERSION = 5
+_FIXTURE_VERSION = 6
 
 
 def _gc_stale_fixture_versions() -> None:
@@ -481,7 +481,11 @@ WITH ev AS (
          printf('%d.%04d', (event_id+1) % 100000, (event_id+3) % 10000) AS val_before,
          CASE WHEN event_id % 10 = 0 THEN NULL ELSE event_type END AS word,
          CASE WHEN event_id % 50 = 0
-                THEN 'ALTER TABLE ' || db || '.' || tbl || ' ADD COLUMN extra INT'
+                THEN CASE WHEN (event_id // 50) % 2 = 0
+                       THEN 'ALTER TABLE ' || db || '.' || tbl || ' ADD COLUMN c'
+                            || CAST((event_id // 50) % 3 AS VARCHAR) || ' INT'
+                       ELSE 'ALTER TABLE ' || db || '.' || tbl || ' DROP COLUMN c'
+                            || CAST((event_id // 50) % 3 AS VARCHAR) END
               WHEN event_type IN ('signup','purchase')
                 THEN 'INSERT INTO ' || db || '.' || tbl || ' (id, value) VALUES (?, ?)'
               WHEN event_type IN ('click','view')
@@ -2881,3 +2885,68 @@ def ts_zscore_anomaly(spark, sf_dir):
     identical IEEE derivation on both engines, ROWS-bounded frame
     (O(1) window state per row at any scale)."""
     return timeseries.zscore_anomaly(_events(spark, sf_dir))
+
+
+@register(
+    "cdc_ivm_state_sum",
+    with_changes(
+        "SELECT db, tbl, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value, "
+        "CAST(COUNT(*) AS BIGINT) AS n_rows FROM ("
+        "  SELECT db, tbl, id, value, _delta_type FROM ("
+        "    SELECT db, tbl, id, value, _delta_type, "
+        "           ROW_NUMBER() OVER (PARTITION BY db, tbl, id ORDER BY \"offset\" DESC) AS rn"
+        "    FROM rows_dt WHERE _delta_type <> 'update-before'"
+        "  ) WHERE rn = 1 AND _delta_type <> 'delete'"
+        ") GROUP BY db, tbl"
+    ),
+)
+def cdc_ivm_state_sum(spark, sf_dir):
+    """Incrementally-maintained grouped aggregate: the per-table
+    SUM/COUNT of current state is derived from a first-half snapshot
+    plus the second half applied as a change batch (apply_changes —
+    bucketed merge, delta-only work), never a full-history rescan.
+    The oracle recomputes from the whole log; equality proves the
+    maintenance algebra.  At 100 TB the batch side is one
+    map-side-combined aggregate of NEW data only — the materialized
+    view refresh cost is O(delta), not O(history)."""
+    rows = _rows_dt(spark, sf_dir)
+    mid = int(rows.agg(F.max("offset")).collect()[0][0]) // 2
+    snapshot = aggregates.latest_state(rows.filter(F.col("offset") <= mid))
+    merged = aggregates.apply_changes(snapshot, rows.filter(F.col("offset") > mid))
+    return merged.groupBy("db", "tbl").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+
+
+@register(
+    "cdc_schema_evolution",
+    with_changes(
+        "SELECT \"offset\", db, tbl, action, col, net_after, "
+        "CAST(SUM(presence_delta) OVER (PARTITION BY db, tbl ORDER BY \"offset\" "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_extra_cols "
+        "FROM ("
+        "  SELECT \"offset\", db, tbl, action, col, delta, "
+        "  CAST(SUM(delta) OVER w AS BIGINT) AS net_after, "
+        "  CAST(SUM(delta) OVER w > 0 AS BIGINT) "
+        "    - CAST((SUM(delta) OVER w - delta) > 0 AS BIGINT) AS presence_delta "
+        "  FROM ("
+        "    SELECT \"offset\", db, tbl, "
+        "    regexp_extract(\"sql\", ' (ADD|DROP) COLUMN ', 1) AS action, "
+        "    regexp_extract(\"sql\", ' (ADD|DROP) COLUMN (\\w+)', 2) AS col, "
+        "    CASE WHEN regexp_extract(\"sql\", ' (ADD|DROP) COLUMN ', 1) = 'ADD' "
+        "         THEN 1 ELSE -1 END AS delta "
+        "    FROM changes WHERE op = 'query' AND regexp_matches(\"sql\", '^ALTER TABLE ')"
+        "  ) WINDOW w AS (PARTITION BY db, tbl, col ORDER BY \"offset\" "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ")"
+    ),
+)
+def cdc_schema_evolution(spark, sf_dir):
+    """Dynamic-schema timeline: fold ALTER TABLE ADD/DROP COLUMN DDL
+    into per-table schema versions (net column presence + running
+    dynamic-column count) with pure integer window algebra — the
+    reference's discover-schema-from-the-stream idea materialized
+    (SURVEY §1.4)."""
+    return history.schema_evolution(changes(spark, sf_dir))

@@ -317,7 +317,13 @@ def generate_binlog_from_events(
         else:
             op, sql = DELETE_ROWS_EVENT, f"DELETE FROM {qualified} WHERE id = ?"
         if event_id % 50 == 0:
-            sql = f"ALTER TABLE {qualified} ADD COLUMN extra INT"
+            kdiv = event_id // 50
+            ddl_col = f"c{kdiv % 3}"
+            sql = (
+                f"ALTER TABLE {qualified} ADD COLUMN {ddl_col} INT"
+                if kdiv % 2 == 0
+                else f"ALTER TABLE {qualified} DROP COLUMN {ddl_col}"
+            )
 
         # Non-trivial post-header fields so the oracle checks them:
         # a synthetic session id, a bounded exec time, and a dup-key

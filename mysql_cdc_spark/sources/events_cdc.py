@@ -133,11 +133,17 @@ def changes(spark: SparkSession, sf_dir: str, rebalance: bool = True) -> DataFra
         )
     )
     qualified = F.concat(F.col("db"), F.lit("."), F.col("tbl"))
+    # Every 50th statement is DDL; the ADD/DROP alternation over a
+    # 3-column cycle gives the schema-evolution queries a real
+    # column-set timeline to fold (cdc_schema_evolution).
+    ddl_k = F.expr("cast(event_id div 50 as bigint)")
+    ddl_col = F.concat(F.lit("c"), (ddl_k % 3).cast("string"))
+    ddl_text = F.when(
+        ddl_k % 2 == 0,
+        F.concat(F.lit("ALTER TABLE "), qualified, F.lit(" ADD COLUMN "), ddl_col, F.lit(" INT")),
+    ).otherwise(F.concat(F.lit("ALTER TABLE "), qualified, F.lit(" DROP COLUMN "), ddl_col))
     sql_text = (
-        F.when(
-            F.col("event_id") % 50 == 0,
-            F.concat(F.lit("ALTER TABLE "), qualified, F.lit(" ADD COLUMN extra INT")),
-        )
+        F.when(F.col("event_id") % 50 == 0, ddl_text)
         .when(
             F.col("row_op") == OP_WRITE_ROWS,
             F.concat(F.lit("INSERT INTO "), qualified, F.lit(" (id, value) VALUES (?, ?)")),
@@ -254,7 +260,11 @@ changes AS (
          CAST(NULL AS BIGINT) AS before_id, CAST(NULL AS DOUBLE) AS before_value,
          CAST(NULL AS BIGINT) AS after_id,  CAST(NULL AS DOUBLE) AS after_value,
          CASE WHEN event_id % 50 = 0
-                THEN 'ALTER TABLE ' || db || '.' || tbl || ' ADD COLUMN extra INT'
+                THEN CASE WHEN (event_id // 50) % 2 = 0
+                       THEN 'ALTER TABLE ' || db || '.' || tbl || ' ADD COLUMN c'
+                            || CAST((event_id // 50) % 3 AS VARCHAR) || ' INT'
+                       ELSE 'ALTER TABLE ' || db || '.' || tbl || ' DROP COLUMN c'
+                            || CAST((event_id // 50) % 3 AS VARCHAR) END
               WHEN row_op = 'write_rows'
                 THEN 'INSERT INTO ' || db || '.' || tbl || ' (id, value) VALUES (?, ?)'
               WHEN row_op = 'update_rows'
