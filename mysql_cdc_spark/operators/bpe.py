@@ -1,0 +1,236 @@
+"""Distributed byte-pair-encoding tokenizer: merge-rule training over
+the corpus word-frequency table and greedy merge application, all in
+JVM-side expressions.
+
+Real BPE (Sennrich et al. 2016, public algorithm), not the regex
+token-count heuristic in functions/text.py: each round counts adjacent
+symbol pairs across the vocabulary, promotes the most frequent pair to
+a new symbol, and rewrites the vocabulary.  The reference engine has no
+tokenizer at all; this is part of the LLM-pipeline surface.
+
+Scale design — the reason BPE trains fine at 100 TB:
+
+- Training never touches the corpus after the FIRST aggregation: round
+  0 collapses the corpus to its word-frequency table (one map-side-
+  combined shuffle on the word).  Every merge round then runs on the
+  VOCABULARY (|V| ≪ corpus; millions of rows at web scale), so R
+  rounds are R small jobs, not R corpus scans.
+- The per-round argmax moves exactly ONE row to the driver (like the
+  k-means centroid pull) — the merge rule must become a literal in the
+  next round's expression, which is inherently a driver decision.
+- Encoding is a narrow per-row chain of R regexp_replace expressions —
+  whole-stage codegen, no Python, no shuffle.
+
+Determinism contract (why a DuckDB oracle can verify this exactly):
+
+- Words are lowercase [a-z0-9]+ tokens only, so every symbol ever
+  formed is word-characters and the greedy merge can be expressed as a
+  global regexp_replace of ``\\ba b\\b`` → ``ab``: the word-boundary
+  anchors stop partial-symbol matches (`b c` never matches inside
+  `ab c`), and both RE2 (DuckDB) and Java regex scan left-to-right
+  non-overlapping, which IS greedy BPE application (`a a a` → `aa a`).
+- Pair counting uses the overlapping adjacent-pair convention of the
+  published algorithm; ties break by (freq DESC, pair ASC) so the
+  winning merge is unique and engine-independent.
+- Everything is integer counts and string rewrites — no floats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_MERGES = 8
+
+# Both engines: token stream → lowercase alnum words only.
+_WORD_RE = "^[a-z0-9]+$"
+
+
+def word_freq(docs: DataFrame) -> DataFrame:
+    """Corpus → (word, freq): the ONLY corpus-sized job in training."""
+    return (
+        docs.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"))
+        .where(F.col("w").rlike(_WORD_RE))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _spaced(col: F.Column) -> F.Column:
+    """'hello' → 'h e l l o' (initial symbol string)."""
+    return F.trim(F.regexp_replace(col, "(.)", "$1 "))
+
+
+_PAIRS_EXPR = (
+    "CASE WHEN size(syms) < 2 THEN array() "
+    "ELSE transform(sequence(1, size(syms) - 1), "
+    "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1))) END"
+)
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """Adjacent-pair frequencies over the vocabulary (freq-weighted)."""
+    return (
+        vocab.withColumn("syms", F.split(F.col("ws"), " "))
+        .select(F.explode(F.expr(_PAIRS_EXPR)).alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def train_merges(docs: DataFrame, n_merges: int = N_MERGES) -> list[tuple[str, str, int]]:
+    """Learn the top-`n_merges` BPE merge rules; returns
+    [(left, right, pair_freq), ...] in application order."""
+    vocab = word_freq(docs).select(_spaced(F.col("w")).alias("ws"), "freq").cache()
+    merges: list[tuple[str, str, int]] = []
+    try:
+        for _ in range(n_merges):
+            best = (
+                _pair_counts(vocab)
+                .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            left, right = best[0]["pair"].split(" ")
+            merges.append((left, right, int(best[0]["cnt"])))
+            nxt = vocab.select(
+                F.regexp_replace(
+                    F.col("ws"), f"\\b{left} {right}\\b", left + right
+                ).alias("ws"),
+                "freq",
+            ).cache()
+            nxt.count()  # materialize before dropping the parent
+            vocab.unpersist()
+            vocab = nxt
+    finally:
+        vocab.unpersist()
+    return merges
+
+
+def merges_df(spark: SparkSession, docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
+    """Training output as a table: (rank, left, right, merged, pair_freq)."""
+    rows = [
+        (i + 1, l, r, l + r, c) for i, (l, r, c) in enumerate(train_merges(docs, n_merges))
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, merged string, pair_freq long"
+    ).select(
+        F.col("rank").cast("bigint").alias("rank"),
+        "left",
+        "right",
+        "merged",
+        F.col("pair_freq").cast("bigint").alias("pair_freq"),
+    )
+
+
+def encode_token_counts(docs: DataFrame, merges: list[tuple[str, str, int]]) -> DataFrame:
+    """Apply the learned merges to every document; per doc report the
+    symbol count before (chars) and after (BPE tokens).
+
+    Narrow plan: explode to words, one chained regexp_replace per merge
+    rule (literals baked in), map-side-combined count per doc."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    ).where(F.col("w").rlike(_WORD_RE))
+    ws = _spaced(F.col("w"))
+    n_chars = F.size(F.split(ws, " "))
+    merged = ws
+    for left, right, _ in merges:
+        merged = F.regexp_replace(merged, f"\\b{left} {right}\\b", left + right)
+    return (
+        toks.select(
+            "doc_id",
+            n_chars.cast("bigint").alias("n_char_syms"),
+            F.size(F.split(merged, " ")).cast("bigint").alias("n_bpe_syms"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_char_syms").cast("bigint").alias("n_char_syms"),
+            F.sum("n_bpe_syms").cast("bigint").alias("n_bpe_syms"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle generation: the same computation as unrolled CTEs.
+# The merge choice is data-dependent, so each round's winning pair is a
+# one-row CTE (b{r}) cross-joined into the next rewrite — the argmax
+# lives in SQL, not in Python, keeping the oracle independent of the
+# Spark implementation.
+# ---------------------------------------------------------------------------
+
+_DUCK_WORDS = (
+    "SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM ("
+    "  SELECT unnest(str_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents"
+    f") WHERE regexp_matches(w, '{_WORD_RE}') GROUP BY w"
+)
+
+_DUCK_PAIRS = (
+    "SELECT unnest(list_transform(range(1, len(syms)), "
+    "i -> syms[i] || ' ' || syms[i + 1])) AS pair, freq "
+    "FROM (SELECT str_split(ws, ' ') AS syms, freq FROM {src})"
+)
+
+
+def _duck_rounds(n_merges: int) -> str:
+    """CTE chain: w0 → (p1, b1, w1) → ... shared by both oracles."""
+    parts = [
+        f"words AS ({_DUCK_WORDS})",
+        "w0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS ws, freq FROM words)",
+    ]
+    for r in range(1, n_merges + 1):
+        src = f"w{r - 1}"
+        parts.append(
+            f"p{r} AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt "
+            f"FROM ({_DUCK_PAIRS.format(src=src)}) GROUP BY pair)"
+        )
+        parts.append(
+            f"b{r} AS (SELECT str_split(pair, ' ')[1] AS l, str_split(pair, ' ')[2] AS r, cnt "
+            f"FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1)"
+        )
+        parts.append(
+            f"w{r} AS (SELECT regexp_replace(ws, '\\b' || l || ' ' || r || '\\b', "
+            f"l || r, 'g') AS ws, freq FROM {src} CROSS JOIN b{r})"
+        )
+    return ", ".join(parts)
+
+
+def vocab_oracle_sql(n_merges: int = N_MERGES) -> str:
+    """Oracle for merges_df: rank, left, right, merged, pair_freq."""
+    unions = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, l AS left, r AS right, "
+        f"l || r AS merged, cnt AS pair_freq FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return f"WITH {_duck_rounds(n_merges)} {unions}"
+
+
+def encode_oracle_sql(n_merges: int = N_MERGES) -> str:
+    """Oracle for encode_token_counts: per-doc symbol counts through
+    the same merge chain (document words rewritten round by round)."""
+    parts = [_duck_rounds(n_merges)]
+    parts.append(
+        "d0 AS (SELECT doc_id, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS ws FROM ("
+        "  SELECT doc_id, unnest(str_split_regex(lower(trim(text)), '\\s+')) AS w "
+        "  FROM documents"
+        f") WHERE regexp_matches(w, '{_WORD_RE}'))"
+    )
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"d{r} AS (SELECT doc_id, regexp_replace(ws, '\\b' || l || ' ' || r || '\\b', "
+            f"l || r, 'g') AS ws FROM d{r - 1} CROSS JOIN b{r})"
+        )
+    # Merging never changes a word's character content, only its
+    # segmentation — so char counts come from the FINAL string with
+    # spaces stripped (no positional join back to round 0 needed).
+    return (
+        f"WITH {', '.join(parts)} "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, "
+        "CAST(SUM(len(replace(ws, ' ', ''))) AS BIGINT) AS n_char_syms, "
+        "CAST(SUM(len(str_split(ws, ' '))) AS BIGINT) AS n_bpe_syms "
+        f"FROM d{n_merges} GROUP BY doc_id"
+    )

@@ -2950,3 +2950,25 @@ def cdc_schema_evolution(spark, sf_dir):
     reference's discover-schema-from-the-stream idea materialized
     (SURVEY §1.4)."""
     return history.schema_evolution(changes(spark, sf_dir))
+
+
+from mysql_cdc_spark.operators import bpe  # noqa: E402
+
+
+@register("llm_bpe_vocab", bpe.vocab_oracle_sql())
+def llm_bpe_vocab(spark, sf_dir):
+    """BPE merge-rule training (Sennrich et al. 2016) over the corpus
+    word-frequency table: R rounds of pair-count → argmax → rewrite,
+    each running on the vocabulary only (|V| ≪ corpus); the oracle
+    unrolls the same data-dependent rounds as chained CTEs."""
+    return bpe.merges_df(spark, _docs(spark, sf_dir))
+
+
+@register("llm_bpe_encode", bpe.encode_oracle_sql())
+def llm_bpe_encode(spark, sf_dir):
+    """Greedy application of the learned BPE merges to every document
+    (chained regexp_replace literals, narrow plan): per-doc word,
+    char-symbol, and BPE-symbol counts — the compression the learned
+    vocabulary buys."""
+    docs = _docs(spark, sf_dir)
+    return bpe.encode_token_counts(docs, bpe.train_merges(docs))

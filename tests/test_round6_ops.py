@@ -148,3 +148,71 @@ def test_zscore_excludes_self_from_baseline(spark):
     ev = spark.createDataFrame(rows, "event_id long, user_id long, value double")
     hits = sorted(r["event_id"] for r in timeseries.zscore_anomaly(ev).collect())
     assert 50 in hits and 51 in hits
+
+
+# ---------------------------------------------------------------------------
+# BPE
+# ---------------------------------------------------------------------------
+
+from mysql_cdc_spark.operators import bpe  # noqa: E402
+
+
+def _corpus(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_bpe_learns_most_frequent_pair_first(spark):
+    docs = _corpus(spark, ["aa aa aa ab", "aa ba"])
+    merges = bpe.train_merges(docs, n_merges=1)
+    # pair (a,a) occurs in 'aa'×4... every 'aa' word contributes 1,
+    # 'ab'/'ba' contribute 0 to (a,a)
+    assert merges[0][:2] == ("a", "a")
+
+
+def test_bpe_greedy_nonoverlapping_merge(spark):
+    """'aaaa' as one word: (a,a) wins; greedy left-to-right merge
+    segments it as [aa][aa], so round 2's top pair is (aa,aa)."""
+    docs = _corpus(spark, ["aaaa aaaa aaaa"])
+    merges = bpe.train_merges(docs, n_merges=2)
+    assert merges[0][:2] == ("a", "a")
+    assert merges[1][:2] == ("aa", "aa")
+
+
+def test_bpe_merge_respects_symbol_boundaries(spark):
+    """After 'ab' forms, pair (b,c) must not match inside 'ab c'."""
+    docs = _corpus(spark, ["abc " * 10 + "bc"])
+    merges = bpe.train_merges(docs, n_merges=2)
+    # round 1: (a,b) vs (b,c) both freq 10 and 11? 'abc'×10 gives
+    # (a,b)=10,(b,c)=10+1('bc' word)=11 → (b,c) wins; 'abc' → 'a bc'
+    assert merges[0][:2] == ("b", "c")
+    # round 2: only pair left is (a, bc)
+    assert merges[1][:2] == ("a", "bc")
+
+
+def test_bpe_deterministic_tiebreak(spark):
+    """Equal-frequency pairs break by pair string ascending."""
+    docs = _corpus(spark, ["xy", "ab"])
+    merges = bpe.train_merges(docs, n_merges=1)
+    assert merges[0][:2] == ("a", "b")  # 'a b' < 'x y'
+
+
+def test_bpe_encode_counts_compress(spark):
+    docs = _corpus(spark, ["the the the cat", "the dog"])
+    merges = bpe.train_merges(docs, n_merges=3)
+    out = {r["doc_id"]: r for r in bpe.encode_token_counts(docs, merges).collect()}
+    # 'the' fully merges to one symbol within 3 rounds
+    assert out[0]["n_words"] == 4
+    assert out[0]["n_char_syms"] == 12
+    assert out[0]["n_bpe_syms"] < 12
+    # char symbols are preserved by merging (segmentation only)
+    for r in out.values():
+        assert r["n_bpe_syms"] <= r["n_char_syms"]
+
+
+def test_bpe_ignores_non_alnum_tokens(spark):
+    docs = _corpus(spark, ["hello, world! hello hello"])
+    # 'hello,' and 'world!' are filtered; only bare 'hello' x2 trains
+    vocab = bpe.word_freq(docs).collect()
+    assert {r["w"]: r["freq"] for r in vocab} == {"hello": 2}
