@@ -2972,3 +2972,46 @@ def llm_bpe_encode(spark, sf_dir):
     vocabulary buys."""
     docs = _docs(spark, sf_dir)
     return bpe.encode_token_counts(docs, bpe.train_merges(docs))
+
+
+@register(
+    "cdc_stream_schema_version",
+    with_changes(
+        "SELECT db, tbl, \"offset\" AS as_of_offset, n_extra_cols, n_versions FROM ("
+        "  SELECT db, tbl, \"offset\", "
+        "  CAST(SUM(presence_delta) OVER (PARTITION BY db, tbl ORDER BY \"offset\" "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_extra_cols, "
+        "  CAST(ROW_NUMBER() OVER (PARTITION BY db, tbl ORDER BY \"offset\") AS BIGINT) AS n_versions, "
+        "  ROW_NUMBER() OVER (PARTITION BY db, tbl ORDER BY \"offset\" DESC) AS rn_last "
+        "  FROM ("
+        "    SELECT \"offset\", db, tbl, delta, "
+        "    CAST(SUM(delta) OVER w > 0 AS BIGINT) "
+        "      - CAST((SUM(delta) OVER w - delta) > 0 AS BIGINT) AS presence_delta "
+        "    FROM ("
+        "      SELECT \"offset\", db, tbl, "
+        "      CASE WHEN regexp_extract(\"sql\", ' (ADD|DROP) COLUMN ', 1) = 'ADD' "
+        "           THEN 1 ELSE -1 END AS delta, "
+        "      regexp_extract(\"sql\", ' (ADD|DROP) COLUMN (\\w+)', 2) AS col "
+        "      FROM changes WHERE op = 'query' AND regexp_matches(\"sql\", '^ALTER TABLE ')"
+        "    ) WINDOW w AS (PARTITION BY db, tbl, col ORDER BY \"offset\" "
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        "  )"
+        ") WHERE rn_last = 1"
+    ),
+)
+def cdc_stream_schema_version(spark, sf_dir):
+    """Live per-table schema versions maintained as custom streaming
+    STATE (applyInPandasWithState over the DDL substream, forced
+    through multiple micro-batches): net column presence folded
+    incrementally, never recomputed from history.  Oracle: the batch
+    schema-evolution fold's final row per table."""
+    from mysql_cdc_spark.streaming import runtime as rt
+    from mysql_cdc_spark.streaming.schema_state import (
+        schema_version_stateful,
+        table_schema_rollup,
+    )
+
+    log_dir = rt.ensure_event_log(spark, sf_dir, _STREAM_TMP, _FIXTURE_VERSION)
+    stream = rt.open_stream(spark, log_dir, max_files_per_trigger=1)
+    updates = _drain(schema_version_stateful(stream), output_mode="update")
+    return table_schema_rollup(updates)

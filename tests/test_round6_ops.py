@@ -216,3 +216,73 @@ def test_bpe_ignores_non_alnum_tokens(spark):
     # 'hello,' and 'world!' are filtered; only bare 'hello' x2 trains
     vocab = bpe.word_freq(docs).collect()
     assert {r["w"]: r["freq"] for r in vocab} == {"hello": 2}
+
+
+# ---------------------------------------------------------------------------
+# Streaming schema-version tracking
+# ---------------------------------------------------------------------------
+
+from mysql_cdc_spark.streaming.schema_state import (  # noqa: E402
+    schema_version_stateful,
+    table_schema_rollup,
+)
+
+
+def test_schema_rollup_tolerates_out_of_order_batches(spark):
+    """AvailableNow file streams batch by modification time, not log
+    order — the rollup must select the final emission by the monotone
+    n_ddls counter, not by offset."""
+    # key (d,t,c0): emissions from batches processed out of log order:
+    # the chronologically LAST emission (n_ddls=5) carries a smaller
+    # offset than an earlier one.
+    updates = spark.createDataFrame(
+        [
+            ("d", "t", "c0", 1, 900, 2),
+            ("d", "t", "c0", 2, 3900, 3),   # out-of-order file (high offsets)
+            ("d", "t", "c0", 1, 1900, 5),   # final state: net back to 1
+            ("d", "t", "c1", -1, 3500, 1),
+        ],
+        "db string, tbl string, col string, net long, as_of_offset long, n_ddls long",
+    )
+    got = {(r["db"], r["tbl"]): r for r in table_schema_rollup(updates).collect()}
+    r = got[("d", "t")]
+    assert r["as_of_offset"] == 3900
+    assert r["n_extra_cols"] == 1      # c0 net=1 (final), c1 net=-1
+    assert r["n_versions"] == 6        # 5 + 1
+
+
+def test_schema_version_stream_matches_batch_fold(spark, sf_dir):
+    """End-to-end: streamed fold over the event log equals the batch
+    schema_evolution final rows."""
+    import tempfile
+
+    from mysql_cdc_spark.operators import history
+    from mysql_cdc_spark.sources.events_cdc import changes
+    from mysql_cdc_spark.streaming import runtime as rt
+
+    log_dir = tempfile.mkdtemp() + "/log"
+    rt.write_event_log(changes(spark, sf_dir), log_dir, n_files=3)
+    stream = rt.open_stream(spark, log_dir, max_files_per_trigger=1)
+    out = schema_version_stateful(stream)
+    cp = tempfile.mkdtemp() + "/cp"
+    drained = rt.run_to_memory(out, "schema_ver_test", cp, "update")
+    got = {
+        (r["db"], r["tbl"]): (r["as_of_offset"], r["n_extra_cols"], r["n_versions"])
+        for r in table_schema_rollup(drained).collect()
+    }
+
+    evo = history.schema_evolution(changes(spark, sf_dir))
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("db", "tbl").orderBy(F.col("offset").desc())
+    last = (
+        evo.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_versions", F.count(F.lit(1)).over(Window.partitionBy("db", "tbl")))
+        .where(F.col("rn") == 1)
+    )
+    want = {
+        (r["db"], r["tbl"]): (r["offset"], r["n_extra_cols"], r["n_versions"])
+        for r in last.collect()
+    }
+    assert got == want
