@@ -524,3 +524,41 @@ def shard_plan(docs: DataFrame, target_chars: int = SHARD_TARGET_CHARS) -> DataF
             F.max("doc_id").cast("bigint").alias("last_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping chunking (RAG / long-context prep)
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def chunk_overlap(
+    docs: DataFrame, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Sliding-window chunking: each document yields chunks of `size`
+    tokens every `stride` tokens (overlap = size − stride) — the
+    retrieval-corpus prep step.  A doc emits ceil(n/stride) chunks
+    (every token appears in ≥1 chunk; the tail chunk may be short).
+
+    Narrow plan: token count + sequence() explode per row, no shuffle;
+    chunk math is all integer."""
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("bigint").alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    starts = F.expr(f"sequence(cast(0 as bigint), n_tokens - 1, {stride})")
+    return toks.select(
+        "doc_id",
+        "n_tokens",
+        F.posexplode(starts).alias("chunk_id", "tok_start"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        "tok_start",
+        F.least(F.col("tok_start") + size, F.col("n_tokens")).alias("tok_end"),
+        (F.least(F.col("tok_start") + size, F.col("n_tokens")) - F.col("tok_start")).alias(
+            "chunk_tokens"
+        ),
+    )

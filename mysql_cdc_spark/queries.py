@@ -3015,3 +3015,55 @@ def cdc_stream_schema_version(spark, sf_dir):
     stream = rt.open_stream(spark, log_dir, max_files_per_trigger=1)
     updates = _drain(schema_version_stateful(stream), output_mode="update")
     return table_schema_rollup(updates)
+
+
+@register(
+    "llm_chunk_overlap",
+    "WITH toks AS ("
+    "  SELECT doc_id, "
+    r"  CAST(len(str_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens "
+    "  FROM documents"
+    ") SELECT doc_id, "
+    f"CAST(g.i // {corpus.CHUNK_STRIDE} AS BIGINT) AS chunk_id, "
+    "CAST(g.i AS BIGINT) AS tok_start, "
+    f"CAST(least(g.i + {corpus.CHUNK_SIZE}, n_tokens) AS BIGINT) AS tok_end, "
+    f"CAST(least(g.i + {corpus.CHUNK_SIZE}, n_tokens) - g.i AS BIGINT) AS chunk_tokens "
+    f"FROM toks CROSS JOIN LATERAL (SELECT unnest(range(0, n_tokens, {corpus.CHUNK_STRIDE})) AS i) g "
+    "WHERE n_tokens > 0",
+)
+def llm_chunk_overlap(spark, sf_dir):
+    """Sliding-window document chunking (64-token chunks, 16-token
+    overlap): the retrieval/long-context prep step; narrow
+    sequence-explode plan, all-integer chunk math."""
+    return corpus.chunk_overlap(_docs(spark, sf_dir))
+
+
+@register(
+    "cdc_replication_lag",
+    with_changes(
+        "SELECT db, tbl, CAST(MAX(\"offset\") AS BIGINT) AS last_offset, "
+        "CAST((SELECT MAX(\"offset\") FROM changes) AS BIGINT) AS head_offset, "
+        "CAST((SELECT MAX(\"offset\") FROM changes) - MAX(\"offset\") AS BIGINT) AS lag_events, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events "
+        "FROM changes GROUP BY db, tbl"
+    ),
+)
+def cdc_replication_lag(spark, sf_dir):
+    """Replication-lag monitor: per-table distance (in log events)
+    between the table's last change and the log head — the ops
+    dashboard number for a CDC consumer.  One map-side-combined
+    aggregate + a broadcast 1-row head join."""
+    env = changes(spark, sf_dir)
+    per_tbl = env.groupBy("db", "tbl").agg(
+        F.max("offset").cast("bigint").alias("last_offset"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    head = env.agg(F.max("offset").cast("bigint").alias("head_offset"))
+    return per_tbl.crossJoin(F.broadcast(head)).select(
+        "db",
+        "tbl",
+        "last_offset",
+        "head_offset",
+        (F.col("head_offset") - F.col("last_offset")).alias("lag_events"),
+        "n_events",
+    )

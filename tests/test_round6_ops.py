@@ -286,3 +286,24 @@ def test_schema_version_stream_matches_batch_fold(spark, sf_dir):
         for r in last.collect()
     }
     assert got == want
+
+
+def test_chunk_overlap_covers_every_token(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(["w"] * 100)), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    chunks = corpus.chunk_overlap(docs).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 0,48,96 → 3 chunks; ends capped at 100
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [(r["tok_start"], r["tok_end"]) for r in c1] == [(0, 64), (48, 100), (96, 100)]
+    # every token covered, consecutive chunks overlap by size-stride
+    assert c1[0]["tok_end"] > c1[1]["tok_start"]
+    # doc 2: one short chunk
+    assert [(r["tok_start"], r["tok_end"]) for r in by_doc[2]] == [(0, 2)]
+    # doc 3: '' splits to [''] → counted as 1 token → one degenerate
+    # chunk (same convention as the token-count functions in text.py)
+    assert [(r["tok_start"], r["tok_end"]) for r in by_doc[3]] == [(0, 1)]
