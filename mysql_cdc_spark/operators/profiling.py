@@ -83,3 +83,42 @@ def profile_oracle_sql() -> str:
     return (
         "WITH src AS (SELECT *, epoch_us(ts) AS unix_micros_ts FROM events) " + union
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit
+# ---------------------------------------------------------------------------
+
+K_ANON = 50
+
+
+def k_anonymity(events: DataFrame, k: int = K_ANON) -> DataFrame:
+    """k-anonymity audit over the (event_type, day) quasi-identifier:
+    groups whose distinct-user count falls below `k` must be
+    suppressed or generalized before the data can be released — the
+    privacy gate a training-data pipeline runs before export.
+
+    One Expand-free aggregate (count + exact count_distinct per
+    group); at extreme scale the distinct count swaps for HLL
+    registers exactly like the profiler's."""
+    # day is a truncated TIMESTAMP, not DATE: DATE round-trips through
+    # pandas differently per engine (DuckDB yields datetime64), which
+    # breaks the value-hash comparison — same convention as
+    # cdc_stream_windowed.
+    return (
+        events.groupBy(
+            F.col("event_type"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            "n_users",
+            (F.col("n_users") < k).alias("suppress"),
+        )
+    )

@@ -507,3 +507,77 @@ def bloom_prefilter_oracle(blocked_source: str = "src0") -> str:
         f"(bh IS NOT NULL) AS exact_hit "
         f"FROM pos CROSS JOIN filt LEFT JOIN blocked ON h = bh"
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV set operations: distinct-overlap estimate between two cohorts
+# ---------------------------------------------------------------------------
+
+
+def kmv_overlap(events: DataFrame, type_a: str, type_b: str, k: int = KMV_K) -> DataFrame:
+    """KMV sketch set operation (Beyer et al. 2007): estimate
+    |users(A) ∩ users(B)| without materializing either user set.
+
+    The union sketch is the k smallest distinct user hashes across
+    both cohorts, each tagged with bool_or membership flags; the
+    Jaccard of the sketch (fraction of the k that belong to both)
+    scales the union estimate into an intersection estimate.  Every
+    step is deterministic given the hash: the estimate itself is
+    hash-verifiable across engines, like the HLL/KMV counts.
+
+    Scale: one membership aggregate per user (map-side combined), one
+    TakeOrdered for the k smallest — no all-pairs, no global sort.
+    Sketches this shape merge across partitions/days the same way the
+    HLL registers do.
+    """
+    tagged = events.where(F.col("event_type").isin(type_a, type_b)).select(
+        F.expr("md5(concat('u:', cast(user_id as string)))").alias("h"),
+        (F.col("event_type") == type_a).alias("a"),
+        (F.col("event_type") == type_b).alias("b"),
+    )
+    users = tagged.groupBy("h").agg(
+        F.max("a").alias("in_a"), F.max("b").alias("in_b")
+    )
+    topk = (
+        users.select(F.expr(v52_expr("h")).cast("bigint").alias("v"), "in_a", "in_b")
+        .orderBy("v")
+        .limit(k)
+    )
+    agg = topk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seen"),
+        F.max("v").cast("bigint").alias("kth"),
+        F.sum((F.col("in_a") & F.col("in_b")).cast("bigint")).cast("bigint").alias("n_both"),
+    )
+    union_est = (
+        F.when(F.col("n_seen") < k, F.col("n_seen").cast("double"))
+        .otherwise(F.expr(f"CAST({_KMV_NUM} AS DOUBLE)") / F.col("kth").cast("double"))
+    )
+    return agg.select(
+        "n_seen",
+        "kth",
+        "n_both",
+        union_est.alias("union_est"),
+        (
+            (F.col("n_both").cast("double") / F.col("n_seen").cast("double")) * union_est
+        ).alias("intersection_est"),
+    )
+
+
+def kmv_overlap_oracle(type_a: str, type_b: str, k: int = KMV_K) -> str:
+    v = v52_expr("h")
+    return (
+        f"WITH tagged AS (SELECT md5('u:' || CAST(user_id AS VARCHAR)) AS h, "
+        f"event_type = '{type_a}' AS a, event_type = '{type_b}' AS b "
+        f"FROM events WHERE event_type IN ('{type_a}', '{type_b}')), "
+        f"users AS (SELECT h, MAX(a) AS in_a, MAX(b) AS in_b FROM tagged GROUP BY h), "
+        f"topk AS (SELECT {v} AS v, in_a, in_b FROM users ORDER BY v LIMIT {k}), "
+        f"agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_seen, CAST(MAX(v) AS BIGINT) AS kth, "
+        f"CAST(SUM(CAST(in_a AND in_b AS BIGINT)) AS BIGINT) AS n_both FROM topk) "
+        f"SELECT n_seen, kth, n_both, "
+        f"CASE WHEN n_seen < {k} THEN CAST(n_seen AS DOUBLE) "
+        f"ELSE CAST({_KMV_NUM} AS DOUBLE) / CAST(kth AS DOUBLE) END AS union_est, "
+        f"(CAST(n_both AS DOUBLE) / CAST(n_seen AS DOUBLE)) * "
+        f"(CASE WHEN n_seen < {k} THEN CAST(n_seen AS DOUBLE) "
+        f"ELSE CAST({_KMV_NUM} AS DOUBLE) / CAST(kth AS DOUBLE) END) AS intersection_est "
+        f"FROM agg"
+    )

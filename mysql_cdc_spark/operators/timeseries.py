@@ -467,3 +467,59 @@ def zscore_anomaly(
         .where(F.abs(F.col("z")) > threshold)
         .select("event_id", "user_id", "value", "n_hist", "mean_hist", "z")
     )
+
+
+# ---------------------------------------------------------------------------
+# Truncated EWMA smoothing
+# ---------------------------------------------------------------------------
+
+EWMA_TERMS = 8  # current value + 7 lags; λ = 1/2
+
+
+def ewma(events: DataFrame, terms: int = EWMA_TERMS) -> DataFrame:
+    """Per-key exponentially weighted moving average, truncated to a
+    fixed number of terms: ewma_t = Σ_{j<terms} λ^j·x_{t−j} / Σ λ^j
+    over the lags that exist, with λ = 1/2.
+
+    The untruncated EWMA recurrence is sequentially dependent (a scan,
+    not a window); truncating to `terms` lags makes it a bounded-frame
+    window computation — the standard scale trade (λ=1/2 ⇒ the dropped
+    tail weighs < 2^-terms, below double noise for most uses).
+
+    Exactness: λ^j are exact binary doubles (0.5, 0.25, …), the
+    numerator/denominator expression trees are written identically in
+    the oracle, and +,*,/ are correctly rounded IEEE ops — both
+    engines produce bit-identical ewma values with no rounding grain.
+
+    Scale: one shuffle on user_id, O(terms) lag state per row.
+    """
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    num = F.col("value") * F.lit(1.0)
+    den = F.lit(1.0)
+    for j in range(1, terms):
+        weight = 0.5 ** j
+        lagged = F.lag("value", j).over(w)
+        num = num + F.coalesce(lagged, F.lit(0.0)) * F.lit(weight)
+        den = den + F.when(lagged.isNull(), F.lit(0.0)).otherwise(F.lit(weight))
+    return events.select(
+        "event_id",
+        "user_id",
+        "value",
+        (num / den).alias("ewma"),
+    )
+
+
+def ewma_oracle_sql(terms: int = EWMA_TERMS) -> str:
+    num_parts = ["value * 1.0"]
+    den_parts = ["1.0"]
+    for j in range(1, terms):
+        weight = repr(0.5 ** j)
+        num_parts.append(f"COALESCE(lag(value, {j}) OVER w, 0.0) * {weight}")
+        den_parts.append(
+            f"CASE WHEN lag(value, {j}) OVER w IS NULL THEN 0.0 ELSE {weight} END"
+        )
+    return (
+        "SELECT event_id, user_id, value, "
+        f"({' + '.join(num_parts)}) / ({' + '.join(den_parts)}) AS ewma "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)"
+    )

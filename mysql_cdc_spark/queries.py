@@ -3067,3 +3067,39 @@ def cdc_replication_lag(spark, sf_dir):
         (F.col("head_offset") - F.col("last_offset")).alias("lag_events"),
         "n_events",
     )
+
+
+@register(
+    "sk_kmv_overlap",
+    sketches.kmv_overlap_oracle("click", "view"),
+)
+def sk_kmv_overlap(spark, sf_dir):
+    """KMV sketch set operation: click∩view distinct-user overlap
+    estimated from the k smallest user hashes with membership flags —
+    deterministic given the hash, so the estimate itself is
+    hash-verified."""
+    return sketches.kmv_overlap(_events(spark, sf_dir), "click", "view")
+
+
+@register(
+    "dq_k_anonymity",
+    "SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+    "CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, "
+    f"COUNT(DISTINCT user_id) < {profiling.K_ANON} AS suppress "
+    "FROM events GROUP BY 1, 2",
+)
+def dq_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over the (event_type, day) quasi-identifier:
+    flags groups with fewer than K distinct users — the privacy gate
+    before a corpus export."""
+    return profiling.k_anonymity(_events(spark, sf_dir))
+
+
+@register("ts_ewma", timeseries.ewma_oracle_sql())
+def ts_ewma(spark, sf_dir):
+    """Per-key truncated EWMA (8 terms, λ=1/2): the sequential
+    recurrence made a bounded-frame window computation; exact binary
+    weights + identical IEEE expression trees ⇒ bit-identical values
+    on both engines."""
+    return timeseries.ewma(_events(spark, sf_dir))

@@ -307,3 +307,64 @@ def test_chunk_overlap_covers_every_token(spark):
     # doc 3: '' splits to [''] → counted as 1 token → one degenerate
     # chunk (same convention as the token-count functions in text.py)
     assert [(r["tok_start"], r["tok_end"]) for r in by_doc[3]] == [(0, 1)]
+
+
+# ---------------------------------------------------------------------------
+# EWMA, k-anonymity, KMV overlap
+# ---------------------------------------------------------------------------
+
+from mysql_cdc_spark.operators import sketches  # noqa: E402
+
+
+def test_ewma_short_history_renormalizes(spark):
+    """With fewer lags than terms, missing weights drop from BOTH
+    numerator and denominator — first row's ewma equals its value."""
+    ev = spark.createDataFrame(
+        [(1, 1, 10.0), (2, 1, 20.0)], "event_id long, user_id long, value double"
+    )
+    out = {r["event_id"]: r["ewma"] for r in timeseries.ewma(ev).collect()}
+    assert out[1] == 10.0
+    assert abs(out[2] - (20.0 + 0.5 * 10.0) / 1.5) < 1e-12
+
+
+def test_ewma_smooths_toward_recent(spark):
+    rows = [(i, 1, 0.0) for i in range(20)] + [(20, 1, 100.0)]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    out = {r["event_id"]: r["ewma"] for r in timeseries.ewma(ev).collect()}
+    # last point dominated by the spike but pulled down by history
+    assert 50.0 < out[20] < 100.0
+    assert out[19] == 0.0
+
+
+def test_k_anonymity_flags_small_groups(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(i, "2024-01-01 00:00:00", i % 100, "click", 1.0, "") for i in range(500)]
+    rows += [(900 + i, "2024-01-02 00:00:00", i % 5, "click", 1.0, "") for i in range(50)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {str(r["day"]): (r["n_users"], r["suppress"]) for r in
+           __import__("mysql_cdc_spark.operators.profiling", fromlist=["k_anonymity"]).k_anonymity(ev).collect()}
+    assert got["2024-01-01 00:00:00"] == (100, False)
+    assert got["2024-01-02 00:00:00"] == (5, True)
+
+
+def test_kmv_overlap_exact_on_small_sets(spark):
+    """Below k distinct users the sketch degenerates to exact: the
+    intersection estimate equals the true overlap."""
+    rows = [(i, "click", i) for i in range(100)]          # users 0..99 click
+    rows += [(1000 + i, "view", 50 + i) for i in range(100)]  # users 50..149 view
+    ev = spark.createDataFrame(
+        [(eid, f"2024-01-01 00:00:0{eid%10//10}", uid, et, 1.0, "")
+         for (eid, et, uid) in rows],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    )
+    from pyspark.sql import functions as F
+
+    ev = ev.withColumn("ts", F.to_timestamp("ts"))
+    r = sketches.kmv_overlap(ev, "click", "view").collect()[0]
+    assert r["n_seen"] == 150            # union is 150 distinct users < k
+    assert r["union_est"] == 150.0
+    assert r["n_both"] == 50
+    assert abs(r["intersection_est"] - 50.0) < 1e-9
