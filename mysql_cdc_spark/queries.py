@@ -3103,3 +3103,40 @@ def ts_ewma(spark, sf_dir):
     weights + identical IEEE expression trees ⇒ bit-identical values
     on both engines."""
     return timeseries.ewma(_events(spark, sf_dir))
+
+
+@register(
+    "cdc_binlog_quarantine",
+    "SELECT op, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+    "  SELECT CASE WHEN event_id % 101 = 0 THEN 'quarantine' "
+    "              WHEN event_type IN ('signup','purchase') THEN 'write_rows' "
+    "              WHEN event_type IN ('click','view') THEN 'update_rows' "
+    "              ELSE 'delete_rows' END AS op "
+    "  FROM events"
+    ") GROUP BY op",
+)
+def cdc_binlog_quarantine(spark, sf_dir):
+    """Dead-letter decode: a byte log with a poisoned row-event body
+    every 101st transaction is decoded with on_error='quarantine' —
+    the poison events surface as op='quarantine' rows and the walk
+    CONTINUES (the reference crashes on the first malformed event,
+    mysql_binlog.clj:727-729; production CDC must drain past poison).
+    The oracle derives which events were poisoned and which survive."""
+    import pathlib
+
+    from mysql_cdc_spark.sources import binlog_source as bs
+
+    out_dir = (
+        pathlib.Path(_STREAM_TMP)
+        / f"binlog_corrupt_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
+    )
+    if not any(out_dir.glob("binlog.*")):
+        bs.generate_binlog_from_events(sf_dir, str(out_dir), corrupt_every=101)
+    env = bs.read_binlog_envelope(spark, str(out_dir), on_error="quarantine")
+    return (
+        env.where(
+            F.col("op").isin("write_rows", "update_rows", "delete_rows", "quarantine")
+        )
+        .groupBy("op")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

@@ -666,6 +666,7 @@ def decode_binlog(
     catalog: dict[tuple[str, str], list[str]] | None = None,
     start_offset: int = 4,
     table_map: TableMapState | None = None,
+    on_error: str = "raise",
 ) -> list[dict]:
     """D1+S3/S4: walk the event chain from `start_offset`, threading
     table-map state, with the torn-tail guard (a header or body that
@@ -678,7 +679,9 @@ def decode_binlog(
     via `decode_binlog_incremental`.  Row events without any TABLE_MAP
     raise, as in the reference (:727-729).
     """
-    events, _, _ = decode_binlog_incremental(data, start_offset, table_map, catalog)
+    events, _, _ = decode_binlog_incremental(
+        data, start_offset, table_map, catalog, on_error=on_error
+    )
     return events
 
 
@@ -689,6 +692,7 @@ def decode_binlog_incremental(
     catalog: dict[tuple[str, str], list[str]] | None = None,
     *,
     base: int = 0,
+    on_error: str = "raise",
 ) -> tuple[list[dict], int, TableMapState | None]:
     """S9 incremental-turn form: decode `[start_offset, end-of-data)`
     and return (events, next_offset, table_map_state) so the caller
@@ -702,6 +706,13 @@ def decode_binlog_incremental(
     map-from-offset mmap, with-open-binlog* :696-705) — reported
     offsets and the returned next_offset stay absolute.  With the
     default ``base=0`` the data must start with the 4-byte magic.
+
+    ``on_error='quarantine'`` is the dead-letter mode the reference
+    lacks (it crashes on the first malformed event, :727-729): a
+    complete-but-undecodable event is emitted as op='quarantine' with
+    the reason in ``sql``, and the walk CONTINUES at the next header
+    (the event frame is intact — only the body failed).  Production
+    CDC must drain past poison events; crashing loses the stream.
     """
     if base == 0 and not is_binlog(data):
         raise ValueError("not a binlog file (bad magic)")
@@ -727,9 +738,23 @@ def decode_binlog_incremental(
         }
         try:
             _decode_body(ev, type_code, body, catalog, tmap)
-        except ValueError:
-            raise
         except Exception as exc:
+            if on_error == "quarantine":
+                # Dead-letter the poison event and keep walking: the
+                # frame (header + event_len) is intact, so the next
+                # header position is still trustworthy.
+                ev.update(
+                    op="quarantine",
+                    sql=f"{OP_NAMES.get(type_code, type_code)}: {type(exc).__name__}",
+                    db=None, tbl=None, before=None, after=None,
+                )
+                events.append(ev)
+                seq += 1
+                rel_next = next_pos - base
+                pos = rel_next if rel_next > pos else pos + event_len
+                continue
+            if isinstance(exc, ValueError):
+                raise
             # A complete-but-malformed event (flipped bits, bad length
             # fields) must surface as a diagnosable decode error, not a
             # raw IndexError/struct.error from body parsing.  Torn
@@ -780,6 +805,16 @@ def _decode_body(
             raise ValueError("row event without preceding TABLE_MAP")
         ev["db"], ev["tbl"] = tmap.db, tmap.table
         n_cols, p = read_packed_int(body, 8)
+        # A real row event's declared width always equals its table
+        # map's column count; disagreement means a corrupt body.
+        # Without this check a garbage width silently skips the whole
+        # row section (the bitmap slice overshoots the body) and the
+        # event decodes as an EMPTY row set — worse than failing.
+        if n_cols != len(tmap.col_types):
+            raise ValueError(
+                f"row event declares {n_cols} columns, "
+                f"table map has {len(tmap.col_types)}"
+            )
         bm_bytes = (n_cols + 7) // 8
         used1 = body[p:p + bm_bytes]; p += bm_bytes
         used2 = None

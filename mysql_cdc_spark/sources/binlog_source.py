@@ -128,7 +128,10 @@ BINLOG_ENVELOPE_SCHEMA = T.StructType(
     ]
 )
 
-_ENVELOPE_OPS = ("query", "table_map", "write_rows", "update_rows", "delete_rows", "xid")
+_ENVELOPE_OPS = (
+    "query", "table_map", "write_rows", "update_rows", "delete_rows", "xid",
+    "quarantine",
+)
 
 
 def _stringify(image: dict | None) -> dict | None:
@@ -185,6 +188,7 @@ def read_binlog_envelope(
     spark: SparkSession,
     path: str,
     catalog: dict[tuple[str, str], list[str]] | None = None,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Decode every binlog file under `path` into envelope records
     (one record per row image pair; non-row events emit one record)."""
@@ -206,7 +210,9 @@ def read_binlog_envelope(
             out: list[dict] = []
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 log_file = str(fpath).rsplit("/", 1)[-1]
-                recs, _ = envelope_records(decode_binlog(bytes(content), cat), log_file)
+                recs, _ = envelope_records(
+                    decode_binlog(bytes(content), cat, on_error=on_error), log_file
+                )
                 out.extend(recs)
             yield pd.DataFrame(out, columns=cols)
 
@@ -270,7 +276,10 @@ ROTATE_EVERY = 2_500
 
 
 def generate_binlog_from_events(
-    sf_dir: str, out_dir: str, rotate_every: int = ROTATE_EVERY
+    sf_dir: str,
+    out_dir: str,
+    rotate_every: int = ROTATE_EVERY,
+    corrupt_every: int | None = None,
 ) -> list[str]:
     """Encode the derived change stream as REAL binlog bytes — the same
     derivation rules as sources/events_cdc.py (db/tbl from user_id
@@ -335,6 +344,7 @@ def generate_binlog_from_events(
             error_code=1062 if event_id % 1000 == 0 else 0,
         )
         writer.write_table_map(t, ts)
+        row_event_start = writer.offset
         if op == WRITE_ROWS_EVENT:
             writer.write_rows(op, t, [[row_id, val, word]], ts=ts)
         elif op == UPDATE_ROWS_EVENT:
@@ -342,6 +352,18 @@ def generate_binlog_from_events(
             writer.write_rows(op, t, [(before, [row_id, val, word])], ts=ts)
         else:
             writer.write_rows(op, t, [[row_id, val, word]], ts=ts)
+        if corrupt_every is not None and event_id % corrupt_every == 0:
+            # Poison the row-event BODY (header/event_len untouched, so
+            # the event chain stays walkable) — the dead-letter fixture.
+            from mysql_cdc_spark.sources.binlog_codec import HEADER_LEN
+
+            body_start = row_event_start + HEADER_LEN
+            # 0xFE bytes, not 0xFF: the packed-int column count then
+            # parses as an 8-byte read of 0xFE…, a ~2^63 column count
+            # whose bitmap skip pushes the cursor past the body — a
+            # GUARANTEED struct overrun.  (All-0xFF bodies can decode
+            # to garbage values without raising.)
+            writer.buf[body_start:] = b"\xfe" * (len(writer.buf) - body_start)
         writer.write_xid(event_id, ts)
 
     if writer is not None:

@@ -453,3 +453,94 @@ def test_wide_metadata_wire_roundtrip():
         pos += elen
     tm = _read_table_map(last_body)
     assert tm.col_meta == [4, 8, 6, 4]
+
+
+# ---------------------------------------------------------------------------
+# Dead-letter (quarantine) decode
+# ---------------------------------------------------------------------------
+
+
+def test_quarantine_continues_past_poison_event():
+    """A corrupted row-event body dead-letters that event and the walk
+    continues: everything before AND after still decodes."""
+    from mysql_cdc_spark.sources.binlog_codec import (
+        HEADER_LEN,
+        WRITE_ROWS_EVENT,
+        BinlogWriter,
+        TableDef,
+        decode_binlog,
+    )
+    from mysql_cdc_spark.sources.binlog_source import FIXTURE_COLUMNS
+
+    t = TableDef("foo", "auto", FIXTURE_COLUMNS, table_id=1)
+    w = BinlogWriter()
+    for i in range(3):
+        w.write_table_map(t)
+        start = w.offset
+        w.write_rows(WRITE_ROWS_EVENT, t, [[i, f"{i}.0000", "x"]])
+        if i == 1:
+            w.buf[start + HEADER_LEN:] = b"\xfe" * (len(w.buf) - start - HEADER_LEN)
+        w.write_xid(i)
+
+    from mysql_cdc_spark.sources.binlog_source import FIXTURE_CATALOG
+
+    evs = decode_binlog(w.getvalue(), FIXTURE_CATALOG, on_error="quarantine")
+    ops = [e["op"] for e in evs if e["op"] != "format_description"]
+    assert ops == [
+        "table_map", "write_rows", "xid",
+        "table_map", "quarantine", "xid",
+        "table_map", "write_rows", "xid",
+    ]
+    q = next(e for e in evs if e["op"] == "quarantine")
+    assert q["sql"].startswith("write_rows:")
+    assert q["before"] is None and q["after"] is None
+    # the clean rows around the poison decoded intact
+    rows = [e for e in evs if e["op"] == "write_rows"]
+    assert [r["after"][0]["id"] for r in rows] == [0, 2]
+
+
+def test_raise_mode_still_raises_on_poison():
+    import pytest
+
+    from mysql_cdc_spark.sources.binlog_codec import (
+        HEADER_LEN,
+        WRITE_ROWS_EVENT,
+        BinlogWriter,
+        TableDef,
+        decode_binlog,
+    )
+    from mysql_cdc_spark.sources.binlog_source import FIXTURE_COLUMNS
+
+    t = TableDef("foo", "auto", FIXTURE_COLUMNS, table_id=1)
+    w = BinlogWriter()
+    w.write_table_map(t)
+    start = w.offset
+    w.write_rows(WRITE_ROWS_EVENT, t, [[1, "1.0000", "x"]])
+    w.buf[start + HEADER_LEN:] = b"\xfe" * (len(w.buf) - start - HEADER_LEN)
+    with pytest.raises(ValueError, match="columns"):
+        decode_binlog(w.getvalue())
+
+
+def test_row_width_mismatch_is_an_error_not_empty_rows():
+    """The column-count cross-check: a row event whose declared width
+    disagrees with the table map must FAIL, not decode as an empty row
+    set (the silent-garbage failure mode the check closes)."""
+    import pytest
+
+    from mysql_cdc_spark.sources.binlog_codec import (
+        HEADER_LEN,
+        WRITE_ROWS_EVENT,
+        BinlogWriter,
+        TableDef,
+        decode_binlog,
+    )
+    from mysql_cdc_spark.sources.binlog_source import FIXTURE_COLUMNS
+
+    t = TableDef("foo", "auto", FIXTURE_COLUMNS, table_id=1)
+    w = BinlogWriter()
+    w.write_table_map(t)
+    start = w.offset
+    w.write_rows(WRITE_ROWS_EVENT, t, [[1, "1.0000", "x"]])
+    w.buf[start + HEADER_LEN + 8] = 250  # n_cols byte: 3 → 250
+    with pytest.raises(ValueError, match="250 columns"):
+        decode_binlog(w.getvalue())
