@@ -173,3 +173,44 @@ def schema_evolution(changes: DataFrame) -> DataFrame:
         "net_after",
         F.sum("presence_delta").over(tbl_w).cast("bigint").alias("n_extra_cols"),
     )
+
+
+def scd2_lookup(rows_dt: DataFrame) -> DataFrame:
+    """Point-in-time dimension lookup against the SCD2 version table:
+    for every state-setting change event, find the version of its key
+    that was valid JUST BEFORE the event — the "enrich a fact with the
+    dimension as it was at fact time" join every warehouse consumer of
+    an SCD2 table runs.
+
+    Join shape: LEFT join with the key equality (db, tbl, id) as the
+    equi-component — ONE shuffle each side — and the interval
+    predicate as a join filter.  This is NOT an all-pairs range join:
+    the equi-key bounds candidates to one key's version history, and
+    per-key intervals are disjoint, so at most one version matches.
+    (Contrast ts_range_join, which has no equi-key and must bucket
+    time instead.)  Events with no prior version — first inserts,
+    re-inserts after a delete — keep NULL priors.
+    """
+    facts = rows_dt.filter(F.col("_delta_type") != DT_UPDATE_BEFORE).select(
+        "db", "tbl", "id", "offset", "_delta_type", F.col("value").alias("new_value")
+    )
+    versions = scd2_intervals(rows_dt).select(
+        F.col("db").alias("v_db"),
+        F.col("tbl").alias("v_tbl"),
+        F.col("id").alias("v_id"),
+        F.col("value").alias("prior_value"),
+        "valid_from",
+        "valid_to",
+    )
+    cond = (
+        (F.col("db") == F.col("v_db"))
+        & (F.col("tbl") == F.col("v_tbl"))
+        & (F.col("id") == F.col("v_id"))
+        & (F.col("valid_from") < F.col("offset"))
+        & F.col("valid_to").isNotNull()
+        & (F.col("offset") <= F.col("valid_to"))
+    )
+    return facts.join(versions, cond, "left").select(
+        "db", "tbl", "id", "offset", "_delta_type", "new_value",
+        "prior_value", "valid_from",
+    )

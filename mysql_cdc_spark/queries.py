@@ -3140,3 +3140,31 @@ def cdc_binlog_quarantine(spark, sf_dir):
         .groupBy("op")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+@register(
+    "cdc_scd2_lookup",
+    with_changes(
+        ", versions AS ("
+        '  SELECT db, tbl, id, value, "offset" AS valid_from, valid_to FROM ('
+        '    SELECT db, tbl, id, value, _delta_type, "offset", '
+        '           LEAD("offset") OVER (PARTITION BY db, tbl, id ORDER BY "offset") AS valid_to'
+        "    FROM rows_dt WHERE _delta_type <> 'update-before'"
+        "  ) WHERE _delta_type <> 'delete'), "
+        "facts AS ("
+        '  SELECT db, tbl, id, "offset", _delta_type, value AS new_value '
+        "  FROM rows_dt WHERE _delta_type <> 'update-before') "
+        'SELECT f.db, f.tbl, f.id, f."offset", f._delta_type, f.new_value, '
+        "v.value AS prior_value, v.valid_from "
+        "FROM facts f LEFT JOIN versions v "
+        "ON f.db = v.db AND f.tbl = v.tbl AND f.id = v.id "
+        'AND v.valid_from < f."offset" AND v.valid_to IS NOT NULL '
+        'AND f."offset" <= v.valid_to'
+    ),
+)
+def cdc_scd2_lookup(spark, sf_dir):
+    """Point-in-time SCD2 lookup: every state-setting event joined to
+    the version of its key valid just before it (equi-key shuffle join
+    + interval filter, never all-pairs); first inserts keep NULL
+    priors."""
+    return history.scd2_lookup(_rows_dt(spark, sf_dir))

@@ -132,3 +132,32 @@ def test_net_changes_replay_equivalence(spark):
         else:
             patched[r["id"]] = r["new_value"]
     assert patched == state_at(hi)
+
+
+def test_scd2_lookup_prior_versions(spark):
+    """insert→update→delete→re-insert: priors are NULL, the insert
+    image, the update image, NULL respectively."""
+    from mysql_cdc_spark.operators import history
+
+    rows = spark.createDataFrame(
+        [
+            (10, "d", "t", 1, 1.0, "insert"),
+            (20, "d", "t", 1, 2.0, "update"),
+            (30, "d", "t", 1, 2.0, "delete"),
+            (40, "d", "t", 1, 9.0, "insert"),
+        ],
+        "offset long, db string, tbl string, id long, value double, _delta_type string",
+    )
+    got = {r["offset"]: r["prior_value"] for r in history.scd2_lookup(rows).collect()}
+    assert got == {10: None, 20: 1.0, 30: 2.0, 40: None}
+
+
+def test_scd2_lookup_never_duplicates_facts(spark):
+    """Disjoint intervals per key: the left join emits exactly one row
+    per fact."""
+    from mysql_cdc_spark.operators import history
+    from mysql_cdc_spark.sources.events_cdc import changes, rows_delta_type
+
+    rows = rows_delta_type(changes(spark, "/root/testdata/sf0.001"))
+    facts_n = rows.filter("_delta_type <> 'update-before'").count()
+    assert history.scd2_lookup(rows).count() == facts_n
