@@ -30,7 +30,10 @@ from mysql_cdc_spark.sources.binlog_codec import (
     decode_binlog_incremental,
 )
 
-_ENVELOPE_OPS = ("query", "table_map", "write_rows", "update_rows", "delete_rows", "xid")
+_ENVELOPE_OPS = (
+    "query", "table_map", "write_rows", "update_rows", "delete_rows", "xid",
+    "quarantine",
+)
 
 
 class BinlogTailer:
@@ -40,6 +43,7 @@ class BinlogTailer:
         first_log: str,
         event_fn: Callable[[list[dict]], None],
         catalog: dict[tuple[str, str], list[str]] | None = None,
+        on_error: str = "raise",
     ) -> None:
         self.log_dir = log_dir
         self.current_log = first_log
@@ -47,6 +51,9 @@ class BinlogTailer:
         self.table_map: TableMapState | None = None
         self.event_fn = event_fn
         self.catalog = catalog or {}
+        # 'quarantine' = dead-letter poison events and keep tailing —
+        # a live tailer must not die on one malformed event.
+        self.on_error = on_error
         self._magic_ok = False               # validated once per log file
         self.last_read_bytes = 0             # I/O per turn (observability/tests)
 
@@ -75,7 +82,8 @@ class BinlogTailer:
                 tail = fh.read()
             self.last_read_bytes = len(tail)
             events, next_offset, tmap = decode_binlog_incremental(
-                tail, self.offset, self.table_map, self.catalog, base=self.offset
+                tail, self.offset, self.table_map, self.catalog,
+                base=self.offset, on_error=self.on_error,
             )
             self.offset = next_offset
             self.table_map = tmap

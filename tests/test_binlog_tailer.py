@@ -185,3 +185,46 @@ def test_long_rotation_chain_is_iterative(log_dir):
     tailer = BinlogTailer(log_dir, "binlog.000001", batches.append, CAT)
     assert tailer.turn() == 2 * n
     assert tailer.current_log == f"binlog.{n:06d}"
+
+
+def test_tailer_quarantines_poison_and_keeps_tailing(tmp_path):
+    """A live tailer in quarantine mode dead-letters a poisoned event
+    mid-log and keeps delivering everything after it."""
+    from mysql_cdc_spark.sources.binlog_codec import (
+        HEADER_LEN,
+        WRITE_ROWS_EVENT,
+        BinlogWriter,
+        TableDef,
+    )
+    from mysql_cdc_spark.sources.binlog_source import FIXTURE_CATALOG, FIXTURE_COLUMNS
+    from mysql_cdc_spark.streaming.binlog_tailer import BinlogTailer
+
+    t = TableDef("foo", "auto", FIXTURE_COLUMNS, table_id=1)
+    w = BinlogWriter()
+    for i in range(5):
+        w.write_table_map(t)
+        start = w.offset
+        w.write_rows(WRITE_ROWS_EVENT, t, [[i, f"{i}.0000", "w"]])
+        if i == 2:
+            w.buf[start + HEADER_LEN:] = b"\xfe" * (len(w.buf) - start - HEADER_LEN)
+        w.write_xid(i)
+    log = tmp_path / "binlog.000000"
+    log.write_bytes(w.getvalue())
+
+    got: list[dict] = []
+    tailer = BinlogTailer(
+        str(tmp_path), "binlog.000000", got.extend,
+        catalog=FIXTURE_CATALOG, on_error="quarantine",
+    )
+    tailer.turn()
+    ops = [e["op"] for e in got if e["op"] != "format_description"]
+    assert ops.count("quarantine") == 1
+    assert ops.count("write_rows") == 4
+    assert ops.count("xid") == 5          # every txn still commits
+    # raise mode on the same log dies at the poison event
+    import pytest
+
+    strict = BinlogTailer(str(tmp_path), "binlog.000000", lambda b: None,
+                          catalog=FIXTURE_CATALOG)
+    with pytest.raises(ValueError, match="corrupt|columns"):
+        strict.turn()
