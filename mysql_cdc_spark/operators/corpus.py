@@ -29,6 +29,23 @@ _BUCKET_EXPR = (
 )
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Rebalance a small documents scan before a shingle explode.
+
+    A fixture-sized documents file is ONE parquet split, so any
+    explode-based consumer amplifies ~100× inside a single task — the
+    same trap events_cdc._rebalance_small_input guards, measured here
+    as a 5.8s one-core stage vs 0.4s spread.  Shuffling the raw docs
+    (X bytes) to parallelize generating ~100X bytes is worth it
+    whenever the scan has fewer partitions than the cluster; when the
+    input already splits naturally (production scale) this is a no-op.
+    """
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < max(2, parallelism // 2):
+        return docs.repartition(parallelism, "doc_id")
+    return docs
+
+
 def split_assign(docs: DataFrame) -> DataFrame:
     """Deterministic train/val/test assignment by content-independent
     hash of the document id.
@@ -265,11 +282,13 @@ def cross_dup_fraction(docs: DataFrame) -> DataFrame:
     """
     from mysql_cdc_spark.operators.dedup import with_shingles
 
-    shingled = with_shingles(docs).select(
+    shingled = with_shingles(_spread(docs)).select(
         "doc_id", F.col("shingles"), F.size("shingles").alias("n_sh")
     )
     sizes = shingled.select("doc_id", "n_sh")
-    inv = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    # cache(): the inverted set feeds both the document-frequency count
+    # and the join back — without it the shingle explode runs twice.
+    inv = shingled.select("doc_id", F.explode("shingles").alias("shingle")).cache()
     # df counts docs per shingle (shingle sets are distinct within a
     # doc, so COUNT(*) == document frequency).
     df = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -365,10 +384,13 @@ def source_overlap(docs: DataFrame) -> DataFrame:
     """
     from mysql_cdc_spark.operators.dedup import with_shingles
 
+    # cache(): consumed three times (sizes + both sides of the
+    # self-join) — without it the explode+distinct runs three times.
     inv = (
-        with_shingles(docs)
+        with_shingles(_spread(docs))
         .select("source", F.explode("shingles").alias("shingle"))
         .distinct()
+        .cache()
     )
     sizes = inv.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = inv.select(F.col("source").alias("source_a"), "shingle")
