@@ -181,6 +181,11 @@ def fingerprints(docs: DataFrame, shingle: int = 8, seeds: int = 4) -> DataFrame
     """
     if seeds > 4:
         raise ValueError("md5 slicing supports at most 4 32-bit sub-hashes")
+    from mysql_cdc_spark.operators.dedup import spread_small_scan
+
+    # Narrow but CPU-heavy (~one md5 per character): a single-split
+    # scan would serialize the whole corpus onto one core.
+    docs = spread_small_scan(docs)
     t = F.lower(F.trim(F.col("text")))
     span = f"greatest(length(t) - {shingle - 1}, 1)"
     out = docs.select("doc_id", t.alias("t")).withColumn(

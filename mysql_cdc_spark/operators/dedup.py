@@ -65,6 +65,22 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def spread_small_scan(docs: DataFrame) -> DataFrame:
+    """Rebalance a small documents scan before array-building fan-out.
+
+    A fixture-sized documents file is ONE parquet split; the per-doc
+    shingle/gram array chains and the explodes above them then run
+    inside a single task.  Conditionally repartition by doc_id up to
+    the session parallelism — a no-op when the scan already splits
+    naturally (production scale), and the shuffle moves only raw docs,
+    strictly smaller than the arrays built above them.
+    """
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < max(2, parallelism // 2):
+        return docs.repartition(parallelism, "doc_id")
+    return docs
+
+
 def with_shingles(docs: DataFrame, n: int = SHINGLE_WORDS) -> DataFrame:
     """Append the distinct word-n-gram shingle set (array column)."""
     toks = normalized(docs).withColumn("tokens", F.split(F.col("norm_text"), r"\s+"))
@@ -184,7 +200,7 @@ def jaccard_pairs(
     # Generate re-inlines the shingle array chain per emitted element
     # without a materialization boundary (measured 17× at sf0.1 —
     # same trap as the winnowing fingerprints below).
-    sh = with_shingles(docs).select("doc_id", "shingles").cache()
+    sh = with_shingles(spread_small_scan(docs)).select("doc_id", "shingles").cache()
     sizes = sh.select("doc_id", F.size("shingles").cast("bigint").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     df_ok = (
@@ -348,7 +364,7 @@ def dup_spans(docs: DataFrame, width: int = 8, k: int = 9) -> DataFrame:
         f"j -> array_min(slice(grams, j, {k})))) "
         f"else array() end"
     )
-    toks = normalized(docs).withColumn("tokens", F.split(F.col("norm_text"), r"\s+"))
+    toks = normalized(spread_small_scan(docs)).withColumn("tokens", F.split(F.col("norm_text"), r"\s+"))
     # cache() the materialized fingerprint arrays before fan-out: the
     # explode's Generate and the two aggregate branches would each
     # re-inline the O(n·k) gram/min-select chain otherwise (measured
