@@ -3168,3 +3168,38 @@ def cdc_scd2_lookup(spark, sf_dir):
     + interval filter, never all-pairs); first inserts keep NULL
     priors."""
     return history.scd2_lookup(_rows_dt(spark, sf_dir))
+
+
+@register(
+    "cdc_stream_replication_lag",
+    with_changes(
+        "SELECT db, tbl, CAST(MAX(\"offset\") AS BIGINT) AS last_offset, "
+        "CAST((SELECT MAX(\"offset\") FROM changes) AS BIGINT) AS head_offset, "
+        "CAST((SELECT MAX(\"offset\") FROM changes) - MAX(\"offset\") AS BIGINT) AS lag_events, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events "
+        "FROM changes GROUP BY db, tbl"
+    ),
+)
+def cdc_stream_replication_lag(spark, sf_dir):
+    """The lag monitor as a LIVE streaming aggregation: per-table
+    (last_offset, n_events) maintained in streaming state
+    (complete output mode); the head offset and per-table lag derive
+    from the drained state with one tiny batch step — exactly how an
+    ops dashboard would consume it.  Oracle: the batch lag monitor."""
+    stream = _stream_env(spark, sf_dir)
+    per_tbl = _drain(
+        stream.groupBy("db", "tbl").agg(
+            F.max("offset").cast("bigint").alias("last_offset"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        ),
+        output_mode="complete",
+    )
+    head = per_tbl.agg(F.max("last_offset").cast("bigint").alias("head_offset"))
+    return per_tbl.crossJoin(F.broadcast(head)).select(
+        "db",
+        "tbl",
+        "last_offset",
+        "head_offset",
+        (F.col("head_offset") - F.col("last_offset")).alias("lag_events"),
+        "n_events",
+    )
