@@ -368,3 +368,69 @@ def test_kmv_overlap_exact_on_small_sets(spark):
     assert r["union_est"] == 150.0
     assert r["n_both"] == 50
     assert abs(r["intersection_est"] - 50.0) < 1e-9
+
+
+def test_ewma_matches_numpy_reference(spark):
+    """Bit-exact against an independent fold of the same truncated
+    formula (both are chains of correctly-rounded IEEE ops)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, i % 3, round(rng.uniform(-100, 100), 6)) for i in range(300)]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    got = {r["event_id"]: r["ewma"] for r in timeseries.ewma(ev).collect()}
+
+    by_user: dict[int, list[tuple[int, float]]] = {}
+    for eid, uid, v in rows:
+        by_user.setdefault(uid, []).append((eid, v))
+    for uid, seq in by_user.items():
+        seq.sort()
+        for idx, (eid, v) in enumerate(seq):
+            num = v * 1.0
+            den = 1.0
+            for j in range(1, timeseries.EWMA_TERMS):
+                if idx - j >= 0:
+                    num = num + seq[idx - j][1] * (0.5 ** j)
+                    den = den + 0.5 ** j
+                else:
+                    num = num + 0.0 * (0.5 ** j)
+                    den = den + 0.0
+            assert got[eid] == num / den, (uid, eid)
+
+
+def test_zscore_matches_pure_python(spark):
+    """Same flags and bit-identical z values as an independent
+    implementation of the decimal-sum window formula."""
+    import random
+    from decimal import Decimal
+
+    rng = random.Random(11)
+    rows = [(i, 1, round(rng.uniform(0, 10), 4)) for i in range(200)]
+    rows[150] = (150, 1, 5000.0)
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    got = {r["event_id"]: r["z"] for r in timeseries.zscore_anomaly(ev).collect()}
+
+    want = {}
+    vals = [v for (_, _, v) in rows]
+    L, MINN, TH = (
+        timeseries.ZSCORE_LOOKBACK,
+        timeseries.ZSCORE_MIN_N,
+        timeseries.ZSCORE_THRESHOLD,
+    )
+    q = Decimal("0.000001")
+    for i, x in enumerate(vals):
+        hist = vals[max(0, i - L):i]
+        if len(hist) < MINN:
+            continue
+        dh = [Decimal(repr(v)).quantize(q) for v in hist]
+        n = float(len(dh))
+        mean = float(sum(dh)) / n
+        var = float(sum(d * d for d in dh)) / n - mean * mean
+        if var <= 0:
+            continue
+        z = (x - mean) / var ** 0.5
+        if abs(z) > TH:
+            want[i] = z
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
