@@ -3203,3 +3203,29 @@ def cdc_stream_replication_lag(spark, sf_dir):
         (F.col("head_offset") - F.col("last_offset")).alias("lag_events"),
         "n_events",
     )
+
+
+@register(
+    "cdc_stream_bootstrap",
+    with_changes(
+        "SELECT db, tbl, id, value, \"offset\" AS as_of_offset FROM ("
+        "  SELECT db, tbl, id, value, \"offset\", _delta_type, "
+        "         ROW_NUMBER() OVER (PARTITION BY db, tbl, id ORDER BY \"offset\" DESC) AS rn"
+        "  FROM rows_dt WHERE _delta_type <> 'update-before'"
+        ") WHERE rn = 1 AND _delta_type <> 'delete'"
+    ),
+)
+def cdc_stream_bootstrap(spark, sf_dir):
+    """The snapshot-then-stream bootstrap every CDC deployment starts
+    with: current state is a BATCH snapshot of history up to the
+    switchover offset, plus the tail CDC feed consumed through the
+    STREAMING runtime and merged with the bucketed apply_changes
+    incremental-maintenance operator.  Oracle: a full-history replay —
+    equality proves the switchover loses and duplicates nothing."""
+    rows = _rows_dt(spark, sf_dir)
+    mid = int(rows.agg(F.max("offset")).collect()[0][0]) // 2
+    snapshot = aggregates.latest_state(rows.filter(F.col("offset") <= mid))
+    streamed = _drain(
+        rows_delta_type(_stream_env(spark, sf_dir)).filter(F.col("offset") > mid)
+    )
+    return aggregates.apply_changes(snapshot, streamed)

@@ -434,3 +434,37 @@ def test_zscore_matches_pure_python(spark):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9, k
+
+
+def test_compact_event_log_preserves_content(spark, sf_dir, tmp_path):
+    """Many small drain files → few range-ordered files; every row
+    survives byte-identical (checksum-gated swap)."""
+    import glob
+    import os
+
+    from mysql_cdc_spark.sources.events_cdc import changes
+    from mysql_cdc_spark.streaming.runtime import write_event_log
+    from tools.compact_event_log import checksum, compact_event_log
+
+    log_dir = str(tmp_path / "log")
+    write_event_log(changes(spark, sf_dir), log_dir, n_files=16)
+    before = checksum(spark.read.parquet(log_dir))
+
+    stats = compact_event_log(spark, log_dir, n_files=3)
+    assert stats["files_before"] >= 8
+    assert stats["files_after"] == 3
+    assert checksum(spark.read.parquet(log_dir)) == before
+    assert not os.path.exists(log_dir + ".precompact")
+    assert not os.path.exists(log_dir + ".compacting")
+    # range partitioning: per-file offset spans must not overlap
+    spans = []
+    for p in sorted(glob.glob(log_dir + "/*.parquet")):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(p, columns=["offset"])
+        if t.num_rows:
+            col = t.column("offset").to_pylist()
+            spans.append((min(col), max(col)))
+    spans.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi < b_lo

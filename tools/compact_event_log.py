@@ -1,0 +1,84 @@
+"""Event-log compaction: rewrite a parquet event-log directory into a
+small number of offset-range-ordered files.
+
+A long-running CDC ingest (BinlogTailer → parquet appends) produces
+one small file per drain — the classic small-file swamp that kills
+scan parallelism economics at scale (every file costs a task + footer
+read).  Compaction is the standing maintenance job: coalesce to
+~target file count with `repartitionByRange` on the offset so each
+output file covers a contiguous offset range (range-ordered files keep
+downstream offset-filtered reads prunable), verify the rewrite moved
+every row unchanged (count + order-insensitive xxhash64 checksum),
+then swap atomically (os.replace of the directory).
+
+Usage: python tools/compact_event_log.py <log_dir> [n_files]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def checksum(df) -> tuple[int, int]:
+    """(row_count, order-insensitive content checksum).  DECIMAL
+    accumulation: exact, and immune to ANSI overflow on the sum."""
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"] or 0)
+
+
+def compact_event_log(spark, log_dir: str, n_files: int = 4) -> dict:
+    """Compact `log_dir` in place; returns a stats dict."""
+    src = spark.read.parquet(log_dir)
+    before_files = len([p for p in os.listdir(log_dir) if p.endswith(".parquet")])
+    n_before, h_before = checksum(src)
+
+    tmp = log_dir.rstrip("/") + ".compacting"
+    (
+        src.repartitionByRange(n_files, "offset")
+        .sortWithinPartitions("offset")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+
+    out = spark.read.parquet(tmp)
+    n_after, h_after = checksum(out)
+    if (n_before, h_before) != (n_after, h_after):
+        raise RuntimeError(
+            f"compaction checksum mismatch: {(n_before, h_before)} != {(n_after, h_after)}"
+        )
+
+    backup = log_dir.rstrip("/") + ".precompact"
+    os.replace(log_dir, backup)
+    os.replace(tmp, log_dir)
+    import shutil
+
+    shutil.rmtree(backup)
+    after_files = len([p for p in os.listdir(log_dir) if p.endswith(".parquet")])
+    return {
+        "rows": n_before,
+        "files_before": before_files,
+        "files_after": after_files,
+        "checksum": h_before,
+    }
+
+
+def main() -> None:
+    from mysql_cdc_spark.session import get_spark
+
+    log_dir = sys.argv[1]
+    n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    stats = compact_event_log(get_spark("compact-event-log"), log_dir, n_files)
+    print(stats)
+
+
+if __name__ == "__main__":
+    main()
