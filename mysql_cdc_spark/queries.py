@@ -3229,3 +3229,43 @@ def cdc_stream_bootstrap(spark, sf_dir):
         rows_delta_type(_stream_env(spark, sf_dir)).filter(F.col("offset") > mid)
     )
     return aggregates.apply_changes(snapshot, streamed)
+
+
+@register(
+    "dq_referential",
+    "SELECT 'lineitem->orders' AS fk, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    "CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans "
+    "FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "UNION ALL "
+    "SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT), "
+    "CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey "
+    "UNION ALL "
+    "SELECT 'customer->nation', CAST(COUNT(*) AS BIGINT), "
+    "CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey",
+)
+def dq_referential(spark, sf_dir):
+    """Referential-integrity audit: orphan counts along the
+    lineitem→orders→customer→nation FK chain — the other half of the
+    data-quality gate (dq_profile_events covers columns; this covers
+    relationships).  Each edge is one left join reduced to two
+    counters: parent sides broadcast when small, fact-side rows never
+    materialize beyond the join."""
+    from mysql_cdc_spark.sources.io import read_table
+
+    def edge(name, child, ckey, parent, pkey):
+        c = read_table(spark, sf_dir, child).select(F.col(ckey).alias("ck"))
+        p = read_table(spark, sf_dir, parent).select(F.col(pkey).alias("pk")).distinct()
+        joined = c.join(p, c.ck == p.pk, "left")
+        return joined.agg(
+            F.lit(name).alias("fk"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("pk").isNull().cast("bigint")).cast("bigint").alias("n_orphans"),
+        )
+
+    return (
+        edge("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey")
+        .unionByName(edge("orders->customer", "orders", "o_custkey", "customer", "c_custkey"))
+        .unionByName(edge("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"))
+    )
