@@ -3269,3 +3269,41 @@ def dq_referential(spark, sf_dir):
         .unionByName(edge("orders->customer", "orders", "o_custkey", "customer", "c_custkey"))
         .unionByName(edge("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"))
     )
+
+
+@register(
+    "llm_dataset_card",
+    "WITH per_source AS ("
+    "  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "  CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+    "  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs, "
+    "  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups "
+    "  FROM documents GROUP BY source), "
+    "corpus AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS corpus_chars FROM documents) "
+    "SELECT source, n_docs, total_chars, n_langs, n_exact_dups, "
+    "CAST(total_chars AS DOUBLE) / CAST(corpus_chars AS DOUBLE) AS char_share "
+    "FROM per_source CROSS JOIN corpus",
+)
+def llm_dataset_card(spark, sf_dir):
+    """Dataset-card rollup: the per-source summary a corpus release
+    documents — volume, language breadth, exact-dup count, share of
+    the corpus.  One grouped aggregate + a broadcast 1-row total;
+    the share is a single IEEE division of exact integers."""
+    docs = _docs(spark, sf_dir)
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        (F.count(F.lit(1)) - F.count_distinct(F.md5("text"))).cast("bigint").alias("n_exact_dups"),
+    )
+    corpus = docs.agg(F.sum("n_chars").cast("bigint").alias("corpus_chars"))
+    return per_source.crossJoin(F.broadcast(corpus)).select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "n_langs",
+        "n_exact_dups",
+        (F.col("total_chars").cast("double") / F.col("corpus_chars").cast("double")).alias(
+            "char_share"
+        ),
+    )
