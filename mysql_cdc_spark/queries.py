@@ -3307,3 +3307,69 @@ def llm_dataset_card(spark, sf_dir):
             "char_share"
         ),
     )
+
+
+# Recall evaluation: the banded-LSH candidate pairs measured against
+# the exact inverted-index Jaccard pairs as ground truth.  Reuses the
+# registered oracles' own CTE fragments so all three computations stay
+# definitionally in lockstep.
+_MH_PAIRS_SQL = (
+    ", cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM bandrows a JOIN bandrows b ON a.band = b.band AND a.band_hash = b.band_hash "
+    "AND a.doc_id < b.doc_id), "
+    "mh_pairs AS (SELECT doc_a, doc_b FROM ("
+    "  SELECT c.doc_a, c.doc_b, "
+    "  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / "
+    "  CAST(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS jaccard "
+    "  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b"
+    f") WHERE jaccard >= {dedup.JACCARD_THRESHOLD})"
+)
+
+_EX_PAIRS_SQL = (
+    ", sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh FROM sh), "
+    "inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh), "
+    f"dfok AS (SELECT shingle FROM inv0 GROUP BY shingle HAVING COUNT(*) <= {dedup.MAX_SHINGLE_DF}), "
+    "inv AS (SELECT inv0.doc_id, inv0.shingle FROM inv0 JOIN dfok USING (shingle)), "
+    "co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common "
+    "FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "ex_pairs AS (SELECT doc_a, doc_b FROM ("
+    "  SELECT c.doc_a, c.doc_b, "
+    "  CAST(c.common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - c.common AS DOUBLE) AS jaccard "
+    "  FROM co c JOIN sizes sa ON sa.doc_id = c.doc_a JOIN sizes sb ON sb.doc_id = c.doc_b"
+    f") WHERE jaccard >= {dedup.JACCARD_THRESHOLD})"
+)
+
+
+@register(
+    "llm_minhash_recall",
+    _BAND_CTE + _MH_PAIRS_SQL + _EX_PAIRS_SQL
+    + ", j AS (SELECT COUNT(*) AS n_common FROM mh_pairs JOIN ex_pairs USING (doc_a, doc_b)) "
+    "SELECT CAST((SELECT COUNT(*) FROM ex_pairs) AS BIGINT) AS n_truth, "
+    "CAST((SELECT COUNT(*) FROM mh_pairs) AS BIGINT) AS n_candidates, "
+    "CAST(n_common AS BIGINT) AS n_common, "
+    "CAST(n_common AS DOUBLE) / CAST((SELECT COUNT(*) FROM ex_pairs) AS DOUBLE) AS recall "
+    "FROM j",
+)
+def llm_minhash_recall(spark, sf_dir):
+    """Self-evaluation of the LSH index: banded-MinHash pair recall
+    against the exact inverted-index Jaccard ground truth — the number
+    that justifies (bands, rows-per-band) at scale, computed with the
+    SAME verified operators it evaluates.  (The two pair sets differ
+    only where banding misses or the ground truth's df-cap drops a
+    pair — both visible in the counts.)"""
+    docs = _docs(spark, sf_dir)
+    mh = dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    ex = dedup.jaccard_pairs(docs).select("doc_a", "doc_b")
+    common = mh.join(ex, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common")
+    )
+    return (
+        common.crossJoin(F.broadcast(ex.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))))
+        .crossJoin(F.broadcast(mh.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_common",
+            (F.col("n_common").cast("double") / F.col("n_truth").cast("double")).alias("recall"),
+        )
+    )
