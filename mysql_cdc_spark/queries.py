@@ -3373,3 +3373,56 @@ def llm_minhash_recall(spark, sf_dir):
             (F.col("n_common").cast("double") / F.col("n_truth").cast("double")).alias("recall"),
         )
     )
+
+
+@register(
+    "llm_ann_recall",
+    _BKT_CTE
+    + ", exact_pairs AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, "
+    + _SQL_COS.format(a="a", b="b") + " AS cosine "
+    f"FROM n a, n b WHERE a.vec_id < {similarity.DEFAULT_N_QUERIES} AND b.vec_id != a.vec_id), "
+    "exact_top AS (SELECT query_id, neighbor_id FROM ("
+    "  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+    "  ORDER BY cosine DESC, neighbor_id) AS rank FROM exact_pairs"
+    f") WHERE rank <= {similarity.DEFAULT_K}), "
+    "cand AS (SELECT DISTINCT qq.vec_id AS query_id, c.vec_id AS neighbor_id "
+    "FROM bkt qq JOIN bkt c ON qq.band = c.band AND qq.bucket = c.bucket "
+    f"AND qq.vec_id < {similarity.DEFAULT_N_QUERIES} AND c.vec_id != qq.vec_id), "
+    "ann_scored AS (SELECT cand.query_id, cand.neighbor_id, "
+    + _SQL_COS.format(a="a", b="b") + " AS cosine "
+    "FROM cand JOIN n a ON a.vec_id = cand.query_id JOIN n b ON b.vec_id = cand.neighbor_id), "
+    "ann_top AS (SELECT query_id, neighbor_id FROM ("
+    "  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+    "  ORDER BY cosine DESC, neighbor_id) AS rank FROM ann_scored"
+    f") WHERE rank <= {similarity.DEFAULT_K}) "
+    "SELECT CAST((SELECT COUNT(*) FROM exact_top) AS BIGINT) AS n_truth, "
+    "CAST((SELECT COUNT(*) FROM ann_top) AS BIGINT) AS n_ann, "
+    "CAST((SELECT COUNT(*) FROM ann_top JOIN exact_top USING (query_id, neighbor_id)) AS BIGINT) AS n_common, "
+    "CAST((SELECT COUNT(*) FROM ann_top JOIN exact_top USING (query_id, neighbor_id)) AS DOUBLE) / "
+    "CAST((SELECT COUNT(*) FROM exact_top) AS DOUBLE) AS recall_at_k",
+)
+def llm_ann_recall(spark, sf_dir):
+    """Recall@k of the LSH-bucketed ANN against the exact brute-force
+    KNN baseline, computed with the same verified operators — the
+    bucket-configuration justification number (like llm_minhash_recall
+    for the dedup index)."""
+    emb = _emb(spark, sf_dir)
+    exact = similarity.knn(emb).select("query_id", "neighbor_id")
+    ann = similarity.ann_lsh(emb).select("query_id", "neighbor_id")
+    common = ann.join(exact, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common")
+    )
+    return (
+        common.crossJoin(
+            F.broadcast(exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth")))
+        )
+        .crossJoin(F.broadcast(ann.agg(F.count(F.lit(1)).cast("bigint").alias("n_ann"))))
+        .select(
+            "n_truth",
+            "n_ann",
+            "n_common",
+            (F.col("n_common").cast("double") / F.col("n_truth").cast("double")).alias(
+                "recall_at_k"
+            ),
+        )
+    )
