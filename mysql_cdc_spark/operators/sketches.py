@@ -581,3 +581,114 @@ def kmv_overlap_oracle(type_a: str, type_b: str, k: int = KMV_K) -> str:
         f"ELSE CAST({_KMV_NUM} AS DOUBLE) / CAST(kth AS DOUBLE) END) AS intersection_est "
         f"FROM agg"
     )
+
+
+# ---------------------------------------------------------------------------
+# CMS inner-product join-cardinality estimation
+# ---------------------------------------------------------------------------
+
+
+def _cms_key_counts(events: DataFrame, event_type: str) -> DataFrame:
+    keys = events.where(F.col("event_type") == event_type).select(
+        F.expr("cast(user_id as string)").alias("token")
+    )
+    pairs = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.expr(_cms_bucket("token", j)).alias("bucket"),
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("jb")
+    ).select("jb.j", "jb.bucket")
+    return pairs.groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("counter")
+    )
+
+
+def cms_join_cardinality(events: DataFrame, type_a: str, type_b: str) -> DataFrame:
+    """Join-size estimation from sketches (the AMS/count-min inner
+    product, Alon-Matias-Szegedy 1996 / Cormode-Muthukrishnan 2005):
+    |A ⋈_key B| = Σ_k fA(k)·fB(k), estimated as min over the d hash
+    rows of the row-wise counter inner product — always ≥ the truth
+    (one-sided, like the point-query bound).
+
+    This is what a cost-based planner wants BEFORE running a join: each
+    side collapses to d×w = 2048 integers regardless of data size (one
+    map-side-combined shuffle per side), the inner product is a join of
+    two tiny sketches, and the exact join size — computed here only to
+    evaluate the estimate — needs the real per-key frequency join.
+    All-integer math, hash-deterministic across engines.
+    """
+    sa = _cms_key_counts(events, type_a)
+    sb = _cms_key_counts(events, type_b)
+    # A hash row with NO bucket collisions between the sides has inner
+    # product 0 — the true minimum.  The inner sketch join drops such
+    # rows, so guard: fewer than CMS_D surviving rows ⇒ estimate 0.
+    est = (
+        sa.join(sb.withColumnRenamed("counter", "counter_b"), ["j", "bucket"])
+        .groupBy("j")
+        .agg(F.sum(F.col("counter") * F.col("counter_b")).alias("dot"))
+        .agg(
+            F.when(F.count(F.lit(1)) < CMS_D, F.lit(0))
+            .otherwise(F.min("dot"))
+            .cast("bigint")
+            .alias("cms_estimate")
+        )
+    )
+    fa = (
+        events.where(F.col("event_type") == type_a)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("na"))
+    )
+    fb = (
+        events.where(F.col("event_type") == type_b)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    exact = fa.join(fb, "user_id").agg(
+        F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0)).cast("bigint").alias("exact_join_size")
+    )
+    ratio = F.when(
+        F.col("exact_join_size") > 0,
+        F.col("cms_estimate").cast("double") / F.col("exact_join_size").cast("double"),
+    )  # NULL when the true join is empty (no meaningful ratio)
+    return est.crossJoin(F.broadcast(exact)).select(
+        "exact_join_size", "cms_estimate", ratio.alias("overestimate_ratio")
+    )
+
+
+def cms_join_cardinality_oracle(type_a: str, type_b: str) -> str:
+    jrows = ", ".join(str(j) for j in range(CMS_D))
+    bucket = _cms_bucket("token", 0).replace(
+        "'cms0:'", "'cms' || CAST(j AS VARCHAR) || ':'"
+    )
+
+    def side(name: str, et: str) -> str:
+        return (
+            f"{name}k AS (SELECT CAST(user_id AS VARCHAR) AS token FROM events "
+            f"WHERE event_type = '{et}'), "
+            f"{name}p AS (SELECT {bucket} AS bucket, j FROM {name}k "
+            f"CROSS JOIN (SELECT unnest([{jrows}]) AS j)), "
+            f"{name}_s AS (SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS counter "
+            f"FROM {name}p GROUP BY 1, 2)"
+        )
+
+    return (
+        f"WITH {side('a', type_a)}, {side('b', type_b)}, "
+        "est AS (SELECT CAST(CASE WHEN COUNT(*) < " f"{CMS_D}" " THEN 0 ELSE MIN(dot) END AS BIGINT) AS cms_estimate FROM ("
+        "  SELECT a_s.j, SUM(a_s.counter * b_s.counter) AS dot "
+        "  FROM a_s JOIN b_s ON a_s.j = b_s.j AND a_s.bucket = b_s.bucket GROUP BY a_s.j)"
+        "), "
+        f"fa AS (SELECT user_id, COUNT(*) AS na FROM events WHERE event_type = '{type_a}' GROUP BY 1), "
+        f"fb AS (SELECT user_id, COUNT(*) AS nb FROM events WHERE event_type = '{type_b}' GROUP BY 1), "
+        "ex AS (SELECT CAST(COALESCE(SUM(na * nb), 0) AS BIGINT) AS exact_join_size "
+        "FROM fa JOIN fb USING (user_id)) "
+        "SELECT exact_join_size, cms_estimate, "
+        "CASE WHEN exact_join_size > 0 THEN CAST(cms_estimate AS DOUBLE) / CAST(exact_join_size AS DOUBLE) END AS overestimate_ratio "
+        "FROM est CROSS JOIN ex"
+    )

@@ -3426,3 +3426,15 @@ def llm_ann_recall(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "sk_join_cardinality",
+    sketches.cms_join_cardinality_oracle("click", "view"),
+)
+def sk_join_cardinality(spark, sf_dir):
+    """Join-size estimation before the join (AMS/CMS inner product):
+    each side collapses to a 4×512 counter sketch, the estimate is the
+    min row-wise inner product — what a cost-based planner consults;
+    exact size computed alongside only to evaluate the bound."""
+    return sketches.cms_join_cardinality(_events(spark, sf_dir), "click", "view")

@@ -468,3 +468,30 @@ def test_compact_event_log_preserves_content(spark, sf_dir, tmp_path):
     spans.sort()
     for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
         assert a_hi < b_lo
+
+
+def test_cms_join_cardinality_upper_bound(spark):
+    """CMS inner product never underestimates, and is exact when keys
+    are sparse enough not to collide in any row."""
+    rows = [(i, "click", i % 10) for i in range(100)]
+    rows += [(1000 + i, "view", i % 10) for i in range(50)]
+    ev = spark.createDataFrame(
+        [(eid, "2024-01-01 00:00:00", uid, et, 1.0, "") for (eid, et, uid) in rows],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    )
+    r = sketches.cms_join_cardinality(ev, "click", "view").collect()[0]
+    # exact: each of 10 users has 10 clicks x 5 views
+    assert r["exact_join_size"] == 10 * 10 * 5
+    assert r["cms_estimate"] >= r["exact_join_size"]
+    # 10 keys in 512 buckets: no full-row collision expected
+    assert r["cms_estimate"] == r["exact_join_size"]
+
+
+def test_cms_join_cardinality_disjoint_cohorts(spark):
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1, "click", 1.0, ""),
+         (2, "2024-01-01 00:00:00", 2, "view", 1.0, "")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    )
+    r = sketches.cms_join_cardinality(ev, "click", "view").collect()[0]
+    assert r["exact_join_size"] == 0 and r["cms_estimate"] == 0
