@@ -261,6 +261,14 @@ def value_quantiles(events: DataFrame, pcts: list[int] | None = None) -> DataFra
         .groupBy("cents")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+    return quantiles_from_bins(bins, pcts)
+
+
+def quantiles_from_bins(bins: DataFrame, pcts: list[int] | None = None) -> DataFrame:
+    # Quantile tail shared by the direct and merged-histogram paths:
+    # cumulative counts over the (cents, n) bin table, smallest bin
+    # reaching each ceil(p*n/100) rank.
+    pcts = QUANTILE_PCTS if pcts is None else pcts
     from pyspark.sql import Window
 
     w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -692,3 +700,23 @@ def cms_join_cardinality_oracle(type_a: str, type_b: str) -> str:
         "CASE WHEN exact_join_size > 0 THEN CAST(cms_estimate AS DOUBLE) / CAST(exact_join_size AS DOUBLE) END AS overestimate_ratio "
         "FROM est CROSS JOIN ex"
     )
+
+
+def quantile_merge_daily(events: DataFrame, pcts: list[int] | None = None) -> DataFrame:
+    # Histogram mergeability proof (the property that makes the exact
+    # fixed-point quantile sketch distributable): per-DAY histograms are
+    # built independently -- as partitions, days, or executors would --
+    # then merged by summing per-bin counts; the quantiles of the merged
+    # histogram must equal the single-pass whole-table quantiles (the
+    # oracle).  One map-side-combined re-aggregation over the bounded
+    # bin domain, exactly like the HLL register merge in hll_merge_daily.
+    daily = (
+        events.select(
+            F.to_date("ts").alias("day"),
+            (F.col("value").cast("decimal(12,2)") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("day", "cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    merged = daily.groupBy("cents").agg(F.sum("n").cast("bigint").alias("n"))
+    return quantiles_from_bins(merged, pcts)

@@ -3438,3 +3438,14 @@ def sk_join_cardinality(spark, sf_dir):
     min row-wise inner product — what a cost-based planner consults;
     exact size computed alongside only to evaluate the bound."""
     return sketches.cms_join_cardinality(_events(spark, sf_dir), "click", "view")
+
+
+@register("sk_quantile_merge_daily", sketches.value_quantiles_oracle())
+def sk_quantile_merge_daily(spark, sf_dir):
+    """Mergeability of the exact fixed-point quantile histogram:
+    per-day histograms merged by summing bin counts yield quantiles
+    identical to the single-pass whole-table computation — the
+    property that lets the sketch maintain incrementally per
+    partition/day at 100 TB (the quantile twin of
+    sk_hll_merge_daily)."""
+    return sketches.quantile_merge_daily(_events(spark, sf_dir))
