@@ -192,9 +192,16 @@ def _duck_rounds(n_merges: int) -> str:
             f"b{r} AS (SELECT str_split(pair, ' ')[1] AS l, str_split(pair, ' ')[2] AS r, cnt "
             f"FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1)"
         )
+        # LEFT JOIN ON TRUE, not CROSS JOIN: when the vocabulary
+        # exhausts merges before n_merges rounds, p{r} (and so b{r}) is
+        # empty — a CROSS JOIN would empty every later CTE, silently
+        # diverging from the Spark side (train_merges breaks early and
+        # keeps all words).  With the outer join an empty b{r} yields
+        # NULL l/r and the CASE passes ws through unchanged.
         parts.append(
-            f"w{r} AS (SELECT regexp_replace(ws, '\\b' || l || ' ' || r || '\\b', "
-            f"l || r, 'g') AS ws, freq FROM {src} CROSS JOIN b{r})"
+            f"w{r} AS (SELECT CASE WHEN l IS NULL THEN ws ELSE "
+            f"regexp_replace(ws, '\\b' || l || ' ' || r || '\\b', l || r, 'g') "
+            f"END AS ws, freq FROM {src} LEFT JOIN b{r} ON TRUE)"
         )
     return ", ".join(parts)
 
@@ -220,9 +227,12 @@ def encode_oracle_sql(n_merges: int = N_MERGES) -> str:
         f") WHERE regexp_matches(w, '{_WORD_RE}'))"
     )
     for r in range(1, n_merges + 1):
+        # Same empty-round guard as _duck_rounds: outer join so an
+        # exhausted merge vocabulary passes documents through unchanged.
         parts.append(
-            f"d{r} AS (SELECT doc_id, regexp_replace(ws, '\\b' || l || ' ' || r || '\\b', "
-            f"l || r, 'g') AS ws FROM d{r - 1} CROSS JOIN b{r})"
+            f"d{r} AS (SELECT doc_id, CASE WHEN l IS NULL THEN ws ELSE "
+            f"regexp_replace(ws, '\\b' || l || ' ' || r || '\\b', l || r, 'g') "
+            f"END AS ws FROM d{r - 1} LEFT JOIN b{r} ON TRUE)"
         )
     # Merging never changes a word's character content, only its
     # segmentation — so char counts come from the FINAL string with

@@ -743,6 +743,16 @@ def decode_binlog_incremental(
                 # Dead-letter the poison event and keep walking: the
                 # frame (header + event_len) is intact, so the next
                 # header position is still trustworthy.
+                if type_code == TABLE_MAP_EVENT:
+                    # A corrupt TABLE_MAP must also invalidate the
+                    # carried map: otherwise later row events with a
+                    # coincidentally-matching column count decode
+                    # silently under the stale (db, tbl, types) —
+                    # mis-attributed rows are worse than quarantined
+                    # ones.  With tmap=None they fail the
+                    # "row event without preceding TABLE_MAP" check
+                    # and land in the dead letter queue too.
+                    tmap = None
                 ev.update(
                     op="quarantine",
                     sql=f"{OP_NAMES.get(type_code, type_code)}: {type(exc).__name__}",

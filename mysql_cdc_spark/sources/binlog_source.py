@@ -275,6 +275,24 @@ def fixture_val_before(event_id: int) -> str:
 ROTATE_EVERY = 2_500
 
 
+def _atomic_gen(out_dir: str, gen):
+    """Crash-safe fixture generation: build into a sibling tmp dir,
+    then os.replace into place.  An interrupted generation therefore
+    never leaves a partially written `out_dir` that a later
+    ``glob("binlog.*")`` existence check would silently reuse (the
+    stale-fixture-wrong-counts failure mode); the partial tmp dir is
+    discarded on the next run.  `gen(tmp_dir)`'s return value is
+    passed through."""
+    import shutil
+
+    tmp = out_dir.rstrip("/") + ".tmp-gen"
+    shutil.rmtree(tmp, ignore_errors=True)
+    result = gen(tmp)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp, out_dir)
+    return result
+
+
 def generate_binlog_from_events(
     sf_dir: str,
     out_dir: str,
@@ -287,7 +305,19 @@ def generate_binlog_from_events(
     byte level: QUERY + TABLE_MAP + ROWS + XID per transaction, files
     rotated every `rotate_every` source events and chained with a
     ROTATE event naming the next log (as real binlogs are).
-    Idempotent."""
+    Idempotent; the directory appears atomically (see _atomic_gen)."""
+    return _atomic_gen(
+        out_dir,
+        lambda d: _generate_binlog_files(sf_dir, d, rotate_every, corrupt_every),
+    )
+
+
+def _generate_binlog_files(
+    sf_dir: str,
+    out_dir: str,
+    rotate_every: int,
+    corrupt_every: int | None,
+) -> list[str]:
     os.makedirs(out_dir, exist_ok=True)
     pdf = _fixture_rows(sf_dir)
     tables = {
@@ -454,7 +484,9 @@ def generate_wide_binlog(sf_dir: str, out_dir: str) -> str:
         writer.write_rows(WRITE_ROWS_EVENT, t, [row], ts=ts)
         writer.write_xid(e, ts)
 
-    return _write_rotated(out_dir, pdf["event_id"], emit)
+    return _atomic_gen(
+        out_dir, lambda d: _write_rotated(d, pdf["event_id"], emit)
+    )
 
 
 def generate_enum_set_binlog(sf_dir: str, out_dir: str) -> str:
@@ -480,4 +512,6 @@ def generate_enum_set_binlog(sf_dir: str, out_dir: str) -> str:
         writer.write_rows(WRITE_ROWS_EVENT, t, [row], ts=ts)
         writer.write_xid(event_id, ts)
 
-    return _write_rotated(out_dir, pdf["event_id"], emit)
+    return _atomic_gen(
+        out_dir, lambda d: _write_rotated(d, pdf["event_id"], emit)
+    )

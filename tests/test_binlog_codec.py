@@ -544,3 +544,41 @@ def test_row_width_mismatch_is_an_error_not_empty_rows():
     w.buf[start + HEADER_LEN + 8] = 250  # n_cols byte: 3 → 250
     with pytest.raises(ValueError, match="250 columns"):
         decode_binlog(w.getvalue())
+
+
+def test_quarantined_table_map_invalidates_carried_map():
+    """A corrupt TABLE_MAP must reset the carried map: row events after
+    it (same column count as the previous clean table!) must be
+    quarantined as map-less, NOT silently decoded under the stale
+    (db, tbl, types) of the earlier map."""
+    from mysql_cdc_spark.sources.binlog_codec import (
+        HEADER_LEN,
+        TABLE_MAP_EVENT,
+        WRITE_ROWS_EVENT,
+        BinlogWriter,
+        TableDef,
+        decode_binlog,
+    )
+    from mysql_cdc_spark.sources.binlog_source import FIXTURE_CATALOG, FIXTURE_COLUMNS
+
+    t1 = TableDef("foo", "auto", FIXTURE_COLUMNS, table_id=1)
+    t2 = TableDef("bar", "other", FIXTURE_COLUMNS, table_id=2)
+    w = BinlogWriter()
+    w.write_table_map(t1)
+    w.write_rows(WRITE_ROWS_EVENT, t1, [[1, "1.0000", "x"]])
+    start = w.offset
+    w.write_table_map(t2)  # corrupt this one
+    w.buf[start + HEADER_LEN:] = b"\xfe" * (len(w.buf) - start - HEADER_LEN)
+    # same 3-column shape as t1 — would decode "fine" under the stale map
+    w.write_rows(WRITE_ROWS_EVENT, t2, [[2, "2.0000", "y"]])
+    w.write_xid(1)
+
+    evs = decode_binlog(w.getvalue(), FIXTURE_CATALOG, on_error="quarantine")
+    ops = [e["op"] for e in evs if e["op"] != "format_description"]
+    assert ops == ["table_map", "write_rows", "quarantine", "quarantine", "xid"]
+    # the poisoned rows were NOT attributed to ("foo", "auto")
+    rows = [e for e in evs if e["op"] == "write_rows"]
+    assert len(rows) == 1 and rows[0]["after"][0]["id"] == 1
+    q_rows = [e for e in evs if e["op"] == "quarantine"]
+    assert q_rows[0]["sql"].startswith("table_map:")
+    assert q_rows[1]["sql"].startswith("write_rows:")

@@ -79,3 +79,36 @@ def test_spark_bpe_matches_reference_adversarial(spark):
     for words in cases:
         docs = spark.createDataFrame([(0, " ".join(words))], "doc_id long, text string")
         assert bpe.train_merges(docs, n_merges=4) == _ref_bpe(words, 4), words
+
+
+def test_oracle_matches_when_merges_exhaust_early(spark):
+    """Low-diversity corpus: the vocabulary runs out of pairs after one
+    merge, so rounds 2..n are empty.  The DuckDB oracle must pass
+    documents through those empty rounds unchanged (LEFT JOIN guard),
+    not collapse to zero rows while Spark (train_merges breaks early)
+    still returns every document."""
+    import duckdb
+    import pandas as pd
+
+    docs_pd = pd.DataFrame({"doc_id": [0, 1], "text": ["ab ab", "ab"]})
+    docs = spark.createDataFrame(docs_pd)
+
+    merges = bpe.train_merges(docs, n_merges=4)
+    assert merges == [("a", "b", 3)]  # exhausted after round 1
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_char_syms"], r["n_bpe_syms"])
+        for r in bpe.encode_token_counts(docs, merges).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", docs_pd)
+    want_df = con.execute(bpe.encode_oracle_sql(4)).df()
+    want = {
+        int(r.doc_id): (int(r.n_words), int(r.n_char_syms), int(r.n_bpe_syms))
+        for r in want_df.itertuples()
+    }
+    assert got == want == {0: (2, 4, 2), 1: (1, 2, 1)}
+
+    vocab_rows = con.execute(bpe.vocab_oracle_sql(4)).df()
+    assert len(vocab_rows) == 1
+    assert (vocab_rows.iloc[0]["left"], vocab_rows.iloc[0]["right"]) == ("a", "b")

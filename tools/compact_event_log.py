@@ -9,7 +9,11 @@ read).  Compaction is the standing maintenance job: coalesce to
 output file covers a contiguous offset range (range-ordered files keep
 downstream offset-filtered reads prunable), verify the rewrite moved
 every row unchanged (count + order-insensitive xxhash64 checksum),
-then swap atomically (os.replace of the directory).
+then swap via two os.replace renames.  Each rename is atomic but the
+PAIR is not: a crash between them leaves the data only in the
+``.precompact`` backup.  Every run therefore starts by recovering any
+stale ``.compacting`` / ``.precompact`` leftovers (restore or discard —
+see ``_recover_stale_dirs``), so a crashed run never wedges the next.
 
 Usage: python tools/compact_event_log.py <log_dir> [n_files]
 """
@@ -35,8 +39,36 @@ def checksum(df) -> tuple[int, int]:
     return int(row["n"]), int(row["h"] or 0)
 
 
+def _recover_stale_dirs(log_dir: str) -> None:
+    """Clean up leftovers from a prior crashed run.
+
+    The swap below is two sequential os.replace calls — NOT atomic as a
+    pair.  Crash windows and their recovery:
+    - stale ``.compacting`` (crash before/during verify): incomplete
+      rewrite, discard it;
+    - stale ``.precompact`` with ``log_dir`` present (crash after both
+      renames, before rmtree): swap completed, drop the backup;
+    - stale ``.precompact`` with ``log_dir`` MISSING (crash between the
+      two renames): the data lives only in the backup — restore it.
+    Without this, a leftover non-empty .precompact makes
+    os.replace(log_dir, backup) raise ENOTEMPTY and wedges the tool.
+    """
+    import shutil
+
+    tmp = log_dir.rstrip("/") + ".compacting"
+    backup = log_dir.rstrip("/") + ".precompact"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    if os.path.isdir(backup):
+        if os.path.isdir(log_dir):
+            shutil.rmtree(backup)
+        else:
+            os.replace(backup, log_dir)
+
+
 def compact_event_log(spark, log_dir: str, n_files: int = 4) -> dict:
     """Compact `log_dir` in place; returns a stats dict."""
+    _recover_stale_dirs(log_dir)
     src = spark.read.parquet(log_dir)
     before_files = len([p for p in os.listdir(log_dir) if p.endswith(".parquet")])
     n_before, h_before = checksum(src)
