@@ -153,11 +153,12 @@ def decode_decimal(data: bytes, precision: int, scale: int) -> str:
     """Decode MySQL packed decimal to its canonical string (integer
     part without leading zeros, fraction zero-padded to `scale` —
     matching Decimal.toString, Decimal.java:264-279)."""
-    b = bytearray(data)
-    neg = (b[0] & 0x80) == 0          # stored MSB: 1 = non-negative
-    b[0] ^= 0x80
+    neg = (data[0] & 0x80) == 0       # stored MSB: 1 = non-negative
     if neg:
-        b = bytearray(x ^ 0xFF for x in b)
+        b = bytearray(x ^ 0xFF for x in data)
+    else:
+        b = bytearray(data)
+    b[0] ^= 0x80
 
     intg = precision - scale
     pos = 0
@@ -181,7 +182,7 @@ def decode_decimal(data: bytes, precision: int, scale: int) -> str:
         pos += n
 
     ip_str = ip_digits.lstrip("0") or "0"
-    sign = "-" if neg and (int(ip_str) != 0 or int(fp_digits or "0") != 0) else ""
+    sign = "-" if neg and (ip_str != "0" or fp_digits.strip("0")) else ""
     return f"{sign}{ip_str}.{fp_digits}" if scale else f"{sign}{ip_str}"
 
 
@@ -552,6 +553,45 @@ def is_binlog(data: bytes) -> bool:
     return data[:4] == MAGIC
 
 
+# Parse memo: real binlogs emit an IDENTICAL TABLE_MAP body before
+# every transaction touching a table (MySQL re-sends the map each
+# time), so the same bytes are re-parsed millions of times in a long
+# log.  Key = exact body bytes → parsed template (names left empty —
+# they come from the caller's catalog, which may differ per decode).
+# Bounded: cleared when it exceeds _TMAP_CACHE_MAX distinct bodies.
+_TMAP_CACHE: dict[bytes, "TableMapState"] = {}
+_TMAP_FULL: dict[tuple[bytes, tuple], "TableMapState"] = {}
+_TMAP_CACHE_MAX = 4096
+
+
+def _table_map_for(body: bytes, catalog: dict) -> "TableMapState":
+    """Memoized TABLE_MAP decode with catalog names resolved.  The
+    returned state is SHARED across events/decodes and treated as
+    immutable everywhere (nothing downstream mutates col_types /
+    col_meta / names), so hits cost two dict lookups — no re-parse, no
+    per-event allocation.  Keyed by (body, names) because the same
+    bytes may be decoded under different catalogs (tests do; a
+    production worker's catalog is constant)."""
+    tpl = _TMAP_CACHE.get(body)
+    if tpl is None:
+        if len(_TMAP_CACHE) >= _TMAP_CACHE_MAX:
+            _TMAP_CACHE.clear()
+        tpl = _read_table_map(body)
+        _TMAP_CACHE[body] = tpl
+    names = catalog.get((tpl.db, tpl.table), [])
+    key = (body, tuple(names))
+    st = _TMAP_FULL.get(key)
+    if st is None:
+        if len(_TMAP_FULL) >= _TMAP_CACHE_MAX:
+            _TMAP_FULL.clear()
+        st = TableMapState(
+            tpl.table_id, tpl.db, tpl.table, tpl.col_types, tpl.col_meta, list(names)
+        )
+        st._names_all = [st.col_name(i) for i in range(len(st.col_types))]
+        _TMAP_FULL[key] = st
+    return st
+
+
 def _read_table_map(body: bytes) -> TableMapState:
     table_id = int.from_bytes(body[0:6], "little")
     pos = 8  # skip flags
@@ -603,9 +643,22 @@ def _read_value(body: bytes, pos: int, tc: int, meta) -> tuple[object, int]:
         else:
             maxlen = m1
         tc, meta = TYPE_VAR_STRING, maxlen
+    # Branch order = real-workload frequency (ints, strings, decimals
+    # dominate OLTP change streams), not type-code order — this chain
+    # runs once per column per row image.
     if tc in _INT_TYPES:
         n = _INT_TYPES[tc]
         return int.from_bytes(body[pos:pos + n], "little", signed=True), pos + n
+    if tc in (TYPE_VARCHAR, TYPE_VAR_STRING):
+        if int(meta) < 256:
+            ln = body[pos]; pos += 1
+        else:
+            ln = int.from_bytes(body[pos:pos + 2], "little"); pos += 2
+        return body[pos:pos + ln].decode("latin-1"), pos + ln
+    if tc == TYPE_NEWDECIMAL:
+        p, s = meta
+        size = decimal_bin_size(p, s)
+        return decode_decimal(body[pos:pos + size], p, s), pos + size
     if tc == TYPE_FLOAT:
         return struct.unpack_from("<f", body, pos)[0], pos + 4
     if tc == TYPE_DOUBLE:
@@ -629,17 +682,35 @@ def _read_value(body: bytes, pos: int, tc: int, meta) -> tuple[object, int]:
         ln = int.from_bytes(body[pos:pos + n], "little")
         pos += n
         return bytes(body[pos:pos + ln]), pos + ln
-    if tc in (TYPE_VARCHAR, TYPE_VAR_STRING):
-        if int(meta) < 256:
-            ln = body[pos]; pos += 1
-        else:
-            ln = int.from_bytes(body[pos:pos + 2], "little"); pos += 2
-        return body[pos:pos + ln].decode("latin-1"), pos + ln
-    if tc == TYPE_NEWDECIMAL:
-        p, s = meta
-        size = decimal_bin_size(p, s)
-        return decode_decimal(body[pos:pos + size], p, s), pos + size
     raise ValueError(f"Cannot read type {tc}")  # reference :558
+
+
+# (column count, used-columns bitmap) → ordinal list.  Row events in a
+# transaction batch share one bitmap, and across a whole log only a
+# handful of (width, bitmap) shapes exist — the per-image bit scan is
+# pure rework.  Bounded like the table-map memo.
+_USED_CACHE: dict[tuple[int, bytes], list[int]] = {}
+
+
+def _used_cols(n_cols: int, used_bitmap: bytes) -> list[int]:
+    key = (n_cols, used_bitmap)
+    used = _USED_CACHE.get(key)
+    if used is None:
+        if len(_USED_CACHE) >= _TMAP_CACHE_MAX:
+            _USED_CACHE.clear()
+        used = [i for i in range(n_cols) if used_bitmap[i >> 3] & (1 << (i & 7))]
+        _USED_CACHE[key] = used
+    return used
+
+
+def _full_names(tmap: TableMapState) -> list[str]:
+    """Resolved name per ordinal, computed once per map instead of one
+    `col_name` call per column per row image."""
+    names = tmap.__dict__.get("_names_all")
+    if names is None:
+        names = [tmap.col_name(i) for i in range(len(tmap.col_types))]
+        tmap._names_all = names
+    return names
 
 
 def _read_image(
@@ -647,17 +718,19 @@ def _read_image(
 ) -> tuple[dict, int]:
     """One row image → {col_name: value}; SQL NULL → key with None,
     column-not-in-image → key ABSENT (nil vs '_', reference :599-608)."""
-    used = [i for i in range(len(tmap.col_types)) if _bit(used_bitmap, i)]
+    col_types, col_meta = tmap.col_types, tmap.col_meta
+    used = _used_cols(len(col_types), used_bitmap)
+    names = _full_names(tmap)
     null_bytes = (len(used) + 7) // 8
     nulls = body[pos:pos + null_bytes]
     pos += null_bytes
     image: dict[str, object] = {}
     for j, i in enumerate(used):
-        if _bit(nulls, j):
-            image[tmap.col_name(i)] = None
+        if nulls[j >> 3] & (1 << (j & 7)):
+            image[names[i]] = None
         else:
-            v, pos = _read_value(body, pos, tmap.col_types[i], tmap.col_meta[i])
-            image[tmap.col_name(i)] = v
+            v, pos = _read_value(body, pos, col_types[i], col_meta[i])
+            image[names[i]] = v
     return image, pos
 
 
@@ -806,8 +879,7 @@ def _decode_body(
         ev["db"] = body[p:p + db_len].decode("latin-1")
         ev["sql"] = body[p + db_len + 1:].decode("latin-1")
     elif type_code == TABLE_MAP_EVENT:
-        new_map = _read_table_map(body)
-        new_map.names = catalog.get((new_map.db, new_map.table), [])
+        new_map = _table_map_for(body, catalog)
         ev["db"], ev["tbl"] = new_map.db, new_map.table
         ev["_new_table_map"] = new_map
     elif type_code in (WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT, DELETE_ROWS_EVENT):

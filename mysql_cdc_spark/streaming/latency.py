@@ -145,11 +145,40 @@ def measure_latency(
         finally:
             query.stop()
 
+        # --- push path (the reference's ACTUAL hot path: inotify wake
+        # → reader thread → bounded queue → blocking cursor; JNotify
+        # mysql_binlog.clj:833-857 + LinkedBlockingQueue jdbc.clj:44).
+        # No Spark job per turn, so no micro-batch scheduling floor —
+        # this is the ms-latency mode; `net` above prices the durable
+        # Structured-Streaming path.
+        from mysql_cdc_spark.streaming.push import PushDelivery
+
+        log = _GrowingLog(os.path.join(scratch, "logs", "p.bin"))
+        delivery = PushDelivery(
+            os.path.join(scratch, "logs"), "p.bin", _CAT
+        ).start()
+        try:
+            cur = delivery.cursor()
+            t0 = time.perf_counter()
+            for i in range(turns):
+                log.append_txn(i)
+                # turn ends when this txn's COMMIT reaches the cursor
+                while True:
+                    if not cur.next(timeout=timeout):
+                        raise TimeoutError(f"push cursor stalled on txn {i}")
+                    if cur.current["op"] == "xid" and cur.current["xid"] == i:
+                        break
+            t_push = time.perf_counter() - t0
+        finally:
+            delivery.stop()
+
         return {
             "full": round(t_full / turns, 4),
             "write": round(t_write / turns, 4),
             "decode": round(t_decode / turns, 4),
             "net": round((t_full - t_write - t_decode) / turns, 4),
+            "push": round(t_push / turns, 4),
+            "push_net": round((t_push - t_write) / turns, 4),
             "turns": turns,
         }
     finally:

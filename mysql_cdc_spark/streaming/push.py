@@ -1,0 +1,217 @@
+"""Push-based low-latency CDC delivery: inotify wake → tailer thread →
+bounded in-process queue → blocking cursor.
+
+This is the true counterpart of the reference's hot path, re-expressed
+without JNotify/JDBC:
+
+- the reference wakes its reader on filesystem notification
+  (mysql_binlog.clj:833-857, JNotify FILE_MODIFIED) instead of
+  polling; here `INotifyWatcher` wraps the public Linux inotify
+  syscall API via ctypes (inotify_init1 / inotify_add_watch / read),
+  with a short-poll fallback where inotify is unavailable;
+- the reference hands decoded events to consumers through a BOUNDED
+  LinkedBlockingQueue(10) (jdbc.clj:44) — producer blocks when the
+  consumer lags (backpressure), consumer blocks when drained
+  (`queue.take`, jdbc.clj:174).  `PushDelivery` reproduces exactly
+  that with `queue.Queue(maxsize=10)` of event batches;
+- `PushCursor` is the forward-only blocking ResultSet over that queue
+  (jdbc.clj:205-331): `next()` advances or blocks, rows arrive in log
+  order, driver memory is bounded by queue_size × batch size.
+
+Division of labor with streaming/runtime.py: the Structured-Streaming
+path (parquet event-log → file-stream source → sinks) is the DURABLE,
+replayable, cluster-scale path with checkpointing — but it pays the
+micro-batch scheduling floor (~0.2 s/turn measured).  This module is
+the LOW-LATENCY in-process path (ms/turn): same tailer, same codec,
+no Spark job per turn.  Run both off one log for durability + latency.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+import os
+import queue
+import select
+import threading
+import time
+from collections.abc import Iterator
+
+from mysql_cdc_spark.sources.binlog_source import envelope_records
+from mysql_cdc_spark.streaming.binlog_tailer import BinlogTailer
+
+# Public Linux inotify constants (linux/inotify.h).
+IN_MODIFY = 0x00000002
+IN_CLOSE_WRITE = 0x00000008
+IN_MOVED_TO = 0x00000080
+IN_CREATE = 0x00000100
+_IN_MASK = IN_MODIFY | IN_CLOSE_WRITE | IN_MOVED_TO | IN_CREATE
+_IN_NONBLOCK = 0o4000  # O_NONBLOCK
+
+
+class INotifyWatcher:
+    """Minimal inotify wrapper: watch one directory, block in
+    `wait(timeout)` until anything in it changes.  `available()` is
+    False off-Linux or when the syscalls are missing — callers fall
+    back to polling."""
+
+    def __init__(self, path: str) -> None:
+        libc_name = ctypes.util.find_library("c") or "libc.so.6"
+        self._libc = ctypes.CDLL(libc_name, use_errno=True)
+        self.fd = self._libc.inotify_init1(_IN_NONBLOCK)
+        if self.fd < 0:
+            raise OSError(ctypes.get_errno(), "inotify_init1 failed")
+        wd = self._libc.inotify_add_watch(
+            self.fd, os.fsencode(path), ctypes.c_uint32(_IN_MASK)
+        )
+        if wd < 0:
+            err = ctypes.get_errno()
+            os.close(self.fd)
+            raise OSError(err, f"inotify_add_watch({path}) failed")
+
+    @staticmethod
+    def available() -> bool:
+        if not os.path.exists("/proc/sys/fs/inotify"):
+            return False
+        try:
+            libc = ctypes.CDLL(ctypes.util.find_library("c") or "libc.so.6")
+            return hasattr(libc, "inotify_init1")
+        except OSError:
+            return False
+
+    def wait(self, timeout: float) -> bool:
+        """Block until the watched dir changes or `timeout` elapses;
+        returns True if an event arrived.  Drains the fd so a burst of
+        appends coalesces into one wake (the reference debounces the
+        same way — notification only ever means 'go look')."""
+        r, _, _ = select.select([self.fd], [], [], timeout)
+        if not r:
+            return False
+        try:
+            while True:
+                data = os.read(self.fd, 65536)
+                if len(data) < 65536:
+                    break
+        except BlockingIOError:
+            pass
+        return True
+
+    def close(self) -> None:
+        try:
+            os.close(self.fd)
+        except OSError:
+            pass
+
+
+class PushDelivery:
+    """Background tailer thread: inotify-wake → incremental decode →
+    envelope batches into a bounded queue (the reference's reader
+    thread + LinkedBlockingQueue(10), jdbc.clj:44)."""
+
+    def __init__(
+        self,
+        log_dir: str,
+        first_log: str,
+        catalog: dict[tuple[str, str], list[str]] | None = None,
+        queue_size: int = 10,
+        poll_fallback_seconds: float = 0.05,
+        on_error: str = "raise",
+    ) -> None:
+        self.queue: queue.Queue[list[dict]] = queue.Queue(maxsize=queue_size)
+        self._stop = threading.Event()
+        self._seq: dict[str, int] = {}
+        self._poll = poll_fallback_seconds
+        self._log_dir = log_dir
+        self.error: BaseException | None = None
+        self.tailer = BinlogTailer(
+            log_dir, first_log, self._deliver, catalog, on_error=on_error
+        )
+        self._watcher: INotifyWatcher | None = None
+        self._thread = threading.Thread(
+            target=self._run, name="cdc-push-tailer", daemon=True
+        )
+
+    def _deliver(self, batch: list[dict]) -> None:
+        log_file = batch[0]["log_file"]
+        records, self._seq[log_file] = envelope_records(
+            batch, log_file, self._seq.get(log_file, 0)
+        )
+        # Bounded put with a stop check: producer-side backpressure
+        # without deadlocking shutdown.
+        while not self._stop.is_set():
+            try:
+                self.queue.put(records, timeout=0.1)
+                return
+            except queue.Full:
+                continue
+
+    def _run(self) -> None:
+        try:
+            if INotifyWatcher.available():
+                try:
+                    self._watcher = INotifyWatcher(self._log_dir)
+                except OSError:
+                    self._watcher = None
+            self.tailer.turn()  # drain whatever already exists
+            while not self._stop.is_set():
+                if self._watcher is not None:
+                    self._watcher.wait(timeout=self._poll * 4)
+                else:
+                    time.sleep(self._poll)
+                self.tailer.turn()
+        except BaseException as exc:  # surface on the consumer side
+            self.error = exc
+        finally:
+            if self._watcher is not None:
+                self._watcher.close()
+
+    def start(self) -> "PushDelivery":
+        self._thread.start()
+        return self
+
+    def stop(self, timeout: float = 5.0) -> None:
+        self._stop.set()
+        self._thread.join(timeout=timeout)
+
+    def cursor(self) -> "PushCursor":
+        return PushCursor(self)
+
+
+class PushCursor:
+    """Forward-only blocking cursor over the push queue — the
+    reference ResultSet contract (jdbc.clj:205-331) with bounded
+    driver memory: holds at most one batch plus the queue."""
+
+    def __init__(self, delivery: PushDelivery) -> None:
+        self._delivery = delivery
+        self._batch: list[dict] = []
+        self._pos = -1
+        self.current: dict | None = None
+
+    def next(self, timeout: float | None = None) -> bool:
+        """Advance to the next envelope record; block until one
+        arrives or `timeout` elapses (False on timeout).  Re-raises a
+        tailer-thread failure instead of blocking forever."""
+        if self._pos + 1 >= len(self._batch):
+            deadline = None if timeout is None else time.monotonic() + timeout
+            while True:
+                if self._delivery.error is not None:
+                    raise self._delivery.error
+                remaining = 0.1
+                if deadline is not None:
+                    remaining = min(remaining, deadline - time.monotonic())
+                    if remaining <= 0:
+                        return False
+                try:
+                    self._batch = self._delivery.queue.get(timeout=remaining)
+                    self._pos = -1
+                    break
+                except queue.Empty:
+                    continue
+        self._pos += 1
+        self.current = self._batch[self._pos]
+        return True
+
+    def __iter__(self) -> Iterator[dict]:
+        while self.next(timeout=0.5):
+            yield self.current

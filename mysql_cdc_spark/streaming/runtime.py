@@ -273,6 +273,15 @@ class StreamingCursor:
     (jdbc.clj:205-331): `next()` advances or blocks until new rows
     arrive (queue `.take`, :174, :213-218); rows are delivered in
     offset order; the cursor starts before the first row.
+
+    Scale boundary (by design): Spark's memory sink accumulates the
+    whole stream in driver memory, and each poll re-scans it (the
+    `> last_seen` filter prunes what's COLLECTED, not what's stored).
+    That matches the reference's equally driver-side cursor for
+    bounded demos/tests, but for a long-running continuous query use
+    `streaming.push.PushCursor` — bounded queue, O(batch) driver
+    memory, the reference's LinkedBlockingQueue(10) semantics — or a
+    foreachBatch parquet sink tailed by a batch reader.
     """
 
     def __init__(

@@ -1,0 +1,154 @@
+"""Push-delivery path: inotify wake, bounded-queue backpressure,
+blocking cursor ordering — the reference's reader-thread +
+LinkedBlockingQueue(10) + blocking ResultSet contract (jdbc.clj:44,
+:174, :205-331) without any Spark job per turn."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from mysql_cdc_spark.sources.binlog_codec import (
+    TYPE_LONG,
+    TYPE_NEWDECIMAL,
+    TYPE_VARCHAR,
+    WRITE_ROWS_EVENT,
+    BinlogWriter,
+    TableDef,
+)
+from mysql_cdc_spark.streaming.push import INotifyWatcher, PushDelivery
+
+_T = TableDef(
+    "foo", "auto", [(TYPE_LONG, None), (TYPE_NEWDECIMAL, (12, 4)), (TYPE_VARCHAR, 50)]
+)
+_CAT = {("foo", "auto"): ["id", "val", "word"]}
+
+
+class _GrowingLog:
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self.w = BinlogWriter()
+        self.flushed = 0
+        self._flush()
+
+    def _flush(self) -> None:
+        data = self.w.getvalue()
+        with open(self.path, "ab") as fh:
+            fh.write(data[self.flushed:])
+        self.flushed = len(data)
+
+    def append_txn(self, i: int) -> None:
+        self.w.write_query("foo", "BEGIN", ts=i)
+        self.w.write_table_map(_T, ts=i)
+        self.w.write_rows(WRITE_ROWS_EVENT, _T, [[i, f"{i}.0000", "x"]], ts=i)
+        self.w.write_xid(i, ts=i)
+        self._flush()
+
+
+@pytest.mark.skipif(not INotifyWatcher.available(), reason="no inotify")
+def test_inotify_wakes_on_append(tmp_path):
+    w = INotifyWatcher(str(tmp_path))
+    try:
+        assert w.wait(timeout=0.05) is False  # nothing happened
+        with open(tmp_path / "f.bin", "ab") as fh:
+            fh.write(b"x")
+        assert w.wait(timeout=2.0) is True
+    finally:
+        w.close()
+
+
+def test_push_cursor_delivers_in_order(tmp_path):
+    log = _GrowingLog(str(tmp_path / "binlog.000001"))
+    d = PushDelivery(str(tmp_path), "binlog.000001", _CAT).start()
+    try:
+        cur = d.cursor()
+        n_txns = 30
+        for i in range(n_txns):
+            log.append_txn(i)
+        got = []
+        # per-txn: query, table_map, write_rows, xid (the tailer drops
+        # format_description/rotate — bookkeeping, not change data)
+        expected = 4 * n_txns
+        deadline = time.monotonic() + 20
+        while len(got) < expected and time.monotonic() < deadline:
+            if cur.next(timeout=0.5):
+                got.append(cur.current)
+        assert len(got) == expected
+        rows = [e for e in got if e["op"] == "write_rows"]
+        assert [r["after"]["id"] for r in rows] == [str(i) for i in range(n_txns)]
+        # strict per-file seq order (forward-only contract)
+        seqs = [e["seq"] for e in got]
+        assert seqs == sorted(seqs)
+        xids = [e["xid"] for e in got if e["op"] == "xid"]
+        assert xids == list(range(n_txns))
+    finally:
+        d.stop()
+
+
+def test_push_backpressure_bounded_queue(tmp_path):
+    """queue_size=1 and a deliberately lagging consumer: the producer
+    must block (bounded memory), yet every record still arrives in
+    order once the consumer drains."""
+    log = _GrowingLog(str(tmp_path / "binlog.000001"))
+    d = PushDelivery(str(tmp_path), "binlog.000001", _CAT, queue_size=1).start()
+    try:
+        for i in range(50):
+            log.append_txn(i)
+        time.sleep(1.0)  # let the tailer hit the full queue and block
+        assert d.queue.qsize() <= 1  # bounded despite 50 pending txns
+        cur = d.cursor()
+        got = []
+        deadline = time.monotonic() + 30
+        while len(got) < 200 and time.monotonic() < deadline:
+            if cur.next(timeout=0.5):
+                got.append(cur.current)
+        assert len(got) == 200
+        rows = [e for e in got if e["op"] == "write_rows"]
+        assert [r["after"]["id"] for r in rows] == [str(i) for i in range(50)]
+    finally:
+        d.stop()
+
+
+def test_push_rotation_follow(tmp_path):
+    """The push path follows ROTATE chains like the batch tailer."""
+    w1 = BinlogWriter()
+    w1.write_table_map(_T, ts=1)
+    w1.write_rows(WRITE_ROWS_EVENT, _T, [[1, "1.0000", "a"]], ts=1)
+    w1.write_xid(1, ts=1)
+    w1.write_rotate("binlog.000002")
+    (tmp_path / "binlog.000001").write_bytes(w1.getvalue())
+    w2 = BinlogWriter()
+    w2.write_table_map(_T, ts=2)
+    w2.write_rows(WRITE_ROWS_EVENT, _T, [[2, "2.0000", "b"]], ts=2)
+    w2.write_xid(2, ts=2)
+    (tmp_path / "binlog.000002").write_bytes(w2.getvalue())
+
+    d = PushDelivery(str(tmp_path), "binlog.000001", _CAT).start()
+    try:
+        cur = d.cursor()
+        got = []
+        deadline = time.monotonic() + 10
+        while len(got) < 6 and time.monotonic() < deadline:
+            if cur.next(timeout=0.5):
+                got.append(cur.current)
+        rows = [e for e in got if e["op"] == "write_rows"]
+        assert [(r["log_file"], r["after"]["id"]) for r in rows] == [
+            ("binlog.000001", "1"),
+            ("binlog.000002", "2"),
+        ]
+    finally:
+        d.stop()
+
+
+def test_push_cursor_surfaces_tailer_error(tmp_path):
+    (tmp_path / "binlog.000001").write_bytes(b"nota-binlog-file")
+    d = PushDelivery(str(tmp_path), "binlog.000001", _CAT).start()
+    try:
+        cur = d.cursor()
+        with pytest.raises(ValueError, match="bad magic"):
+            while cur.next(timeout=2.0):
+                pass
+    finally:
+        d.stop()

@@ -50,8 +50,15 @@ def frame_digest(df) -> tuple[int, list[str], str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    results: dict[str, dict] = {}
 
     import __spark_entry__ as e
     from mysql_cdc_spark.session import get_spark
@@ -71,20 +78,32 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as ex:
             failed.append(name)
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": None,
+                             "oracle_rows": None, "err": f"spark: {ex}"}
             print(f"FAIL {name}: spark error: {ex}")
             continue
         if name not in oracles:
             weak.append(name)
+            results[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": len(sdf),
+                             "oracle_rows": None, "err": "no oracle (rows-only)"}
             print(f"weak {name}: rows={len(sdf)} (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as ex:
             failed.append(name)
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": len(sdf),
+                             "oracle_rows": None, "err": f"duckdb: {ex}"}
             print(f"FAIL {name}: duckdb error: {ex}")
             continue
         sn, sc, sh = frame_digest(sdf)
         on, oc, oh = frame_digest(odf)
+        results[name] = {"rows_match": sn == on, "schema_match": sc == oc,
+                         "hash_match": (sn, sc, sh) == (on, oc, oh),
+                         "spark_rows": sn, "oracle_rows": on, "err": None}
         if (sn, sc, sh) == (on, oc, oh):
             passed.append(name)
             print(f"PASS {name}: rows={sn} [{time.time()-t0:.1f}s]")
@@ -97,6 +116,12 @@ def main() -> int:
                 print("  oracle head:", odf[sorted(odf.columns)].head(3).to_dict("records"))
 
     print(f"\n{len(passed)} passed, {len(failed)} failed, {len(weak)} weak (rows-only)")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(results, fh, indent=2)
+        print(f"wrote {json_out}")
     return 1 if failed else 0
 
 
