@@ -42,6 +42,7 @@ reference re-derives the real type the same way in read-field
 from __future__ import annotations
 
 import struct
+import zlib
 from dataclasses import dataclass, field
 
 MAGIC = b"\xfebin"
@@ -371,11 +372,22 @@ class TableDef:
 
 
 class BinlogWriter:
-    """Produce byte-exact v4 binlog files (magic, FDE, then events)."""
+    """Produce byte-exact v4 binlog files (magic, FDE, then events).
 
-    def __init__(self, server_id: int = 1) -> None:
+    ``checksum='crc32'`` writes modern (MySQL ≥5.6.6,
+    binlog_checksum=CRC32) framing: the FDE declares a 5.6 server and
+    carries the checksum-algorithm byte, and EVERY event (the FDE
+    included) gets a 4-byte little-endian CRC32 trailer over
+    header+body, counted in event_len — the public replication wire
+    format.  Default stays the reference's 5.1-era checksum-free
+    layout (mysql_binlog.clj:222-259 has no checksum handling)."""
+
+    def __init__(self, server_id: int = 1, checksum: str | None = None) -> None:
+        if checksum not in (None, "crc32"):
+            raise ValueError(f"unsupported checksum {checksum!r}")
         self.buf = bytearray(MAGIC)
         self.server_id = server_id
+        self._crc = checksum == "crc32"
         self.write_fde()
 
     @property
@@ -383,17 +395,31 @@ class BinlogWriter:
         return len(self.buf)
 
     def _emit(self, type_code: int, body: bytes, ts: int = 0) -> None:
-        next_pos = len(self.buf) + HEADER_LEN + len(body)
-        self.buf += struct.pack(
+        trailer = 4 if self._crc else 0
+        event_len = HEADER_LEN + len(body) + trailer
+        next_pos = len(self.buf) + event_len
+        header = struct.pack(
             "<IBIIIH", ts & 0xFFFFFFFF, type_code, self.server_id,
-            HEADER_LEN + len(body), next_pos, 0,
+            event_len, next_pos, 0,
         )
+        self.buf += header
         self.buf += body
+        if self._crc:
+            import zlib
+
+            crc = zlib.crc32(header + body)
+            self.buf += crc.to_bytes(4, "little")
 
     def write_fde(self) -> None:
-        body = struct.pack("<H", 4) + b"5.5.62-spark-cdc".ljust(50, b"\x00")
-        body += struct.pack("<IB", 0, HEADER_LEN)
-        body += bytes(27)  # post-header length table (unused by us)
+        if self._crc:
+            body = struct.pack("<H", 4) + b"5.6.51-spark-cdc".ljust(50, b"\x00")
+            body += struct.pack("<IB", 0, HEADER_LEN)
+            body += bytes(27)  # post-header length table (unused by us)
+            body += bytes([1])  # checksum algorithm: 1 = CRC32
+        else:
+            body = struct.pack("<H", 4) + b"5.5.62-spark-cdc".ljust(50, b"\x00")
+            body += struct.pack("<IB", 0, HEADER_LEN)
+            body += bytes(27)
         self._emit(FORMAT_DESCRIPTION_EVENT, body)
 
     def write_query(
@@ -551,6 +577,26 @@ class TableMapState:
 def is_binlog(data: bytes) -> bool:
     """S1: 4-byte magic check (reference binlog-file?, :47-53)."""
     return data[:4] == MAGIC
+
+
+def _fde_checksum_alg(body: bytes) -> int:
+    """Checksum algorithm declared by a v4 FORMAT_DESCRIPTION body.
+
+    MySQL ≥5.6.1 appends a checksum-algorithm byte to the FDE (public
+    format; the last 5 bytes of a checksummed FDE are [alg][crc32]).
+    Older servers (the reference's 5.1 era) have neither — detected by
+    parsing the server-version string, the same rule public
+    replication clients use.  Returns 0 (off) or 1 (CRC32)."""
+    try:
+        ver_s = body[2:52].split(b"\x00", 1)[0].split(b"-", 1)[0].decode("latin-1")
+        ver = tuple(int(x) for x in ver_s.split("."))
+    except ValueError:
+        return 0
+    if ver < (5, 6, 1) or len(body) < 62:
+        return 0
+    # ≥5.6.1 FDEs always carry [alg byte][4-byte self-CRC] at the end,
+    # even with binlog_checksum=NONE (alg=0) — so the alg byte is at -5.
+    return 1 if body[-5] == 1 else 0
 
 
 # Parse memo: real binlogs emit an IDENTICAL TABLE_MAP body before
@@ -740,6 +786,7 @@ def decode_binlog(
     start_offset: int = 4,
     table_map: TableMapState | None = None,
     on_error: str = "raise",
+    checksum: str | None = None,
 ) -> list[dict]:
     """D1+S3/S4: walk the event chain from `start_offset`, threading
     table-map state, with the torn-tail guard (a header or body that
@@ -753,7 +800,8 @@ def decode_binlog(
     raise, as in the reference (:727-729).
     """
     events, _, _ = decode_binlog_incremental(
-        data, start_offset, table_map, catalog, on_error=on_error
+        data, start_offset, table_map, catalog, on_error=on_error,
+        checksum=checksum,
     )
     return events
 
@@ -766,6 +814,7 @@ def decode_binlog_incremental(
     *,
     base: int = 0,
     on_error: str = "raise",
+    checksum: str | None = None,
 ) -> tuple[list[dict], int, TableMapState | None]:
     """S9 incremental-turn form: decode `[start_offset, end-of-data)`
     and return (events, next_offset, table_map_state) so the caller
@@ -794,6 +843,10 @@ def decode_binlog_incremental(
     catalog = catalog or {}
     events: list[dict] = []
     tmap = table_map
+    # CRC32 framing state (MySQL ≥5.6.6 binlog_checksum): normally
+    # auto-detected from this file's FDE; a tailer resuming mid-file
+    # past the FDE passes the detected mode back in via `checksum`.
+    alg = 1 if checksum == "crc32" else 0
     seq = 0
     pos = start_offset - base  # index into `data`; absolute = base + pos
     while pos + HEADER_LEN <= len(data):
@@ -810,6 +863,24 @@ def decode_binlog_incremental(
             "xid": None, "sql": None, "before": None, "after": None,
         }
         try:
+            if type_code == FORMAT_DESCRIPTION_EVENT:
+                alg = _fde_checksum_alg(body)
+                ev["checksum_alg"] = "crc32" if alg == 1 else None
+            if alg == 1 and event_len >= HEADER_LEN + 4:
+                # Trailer = CRC32 over header+body (not itself);
+                # verify, then strip so body parsing sees the logical
+                # payload.  A mismatch is handled like any corrupt
+                # body: raise, or dead-letter in quarantine mode —
+                # the frame boundaries are still trustworthy.
+                expect = int.from_bytes(body[-4:], "little")
+                actual = zlib.crc32(data[pos:pos + event_len - 4])
+                if actual != expect:
+                    raise ValueError(
+                        f"CRC32 mismatch on {OP_NAMES.get(type_code, type_code)} "
+                        f"at offset {base + pos}: "
+                        f"stored {expect:#010x}, computed {actual:#010x}"
+                    )
+                body = body[:-4]
             _decode_body(ev, type_code, body, catalog, tmap)
         except Exception as exc:
             if on_error == "quarantine":

@@ -55,6 +55,11 @@ class BinlogTailer:
         # a live tailer must not die on one malformed event.
         self.on_error = on_error
         self._magic_ok = False               # validated once per log file
+        # CRC32 framing (MySQL ≥5.6.6): auto-detected from each file's
+        # FDE on the first turn, carried across turns (later turns
+        # start past the FDE), reset on rotation — per-file state,
+        # like the table map.
+        self.checksum: str | None = None
         self.last_read_bytes = 0             # I/O per turn (observability/tests)
 
     @property
@@ -84,6 +89,7 @@ class BinlogTailer:
             events, next_offset, tmap = decode_binlog_incremental(
                 tail, self.offset, self.table_map, self.catalog,
                 base=self.offset, on_error=self.on_error,
+                checksum=self.checksum,
             )
             self.offset = next_offset
             self.table_map = tmap
@@ -91,6 +97,8 @@ class BinlogTailer:
             rotate_to = None
             batch = []
             for ev in events:
+                if ev["op"] == "format_description":
+                    self.checksum = ev.get("checksum_alg")
                 if ev["op"] == "rotate":
                     rotate_to = ev["sql"]    # next log file name
                 elif ev["op"] in _ENVELOPE_OPS:
@@ -110,6 +118,7 @@ class BinlogTailer:
             self.current_log = rotate_to
             self.offset = 4
             self.table_map = None
+            self.checksum = None             # next file's FDE decides
             self._magic_ok = False
             if not os.path.exists(self._path):
                 return delivered
