@@ -78,10 +78,106 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
-def train_merges(docs: DataFrame, n_merges: int = N_MERGES) -> list[tuple[str, str, int]]:
+def _merge_word(syms: tuple[str, ...], left: str, right: str) -> tuple[str, ...]:
+    """Greedy left-to-right non-overlapping merge of one word."""
+    out: list[str] = []
+    i = 0
+    n = len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def _train_merges_local(
+    freqs: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str, int]]:
+    """Exact BPE training over a collected (word, freq) table — the
+    standard incremental trainer (pair→affected-words index; only
+    words containing the winning pair are re-counted each round, as in
+    Sennrich's public learn_bpe).  Same argmax and (freq DESC, pair
+    ASC) tie-break as the distributed loop, so the two paths are
+    interchangeable."""
+    from collections import Counter, defaultdict
+
+    words: list[tuple[str, ...]] = [tuple(w) for w, _ in freqs]
+    wf = [f for _, f in freqs]
+    pc: Counter = Counter()
+    p2w: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for idx, syms in enumerate(words):
+        f = wf[idx]
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pc[p] += f
+            p2w[p].add(idx)
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        best = None
+        best_key = None
+        for pair, cnt in pc.items():
+            if cnt <= 0:
+                continue
+            key = (-cnt, pair[0] + " " + pair[1])
+            if best_key is None or key < best_key:
+                best, best_key = pair, key
+        if best is None:
+            break
+        left, right = best
+        merges.append((left, right, pc[best]))
+        # Re-count only the words that (may) contain the winning pair;
+        # p2w sets can hold stale ids — the subtract/re-add below is a
+        # net no-op for those, never a corruption.
+        for idx in p2w.pop(best, ()):
+            syms = words[idx]
+            f = wf[idx]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] -= f
+            merged = _merge_word(syms, left, right)
+            words[idx] = merged
+            for i in range(len(merged) - 1):
+                p = (merged[i], merged[i + 1])
+                pc[p] += f
+                p2w[p].add(idx)
+        pc.pop(best, None)
+    return merges
+
+
+# Above this many distinct words the vocabulary is trained with the
+# distributed round loop instead of being collected.  The vocab is the
+# AGGREGATED word-frequency table, not the corpus: English web text at
+# any corpus size plateaus around 10^7 distinct alnum words, so the
+# driver path covers real corpora by orders of magnitude while the
+# fallback keeps the operator total-scale-safe.
+DRIVER_VOCAB_MAX = 2_000_000
+
+
+def train_merges(
+    docs: DataFrame,
+    n_merges: int = N_MERGES,
+    driver_vocab_max: int = DRIVER_VOCAB_MAX,
+) -> list[tuple[str, str, int]]:
     """Learn the top-`n_merges` BPE merge rules; returns
-    [(left, right, pair_freq), ...] in application order."""
-    vocab = word_freq(docs).select(_spaced(F.col("w")).alias("ws"), "freq").cache()
+    [(left, right, pair_freq), ...] in application order.
+
+    The corpus is touched exactly once (word-frequency aggregation —
+    the only corpus-sized job).  The resulting vocabulary is a bounded
+    aggregate, like a centroid table: when it fits under
+    `driver_vocab_max` rows it is collected once and trained with the
+    incremental local algorithm (zero Spark jobs per merge round);
+    larger vocabularies fall back to the distributed
+    one-small-job-per-round loop.  Both paths implement the identical
+    published algorithm with the identical tie-break."""
+    wf_df = word_freq(docs)
+    probe = wf_df.limit(driver_vocab_max + 1).collect()
+    if len(probe) <= driver_vocab_max:
+        return _train_merges_local([(r["w"], int(r["freq"])) for r in probe], n_merges)
+
+    vocab = wf_df.select(_spaced(F.col("w")).alias("ws"), "freq").cache()
     merges: list[tuple[str, str, int]] = []
     try:
         for _ in range(n_merges):

@@ -112,3 +112,14 @@ def test_oracle_matches_when_merges_exhaust_early(spark):
     vocab_rows = con.execute(bpe.vocab_oracle_sql(4)).df()
     assert len(vocab_rows) == 1
     assert (vocab_rows.iloc[0]["left"], vocab_rows.iloc[0]["right"]) == ("a", "b")
+
+
+def test_distributed_and_local_trainers_agree(spark):
+    """Force the distributed fallback (driver_vocab_max=0) and check it
+    produces exactly the merges of the local incremental trainer and of
+    the independent reference."""
+    words = ["lowest", "lower", "low", "newest", "newer", "new", "widest"] * 3
+    docs = spark.createDataFrame([(0, " ".join(words))], "doc_id long, text string")
+    local = bpe.train_merges(docs, n_merges=5)
+    dist = bpe.train_merges(docs, n_merges=5, driver_vocab_max=0)
+    assert local == dist == _ref_bpe(words, 5)
