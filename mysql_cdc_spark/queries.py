@@ -528,20 +528,17 @@ SELECT * FROM (
 """.strip()
 
 
-@register("cdc_binlog_envelope", _BINLOG_ORACLE)
-def cdc_binlog_envelope(spark, sf_dir):
-    """Full binlog fidelity path: encode the derived change stream as
-    real v4 binlog BYTES, decode with the pure-Python codec via
-    binaryFile + mapInPandas, and project the envelope.  The oracle
-    re-derives the same records relationally — so every header, packed
-    int, bitfield, null map and packed decimal must round-trip."""
+def _binlog_envelope_projected(spark, sf_dir, prefix: str, checksum: str | None = None):
+    """Shared body of cdc_binlog_envelope / cdc_binlog_crc32: generate
+    the byte fixture (legacy or CRC32-framed), decode, project the
+    envelope with a global seq across rotated files."""
     import pathlib
 
     from mysql_cdc_spark.sources import binlog_source as bs
 
-    out_dir = pathlib.Path(_STREAM_TMP) / f"binlog_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
+    out_dir = pathlib.Path(_STREAM_TMP) / f"{prefix}_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
     if not any(out_dir.glob("binlog.*")):
-        bs.generate_binlog_from_events(sf_dir, str(out_dir))
+        bs.generate_binlog_from_events(sf_dir, str(out_dir), checksum=checksum)
     env = bs.read_binlog_envelope(spark, str(out_dir))
     # Global event number across rotated files: each log file holds
     # ROTATE_EVERY source events × 4 envelope events, so seq_global =
@@ -572,6 +569,28 @@ def cdc_binlog_envelope(spark, sf_dir):
         "exec_time",
         "error_code",
     )
+
+
+@register("cdc_binlog_envelope", _BINLOG_ORACLE)
+def cdc_binlog_envelope(spark, sf_dir):
+    """Full binlog fidelity path: encode the derived change stream as
+    real v4 binlog BYTES, decode with the pure-Python codec via
+    binaryFile + mapInPandas, and project the envelope.  The oracle
+    re-derives the same records relationally — so every header, packed
+    int, bitfield, null map and packed decimal must round-trip."""
+    return _binlog_envelope_projected(spark, sf_dir, "binlog")
+
+
+@register("cdc_binlog_crc32", _BINLOG_ORACLE)
+def cdc_binlog_crc32(spark, sf_dir):
+    """CRC32-checksummed byte path (MySQL ≥5.6.6 binlog_checksum
+    framing — beyond BOTH the reference's 5.1 era, mysql_binlog.clj
+    :222-259, and the legacy fixture): every event carries a 4-byte
+    CRC32 trailer, the FDE declares the algorithm, and the decoder
+    must detect, verify and strip it — producing an envelope
+    IDENTICAL to the legacy path, so the unchanged relational oracle
+    is the equivalence proof."""
+    return _binlog_envelope_projected(spark, sf_dir, "binlog_crc32", checksum="crc32")
 
 
 @register(

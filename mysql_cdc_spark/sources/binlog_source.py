@@ -298,6 +298,7 @@ def generate_binlog_from_events(
     out_dir: str,
     rotate_every: int = ROTATE_EVERY,
     corrupt_every: int | None = None,
+    checksum: str | None = None,
 ) -> list[str]:
     """Encode the derived change stream as REAL binlog bytes — the same
     derivation rules as sources/events_cdc.py (db/tbl from user_id
@@ -305,10 +306,13 @@ def generate_binlog_from_events(
     byte level: QUERY + TABLE_MAP + ROWS + XID per transaction, files
     rotated every `rotate_every` source events and chained with a
     ROTATE event naming the next log (as real binlogs are).
+    ``checksum='crc32'`` writes MySQL ≥5.6.6 CRC32 framing.
     Idempotent; the directory appears atomically (see _atomic_gen)."""
     return _atomic_gen(
         out_dir,
-        lambda d: _generate_binlog_files(sf_dir, d, rotate_every, corrupt_every),
+        lambda d: _generate_binlog_files(
+            sf_dir, d, rotate_every, corrupt_every, checksum
+        ),
     )
 
 
@@ -317,6 +321,7 @@ def _generate_binlog_files(
     out_dir: str,
     rotate_every: int,
     corrupt_every: int | None,
+    checksum: str | None = None,
 ) -> list[str]:
     os.makedirs(out_dir, exist_ok=True)
     pdf = _fixture_rows(sf_dir)
@@ -339,7 +344,7 @@ def _generate_binlog_files(
                     fh.write(writer.getvalue())
                 written.append(fname)
             fname = f"binlog.{file_no:06d}"
-            writer = BinlogWriter()
+            writer = BinlogWriter(checksum=checksum)
 
         db, tbl = ("foo", "auto") if user_id % 2 == 0 else ("bench", "big")
         t = tables[(db, tbl)]

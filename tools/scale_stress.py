@@ -73,5 +73,86 @@ def main() -> None:
                       "walls": walls, "total": round(sum(walls.values()), 3)}))
 
 
+
+
+# ---------------------------------------------------------------------------
+# Dedup/ANN family soak: replicate documents+embeddings K× and confirm
+# the banded-join designs stay near-linear (no bucket blowup).
+# Usage: python tools/scale_stress.py dedup [K]
+# ---------------------------------------------------------------------------
+
+def dedup_soak(k: int) -> None:
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_spark.queries import QUERIES
+    from mysql_cdc_spark.session import get_spark
+
+    spark = get_spark("stress-dedup")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out = Path(SCRATCH) / f"corpus_x{k}"
+    if not (out / "_done").exists():
+        docs = spark.read.parquet(f"{BASE}/documents.parquet")
+        n_docs = docs.count()
+        # Copies are PERTURBED (one extra leading token) so cross-copy
+        # pairs are near-dups, not byte-dups: the realistic heavy case
+        # for MinHash/Jaccard — shingle DF grows K×, exercising the
+        # MAX_SHINGLE_DF cap, while every original doc gains K-1 close
+        # neighbors.
+        doc_copies = [
+            docs.select(
+                (F.col("doc_id") + F.lit(i * n_docs)).alias("doc_id"),
+                (F.concat(F.lit(f"copyvariant{i} "), F.col("text"))
+                 if i else F.col("text")).alias("text"),
+                "lang", "source", "n_chars",
+            )
+            for i in range(k)
+        ]
+        big_docs = doc_copies[0]
+        for c in doc_copies[1:]:
+            big_docs = big_docs.unionByName(c)
+        big_docs.repartition(8).write.mode("overwrite").parquet(
+            str(out / "documents.parquet")
+        )
+        emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+        n_emb = emb.count()
+        emb_copies = [
+            emb.select(
+                (F.col("vec_id") + F.lit(i * n_emb)).alias("vec_id"),
+                "embedding", "label",
+            )
+            for i in range(k)
+        ]
+        big_emb = emb_copies[0]
+        for c in emb_copies[1:]:
+            big_emb = big_emb.unionByName(c)
+        big_emb.repartition(8).write.mode("overwrite").parquet(
+            str(out / "embeddings.parquet")
+        )
+        (out / "_done").touch()
+
+    sf_dir = str(out)
+    names = ["llm_dedup_minhash", "llm_dedup_jaccard", "llm_cross_dup",
+             "llm_ann_lsh", "llm_knn"]
+    walls = {}
+    for name in names:
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        walls[name] = round(best, 3)
+    print(json.dumps({
+        "mode": "dedup_soak", "k": k,
+        "docs": spark.read.parquet(f"{sf_dir}/documents.parquet").count(),
+        "embeddings": spark.read.parquet(f"{sf_dir}/embeddings.parquet").count(),
+        "walls": walls, "total": round(sum(walls.values()), 3),
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "dedup":
+        dedup_soak(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+    else:
+        main()
