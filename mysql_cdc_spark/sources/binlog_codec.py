@@ -58,6 +58,9 @@ TABLE_MAP_EVENT = 19
 WRITE_ROWS_EVENT = 23   # v1
 UPDATE_ROWS_EVENT = 24  # v1
 DELETE_ROWS_EVENT = 25  # v1
+GTID_EVENT = 33             # MySQL >=5.6 global transaction id
+ANONYMOUS_GTID_EVENT = 34   # gtid_mode=OFF placeholder
+PREVIOUS_GTIDS_EVENT = 35   # executed-set snapshot at log start
 
 # Column type codes (public; reference table :430-457)
 TYPE_TINY = 1
@@ -90,6 +93,9 @@ OP_NAMES = {
     UPDATE_ROWS_EVENT: "update_rows",
     DELETE_ROWS_EVENT: "delete_rows",
     XID_EVENT: "xid",
+    GTID_EVENT: "gtid",
+    ANONYMOUS_GTID_EVENT: "gtid",
+    PREVIOUS_GTIDS_EVENT: "previous_gtids",
 }
 
 # ---------------------------------------------------------------------------
@@ -551,6 +557,23 @@ class BinlogWriter:
     def write_rotate(self, next_log: str) -> None:
         self._emit(ROTATE_EVENT, struct.pack("<Q", 4) + next_log.encode("latin-1"))
 
+    def write_gtid(self, sid: str, gno: int, ts: int = 0) -> None:
+        """MySQL ≥5.6 GTID event: commit-flag, server UUID, txn number."""
+        body = b"\x01" + _uuid_bytes(sid) + gno.to_bytes(8, "little", signed=True)
+        self._emit(GTID_EVENT, body, ts)
+
+    def write_previous_gtids(
+        self, gtid_set: dict[str, list[tuple[int, int]]], ts: int = 0
+    ) -> None:
+        """PREVIOUS_GTIDS snapshot; intervals are [start, end+1) on the
+        wire (pass inclusive (start, end) pairs here)."""
+        body = struct.pack("<Q", len(gtid_set))
+        for sid, intervals in gtid_set.items():
+            body += _uuid_bytes(sid) + struct.pack("<Q", len(intervals))
+            for start, end in intervals:
+                body += struct.pack("<QQ", start, end + 1)
+        self._emit(PREVIOUS_GTIDS_EVENT, body, ts)
+
     def getvalue(self) -> bytes:
         return bytes(self.buf)
 
@@ -577,6 +600,16 @@ class TableMapState:
 def is_binlog(data: bytes) -> bool:
     """S1: 4-byte magic check (reference binlog-file?, :47-53)."""
     return data[:4] == MAGIC
+
+
+def _uuid_text(sid: bytes) -> str:
+    """16 raw bytes → canonical 8-4-4-4-12 lowercase UUID text."""
+    h = sid.hex()
+    return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}"
+
+
+def _uuid_bytes(text: str) -> bytes:
+    return bytes.fromhex(text.replace("-", ""))
 
 
 def _fde_checksum_alg(body: bytes) -> int:
@@ -990,6 +1023,32 @@ def _decode_body(
         ev["after"] = rows_after or None
     elif type_code == XID_EVENT:
         ev["xid"] = struct.unpack_from("<Q", body, 0)[0]
+    elif type_code in (GTID_EVENT, ANONYMOUS_GTID_EVENT):
+        # MySQL ≥5.6 GTID post-header (public layout): commit-flag u8,
+        # sid 16 bytes (server UUID), gno s64 LE.  5.7 appends logical
+        # timestamps — trailing bytes, safely ignored.  The reference
+        # targets 5.1-era logs and has no GTID handling at all
+        # (mysql_binlog.clj:222-259 dispatch table).
+        sid = body[1:17]
+        gno = int.from_bytes(body[17:25], "little", signed=True)
+        ev["gtid"] = f"{_uuid_text(sid)}:{gno}"
+        ev["sql"] = ev["gtid"]
+    elif type_code == PREVIOUS_GTIDS_EVENT:
+        # n_sids u64, then per sid: uuid 16B + n_intervals u64 +
+        # [start u64, end u64) pairs — rendered in MySQL's canonical
+        # gtid_set text ("uuid:1-5:7", end-exclusive → inclusive).
+        n_sids = struct.unpack_from("<Q", body, 0)[0]
+        p = 8
+        parts = []
+        for _ in range(n_sids):
+            sid = body[p:p + 16]; p += 16
+            n_iv = struct.unpack_from("<Q", body, p)[0]; p += 8
+            ivs = []
+            for _ in range(n_iv):
+                start, end = struct.unpack_from("<QQ", body, p); p += 16
+                ivs.append(str(start) if end == start + 1 else f"{start}-{end - 1}")
+            parts.append(_uuid_text(sid) + ":" + ":".join(ivs))
+        ev["sql"] = ",".join(parts)
     elif type_code == ROTATE_EVENT:
         ev["op"] = "rotate"
         ev["sql"] = body[8:].decode("latin-1")  # next log name

@@ -670,3 +670,63 @@ def test_crc32_tailer_incremental_turns(tmp_path):
     rows = [e for e in got if e["op"] == "write_rows"]
     assert [r["after"][0]["val"] for r in rows] == ["-0.2500", "-1.2500", "-2.2500"]
     assert [e["xid"] for e in got if e["op"] == "xid"] == [0, 1, 2]
+
+
+# ---------------------------------------------------------------------------
+# GTID events (MySQL >=5.6) — modern-log fidelity the reference lacks
+# (its dispatch table, mysql_binlog.clj:222-259, has no GTID entries).
+# ---------------------------------------------------------------------------
+
+_SID = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+
+
+def test_gtid_roundtrip():
+    from mysql_cdc_spark.sources.binlog_codec import (
+        BinlogWriter, decode_binlog,
+    )
+    from mysql_cdc_spark.sources.binlog_source import FIXTURE_CATALOG
+
+    w = BinlogWriter()
+    w.write_previous_gtids({_SID: [(1, 5), (7, 7)]})
+    for i in range(3):
+        w.write_gtid(_SID, 6 + i, ts=i)
+        _txn_events(w, i)
+    evs = decode_binlog(w.getvalue(), FIXTURE_CATALOG)
+    prev = next(e for e in evs if e["op"] == "previous_gtids")
+    assert prev["sql"] == f"{_SID}:1-5:7"
+    gtids = [e for e in evs if e["op"] == "gtid"]
+    assert [g["gtid"] for g in gtids] == [f"{_SID}:6", f"{_SID}:7", f"{_SID}:8"]
+    assert [g["sql"] for g in gtids] == [g["gtid"] for g in gtids]
+    # transaction assembly unaffected: GTID precedes BEGIN, XID commits
+    assert [e["xid"] for e in evs if e["op"] == "xid"] == [0, 1, 2]
+
+
+def test_gtid_with_crc32_framing():
+    from mysql_cdc_spark.sources.binlog_codec import (
+        BinlogWriter, decode_binlog,
+    )
+    from mysql_cdc_spark.sources.binlog_source import FIXTURE_CATALOG
+
+    w = BinlogWriter(checksum="crc32")
+    w.write_previous_gtids({_SID: [(1, 9)]})
+    w.write_gtid(_SID, 10)
+    _txn_events(w, 10)
+    evs = decode_binlog(w.getvalue(), FIXTURE_CATALOG)
+    assert next(e for e in evs if e["op"] == "previous_gtids")["sql"] == f"{_SID}:1-9"
+    assert next(e for e in evs if e["op"] == "gtid")["gtid"] == f"{_SID}:10"
+    assert [e["xid"] for e in evs if e["op"] == "xid"] == [10]
+
+
+def test_gtid_flows_through_tailer(tmp_path):
+    from mysql_cdc_spark.sources.binlog_codec import BinlogWriter
+    from mysql_cdc_spark.sources.binlog_source import FIXTURE_CATALOG
+    from mysql_cdc_spark.streaming.binlog_tailer import BinlogTailer
+
+    w = BinlogWriter()
+    w.write_gtid(_SID, 1)
+    _txn_events(w, 1)
+    (tmp_path / "binlog.000001").write_bytes(w.getvalue())
+    got = []
+    BinlogTailer(str(tmp_path), "binlog.000001", got.extend, FIXTURE_CATALOG).turn()
+    assert [e["op"] for e in got][:2] == ["gtid", "query"]
+    assert got[0]["sql"] == f"{_SID}:1"
