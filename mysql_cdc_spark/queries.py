@@ -528,28 +528,35 @@ SELECT * FROM (
 """.strip()
 
 
-def _binlog_envelope_projected(spark, sf_dir, prefix: str, checksum: str | None = None):
-    """Shared body of cdc_binlog_envelope / cdc_binlog_crc32: generate
-    the byte fixture (legacy or CRC32-framed), decode, project the
-    envelope with a global seq across rotated files."""
+def _binlog_envelope_projected(
+    spark, sf_dir, prefix: str, checksum: str | None = None, gtid: bool = False
+):
+    """Shared body of cdc_binlog_envelope / cdc_binlog_crc32 /
+    cdc_binlog_gtid: generate the byte fixture (legacy, CRC32- or
+    GTID-framed), decode, project the envelope with a global seq
+    across rotated files (events-per-transaction varies: 4 legacy,
+    5 with GTID)."""
     import pathlib
 
     from mysql_cdc_spark.sources import binlog_source as bs
 
+    per_txn = 5 if gtid else 4
     out_dir = pathlib.Path(_STREAM_TMP) / f"{prefix}_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
     if not any(out_dir.glob("binlog.*")):
-        bs.generate_binlog_from_events(sf_dir, str(out_dir), checksum=checksum)
+        bs.generate_binlog_from_events(
+            sf_dir, str(out_dir), checksum=checksum, gtid=gtid
+        )
     env = bs.read_binlog_envelope(spark, str(out_dir))
     # Global event number across rotated files: each log file holds
-    # ROTATE_EVERY source events × 4 envelope events, so seq_global =
-    # file_index * (4 * ROTATE_EVERY) + seq_in_file.  Keeps the
-    # oracle's 4*event_id+k numbering valid at any scale factor while
-    # the sf0.01 gate spans several files (parallel decode + rotation
-    # exercised in the oracle path itself).
+    # ROTATE_EVERY source events × per_txn envelope events, so
+    # seq_global = file_index * (per_txn * ROTATE_EVERY) + seq_in_file.
+    # Keeps the oracle's per_txn*event_id+k numbering valid at any
+    # scale factor while the sf0.01 gate spans several files (parallel
+    # decode + rotation exercised in the oracle path itself).
     env = env.withColumn(
         "seq",
         F.regexp_extract("log_file", r"binlog\.(\d+)", 1).cast("bigint")
-        * (4 * bs.ROTATE_EVERY)
+        * (per_txn * bs.ROTATE_EVERY)
         + F.col("seq"),
     )
     return env.select(
@@ -579,6 +586,38 @@ def cdc_binlog_envelope(spark, sf_dir):
     re-derives the same records relationally — so every header, packed
     int, bitfield, null map and packed decimal must round-trip."""
     return _binlog_envelope_projected(spark, sf_dir, "binlog")
+
+
+# GTID-framed variant of the envelope oracle: 5 events per txn
+# (gtid, query, table_map, rows, xid) — derived from _BINLOG_ORACLE by
+# renumbering the seq arithmetic and adding the closed-form gtid block
+# (gno = event_id + 1 on a fixed server UUID).
+_BINLOG_GTID_ORACLE = (
+    _BINLOG_ORACLE
+    .replace("event_id*4+3", "event_id*5+4")
+    .replace("event_id*4+2", "event_id*5+3")
+    .replace("event_id*4+1", "event_id*5+2")
+    .replace("event_id*4 AS BIGINT", "event_id*5+1 AS BIGINT")
+    .rstrip()
+    .removesuffix(")")
+    + """  UNION ALL
+  SELECT CAST(event_id*5 AS BIGINT), 'gtid', CAST(NULL AS VARCHAR), NULL,
+         NULL, '3e11fa47-71ca-11e1-9e33-c80aa9429562:' || CAST(event_id + 1 AS VARCHAR),
+         NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+  FROM ev
+)"""
+)
+
+
+@register("cdc_binlog_gtid", _BINLOG_GTID_ORACLE)
+def cdc_binlog_gtid(spark, sf_dir):
+    """GTID-framed byte path (MySQL ≥5.6 gtid_mode=ON): every
+    transaction is preceded by a GTID event carrying uuid:gno; the
+    decoder surfaces it as op='gtid' rows in the envelope, and the
+    oracle recomputes every gtid in closed form (gno = event_id + 1).
+    The reference has no GTID handling at all (mysql_binlog.clj
+    :222-259)."""
+    return _binlog_envelope_projected(spark, sf_dir, "binlog_gtid", gtid=True)
 
 
 @register("cdc_binlog_crc32", _BINLOG_ORACLE)

@@ -293,12 +293,18 @@ def _atomic_gen(out_dir: str, gen):
     return result
 
 
+# Fixed server UUID for GTID-framed fixtures (gno = event_id + 1, so
+# the oracle recomputes the gtid text in closed form).
+GTID_SID = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+
+
 def generate_binlog_from_events(
     sf_dir: str,
     out_dir: str,
     rotate_every: int = ROTATE_EVERY,
     corrupt_every: int | None = None,
     checksum: str | None = None,
+    gtid: bool = False,
 ) -> list[str]:
     """Encode the derived change stream as REAL binlog bytes — the same
     derivation rules as sources/events_cdc.py (db/tbl from user_id
@@ -311,7 +317,7 @@ def generate_binlog_from_events(
     return _atomic_gen(
         out_dir,
         lambda d: _generate_binlog_files(
-            sf_dir, d, rotate_every, corrupt_every, checksum
+            sf_dir, d, rotate_every, corrupt_every, checksum, gtid
         ),
     )
 
@@ -322,6 +328,7 @@ def _generate_binlog_files(
     rotate_every: int,
     corrupt_every: int | None,
     checksum: str | None = None,
+    gtid: bool = False,
 ) -> list[str]:
     os.makedirs(out_dir, exist_ok=True)
     pdf = _fixture_rows(sf_dir)
@@ -369,6 +376,10 @@ def _generate_binlog_files(
                 else f"ALTER TABLE {qualified} DROP COLUMN {ddl_col}"
             )
 
+        if gtid:
+            # Modern framing: GTID precedes each transaction; gno is
+            # the global txn counter (event_id is corpus-unique).
+            writer.write_gtid(GTID_SID, event_id + 1, ts)
         # Non-trivial post-header fields so the oracle checks them:
         # a synthetic session id, a bounded exec time, and a dup-key
         # error code on every 1000th statement.
