@@ -58,6 +58,7 @@ TABLE_MAP_EVENT = 19
 WRITE_ROWS_EVENT = 23   # v1
 UPDATE_ROWS_EVENT = 24  # v1
 DELETE_ROWS_EVENT = 25  # v1
+ROWS_QUERY_EVENT = 29       # original SQL of the following row events
 GTID_EVENT = 33             # MySQL >=5.6 global transaction id
 ANONYMOUS_GTID_EVENT = 34   # gtid_mode=OFF placeholder
 PREVIOUS_GTIDS_EVENT = 35   # executed-set snapshot at log start
@@ -93,6 +94,7 @@ OP_NAMES = {
     UPDATE_ROWS_EVENT: "update_rows",
     DELETE_ROWS_EVENT: "delete_rows",
     XID_EVENT: "xid",
+    ROWS_QUERY_EVENT: "rows_query",
     GTID_EVENT: "gtid",
     ANONYMOUS_GTID_EVENT: "gtid",
     PREVIOUS_GTIDS_EVENT: "previous_gtids",
@@ -556,6 +558,12 @@ class BinlogWriter:
 
     def write_rotate(self, next_log: str) -> None:
         self._emit(ROTATE_EVENT, struct.pack("<Q", 4) + next_log.encode("latin-1"))
+
+    def write_rows_query(self, sql: str, ts: int = 0) -> None:
+        """ROWS_QUERY event: original statement text (length byte is
+        capped at 255 as on real servers; text reads to end of body)."""
+        b = sql.encode("latin-1")
+        self._emit(ROWS_QUERY_EVENT, bytes([min(len(b), 255)]) + b, ts)
 
     def write_gtid(self, sid: str, gno: int, ts: int = 0) -> None:
         """MySQL ≥5.6 GTID event: commit-flag, server UUID, txn number."""
@@ -1023,6 +1031,12 @@ def _decode_body(
         ev["after"] = rows_after or None
     elif type_code == XID_EVENT:
         ev["xid"] = struct.unpack_from("<Q", body, 0)[0]
+    elif type_code == ROWS_QUERY_EVENT:
+        # binlog_rows_query_log_events=ON: the ORIGINAL statement text
+        # for the row events that follow (post-header: 1-byte length,
+        # which real servers cap — the text itself may exceed it, so
+        # read to end of body as public decoders do).
+        ev["sql"] = body[1:].decode("latin-1")
     elif type_code in (GTID_EVENT, ANONYMOUS_GTID_EVENT):
         # MySQL ≥5.6 GTID post-header (public layout): commit-flag u8,
         # sid 16 bytes (server UUID), gno s64 LE.  5.7 appends logical

@@ -130,7 +130,7 @@ BINLOG_ENVELOPE_SCHEMA = T.StructType(
 
 _ENVELOPE_OPS = (
     "query", "table_map", "write_rows", "update_rows", "delete_rows", "xid",
-    "quarantine", "gtid", "previous_gtids",
+    "quarantine", "gtid", "previous_gtids", "rows_query",
 )
 
 

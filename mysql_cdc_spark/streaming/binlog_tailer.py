@@ -32,7 +32,7 @@ from mysql_cdc_spark.sources.binlog_codec import (
 
 _ENVELOPE_OPS = (
     "query", "table_map", "write_rows", "update_rows", "delete_rows", "xid",
-    "quarantine", "gtid", "previous_gtids",
+    "quarantine", "gtid", "previous_gtids", "rows_query",
 )
 
 

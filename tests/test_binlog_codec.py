@@ -730,3 +730,17 @@ def test_gtid_flows_through_tailer(tmp_path):
     BinlogTailer(str(tmp_path), "binlog.000001", got.extend, FIXTURE_CATALOG).turn()
     assert [e["op"] for e in got][:2] == ["gtid", "query"]
     assert got[0]["sql"] == f"{_SID}:1"
+
+
+def test_rows_query_event_roundtrip():
+    from mysql_cdc_spark.sources.binlog_codec import BinlogWriter, decode_binlog
+    from mysql_cdc_spark.sources.binlog_source import FIXTURE_CATALOG
+
+    stmt = "UPDATE foo.auto SET val = val + 1 WHERE word LIKE 'x%'"
+    w = BinlogWriter(checksum="crc32")
+    w.write_rows_query(stmt)
+    _txn_events(w, 3)
+    evs = decode_binlog(w.getvalue(), FIXTURE_CATALOG)
+    rq = next(e for e in evs if e["op"] == "rows_query")
+    assert rq["sql"] == stmt
+    assert [e["xid"] for e in evs if e["op"] == "xid"] == [3]
