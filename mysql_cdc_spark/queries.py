@@ -346,12 +346,23 @@ def _drain(transformed: DataFrame, output_mode: str = "append") -> DataFrame:
 
     from mysql_cdc_spark.streaming import runtime as rt
 
-    name = f"sink_{uuid.uuid4().hex[:10]}"
-    cp = f"{_STREAM_TMP}/cp_{name}"
-    try:
-        return rt.run_to_memory(transformed, name, cp, output_mode)
-    finally:
-        shutil.rmtree(cp, ignore_errors=True)
+    # One retry on transient stream-infrastructure failures (state-store
+    # commit races, executor churn): the drain is deterministic — same
+    # source files, fresh checkpoint — so a retry recomputes the same
+    # answer; without it one transient marks a correctness row red.
+    last_exc: Exception | None = None
+    for _ in range(2):
+        name = f"sink_{uuid.uuid4().hex[:10]}"
+        cp = f"{_STREAM_TMP}/cp_{name}"
+        try:
+            return rt.run_to_memory(transformed, name, cp, output_mode)
+        except Exception as exc:  # noqa: BLE001 - classified below
+            if "STREAM_FAILED" not in str(exc) and "StateStore" not in str(exc):
+                raise
+            last_exc = exc
+        finally:
+            shutil.rmtree(cp, ignore_errors=True)
+    raise last_exc
 
 
 @register(
