@@ -64,10 +64,16 @@ class CDCStatement:
         blocks in `next()` until the log grows (jdbc.clj:213-218
         blocking on the queue `.take`).
 
-        Returns (StreamingCursor, StreamingQuery handle): iterate the
-        cursor; call `handle.stop()` to end the continuous query.
+        Returns (QueueStreamingCursor, StreamingQuery handle): iterate
+        the cursor; call `handle.stop()` to end the continuous query.
         `log_dir` overrides the materialized event-log directory (a
         live deployment points this at the real ingest directory).
+
+        Bounded by construction (r8): each micro-batch flows through a
+        foreachBatch into a bounded queue.Queue(10) — the reference's
+        LinkedBlockingQueue(10) (jdbc.clj:44) — so driver memory is
+        O(queue × batch) regardless of how long the stream runs, and
+        `maxFilesPerTrigger=1` bounds the batch to one log file.
         """
         import uuid
 
@@ -78,21 +84,18 @@ class CDCStatement:
         spark = self._conn.spark
         if log_dir is None:
             log_dir = rt.ensure_event_log(spark, self._conn.source)
-        stream = rt.open_stream(spark, log_dir)
+        stream = rt.open_stream(spark, log_dir, max_files_per_trigger=1)
         parsed = q.parse_statement(sql)
         out = q.select_changes(
             stream, parsed["db"], parsed["table"], parsed["delta_type"]
         )
         name = f"cdc_{uuid.uuid4().hex[:10]}"
         cp_dir = f"/root/repo/.stream_tmp/cp_{name}"
-        query_handle = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .option("checkpointLocation", cp_dir)
-            .trigger(processingTime=f"{trigger_seconds} seconds")
-            .start()
+        cursor = rt.QueueStreamingCursor().attach(
+            out, cp_dir, trigger_seconds=trigger_seconds
         )
-        # A memory-sink continuous query has no durable output to
+        query_handle = cursor.query
+        # A queue-sink continuous query has no durable output to
         # protect: remove its per-call checkpoint when it stops so
         # repeated queries don't accumulate orphaned state (advisor
         # finding; same hygiene as the registry's _drain).
@@ -107,7 +110,7 @@ class CDCStatement:
                 shutil.rmtree(cp_dir, ignore_errors=True)
 
         query_handle.stop = _stop_and_clean
-        return rt.StreamingCursor(spark, name), query_handle
+        return cursor, query_handle
 
     def execute_update(self, sql: str) -> int:
         raise UnsupportedOperation("unsupported: executeUpdate (jdbc.clj:368-371)")

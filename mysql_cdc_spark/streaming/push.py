@@ -213,5 +213,26 @@ class PushCursor:
         return True
 
     def __iter__(self) -> Iterator[dict]:
-        while self.next(timeout=0.5):
+        """Iterate over the live stream until the delivery is stopped.
+
+        An idle gap does NOT end iteration: `next()` timeouts are
+        retried while the producer thread is alive, so a for-loop never
+        mistakes a momentarily-idle live stream for exhaustion.
+        Iteration ends only once `PushDelivery.stop()` has been called
+        AND the queue is drained (or the tailer thread died, which
+        re-raises).  To consume a bounded/already-written log while the
+        producer stays running, use `drain(idle_timeout=...)`.
+        """
+        while True:
+            if self.next(timeout=0.25):
+                yield self.current
+                continue
+            if self._delivery._stop.is_set() and self._delivery.queue.empty():
+                return
+
+    def drain(self, idle_timeout: float = 0.5) -> Iterator[dict]:
+        """Yield records until the stream has been idle for
+        `idle_timeout` seconds — for drained or bounded logs where the
+        producer keeps running and 'no data for a while' means done."""
+        while self.next(timeout=idle_timeout):
             yield self.current

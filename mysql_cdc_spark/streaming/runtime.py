@@ -267,6 +267,123 @@ def idempotent_parquet_sink(out_dir: str):
     return event_fn
 
 
+class QueueStreamingCursor:
+    """R9 for the streaming path, BOUNDED: a forward-only blocking
+    cursor fed by `foreachBatch` through a bounded `queue.Queue` — the
+    reference's reader-thread + LinkedBlockingQueue(10) (jdbc.clj:44,
+    `.take` :174, :213-218) mapped onto Structured Streaming.
+
+    Memory contract: driver holds at most `queue_size` batches plus the
+    one being consumed — O(queue_size × batch), independent of stream
+    length.  Nothing is ever re-scanned or re-sorted: each micro-batch
+    is collected once, ordered within the batch, enqueued, consumed,
+    dropped.  When the queue is full the foreachBatch call blocks,
+    which stalls the micro-batch — genuine backpressure into the
+    engine, the exact semantics of the reference's bounded queue
+    (producer blocks when the consumer lags).  Bound the batch itself
+    with the source's `maxFilesPerTrigger`.
+
+    `attach()` starts the streaming query; `next()` advances or blocks;
+    `close()` stops the query.  A failed query re-raises in `next()`
+    instead of blocking forever.
+    """
+
+    def __init__(self, order_col: str | None = "offset", queue_size: int = 10) -> None:
+        import queue as _queue
+        import threading
+
+        self._q: "_queue.Queue[list[Row]]" = _queue.Queue(maxsize=queue_size)
+        self._order = order_col
+        self._closed = threading.Event()
+        self._batch: list[Row] = []
+        self._pos = -1          # before-first-row
+        self.current: Row | None = None
+        self.query = None
+        self.max_batch_rows = 0  # observability: peak per-batch row count
+
+    def _event_fn(self, batch_df: DataFrame, batch_id: int) -> None:
+        df = batch_df.orderBy(self._order) if self._order else batch_df
+        rows = df.collect()
+        if not rows:
+            return
+        self.max_batch_rows = max(self.max_batch_rows, len(rows))
+        import queue as _queue
+
+        # Bounded put with a close check so shutdown never deadlocks a
+        # blocked producer.
+        while not self._closed.is_set():
+            try:
+                self._q.put(rows, timeout=0.1)
+                return
+            except _queue.Full:
+                continue
+
+    def attach(
+        self,
+        transformed: DataFrame,
+        checkpoint_dir: str,
+        trigger_seconds: float | None = None,
+        available_now: bool = False,
+    ) -> "QueueStreamingCursor":
+        writer = transformed.writeStream.foreachBatch(self._event_fn).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif trigger_seconds is not None:
+            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+        self.query = writer.start()
+        return self
+
+    def _queue_depth(self) -> int:
+        return self._q.qsize()
+
+    def next(self, timeout: float | None = None) -> bool:
+        """Advance to the next row; block until one arrives or
+        `timeout` elapses (False on timeout).  Raises the streaming
+        query's exception if it died."""
+        import queue as _queue
+
+        if self._pos + 1 >= len(self._batch):
+            deadline = None if timeout is None else time.monotonic() + timeout
+            while True:
+                if self.query is not None and not self.query.isActive:
+                    exc = self.query.exception()
+                    if exc is not None:
+                        raise exc
+                    if self._q.empty():
+                        return False  # query finished and fully drained
+                remaining = 0.1
+                if deadline is not None:
+                    remaining = min(remaining, deadline - time.monotonic())
+                    if remaining <= 0:
+                        return False
+                try:
+                    self._batch = self._q.get(timeout=max(remaining, 0.001))
+                    self._pos = -1
+                    break
+                except _queue.Empty:
+                    continue
+        self._pos += 1
+        self.current = self._batch[self._pos]
+        return True
+
+    def close(self) -> None:
+        self._closed.set()
+        if self.query is not None and self.query.isActive:
+            self.query.stop()
+
+    def __iter__(self) -> Iterator[Row]:
+        """Iterate until the query terminates and the queue drains; an
+        idle gap on a live query blocks rather than ending iteration."""
+        while True:
+            if self.next(timeout=0.25):
+                yield self.current
+                continue
+            if self.query is None or not self.query.isActive:
+                return
+
+
 class StreamingCursor:
     """R9 for the streaming path: a forward-only blocking cursor over a
     memory-sink table, reproducing the reference ResultSet's contract
@@ -277,11 +394,10 @@ class StreamingCursor:
     Scale boundary (by design): Spark's memory sink accumulates the
     whole stream in driver memory, and each poll re-scans it (the
     `> last_seen` filter prunes what's COLLECTED, not what's stored).
-    That matches the reference's equally driver-side cursor for
-    bounded demos/tests, but for a long-running continuous query use
-    `streaming.push.PushCursor` — bounded queue, O(batch) driver
-    memory, the reference's LinkedBlockingQueue(10) semantics — or a
-    foreachBatch parquet sink tailed by a batch reader.
+    Kept only for bounded demos/tests over an already-drained sink.
+    Continuous queries use `QueueStreamingCursor` (the api.py default
+    since r8) — bounded queue, O(batch) driver memory, no re-scan —
+    or `streaming.push.PushCursor` on the low-latency path.
     """
 
     def __init__(

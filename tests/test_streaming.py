@@ -102,6 +102,60 @@ def test_streaming_cursor_forward_only_blocking(spark, sf_dir, scratch):
     assert not cur.next(timeout=0.3)      # drained → blocking poll times out
 
 
+def test_queue_cursor_bounded_driver_memory(spark, sf_dir, scratch):
+    """Long-running stream through QueueStreamingCursor (VERDICT r7 #4):
+    the driver holds at most queue_size batches plus the one in hand —
+    O(batch), never O(stream).  With maxFilesPerTrigger=1 over 6 files
+    of 200 rows each, peak resident rows stay within (queue_size+1)
+    batches while the full 1200-row stream is still delivered exactly
+    once."""
+    log, cp = f"{scratch}/log", f"{scratch}/cp"
+    rt.write_event_log(_env(spark, sf_dir, 0, 1200), log, n_files=6)
+
+    cur = rt.QueueStreamingCursor(queue_size=2).attach(
+        rt.open_stream(spark, log, max_files_per_trigger=1), cp, available_now=True
+    )
+    try:
+        assert cur.current is None            # before-first-row
+        seen: list[int] = []
+        peak_resident = 0
+        while cur.next(timeout=30):
+            seen.append(cur.current["offset"])
+            resident = len(cur._batch) + cur._queue_depth() * cur.max_batch_rows
+            peak_resident = max(peak_resident, resident)
+        assert sorted(seen) == list(range(1200))  # exactly once, complete
+        # one log file per batch (range partitioner: ~200 rows ± sampling)
+        assert cur.max_batch_rows <= 260
+        assert peak_resident <= 3 * cur.max_batch_rows  # (queue_size+1) batches
+    finally:
+        cur.close()
+
+
+def test_queue_cursor_blocks_then_unblocks_on_append(spark, sf_dir, scratch):
+    """Live-stream semantics: next() times out while the log is idle
+    (without ending the stream) and unblocks when a new file lands."""
+    log, cp = f"{scratch}/log", f"{scratch}/cp"
+    _env(spark, sf_dir, 0, 100).coalesce(1).write.parquet(log)
+
+    cur = rt.QueueStreamingCursor().attach(
+        rt.open_stream(spark, log, max_files_per_trigger=1),
+        cp,
+        trigger_seconds=0.2,
+    )
+    try:
+        n = 0
+        while cur.next(timeout=15 if n == 0 else 2):
+            n += 1
+        assert n == 100
+        assert not cur.next(timeout=0.5)      # idle → timeout, query alive
+        assert cur.query.isActive
+        _env(spark, sf_dir, 100, 150).coalesce(1).write.mode("append").parquet(log)
+        assert cur.next(timeout=30)           # unblocks on new data
+        assert cur.current["offset"] >= 100
+    finally:
+        cur.close()
+
+
 def test_watermark_closes_windows_incrementally(spark, sf_dir, scratch):
     """Append-mode windowed agg with a watermark: as micro-batches
     advance event time, CLOSED windows are emitted exactly once and

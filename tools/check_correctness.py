@@ -54,6 +54,8 @@ def main() -> int:
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            sys.exit("usage: check_correctness.py [--json OUT] [SF_DIR [QUERY ...]]")
         json_out = argv[i + 1]
         del argv[i:i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
