@@ -55,9 +55,15 @@ ROTATE_EVENT = 4
 FORMAT_DESCRIPTION_EVENT = 15
 XID_EVENT = 16
 TABLE_MAP_EVENT = 19
-WRITE_ROWS_EVENT = 23   # v1
+WRITE_ROWS_EVENT = 23   # v1 (MySQL 5.1-5.5)
 UPDATE_ROWS_EVENT = 24  # v1
 DELETE_ROWS_EVENT = 25  # v1
+# v2 rows events (MySQL >=5.6, all 8.0): same layout plus a 2-byte
+# extra-row-info length (counting itself) after the flags, then that
+# many-minus-2 bytes of optional NDB/partition info to skip.
+WRITE_ROWS_EVENT_V2 = 30
+UPDATE_ROWS_EVENT_V2 = 31
+DELETE_ROWS_EVENT_V2 = 32
 ROWS_QUERY_EVENT = 29       # original SQL of the following row events
 GTID_EVENT = 33             # MySQL >=5.6 global transaction id
 ANONYMOUS_GTID_EVENT = 34   # gtid_mode=OFF placeholder
@@ -93,6 +99,9 @@ OP_NAMES = {
     WRITE_ROWS_EVENT: "write_rows",
     UPDATE_ROWS_EVENT: "update_rows",
     DELETE_ROWS_EVENT: "delete_rows",
+    WRITE_ROWS_EVENT_V2: "write_rows",
+    UPDATE_ROWS_EVENT_V2: "update_rows",
+    DELETE_ROWS_EVENT_V2: "delete_rows",
     XID_EVENT: "xid",
     ROWS_QUERY_EVENT: "rows_query",
     GTID_EVENT: "gtid",
@@ -994,11 +1003,23 @@ def _decode_body(
         new_map = _table_map_for(body, catalog)
         ev["db"], ev["tbl"] = new_map.db, new_map.table
         ev["_new_table_map"] = new_map
-    elif type_code in (WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT, DELETE_ROWS_EVENT):
+    elif type_code in (
+        WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT, DELETE_ROWS_EVENT,
+        WRITE_ROWS_EVENT_V2, UPDATE_ROWS_EVENT_V2, DELETE_ROWS_EVENT_V2,
+    ):
         if tmap is None:
             raise ValueError("row event without preceding TABLE_MAP")
         ev["db"], ev["tbl"] = tmap.db, tmap.table
-        n_cols, p = read_packed_int(body, 8)
+        p = 8  # table_id(6) + flags(2)
+        if type_code >= WRITE_ROWS_EVENT_V2:
+            # v2 post-header (MySQL >=5.6): extra-row-info length u16
+            # INCLUDING its own two bytes; skip the optional payload
+            # (NDB info / partition info) real servers may emit.
+            extra_len = int.from_bytes(body[8:10], "little")
+            if extra_len < 2:
+                raise ValueError(f"rows v2 extra-data length {extra_len} < 2")
+            p = 8 + extra_len
+        n_cols, p = read_packed_int(body, p)
         # A real row event's declared width always equals its table
         # map's column count; disagreement means a corrupt body.
         # Without this check a garbage width silently skips the whole
@@ -1009,19 +1030,21 @@ def _decode_body(
                 f"row event declares {n_cols} columns, "
                 f"table map has {len(tmap.col_types)}"
             )
+        is_update = type_code in (UPDATE_ROWS_EVENT, UPDATE_ROWS_EVENT_V2)
+        is_write = type_code in (WRITE_ROWS_EVENT, WRITE_ROWS_EVENT_V2)
         bm_bytes = (n_cols + 7) // 8
         used1 = body[p:p + bm_bytes]; p += bm_bytes
         used2 = None
-        if type_code == UPDATE_ROWS_EVENT:
+        if is_update:
             used2 = body[p:p + bm_bytes]; p += bm_bytes
         rows_before, rows_after = [], []
         while p < len(body):
             p0 = p
             img1, p = _read_image(body, p, tmap, used1)
-            if type_code == UPDATE_ROWS_EVENT:
+            if is_update:
                 img2, p = _read_image(body, p, tmap, used2)
                 rows_before.append(img1); rows_after.append(img2)
-            elif type_code == WRITE_ROWS_EVENT:
+            elif is_write:
                 rows_after.append(img1)
             else:
                 rows_before.append(img1)
