@@ -106,7 +106,21 @@ class INotifyWatcher:
 class PushDelivery:
     """Background tailer thread: inotify-wake → incremental decode →
     envelope batches into a bounded queue (the reference's reader
-    thread + LinkedBlockingQueue(10), jdbc.clj:44)."""
+    thread + LinkedBlockingQueue(10), jdbc.clj:44).
+
+    Durability (`journal_path`): the tailer's position (log name, byte
+    offset, checksum framing, carried table-map, per-file seq) is
+    journaled atomically after every turn that delivered events, and a
+    new `PushDelivery` pointed at the same journal resumes exactly
+    there — no rescan of already-delivered bytes, no duplicates on a
+    clean stop/restart.  The reference keeps this position only in
+    agent memory and loses it on restart (mysql_binlog.clj:914-916);
+    the journal is the push-path analog of the streaming path's
+    checkpoint.  Contract is at-least-once: a crash in the window
+    between queue delivery and the journal write replays that one
+    turn's batch — consumers needing exactly-once dedup by
+    (log_file, offset), which is strictly stronger than the reference.
+    """
 
     def __init__(
         self,
@@ -116,6 +130,7 @@ class PushDelivery:
         queue_size: int = 10,
         poll_fallback_seconds: float = 0.05,
         on_error: str = "raise",
+        journal_path: str | None = None,
     ) -> None:
         self.queue: queue.Queue[list[dict]] = queue.Queue(maxsize=queue_size)
         self._stop = threading.Event()
@@ -126,10 +141,72 @@ class PushDelivery:
         self.tailer = BinlogTailer(
             log_dir, first_log, self._deliver, catalog, on_error=on_error
         )
+        self._journal_path = journal_path
+        self._restore_journal()
         self._watcher: INotifyWatcher | None = None
         self._thread = threading.Thread(
             target=self._run, name="cdc-push-tailer", daemon=True
         )
+
+    # -- durable position ------------------------------------------------
+
+    def _restore_journal(self) -> None:
+        if self._journal_path is None or not os.path.exists(self._journal_path):
+            return
+        import json
+
+        from mysql_cdc_spark.sources.binlog_codec import TableMapState
+
+        with open(self._journal_path) as fh:
+            state = json.load(fh)
+        self.tailer.current_log = state["log"]
+        self.tailer.offset = int(state["offset"])
+        self.tailer.checksum = state.get("checksum")
+        self._seq = {k: int(v) for k, v in state.get("seq", {}).items()}
+        tm = state.get("table_map")
+        if tm is not None:
+            # col_meta entries are int | None | 2-tuple; JSON stores
+            # tuples as lists, and the field decoder dispatches on
+            # isinstance(meta, tuple) — restore the exact shapes.
+            self.tailer.table_map = TableMapState(
+                int(tm["table_id"]),
+                tm["db"],
+                tm["table"],
+                [int(t) for t in tm["col_types"]],
+                [tuple(m) if isinstance(m, list) else m for m in tm["col_meta"]],
+                list(tm.get("names", [])),
+            )
+
+    def _write_journal(self) -> None:
+        if self._journal_path is None:
+            return
+        pos = (self.tailer.current_log, self.tailer.offset)
+        if pos == getattr(self, "_journaled_pos", None):
+            return
+        self._journaled_pos = pos
+        import json
+
+        tm = self.tailer.table_map
+        state = {
+            "log": self.tailer.current_log,
+            "offset": self.tailer.offset,
+            "checksum": self.tailer.checksum,
+            "seq": self._seq,
+            "table_map": None
+            if tm is None
+            else {
+                "table_id": tm.table_id,
+                "db": tm.db,
+                "table": tm.table,
+                "col_types": list(tm.col_types),
+                "col_meta": list(tm.col_meta),
+                "names": list(tm.names),
+            },
+        }
+        tmp = f"{self._journal_path}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(state, fh)
+        os.replace(tmp, self._journal_path)  # atomic: never a torn journal
 
     def _deliver(self, batch: list[dict]) -> None:
         log_file = batch[0]["log_file"]
@@ -153,12 +230,14 @@ class PushDelivery:
                 except OSError:
                     self._watcher = None
             self.tailer.turn()  # drain whatever already exists
+            self._write_journal()
             while not self._stop.is_set():
                 if self._watcher is not None:
                     self._watcher.wait(timeout=self._poll * 4)
                 else:
                     time.sleep(self._poll)
                 self.tailer.turn()
+                self._write_journal()
         except BaseException as exc:  # surface on the consumer side
             self.error = exc
         finally:

@@ -142,6 +142,87 @@ def test_push_rotation_follow(tmp_path):
         d.stop()
 
 
+def _drain_all(cur, expected: int, timeout: float = 20.0) -> list[dict]:
+    got: list[dict] = []
+    deadline = time.monotonic() + timeout
+    while len(got) < expected and time.monotonic() < deadline:
+        if cur.next(timeout=0.5):
+            got.append(cur.current)
+    return got
+
+
+def test_push_journal_resumes_without_loss_or_duplication(tmp_path):
+    """Durable push path (VERDICT r7 #5): stop the delivery, start a new
+    one pointed at the same journal, and the stream continues exactly
+    where it left off — earlier transactions are NOT re-delivered
+    (offset resume, no duplication) and nothing written during the
+    downtime is lost."""
+    journal = str(tmp_path / "push.journal")
+    log = _GrowingLog(str(tmp_path / "binlog.000001"))
+
+    d1 = PushDelivery(str(tmp_path), "binlog.000001", _CAT, journal_path=journal).start()
+    try:
+        for i in range(10):
+            log.append_txn(i)
+        got1 = _drain_all(d1.cursor(), 40)
+        assert len(got1) == 40
+    finally:
+        d1.stop()
+
+    assert os.path.exists(journal)
+
+    # downtime: the writer keeps appending while no delivery is running
+    for i in range(10, 15):
+        log.append_txn(i)
+
+    d2 = PushDelivery(str(tmp_path), "binlog.000001", _CAT, journal_path=journal).start()
+    try:
+        got2 = _drain_all(d2.cursor(), 20)
+        assert len(got2) == 20                       # 5 txns x 4 events
+        rows = [e for e in got2 if e["op"] == "write_rows"]
+        # no loss: every downtime txn arrives; no duplication: nothing
+        # from before the restart is re-delivered
+        assert [r["after"]["id"] for r in rows] == [str(i) for i in range(10, 15)]
+        assert not d2.cursor().next(timeout=0.5)     # nothing extra queued
+    finally:
+        d2.stop()
+
+
+def test_push_journal_resumes_mid_transaction_table_map(tmp_path):
+    """The journal carries the table-map state: stop BETWEEN a
+    TABLE_MAP and its rows event, restart, and the rows event still
+    decodes with the journaled map (the same carried state the tailer
+    keeps across turns in memory)."""
+    journal = str(tmp_path / "push.journal")
+    path = str(tmp_path / "binlog.000001")
+    log = _GrowingLog(path)
+    # flush a complete txn, then a trailing TABLE_MAP with no rows yet
+    log.append_txn(0)
+    log.w.write_table_map(_T, ts=1)
+    log._flush()
+
+    d1 = PushDelivery(str(tmp_path), "binlog.000001", _CAT, journal_path=journal).start()
+    try:
+        got1 = _drain_all(d1.cursor(), 5)            # txn(4) + dangling map
+        assert len(got1) == 5
+    finally:
+        d1.stop()
+
+    # writer finishes the transaction while delivery is down
+    log.w.write_rows(WRITE_ROWS_EVENT, _T, [[99, "99.0000", "z"]], ts=1)
+    log.w.write_xid(99, ts=1)
+    log._flush()
+
+    d2 = PushDelivery(str(tmp_path), "binlog.000001", _CAT, journal_path=journal).start()
+    try:
+        got2 = _drain_all(d2.cursor(), 2)
+        rows = [e for e in got2 if e["op"] == "write_rows"]
+        assert len(rows) == 1
+        assert rows[0]["after"] == {"id": "99", "val": "99.0000", "word": "z"}
+    finally:
+        d2.stop()
+
+
 def test_push_cursor_surfaces_tailer_error(tmp_path):
     (tmp_path / "binlog.000001").write_bytes(b"nota-binlog-file")
     d = PushDelivery(str(tmp_path), "binlog.000001", _CAT).start()

@@ -9,11 +9,15 @@ read).  Compaction is the standing maintenance job: coalesce to
 output file covers a contiguous offset range (range-ordered files keep
 downstream offset-filtered reads prunable), verify the rewrite moved
 every row unchanged (count + order-insensitive xxhash64 checksum),
-then swap via two os.replace renames.  Each rename is atomic but the
-PAIR is not: a crash between them leaves the data only in the
-``.precompact`` backup.  Every run therefore starts by recovering any
-stale ``.compacting`` / ``.precompact`` leftovers (restore or discard —
-see ``_recover_stale_dirs``), so a crashed run never wedges the next.
+then swap the directories ATOMICALLY with renameat2(RENAME_EXCHANGE)
+(public Linux syscall, glibc wrapper): old and new change places in one
+kernel operation, so there is no instant at which ``log_dir`` does not
+exist — a crash anywhere leaves it pointing at either the complete old
+or the complete verified new data.  Where renameat2 is unavailable
+(non-Linux / old glibc) the swap falls back to two os.replace renames,
+whose crash window between them is healed by ``_recover_stale_dirs``
+at the start of every run (restore-from-backup semantics), so a
+crashed run never wedges or loses data on either path.
 
 Usage: python tools/compact_event_log.py <log_dir> [n_files]
 """
@@ -39,13 +43,44 @@ def checksum(df) -> tuple[int, int]:
     return int(row["n"]), int(row["h"] or 0)
 
 
+AT_FDCWD = -100          # linux/fcntl.h
+RENAME_EXCHANGE = 2      # linux/fs.h
+
+
+def _exchange_dirs(a: str, b: str) -> bool:
+    """Atomically swap two directories in one renameat2(RENAME_EXCHANGE)
+    call; returns False when the syscall/wrapper is unavailable (caller
+    falls back to the two-rename path)."""
+    import ctypes
+    import ctypes.util
+
+    try:
+        libc = ctypes.CDLL(ctypes.util.find_library("c") or "libc.so.6", use_errno=True)
+        renameat2 = libc.renameat2
+    except (OSError, AttributeError):
+        return False
+    rc = renameat2(
+        ctypes.c_int(AT_FDCWD), os.fsencode(a),
+        ctypes.c_int(AT_FDCWD), os.fsencode(b),
+        ctypes.c_uint(RENAME_EXCHANGE),
+    )
+    if rc != 0:
+        err = ctypes.get_errno()
+        # EINVAL/ENOSYS: flag or syscall unsupported (old kernel/fs) —
+        # fall back; anything else is a real failure.
+        if err in (22, 38):  # EINVAL, ENOSYS
+            return False
+        raise OSError(err, f"renameat2({a}, {b}, RENAME_EXCHANGE) failed")
+    return True
+
+
 def _recover_stale_dirs(log_dir: str) -> None:
     """Clean up leftovers from a prior crashed run.
 
-    The swap below is two sequential os.replace calls — NOT atomic as a
-    pair.  Crash windows and their recovery:
-    - stale ``.compacting`` (crash before/during verify): incomplete
-      rewrite, discard it;
+    With the RENAME_EXCHANGE swap the only leftovers are a stale
+    ``.compacting`` (pre-swap: incomplete rewrite; post-swap: the OLD
+    data, already superseded) — discard either — and, from the
+    two-rename fallback path only:
     - stale ``.precompact`` with ``log_dir`` present (crash after both
       renames, before rmtree): swap completed, drop the backup;
     - stale ``.precompact`` with ``log_dir`` MISSING (crash between the
@@ -57,8 +92,14 @@ def _recover_stale_dirs(log_dir: str) -> None:
 
     tmp = log_dir.rstrip("/") + ".compacting"
     backup = log_dir.rstrip("/") + ".precompact"
-    if os.path.isdir(tmp):
+    if os.path.isdir(tmp) and os.path.isdir(log_dir):
         shutil.rmtree(tmp)
+    elif os.path.isdir(tmp) and not os.path.isdir(log_dir):
+        # defensive: cannot happen on either swap path (log_dir is
+        # only ever absent between the fallback's two renames, and then
+        # .compacting still holds the verified new data) — restore it
+        # rather than delete the only copy.
+        os.replace(tmp, log_dir)
     if os.path.isdir(backup):
         if os.path.isdir(log_dir):
             shutil.rmtree(backup)
@@ -88,12 +129,19 @@ def compact_event_log(spark, log_dir: str, n_files: int = 4) -> dict:
             f"compaction checksum mismatch: {(n_before, h_before)} != {(n_after, h_after)}"
         )
 
-    backup = log_dir.rstrip("/") + ".precompact"
-    os.replace(log_dir, backup)
-    os.replace(tmp, log_dir)
     import shutil
 
-    shutil.rmtree(backup)
+    if _exchange_dirs(tmp, log_dir):
+        # one atomic kernel op: log_dir now holds the verified new
+        # data, tmp holds the old — log_dir existed at every instant
+        shutil.rmtree(tmp)
+    else:
+        # portability fallback: two renames with a recovery-healed
+        # crash window (see _recover_stale_dirs)
+        backup = log_dir.rstrip("/") + ".precompact"
+        os.replace(log_dir, backup)
+        os.replace(tmp, log_dir)
+        shutil.rmtree(backup)
     after_files = len([p for p in os.listdir(log_dir) if p.endswith(".parquet")])
     return {
         "rows": n_before,
