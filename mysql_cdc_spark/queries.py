@@ -566,13 +566,14 @@ SELECT * FROM (
 
 
 def _binlog_envelope_projected(
-    spark, sf_dir, prefix: str, checksum: str | None = None, gtid: bool = False
+    spark, sf_dir, prefix: str, checksum: str | None = None, gtid: bool = False,
+    rows_v2: bool = False,
 ):
     """Shared body of cdc_binlog_envelope / cdc_binlog_crc32 /
-    cdc_binlog_gtid: generate the byte fixture (legacy, CRC32- or
-    GTID-framed), decode, project the envelope with a global seq
-    across rotated files (events-per-transaction varies: 4 legacy,
-    5 with GTID)."""
+    cdc_binlog_gtid / cdc_binlog_rows_v2: generate the byte fixture
+    (legacy, CRC32-, GTID- or rows-v2-framed), decode, project the
+    envelope with a global seq across rotated files (events-per-
+    transaction varies: 4 legacy, 5 with GTID)."""
     import pathlib
 
     from mysql_cdc_spark.sources import binlog_source as bs
@@ -581,7 +582,7 @@ def _binlog_envelope_projected(
     out_dir = pathlib.Path(_STREAM_TMP) / f"{prefix}_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
     if not any(out_dir.glob("binlog.*")):
         bs.generate_binlog_from_events(
-            sf_dir, str(out_dir), checksum=checksum, gtid=gtid
+            sf_dir, str(out_dir), checksum=checksum, gtid=gtid, rows_v2=rows_v2
         )
     env = bs.read_binlog_envelope(spark, str(out_dir))
     # Global event number across rotated files: each log file holds
@@ -667,6 +668,18 @@ def cdc_binlog_crc32(spark, sf_dir):
     IDENTICAL to the legacy path, so the unchanged relational oracle
     is the equivalence proof."""
     return _binlog_envelope_projected(spark, sf_dir, "binlog_crc32", checksum="crc32")
+
+
+@register("cdc_binlog_rows_v2", _BINLOG_ORACLE)
+def cdc_binlog_rows_v2(spark, sf_dir):
+    """MySQL >=5.6/8.0 rows-event framing (type codes 30/31/32 with the
+    2-byte extra-row-info post-header) — what every modern server
+    actually writes.  The decoder must recognize the v2 codes and skip
+    the extra-row-info payload; the envelope is IDENTICAL to the legacy
+    v1 path, so the unchanged relational oracle is the equivalence
+    proof (same pattern as cdc_binlog_crc32).  Independent real-format
+    coverage in tests/test_real_binlog.py."""
+    return _binlog_envelope_projected(spark, sf_dir, "binlog_v2", rows_v2=True)
 
 
 @register(

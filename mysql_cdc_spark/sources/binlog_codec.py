@@ -543,12 +543,18 @@ class BinlogWriter:
         present: list[bool] | None = None,
         present_after: list[bool] | None = None,
         ts: int = 0,
+        v2: bool = False,
     ) -> None:
         """WRITE/DELETE: `rows` is a list of value-lists.  UPDATE:
-        a list of (before_values, after_values) pairs."""
+        a list of (before_values, after_values) pairs.  ``v2=True``
+        emits MySQL >=5.6 framing: type code +7 (30/31/32) and the
+        2-byte extra-row-info length (2 = no extra payload) after the
+        flags, exactly as modern servers write."""
         n = len(t.columns)
         present = present or [True] * n
         body = t.table_id.to_bytes(6, "little") + struct.pack("<H", 0)
+        if v2:
+            body += struct.pack("<H", 2)
         body += enc_packed_int(n)
         body += _bitmap_bytes(present)
         if op == UPDATE_ROWS_EVENT:
@@ -560,7 +566,7 @@ class BinlogWriter:
         else:
             for values in rows:
                 body += self._encode_image(t, present, values)
-        self._emit(op, body, ts)
+        self._emit(op + 7 if v2 else op, body, ts)
 
     def write_xid(self, xid: int, ts: int = 0) -> None:
         self._emit(XID_EVENT, struct.pack("<Q", xid), ts)

@@ -305,6 +305,7 @@ def generate_binlog_from_events(
     corrupt_every: int | None = None,
     checksum: str | None = None,
     gtid: bool = False,
+    rows_v2: bool = False,
 ) -> list[str]:
     """Encode the derived change stream as REAL binlog bytes — the same
     derivation rules as sources/events_cdc.py (db/tbl from user_id
@@ -317,7 +318,7 @@ def generate_binlog_from_events(
     return _atomic_gen(
         out_dir,
         lambda d: _generate_binlog_files(
-            sf_dir, d, rotate_every, corrupt_every, checksum, gtid
+            sf_dir, d, rotate_every, corrupt_every, checksum, gtid, rows_v2
         ),
     )
 
@@ -329,6 +330,7 @@ def _generate_binlog_files(
     corrupt_every: int | None,
     checksum: str | None = None,
     gtid: bool = False,
+    rows_v2: bool = False,
 ) -> list[str]:
     os.makedirs(out_dir, exist_ok=True)
     pdf = _fixture_rows(sf_dir)
@@ -392,12 +394,14 @@ def _generate_binlog_files(
         writer.write_table_map(t, ts)
         row_event_start = writer.offset
         if op == WRITE_ROWS_EVENT:
-            writer.write_rows(op, t, [[row_id, val, word]], ts=ts)
+            writer.write_rows(op, t, [[row_id, val, word]], ts=ts, v2=rows_v2)
         elif op == UPDATE_ROWS_EVENT:
             before = [row_id, fixture_val_before(event_id), word]
-            writer.write_rows(op, t, [(before, [row_id, val, word])], ts=ts)
+            writer.write_rows(
+                op, t, [(before, [row_id, val, word])], ts=ts, v2=rows_v2
+            )
         else:
-            writer.write_rows(op, t, [[row_id, val, word]], ts=ts)
+            writer.write_rows(op, t, [[row_id, val, word]], ts=ts, v2=rows_v2)
         if corrupt_every is not None and event_id % corrupt_every == 0:
             # Poison the row-event BODY (header/event_len untouched, so
             # the event chain stays walkable) — the dead-letter fixture.

@@ -12,6 +12,7 @@ from mysql_cdc_spark.sources.binlog_codec import (
     TYPE_LONG,
     TYPE_NEWDECIMAL,
     TYPE_VARCHAR,
+    DELETE_ROWS_EVENT,
     UPDATE_ROWS_EVENT,
     WRITE_ROWS_EVENT,
     BinlogWriter,
@@ -118,6 +119,43 @@ def test_full_decode_round_trip():
     # offsets chain: each event's offset is the previous event's next
     for prev, cur in zip(evs, evs[1:]):
         assert cur["offset"] == prev["next"]
+
+
+def test_rows_v2_framing_round_trip():
+    """v2 rows events (MySQL >=5.6 type codes 30/31/32 with the
+    extra-row-info post-header) decode to the IDENTICAL envelope as the
+    v1 framing of the same content — writer v2 flag + decoder v2
+    dispatch, equivalence against the v1 log byte layout aside."""
+    w = BinlogWriter()
+    w.write_query("foo", "INSERT INTO foo.auto VALUES (?)", ts=100)
+    w.write_table_map(T3, ts=100)
+    w.write_rows(
+        WRITE_ROWS_EVENT, T3,
+        [[5, "12.3400", "hello"], [6, "-1.0001", None]], ts=100, v2=True,
+    )
+    w.write_xid(42, ts=100)
+    w.write_rows(
+        UPDATE_ROWS_EVENT, T3,
+        [([5, "12.3400", "hello"], [5, "99.0000", "bye"])], ts=101, v2=True,
+    )
+    w.write_xid(43, ts=101)
+    w.write_rows(DELETE_ROWS_EVENT, T3, [[6, "-1.0001", None]], ts=102, v2=True)
+
+    evs = decode_binlog(w.getvalue(), CAT)
+    v1 = decode_binlog(_small_log(), CAT)
+    strip = ("offset", "next", "event_len")  # v2 bodies are 2 bytes longer
+    a = [{k: v for k, v in e.items() if k not in strip} for e in evs[:7]]
+    b = [{k: v for k, v in e.items() if k not in strip} for e in v1]
+    assert a == b
+    assert evs[7]["op"] == "delete_rows"
+    assert evs[7]["before"] == [{"id": 6, "val": "-1.0001", "word": None}]
+    # and the extra-row-info length is validated
+    bad = bytearray(w.getvalue())
+    wr_off = next(e["offset"] for e in evs if e["op"] == "write_rows")
+    bad[wr_off + 19 + 8] = 1  # extra_len = 1 < 2
+    bad[wr_off + 19 + 9] = 0
+    with pytest.raises(ValueError, match="extra-data length"):
+        decode_binlog(bytes(bad), CAT)
 
 
 def test_torn_tail_holdback():
