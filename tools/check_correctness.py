@@ -4,7 +4,13 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
 DuckDB at the given scale factor, then compares row count, sorted
 column names, and an order-insensitive value hash.
 
-Usage: python tools/check_correctness.py [sf_dir] [name ...]
+Usage: python tools/check_correctness.py [--json OUT] [--offset K]
+       [--limit N] [sf_dir] [name ...]
+
+``--offset``/``--limit`` select a window of the registry in its current
+order — gate-side sampling control (ADVICE r7: the OPERATOR chooses the
+sample, the registry's own rotation merely provides a sensible default
+order).  With no flags, ALL queries are checked.
 """
 
 from __future__ import annotations
@@ -52,12 +58,27 @@ def frame_digest(df) -> tuple[int, list[str], str]:
 def main() -> int:
     argv = list(sys.argv[1:])
     json_out = None
+    usage = (
+        "usage: check_correctness.py [--json OUT] [--offset K] [--limit N] "
+        "[SF_DIR [QUERY ...]]"
+    )
     if "--json" in argv:
         i = argv.index("--json")
         if i + 1 >= len(argv):
-            sys.exit("usage: check_correctness.py [--json OUT] [SF_DIR [QUERY ...]]")
+            sys.exit(usage)
         json_out = argv[i + 1]
         del argv[i:i + 2]
+    offset, limit = 0, None
+    for flag in ("--offset", "--limit"):
+        if flag in argv:
+            i = argv.index(flag)
+            if i + 1 >= len(argv) or not argv[i + 1].isdigit():
+                sys.exit(usage)
+            if flag == "--offset":
+                offset = int(argv[i + 1])
+            else:
+                limit = int(argv[i + 1])
+            del argv[i:i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     results: dict[str, dict] = {}
@@ -71,10 +92,11 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = e.queries(), e.oracle_sql()
+    names = [n for n in qs if not only or n in only]
+    names = names[offset:offset + limit if limit is not None else None]
     failed, passed, weak = [], [], []
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
+    for name in names:
+        fn = qs[name]
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
