@@ -151,8 +151,119 @@ def dedup_soak(k: int) -> None:
     }))
 
 
+# ---------------------------------------------------------------------------
+# Organic soak: 10× DATA, not 10× duplication density — the sf1 growth
+# profile.  Event copies shift keys/time (as in main()); document copies
+# get a per-copy token suffix on EVERY word so cross-copy pairs are NOT
+# near-duplicates (vocabulary grows K×, true-pair workload stays ~K×,
+# unlike the adversarial dedup_soak); embedding copies are rotated by a
+# per-copy scalar so they are distinct vectors.  Runs the full headline
+# set + llm_dedup_jaccard and reports the wall ratio per 10× data.
+# Usage: python tools/scale_stress.py organic [K]
+# ---------------------------------------------------------------------------
+
+
+def organic_soak(k: int) -> None:
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_spark.queries import HEADLINE, QUERIES
+    from mysql_cdc_spark.session import get_spark
+    from mysql_cdc_spark.sources.io import read_table
+
+    spark = get_spark("stress-organic")
+    spark.sparkContext.setLogLevel("ERROR")
+    # Write timestamps as parquet timestamp[us], not INT96: pyarrow
+    # reports INT96 as timestamp[ns], which would make read_table apply
+    # its ns→us conversion to a column Spark already reads as TIMESTAMP.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
+    out = Path(SCRATCH) / f"organic_x{k}"
+    if not (out / "_done").exists():
+        ev = read_table(spark, BASE, "events")
+        n = ev.count()
+        big = None
+        for i in range(k):
+            c = ev.select(
+                (F.col("event_id") + F.lit(i * n)).alias("event_id"),
+                (F.col("ts") + F.expr(f"INTERVAL {i} DAYS")).alias("ts"),
+                (F.col("user_id") + F.lit(i * 1_000_000)).alias("user_id"),
+                "event_type", "value", "props",
+            )
+            big = c if big is None else big.unionByName(c)
+        # ts stays TimestampType (us) — read_table passes it through
+        # unchanged, matching what the ts_*/sk_* queries expect; only
+        # ns-typed parquet columns get the int64 conversion there.
+        big.repartition(8).write.mode("overwrite").parquet(str(out / "events.parquet"))
+
+        docs = spark.read.parquet(f"{BASE}/documents.parquet")
+        n_docs = docs.count()
+        big_docs = None
+        for i in range(k):
+            text = (
+                F.col("text") if i == 0
+                else F.regexp_replace(F.col("text"), r"(\w+)", rf"$1q{i}")
+            )
+            c = docs.select(
+                (F.col("doc_id") + F.lit(i * n_docs)).alias("doc_id"),
+                text.alias("text"), "lang", "source", "n_chars",
+            )
+            big_docs = c if big_docs is None else big_docs.unionByName(c)
+        big_docs.repartition(8).write.mode("overwrite").parquet(
+            str(out / "documents.parquet")
+        )
+
+        emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+        n_emb = emb.count()
+        big_emb = None
+        for i in range(k):
+            c = emb.select(
+                (F.col("vec_id") + F.lit(i * n_emb)).alias("vec_id"),
+                F.transform(
+                    "embedding", lambda x, i=i: x * (1.0 + i * 0.07) + i * 0.013
+                ).alias("embedding"),
+                "label",
+            )
+            big_emb = c if big_emb is None else big_emb.unionByName(c)
+        big_emb.repartition(8).write.mode("overwrite").parquet(
+            str(out / "embeddings.parquet")
+        )
+        (out / "_done").touch()
+
+    sf_dir = str(out)
+    names = list(HEADLINE) + ["llm_dedup_jaccard"]
+    walls = {}
+    for name in names:
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        walls[name] = round(best, 3)
+
+    base_walls = {}
+    for name in names:  # same-session sf0.1 reference walls
+        QUERIES[name](spark, BASE).write.format("noop").mode("overwrite").save()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, BASE).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        base_walls[name] = round(best, 3)
+
+    print(json.dumps({
+        "mode": "organic_soak", "k": k,
+        "walls_sf0.1": base_walls, "walls_10x": walls,
+        "ratios": {n: round(walls[n] / base_walls[n], 2) for n in names},
+        "total_sf0.1": round(sum(base_walls.values()), 3),
+        "total_10x": round(sum(walls.values()), 3),
+    }))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "dedup":
         dedup_soak(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+    elif len(sys.argv) > 1 and sys.argv[1] == "organic":
+        organic_soak(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
     else:
         main()
