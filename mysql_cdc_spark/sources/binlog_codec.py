@@ -613,6 +613,10 @@ class TableMapState:
     col_types: list[int]
     col_meta: list[object]
     names: list[str] = field(default_factory=list)
+    # Per-column unsigned flags from the 8.0.1+ optional-metadata
+    # SIGNEDNESS TLV; empty = all signed (pre-8.0 logs carry no
+    # signedness on the wire at all).
+    unsigned: list[bool] = field(default_factory=list)
 
     def col_name(self, i: int) -> str:
         # Reference result sets name columns by ordinal ("1", "2", ... —
@@ -680,14 +684,17 @@ def _table_map_for(body: bytes, catalog: dict) -> "TableMapState":
             _TMAP_CACHE.clear()
         tpl = _read_table_map(body)
         _TMAP_CACHE[body] = tpl
-    names = catalog.get((tpl.db, tpl.table), [])
+    # Name precedence: caller catalog > on-wire COLUMN_NAME TLV
+    # (binlog_row_metadata=FULL) > ordinal fallback.
+    names = catalog.get((tpl.db, tpl.table)) or tpl.names or []
     key = (body, tuple(names))
     st = _TMAP_FULL.get(key)
     if st is None:
         if len(_TMAP_FULL) >= _TMAP_CACHE_MAX:
             _TMAP_FULL.clear()
         st = TableMapState(
-            tpl.table_id, tpl.db, tpl.table, tpl.col_types, tpl.col_meta, list(names)
+            tpl.table_id, tpl.db, tpl.table, tpl.col_types, tpl.col_meta,
+            list(names), list(tpl.unsigned),
         )
         st._names_all = [st.col_name(i) for i in range(len(st.col_types))]
         _TMAP_FULL[key] = st
@@ -721,12 +728,68 @@ def _read_table_map(body: bytes) -> TableMapState:
         else:
             col_meta.append(None)
     pos = meta_end
-    return TableMapState(table_id, db, table, col_types, col_meta)
+    # After the metadata block: nullability bitmap, then (MySQL 8.0.1+,
+    # binlog_row_metadata) optional metadata TLVs.  Both are absent in
+    # the reference's 5.1-era logs; parse defensively — a map without
+    # them decodes exactly as before.
+    unsigned, tlv_names = [], []
+    opt_pos = pos + (n_cols + 7) // 8
+    if opt_pos < len(body):
+        unsigned, tlv_names = _read_optional_metadata(body, opt_pos, col_types)
+    return TableMapState(
+        table_id, db, table, col_types, col_meta, tlv_names, unsigned
+    )
 
 
-def _read_value(body: bytes, pos: int, tc: int, meta) -> tuple[object, int]:
+# Types whose signedness the SIGNEDNESS TLV describes, in the public
+# is_numeric_type sense: DECIMAL, TINY, SHORT, LONG, FLOAT, DOUBLE,
+# LONGLONG, INT24, NEWDECIMAL.
+_NUMERIC_TYPES = frozenset({0, 1, 2, 3, 4, 5, 8, 9, 246})
+
+# Optional-metadata TLV type codes (public table-map layout, 8.0.1+).
+_OPT_META_SIGNEDNESS = 1
+_OPT_META_COLUMN_NAME = 4
+
+
+def _read_optional_metadata(
+    body: bytes, pos: int, col_types: list[int]
+) -> tuple[list[bool], list[str]]:
+    """Parse the TABLE_MAP optional-metadata TLV block: returns
+    (per-column unsigned flags, column names).  Unknown TLV types are
+    skipped by their declared length; SIGNEDNESS packs one bit per
+    NUMERIC column, MSB-first; COLUMN_NAME (binlog_row_metadata=FULL)
+    is a sequence of length-prefixed strings — real column names on the
+    wire, no out-of-band catalog needed."""
+    unsigned: list[bool] = []
+    names: list[str] = []
+    while pos + 2 <= len(body):
+        t = body[pos]; pos += 1
+        ln, pos = read_packed_int(body, pos)
+        val = body[pos:pos + ln]; pos += ln
+        if t == _OPT_META_SIGNEDNESS:
+            numeric = [i for i, tc in enumerate(col_types) if tc in _NUMERIC_TYPES]
+            flags = [False] * len(col_types)
+            for j, i in enumerate(numeric):
+                if j >> 3 < len(val) and val[j >> 3] & (0x80 >> (j & 7)):
+                    flags[i] = True
+            unsigned = flags
+        elif t == _OPT_META_COLUMN_NAME:
+            p, nm = 0, []
+            while p < len(val):
+                ln2, p = read_packed_int(val, p)
+                nm.append(val[p:p + ln2].decode("utf-8", "replace")); p += ln2
+            names = nm
+    return unsigned, names
+
+
+def _read_value(
+    body: bytes, pos: int, tc: int, meta, unsigned: bool = False
+) -> tuple[object, int]:
     """D9 field decode (reference read-type :528-558; CHAR packed
-    metadata special case read-field :560-580)."""
+    metadata special case read-field :560-580).  ``unsigned`` comes
+    from the table map's SIGNEDNESS optional metadata (8.0.1+) and
+    flips integer decode — without it an unsigned BIGINT above 2^63-1
+    would surface as a negative number."""
     if tc == TYPE_STRING and isinstance(meta, tuple):
         # The metadata's first byte carries the REAL type: ENUM/SET
         # hybrids, or CHAR with pack_length folded into the high bits.
@@ -750,7 +813,7 @@ def _read_value(body: bytes, pos: int, tc: int, meta) -> tuple[object, int]:
     # runs once per column per row image.
     if tc in _INT_TYPES:
         n = _INT_TYPES[tc]
-        return int.from_bytes(body[pos:pos + n], "little", signed=True), pos + n
+        return int.from_bytes(body[pos:pos + n], "little", signed=not unsigned), pos + n
     if tc in (TYPE_VARCHAR, TYPE_VAR_STRING):
         if int(meta) < 256:
             ln = body[pos]; pos += 1
@@ -821,6 +884,7 @@ def _read_image(
     """One row image → {col_name: value}; SQL NULL → key with None,
     column-not-in-image → key ABSENT (nil vs '_', reference :599-608)."""
     col_types, col_meta = tmap.col_types, tmap.col_meta
+    unsigned = tmap.unsigned
     used = _used_cols(len(col_types), used_bitmap)
     names = _full_names(tmap)
     null_bytes = (len(used) + 7) // 8
@@ -831,7 +895,10 @@ def _read_image(
         if nulls[j >> 3] & (1 << (j & 7)):
             image[names[i]] = None
         else:
-            v, pos = _read_value(body, pos, col_types[i], col_meta[i])
+            v, pos = _read_value(
+                body, pos, col_types[i], col_meta[i],
+                bool(unsigned) and unsigned[i],
+            )
             image[names[i]] = v
     return image, pos
 

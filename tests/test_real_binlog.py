@@ -275,6 +275,48 @@ def test_real_format_binlog_decodes_to_known_rows():
         assert cur["offset"] == prev["next"]
 
 
+def test_optional_metadata_signedness_and_column_names():
+    """binlog_row_metadata=FULL realism: the TABLE_MAP's optional
+    metadata TLVs carry column SIGNEDNESS and real COLUMN_NAMEs.  An
+    unsigned INT above 2^31-1 must decode as its positive value (signed
+    interpretation would be negative), and with names on the wire no
+    out-of-band catalog is needed at all."""
+    w = Mysqld80Encoder()
+    w.fde(1700000000)
+    # TABLE_MAP for shop.t2 (id INT UNSIGNED, n BIGINT UNSIGNED, s BIGINT)
+    body = (
+        (109).to_bytes(6, "little") + struct.pack("<H", 1)
+        + bytes([4]) + b"shop" + b"\x00"
+        + bytes([2]) + b"t2" + b"\x00"
+        + bytes([3])
+        + bytes([3, 8, 8])                 # LONG, LONGLONG, LONGLONG
+        + bytes([0])                       # empty metadata block
+        + bytes([0b000])                   # NULL bitmap: none nullable
+        + bytes([1, 1, 0b11000000])        # SIGNEDNESS: cols 0,1 unsigned (MSB-first)
+        + bytes([4, 7,                     # COLUMN_NAME TLV: 7 value bytes
+                 2]) + b"id"
+        + bytes([1]) + b"n"
+        + bytes([1]) + b"s"
+    )
+    w.emit(19, body, 1700000001)
+    # one row: id=3e9 (>2^31), n=2^64-5, s=-7
+    row = (
+        bytes([0b000])
+        + struct.pack("<I", 3_000_000_000)
+        + struct.pack("<Q", 2**64 - 5)
+        + struct.pack("<q", -7)
+    )
+    rows_body = (
+        (109).to_bytes(6, "little") + struct.pack("<HH", 0, 2) + bytes([3, 0b111]) + row
+    )
+    w.emit(30, rows_body, 1700000001)
+    w.xid(1700000001, 7)
+
+    events = decode_binlog(bytes(w.buf))   # NO catalog: names from the wire
+    wr = next(e for e in events if e["op"] == "write_rows")
+    assert wr["after"] == [{"id": 3_000_000_000, "n": 2**64 - 5, "s": -7}]
+
+
 def test_real_format_binlog_crc_flip_detected():
     data = bytearray(build_real_binlog())
     # flip one byte inside the WRITE_ROWS body (find it via a clean decode)
