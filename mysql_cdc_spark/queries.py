@@ -1091,6 +1091,63 @@ def cdc_binlog_wide_types(spark, sf_dir):
     )
 
 
+@register(
+    "cdc_binlog_json_bit",
+    """
+WITH ev AS (
+  SELECT event_id, ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS k FROM events
+)
+SELECT CAST(3*k+1 AS BIGINT) AS seq,
+       CAST(event_id % 97 AS BIGINT) AS id,
+       CASE WHEN event_id % 11 = 0 THEN NULL
+            ELSE printf('{"b": %s, "k": %d, "s": "w%d"}',
+                        CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END,
+                        event_id % 100, event_id % 10) END AS doc,
+       CAST(event_id % 4096 AS BIGINT) AS flags,
+       CAST(1600000000 + event_id AS BIGINT) AS created,
+       strftime(TIMESTAMP '2020-01-01' + to_seconds(event_id),
+                '%Y-%m-%d %H:%M:%S') AS updated,
+       printf('%s%02d:%02d:%02d',
+              CASE WHEN (event_id % 7200) - 3600 < 0 THEN '-' ELSE '' END,
+              abs((event_id % 7200) - 3600)//3600,
+              (abs((event_id % 7200) - 3600)%3600)//60,
+              abs((event_id % 7200) - 3600)%60) AS took
+FROM ev
+""".strip(),
+)
+def cdc_binlog_json_bit(spark, sf_dir):
+    """Binary JSON documents (5.7+ json_binary format: small objects,
+    inlined literals/int16s, varint strings), BIT, and the legacy
+    pre-5.6.4 temporal wire formats through the byte path — all in v2
+    rows framing.  The decoder renders JSON exactly as MySQL's text
+    form (", "/": " separators, sorted-key binary order), so the
+    oracle recomputes every document with printf.  None of these types
+    exist in the reference (read-type, mysql_binlog.clj:558 throws)."""
+    import pathlib
+
+    from mysql_cdc_spark.sources import binlog_source as bs
+
+    out_dir = pathlib.Path(_STREAM_TMP) / f"binlog_jsonbit_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
+    if not any(out_dir.glob("binlog.*")):
+        bs.generate_json_bit_binlog(sf_dir, str(out_dir))
+    env = bs.read_binlog_envelope(spark, str(out_dir))
+    after = F.col("after")
+    seq_global = (
+        F.regexp_extract("log_file", r"binlog\.(\d+)", 1).cast("bigint")
+        * (3 * bs.ROTATE_EVERY)
+        + F.col("seq")
+    )
+    return env.filter(F.col("op") == "write_rows").select(
+        seq_global.alias("seq"),
+        F.element_at(after, "id").cast("bigint").alias("id"),
+        F.element_at(after, "doc").alias("doc"),
+        F.element_at(after, "flags").cast("bigint").alias("flags"),
+        F.element_at(after, "created").cast("bigint").alias("created"),
+        F.element_at(after, "updated").alias("updated"),
+        F.element_at(after, "took").alias("took"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-training-data pipeline: text analysis over `documents`
 # (functions/text.py — JVM-side array expressions, no Python UDFs)

@@ -75,11 +75,17 @@ TYPE_SHORT = 2
 TYPE_LONG = 3
 TYPE_FLOAT = 4
 TYPE_DOUBLE = 5
+TYPE_TIMESTAMP = 7   # legacy 4-byte LE epoch seconds (pre-5.6.4 tables)
 TYPE_LONGLONG = 8
 TYPE_INT24 = 9
 TYPE_DATE = 10
+TYPE_TIME = 11       # legacy 3-byte LE HHMMSS integer
+TYPE_DATETIME = 12   # legacy 8-byte LE YYYYMMDDHHMMSS integer
+TYPE_NEWDATE = 14    # same wire layout as DATE
+TYPE_BIT = 16
 TYPE_YEAR = 13
 TYPE_VARCHAR = 15
+TYPE_JSON = 245
 TYPE_TIMESTAMP2 = 17
 TYPE_DATETIME2 = 18
 TYPE_TIME2 = 19
@@ -350,6 +356,121 @@ def decode_time2(data: bytes, fsp: int = 0) -> str:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Binary JSON (MYSQL_TYPE_JSON, 5.7+): the JSONB-style document format
+# from the public json_binary.h layout — type byte, then value; objects/
+# arrays are offset-indexed with small (u16) and large (u32) variants;
+# literals and small ints are inlined in the value entries.  Decoded to
+# MySQL's own JSON text rendering (", "/": " separators), so envelope
+# consumers see exactly what `SELECT json_col` prints.
+# ---------------------------------------------------------------------------
+
+_BJ_SMALL_OBJECT, _BJ_LARGE_OBJECT = 0x00, 0x01
+_BJ_SMALL_ARRAY, _BJ_LARGE_ARRAY = 0x02, 0x03
+_BJ_LITERAL = 0x04
+_BJ_INT16, _BJ_UINT16 = 0x05, 0x06
+_BJ_INT32, _BJ_UINT32 = 0x07, 0x08
+_BJ_INT64, _BJ_UINT64 = 0x09, 0x0A
+_BJ_DOUBLE = 0x0B
+_BJ_STRING = 0x0C
+_BJ_OPAQUE = 0x0F
+_BJ_LITERALS = {0x00: None, 0x01: True, 0x02: False}
+
+
+def _bj_varlen(data: bytes, pos: int) -> tuple[int, int]:
+    """Base-128 varint (7 bits per byte, high bit = continuation)."""
+    n = shift = 0
+    while True:
+        b = data[pos]; pos += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n, pos
+        shift += 7
+
+
+def _bj_entry(data: bytes, pos: int, base: int, large: bool):
+    """One value entry: type byte + (inlined scalar | offset)."""
+    t = data[pos]
+    if t == _BJ_LITERAL:
+        return _BJ_LITERALS[data[pos + 1]]
+    if t == _BJ_INT16:
+        return int.from_bytes(data[pos + 1:pos + 3], "little", signed=True)
+    if t == _BJ_UINT16:
+        return int.from_bytes(data[pos + 1:pos + 3], "little")
+    if large and t == _BJ_INT32:
+        return int.from_bytes(data[pos + 1:pos + 5], "little", signed=True)
+    if large and t == _BJ_UINT32:
+        return int.from_bytes(data[pos + 1:pos + 5], "little")
+    sz = 4 if large else 2
+    off = int.from_bytes(data[pos + 1:pos + 1 + sz], "little")
+    return _bj_value(data, t, base + off)
+
+
+def _bj_container(data: bytes, base: int, large: bool, is_object: bool):
+    sz = 4 if large else 2
+    count = int.from_bytes(data[base:base + sz], "little")
+    # data[base+sz : base+2*sz] is the total byte size — not needed to walk
+    p = base + 2 * sz
+    if is_object:
+        out = {}
+        ventries = p + count * (sz + 2)  # key entry = offset(sz) + len(u16)
+        for i in range(count):
+            ke = p + i * (sz + 2)
+            koff = int.from_bytes(data[ke:ke + sz], "little")
+            klen = int.from_bytes(data[ke + sz:ke + sz + 2], "little")
+            key = data[base + koff:base + koff + klen].decode("utf-8")
+            out[key] = _bj_entry(data, ventries + i * (1 + sz), base, large)
+        return out
+    return [_bj_entry(data, p + i * (1 + sz), base, large) for i in range(count)]
+
+
+def _bj_value(data: bytes, t: int, pos: int):
+    if t in (_BJ_SMALL_OBJECT, _BJ_LARGE_OBJECT):
+        return _bj_container(data, pos, t == _BJ_LARGE_OBJECT, True)
+    if t in (_BJ_SMALL_ARRAY, _BJ_LARGE_ARRAY):
+        return _bj_container(data, pos, t == _BJ_LARGE_ARRAY, False)
+    if t == _BJ_LITERAL:
+        return _BJ_LITERALS[data[pos]]
+    if t == _BJ_INT16:
+        return int.from_bytes(data[pos:pos + 2], "little", signed=True)
+    if t == _BJ_UINT16:
+        return int.from_bytes(data[pos:pos + 2], "little")
+    if t == _BJ_INT32:
+        return int.from_bytes(data[pos:pos + 4], "little", signed=True)
+    if t == _BJ_UINT32:
+        return int.from_bytes(data[pos:pos + 4], "little")
+    if t == _BJ_INT64:
+        return int.from_bytes(data[pos:pos + 8], "little", signed=True)
+    if t == _BJ_UINT64:
+        return int.from_bytes(data[pos:pos + 8], "little")
+    if t == _BJ_DOUBLE:
+        return struct.unpack_from("<d", data, pos)[0]
+    if t == _BJ_STRING:
+        ln, pos = _bj_varlen(data, pos)
+        return data[pos:pos + ln].decode("utf-8")
+    if t == _BJ_OPAQUE:
+        import base64
+
+        ctype = data[pos]
+        ln, p = _bj_varlen(data, pos + 1)
+        payload = bytes(data[p:p + ln])
+        # MySQL's own text rendering for opaque values
+        return f"base64:type{ctype}:{base64.b64encode(payload).decode()}"
+    raise ValueError(f"unknown binary-JSON type {t:#04x}")
+
+
+def decode_binary_json(data: bytes) -> str | None:
+    """Binary JSON document → MySQL's JSON text rendering.  An empty
+    payload is how the server stores the SQL `null` JSON value in some
+    paths — rendered as JSON null."""
+    import json as _json
+
+    if not data:
+        return "null"
+    value = _bj_value(data, data[0], 1)
+    return _json.dumps(value, separators=(", ", ": "), ensure_ascii=False)
+
+
 def encode_date(text: str) -> bytes:
     """'YYYY-MM-DD' → 3 bytes little-endian: day(5) | month(4) |
     year(15)."""
@@ -486,6 +607,10 @@ class BinlogWriter:
                 meta += bytes([int(m or 0)])   # fsp
             elif tc == TYPE_BLOB:
                 meta += bytes([int(m or 2)])   # length-prefix bytes
+            elif tc == TYPE_JSON:
+                meta += bytes([int(m or 4)])   # length-prefix bytes
+            elif tc == TYPE_BIT:
+                meta += bytes([m[0], m[1]])    # (bits % 8, bytes)
         body += enc_packed_int(len(meta)) + bytes(meta)
         body += _bitmap_bytes([True] * len(t.columns))  # nullability
         self._emit(TABLE_MAP_EVENT, body, ts)
@@ -524,6 +649,31 @@ class BinlogWriter:
             if isinstance(v, (bytes, bytearray)):
                 return bytes(v)
             return int(v).to_bytes(set_pack_len(int(m)), "little")
+        if tc == TYPE_JSON:
+            # caller supplies the binary-JSON document bytes (the
+            # independent test vectors hand-encode them)
+            raw = bytes(v)
+            return len(raw).to_bytes(int(m or 4), "little") + raw
+        if tc == TYPE_BIT:
+            bits_rem, nbytes = m
+            blen = nbytes + (1 if bits_rem else 0)
+            return int(v).to_bytes(blen, "big")
+        if tc == TYPE_TIMESTAMP:
+            return int(v).to_bytes(4, "little")
+        if tc == TYPE_DATETIME:
+            d, t = str(v).split(" ")
+            y, mo, dd = (int(x) for x in d.split("-"))
+            h, mi, s = (int(x) for x in t.split(":"))
+            packed = ((y * 10_000 + mo * 100 + dd) * 1_000_000
+                      + h * 10_000 + mi * 100 + s)
+            return packed.to_bytes(8, "little")
+        if tc == TYPE_TIME:
+            txt = str(v)
+            sign = -1 if txt.startswith("-") else 1
+            h, mi, s = (int(x) for x in txt.lstrip("-").split(":"))
+            return (sign * (h * 10_000 + mi * 100 + s)).to_bytes(
+                3, "little", signed=True
+            )
         raise ValueError(f"unsupported column type {tc}")
 
     def _encode_image(self, t: TableDef, present: list[bool], values: list) -> bytes:
@@ -721,10 +871,13 @@ def _read_table_map(body: bytes) -> TableMapState:
         elif tc == TYPE_STRING:
             col_meta.append((body[pos], body[pos + 1])); pos += 2
         elif tc in (TYPE_FLOAT, TYPE_DOUBLE, TYPE_DATETIME2, TYPE_TIMESTAMP2,
-                    TYPE_TIME2, TYPE_BLOB):
+                    TYPE_TIME2, TYPE_BLOB, TYPE_JSON):
             # one metadata byte: pack length (float/double), fsp
-            # (temporal2), or length-prefix width (blob)
+            # (temporal2), or length-prefix width (blob/json)
             col_meta.append(body[pos]); pos += 1
+        elif tc == TYPE_BIT:
+            # (bits % 8, bytes) — public Field_bit metadata layout
+            col_meta.append((body[pos], body[pos + 1])); pos += 2
         else:
             col_meta.append(None)
     pos = meta_end
@@ -831,8 +984,32 @@ def _read_value(
     if tc == TYPE_YEAR:
         v = body[pos]
         return (0 if v == 0 else 1900 + v), pos + 1
-    if tc == TYPE_DATE:
+    if tc in (TYPE_DATE, TYPE_NEWDATE):
         return decode_date(body[pos:pos + 3]), pos + 3
+    if tc == TYPE_JSON:
+        n = int(meta or 4)
+        ln = int.from_bytes(body[pos:pos + n], "little"); pos += n
+        return decode_binary_json(bytes(body[pos:pos + ln])), pos + ln
+    if tc == TYPE_BIT:
+        bits_rem, nbytes = meta
+        blen = nbytes + (1 if bits_rem else 0)
+        return int.from_bytes(body[pos:pos + blen], "big"), pos + blen
+    if tc == TYPE_TIMESTAMP:   # legacy: 4-byte LE epoch seconds
+        return int.from_bytes(body[pos:pos + 4], "little"), pos + 4
+    if tc == TYPE_DATETIME:    # legacy: 8-byte LE YYYYMMDDHHMMSS
+        v = int.from_bytes(body[pos:pos + 8], "little")
+        d, t = divmod(v, 1_000_000)
+        y, md = divmod(d, 10_000)
+        mo, dd = divmod(md, 100)
+        h, ms_ = divmod(t, 10_000)
+        mi, s = divmod(ms_, 100)
+        return f"{y:04d}-{mo:02d}-{dd:02d} {h:02d}:{mi:02d}:{s:02d}", pos + 8
+    if tc == TYPE_TIME:        # legacy: 3-byte LE signed HHMMSS
+        v = int.from_bytes(body[pos:pos + 3], "little", signed=True)
+        sign, v = ("-", -v) if v < 0 else ("", v)
+        h, ms_ = divmod(v, 10_000)
+        mi, s = divmod(ms_, 100)
+        return f"{sign}{h:02d}:{mi:02d}:{s:02d}", pos + 3
     if tc == TYPE_DATETIME2:
         n = 5 + frac_bytes(int(meta))
         return decode_datetime2(body[pos:pos + n], int(meta)), pos + n

@@ -27,8 +27,10 @@ from pyspark.sql import types as T
 
 from mysql_cdc_spark.sources.binlog_codec import (
     DELETE_ROWS_EVENT,
+    TYPE_BIT,
     TYPE_BLOB,
     TYPE_DATE,
+    TYPE_DATETIME,
     TYPE_DATETIME2,
     TYPE_DOUBLE,
     TYPE_ENUM,
@@ -37,9 +39,12 @@ from mysql_cdc_spark.sources.binlog_codec import (
     TYPE_LONG,
     TYPE_LONGLONG,
     TYPE_NEWDECIMAL,
+    TYPE_JSON,
     TYPE_SET,
     TYPE_SHORT,
+    TYPE_TIME,
     TYPE_TIME2,
+    TYPE_TIMESTAMP,
     TYPE_TIMESTAMP2,
     TYPE_TINY,
     TYPE_VARCHAR,
@@ -63,6 +68,7 @@ FIXTURE_CATALOG = {
         "id", "t8", "t16", "t24", "t64", "f32", "f64",
         "yr", "d", "dt", "ts", "tm", "bl",
     ],
+    ("bench", "docs"): ["id", "doc", "flags", "created", "updated", "took"],
 }
 
 # (type, metadata) per column: INT, DECIMAL(12,4), VARCHAR(50) — the
@@ -103,6 +109,17 @@ WIDE_COLUMNS = [
     (TYPE_TIMESTAMP2, 2),       # ts    (fsp 2 → 1 frac byte)
     (TYPE_TIME2, 3),            # tm    (fsp 3 → 2 frac bytes, signed)
     (TYPE_BLOB, 2),             # bl    (2-byte length prefix)
+]
+
+# JSON / BIT / legacy-temporal coverage table: the 5.7+ binary-JSON
+# document type, BIT(12), and the pre-5.6.4 temporal wire formats.
+JSON_BIT_COLUMNS = [
+    (TYPE_LONG, None),          # id
+    (TYPE_JSON, 4),             # doc   (4-byte length prefix)
+    (TYPE_BIT, (4, 1)),         # flags BIT(12): 4 leftover bits + 1 byte
+    (TYPE_TIMESTAMP, None),     # created (legacy 4-byte epoch)
+    (TYPE_DATETIME, None),      # updated (legacy packed YYYYMMDDHHMMSS)
+    (TYPE_TIME, None),          # took    (legacy 3-byte HHMMSS, signed)
 ]
 
 BINLOG_ENVELOPE_SCHEMA = T.StructType(
@@ -502,6 +519,74 @@ def generate_wide_binlog(sf_dir: str, out_dir: str) -> str:
         ]
         writer.write_table_map(t, ts)
         writer.write_rows(WRITE_ROWS_EVENT, t, [row], ts=ts)
+        writer.write_xid(e, ts)
+
+    return _atomic_gen(
+        out_dir, lambda d: _write_rotated(d, pdf["event_id"], emit)
+    )
+
+
+def _bjson_small_object(b: bool, k: int, s: str) -> bytes:
+    """Hand-built binary-JSON small object {"b": ..., "k": ..., "s": ...}
+    per the public json_binary.h layout (keys in MySQL's sorted order:
+    by length then bytes; literals/int16 inlined, string by offset).
+    Used only to BUILD fixtures — decode goes through the codec's
+    independent reader."""
+    import struct as _struct
+
+    sb = s.encode()
+    keys_at = 2 + 2 + 3 * 4 + 3 * 3     # count+size, key entries, value entries
+    val_at = keys_at + 3                # after the 3 one-byte keys
+    body = _struct.pack("<HH", 3, val_at + 1 + len(sb))
+    for off in (keys_at, keys_at + 1, keys_at + 2):
+        body += _struct.pack("<HH", off, 1)
+    body += bytes([0x04, 0x01 if b else 0x02, 0x00])      # b: inline literal
+    body += bytes([0x05]) + _struct.pack("<h", k)          # k: inline int16
+    body += bytes([0x0C]) + _struct.pack("<H", val_at)     # s: string offset
+    body += b"bks"
+    body += bytes([len(sb)]) + sb
+    return bytes([0x00]) + body
+
+
+def generate_json_bit_binlog(sf_dir: str, out_dir: str) -> str:
+    """Encode an insert-only change stream for `bench.docs` — binary
+    JSON documents, BIT, and the legacy (pre-5.6.4) temporal wire
+    formats — as real binlog bytes (v2 rows framing, as any server new
+    enough to emit JSON also uses).  Closed-form values per event_id e:
+
+        id      = e % 97                               (LONG)
+        doc     = NULL if e % 11 = 0 else the JSON
+                  {"b": e%2=0, "k": e%100, "s": "w"||e%10}   (JSON)
+        flags   = e % 4096                             (BIT(12), 2B BE)
+        created = 1600000000 + e                       (legacy TIMESTAMP)
+        updated = 2020-01-01 00:00:00 + e sec          (legacy DATETIME)
+        took    = (e % 7200) - 3600 sec as ±HH:MM:SS   (legacy TIME)
+
+    Every value is recomputable relationally, so the DuckDB oracle
+    covers the whole JSON/BIT/legacy-temporal decode path.  Idempotent.
+    """
+    import datetime as _dt
+
+    pdf = _fixture_rows(sf_dir)
+    t = TableDef("bench", "docs", JSON_BIT_COLUMNS, table_id=13)
+    dt0 = _dt.datetime(2020, 1, 1)
+
+    def emit(writer: BinlogWriter, e: int) -> None:
+        ts = e % (1 << 31)
+        v = e % 7200 - 3600
+        av = abs(v)
+        row = [
+            e % 97,
+            None if e % 11 == 0 else _bjson_small_object(
+                e % 2 == 0, e % 100, f"w{e % 10}"
+            ),
+            e % 4096,
+            1_600_000_000 + e,
+            (dt0 + _dt.timedelta(seconds=e)).strftime("%Y-%m-%d %H:%M:%S"),
+            f"{'-' if v < 0 else ''}{av // 3600:02d}:{av % 3600 // 60:02d}:{av % 60:02d}",
+        ]
+        writer.write_table_map(t, ts)
+        writer.write_rows(WRITE_ROWS_EVENT, t, [row], ts=ts, v2=True)
         writer.write_xid(e, ts)
 
     return _atomic_gen(
