@@ -66,6 +66,7 @@ UPDATE_ROWS_EVENT_V2 = 31
 DELETE_ROWS_EVENT_V2 = 32
 ROWS_QUERY_EVENT = 29       # original SQL of the following row events
 GTID_EVENT = 33             # MySQL >=5.6 global transaction id
+TRANSACTION_PAYLOAD_EVENT = 40  # 8.0.20+ binlog_transaction_compression
 ANONYMOUS_GTID_EVENT = 34   # gtid_mode=OFF placeholder
 PREVIOUS_GTIDS_EVENT = 35   # executed-set snapshot at log start
 
@@ -113,6 +114,7 @@ OP_NAMES = {
     GTID_EVENT: "gtid",
     ANONYMOUS_GTID_EVENT: "gtid",
     PREVIOUS_GTIDS_EVENT: "previous_gtids",
+    TRANSACTION_PAYLOAD_EVENT: "transaction_payload",
 }
 
 # ---------------------------------------------------------------------------
@@ -730,6 +732,27 @@ class BinlogWriter:
         b = sql.encode("latin-1")
         self._emit(ROWS_QUERY_EVENT, bytes([min(len(b), 255)]) + b, ts)
 
+    def write_transaction_payload(
+        self, inner: bytes, ts: int = 0, compression_type: int = 255
+    ) -> None:
+        """TRANSACTION_PAYLOAD (8.0.20+): wrap pre-encoded event bytes
+        (headers+bodies, no magic/FDE/checksums) in the TLV-framed
+        payload envelope.  ``compression_type`` is written as-is so
+        tests can exercise the ZSTD-unavailable path; the payload bytes
+        are NOT compressed here (255 = NONE is the only type this
+        writer produces faithfully)."""
+        ct = enc_packed_int(compression_type)
+        sz = enc_packed_int(len(inner))
+        un = enc_packed_int(len(inner))
+        body = (
+            enc_packed_int(2) + enc_packed_int(len(ct)) + ct
+            + enc_packed_int(1) + enc_packed_int(len(sz)) + sz
+            + enc_packed_int(3) + enc_packed_int(len(un)) + un
+            + enc_packed_int(0)
+            + inner
+        )
+        self._emit(TRANSACTION_PAYLOAD_EVENT, body, ts)
+
     def write_gtid(self, sid: str, gno: int, ts: int = 0) -> None:
         """MySQL ≥5.6 GTID event: commit-flag, server UUID, txn number."""
         body = b"\x01" + _uuid_bytes(sid) + gno.to_bytes(8, "little", signed=True)
@@ -1115,6 +1138,7 @@ def decode_binlog_incremental(
     base: int = 0,
     on_error: str = "raise",
     checksum: str | None = None,
+    advance_by_length: bool = False,
 ) -> tuple[list[dict], int, TableMapState | None]:
     """S9 incremental-turn form: decode `[start_offset, end-of-data)`
     and return (events, next_offset, table_map_state) so the caller
@@ -1205,7 +1229,10 @@ def decode_binlog_incremental(
                 events.append(ev)
                 seq += 1
                 rel_next = next_pos - base
-                pos = rel_next if rel_next > pos else pos + event_len
+                if advance_by_length or rel_next <= pos:
+                    pos = pos + event_len
+                else:
+                    pos = rel_next
                 continue
             if isinstance(exc, ValueError):
                 raise
@@ -1220,10 +1247,25 @@ def decode_binlog_incremental(
             ) from exc
         if ev.get("_new_table_map") is not None:
             tmap = ev.pop("_new_table_map")
+        inner = ev.pop("_inner_events", None)
         events.append(ev)
         seq += 1
-        rel_next = next_pos - base  # header's `next` is absolute
-        pos = rel_next if rel_next > pos else pos + event_len
+        if inner:
+            # Splice a transaction payload's embedded events into the
+            # stream with contiguous seq numbers; the payload decode
+            # already threaded the table map and set absolute offsets.
+            for iev in inner:
+                iev["seq"] = seq
+                seq += 1
+                events.append(iev)
+        # header's `next` is absolute in the containing log; inside an
+        # extracted transaction payload those positions refer to the
+        # ORIGINAL log and must be ignored (advance_by_length).
+        rel_next = next_pos - base
+        if advance_by_length or rel_next <= pos:
+            pos = pos + event_len
+        else:
+            pos = rel_next
     return events, base + pos, tmap
 
 
@@ -1336,6 +1378,55 @@ def _decode_body(
                 ivs.append(str(start) if end == start + 1 else f"{start}-{end - 1}")
             parts.append(_uuid_text(sid) + ":" + ":".join(ivs))
         ev["sql"] = ",".join(parts)
+    elif type_code == TRANSACTION_PAYLOAD_EVENT:
+        # 8.0.20+ binlog_transaction_compression: a whole transaction's
+        # events wrapped in one payload event.  Header = TLV fields
+        # (type/length/value, all net_store_length varints): 1 = payload
+        # size, 2 = compression type (0 ZSTD, 255 NONE), 3 = uncompressed
+        # size; field type 0 ends the header, the payload follows to the
+        # end of the body.  Embedded events carry NO checksums and their
+        # log_pos refers to the original log (ignored via
+        # advance_by_length); the decoder splices them into the stream
+        # right after this envelope row, threading the table map.
+        pos = 0
+        comp_type = 255
+        unc_size = None
+        while pos < len(body):
+            ftype, pos = read_packed_int(body, pos)
+            if ftype == 0:
+                break
+            flen, pos = read_packed_int(body, pos)
+            val = body[pos:pos + flen]; pos += flen
+            if ftype == 2:
+                comp_type, _ = read_packed_int(val, 0)
+            elif ftype == 3:
+                unc_size, _ = read_packed_int(val, 0)
+        payload = bytes(body[pos:])
+        if comp_type == 0:
+            try:
+                import zstandard  # noqa: PLC0415 - optional dependency
+            except ImportError as exc:
+                raise ValueError(
+                    "ZSTD-compressed transaction payload: the zstandard "
+                    "package is not available in this environment"
+                ) from exc
+            payload = zstandard.ZstdDecompressor().decompress(
+                payload, max_output_size=unc_size or 1 << 30
+            )
+        elif comp_type != 255:
+            raise ValueError(f"unknown payload compression type {comp_type}")
+        inner_base = ev["offset"] + HEADER_LEN + pos
+        inner, _, inner_tmap = decode_binlog_incremental(
+            payload, inner_base, tmap, catalog,
+            base=inner_base, on_error="raise", checksum=None,
+            advance_by_length=True,
+        )
+        ev["sql"] = f"payload: {len(inner)} events, " + (
+            "uncompressed" if comp_type == 255 else "zstd"
+        )
+        ev["_inner_events"] = inner
+        if inner_tmap is not tmap:
+            ev["_new_table_map"] = inner_tmap
     elif type_code == ROTATE_EVENT:
         ev["op"] = "rotate"
         ev["sql"] = body[8:].decode("latin-1")  # next log name
