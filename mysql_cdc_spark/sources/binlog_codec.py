@@ -461,6 +461,103 @@ def _bj_value(data: bytes, t: int, pos: int):
     raise ValueError(f"unknown binary-JSON type {t:#04x}")
 
 
+class _BJTooBig(Exception):
+    """Internal: small-format offsets/size overflowed u16 — retry large."""
+
+
+def _bj_scalar_enc(value) -> tuple[int, bytes]:
+    if value is None:
+        return _BJ_LITERAL, bytes([0x00])
+    if value is True:
+        return _BJ_LITERAL, bytes([0x01])
+    if value is False:
+        return _BJ_LITERAL, bytes([0x02])
+    if isinstance(value, int):
+        if -(2**15) <= value < 2**15:
+            return _BJ_INT16, struct.pack("<h", value)
+        if -(2**31) <= value < 2**31:
+            return _BJ_INT32, struct.pack("<i", value)
+        if -(2**63) <= value < 2**63:
+            return _BJ_INT64, struct.pack("<q", value)
+        if value < 2**64:
+            return _BJ_UINT64, struct.pack("<Q", value)
+        raise ValueError("integer out of binary-JSON range")
+    if isinstance(value, float):
+        return _BJ_DOUBLE, struct.pack("<d", value)
+    if isinstance(value, str):
+        b = value.encode("utf-8")
+        n, ln = len(b), bytearray()
+        while True:
+            ln.append((n & 0x7F) | (0x80 if n > 0x7F else 0))
+            n >>= 7
+            if not n:
+                break
+        return _BJ_STRING, bytes(ln) + b
+    raise TypeError(f"cannot encode {type(value).__name__} as binary JSON")
+
+
+def _bj_encode(value) -> tuple[int, bytes]:
+    if isinstance(value, (dict, list)):
+        is_obj = isinstance(value, dict)
+        for large in (False, True):
+            try:
+                payload = _bj_container_enc(value, large)
+            except _BJTooBig:
+                continue
+            if is_obj:
+                return (_BJ_LARGE_OBJECT if large else _BJ_SMALL_OBJECT), payload
+            return (_BJ_LARGE_ARRAY if large else _BJ_SMALL_ARRAY), payload
+        raise ValueError("document too large even for large format")
+    return _bj_scalar_enc(value)
+
+
+def _bj_container_enc(value, large: bool) -> bytes:
+    sz = 4 if large else 2
+    is_obj = isinstance(value, dict)
+    vals = list(value.values()) if is_obj else list(value)
+    n = len(vals)
+    header = 2 * sz + (n * (sz + 2) if is_obj else 0) + n * (1 + sz)
+    tail = bytearray()
+    key_entries = bytearray()
+    if is_obj:
+        for k in value:
+            kb = k.encode("utf-8")
+            off = header + len(tail)
+            if not large and off > 0xFFFF:
+                raise _BJTooBig
+            key_entries += off.to_bytes(sz, "little")
+            key_entries += len(kb).to_bytes(2, "little")
+            tail += kb
+    val_entries = bytearray()
+    for v in vals:
+        t, payload = _bj_encode(v)
+        if t == _BJ_LITERAL or t == _BJ_INT16 or (large and t == _BJ_INT32):
+            val_entries += bytes([t]) + payload.ljust(sz, b"\x00")
+            continue
+        off = header + len(tail)
+        if not large and off > 0xFFFF:
+            raise _BJTooBig
+        val_entries += bytes([t]) + off.to_bytes(sz, "little")
+        tail += payload
+    total = header + len(tail)
+    if not large and total > 0xFFFF:
+        raise _BJTooBig
+    return (
+        n.to_bytes(sz, "little") + total.to_bytes(sz, "little")
+        + bytes(key_entries) + bytes(val_entries) + bytes(tail)
+    )
+
+
+def encode_binary_json(value) -> bytes:
+    """Python value → binary JSON document (the writer counterpart of
+    `decode_binary_json`): smallest integer width, small container
+    format with automatic promotion to large when u16 offsets/size
+    overflow, literals and int16 (plus int32 in large) inlined in the
+    value entries — the same inlining rules the server applies."""
+    t, payload = _bj_encode(value)
+    return bytes([t]) + payload
+
+
 def decode_binary_json(data: bytes) -> str | None:
     """Binary JSON document → MySQL's JSON text rendering.  An empty
     payload is how the server stores the SQL `null` JSON value in some

@@ -119,6 +119,50 @@ def test_bjson_unknown_type_raises():
 
 
 # ---------------------------------------------------------------------------
+# encoder round-trips (property-based): encode_binary_json is the writer
+# counterpart; the decoder must reproduce any JSON value exactly
+# ---------------------------------------------------------------------------
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mysql_cdc_spark.sources.binlog_codec import encode_binary_json
+
+_json_values = st.recursive(
+    st.none()
+    | st.booleans()
+    | st.integers(min_value=-(2**63), max_value=2**64 - 1)
+    | st.floats(allow_nan=False, allow_infinity=False)
+    | st.text(max_size=30),
+    lambda children: st.lists(children, max_size=6)
+    | st.dictionaries(st.text(max_size=10), children, max_size=6),
+    max_leaves=25,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_json_values)
+def test_bjson_encode_decode_round_trip(value):
+    decoded = json.loads(decode_binary_json(encode_binary_json(value)))
+    assert decoded == value
+
+
+def test_bjson_large_format_promotion():
+    """>64 KiB of string payload overflows u16 offsets — the encoder
+    must promote to the large (u32) container format and the decoder
+    must read it back losslessly."""
+    big = ["s" * 10 + str(i) for i in range(7000)]
+    doc = encode_binary_json(big)
+    assert doc[0] == 0x03                      # large array
+    assert json.loads(decode_binary_json(doc)) == big
+    nested = {"k": big, "n": 1}
+    doc2 = encode_binary_json(nested)
+    assert json.loads(decode_binary_json(doc2)) == nested
+
+
+# ---------------------------------------------------------------------------
 # full rows-event round trip: JSON + BIT + legacy temporals
 # ---------------------------------------------------------------------------
 
