@@ -1148,6 +1148,45 @@ def cdc_binlog_json_bit(spark, sf_dir):
     )
 
 
+@register(
+    "cdc_binlog_json_extract",
+    """
+SELECT CAST(event_id % 100 AS BIGINT) AS k,
+       event_id % 2 = 0 AS b,
+       COUNT(*) AS n
+FROM events
+WHERE event_id % 11 <> 0
+GROUP BY 1, 2
+""".strip(),
+)
+def cdc_binlog_json_extract(spark, sf_dir):
+    """JSON analytics over the DECODED change stream: the binary JSON
+    documents round-trip the byte path, then Spark's JSON path
+    functions (`get_json_object`, JVM-side codegen, no Python UDF)
+    extract typed fields for a relational aggregation — the end-to-end
+    shape of real CDC-to-analytics pipelines on document columns.  The
+    oracle recomputes the distribution in closed form from event_id."""
+    import pathlib
+
+    from mysql_cdc_spark.sources import binlog_source as bs
+
+    out_dir = pathlib.Path(_STREAM_TMP) / f"binlog_jsonbit_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
+    if not any(out_dir.glob("binlog.*")):
+        bs.generate_json_bit_binlog(sf_dir, str(out_dir))
+    env = bs.read_binlog_envelope(spark, str(out_dir))
+    doc = F.element_at(F.col("after"), "doc")
+    return (
+        env.filter(F.col("op") == "write_rows")
+        .select(
+            F.get_json_object(doc, "$.k").cast("bigint").alias("k"),
+            (F.get_json_object(doc, "$.b") == "true").alias("b"),
+        )
+        .filter(F.col("k").isNotNull())
+        .groupBy("k", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-training-data pipeline: text analysis over `documents`
 # (functions/text.py — JVM-side array expressions, no Python UDFs)
