@@ -51,7 +51,10 @@ HEADER_LEN = 19
 # Event type codes (public binlog constants; reference mirrors them in
 # log-event-types, mysql_binlog.clj:222-259)
 QUERY_EVENT = 2
+STOP_EVENT = 3              # clean server shutdown: empty body, ends the log
 ROTATE_EVENT = 4
+INTVAR_EVENT = 5            # SBR-era: LAST_INSERT_ID / INSERT_ID for next stmt
+HEARTBEAT_EVENT = 27        # network-only keepalive (never on disk; tolerated)
 FORMAT_DESCRIPTION_EVENT = 15
 XID_EVENT = 16
 TABLE_MAP_EVENT = 19
@@ -115,6 +118,9 @@ OP_NAMES = {
     ANONYMOUS_GTID_EVENT: "gtid",
     PREVIOUS_GTIDS_EVENT: "previous_gtids",
     TRANSACTION_PAYLOAD_EVENT: "transaction_payload",
+    STOP_EVENT: "stop",
+    INTVAR_EVENT: "intvar",
+    HEARTBEAT_EVENT: "heartbeat",
 }
 
 # ---------------------------------------------------------------------------
@@ -1524,6 +1530,14 @@ def _decode_body(
         ev["_inner_events"] = inner
         if inner_tmap is not tmap:
             ev["_new_table_map"] = inner_tmap
+    elif type_code == INTVAR_EVENT:
+        # SBR-era session variable for the NEXT statement: subtype u8
+        # (1 = LAST_INSERT_ID, 2 = INSERT_ID), value u64
+        sub = body[0]
+        val = struct.unpack_from("<Q", body, 1)[0]
+        ev["sql"] = f"{'LAST_INSERT_ID' if sub == 1 else 'INSERT_ID'}={val}"
+    elif type_code in (STOP_EVENT, HEARTBEAT_EVENT):
+        pass  # header-only events; op name alone carries the meaning
     elif type_code == ROTATE_EVENT:
         ev["op"] = "rotate"
         ev["sql"] = body[8:].decode("latin-1")  # next log name
