@@ -417,6 +417,14 @@ def _bj_entry(data: bytes, pos: int, base: int, large: bool):
 def _bj_container(data: bytes, base: int, large: bool, is_object: bool):
     sz = 4 if large else 2
     count = int.from_bytes(data[base:base + sz], "little")
+    # Corrupt-count guard: the entry tables alone must fit inside the
+    # document, else a flipped count byte (u32 in large format) would
+    # spin a billion-iteration loop over garbage before failing.
+    entry_bytes = count * ((sz + 2 if is_object else 0) + (1 + sz))
+    if base + 2 * sz + entry_bytes > len(data):
+        raise ValueError(
+            f"binary-JSON container count {count} exceeds document size"
+        )
     # data[base+sz : base+2*sz] is the total byte size — not needed to walk
     p = base + 2 * sz
     if is_object:

@@ -362,15 +362,61 @@ def test_garbage_bodies_never_crash_unhandled():
     import random
 
     rng = random.Random(7)
-    for _ in range(200):
+    # includes the r8 types: v2 rows (30-32), GTID family (33-35),
+    # transaction payload (40), intvar (5), rows_query (29)
+    types = [2, 5, 16, 19, 23, 24, 25, 29, 30, 31, 32, 33, 34, 35, 40]
+    for _ in range(400):
         w = BinlogWriter()
         w.write_table_map(T3)
         body = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 40)))
-        w._emit(rng.choice([2, 16, 19, 23, 24, 25]), body)
+        w._emit(rng.choice(types), body)
         try:
             decode_binlog(w.getvalue(), CAT)
         except ValueError:
             pass
+
+
+def test_json_bit_log_byte_flips_never_crash_unhandled():
+    """Fuzz the REAL decode surface: flip one byte anywhere in a valid
+    JSON/BIT/legacy-temporal v2 log; quarantine mode must always
+    terminate and yield events (the frame walk survives), raise mode
+    must fail with ValueError only."""
+    import random
+
+    from mysql_cdc_spark.sources.binlog_codec import (
+        TYPE_BIT,
+        TYPE_DATETIME,
+        TYPE_JSON,
+        encode_binary_json,
+    )
+
+    t = TableDef(
+        "shop", "f",
+        [(TYPE_LONG, None), (TYPE_JSON, 4), (TYPE_BIT, (2, 1)), (TYPE_DATETIME, None)],
+    )
+    cat = {("shop", "f"): ["id", "doc", "flags", "at"]}
+    w = BinlogWriter()
+    w.write_table_map(t, ts=1)
+    w.write_rows(
+        WRITE_ROWS_EVENT, t,
+        [[1, encode_binary_json({"a": [1, "x"], "b": None}), 513,
+          "2024-01-02 03:04:05"]],
+        ts=1, v2=True,
+    )
+    w.write_xid(9, ts=1)
+    base = bytes(w.getvalue())
+
+    rng = random.Random(11)
+    for _ in range(300):
+        data = bytearray(base)
+        i = rng.randrange(4, len(data))
+        data[i] ^= 1 << rng.randrange(8)
+        try:
+            decode_binlog(bytes(data), cat)
+        except ValueError:
+            pass
+        evs = decode_binlog(bytes(data), cat, on_error="quarantine")
+        assert isinstance(evs, list)
 
 
 def test_schema_evolution_mid_stream():
