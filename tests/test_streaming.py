@@ -156,6 +156,26 @@ def test_queue_cursor_blocks_then_unblocks_on_append(spark, sf_dir, scratch):
         cur.close()
 
 
+def test_queue_cursor_surfaces_query_failure(spark, sf_dir, scratch):
+    """A dying streaming query must re-raise in next(), not block the
+    consumer forever (the PushCursor contract, on the Spark path)."""
+    import pyspark.sql.functions as F
+
+    log, cp = f"{scratch}/log", f"{scratch}/cp"
+    _env(spark, sf_dir, 0, 50).coalesce(1).write.parquet(log)
+
+    poisoned = rt.open_stream(spark, log).withColumn(
+        "boom", F.assert_true(F.col("offset") < 0)
+    )
+    cur = rt.QueueStreamingCursor().attach(poisoned, cp, available_now=True)
+    try:
+        with pytest.raises(Exception):
+            while cur.next(timeout=30):
+                pass
+    finally:
+        cur.close()
+
+
 def test_watermark_closes_windows_incrementally(spark, sf_dir, scratch):
     """Append-mode windowed agg with a watermark: as micro-batches
     advance event time, CLOSED windows are emitted exactly once and
