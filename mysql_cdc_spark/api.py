@@ -112,6 +112,53 @@ class CDCStatement:
         query_handle.stop = _stop_and_clean
         return cursor, query_handle
 
+    def execute_query_push(
+        self,
+        sql: str,
+        binlog_dir: str,
+        first_log: str | None = None,
+        catalog: dict[tuple[str, str], list[str]] | None = None,
+        journal_path: str | None = None,
+    ):
+        """The reference's TRUE hot path, end to end: a continuous
+        query directly over growing binlog BYTES — executeQuery →
+        reader thread with inotify wake → incremental decode → bounded
+        queue → blocking FILTERED ResultSet (jdbc.clj:164-185 filter
+        semantics over :205-331's cursor) — with no Spark job per turn
+        (ms-latency; the Spark path pays the micro-batch floor).
+
+        Returns (FilteredPushCursor, PushDelivery): iterate the cursor,
+        call `delivery.stop()` to end the query.  `journal_path` makes
+        the position durable (resume without loss or duplication after
+        restart — beyond the reference, mysql_binlog.clj:914-916).
+        `first_log` defaults to the lexically first `*.NNNNNN` file in
+        the directory (the reference's log-index discovery, S5)."""
+        import os
+        import re
+
+        from mysql_cdc_spark.streaming.push import (
+            FilteredPushCursor,
+            PushDelivery,
+        )
+
+        if self.closed or self._conn.closed:
+            raise RuntimeError("statement is closed")
+        parsed = q.parse_statement(sql)
+        if first_log is None:
+            logs = sorted(
+                p for p in os.listdir(binlog_dir) if re.search(r"\.\d+$", p)
+            )
+            if not logs:
+                raise FileNotFoundError(f"no binlog files in {binlog_dir}")
+            first_log = logs[0]
+        delivery = PushDelivery(
+            binlog_dir, first_log, catalog, journal_path=journal_path
+        ).start()
+        cursor = FilteredPushCursor(
+            delivery, parsed["db"], parsed["table"], parsed["delta_type"]
+        )
+        return cursor, delivery
+
     def execute_update(self, sql: str) -> int:
         raise UnsupportedOperation("unsupported: executeUpdate (jdbc.clj:368-371)")
 

@@ -315,3 +315,54 @@ class PushCursor:
         producer keeps running and 'no data for a while' means done."""
         while self.next(timeout=idle_timeout):
             yield self.current
+
+
+# parsed `_delta_type` literal → envelope op name (the push-path analog
+# of operators/query.filter_delta_type)
+_DELTA_TO_OP = {
+    "insert": "write_rows",
+    "update": "update_rows",
+    "delete": "delete_rows",
+}
+
+
+class FilteredPushCursor(PushCursor):
+    """The reference's filtered blocking ResultSet over the push queue:
+    only change rows of one (db, table) [and one delta type] surface;
+    everything else (other tables, txn bookkeeping) is skipped inline
+    (jdbc.clj:176-182 applied record-at-a-time).  `next()` keeps the
+    blocking contract — it consumes non-matching records without
+    returning, until a match arrives or the timeout elapses."""
+
+    def __init__(
+        self,
+        delivery: PushDelivery,
+        db: str,
+        table: str,
+        delta_type: str | None = None,
+    ) -> None:
+        super().__init__(delivery)
+        if delta_type is not None and delta_type not in _DELTA_TO_OP:
+            raise ValueError(f"unknown _delta_type {delta_type!r}")
+        self._db, self._tbl = db, table
+        self._ops = (
+            {_DELTA_TO_OP[delta_type]} if delta_type else set(_DELTA_TO_OP.values())
+        )
+
+    def next(self, timeout: float | None = None) -> bool:
+        deadline = None if timeout is None else time.monotonic() + timeout
+        while True:
+            remaining = None
+            if deadline is not None:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    return False
+            if not super().next(timeout=remaining):
+                return False
+            c = self.current
+            if (
+                c.get("db") == self._db
+                and c.get("tbl") == self._tbl
+                and c.get("op") in self._ops
+            ):
+                return True

@@ -223,6 +223,37 @@ def test_push_journal_resumes_mid_transaction_table_map(tmp_path):
         d2.stop()
 
 
+def test_api_execute_query_push_filters_and_blocks(tmp_path, spark):
+    """The JDBC surface over raw binlog bytes: the reference grammar
+    opens a blocking cursor that yields ONLY the requested table's
+    change rows (insert filter here), skipping bookkeeping events
+    inline; it blocks while idle and unblocks as the log grows."""
+    from mysql_cdc_spark import api
+
+    log = _GrowingLog(str(tmp_path / "binlog.000001"))
+    for i in range(5):
+        log.append_txn(i)
+
+    conn = api.connect("jdbc:mysql-cdc:/root/testdata/sf0.001", spark)
+    try:
+        cur, delivery = conn.create_statement().execute_query_push(
+            "select * from \"foo\".\"auto\" where _delta_type = 'insert'",
+            str(tmp_path),
+            catalog=_CAT,
+        )
+        got = []
+        while len(got) < 5 and cur.next(timeout=5):
+            got.append(cur.current)
+        assert [r["after"]["id"] for r in got] == [str(i) for i in range(5)]
+        assert all(r["op"] == "write_rows" for r in got)
+        assert not cur.next(timeout=0.4)        # idle → blocking timeout
+        log.append_txn(99)
+        assert cur.next(timeout=10)             # unblocks on append
+        assert cur.current["after"]["id"] == "99"
+    finally:
+        delivery.stop()
+
+
 def test_push_cursor_surfaces_tailer_error(tmp_path):
     (tmp_path / "binlog.000001").write_bytes(b"nota-binlog-file")
     d = PushDelivery(str(tmp_path), "binlog.000001", _CAT).start()
