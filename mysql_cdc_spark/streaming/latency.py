@@ -172,6 +172,28 @@ def measure_latency(
         finally:
             delivery.stop()
 
+        # --- durable push (r8): same hot path with the per-turn
+        # position journal (atomic tmp+rename JSON) — prices the
+        # restart-without-loss guarantee the reference lacks.
+        log = _GrowingLog(os.path.join(scratch, "logs", "pj.bin"))
+        delivery = PushDelivery(
+            os.path.join(scratch, "logs"), "pj.bin", _CAT,
+            journal_path=os.path.join(scratch, "pj.journal"),
+        ).start()
+        try:
+            cur = delivery.cursor()
+            t0 = time.perf_counter()
+            for i in range(turns):
+                log.append_txn(i)
+                while True:
+                    if not cur.next(timeout=timeout):
+                        raise TimeoutError(f"durable push cursor stalled on txn {i}")
+                    if cur.current["op"] == "xid" and cur.current["xid"] == i:
+                        break
+            t_push_j = time.perf_counter() - t0
+        finally:
+            delivery.stop()
+
         return {
             "full": round(t_full / turns, 4),
             "write": round(t_write / turns, 4),
@@ -179,6 +201,7 @@ def measure_latency(
             "net": round((t_full - t_write - t_decode) / turns, 4),
             "push": round(t_push / turns, 4),
             "push_net": round((t_push - t_write) / turns, 4),
+            "push_durable": round(t_push_j / turns, 4),
             "turns": turns,
         }
     finally:
