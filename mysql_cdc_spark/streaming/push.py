@@ -175,6 +175,7 @@ class PushDelivery:
                 [int(t) for t in tm["col_types"]],
                 [tuple(m) if isinstance(m, list) else m for m in tm["col_meta"]],
                 list(tm.get("names", [])),
+                [bool(u) for u in tm.get("unsigned", [])],
             )
 
     def _write_journal(self) -> None:
@@ -201,6 +202,7 @@ class PushDelivery:
                 "col_types": list(tm.col_types),
                 "col_meta": list(tm.col_meta),
                 "names": list(tm.names),
+                "unsigned": list(tm.unsigned),
             },
         }
         tmp = f"{self._journal_path}.tmp"

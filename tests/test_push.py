@@ -223,6 +223,31 @@ def test_push_journal_resumes_mid_transaction_table_map(tmp_path):
         d2.stop()
 
 
+def test_push_journal_round_trips_full_table_map_state(tmp_path):
+    """The journal must carry EVERY TableMapState field — including the
+    r8 `unsigned` flags from SIGNEDNESS optional metadata — or a resume
+    mid-transaction would silently decode unsigned columns as signed."""
+    from mysql_cdc_spark.sources.binlog_codec import TableMapState
+
+    journal = str(tmp_path / "j.json")
+    _GrowingLog(str(tmp_path / "binlog.000001"))
+    d1 = PushDelivery(str(tmp_path), "binlog.000001", _CAT, journal_path=journal)
+    d1.tailer.offset = 123
+    d1.tailer.checksum = "crc32"
+    d1.tailer.table_map = TableMapState(
+        9, "db", "t", [3, 8], [None, None], ["a", "b"], [True, False]
+    )
+    d1._write_journal()
+
+    d2 = PushDelivery(str(tmp_path), "binlog.000001", _CAT, journal_path=journal)
+    tm = d2.tailer.table_map
+    assert (d2.tailer.offset, d2.tailer.checksum) == (123, "crc32")
+    assert (tm.table_id, tm.db, tm.table) == (9, "db", "t")
+    assert tm.col_types == [3, 8]
+    assert tm.names == ["a", "b"]
+    assert tm.unsigned == [True, False]
+
+
 def test_api_execute_query_push_filters_and_blocks(tmp_path, spark):
     """The JDBC surface over raw binlog bytes: the reference grammar
     opens a blocking cursor that yields ONLY the requested table's
