@@ -253,10 +253,10 @@ def organic_soak(k: int) -> None:
 
     print(json.dumps({
         "mode": "organic_soak", "k": k,
-        "walls_sf0.1": base_walls, "walls_10x": walls,
+        "walls_sf0.1": base_walls, f"walls_{k}x": walls,
         "ratios": {n: round(walls[n] / base_walls[n], 2) for n in names},
         "total_sf0.1": round(sum(base_walls.values()), 3),
-        "total_10x": round(sum(walls.values()), 3),
+        f"total_{k}x": round(sum(walls.values()), 3),
     }))
 
 
