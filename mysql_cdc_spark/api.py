@@ -151,12 +151,16 @@ class CDCStatement:
             if not logs:
                 raise FileNotFoundError(f"no binlog files in {binlog_dir}")
             first_log = logs[0]
+        # Construct (and thereby validate the delta type) BEFORE
+        # starting the tailer thread: a rejected statement must not
+        # leak a running delivery holding the inotify fd and journal.
         delivery = PushDelivery(
             binlog_dir, first_log, catalog, journal_path=journal_path
-        ).start()
+        )
         cursor = FilteredPushCursor(
             delivery, parsed["db"], parsed["table"], parsed["delta_type"]
         )
+        delivery.start()
         return cursor, delivery
 
     def execute_update(self, sql: str) -> int:

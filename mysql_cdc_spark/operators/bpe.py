@@ -172,18 +172,23 @@ def train_merges(
     larger vocabularies fall back to the distributed
     one-small-job-per-round loop.  Both paths implement the identical
     published algorithm with the identical tie-break."""
-    wf_df = word_freq(docs)
     # Path decision by count() first: collecting driver_vocab_max+1 Row
     # objects just to measure the size could be multi-GB of Python object
     # overhead near the threshold.  Only under the cap do we materialize,
     # and then via Arrow (toPandas) rather than per-row Row objects.
-    n_vocab = wf_df.limit(driver_vocab_max + 1).count()
-    if n_vocab <= driver_vocab_max:
-        pdf = wf_df.toPandas()
-        return _train_merges_local(
-            list(zip(pdf["w"].tolist(), (int(f) for f in pdf["freq"].tolist()))),
-            n_merges,
-        )
+    # The cache keeps the corpus-sized aggregation to ONE computation
+    # across the count + the collect (the function's one-scan contract).
+    wf_df = word_freq(docs).cache()
+    try:
+        n_vocab = wf_df.limit(driver_vocab_max + 1).count()
+        if n_vocab <= driver_vocab_max:
+            pdf = wf_df.toPandas()
+            return _train_merges_local(
+                list(zip(pdf["w"].tolist(), (int(f) for f in pdf["freq"].tolist()))),
+                n_merges,
+            )
+    finally:
+        wf_df.unpersist()
 
     vocab = wf_df.select(_spaced(F.col("w")).alias("ws"), "freq").cache()
     merges: list[tuple[str, str, int]] = []

@@ -3712,10 +3712,6 @@ def _driver_verified_rounds() -> dict:
     return latest
 
 
-def _driver_verified_names() -> set[str]:
-    return set(_driver_verified_rounds())
-
-
 def _rotate_window() -> None:
     global QUERIES, ORACLES
     latest = _driver_verified_rounds()

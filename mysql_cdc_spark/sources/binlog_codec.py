@@ -1046,26 +1046,47 @@ def _read_optional_metadata(
     skipped by their declared length; SIGNEDNESS packs one bit per
     NUMERIC column, MSB-first; COLUMN_NAME (binlog_row_metadata=FULL)
     is a sequence of length-prefixed strings — real column names on the
-    wire, no out-of-band catalog needed."""
+    wire, no out-of-band catalog needed.
+
+    STRICT by design: the declared TLV lengths must tile the remaining
+    body EXACTLY, SIGNEDNESS must be exactly ceil(numeric/8) bytes, and
+    COLUMN_NAME must tile into exactly one name per column — otherwise
+    the whole block is treated as absent.  Trailing non-TLV bytes (an
+    unstripped CRC32 trailer when a caller resumes a checksummed log
+    without passing checksum='crc32') would otherwise be misparsed as
+    metadata and silently flip column signedness."""
     unsigned: list[bool] = []
     names: list[str] = []
-    while pos + 2 <= len(body):
-        t = body[pos]; pos += 1
-        ln, pos = read_packed_int(body, pos)
-        val = body[pos:pos + ln]; pos += ln
-        if t == _OPT_META_SIGNEDNESS:
-            numeric = [i for i, tc in enumerate(col_types) if tc in _NUMERIC_TYPES]
-            flags = [False] * len(col_types)
-            for j, i in enumerate(numeric):
-                if j >> 3 < len(val) and val[j >> 3] & (0x80 >> (j & 7)):
-                    flags[i] = True
-            unsigned = flags
-        elif t == _OPT_META_COLUMN_NAME:
-            p, nm = 0, []
-            while p < len(val):
-                ln2, p = read_packed_int(val, p)
-                nm.append(val[p:p + ln2].decode("utf-8", "replace")); p += ln2
-            names = nm
+    try:
+        while pos < len(body):
+            if pos + 2 > len(body):
+                return [], []              # dangling byte: not a TLV block
+            t = body[pos]; pos += 1
+            ln, pos = read_packed_int(body, pos)
+            if pos + ln > len(body):
+                return [], []              # declared length overruns: garbage
+            val = body[pos:pos + ln]; pos += ln
+            if t == _OPT_META_SIGNEDNESS:
+                numeric = [i for i, tc in enumerate(col_types) if tc in _NUMERIC_TYPES]
+                if len(val) != (len(numeric) + 7) // 8:
+                    return [], []
+                flags = [False] * len(col_types)
+                for j, i in enumerate(numeric):
+                    if val[j >> 3] & (0x80 >> (j & 7)):
+                        flags[i] = True
+                unsigned = flags
+            elif t == _OPT_META_COLUMN_NAME:
+                p, nm = 0, []
+                while p < len(val):
+                    ln2, p = read_packed_int(val, p)
+                    if p + ln2 > len(val):
+                        return [], []
+                    nm.append(val[p:p + ln2].decode("utf-8")); p += ln2
+                if len(nm) != len(col_types):
+                    return [], []
+                names = nm
+    except (IndexError, UnicodeDecodeError, ValueError):
+        return [], []
     return unsigned, names
 
 

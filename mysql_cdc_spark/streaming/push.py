@@ -108,18 +108,22 @@ class PushDelivery:
     envelope batches into a bounded queue (the reference's reader
     thread + LinkedBlockingQueue(10), jdbc.clj:44).
 
-    Durability (`journal_path`): the tailer's position (log name, byte
-    offset, checksum framing, carried table-map, per-file seq) is
-    journaled atomically after every turn that delivered events, and a
-    new `PushDelivery` pointed at the same journal resumes exactly
-    there — no rescan of already-delivered bytes, no duplicates on a
-    clean stop/restart.  The reference keeps this position only in
-    agent memory and loses it on restart (mysql_binlog.clj:914-916);
-    the journal is the push-path analog of the streaming path's
-    checkpoint.  Contract is at-least-once: a crash in the window
-    between queue delivery and the journal write replays that one
-    turn's batch — consumers needing exactly-once dedup by
-    (log_file, offset), which is strictly stronger than the reference.
+    Durability (`journal_path`): the journal records the position of
+    CONSUMED data, not merely tailed data.  Every batch is enqueued
+    together with a snapshot of the tailer state (log, offset, checksum
+    framing, carried table-map, per-file seq) taken right after that
+    batch was decoded; the cursor journals a batch's snapshot at the
+    moment it hands out the batch's LAST record.  A restart therefore
+    resumes exactly after the last fully-consumed batch: batches that
+    were queued (or dropped at shutdown) but never consumed are
+    re-read and re-delivered — at-least-once with NO silent loss, and
+    exactly-once (no duplicates) on a clean drain-then-stop.  A crash
+    mid-batch replays that one batch; consumers needing exactly-once
+    under crashes dedup by (log_file, offset).  Single-consumer
+    contract: one cursor owns the journal advance.  The reference
+    keeps its position only in agent memory and loses it on restart
+    (mysql_binlog.clj:914-916); this is the push-path analog of the
+    streaming path's checkpoint.
     """
 
     def __init__(
@@ -178,21 +182,17 @@ class PushDelivery:
                 [bool(u) for u in tm.get("unsigned", [])],
             )
 
-    def _write_journal(self) -> None:
-        if self._journal_path is None:
-            return
-        pos = (self.tailer.current_log, self.tailer.offset)
-        if pos == getattr(self, "_journaled_pos", None):
-            return
-        self._journaled_pos = pos
-        import json
-
+    def _snapshot(self) -> dict:
+        """Resume state as of the tailer's CURRENT position — captured
+        inside `_deliver`, i.e. right after the batch being enqueued
+        was decoded, so it is exactly the state to resume from once
+        that batch has been consumed."""
         tm = self.tailer.table_map
-        state = {
+        return {
             "log": self.tailer.current_log,
             "offset": self.tailer.offset,
             "checksum": self.tailer.checksum,
-            "seq": self._seq,
+            "seq": dict(self._seq),
             "table_map": None
             if tm is None
             else {
@@ -205,6 +205,18 @@ class PushDelivery:
                 "unsigned": list(tm.unsigned),
             },
         }
+
+    def _journal_state(self, state: dict | None) -> None:
+        """Atomically persist a consumed-position snapshot (no-op
+        without a journal path or when the position hasn't moved)."""
+        if self._journal_path is None or state is None:
+            return
+        pos = (state["log"], state["offset"])
+        if pos == getattr(self, "_journaled_pos", None):
+            return
+        self._journaled_pos = pos
+        import json
+
         tmp = f"{self._journal_path}.tmp"
         with open(tmp, "w") as fh:
             json.dump(state, fh)
@@ -215,11 +227,14 @@ class PushDelivery:
         records, self._seq[log_file] = envelope_records(
             batch, log_file, self._seq.get(log_file, 0)
         )
+        snap = self._snapshot() if self._journal_path is not None else None
         # Bounded put with a stop check: producer-side backpressure
-        # without deadlocking shutdown.
+        # without deadlocking shutdown.  A batch dropped here at
+        # shutdown is safe: its snapshot was never journaled, so a
+        # restart re-reads and re-delivers it.
         while not self._stop.is_set():
             try:
-                self.queue.put(records, timeout=0.1)
+                self.queue.put((records, snap), timeout=0.1)
                 return
             except queue.Full:
                 continue
@@ -232,14 +247,12 @@ class PushDelivery:
                 except OSError:
                     self._watcher = None
             self.tailer.turn()  # drain whatever already exists
-            self._write_journal()
             while not self._stop.is_set():
                 if self._watcher is not None:
                     self._watcher.wait(timeout=self._poll * 4)
                 else:
                     time.sleep(self._poll)
                 self.tailer.turn()
-                self._write_journal()
         except BaseException as exc:  # surface on the consumer side
             self.error = exc
         finally:
@@ -266,13 +279,16 @@ class PushCursor:
     def __init__(self, delivery: PushDelivery) -> None:
         self._delivery = delivery
         self._batch: list[dict] = []
+        self._snap: dict | None = None     # resume state after this batch
         self._pos = -1
         self.current: dict | None = None
 
     def next(self, timeout: float | None = None) -> bool:
         """Advance to the next envelope record; block until one
         arrives or `timeout` elapses (False on timeout).  Re-raises a
-        tailer-thread failure instead of blocking forever."""
+        tailer-thread failure instead of blocking forever.  Handing out
+        a batch's LAST record journals that batch's snapshot (consumed
+        position) — see PushDelivery's durability contract."""
         if self._pos + 1 >= len(self._batch):
             deadline = None if timeout is None else time.monotonic() + timeout
             while True:
@@ -284,13 +300,17 @@ class PushCursor:
                     if remaining <= 0:
                         return False
                 try:
-                    self._batch = self._delivery.queue.get(timeout=remaining)
+                    self._batch, self._snap = self._delivery.queue.get(
+                        timeout=remaining
+                    )
                     self._pos = -1
                     break
                 except queue.Empty:
                     continue
         self._pos += 1
         self.current = self._batch[self._pos]
+        if self._pos == len(self._batch) - 1:
+            self._delivery._journal_state(self._snap)
         return True
 
     def __iter__(self) -> Iterator[dict]:
@@ -308,8 +328,15 @@ class PushCursor:
             if self.next(timeout=0.25):
                 yield self.current
                 continue
-            if self._delivery._stop.is_set() and self._delivery.queue.empty():
-                return
+            if self._delivery._stop.is_set():
+                # Grace pass: a producer blocked in its final bounded
+                # put (≤0.1 s window) may still land a batch after the
+                # stop flag is set — re-check once before ending.
+                if self.next(timeout=0.3):
+                    yield self.current
+                    continue
+                if self._delivery.queue.empty():
+                    return
 
     def drain(self, idle_timeout: float = 0.5) -> Iterator[dict]:
         """Yield records until the stream has been idle for
@@ -320,10 +347,15 @@ class PushCursor:
 
 
 # parsed `_delta_type` literal → envelope op name (the push-path analog
-# of operators/query.filter_delta_type)
+# of operators/query.filter_delta_type).  The stream path explodes an
+# update into 'update-before'/'update-after' rows; push records carry
+# both images in ONE update_rows record, so all three update spellings
+# select the same records here.
 _DELTA_TO_OP = {
     "insert": "write_rows",
     "update": "update_rows",
+    "update-before": "update_rows",
+    "update-after": "update_rows",
     "delete": "delete_rows",
 }
 

@@ -223,6 +223,36 @@ def test_push_journal_resumes_mid_transaction_table_map(tmp_path):
         d2.stop()
 
 
+def test_push_journal_crash_replays_unconsumed_batches(tmp_path):
+    """The journal records CONSUMED position, not tailed position: a
+    crash with batches still sitting in the queue must NOT lose them —
+    the restart re-reads and re-delivers exactly the unconsumed tail."""
+    journal = str(tmp_path / "push.journal")
+    log = _GrowingLog(str(tmp_path / "binlog.000001"))
+    log.append_txn(0)
+
+    d1 = PushDelivery(str(tmp_path), "binlog.000001", _CAT, journal_path=journal).start()
+    cur = d1.cursor()
+    got1 = _drain_all(cur, 4)               # batch 1 fully consumed → journaled
+    assert len(got1) == 4
+    log.append_txn(1)                       # batch 2: enqueued, never consumed
+    deadline = time.monotonic() + 10
+    while d1.queue.empty() and time.monotonic() < deadline:
+        time.sleep(0.02)
+    assert not d1.queue.empty()
+    d1.stop()                               # "crash": queue contents vanish
+
+    d2 = PushDelivery(str(tmp_path), "binlog.000001", _CAT, journal_path=journal).start()
+    try:
+        got2 = _drain_all(d2.cursor(), 4)
+        rows = [e for e in got2 if e["op"] == "write_rows"]
+        assert [r["after"]["id"] for r in rows] == ["1"]  # replayed, not lost
+        # and nothing from before the crash point is duplicated
+        assert all(e["xid"] != 0 for e in got2 if e["op"] == "xid")
+    finally:
+        d2.stop()
+
+
 def test_push_journal_round_trips_full_table_map_state(tmp_path):
     """The journal must carry EVERY TableMapState field — including the
     r8 `unsigned` flags from SIGNEDNESS optional metadata — or a resume
@@ -237,7 +267,7 @@ def test_push_journal_round_trips_full_table_map_state(tmp_path):
     d1.tailer.table_map = TableMapState(
         9, "db", "t", [3, 8], [None, None], ["a", "b"], [True, False]
     )
-    d1._write_journal()
+    d1._journal_state(d1._snapshot())
 
     d2 = PushDelivery(str(tmp_path), "binlog.000001", _CAT, journal_path=journal)
     tm = d2.tailer.table_map
