@@ -1604,6 +1604,49 @@ def llm_embed_neardup(spark, sf_dir):
     return similarity.embedding_neardup_pairs(_emb(spark, sf_dir))
 
 
+@register(
+    "llm_semantic_dedup",
+    _BKT_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + ", cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b "
+    "FROM bkt a JOIN bkt b ON a.band = b.band AND a.bucket = b.bucket "
+    "AND a.vec_id < b.vec_id), "
+    "vp AS (SELECT vec_a, vec_b FROM ("
+    "  SELECT cand.vec_a, cand.vec_b, " + _SQL_COS.format(a="a", b="b") + " AS cosine "
+    "  FROM cand JOIN n a ON a.vec_id = cand.vec_a JOIN n b ON b.vec_id = cand.vec_b"
+    f") WHERE cosine >= {similarity.NEARDUP_COS}), "
+    "edges AS (SELECT vec_a AS src, vec_b AS dst FROM vp "
+    "UNION ALL SELECT vec_b, vec_a FROM vp), "
+    "reach AS (SELECT vec_id AS vec, vec_id AS other FROM embeddings "
+    "UNION SELECT r.vec, e.dst FROM reach r JOIN edges e ON e.src = r.other), "
+    "comp AS (SELECT vec, MIN(other) AS component FROM reach GROUP BY vec) "
+    "SELECT vec AS vec_id, component, "
+    "CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS component_size, "
+    "vec = component AS keep FROM comp",
+)
+def llm_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup as a KEEP/DROP decision list:
+    embedding-cosine near-dup pairs (LSH-bucketed candidates + exact
+    quantized-cosine verify, never all-pairs) closed into connected
+    components by min-label propagation; each vector gets its
+    component, the component size, and keep=True for the canonical
+    (minimum-id) member — the composition of the two verified
+    primitives an actual dedup pass runs.  Oracle = the same bucketed
+    pair derivation + a recursive-CTE reachability closure."""
+    emb = _emb(spark, sf_dir)
+    pairs = similarity.embedding_neardup_pairs(emb).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comp = corpus.duplicate_components(
+        emb.select(F.col("vec_id").alias("doc_id")), pairs
+    )
+    return comp.select(
+        F.col("doc_id").alias("vec_id"),
+        "component",
+        "component_size",
+        F.col("is_canonical").alias("keep"),
+    )
+
+
 _IVF_CTE = _EMB_CTE + (
     ", cent AS (SELECT label, dim, CAST(floor(CAST(SUM(qval) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cq "
     "FROM (SELECT label, unnest(range(0, len(qv))) AS dim, unnest(qv) AS qval FROM q) GROUP BY label, dim), "
