@@ -567,7 +567,7 @@ SELECT * FROM (
 
 def _binlog_envelope_projected(
     spark, sf_dir, prefix: str, checksum: str | None = None, gtid: bool = False,
-    rows_v2: bool = False,
+    rows_v2: bool = False, payload_zstd: bool = False,
 ):
     """Shared body of cdc_binlog_envelope / cdc_binlog_crc32 /
     cdc_binlog_gtid / cdc_binlog_rows_v2: generate the byte fixture
@@ -582,7 +582,8 @@ def _binlog_envelope_projected(
     out_dir = pathlib.Path(_STREAM_TMP) / f"{prefix}_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
     if not any(out_dir.glob("binlog.*")):
         bs.generate_binlog_from_events(
-            sf_dir, str(out_dir), checksum=checksum, gtid=gtid, rows_v2=rows_v2
+            sf_dir, str(out_dir), checksum=checksum, gtid=gtid, rows_v2=rows_v2,
+            payload_zstd=payload_zstd,
         )
     env = bs.read_binlog_envelope(spark, str(out_dir))
     # Global event number across rotated files: each log file holds
@@ -680,6 +681,24 @@ def cdc_binlog_rows_v2(spark, sf_dir):
     proof (same pattern as cdc_binlog_crc32).  Independent real-format
     coverage in tests/test_real_binlog.py."""
     return _binlog_envelope_projected(spark, sf_dir, "binlog_v2", rows_v2=True)
+
+
+@register("cdc_binlog_zstd", _BINLOG_ORACLE)
+def cdc_binlog_zstd(spark, sf_dir):
+    """ZSTD transaction compression (MySQL 8.0.20+
+    binlog_transaction_compression=ON): every transaction's events are
+    wrapped in one ZSTD-compressed TRANSACTION_PAYLOAD event.  The
+    decoder must parse the varint TLV header, zstd-decompress the
+    payload (via the pyarrow-bundled codec when no zstandard package
+    exists), and splice the embedded events — which carry no checksums
+    and foreign log_pos — into the stream with table-map threading.
+    The envelope is IDENTICAL to the uncompressed path, so the
+    unchanged relational oracle is the equivalence proof (the pattern
+    of cdc_binlog_crc32 / cdc_binlog_rows_v2).  Entirely beyond the
+    reference's 5.1-era event set (mysql_binlog.clj:222-259)."""
+    return _binlog_envelope_projected(
+        spark, sf_dir, "binlog_zstd", payload_zstd=True
+    )
 
 
 @register(

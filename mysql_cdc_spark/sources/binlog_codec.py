@@ -48,6 +48,46 @@ from dataclasses import dataclass, field
 MAGIC = b"\xfebin"
 HEADER_LEN = 19
 
+
+def _zstd_backend():
+    """Best available zstd codec as a (compress, decompress) pair, or
+    None.  decompress(data, unc_size) -> bytes; unc_size is the exact
+    uncompressed length from the TRANSACTION_PAYLOAD TLV (field 3 —
+    the server always writes it for compressed payloads, and pyarrow's
+    bundled zstd requires it).  Preference order: stdlib
+    ``compression.zstd`` (3.14+), the ``zstandard`` package, then the
+    zstd codec pyarrow ships for parquet."""
+    try:  # Python 3.14+ stdlib
+        from compression import zstd as _z  # noqa: PLC0415
+
+        return (
+            lambda d: _z.compress(d),
+            lambda d, n: _z.decompress(d),
+        )
+    except ImportError:
+        pass
+    try:
+        import zstandard as _z  # noqa: PLC0415
+
+        return (
+            lambda d: _z.ZstdCompressor().compress(d),
+            lambda d, n: _z.ZstdDecompressor().decompress(
+                d, max_output_size=n or 1 << 30
+            ),
+        )
+    except ImportError:
+        pass
+    try:
+        import pyarrow as _pa  # noqa: PLC0415
+
+        codec = _pa.Codec("zstd")
+        return (
+            lambda d: codec.compress(d, asbytes=True),
+            lambda d, n: codec.decompress(d, decompressed_size=n, asbytes=True),
+        )
+    except Exception:  # pragma: no cover - pyarrow is a hard dep in practice
+        return None
+
 # Event type codes (public binlog constants; reference mirrors them in
 # log-event-types, mysql_binlog.clj:222-259)
 QUERY_EVENT = 2
@@ -848,19 +888,25 @@ class BinlogWriter:
     ) -> None:
         """TRANSACTION_PAYLOAD (8.0.20+): wrap pre-encoded event bytes
         (headers+bodies, no magic/FDE/checksums) in the TLV-framed
-        payload envelope.  ``compression_type`` is written as-is so
-        tests can exercise the ZSTD-unavailable path; the payload bytes
-        are NOT compressed here (255 = NONE is the only type this
-        writer produces faithfully)."""
+        payload envelope.  ``compression_type=0`` really ZSTD-
+        compresses the payload (via whichever codec _zstd_backend
+        finds); 255 = NONE stores it verbatim; any other value is
+        written as-is so tests can exercise the unknown-type path."""
+        payload = inner
+        if compression_type == 0:
+            backend = _zstd_backend()
+            if backend is None:  # pragma: no cover - pyarrow always present
+                raise RuntimeError("no zstd codec available to compress")
+            payload = backend[0](inner)
         ct = enc_packed_int(compression_type)
-        sz = enc_packed_int(len(inner))
+        sz = enc_packed_int(len(payload))
         un = enc_packed_int(len(inner))
         body = (
             enc_packed_int(2) + enc_packed_int(len(ct)) + ct
             + enc_packed_int(1) + enc_packed_int(len(sz)) + sz
             + enc_packed_int(3) + enc_packed_int(len(un)) + un
             + enc_packed_int(0)
-            + inner
+            + payload
         )
         self._emit(TRANSACTION_PAYLOAD_EVENT, body, ts)
 
@@ -1535,16 +1581,25 @@ def _decode_body(
                 unc_size, _ = read_packed_int(val, 0)
         payload = bytes(body[pos:])
         if comp_type == 0:
-            try:
-                import zstandard  # noqa: PLC0415 - optional dependency
-            except ImportError as exc:
+            backend = _zstd_backend()
+            if backend is None:
                 raise ValueError(
-                    "ZSTD-compressed transaction payload: the zstandard "
-                    "package is not available in this environment"
-                ) from exc
-            payload = zstandard.ZstdDecompressor().decompress(
-                payload, max_output_size=unc_size or 1 << 30
-            )
+                    "ZSTD-compressed transaction payload: no zstd codec "
+                    "available (need compression.zstd, zstandard, or pyarrow)"
+                )
+            if unc_size is None:
+                # Field 3 is mandatory for compressed payloads on real
+                # servers; without it pyarrow's codec can't size the
+                # output buffer, so treat the event as malformed.
+                raise ValueError(
+                    "ZSTD transaction payload missing uncompressed-size TLV"
+                )
+            payload = backend[1](payload, unc_size)
+            if len(payload) != unc_size:
+                raise ValueError(
+                    "ZSTD transaction payload decompressed to "
+                    f"{len(payload)} bytes, TLV declared {unc_size}"
+                )
         elif comp_type != 255:
             raise ValueError(f"unknown payload compression type {comp_type}")
         inner_base = ev["offset"] + HEADER_LEN + pos

@@ -323,6 +323,7 @@ def generate_binlog_from_events(
     checksum: str | None = None,
     gtid: bool = False,
     rows_v2: bool = False,
+    payload_zstd: bool = False,
 ) -> list[str]:
     """Encode the derived change stream as REAL binlog bytes — the same
     derivation rules as sources/events_cdc.py (db/tbl from user_id
@@ -331,11 +332,16 @@ def generate_binlog_from_events(
     rotated every `rotate_every` source events and chained with a
     ROTATE event naming the next log (as real binlogs are).
     ``checksum='crc32'`` writes MySQL ≥5.6.6 CRC32 framing.
+    ``payload_zstd`` wraps each transaction's events in a ZSTD
+    TRANSACTION_PAYLOAD envelope (8.0.20+
+    binlog_transaction_compression=ON framing; embedded events carry
+    no checksums and foreign log_pos, exactly as servers store them).
     Idempotent; the directory appears atomically (see _atomic_gen)."""
     return _atomic_gen(
         out_dir,
         lambda d: _generate_binlog_files(
-            sf_dir, d, rotate_every, corrupt_every, checksum, gtid, rows_v2
+            sf_dir, d, rotate_every, corrupt_every, checksum, gtid, rows_v2,
+            payload_zstd,
         ),
     )
 
@@ -348,6 +354,7 @@ def _generate_binlog_files(
     checksum: str | None = None,
     gtid: bool = False,
     rows_v2: bool = False,
+    payload_zstd: bool = False,
 ) -> list[str]:
     os.makedirs(out_dir, exist_ok=True)
     pdf = _fixture_rows(sf_dir)
@@ -397,28 +404,39 @@ def _generate_binlog_files(
 
         if gtid:
             # Modern framing: GTID precedes each transaction; gno is
-            # the global txn counter (event_id is corpus-unique).
+            # the global txn counter (event_id is corpus-unique).  On
+            # real 8.0 servers the GTID event stays OUTSIDE any
+            # TRANSACTION_PAYLOAD wrapper, so it goes to `writer`
+            # regardless of payload_zstd.
             writer.write_gtid(GTID_SID, event_id + 1, ts)
+        # payload_zstd: the transaction's events are encoded into a
+        # scratch writer (no magic/FDE/checksums — the server stores
+        # embedded events bare) and ZSTD-wrapped at transaction end.
+        if payload_zstd:
+            target = BinlogWriter()
+            inner_start = target.offset
+        else:
+            target = writer
         # Non-trivial post-header fields so the oracle checks them:
         # a synthetic session id, a bounded exec time, and a dup-key
         # error code on every 1000th statement.
-        writer.write_query(
+        target.write_query(
             db, sql, ts,
             thread_id=event_id % 100000,
             exec_time=event_id % 3600,
             error_code=1062 if event_id % 1000 == 0 else 0,
         )
-        writer.write_table_map(t, ts)
-        row_event_start = writer.offset
+        target.write_table_map(t, ts)
+        row_event_start = target.offset
         if op == WRITE_ROWS_EVENT:
-            writer.write_rows(op, t, [[row_id, val, word]], ts=ts, v2=rows_v2)
+            target.write_rows(op, t, [[row_id, val, word]], ts=ts, v2=rows_v2)
         elif op == UPDATE_ROWS_EVENT:
             before = [row_id, fixture_val_before(event_id), word]
-            writer.write_rows(
+            target.write_rows(
                 op, t, [(before, [row_id, val, word])], ts=ts, v2=rows_v2
             )
         else:
-            writer.write_rows(op, t, [[row_id, val, word]], ts=ts, v2=rows_v2)
+            target.write_rows(op, t, [[row_id, val, word]], ts=ts, v2=rows_v2)
         if corrupt_every is not None and event_id % corrupt_every == 0:
             # Poison the row-event BODY (header/event_len untouched, so
             # the event chain stays walkable) — the dead-letter fixture.
@@ -430,8 +448,12 @@ def _generate_binlog_files(
             # whose bitmap skip pushes the cursor past the body — a
             # GUARANTEED struct overrun.  (All-0xFF bodies can decode
             # to garbage values without raising.)
-            writer.buf[body_start:] = b"\xfe" * (len(writer.buf) - body_start)
-        writer.write_xid(event_id, ts)
+            target.buf[body_start:] = b"\xfe" * (len(target.buf) - body_start)
+        target.write_xid(event_id, ts)
+        if payload_zstd:
+            writer.write_transaction_payload(
+                bytes(target.getvalue()[inner_start:]), ts, compression_type=0
+            )
 
     if writer is not None:
         with open(os.path.join(out_dir, fname), "wb") as fh:

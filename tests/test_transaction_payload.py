@@ -85,18 +85,75 @@ def test_payload_table_map_escapes_to_outer_stream():
     assert evs[-1]["after"] == [{"id": 8, "val": "2.0000", "word": "out"}]
 
 
-def test_zstd_payload_without_library_raises_and_quarantines():
+def test_zstd_payload_decodes_same_as_uncompressed_twin():
+    """A ZSTD-compressed transaction must decode to the SAME spliced
+    events as its uncompressed twin (8.0.20+
+    binlog_transaction_compression=ON writes ZSTD)."""
+    inner = _inner_txn_bytes(3, 81)
+    wa, wb = BinlogWriter(), BinlogWriter()
+    wa.write_transaction_payload(inner, ts=9, compression_type=255)
+    wb.write_transaction_payload(inner, ts=9, compression_type=0)
+    assert wb.getvalue() != wa.getvalue()  # really compressed on the wire
+    eva = decode_binlog(wa.getvalue(), CAT)
+    evb = decode_binlog(wb.getvalue(), CAT)
+    assert [e["op"] for e in evb] == [e["op"] for e in eva] == [
+        "format_description", "transaction_payload",
+        "query", "table_map", "write_rows", "xid",
+    ]
+    assert evb[1]["sql"] == "payload: 4 events, zstd"
+    # spliced row/xid content identical (offsets differ: compressed
+    # envelope occupies different byte positions)
+    strip = ("offset", "next_offset", "event_size", "sql")
+    for a, b in zip(eva[2:], evb[2:]):
+        assert {k: v for k, v in a.items() if k not in strip} == \
+               {k: v for k, v in b.items() if k not in strip}
+
+
+def test_corrupt_zstd_frame_raises_and_quarantines():
     w = BinlogWriter()
-    w.write_transaction_payload(b"\x28\xb5\x2f\xfd whatever", ts=1,
+    w.write_transaction_payload(_inner_txn_bytes(1, 5), ts=1,
                                 compression_type=0)
     w.write_xid(5, ts=1)
-    try:
-        import zstandard  # noqa: F401
+    raw = bytearray(w.getvalue())
+    # flip a byte deep inside the compressed payload (the payload event
+    # is followed only by the 27-byte xid event + CRC, so -40 lands in
+    # the compressed bytes) so decompression fails
+    raw[-40] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_binlog(bytes(raw), CAT)
+    evs = decode_binlog(bytes(raw), CAT, on_error="quarantine")
+    assert evs[1]["op"] == "quarantine"
+    assert evs[-1]["op"] == "xid"  # walk continues past the dead letter
 
-        pytest.skip("zstandard installed; unavailable-path not testable")
-    except ImportError:
-        pass
-    with pytest.raises(ValueError, match="zstandard"):
+
+def test_zstd_payload_missing_uncompressed_size_tlv_rejected():
+    from mysql_cdc_spark.sources.binlog_codec import (
+        TRANSACTION_PAYLOAD_EVENT,
+        _zstd_backend,
+        enc_packed_int,
+    )
+
+    comp = _zstd_backend()[0](b"junk")
+    ct = enc_packed_int(0)
+    body = (
+        enc_packed_int(2) + enc_packed_int(len(ct)) + ct
+        + enc_packed_int(0) + comp
+    )
+    w = BinlogWriter()
+    w._emit(TRANSACTION_PAYLOAD_EVENT, body, 1)
+    with pytest.raises(ValueError, match="uncompressed-size"):
+        decode_binlog(w.getvalue(), CAT)
+
+
+def test_zstd_payload_without_any_codec_raises_and_quarantines(monkeypatch):
+    import mysql_cdc_spark.sources.binlog_codec as codec
+
+    w = BinlogWriter()
+    w.write_transaction_payload(_inner_txn_bytes(1, 5), ts=1,
+                                compression_type=0)
+    w.write_xid(5, ts=1)
+    monkeypatch.setattr(codec, "_zstd_backend", lambda: None)
+    with pytest.raises(ValueError, match="no zstd codec"):
         decode_binlog(w.getvalue(), CAT)
     evs = decode_binlog(w.getvalue(), CAT, on_error="quarantine")
     assert [e["op"] for e in evs] == ["format_description", "quarantine", "xid"]
