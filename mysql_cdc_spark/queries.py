@@ -1111,6 +1111,57 @@ def cdc_binlog_wide_types(spark, sf_dir):
 
 
 @register(
+    "cdc_binlog_utf8mb4",
+    """
+WITH ev AS (
+  SELECT event_id, ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS k FROM events
+)
+SELECT CAST(3*k+1 AS BIGINT) AS seq,
+       CAST(event_id % 97 AS BIGINT) AS id,
+       'é→' || CAST(event_id % 100 AS VARCHAR)
+            || '←日本語·' || CAST(event_id % 7 AS VARCHAR) AS name,
+       'grüß' || CAST(event_id % 10 AS VARCHAR) AS tag,
+       lower(hex(encode(CAST(event_id AS VARCHAR)))) AS bin,
+       CASE WHEN event_id % 9 = 0 THEN NULL
+            ELSE 'déjà vu ' || CAST(event_id % 13 AS VARCHAR) END AS txt
+FROM ev
+""".strip(),
+)
+def cdc_binlog_utf8mb4(spark, sf_dir):
+    """Charset-aware string decode through the byte path: the fixture's
+    TABLE_MAP carries the 8.0 DEFAULT_CHARSET optional-metadata TLV
+    (utf8mb4_0900_ai_ci default + a collation-63 VARBINARY override),
+    and every text value contains 2- and 3-byte UTF-8 sequences.  The
+    decoder must decode each column under its on-wire collation —
+    latin-1 (the reference's hardwired ISO-8859-1 floor,
+    mysql_binlog.clj:537-544) would surface mojibake and hash-mismatch
+    against the oracle's native strings; the VARBINARY column must
+    STAY bytes (hex in the envelope)."""
+    import pathlib
+
+    from mysql_cdc_spark.sources import binlog_source as bs
+
+    out_dir = pathlib.Path(_STREAM_TMP) / f"binlog_utf8_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
+    if not any(out_dir.glob("binlog.*")):
+        bs.generate_utf8_binlog(sf_dir, str(out_dir))
+    env = bs.read_binlog_envelope(spark, str(out_dir))
+    after = F.col("after")
+    seq_global = (
+        F.regexp_extract("log_file", r"binlog\.(\d+)", 1).cast("bigint")
+        * (3 * bs.ROTATE_EVERY)
+        + F.col("seq")
+    )
+    return env.filter(F.col("op") == "write_rows").select(
+        seq_global.alias("seq"),
+        F.element_at(after, "id").cast("bigint").alias("id"),
+        F.element_at(after, "name").alias("name"),
+        F.element_at(after, "tag").alias("tag"),
+        F.element_at(after, "bin").alias("bin"),
+        F.element_at(after, "txt").alias("txt"),
+    )
+
+
+@register(
     "cdc_binlog_json_bit",
     """
 WITH ev AS (

@@ -660,6 +660,33 @@ class TableDef:
     # ordinals); SET → n_members
     columns: list[tuple[int, object]]
     table_id: int = 1
+    # Optional-metadata charset TLVs (8.0.1+ binlog_row_metadata):
+    # default collation id for the DEFAULT_CHARSET TLV, with
+    # per-character-column overrides keyed by index AMONG character
+    # columns.  None = no charset TLV written (pre-8.0 layout).
+    default_charset: int | None = None
+    charset_overrides: dict[int, int] | None = None
+
+    def column_codecs(self) -> list:
+        """Per-column Python codec implied by the charset TLV fields
+        (None per column when no TLV is declared — legacy latin-1).
+        Memoized: the writer asks once per row image."""
+        cached = getattr(self, "_codecs", None)
+        if cached is not None:
+            return cached
+        if self.default_charset is None:
+            self._codecs = [None] * len(self.columns)
+            return self._codecs
+        out, ci = [], 0
+        for tc, m in self.columns:
+            if _is_character_column(tc, m):
+                cid = (self.charset_overrides or {}).get(ci, self.default_charset)
+                out.append(collation_to_codec(cid))
+                ci += 1
+            else:
+                out.append(None)
+        self._codecs = out
+        return out
 
 
 class BinlogWriter:
@@ -766,10 +793,19 @@ class BinlogWriter:
                 meta += bytes([m[0], m[1]])    # (bits % 8, bytes)
         body += enc_packed_int(len(meta)) + bytes(meta)
         body += _bitmap_bytes([True] * len(t.columns))  # nullability
+        if t.default_charset is not None:
+            # DEFAULT_CHARSET optional-metadata TLV: packed default
+            # collation + (char-column-index, collation) override pairs.
+            val = enc_packed_int(t.default_charset)
+            for ci, cid in sorted((t.charset_overrides or {}).items()):
+                val += enc_packed_int(ci) + enc_packed_int(cid)
+            body += bytes([_OPT_META_DEFAULT_CHARSET])
+            body += enc_packed_int(len(val)) + val
         self._emit(TABLE_MAP_EVENT, body, ts)
 
-    def _encode_value(self, col: tuple[int, object], v) -> bytes:
+    def _encode_value(self, col: tuple[int, object], v, charset=None) -> bytes:
         tc, m = col
+        enc = charset if charset not in (None, "binary") else "latin-1"
         if tc in _INT_TYPES:
             return int(v).to_bytes(_INT_TYPES[tc], "little", signed=True)
         if tc == TYPE_FLOAT:
@@ -788,11 +824,25 @@ class BinlogWriter:
         if tc == TYPE_TIME2:
             return encode_time2(str(v), int(m or 0))
         if tc == TYPE_BLOB:
-            raw = bytes(v) if isinstance(v, (bytes, bytearray)) else str(v).encode("latin-1")
+            raw = bytes(v) if isinstance(v, (bytes, bytearray)) else str(v).encode(enc)
             return len(raw).to_bytes(int(m or 2), "little") + raw
         if tc in (TYPE_VARCHAR, TYPE_VAR_STRING):
-            raw = str(v).encode("latin-1")
+            raw = bytes(v) if isinstance(v, (bytes, bytearray)) else str(v).encode(enc)
             pre = bytes([len(raw)]) if int(m) < 256 else len(raw).to_bytes(2, "little")
+            return pre + raw
+        if tc == TYPE_STRING and isinstance(m, tuple) and m[0] not in (
+            TYPE_ENUM, TYPE_SET
+        ):
+            # CHAR: pack length folded into the metadata high bits
+            # (same derivation as the decoder / reference read-field
+            # :566-579); stored length-prefixed like VAR_STRING.
+            m0, m1 = m
+            if m0 and (m0 & 0x30) != 0x30:
+                maxlen = m1 | (((m0 & 0x30) ^ 0x30) << 4)
+            else:
+                maxlen = m1
+            raw = bytes(v) if isinstance(v, (bytes, bytearray)) else str(v).encode(enc)
+            pre = bytes([len(raw)]) if maxlen < 256 else len(raw).to_bytes(2, "little")
             return pre + raw
         if tc == TYPE_NEWDECIMAL:
             return encode_decimal(str(v), m[0], m[1])
@@ -833,9 +883,10 @@ class BinlogWriter:
         used = [i for i, p in enumerate(present) if p]
         nulls = [values[i] is None for i in used]
         out = bytearray(_bitmap_bytes(nulls))
+        codecs = t.column_codecs()
         for i in used:
             if values[i] is not None:
-                out += self._encode_value(t.columns[i], values[i])
+                out += self._encode_value(t.columns[i], values[i], codecs[i])
         return bytes(out)
 
     def write_rows(
@@ -947,6 +998,14 @@ class TableMapState:
     # SIGNEDNESS TLV; empty = all signed (pre-8.0 logs carry no
     # signedness on the wire at all).
     unsigned: list[bool] = field(default_factory=list)
+    # Per-column Python codec names from the DEFAULT_CHARSET /
+    # COLUMN_CHARSET optional-metadata TLVs (8.0.1+): a codec string
+    # for text columns, "binary" for binary collation 63
+    # (VARBINARY/BLOB), None for non-character columns.  Empty = no
+    # charset metadata on the wire → legacy latin-1 decode (exact
+    # parity with the reference's hardwired ISO-8859-1,
+    # mysql_binlog.clj:537-544).
+    charsets: list = field(default_factory=list)
 
     def col_name(self, i: int) -> str:
         # Reference result sets name columns by ordinal ("1", "2", ... —
@@ -1024,7 +1083,7 @@ def _table_map_for(body: bytes, catalog: dict) -> "TableMapState":
             _TMAP_FULL.clear()
         st = TableMapState(
             tpl.table_id, tpl.db, tpl.table, tpl.col_types, tpl.col_meta,
-            list(names), list(tpl.unsigned),
+            list(names), list(tpl.unsigned), list(tpl.charsets),
         )
         st._names_all = [st.col_name(i) for i in range(len(st.col_types))]
         _TMAP_FULL[key] = st
@@ -1065,12 +1124,14 @@ def _read_table_map(body: bytes) -> TableMapState:
     # binlog_row_metadata) optional metadata TLVs.  Both are absent in
     # the reference's 5.1-era logs; parse defensively — a map without
     # them decodes exactly as before.
-    unsigned, tlv_names = [], []
+    unsigned, tlv_names, charsets = [], [], []
     opt_pos = pos + (n_cols + 7) // 8
     if opt_pos < len(body):
-        unsigned, tlv_names = _read_optional_metadata(body, opt_pos, col_types)
+        unsigned, tlv_names, charsets = _read_optional_metadata(
+            body, opt_pos, col_types, col_meta
+        )
     return TableMapState(
-        table_id, db, table, col_types, col_meta, tlv_names, unsigned
+        table_id, db, table, col_types, col_meta, tlv_names, unsigned, charsets
     )
 
 
@@ -1081,18 +1142,78 @@ _NUMERIC_TYPES = frozenset({0, 1, 2, 3, 4, 5, 8, 9, 246})
 
 # Optional-metadata TLV type codes (public table-map layout, 8.0.1+).
 _OPT_META_SIGNEDNESS = 1
+_OPT_META_DEFAULT_CHARSET = 2
+_OPT_META_COLUMN_CHARSET = 3
 _OPT_META_COLUMN_NAME = 4
+
+# MySQL collation id → Python codec, by charset family (public
+# collation registry, INFORMATION_SCHEMA.COLLATIONS).  Only families
+# whose byte encodings Python ships are mapped; anything unknown falls
+# back to latin-1 — never an error, matching the reference's
+# hardwired ISO-8859-1 floor (mysql_binlog.clj:537-544).
+_COLLATION_SINGLE = {
+    63: "binary",                      # binary → keep bytes
+    11: "ascii", 65: "ascii",
+    56: "utf-16-le",                   # utf16le
+}
+_COLLATION_RANGES = (
+    # utf8mb4: general/bin (45/46), 5.7 unicode_* (224-247),
+    # 8.0 *_0900_* (255-323)
+    ((45, 46), "utf-8"), ((224, 247), "utf-8"), ((255, 323), "utf-8"),
+    # utf8mb3: general/bin (33/83), tolower (76), unicode_* (192-223)
+    ((33, 33), "utf-8"), ((83, 83), "utf-8"), ((76, 76), "utf-8"),
+    ((192, 223), "utf-8"),
+    # latin1 variants
+    ((5, 5), "latin-1"), ((8, 8), "latin-1"), ((15, 15), "latin-1"),
+    ((31, 31), "latin-1"), ((47, 49), "latin-1"), ((94, 94), "latin-1"),
+    # ucs2 (35/90/128-151), utf16 (54/55/101-124): big-endian
+    ((35, 35), "utf-16-be"), ((90, 90), "utf-16-be"),
+    ((128, 151), "utf-16-be"),
+    ((54, 55), "utf-16-be"), ((101, 124), "utf-16-be"),
+    # utf32 (60/61/160-183)
+    ((60, 61), "utf-32-be"), ((160, 183), "utf-32-be"),
+)
+
+
+def collation_to_codec(cid: int) -> str:
+    """Python codec for a MySQL collation id ("binary" = keep bytes;
+    unknown families decode latin-1, which is lossless byte→str)."""
+    codec = _COLLATION_SINGLE.get(cid)
+    if codec is not None:
+        return codec
+    for (lo, hi), name in _COLLATION_RANGES:
+        if lo <= cid <= hi:
+            return name
+    return "latin-1"
+
+
+def _is_character_column(tc: int, meta) -> bool:
+    """Character columns in the charset-TLV sense (the public
+    is_character_field set: STRING, VAR_STRING, VARCHAR, BLOB) —
+    excluding ENUM/SET, which travel as STRING with the real type in
+    metadata byte 0 and get their own charset TLVs (types 10/11,
+    ignored here: our envelope keeps ENUM ordinals / SET bitsets)."""
+    if tc in (TYPE_VARCHAR, TYPE_VAR_STRING, TYPE_BLOB):
+        return True
+    if tc == TYPE_STRING:
+        return not (isinstance(meta, tuple) and meta[0] in (TYPE_ENUM, TYPE_SET))
+    return False
 
 
 def _read_optional_metadata(
-    body: bytes, pos: int, col_types: list[int]
-) -> tuple[list[bool], list[str]]:
+    body: bytes, pos: int, col_types: list[int], col_meta: list | None = None
+) -> tuple[list[bool], list[str], list]:
     """Parse the TABLE_MAP optional-metadata TLV block: returns
-    (per-column unsigned flags, column names).  Unknown TLV types are
-    skipped by their declared length; SIGNEDNESS packs one bit per
-    NUMERIC column, MSB-first; COLUMN_NAME (binlog_row_metadata=FULL)
-    is a sequence of length-prefixed strings — real column names on the
-    wire, no out-of-band catalog needed.
+    (per-column unsigned flags, column names, per-column charsets).
+    Unknown TLV types are skipped by their declared length; SIGNEDNESS
+    packs one bit per NUMERIC column, MSB-first; COLUMN_NAME
+    (binlog_row_metadata=FULL) is a sequence of length-prefixed
+    strings — real column names on the wire, no out-of-band catalog
+    needed.  DEFAULT_CHARSET is a packed-int default collation followed
+    by (index-among-character-columns, collation) packed-int pairs for
+    character columns that differ (the single-charset-optimized shape
+    in the public table-map layout); COLUMN_CHARSET is one packed-int
+    collation per character column (the mostly-different shape).
 
     STRICT by design: the declared TLV lengths must tile the remaining
     body EXACTLY, SIGNEDNESS must be exactly ceil(numeric/8) bytes, and
@@ -1103,19 +1224,24 @@ def _read_optional_metadata(
     metadata and silently flip column signedness."""
     unsigned: list[bool] = []
     names: list[str] = []
+    charsets: list = []
+    char_cols = [
+        i for i, tc in enumerate(col_types)
+        if _is_character_column(tc, col_meta[i] if col_meta else None)
+    ]
     try:
         while pos < len(body):
             if pos + 2 > len(body):
-                return [], []              # dangling byte: not a TLV block
+                return [], [], []          # dangling byte: not a TLV block
             t = body[pos]; pos += 1
             ln, pos = read_packed_int(body, pos)
             if pos + ln > len(body):
-                return [], []              # declared length overruns: garbage
+                return [], [], []          # declared length overruns: garbage
             val = body[pos:pos + ln]; pos += ln
             if t == _OPT_META_SIGNEDNESS:
                 numeric = [i for i, tc in enumerate(col_types) if tc in _NUMERIC_TYPES]
                 if len(val) != (len(numeric) + 7) // 8:
-                    return [], []
+                    return [], [], []
                 flags = [False] * len(col_types)
                 for j, i in enumerate(numeric):
                     if val[j >> 3] & (0x80 >> (j & 7)):
@@ -1126,24 +1252,68 @@ def _read_optional_metadata(
                 while p < len(val):
                     ln2, p = read_packed_int(val, p)
                     if p + ln2 > len(val):
-                        return [], []
+                        return [], [], []
                     nm.append(val[p:p + ln2].decode("utf-8")); p += ln2
                 if len(nm) != len(col_types):
-                    return [], []
+                    return [], [], []
                 names = nm
+            elif t == _OPT_META_DEFAULT_CHARSET and char_cols:
+                default_cid, p = read_packed_int(val, 0)
+                overrides: dict[int, int] = {}
+                while p < len(val):
+                    ci, p = read_packed_int(val, p)
+                    cid, p = read_packed_int(val, p)
+                    overrides[ci] = cid
+                if any(ci >= len(char_cols) for ci in overrides):
+                    return [], [], []
+                cs = [None] * len(col_types)
+                for j, i in enumerate(char_cols):
+                    cs[i] = collation_to_codec(overrides.get(j, default_cid))
+                charsets = cs
+            elif t == _OPT_META_COLUMN_CHARSET and char_cols:
+                cids, p = [], 0
+                while p < len(val):
+                    cid, p = read_packed_int(val, p)
+                    cids.append(cid)
+                if len(cids) != len(char_cols):
+                    return [], [], []
+                cs = [None] * len(col_types)
+                for j, i in enumerate(char_cols):
+                    cs[i] = collation_to_codec(cids[j])
+                charsets = cs
     except (IndexError, UnicodeDecodeError, ValueError):
-        return [], []
-    return unsigned, names
+        return [], [], []
+    return unsigned, names, charsets
+
+
+def _decode_text(raw: bytes, charset: str | None) -> object:
+    """String-column payload → value under the column's charset
+    metadata: None (no TLV on the wire) and unknown families decode
+    latin-1 (the reference's hardwired ISO-8859-1 floor,
+    mysql_binlog.clj:537-544 — lossless byte→str); "binary" keeps
+    bytes (VARBINARY); real codecs decode with latin-1 fallback on
+    malformed sequences rather than failing the row."""
+    if charset == "binary":
+        return bytes(raw)
+    if charset is None or charset == "latin-1":
+        return raw.decode("latin-1")
+    try:
+        return raw.decode(charset)
+    except (UnicodeDecodeError, LookupError):
+        return raw.decode("latin-1")
 
 
 def _read_value(
-    body: bytes, pos: int, tc: int, meta, unsigned: bool = False
+    body: bytes, pos: int, tc: int, meta, unsigned: bool = False,
+    charset: str | None = None,
 ) -> tuple[object, int]:
     """D9 field decode (reference read-type :528-558; CHAR packed
     metadata special case read-field :560-580).  ``unsigned`` comes
     from the table map's SIGNEDNESS optional metadata (8.0.1+) and
     flips integer decode — without it an unsigned BIGINT above 2^63-1
-    would surface as a negative number."""
+    would surface as a negative number.  ``charset`` comes from the
+    DEFAULT_CHARSET/COLUMN_CHARSET metadata and governs string-column
+    decode (None = legacy latin-1; BLOB stays bytes without it)."""
     if tc == TYPE_STRING and isinstance(meta, tuple):
         # The metadata's first byte carries the REAL type: ENUM/SET
         # hybrids, or CHAR with pack_length folded into the high bits.
@@ -1173,7 +1343,7 @@ def _read_value(
             ln = body[pos]; pos += 1
         else:
             ln = int.from_bytes(body[pos:pos + 2], "little"); pos += 2
-        return body[pos:pos + ln].decode("latin-1"), pos + ln
+        return _decode_text(body[pos:pos + ln], charset), pos + ln
     if tc == TYPE_NEWDECIMAL:
         p, s = meta
         size = decimal_bin_size(p, s)
@@ -1224,7 +1394,13 @@ def _read_value(
         n = int(meta)
         ln = int.from_bytes(body[pos:pos + n], "little")
         pos += n
-        return bytes(body[pos:pos + ln]), pos + ln
+        raw = body[pos:pos + ln]
+        # Without charset metadata every BLOB/TEXT stays bytes (legacy
+        # behavior); with it, TEXT columns decode to str and binary
+        # BLOBs (collation 63) stay bytes.
+        if charset is None:
+            return bytes(raw), pos + ln
+        return _decode_text(raw, charset), pos + ln
     raise ValueError(f"Cannot read type {tc}")  # reference :558
 
 
@@ -1262,7 +1438,7 @@ def _read_image(
     """One row image → {col_name: value}; SQL NULL → key with None,
     column-not-in-image → key ABSENT (nil vs '_', reference :599-608)."""
     col_types, col_meta = tmap.col_types, tmap.col_meta
-    unsigned = tmap.unsigned
+    unsigned, charsets = tmap.unsigned, tmap.charsets
     used = _used_cols(len(col_types), used_bitmap)
     names = _full_names(tmap)
     null_bytes = (len(used) + 7) // 8
@@ -1276,6 +1452,7 @@ def _read_image(
             v, pos = _read_value(
                 body, pos, col_types[i], col_meta[i],
                 bool(unsigned) and unsigned[i],
+                charsets[i] if charsets else None,
             )
             image[names[i]] = v
     return image, pos

@@ -42,6 +42,7 @@ from mysql_cdc_spark.sources.binlog_codec import (
     TYPE_JSON,
     TYPE_SET,
     TYPE_SHORT,
+    TYPE_STRING,
     TYPE_TIME,
     TYPE_TIME2,
     TYPE_TIMESTAMP,
@@ -69,6 +70,7 @@ FIXTURE_CATALOG = {
         "yr", "d", "dt", "ts", "tm", "bl",
     ],
     ("bench", "docs"): ["id", "doc", "flags", "created", "updated", "took"],
+    ("bench", "utf8"): ["id", "name", "tag", "bin", "txt"],
 }
 
 # (type, metadata) per column: INT, DECIMAL(12,4), VARCHAR(50) — the
@@ -120,6 +122,17 @@ JSON_BIT_COLUMNS = [
     (TYPE_TIMESTAMP, None),     # created (legacy 4-byte epoch)
     (TYPE_DATETIME, None),      # updated (legacy packed YYYYMMDDHHMMSS)
     (TYPE_TIME, None),          # took    (legacy 3-byte HHMMSS, signed)
+]
+
+# Charset coverage table (8.0 DEFAULT_CHARSET TLV): utf8mb4 VARCHAR /
+# CHAR / TEXT plus a VARBINARY override (collation 63).  Character
+# columns in TLV order: name(0), tag(1), bin(2), txt(3).
+UTF8_COLUMNS = [
+    (TYPE_LONG, None),                  # id
+    (TYPE_VARCHAR, 800),                # name VARCHAR(200) utf8mb4 (4B/char)
+    (TYPE_STRING, (TYPE_STRING, 48)),   # tag  CHAR(12) utf8mb4
+    (TYPE_VARCHAR, 50),                 # bin  VARBINARY(50)
+    (TYPE_BLOB, 2),                     # txt  TEXT utf8mb4
 ]
 
 BINLOG_ENVELOPE_SCHEMA = T.StructType(
@@ -606,6 +619,49 @@ def generate_json_bit_binlog(sf_dir: str, out_dir: str) -> str:
             1_600_000_000 + e,
             (dt0 + _dt.timedelta(seconds=e)).strftime("%Y-%m-%d %H:%M:%S"),
             f"{'-' if v < 0 else ''}{av // 3600:02d}:{av % 3600 // 60:02d}:{av % 60:02d}",
+        ]
+        writer.write_table_map(t, ts)
+        writer.write_rows(WRITE_ROWS_EVENT, t, [row], ts=ts, v2=True)
+        writer.write_xid(e, ts)
+
+    return _atomic_gen(
+        out_dir, lambda d: _write_rotated(d, pdf["event_id"], emit)
+    )
+
+
+def generate_utf8_binlog(sf_dir: str, out_dir: str) -> str:
+    """Encode an insert-only change stream for `bench.utf8` — the
+    charset coverage table — as real binlog bytes whose TABLE_MAP
+    carries the 8.0 DEFAULT_CHARSET optional-metadata TLV (default
+    collation 255 = utf8mb4_0900_ai_ci, with a collation-63 override
+    making `bin` a VARBINARY).  Closed-form values per event_id e:
+
+        id   = e % 97                                   (LONG)
+        name = 'é→' || e%100 || '←日本語·' || e%7       (VARCHAR utf8mb4,
+               2- and 3-byte sequences in every value)
+        tag  = 'grüß' || e%10                           (CHAR(12) utf8mb4)
+        bin  = ascii digits of e, hex in the envelope   (VARBINARY)
+        txt  = NULL if e%9=0 else 'déjà vu ' || e%13    (TEXT utf8mb4)
+
+    Without charset-aware decode every multi-byte value would surface
+    mojibake (latin-1 of utf-8 bytes), so the DuckDB oracle recomputing
+    these strings natively is the end-to-end charset proof.  The
+    reference decodes hardwired ISO-8859-1 (mysql_binlog.clj:537-544)
+    and would fail this fixture.  Idempotent."""
+    pdf = _fixture_rows(sf_dir)
+    t = TableDef(
+        "bench", "utf8", UTF8_COLUMNS, table_id=14,
+        default_charset=255, charset_overrides={2: 63},
+    )
+
+    def emit(writer: BinlogWriter, e: int) -> None:
+        ts = e % (1 << 31)
+        row = [
+            e % 97,
+            f"é→{e % 100}←日本語·{e % 7}",
+            f"grüß{e % 10}",
+            str(e).encode("ascii"),
+            None if e % 9 == 0 else f"déjà vu {e % 13}",
         ]
         writer.write_table_map(t, ts)
         writer.write_rows(WRITE_ROWS_EVENT, t, [row], ts=ts, v2=True)
