@@ -105,6 +105,13 @@ class CDCStatement:
             import shutil
 
             try:
+                # Release the cursor FIRST: if the consumer stopped
+                # reading and the bounded queue is full, the
+                # foreachBatch producer is spinning in its put loop and
+                # only exits on the closed flag — stopping the query
+                # before setting it would block forever on the
+                # in-flight micro-batch (advisor finding).
+                cursor.release()
                 original_stop()
             finally:
                 shutil.rmtree(cp_dir, ignore_errors=True)

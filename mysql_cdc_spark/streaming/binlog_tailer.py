@@ -78,6 +78,18 @@ class BinlogTailer:
         """
         delivered = 0
         while True:
+            if (
+                not self._magic_ok
+                and self.offset == 4
+                and not os.path.exists(self._path)
+            ):
+                # Resuming at the head of a not-yet-created successor
+                # log (journal written at a rotation boundary, writer
+                # hasn't created the new file yet): wait for it rather
+                # than crashing mid-rotation.  Only the untouched-file
+                # case — a file that vanishes after we read from it is
+                # still a hard error.
+                return delivered
             with open(self._path, "rb") as fh:
                 if not self._magic_ok:
                     if fh.read(4) != MAGIC:
@@ -104,23 +116,25 @@ class BinlogTailer:
                 elif ev["op"] in _ENVELOPE_OPS:
                     ev["log_file"] = self.current_log
                     batch.append(ev)
+            if rotate_to is not None:
+                # reference cdc-log-rotation (:888-905): new file,
+                # offset 4, table-map cleared.  Applied BEFORE the
+                # batch is handed out: a consumer that snapshots the
+                # tailer position on delivery (PushDelivery's journal)
+                # must record the POST-rotation position — journaling
+                # (old_log, offset-past-ROTATE) would resume a restart
+                # at the dead file's EOF, never re-see the ROTATE, and
+                # silently stall the stream.  Iterate (not recurse) so
+                # long rotation chains cannot grow the stack.
+                self.current_log = rotate_to
+                self.offset = 4
+                self.table_map = None
+                self.checksum = None         # next file's FDE decides
+                self._magic_ok = False
             if batch:
                 self.event_fn(batch)
             delivered += len(batch)
-            if rotate_to is None:
-                return delivered
-            # reference cdc-log-rotation (:888-905): new file, offset 4,
-            # table-map cleared, immediate re-read of the new log.  If
-            # the writer announced the rotation before creating the new
-            # file, defer the re-read to the next poll instead of
-            # crashing mid-rotation; iterate (not recurse) so long
-            # rotation chains cannot grow the stack.
-            self.current_log = rotate_to
-            self.offset = 4
-            self.table_map = None
-            self.checksum = None             # next file's FDE decides
-            self._magic_ok = False
-            if not os.path.exists(self._path):
+            if rotate_to is None or not os.path.exists(self._path):
                 return delivered
 
     def run(self, poll_seconds: float = 0.2, max_turns: int | None = None) -> None:

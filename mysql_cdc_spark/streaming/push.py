@@ -180,6 +180,7 @@ class PushDelivery:
                 [tuple(m) if isinstance(m, list) else m for m in tm["col_meta"]],
                 list(tm.get("names", [])),
                 [bool(u) for u in tm.get("unsigned", [])],
+                list(tm.get("charsets", [])),
             )
 
     def _snapshot(self) -> dict:
@@ -203,6 +204,7 @@ class PushDelivery:
                 "col_meta": list(tm.col_meta),
                 "names": list(tm.names),
                 "unsigned": list(tm.unsigned),
+                "charsets": list(tm.charsets),
             },
         }
 

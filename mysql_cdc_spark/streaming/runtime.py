@@ -368,8 +368,18 @@ class QueueStreamingCursor:
         self.current = self._batch[self._pos]
         return True
 
-    def close(self) -> None:
+    def release(self) -> None:
+        """Unblock a producer stuck in the bounded put WITHOUT stopping
+        the query.  Must run before `query.stop()` when the consumer
+        may have stopped reading: with the queue full, `_event_fn`
+        spins in its put loop until `_closed` is set, and `stop()`
+        blocks on that in-flight micro-batch's py4j callback — calling
+        stop() first would deadlock (advisor finding, api.py shutdown
+        path)."""
         self._closed.set()
+
+    def close(self) -> None:
+        self.release()
         if self.query is not None and self.query.isActive:
             self.query.stop()
 

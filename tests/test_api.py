@@ -118,6 +118,84 @@ def test_continuous_query_blocks_then_delivers_new_rows(spark, sf_dir):
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def test_stream_stop_unblocks_backpressured_producer(spark):
+    """ADVICE r8: with the consumer gone and the bounded queue full,
+    the foreachBatch producer spins in its put loop and only exits on
+    the closed flag; query.stop() blocks on that in-flight micro-batch.
+    The shutdown path must release the cursor BEFORE stopping — modeled
+    here with a fake query whose stop() (like the py4j callback
+    barrier) cannot return until the producer thread exits."""
+    import threading
+    import time as _time
+
+    from mysql_cdc_spark.streaming.runtime import QueueStreamingCursor
+
+    cur = QueueStreamingCursor(order_col=None, queue_size=1)
+    df = spark.range(3)
+    t1 = threading.Thread(target=cur._event_fn, args=(df, 0))
+    t1.start(); t1.join(timeout=20)
+    assert not t1.is_alive()                    # queue now full
+    t2 = threading.Thread(target=cur._event_fn, args=(df, 1))
+    t2.start()
+    _time.sleep(0.4)
+    assert t2.is_alive()                        # blocked on the full queue
+
+    stopped = {"ok": False}
+
+    class _FakeQuery:
+        isActive = True
+
+        def stop(self):
+            t2.join(timeout=10)                 # py4j barrier analog
+            stopped["ok"] = not t2.is_alive()
+            self.isActive = False
+
+    cur.query = _FakeQuery()
+    # the api._stop_and_clean ordering: release, THEN stop
+    cur.release()
+    cur.query.stop()
+    assert stopped["ok"], "query.stop() deadlocked on a blocked producer"
+
+
+def test_stream_handle_stop_releases_cursor_and_removes_checkpoint(spark, sf_dir):
+    """The api-level wiring of the fix: handle.stop() with an
+    unconsumed cursor returns promptly, sets the cursor's closed flag
+    (so any blocked producer exits), and removes the per-call
+    checkpoint dir."""
+    import os
+    import shutil
+    import time as _time
+    import uuid
+
+    from mysql_cdc_spark.sources.events_cdc import changes
+    from mysql_cdc_spark.streaming import runtime as rt
+
+    scratch = f"/root/repo/.stream_tmp/test/{uuid.uuid4().hex[:10]}"
+    env = changes(spark, sf_dir)
+    rt.write_event_log(env.limit(500), f"{scratch}/log", n_files=1)
+
+    api.CDCConnection._instance = None
+    conn = api.connect(f"jdbc:mysql-cdc:{sf_dir}", spark)
+    cur, handle = conn.create_statement().execute_query_stream(
+        'select * from "foo"."auto"', trigger_seconds=0.3,
+        log_dir=f"{scratch}/log",
+    )
+    try:
+        deadline = _time.monotonic() + 30
+        while cur._queue_depth() == 0 and _time.monotonic() < deadline:
+            _time.sleep(0.05)                   # let a batch land, unconsumed
+        cp_parent = "/root/repo/.stream_tmp"
+        cps = {p for p in os.listdir(cp_parent) if p.startswith("cp_cdc_")}
+        t0 = _time.monotonic()
+        handle.stop()
+        assert _time.monotonic() - t0 < 60      # returned, no deadlock
+        assert cur._closed.is_set()             # producer released
+        cps_after = {p for p in os.listdir(cp_parent) if p.startswith("cp_cdc_")}
+        assert len(cps_after) < len(cps) or not cps_after  # checkpoint removed
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def test_connect_different_source_raises(spark):
     from mysql_cdc_spark import api
 

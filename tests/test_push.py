@@ -253,6 +253,90 @@ def test_push_journal_crash_replays_unconsumed_batches(tmp_path):
         d2.stop()
 
 
+def test_push_journal_resumes_across_rotation_boundary(tmp_path):
+    """ADVICE r8: stopping after consuming a file's FINAL batch (the
+    one delivered just before its ROTATE) must journal the
+    POST-rotation position (new log, offset 4).  Journaling (old_log,
+    offset-past-ROTATE) instead would restart the tailer at the dead
+    file's EOF — turn() reads an empty tail, never re-sees the ROTATE,
+    and the stream silently stalls while downtime writes land in the
+    new file."""
+    journal = str(tmp_path / "push.journal")
+    w1 = BinlogWriter()
+    w1.write_table_map(_T, ts=1)
+    w1.write_rows(WRITE_ROWS_EVENT, _T, [[1, "1.0000", "a"]], ts=1)
+    w1.write_xid(1, ts=1)
+    w1.write_rotate("binlog.000002")
+    (tmp_path / "binlog.000001").write_bytes(w1.getvalue())
+    w2 = BinlogWriter()                      # successor exists but is empty
+    (tmp_path / "binlog.000002").write_bytes(w2.getvalue())
+
+    d1 = PushDelivery(str(tmp_path), "binlog.000001", _CAT, journal_path=journal).start()
+    try:
+        got1 = _drain_all(d1.cursor(), 3)    # file 1 fully consumed
+        assert len(got1) == 3
+    finally:
+        d1.stop()
+
+    import json
+
+    state = json.loads(open(journal).read())
+    assert (state["log"], state["offset"]) == ("binlog.000002", 4)
+
+    # downtime: writes land in the NEW file only
+    w2.write_table_map(_T, ts=2)
+    w2.write_rows(WRITE_ROWS_EVENT, _T, [[2, "2.0000", "b"]], ts=2)
+    w2.write_xid(2, ts=2)
+    (tmp_path / "binlog.000002").write_bytes(w2.getvalue())
+
+    d2 = PushDelivery(str(tmp_path), "binlog.000001", _CAT, journal_path=journal).start()
+    try:
+        got2 = _drain_all(d2.cursor(), 3, timeout=10.0)
+        rows = [e for e in got2 if e["op"] == "write_rows"]
+        assert [(r["log_file"], r["after"]["id"]) for r in rows] == [
+            ("binlog.000002", "2")           # delivered, not silently lost
+        ]
+        assert all(e["xid"] != 1 for e in got2 if e["op"] == "xid")  # no replay
+    finally:
+        d2.stop()
+
+
+def test_push_journal_rotation_to_not_yet_created_successor(tmp_path):
+    """Rotation boundary where the successor file does not exist yet
+    at restart: the tailer must WAIT for it (a writer can announce the
+    rotation before creating the new file), then deliver its events
+    once it appears — not crash on open."""
+    journal = str(tmp_path / "push.journal")
+    w1 = BinlogWriter()
+    w1.write_table_map(_T, ts=1)
+    w1.write_rows(WRITE_ROWS_EVENT, _T, [[1, "1.0000", "a"]], ts=1)
+    w1.write_xid(1, ts=1)
+    w1.write_rotate("binlog.000002")
+    (tmp_path / "binlog.000001").write_bytes(w1.getvalue())
+
+    d1 = PushDelivery(str(tmp_path), "binlog.000001", _CAT, journal_path=journal).start()
+    try:
+        assert len(_drain_all(d1.cursor(), 3)) == 3
+    finally:
+        d1.stop()
+
+    d2 = PushDelivery(str(tmp_path), "binlog.000001", _CAT, journal_path=journal).start()
+    try:
+        cur = d2.cursor()
+        assert not cur.next(timeout=0.5)     # waiting, not crashed
+        assert d2.error is None
+        w2 = BinlogWriter()
+        w2.write_table_map(_T, ts=2)
+        w2.write_rows(WRITE_ROWS_EVENT, _T, [[7, "7.0000", "c"]], ts=2)
+        w2.write_xid(7, ts=2)
+        (tmp_path / "binlog.000002").write_bytes(w2.getvalue())
+        got = _drain_all(cur, 3, timeout=10.0)
+        rows = [e for e in got if e["op"] == "write_rows"]
+        assert [r["after"]["id"] for r in rows] == ["7"]
+    finally:
+        d2.stop()
+
+
 def test_push_journal_round_trips_full_table_map_state(tmp_path):
     """The journal must carry EVERY TableMapState field — including the
     r8 `unsigned` flags from SIGNEDNESS optional metadata — or a resume
@@ -265,7 +349,8 @@ def test_push_journal_round_trips_full_table_map_state(tmp_path):
     d1.tailer.offset = 123
     d1.tailer.checksum = "crc32"
     d1.tailer.table_map = TableMapState(
-        9, "db", "t", [3, 8], [None, None], ["a", "b"], [True, False]
+        9, "db", "t", [3, 8], [None, None], ["a", "b"], [True, False],
+        ["utf-8", None],
     )
     d1._journal_state(d1._snapshot())
 
@@ -276,6 +361,7 @@ def test_push_journal_round_trips_full_table_map_state(tmp_path):
     assert tm.col_types == [3, 8]
     assert tm.names == ["a", "b"]
     assert tm.unsigned == [True, False]
+    assert tm.charsets == ["utf-8", None]
 
 
 def test_api_execute_query_push_filters_and_blocks(tmp_path, spark):
