@@ -425,10 +425,23 @@ _BJ_OPAQUE = 0x0F
 _BJ_LITERALS = {0x00: None, 0x01: True, 0x02: False}
 
 
+def _bj_need(data: bytes, pos: int, n: int) -> None:
+    """Bounds guard: corrupt offsets/lengths must raise, not decode to
+    silently-wrong short values via Python's lenient slicing (a
+    bit-flipped document inside an unchecksummed pre-5.6 log would
+    otherwise surface wrong data with no error in on_error='raise')."""
+    if pos < 0 or pos + n > len(data):
+        raise ValueError(
+            f"binary-JSON read of {n} bytes at {pos} overruns document "
+            f"size {len(data)}"
+        )
+
+
 def _bj_varlen(data: bytes, pos: int) -> tuple[int, int]:
     """Base-128 varint (7 bits per byte, high bit = continuation)."""
     n = shift = 0
     while True:
+        _bj_need(data, pos, 1)
         b = data[pos]; pos += 1
         n |= (b & 0x7F) << shift
         if not b & 0x80:
@@ -438,18 +451,25 @@ def _bj_varlen(data: bytes, pos: int) -> tuple[int, int]:
 
 def _bj_entry(data: bytes, pos: int, base: int, large: bool):
     """One value entry: type byte + (inlined scalar | offset)."""
+    _bj_need(data, pos, 1)
     t = data[pos]
     if t == _BJ_LITERAL:
+        _bj_need(data, pos + 1, 1)
         return _BJ_LITERALS[data[pos + 1]]
     if t == _BJ_INT16:
+        _bj_need(data, pos + 1, 2)
         return int.from_bytes(data[pos + 1:pos + 3], "little", signed=True)
     if t == _BJ_UINT16:
+        _bj_need(data, pos + 1, 2)
         return int.from_bytes(data[pos + 1:pos + 3], "little")
     if large and t == _BJ_INT32:
+        _bj_need(data, pos + 1, 4)
         return int.from_bytes(data[pos + 1:pos + 5], "little", signed=True)
     if large and t == _BJ_UINT32:
+        _bj_need(data, pos + 1, 4)
         return int.from_bytes(data[pos + 1:pos + 5], "little")
     sz = 4 if large else 2
+    _bj_need(data, pos + 1, sz)
     off = int.from_bytes(data[pos + 1:pos + 1 + sz], "little")
     return _bj_value(data, t, base + off)
 
@@ -474,6 +494,7 @@ def _bj_container(data: bytes, base: int, large: bool, is_object: bool):
             ke = p + i * (sz + 2)
             koff = int.from_bytes(data[ke:ke + sz], "little")
             klen = int.from_bytes(data[ke + sz:ke + sz + 2], "little")
+            _bj_need(data, base + koff, klen)
             key = data[base + koff:base + koff + klen].decode("utf-8")
             out[key] = _bj_entry(data, ventries + i * (1 + sz), base, large)
         return out
@@ -486,29 +507,40 @@ def _bj_value(data: bytes, t: int, pos: int):
     if t in (_BJ_SMALL_ARRAY, _BJ_LARGE_ARRAY):
         return _bj_container(data, pos, t == _BJ_LARGE_ARRAY, False)
     if t == _BJ_LITERAL:
+        _bj_need(data, pos, 1)
         return _BJ_LITERALS[data[pos]]
     if t == _BJ_INT16:
+        _bj_need(data, pos, 2)
         return int.from_bytes(data[pos:pos + 2], "little", signed=True)
     if t == _BJ_UINT16:
+        _bj_need(data, pos, 2)
         return int.from_bytes(data[pos:pos + 2], "little")
     if t == _BJ_INT32:
+        _bj_need(data, pos, 4)
         return int.from_bytes(data[pos:pos + 4], "little", signed=True)
     if t == _BJ_UINT32:
+        _bj_need(data, pos, 4)
         return int.from_bytes(data[pos:pos + 4], "little")
     if t == _BJ_INT64:
+        _bj_need(data, pos, 8)
         return int.from_bytes(data[pos:pos + 8], "little", signed=True)
     if t == _BJ_UINT64:
+        _bj_need(data, pos, 8)
         return int.from_bytes(data[pos:pos + 8], "little")
     if t == _BJ_DOUBLE:
+        _bj_need(data, pos, 8)
         return struct.unpack_from("<d", data, pos)[0]
     if t == _BJ_STRING:
         ln, pos = _bj_varlen(data, pos)
+        _bj_need(data, pos, ln)
         return data[pos:pos + ln].decode("utf-8")
     if t == _BJ_OPAQUE:
         import base64
 
+        _bj_need(data, pos, 1)
         ctype = data[pos]
         ln, p = _bj_varlen(data, pos + 1)
+        _bj_need(data, p, ln)
         payload = bytes(data[p:p + ln])
         # MySQL's own text rendering for opaque values
         return f"base64:type{ctype}:{base64.b64encode(payload).decode()}"
@@ -568,20 +600,25 @@ def _bj_encode(value) -> tuple[int, bytes]:
 def _bj_container_enc(value, large: bool) -> bytes:
     sz = 4 if large else 2
     is_obj = isinstance(value, dict)
-    vals = list(value.values()) if is_obj else list(value)
+    if is_obj:
+        # MySQL stores object keys sorted by length then bytes
+        # (json_binary's key order); values follow their keys.
+        keys = sorted(value, key=lambda k: (len(kb := k.encode("utf-8")), kb))
+        vals = [value[k] for k in keys]
+    else:
+        keys, vals = [], list(value)
     n = len(vals)
     header = 2 * sz + (n * (sz + 2) if is_obj else 0) + n * (1 + sz)
     tail = bytearray()
     key_entries = bytearray()
-    if is_obj:
-        for k in value:
-            kb = k.encode("utf-8")
-            off = header + len(tail)
-            if not large and off > 0xFFFF:
-                raise _BJTooBig
-            key_entries += off.to_bytes(sz, "little")
-            key_entries += len(kb).to_bytes(2, "little")
-            tail += kb
+    for k in keys:
+        kb = k.encode("utf-8")
+        off = header + len(tail)
+        if not large and off > 0xFFFF:
+            raise _BJTooBig
+        key_entries += off.to_bytes(sz, "little")
+        key_entries += len(kb).to_bytes(2, "little")
+        tail += kb
     val_entries = bytearray()
     for v in vals:
         t, payload = _bj_encode(v)
@@ -604,10 +641,15 @@ def _bj_container_enc(value, large: bool) -> bytes:
 
 def encode_binary_json(value) -> bytes:
     """Python value → binary JSON document (the writer counterpart of
-    `decode_binary_json`): smallest integer width, small container
-    format with automatic promotion to large when u16 offsets/size
-    overflow, literals and int16 (plus int32 in large) inlined in the
-    value entries — the same inlining rules the server applies."""
+    `decode_binary_json`): smallest SIGNED integer width (ints from
+    parsed JSON are J_INT on real servers; the unsigned UINT16/UINT32
+    inlinings only arise from J_UINT sources above int64 range, which
+    this encoder does not produce), small container format with
+    automatic promotion to large when u16 offsets/size overflow,
+    literals and int16 (plus int32 in large) inlined in the value
+    entries, and object keys in MySQL's stored order (sorted by length
+    then bytes).  Valid, canonically-ordered documents — the
+    hand-encoded vectors in tests cover the exact-byte shapes."""
     t, payload = _bj_encode(value)
     return bytes([t]) + payload
 

@@ -118,6 +118,47 @@ def test_bjson_unknown_type_raises():
         decode_binary_json(bytes([0x7F, 0x00]))
 
 
+def test_bjson_corrupt_offsets_raise_not_silently_wrong():
+    """ADVICE r8: corrupt offsets/lengths must raise, never decode to
+    short ints / truncated strings via slice leniency (a bit-flipped
+    doc inside an unchecksummed pre-5.6 log would otherwise surface
+    wrong data with no error)."""
+    # string whose declared length overruns the document
+    doc = bytes([0x0C, 0x0A]) + b"ab"              # len 10, only 2 bytes
+    with pytest.raises(ValueError, match="overruns"):
+        decode_binary_json(doc)
+    # truncated inline scalar: int64 with 3 payload bytes
+    with pytest.raises(ValueError, match="overruns"):
+        decode_binary_json(bytes([0x09, 0x01, 0x02, 0x03]))
+    # object whose value-entry offset points past the document
+    body = bytearray()
+    body += struct.pack("<HH", 1, 0x20)            # count=1, declared size
+    body += struct.pack("<HH", 0x0D, 1)            # key entry: off 13, len 1
+    body += bytes([0x0C]) + struct.pack("<H", 0xFF00)  # value: string @ bad off
+    body += b"k"
+    with pytest.raises(ValueError, match="overruns"):
+        decode_binary_json(bytes([0x00]) + bytes(body))
+    # key whose offset/length overruns
+    body2 = bytearray()
+    body2 += struct.pack("<HH", 1, 0x20)
+    body2 += struct.pack("<HH", 0xFFF0, 8)         # key off way past end
+    body2 += bytes([0x05]) + struct.pack("<h", 3)  # inlined int16 value
+    with pytest.raises(ValueError, match="overruns"):
+        decode_binary_json(bytes([0x00]) + bytes(body2))
+    # truncated varint (continuation bit set at EOF)
+    with pytest.raises(ValueError, match="overruns"):
+        decode_binary_json(bytes([0x0C, 0x80]))
+
+
+def test_bjson_encoder_sorts_object_keys_like_server():
+    """MySQL stores object keys sorted by length then bytes; the
+    encoder must produce that canonical order so fixture documents
+    match real server wire shapes."""
+    doc = encode_binary_json({"bb": 1, "a": 2, "ab": 3, "c": 4})
+    # decode preserves the stored order in the dict → dumps shows it
+    assert decode_binary_json(doc) == '{"a": 2, "c": 4, "ab": 3, "bb": 1}'
+
+
 # ---------------------------------------------------------------------------
 # encoder round-trips (property-based): encode_binary_json is the writer
 # counterpart; the decoder must reproduce any JSON value exactly
