@@ -683,6 +683,55 @@ def cdc_binlog_rows_v2(spark, sf_dir):
     return _binlog_envelope_projected(spark, sf_dir, "binlog_v2", rows_v2=True)
 
 
+@register(
+    "cdc_binlog_partial_json",
+    """
+WITH ev AS (
+  SELECT event_id, ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS k FROM events
+)
+SELECT CAST(3*k+1 AS BIGINT) AS seq,
+       CAST(event_id % 97 AS BIGINT) AS id,
+       printf('{"a": %d, "b": "w%d"}', event_id % 50, event_id % 10) AS before_doc,
+       CASE WHEN event_id % 2 = 0
+            THEN printf('{"a": %d, "c": %d}', event_id % 7, event_id % 3)
+            ELSE printf('{"a": %d, "b": "u%d", "c": %d}',
+                        event_id % 7, event_id % 5, event_id % 3)
+       END AS after_doc,
+       printf('n%d', event_id % 4) AS note
+FROM ev
+""".strip(),
+)
+def cdc_binlog_partial_json(spark, sf_dir):
+    """PARTIAL_UPDATE_ROWS_EVENT (8.0 binlog_row_value_options=
+    PARTIAL_JSON, WL#2955): after-image JSON columns arrive as diff
+    vectors (replace/insert/remove + JSON path + binary-JSON value);
+    the decoder applies them to the before document so the envelope
+    surfaces the full after value.  The oracle recomputes both images
+    in closed form — proving diff parse, path navigation, and apply
+    semantics end-to-end.  Entirely beyond the reference's event set
+    (mysql_binlog.clj:222-259)."""
+    import pathlib
+
+    from mysql_cdc_spark.sources import binlog_source as bs
+
+    out_dir = pathlib.Path(_STREAM_TMP) / f"binlog_pjson_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
+    if not any(out_dir.glob("binlog.*")):
+        bs.generate_partial_json_binlog(sf_dir, str(out_dir))
+    env = bs.read_binlog_envelope(spark, str(out_dir))
+    seq_global = (
+        F.regexp_extract("log_file", r"binlog\.(\d+)", 1).cast("bigint")
+        * (3 * bs.ROTATE_EVERY)
+        + F.col("seq")
+    )
+    return env.filter(F.col("op") == "update_rows").select(
+        seq_global.alias("seq"),
+        F.element_at("after", "id").cast("bigint").alias("id"),
+        F.element_at("before", "doc").alias("before_doc"),
+        F.element_at("after", "doc").alias("after_doc"),
+        F.element_at("after", "note").alias("note"),
+    )
+
+
 @register("cdc_binlog_zstd", _BINLOG_ORACLE)
 def cdc_binlog_zstd(spark, sf_dir):
     """ZSTD transaction compression (MySQL 8.0.20+

@@ -108,6 +108,10 @@ WRITE_ROWS_EVENT_V2 = 30
 UPDATE_ROWS_EVENT_V2 = 31
 DELETE_ROWS_EVENT_V2 = 32
 ROWS_QUERY_EVENT = 29       # original SQL of the following row events
+# 8.0 binlog_row_value_options=PARTIAL_JSON: update events whose
+# after-image JSON columns may carry a diff vector instead of the full
+# document (WL#2955 public format).
+PARTIAL_UPDATE_ROWS_EVENT = 39
 GTID_EVENT = 33             # MySQL >=5.6 global transaction id
 TRANSACTION_PAYLOAD_EVENT = 40  # 8.0.20+ binlog_transaction_compression
 ANONYMOUS_GTID_EVENT = 34   # gtid_mode=OFF placeholder
@@ -152,6 +156,7 @@ OP_NAMES = {
     WRITE_ROWS_EVENT_V2: "write_rows",
     UPDATE_ROWS_EVENT_V2: "update_rows",
     DELETE_ROWS_EVENT_V2: "delete_rows",
+    PARTIAL_UPDATE_ROWS_EVENT: "update_rows",
     XID_EVENT: "xid",
     ROWS_QUERY_EVENT: "rows_query",
     GTID_EVENT: "gtid",
@@ -666,6 +671,165 @@ def decode_binary_json(data: bytes) -> str | None:
     return _json.dumps(value, separators=(", ", ": "), ensure_ascii=False)
 
 
+# ---------------------------------------------------------------------------
+# JSON diffs (MySQL 8.0 binlog_row_value_options=PARTIAL_JSON, WL#2955):
+# a partial after-image JSON column stores a diff VECTOR instead of the
+# full document.  Each diff on the wire: operation byte (0 REPLACE,
+# 1 INSERT, 2 REMOVE), net_store_length path length + JSON-path text,
+# and for non-REMOVE a net_store_length value length + binary JSON
+# (type byte + payload).  The decoder applies the diffs to the
+# before-image document so the envelope surfaces the SAME full after
+# value a non-partial update would.
+# ---------------------------------------------------------------------------
+
+_JDIFF_REPLACE, _JDIFF_INSERT, _JDIFF_REMOVE = 0, 1, 2
+_JDIFF_NAMES = {0: "replace", 1: "insert", 2: "remove"}
+
+
+def parse_json_path(path: str) -> list:
+    """Concrete MySQL JSON path ('$', then `.member` / `."quoted"` /
+    `[N]` legs) → list of str member names and int array indexes.
+    Binlog diff paths are always concrete — no wildcards/ranges."""
+    import json as _json
+
+    if not path.startswith("$"):
+        raise ValueError(f"JSON path must start with $: {path!r}")
+    steps: list = []
+    i = 1
+    while i < len(path):
+        c = path[i]
+        if c == ".":
+            i += 1
+            if i < len(path) and path[i] == '"':
+                j = i + 1
+                while j < len(path):
+                    if path[j] == "\\":
+                        j += 2
+                        continue
+                    if path[j] == '"':
+                        break
+                    j += 1
+                if j >= len(path):
+                    raise ValueError(f"unterminated quoted member in {path!r}")
+                steps.append(_json.loads(path[i:j + 1]))
+                i = j + 1
+            else:
+                j = i
+                while j < len(path) and (path[j].isalnum() or path[j] == "_"):
+                    j += 1
+                if j == i:
+                    raise ValueError(f"empty member name in {path!r}")
+                steps.append(path[i:j])
+                i = j
+        elif c == "[":
+            j = path.index("]", i)
+            steps.append(int(path[i + 1:j]))
+            i = j + 1
+        else:
+            raise ValueError(f"unexpected {c!r} in JSON path {path!r}")
+    return steps
+
+
+def decode_json_diffs(data: bytes) -> list:
+    """Wire diff vector → [(op_name, path, value_or_None)], value
+    decoded from binary JSON to a Python value."""
+    import json as _json
+
+    diffs = []
+    pos = 0
+    while pos < len(data):
+        op = data[pos]; pos += 1
+        if op not in _JDIFF_NAMES:
+            raise ValueError(f"unknown JSON diff operation {op}")
+        plen, pos = read_packed_int(data, pos)
+        if pos + plen > len(data):
+            raise ValueError("JSON diff path overruns payload")
+        path = data[pos:pos + plen].decode("utf-8"); pos += plen
+        value = None
+        if op != _JDIFF_REMOVE:
+            vlen, pos = read_packed_int(data, pos)
+            if pos + vlen > len(data) or vlen < 1:
+                raise ValueError("JSON diff value overruns payload")
+            vdoc = data[pos:pos + vlen]; pos += vlen
+            value = _json.loads(decode_binary_json(vdoc))
+        diffs.append((_JDIFF_NAMES[op], path, value))
+    return diffs
+
+
+def apply_json_diffs(doc_text: str | None, data: bytes) -> str:
+    """Apply a wire diff vector to the before-image document's JSON
+    text; returns the after document in MySQL's text rendering.  A
+    diff that does not navigate (missing member, index out of range,
+    scalar parent) is a corrupt/out-of-sync event → ValueError (the
+    normal raise/quarantine path)."""
+    import json as _json
+
+    if doc_text is None:
+        raise ValueError("partial JSON update but before image has no document")
+    doc = _json.loads(doc_text)
+    holder = [doc]  # one-slot root container so '$' itself is addressable
+    for op, path, value in decode_json_diffs(data):
+        steps = parse_json_path(path)
+        if steps:
+            parent: object = holder[0]
+            for s in steps[:-1]:
+                try:
+                    parent = parent[s]
+                except (KeyError, IndexError, TypeError) as exc:
+                    raise ValueError(
+                        f"JSON diff path {path!r} does not navigate"
+                    ) from exc
+            last = steps[-1]
+        else:
+            parent, last = holder, 0  # path '$': the root slot itself
+        try:
+            if op == "replace":
+                if isinstance(parent, list):
+                    if not -len(parent) <= last < len(parent):
+                        raise IndexError(last)
+                    parent[last] = value
+                elif isinstance(parent, dict):
+                    if last not in parent:
+                        raise KeyError(last)
+                    parent[last] = value
+                else:
+                    raise TypeError(type(parent).__name__)
+            elif op == "insert":
+                if isinstance(parent, list):
+                    parent.insert(last, value)
+                elif isinstance(parent, dict):
+                    parent[last] = value
+                else:
+                    raise TypeError(type(parent).__name__)
+            else:  # remove
+                del parent[last]
+        except (KeyError, IndexError, TypeError) as exc:
+            raise ValueError(f"JSON diff {op} at {path!r} does not apply") from exc
+    return _json.dumps(holder[0], separators=(", ", ": "), ensure_ascii=False)
+
+
+class JsonDiffs:
+    """Writer-side marker for a partial JSON column value: a list of
+    (op, path, python_value_or_None) triples encoded as the wire diff
+    vector.  op is 'replace' / 'insert' / 'remove'."""
+
+    _OPS = {"replace": 0, "insert": 1, "remove": 2}
+
+    def __init__(self, diffs: list) -> None:
+        self.diffs = diffs
+
+    def encode(self) -> bytes:
+        out = bytearray()
+        for op, path, value in self.diffs:
+            out += bytes([self._OPS[op]])
+            pb = path.encode("utf-8")
+            out += enc_packed_int(len(pb)) + pb
+            if op != "remove":
+                vdoc = encode_binary_json(value)
+                out += enc_packed_int(len(vdoc)) + vdoc
+        return bytes(out)
+
+
 def encode_date(text: str) -> bytes:
     """'YYYY-MM-DD' → 3 bytes little-endian: day(5) | month(4) |
     year(15)."""
@@ -963,6 +1127,50 @@ class BinlogWriter:
             for values in rows:
                 body += self._encode_image(t, present, values)
         self._emit(op + 7 if v2 else op, body, ts)
+
+    def write_partial_update_rows(
+        self,
+        t: TableDef,
+        rows: list,
+        ts: int = 0,
+    ) -> None:
+        """PARTIAL_UPDATE_ROWS_EVENT (8.0
+        binlog_row_value_options=PARTIAL_JSON): `rows` is a list of
+        (before_values, after_values) pairs where after-image JSON
+        column values may be `JsonDiffs` — encoded as the wire diff
+        vector with the partial bit set — or plain values (full
+        document, bit clear).  Framing is v2 (extra-row-info = 2) with
+        a per-after-image net_store_length value_options + partial_bits
+        prefix, per the WL#2955 public layout."""
+        n = len(t.columns)
+        present = [True] * n
+        json_cols = [i for i, (tc, _) in enumerate(t.columns) if tc == TYPE_JSON]
+        body = t.table_id.to_bytes(6, "little") + struct.pack("<H", 0)
+        body += struct.pack("<H", 2)         # v2 extra-row-info: none
+        body += enc_packed_int(n)
+        body += _bitmap_bytes(present)       # before-image columns
+        body += _bitmap_bytes(present)       # after-image columns
+        for before, after in rows:
+            body += self._encode_image(t, present, before)
+            partial = [
+                isinstance(after[i], JsonDiffs) for i in json_cols
+            ]
+            body += enc_packed_int(1)        # value_options: PARTIAL_JSON
+            if json_cols:
+                body += _bitmap_bytes(partial)
+            nulls = [v is None for v in after]
+            body += _bitmap_bytes(nulls)
+            codecs = t.column_codecs()
+            for i, v in enumerate(after):
+                if v is None:
+                    continue
+                if isinstance(v, JsonDiffs):
+                    raw = v.encode()
+                    m = t.columns[i][1]
+                    body += len(raw).to_bytes(int(m or 4), "little") + raw
+                else:
+                    body += self._encode_value(t.columns[i], v, codecs[i])
+        self._emit(PARTIAL_UPDATE_ROWS_EVENT, body, ts)
 
     def write_xid(self, xid: int, ts: int = 0) -> None:
         self._emit(XID_EVENT, struct.pack("<Q", xid), ts)
@@ -1500,6 +1708,57 @@ def _read_image(
     return image, pos
 
 
+def _read_partial_image(
+    body: bytes,
+    pos: int,
+    tmap: TableMapState,
+    used_bitmap: bytes,
+    before: dict,
+) -> tuple[dict, int]:
+    """After image of a PARTIAL_UPDATE_ROWS_EVENT (8.0 PARTIAL_JSON,
+    WL#2955): a net_store_length value_options field precedes the null
+    bitmap; when its PARTIAL_JSON bit is set, a partial_bits bitmap
+    (one bit per JSON column of the table, null-bitmap bit order)
+    follows, and flagged JSON columns carry a length-prefixed diff
+    vector instead of a full document — applied here against the
+    before image so the envelope surfaces the full after value."""
+    col_types, col_meta = tmap.col_types, tmap.col_meta
+    unsigned, charsets = tmap.unsigned, tmap.charsets
+    value_options, pos = read_packed_int(body, pos)
+    json_cols = [i for i, tc in enumerate(col_types) if tc == TYPE_JSON]
+    partial_bits = b""
+    if value_options & 1 and json_cols:
+        nb = (len(json_cols) + 7) // 8
+        partial_bits = body[pos:pos + nb]
+        pos += nb
+    is_partial = {
+        i: bool(partial_bits and partial_bits[j >> 3] & (1 << (j & 7)))
+        for j, i in enumerate(json_cols)
+    }
+    used = _used_cols(len(col_types), used_bitmap)
+    names = _full_names(tmap)
+    null_bytes = (len(used) + 7) // 8
+    nulls = body[pos:pos + null_bytes]
+    pos += null_bytes
+    image: dict[str, object] = {}
+    for j, i in enumerate(used):
+        if nulls[j >> 3] & (1 << (j & 7)):
+            image[names[i]] = None
+        elif is_partial.get(i):
+            n = int(col_meta[i] or 4)
+            ln = int.from_bytes(body[pos:pos + n], "little"); pos += n
+            diff_bytes = bytes(body[pos:pos + ln]); pos += ln
+            image[names[i]] = apply_json_diffs(before.get(names[i]), diff_bytes)
+        else:
+            v, pos = _read_value(
+                body, pos, col_types[i], col_meta[i],
+                bool(unsigned) and unsigned[i],
+                charsets[i] if charsets else None,
+            )
+            image[names[i]] = v
+    return image, pos
+
+
 def decode_binlog(
     data: bytes,
     catalog: dict[tuple[str, str], list[str]] | None = None,
@@ -1695,15 +1954,17 @@ def _decode_body(
     elif type_code in (
         WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT, DELETE_ROWS_EVENT,
         WRITE_ROWS_EVENT_V2, UPDATE_ROWS_EVENT_V2, DELETE_ROWS_EVENT_V2,
+        PARTIAL_UPDATE_ROWS_EVENT,
     ):
         if tmap is None:
             raise ValueError("row event without preceding TABLE_MAP")
         ev["db"], ev["tbl"] = tmap.db, tmap.table
         p = 8  # table_id(6) + flags(2)
         if type_code >= WRITE_ROWS_EVENT_V2:
-            # v2 post-header (MySQL >=5.6): extra-row-info length u16
-            # INCLUDING its own two bytes; skip the optional payload
-            # (NDB info / partition info) real servers may emit.
+            # v2 post-header (MySQL >=5.6, incl. PARTIAL_UPDATE 39):
+            # extra-row-info length u16 INCLUDING its own two bytes;
+            # skip the optional payload (NDB info / partition info)
+            # real servers may emit.
             extra_len = int.from_bytes(body[8:10], "little")
             if extra_len < 2:
                 raise ValueError(f"rows v2 extra-data length {extra_len} < 2")
@@ -1719,7 +1980,10 @@ def _decode_body(
                 f"row event declares {n_cols} columns, "
                 f"table map has {len(tmap.col_types)}"
             )
-        is_update = type_code in (UPDATE_ROWS_EVENT, UPDATE_ROWS_EVENT_V2)
+        is_partial = type_code == PARTIAL_UPDATE_ROWS_EVENT
+        is_update = is_partial or type_code in (
+            UPDATE_ROWS_EVENT, UPDATE_ROWS_EVENT_V2
+        )
         is_write = type_code in (WRITE_ROWS_EVENT, WRITE_ROWS_EVENT_V2)
         bm_bytes = (n_cols + 7) // 8
         used1 = body[p:p + bm_bytes]; p += bm_bytes
@@ -1730,7 +1994,10 @@ def _decode_body(
         while p < len(body):
             p0 = p
             img1, p = _read_image(body, p, tmap, used1)
-            if is_update:
+            if is_partial:
+                img2, p = _read_partial_image(body, p, tmap, used2, img1)
+                rows_before.append(img1); rows_after.append(img2)
+            elif is_update:
                 img2, p = _read_image(body, p, tmap, used2)
                 rows_before.append(img1); rows_after.append(img2)
             elif is_write:

@@ -71,6 +71,7 @@ FIXTURE_CATALOG = {
     ],
     ("bench", "docs"): ["id", "doc", "flags", "created", "updated", "took"],
     ("bench", "utf8"): ["id", "name", "tag", "bin", "txt"],
+    ("bench", "pdocs"): ["id", "doc", "note"],
 }
 
 # (type, metadata) per column: INT, DECIMAL(12,4), VARCHAR(50) — the
@@ -665,6 +666,56 @@ def generate_utf8_binlog(sf_dir: str, out_dir: str) -> str:
         ]
         writer.write_table_map(t, ts)
         writer.write_rows(WRITE_ROWS_EVENT, t, [row], ts=ts, v2=True)
+        writer.write_xid(e, ts)
+
+    return _atomic_gen(
+        out_dir, lambda d: _write_rotated(d, pdf["event_id"], emit)
+    )
+
+
+def generate_partial_json_binlog(sf_dir: str, out_dir: str) -> str:
+    """Encode a PARTIAL_JSON change stream for `bench.pdocs`
+    (PARTIAL_UPDATE_ROWS_EVENT, 8.0 binlog_row_value_options): per
+    events row one update whose after-image JSON column is a DIFF
+    VECTOR against the before document.  Closed form per event_id e:
+
+        before doc = {"a": e%50, "b": "w"||e%10}
+        diffs      = replace $.a -> e%7,
+                     (e%2=0 ? remove $.b : replace $.b -> "u"||e%5),
+                     insert $.c -> e%3
+
+    so the decoded after document is
+        e%2=0: {"a": e%7, "c": e%3}
+        else : {"a": e%7, "b": "u"||e%5, "c": e%3}
+
+    recomputable relationally — the oracle proof that diff apply
+    reproduces exactly what a full update would have written."""
+    pdf = _fixture_rows(sf_dir)
+    t = TableDef(
+        "bench", "pdocs",
+        [(TYPE_LONG, None), (TYPE_JSON, 4), (TYPE_VARCHAR, 50)],
+        table_id=15,
+    )
+
+    def emit(writer: BinlogWriter, e: int) -> None:
+        from mysql_cdc_spark.sources.binlog_codec import (
+            JsonDiffs,
+            encode_binary_json,
+        )
+
+        ts = e % (1 << 31)
+        before = encode_binary_json({"a": e % 50, "b": f"w{e % 10}"})
+        diffs = [("replace", "$.a", e % 7)]
+        if e % 2 == 0:
+            diffs.append(("remove", "$.b", None))
+        else:
+            diffs.append(("replace", "$.b", f"u{e % 5}"))
+        diffs.append(("insert", "$.c", e % 3))
+        writer.write_table_map(t, ts)
+        writer.write_partial_update_rows(
+            t, [([e % 97, before, f"n{e % 4}"],
+                 [e % 97, JsonDiffs(diffs), f"n{e % 4}"])], ts=ts,
+        )
         writer.write_xid(e, ts)
 
     return _atomic_gen(
