@@ -127,6 +127,7 @@ def minhash_lsh_pairs(
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     threshold: float = JACCARD_THRESHOLD,
+    max_pairs_per_doc: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH + exact verify.
 
@@ -134,6 +135,13 @@ def minhash_lsh_pairs(
     equi-join on (band_id, band_hash) — bucketed, never all-pairs);
     each candidate pair is then verified with the exact shingle-set
     Jaccard, keeping pairs >= threshold.
+
+    `max_pairs_per_doc` is the RESULT-BOUNDING knob (r8 VERDICT: pair
+    producers are output-bound at scale — a corpus with large
+    near-dup cliques emits O(clique²) verified pairs): each doc_a
+    keeps only its k most-similar partners (jaccard desc, doc_b asc —
+    deterministic), bounding output to O(docs × k).  The cap is a
+    per-doc window over that doc's verified pairs only.
     """
     rows_per_band = k // bands
     sigs = minhash_signatures(docs, k).cache()
@@ -177,6 +185,17 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "common", "n_a", "n_b", "jaccard")
     )
+    if max_pairs_per_doc is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_a").orderBy(
+            F.col("jaccard").desc(), F.col("doc_b").asc()
+        )
+        verified = (
+            verified.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_pairs_per_doc)
+            .drop("_rn")
+        )
     return verified
 
 

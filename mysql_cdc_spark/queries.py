@@ -1504,6 +1504,57 @@ def llm_dedup_minhash(spark, sf_dir):
 
 
 @register(
+    "llm_dedup_minhash_capped",
+    _BAND_CTE + ", cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM bandrows a JOIN bandrows b ON a.band = b.band AND a.band_hash = b.band_hash "
+    "AND a.doc_id < b.doc_id), "
+    "verified AS (SELECT doc_a, doc_b, common, n_a, n_b, jaccard FROM ("
+    "  SELECT c.doc_a, c.doc_b, "
+    "  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS common, "
+    "  CAST(len(sa.shingles) AS BIGINT) AS n_a, CAST(len(sb.shingles) AS BIGINT) AS n_b, "
+    "  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / "
+    "  CAST(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS jaccard "
+    "  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b"
+    f") WHERE jaccard >= {dedup.JACCARD_THRESHOLD}) "
+    "SELECT doc_a, doc_b, common, n_a, n_b, jaccard FROM ("
+    "  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_a "
+    "  ORDER BY jaccard DESC, doc_b) AS rn FROM verified"
+    ") WHERE rn <= 2",
+)
+def llm_dedup_minhash_capped(spark, sf_dir):
+    """Result-bounded MinHash-LSH (r8 VERDICT #4): each doc keeps its
+    2 most-similar verified partners, so a large near-dup clique emits
+    O(docs × 2) pairs instead of O(clique²) — the knob that makes the
+    pair producer safe at 100 TB."""
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), max_pairs_per_doc=2)
+
+
+@register(
+    "ts_range_join_capped",
+    "WITH iv AS (SELECT event_id AS incident_id, "
+    "ts - INTERVAL 30 MINUTE AS w_start, ts + INTERVAL 30 MINUTE AS w_end "
+    "FROM events WHERE event_type = 'error' AND value > 100.0), "
+    "pairs AS (SELECT iv.incident_id, iv.w_start, iv.w_end, e.event_id, e.value "
+    "FROM iv JOIN events e ON e.ts >= iv.w_start AND e.ts < iv.w_end), "
+    "capped AS (SELECT * FROM ("
+    "  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id "
+    "  ORDER BY w_start DESC, incident_id) AS rn FROM pairs"
+    ") WHERE rn <= 2) "
+    "SELECT incident_id, w_start, w_end, COUNT(*) AS n_events, "
+    "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value "
+    "FROM capped GROUP BY 1, 2, 3",
+)
+def ts_range_join_capped(spark, sf_dir):
+    """Result-bounded range join (r8 VERDICT #4): each event is
+    attributed to at most 2 containing incident windows (latest
+    w_start first), bounding pair volume to O(events × 2) under
+    arbitrarily dense overlapping incidents."""
+    return timeseries.incident_window_stats_capped(
+        _events(spark, sf_dir), max_windows_per_event=2
+    )
+
+
+@register(
     "llm_dedup_jaccard",
     _SHINGLE_CTE + ", sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh FROM sh), "
     "inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh), "

@@ -128,6 +128,50 @@ def test_range_join_multiple_overlapping_intervals(spark):
     assert sorted(r["incident_id"] for r in got.collect()) == [1, 2]
 
 
+def test_range_join_cap_bounds_output_under_dense_overlap(spark):
+    """r8 VERDICT #4 (result-bounding knob): one point inside 50
+    overlapping intervals emits 50 pairs uncapped but exactly k with
+    the cap — the k LATEST-starting intervals, deterministically."""
+    iv = spark.createDataFrame(
+        [Row(incident_id=i, w_start=_ts(0, i), w_end=_ts(55)) for i in range(50)]
+    )
+    pts = spark.createDataFrame(
+        [Row(event_id=1, ts=_ts(30)), Row(event_id=2, ts=_ts(31))]
+    )
+    uncapped = timeseries.range_join(pts, iv, ts="ts", start="w_start", end="w_end")
+    assert uncapped.count() == 100           # 2 points × 50 intervals
+    capped = timeseries.range_join(
+        pts, iv, ts="ts", start="w_start", end="w_end",
+        max_matches_per_point=3, point_key="event_id", tiebreak="incident_id",
+    )
+    rows = capped.collect()
+    assert len(rows) == 6                    # 2 points × cap 3: bounded
+    got = sorted(
+        (r["event_id"], r["incident_id"]) for r in rows
+    )
+    # latest-starting intervals win: incident ids 47, 48, 49 per point
+    assert got == [(1, 47), (1, 48), (1, 49), (2, 47), (2, 48), (2, 49)]
+
+
+def test_minhash_cap_bounds_output_for_dup_cliques(spark):
+    """A 12-document near-duplicate clique: uncapped LSH+verify emits
+    O(clique²) pairs; the per-doc cap bounds it to docs × k with the
+    most-similar partners kept."""
+    from mysql_cdc_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=base + f"tail{i % 2}") for i in range(12)]
+    )
+    uncapped = dedup.minhash_lsh_pairs(docs)
+    n_uncapped = uncapped.count()
+    assert n_uncapped > 24                   # quadratic in the clique
+    capped = dedup.minhash_lsh_pairs(docs, max_pairs_per_doc=2)
+    per_doc = capped.groupBy("doc_a").count().collect()
+    assert all(r["count"] <= 2 for r in per_doc)
+    assert capped.count() <= 2 * 12          # bounded: docs × k
+
+
 def test_range_join_plan_has_no_nested_loop(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events")
     out = timeseries.incident_window_stats(ev, threshold=100.0)
