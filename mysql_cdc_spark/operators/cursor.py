@@ -1,7 +1,7 @@
 """R9: the forward-only cursor — the reference's JDBC ResultSet
 contract (deftype ResultSet, src/cdc/jdbc.clj:205-331) over a batch
 DataFrame.  (The streaming flavor, with blocking poll, is
-streaming/runtime.py:StreamingCursor.)
+streaming/runtime.py:QueueStreamingCursor.)
 
 Contract parity:
 - cursor starts BEFORE the first row (`(cons nil ...)`, jdbc.clj:183-184);

@@ -23,8 +23,8 @@ Reference mechanism → Spark mapping (SURVEY §2.6):
   event-fn callback per turn (mysql_binlog.clj:804-811, :918)
       → `foreachBatch`
   blocking forward-only ResultSet over the queue (jdbc.clj:205-331)
-      → memory sink + `StreamingCursor` (operators/cursor.py provides
-        the batch flavor)
+      → `QueueStreamingCursor` (foreachBatch → bounded queue;
+        operators/cursor.py provides the batch flavor)
   cdc-init/cdc-start/cdc-stop lifecycle (:804-811, :921-938)
       → `CDCRuntime.start()/stop()`
 
@@ -40,7 +40,6 @@ import time
 from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame, Row, SparkSession
-from pyspark.sql import functions as F
 
 from mysql_cdc_spark.model import ENVELOPE_SCHEMA
 
@@ -394,63 +393,10 @@ class QueueStreamingCursor:
                 return
 
 
-class StreamingCursor:
-    """R9 for the streaming path: a forward-only blocking cursor over a
-    memory-sink table, reproducing the reference ResultSet's contract
-    (jdbc.clj:205-331): `next()` advances or blocks until new rows
-    arrive (queue `.take`, :174, :213-218); rows are delivered in
-    offset order; the cursor starts before the first row.
-
-    Scale boundary (by design): Spark's memory sink accumulates the
-    whole stream in driver memory, and each poll re-scans it (the
-    `> last_seen` filter prunes what's COLLECTED, not what's stored).
-    Kept only for bounded demos/tests over an already-drained sink.
-    Continuous queries use `QueueStreamingCursor` (the api.py default
-    since r8) — bounded queue, O(batch) driver memory, no re-scan —
-    or `streaming.push.PushCursor` on the low-latency path.
-    """
-
-    def __init__(
-        self,
-        spark: SparkSession,
-        sink_name: str,
-        order_col: str = "offset",
-        poll_interval: float = 0.2,
-    ) -> None:
-        self._spark = spark
-        self._sink = sink_name
-        self._order = order_col
-        self._poll = poll_interval
-        self._buffer: list[Row] = []
-        self._pos = -1          # before-first-row
-        self._last_seen = None
-        self.current: Row | None = None
-
-    def _fetch_newer(self) -> list[Row]:
-        t = self._spark.table(self._sink)
-        if self._last_seen is not None:
-            t = t.filter(F.col(self._order) > self._last_seen)
-        return t.orderBy(self._order).collect()
-
-    def next(self, timeout: float | None = None) -> bool:
-        """Advance to the next row; block (poll) until one is
-        available or `timeout` elapses.  Returns False on timeout."""
-        if self._pos + 1 >= len(self._buffer):
-            deadline = None if timeout is None else time.monotonic() + timeout
-            while True:
-                newer = self._fetch_newer()
-                if newer:
-                    self._buffer = newer
-                    self._pos = -1
-                    self._last_seen = newer[-1][self._order]
-                    break
-                if deadline is not None and time.monotonic() >= deadline:
-                    return False
-                time.sleep(self._poll)
-        self._pos += 1
-        self.current = self._buffer[self._pos]
-        return True
-
-    def __iter__(self) -> Iterator[Row]:
-        while self.next(timeout=0):
-            yield self.current
+# The legacy memory-sink StreamingCursor was removed in r9 (VERDICT r8
+# #5): it re-scanned and re-sorted the whole accumulated sink on every
+# poll — O(stream) driver memory and O(stream²) work over a long run —
+# and survived only as an exported attractive nuisance once
+# QueueStreamingCursor became the api.py default.  Forward-only cursor
+# consumers use QueueStreamingCursor (bounded queue, O(batch) memory)
+# or streaming.push.PushCursor (low-latency path).

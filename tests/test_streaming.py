@@ -86,20 +86,27 @@ def test_backpressure_bounds_batch_size(spark, sf_dir, scratch):
 
 
 def test_streaming_cursor_forward_only_blocking(spark, sf_dir, scratch):
+    """Forward-only cursor contract over a bounded log (the reference
+    ResultSet semantics, jdbc.clj:205-331) through the BOUNDED queue
+    cursor — the legacy memory-sink cursor was deleted in r9 (it
+    re-scanned the whole sink per poll)."""
     log, cp = f"{scratch}/log", f"{scratch}/cp"
     rt.write_event_log(_env(spark, sf_dir, 0, 400), log, n_files=1)
-    name = f"cur_{uuid.uuid4().hex[:8]}"
-    rt.run_to_memory(rt.open_stream(spark, log), name, cp)
 
-    cur = rt.StreamingCursor(spark, name)
-    assert cur.current is None            # before-first-row
-    assert cur.next(timeout=10)
-    assert cur.current["offset"] == 0
-    seen = [cur.current["offset"]]
-    while cur.next(timeout=0):
-        seen.append(cur.current["offset"])
-    assert seen == list(range(400))       # offset order, each exactly once
-    assert not cur.next(timeout=0.3)      # drained → blocking poll times out
+    cur = rt.QueueStreamingCursor().attach(
+        rt.open_stream(spark, log), cp, available_now=True
+    )
+    try:
+        assert cur.current is None            # before-first-row
+        assert cur.next(timeout=30)
+        assert cur.current["offset"] == 0
+        seen = [cur.current["offset"]]
+        while cur.next(timeout=5):
+            seen.append(cur.current["offset"])
+        assert seen == list(range(400))       # offset order, each exactly once
+        assert not cur.next(timeout=0.3)      # drained → poll times out
+    finally:
+        cur.close()
 
 
 def test_queue_cursor_bounded_driver_memory(spark, sf_dir, scratch):
