@@ -352,3 +352,123 @@ def test_real_format_binlog_through_tailer(tmp_path):
     rows = [e for e in got if e["op"] == "write_rows"]
     assert rows and rows[0]["after"][0] == {"id": 1, "name": "widget", "price": "19.99"}
     assert [e["op"] for e in got].count("xid") == 3
+
+
+def _bjson_one_int_object(key: str, val: int) -> bytes:
+    """Hand-built binary JSON {key: val} (small object, int16 inlined)
+    per the public json_binary.h layout — independent of the codec's
+    encoder."""
+    kb = key.encode()
+    koff = 2 + 2 + 4 + 3                       # count+size, 1 key entry, 1 value entry
+    total = koff + len(kb)
+    body = struct.pack("<HH", 1, total)
+    body += struct.pack("<HH", koff, len(kb))  # key entry
+    body += bytes([0x05]) + struct.pack("<h", val)  # value entry: inline int16
+    body += kb
+    return bytes([0x00]) + body
+
+
+def test_real_format_zstd_payload_and_partial_json():
+    """8.0 realism for the r9 decode paths, hand-encoded independently:
+    a ZSTD TRANSACTION_PAYLOAD transaction (TLV header written in a
+    DIFFERENT field order than the repo writer emits — the format is a
+    TLV set, not a fixed sequence) whose embedded events carry no
+    CRC32, and a PARTIAL_UPDATE_ROWS event whose after-image JSON
+    column is a hand-built diff vector."""
+    import pyarrow as pa
+
+    w = Mysqld80Encoder()
+    w.fde(1700000000)
+
+    # ---- inner transaction bytes (no magic/FDE/CRC, foreign log_pos)
+    inner = bytearray()
+
+    def emit_inner(type_code: int, body: bytes, ts: int) -> None:
+        header = struct.pack(
+            "<IBIIIH", ts, type_code, SERVER_ID, 19 + len(body), 0xDEAD, 0
+        )
+        inner.extend(header + body)
+
+    # table shop.t9 (id INT, doc JSON)
+    tmap_body = (
+        (110).to_bytes(6, "little") + struct.pack("<H", 1)
+        + bytes([4]) + b"shop" + b"\x00"
+        + bytes([2]) + b"t9" + b"\x00"
+        + bytes([2]) + bytes([3, 245])         # LONG, JSON
+        + bytes([1, 4])                        # metadata: JSON 4-byte length
+        + bytes([0b10])                        # doc nullable
+    )
+    emit_inner(19, tmap_body, 1700000005)
+    before_doc = _bjson_one_int_object("a", 1)
+    write_body = (
+        (110).to_bytes(6, "little") + struct.pack("<HH", 0, 2)
+        + bytes([2, 0b11])
+        + bytes([0b00]) + struct.pack("<i", 5)
+        + struct.pack("<I", len(before_doc)) + before_doc
+    )
+    emit_inner(30, write_body, 1700000005)
+    emit_inner(16, struct.pack("<Q", 901), 1700000005)  # XID
+
+    comp = pa.Codec("zstd").compress(bytes(inner), asbytes=True)
+
+    def lenc(n: int) -> bytes:
+        assert n < 251
+        return bytes([n])
+
+    # TLV order: uncompressed size (3) FIRST, then payload size (1),
+    # then compression type (2) — valid TLV set in any order.
+    un = lenc(len(inner))
+    sz = lenc(len(comp))
+    ct = lenc(0)
+    payload_body = (
+        bytes([3]) + lenc(len(un)) + un
+        + bytes([1]) + lenc(len(sz)) + sz
+        + bytes([2]) + lenc(len(ct)) + ct
+        + bytes([0])
+        + comp
+    )
+    w.emit(40, payload_body, 1700000005)
+
+    # ---- partial JSON update txn (outside the payload)
+    w.table_map(1700000006, table_id=108)      # shop.t1 map re-sent (realism)
+    tmap9 = tmap_body                          # then shop.t9's map
+    w.emit(19, tmap9, 1700000006)
+    # diff vector: REPLACE $.a -> 7
+    diff = (
+        bytes([0x00])                          # REPLACE
+        + bytes([3]) + b"$.a"
+        + bytes([3]) + bytes([0x05]) + struct.pack("<h", 7)
+    )
+    partial_body = (
+        (110).to_bytes(6, "little") + struct.pack("<HH", 0, 2)
+        + bytes([2])                           # col count
+        + bytes([0b11])                        # before-present
+        + bytes([0b11])                        # after-present
+        # before image: full doc
+        + bytes([0b00]) + struct.pack("<i", 5)
+        + struct.pack("<I", len(before_doc)) + before_doc
+        # after image: value_options=1, partial_bits=1, nulls=0
+        + bytes([1]) + bytes([0b1]) + bytes([0b00])
+        + struct.pack("<i", 5)
+        + struct.pack("<I", len(diff)) + diff
+    )
+    w.emit(39, partial_body, 1700000006)
+    w.xid(1700000006, 902)
+
+    cat = dict(CAT)
+    cat[("shop", "t9")] = ["id", "doc"]
+    events = decode_binlog(bytes(w.buf), cat)
+    ops = [e["op"] for e in events]
+    assert ops == [
+        "format_description",
+        "transaction_payload", "table_map", "write_rows", "xid",
+        "table_map", "table_map", "update_rows", "xid",
+    ]
+    assert events[1]["sql"] == "payload: 3 events, zstd"
+    wr = events[3]
+    assert wr["after"] == [{"id": 5, "doc": '{"a": 1}'}]
+    assert events[4]["xid"] == 901
+    upd = events[7]
+    assert upd["before"] == [{"id": 5, "doc": '{"a": 1}'}]
+    assert upd["after"] == [{"id": 5, "doc": '{"a": 7}'}]
+    assert events[8]["xid"] == 902
