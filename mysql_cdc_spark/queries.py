@@ -328,8 +328,8 @@ def _head_offset(spark, sf_dir: str) -> int:
             return int(mx) * 4 + 3
     except Exception:
         pass
-    rows = _rows_dt(spark, sf_dir)
-    return int(rows.agg(F.max("offset")).collect()[0][0])
+    env = changes(spark, sf_dir)  # full envelope: head is the xid row (seq 3)
+    return int(env.agg(F.max("offset")).collect()[0][0])
 
 
 _STREAM_TMP = "/root/repo/.stream_tmp"

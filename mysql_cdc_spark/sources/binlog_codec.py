@@ -1593,6 +1593,8 @@ def _read_value(
             ln = body[pos]; pos += 1
         else:
             ln = int.from_bytes(body[pos:pos + 2], "little"); pos += 2
+        if charset is None:  # no charset TLVs: hot path, no extra call
+            return body[pos:pos + ln].decode("latin-1"), pos + ln
         return _decode_text(body[pos:pos + ln], charset), pos + ln
     if tc == TYPE_NEWDECIMAL:
         p, s = meta

@@ -154,3 +154,19 @@ def test_snapshot_split_uses_footer_stats_not_a_spark_job(spark, sf_dir):
         QUERIES["cdc_ivm_state_sum"](spark, sf_dir)
     finally:
         DataFrame.collect = real_collect
+
+
+def test_head_offset_falls_back_when_footer_lacks_stats(spark, sf_dir, tmp_path):
+    """A parquet written without column statistics must not break the
+    snapshot split: _head_offset falls back to the Spark aggregate and
+    returns the same head."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mysql_cdc_spark.queries import _head_offset
+
+    src = pq.read_table(f"{sf_dir}/events.parquet")
+    pq.write_table(src, str(tmp_path / "events.parquet"), write_statistics=False)
+    with_stats = _head_offset(spark, sf_dir)
+    # same data, no footer stats → must take the fallback path yet agree
+    assert _head_offset(spark, str(tmp_path)) == with_stats
