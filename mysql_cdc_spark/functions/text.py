@@ -333,3 +333,97 @@ def bigram_lm(docs: DataFrame, min_count: int = 5) -> DataFrame:
             (F.col("c").cast("double") / F.col("c1").cast("double")).alias("cond_p"),
         )
     )
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    ref: DataFrame,
+    head_ppl: float = 30.0,
+    tail_ppl: float = 300.0,
+) -> DataFrame:
+    """CCNet-style LM quality filter: score every document's bigram
+    perplexity under a language model trained on a high-quality
+    reference subcorpus, then bucket head / middle / tail (Wenzek et
+    al., "CCNet: Extracting High Quality Monolingual Datasets from
+    Web Crawl Data", LREC 2020 — there a 5-gram KenLM over Wikipedia;
+    here an add-one-smoothed bigram LM, which keeps every probability
+    a closed-form ratio of exact BIGINT counts so a SQL oracle can
+    reproduce the scores bit-for-bit).
+
+        p(w2|w1) = (c(w1,w2) + 1) / (c1(w1) + V)
+
+    with c1(w1) = Σ_x c(w1,x) over the reference corpus and V its
+    unigram vocabulary size; unseen w1 degrades to the uniform 1/V.
+    Per-bigram log-probs are rounded to DECIMAL(18,6) BEFORE the
+    per-document sum, so the fold is order-independent (the same
+    determinism contract as the TF-IDF/BM25 operators).
+
+    Scale shape: the LM is two map-side-combined groupBys over the
+    REFERENCE corpus only (bigram counts + continuation sums); the
+    scoring pass joins the full corpus token stream against the LM on
+    (w1, w2) then on w1 — Zipf-skewed keys, handled by AQE skew-join
+    splitting; when the bigram table fits the broadcast threshold
+    Catalyst broadcasts it and the scoring pass is shuffle-free.
+    Documents with fewer than 2 tokens emit n_bigrams=0 and a NULL
+    perplexity ('unscored' bucket) rather than vanishing.
+    """
+    def doc_bigrams(d: DataFrame) -> DataFrame:
+        return with_tokens(d).select(
+            "doc_id",
+            F.explode_outer(
+                F.expr(
+                    "case when size(tokens) >= 2 then "
+                    "transform(sequence(1, size(tokens) - 1), "
+                    "i -> struct(tokens[i - 1] as w1, tokens[i] as w2)) "
+                    "else array() end"
+                )
+            ).alias("bg"),
+        ).select("doc_id", "bg.w1", "bg.w2")
+
+    ref_toks = with_tokens(ref).select(F.explode("tokens").alias("tok"))
+    vocab = ref_toks.agg(F.countDistinct("tok").cast("bigint").alias("v"))
+
+    ref_bg = doc_bigrams(ref).where(F.col("w1").isNotNull())
+    counts = ref_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    c1 = counts.groupBy("w1").agg(F.sum("c").cast("bigint").alias("c1"))
+
+    scored = (
+        doc_bigrams(docs)
+        .join(counts, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "logp",
+            F.when(
+                F.col("w1").isNull(), F.lit(None).cast("decimal(18,6)")
+            ).otherwise(
+                F.round(
+                    F.log(
+                        (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)).cast("double")
+                        / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")).cast("double")
+                    ),
+                    6,
+                ).cast("decimal(18,6)")
+            ),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("logp").cast("bigint").alias("n_bigrams"),
+        F.sum("logp").alias("sum_logp"),
+    )
+    ppl = F.round(
+        F.exp(-(F.col("sum_logp").cast("double") / F.col("n_bigrams").cast("double"))), 4
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        # DOUBLE for transport: the decimal-summed value is exact at 6 dp,
+        # so both engines land on the identical nearest double.
+        F.col("sum_logp").cast("double").alias("sum_logp"),
+        F.when(F.col("n_bigrams") > 0, ppl).alias("ppl"),
+        F.when(F.col("n_bigrams") == 0, F.lit("unscored"))
+        .when(ppl <= F.lit(head_ppl), F.lit("head"))
+        .when(ppl > F.lit(tail_ppl), F.lit("tail"))
+        .otherwise(F.lit("middle"))
+        .alias("bucket"),
+    )

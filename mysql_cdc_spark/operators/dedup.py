@@ -415,3 +415,95 @@ def dup_spans(docs: DataFrame, width: int = 8, k: int = 9) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("span_frac"),
     )
+
+
+def incremental_neardup(
+    base: DataFrame,
+    delta: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    threshold: float = JACCARD_THRESHOLD,
+    max_matches_per_delta: int | None = None,
+) -> DataFrame:
+    """Incremental corpus dedup: near-dup matches of a DELTA batch
+    against an existing BASE corpus — the production ingest shape
+    (new crawl vs indexed corpus).  Returns one row per verified
+    (delta_id, base_id) pair with the exact Jaccard.
+
+    Scale contract (what makes this INCREMENTAL, not a re-run):
+    - base band rows are a pure function of the base corpus — in a
+      production pipeline they are computed once and persisted as the
+      LSH index; here they are derived in the same job, but the join
+      topology is identical: probe-side (delta) bands equi-join the
+      index on (band, band_hash).
+    - base x base pairs are NEVER generated (the existing corpus was
+      already deduped when it was built) and delta x delta pairs are
+      left to the intra-batch pass — so candidate volume is
+      O(delta bands), independent of base-corpus growth beyond true
+      bucket collisions.
+    - exact verify touches candidate pairs only; `max_matches_per_delta`
+      bounds output per delta doc (top-jaccard first) so a delta doc
+      landing in a large near-dup clique cannot emit O(clique) rows.
+
+    No reference analog; standard LSH-index incremental dedup
+    (Broder resemblance + banding) re-expressed as two bucketed
+    equi-joins.
+    """
+    rows_per_band = k // bands
+
+    def band_rows(docs: DataFrame, side: str) -> DataFrame:
+        sigs = minhash_signatures(docs, k)
+        return sigs.select(
+            F.col("doc_id").alias(f"{side}_id"),
+            "shingles",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _band_key(b, rows_per_band).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ])
+            ).alias("bk"),
+        ).select(f"{side}_id", "shingles", "bk.band", "bk.band_hash")
+
+    # Candidate generation: delta probes the base index.  Shingle
+    # arrays ride along on each side so the verify step needs no
+    # second join back to the corpus (one shuffle on the band key,
+    # then a groupBy on the pair key — no further scans).
+    probe = band_rows(delta, "delta")
+    index = band_rows(base, "base")
+    cand = (
+        probe.join(index, ["band", "band_hash"])
+        .select(
+            "delta_id",
+            "base_id",
+            probe["shingles"].alias("sh_d"),
+            index["shingles"].alias("sh_b"),
+        )
+        .dropDuplicates(["delta_id", "base_id"])
+    )
+    verified = (
+        cand.withColumn("common", F.size(F.array_intersect("sh_d", "sh_b")).cast("bigint"))
+        .withColumn("n_delta", F.size("sh_d").cast("bigint"))
+        .withColumn("n_base", F.size("sh_b").cast("bigint"))
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("n_delta") + F.col("n_base") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("delta_id", "base_id", "common", "n_delta", "n_base", "jaccard")
+    )
+    if max_matches_per_delta is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("delta_id").orderBy(
+            F.col("jaccard").desc(), F.col("base_id").asc()
+        )
+        verified = (
+            verified.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_matches_per_delta)
+            .drop("_rn")
+        )
+    return verified

@@ -1560,6 +1560,33 @@ def llm_dedup_minhash_capped(spark, sf_dir):
 
 
 @register(
+    "llm_incremental_neardup",
+    _BAND_CTE + ", cand AS (SELECT DISTINCT a.doc_id AS delta_id, b.doc_id AS base_id "
+    "FROM bandrows a JOIN bandrows b ON a.band = b.band AND a.band_hash = b.band_hash "
+    "AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0) "
+    "SELECT delta_id, base_id, common, n_delta, n_base, jaccard FROM ("
+    "  SELECT c.delta_id, c.base_id, "
+    "  CAST(len(list_intersect(sd.shingles, sb.shingles)) AS BIGINT) AS common, "
+    "  CAST(len(sd.shingles) AS BIGINT) AS n_delta, CAST(len(sb.shingles) AS BIGINT) AS n_base, "
+    "  CAST(len(list_intersect(sd.shingles, sb.shingles)) AS DOUBLE) / "
+    "  CAST(len(sd.shingles) + len(sb.shingles) - len(list_intersect(sd.shingles, sb.shingles)) AS DOUBLE) AS jaccard "
+    "  FROM cand c JOIN sh sd ON sd.doc_id = c.delta_id JOIN sh sb ON sb.doc_id = c.base_id"
+    f") WHERE jaccard >= {dedup.JACCARD_THRESHOLD}",
+)
+def llm_incremental_neardup(spark, sf_dir):
+    """Incremental ingest dedup: every 10th document plays the DELTA
+    batch (a new crawl) probing the other 90% as the already-indexed
+    BASE corpus — delta bands equi-join the base LSH index, base x base
+    and delta x delta pairs are never generated, exact Jaccard verifies
+    candidates only.  The production shape for growing a deduped corpus
+    without re-running the full pairwise pass."""
+    docs = _docs(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    return dedup.incremental_neardup(base, delta)
+
+
+@register(
     "ts_range_join_capped",
     "WITH iv AS (SELECT event_id AS incident_id, "
     "ts - INTERVAL 30 MINUTE AS w_start, ts + INTERVAL 30 MINUTE AS w_end "
@@ -3082,6 +3109,45 @@ def llm_bigram_lm(spark, sf_dir):
     """Corpus bigram LM: P(w2|w1) from one pass over the token stream
     (continuation-sum denominator, integer-exact)."""
     return T.bigram_lm(_docs(spark, sf_dir))
+
+
+@register(
+    "llm_perplexity_filter",
+    _TOKS_CTE + ", "
+    "ref_bg AS (SELECT unnest(CASE WHEN len(tokens) >= 2 THEN "
+    "[tokens[i] || ' ' || tokens[i+1] for i in range(1, len(tokens))] "
+    "ELSE [] END) AS g FROM toks WHERE lang = 'en'), "
+    "counts AS (SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2, "
+    "COUNT(*) AS c FROM ref_bg GROUP BY 1, 2), "
+    "c1 AS (SELECT w1, SUM(c) AS c1 FROM counts GROUP BY 1), "
+    "v AS (SELECT COUNT(DISTINCT tok) AS v FROM "
+    "  (SELECT unnest(tokens) AS tok FROM toks WHERE lang = 'en')), "
+    "dbg AS (SELECT doc_id, unnest(CASE WHEN len(tokens) >= 2 THEN "
+    "[tokens[i] || ' ' || tokens[i+1] for i in range(1, len(tokens))] "
+    "ELSE [] END) AS g FROM toks), "
+    "scored AS (SELECT doc_id, CAST(round(ln("
+    "  CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) / CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE)"
+    "), 6) AS DECIMAL(18,6)) AS logp "
+    "FROM (SELECT doc_id, split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2 FROM dbg) b "
+    "LEFT JOIN counts c ON b.w1 = c.w1 AND b.w2 = c.w2 "
+    "LEFT JOIN c1 ON b.w1 = c1.w1 CROSS JOIN v), "
+    "per AS (SELECT t.doc_id, CAST(COUNT(s.logp) AS BIGINT) AS n_bigrams, "
+    "CAST(SUM(s.logp) AS DOUBLE) AS sum_logp "
+    "FROM toks t LEFT JOIN scored s ON t.doc_id = s.doc_id GROUP BY 1) "
+    "SELECT doc_id, n_bigrams, sum_logp, "
+    "CASE WHEN n_bigrams > 0 THEN round(exp(-(CAST(sum_logp AS DOUBLE) / n_bigrams)), 4) END AS ppl, "
+    "CASE WHEN n_bigrams = 0 THEN 'unscored' "
+    "WHEN round(exp(-(CAST(sum_logp AS DOUBLE) / n_bigrams)), 4) <= 30.0 THEN 'head' "
+    "WHEN round(exp(-(CAST(sum_logp AS DOUBLE) / n_bigrams)), 4) > 300.0 THEN 'tail' "
+    "ELSE 'middle' END AS bucket FROM per",
+)
+def llm_perplexity_filter(spark, sf_dir):
+    """CCNet-style perplexity quality filter: add-one bigram LM trained
+    on the English subcorpus, every document scored under it, bucketed
+    head/middle/tail (functions/text.py lm_perplexity — integer-exact
+    counts + DECIMAL-rounded log-prob fold for engine determinism)."""
+    docs = _docs(spark, sf_dir)
+    return T.lm_perplexity(docs, docs.filter(F.col("lang") == "en"))
 
 
 @register(

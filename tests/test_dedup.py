@@ -102,3 +102,48 @@ def test_dup_spans_detects_copied_passage(spark):
     assert got[1]["n_shared"] >= 1 and got[2]["n_shared"] >= 1
     assert got[3]["n_shared"] == 0 and got[3]["n_windows"] > 0
     assert got[4]["n_windows"] == 0 and got[4]["span_frac"] == 0.0
+
+
+class TestIncrementalNeardup:
+    """Delta-vs-base incremental LSH dedup (dedup.incremental_neardup)."""
+
+    def test_delta_matches_base_only(self, spark):
+        rows = [
+            (0, BASE, "en", "s0", len(BASE)),       # base
+            (1, NEAR, "en", "s1", len(NEAR)),       # base near-dup of 0
+            (2, OTHER, "en", "s2", len(OTHER)),     # base, unrelated
+            (10, BASE, "en", "s3", len(BASE)),      # delta: dup of base 0/1
+            (11, OTHER, "en", "s4", len(OTHER)),    # delta: dup of base 2
+            (12, "tiny", "en", "s5", 4),            # delta: no shingles
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        base = docs.filter("doc_id < 10")
+        delta = docs.filter("doc_id >= 10")
+        got = {(r["delta_id"], r["base_id"]): r["jaccard"]
+               for r in dedup.incremental_neardup(base, delta).collect()}
+        assert got[(10, 0)] == 1.0          # exact dup found in base
+        assert (10, 1) in got               # near-dup of the edited base doc
+        assert got[(11, 2)] == 1.0
+        # never base x base or delta x delta
+        assert all(d >= 10 and b < 10 for d, b in got)
+        assert (12, 0) not in got
+
+    def test_cap_bounds_matches_per_delta(self, spark):
+        rows = [(i, BASE, "en", "s", len(BASE)) for i in range(5)] + [
+            (10, BASE, "en", "s", len(BASE))
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        base = docs.filter("doc_id < 10")
+        delta = docs.filter("doc_id >= 10")
+        full = dedup.incremental_neardup(base, delta).collect()
+        assert len(full) == 5               # delta doc hits the whole clique
+        capped = dedup.incremental_neardup(
+            base, delta, max_matches_per_delta=2
+        ).collect()
+        assert len(capped) == 2
+        # deterministic: ties broken by lowest base_id
+        assert sorted(r["base_id"] for r in capped) == [0, 1]

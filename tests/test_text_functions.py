@@ -153,3 +153,50 @@ def test_bigram_lm_conditional_probabilities(spark):
     # continuation so c1('be') = 5
     assert got[("be", "or")]["c"] == 5 and got[("be", "or")]["c1"] == 5
     assert got[("or", "not")]["cond_p"] == 1.0 and got[("not", "to")]["c"] == 5
+
+
+class TestLmPerplexity:
+    """CCNet-style bigram-LM perplexity filter (text.lm_perplexity)."""
+
+    def test_in_domain_scores_below_ood(self, spark):
+        from mysql_cdc_spark.functions import text as T
+
+        ref_text = "the cat sat on the mat and the dog sat on the rug"
+        rows = [
+            (0, ref_text, "en", "s", len(ref_text)),
+            (1, "the cat sat on the rug", "en", "s", 22),   # in-domain
+            (2, "zq xv qqq zzz unseen tokens", "de", "s", 27),  # OOD
+            (3, "one", "en", "s", 3),                       # < 2 tokens
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        got = {r["doc_id"]: r for r in T.lm_perplexity(
+            docs, docs.filter("lang = 'en'")
+        ).collect()}
+        assert got[3]["n_bigrams"] == 0
+        assert got[3]["ppl"] is None and got[3]["bucket"] == "unscored"
+        assert got[1]["ppl"] < got[2]["ppl"]   # in-domain beats OOD
+        assert got[0]["ppl"] < got[2]["ppl"]
+        for r in got.values():
+            assert r["bucket"] in ("head", "middle", "tail", "unscored")
+
+    def test_unseen_bigram_gets_uniform_floor(self, spark):
+        from mysql_cdc_spark.functions import text as T
+        import math
+
+        # reference corpus: 4 distinct tokens => V=4; delta doc is one
+        # unseen bigram of unseen words => p = 1/V exactly.
+        rows = [
+            (0, "a b c d", "en", "s", 7),
+            (1, "zz yy", "en", "s", 5),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        got = {r["doc_id"]: r for r in T.lm_perplexity(
+            docs, docs.filter("doc_id = 0")
+        ).collect()}
+        assert got[1]["n_bigrams"] == 1
+        assert abs(got[1]["sum_logp"] - round(math.log(1 / 4), 6)) < 1e-9
+        assert abs(got[1]["ppl"] - 4.0) < 1e-3
