@@ -647,6 +647,58 @@ def _binlog_envelope_projected(
     )
 
 
+@register(
+    "cdc_binlog_rows_query",
+    "WITH ev AS (SELECT event_id, event_type, "
+    "  CASE WHEN user_id % 2 = 0 THEN 'foo' ELSE 'bench' END AS db, "
+    "  CASE WHEN user_id % 2 = 0 THEN 'auto' ELSE 'big' END AS tbl FROM events), "
+    "s AS (SELECT CASE "
+    "  WHEN event_type IN ('signup','purchase') "
+    "    THEN 'INSERT INTO ' || db || '.' || tbl || ' (id, value) VALUES (?, ?)' "
+    "  WHEN event_type IN ('click','view') "
+    "    THEN 'UPDATE ' || db || '.' || tbl || ' SET value = ? WHERE id = ?' "
+    "  ELSE 'DELETE FROM ' || db || '.' || tbl || ' WHERE id = ?' END AS stmt FROM ev) "
+    "SELECT stmt, CAST(COUNT(*) AS BIGINT) AS n_rows FROM s GROUP BY stmt",
+)
+def cdc_binlog_rows_query(spark, sf_dir):
+    """Statement attribution via ROWS_QUERY events
+    (binlog_rows_query_log_events=ON): the fixture interleaves the
+    original DML text between each statement's QUERY and TABLE_MAP —
+    even when the QUERY slot carries DDL — and the query carries each
+    decoded row image back to its originating statement with a
+    per-log-file last-non-null window (the file is the decode unit, so
+    the window never crosses the rotation boundary), then counts rows
+    per statement.  The reference decodes no ROWS_QUERY at all
+    (mysql_binlog.clj:222-259 dispatch)."""
+    import pathlib
+
+    from pyspark.sql import Window
+
+    from mysql_cdc_spark.sources import binlog_source as bs
+
+    out_dir = (
+        pathlib.Path(_STREAM_TMP)
+        / f"binlog_rq_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
+    )
+    if not any(out_dir.glob("binlog.*")):
+        bs.generate_binlog_from_events(sf_dir, str(out_dir), rows_query=True)
+    env = bs.read_binlog_envelope(spark, str(out_dir))
+    w = Window.partitionBy("log_file").orderBy("seq")
+    attributed = env.withColumn(
+        "stmt",
+        F.last(
+            F.when(F.col("op") == "rows_query", F.col("sql")), ignorenulls=True
+        ).over(w),
+    )
+    return (
+        attributed.filter(
+            F.col("op").isin("write_rows", "update_rows", "delete_rows")
+        )
+        .groupBy("stmt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+
+
 @register("cdc_binlog_envelope", _BINLOG_ORACLE)
 def cdc_binlog_envelope(spark, sf_dir):
     """Full binlog fidelity path: encode the derived change stream as

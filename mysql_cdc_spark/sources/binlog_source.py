@@ -338,6 +338,7 @@ def generate_binlog_from_events(
     gtid: bool = False,
     rows_v2: bool = False,
     payload_zstd: bool = False,
+    rows_query: bool = False,
 ) -> list[str]:
     """Encode the derived change stream as REAL binlog bytes — the same
     derivation rules as sources/events_cdc.py (db/tbl from user_id
@@ -355,7 +356,7 @@ def generate_binlog_from_events(
         out_dir,
         lambda d: _generate_binlog_files(
             sf_dir, d, rotate_every, corrupt_every, checksum, gtid, rows_v2,
-            payload_zstd,
+            payload_zstd, rows_query,
         ),
     )
 
@@ -369,6 +370,7 @@ def _generate_binlog_files(
     gtid: bool = False,
     rows_v2: bool = False,
     payload_zstd: bool = False,
+    rows_query: bool = False,
 ) -> list[str]:
     os.makedirs(out_dir, exist_ok=True)
     pdf = _fixture_rows(sf_dir)
@@ -407,6 +409,7 @@ def _generate_binlog_files(
             op, sql = UPDATE_ROWS_EVENT, f"UPDATE {qualified} SET value = ? WHERE id = ?"
         else:
             op, sql = DELETE_ROWS_EVENT, f"DELETE FROM {qualified} WHERE id = ?"
+        dml_sql = sql  # the row-change statement, pre-DDL override
         if event_id % 50 == 0:
             kdiv = event_id // 50
             ddl_col = f"c{kdiv % 3}"
@@ -440,6 +443,10 @@ def _generate_binlog_files(
             exec_time=event_id % 3600,
             error_code=1062 if event_id % 1000 == 0 else 0,
         )
+        if rows_query:
+            # binlog_rows_query_log_events=ON: servers put the original
+            # DML text between the statement QUERY and its TABLE_MAP.
+            target.write_rows_query(dml_sql, ts)
         target.write_table_map(t, ts)
         row_event_start = target.offset
         if op == WRITE_ROWS_EVENT:

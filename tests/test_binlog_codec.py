@@ -828,3 +828,39 @@ def test_rows_query_event_roundtrip():
     rq = next(e for e in evs if e["op"] == "rows_query")
     assert rq["sql"] == stmt
     assert [e["xid"] for e in evs if e["op"] == "xid"] == [3]
+
+
+def test_generator_rows_query_interleaving(tmp_path):
+    """rows_query=True puts the original DML text between each QUERY
+    and its TABLE_MAP — even when the QUERY slot carries DDL — so
+    statement attribution (cdc_binlog_rows_query) can window it onto
+    the row images."""
+    import duckdb
+
+    from mysql_cdc_spark.sources import binlog_codec as bc
+    from mysql_cdc_spark.sources import binlog_source as bs
+
+    con = duckdb.connect()
+    con.execute(
+        "COPY (SELECT CAST(range AS BIGINT) AS event_id, "
+        "CAST(range % 7 AS BIGINT) AS user_id, "
+        "CASE range % 5 WHEN 0 THEN 'signup' WHEN 1 THEN 'click' "
+        "WHEN 2 THEN 'view' WHEN 3 THEN 'purchase' ELSE 'error' END AS event_type, "
+        "CAST(range AS DOUBLE) AS value, '{}' AS props "
+        "FROM range(60)) TO '" + str(tmp_path / "events.parquet") + "'"
+    )
+    out = tmp_path / "logs"
+    bs.generate_binlog_from_events(str(tmp_path), str(out), rows_query=True)
+    first = sorted(out.glob("binlog.*"))[0]
+    evs = bc.decode_binlog(first.read_bytes())
+    ops = [e["op"] for e in evs if e["op"] not in ("format_description", "rotate")]
+    # 5-event cadence: query, rows_query, table_map, <rows>, xid
+    assert ops[0] == "query" and ops[1] == "rows_query" and ops[2] == "table_map"
+    assert ops[4] == "xid" and ops[5] == "query"
+    rq = [e for e in evs if e["op"] == "rows_query"]
+    assert all(
+        e["sql"].startswith(("INSERT INTO", "UPDATE", "DELETE FROM")) for e in rq
+    )
+    # event_id 0 and 50 carry DDL in the QUERY slot but DML in rows_query
+    ddl_q = [e for e in evs if e["op"] == "query" and e["sql"].startswith("ALTER")]
+    assert ddl_q, "fixture should override every 50th statement with DDL"
