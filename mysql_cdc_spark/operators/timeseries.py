@@ -573,3 +573,123 @@ def ewma_oracle_sql(terms: int = EWMA_TERMS) -> str:
         f"({' + '.join(num_parts)}) / ({' + '.join(den_parts)}) AS ewma "
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)"
     )
+
+
+# ---------------------------------------------------------------------------
+# LTTB downsampling (parallel bucket-anchor variant)
+# ---------------------------------------------------------------------------
+
+def lttb_downsample(
+    events: DataFrame, bucket: str = "hour", key: str = "event_type"
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling, parallel variant:
+    per (key, time bucket) keep the point with the largest triangle
+    area against the NEIGHBOR BUCKETS' average points (Steinarsson,
+    "Downsampling Time Series for Visual Representation", 2013 — the
+    canonical form anchors on the previously SELECTED point, a
+    sequential dependency; anchoring both sides on bucket averages is
+    the standard parallelization and is what the original uses for its
+    right anchor already).  Unlike OHLC/M4 it keeps the single
+    perceptually-dominant point per bucket.
+
+    Scale shape: one map-side-combinable groupBy for bucket anchors
+    (tiny: one row per key x bucket), a lag/lead window over that tiny
+    table, a broadcast-able join back to the points, and a per-bucket
+    argmax window — partitioned by (key, bucket), never global.
+    Determinism contract: values are DECIMAL(18,6)-rounded before any
+    float math, anchor averages are one double division of exact
+    sums, the area expression is the same IEEE tree on both engines,
+    and ties break on earliest timestamp.
+    """
+    t = F.unix_micros("ts").cast("double")
+    v = F.col("value").cast("decimal(18,6)").cast("double")
+    pts = events.select(
+        F.col(key).alias("series"),
+        F.date_trunc(bucket, F.col("ts")).alias("bucket_ts"),
+        F.col("ts"),
+        F.col("value"),
+        t.alias("t"),
+        v.alias("v"),
+    )
+    anchors = (
+        pts.groupBy("series", "bucket_ts")
+        .agg(
+            F.sum(F.col("t").cast("decimal(38,6)")).alias("sum_t"),
+            F.sum(F.col("v").cast("decimal(18,6)")).alias("sum_v"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .select(
+            "series",
+            "bucket_ts",
+            (F.col("sum_t").cast("double") / F.col("n")).alias("avg_t"),
+            (F.col("sum_v").cast("double") / F.col("n")).alias("avg_v"),
+        )
+    )
+    w = Window.partitionBy("series").orderBy("bucket_ts")
+    anchors = anchors.select(
+        "series",
+        "bucket_ts",
+        F.coalesce(F.lag("avg_t").over(w), F.col("avg_t")).alias("prev_t"),
+        F.coalesce(F.lag("avg_v").over(w), F.col("avg_v")).alias("prev_v"),
+        F.coalesce(F.lead("avg_t").over(w), F.col("avg_t")).alias("next_t"),
+        F.coalesce(F.lead("avg_v").over(w), F.col("avg_v")).alias("next_v"),
+    )
+    area = F.round(
+        F.abs(
+            (F.col("prev_t") - F.col("next_t")) * (F.col("v") - F.col("prev_v"))
+            - (F.col("prev_t") - F.col("t")) * (F.col("next_v") - F.col("prev_v"))
+        )
+        * F.lit(0.5),
+        6,
+    )
+    ranked = (
+        pts.join(F.broadcast(anchors), ["series", "bucket_ts"])
+        .withColumn("area", area)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("series", "bucket_ts").orderBy(
+                    F.col("area").desc(), F.col("t").asc()
+                )
+            ),
+        )
+    )
+    # The triangle area is an internal ranking score: its huge
+    # magnitude (micros² scale) makes the last float digits engine-
+    # sensitive, while the SELECTION is stable — so the score stays
+    # out of the result contract.
+    return ranked.filter(F.col("_rn") == 1).select(
+        "series", "bucket_ts", "ts", "value"
+    )
+
+
+LTTB_HOURLY_SQL = """
+WITH pts AS (
+  SELECT event_type AS series, date_trunc('hour', ts) AS bucket_ts, ts, value,
+         CAST(epoch_us(ts) AS DOUBLE) AS t,
+         CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS v
+  FROM events
+), anchors AS (
+  SELECT series, bucket_ts,
+         CAST(SUM(CAST(t AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_t,
+         CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_v
+  FROM pts GROUP BY 1, 2
+), neigh AS (
+  SELECT series, bucket_ts,
+         COALESCE(LAG(avg_t) OVER w, avg_t) AS prev_t,
+         COALESCE(LAG(avg_v) OVER w, avg_v) AS prev_v,
+         COALESCE(LEAD(avg_t) OVER w, avg_t) AS next_t,
+         COALESCE(LEAD(avg_v) OVER w, avg_v) AS next_v
+  FROM anchors WINDOW w AS (PARTITION BY series ORDER BY bucket_ts)
+), ranked AS (
+  SELECT p.series, p.bucket_ts, p.ts, p.value,
+         round(abs((n.prev_t - n.next_t) * (p.v - n.prev_v)
+                   - (n.prev_t - p.t) * (n.next_v - n.prev_v)) * 0.5, 6) AS area,
+         ROW_NUMBER() OVER (PARTITION BY p.series, p.bucket_ts
+                            ORDER BY round(abs((n.prev_t - n.next_t) * (p.v - n.prev_v)
+                                               - (n.prev_t - p.t) * (n.next_v - n.prev_v)) * 0.5, 6) DESC,
+                                     p.t ASC) AS rn
+  FROM pts p JOIN neigh n ON p.series = n.series AND p.bucket_ts = n.bucket_ts
+)
+SELECT series, bucket_ts, ts, value FROM ranked WHERE rn = 1
+""".strip()

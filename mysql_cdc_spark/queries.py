@@ -3283,6 +3283,14 @@ def sk_bloom_prefilter(spark, sf_dir):
     return sketches.bloom_prefilter(_docs(spark, sf_dir))
 
 
+@register("ts_downsample_lttb", timeseries.LTTB_HOURLY_SQL)
+def ts_downsample_lttb(spark, sf_dir):
+    """Parallel LTTB: one perceptually-dominant point per event_type x
+    hour, triangle-area argmax against neighbor-bucket average anchors
+    (operators/timeseries.py lttb_downsample)."""
+    return timeseries.lttb_downsample(_events(spark, sf_dir))
+
+
 @register("ts_ohlc_hourly", timeseries.OHLC_HOURLY_SQL)
 def ts_ohlc_hourly(spark, sf_dir):
     """Tick→bar OHLC compaction per user-hour: open/close via

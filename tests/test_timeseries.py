@@ -472,3 +472,44 @@ def test_ohlc_hand_computed_with_microsecond_tie(spark):
     b = bar[0]
     assert (b["open"], b["high"], b["low"], b["close"]) == (9.0, 9.0, 1.0, 4.0)
     assert b["n_ticks"] == 4 and abs(b["volume"] - 19.0) < 1e-9
+
+
+class TestLttbDownsample:
+    """Parallel LTTB (timeseries.lttb_downsample)."""
+
+    def test_keeps_spike_point_per_bucket(self, spark):
+        import datetime as dt
+
+        from mysql_cdc_spark.operators import timeseries as ts
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        # two hourly buckets, flat 10.0 except one big spike per bucket
+        for m in range(0, 60, 10):
+            rows.append((m, base + dt.timedelta(minutes=m), "s",
+                         300.0 if m == 30 else 10.0))
+        for m in range(60, 120, 10):
+            rows.append((m, base + dt.timedelta(minutes=m), "s",
+                         -200.0 if m == 80 else 10.0))
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, value double"
+        )
+        got = {r["bucket_ts"].hour: r for r in ts.lttb_downsample(df).collect()}
+        assert len(got) == 2                      # one point per bucket
+        assert got[0]["value"] == 300.0           # spike survives downsampling
+        assert got[1]["value"] == -200.0
+        assert got[0]["ts"].minute == 30 and got[1]["ts"].minute == 20
+
+    def test_flat_series_ties_break_earliest(self, spark):
+        import datetime as dt
+
+        from mysql_cdc_spark.operators import timeseries as ts
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [(m, base + dt.timedelta(minutes=m), "s", 5.0) for m in range(0, 60, 15)]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, value double"
+        )
+        got = ts.lttb_downsample(df).collect()
+        assert len(got) == 1
+        assert got[0]["ts"].minute == 0           # all areas 0 -> earliest
