@@ -269,3 +269,148 @@ def sample_frames(media: DataFrame, step: int = 2) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs})
 
     return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Image dedup over real PNG bytes: exact (decoded-pixel hash) and
+# perceptual (dHash) — byte-hash would find NEITHER by construction.
+# ---------------------------------------------------------------------------
+
+_DD_W, _DD_H = 27, 16      # 9x8 dHash grid of exact 3x2 blocks
+_DD_GROUPS = 50            # pixel content key = media_id % _DD_GROUPS
+
+
+def _dedup_pixels(media_id: int) -> bytes:
+    """Closed-form pixel content for the image-dedup corpus: a
+    per-group pseudo-random grayscale pattern (values < 200 so the
+    +1 noise never wraps), with every 7th image uniformly brightened
+    by 1 — pixel-distinct from its group but dHash-identical (a
+    uniform shift preserves every horizontal gradient sign)."""
+    c = media_id % _DD_GROUPS
+    noise = 1 if media_id % 7 == 0 else 0
+    vals = bytearray()
+    for y in range(_DD_H):
+        for x in range(_DD_W):
+            v = (13 + ((x * (c + 3) + y * (c + 5) + x * y * (c % 11)) % 17) * 11 + noise) % 200
+            vals.extend((v, v, v))
+    return bytes(vals)
+
+
+def synth_image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG corpus with planted duplicate structure: pixel content is a
+    pure function of media_id % 50, every payload additionally carries
+    a media_id-specific tEXt chunk, so PAYLOAD BYTES are all distinct
+    — exact dedup must run on decoded pixels, not on the blob."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from mysql_cdc_spark.functions.media_codecs import PNG_SIG, encode_png
+    from mysql_cdc_spark.sources.io import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("media_id")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                png = encode_png(_DD_W, _DD_H, _dedup_pixels(mid))
+                # splice a tEXt chunk after IHDR: ancillary, CRC-valid,
+                # ignored by decoders — makes every payload byte-unique.
+                body = b"id\x00" + str(mid).encode()
+                text = (
+                    _struct.pack(">I", len(body)) + b"tEXt" + body
+                    + _struct.pack(">I", _zlib.crc32(b"tEXt" + body) & 0xFFFFFFFF)
+                )
+                ihdr_end = 8 + 12 + 13
+                payloads.append(png[:ihdr_end] + text + png[ihdr_end:])
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return ev.mapInPandas(gen, schema)
+
+
+def image_dedup(images: DataFrame) -> DataFrame:
+    """Exact + perceptual image dedup from REAL decoded bytes:
+
+    - exact key: md5 of the decoded pixel buffer (not the payload —
+      byte-distinct re-encodes of the same image must collide);
+    - perceptual key: 64-bit dHash (Krawetz) — integer 3x2-block sums
+      on the grayscale image, one bit per horizontal gradient sign in
+      the 9x8 grid; brightness shifts and re-encodes preserve it.
+
+    Scale shape: Arrow-batched decode+hash (one pass over payload
+    bytes), then two map-side-combinable groupBys on the two hash keys
+    and two equi-joins back — the exact_dedup topology, run twice.
+    Output carries group sizes and canonical ids only (hash values are
+    internal); every image appears exactly once.
+    """
+    import hashlib
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("px_key", T.StringType(), False),
+            T.StructField("dhash", T.LongType(), False),
+        ]
+    )
+
+    def keys(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mysql_cdc_spark.functions.media_codecs import decode_png
+
+        for pdf in batches:
+            ids, px, dh = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ch, pixels = decode_png(bytes(payload))
+                ids.append(int(mid))
+                px.append(hashlib.md5(pixels).hexdigest())
+                # integer block sums: gray = r+g+b per pixel, cells are
+                # exact 3x2 blocks (w=27->9 cols, h=16->8 rows)
+                bw, bh = w // 9, h // 8
+                cells = [
+                    [
+                        sum(
+                            pixels[((by * bh + yy) * w + bx * bw + xx) * ch + cc]
+                            for yy in range(bh)
+                            for xx in range(bw)
+                            for cc in range(ch)
+                        )
+                        for bx in range(9)
+                    ]
+                    for by in range(8)
+                ]
+                bits = 0
+                for by in range(8):
+                    for bx in range(8):
+                        bits = (bits << 1) | (1 if cells[by][bx] < cells[by][bx + 1] else 0)
+                dh.append(bits - (1 << 63))  # signed 64-bit
+            yield pd.DataFrame({"media_id": ids, "px_key": px, "dhash": dh})
+
+    keyed = images.mapInPandas(keys, out_schema)
+    ex = keyed.groupBy("px_key").agg(
+        F.min("media_id").alias("keep_exact"),
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+    )
+    pc = keyed.groupBy("dhash").agg(
+        F.min("media_id").alias("keep_perceptual"),
+        F.count(F.lit(1)).cast("bigint").alias("n_perceptual"),
+    )
+    return (
+        keyed.join(ex, "px_key")
+        .join(pc, "dhash")
+        .select(
+            "media_id",
+            "n_exact",
+            "keep_exact",
+            (F.col("media_id") == F.col("keep_exact")).alias("is_canonical"),
+            "n_perceptual",
+            "keep_perceptual",
+        )
+    )

@@ -2379,6 +2379,31 @@ def mm_frame_sample(spark, sf_dir):
 
 
 @register(
+    "mm_image_dedup",
+    "WITH img AS (SELECT event_id AS media_id, event_id % 50 AS c, "
+    "(event_id % 7 = 0) AS noisy FROM events), "
+    "ex AS (SELECT c, noisy, MIN(media_id) AS keep_exact, "
+    "CAST(COUNT(*) AS BIGINT) AS n_exact FROM img GROUP BY 1, 2), "
+    "pc AS (SELECT c, MIN(media_id) AS keep_perceptual, "
+    "CAST(COUNT(*) AS BIGINT) AS n_perceptual FROM img GROUP BY 1) "
+    "SELECT media_id, n_exact, keep_exact, media_id = keep_exact AS is_canonical, "
+    "n_perceptual, keep_perceptual "
+    "FROM img JOIN ex USING (c, noisy) JOIN pc USING (c)",
+)
+def mm_image_dedup(spark, sf_dir):
+    """Image dedup over REAL PNG bytes: payloads are all byte-distinct
+    (media_id tEXt chunk), yet decode to 50 pixel-content groups with
+    every 7th image uniformly brightened — exact dedup groups on the
+    decoded-pixel hash, perceptual dedup groups on the 64-bit dHash
+    (which the brightness shift preserves).  The oracle re-derives both
+    groupings in closed form from the generation rule, so decode, pixel
+    hashing, and the dHash gradient grid must all be right."""
+    from mysql_cdc_spark.functions import multimodal as mm
+
+    return mm.image_dedup(mm.synth_image_corpus(spark, sf_dir))
+
+
+@register(
     "mm_decoded_features",
     "SELECT CAST(event_id AS BIGINT) AS media_id, 'image' AS kind, "
     "8 AS width, 8 AS height, "

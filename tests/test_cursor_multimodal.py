@@ -150,3 +150,54 @@ def test_result_set_metadata(typed_df):
     assert md.is_nullable(2)
     with pytest.raises(IndexError):
         md.column_name(6)
+
+
+class TestImageDedup:
+    """Exact + perceptual image dedup from decoded PNG bytes."""
+
+    def test_groups_and_dhash_invariance(self, spark):
+        import pandas as pd
+
+        from mysql_cdc_spark.functions import multimodal as mm
+        from mysql_cdc_spark.functions.media_codecs import decode_png
+
+        # ids 0 and 50 share content key c=0 but 0 is noisy (0%7==0):
+        # exact groups differ, perceptual group is shared. 1 and 51
+        # share c=1, neither noisy: same exact group.
+        ids = [0, 50, 1, 51, 2]
+        df = spark.createDataFrame([(i,) for i in ids], "media_id long")
+
+        def gen(batches):
+            for pdf in batches:
+                yield pd.DataFrame({
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        __import__("mysql_cdc_spark.functions.media_codecs",
+                                   fromlist=["encode_png"]).encode_png(
+                            mm._DD_W, mm._DD_H, mm._dedup_pixels(int(m)))
+                        for m in pdf["media_id"]
+                    ],
+                })
+
+        from pyspark.sql import types as T
+        imgs = df.mapInPandas(gen, T.StructType([
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]))
+        got = {r["media_id"]: r for r in mm.image_dedup(imgs).collect()}
+        assert got[1]["n_exact"] == 2 and got[1]["keep_exact"] == 1
+        assert got[51]["keep_exact"] == 1 and not got[51]["is_canonical"]
+        assert got[0]["n_exact"] == 1          # noise breaks exact match
+        assert got[0]["n_perceptual"] == 2     # ...but not the dHash
+        assert got[0]["keep_perceptual"] == 0 == got[50]["keep_perceptual"]
+        assert got[2]["n_exact"] == got[2]["n_perceptual"] == 1
+
+    def test_payloads_byte_distinct_but_pixel_equal(self, spark):
+        from mysql_cdc_spark.functions import multimodal as mm
+        from mysql_cdc_spark.functions.media_codecs import decode_png
+
+        corpus = mm.synth_image_corpus(spark, "/root/testdata/sf0.001")
+        rows = {r["media_id"]: bytes(r["payload"])
+                for r in corpus.filter("media_id IN (1, 51)").collect()}
+        assert rows[1] != rows[51]                      # tEXt chunk differs
+        assert decode_png(rows[1])[3] == decode_png(rows[51])[3]  # pixels equal
