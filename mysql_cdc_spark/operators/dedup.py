@@ -507,3 +507,68 @@ def incremental_neardup(
             .drop("_rn")
         )
     return verified
+
+
+def dup_span_ranges(docs: DataFrame, width: int = 8) -> DataFrame:
+    """Exact duplicated-span EXTRACTION (token granularity): the
+    concrete [start, end] ranges of every maximal passage whose
+    `width`-token grams all occur more than once in the corpus — the
+    actionable output of exact substring dedup (Lee et al. 2021 cut
+    these ranges out of the training set; `dup_spans` above only
+    scores their share per doc).
+
+    Pipeline: gram-hash every position (stride 1), count corpus-wide
+    occurrences per gram, keep positions whose gram repeats, then
+    merge overlapping/adjacent hit windows per document with a
+    gaps-and-islands pass (new island when the next hit starts more
+    than `width` tokens after the previous — i.e. the windows no
+    longer touch).  Offsets are 1-based token indices, end inclusive.
+
+    Scale shape: no doc-pair materialization anywhere — one explode
+    (position stream), one map-side-combined count on the md5 gram
+    key (effectively unique per distinct text: no Zipf skew), an
+    equi-join back, and per-DOC windows for the island merge (bounded
+    by document length, never global).  Output is bounded by the true
+    duplicated-text volume, not by pair counts.
+    """
+    grams = (
+        f"case when size(tokens) >= {width} then "
+        f"transform(sequence(1, size(tokens) - {width - 1}), "
+        f"i -> md5(concat_ws(' ', slice(tokens, i, {width})))) "
+        f"else array() end"
+    )
+    from pyspark.sql import Window
+
+    toks = normalized(spread_small_scan(docs)).withColumn(
+        "tokens", F.split(F.col("norm_text"), r"\s+")
+    )
+    pos = (
+        toks.withColumn("grams", F.expr(grams))
+        .select("doc_id", F.posexplode("grams").alias("p0", "ghash"))
+        .select("doc_id", (F.col("p0") + 1).alias("off"), "ghash")
+    )
+    dfc = pos.groupBy("ghash").agg(F.count(F.lit(1)).alias("df"))
+    hits = pos.join(dfc.filter(F.col("df") > 1), "ghash").select("doc_id", "off")
+
+    w_doc = Window.partitionBy("doc_id").orderBy("off")
+    islands = (
+        hits.withColumn("prev_off", F.lag("off", 1).over(w_doc))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev_off").isNull()
+                | (F.col("off") - F.col("prev_off") > width),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(w_doc))
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("off").cast("bigint").alias("span_start"),
+            (F.max("off") + width - 1).cast("bigint").alias("span_end"),
+            (F.max("off") + width - F.min("off")).cast("bigint").alias("n_tokens"),
+        )
+        .drop("island")
+    )

@@ -3171,6 +3171,33 @@ def llm_dup_spans(spark, sf_dir):
 
 
 @register(
+    "llm_dup_span_ranges",
+    r"WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tokens "
+    "FROM documents), "
+    "g AS (SELECT doc_id, CASE WHEN len(tokens) >= 8 THEN "
+    "[md5(array_to_string(tokens[i : i+7], ' ')) for i in range(1, len(tokens) - 6)] "
+    "ELSE [] END AS grams FROM toks), "
+    "pos AS (SELECT doc_id, generate_subscripts(grams, 1) AS off, unnest(grams) AS ghash FROM g), "
+    "dfc AS (SELECT ghash, COUNT(*) AS df FROM pos GROUP BY 1), "
+    "hits AS (SELECT p.doc_id, p.off FROM pos p JOIN dfc USING (ghash) WHERE dfc.df > 1), "
+    "lagged AS (SELECT doc_id, off, LAG(off) OVER (PARTITION BY doc_id ORDER BY off) AS prev_off FROM hits), "
+    "isl AS (SELECT doc_id, off, SUM(CASE WHEN prev_off IS NULL OR off - prev_off > 8 "
+    "THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY off) AS island FROM lagged) "
+    "SELECT doc_id, CAST(MIN(off) AS BIGINT) AS span_start, "
+    "CAST(MAX(off) + 7 AS BIGINT) AS span_end, "
+    "CAST(MAX(off) + 8 - MIN(off) AS BIGINT) AS n_tokens "
+    "FROM isl GROUP BY doc_id, island",
+)
+def llm_dup_span_ranges(spark, sf_dir):
+    """Exact duplicated-span extraction: maximal [start, end] token
+    ranges whose 8-gram windows all repeat somewhere in the corpus —
+    the ranges Lee et al.-style substring dedup cuts from a training
+    set (dedup.dup_span_ranges: position stream → gram-count join →
+    per-doc gaps-and-islands merge; no doc pairs anywhere)."""
+    return dedup.dup_span_ranges(_docs(spark, sf_dir))
+
+
+@register(
     "llm_bigram_lm",
     _TOKS_CTE + ", bg AS (SELECT unnest(CASE WHEN len(tokens) >= 2 THEN "
     "[tokens[i] || ' ' || tokens[i+1] for i in range(1, len(tokens))] "

@@ -147,3 +147,46 @@ class TestIncrementalNeardup:
         assert len(capped) == 2
         # deterministic: ties broken by lowest base_id
         assert sorted(r["base_id"] for r in capped) == [0, 1]
+
+
+class TestDupSpanRanges:
+    """Exact duplicated-span extraction (dedup.dup_span_ranges)."""
+
+    def test_planted_shared_passage_is_extracted(self, spark):
+        shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [
+            (0, f"unique start words here now {shared} tail one two three", "en", "s", 1),
+            (1, f"{shared} completely different ending of second doc", "en", "s", 1),
+            (2, "no overlap with anything else whatsoever in this doc", "en", "s", 1),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        spans = dedup.dup_span_ranges(docs).collect()
+        by_doc = {}
+        for r in spans:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        # doc 2 has no duplicated grams at all
+        assert 2 not in by_doc
+        # the 10-token shared passage yields one maximal span per doc
+        (s0,) = by_doc[0]
+        (s1,) = by_doc[1]
+        assert s1["span_start"] == 1 and s1["n_tokens"] == 10
+        assert s0["span_start"] == 6 and s0["n_tokens"] == 10
+        assert s0["span_end"] == 15
+
+    def test_disjoint_hits_stay_separate_islands(self, spark):
+        p1 = "one two three four five six seven eight"
+        p2 = "red orange yellow green blue indigo violet ultraviolet"
+        filler = " ".join(f"f{i}" for i in range(12))
+        rows = [
+            (0, f"{p1} {filler} {p2}", "en", "s", 1),
+            (1, p1, "en", "s", 1),
+            (2, p2, "en", "s", 1),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        spans = [r for r in dedup.dup_span_ranges(docs).collect() if r["doc_id"] == 0]
+        assert len(spans) == 2      # two islands, not one merged mega-span
+        assert {s["n_tokens"] for s in spans} == {8}
