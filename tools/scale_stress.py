@@ -230,7 +230,14 @@ def organic_soak(k: int) -> None:
         (out / "_done").touch()
 
     sf_dir = str(out)
-    names = list(HEADLINE) + ["llm_dedup_jaccard"]
+    # r9: the newest pair/scan operators ride along so every soak row
+    # covers them (incremental LSH probe, span extraction, LM scoring,
+    # LTTB argmax) alongside the headline set.
+    names = list(HEADLINE) + [
+        "llm_dedup_jaccard", "llm_incremental_neardup",
+        "llm_dup_span_ranges", "llm_perplexity_filter",
+        "ts_downsample_lttb",
+    ]
     walls = {}
     for name in names:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
