@@ -3216,6 +3216,50 @@ def llm_bigram_lm(spark, sf_dir):
 
 
 @register(
+    "llm_stream_neardup",
+    _BAND_CTE + ", cand AS (SELECT DISTINCT a.doc_id AS delta_id, b.doc_id AS base_id "
+    "FROM bandrows a JOIN bandrows b ON a.band = b.band AND a.band_hash = b.band_hash "
+    "AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0) "
+    "SELECT delta_id, base_id, common, n_delta, n_base, jaccard FROM ("
+    "  SELECT c.delta_id, c.base_id, "
+    "  CAST(len(list_intersect(sd.shingles, sb.shingles)) AS BIGINT) AS common, "
+    "  CAST(len(sd.shingles) AS BIGINT) AS n_delta, CAST(len(sb.shingles) AS BIGINT) AS n_base, "
+    "  CAST(len(list_intersect(sd.shingles, sb.shingles)) AS DOUBLE) / "
+    "  CAST(len(sd.shingles) + len(sb.shingles) - len(list_intersect(sd.shingles, sb.shingles)) AS DOUBLE) AS jaccard "
+    "  FROM cand c JOIN sh sd ON sd.doc_id = c.delta_id JOIN sh sb ON sb.doc_id = c.base_id"
+    f") WHERE jaccard >= {dedup.JACCARD_THRESHOLD}",
+)
+def llm_stream_neardup(spark, sf_dir):
+    """STREAMING ingest dedup: the delta batch arrives as a FILE STREAM
+    (4 parquet files, maxFilesPerTrigger=1 → 4 micro-batches), each
+    micro-batch's band rows probe the STATIC base LSH index via a
+    stream-static join (no stream-side state for the join itself;
+    dropDuplicates carries the only state — (delta, base) pair keys,
+    watermark-boundable in production since a delta doc's pairs all
+    emit in its own micro-batch).  Hash-equal to the batch
+    `llm_incremental_neardup` oracle: micro-batching must not change
+    the answer."""
+    import pathlib
+
+    docs = _docs(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    delta_dir = (
+        pathlib.Path(_STREAM_TMP)
+        / f"neardup_delta_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
+    )
+    if not (delta_dir / "_SUCCESS").exists():
+        docs.filter(F.col("doc_id") % 10 == 0).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(str(delta_dir))
+    delta_stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(delta_dir))
+    )
+    return _drain(dedup.incremental_neardup(base, delta_stream))
+
+
+@register(
     "llm_perplexity_filter",
     _TOKS_CTE + ", "
     "ref_bg AS (SELECT unnest(CASE WHEN len(tokens) >= 2 THEN "

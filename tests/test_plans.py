@@ -34,8 +34,26 @@ HEADLINE_NAMES = [
 def test_no_cartesian_products_anywhere(spark, sf_dir):
     """The only nested-loop join allowed is the documented broadcast
     NLJ in the KNN scorer; plain CartesianProduct is always a bug."""
-    for name in [*HEADLINE_NAMES, "llm_dedup_minhash", "llm_knn", "llm_dup_components"]:
+    for name in [*HEADLINE_NAMES, "llm_dedup_minhash", "llm_knn", "llm_dup_components",
+                 "llm_incremental_neardup", "llm_perplexity_filter",
+                 "ts_downsample_lttb", "llm_dup_span_ranges"]:
         assert "CartesianProduct" not in _plan(spark, sf_dir, name), name
+
+
+def test_lttb_anchors_broadcast_onto_points(spark, sf_dir):
+    """The bucket-anchor table (one row per series x bucket) must
+    broadcast back onto the point stream, and the argmax window must
+    stay partitioned (no global sort)."""
+    plan = _plan(spark, sf_dir, "ts_downsample_lttb")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_neardup_probes_index_by_band(spark, sf_dir):
+    """Candidate generation must be the (band, band_hash) equi-join —
+    never a nested-loop over the corpus."""
+    plan = _plan(spark, sf_dir, "llm_incremental_neardup")
+    assert "band" in plan and "BroadcastNestedLoopJoin" not in plan
 
 
 def test_envelope_prunes_unused_expressions(spark, sf_dir):
