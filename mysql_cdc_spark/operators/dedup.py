@@ -572,3 +572,35 @@ def dup_span_ranges(docs: DataFrame, width: int = 8) -> DataFrame:
         )
         .drop("island")
     )
+
+
+def censor_dup_spans(docs: DataFrame, width: int = 8) -> DataFrame:
+    """Apply `dup_span_ranges` to the corpus: emit each document with
+    its duplicated spans CUT OUT — the write-side of substring dedup
+    (Lee et al. removed the duplicated ranges, not whole documents,
+    precisely because near-dup docs are mostly unique outside the
+    shared passage).
+
+    Spark shape: the span list per doc is a tiny array (collected from
+    the ranges operator, broadcast-joined back); token filtering is a
+    pure array expression (indexed filter + exists over the span
+    array) — no token-level explode, no extra shuffle beyond the span
+    join itself.  Docs with no spans pass through unchanged.
+    """
+    spans = dup_span_ranges(docs, width).groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    toks = normalized(docs).withColumn("tokens", F.split(F.col("norm_text"), r"\s+"))
+    joined = toks.join(F.broadcast(spans), "doc_id", "left").withColumn(
+        "spans", F.coalesce(F.col("spans"), F.expr("array()"))
+    )
+    kept = F.expr(
+        "filter(transform(sequence(1, size(tokens)), i -> struct(i as i, tokens[i-1] as tok)), "
+        "x -> !exists(spans, s -> x.i >= s.span_start and x.i <= s.span_end))"
+    )
+    return joined.withColumn("kept", kept).select(
+        "doc_id",
+        F.array_join(F.expr("transform(kept, x -> x.tok)"), " ").alias("clean_text"),
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        (F.size("tokens") - F.size("kept")).cast("bigint").alias("n_removed"),
+    )

@@ -3198,6 +3198,41 @@ def llm_dup_span_ranges(spark, sf_dir):
 
 
 @register(
+    "llm_span_censor",
+    r"WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tokens "
+    "FROM documents), "
+    "g AS (SELECT doc_id, CASE WHEN len(tokens) >= 8 THEN "
+    "[md5(array_to_string(tokens[i : i+7], ' ')) for i in range(1, len(tokens) - 6)] "
+    "ELSE [] END AS grams FROM toks), "
+    "pos AS (SELECT doc_id, generate_subscripts(grams, 1) AS off, unnest(grams) AS ghash FROM g), "
+    "dfc AS (SELECT ghash, COUNT(*) AS df FROM pos GROUP BY 1), "
+    "hits AS (SELECT p.doc_id, p.off FROM pos p JOIN dfc USING (ghash) WHERE dfc.df > 1), "
+    "lagged AS (SELECT doc_id, off, LAG(off) OVER (PARTITION BY doc_id ORDER BY off) AS prev_off FROM hits), "
+    "isl AS (SELECT doc_id, off, SUM(CASE WHEN prev_off IS NULL OR off - prev_off > 8 "
+    "THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY off) AS island FROM lagged), "
+    "spans AS (SELECT doc_id, MIN(off) AS s, MAX(off) + 7 AS e FROM isl GROUP BY doc_id, island), "
+    "cover AS (SELECT DISTINCT doc_id, unnest(generate_series(s, e)) AS i FROM spans), "
+    "tpos AS (SELECT doc_id, generate_subscripts(tokens, 1) AS i, unnest(tokens) AS tok FROM toks), "
+    "kept AS (SELECT t.doc_id, t.i, t.tok FROM tpos t ANTI JOIN cover c "
+    "ON t.doc_id = c.doc_id AND t.i = c.i) "
+    "SELECT t.doc_id, "
+    "COALESCE(k.clean_text, '') AS clean_text, "
+    "CAST(len(t.tokens) AS BIGINT) AS n_tokens, "
+    "CAST(len(t.tokens) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed "
+    "FROM toks t LEFT JOIN ("
+    "  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text, COUNT(*) AS n_kept "
+    "  FROM kept GROUP BY doc_id) k ON t.doc_id = k.doc_id",
+)
+def llm_span_censor(spark, sf_dir):
+    """The write-side of substring dedup: every document re-emitted
+    with its duplicated spans cut out (dedup.censor_dup_spans — span
+    arrays broadcast back, token filtering as a pure array expression;
+    the oracle rebuilds the same cleaned text relationally via a
+    position anti-join)."""
+    return dedup.censor_dup_spans(_docs(spark, sf_dir))
+
+
+@register(
     "llm_bigram_lm",
     _TOKS_CTE + ", bg AS (SELECT unnest(CASE WHEN len(tokens) >= 2 THEN "
     "[tokens[i] || ' ' || tokens[i+1] for i in range(1, len(tokens))] "

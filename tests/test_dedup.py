@@ -190,3 +190,28 @@ class TestDupSpanRanges:
         spans = [r for r in dedup.dup_span_ranges(docs).collect() if r["doc_id"] == 0]
         assert len(spans) == 2      # two islands, not one merged mega-span
         assert {s["n_tokens"] for s in spans} == {8}
+
+
+class TestCensorDupSpans:
+    """Substring-dedup write-side (dedup.censor_dup_spans)."""
+
+    def test_shared_passage_removed_everywhere_else_intact(self, spark):
+        shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [
+            (0, f"unique start words here now {shared} tail one two three", "en", "s", 1),
+            (1, f"{shared} completely different ending of second doc", "en", "s", 1),
+            (2, "no overlap with anything else whatsoever in this doc", "en", "s", 1),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        got = {r["doc_id"]: r for r in dedup.censor_dup_spans(docs).collect()}
+        assert got[0]["clean_text"] == "unique start words here now tail one two three"
+        assert got[0]["n_removed"] == 10
+        assert got[1]["clean_text"] == "completely different ending of second doc"
+        assert got[2]["n_removed"] == 0
+        assert got[2]["clean_text"] == rows[2][1]
+        for r in got.values():
+            assert r["n_tokens"] - r["n_removed"] == len(r["clean_text"].split()) or (
+                r["clean_text"] == "" and r["n_tokens"] == r["n_removed"]
+            )
