@@ -545,3 +545,77 @@ def ann_adc(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def ann_ivfpq(
+    emb: DataFrame,
+    n_queries: int = DEFAULT_N_QUERIES,
+    k: int = DEFAULT_K,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    probes: int = 2,
+) -> DataFrame:
+    """The full compressed-index ANN pipeline (FAISS IVFADC, Jégou et
+    al. 2011): coarse quantizer prunes the corpus to `probes` cells per
+    query, then PQ asymmetric distance ranks ONLY the surviving cells'
+    vectors through their codes — composition of the verified `ann_ivf`
+    cell topology and `ann_adc` LUT scoring.
+
+    Scale: the inverted-file equi-join bounds candidates to the probed
+    cells' population (queries never touch the whole corpus), and the
+    scored operand per candidate is m code rows, not DIMS floats; the
+    per-query LUT (m·ksub integer entries) broadcasts.  All-integer
+    distances, ties to the lower neighbor id.
+    """
+    d_sub = DIMS // m
+    q = quantized(emb)
+    cents = _quantized_centroids(emb)
+    corpus_cells = _cell_assign(q, cents, probes=1).select(
+        F.col("vec_id").alias("neighbor_id"), "cell"
+    )
+    query_cells = _cell_assign(
+        q.filter(F.col("vec_id") < n_queries), cents, probes=probes
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+    cand = (
+        corpus_cells.join(F.broadcast(query_cells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+
+    sub_slices = (
+        f"transform(sequence(0, {m - 1}), s -> slice(qv, s * {d_sub} + 1, {d_sub}))"
+    )
+    qsub = q.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode(F.expr(sub_slices)).alias("sub", "qsv"),
+    )
+    cb_entries = q.filter(F.col("vec_id") < ksub).select(
+        F.col("vec_id").alias("code"),
+        F.posexplode(F.expr(sub_slices)).alias("csub", "cv"),
+    )
+    lut_dist = (
+        "aggregate(zip_with(qsv, cv, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+    )
+    lut = (
+        qsub.join(F.broadcast(cb_entries), F.col("sub") == F.col("csub"))
+        .withColumn("d", F.expr(lut_dist))
+        .select("query_id", "sub", "code", "d")
+    )
+    codes = pq_subcodes(emb, m, ksub).select(
+        F.col("vec_id").alias("neighbor_id"), "sub", "code"
+    )
+    scored = (
+        cand.join(codes, "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").cast("bigint").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

@@ -3498,6 +3498,46 @@ def llm_ann_adc(spark, sf_dir):
     return similarity.ann_adc(_emb(spark, sf_dir))
 
 
+# IVF centroid CTEs re-based onto the PQ CTE chain (both extend
+# _EMB_CTE; names are disjoint) for the composed IVFADC oracle.
+_IVF_SUFFIX = _IVF_CTE[len(_EMB_CTE):]
+
+
+@register(
+    "llm_ann_ivfpq",
+    _PQ_BEST_CTE + _IVF_SUFFIX + ", assign AS (SELECT vec_id, cell FROM ("
+    "  SELECT n.vec_id, c.label AS cell, ROW_NUMBER() OVER (PARTITION BY n.vec_id "
+    f"  ORDER BY ({_IVF_CELL_COS}) DESC, c.label) AS cr FROM n, cn c) WHERE cr = 1), "
+    "probe AS (SELECT vec_id, cell FROM ("
+    "  SELECT n.vec_id, c.label AS cell, ROW_NUMBER() OVER (PARTITION BY n.vec_id "
+    f"  ORDER BY ({_IVF_CELL_COS}) DESC, c.label) AS cr FROM n, cn c "
+    f"  WHERE n.vec_id < {similarity.DEFAULT_N_QUERIES}) WHERE cr <= 2), "
+    "cand AS (SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id "
+    "FROM probe p JOIN assign a ON a.cell = p.cell AND a.vec_id != p.vec_id), "
+    "qsub AS ("
+    f"  SELECT vec_id AS query_id, CAST(t.s AS INTEGER) AS sub, "
+    f"  qv[t.s * {_PQ_DSUB} + 1 : (t.s + 1) * {_PQ_DSUB}] AS qsv "
+    f"  FROM q CROSS JOIN range({similarity.PQ_M}) t(s) "
+    f"  WHERE vec_id < {similarity.DEFAULT_N_QUERIES}), "
+    f"lut AS (SELECT qs.query_id, qs.sub, ce.code, {_ADC_LUT_DIST} AS d "
+    "  FROM qsub qs JOIN cb ce ON qs.sub = ce.csub), "
+    "scored AS (SELECT c.query_id, c.neighbor_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist "
+    "  FROM cand c JOIN best b ON b.vec_id = c.neighbor_id "
+    "  JOIN lut l ON l.query_id = c.query_id AND b.sub = l.sub AND b.code = l.code "
+    "  GROUP BY 1, 2) "
+    "SELECT query_id, neighbor_id, adc_dist, CAST(rank AS BIGINT) AS rank FROM ("
+    "  SELECT query_id, neighbor_id, adc_dist, "
+    "  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank "
+    f"  FROM scored) WHERE rank <= {similarity.DEFAULT_K}",
+)
+def llm_ann_ivfpq(spark, sf_dir):
+    """Full compressed-index ANN (FAISS IVFADC): coarse cells prune the
+    corpus to 2 probed cells per query, PQ asymmetric distance ranks
+    only the survivors through their codes — the composition of
+    llm_ann_ivf's topology and llm_ann_adc's LUT scoring."""
+    return similarity.ann_ivfpq(_emb(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Round 6 — πps weighted sampling, shard planning, profiling, anomaly,
 # incremental-view maintenance, schema evolution, BPE

@@ -172,3 +172,33 @@ def test_pq_codes_seed_vectors_have_zero_error(spark, sf_dir):
     # floats — exact collision with a seed subvector is not possible
     # in this fixture)
     assert got[max(got)]["recon_err"] > 0
+
+
+class TestAnnIvfPq:
+    """Composed IVFADC pipeline (similarity.ann_ivfpq)."""
+
+    def test_ranks_contiguous_and_candidates_cell_bounded(self, spark, emb):
+        got = similarity.ann_ivfpq(emb, n_queries=3, k=4).collect()
+        by_q = {}
+        for r in got:
+            assert r["neighbor_id"] != r["query_id"]
+            by_q.setdefault(r["query_id"], []).append(r)
+        for qid, rows in by_q.items():
+            rows.sort(key=lambda r: r["rank"])
+            assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+            dists = [r["adc_dist"] for r in rows]
+            assert dists == sorted(dists)
+        # every reported pair must share a probed cell
+        q = similarity.quantized(emb)
+        cents = similarity._quantized_centroids(emb)
+        assign = {
+            r["vec_id"]: r["cell"]
+            for r in similarity._cell_assign(q, cents, probes=1).collect()
+        }
+        probed = {}
+        for r in similarity._cell_assign(
+            q.filter("vec_id < 3"), cents, probes=2
+        ).collect():
+            probed.setdefault(r["vec_id"], set()).add(r["cell"])
+        for r in got:
+            assert assign[r["neighbor_id"]] in probed[r["query_id"]]
