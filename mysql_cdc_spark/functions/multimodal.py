@@ -414,3 +414,145 @@ def image_dedup(images: DataFrame) -> DataFrame:
             "keep_perceptual",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio dedup over real WAV bytes: exact (decoded-sample hash) and
+# perceptual (gain-invariant gradient-sign fingerprint).
+# ---------------------------------------------------------------------------
+
+_AD_N = 130                # samples per clip -> 65 blocks of 2 -> 64 sign bits
+_AD_GROUPS = 40            # sample content key = media_id % _AD_GROUPS
+
+
+def _dedup_samples(media_id: int) -> list[int]:
+    """Closed-form PCM content: per-group md5-derived samples bounded
+    to ±2000 (so the ×2 gain of every 7th clip stays in int16 exactly —
+    7 is coprime with the 40 groups, so gain splits every group);
+    gain scaling changes every sample but no gradient SIGN, and the
+    md5 derivation makes cross-group sign-pattern collisions
+    negligible (a linear-congruential pattern measurably collides)."""
+    import hashlib
+
+    c = media_id % _AD_GROUPS
+    gain = 2 if media_id % 7 == 0 else 1
+    return [
+        (int.from_bytes(hashlib.md5(f"{c}:{i}".encode()).digest()[:2], "big")
+         % 4001 - 2000) * gain
+        for i in range(_AD_N)
+    ]
+
+
+def synth_audio_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV corpus with planted duplicate structure: sample content is a
+    pure function of media_id % 40, every payload carries a spliced
+    media-id chunk (decoders skip unknown RIFF chunks), so payload
+    bytes are all distinct — dedup must decode."""
+    import struct as _struct
+
+    from mysql_cdc_spark.functions.media_codecs import encode_wav
+    from mysql_cdc_spark.sources.io import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("media_id")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                wav = encode_wav(_dedup_samples(mid))
+                # splice an id chunk between 'fmt ' and 'data' (RIFF
+                # readers skip unknown tags; word-aligned)
+                body = str(mid).encode()
+                body += b"\x00" * (len(body) % 2)
+                extra = b"xid " + _struct.pack("<I", len(body)) + body
+                insert_at = 12 + 8 + 16          # RIFF hdr + fmt chunk
+                patched = wav[:insert_at] + extra + wav[insert_at:]
+                # fix the RIFF size field
+                patched = (
+                    patched[:4]
+                    + _struct.pack("<I", len(patched) - 8)
+                    + patched[8:]
+                )
+                payloads.append(patched)
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return ev.mapInPandas(gen, schema)
+
+
+def audio_dedup(clips: DataFrame) -> DataFrame:
+    """Exact + perceptual audio dedup from REAL decoded bytes:
+
+    - exact key: md5 of the decoded PCM buffer;
+    - perceptual key: 64-bit gradient-sign fingerprint — strict
+      greater-than between consecutive 2-sample block sums.  Positive
+      gain scaling preserves every comparison exactly (the audio
+      analog of the image dHash), so a louder re-master lands in the
+      same perceptual group while its exact hash differs.
+
+    Same scale shape as image_dedup: Arrow-batched decode+hash, two
+    map-side-combinable groupBys, two equi-joins back.
+    """
+    import hashlib
+    import struct as _struct
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("pcm_key", T.StringType(), False),
+            T.StructField("fp", T.LongType(), False),
+        ]
+    )
+
+    def keys(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mysql_cdc_spark.functions.media_codecs import decode_wav
+
+        for pdf in batches:
+            ids, pcm, fps = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, channels, samples = decode_wav(bytes(payload))
+                ids.append(int(mid))
+                pcm.append(
+                    hashlib.md5(
+                        _struct.pack(f"<{len(samples)}h", *samples)
+                    ).hexdigest()
+                )
+                sums = [
+                    samples[2 * j] + samples[2 * j + 1]
+                    for j in range(len(samples) // 2)
+                ]
+                bits = 0
+                for j in range(min(64, len(sums) - 1)):
+                    bits = (bits << 1) | (1 if sums[j + 1] > sums[j] else 0)
+                fps.append(bits - (1 << 63))
+            yield pd.DataFrame({"media_id": ids, "pcm_key": pcm, "fp": fps})
+
+    keyed = clips.mapInPandas(keys, out_schema)
+    ex = keyed.groupBy("pcm_key").agg(
+        F.min("media_id").alias("keep_exact"),
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+    )
+    pc = keyed.groupBy("fp").agg(
+        F.min("media_id").alias("keep_perceptual"),
+        F.count(F.lit(1)).cast("bigint").alias("n_perceptual"),
+    )
+    return (
+        keyed.join(ex, "pcm_key")
+        .join(pc, "fp")
+        .select(
+            "media_id",
+            "n_exact",
+            "keep_exact",
+            (F.col("media_id") == F.col("keep_exact")).alias("is_canonical"),
+            "n_perceptual",
+            "keep_perceptual",
+        )
+    )

@@ -2404,6 +2404,29 @@ def mm_image_dedup(spark, sf_dir):
 
 
 @register(
+    "mm_audio_dedup",
+    "WITH clip AS (SELECT event_id AS media_id, event_id % 40 AS c, "
+    "(event_id % 7 = 0) AS gained FROM events), "
+    "ex AS (SELECT c, gained, MIN(media_id) AS keep_exact, "
+    "CAST(COUNT(*) AS BIGINT) AS n_exact FROM clip GROUP BY 1, 2), "
+    "pc AS (SELECT c, MIN(media_id) AS keep_perceptual, "
+    "CAST(COUNT(*) AS BIGINT) AS n_perceptual FROM clip GROUP BY 1) "
+    "SELECT media_id, n_exact, keep_exact, media_id = keep_exact AS is_canonical, "
+    "n_perceptual, keep_perceptual "
+    "FROM clip JOIN ex USING (c, gained) JOIN pc USING (c)",
+)
+def mm_audio_dedup(spark, sf_dir):
+    """Audio dedup over REAL WAV bytes: payloads all byte-distinct
+    (spliced id chunk), decoding to 40 PCM content groups with every
+    5th clip gain-doubled — exact dedup groups on the decoded-sample
+    hash, perceptual dedup on a gain-invariant gradient-sign
+    fingerprint.  Oracle re-derives both groupings in closed form."""
+    from mysql_cdc_spark.functions import multimodal as mm
+
+    return mm.audio_dedup(mm.synth_audio_corpus(spark, sf_dir))
+
+
+@register(
     "mm_decoded_features",
     "SELECT CAST(event_id AS BIGINT) AS media_id, 'image' AS kind, "
     "8 AS width, 8 AS height, "

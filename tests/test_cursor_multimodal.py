@@ -201,3 +201,51 @@ class TestImageDedup:
                 for r in corpus.filter("media_id IN (1, 51)").collect()}
         assert rows[1] != rows[51]                      # tEXt chunk differs
         assert decode_png(rows[1])[3] == decode_png(rows[51])[3]  # pixels equal
+
+
+class TestAudioDedup:
+    """Exact + perceptual audio dedup from decoded WAV bytes."""
+
+    def test_gain_splits_exact_but_not_perceptual(self, spark):
+        import pandas as pd
+
+        from mysql_cdc_spark.functions import multimodal as mm
+
+        # ids 0 and 40 share content key c=0; 0 is gained (0%7==0), 40
+        # is not: different exact groups, same perceptual group.  41
+        # and 81 share c=1, neither gained: same exact group.
+        ids = [0, 40, 41, 81, 2]
+        df = spark.createDataFrame([(i,) for i in ids], "media_id long")
+
+        def gen(batches):
+            from mysql_cdc_spark.functions.media_codecs import encode_wav
+
+            for pdf in batches:
+                yield pd.DataFrame({
+                    "media_id": pdf["media_id"],
+                    "payload": [encode_wav(mm._dedup_samples(int(m)))
+                                for m in pdf["media_id"]],
+                })
+
+        from pyspark.sql import types as T
+        clips = df.mapInPandas(gen, T.StructType([
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]))
+        got = {r["media_id"]: r for r in mm.audio_dedup(clips).collect()}
+        assert got[0]["n_exact"] == 1            # gain breaks exact match
+        assert got[0]["n_perceptual"] == 2       # ...but not the fingerprint
+        assert got[0]["keep_perceptual"] == 0 == got[40]["keep_perceptual"]
+        assert got[41]["n_exact"] == 2 and got[41]["keep_exact"] == 41
+        assert not got[81]["is_canonical"]
+        assert got[2]["n_exact"] == got[2]["n_perceptual"] == 1
+
+    def test_payloads_byte_distinct_but_samples_equal(self, spark):
+        from mysql_cdc_spark.functions import multimodal as mm
+        from mysql_cdc_spark.functions.media_codecs import decode_wav
+
+        corpus = mm.synth_audio_corpus(spark, "/root/testdata/sf0.001")
+        rows = {r["media_id"]: bytes(r["payload"])
+                for r in corpus.filter("media_id IN (41, 81)").collect()}
+        assert rows[41] != rows[81]                       # spliced chunk differs
+        assert decode_wav(rows[41])[2] == decode_wav(rows[81])[2]
