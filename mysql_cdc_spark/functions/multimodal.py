@@ -27,6 +27,20 @@ from pyspark.sql import types as T
 
 KINDS = ("image", "audio", "video")
 
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Rebalance a small single-split scan before Python codec fan-out:
+    a fixture-sized events file is ONE parquet split, which would run
+    every encode/decode batch in a single task (measured 20s -> 3s on
+    the 10k-image dedup corpus).  No-op when the scan already splits
+    naturally (production scale)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, parallelism // 2):
+        return df.repartition(parallelism, "media_id")
+    return df
+
+
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -180,6 +194,7 @@ def synth_real_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.lit(k) for k in KINDS]), (F.col("event_id") % 3 + 1).cast("int")
         ).alias("kind"),
     )
+    ev = _spread(ev)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -307,8 +322,10 @@ def synth_image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql_cdc_spark.functions.media_codecs import PNG_SIG, encode_png
     from mysql_cdc_spark.sources.io import read_table
 
-    ev = read_table(spark, sf_dir, "events").select(
-        F.col("event_id").alias("media_id")
+    ev = _spread(
+        read_table(spark, sf_dir, "events").select(
+            F.col("event_id").alias("media_id")
+        )
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -393,7 +410,9 @@ def image_dedup(images: DataFrame) -> DataFrame:
                 dh.append(bits - (1 << 63))  # signed 64-bit
             yield pd.DataFrame({"media_id": ids, "px_key": px, "dhash": dh})
 
-    keyed = images.mapInPandas(keys, out_schema)
+    # cache: keyed feeds three DAG branches (self + two group joins);
+    # without it the Python decode of the whole corpus runs 3x.
+    keyed = images.mapInPandas(keys, out_schema).cache()
     ex = keyed.groupBy("px_key").agg(
         F.min("media_id").alias("keep_exact"),
         F.count(F.lit(1)).cast("bigint").alias("n_exact"),
@@ -453,8 +472,10 @@ def synth_audio_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql_cdc_spark.functions.media_codecs import encode_wav
     from mysql_cdc_spark.sources.io import read_table
 
-    ev = read_table(spark, sf_dir, "events").select(
-        F.col("event_id").alias("media_id")
+    ev = _spread(
+        read_table(spark, sf_dir, "events").select(
+            F.col("event_id").alias("media_id")
+        )
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -535,7 +556,7 @@ def audio_dedup(clips: DataFrame) -> DataFrame:
                 fps.append(bits - (1 << 63))
             yield pd.DataFrame({"media_id": ids, "pcm_key": pcm, "fp": fps})
 
-    keyed = clips.mapInPandas(keys, out_schema)
+    keyed = clips.mapInPandas(keys, out_schema).cache()
     ex = keyed.groupBy("pcm_key").agg(
         F.min("media_id").alias("keep_exact"),
         F.count(F.lit(1)).cast("bigint").alias("n_exact"),
