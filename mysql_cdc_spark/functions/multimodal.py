@@ -311,11 +311,15 @@ def _dedup_pixels(media_id: int) -> bytes:
     return bytes(vals)
 
 
-def synth_image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synth_image_corpus(
+    spark: SparkSession, sf_dir: str, corrupt_every: int | None = None
+) -> DataFrame:
     """PNG corpus with planted duplicate structure: pixel content is a
     pure function of media_id % 50, every payload additionally carries
     a media_id-specific tEXt chunk, so PAYLOAD BYTES are all distinct
-    — exact dedup must run on decoded pixels, not on the blob."""
+    — exact dedup must run on decoded pixels, not on the blob.
+    ``corrupt_every`` truncates every Nth payload mid-IDAT (the
+    dead-letter fixture for the quarantine path)."""
     import struct as _struct
     import zlib as _zlib
 
@@ -342,7 +346,10 @@ def synth_image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + _struct.pack(">I", _zlib.crc32(b"tEXt" + body) & 0xFFFFFFFF)
                 )
                 ihdr_end = 8 + 12 + 13
-                payloads.append(png[:ihdr_end] + text + png[ihdr_end:])
+                payload = png[:ihdr_end] + text + png[ihdr_end:]
+                if corrupt_every is not None and mid % corrupt_every == 0:
+                    payload = payload[: ihdr_end + len(text) + 14]  # torn IDAT
+                payloads.append(payload)
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
 
     schema = T.StructType(
@@ -354,7 +361,7 @@ def synth_image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.mapInPandas(gen, schema)
 
 
-def image_dedup(images: DataFrame) -> DataFrame:
+def image_dedup(images: DataFrame, on_error: str = "raise") -> DataFrame:
     """Exact + perceptual image dedup from REAL decoded bytes:
 
     - exact key: md5 of the decoded pixel buffer (not the payload —
@@ -368,24 +375,40 @@ def image_dedup(images: DataFrame) -> DataFrame:
     and two equi-joins back — the exact_dedup topology, run twice.
     Output carries group sizes and canonical ids only (hash values are
     internal); every image appears exactly once.
+
+    ``on_error='quarantine'`` routes undecodable payloads to rows with
+    is_corrupt=True and NULL group fields instead of failing the job —
+    the same dead-letter contract as the binlog decoder: at 100 TB one
+    torn blob must never kill the pass, and the corrupt set stays
+    auditable in the result.
     """
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be raise|quarantine, got {on_error!r}")
     import hashlib
 
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
-            T.StructField("px_key", T.StringType(), False),
-            T.StructField("dhash", T.LongType(), False),
+            T.StructField("px_key", T.StringType(), True),
+            T.StructField("dhash", T.LongType(), True),
         ]
     )
 
     def keys(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
         from mysql_cdc_spark.functions.media_codecs import decode_png
 
         for pdf in batches:
             ids, px, dh = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, ch, pixels = decode_png(bytes(payload))
+                try:
+                    w, h, ch, pixels = decode_png(bytes(payload))
+                except (ValueError, _struct.error, IndexError, EOFError) as exc:
+                    if on_error == "raise":
+                        raise
+                    ids.append(int(mid)); px.append(None); dh.append(None)
+                    continue
                 ids.append(int(mid))
                 px.append(hashlib.md5(pixels).hexdigest())
                 # integer block sums: gray = r+g+b per pixel, cells are
@@ -408,24 +431,33 @@ def image_dedup(images: DataFrame) -> DataFrame:
                     for bx in range(8):
                         bits = (bits << 1) | (1 if cells[by][bx] < cells[by][bx + 1] else 0)
                 dh.append(bits - (1 << 63))  # signed 64-bit
-            yield pd.DataFrame({"media_id": ids, "px_key": px, "dhash": dh})
+            # nullable Int64, NOT bare lists: pandas would coerce an
+            # int column containing a quarantine None to float64 and
+            # silently round 64-bit hashes (off-by-ULP dhash split).
+            yield pd.DataFrame({
+                "media_id": ids,
+                "px_key": pd.array(px, dtype="string"),
+                "dhash": pd.array(dh, dtype="Int64"),
+            })
 
     # cache: keyed feeds three DAG branches (self + two group joins);
     # without it the Python decode of the whole corpus runs 3x.
     keyed = images.mapInPandas(keys, out_schema).cache()
-    ex = keyed.groupBy("px_key").agg(
+    valid = keyed.filter(F.col("px_key").isNotNull())
+    ex = valid.groupBy("px_key").agg(
         F.min("media_id").alias("keep_exact"),
         F.count(F.lit(1)).cast("bigint").alias("n_exact"),
     )
-    pc = keyed.groupBy("dhash").agg(
+    pc = valid.groupBy("dhash").agg(
         F.min("media_id").alias("keep_perceptual"),
         F.count(F.lit(1)).cast("bigint").alias("n_perceptual"),
     )
-    return (
-        keyed.join(ex, "px_key")
+    out = (
+        valid.join(ex, "px_key")
         .join(pc, "dhash")
         .select(
             "media_id",
+            F.lit(False).alias("is_corrupt"),
             "n_exact",
             "keep_exact",
             (F.col("media_id") == F.col("keep_exact")).alias("is_canonical"),
@@ -433,6 +465,18 @@ def image_dedup(images: DataFrame) -> DataFrame:
             "keep_perceptual",
         )
     )
+    if on_error == "quarantine":
+        corrupt = keyed.filter(F.col("px_key").isNull()).select(
+            "media_id",
+            F.lit(True).alias("is_corrupt"),
+            F.lit(None).cast("bigint").alias("n_exact"),
+            F.lit(None).cast("bigint").alias("keep_exact"),
+            F.lit(False).alias("is_canonical"),
+            F.lit(None).cast("bigint").alias("n_perceptual"),
+            F.lit(None).cast("bigint").alias("keep_perceptual"),
+        )
+        out = out.unionByName(corrupt)
+    return out
 
 
 # ---------------------------------------------------------------------------

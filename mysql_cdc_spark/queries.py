@@ -2386,7 +2386,8 @@ def mm_frame_sample(spark, sf_dir):
     "CAST(COUNT(*) AS BIGINT) AS n_exact FROM img GROUP BY 1, 2), "
     "pc AS (SELECT c, MIN(media_id) AS keep_perceptual, "
     "CAST(COUNT(*) AS BIGINT) AS n_perceptual FROM img GROUP BY 1) "
-    "SELECT media_id, n_exact, keep_exact, media_id = keep_exact AS is_canonical, "
+    "SELECT media_id, FALSE AS is_corrupt, n_exact, keep_exact, "
+    "media_id = keep_exact AS is_canonical, "
     "n_perceptual, keep_perceptual "
     "FROM img JOIN ex USING (c, noisy) JOIN pc USING (c)",
 )
@@ -2401,6 +2402,38 @@ def mm_image_dedup(spark, sf_dir):
     from mysql_cdc_spark.functions import multimodal as mm
 
     return mm.image_dedup(mm.synth_image_corpus(spark, sf_dir))
+
+
+@register(
+    "mm_image_dedup_quarantine",
+    "WITH img AS (SELECT event_id AS media_id, event_id % 50 AS c, "
+    "(event_id % 7 = 0) AS noisy, (event_id % 97 = 0) AS corrupt FROM events), "
+    "ok AS (SELECT * FROM img WHERE NOT corrupt), "
+    "ex AS (SELECT c, noisy, MIN(media_id) AS keep_exact, "
+    "CAST(COUNT(*) AS BIGINT) AS n_exact FROM ok GROUP BY 1, 2), "
+    "pc AS (SELECT c, MIN(media_id) AS keep_perceptual, "
+    "CAST(COUNT(*) AS BIGINT) AS n_perceptual FROM ok GROUP BY 1) "
+    "SELECT media_id, FALSE AS is_corrupt, n_exact, keep_exact, "
+    "media_id = keep_exact AS is_canonical, n_perceptual, keep_perceptual "
+    "FROM ok JOIN ex USING (c, noisy) JOIN pc USING (c) "
+    "UNION ALL "
+    "SELECT media_id, TRUE, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), FALSE, "
+    "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM img WHERE corrupt",
+)
+def mm_image_dedup_quarantine(spark, sf_dir):
+    """Dead-letter contract for media at scale: every 97th payload is
+    torn mid-IDAT; on_error='quarantine' routes them to is_corrupt
+    rows with NULL group fields while the valid corpus dedups
+    normally — one torn blob never kills the pass (the binlog
+    decoder's quarantine philosophy applied to the media path)."""
+    import pathlib
+
+    from mysql_cdc_spark.functions import multimodal as mm
+
+    return mm.image_dedup(
+        mm.synth_image_corpus(spark, sf_dir, corrupt_every=97),
+        on_error="quarantine",
+    )
 
 
 @register(

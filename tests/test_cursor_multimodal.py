@@ -249,3 +249,45 @@ class TestAudioDedup:
                 for r in corpus.filter("media_id IN (41, 81)").collect()}
         assert rows[41] != rows[81]                       # spliced chunk differs
         assert decode_wav(rows[41])[2] == decode_wav(rows[81])[2]
+
+
+class TestImageDedupQuarantine:
+    """Dead-letter contract for undecodable media payloads."""
+
+    def test_torn_payloads_quarantine_instead_of_failing(self, spark):
+        from mysql_cdc_spark.functions import multimodal as mm
+
+        sf = "/root/testdata/sf0.001"
+        imgs = mm.synth_image_corpus(spark, sf, corrupt_every=97)
+        out = mm.image_dedup(imgs, on_error="quarantine")
+        rows = out.collect()
+        corrupt = {r["media_id"] for r in rows if r["is_corrupt"]}
+        assert corrupt == {i for i in range(1000) if i % 97 == 0}
+        for r in rows:
+            if r["is_corrupt"]:
+                assert r["n_exact"] is None and r["keep_perceptual"] is None
+            else:
+                assert r["n_exact"] >= 1 and r["keep_exact"] is not None
+        # default mode must raise on the same fixture
+        import pytest
+        from py4j.protocol import Py4JJavaError
+
+        with pytest.raises(Exception):
+            mm.image_dedup(imgs, on_error="raise").collect()
+
+    def test_int64_hashes_survive_quarantine_batches(self, spark):
+        """Regression: a pandas batch mixing None (quarantined) with
+        int dhashes must not coerce to float64 and round the hashes —
+        every valid member of one pixel group shares ONE dhash."""
+        from mysql_cdc_spark.functions import multimodal as mm
+
+        sf = "/root/testdata/sf0.001"
+        out = mm.image_dedup(
+            mm.synth_image_corpus(spark, sf, corrupt_every=97),
+            on_error="quarantine",
+        )
+        v = [r for r in out.collect() if not r["is_corrupt"]]
+        groups = {}
+        for r in v:
+            groups.setdefault(r["media_id"] % 50, set()).add(r["keep_perceptual"])
+        assert all(len(k) == 1 for k in groups.values())

@@ -188,3 +188,16 @@ def test_head_offset_falls_back_when_footer_lacks_stats(spark, sf_dir, tmp_path)
     with_stats = _head_offset(spark, sf_dir)
     # same data, no footer stats → must take the fallback path yet agree
     assert _head_offset(spark, str(tmp_path)) == with_stats
+
+
+def test_media_dedup_caches_decoded_keys(spark, sf_dir):
+    """The decoded key table feeds three DAG branches; without the
+    cache the Python decode of the whole corpus runs 3x (the 20s->2s
+    round-9 fix).  InMemoryRelation in the plan pins it."""
+    from mysql_cdc_spark.functions import multimodal as mm
+
+    df = mm.image_dedup(mm.synth_image_corpus(spark, sf_dir))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
