@@ -2405,6 +2405,41 @@ def mm_image_dedup(spark, sf_dir):
 
 
 @register(
+    "er_record_linkage",
+    "WITH base AS (SELECT c_custkey AS rid, "
+    "substring(md5('n' || CAST(c_custkey AS VARCHAR)), 1, 6) || ' ' || "
+    "substring(md5('m' || CAST(c_custkey AS VARCHAR)), 1, 8) AS name, "
+    "c_nationkey AS nat FROM customer), "
+    "dirty AS (SELECT rid + 10000000 AS rid, "
+    "substring(name, 1, CAST(rid % 8 + 2 AS INTEGER)) || "
+    "substring(name, CAST(rid % 8 + 4 AS INTEGER), 100) AS name, nat "
+    "FROM base WHERE rid % 10 = 0), "
+    "rec AS (SELECT * FROM base UNION ALL SELECT * FROM dirty), "
+    "blocked AS ("
+    "  SELECT rid, name, CAST(nat AS VARCHAR) || '|' || substring(name, 1, 3) AS bkey FROM rec "
+    "  UNION ALL "
+    "  SELECT rid, name, CAST(nat AS VARCHAR) || '|' || right(name, 3) AS bkey FROM rec), "
+    "cand AS (SELECT DISTINCT a.rid AS rid_a, b.rid AS rid_b, "
+    "a.name AS name_a, b.name AS name_b "
+    "FROM blocked a JOIN blocked b ON a.bkey = b.bkey AND a.rid < b.rid) "
+    "SELECT rid_a, rid_b, name_a, name_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev "
+    "FROM cand WHERE levenshtein(name_a, name_b) <= 2",
+)
+def er_record_linkage(spark, sf_dir):
+    """Entity resolution over structured records: md5-derived person
+    names with planted one-char-corrupted twins; two blocking passes
+    (name prefix / suffix per nation) generate candidates as bucketed
+    equi-joins, Levenshtein <= 2 verifies — never all-pairs
+    (operators/linkage.py)."""
+    from mysql_cdc_spark.operators import linkage
+    from mysql_cdc_spark.sources.io import read_table
+
+    return linkage.record_matches(
+        linkage.synth_records(read_table(spark, sf_dir, "customer"))
+    )
+
+
+@register(
     "mm_image_dedup_quarantine",
     "WITH img AS (SELECT event_id AS media_id, event_id % 50 AS c, "
     "(event_id % 7 = 0) AS noisy, (event_id % 97 = 0) AS corrupt FROM events), "
