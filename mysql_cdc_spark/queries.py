@@ -2404,6 +2404,54 @@ def mm_image_dedup(spark, sf_dir):
     return mm.image_dedup(mm.synth_image_corpus(spark, sf_dir))
 
 
+_PR_EDGES = (
+    "e0 AS (SELECT o_custkey, l_suppkey, CAST(COUNT(*) AS BIGINT) AS w "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2), "
+    "edges AS (SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src, "
+    "'s' || CAST(l_suppkey AS VARCHAR) AS dst, w FROM e0 "
+    "UNION ALL SELECT 's' || CAST(l_suppkey AS VARCHAR), "
+    "'c' || CAST(o_custkey AS VARCHAR), w FROM e0), "
+    "outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM edges GROUP BY 1), "
+    "nodes AS (SELECT DISTINCT src AS node FROM edges "
+    "UNION SELECT DISTINCT dst FROM edges), "
+    "r0 AS (SELECT node, CAST(100000000 AS BIGINT) AS r FROM nodes)"
+)
+
+
+def _pr_iter(i: int) -> str:
+    p = i - 1
+    return (
+        f"c{i} AS (SELECT e.dst, CAST(SUM(CAST(floor((r.r * e.w) / o.outw + 0.5) "
+        f"AS BIGINT)) AS BIGINT) AS in_sum "
+        f"FROM edges e JOIN outw o ON e.src = o.src "
+        f"JOIN r{p} r ON r.node = e.src GROUP BY 1), "
+        f"r{i} AS (SELECT n.node, CAST(15000000 + CAST(floor(0.85 * "
+        f"COALESCE(c{i}.in_sum, 0) + 0.5) AS BIGINT) AS BIGINT) AS r "
+        f"FROM nodes n LEFT JOIN c{i} ON c{i}.dst = n.node)"
+    )
+
+
+@register(
+    "gr_pagerank",
+    "WITH " + _PR_EDGES + ", " + _pr_iter(1) + ", " + _pr_iter(2)
+    + " SELECT node, CAST(r AS DOUBLE) / 100000000.0 AS rank FROM r2",
+)
+def gr_pagerank(spark, sf_dir):
+    """Fixed-iteration weighted PageRank on the customer<->supplier
+    trade graph (operators/graph.py) — each power iteration is one
+    map-side-combinable shuffle on the destination node; per-edge
+    contributions DECIMAL-rounded before the fold so the result is
+    engine- and partitioning-exact.  Oracle unrolls the same two
+    iterations as chained CTEs."""
+    from mysql_cdc_spark.operators import graph
+    from mysql_cdc_spark.sources.io import read_table
+
+    edges = graph.trade_edges(
+        read_table(spark, sf_dir, "lineitem"), read_table(spark, sf_dir, "orders")
+    )
+    return graph.pagerank(edges)
+
+
 @register(
     "er_record_linkage",
     "WITH base AS (SELECT c_custkey AS rid, "
