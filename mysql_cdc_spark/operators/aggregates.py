@@ -260,3 +260,64 @@ def hot_keys(rows_dt: DataFrame, top_n: int = HOT_KEY_TOP_N) -> DataFrame:
         (F.col("n_changes").cast("double") / F.col("table_changes").cast("double")).alias("share"),
         F.col("rank").cast("bigint").alias("rank"),
     )
+
+
+def _net_relation(rows: DataFrame) -> DataFrame:
+    """Bag relation from a change stream: net multiplicity per
+    (id, value) — insert/update-after +1, delete/update-before -1 (the
+    classic CDC→delta-relation mapping); zero-net rows drop."""
+    m = F.when(F.col("_delta_type").isin("insert", DT_UPDATE), F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    return (
+        rows.groupBy("id", "value")
+        .agg(F.sum(m).cast("bigint").alias("m"))
+        .filter(F.col("m") != 0)
+    )
+
+
+def ivm_join_view(rows: DataFrame, mid: int) -> DataFrame:
+    """Incrementally-maintained JOIN view (bag semantics): the
+    materialized join of the two replicated tables' states, maintained
+    under a change batch by the bilinear delta rule
+
+        Δ(A ⋈ B) = ΔA ⋈ B₀  ∪  A₀ ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    — never re-joining the full bases.  `mid` splits the log: changes
+    at or before it form the materialized base view, the rest are the
+    delta batch.  Output (id, value_a, value_b, m); by the bilinear
+    identity it must equal the from-scratch join of the final states,
+    which is exactly what the oracle recomputes.
+
+    Scale: every term is an equi-join on id between NET relations
+    (already aggregated, far smaller than the raw log); the delta
+    terms touch only changed keys.  This is the join-view analog of
+    cdc_ivm_state_sum's aggregate maintenance.
+    """
+    a_rows = rows.filter((F.col("db") == "foo") & (F.col("tbl") == "auto"))
+    b_rows = rows.filter((F.col("db") == "bench") & (F.col("tbl") == "big"))
+    lo = F.col("offset") <= mid
+    a0, da = _net_relation(a_rows.filter(lo)), _net_relation(a_rows.filter(~lo))
+    b0, db_ = _net_relation(b_rows.filter(lo)), _net_relation(b_rows.filter(~lo))
+
+    def term(l: DataFrame, r: DataFrame) -> DataFrame:
+        return (
+            l.select("id", F.col("value").alias("value_a"), F.col("m").alias("ma"))
+            .join(
+                r.select("id", F.col("value").alias("value_b"), F.col("m").alias("mb")),
+                "id",
+            )
+            .select("id", "value_a", "value_b", (F.col("ma") * F.col("mb")).alias("m"))
+        )
+
+    pieces = (
+        term(a0, b0)
+        .unionByName(term(da, b0))
+        .unionByName(term(a0, db_))
+        .unionByName(term(da, db_))
+    )
+    return (
+        pieces.groupBy("id", "value_a", "value_b")
+        .agg(F.sum("m").cast("bigint").alias("m"))
+        .filter(F.col("m") != 0)
+    )

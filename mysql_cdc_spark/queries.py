@@ -2404,6 +2404,32 @@ def mm_image_dedup(spark, sf_dir):
     return mm.image_dedup(mm.synth_image_corpus(spark, sf_dir))
 
 
+@register(
+    "cdc_ivm_join",
+    with_changes(
+        ", dt AS (SELECT *, CASE WHEN _delta_type IN ('insert', 'update') "
+        "THEN 1 ELSE -1 END AS mm FROM rows_dt), "
+        "a1 AS (SELECT id, value, CAST(SUM(mm) AS BIGINT) AS m FROM dt "
+        "WHERE db = 'foo' AND tbl = 'auto' GROUP BY 1, 2 HAVING SUM(mm) <> 0), "
+        "b1 AS (SELECT id, value, CAST(SUM(mm) AS BIGINT) AS m FROM dt "
+        "WHERE db = 'bench' AND tbl = 'big' GROUP BY 1, 2 HAVING SUM(mm) <> 0) "
+        "SELECT a1.id, a1.value AS value_a, b1.value AS value_b, "
+        "CAST(a1.m * b1.m AS BIGINT) AS m "
+        "FROM a1 JOIN b1 ON a1.id = b1.id"
+    ),
+)
+def cdc_ivm_join(spark, sf_dir):
+    """Materialized JOIN-view maintenance: the foo.auto x bench.big
+    join view maintained under the second half of the log via the
+    bilinear delta rule dV = dA@B0 + A0@dB + dA@dB
+    (aggregates.ivm_join_view) — the oracle recomputes the join of the
+    FINAL states from scratch, so the incremental algebra must agree
+    exactly, multiplicities included."""
+    rows = _rows_dt(spark, sf_dir)
+    mid = _head_offset(spark, sf_dir) // 2
+    return aggregates.ivm_join_view(rows, mid)
+
+
 _PR_EDGES = (
     "e0 AS (SELECT o_custkey, l_suppkey, CAST(COUNT(*) AS BIGINT) AS w "
     "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2), "

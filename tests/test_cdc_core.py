@@ -184,3 +184,47 @@ def test_state_asof_midpoint_vs_full(spark):
     # cutoff = 3 → identical to latest_state
     full = {r["id"]: r["value"] for r in aggregates.state_asof(rows, 1, 1).collect()}
     assert full == {1: 11.0}
+
+
+class TestIvmJoinView:
+    """Bilinear delta-rule join maintenance (aggregates.ivm_join_view)."""
+
+    def test_incremental_equals_recompute(self, spark):
+        from mysql_cdc_spark.operators import aggregates
+
+        # offsets 0-3 = base, 4+ = delta batch
+        rows = [
+            # A side (foo.auto)
+            (0, "foo", "auto", 1, 10.0, "insert"),
+            (1, "foo", "auto", 2, 20.0, "insert"),
+            (5, "foo", "auto", 1, 10.0, "update-before"),   # 10 -> 11
+            (5, "foo", "auto", 1, 11.0, "update"),
+            (6, "foo", "auto", 2, 20.0, "delete"),
+            # B side (bench.big)
+            (2, "bench", "big", 1, 100.0, "insert"),
+            (3, "bench", "big", 2, 200.0, "insert"),
+            (7, "bench", "big", 1, 101.0, "insert"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "offset long, db string, tbl string, id long, value double, _delta_type string",
+        )
+        got = {(r["id"], r["value_a"], r["value_b"]): r["m"]
+               for r in aggregates.ivm_join_view(df, mid=4).collect()}
+        # final states: A = {1:11.0}, B = {1:[100.0, 101.0]}
+        assert got == {(1, 11.0, 100.0): 1, (1, 11.0, 101.0): 1}
+
+    def test_duplicate_inserts_multiply(self, spark):
+        from mysql_cdc_spark.operators import aggregates
+
+        rows = [
+            (0, "foo", "auto", 1, 5.0, "insert"),
+            (5, "foo", "auto", 1, 5.0, "insert"),     # second copy via delta
+            (1, "bench", "big", 1, 7.0, "insert"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "offset long, db string, tbl string, id long, value double, _delta_type string",
+        )
+        got = aggregates.ivm_join_view(df, mid=4).collect()
+        assert len(got) == 1 and got[0]["m"] == 2     # bag semantics: 2 x 1
