@@ -2413,17 +2413,20 @@ def mm_image_dedup(spark, sf_dir):
         "WHERE db = 'foo' AND tbl = 'auto' GROUP BY 1, 2 HAVING SUM(mm) <> 0), "
         "b1 AS (SELECT id, value, CAST(SUM(mm) AS BIGINT) AS m FROM dt "
         "WHERE db = 'bench' AND tbl = 'big' GROUP BY 1, 2 HAVING SUM(mm) <> 0) "
-        "SELECT a1.id, a1.value AS value_a, b1.value AS value_b, "
-        "CAST(a1.m * b1.m AS BIGINT) AS m "
-        "FROM a1 JOIN b1 ON a1.id = b1.id"
+        "SELECT a1.id, CAST(SUM(a1.m * b1.m) AS BIGINT) AS n_pairs, "
+        "CAST(CAST(SUM(CAST(round(a1.value * b1.value, 4) AS DECIMAL(28,4)) "
+        "* a1.m * b1.m) AS DECIMAL(38,4)) AS DOUBLE) AS sum_ab "
+        "FROM a1 JOIN b1 ON a1.id = b1.id "
+        "GROUP BY a1.id HAVING SUM(a1.m * b1.m) <> 0"
     ),
 )
 def cdc_ivm_join(spark, sf_dir):
-    """Materialized JOIN-view maintenance: the foo.auto x bench.big
-    join view maintained under the second half of the log via the
-    bilinear delta rule dV = dA@B0 + A0@dB + dA@dB
-    (aggregates.ivm_join_view) — the oracle recomputes the join of the
-    FINAL states from scratch, so the incremental algebra must agree
+    """Materialized aggregated JOIN-view maintenance: per-key pair
+    count and value-product sum of the foo.auto x bench.big join,
+    maintained under the second half of the log via the bilinear delta
+    rule dV = dA@B0 + A0@dB + dA@dB (aggregates.ivm_join_view) — the
+    oracle recomputes the same aggregates over the join of the FINAL
+    states from scratch, so the incremental algebra must agree
     exactly, multiplicities included."""
     rows = _rows_dt(spark, sf_dir)
     mid = _head_offset(spark, sf_dir) // 2

@@ -209,10 +209,11 @@ class TestIvmJoinView:
             rows,
             "offset long, db string, tbl string, id long, value double, _delta_type string",
         )
-        got = {(r["id"], r["value_a"], r["value_b"]): r["m"]
+        got = {r["id"]: (r["n_pairs"], r["sum_ab"])
                for r in aggregates.ivm_join_view(df, mid=4).collect()}
-        # final states: A = {1:11.0}, B = {1:[100.0, 101.0]}
-        assert got == {(1, 11.0, 100.0): 1, (1, 11.0, 101.0): 1}
+        # final states: A = {1:11.0}, B = {1:[100.0, 101.0]} ->
+        # 2 pairs, 11*100 + 11*101 = 2211.0
+        assert got == {1: (2, 2211.0)}
 
     def test_duplicate_inserts_multiply(self, spark):
         from mysql_cdc_spark.operators import aggregates
@@ -227,4 +228,6 @@ class TestIvmJoinView:
             "offset long, db string, tbl string, id long, value double, _delta_type string",
         )
         got = aggregates.ivm_join_view(df, mid=4).collect()
-        assert len(got) == 1 and got[0]["m"] == 2     # bag semantics: 2 x 1
+        # bag semantics: 2 copies x 1 -> n_pairs 2, sum 2 * (5*7)
+        assert len(got) == 1
+        assert got[0]["n_pairs"] == 2 and got[0]["sum_ab"] == 70.0
