@@ -31,6 +31,13 @@ Layout:
         corpus.py         — splits, length buckets, sequence packing,
                             duplicate-cluster connected components
         contamination.py  — benchmark-overlap scan (capped inverted index)
+        linkage.py        — entity resolution (multi-pass blocking +
+                            Levenshtein verify)
+        graph.py          — fixed-iteration PageRank (integer fixed-point)
+        timeseries.py     — as-of/range joins, rollups, OHLC, LTTB
+        retrieval.py      — TF-IDF / BM25 / bigram LM
+        sketches.py       — HLL / KMV / CMS / quantiles / Bloom
+        bpe.py            — BPE merge training + greedy encode
         cursor.py         — forward-only ResultSet cursor (R9) + metadata
     functions/
         scan.py           — chunked distributed prefix scans
