@@ -2409,25 +2409,27 @@ def mm_image_dedup(spark, sf_dir):
     with_changes(
         ", dt AS (SELECT *, CASE WHEN _delta_type IN ('insert', 'update') "
         "THEN 1 ELSE -1 END AS mm FROM rows_dt), "
-        "a1 AS (SELECT id, value, CAST(SUM(mm) AS BIGINT) AS m FROM dt "
-        "WHERE db = 'foo' AND tbl = 'auto' GROUP BY 1, 2 HAVING SUM(mm) <> 0), "
-        "b1 AS (SELECT id, value, CAST(SUM(mm) AS BIGINT) AS m FROM dt "
-        "WHERE db = 'bench' AND tbl = 'big' GROUP BY 1, 2 HAVING SUM(mm) <> 0) "
-        "SELECT a1.id, CAST(SUM(a1.m * b1.m) AS BIGINT) AS n_pairs, "
-        "CAST(CAST(SUM(CAST(round(a1.value * b1.value, 4) AS DECIMAL(28,4)) "
-        "* a1.m * b1.m) AS DECIMAL(38,4)) AS DOUBLE) AS sum_ab "
-        "FROM a1 JOIN b1 ON a1.id = b1.id "
-        "GROUP BY a1.id HAVING SUM(a1.m * b1.m) <> 0"
+        "a1 AS (SELECT id, CAST(SUM(mm) AS BIGINT) AS s, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,6)) * mm) AS DECIMAL(28,6)) AS v "
+        "FROM dt WHERE db = 'foo' AND tbl = 'auto' GROUP BY 1), "
+        "b1 AS (SELECT id, CAST(SUM(mm) AS BIGINT) AS s, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,6)) * mm) AS DECIMAL(28,6)) AS v "
+        "FROM dt WHERE db = 'bench' AND tbl = 'big' GROUP BY 1) "
+        "SELECT a1.id, CAST(a1.s * b1.s AS BIGINT) AS n_pairs, "
+        "CAST(CAST(CAST(a1.v * b1.v AS DECIMAL(38,12)) AS DECIMAL(28,6)) AS DOUBLE) AS sum_ab "
+        "FROM a1 JOIN b1 ON a1.id = b1.id WHERE a1.s * b1.s <> 0"
     ),
 )
 def cdc_ivm_join(spark, sf_dir):
     """Materialized aggregated JOIN-view maintenance: per-key pair
     count and value-product sum of the foo.auto x bench.big join,
-    maintained under the second half of the log via the bilinear delta
-    rule dV = dA@B0 + A0@dB + dA@dB (aggregates.ivm_join_view) — the
-    oracle recomputes the same aggregates over the join of the FINAL
-    states from scratch, so the incremental algebra must agree
-    exactly, multiplicities included."""
+    maintained FACTORIZED: per-side (count, value-sum) factors kept up
+    to date linearly across the base/delta halves of the log, view =
+    their per-key product (aggregates.ivm_join_view; the pairwise join
+    never materializes — quadratic per hot key and >10 min at the 100x
+    soak, vs seconds factorized).  The oracle recomputes the same
+    aggregates over the final states, so the incremental + factorized
+    algebra must agree exactly, multiplicities included."""
     rows = _rows_dt(spark, sf_dir)
     mid = _head_offset(spark, sf_dir) // 2
     return aggregates.ivm_join_view(rows, mid)
