@@ -597,7 +597,7 @@ SELECT * FROM (
 
 def _binlog_envelope_projected(
     spark, sf_dir, prefix: str, checksum: str | None = None, gtid: bool = False,
-    rows_v2: bool = False, payload_zstd: bool = False,
+    rows_v2: bool = False, payload_zstd: bool = False, row_image: str = "full",
 ):
     """Shared body of cdc_binlog_envelope / cdc_binlog_crc32 /
     cdc_binlog_gtid / cdc_binlog_rows_v2: generate the byte fixture
@@ -613,7 +613,7 @@ def _binlog_envelope_projected(
     if not any(out_dir.glob("binlog.*")):
         bs.generate_binlog_from_events(
             sf_dir, str(out_dir), checksum=checksum, gtid=gtid, rows_v2=rows_v2,
-            payload_zstd=payload_zstd,
+            payload_zstd=payload_zstd, row_image=row_image,
         )
     env = bs.read_binlog_envelope(spark, str(out_dir))
     # Global event number across rotated files: each log file holds
@@ -645,6 +645,46 @@ def _binlog_envelope_projected(
         "exec_time",
         "error_code",
     )
+
+
+# binlog_row_image=MINIMAL oracle: inserts keep the full image; update
+# before-images carry only the PK, after-images only the changed
+# column; delete images only the PK.  Derived from _BINLOG_ORACLE by
+# rewriting the rows-event branch.
+_BINLOG_MINIMAL_ORACLE = _BINLOG_ORACLE.replace(
+    """  SELECT CAST(event_id*4+2 AS BIGINT), row_op, db, tbl, NULL, NULL,
+         CASE WHEN row_op = 'write_rows' THEN NULL ELSE row_id END,
+         CASE WHEN row_op = 'write_rows' THEN NULL
+              WHEN row_op = 'update_rows' THEN val_before ELSE val END,
+         CASE WHEN row_op = 'write_rows' THEN NULL ELSE word END,
+         CASE WHEN row_op = 'delete_rows' THEN NULL ELSE row_id END,
+         CASE WHEN row_op = 'delete_rows' THEN NULL ELSE val END,
+         CASE WHEN row_op = 'delete_rows' THEN NULL ELSE word END,
+         NULL, NULL, NULL
+  FROM ev""",
+    """  SELECT CAST(event_id*4+2 AS BIGINT), row_op, db, tbl, NULL, NULL,
+         CASE WHEN row_op = 'write_rows' THEN NULL ELSE row_id END,
+         CAST(NULL AS VARCHAR),
+         CAST(NULL AS VARCHAR),
+         CASE WHEN row_op = 'write_rows' THEN row_id END,
+         CASE WHEN row_op = 'delete_rows' THEN NULL ELSE val END,
+         CASE WHEN row_op = 'write_rows' THEN word END,
+         NULL, NULL, NULL
+  FROM ev""",
+)
+assert _BINLOG_MINIMAL_ORACLE != _BINLOG_ORACLE
+
+
+@register("cdc_binlog_minimal", _BINLOG_MINIMAL_ORACLE)
+def cdc_binlog_minimal(spark, sf_dir):
+    """binlog_row_image=MINIMAL fidelity path: update before-images
+    carry only the primary key, after-images only the changed column,
+    deletes only the PK — the decoder must surface absent columns as
+    NOT-IN-IMAGE (missing from the map → NULL projection), distinct
+    from SQL NULL, via the per-event used-column bitmaps.  Same
+    envelope projection as cdc_binlog_envelope over the minimal-image
+    fixture."""
+    return _binlog_envelope_projected(spark, sf_dir, "binlog_min", row_image="minimal")
 
 
 @register(

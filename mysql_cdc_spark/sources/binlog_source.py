@@ -339,6 +339,7 @@ def generate_binlog_from_events(
     rows_v2: bool = False,
     payload_zstd: bool = False,
     rows_query: bool = False,
+    row_image: str = "full",
 ) -> list[str]:
     """Encode the derived change stream as REAL binlog bytes — the same
     derivation rules as sources/events_cdc.py (db/tbl from user_id
@@ -356,7 +357,7 @@ def generate_binlog_from_events(
         out_dir,
         lambda d: _generate_binlog_files(
             sf_dir, d, rotate_every, corrupt_every, checksum, gtid, rows_v2,
-            payload_zstd, rows_query,
+            payload_zstd, rows_query, row_image,
         ),
     )
 
@@ -371,6 +372,7 @@ def _generate_binlog_files(
     rows_v2: bool = False,
     payload_zstd: bool = False,
     rows_query: bool = False,
+    row_image: str = "full",
 ) -> list[str]:
     os.makedirs(out_dir, exist_ok=True)
     pdf = _fixture_rows(sf_dir)
@@ -450,11 +452,29 @@ def _generate_binlog_files(
         target.write_table_map(t, ts)
         row_event_start = target.offset
         if op == WRITE_ROWS_EVENT:
+            # inserts always carry the full image, even under
+            # binlog_row_image=minimal
             target.write_rows(op, t, [[row_id, val, word]], ts=ts, v2=rows_v2)
         elif op == UPDATE_ROWS_EVENT:
-            before = [row_id, fixture_val_before(event_id), word]
+            if row_image == "minimal":
+                # minimal: before-image = PK only, after-image =
+                # changed columns only (value changed; id, word not)
+                target.write_rows(
+                    op, t, [([row_id, None, None], [None, val, None])],
+                    present=[True, False, False],
+                    present_after=[False, True, False],
+                    ts=ts, v2=rows_v2,
+                )
+            else:
+                before = [row_id, fixture_val_before(event_id), word]
+                target.write_rows(
+                    op, t, [(before, [row_id, val, word])], ts=ts, v2=rows_v2
+                )
+        elif row_image == "minimal":
+            # minimal delete: PK only
             target.write_rows(
-                op, t, [(before, [row_id, val, word])], ts=ts, v2=rows_v2
+                op, t, [[row_id, None, None]],
+                present=[True, False, False], ts=ts, v2=rows_v2,
             )
         else:
             target.write_rows(op, t, [[row_id, val, word]], ts=ts, v2=rows_v2)

@@ -864,3 +864,24 @@ def test_generator_rows_query_interleaving(tmp_path):
     # event_id 0 and 50 carry DDL in the QUERY slot but DML in rows_query
     ddl_q = [e for e in evs if e["op"] == "query" and e["sql"].startswith("ALTER")]
     assert ddl_q, "fixture should override every 50th statement with DDL"
+
+
+def test_minimal_row_image_maps_contain_only_present_columns():
+    """binlog_row_image=MINIMAL: absent columns must be MISSING from
+    the image map (not-in-image), never present-with-NULL — the
+    distinction a consumer needs to tell 'column unchanged' from
+    'column set to NULL'."""
+    w = BinlogWriter()
+    w.write_table_map(T3)
+    w.write_rows(
+        UPDATE_ROWS_EVENT, T3, [([5, None, None], [None, "9.9000", None])],
+        present=[True, False, False], present_after=[False, True, False],
+    )
+    w.write_table_map(T3)
+    w.write_rows(DELETE_ROWS_EVENT, T3, [[5, None, None]], present=[True, False, False])
+    evs = decode_binlog(w.getvalue(), CAT)
+    upd = next(e for e in evs if e["op"] == "update_rows")
+    assert upd["before"] == [{"id": 5}]          # PK only, no val/word keys
+    assert upd["after"] == [{"val": "9.9000"}]   # changed column only
+    dele = next(e for e in evs if e["op"] == "delete_rows")
+    assert dele["before"] == [{"id": 5}]
