@@ -1405,6 +1405,27 @@ _COLLATION_SINGLE = {
     63: "binary",                      # binary → keep bytes
     11: "ascii", 65: "ascii",
     56: "utf-16-le",                   # utf16le
+    # single-byte national charsets (public collation registry ids;
+    # Python ships every codec below, so the decode is exact)
+    14: "cp1251", 23: "cp1251", 50: "cp1251", 51: "cp1251", 52: "cp1251",
+    7: "koi8-r", 74: "koi8-r", 22: "koi8-u", 75: "koi8-u",
+    25: "iso8859-7", 70: "iso8859-7",          # greek
+    16: "iso8859-8", 71: "iso8859-8",          # hebrew
+    2: "iso8859-2", 9: "iso8859-2", 21: "iso8859-2", 77: "iso8859-2",  # latin2
+    30: "iso8859-9", 78: "iso8859-9",          # latin5 (turkish)
+    20: "iso8859-13", 41: "iso8859-13", 42: "iso8859-13", 79: "iso8859-13",  # latin7
+    26: "cp1250", 34: "cp1250", 44: "cp1250", 66: "cp1250", 99: "cp1250",
+    57: "cp1256", 67: "cp1256",                # arabic
+    29: "cp1257", 58: "cp1257", 59: "cp1257",  # baltic
+    4: "cp850", 80: "cp850", 40: "cp852", 81: "cp852",
+    36: "cp866", 68: "cp866",
+    18: "tis-620", 89: "tis-620",              # thai
+    # CJK multi-byte families
+    1: "big5", 84: "big5",
+    24: "gb2312", 86: "gb2312", 28: "gbk", 87: "gbk",
+    13: "shift_jis", 88: "shift_jis", 95: "cp932", 96: "cp932",
+    12: "euc_jp", 91: "euc_jp",
+    19: "euc_kr", 85: "euc_kr",
 }
 _COLLATION_RANGES = (
     # utf8mb4: general/bin (45/46), 5.7 unicode_* (224-247),

@@ -183,3 +183,27 @@ def test_collation_map_families():
     assert collation_to_codec(54) == "utf-16-be"   # utf16_general_ci
     assert collation_to_codec(60) == "utf-32-be"   # utf32_general_ci
     assert collation_to_codec(999) == "latin-1"    # unknown → floor
+
+
+def test_national_single_byte_and_cjk_charsets_roundtrip():
+    """cp1251 (Cyrillic), greek, and sjis columns decode exactly under
+    their COLUMN_CHARSET overrides — families beyond the utf/latin
+    cores, all shipped as Python codecs (public collation registry
+    ids)."""
+    t = TableDef(
+        "shop", "items",
+        [(TYPE_LONG, None), (TYPE_VARCHAR, 200), (TYPE_VARCHAR, 200)],
+        default_charset=51,                 # cp1251_general_ci
+        charset_overrides={1: 13},          # 2nd character column -> sjis
+    )
+    w = BinlogWriter()
+    w.write_table_map(t)
+    w.write_rows(WRITE_ROWS_EVENT, t, [[1, "привет мир", "日本語"]])
+    rows = _decode_rows(w)
+    assert rows[0]["after"] == [{"id": 1, "name": "привет мир", "note": "日本語"}]
+
+
+def test_unknown_collation_falls_back_latin1():
+    assert collation_to_codec(100) == "latin-1"
+    assert collation_to_codec(51) == "cp1251"
+    assert collation_to_codec(88) == "shift_jis"
