@@ -221,3 +221,38 @@ def test_int_and_blob_row_roundtrip_property(t8, t16, t24, t64, blob):
     w.write_rows(WRITE_ROWS_EVENT, t, [[t8, t16, t24, t64, blob]])
     img = decode_binlog(w.getvalue(), {})[-1]["after"][0]
     assert [img[str(i + 1)] for i in range(5)] == [t8, t16, t24, t64, blob]
+
+
+_mask = st.lists(st.booleans(), min_size=3, max_size=3).filter(any)
+
+
+@given(
+    present=_mask,
+    present_after=_mask,
+    vals=st.lists(st.integers(-2**31, 2**31 - 1), min_size=3, max_size=3),
+    nulls=st.lists(st.booleans(), min_size=3, max_size=3),
+)
+@settings(max_examples=60, deadline=None)
+def test_arbitrary_used_column_masks_roundtrip(present, present_after, vals, nulls):
+    """binlog_row_image generalization: for ANY non-empty used-column
+    bitmap combination (full, minimal, noblob, or stranger), decoded
+    image maps contain exactly the present columns, with NULLs
+    preserved and absent columns missing — never misaligned values.
+    (All-empty images don't occur on real servers and trip the
+    zero-width corrupt-row guard by design.)"""
+    t = TableDef("d", "t", [(TYPE_LONG, None)] * 3, table_id=3)
+    cat = {("d", "t"): ["c0", "c1", "c2"]}
+    row = [None if nulls[i] else vals[i] for i in range(3)]
+    expect_before = {f"c{i}": row[i] for i in range(3) if present[i]}
+    expect_after = {f"c{i}": row[i] for i in range(3) if present_after[i]}
+
+    w = BinlogWriter()
+    w.write_table_map(t)
+    w.write_rows(
+        UPDATE_ROWS_EVENT, t, [(row, row)],
+        present=present, present_after=present_after,
+    )
+    evs = decode_binlog(w.getvalue(), cat)
+    up = next(e for e in evs if e["op"] == "update_rows")
+    assert up["before"] == [expect_before]
+    assert up["after"] == [expect_after]
