@@ -122,3 +122,88 @@ def k_anonymity(events: DataFrame, k: int = K_ANON) -> DataFrame:
             (F.col("n_users") < k).alias("suppress"),
         )
     )
+
+
+PSI_BUCKETS = 10
+PSI_BUCKET_WIDTH = 50.0
+
+
+def distribution_drift(events: DataFrame) -> DataFrame:
+    """Population-stability-index drift monitor: per event_type,
+    compare the `value` distribution of the first half of the time
+    range against the second (fixed-width buckets, Laplace-smoothed
+    shares) — the standard production check that yesterday's data
+    still looks like today's before it enters training.
+
+        PSI = Σ_b (p2_b - p1_b) * ln(p2_b / p1_b)
+
+    Determinism contract: bucket ids and counts are exact integers,
+    smoothed shares are single double divisions of exact integers,
+    each bucket's PSI term is rounded to DECIMAL(18,8) BEFORE the
+    order-independent sum, and the split point is the integer midpoint
+    of the observed epoch-second range (computed in one tiny aggregate,
+    broadcast back).
+
+    Scale: one min/max aggregate over the narrow (ts) column, one
+    map-side-combined count per (event_type, half, bucket) — ~types x
+    2 x 10 rows — then driver-free arithmetic on that tiny table.
+    """
+    bounds = events.agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+    )
+    bucket = F.least(
+        F.lit(PSI_BUCKETS - 1),
+        F.greatest(
+            F.lit(0), F.floor(F.col("value") / F.lit(PSI_BUCKET_WIDTH)).cast("int")
+        ),
+    )
+    half = F.when(
+        F.unix_micros("ts") * 2 <= F.col("t0") + F.col("t1"), F.lit(1)
+    ).otherwise(F.lit(2))
+    counts = (
+        events.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type", half.alias("half"), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    per_half = counts.groupBy("event_type", "half").agg(
+        F.sum("n").cast("bigint").alias("tot")
+    )
+    # dense (type, half, bucket) grid so empty buckets get the Laplace
+    # floor on both sides
+    grid = (
+        counts.select("event_type").distinct()
+        .crossJoin(F.broadcast(
+            counts.sparkSession.range(1, 3).select(F.col("id").cast("int").alias("half"))
+        ))
+        .crossJoin(F.broadcast(
+            counts.sparkSession.range(PSI_BUCKETS).select(F.col("id").cast("int").alias("bucket"))
+        ))
+    )
+    dense = (
+        grid.join(counts, ["event_type", "half", "bucket"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+        .join(per_half, ["event_type", "half"])
+        .withColumn(
+            "p",
+            (F.col("n") + F.lit(1)).cast("double")
+            / (F.col("tot") + F.lit(PSI_BUCKETS)).cast("double"),
+        )
+    )
+    h1 = dense.filter(F.col("half") == 1).select(
+        "event_type", "bucket", F.col("n").alias("n1"), F.col("p").alias("p1")
+    )
+    h2 = dense.filter(F.col("half") == 2).select(
+        "event_type", "bucket", F.col("n").alias("n2"), F.col("p").alias("p2")
+    )
+    terms = h1.join(h2, ["event_type", "bucket"]).withColumn(
+        "term",
+        F.round(
+            (F.col("p2") - F.col("p1")) * F.log(F.col("p2") / F.col("p1")), 8
+        ).cast("decimal(18,8)"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.sum("n1").cast("bigint").alias("n1"),
+        F.sum("n2").cast("bigint").alias("n2"),
+        F.sum("term").cast("decimal(28,8)").cast("double").alias("psi"),
+    )

@@ -4036,6 +4036,40 @@ def sk_kmv_overlap(spark, sf_dir):
 
 
 @register(
+    "dq_distribution_drift",
+    "WITH b AS (SELECT MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1 FROM events), "
+    "c AS (SELECT event_type, "
+    "  CASE WHEN epoch_us(ts) * 2 <= t0 + t1 THEN 1 ELSE 2 END AS half, "
+    "  LEAST(9, GREATEST(0, CAST(floor(value / 50.0) AS INTEGER))) AS bucket, "
+    "  CAST(COUNT(*) AS BIGINT) AS n FROM events, b GROUP BY 1, 2, 3), "
+    "tot AS (SELECT event_type, half, SUM(n) AS tot FROM c GROUP BY 1, 2), "
+    "grid AS (SELECT t.event_type, h.half, bk.bucket FROM "
+    "  (SELECT DISTINCT event_type FROM c) t, "
+    "  (SELECT unnest([1, 2]) AS half) h, "
+    "  (SELECT unnest(range(10)) AS bucket) bk), "
+    "dense AS (SELECT g.event_type, g.half, g.bucket, COALESCE(c.n, 0) AS n, "
+    "  CAST(COALESCE(c.n, 0) + 1 AS DOUBLE) / CAST(tot.tot + 10 AS DOUBLE) AS p "
+    "  FROM grid g LEFT JOIN c ON g.event_type = c.event_type "
+    "  AND g.half = c.half AND g.bucket = c.bucket "
+    "  JOIN tot ON g.event_type = tot.event_type AND g.half = tot.half), "
+    "terms AS (SELECT h1.event_type, h1.n AS n1, h2.n AS n2, "
+    "  CAST(round((h2.p - h1.p) * ln(h2.p / h1.p), 8) AS DECIMAL(18,8)) AS term "
+    "  FROM dense h1 JOIN dense h2 ON h1.event_type = h2.event_type "
+    "  AND h1.bucket = h2.bucket AND h1.half = 1 AND h2.half = 2) "
+    "SELECT event_type, CAST(SUM(n1) AS BIGINT) AS n1, CAST(SUM(n2) AS BIGINT) AS n2, "
+    "CAST(CAST(SUM(term) AS DECIMAL(28,8)) AS DOUBLE) AS psi "
+    "FROM terms GROUP BY event_type",
+)
+def dq_distribution_drift(spark, sf_dir):
+    """PSI drift monitor: per event_type, the value distribution of
+    the first half of the time range vs the second (fixed buckets,
+    Laplace-smoothed shares, DECIMAL-rounded terms) — the standard
+    is-today-still-like-yesterday gate before data enters training
+    (operators/profiling.py distribution_drift)."""
+    return profiling.distribution_drift(_events(spark, sf_dir))
+
+
+@register(
     "dq_k_anonymity",
     "SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
     "CAST(COUNT(*) AS BIGINT) AS n_events, "

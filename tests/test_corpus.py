@@ -302,3 +302,31 @@ def test_hot_keys_share_and_rank(spark):
     assert got[1]["rank"] == 1 and got[1]["n_changes"] == 3
     assert abs(got[1]["share"] - 0.75) < 1e-12
     assert got[2]["rank"] == 2 and abs(got[2]["share"] - 0.25) < 1e-12
+
+
+class TestDistributionDrift:
+    """PSI drift monitor (profiling.distribution_drift)."""
+
+    def test_identical_halves_score_near_zero_and_shift_scores_high(self, spark):
+        import datetime as dt
+
+        from mysql_cdc_spark.operators import profiling
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        # 'stable': same value pattern both halves -> PSI ~ 0
+        # 'shifted': low values first half, high values second -> PSI >> 0
+        for i in range(200):
+            ts = base + dt.timedelta(hours=i)
+            rows.append((i, ts, 1, "stable", float(i % 100), "{}"))
+            rows.append((1000 + i, ts, 1, "shifted",
+                         25.0 if i < 100 else 425.0, "{}"))
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        got = {r["event_type"]: r for r in profiling.distribution_drift(df).collect()}
+        assert got["stable"]["n1"] == got["stable"]["n2"] == 100
+        assert abs(got["stable"]["psi"]) < 0.05
+        assert got["shifted"]["psi"] > 1.0      # total bucket swap
