@@ -575,3 +575,78 @@ def chunk_overlap(
             "chunk_tokens"
         ),
     )
+
+
+def incremental_components(base_docs: DataFrame, delta_docs: DataFrame) -> DataFrame:
+    """Incrementally-maintained duplicate components: fold a DELTA
+    batch into an already-componentized BASE corpus without re-running
+    components over the full pair set — the companion to
+    `dedup.incremental_neardup` for growing a deduped corpus.
+
+    Algorithm (graph condensation — the standard incremental-CC
+    shape): the base corpus' components collapse to single condensed
+    nodes; only the NEW edges (delta-internal near-dup pairs + the
+    delta→base matches from the incremental LSH probe) are mapped
+    through the existing labels, components run on that TINY condensed
+    graph, and the result relabels everyone via one join.  Work scales
+    with the delta and the components it touches, not with base-corpus
+    history.
+
+    Correctness contract (pinned by the oracle): the base-internal /
+    delta-internal / cross pair sets partition exactly the full-corpus
+    LSH pair set (signatures are per-doc and banding is an equi-join),
+    so the incremental labeling must equal a from-scratch components
+    run over the whole corpus — which is literally what the oracle
+    recomputes.
+    """
+    from mysql_cdc_spark.operators.dedup import (
+        incremental_neardup,
+        minhash_lsh_pairs,
+    )
+
+    base_comp = duplicate_components(base_docs, minhash_lsh_pairs(base_docs))
+    seeds = base_comp.select("doc_id", "component").unionByName(
+        delta_docs.select("doc_id", F.col("doc_id").alias("component"))
+    )
+
+    cross = incremental_neardup(base_docs, delta_docs).select(
+        F.col("delta_id").alias("doc_a"), F.col("base_id").alias("doc_b")
+    )
+    delta_internal = minhash_lsh_pairs(delta_docs).select("doc_a", "doc_b")
+    new_edges = cross.unionByName(delta_internal)
+
+    lab = seeds.withColumnRenamed("doc_id", "k").withColumnRenamed("component", "lab")
+    cond_pairs = (
+        new_edges.join(lab, new_edges.doc_a == lab.k)
+        .select(F.col("lab").alias("ca"), "doc_b")
+        .join(lab, F.col("doc_b") == lab.k)
+        .select(
+            F.least("ca", "lab").alias("doc_a"),
+            F.greatest("ca", "lab").alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
+    cond_nodes = (
+        cond_pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(cond_pairs.select("doc_b"))
+        .distinct()
+    )
+    cond_comp = duplicate_components(cond_nodes, cond_pairs).select(
+        F.col("doc_id").alias("old_label"), F.col("component").alias("new_label")
+    )
+
+    merged = (
+        seeds.join(cond_comp, seeds.component == cond_comp.old_label, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("new_label"), F.col("component")).alias("component"),
+        )
+    )
+    size_w = Window.partitionBy("component")
+    return merged.select(
+        "doc_id",
+        "component",
+        F.count(F.lit(1)).over(size_w).cast("bigint").alias("component_size"),
+        (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+    )

@@ -2378,6 +2378,25 @@ def llm_dup_components(spark, sf_dir):
     return corpus.duplicate_components(_docs(spark, sf_dir))
 
 
+@register(
+    "llm_incremental_components",
+    # identical full-recompute oracle as llm_dup_components: the
+    # incremental (condensed-graph) labeling must equal it exactly.
+    ORACLES["llm_dup_components"],
+)
+def llm_incremental_components(spark, sf_dir):
+    """Incremental duplicate components: the 10% delta batch folds
+    into the pre-componentized 90% base via graph condensation — new
+    edges map through existing labels, components run on the tiny
+    condensed graph, one relabel join (corpus.incremental_components).
+    Hash-equal to the from-scratch components over the full corpus."""
+    docs = _docs(spark, sf_dir)
+    return corpus.incremental_components(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns (functions/multimodal.py): binary payloads through
 # Arrow-batched mapInPandas.

@@ -330,3 +330,38 @@ class TestDistributionDrift:
         assert got["stable"]["n1"] == got["stable"]["n2"] == 100
         assert abs(got["stable"]["psi"]) < 0.05
         assert got["shifted"]["psi"] > 1.0      # total bucket swap
+
+
+class TestIncrementalComponents:
+    """Condensed-graph incremental CC (corpus.incremental_components)."""
+
+    def test_delta_edge_merges_two_base_components(self, spark):
+        from mysql_cdc_spark.operators import corpus as C
+
+        t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        t2 = "one two three four five six seven eight nine ten eleven"
+        rows = [
+            (1, t1, "en", "s", 1), (2, t1, "en", "s", 1),          # base comp {1,2}
+            (3, t2, "en", "s", 1), (4, t2, "en", "s", 1),          # base comp {3,4}
+            (5, "totally unrelated words appear in this document", "en", "s", 1),
+            # delta doc 10 is a near-dup of BOTH base components' text?
+            # no — it matches t1 only; 20 matches t2; 30 matches nothing
+            (10, t1 + " tail", "en", "s", 1),
+            (20, t2, "en", "s", 1),
+            (30, "nothing shared here with anything else at all", "en", "s", 1),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        base = docs.filter("doc_id < 10")
+        delta = docs.filter("doc_id >= 10")
+        inc = {r["doc_id"]: r for r in C.incremental_components(base, delta).collect()}
+        full = {r["doc_id"]: r for r in C.duplicate_components(docs).collect()}
+        assert {k: (v["component"], v["component_size"], v["is_canonical"])
+                for k, v in inc.items()} == \
+               {k: (v["component"], v["component_size"], v["is_canonical"])
+                for k, v in full.items()}
+        assert inc[10]["component"] == 1        # delta joins base comp 1
+        assert inc[20]["component"] == 3
+        assert inc[30]["component"] == 30 and inc[30]["component_size"] == 1
+        assert inc[5]["component_size"] == 1    # untouched base singleton
