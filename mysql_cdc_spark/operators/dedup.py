@@ -581,17 +581,22 @@ def censor_dup_spans(docs: DataFrame, width: int = 8) -> DataFrame:
     precisely because near-dup docs are mostly unique outside the
     shared passage).
 
-    Spark shape: the span list per doc is a tiny array (collected from
-    the ranges operator, broadcast-joined back); token filtering is a
+    Spark shape: the span list per doc is collected by the ranges
+    operator and equi-joined back on doc_id; token filtering is a
     pure array expression (indexed filter + exists over the span
-    array) — no token-level explode, no extra shuffle beyond the span
-    join itself.  Docs with no spans pass through unchanged.
+    array) — no token-level explode.  The spans side is NOT
+    force-broadcast: it has one row per document containing any
+    duplicated span, i.e. it grows linearly with the corpus's
+    duplicated-text volume, so a broadcast hint would OOM the driver
+    at 100-TB scale.  AQE sizes the join at runtime — broadcast while
+    the side is genuinely small, shuffled hash join once it isn't.
+    Docs with no spans pass through unchanged.
     """
     spans = dup_span_ranges(docs, width).groupBy("doc_id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("spans")
     )
     toks = normalized(docs).withColumn("tokens", F.split(F.col("norm_text"), r"\s+"))
-    joined = toks.join(F.broadcast(spans), "doc_id", "left").withColumn(
+    joined = toks.join(spans, "doc_id", "left").withColumn(
         "spans", F.coalesce(F.col("spans"), F.expr("array()"))
     )
     kept = F.expr(

@@ -643,7 +643,11 @@ def lttb_downsample(
         6,
     )
     ranked = (
-        pts.join(F.broadcast(anchors), ["series", "bucket_ts"])
+        # Equi-join on (series, bucket) with NO broadcast hint: anchors
+        # are one row per series x bucket, growing with both series
+        # cardinality and time range — unbounded at 100-TB scale.  AQE
+        # broadcasts while small, shuffles once it isn't.
+        pts.join(anchors, ["series", "bucket_ts"])
         .withColumn("area", area)
         .withColumn(
             "_rn",

@@ -92,7 +92,18 @@ class BinlogTailer:
                 return delivered
             with open(self._path, "rb") as fh:
                 if not self._magic_ok:
-                    if fh.read(4) != MAGIC:
+                    head = fh.read(4)
+                    if len(head) < 4:
+                        # Torn head: the writer created the file but has
+                        # not finished writing the 4-byte magic yet (the
+                        # create→first-write window of both
+                        # Path.write_bytes and a real mysqld).  Same
+                        # hold-back rule the decoder applies to a torn
+                        # TAIL (reference mysql_binlog.clj:316,:326-328):
+                        # incomplete bytes are re-read next poll, never
+                        # an error.  Only 4+ wrong bytes are a hard fail.
+                        return delivered
+                    if head != MAGIC:
                         raise ValueError(f"{self._path}: not a binlog file (bad magic)")
                     self._magic_ok = True
                 fh.seek(self.offset)

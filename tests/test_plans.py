@@ -40,13 +40,31 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         assert "CartesianProduct" not in _plan(spark, sf_dir, name), name
 
 
-def test_lttb_anchors_broadcast_onto_points(spark, sf_dir):
-    """The bucket-anchor table (one row per series x bucket) must
-    broadcast back onto the point stream, and the argmax window must
-    stay partitioned (no global sort)."""
+def test_lttb_anchors_equijoin_not_forced(spark, sf_dir):
+    """The bucket-anchor table joins back onto the point stream as a
+    plain EQUI-join (hash or sort-merge — AQE's call, since anchors
+    grow with series x time and must not be force-broadcast), never a
+    nested loop."""
     plan = _plan(spark, sf_dir, "ts_downsample_lttb")
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    src = open("mysql_cdc_spark/operators/timeseries.py").read()
+    import re
+    seg = src[src.index("def lttb_downsample"):]
+    assert not re.search(r"F\.broadcast\(\s*anchors", seg)
+
+
+def test_span_censor_spans_join_not_forced(spark, sf_dir):
+    """censor_dup_spans' spans side grows with duplicated-text volume;
+    the join must be an un-hinted equi-join so AQE can shuffle it at
+    scale."""
+    import re
+    src = open("mysql_cdc_spark/operators/dedup.py").read()
+    seg = src[src.index("def censor_dup_spans"):]
+    assert not re.search(r"F\.broadcast\(\s*spans", seg)
+    plan = _plan(spark, sf_dir, "llm_span_censor")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
 
 
 def test_incremental_neardup_probes_index_by_band(spark, sf_dir):

@@ -337,6 +337,73 @@ def test_push_journal_rotation_to_not_yet_created_successor(tmp_path):
         d2.stop()
 
 
+def test_push_rotation_to_successor_with_torn_head(tmp_path):
+    """Rotation boundary where the successor file EXISTS but holds fewer
+    than 4 bytes — the create→first-write window of both
+    Path.write_bytes and a real mysqld, between creating the file and
+    writing its magic.  The torn-tail hold-back rule (reference
+    mysql_binlog.clj:316,:326-328) applies to the file HEAD too: the
+    tailer must return and re-poll, not die on 'bad magic'.  This is
+    the race that made test_push_journal_rotation_to_not_yet_created_
+    successor flake under full-suite load in round 9."""
+    journal = str(tmp_path / "push.journal")
+    w1 = BinlogWriter()
+    w1.write_table_map(_T, ts=1)
+    w1.write_rows(WRITE_ROWS_EVENT, _T, [[1, "1.0000", "a"]], ts=1)
+    w1.write_xid(1, ts=1)
+    w1.write_rotate("binlog.000002")
+    (tmp_path / "binlog.000001").write_bytes(w1.getvalue())
+    # Successor created but empty — magic not yet written.
+    (tmp_path / "binlog.000002").write_bytes(b"")
+
+    d = PushDelivery(str(tmp_path), "binlog.000001", _CAT, journal_path=journal).start()
+    try:
+        cur = d.cursor()
+        got = _drain_all(cur, 3)
+        assert len(got) == 3                 # first file's events flow
+        assert not cur.next(timeout=0.5)     # waiting on torn head, alive
+        assert d.error is None
+        # A partial head (1-3 bytes) must also hold back, not error.
+        (tmp_path / "binlog.000002").write_bytes(b"\xfe")
+        time.sleep(0.3)
+        assert d.error is None
+        # Writer finishes the file: events must now flow through.
+        w2 = BinlogWriter()
+        w2.write_table_map(_T, ts=2)
+        w2.write_rows(WRITE_ROWS_EVENT, _T, [[7, "7.0000", "c"]], ts=2)
+        w2.write_xid(7, ts=2)
+        (tmp_path / "binlog.000002").write_bytes(w2.getvalue())
+        got = _drain_all(cur, 3, timeout=10.0)
+        rows = [e for e in got if e["op"] == "write_rows"]
+        assert [r["after"]["id"] for r in rows] == ["7"]
+    finally:
+        d.stop()
+
+
+def test_tailer_torn_head_direct(tmp_path):
+    """BinlogTailer.turn directly: current log exists with <4 bytes →
+    0 events, no exception, offset untouched; once magic+events land,
+    the next turn decodes them.  4+ WRONG bytes stay a hard error."""
+    from mysql_cdc_spark.streaming.binlog_tailer import BinlogTailer
+
+    (tmp_path / "binlog.000001").write_bytes(b"\xfe\x62")
+    seen: list[dict] = []
+    t = BinlogTailer(str(tmp_path), "binlog.000001", seen.extend, _CAT)
+    assert t.turn() == 0
+    assert t.offset == 4 and not t._magic_ok
+    w = BinlogWriter()
+    w.write_table_map(_T, ts=1)
+    w.write_rows(WRITE_ROWS_EVENT, _T, [[5, "5.0000", "e"]], ts=1)
+    (tmp_path / "binlog.000001").write_bytes(w.getvalue())
+    assert t.turn() == 2
+    assert [e["op"] for e in seen] == ["table_map", "write_rows"]
+
+    (tmp_path / "bad.000001").write_bytes(b"NOPE" + b"\x00" * 64)
+    t2 = BinlogTailer(str(tmp_path), "bad.000001", seen.extend, _CAT)
+    with pytest.raises(ValueError, match="bad magic"):
+        t2.turn()
+
+
 def test_push_journal_round_trips_full_table_map_state(tmp_path):
     """The journal must carry EVERY TableMapState field — including the
     r8 `unsigned` flags from SIGNEDNESS optional metadata — or a resume
