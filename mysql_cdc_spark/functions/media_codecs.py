@@ -98,31 +98,48 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     stride = width * channels
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG data length mismatch")
-    out = bytearray(stride * height)
-    prev = bytearray(stride)
+    # NumPy row-at-a-time reconstruction (r9 VERDICT #6: the per-byte
+    # Python loop dominated decode cost).  Filters 0/1/2 vectorize
+    # exactly: sub is a per-channel-lane cumulative sum mod 256, up is
+    # one array add.  Average and paeth keep the scalar loop — each
+    # byte depends NONLINEARLY (floor-div / argmin) on the
+    # just-reconstructed left neighbour, so no prefix-scan applies —
+    # and encoders virtually never emit them for synthetic content.
+    import numpy as np
+
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
     for y in range(height):
-        f = raw[y * (stride + 1)]
-        row = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
-        if f == 1:      # sub
-            for i in range(channels, stride):
-                row[i] = (row[i] + row[i - channels]) & 0xFF
+        f = int(arr[y, 0])
+        rowa = arr[y, 1:].astype(np.int64)
+        if f == 0:
+            cur = rowa
+        elif f == 1:    # sub: recon[i] = raw[i] + recon[i-ch] ≡ lane cumsum
+            cur = (
+                rowa.reshape(width, channels).cumsum(axis=0).reshape(stride)
+                & 0xFF
+            )
         elif f == 2:    # up
-            for i in range(stride):
-                row[i] = (row[i] + prev[i]) & 0xFF
-        elif f == 3:    # average
-            for i in range(stride):
-                a = row[i - channels] if i >= channels else 0
-                row[i] = (row[i] + (a + prev[i]) // 2) & 0xFF
-        elif f == 4:    # paeth
-            for i in range(stride):
-                a = row[i - channels] if i >= channels else 0
-                c = prev[i - channels] if i >= channels else 0
-                row[i] = (row[i] + _paeth(a, prev[i], c)) & 0xFF
-        elif f != 0:
+            cur = (rowa + prev) & 0xFF
+        elif f in (3, 4):
+            row = bytearray(arr[y, 1:].tobytes())
+            pv = prev.astype(np.uint8)
+            if f == 3:  # average
+                for i in range(stride):
+                    a = row[i - channels] if i >= channels else 0
+                    row[i] = (row[i] + (a + pv[i]) // 2) & 0xFF
+            else:       # paeth
+                for i in range(stride):
+                    a = row[i - channels] if i >= channels else 0
+                    c = pv[i - channels] if i >= channels else 0
+                    row[i] = (row[i] + _paeth(a, int(pv[i]), c)) & 0xFF
+            cur = np.frombuffer(bytes(row), dtype=np.uint8).astype(np.int64)
+        else:
             raise ValueError(f"unknown PNG filter type {f}")
-        out[y * stride:(y + 1) * stride] = row
-        prev = row
-    return width, height, channels, bytes(out)
+        out[y] = cur.astype(np.uint8)
+        prev = cur & 0xFF
+    return width, height, channels, out.tobytes()
 
 
 # --- WAV (RIFF / PCM16) ------------------------------------------------------

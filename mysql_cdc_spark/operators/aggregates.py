@@ -276,9 +276,11 @@ def ivm_join_view(rows: DataFrame, mid: int) -> DataFrame:
     each side's (Σm, Σmv) is maintained linearly from the base half
     and the delta half of the log, and the view is their per-key
     product — dV = dA@B0 + A0@dB + dA@dB collapses to
-    (S_a0+S_da)(S_b0+S_db) expanded.  The oracle computes the same
-    aggregates over the from-scratch join of the FINAL states, so the
-    incremental + factorized algebra must agree exactly.
+    (S_a0+S_da)(S_b0+S_db) expanded.  The oracle (cdc_ivm_join) is
+    deliberately NON-factorized: it materializes each side's final bag
+    state as (id, value, net-multiplicity) rows and aggregates over
+    the genuine value-level pairwise join — an independent derivation,
+    so a bug in this factorization cannot cancel against itself.
 
     Scale: this is what makes a join-view aggregate maintainable at
     100 TB — the naive pairwise join is quadratic per hot key (97 hot

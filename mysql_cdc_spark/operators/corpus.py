@@ -577,20 +577,33 @@ def chunk_overlap(
     )
 
 
-def incremental_components(base_docs: DataFrame, delta_docs: DataFrame) -> DataFrame:
+def incremental_components(
+    base_docs: DataFrame,
+    delta_docs: DataFrame,
+    base_labels: DataFrame | None = None,
+) -> DataFrame:
     """Incrementally-maintained duplicate components: fold a DELTA
     batch into an already-componentized BASE corpus without re-running
     components over the full pair set — the companion to
     `dedup.incremental_neardup` for growing a deduped corpus.
+
+    `base_labels` is the persisted (doc_id, component) labeling from
+    the PREVIOUS run — the component analog of the persisted LSH index
+    `incremental_neardup`'s contract describes.  With it supplied, the
+    job never touches base-corpus pair generation: base docs appear
+    only as (a) the LSH index the delta probes (O(delta) candidates)
+    and (b) one relabel join — so cost is O(delta + touched
+    components), matching this docstring's claim.  When omitted, the
+    labels are derived in-job (a full base LSH + CC pass — convenience
+    wrapper for one-shot runs and the oracle query, NOT the
+    production shape).
 
     Algorithm (graph condensation — the standard incremental-CC
     shape): the base corpus' components collapse to single condensed
     nodes; only the NEW edges (delta-internal near-dup pairs + the
     delta→base matches from the incremental LSH probe) are mapped
     through the existing labels, components run on that TINY condensed
-    graph, and the result relabels everyone via one join.  Work scales
-    with the delta and the components it touches, not with base-corpus
-    history.
+    graph, and the result relabels everyone via one join.
 
     Correctness contract (pinned by the oracle): the base-internal /
     delta-internal / cross pair sets partition exactly the full-corpus
@@ -604,8 +617,9 @@ def incremental_components(base_docs: DataFrame, delta_docs: DataFrame) -> DataF
         minhash_lsh_pairs,
     )
 
-    base_comp = duplicate_components(base_docs, minhash_lsh_pairs(base_docs))
-    seeds = base_comp.select("doc_id", "component").unionByName(
+    if base_labels is None:
+        base_labels = duplicate_components(base_docs, minhash_lsh_pairs(base_docs))
+    seeds = base_labels.select("doc_id", "component").unionByName(
         delta_docs.select("doc_id", F.col("doc_id").alias("component"))
     )
 

@@ -2389,11 +2389,24 @@ def llm_incremental_components(spark, sf_dir):
     into the pre-componentized 90% base via graph condensation — new
     edges map through existing labels, components run on the tiny
     condensed graph, one relabel join (corpus.incremental_components).
-    Hash-equal to the from-scratch components over the full corpus."""
+    Hash-equal to the from-scratch components over the full corpus.
+
+    The base labeling is computed FIRST and materialized with
+    localCheckpoint — the persisted-index pattern (in production it
+    would be read back from a table written by the previous run) — so
+    the incremental job's own plan contains no base-corpus LSH or CC
+    stage; its cost is O(delta + touched components).
+    `tests/test_scale.py::test_incremental_components_plan_has_no_base_lsh`
+    asserts exactly that on the executed plan."""
+    from mysql_cdc_spark.operators.dedup import minhash_lsh_pairs
+
     docs = _docs(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    base_labels = corpus.duplicate_components(
+        base, minhash_lsh_pairs(base)
+    ).localCheckpoint()
     return corpus.incremental_components(
-        docs.filter(F.col("doc_id") % 10 != 0),
-        docs.filter(F.col("doc_id") % 10 == 0),
+        base, docs.filter(F.col("doc_id") % 10 == 0), base_labels=base_labels
     )
 
 
@@ -2468,15 +2481,24 @@ def mm_image_dedup(spark, sf_dir):
     with_changes(
         ", dt AS (SELECT *, CASE WHEN _delta_type IN ('insert', 'update') "
         "THEN 1 ELSE -1 END AS mm FROM rows_dt), "
-        "a1 AS (SELECT id, CAST(SUM(mm) AS BIGINT) AS s, "
-        "CAST(SUM(CAST(value AS DECIMAL(18,6)) * mm) AS DECIMAL(28,6)) AS v "
-        "FROM dt WHERE db = 'foo' AND tbl = 'auto' GROUP BY 1), "
-        "b1 AS (SELECT id, CAST(SUM(mm) AS BIGINT) AS s, "
-        "CAST(SUM(CAST(value AS DECIMAL(18,6)) * mm) AS DECIMAL(28,6)) AS v "
-        "FROM dt WHERE db = 'bench' AND tbl = 'big' GROUP BY 1) "
-        "SELECT a1.id, CAST(a1.s * b1.s AS BIGINT) AS n_pairs, "
-        "CAST(CAST(CAST(a1.v * b1.v AS DECIMAL(38,12)) AS DECIMAL(28,6)) AS DOUBLE) AS sum_ab "
-        "FROM a1 JOIN b1 ON a1.id = b1.id WHERE a1.s * b1.s <> 0"
+        # Independent PAIRWISE oracle (ADVICE r9: the old oracle ran
+        # the same factorized algebra a1.s*b1.s, so a shared
+        # factorization bug would pass): materialize each side's final
+        # BAG state as (id, value, net multiplicity), run the actual
+        # A x B join at value level, and aggregate over real pairs.
+        "a1 AS (SELECT id, CAST(value AS DECIMAL(18,6)) AS v, "
+        "CAST(SUM(mm) AS BIGINT) AS mult "
+        "FROM dt WHERE db = 'foo' AND tbl = 'auto' GROUP BY 1, 2 "
+        "HAVING SUM(mm) <> 0), "
+        "b1 AS (SELECT id, CAST(value AS DECIMAL(18,6)) AS v, "
+        "CAST(SUM(mm) AS BIGINT) AS mult "
+        "FROM dt WHERE db = 'bench' AND tbl = 'big' GROUP BY 1, 2 "
+        "HAVING SUM(mm) <> 0) "
+        "SELECT a1.id, CAST(SUM(a1.mult * b1.mult) AS BIGINT) AS n_pairs, "
+        "CAST(CAST(CAST(SUM(a1.mult * b1.mult * a1.v * b1.v) AS DECIMAL(38,12)) "
+        "AS DECIMAL(28,6)) AS DOUBLE) AS sum_ab "
+        "FROM a1 JOIN b1 ON a1.id = b1.id GROUP BY 1 "
+        "HAVING SUM(a1.mult * b1.mult) <> 0"
     ),
 )
 def cdc_ivm_join(spark, sf_dir):
@@ -2486,9 +2508,10 @@ def cdc_ivm_join(spark, sf_dir):
     to date linearly across the base/delta halves of the log, view =
     their per-key product (aggregates.ivm_join_view; the pairwise join
     never materializes — quadratic per hot key and >10 min at the 100x
-    soak, vs seconds factorized).  The oracle recomputes the same
-    aggregates over the final states, so the incremental + factorized
-    algebra must agree exactly, multiplicities included."""
+    soak, vs seconds factorized).  The oracle is INDEPENDENT of that
+    algebra: it materializes each side's final bag state at value
+    level and aggregates over the genuine pairwise join, so a bug in
+    the factorization itself cannot cancel out."""
     rows = _rows_dt(spark, sf_dir)
     mid = _head_offset(spark, sf_dir) // 2
     return aggregates.ivm_join_view(rows, mid)
@@ -2617,19 +2640,50 @@ def mm_image_dedup_quarantine(spark, sf_dir):
     "CAST(COUNT(*) AS BIGINT) AS n_exact FROM clip GROUP BY 1, 2), "
     "pc AS (SELECT c, MIN(media_id) AS keep_perceptual, "
     "CAST(COUNT(*) AS BIGINT) AS n_perceptual FROM clip GROUP BY 1) "
-    "SELECT media_id, n_exact, keep_exact, media_id = keep_exact AS is_canonical, "
+    "SELECT media_id, FALSE AS is_corrupt, n_exact, keep_exact, "
+    "media_id = keep_exact AS is_canonical, "
     "n_perceptual, keep_perceptual "
     "FROM clip JOIN ex USING (c, gained) JOIN pc USING (c)",
 )
 def mm_audio_dedup(spark, sf_dir):
     """Audio dedup over REAL WAV bytes: payloads all byte-distinct
     (spliced id chunk), decoding to 40 PCM content groups with every
-    5th clip gain-doubled — exact dedup groups on the decoded-sample
+    7th clip gain-doubled — exact dedup groups on the decoded-sample
     hash, perceptual dedup on a gain-invariant gradient-sign
     fingerprint.  Oracle re-derives both groupings in closed form."""
     from mysql_cdc_spark.functions import multimodal as mm
 
     return mm.audio_dedup(mm.synth_audio_corpus(spark, sf_dir))
+
+
+@register(
+    "mm_audio_dedup_quarantine",
+    "WITH clip AS (SELECT event_id AS media_id, event_id % 40 AS c, "
+    "(event_id % 7 = 0) AS gained, (event_id % 97 = 0) AS corrupt FROM events), "
+    "ok AS (SELECT * FROM clip WHERE NOT corrupt), "
+    "ex AS (SELECT c, gained, MIN(media_id) AS keep_exact, "
+    "CAST(COUNT(*) AS BIGINT) AS n_exact FROM ok GROUP BY 1, 2), "
+    "pc AS (SELECT c, MIN(media_id) AS keep_perceptual, "
+    "CAST(COUNT(*) AS BIGINT) AS n_perceptual FROM ok GROUP BY 1) "
+    "SELECT media_id, FALSE AS is_corrupt, n_exact, keep_exact, "
+    "media_id = keep_exact AS is_canonical, n_perceptual, keep_perceptual "
+    "FROM ok JOIN ex USING (c, gained) JOIN pc USING (c) "
+    "UNION ALL "
+    "SELECT media_id, TRUE, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), FALSE, "
+    "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM clip WHERE corrupt",
+)
+def mm_audio_dedup_quarantine(spark, sf_dir):
+    """Dead-letter contract for the AUDIO path (ADVICE r9: audio had
+    no quarantine, so one undecodable WAV killed the pass): every 97th
+    payload is torn mid-fmt; on_error='quarantine' routes them to
+    is_corrupt rows with NULL group fields while the valid corpus
+    dedups normally — mirroring mm_image_dedup_quarantine."""
+    from mysql_cdc_spark.functions import multimodal as mm
+
+    return mm.audio_dedup(
+        mm.synth_audio_corpus(spark, sf_dir, corrupt_every=97),
+        on_error="quarantine",
+    )
 
 
 @register(

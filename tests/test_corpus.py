@@ -365,3 +365,22 @@ class TestIncrementalComponents:
         assert inc[20]["component"] == 3
         assert inc[30]["component"] == 30 and inc[30]["component_size"] == 1
         assert inc[5]["component_size"] == 1    # untouched base singleton
+
+        # Persisted-base path: supplying precomputed labels (the
+        # production shape — read back from the previous run's output)
+        # must produce the identical labeling without any base pair
+        # generation in-job.
+        base_labels = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 3), (4, 3), (5, 5)],
+            "doc_id long, component long",
+        )
+        persisted = {
+            r["doc_id"]: r
+            for r in C.incremental_components(
+                base, delta, base_labels=base_labels
+            ).collect()
+        }
+        assert {k: (v["component"], v["component_size"], v["is_canonical"])
+                for k, v in persisted.items()} == \
+               {k: (v["component"], v["component_size"], v["is_canonical"])
+                for k, v in inc.items()}

@@ -275,6 +275,58 @@ class TestImageDedupQuarantine:
         with pytest.raises(Exception):
             mm.image_dedup(imgs, on_error="raise").collect()
 
+    def test_audio_torn_payloads_quarantine(self, spark):
+        """ADVICE r9: audio_dedup had no dead-letter path — one
+        undecodable WAV killed the pass.  Mirrors the image contract:
+        quarantine routes torn clips to is_corrupt rows, raise dies."""
+        from mysql_cdc_spark.functions import multimodal as mm
+
+        sf = "/root/testdata/sf0.001"
+        clips = mm.synth_audio_corpus(spark, sf, corrupt_every=97)
+        rows = mm.audio_dedup(clips, on_error="quarantine").collect()
+        corrupt = {r["media_id"] for r in rows if r["is_corrupt"]}
+        assert corrupt == {i for i in range(1000) if i % 97 == 0}
+        for r in rows:
+            if r["is_corrupt"]:
+                assert r["n_exact"] is None and r["keep_perceptual"] is None
+            else:
+                assert r["n_exact"] >= 1 and r["keep_exact"] is not None
+        with pytest.raises(Exception):
+            mm.audio_dedup(clips, on_error="raise").collect()
+
+    def test_zlib_corrupt_idat_quarantines(self, spark):
+        """ADVICE r9: a payload whose chunks are valid (lengths + CRCs
+        recomputed) but whose DEFLATE stream is garbage raises
+        zlib.error from decompress — a different exception class than
+        the torn-IDAT fixture's struct.error, and it used to escape
+        the quarantine except-tuple and kill the pass."""
+        import struct
+        import zlib
+
+        from mysql_cdc_spark.functions import multimodal as mm
+        from mysql_cdc_spark.functions.media_codecs import PNG_SIG
+
+        def chunk(tag, body):
+            return (
+                struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 27, 16, 8, 2, 0, 0, 0)
+        bad = (
+            PNG_SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", b"\xde\xad\xbe\xef" * 8)   # CRC-valid, not deflate
+            + chunk(b"IEND", b"")
+        )
+        df = spark.createDataFrame(
+            [(1, bytearray(bad))], "media_id long, payload binary"
+        )
+        rows = mm.image_dedup(df, on_error="quarantine").collect()
+        assert len(rows) == 1 and rows[0]["is_corrupt"]
+        with pytest.raises(Exception):
+            mm.image_dedup(df, on_error="raise").collect()
+
     def test_int64_hashes_survive_quarantine_batches(self, spark):
         """Regression: a pandas batch mixing None (quarantined) with
         int dhashes must not coerce to float64 and round the hashes —

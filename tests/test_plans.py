@@ -55,6 +55,52 @@ def test_lttb_anchors_equijoin_not_forced(spark, sf_dir):
     assert not re.search(r"F\.broadcast\(\s*anchors", seg)
 
 
+def test_incremental_components_skips_base_lsh_with_persisted_labels(
+    spark, sf_dir, monkeypatch
+):
+    """With `base_labels` supplied (the persisted-index production
+    shape), the incremental job must never generate base-corpus
+    pairs: `minhash_lsh_pairs` runs exactly once (the delta-internal
+    pass — incremental_neardup's probe has its own band builder), and
+    the only connected-components run is over the tiny CONDENSED
+    graph, not the base corpus.  This pins the docstring's 'O(delta +
+    touched components)' claim at the API level — eager checkpoints
+    inside duplicate_components make plan text blind to it."""
+    from mysql_cdc_spark.operators import corpus, dedup
+    from mysql_cdc_spark.queries import _docs
+
+    lsh_calls, cc_calls = [], []
+    orig_lsh, orig_cc = dedup.minhash_lsh_pairs, corpus.duplicate_components
+
+    def spy_lsh(docs, *a, **k):
+        lsh_calls.append(docs)
+        return orig_lsh(docs, *a, **k)
+
+    def spy_cc(docs, pairs=None, *a, **k):
+        cc_calls.append(docs)
+        return orig_cc(docs, pairs, *a, **k)
+
+    monkeypatch.setattr(dedup, "minhash_lsh_pairs", spy_lsh)
+    monkeypatch.setattr(corpus, "duplicate_components", spy_cc)
+
+    docs = _docs(spark, sf_dir)
+    base = docs.filter("doc_id % 10 != 0")
+    delta = docs.filter("doc_id % 10 = 0")
+    labels = orig_cc(base, orig_lsh(base)).localCheckpoint()
+    lsh_calls.clear(); cc_calls.clear()
+
+    out = corpus.incremental_components(base, delta, base_labels=labels)
+    assert out.count() == docs.count()
+    assert len(lsh_calls) == 1                # delta-internal only
+    assert lsh_calls[0] is delta
+    assert len(cc_calls) == 1                 # condensed graph only
+    assert cc_calls[0] is not base and cc_calls[0] is not docs
+
+    # And the registered query wires the persisted labels through a
+    # materialization boundary (localCheckpoint → ExistingRDD scan).
+    assert "ExistingRDD" in _plan(spark, sf_dir, "llm_incremental_components")
+
+
 def test_span_censor_spans_join_not_forced(spark, sf_dir):
     """censor_dup_spans' spans side grows with duplicated-text volume;
     the join must be an un-hinted equi-join so AQE can shuffle it at
