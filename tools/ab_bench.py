@@ -39,9 +39,78 @@ def _load_queries(root: str):
     return q
 
 
+def decode_ab(old_root: str, new_root: str, rounds: int) -> None:
+    """A/B the pure byte-codec hot loop (no Spark): one binlog byte
+    fixture (built once, decoded identically by both sides), timed
+    interleaved best-of-N.  Isolates the decode_rows_per_sec metric
+    from ambient Spark/VM swings — bench.py's decode rate is derived
+    from the cdc_envelope query wall, which the headline A/B already
+    covers; THIS covers the binlog_codec.py row loop the r9 branches
+    (collation lookup, MINIMAL bitmaps, ROWS_QUERY) actually touched."""
+    q = _load_queries(new_root)
+    from mysql_cdc_spark.sources.binlog_codec import (  # noqa: PLC0415
+        TYPE_LONG, TYPE_NEWDECIMAL, TYPE_VARCHAR, WRITE_ROWS_EVENT,
+        UPDATE_ROWS_EVENT, BinlogWriter, TableDef,
+    )
+
+    t = TableDef(
+        "foo", "auto",
+        [(TYPE_LONG, None), (TYPE_NEWDECIMAL, (12, 4)), (TYPE_VARCHAR, 50)],
+    )
+    cat = {("foo", "auto"): ["id", "val", "word"]}
+    w = BinlogWriter()
+    n_rows = 0
+    for batch in range(200):
+        w.write_table_map(t, ts=batch)
+        rows = [[batch * 100 + i, f"{i}.5000", f"word{i}"] for i in range(100)]
+        w.write_rows(WRITE_ROWS_EVENT, t, rows, ts=batch)
+        w.write_rows(
+            UPDATE_ROWS_EVENT, t,
+            [(r, [r[0], f"{i}.7500", f"w{i}"]) for i, r in enumerate(rows[:50])],
+            ts=batch,
+        )
+        w.write_xid(batch, ts=batch)
+        n_rows += 150
+    data = w.getvalue()
+
+    def run_side(root: str) -> float:
+        qq = _load_queries(root)
+        from mysql_cdc_spark.sources.binlog_codec import decode_binlog  # noqa: PLC0415
+        t0 = time.perf_counter()
+        evs = decode_binlog(data, cat)
+        dt = time.perf_counter() - t0
+        assert len(evs) > 0
+        return dt
+
+    best = {"a": float("inf"), "b": float("inf")}
+    sides = {"a": old_root, "b": new_root}
+    for side, root in sides.items():          # warm
+        run_side(root)
+    for r in range(rounds):
+        order = ["a", "b"] if r % 2 == 0 else ["b", "a"]
+        for side in order:
+            best[side] = min(best[side], run_side(sides[side]))
+    print(json.dumps({
+        "metric": "decode_ab",
+        "fixture_rows": n_rows,
+        "bytes": len(data),
+        "a_sec": round(best["a"], 4),
+        "b_sec": round(best["b"], 4),
+        "a_rows_per_sec": round(n_rows / best["a"]),
+        "b_rows_per_sec": round(n_rows / best["b"]),
+        "ratio_b_over_a": round(best["b"] / best["a"], 3),
+        "rounds": rounds,
+    }))
+
+
 def main() -> None:
-    old_root, new_root = sys.argv[1], sys.argv[2]
-    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 6
+    argv = [a for a in sys.argv[1:] if a != "--decode"]
+    if "--decode" in sys.argv:
+        old_root, new_root = argv[0], argv[1]
+        decode_ab(old_root, new_root, int(argv[2]) if len(argv) > 2 else 9)
+        return
+    old_root, new_root = argv[0], argv[1]
+    rounds = int(argv[2]) if len(argv) > 2 else 6
     sf_dir = "/root/testdata/sf0.1"
 
     # One shared session for both sides (the whole point): same JVM,
