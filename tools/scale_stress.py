@@ -81,14 +81,10 @@ def main() -> None:
 # Usage: python tools/scale_stress.py dedup [K]
 # ---------------------------------------------------------------------------
 
-def dedup_soak(k: int) -> None:
+def _build_adversarial_corpus(spark, k: int) -> Path:
+    """Near-dup-copy corpus: duplication DENSITY grows ~K× (every doc
+    gains K-1 close neighbors), shared by dedup_soak and density_soak."""
     from pyspark.sql import functions as F
-
-    from mysql_cdc_spark.queries import QUERIES
-    from mysql_cdc_spark.session import get_spark
-
-    spark = get_spark("stress-dedup")
-    spark.sparkContext.setLogLevel("ERROR")
 
     out = Path(SCRATCH) / f"corpus_x{k}"
     if not (out / "_done").exists():
@@ -130,8 +126,17 @@ def dedup_soak(k: int) -> None:
             str(out / "embeddings.parquet")
         )
         (out / "_done").touch()
+    return out
 
-    sf_dir = str(out)
+
+def dedup_soak(k: int) -> None:
+    from mysql_cdc_spark.queries import QUERIES
+    from mysql_cdc_spark.session import get_spark
+
+    spark = get_spark("stress-dedup")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf_dir = str(_build_adversarial_corpus(spark, k))
     names = ["llm_dedup_minhash", "llm_dedup_jaccard", "llm_cross_dup",
              "llm_ann_lsh", "llm_knn"]
     walls = {}
@@ -267,10 +272,65 @@ def organic_soak(k: int) -> None:
     }))
 
 
+# ---------------------------------------------------------------------------
+# Adversarial DENSITY soak (VERDICT r9 #7): grow duplication density,
+# not just size — every copy is a near-dup of the original (one extra
+# leading token, the dedup_soak corpus), so true pair/span volume grows
+# ~K× per doc while the corpus grows K×.  Runs the r9 span/censor/
+# incremental family and reports walls AND output rows at base vs K:
+# the caps (max_pairs_per_doc / max_matches_per_delta) must bound
+# output growth, and walls must track output, when true dup volume —
+# not data size — explodes.
+# Usage: python tools/scale_stress.py density [K]
+# ---------------------------------------------------------------------------
+
+
+def density_soak(k: int) -> None:
+    from mysql_cdc_spark.queries import QUERIES
+    from mysql_cdc_spark.session import get_spark
+
+    spark = get_spark("stress-density")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out = _build_adversarial_corpus(spark, k)
+
+    names = [
+        "llm_dup_span_ranges", "llm_span_censor",
+        "llm_incremental_neardup", "llm_incremental_components",
+    ]
+    report = {}
+    for sf_dir, tag in ((BASE, "base"), (str(out), f"{k}x")):
+        for name in names:
+            df = QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()   # warm
+            best = float("inf")
+            rows = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                rows = QUERIES[name](spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+            report.setdefault(name, {})[tag] = {
+                "wall": round(best, 3), "rows": rows,
+            }
+    print(json.dumps({
+        "mode": "density_soak", "k": k,
+        "report": report,
+        "ratios": {
+            n: {
+                "wall": round(r[f"{k}x"]["wall"] / r["base"]["wall"], 2),
+                "rows": round(r[f"{k}x"]["rows"] / max(r["base"]["rows"], 1), 2),
+            }
+            for n, r in report.items()
+        },
+    }))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "dedup":
         dedup_soak(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
     elif len(sys.argv) > 1 and sys.argv[1] == "organic":
         organic_soak(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+    elif len(sys.argv) > 1 and sys.argv[1] == "density":
+        density_soak(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
     else:
         main()
