@@ -241,7 +241,7 @@ def organic_soak(k: int) -> None:
     names = list(HEADLINE) + [
         "llm_dedup_jaccard", "llm_incremental_neardup",
         "llm_dup_span_ranges", "llm_perplexity_filter",
-        "ts_downsample_lttb",
+        "ts_downsample_lttb", "llm_span_censor",
     ]
     walls = {}
     for name in names:
@@ -304,11 +304,16 @@ def density_soak(k: int) -> None:
             df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()   # warm
             best = float("inf")
-            rows = None
             for _ in range(2):
                 t0 = time.perf_counter()
-                rows = QUERIES[name](spark, sf_dir).count()
+                # noop WRITE, not count(): count() lets Catalyst prune
+                # expensive output expressions (censor's clean_text),
+                # understating the wall ~15x.
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
                 best = min(best, time.perf_counter() - t0)
+            rows = QUERIES[name](spark, sf_dir).count()
             report.setdefault(name, {})[tag] = {
                 "wall": round(best, 3), "rows": rows,
             }
