@@ -664,3 +664,46 @@ def incremental_components(
         F.count(F.lit(1)).over(size_w).cast("bigint").alias("component_size"),
         (F.col("doc_id") == F.col("component")).alias("is_canonical"),
     )
+
+
+def corpus_diff(old_docs: DataFrame, new_docs: DataFrame) -> DataFrame:
+    """Dataset-versioning diff between two corpus snapshots: one row
+    per doc_id present in either version, labeled
+    added / removed / changed / unchanged by CONTENT (md5 of the
+    normalized text), with both versions' char counts.  The audit
+    step between crawl refreshes — what changed, what churned, how
+    much of the corpus is stable — that any production training-data
+    pipeline runs before retraining on a new snapshot.
+
+    Spark shape: each side reduces to (doc_id, content hash, n_chars)
+    map-side, then ONE full-outer shuffle join on doc_id decides the
+    status per key — no content ever crosses the shuffle (hashes
+    only), so the exchange is a few dozen bytes per doc regardless of
+    document size.  At 100 TB both snapshots would be bucketed by
+    doc_id so repeated diffs (every refresh) skip the shuffle
+    entirely — same co-location argument as apply_changes.
+    """
+    def keyed(docs: DataFrame, side: str) -> DataFrame:
+        return docs.select(
+            "doc_id",
+            F.md5(F.lower(F.trim(F.col("text")))).alias(f"{side}_hash"),
+            F.col("n_chars").cast("bigint").alias(f"{side}_chars"),
+        )
+
+    o = keyed(old_docs, "old")
+    n = keyed(new_docs, "new")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") == F.col("new_hash"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        o.join(n, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            status.alias("status"),
+            "old_chars",
+            "new_chars",
+        )
+    )

@@ -2410,6 +2410,39 @@ def llm_incremental_components(spark, sf_dir):
     )
 
 
+@register(
+    "llm_corpus_diff",
+    "WITH oldv AS (SELECT doc_id, md5(lower(trim(text))) AS h, "
+    "CAST(n_chars AS BIGINT) AS c FROM documents WHERE doc_id % 11 <> 0), "
+    "newv AS (SELECT doc_id, md5(lower(trim("
+    "CASE WHEN doc_id % 7 = 0 THEN 'edit ' || text ELSE text END))) AS h, "
+    "CAST(n_chars AS BIGINT) AS c FROM documents WHERE doc_id % 13 <> 0) "
+    "SELECT COALESCE(oldv.doc_id, newv.doc_id) AS doc_id, "
+    "CASE WHEN oldv.h IS NULL THEN 'added' "
+    "WHEN newv.h IS NULL THEN 'removed' "
+    "WHEN oldv.h = newv.h THEN 'unchanged' ELSE 'changed' END AS status, "
+    "oldv.c AS old_chars, newv.c AS new_chars "
+    "FROM oldv FULL OUTER JOIN newv ON oldv.doc_id = newv.doc_id",
+)
+def llm_corpus_diff(spark, sf_dir):
+    """Snapshot-versioning diff between two corpus versions (the audit
+    before retraining on a crawl refresh): v1 drops every 11th doc
+    (appears as `added` in v2), v2 drops every 13th (`removed`) and
+    edits every 7th's text (`changed`); everything else `unchanged`.
+    One full-outer shuffle join on doc_id over per-side content
+    hashes — content never crosses the exchange
+    (corpus.corpus_diff)."""
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 11 != 0)
+    new = docs.filter(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.lit("edit "), F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus.corpus_diff(old, new)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns (functions/multimodal.py): binary payloads through
 # Arrow-batched mapInPandas.

@@ -384,3 +384,24 @@ class TestIncrementalComponents:
                 for k, v in persisted.items()} == \
                {k: (v["component"], v["component_size"], v["is_canonical"])
                 for k, v in inc.items()}
+
+
+class TestCorpusDiff:
+    def test_statuses_and_chars(self, spark):
+        from mysql_cdc_spark.operators import corpus as C
+
+        old = spark.createDataFrame(
+            [(1, "same text", 9), (2, "will change", 11), (3, "goes away", 9)],
+            "doc_id long, text string, n_chars long",
+        )
+        new = spark.createDataFrame(
+            [(1, "Same  Text".lower().replace("  ", " "), 9),
+             (2, "changed now", 11), (4, "brand new", 9)],
+            "doc_id long, text string, n_chars long",
+        )
+        got = {r["doc_id"]: r for r in C.corpus_diff(old, new).collect()}
+        assert got[1]["status"] == "unchanged"     # hash on normalized text
+        assert got[2]["status"] == "changed"
+        assert got[3]["status"] == "removed" and got[3]["new_chars"] is None
+        assert got[4]["status"] == "added" and got[4]["old_chars"] is None
+        assert got[2]["old_chars"] == 11 and got[2]["new_chars"] == 11
