@@ -65,6 +65,43 @@ def main() -> None:
         round(n_envelope / timings["cdc_envelope"]) if timings.get("cdc_envelope") else None
     )
 
+    # Pure byte-codec throughput (r10): decode_binlog on a fixed
+    # 30k-row byte fixture, best-of-3, no Spark involved.  The
+    # Spark-derived decode_rows_per_sec above inherits cdc_envelope's
+    # ambient cross-round swing (the r9 "all-time low" was exactly
+    # that — see PLANS.md round-10 decode A/B); this number isolates
+    # the actual codec hot loop.
+    from mysql_cdc_spark.sources.binlog_codec import (
+        TYPE_LONG, TYPE_NEWDECIMAL, TYPE_VARCHAR, UPDATE_ROWS_EVENT,
+        WRITE_ROWS_EVENT, BinlogWriter, TableDef, decode_binlog,
+    )
+
+    t = TableDef(
+        "foo", "auto",
+        [(TYPE_LONG, None), (TYPE_NEWDECIMAL, (12, 4)), (TYPE_VARCHAR, 50)],
+    )
+    cat = {("foo", "auto"): ["id", "val", "word"]}
+    w = BinlogWriter()
+    n_codec_rows = 0
+    for batch in range(200):
+        w.write_table_map(t, ts=batch)
+        rows = [[batch * 100 + i, f"{i}.5000", f"word{i}"] for i in range(100)]
+        w.write_rows(WRITE_ROWS_EVENT, t, rows, ts=batch)
+        w.write_rows(
+            UPDATE_ROWS_EVENT, t,
+            [(r, [r[0], f"{i}.7500", f"w{i}"]) for i, r in enumerate(rows[:50])],
+            ts=batch,
+        )
+        w.write_xid(batch, ts=batch)
+        n_codec_rows += 150
+    fixture = w.getvalue()
+    codec_best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        decode_binlog(fixture, cat)
+        codec_best = min(codec_best, time.perf_counter() - t0)
+    codec_rows_per_sec = round(n_codec_rows / codec_best)
+
     # Round 1's self-calibrated baseline (6.27s, BENCH_r01) covered
     # exactly these five queries; the headline set has since grown
     # (dedup/KNN/text shapes), so report the like-for-like subtotal
@@ -86,6 +123,7 @@ def main() -> None:
                 ),
                 "latency": latency,
                 "decode_rows_per_sec": decode_rows_per_sec,
+                "codec_rows_per_sec": codec_rows_per_sec,
                 "sf": sf,
             }
         )
