@@ -2887,6 +2887,38 @@ def ts_rollup_daily(spark, sf_dir):
     return timeseries.rollup_day_via_hierarchy(_events(spark, sf_dir))
 
 
+# Oracle-side Morton interleave via div/mod/multiply only — a
+# different operator family than the operator's shift/and build, so
+# the two sides don't share an expression generator.
+_Z_ORACLE_TERMS = " + ".join(
+    f"((u // {1 << j}) % 2) * {1 << (2 * j)} + "
+    f"((h // {1 << j}) % 2) * {1 << (2 * j + 1)}"
+    for j in range(8)
+)
+
+
+@register(
+    "ts_zorder_files",
+    "WITH k AS (SELECT user_id % 256 AS u, "
+    "CAST(epoch_us(ts) // 3600000000 AS BIGINT) % 256 AS h FROM events), "
+    f"z AS (SELECT u, h, {_Z_ORACLE_TERMS} AS zv FROM k) "
+    "SELECT CAST(zv // 1024 AS BIGINT) AS file_id, "
+    "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    "MIN(u) AS min_u, MAX(u) AS max_u, MIN(h) AS min_h, MAX(h) AS max_h "
+    "FROM z GROUP BY 1",
+)
+def ts_zorder_files(spark, sf_dir):
+    """Z-order (Morton-curve) file layout audit: every event lands in
+    one of 64 files by the bit-interleave of (user bucket, hour
+    bucket); output is each file's min/max per dimension — the footer
+    stats a two-predicate scan prunes on.  The operator interleaves
+    with shift/and, the oracle with div/mod — same curve, independent
+    expressions (operators/layout.py)."""
+    from mysql_cdc_spark.operators import layout
+
+    return layout.zorder_file_stats(_events(spark, sf_dir))
+
+
 @register("sk_hll_user_minutes", sketches.hll_user_minutes_oracle())
 def sk_hll_user_minutes(spark, sf_dir):
     """Deterministic HyperLogLog (m=1024, md5-hashed, integer register
