@@ -417,6 +417,39 @@ def dup_spans(docs: DataFrame, width: int = 8, k: int = 9) -> DataFrame:
     )
 
 
+def _band_rows(docs: DataFrame, side: str, k: int, bands: int) -> DataFrame:
+    """(doc → one row per LSH band) with the shingle set riding along:
+    the unit of both the probe side and the persisted index."""
+    rows_per_band = k // bands
+    sigs = minhash_signatures(docs, k)
+    return sigs.select(
+        F.col("doc_id").alias(f"{side}_id"),
+        "shingles",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    _band_key(b, rows_per_band).alias("band_hash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(f"{side}_id", "shingles", "bk.band", "bk.band_hash")
+
+
+def build_lsh_index(
+    base: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS
+) -> DataFrame:
+    """The persistable LSH index over an already-ingested corpus:
+    (base_id, shingles, band, band_hash) — compute once per corpus
+    build, write to a table partitioned/bucketed by (band, band_hash),
+    and hand to `incremental_neardup(base_index=...)` on every
+    subsequent ingest so delta batches probe it without re-signing the
+    base.  Pure function of the corpus; append-only under corpus
+    growth (new docs only add rows)."""
+    return _band_rows(base, "base", k, bands)
+
+
 def incremental_neardup(
     base: DataFrame,
     delta: DataFrame,
@@ -424,6 +457,7 @@ def incremental_neardup(
     bands: int = LSH_BANDS,
     threshold: float = JACCARD_THRESHOLD,
     max_matches_per_delta: int | None = None,
+    base_index: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental corpus dedup: near-dup matches of a DELTA batch
     against an existing BASE corpus — the production ingest shape
@@ -449,30 +483,23 @@ def incremental_neardup(
     (Broder resemblance + banding) re-expressed as two bucketed
     equi-joins.
     """
-    rows_per_band = k // bands
-
     def band_rows(docs: DataFrame, side: str) -> DataFrame:
-        sigs = minhash_signatures(docs, k)
-        return sigs.select(
-            F.col("doc_id").alias(f"{side}_id"),
-            "shingles",
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        _band_key(b, rows_per_band).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ])
-            ).alias("bk"),
-        ).select(f"{side}_id", "shingles", "bk.band", "bk.band_hash")
+        return _band_rows(docs, side, k, bands)
 
     # Candidate generation: delta probes the base index.  Shingle
     # arrays ride along on each side so the verify step needs no
     # second join back to the corpus (one shuffle on the band key,
     # then a groupBy on the pair key — no further scans).
     probe = band_rows(delta, "delta")
-    index = band_rows(base, "base")
+    # base_index = the PERSISTED LSH index (band rows written by the
+    # previous ingest run, schema: base_id, shingles, band, band_hash
+    # — exactly `build_lsh_index`'s output).  Supplying it makes the
+    # job's cost genuinely O(delta): the base corpus is never
+    # re-shingled or re-signed in this job, the same persisted-state
+    # pattern as `incremental_components(base_labels=...)`.  When
+    # omitted, the index is derived in-job (one-shot convenience /
+    # oracle form; identical join topology either way).
+    index = base_index if base_index is not None else band_rows(base, "base")
     cand = (
         probe.join(index, ["band", "band_hash"])
         .select(

@@ -1671,11 +1671,18 @@ def llm_incremental_neardup(spark, sf_dir):
     BASE corpus — delta bands equi-join the base LSH index, base x base
     and delta x delta pairs are never generated, exact Jaccard verifies
     candidates only.  The production shape for growing a deduped corpus
-    without re-running the full pairwise pass."""
+    without re-running the full pairwise pass.
+
+    The base LSH index is built FIRST and materialized with
+    localCheckpoint (in production: read back from the index table the
+    previous ingest wrote — dedup.build_lsh_index) so the incremental
+    job never re-signs the base corpus; a spy test in test_plans.py
+    pins that."""
     docs = _docs(spark, sf_dir)
     base = docs.filter(F.col("doc_id") % 10 != 0)
     delta = docs.filter(F.col("doc_id") % 10 == 0)
-    return dedup.incremental_neardup(base, delta)
+    index = dedup.build_lsh_index(base).localCheckpoint()
+    return dedup.incremental_neardup(base, delta, base_index=index)
 
 
 @register(

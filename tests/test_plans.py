@@ -101,6 +101,40 @@ def test_incremental_components_skips_base_lsh_with_persisted_labels(
     assert "ExistingRDD" in _plan(spark, sf_dir, "llm_incremental_components")
 
 
+def test_incremental_neardup_skips_base_signing_with_persisted_index(
+    spark, sf_dir, monkeypatch
+):
+    """With `base_index` supplied (dedup.build_lsh_index's output, the
+    persisted-index production shape), the incremental probe must not
+    re-shingle or re-sign the base corpus: minhash_signatures runs
+    exactly once, on the delta."""
+    from mysql_cdc_spark.operators import dedup
+    from mysql_cdc_spark.queries import _docs
+
+    docs = _docs(spark, sf_dir)
+    base = docs.filter("doc_id % 10 != 0")
+    delta = docs.filter("doc_id % 10 = 0")
+    index = dedup.build_lsh_index(base).localCheckpoint()
+
+    calls = []
+    orig = dedup.minhash_signatures
+
+    def spy(d, *a, **k):
+        calls.append(d)
+        return orig(d, *a, **k)
+
+    monkeypatch.setattr(dedup, "minhash_signatures", spy)
+    out = dedup.incremental_neardup(base, delta, base_index=index)
+    assert out.count() > 0
+    assert len(calls) == 1 and calls[0] is delta
+
+    # Results identical to the in-job-index convenience form.
+    monkeypatch.setattr(dedup, "minhash_signatures", orig)
+    inline = dedup.incremental_neardup(base, delta)
+    key = lambda r: (r["delta_id"], r["base_id"])
+    assert sorted(map(key, out.collect())) == sorted(map(key, inline.collect()))
+
+
 def test_span_censor_spans_join_not_forced(spark, sf_dir):
     """censor_dup_spans' spans side grows with duplicated-text volume;
     the join must be an un-hinted equi-join so AQE can shuffle it at
