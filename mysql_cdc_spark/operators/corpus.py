@@ -127,16 +127,22 @@ def duplicate_components(
     canonical flag — the step that turns PAIRS into KEEP/DROP
     decisions for an actual dedup pass.
 
-    Algorithm: iterative min-label propagation.  Each round is one
-    shuffle join (labels ⇢ neighbors) + a min-aggregate; rounds needed
-    = graph diameter, and near-dup clusters are small and dense in
-    practice (diameter 1-3).  `localCheckpoint` truncates the plan
-    lineage each round so the iteration count doesn't compound the
-    DAG.  For adversarial path-shaped graphs the same loop slots in
-    the large-star/small-star alternation (O(log n) rounds, as in the
-    map-reduce connected-components literature); not needed for dup
-    clusters.  Convergence is detected by a changed-label count — the
-    one intentional driver-side scalar per round.
+    Algorithm: iterative min-label propagation WITH pointer jumping.
+    Each round is (a) one shuffle join (labels ⇢ neighbors) + a
+    min-aggregate, then (b) a shortcut join label := label(label) —
+    every doc re-points at its current label's own label, which can
+    only be ≤ it.  Plain propagation needs diameter rounds (an
+    adversarial path-shaped dup chain of length 10^6 would blow any
+    iteration cap); the shortcut halves remaining path length every
+    round, so convergence is O(log diameter) — the standard
+    pointer-doubling bound from the PRAM/map-reduce CC literature
+    (same effect as Kiveris et al.'s star contractions, one join
+    simpler).  Near-dup clusters are small and dense in practice
+    (diameter 1-3) where the shortcut is a no-op that costs one extra
+    tiny join.  `localCheckpoint` truncates the plan lineage each
+    round so the iteration count doesn't compound the DAG.
+    Convergence is detected by a changed-label count — the one
+    intentional driver-side scalar per round.
     """
     if pairs is None:
         from mysql_cdc_spark.operators.dedup import minhash_lsh_pairs
@@ -157,14 +163,25 @@ def duplicate_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
+        stepped = labels.join(nbr_min, labels.doc_id == nbr_min.src, "left").select(
+            "doc_id",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("nbr_component"), F.col("component")),
+            ).alias("component"),
+        )
+        # pointer jumping: component := component's own component.
+        # label(label) ≤ label always (labels are min-monotone), so
+        # this only accelerates; on a path it halves the remaining
+        # distance to the root each round.
+        parent = stepped.select(
+            F.col("doc_id").alias("p_id"), F.col("component").alias("p_comp")
+        )
         new_labels = (
-            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            stepped.join(parent, stepped.component == parent.p_id, "left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
+                F.coalesce(F.col("p_comp"), F.col("component")).alias("component"),
             )
             .localCheckpoint(eager=True)
         )

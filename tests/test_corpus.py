@@ -405,3 +405,15 @@ class TestCorpusDiff:
         assert got[3]["status"] == "removed" and got[3]["new_chars"] is None
         assert got[4]["status"] == "added" and got[4]["old_chars"] is None
         assert got[2]["old_chars"] == 11 and got[2]["new_chars"] == 11
+
+
+def test_components_long_path_converges_via_pointer_jumping(spark):
+    """A 200-node path has diameter 199: plain min-propagation would
+    blow the 25-round cap, pointer jumping must land it in O(log n)
+    rounds.  (This is the adversarial dup-chain shape — A~B~C~...
+    where consecutive docs are near-dups but the ends share nothing.)"""
+    docs = _docs_df(spark, 200)
+    pairs = _pairs_df(spark, [(i, i + 1) for i in range(199)])
+    got = {r["doc_id"]: (r["component"], r["component_size"])
+           for r in corpus.duplicate_components(docs, pairs).collect()}
+    assert all(got[i] == (0, 200) for i in range(200))
