@@ -233,18 +233,35 @@ def synth_real_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.mapInPandas(gen, schema)
 
 
-def extract_decoded_features(media: DataFrame) -> DataFrame:
+def extract_decoded_features(media: DataFrame, on_error: str = "raise") -> DataFrame:
     """Feature extraction over REAL bytes: decode each payload with the
     PNG/WAV/AVI codecs and emit decoded-domain features — the full
     encode→bytes→decode→features path running Arrow-batched on
     executors (no fakes anywhere).  Video emits the all-frame pixel
-    sum in px_sum and the frame count in n_samples."""
+    sum in px_sum and the frame count in n_samples.
+
+    ``on_error='quarantine'`` completes the dead-letter contract
+    across the media surface (image/audio dedup already have it): an
+    undecodable payload of ANY modality becomes a row with all-NULL
+    features instead of killing the pass; valid rows are unaffected.
+    """
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be raise|quarantine, got {on_error!r}")
+    import struct as _struct
+    import zlib as _zlib
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
-                d = decode_media(bytes(payload), str(kind))
+                try:
+                    d = decode_media(bytes(payload), str(kind))
+                except (ValueError, _struct.error, IndexError, EOFError,
+                        _zlib.error):
+                    if on_error == "raise":
+                        raise
+                    rows.append((mid, kind, None, None, None, None, None))
+                    continue
                 if kind == "image":
                     w, h, _ch, pixels = d
                     rows.append((mid, kind, w, h, sum(pixels), None, None))

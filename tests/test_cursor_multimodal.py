@@ -343,3 +343,29 @@ class TestImageDedupQuarantine:
         for r in v:
             groups.setdefault(r["media_id"] % 50, set()).add(r["keep_perceptual"])
         assert all(len(k) == 1 for k in groups.values())
+
+
+def test_decoded_features_quarantine_any_modality(spark):
+    """extract_decoded_features completes the media dead-letter
+    surface: one torn payload of any modality yields an all-NULL
+    feature row under quarantine and an exception under raise."""
+    from mysql_cdc_spark.functions.media_codecs import encode_png, encode_wav
+
+    good_png = encode_png(3, 2, bytes(range(18)))
+    good_wav = encode_wav([1, -2, 3, -4])
+    rows = [
+        (1, "image", bytearray(good_png)),
+        (2, "audio", bytearray(good_wav)),
+        (3, "image", bytearray(good_png[:20])),      # torn mid-IHDR
+        (4, "audio", bytearray(good_wav[:24])),      # torn mid-fmt
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    got = {r["media_id"]: r
+           for r in mm.extract_decoded_features(df, on_error="quarantine").collect()}
+    assert got[1]["px_sum"] == sum(range(18))
+    assert got[2]["n_samples"] == 4 and got[2]["sample_sum"] == -2
+    for bad in (3, 4):
+        assert got[bad]["px_sum"] is None and got[bad]["n_samples"] is None
+        assert got[bad]["kind"] in ("image", "audio")   # input kind kept
+    with pytest.raises(Exception):
+        mm.extract_decoded_features(df).collect()
