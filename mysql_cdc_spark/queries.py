@@ -2458,6 +2458,91 @@ def llm_corpus_diff(spark, sf_dir):
 _HEXVAL = "(instr('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
 
 
+# V2-snapshot variant of the shingle→band CTE chain: same pipeline,
+# but over the edited/filtered second corpus version.
+_V2_BAND_CTE = _BAND_CTE.replace(
+    "WITH norm AS (SELECT doc_id, lower(trim(text)) AS norm_text FROM documents), ",
+    "WITH v2 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'edit ' || text "
+    "ELSE text END AS text FROM documents WHERE doc_id % 13 <> 0), "
+    "norm AS (SELECT doc_id, lower(trim(text)) AS norm_text FROM v2), ",
+)
+
+
+@register(
+    "llm_refresh_pipeline",
+    _V2_BAND_CTE
+    + ", v1h AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents "
+    "WHERE doc_id % 11 <> 0), "
+    "v2h AS (SELECT doc_id, md5(norm_text) AS h FROM norm), "
+    "st AS (SELECT v2h.doc_id, CASE WHEN v1h.h IS NULL THEN 'added' "
+    "WHEN v1h.h = v2h.h THEN 'unchanged' ELSE 'changed' END AS status "
+    "FROM v2h LEFT JOIN v1h ON v1h.doc_id = v2h.doc_id), "
+    "delta AS (SELECT doc_id, status FROM st WHERE status <> 'unchanged'), "
+    "bse AS (SELECT doc_id FROM st WHERE status = 'unchanged'), "
+    "cand AS (SELECT DISTINCT a.doc_id AS delta_id, bb.doc_id AS base_id "
+    "FROM bandrows a JOIN delta d ON a.doc_id = d.doc_id "
+    "JOIN bandrows bb ON a.band = bb.band AND a.band_hash = bb.band_hash "
+    "JOIN bse ON bb.doc_id = bse.doc_id), "
+    "ver AS (SELECT delta_id, base_id, jac FROM ("
+    "  SELECT c.delta_id, c.base_id, "
+    "  CAST(len(list_intersect(sd.shingles, sb.shingles)) AS DOUBLE) / "
+    "  CAST(len(sd.shingles) + len(sb.shingles) "
+    "   - len(list_intersect(sd.shingles, sb.shingles)) AS DOUBLE) AS jac "
+    "  FROM cand c JOIN sh sd ON sd.doc_id = c.delta_id "
+    "  JOIN sh sb ON sb.doc_id = c.base_id"
+    f") WHERE jac >= {dedup.JACCARD_THRESHOLD}), "
+    "top AS (SELECT delta_id, base_id, jac FROM ("
+    "  SELECT *, ROW_NUMBER() OVER (PARTITION BY delta_id "
+    "  ORDER BY jac DESC, base_id) AS rn FROM ver) WHERE rn = 1) "
+    "SELECT d.doc_id, d.status, "
+    "CASE WHEN top.base_id IS NULL THEN 'keep' ELSE 'drop_dup' END AS action, "
+    "top.base_id AS dup_of, top.jac AS jaccard "
+    "FROM delta d LEFT JOIN top ON top.delta_id = d.doc_id",
+)
+def llm_refresh_pipeline(spark, sf_dir):
+    """The composed INCREMENTAL corpus-refresh loop — the production
+    sequence every crawl refresh runs, stitched from this round's
+    pieces: (1) `corpus_diff` labels the new snapshot against the old
+    one (hashes only across the shuffle); (2) only added/changed docs
+    form the delta; (3) the delta probes the persisted LSH index of
+    the unchanged base (`build_lsh_index` + `incremental_neardup
+    (base_index=...)` — the base is never re-signed); (4) each delta
+    doc gets a keep / drop_dup decision with its best base match.
+    Unchanged docs cost one hash compare; total work is O(new
+    snapshot scan + delta) — never O(corpus pairs)."""
+    docs = _docs(spark, sf_dir)
+    v1 = docs.filter(F.col("doc_id") % 11 != 0)
+    v2 = docs.filter(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.lit("edit "), F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    diff = corpus.corpus_diff(v1, v2).filter(F.col("status") != "removed")
+    base = v2.join(
+        diff.filter(F.col("status") == "unchanged").select("doc_id"), "doc_id"
+    )
+    delta = v2.join(
+        diff.filter(F.col("status") != "unchanged").select("doc_id", "status"),
+        "doc_id",
+    )
+    index = dedup.build_lsh_index(base).localCheckpoint()
+    matches = dedup.incremental_neardup(
+        base, delta, max_matches_per_delta=1, base_index=index
+    ).select(
+        F.col("delta_id").alias("doc_id"), "base_id", "jaccard"
+    )
+    return delta.select("doc_id", "status").join(matches, "doc_id", "left").select(
+        "doc_id",
+        "status",
+        F.when(F.col("base_id").isNull(), F.lit("keep"))
+        .otherwise(F.lit("drop_dup"))
+        .alias("action"),
+        F.col("base_id").alias("dup_of"),
+        "jaccard",
+    )
+
+
 @register(
     "mm_media_features",
     "WITH m AS (SELECT event_id, md5(CAST(event_id AS VARCHAR)) AS h FROM events) "
