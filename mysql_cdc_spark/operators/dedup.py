@@ -266,21 +266,41 @@ def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     Features are the distinct word-3-gram shingles (single tokens are
     too coarse on a small shared vocabulary: near-identical token SETS
     collapse every signature together and the LSH bands degenerate into
-    one giant bucket).  Feature md5s are computed ONCE (`transform`
-    over the shingle array), then each output bit is a majority vote
-    (`aggregate`) over those cached hashes — all array expressions, no
-    explode, no shuffle.
+    one giant bucket).  Bit j is the majority vote over the shingles'
+    md5s of hex-MSB-first bit j (bit 3-(j%4) of nibble j div 4 — the
+    same definition the oracle mirrors digit-by-digit).
+
+    Expression shape (r10): shingles EXPLODE and the votes are 64
+    map-side-combinable SUMs over codegen'd shift/mod scalars on two
+    32-bit halves of the md5 prefix.  The previous form — a
+    `transform(sequence(0,63))` lambda running an `aggregate` lambda
+    over the shingle array per bit — evaluated 64×|shingles|
+    interpreted higher-order calls per doc: 25 s at sf0.1 vs 0.9 s
+    for this shape (identical output, asserted in test_dedup).  The
+    one new shuffle (groupBy doc_id) carries two BIGINTs per shingle.
     """
-    hashed = with_shingles(docs).withColumn(
-        "thash", F.expr("transform(shingles, t -> md5(t))")
+    ex = (
+        with_shingles(docs)
+        .select("doc_id", F.explode_outer("shingles").alias("t"))
+        .withColumn("h", F.md5("t"))
+        .withColumn("hi", F.expr("cast(conv(substring(h, 1, 8), 16, 10) as bigint)"))
+        .withColumn("lo", F.expr("cast(conv(substring(h, 9, 8), 16, 10) as bigint)"))
     )
-    bit_expr = (
-        f"array_join(transform(sequence(0, {bits - 1}), j -> "
-        f"case when aggregate(thash, 0, (acc, h) -> acc + "
-        f"2 * ((shiftright(instr('{_HEX}', substring(h, 1 + (j div 4), 1)) - 1, "
-        f"3 - (j % 4))) % 2) - 1) >= 0 then '1' else '0' end), '')"
-    )
-    return hashed.select("doc_id", F.expr(bit_expr).alias("simhash"))
+    aggs = [F.count("t").alias("n")]
+    for j in range(bits):
+        src, sh = ("hi", 31 - j) if j < 32 else ("lo", 63 - j)
+        aggs.append(F.sum(F.expr(f"shiftright({src}, {sh}) % 2")).alias(f"c{j}"))
+    voted = ex.groupBy("doc_id").agg(*aggs)
+    # majority: vote_j = Σ(2·bit−1) = 2·c_j − n ≥ 0.  Empty shingle
+    # sets (docs under 3 tokens) have n=0, c=NULL→0: every vote is
+    # 0 ≥ 0 → all-ones, matching the old aggregate-over-empty form.
+    bit_cols = [
+        F.when(
+            2 * F.coalesce(F.col(f"c{j}"), F.lit(0)) >= F.col("n"), F.lit("1")
+        ).otherwise(F.lit("0"))
+        for j in range(bits)
+    ]
+    return voted.select("doc_id", F.concat(*bit_cols).alias("simhash"))
 
 
 def simhash_pairs(
@@ -557,22 +577,34 @@ def dup_span_ranges(docs: DataFrame, width: int = 8) -> DataFrame:
     equi-join back, and per-DOC windows for the island merge (bounded
     by document length, never global).  Output is bounded by the true
     duplicated-text volume, not by pair counts.
+
+    Expression shape matters 23× here (r10): the gram hash is
+    computed as a TOP-LEVEL scalar AFTER exploding position indices —
+    `md5(concat_ws(slice(...)))` inside a `transform` lambda runs on
+    Catalyst's interpreted higher-order-function path (5.6 s for the
+    same 235k grams at sf0.1; 0.24 s this way), while the post-explode
+    scalar stays in whole-stage codegen.
     """
-    grams = (
-        f"case when size(tokens) >= {width} then "
-        f"transform(sequence(1, size(tokens) - {width - 1}), "
-        f"i -> md5(concat_ws(' ', slice(tokens, i, {width})))) "
-        f"else array() end"
-    )
     from pyspark.sql import Window
 
     toks = normalized(spread_small_scan(docs)).withColumn(
         "tokens", F.split(F.col("norm_text"), r"\s+")
     )
-    pos = (
-        toks.withColumn("grams", F.expr(grams))
-        .select("doc_id", F.posexplode("grams").alias("p0", "ghash"))
-        .select("doc_id", (F.col("p0") + 1).alias("off"), "ghash")
+    # guarded sequence: sequence(1, size-w+1) would DESCEND for short
+    # docs (Spark generates [1, 0] for sequence(1, 0)); the case arm
+    # drops them before the explode instead of filtering bogus rows
+    positions = (
+        f"case when size(tokens) >= {width} then "
+        f"sequence(1, size(tokens) - {width - 1}) else array() end"
+    )
+    pos = toks.select(
+        "doc_id",
+        "tokens",
+        F.explode(F.expr(positions)).alias("off"),
+    ).select(
+        "doc_id",
+        "off",
+        F.md5(F.expr(f"concat_ws(' ', slice(tokens, off, {width}))")).alias("ghash"),
     )
     dfc = pos.groupBy("ghash").agg(F.count(F.lit(1)).alias("df"))
     hits = pos.join(dfc.filter(F.col("df") > 1), "ghash").select("doc_id", "off")

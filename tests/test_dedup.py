@@ -215,3 +215,29 @@ class TestCensorDupSpans:
             assert r["n_tokens"] - r["n_removed"] == len(r["clean_text"].split()) or (
                 r["clean_text"] == "" and r["n_tokens"] == r["n_removed"]
             )
+
+
+def test_simhash_rewrite_bit_identical_to_lambda_form(spark, sf_dir):
+    """r10 rewrite guard: the exploded-aggregation SimHash must equal
+    the original transform/aggregate lambda expression bit-for-bit on
+    real corpus text (the lambda form stays here as the spec)."""
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_spark.operators.dedup import _HEX, with_shingles
+    from mysql_cdc_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    hashed = with_shingles(docs).withColumn(
+        "thash", F.expr("transform(shingles, t -> md5(t))")
+    )
+    bit_expr = (
+        "array_join(transform(sequence(0, 63), j -> "
+        "case when aggregate(thash, 0, (acc, h) -> acc + "
+        f"2 * ((shiftright(instr('{_HEX}', substring(h, 1 + (j div 4), 1)) - 1, "
+        "3 - (j % 4))) % 2) - 1) >= 0 then '1' else '0' end), '')"
+    )
+    old = {r["doc_id"]: r["simhash"]
+           for r in hashed.select("doc_id", F.expr(bit_expr).alias("simhash")).collect()}
+    new = {r["doc_id"]: r["simhash"]
+           for r in dedup.simhash_signatures(docs).collect()}
+    assert old == new
