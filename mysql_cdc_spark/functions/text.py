@@ -283,7 +283,9 @@ def quality_classifier(docs: DataFrame) -> DataFrame:
     engine, no sigmoid needed for a threshold test.
     """
     w = classifier_weight_sql("t")
-    logit = f"aggregate(transform(tokens, t -> cast({w} as bigint)), 0L, (acc, x) -> acc + x)"
+    # single flat fold: the earlier transform-then-aggregate pair ran
+    # TWO interpreted lambda passes over every token array
+    logit = f"aggregate(tokens, 0L, (acc, t) -> acc + cast({w} as bigint))"
     return with_tokens(docs).select(
         "doc_id",
         F.size("tokens").cast("bigint").alias("n_tokens"),
