@@ -207,3 +207,33 @@ def distribution_drift(events: DataFrame) -> DataFrame:
         F.sum("n2").cast("bigint").alias("n2"),
         F.sum("term").cast("decimal(28,8)").cast("double").alias("psi"),
     )
+
+
+VALUE_BUCKET = 100.0
+
+
+def pseudonymize(events: DataFrame, salt: str = "export-v1") -> DataFrame:
+    """Privacy-safe export projection: the identifier column is
+    replaced by a salted deterministic token (md5(salt || ':' || id))
+    and the numeric value is generalized to a fixed-width bucket
+    floor.  Deterministic tokens keep JOINS and GROUP BYs working
+    across exported tables (the same user maps to the same token
+    everywhere this salt is used) while the raw identifier never
+    leaves the cluster; rotating the salt unlinks releases from each
+    other.  Companion to the k-anonymity audit: that one decides WHAT
+    may be released, this one produces the release.
+
+    Narrow plan — one md5 + integer floor per row, no shuffle; at
+    100 TB this is a pure map stage appended to whatever scan feeds
+    the export.
+    """
+    return events.select(
+        F.md5(F.concat(F.lit(salt), F.lit(":"), F.col("user_id").cast("string"))).alias(
+            "user_token"
+        ),
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        (F.floor(F.col("value") / F.lit(VALUE_BUCKET)) * F.lit(VALUE_BUCKET))
+        .cast("double")
+        .alias("value_bucket"),
+    )

@@ -4314,6 +4314,22 @@ def dq_k_anonymity(spark, sf_dir):
     return profiling.k_anonymity(_events(spark, sf_dir))
 
 
+@register(
+    "dq_pseudonymize",
+    "SELECT md5('export-v1:' || CAST(user_id AS VARCHAR)) AS user_token, "
+    "event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+    "CAST(floor(value / 100.0) * 100.0 AS DOUBLE) AS value_bucket "
+    "FROM events",
+)
+def dq_pseudonymize(spark, sf_dir):
+    """Privacy-safe export projection: salted deterministic user
+    tokens (joins/groupings still work across exports under one salt;
+    rotating the salt unlinks releases) + fixed-width value
+    generalization — the release step after the k-anonymity audit
+    decides what may leave (profiling.pseudonymize)."""
+    return profiling.pseudonymize(_events(spark, sf_dir))
+
+
 @register("ts_ewma", timeseries.ewma_oracle_sql())
 def ts_ewma(spark, sf_dir):
     """Per-key truncated EWMA (8 terms, λ=1/2): the sequential
