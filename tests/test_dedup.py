@@ -241,3 +241,24 @@ def test_simhash_rewrite_bit_identical_to_lambda_form(spark, sf_dir):
     new = {r["doc_id"]: r["simhash"]
            for r in dedup.simhash_signatures(docs).collect()}
     assert old == new
+
+
+def test_lsh_index_parquet_round_trip(spark, sf_dir, tmp_path):
+    """The persisted-index contract end-to-end: build_lsh_index written
+    to parquet by one 'ingest', read back by the next, must probe to
+    the identical matches as the in-job index (band hashes, shingle
+    arrays, and types all survive the write/read)."""
+    from mysql_cdc_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.filter("doc_id % 10 != 0")
+    delta = docs.filter("doc_id % 10 = 0")
+
+    path = str(tmp_path / "lsh_index.parquet")
+    dedup.build_lsh_index(base).write.mode("overwrite").parquet(path)
+    persisted = spark.read.parquet(path)
+
+    via_disk = dedup.incremental_neardup(base, delta, base_index=persisted)
+    inline = dedup.incremental_neardup(base, delta)
+    key = lambda r: (r["delta_id"], r["base_id"], r["common"])
+    assert sorted(map(key, via_disk.collect())) == sorted(map(key, inline.collect()))
