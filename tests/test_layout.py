@@ -53,3 +53,43 @@ def test_two_predicate_pruning_beats_linear_layout(spark):
     # every hour-file spans (almost) the whole user range -> user
     # predicate prunes nothing
     assert all(r["max_u"] - r["min_u"] >= 60 for r in linear)
+
+
+def test_zorder_write_produces_prunable_footer_stats(spark, tmp_path):
+    """The write path end-to-end: range-partitioned z-sorted parquet
+    files must carry tight per-file (u, h) min/max in their FOOTERS —
+    the stats a file-skipping reader consults — and a two-predicate
+    point lookup must match only a small fraction of files."""
+    import pyarrow.parquet as pq
+    from mysql_cdc_spark.operators.layout import zorder_write
+
+    path = str(tmp_path / "zorder")
+    zorder_write(_grid_events(spark), path, files=16)
+
+    import glob
+    stats = []
+    for f in glob.glob(path + "/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins = {"u": None, "h": None}
+        maxs = {"u": None, "h": None}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                name = col.path_in_schema
+                if name in mins and col.statistics is not None:
+                    s = col.statistics
+                    mins[name] = s.min if mins[name] is None else min(mins[name], s.min)
+                    maxs[name] = s.max if maxs[name] is None else max(maxs[name], s.max)
+        if mins["u"] is not None:
+            stats.append((mins["u"], maxs["u"], mins["h"], maxs["h"]))
+    assert len(stats) >= 8                     # real multi-file layout
+    # 16 files over the 64x64 grid -> each file's z range spans a
+    # bounded rectangle; footer spans must be far below the full range
+    for mu, xu, mh, xh in stats:
+        assert xu - mu <= 32 and xh - mh <= 32
+    # two-predicate point lookup: footer stats alone must prune to
+    # at most 2 of 16 files (boundary files can straddle)
+    u0, h0 = 21, 13
+    touched = [s for s in stats if s[0] <= u0 <= s[1] and s[2] <= h0 <= s[3]]
+    assert 1 <= len(touched) <= 2
