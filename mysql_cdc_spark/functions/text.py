@@ -150,17 +150,19 @@ def top_ngrams(docs: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
     intermediate shuffle), one explode, one map-side-combined count,
     TakeOrdered top-k with a total order (count desc, ngram asc)."""
     # Guarded: Spark's sequence(1, k) DESCENDS for k < 1, so short rows
-    # must yield an empty array, not a bogus descending range.
+    # must yield an empty array, not a bogus descending range.  The
+    # gram string is built AFTER the explode as a top-level codegen
+    # scalar — building it inside a transform() lambda runs on the
+    # interpreted higher-order path (the r10 dup_span_ranges finding).
     grams = with_tokens(docs).select(
+        "tokens",
         F.explode(
             F.expr(
                 f"case when size(tokens) >= {n} then "
-                f"transform(sequence(1, size(tokens) - {n - 1}), "
-                f"i -> concat_ws(' ', slice(tokens, i, {n}))) "
-                f"else array() end"
+                f"sequence(1, size(tokens) - {n - 1}) else array() end"
             )
-        ).alias("ngram")
-    )
+        ).alias("i"),
+    ).select(F.expr(f"concat_ws(' ', slice(tokens, i, {n}))").alias("ngram"))
     return (
         grams.groupBy("ngram")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
