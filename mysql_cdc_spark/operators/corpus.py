@@ -724,3 +724,34 @@ def corpus_diff(old_docs: DataFrame, new_docs: DataFrame) -> DataFrame:
             "new_chars",
         )
     )
+
+
+def truncate_docs(docs: DataFrame, max_tokens: int = 4096) -> DataFrame:
+    """Length-cap guard: documents over `max_tokens` whitespace tokens
+    are truncated to exactly `max_tokens` (token-aligned, single
+    spaces after normalization).  The pathological-row mitigation for
+    every token-array operator in this repo: one multi-GB document is
+    a single UNSPLITTABLE row — its token array lands in one task's
+    memory no matter how the table is partitioned — so a real
+    pipeline caps length before tokenization-heavy stages (shingles,
+    spans, signatures) and keeps the tail auditable via the
+    was_truncated flag.  Narrow plan: split + slice + rejoin per row,
+    no shuffle.
+    """
+    toks = docs.withColumn(
+        "_toks", F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    )
+    return toks.select(
+        "doc_id",
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        (F.size("_toks") > max_tokens).alias("was_truncated"),
+        F.when(
+            F.size("_toks") > max_tokens,
+            F.array_join(F.slice("_toks", 1, max_tokens), " "),
+        )
+        .otherwise(F.array_join("_toks", " "))
+        .alias("text"),
+        F.least(F.size("_toks").cast("bigint"), F.lit(max_tokens).cast("bigint")).alias(
+            "kept_tokens"
+        ),
+    )

@@ -2544,6 +2544,25 @@ def llm_refresh_pipeline(spark, sf_dir):
 
 
 @register(
+    "llm_truncate_long_docs",
+    r"WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') "
+    "AS toks FROM documents) "
+    "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
+    "len(toks) > 64 AS was_truncated, "
+    "CASE WHEN len(toks) > 64 THEN array_to_string(toks[1:64], ' ') "
+    "ELSE array_to_string(toks, ' ') END AS text, "
+    "CAST(LEAST(len(toks), 64) AS BIGINT) AS kept_tokens FROM t",
+)
+def llm_truncate_long_docs(spark, sf_dir):
+    """Length-cap guard (corpus.truncate_docs, cap 64 for the fixture
+    scale): a multi-GB document is one UNSPLITTABLE row whose token
+    array lands in a single task no matter the partitioning, so real
+    pipelines cap documents before the tokenization-heavy stages;
+    the was_truncated flag keeps the cut tail auditable."""
+    return corpus.truncate_docs(_docs(spark, sf_dir), max_tokens=64)
+
+
+@register(
     "mm_media_features",
     "WITH m AS (SELECT event_id, md5(CAST(event_id AS VARCHAR)) AS h FROM events) "
     "SELECT event_id AS media_id, "
