@@ -417,3 +417,17 @@ def test_components_long_path_converges_via_pointer_jumping(spark):
     got = {r["doc_id"]: (r["component"], r["component_size"])
            for r in corpus.duplicate_components(docs, pairs).collect()}
     assert all(got[i] == (0, 200) for i in range(200))
+
+
+def test_truncate_docs_cap_and_flag(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))),
+         (2, "short doc"),
+         (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in corpus.truncate_docs(docs, max_tokens=4).collect()}
+    assert got[1]["was_truncated"] and got[1]["kept_tokens"] == 4
+    assert got[1]["text"] == "w0 w1 w2 w3" and got[1]["n_tokens"] == 10
+    assert not got[2]["was_truncated"] and got[2]["text"] == "short doc"
+    assert got[3]["n_tokens"] == 1          # split("") -> one empty token

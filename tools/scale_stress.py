@@ -297,6 +297,7 @@ def density_soak(k: int) -> None:
     names = [
         "llm_dup_span_ranges", "llm_span_censor",
         "llm_incremental_neardup", "llm_incremental_components",
+        "llm_corpus_diff", "llm_refresh_pipeline",
     ]
     report = {}
     for sf_dir, tag in ((BASE, "base"), (str(out), f"{k}x")):
