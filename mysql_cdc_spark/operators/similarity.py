@@ -619,3 +619,60 @@ def ann_ivfpq(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def embedding_covariance(emb: DataFrame) -> DataFrame:
+    """Exact integer second-moment accumulation over the quantized
+    embedding corpus: for every dimension pair i ≤ j, the count and
+    the sums (Σqᵢ, Σqⱼ, Σqᵢqⱼ) — everything a driver-side PCA / OPQ
+    rotation needs to form the d×d covariance matrix exactly.
+
+    This is the RIGHT split of PCA across a cluster at any corpus
+    size: the data-proportional part is one shuffle-free double
+    explode (per vector: dimension i, then the j ≥ i tail of the
+    array — upper triangle only) into a map-side-combined groupBy on
+    d(d+1)/2 keys; the eigendecomposition then runs on a constant
+    d×d matrix on the driver (`pca_rotation`), independent of corpus
+    size.  Integer sums over quantized values are exact and
+    order-independent, so the oracle matches bit-for-bit.
+    """
+    ex = quantized(emb).select(
+        "qv", F.posexplode("qv").alias("i", "vi")
+    )
+    pairs = ex.select(
+        "i",
+        "vi",
+        F.posexplode(F.expr("slice(qv, i + 1, size(qv) - i)")).alias("dj", "vj"),
+    ).select(
+        F.col("i").cast("bigint").alias("dim_i"),
+        (F.col("i") + F.col("dj")).cast("bigint").alias("dim_j"),
+        "vi",
+        "vj",
+    )
+    return pairs.groupBy("dim_i", "dim_j").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("vi").cast("bigint").alias("sum_i"),
+        F.sum("vj").cast("bigint").alias("sum_j"),
+        F.sum(F.col("vi") * F.col("vj")).cast("bigint").alias("sum_ij"),
+    )
+
+
+def pca_rotation(cov_rows: list) -> "object":
+    """Driver-side tail of distributed PCA: turn the exact
+    (dim_i, dim_j, n, sum_i, sum_j, sum_ij) rows from
+    `embedding_covariance` into an orthonormal rotation (numpy eigh
+    on the d×d covariance — a constant-size problem at any corpus
+    scale).  Returns the (d, d) array of eigenvectors as columns,
+    sorted by descending eigenvalue — the OPQ-style pre-rotation for
+    the PQ/IVFADC path."""
+    import numpy as np
+
+    d = int(max(r["dim_j"] for r in cov_rows)) + 1
+    cov = np.zeros((d, d))
+    for r in cov_rows:
+        i, j, n = int(r["dim_i"]), int(r["dim_j"]), int(r["n"])
+        c = r["sum_ij"] / n - (r["sum_i"] / n) * (r["sum_j"] / n)
+        cov[i, j] = cov[j, i] = c
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1]
+    return vecs[:, order]

@@ -1973,6 +1973,28 @@ def llm_semantic_dedup(spark, sf_dir):
     )
 
 
+@register(
+    "llm_embed_covariance",
+    _EMB_CTE
+    + ", e AS (SELECT vec_id, unnest(range(0, len(qv))) AS i, "
+    "unnest(qv) AS vi FROM q) "
+    "SELECT CAST(a.i AS BIGINT) AS dim_i, CAST(b.i AS BIGINT) AS dim_j, "
+    "CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(a.vi) AS BIGINT) AS sum_i, CAST(SUM(b.vi) AS BIGINT) AS sum_j, "
+    "CAST(SUM(a.vi * b.vi) AS BIGINT) AS sum_ij "
+    "FROM e a JOIN e b USING (vec_id) WHERE a.i <= b.i GROUP BY 1, 2",
+)
+def llm_embed_covariance(spark, sf_dir):
+    """Distributed half of PCA/OPQ over the embedding corpus: exact
+    integer second-moment sums per dimension pair (upper triangle),
+    one shuffle-free double explode + a map-side-combined groupBy on
+    d(d+1)/2 keys (similarity.embedding_covariance).  The
+    eigendecomposition consumes these on the driver as a constant
+    d x d problem (similarity.pca_rotation) — the correct
+    cluster/driver split at any corpus size."""
+    return similarity.embedding_covariance(_emb(spark, sf_dir))
+
+
 _IVF_CTE = _EMB_CTE + (
     ", cent AS (SELECT label, dim, CAST(floor(CAST(SUM(qval) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cq "
     "FROM (SELECT label, unnest(range(0, len(qv))) AS dim, unnest(qv) AS qval FROM q) GROUP BY label, dim), "

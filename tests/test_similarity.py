@@ -202,3 +202,33 @@ class TestAnnIvfPq:
             probed.setdefault(r["vec_id"], set()).add(r["cell"])
         for r in got:
             assert assign[r["neighbor_id"]] in probed[r["query_id"]]
+
+
+class TestPCARotation:
+    def test_rotation_orthonormal_and_variance_sorted(self, spark, sf_dir):
+        """Driver-side PCA tail: the rotation from the exact covariance
+        sums must be orthonormal, and projecting the corpus onto it
+        must yield per-dimension variances in descending order."""
+        import numpy as np
+
+        from mysql_cdc_spark.operators.similarity import (
+            embedding_covariance,
+            pca_rotation,
+            quantized,
+        )
+        from mysql_cdc_spark.sources.io import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        rows = embedding_covariance(emb).collect()
+        R = pca_rotation(rows)
+        d = R.shape[0]
+        assert R.shape == (d, d)
+        assert np.allclose(R.T @ R, np.eye(d), atol=1e-8)
+
+        X = np.array([r["qv"] for r in quantized(emb).select("qv").collect()],
+                     dtype=float)
+        proj_var = (X - X.mean(axis=0)).dot(R).var(axis=0)
+        assert all(proj_var[i] >= proj_var[i + 1] - 1e-6 for i in range(d - 1))
+        # the rotation concentrates variance: top component holds more
+        # than a uniform share
+        assert proj_var[0] > X.var(axis=0).mean()
