@@ -299,3 +299,16 @@ def test_media_dedup_caches_decoded_keys(spark, sf_dir):
         df._jdf.queryExecution(), "formatted"
     )
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+
+
+def test_hot_gram_paths_stay_codegen(spark, sf_dir):
+    """Regression guard for the r10 expression-shape findings: the
+    span/ngram gram hash must stay a post-explode top-level scalar
+    (no higher-order lambda anywhere in the plan), and simhash must
+    never re-grow its per-bit aggregate() fold (its one remaining
+    transform is the legitimate array-valued shingle build)."""
+    for name in ("llm_dup_span_ranges", "llm_top_ngrams"):
+        plan = _plan(spark, sf_dir, name)
+        assert "lambdafunction" not in plan.lower(), name
+    simhash_plan = _plan(spark, sf_dir, "llm_simhash")
+    assert "aggregate(" not in simhash_plan
