@@ -228,3 +228,66 @@ def test_tailer_quarantines_poison_and_keeps_tailing(tmp_path):
                           catalog=FIXTURE_CATALOG)
     with pytest.raises(ValueError, match="corrupt|columns"):
         strict.turn()
+
+
+def test_randomized_torn_write_schedule_exactly_once(log_dir):
+    """Property: a writer emitting the log in arbitrary chunk sizes —
+    every byte boundary a potential torn point, including mid-header,
+    mid-magic, and mid-rotate — with the tailer polling after every
+    chunk, must deliver every event exactly once, in order, across a
+    rotation.  Seeded multi-schedule sweep of the torn-tail + torn-
+    head hold-back machinery."""
+    import random
+
+    w1 = BinlogWriter()
+    expected = []
+    for batch in range(5):
+        w1.write_table_map(T3, ts=batch)
+        rows = [[batch * 10 + i, f"{i}.2500", f"b{batch}w{i}"] for i in range(4)]
+        w1.write_rows(WRITE_ROWS_EVENT, T3, rows, ts=batch)
+        w1.write_xid(batch, ts=batch)
+        expected += [
+            ("table_map", None),
+            ("write_rows", tuple(r[0] for r in rows)),
+            ("xid", None),
+        ]
+    w1.write_rotate("binlog.000002")
+    file1 = w1.getvalue()
+
+    w2 = BinlogWriter()
+    w2.write_table_map(T3, ts=99)
+    rows2 = [[900 + i, f"{i}.7500", f"z{i}"] for i in range(3)]
+    w2.write_rows(WRITE_ROWS_EVENT, T3, rows2, ts=99)
+    expected += [
+        ("table_map", None),
+        ("write_rows", tuple(r[0] for r in rows2)),
+    ]
+    file2 = w2.getvalue()
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        d = os.path.join(log_dir, f"s{seed}")
+        os.makedirs(d)
+        got = []
+
+        def sink(batch):
+            for ev in batch:
+                if ev["op"] == "write_rows":
+                    got.append(
+                        ("write_rows", tuple(r["id"] for r in ev["after"]))
+                    )
+                elif ev["op"] in ("table_map", "xid"):
+                    got.append((ev["op"], None))
+
+        tailer = BinlogTailer(d, "binlog.000001", sink, CAT)
+        for path, data in ((os.path.join(d, "binlog.000001"), file1),
+                           (os.path.join(d, "binlog.000002"), file2)):
+            written = 0
+            while written < len(data):
+                n = rng.randint(1, 37)
+                with open(path, "ab") as fh:
+                    fh.write(data[written:written + n])
+                written += n
+                tailer.turn()
+        tailer.turn()
+        assert got == expected, f"seed {seed}"
