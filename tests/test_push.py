@@ -472,3 +472,64 @@ def test_push_cursor_surfaces_tailer_error(tmp_path):
                 pass
     finally:
         d.stop()
+
+
+def test_journal_restart_at_random_boundaries_no_loss_no_dup(tmp_path):
+    """Durability property: the writer drips the log in random chunks
+    while the delivery is repeatedly drained, cleanly stopped, and
+    restarted from its journal at arbitrary boundaries (including
+    mid-event and across the rotation).  Clean drain-then-stop is the
+    documented exactly-once regime: the concatenated deliveries must
+    be the full event sequence with no loss and no duplicates."""
+    import random
+
+    w1 = BinlogWriter()
+    expected = []
+    for batch in range(4):
+        w1.write_table_map(_T, ts=batch)
+        rows = [[batch * 10 + i, f"{i}.5000", f"w{i}"] for i in range(3)]
+        w1.write_rows(WRITE_ROWS_EVENT, _T, rows, ts=batch)
+        w1.write_xid(batch, ts=batch)
+        expected += ["table_map"] + [("w", r[0]) for r in rows] + ["xid"]
+    w1.write_rotate("binlog.000002")
+    file1 = w1.getvalue()
+    w2 = BinlogWriter()
+    w2.write_table_map(_T, ts=9)
+    rows2 = [[77, "7.0000", "end"]]
+    w2.write_rows(WRITE_ROWS_EVENT, _T, rows2, ts=9)
+    expected += ["table_map", ("w", 77)]
+    file2 = w2.getvalue()
+
+    def drain(cur, got):
+        while cur.next(timeout=0.6):
+            ev = cur.current
+            if ev["op"] == "write_rows":
+                got.append(("w", int(ev["after"]["id"])))
+            elif ev["op"] in ("table_map", "xid"):
+                got.append(ev["op"])
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        d = tmp_path / f"s{seed}"
+        d.mkdir()
+        journal = str(d / "push.journal")
+        got: list = []
+        delivery = PushDelivery(str(d), "binlog.000001", _CAT,
+                                journal_path=journal).start()
+        chunk_i = 0
+        for fname, data in (("binlog.000001", file1), ("binlog.000002", file2)):
+            written = 0
+            while written < len(data):
+                n = rng.randint(1, 53)
+                with open(d / fname, "ab") as fh:
+                    fh.write(data[written:written + n])
+                written += n
+                chunk_i += 1
+                if chunk_i % 4 == 0:
+                    drain(delivery.cursor(), got)
+                    delivery.stop()
+                    delivery = PushDelivery(str(d), "binlog.000001", _CAT,
+                                            journal_path=journal).start()
+        drain(delivery.cursor(), got)
+        delivery.stop()
+        assert got == expected, f"seed {seed}"
