@@ -291,3 +291,54 @@ def test_randomized_torn_write_schedule_exactly_once(log_dir):
                 tailer.turn()
         tailer.turn()
         assert got == expected, f"seed {seed}"
+
+
+def test_randomized_torn_writes_with_crc32_framing(log_dir):
+    """The torn-write sweep over a CRC32-framed (MySQL >=5.6.6) log:
+    chunk boundaries can now also split the 4-byte CRC trailer, and
+    the FDE (which declares the algorithm) itself arrives torn — the
+    checksum auto-detect + verify + torn hold-back must compose to
+    exactly-once in-order delivery."""
+    import random
+
+    w = BinlogWriter(checksum="crc32")
+    expected = []
+    for batch in range(4):
+        w.write_table_map(T3, ts=batch)
+        rows = [[batch * 10 + i, f"{i}.2500", f"c{batch}w{i}"] for i in range(3)]
+        w.write_rows(WRITE_ROWS_EVENT, T3, rows, ts=batch)
+        w.write_xid(batch, ts=batch)
+        expected += [
+            ("table_map", None),
+            ("write_rows", tuple(r[0] for r in rows)),
+            ("xid", None),
+        ]
+    data = w.getvalue()
+
+    for seed in range(6):
+        rng = random.Random(1000 + seed)
+        d = os.path.join(log_dir, f"c{seed}")
+        os.makedirs(d)
+        got = []
+
+        def sink(batch):
+            for ev in batch:
+                if ev["op"] == "write_rows":
+                    got.append(
+                        ("write_rows", tuple(r["id"] for r in ev["after"]))
+                    )
+                elif ev["op"] in ("table_map", "xid"):
+                    got.append((ev["op"], None))
+
+        tailer = BinlogTailer(d, "binlog.000001", sink, CAT)
+        path = os.path.join(d, "binlog.000001")
+        written = 0
+        while written < len(data):
+            n = rng.randint(1, 29)
+            with open(path, "ab") as fh:
+                fh.write(data[written:written + n])
+            written += n
+            tailer.turn()
+        tailer.turn()
+        assert got == expected, f"seed {seed}"
+        assert tailer.checksum == "crc32"     # auto-detected from the FDE
