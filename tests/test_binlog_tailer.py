@@ -342,3 +342,69 @@ def test_randomized_torn_writes_with_crc32_framing(log_dir):
         tailer.turn()
         assert got == expected, f"seed {seed}"
         assert tailer.checksum == "crc32"     # auto-detected from the FDE
+
+
+def test_random_body_corruption_quarantines_exactly_one_event(log_dir):
+    """Fault-injection sweep: flip one random BODY byte of one random
+    non-FDE event in a CRC32-framed log (frame lengths stay intact, so
+    re-sync is well-defined — the same recovery contract a MySQL
+    replica has).  In quarantine mode the damaged event must
+    dead-letter and every OTHER event must still arrive in order."""
+    import random
+    import struct as _struct
+
+    w = BinlogWriter(checksum="crc32")
+    for batch in range(3):
+        w.write_table_map(T3, ts=batch)
+        w.write_rows(
+            WRITE_ROWS_EVENT, T3,
+            [[batch * 10 + i, f"{i}.2500", f"q{batch}w{i}"] for i in range(3)],
+            ts=batch,
+        )
+        w.write_xid(batch, ts=batch)
+    data = bytearray(w.getvalue())
+
+    # index event frames: (start, end) from the chained headers
+    frames = []
+    pos = 4
+    while pos + 19 <= len(data):
+        (elen,) = _struct.unpack_from("<I", data, pos + 9)
+        frames.append((pos, pos + elen))
+        pos += elen
+    non_fde = frames[1:]                       # frame 0 is the FDE
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        start, end = non_fde[rng.randrange(len(non_fde))]
+        # body byte past the 19-byte header, before the 4-byte CRC
+        flip_at = rng.randrange(start + 19, end - 4)
+        corrupted = bytearray(data)
+        corrupted[flip_at] ^= 0x5A
+
+        d = os.path.join(log_dir, f"f{seed}")
+        os.makedirs(d)
+        _write(d, "binlog.000001", bytes(corrupted))
+        got = []
+        tailer = BinlogTailer(
+            d, "binlog.000001",
+            lambda b: got.extend(b), CAT, on_error="quarantine",
+        )
+        tailer.turn()
+        quarantined = {e["offset"] for e in got if e["op"] == "quarantine"}
+        delivered = {e["offset"] for e in got if e["op"] != "quarantine"}
+        # the damaged frame itself always dead-letters
+        assert start in quarantined, f"seed {seed}"
+        # exactly-once accounting: every non-FDE frame is either
+        # delivered or quarantined, never both, never lost
+        assert quarantined | delivered == {s for s, _ in non_fde}, f"seed {seed}"
+        assert not (quarantined & delivered), f"seed {seed}"
+        # collateral quarantine is allowed ONLY for rows events that
+        # depended on a damaged table_map (no valid map to decode by)
+        collateral = quarantined - {start}
+        map_starts = {s for i, (s, _) in enumerate(non_fde) if i % 3 == 0}
+        if collateral:
+            assert start in map_starts, f"seed {seed}"
+            assert all(c > start for c in collateral), f"seed {seed}"
+        # order preserved among delivered events
+        good_offsets = [e["offset"] for e in got if e["op"] != "quarantine"]
+        assert good_offsets == sorted(good_offsets)
