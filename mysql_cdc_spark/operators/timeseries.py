@@ -697,3 +697,41 @@ WITH pts AS (
 )
 SELECT series, bucket_ts, ts, value FROM ranked WHERE rn = 1
 """.strip()
+
+
+def retention_cohorts(events: DataFrame, max_day: int = 14) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day; for each
+    (cohort, day-offset ≤ max_day) the distinct returning users and
+    the retention rate — the standard product-analytics matrix, and a
+    distinct relational shape from the funnel/session family (a
+    self-aggregation joined back on the derived cohort key).
+
+    Scale: first-activity is one map-side-combinable min-aggregate on
+    user_id; activity days dedup with the same key leading; the join
+    back is on user_id (co-partitioned with both aggregates, so AQE
+    reuses the exchange); the final matrix groupBy has at most
+    cohorts × max_day keys.  Rate = one IEEE division of exact
+    distinct counts — engine-identical.
+    """
+    day = F.date_trunc("day", F.col("ts"))
+    first = events.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    act = events.select("user_id", day.alias("day")).distinct()
+    mat = (
+        act.join(first, "user_id")
+        .withColumn("day_n", F.datediff("day", "cohort_day").cast("bigint"))
+        .filter(F.col("day_n") <= max_day)
+        .groupBy("cohort_day", "day_n")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_active"))
+    )
+    sizes = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    return mat.join(sizes, "cohort_day").select(
+        "cohort_day",
+        "day_n",
+        "n_active",
+        "n_users",
+        (F.col("n_active").cast("double") / F.col("n_users").cast("double")).alias(
+            "retention"
+        ),
+    )

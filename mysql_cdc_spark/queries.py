@@ -4371,6 +4371,29 @@ def dq_pseudonymize(spark, sf_dir):
     return profiling.pseudonymize(_events(spark, sf_dir))
 
 
+@register(
+    "ts_retention_cohorts",
+    "WITH f AS (SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day "
+    "FROM events GROUP BY 1), "
+    "a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events), "
+    "m AS (SELECT f.cohort_day, "
+    "CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS day_n, "
+    "CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active "
+    "FROM a JOIN f USING (user_id) "
+    "WHERE date_diff('day', f.cohort_day, a.day) <= 14 GROUP BY 1, 2), "
+    "s AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_users FROM f GROUP BY 1) "
+    "SELECT CAST(m.cohort_day AS TIMESTAMP) AS cohort_day, day_n, n_active, "
+    "n_users, CAST(n_active AS DOUBLE) / CAST(n_users AS DOUBLE) AS retention "
+    "FROM m JOIN s USING (cohort_day)",
+)
+def ts_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-activity day,
+    distinct returning users per (cohort, day-offset ≤ 14), rate = one
+    IEEE division of exact distinct counts
+    (timeseries.retention_cohorts)."""
+    return timeseries.retention_cohorts(_events(spark, sf_dir))
+
+
 @register("ts_ewma", timeseries.ewma_oracle_sql())
 def ts_ewma(spark, sf_dir):
     """Per-key truncated EWMA (8 terms, λ=1/2): the sequential
