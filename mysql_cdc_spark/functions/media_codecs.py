@@ -123,8 +123,16 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         elif f == 2:    # up
             cur = (rowa + prev) & 0xFF
         elif f in (3, 4):
+            # Pure-Python-int loop: bytearray indexing yields ints and
+            # prev is materialized via tolist(), so every operand is a
+            # Python int — immune to NumPy 2 (NEP 50) value-based
+            # promotion changes (np.uint8 + int would stay uint8 and
+            # wrap mod 256), and faster than per-element np-scalar
+            # indexing.  No closed-form scan exists for these filters:
+            # each byte depends nonlinearly (floor-div / argmin) on the
+            # just-reconstructed left neighbour.
             row = bytearray(arr[y, 1:].tobytes())
-            pv = prev.astype(np.uint8)
+            pv = prev.tolist()
             if f == 3:  # average
                 for i in range(stride):
                     a = row[i - channels] if i >= channels else 0
@@ -133,7 +141,7 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
                 for i in range(stride):
                     a = row[i - channels] if i >= channels else 0
                     c = pv[i - channels] if i >= channels else 0
-                    row[i] = (row[i] + _paeth(a, int(pv[i]), c)) & 0xFF
+                    row[i] = (row[i] + _paeth(a, pv[i], c)) & 0xFF
             cur = np.frombuffer(bytes(row), dtype=np.uint8).astype(np.int64)
         else:
             raise ValueError(f"unknown PNG filter type {f}")

@@ -272,13 +272,18 @@ def extract_decoded_features(media: DataFrame, on_error: str = "raise") -> DataF
                     w, h, n, frames = d
                     px = sum(sum(f) for f in frames)
                     rows.append((mid, kind, w, h, px, n, None))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "kind", "width", "height",
-                    "px_sum", "n_samples", "sample_sum",
-                ],
-            )
+            # Nullable Int64 built from the raw int/None lists,
+            # matching the image_dedup/audio_dedup contract:
+            # pd.DataFrame(list-of-tuples) would coerce the numeric
+            # columns (which hold per-kind Nones) to float64 and
+            # silently round values above 2^53.
+            cols = ["media_id", "kind", "width", "height",
+                    "px_sum", "n_samples", "sample_sum"]
+            by_col = list(zip(*rows)) if rows else [[]] * len(cols)
+            yield pd.DataFrame({
+                c: (pd.array(vals, dtype="Int64") if i >= 2 else list(vals))
+                for i, (c, vals) in enumerate(zip(cols, by_col))
+            })
 
     return media.mapInPandas(run, REAL_FEATURE_SCHEMA)
 

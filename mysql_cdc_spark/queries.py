@@ -2425,7 +2425,7 @@ def llm_incremental_components(spark, sf_dir):
     would be read back from a table written by the previous run) — so
     the incremental job's own plan contains no base-corpus LSH or CC
     stage; its cost is O(delta + touched components).
-    `tests/test_scale.py::test_incremental_components_plan_has_no_base_lsh`
+    `tests/test_plans.py::test_incremental_components_skips_base_lsh_with_persisted_labels`
     asserts exactly that on the executed plan."""
     from mysql_cdc_spark.operators.dedup import minhash_lsh_pairs
 

@@ -107,6 +107,45 @@ def test_png_all_filter_types_decode():
     assert list(pixels) == [v for r in rows for v in r]
 
 
+def test_png_avg_paeth_random_rgb_round_trip():
+    """Randomized RGB image with EVERY row filter 3 or 4, values chosen
+    so a + up routinely exceeds 255 — pins the decode arithmetic as
+    pure-Python-int (NEP-50-proof: under NumPy>=2, np.uint8 + int stays
+    uint8 and would wrap here) and the reconstruction bit-identical."""
+    import numpy as np
+
+    rng = np.random.default_rng(1234)
+    w, h, ch = 32, 24, 3
+    stride = w * ch
+    # bias high so left+up > 255 is common
+    target = rng.integers(100, 256, (h, stride)).tolist()
+
+    def pred4(a, b, c):
+        q = a + b - c
+        qa, qb, qc = abs(q - a), abs(q - b), abs(q - c)
+        if qa <= qb and qa <= qc:
+            return a
+        return b if qb <= qc else c
+
+    filtered = []
+    prev = [0] * stride
+    for y in range(h):
+        f = 3 if y % 2 == 0 else 4
+        cur = target[y]
+        enc = []
+        for i in range(stride):
+            a = cur[i - ch] if i >= ch else 0
+            c = prev[i - ch] if i >= ch else 0
+            p = (a + prev[i]) // 2 if f == 3 else pred4(a, prev[i], c)
+            enc.append((cur[i] - p) & 0xFF)
+        filtered.append((f, enc))
+        prev = cur
+    data = _manual_png(w, h, ch, filtered)
+    dw, dh, dch, pixels = decode_png(data)
+    assert (dw, dh, dch) == (w, h, ch)
+    assert list(pixels) == [v for r in target for v in r]
+
+
 @given(
     w=st.integers(1, 12),
     h=st.integers(1, 12),
