@@ -47,3 +47,49 @@ def get_spark(app_name: str = "mysql-cdc-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )
     return builder.getOrCreate()
+
+
+def scale_profile(input_bytes: int, cores: int) -> dict[str, str]:
+    """Shuffle/scan sizing as a function of input size and total cores —
+    the cluster-scale story made explicit instead of local[32] defaults.
+
+    Rules (standard public Spark sizing guidance, parameterized):
+
+    - **Scan splits** (`spark.sql.files.maxPartitionBytes`): 128 MiB
+      uniform splits, shrunk when the input is too small to give every
+      core ≥2 scan tasks (avoids idle cores at small SF), floored at
+      4 MiB so tiny fixtures don't explode into thousands of splits.
+    - **Shuffle partitions**: sized so one shuffle partition holds
+      ~128 MiB of input-proportional data, clamped to [2*cores, 200k];
+      at 100 TB / 1000 executors this lands ~800k→clamped 200k and AQE
+      coalesces down, which is the recommended high-initial +
+      runtime-coalesce pattern.
+    - **AQE advisory size** (`advisoryPartitionSizeInBytes`): 64 MiB —
+      the post-shuffle target AQE coalesces toward; independent of SF.
+    - **initialPartitionNum**: same as shuffle partitions so AQE starts
+      from the sized value rather than the static conf.
+
+    All keys are runtime-settable SQL confs, so the profile can be
+    applied to a live session (``apply_scale_profile``) — no rebuild.
+    """
+    mib = 1 << 20
+    target_split = 128 * mib
+    # ≥2 scan tasks per core when the data is small; 128 MiB otherwise.
+    split = max(4 * mib, min(target_split, input_bytes // (2 * cores) or 4 * mib))
+    shuffle_parts = max(2 * cores, min(200_000, (input_bytes + target_split - 1) // target_split))
+    return {
+        "spark.sql.files.maxPartitionBytes": str(int(split)),
+        "spark.sql.shuffle.partitions": str(int(shuffle_parts)),
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(int(shuffle_parts)),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(64 * mib),
+    }
+
+
+def apply_scale_profile(spark: SparkSession, input_bytes: int, cores: int | None = None) -> dict[str, str]:
+    """Apply ``scale_profile`` to a live session; returns what was set."""
+    if cores is None:
+        cores = spark.sparkContext.defaultParallelism
+    prof = scale_profile(input_bytes, cores)
+    for k, v in prof.items():
+        spark.conf.set(k, v)
+    return prof

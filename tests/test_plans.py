@@ -312,3 +312,84 @@ def test_hot_gram_paths_stay_codegen(spark, sf_dir):
         assert "lambdafunction" not in plan.lower(), name
     simhash_plan = _plan(spark, sf_dir, "llm_simhash")
     assert "aggregate(" not in simhash_plan
+
+
+def test_aqe_skew_join_split_fires(spark):
+    """The engine's skew story is AQE splitting (session.py enables it;
+    functions/skew.py salts the joins AQE can't reach).  This pins that
+    the split actually FIRES on a hot key: one key owning ~90% of a
+    sort-merge-joined fact side must show `SortMergeJoin(skew=true)` +
+    an `AQEShuffleRead skewed` in the FINAL adaptive plan (thresholds
+    lowered to fixture scale; detection logic itself is unchanged).
+    Note the split only applies when downstream does not reuse the
+    join's partitioning — the probe therefore has no same-key groupBy."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.shuffle.partitions": "8",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(120_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id") % 97).alias("k"),
+            F.lpad(F.col("id").cast("string"), 64, "x").alias("payload"),
+        )
+        dim = spark.range(97).select(F.col("id").alias("k"), F.col("id").alias("dval"))
+        j = fact.join(dim, "k")
+        assert len(j.collect()) == 120_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_scale_profile_sizing_and_application(spark):
+    """session.scale_profile sizes shuffle/scan confs from input bytes
+    and cores (the cluster-scale config story, r10 VERDICT #7): 128 MiB
+    scan splits shrunk so every core gets >=2 scan tasks at small SF,
+    shuffle partitions ~input/128MiB clamped to [2*cores, 200k], and
+    apply_scale_profile sets them on a LIVE session (all runtime-settable)."""
+    from mysql_cdc_spark.session import apply_scale_profile, scale_profile
+
+    mib = 1 << 20
+    small = scale_profile(64 * mib, 32)       # sf0.1-ish
+    assert int(small["spark.sql.files.maxPartitionBytes"]) == max(4 * mib, 64 * mib // 64)
+    assert int(small["spark.sql.shuffle.partitions"]) == 64  # floor 2*cores
+
+    big = scale_profile(100 * (1 << 40), 8000)  # the 100 TB target
+    assert int(big["spark.sql.files.maxPartitionBytes"]) == 128 * mib
+    assert int(big["spark.sql.shuffle.partitions"]) == 200_000  # clamped; AQE coalesces
+    assert big["spark.sql.adaptive.coalescePartitions.initialPartitionNum"] == big["spark.sql.shuffle.partitions"]
+
+    mid = scale_profile(10 * (1 << 30), 32)   # 10 GiB on local[32]
+    assert int(mid["spark.sql.files.maxPartitionBytes"]) == 128 * mib
+    assert int(mid["spark.sql.shuffle.partitions"]) == 80  # ceil(10GiB/128MiB)
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        applied = apply_scale_profile(spark, 10 * (1 << 30), cores=32)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == applied["spark.sql.shuffle.partitions"]
+        assert spark.conf.get("spark.sql.files.maxPartitionBytes") == applied["spark.sql.files.maxPartitionBytes"]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_split)
+        spark.conf.unset("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")

@@ -168,15 +168,16 @@ def dedup_soak(k: int) -> None:
 # ---------------------------------------------------------------------------
 
 
-def organic_soak(k: int) -> None:
+def ensure_organic(spark, k: int) -> str:
+    """Build (or reuse) the K× organic-growth fixture — K× DATA, not K×
+    duplication density: events shift keys/time per copy, document
+    copies get a per-copy token suffix on every word (vocabulary grows
+    K×, cross-copy pairs are NOT near-dups), embeddings are rotated by
+    a per-copy scalar.  Returns the fixture dir path."""
     from pyspark.sql import functions as F
 
-    from mysql_cdc_spark.queries import HEADLINE, QUERIES
-    from mysql_cdc_spark.session import get_spark
     from mysql_cdc_spark.sources.io import read_table
 
-    spark = get_spark("stress-organic")
-    spark.sparkContext.setLogLevel("ERROR")
     # Write timestamps as parquet timestamp[us], not INT96: pyarrow
     # reports INT96 as timestamp[ns], which would make read_table apply
     # its ns→us conversion to a column Spark already reads as TIMESTAMP.
@@ -233,8 +234,16 @@ def organic_soak(k: int) -> None:
             str(out / "embeddings.parquet")
         )
         (out / "_done").touch()
+    return str(out)
 
-    sf_dir = str(out)
+
+def organic_soak(k: int) -> None:
+    from mysql_cdc_spark.queries import HEADLINE, QUERIES
+    from mysql_cdc_spark.session import get_spark
+
+    spark = get_spark("stress-organic")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = ensure_organic(spark, k)
     # r9: the newest pair/scan operators ride along so every soak row
     # covers them (incremental LSH probe, span extraction, LM scoring,
     # LTTB argmax) alongside the headline set.
