@@ -55,6 +55,31 @@ def main() -> None:
 
     latency = measure_latency(spark, turns=20)
 
+    # Stateful state-store A/B (r10 VERDICT #8): the same stateful
+    # streaming drain (latest-state replay — arbitrary stateful op,
+    # state size ∝ key cardinality) under the default on-heap provider
+    # vs the bundled RocksDB provider (the 100-TB state-size story:
+    # RocksDB keeps state off-heap/on-disk per executor).  The drain
+    # includes fixture scan + stream start overhead on both sides, so
+    # the DELTA is the provider cost.
+    _key = "spark.sql.streaming.stateStore.providerClass"
+    _rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    stateful_ab: dict[str, float] = {}
+    for tag, provider in (("default", None), ("rocksdb", _rocks)):
+        if provider is None:
+            spark.conf.unset(_key)
+        else:
+            spark.conf.set(_key, provider)
+        t0 = time.perf_counter()
+        QUERIES["cdc_stream_latest_state"](spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        stateful_ab[tag] = round(time.perf_counter() - t0, 4)
+    spark.conf.unset(_key)
+
     # Decode throughput (BASELINE.md metric 1): envelope events/sec
     # through the full scan→explode→project pipeline (4 events per
     # source row), from the measured envelope wall.
@@ -122,6 +147,7 @@ def main() -> None:
                     sum(timings[q] for q in baseline5 if q in timings), 4
                 ),
                 "latency": latency,
+                "stateful_state_store_sec": stateful_ab,
                 "decode_rows_per_sec": decode_rows_per_sec,
                 "codec_rows_per_sec": codec_rows_per_sec,
                 "sf": sf,

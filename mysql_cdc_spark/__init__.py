@@ -13,8 +13,11 @@ Layout:
     session.py     — tuned SparkSession builder (AQE, Arrow, shuffle sizing)
     api.py         — JDBC-style driver surface (connection/statement/
                      cursor, batch + continuous streaming queries)
-    queries.py     — driver-facing registry: every operator as a
-                     (spark, sf_dir) -> DataFrame with a DuckDB oracle
+    queries/       — driver-facing registry: every operator as a
+                     (spark, sf_dir) -> DataFrame with a DuckDB oracle,
+                     split by domain (cdc/stream/binlog/llm/ts/sk/sql/
+                     dq/mm) with the frozen registration order and the
+                     rotation policy in _registry.py / rotation.py
     sources/
         events_cdc.py     — derived change-event stream (envelope + explode)
         io.py             — fixture readers (ns-timestamp handling)

@@ -1,0 +1,836 @@
+"""binlog query registrations (split from queries.py; registration order is governed by _registry.REGISTRATION_ORDER)."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from mysql_cdc_spark.queries._registry import register  # noqa: E402
+from mysql_cdc_spark.queries._shared import (  # noqa: E402
+    _FIXTURE_VERSION,
+    _STREAM_TMP,
+    _drain,
+)
+
+
+
+# ---------------------------------------------------------------------------
+# Binlog byte codec end-to-end (sources/binlog_codec.py + binlog_source
+# .py): events → REAL binlog bytes (driver-side encode) → binaryFile +
+# mapInPandas decode on executors → envelope, hash-checked against the
+# same derivation done in SQL.  This exercises D1-D12 (headers,
+# table-map, row bitfields/null maps, packed decimal, packed ints).
+# ---------------------------------------------------------------------------
+
+_BINLOG_ORACLE = """
+WITH ev AS (
+  SELECT event_id,
+         CASE WHEN user_id % 2 = 0 THEN 'foo' ELSE 'bench' END AS db,
+         CASE WHEN user_id % 2 = 0 THEN 'auto' ELSE 'big' END AS tbl,
+         CAST(event_id % 97 AS BIGINT) AS row_id,
+         CASE WHEN event_type IN ('signup','purchase') THEN 'write_rows'
+              WHEN event_type IN ('click','view') THEN 'update_rows'
+              ELSE 'delete_rows' END AS row_op,
+         printf('%d.%04d', event_id % 100000, event_id % 10000) AS val,
+         printf('%d.%04d', (event_id+1) % 100000, (event_id+3) % 10000) AS val_before,
+         CASE WHEN event_id % 10 = 0 THEN NULL ELSE event_type END AS word,
+         CASE WHEN event_id % 50 = 0
+                THEN CASE WHEN (event_id // 50) % 2 = 0
+                       THEN 'ALTER TABLE ' || db || '.' || tbl || ' ADD COLUMN c'
+                            || CAST((event_id // 50) % 3 AS VARCHAR) || ' INT'
+                       ELSE 'ALTER TABLE ' || db || '.' || tbl || ' DROP COLUMN c'
+                            || CAST((event_id // 50) % 3 AS VARCHAR) END
+              WHEN event_type IN ('signup','purchase')
+                THEN 'INSERT INTO ' || db || '.' || tbl || ' (id, value) VALUES (?, ?)'
+              WHEN event_type IN ('click','view')
+                THEN 'UPDATE ' || db || '.' || tbl || ' SET value = ? WHERE id = ?'
+              ELSE 'DELETE FROM ' || db || '.' || tbl || ' WHERE id = ?' END AS sql_text
+  FROM events
+)
+SELECT * FROM (
+  SELECT CAST(event_id*4 AS BIGINT) AS seq, 'query' AS op, db,
+         CAST(NULL AS VARCHAR) AS tbl, CAST(NULL AS BIGINT) AS xid, sql_text AS "sql",
+         CAST(NULL AS BIGINT) AS before_id, CAST(NULL AS VARCHAR) AS before_val,
+         CAST(NULL AS VARCHAR) AS before_word,
+         CAST(NULL AS BIGINT) AS after_id, CAST(NULL AS VARCHAR) AS after_val,
+         CAST(NULL AS VARCHAR) AS after_word,
+         CAST(event_id % 100000 AS BIGINT) AS thread_id,
+         CAST(event_id % 3600 AS BIGINT) AS exec_time,
+         CAST(CASE WHEN event_id % 1000 = 0 THEN 1062 ELSE 0 END AS BIGINT) AS error_code
+  FROM ev
+  UNION ALL
+  SELECT CAST(event_id*4+1 AS BIGINT), 'table_map', db, tbl, NULL, NULL,
+         NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+  FROM ev
+  UNION ALL
+  SELECT CAST(event_id*4+2 AS BIGINT), row_op, db, tbl, NULL, NULL,
+         CASE WHEN row_op = 'write_rows' THEN NULL ELSE row_id END,
+         CASE WHEN row_op = 'write_rows' THEN NULL
+              WHEN row_op = 'update_rows' THEN val_before ELSE val END,
+         CASE WHEN row_op = 'write_rows' THEN NULL ELSE word END,
+         CASE WHEN row_op = 'delete_rows' THEN NULL ELSE row_id END,
+         CASE WHEN row_op = 'delete_rows' THEN NULL ELSE val END,
+         CASE WHEN row_op = 'delete_rows' THEN NULL ELSE word END,
+         NULL, NULL, NULL
+  FROM ev
+  UNION ALL
+  SELECT CAST(event_id*4+3 AS BIGINT), 'xid', CAST(NULL AS VARCHAR), NULL,
+         CAST(event_id AS BIGINT), NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+         NULL, NULL, NULL
+  FROM ev
+)
+""".strip()
+
+
+def _binlog_envelope_projected(
+    spark, sf_dir, prefix: str, checksum: str | None = None, gtid: bool = False,
+    rows_v2: bool = False, payload_zstd: bool = False, row_image: str = "full",
+):
+    """Shared body of cdc_binlog_envelope / cdc_binlog_crc32 /
+    cdc_binlog_gtid / cdc_binlog_rows_v2: generate the byte fixture
+    (legacy, CRC32-, GTID- or rows-v2-framed), decode, project the
+    envelope with a global seq across rotated files (events-per-
+    transaction varies: 4 legacy, 5 with GTID)."""
+    import pathlib
+
+    from mysql_cdc_spark.sources import binlog_source as bs
+
+    per_txn = 5 if gtid else 4
+    out_dir = pathlib.Path(_STREAM_TMP) / f"{prefix}_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
+    if not any(out_dir.glob("binlog.*")):
+        bs.generate_binlog_from_events(
+            sf_dir, str(out_dir), checksum=checksum, gtid=gtid, rows_v2=rows_v2,
+            payload_zstd=payload_zstd, row_image=row_image,
+        )
+    env = bs.read_binlog_envelope(spark, str(out_dir))
+    # Global event number across rotated files: each log file holds
+    # ROTATE_EVERY source events × per_txn envelope events, so
+    # seq_global = file_index * (per_txn * ROTATE_EVERY) + seq_in_file.
+    # Keeps the oracle's per_txn*event_id+k numbering valid at any
+    # scale factor while the sf0.01 gate spans several files (parallel
+    # decode + rotation exercised in the oracle path itself).
+    env = env.withColumn(
+        "seq",
+        F.regexp_extract("log_file", r"binlog\.(\d+)", 1).cast("bigint")
+        * (per_txn * bs.ROTATE_EVERY)
+        + F.col("seq"),
+    )
+    return env.select(
+        "seq",
+        "op",
+        "db",
+        "tbl",
+        "xid",
+        "sql",
+        F.element_at("before", "id").cast("bigint").alias("before_id"),
+        F.element_at("before", "val").alias("before_val"),
+        F.element_at("before", "word").alias("before_word"),
+        F.element_at("after", "id").cast("bigint").alias("after_id"),
+        F.element_at("after", "val").alias("after_val"),
+        F.element_at("after", "word").alias("after_word"),
+        "thread_id",
+        "exec_time",
+        "error_code",
+    )
+
+
+# binlog_row_image=MINIMAL oracle: inserts keep the full image; update
+# before-images carry only the PK, after-images only the changed
+# column; delete images only the PK.  Derived from _BINLOG_ORACLE by
+# rewriting the rows-event branch.
+_BINLOG_MINIMAL_ORACLE = _BINLOG_ORACLE.replace(
+    """  SELECT CAST(event_id*4+2 AS BIGINT), row_op, db, tbl, NULL, NULL,
+         CASE WHEN row_op = 'write_rows' THEN NULL ELSE row_id END,
+         CASE WHEN row_op = 'write_rows' THEN NULL
+              WHEN row_op = 'update_rows' THEN val_before ELSE val END,
+         CASE WHEN row_op = 'write_rows' THEN NULL ELSE word END,
+         CASE WHEN row_op = 'delete_rows' THEN NULL ELSE row_id END,
+         CASE WHEN row_op = 'delete_rows' THEN NULL ELSE val END,
+         CASE WHEN row_op = 'delete_rows' THEN NULL ELSE word END,
+         NULL, NULL, NULL
+  FROM ev""",
+    """  SELECT CAST(event_id*4+2 AS BIGINT), row_op, db, tbl, NULL, NULL,
+         CASE WHEN row_op = 'write_rows' THEN NULL ELSE row_id END,
+         CAST(NULL AS VARCHAR),
+         CAST(NULL AS VARCHAR),
+         CASE WHEN row_op = 'write_rows' THEN row_id END,
+         CASE WHEN row_op = 'delete_rows' THEN NULL ELSE val END,
+         CASE WHEN row_op = 'write_rows' THEN word END,
+         NULL, NULL, NULL
+  FROM ev""",
+)
+assert _BINLOG_MINIMAL_ORACLE != _BINLOG_ORACLE
+
+
+@register("cdc_binlog_minimal", _BINLOG_MINIMAL_ORACLE)
+def cdc_binlog_minimal(spark, sf_dir):
+    """binlog_row_image=MINIMAL fidelity path: update before-images
+    carry only the primary key, after-images only the changed column,
+    deletes only the PK — the decoder must surface absent columns as
+    NOT-IN-IMAGE (missing from the map → NULL projection), distinct
+    from SQL NULL, via the per-event used-column bitmaps.  Same
+    envelope projection as cdc_binlog_envelope over the minimal-image
+    fixture."""
+    return _binlog_envelope_projected(spark, sf_dir, "binlog_min", row_image="minimal")
+
+
+@register(
+    "cdc_binlog_rows_query",
+    "WITH ev AS (SELECT event_id, event_type, "
+    "  CASE WHEN user_id % 2 = 0 THEN 'foo' ELSE 'bench' END AS db, "
+    "  CASE WHEN user_id % 2 = 0 THEN 'auto' ELSE 'big' END AS tbl FROM events), "
+    "s AS (SELECT CASE "
+    "  WHEN event_type IN ('signup','purchase') "
+    "    THEN 'INSERT INTO ' || db || '.' || tbl || ' (id, value) VALUES (?, ?)' "
+    "  WHEN event_type IN ('click','view') "
+    "    THEN 'UPDATE ' || db || '.' || tbl || ' SET value = ? WHERE id = ?' "
+    "  ELSE 'DELETE FROM ' || db || '.' || tbl || ' WHERE id = ?' END AS stmt FROM ev) "
+    "SELECT stmt, CAST(COUNT(*) AS BIGINT) AS n_rows FROM s GROUP BY stmt",
+)
+def cdc_binlog_rows_query(spark, sf_dir):
+    """Statement attribution via ROWS_QUERY events
+    (binlog_rows_query_log_events=ON): the fixture interleaves the
+    original DML text between each statement's QUERY and TABLE_MAP —
+    even when the QUERY slot carries DDL — and the query carries each
+    decoded row image back to its originating statement with a
+    per-log-file last-non-null window (the file is the decode unit, so
+    the window never crosses the rotation boundary), then counts rows
+    per statement.  The reference decodes no ROWS_QUERY at all
+    (mysql_binlog.clj:222-259 dispatch)."""
+    import pathlib
+
+    from pyspark.sql import Window
+
+    from mysql_cdc_spark.sources import binlog_source as bs
+
+    out_dir = (
+        pathlib.Path(_STREAM_TMP)
+        / f"binlog_rq_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
+    )
+    if not any(out_dir.glob("binlog.*")):
+        bs.generate_binlog_from_events(sf_dir, str(out_dir), rows_query=True)
+    env = bs.read_binlog_envelope(spark, str(out_dir))
+    w = Window.partitionBy("log_file").orderBy("seq")
+    attributed = env.withColumn(
+        "stmt",
+        F.last(
+            F.when(F.col("op") == "rows_query", F.col("sql")), ignorenulls=True
+        ).over(w),
+    )
+    return (
+        attributed.filter(
+            F.col("op").isin("write_rows", "update_rows", "delete_rows")
+        )
+        .groupBy("stmt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+
+
+@register("cdc_binlog_envelope", _BINLOG_ORACLE)
+def cdc_binlog_envelope(spark, sf_dir):
+    """Full binlog fidelity path: encode the derived change stream as
+    real v4 binlog BYTES, decode with the pure-Python codec via
+    binaryFile + mapInPandas, and project the envelope.  The oracle
+    re-derives the same records relationally — so every header, packed
+    int, bitfield, null map and packed decimal must round-trip."""
+    return _binlog_envelope_projected(spark, sf_dir, "binlog")
+
+
+# GTID-framed variant of the envelope oracle: 5 events per txn
+# (gtid, query, table_map, rows, xid) — derived from _BINLOG_ORACLE by
+# renumbering the seq arithmetic and adding the closed-form gtid block
+# (gno = event_id + 1 on a fixed server UUID).
+_BINLOG_GTID_ORACLE = (
+    _BINLOG_ORACLE
+    .replace("event_id*4+3", "event_id*5+4")
+    .replace("event_id*4+2", "event_id*5+3")
+    .replace("event_id*4+1", "event_id*5+2")
+    .replace("event_id*4 AS BIGINT", "event_id*5+1 AS BIGINT")
+    .rstrip()
+    .removesuffix(")")
+    + """  UNION ALL
+  SELECT CAST(event_id*5 AS BIGINT), 'gtid', CAST(NULL AS VARCHAR), NULL,
+         NULL, '3e11fa47-71ca-11e1-9e33-c80aa9429562:' || CAST(event_id + 1 AS VARCHAR),
+         NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+  FROM ev
+)"""
+)
+
+
+@register("cdc_binlog_gtid", _BINLOG_GTID_ORACLE)
+def cdc_binlog_gtid(spark, sf_dir):
+    """GTID-framed byte path (MySQL ≥5.6 gtid_mode=ON): every
+    transaction is preceded by a GTID event carrying uuid:gno; the
+    decoder surfaces it as op='gtid' rows in the envelope, and the
+    oracle recomputes every gtid in closed form (gno = event_id + 1).
+    The reference has no GTID handling at all (mysql_binlog.clj
+    :222-259)."""
+    return _binlog_envelope_projected(spark, sf_dir, "binlog_gtid", gtid=True)
+
+
+@register("cdc_binlog_crc32", _BINLOG_ORACLE)
+def cdc_binlog_crc32(spark, sf_dir):
+    """CRC32-checksummed byte path (MySQL ≥5.6.6 binlog_checksum
+    framing — beyond BOTH the reference's 5.1 era, mysql_binlog.clj
+    :222-259, and the legacy fixture): every event carries a 4-byte
+    CRC32 trailer, the FDE declares the algorithm, and the decoder
+    must detect, verify and strip it — producing an envelope
+    IDENTICAL to the legacy path, so the unchanged relational oracle
+    is the equivalence proof."""
+    return _binlog_envelope_projected(spark, sf_dir, "binlog_crc32", checksum="crc32")
+
+
+@register("cdc_binlog_rows_v2", _BINLOG_ORACLE)
+def cdc_binlog_rows_v2(spark, sf_dir):
+    """MySQL >=5.6/8.0 rows-event framing (type codes 30/31/32 with the
+    2-byte extra-row-info post-header) — what every modern server
+    actually writes.  The decoder must recognize the v2 codes and skip
+    the extra-row-info payload; the envelope is IDENTICAL to the legacy
+    v1 path, so the unchanged relational oracle is the equivalence
+    proof (same pattern as cdc_binlog_crc32).  Independent real-format
+    coverage in tests/test_real_binlog.py."""
+    return _binlog_envelope_projected(spark, sf_dir, "binlog_v2", rows_v2=True)
+
+
+@register(
+    "cdc_binlog_partial_json",
+    """
+WITH ev AS (
+  SELECT event_id, ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS k FROM events
+)
+SELECT CAST(3*k+1 AS BIGINT) AS seq,
+       CAST(event_id % 97 AS BIGINT) AS id,
+       printf('{"a": %d, "b": "w%d"}', event_id % 50, event_id % 10) AS before_doc,
+       CASE WHEN event_id % 2 = 0
+            THEN printf('{"a": %d, "c": %d}', event_id % 7, event_id % 3)
+            ELSE printf('{"a": %d, "b": "u%d", "c": %d}',
+                        event_id % 7, event_id % 5, event_id % 3)
+       END AS after_doc,
+       printf('n%d', event_id % 4) AS note
+FROM ev
+""".strip(),
+)
+def cdc_binlog_partial_json(spark, sf_dir):
+    """PARTIAL_UPDATE_ROWS_EVENT (8.0 binlog_row_value_options=
+    PARTIAL_JSON, WL#2955): after-image JSON columns arrive as diff
+    vectors (replace/insert/remove + JSON path + binary-JSON value);
+    the decoder applies them to the before document so the envelope
+    surfaces the full after value.  The oracle recomputes both images
+    in closed form — proving diff parse, path navigation, and apply
+    semantics end-to-end.  Entirely beyond the reference's event set
+    (mysql_binlog.clj:222-259)."""
+    import pathlib
+
+    from mysql_cdc_spark.sources import binlog_source as bs
+
+    out_dir = pathlib.Path(_STREAM_TMP) / f"binlog_pjson_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
+    if not any(out_dir.glob("binlog.*")):
+        bs.generate_partial_json_binlog(sf_dir, str(out_dir))
+    env = bs.read_binlog_envelope(spark, str(out_dir))
+    seq_global = (
+        F.regexp_extract("log_file", r"binlog\.(\d+)", 1).cast("bigint")
+        * (3 * bs.ROTATE_EVERY)
+        + F.col("seq")
+    )
+    return env.filter(F.col("op") == "update_rows").select(
+        seq_global.alias("seq"),
+        F.element_at("after", "id").cast("bigint").alias("id"),
+        F.element_at("before", "doc").alias("before_doc"),
+        F.element_at("after", "doc").alias("after_doc"),
+        F.element_at("after", "note").alias("note"),
+    )
+
+
+@register("cdc_binlog_zstd", _BINLOG_ORACLE)
+def cdc_binlog_zstd(spark, sf_dir):
+    """ZSTD transaction compression (MySQL 8.0.20+
+    binlog_transaction_compression=ON): every transaction's events are
+    wrapped in one ZSTD-compressed TRANSACTION_PAYLOAD event.  The
+    decoder must parse the varint TLV header, zstd-decompress the
+    payload (via the pyarrow-bundled codec when no zstandard package
+    exists), and splice the embedded events — which carry no checksums
+    and foreign log_pos — into the stream with table-map threading.
+    The envelope is IDENTICAL to the uncompressed path, so the
+    unchanged relational oracle is the equivalence proof (the pattern
+    of cdc_binlog_crc32 / cdc_binlog_rows_v2).  Entirely beyond the
+    reference's 5.1-era event set (mysql_binlog.clj:222-259)."""
+    return _binlog_envelope_projected(
+        spark, sf_dir, "binlog_zstd", payload_zstd=True
+    )
+
+
+@register(
+    "cdc_binlog_typed_state",
+    """
+WITH ev AS (
+  SELECT event_id,
+         CAST(event_id % 97 AS BIGINT) AS id,
+         CAST(event_id*4+2 AS BIGINT) AS seq,
+         CASE WHEN event_type IN ('signup','purchase') THEN 'write_rows'
+              WHEN event_type IN ('click','view') THEN 'update_rows'
+              ELSE 'delete_rows' END AS row_op,
+         printf('%d.%04d', event_id % 100000, event_id % 10000) AS v,
+         CASE WHEN event_id % 10 = 0 THEN NULL ELSE event_type END AS w
+  FROM events WHERE user_id % 2 = 0
+)
+SELECT id, val, word, as_of_seq FROM (
+  SELECT id,
+         CASE WHEN row_op = 'delete_rows' THEN NULL ELSE v END AS val,
+         CASE WHEN row_op = 'delete_rows' THEN NULL ELSE w END AS word,
+         seq AS as_of_seq, row_op,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+  FROM ev
+) WHERE rn = 1 AND row_op <> 'delete_rows'
+""".strip(),
+)
+def cdc_binlog_typed_state(spark, sf_dir):
+    """Typed per-table view over the binlog-decoded MAP envelope
+    (dynamic→typed bridge), replayed into current state of foo.auto:
+    one max_by aggregation per key over the real byte-decoded stream."""
+    import pathlib
+
+    from mysql_cdc_spark.sources import binlog_source as bs
+
+    out_dir = pathlib.Path(_STREAM_TMP) / f"binlog_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
+    if not any(out_dir.glob("binlog.*")):
+        bs.generate_binlog_from_events(sf_dir, str(out_dir))
+    env = bs.read_binlog_envelope(spark, str(out_dir))
+    # Same global event numbering as cdc_binlog_envelope: replay order
+    # across rotated files must follow (file, seq_in_file).
+    env = env.withColumn(
+        "seq",
+        F.regexp_extract("log_file", r"binlog\.(\d+)", 1).cast("bigint")
+        * (4 * bs.ROTATE_EVERY)
+        + F.col("seq"),
+    )
+    typed = bs.typed_changes(
+        env, "foo", "auto", {"id": "bigint", "val": "string", "word": "string"}
+    )
+    keyed = typed.select(
+        F.coalesce("after_id", "before_id").alias("id"),
+        "seq",
+        "op",
+        F.col("after_val").alias("val"),
+        F.col("after_word").alias("word"),
+    )
+    return (
+        keyed.groupBy("id")
+        .agg(
+            F.expr("max_by(struct(val, word, op), seq)").alias("last"),
+            F.max("seq").alias("as_of_seq"),
+        )
+        .filter(F.col("last.op") != "delete_rows")
+        .select("id", F.col("last.val").alias("val"), F.col("last.word").alias("word"), "as_of_seq")
+    )
+
+
+@register(
+    "cdc_binlog_tags_typed",
+    """
+WITH ev AS (
+  SELECT event_id, ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS k FROM events
+)
+SELECT CAST(3*k+1 AS BIGINT) AS seq,
+       CAST(event_id % 97 AS BIGINT) AS id,
+       CASE WHEN event_id % 7 = 0 THEN NULL
+            ELSE CAST(1 + event_id % 5 AS INTEGER) END AS state_ordinal,
+       CAST(event_id % 16 AS BIGINT) AS flags_bits,
+       CAST(event_id % 4096 AS BIGINT) AS perms_bits
+FROM ev
+""".strip(),
+)
+def cdc_binlog_tags_typed(spark, sf_dir):
+    """Dynamic→typed bridge over ENUM/SET columns: the MAP envelope's
+    string payload cast to typed columns — ENUM ordinal to INT, SET
+    little-endian hex back to its BIGINT bitset (conv() reverses the
+    byte order; engine-neutral via the oracle's closed form)."""
+    import pathlib
+
+    from mysql_cdc_spark.sources import binlog_source as bs
+
+    out_dir = pathlib.Path(_STREAM_TMP) / f"binlog_enumset_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
+    if not any(out_dir.glob("binlog.*")):
+        bs.generate_enum_set_binlog(sf_dir, str(out_dir))
+    env = bs.read_binlog_envelope(spark, str(out_dir))
+
+    def hex_le_to_long(col: str):
+        # reverse the little-endian byte hex (pairs) then conv base 16
+        return F.expr(
+            "conv(array_join(reverse(transform("
+            f"  sequence(0, length(element_at(after, '{col}')) div 2 - 1),"
+            f"  i -> substring(element_at(after, '{col}'), i * 2 + 1, 2))), ''), 16, 10)"
+        ).cast("bigint")
+
+    # 3 envelope events per source row; global seq across the rotation
+    # chain (see cdc_binlog_enum_set).
+    seq_global = (
+        F.regexp_extract("log_file", r"binlog\.(\d+)", 1).cast("bigint")
+        * (3 * bs.ROTATE_EVERY)
+        + F.col("seq")
+    )
+    return env.filter(F.col("op") == "write_rows").select(
+        seq_global.alias("seq"),
+        F.element_at("after", "id").cast("bigint").alias("id"),
+        F.element_at("after", "state").cast("int").alias("state_ordinal"),
+        hex_le_to_long("flags").alias("flags_bits"),
+        hex_le_to_long("perms").alias("perms_bits"),
+    )
+
+
+@register("cdc_binlog_stream", _BINLOG_ORACLE)
+def cdc_binlog_stream(spark, sf_dir):
+    """The composed real-byte ingest path END-TO-END: byte binlog →
+    BinlogTailer incremental turns → parquet event-log appends →
+    file-stream source → memory sink.  Wires the reference's two
+    halves together (cdc-turn ingest, mysql_binlog.clj:907-919,
+    feeding the continuous query surface, jdbc.clj:164-185) and must
+    hash-match the same derivation done relationally — proving the
+    streaming composition loses/duplicates/reorders nothing."""
+    import pathlib
+    import shutil
+    import uuid
+
+    from mysql_cdc_spark.sources import binlog_source as bs
+    from mysql_cdc_spark.streaming import runtime as rt
+    from mysql_cdc_spark.streaming.binlog_tailer import BinlogTailer
+
+    binlog_dir = pathlib.Path(_STREAM_TMP) / f"binlog_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
+    if not any(binlog_dir.glob("binlog.*")):
+        bs.generate_binlog_from_events(sf_dir, str(binlog_dir))
+    first_log = sorted(p.name for p in binlog_dir.glob("binlog.*"))[0]
+
+    scratch = pathlib.Path(_STREAM_TMP) / f"blstream_{uuid.uuid4().hex[:10]}"
+    ev_dir = str(scratch / "event_log")
+    try:
+        tailer = BinlogTailer(
+            str(binlog_dir), first_log,
+            rt.binlog_event_log_fn(spark, ev_dir), bs.FIXTURE_CATALOG,
+        )
+        while tailer.turn():
+            pass  # drain every file (rotation chains follow automatically)
+        env = rt.open_binlog_stream(spark, ev_dir)
+        env = env.withColumn(
+            "seq",
+            F.regexp_extract("log_file", r"binlog\.(\d+)", 1).cast("bigint")
+            * (4 * bs.ROTATE_EVERY)
+            + F.col("seq"),
+        )
+        projected = env.select(
+            "seq", "op", "db", "tbl", "xid", "sql",
+            F.element_at("before", "id").cast("bigint").alias("before_id"),
+            F.element_at("before", "val").alias("before_val"),
+            F.element_at("before", "word").alias("before_word"),
+            F.element_at("after", "id").cast("bigint").alias("after_id"),
+            F.element_at("after", "val").alias("after_val"),
+            F.element_at("after", "word").alias("after_word"),
+            "thread_id", "exec_time", "error_code",
+        )
+        drained = _drain(projected)
+        # Materialize before removing the scratch source files: the
+        # memory sink already holds the rows; pin them via count().
+        drained.count()
+        return drained
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@register(
+    "cdc_binlog_enum_set",
+    """
+WITH ev AS (
+  SELECT event_id, ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS k FROM events
+)
+SELECT CAST(3*k+1 AS BIGINT) AS seq,
+       CAST(event_id % 97 AS BIGINT) AS id,
+       CASE WHEN event_id % 7 = 0 THEN NULL
+            ELSE CAST(1 + event_id % 5 AS VARCHAR) END AS state,
+       CAST(1 + event_id % 300 AS VARCHAR) AS wide,
+       printf('%02x', event_id % 16) AS flags,
+       printf('%02x%02x', (event_id % 4096) % 256, (event_id % 4096) // 256) AS perms
+FROM ev
+""".strip(),
+)
+def cdc_binlog_enum_set(spark, sf_dir):
+    """ENUM + SET columns through the full byte path (reference
+    read-type, mysql_binlog.clj:530-536): encode bench.tags (both ENUM
+    ordinal widths, both SET bitset widths, NULLable ENUM) as real
+    binlog bytes, decode via binaryFile + mapInPandas, and project the
+    after-images.  ENUM surfaces as its 1-based ordinal; SET as the
+    little-endian hex of its raw bitset bytes."""
+    import pathlib
+
+    from mysql_cdc_spark.sources import binlog_source as bs
+
+    out_dir = pathlib.Path(_STREAM_TMP) / f"binlog_enumset_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
+    if not any(out_dir.glob("binlog.*")):
+        bs.generate_enum_set_binlog(sf_dir, str(out_dir))
+    env = bs.read_binlog_envelope(spark, str(out_dir))
+    # 3 envelope events per source row (TABLE_MAP, WRITE_ROWS, XID);
+    # rotated files hold ROTATE_EVERY rows each, so seq_global =
+    # file_index * (3 * ROTATE_EVERY) + seq_in_file keeps the oracle's
+    # 3k+1 numbering valid across the rotation chain.
+    seq_global = (
+        F.regexp_extract("log_file", r"binlog\.(\d+)", 1).cast("bigint")
+        * (3 * bs.ROTATE_EVERY)
+        + F.col("seq")
+    )
+    return env.filter(F.col("op") == "write_rows").select(
+        seq_global.alias("seq"),
+        F.element_at("after", "id").cast("bigint").alias("id"),
+        F.element_at("after", "state").alias("state"),
+        F.element_at("after", "wide").alias("wide"),
+        F.element_at("after", "flags").alias("flags"),
+        F.element_at("after", "perms").alias("perms"),
+    )
+
+
+@register(
+    "cdc_binlog_wide_types",
+    """
+WITH ev AS (
+  SELECT event_id, ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS k FROM events
+)
+SELECT CAST(3*k+1 AS BIGINT) AS seq,
+       CAST(event_id % 97 AS BIGINT) AS id,
+       CAST((event_id % 256) - 128 AS BIGINT) AS t8,
+       CASE WHEN event_id % 13 = 0 THEN NULL
+            ELSE CAST(((event_id*7) % 65536) - 32768 AS BIGINT) END AS t16,
+       CAST(((event_id*131) % 16777216) - 8388608 AS BIGINT) AS t24,
+       CAST((event_id - 5000) * 1000000007 AS BIGINT) AS t64,
+       CAST(event_id % 131072 AS DOUBLE) / 64 AS f32,
+       CAST(event_id AS DOUBLE) / 1024 AS f64,
+       CAST(1970 + event_id % 100 AS BIGINT) AS yr,
+       CAST(DATE '1970-01-01' + CAST(event_id % 20000 AS INT) AS VARCHAR) AS d,
+       strftime(TIMESTAMP '2020-01-01' + to_seconds(event_id),
+                '%Y-%m-%d %H:%M:%S') AS dt,
+       printf('%d.%02d', 1500000000 + event_id, event_id % 100) AS ts,
+       printf('%s%02d:%02d:%02d.%03d',
+              CASE WHEN (event_id % 7200) - 3600 < 0 THEN '-' ELSE '' END,
+              abs((event_id % 7200) - 3600)//3600,
+              (abs((event_id % 7200) - 3600)%3600)//60,
+              abs((event_id % 7200) - 3600)%60,
+              (event_id*37)%1000) AS tm,
+       CASE WHEN event_id % 17 = 0 THEN NULL
+            ELSE lower(hex(encode(CAST(event_id AS VARCHAR)))) END AS bl
+FROM ev
+""".strip(),
+)
+def cdc_binlog_wide_types(spark, sf_dir):
+    """Full MySQL type matrix through the byte path — every type here
+    is BEYOND the reference's decoder (read-type, mysql_binlog.clj:558
+    throws on all of them): TINY/SHORT/INT24/LONGLONG signed ints,
+    FLOAT/DOUBLE (exact binary fractions so the envelope's string form
+    round-trips), YEAR, DATE, packed DATETIME2/TIMESTAMP2/TIME2 with
+    0/2/3-digit fractional seconds (TIME2 exercising negative values
+    through the offset-binary sign), and BLOB (hex in the envelope).
+    Encode bench.wide as real binlog bytes, decode via binaryFile +
+    mapInPandas, project + cast the after-images; the oracle recomputes
+    every column in closed form from event_id."""
+    import pathlib
+
+    from mysql_cdc_spark.sources import binlog_source as bs
+
+    out_dir = pathlib.Path(_STREAM_TMP) / f"binlog_wide_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
+    if not any(out_dir.glob("binlog.*")):
+        bs.generate_wide_binlog(sf_dir, str(out_dir))
+    env = bs.read_binlog_envelope(spark, str(out_dir))
+    after = F.col("after")
+    # 3 envelope events per source row; global seq across the rotation
+    # chain (see cdc_binlog_enum_set).
+    seq_global = (
+        F.regexp_extract("log_file", r"binlog\.(\d+)", 1).cast("bigint")
+        * (3 * bs.ROTATE_EVERY)
+        + F.col("seq")
+    )
+    return env.filter(F.col("op") == "write_rows").select(
+        seq_global.alias("seq"),
+        *[
+            F.element_at(after, c).cast("bigint").alias(c)
+            for c in ("id", "t8", "t16", "t24", "t64")
+        ],
+        F.element_at(after, "f32").cast("double").alias("f32"),
+        F.element_at(after, "f64").cast("double").alias("f64"),
+        F.element_at(after, "yr").cast("bigint").alias("yr"),
+        *[F.element_at(after, c).alias(c) for c in ("d", "dt", "ts", "tm", "bl")],
+    )
+
+
+@register(
+    "cdc_binlog_utf8mb4",
+    """
+WITH ev AS (
+  SELECT event_id, ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS k FROM events
+)
+SELECT CAST(3*k+1 AS BIGINT) AS seq,
+       CAST(event_id % 97 AS BIGINT) AS id,
+       'é→' || CAST(event_id % 100 AS VARCHAR)
+            || '←日本語·' || CAST(event_id % 7 AS VARCHAR) AS name,
+       'grüß' || CAST(event_id % 10 AS VARCHAR) AS tag,
+       lower(hex(encode(CAST(event_id AS VARCHAR)))) AS bin,
+       CASE WHEN event_id % 9 = 0 THEN NULL
+            ELSE 'déjà vu ' || CAST(event_id % 13 AS VARCHAR) END AS txt
+FROM ev
+""".strip(),
+)
+def cdc_binlog_utf8mb4(spark, sf_dir):
+    """Charset-aware string decode through the byte path: the fixture's
+    TABLE_MAP carries the 8.0 DEFAULT_CHARSET optional-metadata TLV
+    (utf8mb4_0900_ai_ci default + a collation-63 VARBINARY override),
+    and every text value contains 2- and 3-byte UTF-8 sequences.  The
+    decoder must decode each column under its on-wire collation —
+    latin-1 (the reference's hardwired ISO-8859-1 floor,
+    mysql_binlog.clj:537-544) would surface mojibake and hash-mismatch
+    against the oracle's native strings; the VARBINARY column must
+    STAY bytes (hex in the envelope)."""
+    import pathlib
+
+    from mysql_cdc_spark.sources import binlog_source as bs
+
+    out_dir = pathlib.Path(_STREAM_TMP) / f"binlog_utf8_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
+    if not any(out_dir.glob("binlog.*")):
+        bs.generate_utf8_binlog(sf_dir, str(out_dir))
+    env = bs.read_binlog_envelope(spark, str(out_dir))
+    after = F.col("after")
+    seq_global = (
+        F.regexp_extract("log_file", r"binlog\.(\d+)", 1).cast("bigint")
+        * (3 * bs.ROTATE_EVERY)
+        + F.col("seq")
+    )
+    return env.filter(F.col("op") == "write_rows").select(
+        seq_global.alias("seq"),
+        F.element_at(after, "id").cast("bigint").alias("id"),
+        F.element_at(after, "name").alias("name"),
+        F.element_at(after, "tag").alias("tag"),
+        F.element_at(after, "bin").alias("bin"),
+        F.element_at(after, "txt").alias("txt"),
+    )
+
+
+@register(
+    "cdc_binlog_json_bit",
+    """
+WITH ev AS (
+  SELECT event_id, ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS k FROM events
+)
+SELECT CAST(3*k+1 AS BIGINT) AS seq,
+       CAST(event_id % 97 AS BIGINT) AS id,
+       CASE WHEN event_id % 11 = 0 THEN NULL
+            ELSE printf('{"b": %s, "k": %d, "s": "w%d"}',
+                        CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END,
+                        event_id % 100, event_id % 10) END AS doc,
+       CAST(event_id % 4096 AS BIGINT) AS flags,
+       CAST(1600000000 + event_id AS BIGINT) AS created,
+       strftime(TIMESTAMP '2020-01-01' + to_seconds(event_id),
+                '%Y-%m-%d %H:%M:%S') AS updated,
+       printf('%s%02d:%02d:%02d',
+              CASE WHEN (event_id % 7200) - 3600 < 0 THEN '-' ELSE '' END,
+              abs((event_id % 7200) - 3600)//3600,
+              (abs((event_id % 7200) - 3600)%3600)//60,
+              abs((event_id % 7200) - 3600)%60) AS took
+FROM ev
+""".strip(),
+)
+def cdc_binlog_json_bit(spark, sf_dir):
+    """Binary JSON documents (5.7+ json_binary format: small objects,
+    inlined literals/int16s, varint strings), BIT, and the legacy
+    pre-5.6.4 temporal wire formats through the byte path — all in v2
+    rows framing.  The decoder renders JSON exactly as MySQL's text
+    form (", "/": " separators, sorted-key binary order), so the
+    oracle recomputes every document with printf.  None of these types
+    exist in the reference (read-type, mysql_binlog.clj:558 throws)."""
+    import pathlib
+
+    from mysql_cdc_spark.sources import binlog_source as bs
+
+    out_dir = pathlib.Path(_STREAM_TMP) / f"binlog_jsonbit_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
+    if not any(out_dir.glob("binlog.*")):
+        bs.generate_json_bit_binlog(sf_dir, str(out_dir))
+    env = bs.read_binlog_envelope(spark, str(out_dir))
+    after = F.col("after")
+    seq_global = (
+        F.regexp_extract("log_file", r"binlog\.(\d+)", 1).cast("bigint")
+        * (3 * bs.ROTATE_EVERY)
+        + F.col("seq")
+    )
+    return env.filter(F.col("op") == "write_rows").select(
+        seq_global.alias("seq"),
+        F.element_at(after, "id").cast("bigint").alias("id"),
+        F.element_at(after, "doc").alias("doc"),
+        F.element_at(after, "flags").cast("bigint").alias("flags"),
+        F.element_at(after, "created").cast("bigint").alias("created"),
+        F.element_at(after, "updated").alias("updated"),
+        F.element_at(after, "took").alias("took"),
+    )
+
+
+@register(
+    "cdc_binlog_json_extract",
+    """
+SELECT CAST(event_id % 100 AS BIGINT) AS k,
+       event_id % 2 = 0 AS b,
+       COUNT(*) AS n
+FROM events
+WHERE event_id % 11 <> 0
+GROUP BY 1, 2
+""".strip(),
+)
+def cdc_binlog_json_extract(spark, sf_dir):
+    """JSON analytics over the DECODED change stream: the binary JSON
+    documents round-trip the byte path, then Spark's JSON path
+    functions (`get_json_object`, JVM-side codegen, no Python UDF)
+    extract typed fields for a relational aggregation — the end-to-end
+    shape of real CDC-to-analytics pipelines on document columns.  The
+    oracle recomputes the distribution in closed form from event_id."""
+    import pathlib
+
+    from mysql_cdc_spark.sources import binlog_source as bs
+
+    out_dir = pathlib.Path(_STREAM_TMP) / f"binlog_jsonbit_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
+    if not any(out_dir.glob("binlog.*")):
+        bs.generate_json_bit_binlog(sf_dir, str(out_dir))
+    env = bs.read_binlog_envelope(spark, str(out_dir))
+    doc = F.element_at(F.col("after"), "doc")
+    return (
+        env.filter(F.col("op") == "write_rows")
+        .select(
+            F.get_json_object(doc, "$.k").cast("bigint").alias("k"),
+            (F.get_json_object(doc, "$.b") == "true").alias("b"),
+        )
+        .filter(F.col("k").isNotNull())
+        .groupBy("k", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "cdc_binlog_quarantine",
+    "SELECT op, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+    "  SELECT CASE WHEN event_id % 101 = 0 THEN 'quarantine' "
+    "              WHEN event_type IN ('signup','purchase') THEN 'write_rows' "
+    "              WHEN event_type IN ('click','view') THEN 'update_rows' "
+    "              ELSE 'delete_rows' END AS op "
+    "  FROM events"
+    ") GROUP BY op",
+)
+def cdc_binlog_quarantine(spark, sf_dir):
+    """Dead-letter decode: a byte log with a poisoned row-event body
+    every 101st transaction is decoded with on_error='quarantine' —
+    the poison events surface as op='quarantine' rows and the walk
+    CONTINUES (the reference crashes on the first malformed event,
+    mysql_binlog.clj:727-729; production CDC must drain past poison).
+    The oracle derives which events were poisoned and which survive."""
+    import pathlib
+
+    from mysql_cdc_spark.sources import binlog_source as bs
+
+    out_dir = (
+        pathlib.Path(_STREAM_TMP)
+        / f"binlog_corrupt_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
+    )
+    if not any(out_dir.glob("binlog.*")):
+        bs.generate_binlog_from_events(sf_dir, str(out_dir), corrupt_every=101)
+    env = bs.read_binlog_envelope(spark, str(out_dir), on_error="quarantine")
+    return (
+        env.where(
+            F.col("op").isin("write_rows", "update_rows", "delete_rows", "quarantine")
+        )
+        .groupBy("op")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

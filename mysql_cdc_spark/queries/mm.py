@@ -1,0 +1,189 @@
+"""mm query registrations (split from queries.py; registration order is governed by _registry.REGISTRATION_ORDER)."""
+from __future__ import annotations
+
+
+from mysql_cdc_spark.queries._registry import register  # noqa: E402
+
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns (functions/multimodal.py): binary payloads through
+# Arrow-batched mapInPandas.
+# ---------------------------------------------------------------------------
+
+_HEXVAL = "(instr('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+
+
+@register(
+    "mm_media_features",
+    "WITH m AS (SELECT event_id, md5(CAST(event_id AS VARCHAR)) AS h FROM events) "
+    "SELECT event_id AS media_id, "
+    "CASE event_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, "
+    "CAST(16 AS BIGINT) AS n_bytes, substr(h, 1, 8) AS head_hex, "
+    "CAST(list_sum([16 * " + _HEXVAL.format(pos="2*j + 1") + " + "
+    + _HEXVAL.format(pos="2*j + 2") + " for j in range(0, 16)]) % 256 AS BIGINT) AS byte_sum "
+    "FROM m",
+)
+def mm_media_features(spark, sf_dir):
+    """Binary-payload feature extraction through mapInPandas (the
+    multimodal plumbing, with deterministic fake decode)."""
+    from mysql_cdc_spark.functions import multimodal as mm
+
+    return mm.extract_features(mm.synth_media(spark, sf_dir))
+
+
+@register(
+    "mm_frame_sample",
+    "SELECT CAST(event_id AS BIGINT) AS media_id, CAST(f AS BIGINT) AS frame_idx "
+    "FROM events, unnest(range(0, event_id % 7 + 1, 2)) AS t(f) "
+    "WHERE event_id % 3 = 2",
+)
+def mm_frame_sample(spark, sf_dir):
+    """Video frame-index sampling (every 2nd frame from metadata) via
+    mapInPandas — the explode half of a frame pipeline."""
+    from mysql_cdc_spark.functions import multimodal as mm
+
+    return mm.sample_frames(mm.synth_media(spark, sf_dir))
+
+
+@register(
+    "mm_image_dedup",
+    "WITH img AS (SELECT event_id AS media_id, event_id % 50 AS c, "
+    "(event_id % 7 = 0) AS noisy FROM events), "
+    "ex AS (SELECT c, noisy, MIN(media_id) AS keep_exact, "
+    "CAST(COUNT(*) AS BIGINT) AS n_exact FROM img GROUP BY 1, 2), "
+    "pc AS (SELECT c, MIN(media_id) AS keep_perceptual, "
+    "CAST(COUNT(*) AS BIGINT) AS n_perceptual FROM img GROUP BY 1) "
+    "SELECT media_id, FALSE AS is_corrupt, n_exact, keep_exact, "
+    "media_id = keep_exact AS is_canonical, "
+    "n_perceptual, keep_perceptual "
+    "FROM img JOIN ex USING (c, noisy) JOIN pc USING (c)",
+)
+def mm_image_dedup(spark, sf_dir):
+    """Image dedup over REAL PNG bytes: payloads are all byte-distinct
+    (media_id tEXt chunk), yet decode to 50 pixel-content groups with
+    every 7th image uniformly brightened — exact dedup groups on the
+    decoded-pixel hash, perceptual dedup groups on the 64-bit dHash
+    (which the brightness shift preserves).  The oracle re-derives both
+    groupings in closed form from the generation rule, so decode, pixel
+    hashing, and the dHash gradient grid must all be right."""
+    from mysql_cdc_spark.functions import multimodal as mm
+
+    return mm.image_dedup(mm.synth_image_corpus(spark, sf_dir))
+
+
+@register(
+    "mm_image_dedup_quarantine",
+    "WITH img AS (SELECT event_id AS media_id, event_id % 50 AS c, "
+    "(event_id % 7 = 0) AS noisy, (event_id % 97 = 0) AS corrupt FROM events), "
+    "ok AS (SELECT * FROM img WHERE NOT corrupt), "
+    "ex AS (SELECT c, noisy, MIN(media_id) AS keep_exact, "
+    "CAST(COUNT(*) AS BIGINT) AS n_exact FROM ok GROUP BY 1, 2), "
+    "pc AS (SELECT c, MIN(media_id) AS keep_perceptual, "
+    "CAST(COUNT(*) AS BIGINT) AS n_perceptual FROM ok GROUP BY 1) "
+    "SELECT media_id, FALSE AS is_corrupt, n_exact, keep_exact, "
+    "media_id = keep_exact AS is_canonical, n_perceptual, keep_perceptual "
+    "FROM ok JOIN ex USING (c, noisy) JOIN pc USING (c) "
+    "UNION ALL "
+    "SELECT media_id, TRUE, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), FALSE, "
+    "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM img WHERE corrupt",
+)
+def mm_image_dedup_quarantine(spark, sf_dir):
+    """Dead-letter contract for media at scale: every 97th payload is
+    torn mid-IDAT; on_error='quarantine' routes them to is_corrupt
+    rows with NULL group fields while the valid corpus dedups
+    normally — one torn blob never kills the pass (the binlog
+    decoder's quarantine philosophy applied to the media path)."""
+    import pathlib
+
+    from mysql_cdc_spark.functions import multimodal as mm
+
+    return mm.image_dedup(
+        mm.synth_image_corpus(spark, sf_dir, corrupt_every=97),
+        on_error="quarantine",
+    )
+
+
+@register(
+    "mm_audio_dedup",
+    "WITH clip AS (SELECT event_id AS media_id, event_id % 40 AS c, "
+    "(event_id % 7 = 0) AS gained FROM events), "
+    "ex AS (SELECT c, gained, MIN(media_id) AS keep_exact, "
+    "CAST(COUNT(*) AS BIGINT) AS n_exact FROM clip GROUP BY 1, 2), "
+    "pc AS (SELECT c, MIN(media_id) AS keep_perceptual, "
+    "CAST(COUNT(*) AS BIGINT) AS n_perceptual FROM clip GROUP BY 1) "
+    "SELECT media_id, FALSE AS is_corrupt, n_exact, keep_exact, "
+    "media_id = keep_exact AS is_canonical, "
+    "n_perceptual, keep_perceptual "
+    "FROM clip JOIN ex USING (c, gained) JOIN pc USING (c)",
+)
+def mm_audio_dedup(spark, sf_dir):
+    """Audio dedup over REAL WAV bytes: payloads all byte-distinct
+    (spliced id chunk), decoding to 40 PCM content groups with every
+    7th clip gain-doubled — exact dedup groups on the decoded-sample
+    hash, perceptual dedup on a gain-invariant gradient-sign
+    fingerprint.  Oracle re-derives both groupings in closed form."""
+    from mysql_cdc_spark.functions import multimodal as mm
+
+    return mm.audio_dedup(mm.synth_audio_corpus(spark, sf_dir))
+
+
+@register(
+    "mm_audio_dedup_quarantine",
+    "WITH clip AS (SELECT event_id AS media_id, event_id % 40 AS c, "
+    "(event_id % 7 = 0) AS gained, (event_id % 97 = 0) AS corrupt FROM events), "
+    "ok AS (SELECT * FROM clip WHERE NOT corrupt), "
+    "ex AS (SELECT c, gained, MIN(media_id) AS keep_exact, "
+    "CAST(COUNT(*) AS BIGINT) AS n_exact FROM ok GROUP BY 1, 2), "
+    "pc AS (SELECT c, MIN(media_id) AS keep_perceptual, "
+    "CAST(COUNT(*) AS BIGINT) AS n_perceptual FROM ok GROUP BY 1) "
+    "SELECT media_id, FALSE AS is_corrupt, n_exact, keep_exact, "
+    "media_id = keep_exact AS is_canonical, n_perceptual, keep_perceptual "
+    "FROM ok JOIN ex USING (c, gained) JOIN pc USING (c) "
+    "UNION ALL "
+    "SELECT media_id, TRUE, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), FALSE, "
+    "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM clip WHERE corrupt",
+)
+def mm_audio_dedup_quarantine(spark, sf_dir):
+    """Dead-letter contract for the AUDIO path (ADVICE r9: audio had
+    no quarantine, so one undecodable WAV killed the pass): every 97th
+    payload is torn mid-fmt; on_error='quarantine' routes them to
+    is_corrupt rows with NULL group fields while the valid corpus
+    dedups normally — mirroring mm_image_dedup_quarantine."""
+    from mysql_cdc_spark.functions import multimodal as mm
+
+    return mm.audio_dedup(
+        mm.synth_audio_corpus(spark, sf_dir, corrupt_every=97),
+        on_error="quarantine",
+    )
+
+
+@register(
+    "mm_decoded_features",
+    "SELECT CAST(event_id AS BIGINT) AS media_id, 'image' AS kind, "
+    "8 AS width, 8 AS height, "
+    "CAST(3*32*((event_id % 256) + ((event_id*3) % 256)) AS BIGINT) AS px_sum, "
+    "CAST(NULL AS INTEGER) AS n_samples, CAST(NULL AS BIGINT) AS sample_sum "
+    "FROM events WHERE event_id % 3 = 0 "
+    "UNION ALL "
+    "SELECT CAST(event_id AS BIGINT), 'audio', NULL, NULL, NULL, 32, "
+    "(SELECT CAST(SUM(((event_id*7 + i*13) % 65536) - 32768) AS BIGINT) "
+    " FROM range(32) t(i)) "
+    "FROM events WHERE event_id % 3 = 1 "
+    "UNION ALL "
+    "SELECT CAST(event_id AS BIGINT), 'video', 4, 4, "
+    "(SELECT CAST(48 * SUM((event_id*5 + f*17) % 256) AS BIGINT) FROM range(5) t(f)), "
+    "5, CAST(NULL AS BIGINT) "
+    "FROM events WHERE event_id % 3 = 2",
+)
+def mm_decoded_features(spark, sf_dir):
+    """REAL media decode end-to-end: payloads are genuine PNG/WAV/AVI
+    bytes (pure-Python codecs, functions/media_codecs.py) encoded on
+    executors, decoded back on executors, and reduced to decoded-domain
+    features (pixel sums, sample sums, per-frame sums).  The oracle
+    computes the same features in closed form from the generation
+    rules — so the whole encode→bytes→decode chain must be
+    lossless for all three modalities."""
+    from mysql_cdc_spark.functions import multimodal as mm
+
+    return mm.extract_decoded_features(mm.synth_real_media(spark, sf_dir))

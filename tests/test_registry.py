@@ -117,3 +117,80 @@ def test_rotation_is_deterministic():
     reg_pos = {n: i for i, n in enumerate(names)}
     rebuilt = sorted(names, key=lambda n: (latest.get(n, 0), reg_pos[n]))
     assert rebuilt == names
+
+
+# ---------------------------------------------------------------------------
+# r11: the domain split (queries/ package) must not change rotation
+# semantics — REGISTRATION_ORDER is explicit data and rotation.py is an
+# injectable interface.
+# ---------------------------------------------------------------------------
+
+
+def test_registration_order_covers_registry_exactly():
+    """The frozen REGISTRATION_ORDER and the live registry hold the
+    same names: a query registered in a domain module but missing from
+    the frozen list would silently sort last (changing window
+    tie-breaks); a frozen name with no registration is a dead entry."""
+    from mysql_cdc_spark.queries import REGISTRATION_ORDER
+
+    assert set(REGISTRATION_ORDER) == set(q.QUERIES)
+    assert len(REGISTRATION_ORDER) == len(set(REGISTRATION_ORDER))
+
+
+def test_rotation_interface_is_injectable_and_in_place(tmp_path):
+    """rotation.rotate_window applies the policy to INJECTED dicts
+    against an INJECTED artifact root, mutating in place (references
+    held by other modules stay valid)."""
+    from mysql_cdc_spark.queries.rotation import (
+        driver_verified_rounds,
+        rotate_window,
+    )
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "b": {"hash_match": True}, "c": {"hash_match": True},
+        "z": {"hash_match": False},
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "b": {"hash_match": True},
+    }))
+    (tmp_path / "garbage.json").write_text("not json")
+
+    assert driver_verified_rounds(tmp_path) == {"b": 2, "c": 1}
+
+    queries = {"a": 1, "b": 2, "c": 3, "d": 4}
+    oracles = {"a": "A", "b": "B", "c": "C", "d": "D"}
+    qref, oref = queries, oracles
+    rotate_window(queries, oracles, root=tmp_path)
+    # never-verified first (registration order a,d), then by round asc
+    assert list(queries) == ["a", "d", "c", "b"]
+    assert list(oracles) == ["a", "d", "c", "b"]
+    assert qref is queries and oref is oracles  # in place
+
+    # no artifacts => no-op
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    before = list(queries)
+    rotate_window(queries, oracles, root=empty)
+    assert list(queries) == before
+
+
+def test_finalize_order_is_idempotent_and_matches_frozen_prefix():
+    """finalize_order re-applied to the live registry keeps the
+    rotation fixpoint valid: re-running finalize + rotate reproduces
+    the current order exactly (the split's byte-identical guarantee,
+    continuously asserted rather than one-shot)."""
+    from mysql_cdc_spark.queries import ORACLES, QUERIES, finalize_order
+    from mysql_cdc_spark.queries.rotation import rotate_window
+
+    current_q, current_o = list(QUERIES), list(ORACLES)
+    try:
+        finalize_order()
+        rotate_window()
+        assert list(QUERIES) == current_q
+        assert list(ORACLES) == current_o
+    finally:
+        # restore exact order for any later test relying on it
+        q2 = {n: QUERIES[n] for n in current_q}
+        QUERIES.clear(); QUERIES.update(q2)
+        o2 = {n: ORACLES[n] for n in current_o}
+        ORACLES.clear(); ORACLES.update(o2)
