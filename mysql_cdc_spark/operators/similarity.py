@@ -44,6 +44,7 @@ PLANES_PER_BAND = 4          # 2 bands of 4 sign bits → 16 buckets/band
 DEFAULT_K = 5
 DEFAULT_N_QUERIES = 10
 NEARDUP_COS = 0.3
+CHAIN_WINDOW = 8             # near-dup candidate fan-out per (band, bucket) member
 
 
 def _weight(p: int, j: int) -> int:
@@ -200,31 +201,63 @@ def ann_lsh(
     )
 
 
-def embedding_neardup_pairs(emb: DataFrame, threshold: float = NEARDUP_COS) -> DataFrame:
-    """Embedding-cosine near-dup pairs: candidates share an LSH band
-    bucket (bucketed self-join), verified by exact cosine >= threshold.
-    Same recall caveat (and same determinism guarantee) as `ann_lsh`."""
-    buckets = lsh_buckets(emb)
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.qv").alias("qa"),
-            F.col("a.nq").alias("na"),
-            F.col("b.qv").alias("qb"),
-            F.col("b.nq").alias("nb"),
-        )
-        .dropDuplicates(["vec_a", "vec_b"])
+def neardup_candidates(emb: DataFrame, chain: int = CHAIN_WINDOW) -> DataFrame:
+    """Bounded near-dup candidate id pairs: per (band, bucket), each
+    member pairs with its next `chain` successors in vec_id order —
+    O(n · bands · chain) candidates REGARDLESS of the bucket-size
+    distribution.
+
+    Why not all bucket pairs: an LSH bucket over a dup-heavy corpus is
+    a hot key — all-pairs within it is |bucket|², and the r11
+    sf-metrics sweep measured a single 13.5k-member degenerate bucket
+    at 10× data producing 146M candidate pairs / 128 GB of spill
+    (disk-full abort).  Chain adjacency is the banded-join result cap
+    of the text-dedup path (dedup.py max_pairs_per_doc) applied to the
+    embedding side.
+
+    Exactness: for a true near-dup CLIQUE inside one bucket (the case
+    dedup cares about) every consecutive pair passes the cosine
+    verify, so the component closure downstream is identical to
+    all-pairs.  Recall can only drop for id-interleaved DISTINCT
+    clusters sharing a bucket — the standard banding trade, measured
+    by llm_ann_recall/llm_minhash_recall.  Emitted as (vec_a < vec_b),
+    ids only (vectors join back at verify time, so the explosion never
+    carries array payloads)."""
+    b = lsh_buckets(emb).select("vec_id", "band", "bucket")
+    w = Window.partitionBy("band", "bucket").orderBy("vec_id")
+    nexts = b.select(
+        "vec_id",
+        *[F.lead("vec_id", i).over(w).alias(f"_n{i}") for i in range(1, chain + 1)],
     )
     return (
-        cand.withColumn("dot", F.expr(_DOT.format(a="qa", b="qb")))
+        nexts.select(
+            F.col("vec_id").alias("vec_a"),
+            F.explode(F.array(*[F.col(f"_n{i}") for i in range(1, chain + 1)])).alias("vec_b"),
+        )
+        .filter(F.col("vec_b").isNotNull())
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame, threshold: float = NEARDUP_COS, chain: int = CHAIN_WINDOW
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: chain-bounded LSH-bucket
+    candidates (see `neardup_candidates`), verified by exact
+    quantized cosine >= threshold.  Same determinism guarantee as
+    `ann_lsh`; candidate volume is O(n · bands · chain)."""
+    q = quantized(emb)
+    cand = neardup_candidates(emb, chain)
+    a = q.select(
+        F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa"), F.col("nq").alias("na")
+    )
+    b = q.select(
+        F.col("vec_id").alias("vec_b"), F.col("qv").alias("qb"), F.col("nq").alias("nb")
+    )
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .withColumn("dot", F.expr(_DOT.format(a="qa", b="qb")))
         .withColumn("cosine", _cosine("dot", "na", "nb"))
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")

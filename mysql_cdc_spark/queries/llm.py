@@ -443,27 +443,40 @@ def llm_ann_lsh(spark, sf_dir):
     return similarity.ann_lsh(_emb(spark, sf_dir))
 
 
+# Chain-bounded candidate CTE (r11: the all-bucket-pairs cand was
+# |bucket|² — one degenerate 13.5k-member bucket at 10× data spilled
+# 128 GB; see similarity.neardup_candidates).  Identical chain logic
+# on both engines: per (band, bucket), each member pairs with its next
+# CHAIN_WINDOW successors in vec_id order.
+_CHAIN_CAND_CTE = (
+    ", chain AS ("
+    + " UNION ALL ".join(
+        f"SELECT vec_id AS vec_a, LEAD(vec_id, {i}) OVER "
+        "(PARTITION BY band, bucket ORDER BY vec_id) AS vec_b FROM bkt"
+        for i in range(1, similarity.CHAIN_WINDOW + 1)
+    )
+    + "), cand AS (SELECT DISTINCT vec_a, vec_b FROM chain WHERE vec_b IS NOT NULL)"
+)
+
+
 @register(
     "llm_embed_neardup",
-    _BKT_CTE + ", cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b "
-    "FROM bkt a JOIN bkt b ON a.band = b.band AND a.bucket = b.bucket "
-    "AND a.vec_id < b.vec_id) "
+    _BKT_CTE + _CHAIN_CAND_CTE + " "
     "SELECT vec_a, vec_b, cosine FROM ("
     "  SELECT cand.vec_a, cand.vec_b, " + _SQL_COS.format(a="a", b="b") + " AS cosine "
     "  FROM cand JOIN n a ON a.vec_id = cand.vec_a JOIN n b ON b.vec_id = cand.vec_b"
     f") WHERE cosine >= {similarity.NEARDUP_COS}",
 )
 def llm_embed_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs via LSH buckets + exact verify."""
+    """Embedding-cosine near-dup pairs via chain-bounded LSH-bucket
+    candidates + exact verify (O(n·bands·chain) candidate volume)."""
     return similarity.embedding_neardup_pairs(_emb(spark, sf_dir))
 
 
 @register(
     "llm_semantic_dedup",
     _BKT_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
-    + ", cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b "
-    "FROM bkt a JOIN bkt b ON a.band = b.band AND a.bucket = b.bucket "
-    "AND a.vec_id < b.vec_id), "
+    + _CHAIN_CAND_CTE + ", "
     "vp AS (SELECT vec_a, vec_b FROM ("
     "  SELECT cand.vec_a, cand.vec_b, " + _SQL_COS.format(a="a", b="b") + " AS cosine "
     "  FROM cand JOIN n a ON a.vec_id = cand.vec_a JOIN n b ON b.vec_id = cand.vec_b"

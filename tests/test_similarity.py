@@ -232,3 +232,38 @@ class TestPCARotation:
         # the rotation concentrates variance: top component holds more
         # than a uniform share
         assert proj_var[0] > X.var(axis=0).mean()
+
+
+def test_neardup_candidates_bounded_on_degenerate_bucket(spark):
+    """r11 scale fix: a corpus where EVERY vector lands in the same LSH
+    bucket (near-identical vectors — exactly a dup-heavy corpus) must
+    produce O(n·bands·chain) candidates, not |bucket|² ≈ n²/2, and the
+    true near-dup clique must still close into ONE component (chain
+    adjacency: every consecutive pair verifies).  The unbounded form
+    measured 146M pairs / 128 GB spill from one 13.5k bucket at 10×
+    data (PLANS.md r11)."""
+    import pyspark.sql.functions as F
+
+    from mysql_cdc_spark.operators import corpus
+
+    n = 400
+    base = _vec(7)
+    rows = [
+        (i, [float(x * (1.0 + i * 1e-6)) for x in base], 0) for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    n_bands = similarity.N_PLANES // similarity.PLANES_PER_BAND
+    cand = similarity.neardup_candidates(emb)
+    n_cand = cand.count()
+    assert n_cand <= n * n_bands * similarity.CHAIN_WINDOW
+    assert n_cand < n * n * 0.1  # nowhere near |bucket|²/2
+
+    pairs = similarity.embedding_neardup_pairs(emb).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comp = corpus.duplicate_components(
+        emb.select(F.col("vec_id").alias("doc_id")), pairs
+    )
+    comps = comp.select("component").distinct().count()
+    assert comps == 1  # the clique stays fully connected under chaining

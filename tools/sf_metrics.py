@@ -120,18 +120,36 @@ def main() -> None:
         prof = apply_scale_profile(spark, _dir_bytes(sf_dir))
         for name in names:
             fn = QUERIES[name]
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
             seen = _snapshot(ui, app_id)
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            wall = time.perf_counter() - t0
-            m = _collect(ui, app_id, seen)
-            m["wall"] = round(wall, 3)
-            results.setdefault(name, {"profile_" + sf_label: prof})[sf_label] = m
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+                seen = _snapshot(ui, app_id)
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                wall = time.perf_counter() - t0
+                m = _collect(ui, app_id, seen)
+                m["wall"] = round(wall, 3)
+            except Exception as exc:  # noqa: BLE001 — record the bomb, keep sweeping
+                m = _collect(ui, app_id, seen)
+                m["error"] = str(exc).split("\n")[0][:300]
+            results.setdefault(name, {})[sf_label] = m
+            print(json.dumps({"query": name, "sf": sf_label, **m}), flush=True)
+            # release finished shuffles before the next query: the
+            # ContextCleaner only deletes shuffle files after driver GC
+            # notices the dependency is unreachable — back-to-back
+            # multi-GB queries otherwise accumulate toward disk-full.
+            import gc as _gc
+
+            _gc.collect()
+            spark.sparkContext._jvm.System.gc()
+        results.setdefault("_profile", {})[sf_label] = prof
 
     summary = {}
     for name in names:
         a, b = results[name]["sf0.1"], results[name][f"x{k}"]
+        if "error" in a or "error" in b:
+            summary[name] = {"wall_ratio": "FAILED"}
+            continue
         row = {
             "wall_ratio": round(b["wall"] / a["wall"], 2) if a["wall"] else None,
             "shuffle_w_ratio": (
@@ -141,18 +159,19 @@ def main() -> None:
             "spill": b["spill_disk"] + b["spill_mem"],
         }
         summary[name] = row
-        print(json.dumps({"query": name, **results[name], "ratios": row}))
+    ok = [n for n in names if summary[n].get("wall_ratio") != "FAILED"]
     superlinear = [
         n for n, r in summary.items()
-        if isinstance(r["wall_ratio"], float) and r["wall_ratio"] > k * 1.3
-    ]
+        if isinstance(r.get("wall_ratio"), float) and r["wall_ratio"] > k * 1.3
+    ] + [n for n in names if summary[n].get("wall_ratio") == "FAILED"]
     print(json.dumps({
         "mode": "sf_metrics", "k": k,
         "bytes_sf0.1": _dir_bytes(BASE), f"bytes_x{k}": _dir_bytes(big),
-        "total_wall_sf0.1": round(sum(results[n]["sf0.1"]["wall"] for n in names), 2),
-        f"total_wall_x{k}": round(sum(results[n][f"x{k}"]["wall"] for n in names), 2),
+        "ratios": summary,
+        "total_wall_sf0.1": round(sum(results[n]["sf0.1"]["wall"] for n in ok), 2),
+        f"total_wall_x{k}": round(sum(results[n][f"x{k}"]["wall"] for n in ok), 2),
         "superlinear": superlinear,
-    }))
+    }, ), flush=True)
 
 
 if __name__ == "__main__":
