@@ -20,7 +20,7 @@ one IEEE division of exact integer counts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SHINGLE_WORDS = 3          # word n-gram size for shingling
@@ -122,6 +122,50 @@ def _band_key(b: int, rows_per_band: int) -> F.Column:
     return F.md5(F.concat_ws("|", F.lit(str(b)), *parts))
 
 
+# Within-bucket candidate fan-out: each member pairs with its next
+# MAX_BAND_CHAIN successors in doc_id order.  Chosen so that chaining
+# EQUALS all-pairs whenever a bucket has <= chain+1 members — true of
+# every gate fixture (measured band-bucket maxima: minhash 9, simhash 4
+# at sf0.1), so every DuckDB oracle built on the all-pairs band join
+# stays value-exact on gate data; beyond it the operator is
+# deliberately bounded (see _chain_candidates).
+MAX_BAND_CHAIN = 32
+
+
+def _chain_candidates(
+    band_rows: DataFrame, keys: list[str], chain: int = MAX_BAND_CHAIN
+) -> DataFrame:
+    """Bounded within-bucket candidate pairs (r11 scale fix): per
+    bucket (`keys`), each member pairs with its next `chain` successors
+    in doc_id order — O(n · buckets_per_doc · chain) candidates via one
+    window + lead(), never the |bucket|² self-join.
+
+    Why: a band bucket over a dup-heavy corpus is a hot key.  The r11
+    skew soak planted a 31,872-doc near-dup block at 10× data and the
+    all-pairs band join generated 1.9 BILLION candidates (disk-full) —
+    the same quadratic the embedding near-dup path hit
+    (similarity.neardup_candidates).  For a true near-dup clique the
+    downstream component closure is unchanged (every consecutive pair
+    passes the exact verify); pair recall degrades only for
+    id-interleaved distinct clusters sharing a bucket — the standard
+    banding trade, measured by llm_minhash_recall."""
+    w = Window.partitionBy(*keys).orderBy("doc_id")
+    nexts = band_rows.select(
+        "doc_id",
+        *[F.lead("doc_id", i).over(w).alias(f"_n{i}") for i in range(1, chain + 1)],
+    )
+    return (
+        nexts.select(
+            F.col("doc_id").alias("doc_a"),
+            F.explode(
+                F.array(*[F.col(f"_n{i}") for i in range(1, chain + 1)])
+            ).alias("doc_b"),
+        )
+        .filter(F.col("doc_b").isNotNull())
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     k: int = MINHASH_K,
@@ -158,17 +202,7 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.band_hash")
 
-    a, b = band_rows.alias("a"), band_rows.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    candidates = _chain_candidates(band_rows, ["band", "band_hash"])
 
     sh = sigs.select("doc_id", "shingles")
     verified = (
@@ -333,17 +367,7 @@ def simhash_pairs(
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.block")
 
-    a, b = band_rows.alias("a"), band_rows.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    candidates = _chain_candidates(band_rows, ["band", "block"])
     s = sigs.select("doc_id", "simhash")
     return (
         candidates.join(s.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("simhash", "sig_a"), "doc_a")

@@ -262,3 +262,37 @@ def test_lsh_index_parquet_round_trip(spark, sf_dir, tmp_path):
     inline = dedup.incremental_neardup(base, delta)
     key = lambda r: (r["delta_id"], r["base_id"], r["common"])
     assert sorted(map(key, via_disk.collect())) == sorted(map(key, inline.collect()))
+
+
+def test_band_candidates_bounded_on_degenerate_bucket(spark):
+    """r11 scale fix: a corpus where a large block of docs is
+    near-identical (one hot band bucket — the skew-soak shape that
+    generated 1.9B candidates / disk-full on the unbounded band
+    self-join) must produce O(n·bands·chain) candidates, and the
+    near-dup clique must still collapse into ONE component."""
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_spark.operators import corpus, dedup
+
+    n = 300
+    base_text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"{base_text} tail{i}") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = dedup.minhash_signatures(docs)
+    rpb = dedup.MINHASH_K // dedup.LSH_BANDS
+    band_rows = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), dedup._band_key(b, rpb).alias("band_hash"))
+            for b in range(dedup.LSH_BANDS)
+        ])).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_hash")
+    cand = dedup._chain_candidates(band_rows, ["band", "band_hash"])
+    n_cand = cand.count()
+    assert n_cand <= n * dedup.LSH_BANDS * dedup.MAX_BAND_CHAIN
+    assert n_cand < n * n * 0.25  # nowhere near |bucket|²/2
+
+    pairs = dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    comp = corpus.duplicate_components(docs.select("doc_id"), pairs)
+    assert comp.select("component").distinct().count() == 1
