@@ -149,19 +149,18 @@ def _chain_candidates(
     passes the exact verify); pair recall degrades only for
     id-interleaved distinct clusters sharing a bucket — the standard
     banding trade, measured by llm_minhash_recall."""
-    w = Window.partitionBy(*keys).orderBy("doc_id")
-    nexts = band_rows.select(
-        "doc_id",
-        *[F.lead("doc_id", i).over(w).alias(f"_n{i}") for i in range(1, chain + 1)],
-    )
+    # Bounded FOLLOWING frame, not `chain` lead() columns: collect_list
+    # over rows (1, chain) materializes exactly the real successors, so
+    # the explode emits only true candidates — a 32-lead explode would
+    # materialize n·buckets·chain rows BEFORE the null filter (measured
+    # ~0.8 s extra on the sf0.1 minhash bench for 1.5k real pairs).
+    w = Window.partitionBy(*keys).orderBy("doc_id").rowsBetween(1, chain)
     return (
-        nexts.select(
+        band_rows.select(
             F.col("doc_id").alias("doc_a"),
-            F.explode(
-                F.array(*[F.col(f"_n{i}") for i in range(1, chain + 1)])
-            ).alias("doc_b"),
+            F.collect_list("doc_id").over(w).alias("_succ"),
         )
-        .filter(F.col("doc_b").isNotNull())
+        .select("doc_a", F.explode("_succ").alias("doc_b"))
         .distinct()
     )
 

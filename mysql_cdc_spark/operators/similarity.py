@@ -223,18 +223,17 @@ def neardup_candidates(emb: DataFrame, chain: int = CHAIN_WINDOW) -> DataFrame:
     by llm_ann_recall/llm_minhash_recall.  Emitted as (vec_a < vec_b),
     ids only (vectors join back at verify time, so the explosion never
     carries array payloads)."""
+    # Bounded FOLLOWING frame (see dedup._chain_candidates): collect
+    # exactly the real successors, so the explode emits only true
+    # candidates instead of n·bands·chain mostly-null rows.
     b = lsh_buckets(emb).select("vec_id", "band", "bucket")
-    w = Window.partitionBy("band", "bucket").orderBy("vec_id")
-    nexts = b.select(
-        "vec_id",
-        *[F.lead("vec_id", i).over(w).alias(f"_n{i}") for i in range(1, chain + 1)],
-    )
+    w = Window.partitionBy("band", "bucket").orderBy("vec_id").rowsBetween(1, chain)
     return (
-        nexts.select(
+        b.select(
             F.col("vec_id").alias("vec_a"),
-            F.explode(F.array(*[F.col(f"_n{i}") for i in range(1, chain + 1)])).alias("vec_b"),
+            F.collect_list("vec_id").over(w).alias("_succ"),
         )
-        .filter(F.col("vec_b").isNotNull())
+        .select("vec_a", F.explode("_succ").alias("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
     )
 
