@@ -105,6 +105,131 @@ def asof_join(
     return matched.select(*lcols, *out_payload)
 
 
+def asof_join_chunked(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts: str,
+    payload: list[str],
+    tie: str,
+    prefix: str = "asof_",
+    tolerance_seconds: int | None = None,
+    chunk_seconds: int = 86400,
+) -> DataFrame:
+    """Hot-key-parallel `asof_join` — row-identical results.
+
+    The union+window form makes one key ONE sort partition, which is
+    sequential per key by construction (the r11 skew soak measured
+    1.46× wall with a 50%-hot user; a single-key corpus would
+    serialize outright).  This variant applies the chunked prefix-scan
+    pattern (functions/scan.py) to the last-non-null carry:
+
+    1. within-chunk window — partitioned by (key, floor(ts/chunk)),
+       so a hot key splits across its time chunks;
+    2. per-(key, chunk) per-column latest-non-null right value — a
+       map-side-combinable `max(struct(ts, tie, val))` aggregate;
+    3. carry-in — a window over the per-chunk frame (n_chunks rows
+       per key, not n_rows) takes the latest value from PRECEDING
+       chunks;
+    4. equi-join carry-in back on (key, chunk) (broadcastable: one
+       row per key-chunk) and coalesce with the within-chunk match.
+
+    Three bounded shuffles instead of one unbounded sort.  Matches
+    `asof_join` exactly, including its per-column independence (each
+    payload column carries its own latest NON-NULL right value, so a
+    NULL in one right column falls back to an older right row for
+    that column only — both forms share this contract)."""
+    lcols = left.columns
+    l = left.withColumn("_side", F.lit(1)).withColumn("_tie", F.col(tie))
+    for c in payload:
+        l = l.withColumn(f"_r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    r = right.select(
+        *on,
+        F.col(ts),
+        F.lit(0).alias("_side"),
+        F.col(tie).alias("_tie"),
+        *[F.col(c).alias(f"_r_{c}") for c in payload],
+    )
+    for c in lcols:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = l.select(*lcols, "_side", "_tie", *[f"_r_{c}" for c in payload]).unionByName(
+        r.select(*lcols, "_side", "_tie", *[f"_r_{c}" for c in payload])
+    )
+    u = u.withColumn(
+        "_chunk", F.floor(F.unix_timestamp(F.col(ts)) / F.lit(chunk_seconds))
+    )
+
+    # 1. within-chunk carry (equal ts always lands in one chunk, so the
+    # right-before-left tie order is preserved at chunk boundaries)
+    wc = (
+        Window.partitionBy(*on, "_chunk")
+        .orderBy(F.col(ts).asc(), F.col("_side").asc(), F.col("_tie").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_chunk = u.select(
+        *lcols,
+        "_side",
+        "_chunk",
+        *[F.last(f"_r_{c}", ignorenulls=True).over(wc).alias(f"_m_{c}") for c in payload],
+    )
+
+    # 2. per-(key, chunk) per-column latest non-null right value
+    chunk_last = u.filter(F.col("_side") == 0).groupBy(*on, "_chunk").agg(
+        *[
+            F.max(
+                F.when(
+                    F.col(f"_r_{c}").isNotNull(),
+                    F.struct(
+                        F.col(ts).alias("_t"),
+                        F.col("_tie").alias("_k"),
+                        F.col(f"_r_{c}").alias("_v"),
+                    ),
+                )
+            ).alias(f"_cl_{c}")
+            for c in payload
+        ]
+    )
+
+    # 3. carry-in over the per-chunk frame (every (key, chunk) present
+    # in the union gets a row, right-less chunks included)
+    spine = u.select(*on, "_chunk").distinct().join(chunk_last, [*on, "_chunk"], "left")
+    ws = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_chunk").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = spine.select(
+        *on,
+        "_chunk",
+        *[
+            F.last(f"_cl_{c}", ignorenulls=True).over(ws)[
+                "_v"
+            ].alias(f"_ci_{c}")
+            for c in payload
+        ],
+    )
+
+    # 4. join back + coalesce within-chunk match with carry-in
+    matched = (
+        in_chunk.filter(F.col("_side") == 1)
+        .join(carry, [*on, "_chunk"], "left")
+        .select(
+            *lcols,
+            *[
+                F.coalesce(F.col(f"_m_{c}"), F.col(f"_ci_{c}")).alias(f"_m_{c}")
+                for c in payload
+            ],
+        )
+    )
+    if tolerance_seconds is not None:
+        fresh = F.col(f"_m_{ts}") >= F.col(ts) - F.expr(f"INTERVAL {tolerance_seconds} SECOND")
+        out_payload = [F.when(fresh, F.col(f"_m_{c}")).alias(f"{prefix}{c}") for c in payload]
+    else:
+        out_payload = [F.col(f"_m_{c}").alias(f"{prefix}{c}") for c in payload]
+    return matched.select(*lcols, *out_payload)
+
+
 # ---------------------------------------------------------------------------
 # bucketed range (interval) join
 # ---------------------------------------------------------------------------

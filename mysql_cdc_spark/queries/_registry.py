@@ -228,6 +228,8 @@ REGISTRATION_ORDER: list[str] = [
     "llm_ann_recall",
     "sk_join_cardinality",
     "sk_quantile_merge_daily",
+    # r11 additions (append-at-end keeps historical tie-breaks intact)
+    "ts_asof_join_chunked",
 ]
 
 

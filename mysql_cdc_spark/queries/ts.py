@@ -35,8 +35,7 @@ def ts_range_join_capped(spark, sf_dir):
     )
 
 
-@register(
-    "ts_asof_join",
+_ASOF_ORACLE = (
     "WITH l AS (SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'purchase'), "
     "r AS (SELECT user_id, ts, event_id, value, "
     "LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt "
@@ -44,8 +43,11 @@ def ts_range_join_capped(spark, sf_dir):
     "SELECT l.event_id, l.ts, l.user_id, l.value, "
     "r.event_id AS click_event_id, r.ts AS click_ts, r.value AS click_value "
     "FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts "
-    "AND (l.ts < r.nxt OR r.nxt IS NULL) AND r.ts >= l.ts - INTERVAL 3600 SECOND",
+    "AND (l.ts < r.nxt OR r.nxt IS NULL) AND r.ts >= l.ts - INTERVAL 3600 SECOND"
 )
+
+
+@register("ts_asof_join", _ASOF_ORACLE)
 def ts_asof_join(spark, sf_dir):
     """Last-click attribution: each purchase joined as-of backward to
     the user's most recent click within 1 hour.  Union+ordered-window
@@ -58,6 +60,31 @@ def ts_asof_join(spark, sf_dir):
     )
     clicks = ev.filter(F.col("event_type") == "click")
     return timeseries.asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        ts="ts",
+        payload=["event_id", "ts", "value"],
+        tie="event_id",
+        prefix="click_",
+        tolerance_seconds=3600,
+    )
+
+
+@register("ts_asof_join_chunked", _ASOF_ORACLE)
+def ts_asof_join_chunked(spark, sf_dir):
+    """The hot-key-parallel as-of join (r11 skew-soak residual closed):
+    identical attribution results via time-chunked carry —
+    (key, chunk) windows + a per-chunk carry frame — so ONE hot user
+    no longer serializes into a single sort partition
+    (operators/timeseries.py asof_join_chunked; same oracle as
+    ts_asof_join because the results are row-identical)."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    return timeseries.asof_join_chunked(
         purchases,
         clicks,
         on=["user_id"],

@@ -513,3 +513,45 @@ class TestLttbDownsample:
         got = ts.lttb_downsample(df).collect()
         assert len(got) == 1
         assert got[0]["ts"].minute == 0           # all areas 0 -> earliest
+
+
+def test_asof_join_chunked_identical_to_plain(spark):
+    """r11: the hot-key-parallel chunked as-of join must be
+    ROW-IDENTICAL to the union+window form — including the per-column
+    last-non-null contract (a NULL right column falls back to an older
+    right row for that column only) and tolerance NULL-ing — on a
+    corpus with one hot key, payload NULLs, exact-ts ties, and
+    right-less chunks."""
+    import datetime as dt
+
+    from mysql_cdc_spark.operators.timeseries import asof_join, asof_join_chunked
+
+    base = dt.datetime(2024, 1, 1)
+    rows_l, rows_r = [], []
+    rid = 0
+    for k in (1, 1, 1, 2):  # key 1 hot
+        for i in range(60):
+            t = base + dt.timedelta(minutes=7 * i + k)
+            rows_l.append((rid, k, t, float(i)))
+            rid += 1
+            if i % 3 != 2:  # leave some chunks right-less
+                rows_r.append((
+                    1000 + rid, k, t - dt.timedelta(minutes=1),
+                    None if i % 5 == 0 else float(i) * 2.0,  # payload NULLs
+                ))
+    # exact-ts tie: two rights at one left ts
+    rows_r.append((9001, 1, rows_l[10][2], 111.0))
+    rows_r.append((9002, 1, rows_l[10][2], 222.0))
+    left = spark.createDataFrame(rows_l, "event_id long, user_id long, ts timestamp, lv double")
+    right = spark.createDataFrame(rows_r, "event_id long, user_id long, ts timestamp, value double")
+
+    kw = dict(
+        on=["user_id"], ts="ts", payload=["event_id", "ts", "value"],
+        tie="event_id", prefix="m_", tolerance_seconds=3600,
+    )
+    plain = sorted(map(tuple, asof_join(left, right, **kw).collect()))
+    for chunk_seconds in (600, 3600, 86400):
+        chunked = sorted(map(tuple, asof_join_chunked(
+            left, right, chunk_seconds=chunk_seconds, **kw
+        ).collect()))
+        assert chunked == plain, f"chunk_seconds={chunk_seconds}"
