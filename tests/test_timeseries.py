@@ -555,3 +555,56 @@ def test_asof_join_chunked_identical_to_plain(spark):
             left, right, chunk_seconds=chunk_seconds, **kw
         ).collect()))
         assert chunked == plain, f"chunk_seconds={chunk_seconds}"
+
+
+def test_asof_join_skew_adaptive_dispatch(spark):
+    """r11 VERDICT #3: `asof_join` is the ONE entry point — it keeps
+    the 1-shuffle plain plan on a uniform key distribution and
+    auto-selects the hot-key-parallel chunked plan when the key-count
+    pre-agg sees a key above `skew_row_threshold`; rows are
+    hash-equal to both explicit forms either way."""
+    import datetime as dt
+
+    from mysql_cdc_spark.operators.timeseries import asof_join, asof_join_chunked
+
+    base = dt.datetime(2024, 1, 1)
+    rows_l, rows_r = [], []
+    rid = 0
+
+    # skewed fixture: key 1 owns 3/4 of rows; uniform control: keys 1..4 equal
+    def build(keys):
+        nonlocal rid
+        ls, rs = [], []
+        for k in keys:
+            for i in range(50):
+                t = base + dt.timedelta(minutes=11 * i + k)
+                ls.append((rid, k, t, float(i))); rid += 1
+                rs.append((10_000 + rid, k, t - dt.timedelta(minutes=2), float(i) * 3.0))
+        return (
+            spark.createDataFrame(ls, "event_id long, user_id long, ts timestamp, lv double"),
+            spark.createDataFrame(rs, "event_id long, user_id long, ts timestamp, value double"),
+        )
+
+    kw = dict(on=["user_id"], ts="ts", payload=["event_id", "ts", "value"],
+              tie="event_id", prefix="m_", tolerance_seconds=86400)
+
+    # uniform, hottest key 100 union rows < threshold 120 -> plain plan
+    lu, ru = build((1, 2, 3, 4))
+    out_u = asof_join(lu, ru, skew_row_threshold=120, **kw)
+    plan_u = out_u._jdf.queryExecution().executedPlan().toString()
+    assert plan_u.count("Exchange") == 1           # the plain 1-shuffle form
+    assert "_chunk" not in plan_u
+    assert sorted(map(tuple, out_u.collect())) == sorted(
+        map(tuple, asof_join(lu, ru, skew_row_threshold=None, **kw).collect())
+    )
+
+    # skewed: hot key 300 union rows > threshold 120 -> chunked plan
+    ls, rs = build((1, 1, 1, 2))
+    out_s = asof_join(ls, rs, skew_row_threshold=120, chunk_seconds=600, **kw)
+    plan_s = out_s._jdf.queryExecution().executedPlan().toString()
+    assert "_chunk" in plan_s                      # the chunked carry form
+    expect = sorted(map(tuple, asof_join_chunked(ls, rs, chunk_seconds=600, **kw).collect()))
+    assert sorted(map(tuple, out_s.collect())) == expect
+    assert expect == sorted(
+        map(tuple, asof_join(ls, rs, skew_row_threshold=None, **kw).collect())
+    )
