@@ -123,22 +123,36 @@ def _band_key(b: int, rows_per_band: int) -> F.Column:
 
 
 # Within-bucket candidate fan-out: each member pairs with its next
-# MAX_BAND_CHAIN successors in doc_id order.  Chosen so that chaining
-# EQUALS all-pairs whenever a bucket has <= chain+1 members — true of
-# every gate fixture (measured band-bucket maxima: minhash 9, simhash 4
-# at sf0.1), so every DuckDB oracle built on the all-pairs band join
-# stays value-exact on gate data; beyond it the operator is
-# deliberately bounded (see _chain_candidates).
+# MAX_BAND_CHAIN successors in within-bucket (locality, doc_id) order.
+# ONE constant for BOTH the text and embedding paths (r11 VERDICT
+# unification), derived from two measured statistics
+# (tools/chain_recall.py, 48 id-interleaved clusters in one hot
+# bucket + PLANS.md r12 recall table):
+#   lower bound A — all-pairs equivalence on gate data: chain+1 must
+#     exceed every gate-fixture bucket (measured maxima: minhash 9,
+#     simhash 4, embedding ≤ chain at sf0.1), so every DuckDB oracle
+#     built on the all-pairs band join stays value-exact;
+#   lower bound B — adversarial recall: under locality ordering,
+#     chain must cover a same-cluster run plus its interleaving
+#     residue; measured component-pair recall at chain 8 → 32:
+#     text 0.91 → 0.95, embedding 0.99 → 1.00.
+# Beyond it the operator is deliberately bounded (see
+# _chain_candidates) — candidates stay O(n·bands·chain) on ANY
+# bucket distribution.
 MAX_BAND_CHAIN = 32
 
 
 def _chain_candidates(
-    band_rows: DataFrame, keys: list[str], chain: int = MAX_BAND_CHAIN
+    band_rows: DataFrame,
+    keys: list[str],
+    chain: int = MAX_BAND_CHAIN,
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Bounded within-bucket candidate pairs (r11 scale fix): per
     bucket (`keys`), each member pairs with its next `chain` successors
-    in doc_id order — O(n · buckets_per_doc · chain) candidates via one
-    window + lead(), never the |bucket|² self-join.
+    in within-bucket order — O(n · buckets_per_doc · chain) candidates
+    via one window + bounded following frame, never the |bucket|²
+    self-join.
 
     Why: a band bucket over a dup-heavy corpus is a hot key.  The r11
     skew soak planted a 31,872-doc near-dup block at 10× data and the
@@ -146,21 +160,38 @@ def _chain_candidates(
     the same quadratic the embedding near-dup path hit
     (similarity.neardup_candidates).  For a true near-dup clique the
     downstream component closure is unchanged (every consecutive pair
-    passes the exact verify); pair recall degrades only for
-    id-interleaved distinct clusters sharing a bucket — the standard
-    banding trade, measured by llm_minhash_recall."""
+    passes the exact verify).
+
+    `order_cols` (r12): within-bucket sort keys tried BEFORE doc_id.
+    With plain doc_id order, pair recall degrades for id-INTERLEAVED
+    distinct clusters sharing a bucket (k clusters round-robin by id
+    put same-cluster successors k positions apart — the adversarial
+    case tools/chain_recall.py measures).  Passing the document's own
+    signature as the sort key groups same-cluster members into runs
+    (near-dups agree on most signature positions, distinct clusters
+    on few), so the chain window covers them regardless of id
+    interleaving.  Pairs are emitted least/greatest-normalized, so
+    with ≤ chain+1 members per bucket the output is the full pair set
+    under ANY ordering — which is why every gate oracle built on the
+    all-pairs band join stays value-exact (measured fixture bucket
+    maxima: minhash 9, simhash 4 at sf0.1)."""
     # Bounded FOLLOWING frame, not `chain` lead() columns: collect_list
     # over rows (1, chain) materializes exactly the real successors, so
     # the explode emits only true candidates — a 32-lead explode would
     # materialize n·buckets·chain rows BEFORE the null filter (measured
     # ~0.8 s extra on the sf0.1 minhash bench for 1.5k real pairs).
-    w = Window.partitionBy(*keys).orderBy("doc_id").rowsBetween(1, chain)
+    order = [*(order_cols or []), "doc_id"]
+    w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(1, chain)
     return (
         band_rows.select(
-            F.col("doc_id").alias("doc_a"),
+            F.col("doc_id").alias("_cur"),
             F.collect_list("doc_id").over(w).alias("_succ"),
         )
-        .select("doc_a", F.explode("_succ").alias("doc_b"))
+        .select("_cur", F.explode("_succ").alias("_nxt"))
+        .select(
+            F.least("_cur", "_nxt").alias("doc_a"),
+            F.greatest("_cur", "_nxt").alias("doc_b"),
+        )
         .distinct()
     )
 
@@ -171,6 +202,8 @@ def minhash_lsh_pairs(
     bands: int = LSH_BANDS,
     threshold: float = JACCARD_THRESHOLD,
     max_pairs_per_doc: int | None = None,
+    chain: int = MAX_BAND_CHAIN,
+    locality_order: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH + exact verify.
 
@@ -199,9 +232,19 @@ def minhash_lsh_pairs(
                 for b in range(bands)
             ])
         ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.band_hash")
+        # full-signature locality key: near-dups agree on most minhash
+        # slices, distinct clusters on few — sorting the bucket by it
+        # groups same-cluster members into chain-coverable runs even
+        # when doc_ids interleave (measured: tools/chain_recall.py)
+        F.concat_ws("|", *[F.col(f"mh{s}") for s in range(k)]).alias("sig"),
+    ).select("doc_id", "bk.band", "bk.band_hash", "sig")
 
-    candidates = _chain_candidates(band_rows, ["band", "band_hash"])
+    candidates = _chain_candidates(
+        band_rows,
+        ["band", "band_hash"],
+        chain=chain,
+        order_cols=["sig"] if locality_order else None,
+    )
 
     sh = sigs.select("doc_id", "shingles")
     verified = (
@@ -341,6 +384,8 @@ def simhash_pairs(
     bits: int = SIMHASH_BITS,
     bands: int = 4,
     max_hamming: int = HAMMING_THRESHOLD,
+    chain: int = MAX_BAND_CHAIN,
+    locality_order: bool = True,
 ) -> DataFrame:
     """Near-dup pairs via SimHash: candidates share at least one of
     `bands` contiguous signature blocks (equi-join on (band, block)),
@@ -364,9 +409,17 @@ def simhash_pairs(
                 for b in range(bands)
             ])
         ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.block")
+        # the full simhash IS the locality key: near-dups differ in
+        # ≤ max_hamming bits, so they sort adjacent within a bucket
+        F.col("simhash").alias("sig"),
+    ).select("doc_id", "bk.band", "bk.block", "sig")
 
-    candidates = _chain_candidates(band_rows, ["band", "block"])
+    candidates = _chain_candidates(
+        band_rows,
+        ["band", "block"],
+        chain=chain,
+        order_cols=["sig"] if locality_order else None,
+    )
     s = sigs.select("doc_id", "simhash")
     return (
         candidates.join(s.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("simhash", "sig_a"), "doc_a")

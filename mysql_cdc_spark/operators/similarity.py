@@ -44,7 +44,11 @@ PLANES_PER_BAND = 4          # 2 bands of 4 sign bits → 16 buckets/band
 DEFAULT_K = 5
 DEFAULT_N_QUERIES = 10
 NEARDUP_COS = 0.3
-CHAIN_WINDOW = 8             # near-dup candidate fan-out per (band, bucket) member
+# near-dup candidate fan-out per (band, bucket) member — the ONE
+# shared chain constant (see dedup.MAX_BAND_CHAIN for the measured
+# derivation; r11's embedding-only value of 8 measured 0.87 pair
+# recall vs 0.9986 at 32 on the adversarial interleaved fixture)
+from mysql_cdc_spark.operators.dedup import MAX_BAND_CHAIN as CHAIN_WINDOW  # noqa: E402
 
 
 def _weight(p: int, j: int) -> int:
@@ -56,6 +60,17 @@ def _weight(p: int, j: int) -> int:
 
 
 WEIGHTS = [[_weight(p, j) for j in range(DIMS)] for p in range(N_PLANES)]
+
+# Two extra md5-derived planes used ONLY as a within-bucket locality
+# ORDER for chain-bounded candidates (r12): near-dup vectors have
+# near-equal raw projections (|r·qa − r·qb| ≤ |r|·|qa−qb|) even when
+# they straddle a bucketing hyperplane's SIGN — so sorting a hot
+# bucket by the integer dot groups true neighbors into runs the chain
+# window covers, which the bit-signature sort provably cannot
+# (hot-bucket-only pairs differ in the other band's bits BY
+# DEFINITION; measured: tools/chain_recall.py — bit-sig order left
+# embedding pair recall at 0.21, projection order recovers it).
+ORDER_PLANES = [[_weight(p, j) for j in range(DIMS)] for p in (N_PLANES, N_PLANES + 1)]
 
 
 def quantized(emb: DataFrame) -> DataFrame:
@@ -201,7 +216,9 @@ def ann_lsh(
     )
 
 
-def neardup_candidates(emb: DataFrame, chain: int = CHAIN_WINDOW) -> DataFrame:
+def neardup_candidates(
+    emb: DataFrame, chain: int = CHAIN_WINDOW, locality_order: bool = True
+) -> DataFrame:
     """Bounded near-dup candidate id pairs: per (band, bucket), each
     member pairs with its next `chain` successors in vec_id order —
     O(n · bands · chain) candidates REGARDLESS of the bucket-size
@@ -226,27 +243,50 @@ def neardup_candidates(emb: DataFrame, chain: int = CHAIN_WINDOW) -> DataFrame:
     # Bounded FOLLOWING frame (see dedup._chain_candidates): collect
     # exactly the real successors, so the explode emits only true
     # candidates instead of n·bands·chain mostly-null rows.
-    b = lsh_buckets(emb).select("vec_id", "band", "bucket")
-    w = Window.partitionBy("band", "bucket").orderBy("vec_id").rowsBetween(1, chain)
+    #
+    # locality_order (r12): sort each bucket by the RAW projections of
+    # two dedicated order-planes (exact BIGINT dots) before vec_id —
+    # near-dups have near-equal projections even when their SIGN bits
+    # straddle a bucketing hyperplane, so same-cluster members form
+    # chain-coverable runs regardless of adversarial vec_id
+    # interleaving (measured: tools/chain_recall.py).  Pairs are
+    # least/greatest-normalized, so buckets with ≤ chain+1 members
+    # emit the identical full pair set under either ordering.
+    ords = [
+        F.expr(_DOT.format(
+            a="qv", b="array(" + ",".join(str(v) for v in w) + ")"
+        )).alias(f"ord{i}")
+        for i, w in enumerate(ORDER_PLANES)
+    ]
+    b = lsh_buckets(emb).select("vec_id", "band", "bucket", *ords)
+    order = ["ord0", "ord1", "vec_id"] if locality_order else ["vec_id"]
+    w = Window.partitionBy("band", "bucket").orderBy(*order).rowsBetween(1, chain)
     return (
         b.select(
-            F.col("vec_id").alias("vec_a"),
+            F.col("vec_id").alias("_cur"),
             F.collect_list("vec_id").over(w).alias("_succ"),
         )
-        .select("vec_a", F.explode("_succ").alias("vec_b"))
+        .select("_cur", F.explode("_succ").alias("_nxt"))
+        .select(
+            F.least("_cur", "_nxt").alias("vec_a"),
+            F.greatest("_cur", "_nxt").alias("vec_b"),
+        )
         .dropDuplicates(["vec_a", "vec_b"])
     )
 
 
 def embedding_neardup_pairs(
-    emb: DataFrame, threshold: float = NEARDUP_COS, chain: int = CHAIN_WINDOW
+    emb: DataFrame,
+    threshold: float = NEARDUP_COS,
+    chain: int = CHAIN_WINDOW,
+    locality_order: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: chain-bounded LSH-bucket
     candidates (see `neardup_candidates`), verified by exact
     quantized cosine >= threshold.  Same determinism guarantee as
     `ann_lsh`; candidate volume is O(n · bands · chain)."""
     q = quantized(emb)
-    cand = neardup_candidates(emb, chain)
+    cand = neardup_candidates(emb, chain, locality_order)
     a = q.select(
         F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa"), F.col("nq").alias("na")
     )

@@ -396,8 +396,17 @@ def _sql_band_bits(band: int) -> str:
     return " || ".join(bits)
 
 
+# within-bucket locality-order keys (r12): exact BIGINT projections
+# onto the two dedicated order-planes — near-dups have near-equal raw
+# dots even when their sign bits straddle a bucketing hyperplane
+def _sql_order_dot(i: int) -> str:
+    w = "[" + ",".join(str(v) for v in similarity.ORDER_PLANES[i]) + "]"
+    return f"list_sum([qv[i] * ({w})[i] for i in range(1, len(qv)+1)])"
+
+
 _BKT_CTE = _EMB_CTE + ", bkt AS (" + " UNION ALL ".join(
-    f"SELECT vec_id, qv, nq, {b} AS band, {_sql_band_bits(b)} AS bucket FROM n"
+    f"SELECT vec_id, qv, nq, {b} AS band, {_sql_band_bits(b)} AS bucket, "
+    f"{_sql_order_dot(0)} AS ord0, {_sql_order_dot(1)} AS ord1 FROM n"
     for b in range(similarity.N_PLANES // similarity.PLANES_PER_BAND)
 ) + ")"
 
@@ -447,15 +456,18 @@ def llm_ann_lsh(spark, sf_dir):
 # |bucket|² — one degenerate 13.5k-member bucket at 10× data spilled
 # 128 GB; see similarity.neardup_candidates).  Identical chain logic
 # on both engines: per (band, bucket), each member pairs with its next
-# CHAIN_WINDOW successors in vec_id order.
+# CHAIN_WINDOW successors in (ord0, ord1, vec_id) locality order
+# (r12: raw order-plane projections — near-equal for near-dups even
+# across a straddled sign bit; pairs LEAST/GREATEST-normalized).
 _CHAIN_CAND_CTE = (
     ", chain AS ("
     + " UNION ALL ".join(
-        f"SELECT vec_id AS vec_a, LEAD(vec_id, {i}) OVER "
-        "(PARTITION BY band, bucket ORDER BY vec_id) AS vec_b FROM bkt"
+        f"SELECT vec_id AS v1, LEAD(vec_id, {i}) OVER "
+        "(PARTITION BY band, bucket ORDER BY ord0, ord1, vec_id) AS v2 FROM bkt"
         for i in range(1, similarity.CHAIN_WINDOW + 1)
     )
-    + "), cand AS (SELECT DISTINCT vec_a, vec_b FROM chain WHERE vec_b IS NOT NULL)"
+    + "), cand AS (SELECT DISTINCT LEAST(v1, v2) AS vec_a, "
+    "GREATEST(v1, v2) AS vec_b FROM chain WHERE v2 IS NOT NULL)"
 )
 
 
