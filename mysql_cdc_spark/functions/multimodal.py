@@ -693,3 +693,161 @@ def audio_dedup(clips: DataFrame, on_error: str = "raise") -> DataFrame:
         )
         out = out.unionByName(corrupt)
     return out
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF (functions/isobmff.py): metadata-level video demux —
+# the container layer a 100 TB video corpus is actually planned and
+# sampled on (shard planning and keyframe selection read the sample
+# TABLE, never decoded frames).  Coded-picture decode stays out of
+# scope (needs libav/ffmpeg; see isobmff module docstring).
+#
+# Deterministic generation rule (lockstep with the DuckDB closed
+# forms):
+#   n        = media_id % 7 + 2 samples
+#   keyframe sample i  iff  i % 3 == 0
+#   sample i bytes     = [(media_id*11 + i*7) % 256] * ((media_id+i) % 5 + 4)
+#   width    = 16 * (media_id % 4 + 1), height 16
+#   chunking = media_id % 3 + 1 samples per chunk (varies the real
+#              stsc/stco layout across the corpus; features must be
+#              invariant to it — which is exactly what makes the
+#              sample-table resolution a testable claim)
+#   timescale 1000, delta 40  →  dts_ms = i*40, duration_ms = n*40
+# ---------------------------------------------------------------------------
+
+MP4_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("brand", T.StringType(), True),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("n_keyframes", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("total_bytes", T.LongType(), True),
+    ]
+)
+
+MP4_KEYFRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_idx", T.LongType(), False),
+        T.StructField("dts_ms", T.LongType(), False),
+        T.StructField("byte_sum", T.LongType(), False),
+    ]
+)
+
+
+def _mp4_payload(mid: int) -> bytes:
+    from mysql_cdc_spark.functions.isobmff import encode_mp4
+
+    n = mid % 7 + 2
+    samples = [
+        bytes([(mid * 11 + i * 7) % 256]) * ((mid + i) % 5 + 4) for i in range(n)
+    ]
+    return encode_mp4(
+        16 * (mid % 4 + 1),
+        16,
+        samples,
+        keyframes=[i for i in range(n) if i % 3 == 0],
+        samples_per_chunk=mid % 3 + 1,
+    )
+
+
+def synth_mp4_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video table whose payloads are REAL ISO-BMFF bytes (pure-Python
+    encoder) derived deterministically from `events`."""
+    from mysql_cdc_spark.sources.io import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("media_id")
+    )
+    ev = _spread(ev)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [_mp4_payload(int(m)) for m in pdf["media_id"]],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return ev.mapInPandas(gen, schema)
+
+
+def mp4_meta(videos: DataFrame) -> DataFrame:
+    """Container-level metadata per video: parse the real box tree and
+    resolve the sample table (brand, codec fourcc, track dims, sample
+    and keyframe counts, duration, total sample bytes)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mysql_cdc_spark.functions.isobmff import parse_mp4
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                f = parse_mp4(bytes(payload))
+                t = f.tracks[0]
+                st = t.sample_table()
+                rows.append(
+                    (
+                        mid,
+                        f.major_brand,
+                        t.codec,
+                        t.width,
+                        t.height,
+                        len(st),
+                        sum(1 for _, _, _, k in st if k),
+                        f.duration * 1000 // max(f.timescale, 1),
+                        sum(s for _, s, _, _ in st),
+                    )
+                )
+            cols = ["media_id", "brand", "codec", "width", "height",
+                    "n_samples", "n_keyframes", "duration_ms", "total_bytes"]
+            by_col = list(zip(*rows)) if rows else [[]] * len(cols)
+            yield pd.DataFrame({
+                c: (pd.array(vals, dtype="Int64") if i >= 3 else list(vals))
+                for i, (c, vals) in enumerate(zip(cols, by_col))
+            })
+
+    return videos.mapInPandas(run, MP4_META_SCHEMA)
+
+
+def mp4_keyframe_sample(videos: DataFrame, step: int = 2) -> DataFrame:
+    """Every `step`-th KEYFRAME per video, with its decode timestamp
+    and the byte sum of the REAL sample bytes sliced out of mdat via
+    the resolved (offset, size) — byte-exact across whatever
+    chunk layout the file uses, which is the whole point of stsc/stco
+    resolution."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mysql_cdc_spark.functions.isobmff import extract_sample, parse_mp4
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                blob = bytes(payload)
+                t = parse_mp4(blob).tracks[0]
+                st = t.sample_table()
+                ticks_to_ms = 1000 // max(t.timescale, 1)
+                keys = [i for i, (_, _, _, k) in enumerate(st) if k]
+                for i in keys[::step]:
+                    off, size, dts, _ = st[i]
+                    rows.append(
+                        (mid, i, dts * ticks_to_ms, sum(extract_sample(blob, off, size)))
+                    )
+            cols = ["media_id", "sample_idx", "dts_ms", "byte_sum"]
+            by_col = list(zip(*rows)) if rows else [[]] * len(cols)
+            yield pd.DataFrame({
+                c: pd.array(vals, dtype="Int64") for c, vals in zip(cols, by_col)
+            })
+
+    return videos.mapInPandas(run, MP4_KEYFRAME_SCHEMA)

@@ -230,6 +230,9 @@ REGISTRATION_ORDER: list[str] = [
     "sk_quantile_merge_daily",
     # r11 additions (append-at-end keeps historical tie-breaks intact)
     "ts_asof_join_chunked",
+    # r12 additions
+    "mm_mp4_meta",
+    "mm_mp4_keyframe_sample",
 ]
 
 

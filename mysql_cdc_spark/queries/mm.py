@@ -187,3 +187,43 @@ def mm_decoded_features(spark, sf_dir):
     from mysql_cdc_spark.functions import multimodal as mm
 
     return mm.extract_decoded_features(mm.synth_real_media(spark, sf_dir))
+
+
+@register(
+    "mm_mp4_meta",
+    "SELECT CAST(event_id AS BIGINT) AS media_id, 'isom' AS brand, 'rle ' AS codec, "
+    "CAST(16 * (event_id % 4 + 1) AS BIGINT) AS width, CAST(16 AS BIGINT) AS height, "
+    "CAST(event_id % 7 + 2 AS BIGINT) AS n_samples, "
+    "CAST((event_id % 7 + 4) // 3 AS BIGINT) AS n_keyframes, "
+    "CAST((event_id % 7 + 2) * 40 AS BIGINT) AS duration_ms, "
+    "CAST(list_sum([(event_id + i) % 5 + 4 for i in range(0, event_id % 7 + 2)]) AS BIGINT) "
+    "AS total_bytes FROM events",
+)
+def mm_mp4_meta(spark, sf_dir):
+    """ISO-BMFF container metadata over REAL MP4 bytes (pure-Python
+    box parser, functions/isobmff.py): box-tree walk + full
+    stts/stss/stsz/stsc/stco sample-table resolution per video, with
+    the chunk layout VARYING across the corpus (media_id % 3 + 1
+    samples per chunk) so the closed-form oracle catches any
+    stsc/stco resolution error."""
+    from mysql_cdc_spark.functions import multimodal as mm
+
+    return mm.mp4_meta(mm.synth_mp4_corpus(spark, sf_dir))
+
+
+@register(
+    "mm_mp4_keyframe_sample",
+    "SELECT CAST(event_id AS BIGINT) AS media_id, CAST(i AS BIGINT) AS sample_idx, "
+    "CAST(i * 40 AS BIGINT) AS dts_ms, "
+    "CAST(((event_id + i) % 5 + 4) * ((event_id * 11 + i * 7) % 256) AS BIGINT) AS byte_sum "
+    "FROM events, unnest(range(0, event_id % 7 + 2, 6)) AS t(i)",
+)
+def mm_mp4_keyframe_sample(spark, sf_dir):
+    """Metadata-level keyframe sampling: every 2nd sync sample (stss)
+    per video, byte-exact sample extraction out of mdat via the
+    resolved (offset, size) — keyframes are every 3rd sample, so the
+    sampled stride is 6 and byte_sum has the closed form the oracle
+    states."""
+    from mysql_cdc_spark.functions import multimodal as mm
+
+    return mm.mp4_keyframe_sample(mm.synth_mp4_corpus(spark, sf_dir))

@@ -1,0 +1,86 @@
+"""Unit tests for the pure-Python ISO-BMFF (MP4) codec
+(functions/isobmff.py) — box framing, sample-table resolution across
+chunk layouts, 64-bit forms, and torn-input rejection."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from mysql_cdc_spark.functions.isobmff import (
+    Mp4Track,
+    encode_mp4,
+    extract_sample,
+    parse_mp4,
+    walk_boxes,
+)
+
+SAMPLES = [bytes([v]) * n for v, n in [(9, 5), (18, 7), (27, 4), (36, 6), (45, 8), (54, 3)]]
+
+
+@pytest.mark.parametrize("spc", [0, 1, 2, 3, 4, 6])
+def test_round_trip_all_chunk_layouts(spc):
+    """The SAME samples must come back byte-identical whatever the
+    stsc/stco chunk layout — offsets are resolved, never assumed."""
+    blob = encode_mp4(48, 16, SAMPLES, keyframes=[0, 3], samples_per_chunk=spc)
+    f = parse_mp4(blob)
+    assert f.major_brand == "isom"
+    assert f.timescale == 1000 and f.duration == len(SAMPLES) * 40
+    t = f.tracks[0]
+    assert (t.track_id, t.handler, t.codec) == (1, "vide", "rle ")
+    assert (t.width, t.height) == (48, 16)
+    st = t.sample_table()
+    assert [s for _, s, _, _ in st] == [len(s) for s in SAMPLES]
+    assert [d for _, _, d, _ in st] == [i * 40 for i in range(len(SAMPLES))]
+    assert [k for _, _, _, k in st] == [i in (0, 3) for i in range(len(SAMPLES))]
+    assert [extract_sample(blob, o, s) for o, s, _, _ in st] == SAMPLES
+
+
+def test_empty_track():
+    blob = encode_mp4(16, 16, [], keyframes=[])
+    t = parse_mp4(blob).tracks[0]
+    assert t.sample_table() == []
+
+
+def test_walk_boxes_largesize_and_to_eof():
+    payload = b"x" * 10
+    large = struct.pack(">I", 1) + b"big " + struct.pack(">Q", 16 + len(payload)) + payload
+    toeof = struct.pack(">I", 0) + b"tail" + b"yz"
+    got = list(walk_boxes(large + toeof))
+    assert [(t, b - a) for t, a, b in got] == [(b"big ", 10), (b"tail", 2)]
+
+
+def test_torn_inputs_raise():
+    blob = encode_mp4(16, 16, SAMPLES[:2], keyframes=[0])
+    with pytest.raises(ValueError):
+        parse_mp4(blob[: len(blob) // 2])       # truncated mid-box
+    with pytest.raises(ValueError):
+        parse_mp4(b"\x00\x00\x00\x08free")      # no ftyp
+    bad = bytearray(blob)
+    bad[0:4] = struct.pack(">I", len(blob) + 99)  # first box overruns file
+    with pytest.raises(ValueError):
+        parse_mp4(bytes(bad))
+    with pytest.raises(ValueError):
+        extract_sample(blob, len(blob) - 2, 10)
+
+
+def test_uniform_stsz_and_co64_paths():
+    """Parser must accept the compact uniform-size stsz form and
+    64-bit co64 chunk offsets (hand-built stbl, no encoder help)."""
+    trk = Mp4Track()
+    stsz = b"\x00" * 4 + struct.pack(">II", 7, 3)          # uniform 7 bytes × 3
+    co64 = b"\x00" * 4 + struct.pack(">IQ", 1, 1 << 33)
+    stsc = b"\x00" * 4 + struct.pack(">IIII", 1, 1, 3, 1)
+    stts = b"\x00" * 4 + struct.pack(">III", 1, 3, 20)
+    stbl = b"".join(
+        struct.pack(">I", 8 + len(p)) + t + p
+        for t, p in [(b"stsz", stsz), (b"co64", co64), (b"stsc", stsc), (b"stts", stts)]
+    )
+    from mysql_cdc_spark.functions import isobmff
+
+    isobmff._parse_stbl(stbl, 0, len(stbl), trk)
+    st = trk.sample_table()
+    assert [(o, s) for o, s, _, _ in st] == [(1 << 33, 7), ((1 << 33) + 7, 7), ((1 << 33) + 14, 7)]
+    assert [d for _, _, d, _ in st] == [0, 20, 40]
+    assert all(k for _, _, _, k in st)  # no stss → every sample is sync

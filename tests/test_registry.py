@@ -194,3 +194,42 @@ def test_finalize_order_is_idempotent_and_matches_frozen_prefix():
         QUERIES.clear(); QUERIES.update(q2)
         o2 = {n: ORACLES[n] for n in current_o}
         ORACLES.clear(); ORACLES.update(o2)
+
+
+def test_r12_window_is_the_50_oldest_verified_against_real_history():
+    """r11 VERDICT #6: pin the LIVE gate window against the committed
+    CORRECTNESS_r01..r11 artifacts with an INDEPENDENT re-derivation
+    of the policy (plain json walk here, no rotation.py code), so the
+    load-bearing mechanism behind the external gate's coverage claim
+    stays verifiable against the real history, not just synthetic
+    fixtures."""
+    import json
+    import re
+    from pathlib import Path
+
+    from mysql_cdc_spark.queries import QUERIES, REGISTRATION_ORDER
+
+    root = Path(__file__).resolve().parents[1]
+    latest: dict[str, int] = {}
+    arts = sorted(root.glob("CORRECTNESS_r*.json"))
+    assert len(arts) >= 11  # the committed r01..r11 history
+    for path in arts:
+        rnd = int(re.search(r"r(\d+)\.json$", path.name).group(1))
+        for name, res in json.loads(path.read_text()).items():
+            if isinstance(res, dict) and res.get("hash_match"):
+                latest[name] = max(latest.get(name, 0), rnd)
+
+    reg_pos = {n: i for i, n in enumerate(REGISTRATION_ORDER)}
+    expected = sorted(
+        QUERIES, key=lambda n: (latest.get(n, 0), reg_pos.get(n, len(reg_pos)))
+    )
+    window = list(QUERIES)[:50]
+    assert window == expected[:50]
+    # every never-verified name (new this round) must sit inside the
+    # window, and no name verified more recently than a window member
+    # may be outside it
+    unverified = [n for n in QUERIES if n not in latest]
+    assert all(n in window for n in unverified)
+    worst_in = max(latest.get(n, 0) for n in window)
+    best_out = min((latest[n] for n in list(QUERIES)[50:] if n in latest), default=99)
+    assert worst_in <= best_out
