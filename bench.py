@@ -80,6 +80,20 @@ def main() -> None:
         stateful_ab[tag] = round(time.perf_counter() - t0, 4)
     spark.conf.unset(_key)
 
+    # Stateful state at SCALE (r11 VERDICT #4): the same stateful
+    # latest-state drain at 50k keys × 4 full-rewrite micro-batches —
+    # an order of magnitude past the fixture's key cardinality — per
+    # provider, with state rows / reported state memory / checkpoint
+    # bytes alongside the wall (tools/state_scale.py runs the full
+    # 10k→500k ramp; this row keeps one elevated point tracked
+    # round-over-round).
+    from tools.state_scale import _PROVIDERS, build_fixture, run_once
+
+    _src = build_fixture(50_000)
+    state_scale = {
+        tag: run_once(spark, _src, prov) for tag, prov in _PROVIDERS.items()
+    }
+
     # Decode throughput (BASELINE.md metric 1): envelope events/sec
     # through the full scan→explode→project pipeline (4 events per
     # source row), from the measured envelope wall.
@@ -148,6 +162,7 @@ def main() -> None:
                 ),
                 "latency": latency,
                 "stateful_state_store_sec": stateful_ab,
+                "state_scale_50k": state_scale,
                 "decode_rows_per_sec": decode_rows_per_sec,
                 "codec_rows_per_sec": codec_rows_per_sec,
                 "sf": sf,

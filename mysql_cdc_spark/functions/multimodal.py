@@ -755,9 +755,13 @@ def _mp4_payload(mid: int) -> bytes:
     )
 
 
-def synth_mp4_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synth_mp4_corpus(
+    spark: SparkSession, sf_dir: str, corrupt_every: int | None = None
+) -> DataFrame:
     """Video table whose payloads are REAL ISO-BMFF bytes (pure-Python
-    encoder) derived deterministically from `events`."""
+    encoder) derived deterministically from `events`.  With
+    `corrupt_every`, every Nth payload is torn in half mid-file (the
+    moov never arrives — the classic truncated-upload shape)."""
     from mysql_cdc_spark.sources.io import read_table
 
     ev = read_table(spark, sf_dir, "events").select(
@@ -767,12 +771,13 @@ def synth_mp4_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "payload": [_mp4_payload(int(m)) for m in pdf["media_id"]],
-                }
-            )
+            payloads = []
+            for m in pdf["media_id"]:
+                p = _mp4_payload(int(m))
+                if corrupt_every and int(m) % corrupt_every == 0:
+                    p = p[: len(p) // 2]
+                payloads.append(p)
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
 
     schema = T.StructType(
         [
@@ -783,10 +788,17 @@ def synth_mp4_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.mapInPandas(gen, schema)
 
 
-def mp4_meta(videos: DataFrame) -> DataFrame:
+def mp4_meta(videos: DataFrame, on_error: str = "raise") -> DataFrame:
     """Container-level metadata per video: parse the real box tree and
     resolve the sample table (brand, codec fourcc, track dims, sample
-    and keyframe counts, duration, total sample bytes)."""
+    and keyframe counts, duration, total sample bytes).
+
+    ``on_error='quarantine'`` extends the media dead-letter contract
+    to the container layer: a torn/overrunning box tree becomes a row
+    with NULL metadata instead of killing the pass."""
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be raise|quarantine, got {on_error!r}")
+    import struct as _struct
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from mysql_cdc_spark.functions.isobmff import parse_mp4
@@ -794,9 +806,15 @@ def mp4_meta(videos: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                f = parse_mp4(bytes(payload))
-                t = f.tracks[0]
-                st = t.sample_table()
+                try:
+                    f = parse_mp4(bytes(payload))
+                    t = f.tracks[0]
+                    st = t.sample_table()
+                except (ValueError, _struct.error, IndexError):
+                    if on_error == "raise":
+                        raise
+                    rows.append((mid, None, None, None, None, None, None, None, None))
+                    continue
                 rows.append(
                     (
                         mid,

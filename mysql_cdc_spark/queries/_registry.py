@@ -233,6 +233,7 @@ REGISTRATION_ORDER: list[str] = [
     # r12 additions
     "mm_mp4_meta",
     "mm_mp4_keyframe_sample",
+    "mm_mp4_quarantine",
 ]
 
 

@@ -227,3 +227,30 @@ def mm_mp4_keyframe_sample(spark, sf_dir):
     from mysql_cdc_spark.functions import multimodal as mm
 
     return mm.mp4_keyframe_sample(mm.synth_mp4_corpus(spark, sf_dir))
+
+
+@register(
+    "mm_mp4_quarantine",
+    "SELECT CAST(event_id AS BIGINT) AS media_id, "
+    "CASE WHEN event_id % 97 = 0 THEN NULL ELSE 'isom' END AS brand, "
+    "CASE WHEN event_id % 97 = 0 THEN NULL ELSE 'rle ' END AS codec, "
+    "CASE WHEN event_id % 97 = 0 THEN NULL ELSE CAST(16 * (event_id % 4 + 1) AS BIGINT) END AS width, "
+    "CASE WHEN event_id % 97 = 0 THEN NULL ELSE CAST(16 AS BIGINT) END AS height, "
+    "CASE WHEN event_id % 97 = 0 THEN NULL ELSE CAST(event_id % 7 + 2 AS BIGINT) END AS n_samples, "
+    "CASE WHEN event_id % 97 = 0 THEN NULL ELSE CAST((event_id % 7 + 4) // 3 AS BIGINT) END AS n_keyframes, "
+    "CASE WHEN event_id % 97 = 0 THEN NULL ELSE CAST((event_id % 7 + 2) * 40 AS BIGINT) END AS duration_ms, "
+    "CASE WHEN event_id % 97 = 0 THEN NULL ELSE "
+    "CAST(list_sum([(event_id + i) % 5 + 4 for i in range(0, event_id % 7 + 2)]) AS BIGINT) END AS total_bytes "
+    "FROM events",
+)
+def mm_mp4_quarantine(spark, sf_dir):
+    """Dead-letter contract at the container layer: every 97th MP4 is
+    torn in half mid-file (the moov never arrives); quarantine mode
+    yields NULL-metadata rows for them while the valid corpus parses
+    normally — one truncated upload never kills the demux pass."""
+    from mysql_cdc_spark.functions import multimodal as mm
+
+    return mm.mp4_meta(
+        mm.synth_mp4_corpus(spark, sf_dir, corrupt_every=97),
+        on_error="quarantine",
+    )

@@ -1,0 +1,178 @@
+"""Streaming state-store scaling ramp (r11 VERDICT #4): grow the
+stateful key cardinality 10-100× beyond the fixture's and record, for
+the default on-heap provider vs RocksDB:
+
+- drain wall (4 micro-batches, availableNow, noop sink)
+- final state rows + reported state memory (stateOperators metrics)
+- summed state commit time across batches
+- checkpoint directory size on disk
+
+The r11 A/B ran at fixture-state size only (~couple thousand keys);
+this names the cardinality where the default provider actually
+degrades — or records honestly that it doesn't within reachable
+cardinalities and what the real bottleneck is (the Python
+applyInPandasWithState per-group cost is a candidate: state transfer
+is Arrow-batched but groups are iterated per key).
+
+Fixture per cardinality K: 4 parquet files (one per micro-batch,
+maxFilesPerTrigger=1), each with one update for EVERY key (offset =
+batch*K + id), so state holds K entries from batch 1 and every batch
+rewrites every key — the worst-case update pattern for the store.
+
+Usage: python tools/state_scale.py [K ...]   (default 10k 100k 500k)
+Output: one JSON row per (K, provider).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+import sys
+import time
+import uuid
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SCRATCH = Path("/root/repo/.stream_tmp/state_scale")
+N_BATCHES = 4
+
+_PROVIDERS = {
+    "default": None,
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+}
+
+
+def build_fixture(k: int) -> Path:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = SCRATCH / f"src_k{k}"
+    if d.exists():
+        return d
+    d.mkdir(parents=True)
+    ids = np.arange(k, dtype=np.int64)
+    for b in range(N_BATCHES):
+        tbl = pa.table(
+            {
+                "db": pa.array(["d"] * k),
+                "tbl": pa.array(["t"] * k),
+                "id": pa.array(ids),
+                "offset": pa.array(b * k + ids),
+                "value": pa.array((ids % 1000).astype("float64") + b),
+                "_delta_type": pa.array(
+                    ["insert" if b == 0 else "update-after"] * k
+                ),
+            }
+        )
+        pq.write_table(tbl, d / f"batch_{b}.parquet")
+    return d
+
+
+def run_once(spark, src: Path, provider: str | None, impl: str = "python") -> dict:
+    """impl='python' runs the custom applyInPandasWithState operator
+    (the queries()-registered shape); impl='jvm' runs its DECLARATIVE
+    twin — a streaming groupBy max_by(struct(...), offset) in update
+    mode, all JVM-side state — same per-key latest-image semantics,
+    none of the per-group Python invocation cost."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from mysql_cdc_spark.streaming.stateful import latest_state_stateful
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    if provider is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, provider)
+
+    schema = T.StructType(
+        [
+            T.StructField("db", T.StringType(), False),
+            T.StructField("tbl", T.StringType(), False),
+            T.StructField("id", T.LongType(), True),
+            T.StructField("offset", T.LongType(), False),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("_delta_type", T.StringType(), False),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    if impl == "python":
+        transformed = latest_state_stateful(stream)
+    else:
+        transformed = (
+            stream.filter(F.col("_delta_type") != "update-before")
+            .groupBy("db", "tbl", "id")
+            .agg(
+                F.expr("max_by(struct(value, _delta_type), offset)").alias("last"),
+                F.max("offset").alias("as_of_offset"),
+            )
+        )
+    cp = SCRATCH / f"cp_{uuid.uuid4().hex[:10]}"
+    t0 = time.perf_counter()
+    q = (
+        transformed
+        .writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", str(cp))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.perf_counter() - t0
+
+    rows_total = mem_bytes = commit_ms = updates_ms = 0
+    for p in q.recentProgress:
+        for so in p.get("stateOperators", []):
+            rows_total = max(rows_total, so.get("numRowsTotal", 0))
+            mem_bytes = max(mem_bytes, so.get("memoryUsedBytes", 0))
+            commit_ms += so.get("commitTimeMs", 0)
+            updates_ms += so.get("allUpdatesTimeMs", 0)
+    du = subprocess.run(
+        ["du", "-sb", str(cp)], capture_output=True, text=True
+    ).stdout.split("\t")[0]
+    shutil.rmtree(cp, ignore_errors=True)
+    spark.conf.unset(key)
+    return {
+        "wall_sec": round(wall, 2),
+        "state_rows": rows_total,
+        "state_mem_mb": round(mem_bytes / 1e6, 1),
+        "commit_ms_total": commit_ms,
+        "updates_ms_total": updates_ms,
+        "checkpoint_bytes": int(du or 0),
+    }
+
+
+def main() -> None:
+    ks = [int(a) for a in sys.argv[1:] if a.isdigit()] or [10_000, 100_000, 500_000]
+    from mysql_cdc_spark.session import get_spark
+
+    spark = get_spark("state-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm both providers once at tiny K so JIT/provider init is out
+    warm = build_fixture(1000)
+    for prov in _PROVIDERS.values():
+        run_once(spark, warm, prov)
+    impls = ("python", "jvm") if "--jvm" in sys.argv else ("python",)
+    for k in ks:
+        src = build_fixture(k)
+        for impl in impls:
+            for tag, prov in _PROVIDERS.items():
+                m = run_once(spark, src, prov, impl)
+                print(
+                    json.dumps({"keys": k, "impl": impl, "provider": tag, **m}),
+                    flush=True,
+                )
+
+
+if __name__ == "__main__":
+    main()
