@@ -234,6 +234,7 @@ REGISTRATION_ORDER: list[str] = [
     "mm_mp4_meta",
     "mm_mp4_keyframe_sample",
     "mm_mp4_quarantine",
+    "cdc_stream_latest_state_agg",
 ]
 
 

@@ -172,6 +172,54 @@ def cdc_stream_latest_state(spark, sf_dir):
 
 
 @register(
+    "cdc_stream_latest_state_agg",
+    with_changes(
+        "SELECT db, tbl, id, value, \"offset\" AS as_of_offset FROM ("
+        "  SELECT db, tbl, id, value, \"offset\", _delta_type, "
+        "         ROW_NUMBER() OVER (PARTITION BY db, tbl, id ORDER BY \"offset\" DESC) AS rn"
+        "  FROM rows_dt WHERE _delta_type <> 'update-before'"
+        ") WHERE rn = 1 AND _delta_type <> 'delete'"
+    ),
+)
+def cdc_stream_latest_state_agg(spark, sf_dir):
+    """The DECLARATIVE twin of cdc_stream_latest_state: the same
+    per-key latest-image semantics as a streaming groupBy
+    max_by(struct(...), offset) aggregation in update mode — all
+    JVM-side HashAggregate-with-state, zero Python in the hot path.
+    Same oracle, same four forced micro-batches.
+
+    Registered because the r12 state-scale ramp
+    (tools/state_scale.py, PLANS.md) measured the custom
+    applyInPandasWithState operator's per-group Python cost at
+    ~0.9 ms/key/batch — LINEAR in key cardinality (181 s at 500k
+    keys) while this form stays flat (5.9 s): at high cardinality
+    the escape hatch, not the state store, is the bottleneck, so the
+    declarative form is the default recommendation and the custom
+    operator is reserved for semantics aggregation cannot express."""
+    from mysql_cdc_spark.streaming import runtime as rt
+
+    log_dir = rt.ensure_event_log(spark, sf_dir, _STREAM_TMP, _FIXTURE_VERSION)
+    stream = rt.open_stream(spark, log_dir, max_files_per_trigger=1)
+    rows = rows_delta_type(stream).filter(F.col("_delta_type") != "update-before")
+    agg = rows.groupBy("db", "tbl", "id").agg(
+        F.expr("max_by(struct(value, _delta_type), offset)").alias("last"),
+        F.max("offset").alias("as_of_offset"),
+    )
+    updates = _drain(agg, output_mode="update")
+    # update-mode sink holds one row per (key, batch that advanced
+    # it); keep each key's highest-offset image, as in the custom form
+    return (
+        updates.groupBy("db", "tbl", "id")
+        .agg(
+            F.expr("max_by(last, as_of_offset)").alias("last"),
+            F.max("as_of_offset").alias("as_of_offset"),
+        )
+        .filter(F.col("last._delta_type") != "delete")
+        .select("db", "tbl", "id", F.col("last.value").alias("value"), "as_of_offset")
+    )
+
+
+@register(
     "cdc_stream_sessions",
     with_changes(
         ", marked AS ("

@@ -53,7 +53,11 @@ def ts_asof_join(spark, sf_dir):
     the user's most recent click within 1 hour.  Union+ordered-window
     formulation — ONE shuffle on user_id, no range explosion (the
     oracle's LEAD-interval LEFT JOIN is the same semantics declared
-    relationally)."""
+    relationally).  r12: `asof_join` is skew-ADAPTIVE — a key-count
+    pre-agg dispatches to the row-identical chunked form when the
+    hottest key exceeds the measured crossover
+    (timeseries.ASOF_SKEW_ROW_THRESHOLD); on this fixture it stays
+    the plain 1-shuffle plan."""
     ev = _events(spark, sf_dir)
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "ts", "user_id", "value"
