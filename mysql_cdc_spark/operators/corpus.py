@@ -118,6 +118,41 @@ def pack_sequences(docs: DataFrame, capacity: int = 512) -> DataFrame:
     )
 
 
+def _reset_inherited_stats(df: DataFrame) -> DataFrame:
+    """Rebuild `df` (which must already be localCheckpointed — i.e. a
+    materialized LogicalRDD) as a fresh LogicalRDD WITHOUT the origin
+    plan's inherited size estimate.
+
+    Why (r12, found by the x100 sweep): `Dataset.localCheckpoint`
+    truncates the PLAN but carries the origin plan's computed
+    sizeInBytes onto the new leaf.  In a loop whose round references
+    the previous round's result twice (the pointer-jump self-join
+    below), the size-only stats visitor MULTIPLIES child sizes, so
+    the inherited estimate SQUARES every round — its BigInteger digit
+    count doubles, and by round ~20 Catalyst burns minutes per round
+    in Toom-Cook multiplication of million-digit integers (measured:
+    checkpoint wall 1.5 s → 2.9 → 5.2 → 11.8 → 29.5 → 83.9 s on the
+    x100 fixture, pure driver CPU, zero tasks running).  Resetting
+    the leaf to default stats pins planning cost per round; runtime
+    join strategy is unaffected in practice because AQE re-plans from
+    REAL shuffle sizes.
+
+    Uses SparkSession.internalCreateDataFrame on the checkpointed
+    RDD[InternalRow] (zero data movement, zero recompute — the RDD is
+    already materialized).  Guarded: if the JVM surface ever changes,
+    fall back to the un-reset frame (correctness is unaffected; only
+    planning speed regresses)."""
+    try:
+        jdf = df._jdf
+        spark = df.sparkSession
+        new_jdf = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(new_jdf, spark)
+    except Exception:  # noqa: BLE001 - private-API guard, see docstring
+        return df
+
+
 def duplicate_components(
     docs: DataFrame, pairs: DataFrame | None = None, max_iter: int = 25
 ) -> DataFrame:
@@ -185,6 +220,9 @@ def duplicate_components(
             )
             .localCheckpoint(eager=True)
         )
+        # without this, the inherited size estimate SQUARES per round
+        # (self-join) and planning cost doubles — see _reset_inherited_stats
+        new_labels = _reset_inherited_stats(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")

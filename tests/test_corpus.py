@@ -431,3 +431,43 @@ def test_truncate_docs_cap_and_flag(spark):
     assert got[1]["text"] == "w0 w1 w2 w3" and got[1]["n_tokens"] == 10
     assert not got[2]["was_truncated"] and got[2]["text"] == "short doc"
     assert got[3]["n_tokens"] == 1          # split("") -> one empty token
+
+
+def test_cc_round_stats_do_not_compound(spark):
+    """r12 x100-sweep finding: localCheckpoint inherits the origin
+    plan's computed sizeInBytes, and the CC round's pointer-jump
+    SELF-join squares it — digit count doubles per round until
+    Catalyst spends minutes multiplying million-digit BigIntegers
+    (driver-side, zero tasks).  _reset_inherited_stats pins the leaf
+    back to default stats; this asserts both halves: uncapped growth
+    is real, and the reset holds it flat."""
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_spark.operators.corpus import _reset_inherited_stats
+
+    def digits(df):
+        return len(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+
+    def round_once(lab):
+        parent = lab.select(F.col("doc_id").alias("p_id"), F.col("component").alias("p_comp"))
+        return (
+            lab.join(parent, lab.component == parent.p_id, "left")
+            .select("doc_id", F.coalesce("p_comp", "component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+
+    base = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.col("id").alias("component")
+    ).localCheckpoint(eager=True)
+
+    lab = base
+    for _ in range(5):
+        lab = round_once(lab)
+    assert digits(lab) > 60          # inherited stats square per round
+
+    lab = base
+    for _ in range(5):
+        lab = _reset_inherited_stats(round_once(lab))
+    assert digits(lab) <= 20         # pinned at the default estimate
+    # and the reset is value-neutral
+    assert sorted(r["doc_id"] for r in lab.collect()) == list(range(100))
