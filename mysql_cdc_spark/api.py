@@ -75,6 +75,7 @@ class CDCStatement:
         O(queue × batch) regardless of how long the stream runs, and
         `maxFilesPerTrigger=1` bounds the batch to one log file.
         """
+        import os
         import uuid
 
         from mysql_cdc_spark.streaming import runtime as rt
@@ -89,7 +90,10 @@ class CDCStatement:
         out = q.select_changes(
             stream, parsed["db"], parsed["table"], parsed["delta_type"]
         )
-        name = f"cdc_{uuid.uuid4().hex[:10]}"
+        # PID in the checkpoint name: _shared's import-time GC only
+        # reaps cp_* dirs whose owner process is dead, so a concurrent
+        # import can't delete this live query's source log.
+        name = f"cdc{os.getpid()}_{uuid.uuid4().hex[:10]}"
         cp_dir = f"/root/repo/.stream_tmp/cp_{name}"
         cursor = rt.QueueStreamingCursor().attach(
             out, cp_dir, trigger_seconds=trigger_seconds

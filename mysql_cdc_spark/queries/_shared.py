@@ -61,10 +61,41 @@ _STREAM_TMP = "/root/repo/.stream_tmp"
 _FIXTURE_VERSION = 6
 
 
+def _scratch_name(prefix: str) -> str:
+    """One-shot scratch dir name carrying the owning PID so the
+    import-time GC can tell a live checkpoint from an orphan.  Two
+    repo processes routinely overlap (bench.py while the driver smoke
+    check runs; a tool sweep while pytest streams) — a PID-blind GC
+    deleted a LIVE query's checkpoint out from under another process
+    (found when a registry-count one-liner killed the suite's
+    continuous-query test mid-stream)."""
+    import os
+    import uuid
+
+    return f"{prefix}_{os.getpid()}_{uuid.uuid4().hex[:10]}"
+
+
+def _pid_alive(pid: int) -> bool:
+    import os
+
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:  # pragma: no cover - exists, not ours
+        return True
+    return True
+
+
 def _gc_stale_fixture_versions() -> None:
-    """Remove scratch fixture dirs from older _FIXTURE_VERSIONs (and
-    orphaned one-shot scratch like blstream_*/cp_*) so version bumps
-    don't accumulate dead materializations across rounds."""
+    """Remove scratch fixture dirs from older _FIXTURE_VERSIONs and
+    ORPHANED one-shot scratch (blstream_*/cp_*) so version bumps don't
+    accumulate dead materializations across rounds.  One-shot dirs are
+    only reaped when their embedded owner PID is dead — a concurrent
+    process's live streaming checkpoint must never be deleted (its
+    FileStreamSource dies with FileNotFoundException on the next
+    micro-batch).  Legacy names without a PID are from before this
+    scheme and are orphans by definition."""
     import pathlib
     import re
     import shutil
@@ -73,12 +104,15 @@ def _gc_stale_fixture_versions() -> None:
     if not root.exists():
         return
     versioned = re.compile(r".*_v(\d+)$")
+    pid_named = re.compile(r"^(?:blstream|cp)_[a-z]*_?(\d+)_[0-9a-f]+$")
     for child in root.iterdir():
         m = versioned.match(child.name)
         if m and int(m.group(1)) < _FIXTURE_VERSION:
             shutil.rmtree(child, ignore_errors=True)
         elif child.name.startswith(("blstream_", "cp_")):
-            shutil.rmtree(child, ignore_errors=True)
+            p = pid_named.match(child.name)
+            if p is None or not _pid_alive(int(p.group(1))):
+                shutil.rmtree(child, ignore_errors=True)
 
 
 _gc_stale_fixture_versions()
@@ -122,7 +156,7 @@ def _drain(transformed: DataFrame, output_mode: str = "append") -> DataFrame:
     # answer; without it one transient marks a correctness row red.
     last_exc: Exception | None = None
     for _ in range(2):
-        name = f"sink_{uuid.uuid4().hex[:10]}"
+        name = _scratch_name("sink")
         cp = f"{_STREAM_TMP}/cp_{name}"
         try:
             return rt.run_to_memory(transformed, name, cp, output_mode)

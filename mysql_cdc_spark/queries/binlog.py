@@ -7,6 +7,7 @@ from mysql_cdc_spark.queries._shared import (  # noqa: E402
     _FIXTURE_VERSION,
     _STREAM_TMP,
     _drain,
+    _scratch_name,
 )
 
 
@@ -485,7 +486,6 @@ def cdc_binlog_stream(spark, sf_dir):
     streaming composition loses/duplicates/reorders nothing."""
     import pathlib
     import shutil
-    import uuid
 
     from mysql_cdc_spark.sources import binlog_source as bs
     from mysql_cdc_spark.streaming import runtime as rt
@@ -496,7 +496,7 @@ def cdc_binlog_stream(spark, sf_dir):
         bs.generate_binlog_from_events(sf_dir, str(binlog_dir))
     first_log = sorted(p.name for p in binlog_dir.glob("binlog.*"))[0]
 
-    scratch = pathlib.Path(_STREAM_TMP) / f"blstream_{uuid.uuid4().hex[:10]}"
+    scratch = pathlib.Path(_STREAM_TMP) / _scratch_name("blstream")
     ev_dir = str(scratch / "event_log")
     try:
         tailer = BinlogTailer(

@@ -233,3 +233,58 @@ def test_r12_window_is_the_50_oldest_verified_against_real_history():
     worst_in = max(latest.get(n, 0) for n in window)
     best_out = min((latest[n] for n in list(QUERIES)[50:] if n in latest), default=99)
     assert worst_in <= best_out
+
+
+def test_scratch_gc_spares_live_process_checkpoints(tmp_path, monkeypatch):
+    """The import-time scratch GC must never delete a cp_*/blstream_*
+    dir owned by a LIVE process: a concurrent `import queries` (bench,
+    driver smoke check, a one-liner) runs the GC while another process
+    may hold an active streaming checkpoint there — deleting it kills
+    that stream with FileNotFoundException on its next micro-batch
+    (observed: a registry-count one-liner killed the suite's
+    continuous-query test).  Owner PID is embedded in the name; only
+    dead-PID and legacy (PID-less) names are reaped."""
+    import os
+
+    from mysql_cdc_spark.queries import _shared
+
+    root = tmp_path / "stream_tmp"
+    root.mkdir()
+    live_pid = os.getpid()
+    # find a dead pid: fork-less heuristic — very high pids are unused
+    dead_pid = 4194000
+    while _shared._pid_alive(dead_pid):  # pragma: no cover - unlucky host
+        dead_pid -= 1
+    live_cp = root / f"cp_cdc{live_pid}_ab12cd34ef"
+    live_sink = root / f"cp_sink_{live_pid}_ab12cd34ef"
+    live_bl = root / f"blstream_{live_pid}_ab12cd34ef"
+    dead_cp = root / f"cp_cdc{dead_pid}_ab12cd34ef"
+    legacy_cp = root / "cp_cdc_ab12cd34ef"          # pre-PID naming
+    legacy_bl = root / "blstream_ab12cd34ef"
+    stale_fixture = root / "binlog_sf0.001_v1"       # versioned, old
+    current_fixture = root / f"binlog_sf0.001_v{_shared._FIXTURE_VERSION}"
+    for d in (live_cp, live_sink, live_bl, dead_cp, legacy_cp, legacy_bl,
+              stale_fixture, current_fixture):
+        d.mkdir()
+        (d / "marker").write_text("x")
+
+    monkeypatch.setattr(_shared, "_STREAM_TMP", str(root))
+    _shared._gc_stale_fixture_versions()
+
+    assert live_cp.exists() and live_sink.exists() and live_bl.exists()
+    assert current_fixture.exists()
+    assert not dead_cp.exists()
+    assert not legacy_cp.exists() and not legacy_bl.exists()
+    assert not stale_fixture.exists()
+
+
+def test_scratch_names_carry_owner_pid():
+    import os
+    import re
+
+    from mysql_cdc_spark.queries import _shared
+
+    for prefix in ("sink", "blstream"):
+        name = _shared._scratch_name(prefix)
+        m = re.match(rf"^{prefix}_(\d+)_[0-9a-f]{{10}}$", name)
+        assert m and int(m.group(1)) == os.getpid()
