@@ -117,6 +117,22 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     return sh.select("doc_id", "shingles", *cols)
 
 
+def _shingle_projection(plane: int) -> F.Column:
+    """Centered-hash sum projection of the shingle SET onto order-plane
+    `plane`: Σ over shingles of (first-32-bits-of md5('ord{plane}|' ||
+    shingle) − 2³¹).  Engine-neutral (md5 + hex), mirrored by
+    tools/chain_recall.py.  Shared shingles contribute identically to
+    both docs, so |proj_a − proj_b| concentrates around
+    √|AΔB| · 2³¹/√3 — a similarity-preserving 1-D embedding used only
+    as a within-bucket SORT key (never thresholded), so hash collisions
+    cannot affect results."""
+    return F.expr(
+        f"aggregate(shingles, 0L, (acc, x) -> acc + "
+        f"(CAST(conv(substring(md5(concat('ord{plane}|', x)), 1, 8), 16, 10) AS BIGINT)"
+        f" - 2147483648L))"
+    )
+
+
 def _band_key(b: int, rows_per_band: int) -> F.Column:
     parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
     return F.md5(F.concat_ws("|", F.lit(str(b)), *parts))
@@ -135,7 +151,8 @@ def _band_key(b: int, rows_per_band: int) -> F.Column:
 #   lower bound B — adversarial recall: under locality ordering,
 #     chain must cover a same-cluster run plus its interleaving
 #     residue; measured component-pair recall at chain 8 → 32:
-#     text 0.91 → 0.95, embedding 0.99 → 1.00.
+#     text 0.96 → 1.00 (transposed two-pass projection order),
+#     embedding 0.99 → 1.00.
 # Beyond it the operator is deliberately bounded (see
 # _chain_candidates) — candidates stay O(n·bands·chain) on ANY
 # bucket distribution.
@@ -147,6 +164,7 @@ def _chain_candidates(
     keys: list[str],
     chain: int = MAX_BAND_CHAIN,
     order_cols: list[str] | None = None,
+    order_passes: list[list[str]] | None = None,
 ) -> DataFrame:
     """Bounded within-bucket candidate pairs (r11 scale fix): per
     bucket (`keys`), each member pairs with its next `chain` successors
@@ -174,26 +192,55 @@ def _chain_candidates(
     with ≤ chain+1 members per bucket the output is the full pair set
     under ANY ordering — which is why every gate oracle built on the
     all-pairs band join stays value-exact (measured fixture bucket
-    maxima: minhash 9, simhash 4 at sf0.1)."""
+    maxima: minhash 9, simhash 4 at sf0.1).
+
+    `order_passes` (r12, second iteration): a list of order-col lists;
+    the chain window runs once PER pass and the union of pass
+    candidates is kept.  Two passes keyed on transposed projection
+    pairs — (ord0, ord1) and (ord1, ord0) — catch cluster runs that a
+    single 1-D sort splits (a cluster straddling ord0's sort boundary
+    is contiguous under ord1 with independent probability), measured
+    +0.05 component-pair recall over the single signature sort at 2×
+    the still-O(n·bands·chain) candidate bound (tools/chain_recall.py,
+    PLANS.md r12 recall table).  Mutually exclusive with `order_cols`
+    (the single-pass form, kept for the simhash path)."""
     # Bounded FOLLOWING frame, not `chain` lead() columns: collect_list
     # over rows (1, chain) materializes exactly the real successors, so
     # the explode emits only true candidates — a 32-lead explode would
     # materialize n·buckets·chain rows BEFORE the null filter (measured
     # ~0.8 s extra on the sf0.1 minhash bench for 1.5k real pairs).
-    order = [*(order_cols or []), "doc_id"]
-    w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(1, chain)
-    return (
-        band_rows.select(
-            F.col("doc_id").alias("_cur"),
-            F.collect_list("doc_id").over(w).alias("_succ"),
+    passes = order_passes if order_passes else [order_cols or []]
+    # Passes beyond the first run ONLY on buckets larger than chain+1:
+    # a smaller bucket already emits its FULL pair set from pass 1
+    # under any ordering, so extra passes there are pure duplicate
+    # work for the distinct to throw away.  Output is provably
+    # identical, and on non-degenerate data (gate-fixture bucket
+    # maxima: 9) the extra passes see ~zero rows — the windows share
+    # the pass-1 exchange (same partitioning), so their cost is one
+    # near-empty sort each.  The bucket-size window is sort-free
+    # (unordered frame over the same partitioning).
+    if len(passes) > 1:
+        wsz = Window.partitionBy(*keys)
+        band_rows = band_rows.withColumn("_bsz", F.count(F.lit(1)).over(wsz))
+    per_pass = []
+    for p, cols in enumerate(passes):
+        src = band_rows if p == 0 else band_rows.filter(F.col("_bsz") > chain + 1)
+        w = Window.partitionBy(*keys).orderBy(*cols, "doc_id").rowsBetween(1, chain)
+        per_pass.append(
+            src.select(
+                F.col("doc_id").alias("_cur"),
+                F.collect_list("doc_id").over(w).alias("_succ"),
+            )
+            .select("_cur", F.explode("_succ").alias("_nxt"))
+            .select(
+                F.least("_cur", "_nxt").alias("doc_a"),
+                F.greatest("_cur", "_nxt").alias("doc_b"),
+            )
         )
-        .select("_cur", F.explode("_succ").alias("_nxt"))
-        .select(
-            F.least("_cur", "_nxt").alias("doc_a"),
-            F.greatest("_cur", "_nxt").alias("doc_b"),
-        )
-        .distinct()
-    )
+    out = per_pass[0]
+    for extra in per_pass[1:]:
+        out = out.unionByName(extra)
+    return out.distinct()
 
 
 def minhash_lsh_pairs(
@@ -220,7 +267,16 @@ def minhash_lsh_pairs(
     per-doc window over that doc's verified pairs only.
     """
     rows_per_band = k // bands
-    sigs = minhash_signatures(docs, k).cache()
+    # ord0/ord1 are computed INSIDE the cached frame: a select that
+    # also explodes would evaluate the per-shingle md5 aggregate once
+    # per generated band row (bands×/doc) — same Generate re-inline
+    # trap as the jaccard shingle cache below.
+    sigs = (
+        minhash_signatures(docs, k)
+        .withColumn("ord0", _shingle_projection(0))
+        .withColumn("ord1", _shingle_projection(1))
+        .cache()
+    )
     band_rows = sigs.select(
         "doc_id",
         F.explode(
@@ -232,18 +288,26 @@ def minhash_lsh_pairs(
                 for b in range(bands)
             ])
         ).alias("bk"),
-        # full-signature locality key: near-dups agree on most minhash
-        # slices, distinct clusters on few — sorting the bucket by it
-        # groups same-cluster members into chain-coverable runs even
-        # when doc_ids interleave (measured: tools/chain_recall.py)
-        F.concat_ws("|", *[F.col(f"mh{s}") for s in range(k)]).alias("sig"),
-    ).select("doc_id", "bk.band", "bk.band_hash", "sig")
+        # shingle-set projection locality keys (r12 second iteration):
+        # each is the sum over the (distinct) shingle set of a centered
+        # 32-bit salted hash — a random linear projection of the
+        # bag-of-shingles whose distance grows with SYMMETRIC-DIFFERENCE
+        # size, so near-dups land close under the sort even when their
+        # leading minhash slices differ (the lexicographic signature
+        # sort's failure mode: one unique-shingle minimum in an early
+        # slice scatters a member arbitrarily).  Measured on the
+        # adversarial interleaved-cluster fixture: component-pair
+        # recall 0.951 (signature sort) → 1.000 with the transposed
+        # two-pass union (tools/chain_recall.py, PLANS.md r12 table).
+        "ord0",
+        "ord1",
+    ).select("doc_id", "bk.band", "bk.band_hash", "ord0", "ord1")
 
     candidates = _chain_candidates(
         band_rows,
         ["band", "band_hash"],
         chain=chain,
-        order_cols=["sig"] if locality_order else None,
+        order_passes=[["ord0", "ord1"], ["ord1", "ord0"]] if locality_order else None,
     )
 
     sh = sigs.select("doc_id", "shingles")

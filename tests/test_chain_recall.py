@@ -53,8 +53,8 @@ def test_text_chain_recall_bound(spark):
     assert not (got - truth)  # bounded candidates never invent pairs
     pair_recall = len(got & truth) / len(truth)
     comp_recall = comp_pair_recall(N, truth, got)
-    assert pair_recall >= 0.85, pair_recall        # measured 0.8917
-    assert comp_recall >= 0.93, comp_recall        # measured 0.9514
+    assert pair_recall >= 0.94, pair_recall        # measured 0.9528
+    assert comp_recall == 1.0, comp_recall         # measured 1.0
 
     got_id = {
         (r[0], r[1])

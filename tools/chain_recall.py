@@ -254,10 +254,10 @@ def main() -> None:
 
     df = spark.createDataFrame(docs, "doc_id long, text string")
     runs = {}
-    for order in ("id", "sig"):
+    for order in ("id", "locality"):
         for chain in (8, 32):
             got = dedup.minhash_lsh_pairs(
-                df, chain=chain, locality_order=(order == "sig")
+                df, chain=chain, locality_order=(order == "locality")
             ).select("doc_a", "doc_b").collect()
             runs[(order, chain)] = {(r[0], r[1]) for r in got}
     report("text", n, truth, runs)
@@ -284,10 +284,10 @@ def main() -> None:
 
     edf = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
     runs_e = {}
-    for order in ("id", "sig"):
+    for order in ("id", "locality"):
         for chain in (8, 32):
             got = similarity.embedding_neardup_pairs(
-                edf, chain=chain, locality_order=(order == "sig")
+                edf, chain=chain, locality_order=(order == "locality")
             ).select("vec_a", "vec_b").collect()
             runs_e[(order, chain)] = {(r[0], r[1]) for r in got}
     report("embedding", n, truth_e, runs_e)
