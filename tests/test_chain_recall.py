@@ -127,3 +127,41 @@ def test_chain_equals_all_pairs_on_small_buckets(spark):
             ).collect()
         }
         assert got == expect, order_cols
+
+
+def test_simhash_chain_recall_bound(spark):
+    """SimHash path: the existing bit-string locality sort must hold
+    its measured floor on a constructive hot-block fixture whose
+    cluster interleave (40) EXCEEDS the chain window (32) — the
+    pigeonhole regime a 16-bit block bucket reaches at corpus scale.
+    Measured (PLANS.md r12): id order 0.83 pair / 0.992 comp; bit-
+    string sort 0.965 / 1.000 — evidence the simhash path does NOT
+    need the minhash path's projection passes (the simhash IS a
+    Hamming-locality key; transposed projections measured only +0.005
+    pair recall for a full extra pass)."""
+    from tools.chain_recall import simhash_fixture, simhash_truth
+
+    k_clusters, members = 40, 4
+    n = k_clusters * members
+    docs, sims, _, info = simhash_fixture(k_clusters, members)
+    assert info["hot_blocks"], info
+    truth = simhash_truth(sims)
+    assert len(truth) == 240  # deterministic search: all within-cluster pairs
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r[0], r[1])
+        for r in dedup.simhash_pairs(df).select("doc_a", "doc_b").collect()
+    }
+    assert not (got - truth)  # bounded candidates never invent pairs
+    pair_recall = len(got & truth) / len(truth)
+    assert pair_recall >= 0.95, pair_recall            # measured 0.9708 (M=4)
+    assert comp_pair_recall(n, truth, got) == 1.0
+
+    got_id = {
+        (r[0], r[1])
+        for r in dedup.simhash_pairs(df, locality_order=False)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    assert len(got & truth) > len(got_id & truth)      # locality order must win

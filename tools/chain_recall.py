@@ -185,6 +185,120 @@ def emb_fixture(k_clusters: int, members: int, dims: int = similarity.DIMS):
     return vecs
 
 
+# --- SimHash mirror + constructive hot-bucket fixture ----------------------
+
+SIMHASH_BITS = dedup.SIMHASH_BITS
+SIMHASH_BANDS = 4
+SIMHASH_WIDTH = SIMHASH_BITS // SIMHASH_BANDS
+_SIM_PAT: dict[str, np.ndarray] = {}
+
+
+def _sim_pat(s: str) -> np.ndarray:
+    if s not in _SIM_PAT:
+        h = hashlib.md5(s.encode()).hexdigest()
+        _SIM_PAT[s] = np.array(
+            [(int(h[j // 4], 16) >> (3 - j % 4)) & 1 for j in range(SIMHASH_BITS)],
+            dtype=np.int32,
+        )
+    return _SIM_PAT[s]
+
+
+def py_simhash(sh: set[str]) -> str:
+    """Mirror of dedup.simhash_signatures (majority of md5 hex-MSB bits;
+    empty set → all-ones)."""
+    if not sh:
+        return "1" * SIMHASH_BITS
+    cnt = sum(_sim_pat(s) for s in sh)
+    n = len(sh)
+    return "".join("1" if 2 * cnt[j] >= n else "0" for j in range(SIMHASH_BITS))
+
+
+def hamming(a: str, b: str) -> int:
+    return sum(x != y for x, y in zip(a, b))
+
+
+def simhash_fixture(k_clusters: int, members: int, max_tries: int = 400_000):
+    """Constructive hot-block collision fixture: why it exists — a
+    16-bit simhash block has only 65,536 values, so at corpus scale a
+    block bucket holds n/65k docs and DISTINCT clusters share buckets
+    by pigeonhole.  At fixture scale collisions never occur randomly,
+    so they are SEARCHED: a dominant common preamble B pins most block
+    bits, and cluster/member token sets are rejection-sampled until
+    block 0 matches B's base value exactly (hot bucket) while cluster
+    bases stay > HAM+4 apart (cross pairs can never verify) and
+    members stay within 2 bits of their cluster base (within pairs
+    always verify).  Incremental vote counting keeps the ~40k-try
+    search fast."""
+    nb, nc, nu = 60, 12, 2
+    B = " ".join(f"bb{j}" for j in range(nb))
+    base_sh = py_shingles(B)
+    base_cnt = sum(_sim_pat(s) for s in base_sh)
+    base_n = len(base_sh)
+
+    def bits_from(cnt, n):
+        return "".join("1" if 2 * cnt[j] >= n else "0" for j in range(SIMHASH_BITS))
+
+    base_bits = bits_from(base_cnt, base_n)
+
+    def sig_incr(text):
+        sh = py_shingles(text)
+        new = [s for s in sh if s not in base_sh]
+        cnt = base_cnt.copy()
+        for s in new:
+            cnt = cnt + _sim_pat(s)
+        return sh, bits_from(cnt, base_n + len(new))
+
+    ham = dedup.HAMMING_THRESHOLD
+    clusters, tries = [], 0
+    while len(clusters) < k_clusters and tries < max_tries:
+        tries += 1
+        cb = " ".join(f"k{tries}w{j}" for j in range(nc))
+        _, bits = sig_incr(f"{B} {cb}")
+        if bits[:SIMHASH_WIDTH] != base_bits[:SIMHASH_WIDTH]:
+            continue
+        if any(hamming(bits, pb) <= ham + 4 for _, pb in clusters):
+            continue
+        clusters.append((cb, bits))
+    if len(clusters) < k_clusters:
+        raise RuntimeError(f"only {len(clusters)} colliding clusters in {tries} tries")
+
+    docs, sims, shs = [], [], []
+    for i in range(k_clusters * members):
+        cb, cbits = clusters[i % k_clusters]
+        for t in range(800):
+            uq = " ".join(f"m{i}u{j}t{t}" for j in range(nu))
+            sh, bits = sig_incr(f"{B} {cb} {uq}")
+            if bits[:SIMHASH_WIDTH] == base_bits[:SIMHASH_WIDTH] and hamming(bits, cbits) <= 2:
+                break
+        else:
+            raise RuntimeError(f"no block-preserving unique tail for member {i}")
+        docs.append((i, f"{B} {cb} {uq}"))
+        sims.append(bits)
+        shs.append(sh)
+    hot = [
+        b
+        for b in range(SIMHASH_BANDS)
+        if len({s[b * SIMHASH_WIDTH : (b + 1) * SIMHASH_WIDTH] for s in sims}) == 1
+    ]
+    assert hot, "search failed to pin a hot block"
+    return docs, sims, shs, {"hot_blocks": hot, "search_tries": tries}
+
+
+def simhash_truth(sims: list[str]) -> set[tuple[int, int]]:
+    n = len(sims)
+    ham = dedup.HAMMING_THRESHOLD
+    w = SIMHASH_WIDTH
+    truth = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if any(
+                sims[i][b * w : (b + 1) * w] == sims[j][b * w : (b + 1) * w]
+                for b in range(SIMHASH_BANDS)
+            ) and hamming(sims[i], sims[j]) <= ham:
+                truth.add((i, j))
+    return truth
+
+
 # ---------------------------------------------------------------------------
 # ground truth + metrics
 # ---------------------------------------------------------------------------
@@ -291,6 +405,26 @@ def main() -> None:
             ).select("vec_a", "vec_b").collect()
             runs_e[(order, chain)] = {(r[0], r[1]) for r in got}
     report("embedding", n, truth_e, runs_e)
+
+    # ---- simhash path ------------------------------------------------------
+    # Interleave must exceed chain to be adversarial; the constructive
+    # search finds ~40 colliding clusters in ~40k tries.
+    k_sim = min(k_clusters, 40)
+    sdocs, sims, _, sinfo = simhash_fixture(k_sim, members)
+    ns = k_sim * members
+    truth_s = simhash_truth(sims)
+    within_s = sum(1 for (i, j) in truth_s if i % k_sim == j % k_sim)
+    print(json.dumps({"path": "simhash", "fixture": sinfo, "n_docs": ns,
+                      "truth_pairs": len(truth_s), "within_cluster_truth": within_s}))
+    sdf = spark.createDataFrame(sdocs, "doc_id long, text string")
+    runs_s = {}
+    for order in ("id", "locality"):
+        for chain in (8, 32):
+            got = dedup.simhash_pairs(
+                sdf, chain=chain, locality_order=(order == "locality")
+            ).select("doc_a", "doc_b").collect()
+            runs_s[(order, chain)] = {(r[0], r[1]) for r in got}
+    report("simhash", ns, truth_s, runs_s)
 
 
 if __name__ == "__main__":
