@@ -93,7 +93,11 @@ class Mp4Track:
     duration: int = 0
     sample_sizes: list[int] = field(default_factory=list)
     sample_deltas: list[int] = field(default_factory=list)   # from stts runs
-    sync_samples: list[int] = field(default_factory=list)    # 1-based, [] = all sync
+    # 1-based stss entries.  None = NO stss box present = every sample
+    # is sync (ISO/IEC 14496-12 §8.6.2); [] = an explicit EMPTY stss =
+    # zero keyframes.  (r12 ADVICE: the old [] sentinel conflated the
+    # two, inverting zero-keyframe files into all-keyframe ones.)
+    sync_samples: list[int] | None = None
     stsc_runs: list[tuple[int, int, int]] = field(default_factory=list)
     chunk_offsets: list[int] = field(default_factory=list)
 
@@ -103,7 +107,7 @@ class Mp4Track:
         resolution: stsc rows (first_chunk, samples_per_chunk, _) hold
         until the next row's first_chunk."""
         n = len(self.sample_sizes)
-        sync = set(self.sync_samples) if self.sync_samples else None
+        sync = set(self.sync_samples) if self.sync_samples is not None else None
         out: list[tuple[int, int, int, bool]] = []
         dts = 0
         s = 0  # 0-based sample index
@@ -252,13 +256,16 @@ def encode_mp4(
     width: int,
     height: int,
     samples: list[bytes],
-    keyframes: list[int],
+    keyframes: list[int] | None,
     timescale: int = 1000,
     sample_delta: int = 40,
     samples_per_chunk: int = 0,
 ) -> bytes:
     """Minimal valid single-video-track MP4.  `keyframes` are 0-based
-    sample indices for stss.  `samples_per_chunk` > 0 splits mdat into
+    sample indices for stss; `[]` writes an explicit EMPTY stss (zero
+    keyframes), `None` omits the box entirely (spec: all samples
+    sync) — the two round-trip distinctly through the parser's
+    None-vs-[] sentinel.  `samples_per_chunk` > 0 splits mdat into
     multiple chunks (exercises real stsc/stco resolution); 0 = one
     chunk.  Codec fourcc is 'rle ' purely as a labeled placeholder —
     payloads are opaque to the container layer by design."""
@@ -312,7 +319,7 @@ def encode_mp4(
     )
     stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + _box(b"rle ", entry))
     stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, sample_delta) if n else struct.pack(">I", 0))
-    stss = _full(
+    stss = b"" if keyframes is None else _full(
         b"stss", 0, 0,
         struct.pack(">I", len(keyframes)) + b"".join(struct.pack(">I", k + 1) for k in keyframes),
     )

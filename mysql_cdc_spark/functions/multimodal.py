@@ -855,12 +855,16 @@ def mp4_keyframe_sample(videos: DataFrame, step: int = 2) -> DataFrame:
                 blob = bytes(payload)
                 t = parse_mp4(blob).tracks[0]
                 st = t.sample_table()
-                ticks_to_ms = 1000 // max(t.timescale, 1)
+                # dts*1000 BEFORE the floor-div (matches mp4_meta's
+                # duration math): 1000 // timescale floors to 0 for
+                # any timescale > 1000 (e.g. the common 90000) and is
+                # inexact for non-divisors like 600 (r12 ADVICE).
+                ts_scale = max(t.timescale, 1)
                 keys = [i for i, (_, _, _, k) in enumerate(st) if k]
                 for i in keys[::step]:
                     off, size, dts, _ = st[i]
                     rows.append(
-                        (mid, i, dts * ticks_to_ms, sum(extract_sample(blob, off, size)))
+                        (mid, i, dts * 1000 // ts_scale, sum(extract_sample(blob, off, size)))
                     )
             cols = ["media_id", "sample_idx", "dts_ms", "byte_sum"]
             by_col = list(zip(*rows)) if rows else [[]] * len(cols)

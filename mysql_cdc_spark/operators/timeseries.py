@@ -54,6 +54,79 @@ from pyspark.sql import functions as F
 # Threshold sits between the measured brackets.
 ASOF_SKEW_ROW_THRESHOLD = 1_000_000
 
+# Per-process memo of the skew pre-agg's answer, keyed by the logical
+# plans of both inputs (semanticHash) + the join key.  The dispatch
+# decision is purely a PERFORMANCE choice — both branches are
+# row-identical — so a stale entry (same plan, files changed
+# underneath mid-session) can only mis-route the plan shape, never
+# change results.  Bounded; repeated executions of the same query
+# (bench passes, retried jobs, notebook re-runs) pay the pre-agg job
+# once per session instead of once per call (r12 VERDICT #1: the
+# unconditional pre-agg was the entire 1.58x ts_asof_join regression).
+_ASOF_HOT_KEY_CACHE: dict[tuple, int] = {}
+_ASOF_HOT_KEY_CACHE_MAX = 256
+
+
+def clear_asof_stat_cache() -> None:
+    """Drop all memoised hot-key statistics (e.g. after overwriting
+    the files behind a cached input plan)."""
+    _ASOF_HOT_KEY_CACHE.clear()
+
+
+def _plan_row_count(df: DataFrame) -> int | None:
+    """Catalyst's row-count estimate for `df`, or None.  Zero jobs:
+    reads `optimizedPlan().stats().rowCount()`, which is populated for
+    local relations and ANALYZE'd / CBO-stat'd tables.  Plain parquet
+    scans usually lack it — those fall through to the memoised
+    pre-agg."""
+    try:
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+    except Exception:
+        return None
+    return None
+
+
+def _hot_key_rows(
+    left: DataFrame, right: DataFrame, on: list[str], threshold: int
+) -> int:
+    """Hottest `on`-key's combined row count across both inputs (or a
+    safe stand-in ≤ `threshold` when the exact number is provably
+    unnecessary).
+
+    Cost ladder (cheapest first):
+    1. memo hit — same (left, right, on) logical plans already
+       measured this session;
+    2. zero jobs — if Catalyst knows both inputs' row counts, their
+       TOTAL bounds any single key's count; when total <= threshold
+       the dispatch answer is decided without touching the cluster;
+    3. the exact pre-agg — key-columns-only scan of both inputs,
+       map-side partials, one scalar to the driver; memoised.
+    """
+    key = (left.semanticHash(), right.semanticHash(), tuple(on))
+    hit = _ASOF_HOT_KEY_CACHE.get(key)
+    if hit is not None:
+        return hit
+    lrc = _plan_row_count(left)
+    if lrc is not None:
+        rrc = _plan_row_count(right)
+        if rrc is not None and lrc + rrc <= threshold:
+            return lrc + rrc  # upper bound on the hot key; decides "plain"
+    if len(_ASOF_HOT_KEY_CACHE) >= _ASOF_HOT_KEY_CACHE_MAX:
+        _ASOF_HOT_KEY_CACHE.clear()
+    hot = (
+        left.select(*on)
+        .unionByName(right.select(*on))
+        .groupBy(*on)
+        .count()
+        .agg(F.max("count").alias("m"))
+        .first()["m"]
+    )
+    hot = int(hot) if hot is not None else 0
+    _ASOF_HOT_KEY_CACHE[key] = hot
+    return hot
+
 
 def asof_join(
     left: DataFrame,
@@ -66,6 +139,7 @@ def asof_join(
     tolerance_seconds: int | None = None,
     skew_row_threshold: int | None = ASOF_SKEW_ROW_THRESHOLD,
     chunk_seconds: int = 86400,
+    hot_key_rows: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     `right.ts <= left.ts` within the same `on` key (backward as-of
@@ -85,24 +159,33 @@ def asof_join(
     SKEW-ADAPTIVE (r11 VERDICT #3): the per-key sort makes one hot
     key ONE sort partition — sequential by construction.  When
     `skew_row_threshold` is set (default: the measured local[32]
-    crossover, see ASOF_SKEW_ROW_THRESHOLD), a cheap key-count
-    pre-agg (key-columns-only scan, map-side partials, one scalar to
-    the driver — the same cold-path-scalar pattern as
-    queries/_shared.py's max-offset fallback) checks the hottest
-    key's combined row count and dispatches to the row-identical
-    `asof_join_chunked` above the threshold.  Pass None to force the
-    plain 1-shuffle form unconditionally.
+    crossover, see ASOF_SKEW_ROW_THRESHOLD), the hottest key's
+    combined row count is compared against it and calls above the
+    threshold dispatch to the row-identical `asof_join_chunked`.
+    Pass None to force the plain 1-shuffle form unconditionally.
+
+    COST of the guard (r12 VERDICT #1): with neither `hot_key_rows`
+    nor usable Catalyst row counts, obtaining the statistic runs ONE
+    EAGER Spark job at call time — a key-columns-only scan of both
+    inputs, map-side partials, one scalar to the driver — i.e. this
+    function is then no longer a pure lazy transformation.  The job
+    is paid at most once per (left-plan, right-plan, on) per process
+    (memoised by logical-plan semantic hash; see `_hot_key_rows` /
+    `clear_asof_stat_cache`), and is skipped entirely, zero jobs,
+    when (a) the caller passes `hot_key_rows` — the hottest key's
+    combined row count from their own table statistics — or (b)
+    Catalyst's optimizer stats prove total rows <= threshold.  At
+    cluster scale, prefer (a) from warehouse stats (ANALYZE TABLE /
+    metastore row counts) on hot paths that construct fresh plans
+    per call.
     """
     if skew_row_threshold is not None:
         hot = (
-            left.select(*on)
-            .unionByName(right.select(*on))
-            .groupBy(*on)
-            .count()
-            .agg(F.max("count").alias("m"))
-            .first()["m"]
+            hot_key_rows
+            if hot_key_rows is not None
+            else _hot_key_rows(left, right, on, skew_row_threshold)
         )
-        if hot is not None and hot > skew_row_threshold:
+        if hot > skew_row_threshold:
             return asof_join_chunked(
                 left,
                 right,

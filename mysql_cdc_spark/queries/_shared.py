@@ -87,6 +87,12 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
+# Hold-back for GC candidates whose owner PID is dead or unknown: a
+# live streaming checkpoint is written every micro-batch, so anything
+# quiet this long is safe to reap even under PID reuse / legacy names.
+_GC_GRACE_SECONDS = 15 * 60
+
+
 def _gc_stale_fixture_versions() -> None:
     """Remove scratch fixture dirs from older _FIXTURE_VERSIONs and
     ORPHANED one-shot scratch (blstream_*/cp_*) so version bumps don't
@@ -95,23 +101,40 @@ def _gc_stale_fixture_versions() -> None:
     process's live streaming checkpoint must never be deleted (its
     FileStreamSource dies with FileNotFoundException on the next
     micro-batch).  Legacy names without a PID are from before this
-    scheme and are orphans by definition."""
+    scheme and are PROBABLY orphans — but a still-running process on
+    the old naming would be mis-reaped, and PID reuse can make a true
+    orphan look alive; so any non-live candidate is additionally held
+    back while recently modified (r12 ADVICE: an mtime grace window —
+    a LIVE checkpoint is touched every micro-batch, an orphan goes
+    quiet), which covers the mixed-version overlap without keeping
+    dead dirs around past one GC cycle."""
     import pathlib
     import re
     import shutil
+    import time
 
     root = pathlib.Path(_STREAM_TMP)
     if not root.exists():
         return
     versioned = re.compile(r".*_v(\d+)$")
     pid_named = re.compile(r"^(?:blstream|cp)_[a-z]*_?(\d+)_[0-9a-f]+$")
+    grace = time.time() - _GC_GRACE_SECONDS
     for child in root.iterdir():
         m = versioned.match(child.name)
         if m and int(m.group(1)) < _FIXTURE_VERSION:
             shutil.rmtree(child, ignore_errors=True)
         elif child.name.startswith(("blstream_", "cp_")):
             p = pid_named.match(child.name)
-            if p is None or not _pid_alive(int(p.group(1))):
+            if p is not None and _pid_alive(int(p.group(1))):
+                continue  # owner demonstrably alive
+            try:
+                recently_touched = max(
+                    (e.stat().st_mtime for e in child.rglob("*")),
+                    default=child.stat().st_mtime,
+                ) > grace
+            except OSError:
+                recently_touched = True  # racing a writer — hold back
+            if not recently_touched:
                 shutil.rmtree(child, ignore_errors=True)
 
 

@@ -369,3 +369,30 @@ def test_decoded_features_quarantine_any_modality(spark):
         assert got[bad]["kind"] in ("image", "audio")   # input kind kept
     with pytest.raises(Exception):
         mm.extract_decoded_features(df).collect()
+
+
+def test_mp4_keyframe_dts_ms_real_timescales(spark):
+    """r12 ADVICE: dts_ms must be `dts * 1000 // timescale` — the old
+    `dts * (1000 // timescale)` floored the factor to 0 for any
+    timescale > 1000 (the common 90000) and was inexact for
+    non-divisors like 600.  Pins both real-world timescales."""
+    from mysql_cdc_spark.functions import multimodal as mm
+    from mysql_cdc_spark.functions.isobmff import encode_mp4
+
+    cases = [
+        (1, 90000, 3003),   # 29.97 fps NTSC: dts_ms = i*3003*1000//90000
+        (2, 600, 25),       # QuickTime legacy: 1000/600 is non-integral
+    ]
+    rows = [
+        (mid, encode_mp4(16, 16, [bytes([mid]) * 4] * 7,
+                         keyframes=[0, 3, 6], timescale=tsc, sample_delta=delta))
+        for mid, tsc, delta in cases
+    ]
+    videos = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        (r["media_id"], r["sample_idx"]): r["dts_ms"]
+        for r in mm.mp4_keyframe_sample(videos, step=1).collect()
+    }
+    for mid, tsc, delta in cases:
+        for i in (0, 3, 6):
+            assert got[(mid, i)] == i * delta * 1000 // tsc, (mid, i)

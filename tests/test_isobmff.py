@@ -84,3 +84,16 @@ def test_uniform_stsz_and_co64_paths():
     assert [(o, s) for o, s, _, _ in st] == [(1 << 33, 7), ((1 << 33) + 7, 7), ((1 << 33) + 14, 7)]
     assert [d for _, _, d, _ in st] == [0, 20, 40]
     assert all(k for _, _, _, k in st)  # no stss → every sample is sync
+
+def test_zero_keyframes_vs_no_stss():
+    """r12 ADVICE: an explicit EMPTY stss means ZERO keyframes; a
+    MISSING stss means ALL samples sync — the two must round-trip
+    distinctly (the old [] sentinel inverted zero-keyframe files into
+    all-keyframe ones)."""
+    zero = parse_mp4(encode_mp4(16, 16, SAMPLES, keyframes=[])).tracks[0]
+    assert zero.sync_samples == []
+    assert [k for _, _, _, k in zero.sample_table()] == [False] * len(SAMPLES)
+
+    allsync = parse_mp4(encode_mp4(16, 16, SAMPLES, keyframes=None)).tracks[0]
+    assert allsync.sync_samples is None
+    assert [k for _, _, _, k in allsync.sample_table()] == [True] * len(SAMPLES)

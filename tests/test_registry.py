@@ -243,8 +243,13 @@ def test_scratch_gc_spares_live_process_checkpoints(tmp_path, monkeypatch):
     that stream with FileNotFoundException on its next micro-batch
     (observed: a registry-count one-liner killed the suite's
     continuous-query test).  Owner PID is embedded in the name; only
-    dead-PID and legacy (PID-less) names are reaped."""
+    dead-PID and legacy (PID-less) names are reaped — and even those
+    only once QUIET past the mtime grace window (r12 ADVICE: a
+    still-running process on the OLD naming, or PID reuse, would
+    otherwise lose a live checkpoint; a live checkpoint is written
+    every micro-batch, so recent mtime == possibly live)."""
     import os
+    import time
 
     from mysql_cdc_spark.queries import _shared
 
@@ -261,21 +266,37 @@ def test_scratch_gc_spares_live_process_checkpoints(tmp_path, monkeypatch):
     dead_cp = root / f"cp_cdc{dead_pid}_ab12cd34ef"
     legacy_cp = root / "cp_cdc_ab12cd34ef"          # pre-PID naming
     legacy_bl = root / "blstream_ab12cd34ef"
+    # dead-PID name but actively written (PID reuse shape): held back
+    dead_busy = root / f"cp_cdc{dead_pid}_ffffffffff"
+    # legacy name, actively written (old-version process still live)
+    legacy_busy = root / "cp_cdc_ffffffffff"
     stale_fixture = root / "binlog_sf0.001_v1"       # versioned, old
     current_fixture = root / f"binlog_sf0.001_v{_shared._FIXTURE_VERSION}"
+    aged = time.time() - _shared._GC_GRACE_SECONDS - 60
     for d in (live_cp, live_sink, live_bl, dead_cp, legacy_cp, legacy_bl,
-              stale_fixture, current_fixture):
+              dead_busy, legacy_busy, stale_fixture, current_fixture):
         d.mkdir()
         (d / "marker").write_text("x")
+        if d not in (dead_busy, legacy_busy):
+            os.utime(d / "marker", (aged, aged))
+            os.utime(d, (aged, aged))
 
     monkeypatch.setattr(_shared, "_STREAM_TMP", str(root))
     _shared._gc_stale_fixture_versions()
 
     assert live_cp.exists() and live_sink.exists() and live_bl.exists()
     assert current_fixture.exists()
+    assert dead_busy.exists() and legacy_busy.exists()  # inside grace window
     assert not dead_cp.exists()
     assert not legacy_cp.exists() and not legacy_bl.exists()
     assert not stale_fixture.exists()
+
+    # ...and once quiet past the window, the held-back dirs are reaped
+    for d in (dead_busy, legacy_busy):
+        os.utime(d / "marker", (aged, aged))
+        os.utime(d, (aged, aged))
+    _shared._gc_stale_fixture_versions()
+    assert not dead_busy.exists() and not legacy_busy.exists()
 
 
 def test_scratch_names_carry_owner_pid():

@@ -608,3 +608,64 @@ def test_asof_join_skew_adaptive_dispatch(spark):
     assert expect == sorted(
         map(tuple, asof_join(ls, rs, skew_row_threshold=None, **kw).collect())
     )
+
+
+def test_asof_join_skew_guard_is_free_on_repeat_calls(spark):
+    """r12 VERDICT #1: the skew guard must not pay an eager key-scan
+    job on EVERY call.  (a) a caller-supplied `hot_key_rows` stat is
+    respected verbatim with zero guard jobs; (b) the exact pre-agg is
+    memoised by (left, right, on) logical plan, so a repeat call with
+    the same inputs plans without launching any Spark job."""
+    import datetime as dt
+
+    from mysql_cdc_spark.operators.timeseries import (
+        asof_join,
+        clear_asof_stat_cache,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    ls, rs = [], []
+    for k in (1, 2):
+        for i in range(30):
+            t = base + dt.timedelta(minutes=7 * i + k)
+            ls.append((k * 100 + i, k, t, float(i)))
+            rs.append((9000 + k * 100 + i, k, t - dt.timedelta(minutes=1), float(i) * 2.0))
+    left = spark.createDataFrame(ls, "event_id long, user_id long, ts timestamp, lv double")
+    right = spark.createDataFrame(rs, "event_id long, user_id long, ts timestamp, value double")
+    kw = dict(on=["user_id"], ts="ts", payload=["event_id", "ts", "value"],
+              tie="event_id", prefix="m_", tolerance_seconds=86400)
+    sc = spark.sparkContext
+
+    def guard_jobs(fn):
+        group = f"asof_guard_probe_{guard_jobs.n}"
+        guard_jobs.n += 1
+        sc.setJobGroup(group, "probe", False)
+        try:
+            out = fn()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return out, len(sc.statusTracker().getJobIdsForGroup(group))
+
+    guard_jobs.n = 0
+    clear_asof_stat_cache()
+
+    # (a) caller-supplied stat: no guard job either way, and the stat
+    # (not the data) decides the branch
+    out, n = guard_jobs(lambda: asof_join(left, right, skew_row_threshold=10,
+                                          hot_key_rows=5, **kw))
+    assert n == 0
+    assert "_chunk" not in out._jdf.queryExecution().executedPlan().toString()
+    out, n = guard_jobs(lambda: asof_join(left, right, skew_row_threshold=10,
+                                          hot_key_rows=50, **kw))
+    assert n == 0
+    assert "_chunk" in out._jdf.queryExecution().executedPlan().toString()
+
+    # (b) memoisation: first call may pay the pre-agg job; the repeat
+    # call with the same logical plans must plan with ZERO jobs
+    first, n_first = guard_jobs(lambda: asof_join(left, right, skew_row_threshold=10, **kw))
+    repeat, n_repeat = guard_jobs(lambda: asof_join(left, right, skew_row_threshold=10, **kw))
+    assert n_repeat == 0, f"memoised repeat call launched {n_repeat} guard job(s)"
+    # both dispatched identically (hot key 60 > 10 -> chunked)
+    assert "_chunk" in first._jdf.queryExecution().executedPlan().toString()
+    assert "_chunk" in repeat._jdf.queryExecution().executedPlan().toString()
+    clear_asof_stat_cache()
