@@ -15,6 +15,12 @@ honest:
   offsets) — resolved into per-sample (offset, size, dts, keyframe)
   rows, which is everything metadata-level frame sampling needs, plus
   byte-exact sample extraction out of mdat.
+- REAL (r13): FRAGMENTED files (fMP4/CMAF — the shape streaming
+  uploads arrive in at crawl scale): mvex/mehd/trex defaults and full
+  moof/traf/tfhd/tfdt/trun resolution (default-base-is-moof, tfhd
+  defaults, per-sample duration/size/flags, first-sample-flags,
+  sample_is_non_sync_sample), appended to the same per-sample rows —
+  the consumer API is identical for classic and fragmented layouts.
 - OUT OF SCOPE: decoding the coded pictures inside the samples
   (needs libav/ffmpeg, absent in this environment — the same
   boundary as the reference's media handling; the AVI path decodes
@@ -52,10 +58,13 @@ def _full(tag: bytes, version: int, flags: int, payload: bytes) -> bytes:
 _CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"dinf", b"edts", b"udta"}
 
 
-def walk_boxes(data: bytes, start: int = 0, end: int | None = None):
-    """Yield (tag, payload_start, payload_end) for each top-level box
-    in data[start:end].  Handles size==1 (64-bit largesize) and
-    size==0 (box extends to end); raises ValueError on torn framing."""
+def _walk_boxes4(data: bytes, start: int = 0, end: int | None = None):
+    """Yield (tag, box_start, payload_start, payload_end) for each
+    top-level box in data[start:end].  Handles size==1 (64-bit
+    largesize) and size==0 (box extends to end); raises ValueError on
+    torn framing.  box_start is needed by fragment resolution: trun
+    data offsets are relative to the START of the enclosing moof box
+    under default-base-is-moof (ISO/IEC 14496-12 §8.8.7)."""
     end = len(data) if end is None else end
     off = start
     while off < end:
@@ -73,8 +82,15 @@ def walk_boxes(data: bytes, start: int = 0, end: int | None = None):
             size = end - off
         if size < head or off + size > end:
             raise ValueError(f"box {tag!r} at {off} overruns ({size})")
-        yield tag, off + head, off + size
+        yield tag, off, off + head, off + size
         off += size
+
+
+def walk_boxes(data: bytes, start: int = 0, end: int | None = None):
+    """Yield (tag, payload_start, payload_end) per box — see
+    `_walk_boxes4` for the framing rules."""
+    for tag, _box_start, a, b in _walk_boxes4(data, start, end):
+        yield tag, a, b
 
 
 # ---------------------------------------------------------------------------
@@ -100,12 +116,23 @@ class Mp4Track:
     sync_samples: list[int] | None = None
     stsc_runs: list[tuple[int, int, int]] = field(default_factory=list)
     chunk_offsets: list[int] = field(default_factory=list)
+    # fragment-carried samples (fMP4/CMAF): resolved moof/traf/trun
+    # rows in file order, same tuple shape as the moov table.  A pure
+    # fMP4 has empty moov sample tables and lives entirely here.
+    frag_samples: list[tuple[int, int, int, bool]] = field(default_factory=list)
+    # running decode time for fragments WITHOUT a tfdt (spec: fragments
+    # are contiguous in decode time)
+    _next_frag_dts: int = 0
 
     def sample_table(self) -> list[tuple[int, int, int, bool]]:
         """Resolve stsc/stco/stsz/stts/stss into per-sample
         (file_offset, size, dts, is_keyframe) — the standard chunk-run
         resolution: stsc rows (first_chunk, samples_per_chunk, _) hold
-        until the next row's first_chunk."""
+        until the next row's first_chunk — then append the
+        fragment-resolved samples (file order == decode order)."""
+        return self._moov_samples() + self.frag_samples
+
+    def _moov_samples(self) -> list[tuple[int, int, int, bool]]:
         n = len(self.sample_sizes)
         sync = set(self.sync_samples) if self.sync_samples is not None else None
         out: list[tuple[int, int, int, bool]] = []
@@ -136,6 +163,10 @@ class Mp4File:
     timescale: int = 0
     duration: int = 0
     tracks: list[Mp4Track] = field(default_factory=list)
+    # per-track trex defaults from moov/mvex:
+    # track_id -> (default_sample_duration, default_sample_size,
+    #              default_sample_flags)
+    trex: dict[int, tuple[int, int, int]] = field(default_factory=dict)
 
 
 # ---------------------------------------------------------------------------
@@ -150,18 +181,23 @@ def _u(data: bytes, off: int, n: int) -> int:
 def parse_mp4(data: bytes) -> Mp4File:
     out = Mp4File()
     saw_ftyp = False
-    for tag, a, b in walk_boxes(data):
+    for tag, box_start, a, b in _walk_boxes4(data):
         if tag == b"ftyp":
             out.major_brand = data[a : a + 4].decode("latin1")
             saw_ftyp = True
         elif tag == b"moov":
             _parse_moov(data, a, b, out)
+        elif tag == b"moof":
+            # fMP4/CMAF: sample tables arrive per-fragment.  moov must
+            # precede moof in the file (spec), so tracks/trex exist.
+            _parse_moof(data, box_start, a, b, out)
     if not saw_ftyp:
         raise ValueError("not an ISO-BMFF file (no ftyp)")
     return out
 
 
 def _parse_moov(data: bytes, start: int, end: int, out: Mp4File) -> None:
+    mehd_duration = None
     for tag, a, b in walk_boxes(data, start, end):
         if tag == b"mvhd":
             ver = data[a]
@@ -175,6 +211,21 @@ def _parse_moov(data: bytes, start: int, end: int, out: Mp4File) -> None:
             trk = Mp4Track()
             _parse_trak(data, a, b, trk)
             out.tracks.append(trk)
+        elif tag == b"mvex":
+            for t2, a2, _b2 in walk_boxes(data, a, b):
+                if t2 == b"mehd":
+                    ver = data[a2]
+                    mehd_duration = _u(data, a2 + 4, 8 if ver == 1 else 4)
+                elif t2 == b"trex":
+                    p = a2 + 4
+                    out.trex[_u(data, p, 4)] = (
+                        _u(data, p + 8, 4),   # default_sample_duration
+                        _u(data, p + 12, 4),  # default_sample_size
+                        _u(data, p + 16, 4),  # default_sample_flags
+                    )
+    if not out.duration and mehd_duration is not None:
+        # fragmented files carry total duration in mvex/mehd, mvhd = 0
+        out.duration = mehd_duration
 
 
 def _parse_trak(data: bytes, start: int, end: int, trk: Mp4Track) -> None:
@@ -248,8 +299,175 @@ def _parse_stbl(data: bytes, start: int, end: int, trk: Mp4Track) -> None:
 
 
 # ---------------------------------------------------------------------------
+# fragment (fMP4/CMAF) resolution — moof/traf/tfhd/tfdt/trun
+# ---------------------------------------------------------------------------
+
+# tfhd flag bits (ISO/IEC 14496-12 §8.8.7)
+_TFHD_BASE_DATA_OFFSET = 0x000001
+_TFHD_SAMPLE_DESC_IDX = 0x000002
+_TFHD_DEFAULT_DURATION = 0x000008
+_TFHD_DEFAULT_SIZE = 0x000010
+_TFHD_DEFAULT_FLAGS = 0x000020
+_TFHD_DEFAULT_BASE_IS_MOOF = 0x020000
+
+# trun flag bits (§8.8.8)
+_TRUN_DATA_OFFSET = 0x000001
+_TRUN_FIRST_SAMPLE_FLAGS = 0x000004
+_TRUN_SAMPLE_DURATION = 0x000100
+_TRUN_SAMPLE_SIZE = 0x000200
+_TRUN_SAMPLE_FLAGS = 0x000400
+_TRUN_SAMPLE_CTS = 0x000800
+
+# bit 16 of sample_flags = sample_is_non_sync_sample (§8.8.3.1)
+_SAMPLE_NON_SYNC = 0x010000
+
+
+def _parse_moof(data: bytes, moof_start: int, start: int, end: int, out: Mp4File) -> None:
+    for tag, a, b in walk_boxes(data, start, end):
+        if tag == b"traf":
+            _parse_traf(data, moof_start, a, b, out)
+
+
+def _parse_traf(data: bytes, moof_start: int, start: int, end: int, out: Mp4File) -> None:
+    """Resolve one track fragment's runs into (offset, size, dts,
+    keyframe) rows appended to the owning track.  Defaults cascade
+    trun sample field → tfhd default → mvex/trex default, per spec."""
+    track_id: int | None = None
+    base_off: int | None = None
+    tf_dur = tf_size = tf_flags_dflt = None
+    base_dts: int | None = None
+    truns: list[tuple[int, int]] = []
+    for tag, a, b in walk_boxes(data, start, end):
+        if tag == b"tfhd":
+            fl = _u(data, a, 4) & 0xFFFFFF
+            p = a + 4
+            track_id = _u(data, p, 4)
+            p += 4
+            if fl & _TFHD_BASE_DATA_OFFSET:
+                base_off = _u(data, p, 8)
+                p += 8
+            if fl & _TFHD_SAMPLE_DESC_IDX:
+                p += 4
+            if fl & _TFHD_DEFAULT_DURATION:
+                tf_dur = _u(data, p, 4)
+                p += 4
+            if fl & _TFHD_DEFAULT_SIZE:
+                tf_size = _u(data, p, 4)
+                p += 4
+            if fl & _TFHD_DEFAULT_FLAGS:
+                tf_flags_dflt = _u(data, p, 4)
+                p += 4
+            if base_off is None and fl & _TFHD_DEFAULT_BASE_IS_MOOF:
+                base_off = moof_start
+        elif tag == b"tfdt":
+            ver = data[a]
+            base_dts = _u(data, a + 4, 8 if ver == 1 else 4)
+        elif tag == b"trun":
+            truns.append((a, b))
+    if track_id is None:
+        raise ValueError("traf without tfhd")
+    trk = next((t for t in out.tracks if t.track_id == track_id), None)
+    if trk is None:
+        raise ValueError(f"moof references unknown track {track_id}")
+    trex_dur, trex_size, trex_flags = out.trex.get(track_id, (0, 0, 0))
+    dur_dflt = tf_dur if tf_dur is not None else trex_dur
+    size_dflt = tf_size if tf_size is not None else trex_size
+    flags_dflt = tf_flags_dflt if tf_flags_dflt is not None else trex_flags
+    if base_off is None:
+        # spec default for the first traf of a moof: start of the moof
+        base_off = moof_start
+    dts = base_dts if base_dts is not None else trk._next_frag_dts
+    off = base_off
+    for a, b in truns:
+        fl = _u(data, a, 4) & 0xFFFFFF
+        p = a + 4
+        cnt = _u(data, p, 4)
+        p += 4
+        if fl & _TRUN_DATA_OFFSET:
+            off = base_off + struct.unpack_from(">i", data, p)[0]
+            p += 4
+        first_flags = None
+        if fl & _TRUN_FIRST_SAMPLE_FLAGS:
+            first_flags = _u(data, p, 4)
+            p += 4
+        for i in range(cnt):
+            d, s, f = dur_dflt, size_dflt, flags_dflt
+            if fl & _TRUN_SAMPLE_DURATION:
+                d = _u(data, p, 4)
+                p += 4
+            if fl & _TRUN_SAMPLE_SIZE:
+                s = _u(data, p, 4)
+                p += 4
+            if fl & _TRUN_SAMPLE_FLAGS:
+                f = _u(data, p, 4)
+                p += 4
+            if fl & _TRUN_SAMPLE_CTS:
+                p += 4
+            if p > b:
+                raise ValueError(f"trun sample {i} overruns box")
+            if i == 0 and first_flags is not None:
+                f = first_flags
+            if off + s > len(data):
+                raise ValueError(
+                    f"fragment sample overruns file (off={off}, size={s})"
+                )
+            trk.frag_samples.append((off, s, dts, not f & _SAMPLE_NON_SYNC))
+            off += s
+            dts += d
+    trk._next_frag_dts = dts
+
+
+# ---------------------------------------------------------------------------
 # encoder (standards layout: ftyp → mdat → moov)
 # ---------------------------------------------------------------------------
+
+
+def _mvhd(timescale: int, duration: int) -> bytes:
+    return _full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIIII", 0, 0, timescale, duration, 0x00010000)
+        + struct.pack(">HH", 0x0100, 0)
+        + b"\x00" * 8
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+
+
+def _stsd(width: int, height: int) -> bytes:
+    entry = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)          # data_reference_index
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)          # frame_count
+        + b"\x00" * 32                  # compressorname
+        + struct.pack(">Hh", 24, -1)    # depth, pre_defined
+    )
+    return _full(b"stsd", 0, 0, struct.pack(">I", 1) + _box(b"rle ", entry))
+
+
+def _trak(width: int, height: int, timescale: int, duration: int, stbl: bytes) -> bytes:
+    tkhd = _full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = _full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration) + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _full(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"spark\x00")
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
+    minf = _box(b"minf", vmhd + _box(b"dinf", dref) + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    return _box(b"trak", tkhd + mdia)
 
 
 def encode_mp4(
@@ -281,43 +499,6 @@ def encode_mp4(
         off += sum(len(s) for s in samples[i : i + spc])
     duration = n * sample_delta
 
-    mvhd = _full(
-        b"mvhd", 0, 0,
-        struct.pack(">IIIII", 0, 0, timescale, duration, 0x00010000)
-        + struct.pack(">HH", 0x0100, 0)
-        + b"\x00" * 8
-        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
-        + b"\x00" * 24
-        + struct.pack(">I", 2),
-    )
-    tkhd = _full(
-        b"tkhd", 0, 7,
-        struct.pack(">IIIII", 0, 0, 1, 0, duration)
-        + b"\x00" * 8
-        + struct.pack(">HHHH", 0, 0, 0, 0)
-        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
-        + struct.pack(">II", width << 16, height << 16),
-    )
-    mdhd = _full(
-        b"mdhd", 0, 0,
-        struct.pack(">IIII", 0, 0, timescale, duration) + struct.pack(">HH", 0x55C4, 0),
-    )
-    hdlr = _full(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"spark\x00")
-    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
-    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
-    dinf = _box(b"dinf", dref)
-    entry = (
-        b"\x00" * 6
-        + struct.pack(">H", 1)          # data_reference_index
-        + b"\x00" * 16
-        + struct.pack(">HH", width, height)
-        + struct.pack(">II", 0x00480000, 0x00480000)
-        + struct.pack(">I", 0)
-        + struct.pack(">H", 1)          # frame_count
-        + b"\x00" * 32                  # compressorname
-        + struct.pack(">Hh", 24, -1)    # depth, pre_defined
-    )
-    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + _box(b"rle ", entry))
     stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, sample_delta) if n else struct.pack(">I", 0))
     stss = b"" if keyframes is None else _full(
         b"stss", 0, 0,
@@ -343,12 +524,92 @@ def encode_mp4(
         b"stco", 0, 0,
         struct.pack(">I", n_chunks) + b"".join(struct.pack(">I", c) for c in chunks),
     )
-    stbl = _box(b"stbl", stsd + stts + stss + stsc + stsz + stco)
-    minf = _box(b"minf", vmhd + dinf + stbl)
-    mdia = _box(b"mdia", mdhd + hdlr + minf)
-    trak = _box(b"trak", tkhd + mdia)
-    moov = _box(b"moov", mvhd + trak)
+    stbl = _box(b"stbl", _stsd(width, height) + stts + stss + stsc + stsz + stco)
+    moov = _box(b"moov", _mvhd(timescale, duration) + _trak(width, height, timescale, duration, stbl))
     return ftyp + _box(b"mdat", mdat_payload) + moov
+
+
+# sample_flags values (ISO/IEC 14496-12 §8.8.3.1): sync frames are
+# I-pictures (sample_depends_on=2, bits 25:24), non-sync frames depend
+# on others (sample_depends_on=1) and set sample_is_non_sync_sample.
+_FLAGS_SYNC = 0x02000000
+_FLAGS_NON_SYNC = 0x01010000
+
+
+def encode_fmp4(
+    width: int,
+    height: int,
+    fragments: list[list[bytes]],
+    keyframes: list[int] | None,
+    timescale: int = 1000,
+    sample_delta: int = 40,
+) -> bytes:
+    """Minimal valid single-video-track FRAGMENTED MP4 (fMP4/CMAF
+    layout: ftyp → moov(mvex) → [moof → mdat]×N) — the shape
+    crawl-scale streaming uploads actually arrive in, where sample
+    tables live per-fragment in moof/traf/trun instead of moov/stbl.
+
+    `fragments` is the per-fragment sample list; `keyframes` are
+    GLOBAL 0-based sample indices (None = all sync).  moov carries
+    empty stbl tables + mvex (mehd total duration, trex defaults:
+    duration=sample_delta, flags=non-sync); each fragment's traf uses
+    default-base-is-moof with an explicit trun data offset and
+    per-sample size+flags."""
+    n_total = sum(len(f) for f in fragments)
+    duration = n_total * sample_delta
+    ftyp = _box(b"ftyp", b"iso5" + struct.pack(">I", 512) + b"iso5iso6mp41")
+    stbl = _box(
+        b"stbl",
+        _stsd(width, height)
+        + _full(b"stts", 0, 0, struct.pack(">I", 0))
+        + _full(b"stsc", 0, 0, struct.pack(">I", 0))
+        + _full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+        + _full(b"stco", 0, 0, struct.pack(">I", 0)),
+    )
+    mehd = _full(b"mehd", 0, 0, struct.pack(">I", duration))
+    trex = _full(
+        b"trex", 0, 0,
+        struct.pack(">IIIII", 1, 1, sample_delta, 0, _FLAGS_NON_SYNC),
+    )
+    moov = _box(
+        b"moov",
+        _mvhd(timescale, 0)  # fragmented: total duration lives in mehd
+        + _trak(width, height, timescale, 0, stbl)
+        + _box(b"mvex", mehd + trex),
+    )
+    out = bytearray(ftyp + moov)
+    kf = set(keyframes) if keyframes is not None else None
+    gidx = 0
+    base_dts = 0
+    for seq, frag in enumerate(fragments, 1):
+        flags = [
+            _FLAGS_SYNC if kf is None or (gidx + i) in kf else _FLAGS_NON_SYNC
+            for i in range(len(frag))
+        ]
+
+        def trun(data_offset: int) -> bytes:
+            body = struct.pack(">Ii", len(frag), data_offset)
+            for s, fl in zip(frag, flags):
+                body += struct.pack(">II", len(s), fl)
+            return _full(
+                b"trun",
+                0,
+                _TRUN_DATA_OFFSET | _TRUN_SAMPLE_SIZE | _TRUN_SAMPLE_FLAGS,
+                body,
+            )
+
+        mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", seq))
+        tfhd = _full(b"tfhd", 0, _TFHD_DEFAULT_BASE_IS_MOOF, struct.pack(">I", 1))
+        tfdt = _full(b"tfdt", 0, 0, struct.pack(">I", base_dts))
+        # trun's data offset points past moof into the mdat payload;
+        # the offset field is inside moof, so build once at 0 to learn
+        # the size (size is offset-independent), then rebuild for real
+        moof_len = len(_box(b"moof", mfhd + _box(b"traf", tfhd + tfdt + trun(0))))
+        moof = _box(b"moof", mfhd + _box(b"traf", tfhd + tfdt + trun(moof_len + 8)))
+        out += moof + _box(b"mdat", b"".join(frag))
+        gidx += len(frag)
+        base_dts += len(frag) * sample_delta
+    return bytes(out)
 
 
 def extract_sample(data: bytes, offset: int, size: int) -> bytes:

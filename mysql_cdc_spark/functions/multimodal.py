@@ -755,13 +755,47 @@ def _mp4_payload(mid: int) -> bytes:
     )
 
 
+def _fmp4_payload(mid: int) -> bytes:
+    """FRAGMENTED twin of `_mp4_payload` (fMP4/CMAF layout).
+    Closed-form generation rule (lockstep with the DuckDB oracle):
+      n_frags  = mid % 3 + 1 fragments
+      spf      = mid % 4 + 2 samples per fragment, n = n_frags * spf
+      keyframe = first sample of each fragment (i % spf == 0) — the
+                 CMAF convention (fragments begin at a sync sample)
+      sample i = [(mid*13 + i*5) % 256] * ((mid + 2*i) % 5 + 3)
+      width    = 16 * (mid % 4 + 1), height 16
+      timescale 1000, delta 40 → dts_ms = i*40, duration_ms = n*40
+    """
+    from mysql_cdc_spark.functions.isobmff import encode_fmp4
+
+    n_frags = mid % 3 + 1
+    spf = mid % 4 + 2
+    n = n_frags * spf
+    samples = [
+        bytes([(mid * 13 + i * 5) % 256]) * ((mid + 2 * i) % 5 + 3) for i in range(n)
+    ]
+    return encode_fmp4(
+        16 * (mid % 4 + 1),
+        16,
+        [samples[f * spf : (f + 1) * spf] for f in range(n_frags)],
+        keyframes=[i for i in range(n) if i % spf == 0],
+    )
+
+
 def synth_mp4_corpus(
-    spark: SparkSession, sf_dir: str, corrupt_every: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    corrupt_every: int | None = None,
+    fragmented: bool = False,
 ) -> DataFrame:
     """Video table whose payloads are REAL ISO-BMFF bytes (pure-Python
     encoder) derived deterministically from `events`.  With
-    `corrupt_every`, every Nth payload is torn in half mid-file (the
-    moov never arrives — the classic truncated-upload shape)."""
+    `fragmented`, payloads are fMP4/CMAF (moof/traf sample tables).
+    With `corrupt_every`, every Nth payload is torn: classic files are
+    cut in half mid-file (the moov never arrives — the truncated-upload
+    shape); fragmented files lose their last 3 bytes (the final mdat
+    is short — the interrupted-stream shape; always mid-box, so the
+    tear is deterministic whatever the box layout)."""
     from mysql_cdc_spark.sources.io import read_table
 
     ev = read_table(spark, sf_dir, "events").select(
@@ -773,9 +807,9 @@ def synth_mp4_corpus(
         for pdf in batches:
             payloads = []
             for m in pdf["media_id"]:
-                p = _mp4_payload(int(m))
+                p = _fmp4_payload(int(m)) if fragmented else _mp4_payload(int(m))
                 if corrupt_every and int(m) % corrupt_every == 0:
-                    p = p[: len(p) // 2]
+                    p = p[:-3] if fragmented else p[: len(p) // 2]
                 payloads.append(p)
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
 

@@ -235,6 +235,9 @@ REGISTRATION_ORDER: list[str] = [
     "mm_mp4_keyframe_sample",
     "mm_mp4_quarantine",
     "cdc_stream_latest_state_agg",
+    # r13 additions
+    "mm_mp4_fragmented",
+    "mm_mp4_fragmented_keyframes",
 ]
 
 

@@ -97,3 +97,67 @@ def test_zero_keyframes_vs_no_stss():
     allsync = parse_mp4(encode_mp4(16, 16, SAMPLES, keyframes=None)).tracks[0]
     assert allsync.sync_samples is None
     assert [k for _, _, _, k in allsync.sample_table()] == [True] * len(SAMPLES)
+
+
+class TestFragmentedMp4:
+    """fMP4/CMAF (r12 VERDICT #5): per-fragment sample tables via
+    moof/traf/tfhd/tfdt/trun must resolve into the SAME per-sample
+    rows the classic moov path produces."""
+
+    def test_round_trip_matches_classic(self):
+        from mysql_cdc_spark.functions.isobmff import encode_fmp4
+
+        flat = SAMPLES
+        classic = parse_mp4(
+            encode_mp4(48, 16, flat, keyframes=[0, 3], samples_per_chunk=2)
+        ).tracks[0].sample_table()
+        frags = [flat[0:2], flat[2:5], flat[5:6]]
+        blob = encode_fmp4(48, 16, frags, keyframes=[0, 3])
+        f = parse_mp4(blob)
+        assert f.major_brand == "iso5"
+        assert f.timescale == 1000 and f.duration == len(flat) * 40  # via mehd
+        st = f.tracks[0].sample_table()
+        # offsets differ by construction; size/dts/keyframe identical
+        assert [(s, d, k) for _, s, d, k in st] == [(s, d, k) for _, s, d, k in classic]
+        assert [extract_sample(blob, o, s) for o, s, _, _ in st] == flat
+
+    def test_trex_default_cascade(self):
+        """trun omits per-sample duration — dts must advance by the
+        trex default_sample_duration (the tfhd→trex cascade)."""
+        from mysql_cdc_spark.functions.isobmff import encode_fmp4
+
+        st = parse_mp4(
+            encode_fmp4(16, 16, [SAMPLES[:3], SAMPLES[3:]], keyframes=None,
+                        sample_delta=25)
+        ).tracks[0].sample_table()
+        assert [d for _, _, d, _ in st] == [i * 25 for i in range(len(SAMPLES))]
+
+    def test_torn_fragment_rejected(self):
+        from mysql_cdc_spark.functions.isobmff import encode_fmp4
+
+        blob = encode_fmp4(16, 16, [SAMPLES[:3], SAMPLES[3:]], keyframes=[0, 3])
+        with pytest.raises(ValueError):
+            parse_mp4(blob[:-3])        # final mdat runs short
+        with pytest.raises(ValueError):
+            parse_mp4(blob[: len(blob) // 2])  # cut mid-structure
+        # a moof naming a track the moov never declared is torn, not UB
+        bad = bytearray(blob)
+        idx = bad.find(b"tfhd")
+        bad[idx + 8 : idx + 12] = (99).to_bytes(4, "big")  # track_id field
+        with pytest.raises(ValueError):
+            parse_mp4(bytes(bad))
+
+    def test_fragment_dts_continuity_without_tfdt(self):
+        """Fragments lacking tfdt continue from the previous
+        fragment's end decode time (spec: contiguous)."""
+        from mysql_cdc_spark.functions.isobmff import encode_fmp4
+
+        blob = encode_fmp4(16, 16, [SAMPLES[:2], SAMPLES[2:4]], keyframes=None)
+        # strip the tfdt boxes: rewrite them as free-space boxes
+        raw = bytearray(blob)
+        pos = 0
+        while (pos := raw.find(b"tfdt", pos)) != -1:
+            raw[pos : pos + 4] = b"free"
+            pos += 4
+        st = parse_mp4(bytes(raw)).tracks[0].sample_table()
+        assert [d for _, _, d, _ in st] == [0, 40, 80, 120]
