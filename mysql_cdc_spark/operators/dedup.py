@@ -370,7 +370,12 @@ def jaccard_pairs(
     )
     inv = inv.join(df_ok, "shingle")
 
-    a, b = inv.alias("a"), inv.alias("b")
+    # SHUFFLE_HASH: Catalyst's default sort-merge join SORTS both inv
+    # sides by shingle — at x100 that sort spilled 8 GB (r12 sweep).
+    # The equi-key's per-partition build side is small (inv bytes /
+    # partitions), so a shuffled hash join does the same one-shuffle
+    # plan without sorting anything.
+    a, b = inv.alias("a"), inv.alias("b").hint("SHUFFLE_HASH")
     common = (
         a.join(
             b,

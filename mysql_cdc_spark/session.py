@@ -64,10 +64,22 @@ def scale_profile(input_bytes: int, cores: int) -> dict[str, str]:
       at 100 TB / 1000 executors this lands ~800k→clamped 200k and AQE
       coalesces down, which is the recommended high-initial +
       runtime-coalesce pattern.
-    - **AQE advisory size** (`advisoryPartitionSizeInBytes`): 64 MiB —
-      the post-shuffle target AQE coalesces toward; independent of SF.
-    - **initialPartitionNum**: same as shuffle partitions so AQE starts
-      from the sized value rather than the static conf.
+    - **initialPartitionNum**: 8× the input-sized shuffle partitions
+      (min 16× cores).  AQE can only MERGE post-shuffle partitions,
+      never split them, and it sizes by each exchange's INPUT bytes —
+      so a stage whose in-stage work is amplified past its shuffle
+      input (a pair-producing join feeding a partial aggregate: the
+      r12 x100 sweep measured jaccard's agg state at ~17× its shuffle
+      input, spilling 26 GB under input-sized partitioning) is
+      under-partitioned unless the initial count carries headroom.
+      Oversized initials cost only empty-partition bookkeeping that
+      coalescing removes.
+    - **AQE advisory size** (`advisoryPartitionSizeInBytes`): 16 MiB
+      of compressed shuffle bytes — the post-shuffle target AQE
+      coalesces toward.  16 MiB compressed unpacks to ~100-200 MB of
+      per-task operator state on agg-heavy stages, inside a fair
+      per-task share of executor memory; 64 MiB was measured to push
+      hash aggregates into sort-spill fallback at x100.
 
     All keys are runtime-settable SQL confs, so the profile can be
     applied to a live session (``apply_scale_profile``) — no rebuild.
@@ -77,11 +89,12 @@ def scale_profile(input_bytes: int, cores: int) -> dict[str, str]:
     # ≥2 scan tasks per core when the data is small; 128 MiB otherwise.
     split = max(4 * mib, min(target_split, input_bytes // (2 * cores) or 4 * mib))
     shuffle_parts = max(2 * cores, min(200_000, (input_bytes + target_split - 1) // target_split))
+    initial_parts = min(200_000, max(8 * shuffle_parts, 16 * cores))
     return {
         "spark.sql.files.maxPartitionBytes": str(int(split)),
         "spark.sql.shuffle.partitions": str(int(shuffle_parts)),
-        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(int(shuffle_parts)),
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(64 * mib),
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(int(initial_parts)),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(16 * mib),
     }
 
 

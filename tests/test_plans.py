@@ -373,14 +373,22 @@ def test_scale_profile_sizing_and_application(spark):
     assert int(small["spark.sql.files.maxPartitionBytes"]) == max(4 * mib, 64 * mib // 64)
     assert int(small["spark.sql.shuffle.partitions"]) == 64  # floor 2*cores
 
+    # r13: initialPartitionNum carries 8x amplification headroom (AQE
+    # can only merge, never split — the x100 jaccard agg spilled 26 GB
+    # under input-sized initial partitioning) and advisory drops to
+    # 16 MiB compressed so agg-heavy stages stay inside per-task memory
+    assert int(small["spark.sql.adaptive.coalescePartitions.initialPartitionNum"]) == 512
+    assert int(small["spark.sql.adaptive.advisoryPartitionSizeInBytes"]) == 16 * mib
+
     big = scale_profile(100 * (1 << 40), 8000)  # the 100 TB target
     assert int(big["spark.sql.files.maxPartitionBytes"]) == 128 * mib
     assert int(big["spark.sql.shuffle.partitions"]) == 200_000  # clamped; AQE coalesces
-    assert big["spark.sql.adaptive.coalescePartitions.initialPartitionNum"] == big["spark.sql.shuffle.partitions"]
+    assert int(big["spark.sql.adaptive.coalescePartitions.initialPartitionNum"]) == 200_000
 
     mid = scale_profile(10 * (1 << 30), 32)   # 10 GiB on local[32]
     assert int(mid["spark.sql.files.maxPartitionBytes"]) == 128 * mib
     assert int(mid["spark.sql.shuffle.partitions"]) == 80  # ceil(10GiB/128MiB)
+    assert int(mid["spark.sql.adaptive.coalescePartitions.initialPartitionNum"]) == 640
 
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     old_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
