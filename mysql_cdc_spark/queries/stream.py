@@ -149,7 +149,15 @@ def cdc_stream_latest_state(spark, sf_dir):
     delta_type) state carried across micro-batches — forced through
     FOUR batches (maxFilesPerTrigger=1) so state transfer is actually
     exercised — then reduced to the final image per key.  Oracle: the
-    batch latest-state semantics."""
+    batch latest-state semantics.
+
+    ESCAPE HATCH, kept registered so the custom state-transfer path
+    stays driver-verified: the DEFAULT for these (aggregable)
+    semantics is the declarative twin `cdc_stream_latest_state_agg` —
+    the r12 state ramp measured this operator's per-group Python cost
+    LINEAR in key cardinality (30x the twin at 500k keys); policy
+    pinned by tests/test_registry.py
+    test_declarative_first_stateful_policy."""
     from mysql_cdc_spark.streaming import runtime as rt
     from mysql_cdc_spark.streaming.stateful import latest_state_stateful
 

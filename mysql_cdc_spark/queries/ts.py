@@ -57,7 +57,9 @@ def ts_asof_join(spark, sf_dir):
     pre-agg dispatches to the row-identical chunked form when the
     hottest key exceeds the measured crossover
     (timeseries.ASOF_SKEW_ROW_THRESHOLD); on this fixture it stays
-    the plain 1-shuffle plan."""
+    the plain 1-shuffle plan.  r13: the pre-agg is memoised by the
+    inputs' logical plans, so repeat executions (bench passes,
+    notebook re-runs) plan with zero guard jobs."""
     ev = _events(spark, sf_dir)
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "ts", "user_id", "value"

@@ -309,3 +309,81 @@ def test_scratch_names_carry_owner_pid():
         name = _shared._scratch_name(prefix)
         m = re.match(rf"^{prefix}_(\d+)_[0-9a-f]{{10}}$", name)
         assert m and int(m.group(1)) == os.getpid()
+
+
+def test_declarative_first_stateful_policy():
+    """r12 VERDICT #6 made executable: the state-scale ramp measured
+    applyInPandasWithState's per-group Python cost at ~0.9 ms/key/batch
+    (LINEAR in key cardinality; 30x the declarative twin at 500k keys),
+    so JVM-declarative streaming aggregation is the DEFAULT and the
+    Python custom-state operator is an escape hatch.  This test fails
+    when a registered streaming query reaches applyInPandasWithState —
+    directly or through a streaming/ helper — without being on the
+    exact, justified allowlist below.  Adding a stateful query means
+    adding it here WITH its justification (or writing it declaratively).
+    """
+    import inspect
+    import pkgutil
+    import re
+
+    import mysql_cdc_spark.queries as queries_pkg
+    import mysql_cdc_spark.streaming as streaming_pkg
+    from mysql_cdc_spark.queries import QUERIES
+
+    # Helpers in streaming/ that wrap the custom-state API
+    helpers: set[str] = set()
+    import importlib
+
+    for m in pkgutil.iter_modules(streaming_pkg.__path__):
+        mod = importlib.import_module(f"mysql_cdc_spark.streaming.{m.name}")
+        for attr_name, attr in vars(mod).items():
+            if inspect.isfunction(attr) and attr.__module__ == mod.__name__:
+                try:
+                    if "applyInPandasWithState" in inspect.getsource(attr):
+                        helpers.add(attr_name)
+                except (OSError, TypeError):  # pragma: no cover
+                    pass
+    assert helpers, "helper scan broke — expected at least one wrapper"
+
+    pattern = re.compile(
+        r"applyInPandasWithState|" + "|".join(rf"\b{h}\b" for h in sorted(helpers))
+    )
+
+    def code_only(fn) -> str:
+        # docstrings legitimately DISCUSS the API (the twin's docstring
+        # explains why it avoids it); match code, not prose
+        return re.sub(r'"""(?:[^"]|"(?!""))*"""', "", inspect.getsource(fn))
+
+    offenders = {
+        name for name, fn in QUERIES.items() if pattern.search(code_only(fn))
+    }
+
+    # The exact allowed set.  Both entries exist to keep the custom
+    # state-transfer capability itself driver-verified (SURVEY §2.6
+    # streaming checklist rows) — semantics here ARE aggregable, and
+    # each docstring routes readers to the declarative default.  The
+    # legitimate future reasons to extend this list are semantics
+    # aggregation cannot express: event-driven TIMEOUTS (state expiry
+    # emitting rows with no triggering input) and custom gap/session
+    # logic beyond F.session_window.
+    allowed = {
+        # escape-hatch demonstration; declarative twin
+        # cdc_stream_latest_state_agg is the documented default
+        "cdc_stream_latest_state",
+        # incremental DDL fold kept as the multi-batch state-transfer
+        # proof over a second state shape (per-key dict)
+        "cdc_stream_schema_version",
+    }
+    assert offenders == allowed, (
+        f"stateful-policy drift: {offenders ^ allowed} — new "
+        "applyInPandasWithState queries need a justification here, or "
+        "a declarative rewrite (the measured default: PLANS.md r12 "
+        "state ramp, 30x at 500k keys)"
+    )
+
+    # Each allowed query must point at its declarative guidance
+    assert "cdc_stream_latest_state_agg" in QUERIES
+    doc = QUERIES["cdc_stream_latest_state"].__doc__ or ""
+    assert "cdc_stream_latest_state_agg" in doc, (
+        "the escape-hatch query must route readers to its declarative twin"
+    )

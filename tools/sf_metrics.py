@@ -39,6 +39,12 @@ TARGET = [  # HEADLINE ∪ dedup/refresh family (r10 VERDICT #1 list)
     "llm_dedup_jaccard", "llm_dup_span_ranges", "llm_span_censor",
     "llm_incremental_neardup", "llm_refresh_pipeline",
     "llm_semantic_dedup",
+    # r13 (r12 VERDICT #3): the r12/r13 surfaces — MP4 demux (classic +
+    # fragmented; corpus is derived from the fixture's events table so
+    # it scales with K) and the declarative stateful twin
+    "mm_mp4_meta", "mm_mp4_keyframe_sample", "mm_mp4_quarantine",
+    "mm_mp4_fragmented", "mm_mp4_fragmented_keyframes",
+    "cdc_stream_latest_state_agg",
 ]
 
 _FIELDS = {

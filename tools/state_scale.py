@@ -162,11 +162,23 @@ def main() -> None:
     warm = build_fixture(1000)
     for prov in _PROVIDERS.values():
         run_once(spark, warm, prov)
-    impls = ("python", "jvm") if "--jvm" in sys.argv else ("python",)
+    # --jvm adds the declarative twin; --jvm-only drops the python
+    # operator (at 5M+ keys its measured ~0.9 ms/key/batch cost is
+    # hours — the r13 ramp extension is about the TWIN's cliff)
+    if "--jvm-only" in sys.argv:
+        impls = ("jvm",)
+    elif "--jvm" in sys.argv:
+        impls = ("python", "jvm")
+    else:
+        impls = ("python",)
+    providers = {
+        t: p for t, p in _PROVIDERS.items()
+        if f"--provider={t}" in sys.argv
+    } or _PROVIDERS
     for k in ks:
         src = build_fixture(k)
         for impl in impls:
-            for tag, prov in _PROVIDERS.items():
+            for tag, prov in providers.items():
                 m = run_once(spark, src, prov, impl)
                 print(
                     json.dumps({"keys": k, "impl": impl, "provider": tag, **m}),
