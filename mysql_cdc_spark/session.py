@@ -64,16 +64,23 @@ def scale_profile(input_bytes: int, cores: int) -> dict[str, str]:
       at 100 TB / 1000 executors this lands ~800k→clamped 200k and AQE
       coalesces down, which is the recommended high-initial +
       runtime-coalesce pattern.
-    - **initialPartitionNum**: 8× the input-sized shuffle partitions
-      (min 16× cores).  AQE can only MERGE post-shuffle partitions,
+    - **initialPartitionNum**: 2× the input-sized shuffle partitions
+      (min 4× cores).  AQE can only MERGE post-shuffle partitions,
       never split them, and it sizes by each exchange's INPUT bytes —
       so a stage whose in-stage work is amplified past its shuffle
       input (a pair-producing join feeding a partial aggregate: the
       r12 x100 sweep measured jaccard's agg state at ~17× its shuffle
       input, spilling 26 GB under input-sized partitioning) is
       under-partitioned unless the initial count carries headroom.
-      Oversized initials cost only empty-partition bookkeeping that
-      coalescing removes.
+      The multiplier is deliberately modest: an 8× initial (measured,
+      x100) pushed every map stage past
+      `spark.shuffle.sort.bypassMergeThreshold` (200), switching the
+      shuffle writer from per-partition streaming files to the
+      buffering sort writer — +15-25% wall on NON-amplified queries
+      and spurious writer-side spill accounting.  2× keeps ordinary
+      stages on the bypass writer while the 16 MiB advisory below
+      still fans the amplified agg stages out to ~advisory-sized
+      tasks (the actual spill fix).
     - **AQE advisory size** (`advisoryPartitionSizeInBytes`): 16 MiB
       of compressed shuffle bytes — the post-shuffle target AQE
       coalesces toward.  16 MiB compressed unpacks to ~100-200 MB of
@@ -89,7 +96,7 @@ def scale_profile(input_bytes: int, cores: int) -> dict[str, str]:
     # ≥2 scan tasks per core when the data is small; 128 MiB otherwise.
     split = max(4 * mib, min(target_split, input_bytes // (2 * cores) or 4 * mib))
     shuffle_parts = max(2 * cores, min(200_000, (input_bytes + target_split - 1) // target_split))
-    initial_parts = min(200_000, max(8 * shuffle_parts, 16 * cores))
+    initial_parts = min(200_000, max(2 * shuffle_parts, 4 * cores))
     return {
         "spark.sql.files.maxPartitionBytes": str(int(split)),
         "spark.sql.shuffle.partitions": str(int(shuffle_parts)),

@@ -373,11 +373,13 @@ def test_scale_profile_sizing_and_application(spark):
     assert int(small["spark.sql.files.maxPartitionBytes"]) == max(4 * mib, 64 * mib // 64)
     assert int(small["spark.sql.shuffle.partitions"]) == 64  # floor 2*cores
 
-    # r13: initialPartitionNum carries 8x amplification headroom (AQE
+    # r13: initialPartitionNum carries 2x amplification headroom (AQE
     # can only merge, never split — the x100 jaccard agg spilled 26 GB
-    # under input-sized initial partitioning) and advisory drops to
-    # 16 MiB compressed so agg-heavy stages stay inside per-task memory
-    assert int(small["spark.sql.adaptive.coalescePartitions.initialPartitionNum"]) == 512
+    # under input-sized initial partitioning; a larger 8x initial
+    # pushed map stages past the bypass-merge writer threshold, costing
+    # 15-25% on non-amplified queries) and advisory drops to 16 MiB
+    # compressed so amplified agg stages stay inside per-task memory
+    assert int(small["spark.sql.adaptive.coalescePartitions.initialPartitionNum"]) == 128
     assert int(small["spark.sql.adaptive.advisoryPartitionSizeInBytes"]) == 16 * mib
 
     big = scale_profile(100 * (1 << 40), 8000)  # the 100 TB target
@@ -388,7 +390,7 @@ def test_scale_profile_sizing_and_application(spark):
     mid = scale_profile(10 * (1 << 30), 32)   # 10 GiB on local[32]
     assert int(mid["spark.sql.files.maxPartitionBytes"]) == 128 * mib
     assert int(mid["spark.sql.shuffle.partitions"]) == 80  # ceil(10GiB/128MiB)
-    assert int(mid["spark.sql.adaptive.coalescePartitions.initialPartitionNum"]) == 640
+    assert int(mid["spark.sql.adaptive.coalescePartitions.initialPartitionNum"]) == 160
 
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     old_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
