@@ -485,20 +485,64 @@ def llm_embed_neardup(spark, sf_dir):
     return similarity.embedding_neardup_pairs(_emb(spark, sf_dir))
 
 
+def _pointer_jump_closure_sql(seed: str, rounds: int = 25) -> str:
+    """Min-label connected components as UNROLLED pointer-jumping
+    rounds — the SAME construction the engine runs
+    (corpus.duplicate_components: per round, label := least(own label,
+    min neighbor label), then label := label(label)), expressed as
+    chained MATERIALIZED CTEs so DuckDB evaluates each round once.
+
+    Replaces the recursive-CTE transitive REACHABILITY closure, whose
+    row count is Σ component_size² — the engine itself refuses to pay
+    all-pairs costs, and after the r12 recall fix grew real embedding
+    components enough that the gate paid 630 s at sf0.1 for a closure
+    the engine computes in seconds (r12 VERDICT "what's wrong" #3).
+    This form is O(edges) per round × `rounds`.
+
+    `rounds` mirrors the engine's max_iter=25: pointer jumping halves
+    remaining path length per round, so 25 rounds cover any diameter
+    ≤ 2^25; the engine RAISES if unconverged at 25, so equal round
+    counts guarantee result parity whenever the engine returns at all
+    (extra rounds past the fixpoint are no-ops).
+
+    `seed` is SQL for (vec, lab) = (node_id, node_id) over ALL nodes.
+    Expects an `edges(src, dst)` CTE (both directions) in scope;
+    leaves `comp(vec, component)` in scope."""
+    parts = [f"l0 AS MATERIALIZED ({seed})"]
+    for k in range(rounds):
+        parts.append(
+            f"n{k} AS MATERIALIZED (SELECT e.src AS vec, MIN(l.lab) AS nm "
+            f"FROM edges e JOIN l{k} l ON l.vec = e.dst GROUP BY e.src)"
+        )
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT l.vec, "
+            f"LEAST(l.lab, COALESCE(n.nm, l.lab)) AS lab "
+            f"FROM l{k} l LEFT JOIN n{k} n USING (vec))"
+        )
+        parts.append(
+            f"l{k + 1} AS MATERIALIZED (SELECT s.vec, "
+            f"LEAST(s.lab, COALESCE(p.lab, s.lab)) AS lab "
+            f"FROM s{k} s LEFT JOIN s{k} p ON p.vec = s.lab)"
+        )
+    parts.append(f"comp AS (SELECT vec, lab AS component FROM l{rounds})")
+    return ", ".join(parts)
+
+
 @register(
     "llm_semantic_dedup",
-    _BKT_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    _BKT_CTE
     + _CHAIN_CAND_CTE + ", "
     "vp AS (SELECT vec_a, vec_b FROM ("
     "  SELECT cand.vec_a, cand.vec_b, " + _SQL_COS.format(a="a", b="b") + " AS cosine "
     "  FROM cand JOIN n a ON a.vec_id = cand.vec_a JOIN n b ON b.vec_id = cand.vec_b"
     f") WHERE cosine >= {similarity.NEARDUP_COS}), "
-    "edges AS (SELECT vec_a AS src, vec_b AS dst FROM vp "
+    # MATERIALIZED: edges feeds all 25 unrolled closure rounds — left
+    # inline, DuckDB re-evaluates the whole candidate+cosine pipeline
+    # once per round (measured 3x the OLD oracle's total)
+    "edges AS MATERIALIZED (SELECT vec_a AS src, vec_b AS dst FROM vp "
     "UNION ALL SELECT vec_b, vec_a FROM vp), "
-    "reach AS (SELECT vec_id AS vec, vec_id AS other FROM embeddings "
-    "UNION SELECT r.vec, e.dst FROM reach r JOIN edges e ON e.src = r.other), "
-    "comp AS (SELECT vec, MIN(other) AS component FROM reach GROUP BY vec) "
-    "SELECT vec AS vec_id, component, "
+    + _pointer_jump_closure_sql("SELECT vec_id AS vec, vec_id AS lab FROM embeddings")
+    + " SELECT vec AS vec_id, component, "
     "CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS component_size, "
     "vec = component AS keep FROM comp",
 )

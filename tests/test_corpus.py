@@ -471,3 +471,49 @@ def test_cc_round_stats_do_not_compound(spark):
     assert digits(lab) <= 20         # pinned at the default estimate
     # and the reset is value-neutral
     assert sorted(r["doc_id"] for r in lab.collect()) == list(range(100))
+
+
+def test_pointer_jump_closure_sql_equals_recursive_closure():
+    """The unrolled pointer-jumping oracle (queries/llm.py
+    _pointer_jump_closure_sql — r13, replacing the Σ size² recursive
+    reachability that cost the gate 630 s at sf0.1) must equal the
+    recursive closure on adversarial graph shapes: a LONG PATH (the
+    case plain propagation needs diameter rounds for and jumping must
+    shortcut), a star, two merged clusters, and isolated nodes.
+    Pure DuckDB — no Spark, no fixture."""
+    import duckdb
+
+    from mysql_cdc_spark.queries.llm import _pointer_jump_closure_sql
+
+    # path 0-1-...-29 (diameter 29 > naive 25 rounds w/o jumping),
+    # star 100-{101..110}, triangle-ish merge 200-201, 201-202, 200-202,
+    # isolated 300, 301
+    pairs = [(i, i + 1) for i in range(29)]
+    pairs += [(100, x) for x in range(101, 111)]
+    pairs += [(200, 201), (201, 202), (200, 202)]
+    nodes = sorted({n for p in pairs for n in p} | {300, 301})
+    con = duckdb.connect()
+    con.execute("CREATE TABLE nodes(id BIGINT)")
+    con.executemany("INSERT INTO nodes VALUES (?)", [(n,) for n in nodes])
+    con.execute("CREATE TABLE pairs(a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO pairs VALUES (?, ?)", pairs)
+
+    closure = _pointer_jump_closure_sql("SELECT id AS vec, id AS lab FROM nodes")
+    got = con.execute(
+        "WITH edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs "
+        "UNION ALL SELECT b, a FROM pairs), "
+        + closure
+        + " SELECT vec, component FROM comp ORDER BY vec"
+    ).fetchall()
+    want = con.execute(
+        "WITH RECURSIVE edges AS (SELECT a AS src, b AS dst FROM pairs "
+        "UNION ALL SELECT b, a FROM pairs), "
+        "reach AS (SELECT id AS vec, id AS other FROM nodes "
+        "UNION SELECT r.vec, e.dst FROM reach r JOIN edges e ON e.src = r.other) "
+        "SELECT vec, MIN(other) FROM reach GROUP BY vec ORDER BY vec"
+    ).fetchall()
+    assert got == want
+    # and the path really collapsed to one component rooted at 0
+    comp = dict(got)
+    assert all(comp[i] == 0 for i in range(30))
+    assert comp[300] == 300 and comp[301] == 301
