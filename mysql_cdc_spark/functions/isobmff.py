@@ -168,6 +168,16 @@ class Mp4File:
     #              default_sample_flags)
     trex: dict[int, tuple[int, int, int]] = field(default_factory=dict)
 
+    def video_track(self) -> Mp4Track:
+        """The first track whose handler is 'vide' — real-world files
+        routinely lead with an audio or hint track, so consumers must
+        select by handler, not position.  Falls back to tracks[0] for
+        handler-less minimal files; raises on a trackless file."""
+        for t in self.tracks:
+            if t.handler == "vide":
+                return t
+        return self.tracks[0]
+
 
 # ---------------------------------------------------------------------------
 # parser

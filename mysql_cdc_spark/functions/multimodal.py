@@ -842,7 +842,7 @@ def mp4_meta(videos: DataFrame, on_error: str = "raise") -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     f = parse_mp4(bytes(payload))
-                    t = f.tracks[0]
+                    t = f.video_track()
                     st = t.sample_table()
                 except (ValueError, _struct.error, IndexError):
                     if on_error == "raise":
@@ -887,7 +887,7 @@ def mp4_keyframe_sample(videos: DataFrame, step: int = 2) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 blob = bytes(payload)
-                t = parse_mp4(blob).tracks[0]
+                t = parse_mp4(blob).video_track()
                 st = t.sample_table()
                 # dts*1000 BEFORE the floor-div (matches mp4_meta's
                 # duration math): 1000 // timescale floors to 0 for

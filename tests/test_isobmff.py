@@ -161,3 +161,60 @@ class TestFragmentedMp4:
             pos += 4
         st = parse_mp4(bytes(raw)).tracks[0].sample_table()
         assert [d for _, _, d, _ in st] == [0, 40, 80, 120]
+
+
+def test_audio_first_track_order():
+    """Real files routinely lead with an audio/hint track; consumers
+    must pick the video track by HANDLER, not position.  Splice a
+    'soun' trak ahead of the video trak (layout is ftyp-mdat-moov, so
+    sample offsets are unchanged) and assert video_track() still finds
+    the right one while tracks[] preserves file order."""
+    from mysql_cdc_spark.functions.isobmff import (
+        _box,
+        _full,
+        _walk_boxes4,
+    )
+    import struct as _s
+
+    blob = encode_mp4(48, 16, SAMPLES, keyframes=[0, 3], samples_per_chunk=2)
+    # minimal audio trak: tkhd(track 2, no dims) + mdia(mdhd + 'soun'
+    # hdlr + empty-ish minf/stbl)
+    tkhd = _full(
+        b"tkhd", 0, 7,
+        _s.pack(">IIIII", 0, 0, 2, 0, 0) + b"\x00" * 8
+        + _s.pack(">HHHH", 0, 0, 0, 0)
+        + _s.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + _s.pack(">II", 0, 0),
+    )
+    mdhd = _full(b"mdhd", 0, 0, _s.pack(">IIII", 0, 0, 8000, 0) + _s.pack(">HH", 0x55C4, 0))
+    hdlr = _full(b"hdlr", 0, 0, b"\x00" * 4 + b"soun" + b"\x00" * 12 + b"a\x00")
+    stbl = _box(
+        b"stbl",
+        _full(b"stsd", 0, 0, _s.pack(">I", 0))
+        + _full(b"stts", 0, 0, _s.pack(">I", 0))
+        + _full(b"stsc", 0, 0, _s.pack(">I", 0))
+        + _full(b"stsz", 0, 0, _s.pack(">II", 0, 0))
+        + _full(b"stco", 0, 0, _s.pack(">I", 0)),
+    )
+    audio_trak = _box(b"trak", tkhd + _box(b"mdia", mdhd + hdlr + _box(b"minf", stbl)))
+
+    # rebuild moov with the audio trak FIRST (after mvhd)
+    out = bytearray()
+    for tag, box_start, a, b in _walk_boxes4(blob):
+        if tag != b"moov":
+            out += blob[box_start:b]
+            continue
+        inner = bytearray()
+        injected = False
+        for t2, bs2, _a2, b2 in _walk_boxes4(blob, a, b):
+            if t2 == b"trak" and not injected:
+                inner += audio_trak
+                injected = True
+            inner += blob[bs2:b2]
+        out += _box(b"moov", bytes(inner))
+    f = parse_mp4(bytes(out))
+    assert [t.handler for t in f.tracks] == ["soun", "vide"]
+    v = f.video_track()
+    assert (v.width, v.height, v.track_id) == (48, 16, 1)
+    st = v.sample_table()
+    assert [extract_sample(bytes(out), o, s) for o, s, _, _ in st] == SAMPLES
