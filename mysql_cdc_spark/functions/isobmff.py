@@ -171,11 +171,23 @@ class Mp4File:
     def video_track(self) -> Mp4Track:
         """The first track whose handler is 'vide' — real-world files
         routinely lead with an audio or hint track, so consumers must
-        select by handler, not position.  Falls back to tracks[0] for
-        handler-less minimal files; raises on a trackless file."""
+        select by handler, not position.  Falls back to tracks[0] only
+        for handler-LESS minimal files (no track declares any handler);
+        a file whose tracks all carry non-video handlers (e.g. an
+        audio-only MP4, handler 'soun') raises ValueError so the
+        mapInPandas quarantine path catches it instead of reporting an
+        audio track as video metadata.  Raises on a trackless file."""
+        if not self.tracks:
+            raise ValueError("no tracks")
         for t in self.tracks:
             if t.handler == "vide":
                 return t
+        if any(t.handler for t in self.tracks):
+            raise ValueError(
+                "no video track (handlers: "
+                + ", ".join(repr(t.handler) for t in self.tracks)
+                + ")"
+            )
         return self.tracks[0]
 
 
@@ -261,7 +273,8 @@ def _parse_mdia(data: bytes, start: int, end: int, trk: Mp4Track) -> None:
                 trk.timescale = _u(data, a + 4 + 8, 4)
                 trk.duration = _u(data, a + 4 + 12, 4)
         elif tag == b"hdlr":
-            trk.handler = data[a + 8 : a + 12].decode("latin1")
+            # strip NUL padding so an all-zero handler reads as unset
+            trk.handler = data[a + 8 : a + 12].decode("latin1").strip("\x00")
         elif tag == b"minf":
             for t2, a2, b2 in walk_boxes(data, a, b):
                 if t2 == b"stbl":
@@ -333,15 +346,31 @@ _SAMPLE_NON_SYNC = 0x010000
 
 
 def _parse_moof(data: bytes, moof_start: int, start: int, end: int, out: Mp4File) -> None:
+    # ISO/IEC 14496-12 §8.8.7: when a traf carries neither an explicit
+    # base-data-offset nor default-base-is-moof, the FIRST traf of the
+    # moof defaults to the moof start; SECOND AND SUBSEQUENT trafs
+    # default to the end of the data defined by the preceding traf —
+    # tracked here and threaded through (r13 ADVICE: defaulting every
+    # traf to moof_start mis-resolves multi-track fMP4 implicit offsets).
+    prev_data_end: int | None = None
     for tag, a, b in walk_boxes(data, start, end):
         if tag == b"traf":
-            _parse_traf(data, moof_start, a, b, out)
+            prev_data_end = _parse_traf(data, moof_start, a, b, out, prev_data_end)
 
 
-def _parse_traf(data: bytes, moof_start: int, start: int, end: int, out: Mp4File) -> None:
+def _parse_traf(
+    data: bytes,
+    moof_start: int,
+    start: int,
+    end: int,
+    out: Mp4File,
+    prev_data_end: int | None,
+) -> int:
     """Resolve one track fragment's runs into (offset, size, dts,
-    keyframe) rows appended to the owning track.  Defaults cascade
-    trun sample field → tfhd default → mvex/trex default, per spec."""
+    keyframe) rows appended to the owning track; returns the end
+    offset of this traf's sample data (the implicit base for the next
+    traf).  Defaults cascade trun sample field → tfhd default →
+    mvex/trex default, per spec."""
     track_id: int | None = None
     base_off: int | None = None
     tf_dur = tf_size = tf_flags_dflt = None
@@ -384,10 +413,12 @@ def _parse_traf(data: bytes, moof_start: int, start: int, end: int, out: Mp4File
     size_dflt = tf_size if tf_size is not None else trex_size
     flags_dflt = tf_flags_dflt if tf_flags_dflt is not None else trex_flags
     if base_off is None:
-        # spec default for the first traf of a moof: start of the moof
-        base_off = moof_start
+        # §8.8.7 implicit default: first traf → start of the moof;
+        # later trafs → end of the preceding traf's data
+        base_off = moof_start if prev_data_end is None else prev_data_end
     dts = base_dts if base_dts is not None else trk._next_frag_dts
     off = base_off
+    data_end = base_off
     for a, b in truns:
         fl = _u(data, a, 4) & 0xFFFFFF
         p = a + 4
@@ -423,8 +454,11 @@ def _parse_traf(data: bytes, moof_start: int, start: int, end: int, out: Mp4File
                 )
             trk.frag_samples.append((off, s, dts, not f & _SAMPLE_NON_SYNC))
             off += s
+            if off > data_end:
+                data_end = off
             dts += d
     trk._next_frag_dts = dts
+    return data_end
 
 
 # ---------------------------------------------------------------------------
@@ -576,7 +610,11 @@ def encode_fmp4(
         + _full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
         + _full(b"stco", 0, 0, struct.pack(">I", 0)),
     )
-    mehd = _full(b"mehd", 0, 0, struct.pack(">I", duration))
+    # mehd has the same 32-bit/64-bit version split as tfdt
+    if duration < 2**32:
+        mehd = _full(b"mehd", 0, 0, struct.pack(">I", duration))
+    else:
+        mehd = _full(b"mehd", 1, 0, struct.pack(">Q", duration))
     trex = _full(
         b"trex", 0, 0,
         struct.pack(">IIIII", 1, 1, sample_delta, 0, _FLAGS_NON_SYNC),
@@ -610,7 +648,15 @@ def encode_fmp4(
 
         mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", seq))
         tfhd = _full(b"tfhd", 0, _TFHD_DEFAULT_BASE_IS_MOOF, struct.pack(">I", 1))
-        tfdt = _full(b"tfdt", 0, 0, struct.pack(">I", base_dts))
+        # tfdt version 0 is 32-bit; long-running streams overflow it at
+        # 2^32 ticks (~49 days @ timescale 1000), so switch to the
+        # version-1 64-bit baseMediaDecodeTime the parser already
+        # supports (r13 ADVICE).  Version 0 is kept below the boundary
+        # so existing fixture bytes stay identical.
+        if base_dts < 2**32:
+            tfdt = _full(b"tfdt", 0, 0, struct.pack(">I", base_dts))
+        else:
+            tfdt = _full(b"tfdt", 1, 0, struct.pack(">Q", base_dts))
         # trun's data offset points past moof into the mdat payload;
         # the offset field is inside moof, so build once at 0 to learn
         # the size (size is offset-independent), then rebuild for real

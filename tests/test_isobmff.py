@@ -218,3 +218,120 @@ def test_audio_first_track_order():
     assert (v.width, v.height, v.track_id) == (48, 16, 1)
     st = v.sample_table()
     assert [extract_sample(bytes(out), o, s) for o, s, _, _ in st] == SAMPLES
+
+
+def test_audio_only_file_raises_not_misreports():
+    """An audio-only MP4 (every track 'soun') must raise from
+    video_track() — not fall back to reporting the audio track as
+    video metadata (r13 ADVICE).  Handler-LESS minimal files keep the
+    tracks[0] fallback."""
+    blob = encode_mp4(48, 16, SAMPLES[:2], keyframes=[0])
+    audio_only = blob.replace(b"vide", b"soun")  # only in the hdlr box
+    with pytest.raises(ValueError, match="no video track"):
+        parse_mp4(audio_only).video_track()
+    handlerless = blob.replace(b"vide", b"\x00\x00\x00\x00")
+    v = parse_mp4(handlerless).video_track()
+    assert (v.width, v.height) == (48, 16)
+    with pytest.raises(ValueError, match="no tracks"):
+        from mysql_cdc_spark.functions.isobmff import Mp4File
+        Mp4File().video_track()
+
+
+def test_multi_traf_implicit_base_offset():
+    """ISO/IEC 14496-12 §8.8.7: a traf with neither base-data-offset
+    nor default-base-is-moof defaults to the END of the preceding
+    traf's data — only the moof's FIRST traf defaults to moof start
+    (r13 ADVICE: the old code used moof_start for every traf).
+
+    Layout: ftyp + moov(2 traks + trex x2) + moof(traf1 explicit via
+    default-base-is-moof + trun data offset; traf2 fully implicit) +
+    mdat(track1 samples ++ track2 samples)."""
+    from mysql_cdc_spark.functions.isobmff import (
+        _FLAGS_SYNC,
+        _TFHD_DEFAULT_BASE_IS_MOOF,
+        _TRUN_DATA_OFFSET,
+        _TRUN_SAMPLE_FLAGS,
+        _TRUN_SAMPLE_SIZE,
+        _box,
+        _full,
+        _mvhd,
+        _stsd,
+    )
+    import struct as _s
+
+    s1 = [b"\x11" * 5, b"\x22" * 7]          # track 1 (video)
+    s2 = [b"\x33" * 4, b"\x44" * 6, b"\x55" * 3]  # track 2 (audio)
+
+    def trak(tid: int, handler: bytes) -> bytes:
+        tkhd = _full(
+            b"tkhd", 0, 7,
+            _s.pack(">IIIII", 0, 0, tid, 0, 0) + b"\x00" * 8
+            + _s.pack(">HHHH", 0, 0, 0, 0)
+            + _s.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + _s.pack(">II", 48 << 16, 16 << 16),
+        )
+        mdhd = _full(b"mdhd", 0, 0, _s.pack(">IIII", 0, 0, 1000, 0) + _s.pack(">HH", 0x55C4, 0))
+        hdlr = _full(b"hdlr", 0, 0, b"\x00" * 4 + handler + b"\x00" * 12 + b"t\x00")
+        stbl = _box(
+            b"stbl",
+            _stsd(48, 16)
+            + _full(b"stts", 0, 0, _s.pack(">I", 0))
+            + _full(b"stsc", 0, 0, _s.pack(">I", 0))
+            + _full(b"stsz", 0, 0, _s.pack(">II", 0, 0))
+            + _full(b"stco", 0, 0, _s.pack(">I", 0)),
+        )
+        return _box(b"trak", tkhd + _box(b"mdia", mdhd + hdlr + _box(b"minf", stbl)))
+
+    def trex(tid: int) -> bytes:
+        return _full(b"trex", 0, 0, _s.pack(">IIIII", tid, 1, 40, 0, _FLAGS_SYNC))
+
+    ftyp = _box(b"ftyp", b"iso5" + _s.pack(">I", 512) + b"iso5mp41")
+    moov = _box(b"moov", _mvhd(1000, 0) + trak(1, b"vide") + trak(2, b"soun")
+                + _box(b"mvex", trex(1) + trex(2)))
+
+    def trun(samples, flags):
+        body = _s.pack(">I", len(samples))
+        if flags & _TRUN_DATA_OFFSET:
+            body += _s.pack(">i", 0)  # patched after moof size is known
+        for smp in samples:
+            body += _s.pack(">II", len(smp), _FLAGS_SYNC)
+        return _full(b"trun", 0, flags, body)
+
+    tfhd1 = _full(b"tfhd", 0, _TFHD_DEFAULT_BASE_IS_MOOF, _s.pack(">I", 1))
+    tfdt = _full(b"tfdt", 0, 0, _s.pack(">I", 0))
+    trun1 = trun(s1, _TRUN_DATA_OFFSET | _TRUN_SAMPLE_SIZE | _TRUN_SAMPLE_FLAGS)
+    traf1 = _box(b"traf", tfhd1 + tfdt + trun1)
+    # traf2: NO base-data-offset, NO default-base-is-moof, trun
+    # WITHOUT a data offset — fully implicit addressing
+    tfhd2 = _full(b"tfhd", 0, 0, _s.pack(">I", 2))
+    traf2 = _box(b"traf", tfhd2 + tfdt + trun(s2, _TRUN_SAMPLE_SIZE | _TRUN_SAMPLE_FLAGS))
+    mfhd = _full(b"mfhd", 0, 0, _s.pack(">I", 1))
+    moof_len = len(_box(b"moof", mfhd + traf1 + traf2))
+    # patch trun1's data offset to point just past moof into mdat
+    traf1 = traf1.replace(_s.pack(">Ii", len(s1), 0),
+                          _s.pack(">Ii", len(s1), moof_len + 8), 1)
+    moof = _box(b"moof", mfhd + traf1 + traf2)
+    blob = ftyp + moov + moof + _box(b"mdat", b"".join(s1) + b"".join(s2))
+
+    f = parse_mp4(blob)
+    t1 = f.video_track()
+    assert t1.track_id == 1
+    got1 = [extract_sample(blob, o, s) for o, s, _, _ in t1.sample_table()]
+    assert got1 == s1
+    t2 = next(t for t in f.tracks if t.track_id == 2)
+    # the fix under test: traf2's implicit base = END of traf1's data
+    got2 = [extract_sample(blob, o, s) for o, s, _, _ in t2.sample_table()]
+    assert got2 == s2
+
+
+def test_tfdt_version1_past_32_bits():
+    """encode_fmp4 must not struct.error once cumulative dts crosses
+    2^32 (r13 ADVICE) — it emits a version-1 64-bit tfdt, which the
+    parser already understands."""
+    from mysql_cdc_spark.functions.isobmff import encode_fmp4
+
+    frags = [[b"\xaa" * 4], [b"\xbb" * 4], [b"\xcc" * 4]]
+    blob = encode_fmp4(16, 16, frags, keyframes=None, sample_delta=2**31)
+    st = parse_mp4(blob).tracks[0].sample_table()
+    assert [d for _, _, d, _ in st] == [0, 2**31, 2**32]
+    assert [extract_sample(blob, o, s) for o, s, _, _ in st] == [f[0] for f in frags]

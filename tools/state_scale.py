@@ -154,6 +154,20 @@ def run_once(spark, src: Path, provider: str | None, impl: str = "python") -> di
 
 def main() -> None:
     ks = [int(a) for a in sys.argv[1:] if a.isdigit()] or [10_000, 100_000, 500_000]
+    # Validate --provider= BEFORE spinning up Spark: a mistyped name
+    # must fail in milliseconds, not silently widen a multi-hour ramp
+    # to every provider (r13 ADVICE).
+    provider_args = [a for a in sys.argv if a.startswith("--provider=")]
+    providers = {
+        t: p for t, p in _PROVIDERS.items()
+        if f"--provider={t}" in provider_args
+    }
+    if provider_args and not providers:
+        raise SystemExit(
+            f"unknown --provider value(s) {provider_args}; "
+            f"known: {sorted(_PROVIDERS)}"
+        )
+    providers = providers or _PROVIDERS
     from mysql_cdc_spark.session import get_spark
 
     spark = get_spark("state-scale")
@@ -171,10 +185,6 @@ def main() -> None:
         impls = ("python", "jvm")
     else:
         impls = ("python",)
-    providers = {
-        t: p for t, p in _PROVIDERS.items()
-        if f"--provider={t}" in sys.argv
-    } or _PROVIDERS
     for k in ks:
         src = build_fixture(k)
         for impl in impls:
