@@ -117,88 +117,73 @@ def changes(spark: SparkSession, sf_dir: str, rebalance: bool = True) -> DataFra
     """
     from mysql_cdc_spark.sources.io import read_table
 
-    ev = (
-        read_table(spark, sf_dir, "events")
-        .select(
-            "event_id",
-            "ts",
-            F.when(F.col("user_id") % 2 == 0, F.lit("foo")).otherwise(F.lit("bench")).alias("db"),
-            F.when(F.col("user_id") % 2 == 0, F.lit("auto")).otherwise(F.lit("big")).alias("tbl"),
-            (F.col("event_id") % 97).cast("bigint").alias("row_id"),
-            F.when(F.col("event_type").isin("signup", "purchase"), F.lit(OP_WRITE_ROWS))
-            .when(F.col("event_type").isin("click", "view"), F.lit(OP_UPDATE_ROWS))
-            .otherwise(F.lit(OP_DELETE_ROWS))
-            .alias("row_op"),
-            F.col("value"),
-        )
-    )
-    qualified = F.concat(F.col("db"), F.lit("."), F.col("tbl"))
-    # Every 50th statement is DDL; the ADD/DROP alternation over a
-    # 3-column cycle gives the schema-evolution queries a real
-    # column-set timeline to fold (cdc_schema_evolution).
-    ddl_k = F.expr("cast(event_id div 50 as bigint)")
-    ddl_col = F.concat(F.lit("c"), (ddl_k % 3).cast("string"))
-    ddl_text = F.when(
-        ddl_k % 2 == 0,
-        F.concat(F.lit("ALTER TABLE "), qualified, F.lit(" ADD COLUMN "), ddl_col, F.lit(" INT")),
-    ).otherwise(F.concat(F.lit("ALTER TABLE "), qualified, F.lit(" DROP COLUMN "), ddl_col))
-    sql_text = (
-        F.when(F.col("event_id") % 50 == 0, ddl_text)
-        .when(
-            F.col("row_op") == OP_WRITE_ROWS,
-            F.concat(F.lit("INSERT INTO "), qualified, F.lit(" (id, value) VALUES (?, ?)")),
-        )
-        .when(
-            F.col("row_op") == OP_UPDATE_ROWS,
-            F.concat(F.lit("UPDATE "), qualified, F.lit(" SET value = ? WHERE id = ?")),
-        )
-        .otherwise(F.concat(F.lit("DELETE FROM "), qualified, F.lit(" WHERE id = ?")))
+    # The projection is expressed as selectExpr STRINGS, not stacked
+    # Column builders: every F.when/F.col/F.cast is a Py4J round-trip,
+    # and this builder runs once per query construction for EVERY cdc_*
+    # query.  The Column-builder form measured 0.42-0.51 s of pure
+    # plan-construction wall per call at r14 (~50% of the bench's
+    # "cdc_envelope" number, which the decode_rows_per_sec metric
+    # divides by); the string form hands Catalyst one parse unit and
+    # constructs in ~30 ms.  The logical plan and result schema are
+    # IDENTICAL (pinned by the oracle gate on every cdc_* query).
+    ev = read_table(spark, sf_dir, "events").selectExpr(
+        "event_id",
+        "ts",
+        "CASE WHEN user_id % 2 = 0 THEN 'foo' ELSE 'bench' END AS db",
+        "CASE WHEN user_id % 2 = 0 THEN 'auto' ELSE 'big' END AS tbl",
+        "CAST(event_id % 97 AS BIGINT) AS row_id",
+        "CASE WHEN event_type IN ('signup','purchase') THEN "
+        f"'{OP_WRITE_ROWS}' WHEN event_type IN ('click','view') THEN "
+        f"'{OP_UPDATE_ROWS}' ELSE '{OP_DELETE_ROWS}' END AS row_op",
+        "value",
     )
     if rebalance:
         ev = _rebalance_small_input(spark, ev, f"{sf_dir}/events.parquet")
 
-    is_write = F.col("row_op") == OP_WRITE_ROWS
-    is_delete = F.col("row_op") == OP_DELETE_ROWS
-    before_id = F.when(is_write, _NULL_ID()).otherwise(F.col("row_id"))
-    before_value = (
-        F.when(is_write, _NULL_VAL())
-        .when(is_delete, F.col("value"))
-        .otherwise(F.col("value") - 1.0)
+    # Every 50th statement is DDL; the ADD/DROP alternation over a
+    # 3-column cycle gives the schema-evolution queries a real
+    # column-set timeline to fold (cdc_schema_evolution).
+    ddl_text = (
+        "CASE WHEN (event_id div 50) % 2 = 0 THEN "
+        "CONCAT('ALTER TABLE ', db, '.', tbl, ' ADD COLUMN c', "
+        "CAST((event_id div 50) % 3 AS STRING), ' INT') "
+        "ELSE CONCAT('ALTER TABLE ', db, '.', tbl, ' DROP COLUMN c', "
+        "CAST((event_id div 50) % 3 AS STRING)) END"
     )
-    after_id = F.when(is_delete, _NULL_ID()).otherwise(F.col("row_id"))
-    after_value = F.when(is_delete, _NULL_VAL()).otherwise(F.col("value"))
-
-    seq = F.col("__seq")
-    is_row_seq = seq == 2
-    return (
-        ev.select(
-            "*",
-            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2), F.lit(3))).alias("__seq"),
-        )
-        .select(
-            (F.col("event_id") * 4 + seq).cast("bigint").alias("offset"),
-            # Integer `div`, matching the oracle's `//` exactly past 2^53
-            # (a double divide + truncate would not — advisor nit).
-            F.format_string(
-                "binlog.%06d", F.expr("cast(event_id div 250000 as int)")
-            ).alias("log_file"),
-            F.col("ts"),
-            F.lit(1).cast("bigint").alias("server_id"),
-            F.when(seq == 3, F.col("event_id")).cast("bigint").alias("xid"),
-            F.col("db"),
-            F.col("tbl"),
-            F.when(seq == 0, F.lit("query"))
-            .when(seq == 1, F.lit("table_map"))
-            .when(seq == 2, F.col("row_op"))
-            .otherwise(F.lit("xid"))
-            .cast("string")
-            .alias("op"),
-            F.when(is_row_seq, before_id).cast("bigint").alias("before_id"),
-            F.when(is_row_seq, before_value).cast("double").alias("before_value"),
-            F.when(is_row_seq, after_id).cast("bigint").alias("after_id"),
-            F.when(is_row_seq, after_value).cast("double").alias("after_value"),
-            F.when(seq == 0, sql_text).cast("string").alias("sql"),
-        )
+    sql_text = (
+        f"CASE WHEN event_id % 50 = 0 THEN {ddl_text} "
+        f"WHEN row_op = '{OP_WRITE_ROWS}' THEN "
+        "CONCAT('INSERT INTO ', db, '.', tbl, ' (id, value) VALUES (?, ?)') "
+        f"WHEN row_op = '{OP_UPDATE_ROWS}' THEN "
+        "CONCAT('UPDATE ', db, '.', tbl, ' SET value = ? WHERE id = ?') "
+        "ELSE CONCAT('DELETE FROM ', db, '.', tbl, ' WHERE id = ?') END"
+    )
+    before_id = f"CASE WHEN row_op = '{OP_WRITE_ROWS}' THEN NULL ELSE row_id END"
+    before_value = (
+        f"CASE WHEN row_op = '{OP_WRITE_ROWS}' THEN NULL "
+        f"WHEN row_op = '{OP_DELETE_ROWS}' THEN value ELSE value - 1.0 END"
+    )
+    after_id = f"CASE WHEN row_op = '{OP_DELETE_ROWS}' THEN NULL ELSE row_id END"
+    after_value = f"CASE WHEN row_op = '{OP_DELETE_ROWS}' THEN NULL ELSE value END"
+    return ev.selectExpr(
+        "*", "explode(array(0, 1, 2, 3)) AS __seq"
+    ).selectExpr(
+        "CAST(event_id * 4 + __seq AS BIGINT) AS offset",
+        # Integer `div`, matching the oracle's `//` exactly past 2^53
+        # (a double divide + truncate would not — advisor nit).
+        "format_string('binlog.%06d', CAST(event_id div 250000 AS INT)) AS log_file",
+        "ts",
+        "CAST(1 AS BIGINT) AS server_id",
+        "CAST(CASE WHEN __seq = 3 THEN event_id END AS BIGINT) AS xid",
+        "db",
+        "tbl",
+        "CAST(CASE WHEN __seq = 0 THEN 'query' WHEN __seq = 1 THEN 'table_map' "
+        "WHEN __seq = 2 THEN row_op ELSE 'xid' END AS STRING) AS op",
+        f"CAST(CASE WHEN __seq = 2 THEN {before_id} END AS BIGINT) AS before_id",
+        f"CAST(CASE WHEN __seq = 2 THEN {before_value} END AS DOUBLE) AS before_value",
+        f"CAST(CASE WHEN __seq = 2 THEN {after_id} END AS BIGINT) AS after_id",
+        f"CAST(CASE WHEN __seq = 2 THEN {after_value} END AS DOUBLE) AS after_value",
+        f"CAST(CASE WHEN __seq = 0 THEN {sql_text} END AS STRING) AS sql",
     )
 
 

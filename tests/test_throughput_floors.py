@@ -1,0 +1,115 @@
+"""Decode-throughput floors (r13 VERDICT #1).
+
+`decode_rows_per_sec` drifted 439,996 (r11) → 386,922 (r13) with no
+attribution.  r14 profiling found the envelope pipeline's EXECUTION was
+never the problem (~0.30 s isolated for 400k rows); the drift lived in
+driver-side DataFrame CONSTRUCTION — `changes()` built ~100 stacked
+Column objects (one Py4J round-trip each, 0.42-0.51 s measured) and
+`read_table` re-resolved the relation per call (~0.11 s) — which the
+bench's construct-per-pass timing counts.  Both were fixed (selectExpr
+string form; stat-keyed read memo).  These floors pin the three legs
+separately so the next regression is attributable on sight:
+
+- pure-Python codec rows/s (single-threaded, very stable),
+- envelope plan-construction wall (the r12-r13 leak),
+- end-to-end envelope rows/s, constructed per pass like the bench.
+
+Floors are ~2x under the r14 measured values (codec 160k/s, construct
+0.10-0.15 s, envelope >=1.1M rows/s at sf0.001*explode on local[32]):
+generous enough for machine noise, tight enough that the r13 form
+(construct ~0.5 s, envelope ~590k rows/s at sf0.1) fails them.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def test_codec_decode_throughput_floor():
+    """Pure byte-codec hot loop (no Spark): the same fixture shape the
+    bench's codec_rows_per_sec uses — 30k rows of (LONG, NEWDECIMAL,
+    VARCHAR) across write/update events with table maps and xids."""
+    from mysql_cdc_spark.sources.binlog_codec import (
+        TYPE_LONG, TYPE_NEWDECIMAL, TYPE_VARCHAR, UPDATE_ROWS_EVENT,
+        WRITE_ROWS_EVENT, BinlogWriter, TableDef, decode_binlog,
+    )
+
+    t = TableDef(
+        "foo", "auto",
+        [(TYPE_LONG, None), (TYPE_NEWDECIMAL, (12, 4)), (TYPE_VARCHAR, 50)],
+    )
+    cat = {("foo", "auto"): ["id", "val", "word"]}
+    w = BinlogWriter()
+    n_rows = 0
+    for batch in range(200):
+        w.write_table_map(t, ts=batch)
+        rows = [[batch * 100 + i, f"{i}.5000", f"word{i}"] for i in range(100)]
+        w.write_rows(WRITE_ROWS_EVENT, t, rows, ts=batch)
+        w.write_rows(
+            UPDATE_ROWS_EVENT, t,
+            [(r, [r[0], f"{i}.7500", f"w{i}"]) for i, r in enumerate(rows[:50])],
+            ts=batch,
+        )
+        n_rows += 150
+    fixture = w.getvalue()
+    decode_binlog(fixture, cat)  # warm (parse memos, bytecode)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        decode_binlog(fixture, cat)
+        best = min(best, time.perf_counter() - t0)
+    rows_per_sec = n_rows / best
+    assert rows_per_sec >= 80_000, f"codec decode {rows_per_sec:,.0f} rows/s < 80k floor"
+
+
+@pytest.fixture(scope="module")
+def _warm_envelope(spark):
+    from mysql_cdc_spark.queries import QUERIES
+
+    df = QUERIES["cdc_envelope"](spark, SF_SMOKE)
+    df.write.format("noop").mode("overwrite").save()
+    return df
+
+
+def test_envelope_construction_cost_floor(spark, _warm_envelope):
+    """Constructing the cdc_envelope plan must stay cheap: the r12-r13
+    Column-builder form measured 0.42-0.51 s per construction (a chain
+    of Py4J round-trips), which the bench counts against decode
+    throughput.  The selectExpr form measures 0.10-0.15 s."""
+    from mysql_cdc_spark.queries import QUERIES
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        QUERIES["cdc_envelope"](spark, SF_SMOKE)
+        best = min(best, time.perf_counter() - t0)
+    assert best <= 0.35, f"envelope plan construction {best:.3f}s > 0.35s floor"
+
+
+def test_envelope_decode_throughput_floor(spark):
+    """End-to-end envelope decode (scan -> explode -> project -> noop),
+    constructed per pass exactly like bench.py times it.  At sf0.1
+    (400k envelope rows) the r14 form measures ~0.30-0.38 s/pass =
+    ~1.1-1.3M rows/s; the r13 form's ~0.5 s of extra per-pass
+    construction put it at ~470k.  Floor 600k: the old form fails, the
+    new has ~2x margin.  (Smaller SFs are useless here — at sf0.01 the
+    envelope is 40k rows and the wall is pure fixed overhead.)"""
+    from mysql_cdc_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.1"
+    df = QUERIES["cdc_envelope"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()  # warm
+    n_rows = df.count()
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        QUERIES["cdc_envelope"](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        best = min(best, time.perf_counter() - t0)
+    rows_per_sec = n_rows / best
+    assert rows_per_sec >= 600_000, f"envelope {rows_per_sec:,.0f} rows/s < 600k floor"
