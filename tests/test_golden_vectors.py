@@ -1,0 +1,228 @@
+"""Spec-derived GOLDEN BYTE VECTORS for the binlog decoder (r13 VERDICT
+#2: break the BinlogWriter->decode_binlog co-evolution).
+
+Every byte below is a HEX LITERAL assembled field-by-field from the
+public binary-log layout (MySQL Internals Manual "Binary log file
+format"; libbinlogevents class docs; strings/decimal.c packed-decimal
+layout — the same public sources the reference decodes from,
+mysql_binlog.clj:290-328, 500-523, 611-682; Decimal.java:127-262).  No
+code in mysql_cdc_spark/ produced or can regenerate them, and the
+expected decoded values are written out literally next to each vector —
+these tests exercise ONLY the decoder.  A mismatch here is a decoder
+bug, not a fixture bug.
+
+Layout of every v4 event header (19 bytes, all little-endian):
+    timestamp u32 | type u8 | server_id u32 | event_len u32
+    | next_log_pos u32 | flags u16
+
+FILE A — a 5.1-era log (binlog_checksum did not exist before 5.6.1:
+no FDE algorithm byte, no CRC32 trailers), v1 rows events:
+
+  offset   4 FORMAT_DESCRIPTION: binlog_version=4,
+             server_version="5.1.73-log", create_ts, header_len=19,
+             27-entry post-header-length array (types 1..27)
+  offset 107 QUERY: thread_id=9, exec_time=0, db_len=4, error_code=0,
+             status_vars_len=0, db="shop", sql="BEGIN"
+  offset 149 TABLE_MAP: table_id=23, flags=1, shop.orders, 4 columns
+             [LONG(3), VARCHAR(15) max_len=40 (meta 28 00),
+              NEWDECIMAL(246) precision=10 scale=2 (meta 0a 02),
+              STRING/CHAR(254) pack_length=6 (meta fe 06)],
+             metadata block len 6, null bitmap 02 (VARCHAR nullable)
+  offset 203 WRITE_ROWS v1 (23): cols-present 0f, two rows:
+             (1001, "alice", 12345.67, "EUR") — decimal 12345.67 at
+             (10,2) packs to 80 00 30 39 43 (int part 12345 in a
+             4-byte big-endian group, frac 67 in 1 byte, MSB set =
+             non-negative); (1002, NULL, -0.50, "USD") — null bitmap
+             02 marks column 1 SQL NULL, -0.50 packs to
+             7f ff ff ff cd (bitwise NOT of 80 00 00 00 32)
+  offset 266 UPDATE_ROWS v1 (24): before (1001, "alice", 12345.67,
+             "EUR") -> after (1001, "alicia", 99999999.99, "EUR");
+             99999999.99 packs to 85 f5 e0 ff 63
+  offset 337 DELETE_ROWS v1 (25): before (1002, NULL, -0.50, "USD")
+  offset 380 XID: 77
+  offset 407 ROTATE: position=4, next log "binlog.000002"
+  end 447
+
+FILE B — an 8.0-era log (binlog_checksum=CRC32: FDE carries the
+algorithm byte at body[-5] and every event a CRC32-of-header+body
+trailer), v2 rows events, GTID, optional table-map metadata:
+
+  offset   4 FORMAT_DESCRIPTION: "8.0.36", 41-entry array, alg=1
+  offset 126 GTID (33): flags=1,
+             sid=3e11fa47-71ca-11e1-9e33-c80aa9429562 (the manual's
+             example server UUID), gno=5, then the 5.7+ logical-
+             timestamp tail (lt_type=2, last_committed=0, seq=1)
+  offset 191 QUERY: thread_id=21, status_vars_len=5 carrying a
+             Q_FLAGS2 block (type 00 + u32) the decoder must skip
+  offset 242 TABLE_MAP: table_id=99, same shop.orders shape, plus the
+             8.0.1+ optional-metadata TLV block: SIGNEDNESS (type 01,
+             len 01, bits 80 = first numeric column UNSIGNED)
+  offset 303 WRITE_ROWS v2 (30): extra-row-info length u16 = 2 (just
+             itself), row (4294967295, "bob", 0.01, "JPY") — the
+             UNSIGNED LONG ff ff ff ff must decode 4294967295, not -1
+  offset 356 UPDATE_ROWS v2 (31): -> (4294967295, NULL, -99999999.99,
+             "JPY"); -99999999.99 packs to 7a 0a 1f 00 9c (bitwise
+             NOT of 85 f5 e0 ff 63)
+  offset 424 DELETE_ROWS v2 (32): before = the updated row
+  offset 473 XID: 1234567890123456789
+  offset 504 ROTATE: "binlog.000009"
+  end 548
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mysql_cdc_spark.sources.binlog_codec import (
+    decode_binlog,
+    decode_binlog_incremental,
+)
+
+CATALOG = {("shop", "orders"): ["id", "name", "amount", "cur"]}
+
+FILE_A = bytes.fromhex(
+    "fe62696e00105e5f0f01000000670000006b00000000000400352e312e37332d6c"
+    "6f67000000000000000000000000000000000000000000000000000000000000000"
+    "0000000000000000000105e5f13380d000800120004040404120000540004"
+    "1a08000000080808020001105e5f02010000002a000000950000000000090000000"
+    "0000000040000000073686f7000424547494e02105e5f130100000036000000cb00"
+    "0000000017000000000001000473686f7000066f72646572730004030ff6fe06280"
+    "00a02fe060203105e5f17010000003f0000000a0100000000170000000000010004"
+    "0f00e903000005616c69636580003039430345555202ea0300007fffffffcd03555"
+    "34404105e5f1801000000470000005101000000001700000000000100040f0f00e9"
+    "03000005616c69636580003039430345555200e903000006616c6963696185f5e0f"
+    "f630345555205105e5f19010000002b0000007c01000000001700000000000100040"
+    "f02ea0300007fffffffcd0355534406105e5f10010000001b000000970100000000"
+    "4d0000000000000007105e5f040100000028000000bf01000000000400000000000"
+    "00062696e6c6f672e303030303032"
+)
+
+FILE_B = bytes.fromhex(
+    "fe62696e00f153650f010000007a0000007e00000000000400382e302e333600000"
+    "0000000000000000000000000000000000000000000000000000000000000000000"
+    "000000000000000000f15365130102030405060708090a0b0c0d0e0f10111213141"
+    "5161718191a1b1c1d1e1f202122232425262728290124a6144501f1536521010000"
+    "0041000000bf0000000000013e11fa4771ca11e19e33c80aa942956205000000000"
+    "0000002000000000000000001000000000000004dca1a3d01f15365020100000033"
+    "000000f2000000000015000000000000000400000500000000000073686f7000424"
+    "547494e31b5e19c02f1536513010000003d0000002f0100000000630000000000010"
+    "00473686f7000066f72646572730004030ff6fe0628000a02fe06020101802d318f"
+    "e603f153651e0100000035000000640100000000630000000000010002000"
+    "40f00ffffffff03626f628000000001034a5059ea78d77c04f153651f0100000044"
+    "000000a80100000000630000000000010002000"
+    "40f0f00ffffffff03626f628000000001034a505902ffffffff7a0a1f009c034a50"
+    "59f560556e05f15365200100000031000000d90100000000630000000000010002000"
+    "40f02ffffffff7a0a1f009c034a5059de8492f106f1536510010000001f000000f8"
+    "01000000001581e97df4102211fa6d1eaf07f1536504010000002c0000002402000"
+    "00000040000000000000062696e6c6f672e303030303039bc533ef8"
+)
+
+
+def test_file_a_51_era_decodes_to_written_down_rows():
+    evs = decode_binlog(FILE_A, CATALOG)
+    assert [e["op"] for e in evs] == [
+        "format_description", "query", "table_map", "write_rows",
+        "update_rows", "delete_rows", "xid", "rotate",
+    ]
+    assert [e["offset"] for e in evs] == [4, 107, 149, 203, 266, 337, 380, 407]
+    fde = evs[0]
+    assert fde["binlog_version"] == 4
+    assert fde["server_version"] == "5.1.73-log"
+    assert fde["header_length"] == 19
+    assert fde["checksum_alg"] is None          # pre-5.6.1: no checksums
+    q = evs[1]
+    assert (q["thread_id"], q["exec_time"], q["error_code"]) == (9, 0, 0)
+    assert (q["db"], q["sql"]) == ("shop", "BEGIN")
+    tm = evs[2]
+    assert (tm["db"], tm["tbl"]) == ("shop", "orders")
+    w = evs[3]
+    assert w["before"] is None
+    assert w["after"] == [
+        {"id": 1001, "name": "alice", "amount": "12345.67", "cur": "EUR"},
+        {"id": 1002, "name": None, "amount": "-0.50", "cur": "USD"},
+    ]
+    u = evs[4]
+    assert u["before"] == [
+        {"id": 1001, "name": "alice", "amount": "12345.67", "cur": "EUR"}
+    ]
+    assert u["after"] == [
+        {"id": 1001, "name": "alicia", "amount": "99999999.99", "cur": "EUR"}
+    ]
+    d = evs[5]
+    assert d["after"] is None
+    assert d["before"] == [
+        {"id": 1002, "name": None, "amount": "-0.50", "cur": "USD"}
+    ]
+    assert evs[6]["xid"] == 77
+    assert evs[7]["sql"] == "binlog.000002"
+
+
+def test_file_b_80_era_crc32_v2_gtid_unsigned():
+    evs = decode_binlog(FILE_B, CATALOG)
+    assert [e["op"] for e in evs] == [
+        "format_description", "gtid", "query", "table_map", "write_rows",
+        "update_rows", "delete_rows", "xid", "rotate",
+    ]
+    assert [e["offset"] for e in evs] == [4, 126, 191, 242, 303, 356, 424, 473, 504]
+    fde = evs[0]
+    assert fde["server_version"] == "8.0.36"
+    assert fde["checksum_alg"] == "crc32"
+    assert evs[1]["gtid"] == "3e11fa47-71ca-11e1-9e33-c80aa9429562:5"
+    q = evs[2]
+    assert q["thread_id"] == 21
+    assert (q["db"], q["sql"]) == ("shop", "BEGIN")   # status vars skipped
+    w = evs[4]
+    assert w["after"] == [
+        # ff ff ff ff under the SIGNEDNESS TLV: unsigned, not -1
+        {"id": 4294967295, "name": "bob", "amount": "0.01", "cur": "JPY"},
+    ]
+    u = evs[5]
+    assert u["before"] == [
+        {"id": 4294967295, "name": "bob", "amount": "0.01", "cur": "JPY"}
+    ]
+    assert u["after"] == [
+        {"id": 4294967295, "name": None, "amount": "-99999999.99", "cur": "JPY"}
+    ]
+    assert evs[6]["before"] == [
+        {"id": 4294967295, "name": None, "amount": "-99999999.99", "cur": "JPY"}
+    ]
+    assert evs[7]["xid"] == 1234567890123456789
+    assert evs[8]["sql"] == "binlog.000009"
+
+
+def test_file_b_crc_flip_detected():
+    """Any single flipped payload bit must fail the CRC32 check with a
+    diagnosable error, never decode silently."""
+    bad = bytearray(FILE_B)
+    bad[310] ^= 0x40          # inside the WRITE_ROWS v2 body
+    with pytest.raises(ValueError, match="CRC32 mismatch"):
+        decode_binlog(bytes(bad), CATALOG)
+
+
+def test_file_a_incremental_resume_mid_log():
+    """Offset chaining on golden bytes: decoding from offset 203 with
+    the table map carried forward must yield exactly the row events
+    (the reference's cdc-turn resume, mysql_binlog.clj:907-919)."""
+    head = decode_binlog_incremental(FILE_A[:203], 4)
+    evs1, next_off, tmap = head
+    assert [e["op"] for e in evs1] == ["format_description", "query", "table_map"]
+    assert next_off == 203
+    evs2, end, _ = decode_binlog_incremental(
+        FILE_A[203:], 203, tmap, CATALOG, base=203
+    )
+    assert [e["op"] for e in evs2] == [
+        "write_rows", "update_rows", "delete_rows", "xid", "rotate",
+    ]
+    assert end == 447
+    # without the carried map the row events are undecodable, as in the
+    # reference (:727-729)
+    with pytest.raises(ValueError):
+        decode_binlog_incremental(FILE_A[203:], 203, None, CATALOG, base=203)
+
+
+def test_file_a_torn_tail_held_back():
+    """Truncating mid-event must hold the torn event back, not raise
+    and not emit a partial decode (reference :316, :326-328)."""
+    evs, next_off, _ = decode_binlog_incremental(FILE_A[:250], 4)
+    assert [e["op"] for e in evs] == ["format_description", "query", "table_map"]
+    assert next_off == 203
