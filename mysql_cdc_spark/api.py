@@ -98,6 +98,9 @@ class CDCStatement:
         cursor = rt.QueueStreamingCursor().attach(
             out, cp_dir, trigger_seconds=trigger_seconds
         )
+        # Result schema for metadata consumers (the PEP 249 shim's
+        # description field): the queue cursor itself only sees Rows.
+        cursor.schema = out.schema
         query_handle = cursor.query
         # A queue-sink continuous query has no durable output to
         # protect: remove its per-call checkpoint when it stops so
