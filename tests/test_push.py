@@ -533,3 +533,113 @@ def test_journal_restart_at_random_boundaries_no_loss_no_dup(tmp_path):
         drain(delivery.cursor(), got)
         delivery.stop()
         assert got == expected, f"seed {seed}"
+
+
+def test_push_journal_sigkill_mid_batch_replays_exact_suffix(tmp_path):
+    """r13 VERDICT #6: pin the at-least-once contract under a REAL
+    crash — SIGKILL the consumer PROCESS mid-batch (no cleanup code
+    runs), restart from the journal, and assert exactly the unconsumed
+    suffix plus the partially-consumed batch replays; dedup by
+    (log_file, offset) yields exactly-once.
+
+    Timeline (parent paces appends so batch boundaries are known):
+      txn0 -> batch0 (4 records) consumed fully -> journaled
+      txn1 -> batch1 (4 records) consumed fully -> journaled
+      txn2+txn3 -> batch(es); child consumes 2 records (10 total) and
+      stops mid-batch -> that batch is NEVER journaled
+      SIGKILL -9; restart replays txn2+txn3 (8 records): the 2-record
+      overlap is exactly the partially-consumed batch prefix.
+    """
+    import json
+    import signal
+    import subprocess
+    import sys
+
+    consumed = tmp_path / "consumed.jsonl"
+    done = tmp_path / "consumed.jsonl.done"
+    journal = str(tmp_path / "push.journal")
+    log = _GrowingLog(str(tmp_path / "binlog.000001"))
+    log.append_txn(0)
+
+    child_src = f"""
+import json, os, sys, time
+sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))})
+from mysql_cdc_spark.streaming.push import PushDelivery
+CAT = {{("foo", "auto"): ["id", "val", "word"]}}
+d = PushDelivery({repr(str(tmp_path))}, "binlog.000001", CAT,
+                 journal_path={repr(journal)}).start()
+cur = d.cursor()
+fh = open({repr(str(consumed))}, "a")
+n = 0
+while n < 10:
+    if cur.next(timeout=0.5):
+        e = cur.current
+        fh.write(json.dumps([e["log_file"], e["offset"], e["op"]]) + chr(10))
+        fh.flush(); os.fsync(fh.fileno())
+        n += 1
+open({repr(str(done))}, "w").write("done")
+while True:            # spin until SIGKILLed: no graceful shutdown runs
+    time.sleep(1)
+"""
+    child_py = tmp_path / "consumer_child.py"
+    child_py.write_text(child_src)
+    proc = subprocess.Popen([sys.executable, str(child_py)])
+
+    def _lines() -> list:
+        if not consumed.exists():
+            return []
+        return [json.loads(x) for x in consumed.read_text().splitlines()]
+
+    def _wait_lines(k: int) -> None:
+        deadline = time.monotonic() + 30
+        while len(_lines()) < k and time.monotonic() < deadline:
+            assert proc.poll() is None, "consumer child died early"
+            time.sleep(0.05)
+        assert len(_lines()) >= k
+
+    try:
+        _wait_lines(4)            # batch0 fully consumed -> journaled
+        log.append_txn(1)
+        _wait_lines(8)            # batch1 fully consumed -> journaled
+        log.append_txn(2)
+        log.append_txn(3)
+        deadline = time.monotonic() + 30
+        while not done.exists() and time.monotonic() < deadline:
+            assert proc.poll() is None, "consumer child died early"
+            time.sleep(0.05)
+        assert done.exists()      # child consumed exactly 10 and parked
+    finally:
+        proc.send_signal(signal.SIGKILL)
+        proc.wait(timeout=10)
+
+    consumed1 = [(log_f, off) for log_f, off, _op in _lines()]
+    assert len(consumed1) == 10
+
+    # restart from the journal in THIS process and drain the replay
+    d2 = PushDelivery(str(tmp_path), "binlog.000001", _CAT,
+                      journal_path=journal).start()
+    try:
+        cur2 = d2.cursor()
+        replayed = []
+        while cur2.next(timeout=1.0):
+            replayed.append((cur2.current["log_file"], cur2.current["offset"]))
+    finally:
+        d2.stop()
+
+    # txn2+txn3 were never journaled as consumed: exactly their 8
+    # records replay — nothing before them (no duplication of the
+    # journaled batches), nothing lost after them
+    assert len(replayed) == 8
+    overlap = set(consumed1) & set(replayed)
+    assert overlap == set(consumed1[-2:]), (
+        "the at-least-once window must be exactly the partially-"
+        "consumed batch prefix"
+    )
+    # dedup by (log_file, offset) => exactly-once over the whole stream
+    union = set(consumed1) | set(replayed)
+    assert len(union) == 16       # 4 txns x 4 envelope records
+    from collections import Counter
+
+    counts = Counter(consumed1 + replayed)
+    assert all(c <= 2 for c in counts.values())
+    assert sorted(k for k, c in counts.items() if c == 2) == sorted(overlap)
