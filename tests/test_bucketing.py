@@ -57,3 +57,42 @@ def test_unbucketed_join_needs_exchange(spark, tables):
         assert "Exchange" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+@pytest.fixture()
+def state_sink(spark, sf_dir):
+    from mysql_cdc_spark.operators.aggregates import write_state_sink_bucketed
+
+    suffix = uuid.uuid4().hex[:8]
+    sink_t = f"envelope_sink_{suffix}"
+    rows_dt = rows_delta_type(changes(spark, sf_dir))
+    write_state_sink_bucketed(rows_dt, sink_t, n_buckets=4)
+    yield sink_t, rows_dt
+    spark.sql(f"DROP TABLE IF EXISTS {sink_t}")
+
+
+def test_latest_state_replay_from_bucketed_sink_no_exchange(spark, state_sink):
+    """r13 VERDICT #7: latest_state over the bucketed envelope sink
+    must be a pure scan + aggregate — NO Exchange anywhere in the
+    executed plan — and row-identical to the replay over the raw
+    stream."""
+    from mysql_cdc_spark.operators.aggregates import latest_state_replay
+
+    sink_t, rows_dt = state_sink
+    replay = latest_state_replay(spark, sink_t)
+    plan = replay._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"bucketed replay still shuffles:\n{plan}"
+
+    expect = {
+        tuple(r) for r in latest_state(rows_dt).collect()
+    }
+    got = {tuple(r) for r in replay.collect()}
+    assert got == expect and got
+
+
+def test_latest_state_unbucketed_replay_has_exchange(spark, state_sink):
+    """Control: the same aggregation over the raw stream shuffles —
+    the bucket layout is what removed it."""
+    _, rows_dt = state_sink
+    plan = latest_state(rows_dt)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan
