@@ -167,26 +167,57 @@ def lsh_buckets(emb: DataFrame) -> DataFrame:
     ).select("vec_id", "qv", "nq", "bb.band", "bb.bucket")
 
 
+def _probe_buckets(bucket_col: str = "bucket") -> F.Column:
+    """MULTI-PROBE bucket set for a query: its own bucket plus every
+    Hamming-1 variant (each of the band's sign bits flipped once).
+
+    Sign-LSH's systematic miss is a true neighbor whose projection on
+    one hyperplane is near zero: noise flips that ONE bit and the
+    neighbor lands in an adjacent bucket in every band (measured r14,
+    tools/ann_recall.py: single-probe recall@5 on a noisy-copies
+    corpus was 0.784 mean / 0.2 min — a genuine cliff the hash-parity
+    oracle cannot see).  Probing the 4 Hamming-1 buckets recovers
+    exactly those misses.  Cost is bounded and QUERY-side only: the
+    broadcast query set fans out ×(1+PLANES_PER_BAND); the corpus side
+    (the 100 TB side) is untouched."""
+    variants = [F.col(bucket_col)]
+    for i in range(PLANES_PER_BAND):
+        variants.append(
+            F.expr(
+                f"concat(substring({bucket_col}, 1, {i}), "
+                f"case when substring({bucket_col}, {i + 1}, 1) = '1' "
+                f"then '0' else '1' end, "
+                f"substring({bucket_col}, {i + 2}, {PLANES_PER_BAND - i - 1}))"
+            )
+        )
+    return F.array(*variants)
+
+
 def ann_lsh(
     emb: DataFrame,
     n_queries: int = DEFAULT_N_QUERIES,
     k: int = DEFAULT_K,
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors sharing at least
-    one LSH band bucket with the query (equi-join on (band, bucket)),
-    exact cosine re-rank within candidates.
+    one LSH band bucket with any of the query's MULTI-PROBE buckets
+    (own + Hamming-1 variants, `_probe_buckets`), exact cosine re-rank
+    within candidates.
 
     Recall is the standard sign-LSH trade-off (more planes/bands →
-    better); determinism is total — the oracle replicates the same
-    buckets, so results are exactly reproducible.
+    better; multi-probe recovers the near-zero-projection misses);
+    determinism is total — the oracle replicates the same buckets and
+    probes, so results are exactly reproducible.
     """
     buckets = lsh_buckets(emb)
-    queries = buckets.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("qv").alias("q_qv"),
-        F.col("nq").alias("q_nq"),
-        "band",
-        "bucket",
+    queries = (
+        buckets.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qv").alias("q_qv"),
+            F.col("nq").alias("q_nq"),
+            "band",
+            F.explode(_probe_buckets("bucket")).alias("bucket"),
+        )
     )
     corpus = buckets.select(
         F.col("vec_id").alias("neighbor_id"),

@@ -433,11 +433,32 @@ def llm_knn(spark, sf_dir):
     return similarity.knn(_emb(spark, sf_dir))
 
 
+# Multi-probe bucket variants (r14): the query probes its own bucket
+# plus every Hamming-1 variant — the IDENTICAL construction the engine
+# runs (similarity._probe_buckets); substring semantics (1-based,
+# clamped) agree between Spark SQL and DuckDB.
+def _probe_union_sql() -> str:
+    n = similarity.PLANES_PER_BAND
+    variants = ["bucket"]
+    for i in range(n):
+        variants.append(
+            f"substring(bucket, 1, {i}) || "
+            f"(CASE WHEN substring(bucket, {i + 1}, 1) = '1' THEN '0' ELSE '1' END) || "
+            f"substring(bucket, {i + 2}, {n - i - 1})"
+        )
+    return " UNION ALL ".join(
+        f"SELECT vec_id, band, {v} AS bucket FROM bkt "
+        f"WHERE vec_id < {similarity.DEFAULT_N_QUERIES}"
+        for v in variants
+    )
+
+
 @register(
     "llm_ann_lsh",
-    _BKT_CTE + ", cand AS (SELECT DISTINCT qq.vec_id AS query_id, c.vec_id AS neighbor_id "
-    "FROM bkt qq JOIN bkt c ON qq.band = c.band AND qq.bucket = c.bucket "
-    f"AND qq.vec_id < {similarity.DEFAULT_N_QUERIES} AND c.vec_id != qq.vec_id), "
+    _BKT_CTE + f", probes AS ({_probe_union_sql()})"
+    ", cand AS (SELECT DISTINCT qq.vec_id AS query_id, c.vec_id AS neighbor_id "
+    "FROM probes qq JOIN bkt c ON qq.band = c.band AND qq.bucket = c.bucket "
+    "AND c.vec_id != qq.vec_id), "
     "scored AS (SELECT cand.query_id, cand.neighbor_id, "
     + _SQL_COS.format(a="a", b="b") + " AS cosine "
     "FROM cand JOIN n a ON a.vec_id = cand.query_id JOIN n b ON b.vec_id = cand.neighbor_id) "
@@ -447,8 +468,9 @@ def llm_knn(spark, sf_dir):
     f") WHERE rank <= {similarity.DEFAULT_K}",
 )
 def llm_ann_lsh(spark, sf_dir):
-    """Approximate top-k via sign-random-projection LSH buckets +
-    exact re-rank (bucketed equi-join, never all-pairs)."""
+    """Approximate top-k via sign-random-projection LSH buckets
+    (MULTI-PROBE: own + Hamming-1 buckets per query) + exact re-rank
+    (bucketed equi-join, never all-pairs)."""
     return similarity.ann_lsh(_emb(spark, sf_dir))
 
 
