@@ -1942,9 +1942,11 @@ def llm_minhash_recall(spark, sf_dir):
     "  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
     "  ORDER BY cosine DESC, neighbor_id) AS rank FROM exact_pairs"
     f") WHERE rank <= {similarity.DEFAULT_K}), "
+    # multi-probe candidates, identical to llm_ann_lsh's construction
+    f"probes AS ({_probe_union_sql()}), "
     "cand AS (SELECT DISTINCT qq.vec_id AS query_id, c.vec_id AS neighbor_id "
-    "FROM bkt qq JOIN bkt c ON qq.band = c.band AND qq.bucket = c.bucket "
-    f"AND qq.vec_id < {similarity.DEFAULT_N_QUERIES} AND c.vec_id != qq.vec_id), "
+    "FROM probes qq JOIN bkt c ON qq.band = c.band AND qq.bucket = c.bucket "
+    "AND c.vec_id != qq.vec_id), "
     "ann_scored AS (SELECT cand.query_id, cand.neighbor_id, "
     + _SQL_COS.format(a="a", b="b") + " AS cosine "
     "FROM cand JOIN n a ON a.vec_id = cand.query_id JOIN n b ON b.vec_id = cand.neighbor_id), "
