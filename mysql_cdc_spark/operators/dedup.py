@@ -34,7 +34,7 @@ HAMMING_THRESHOLD = 6
 
 def normalized(docs: DataFrame) -> DataFrame:
     """Canonical normalization shared by every dedup operator."""
-    return docs.withColumn("norm_text", F.lower(F.trim(F.col("text"))))
+    return docs.selectExpr("*", "lower(trim(text)) AS norm_text")
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -83,15 +83,14 @@ def spread_small_scan(docs: DataFrame) -> DataFrame:
 
 def with_shingles(docs: DataFrame, n: int = SHINGLE_WORDS) -> DataFrame:
     """Append the distinct word-n-gram shingle set (array column)."""
-    toks = normalized(docs).withColumn("tokens", F.split(F.col("norm_text"), r"\s+"))
-    return toks.withColumn(
-        "shingles",
-        F.expr(
-            f"array_distinct(case when size(tokens) >= {n} then "
-            f"transform(sequence(1, size(tokens) - {n - 1}), "
-            f"i -> concat_ws(' ', slice(tokens, i, {n}))) "
-            f"else array() end)"
-        ),
+    return normalized(docs).selectExpr(
+        "*", r"split(norm_text, '\\s+') AS tokens"
+    ).selectExpr(
+        "*",
+        f"array_distinct(case when size(tokens) >= {n} then "
+        f"transform(sequence(1, size(tokens) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(tokens, i, {n}))) "
+        f"else array() end) AS shingles",
     )
 
 
@@ -102,22 +101,23 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     independent projections is the standard one-hash minhash trick —
     8× less hashing than k separate salted md5s; the (rare) 16-bit
     min ties only ever ADD band candidates, which the exact verify
-    step filters.  Pure array expressions — shuffle-free."""
+    step filters.  Pure array expressions — shuffle-free.  (String
+    selectExpr form, r14: one Catalyst parse unit instead of a Py4J
+    round-trip per builder call — construction cost is on the bench's
+    per-pass clock.)"""
     if k > 8:
         raise ValueError("md5 slicing supports at most 8 16-bit sub-hashes")
-    sh = with_shingles(docs).withColumn(
-        "hashes", F.expr("transform(shingles, x -> md5(x))")
+    sh = with_shingles(docs).selectExpr(
+        "*", "transform(shingles, x -> md5(x)) AS hashes"
     )
     cols = [
-        F.expr(
-            f"array_min(transform(hashes, h -> substring(h, {4 * s + 1}, 4)))"
-        ).alias(f"mh{s}")
+        f"array_min(transform(hashes, h -> substring(h, {4 * s + 1}, 4))) AS mh{s}"
         for s in range(k)
     ]
-    return sh.select("doc_id", "shingles", *cols)
+    return sh.selectExpr("doc_id", "shingles", *cols)
 
 
-def _shingle_projection(plane: int) -> F.Column:
+def _shingle_projection_sql(plane: int) -> str:
     """Centered-hash sum projection of the shingle SET onto order-plane
     `plane`: Σ over shingles of (first-32-bits-of md5('ord{plane}|' ||
     shingle) − 2³¹).  Engine-neutral (md5 + hex), mirrored by
@@ -126,16 +126,31 @@ def _shingle_projection(plane: int) -> F.Column:
     √|AΔB| · 2³¹/√3 — a similarity-preserving 1-D embedding used only
     as a within-bucket SORT key (never thresholded), so hash collisions
     cannot affect results."""
-    return F.expr(
+    return (
         f"aggregate(shingles, 0L, (acc, x) -> acc + "
         f"(CAST(conv(substring(md5(concat('ord{plane}|', x)), 1, 8), 16, 10) AS BIGINT)"
         f" - 2147483648L))"
     )
 
 
+def _band_key_sql(b: int, rows_per_band: int) -> str:
+    parts = ", ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+    return f"md5(concat_ws('|', '{b}', {parts}))"
+
+
 def _band_key(b: int, rows_per_band: int) -> F.Column:
-    parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-    return F.md5(F.concat_ws("|", F.lit(str(b)), *parts))
+    return F.expr(_band_key_sql(b, rows_per_band))
+
+
+def _band_explode_sql(bands: int, rows_per_band: int) -> str:
+    """`explode` of the per-band (band, band_hash) structs, as one SQL
+    string — the per-band builder loop was a Py4J round-trip per
+    struct field (r14 construction-cost fix)."""
+    structs = ", ".join(
+        f"named_struct('band', {b}, 'band_hash', {_band_key_sql(b, rows_per_band)})"
+        for b in range(bands)
+    )
+    return f"explode(array({structs})) AS bk"
 
 
 # Within-bucket candidate fan-out: each member pairs with its next
@@ -219,22 +234,25 @@ def _chain_candidates(
     # the pass-1 exchange (same partitioning), so their cost is one
     # near-empty sort each.  The bucket-size window is sort-free
     # (unordered frame over the same partitioning).
+    part = ", ".join(keys)
     if len(passes) > 1:
-        wsz = Window.partitionBy(*keys)
-        band_rows = band_rows.withColumn("_bsz", F.count(F.lit(1)).over(wsz))
+        band_rows = band_rows.selectExpr(
+            "*", f"count(1) OVER (PARTITION BY {part}) AS _bsz"
+        )
     per_pass = []
     for p, cols in enumerate(passes):
         src = band_rows if p == 0 else band_rows.filter(F.col("_bsz") > chain + 1)
-        w = Window.partitionBy(*keys).orderBy(*cols, "doc_id").rowsBetween(1, chain)
+        order = ", ".join([*cols, "doc_id"])
         per_pass.append(
-            src.select(
-                F.col("doc_id").alias("_cur"),
-                F.collect_list("doc_id").over(w).alias("_succ"),
+            src.selectExpr(
+                "doc_id AS _cur",
+                f"collect_list(doc_id) OVER (PARTITION BY {part} ORDER BY {order} "
+                f"ROWS BETWEEN 1 FOLLOWING AND {chain} FOLLOWING) AS _succ",
             )
-            .select("_cur", F.explode("_succ").alias("_nxt"))
-            .select(
-                F.least("_cur", "_nxt").alias("doc_a"),
-                F.greatest("_cur", "_nxt").alias("doc_b"),
+            .selectExpr("_cur", "explode(_succ) AS _nxt")
+            .selectExpr(
+                "least(_cur, _nxt) AS doc_a",
+                "greatest(_cur, _nxt) AS doc_b",
             )
         )
     out = per_pass[0]
@@ -273,21 +291,16 @@ def minhash_lsh_pairs(
     # trap as the jaccard shingle cache below.
     sigs = (
         minhash_signatures(docs, k)
-        .withColumn("ord0", _shingle_projection(0))
-        .withColumn("ord1", _shingle_projection(1))
+        .selectExpr(
+            "*",
+            f"{_shingle_projection_sql(0)} AS ord0",
+            f"{_shingle_projection_sql(1)} AS ord1",
+        )
         .cache()
     )
-    band_rows = sigs.select(
+    band_rows = sigs.selectExpr(
         "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    _band_key(b, rows_per_band).alias("band_hash"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bk"),
+        _band_explode_sql(bands, rows_per_band),
         # shingle-set projection locality keys (r12 second iteration):
         # each is the sum over the (distinct) shingle set of a centered
         # 32-bit salted hash — a random linear projection of the
@@ -301,7 +314,7 @@ def minhash_lsh_pairs(
         # two-pass union (tools/chain_recall.py, PLANS.md r12 table).
         "ord0",
         "ord1",
-    ).select("doc_id", "bk.band", "bk.band_hash", "ord0", "ord1")
+    ).selectExpr("doc_id", "bk.band", "bk.band_hash", "ord0", "ord1")
 
     candidates = _chain_candidates(
         band_rows,
@@ -312,15 +325,18 @@ def minhash_lsh_pairs(
 
     sh = sigs.select("doc_id", "shingles")
     verified = (
-        candidates.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
-        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint"))
-        .withColumn("n_a", F.size("sh_a").cast("bigint"))
-        .withColumn("n_b", F.size("sh_b").cast("bigint"))
-        .withColumn(
-            "jaccard",
-            F.col("common").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double"),
+        candidates.join(sh.selectExpr("doc_id AS doc_a", "shingles AS sh_a"), "doc_a")
+        .join(sh.selectExpr("doc_id AS doc_b", "shingles AS sh_b"), "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT) AS common",
+            "CAST(size(sh_a) AS BIGINT) AS n_a",
+            "CAST(size(sh_b) AS BIGINT) AS n_b",
+        )
+        .selectExpr(
+            "*",
+            "CAST(common AS DOUBLE) / CAST(n_a + n_b - common AS DOUBLE) AS jaccard",
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "common", "n_a", "n_b", "jaccard")
@@ -587,19 +603,11 @@ def _band_rows(docs: DataFrame, side: str, k: int, bands: int) -> DataFrame:
     the unit of both the probe side and the persisted index."""
     rows_per_band = k // bands
     sigs = minhash_signatures(docs, k)
-    return sigs.select(
-        F.col("doc_id").alias(f"{side}_id"),
+    return sigs.selectExpr(
+        f"doc_id AS {side}_id",
         "shingles",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    _band_key(b, rows_per_band).alias("band_hash"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bk"),
-    ).select(f"{side}_id", "shingles", "bk.band", "bk.band_hash")
+        _band_explode_sql(bands, rows_per_band),
+    ).selectExpr(f"{side}_id", "shingles", "bk.band", "bk.band_hash")
 
 
 def build_lsh_index(
