@@ -226,3 +226,76 @@ def test_file_a_torn_tail_held_back():
     evs, next_off, _ = decode_binlog_incremental(FILE_A[:250], 4)
     assert [e["op"] for e in evs] == ["format_description", "query", "table_map"]
     assert next_off == 203
+
+
+# ---------------------------------------------------------------------------
+# FILE C — 8.0-era CRC32, the wide type matrix in one WRITE_ROWS v2 row.
+# lab.wide, 14 columns (type, metadata → value bytes, all spec-derived):
+#   DATETIME2(fsp 3)  '2024-03-05 12:34:56.789' → 5B offset-binary
+#       ((2024*13+3)<<22 | 5<<17 | 12<<12 | 34<<6 | 56) + 2^39, BE,
+#       + 2B fraction 789
+#   TIMESTAMP2(0)     1700000000 → 4B BIG-endian epoch (unlike legacy LE)
+#   TIME2(0)          '-01:02:03' → 3B offset-binary 2^23 − (1<<12|2<<6|3)
+#   DATE              '2023-12-31' → 3B LE day | month<<5 | year<<9
+#   YEAR              2021 → 1B value−1900
+#   BIT(12)           meta (bits%8=4, bytes=1) → 2B big-endian 0x0ABC
+#   ENUM via STRING   meta (247, 1) → 1B ordinal 2
+#   SET via STRING    meta (248, 1) → 1B bitset 0x05 (kept as raw bytes)
+#   JSON              meta 4 → 4B LE length + binary doc {"a": 1}
+#       (small object: type 00, count u16 1, size u16 12, key entry
+#        offset 11 len 1, value entry type 05 inlined s16 1, key 'a')
+#   BLOB              meta 2 → 2B LE length + b'blobby' (stays bytes)
+#   FLOAT             4B LE IEEE 0.5
+#   DOUBLE            8B LE IEEE −2.25
+#   LONGLONG          8B LE signed −5
+#   INT24             3B LE signed 100000
+# Events: FDE @4, TABLE_MAP @126, WRITE_ROWS v2 @199, XID @307; end 338.
+FILE_C = bytes.fromhex(
+    "fe62696e00f153650f010000007a0000007e00000000000400382e302e3336000000"
+    "00000000000000000000000000000000000000000000000000000000000000000000"
+    "0000000000000000f15365130102030405060708090a0b0c0d0e0f10111213141516"
+    "1718191a1b1c1d1e1f202122232425262728290124a6144501f15365130100000049"
+    "000000c700000000000700000000000100036c6162000477696465000e1211130a0d"
+    "10fefef5fc040508090d0300000401f701f801040204080000ba8cfe3802f153651e"
+    "010000006c000000330100000000070000000000010002000eff3f000099b2cac8b8"
+    "03156553f1007fef7d9fcf0f790abc02050d0000000001000c000b00010005010061"
+    "0600626c6f6262790000003f00000000000002c0fbffffffffffffffa0860126164f"
+    "8703f1536510010000001f0000005201000000003279060000000000d586a1a6"
+)
+
+WIDE_CATALOG = {
+    ("lab", "wide"): [
+        "dt", "ts2", "tm", "d", "yr", "bits", "col_enum", "col_set",
+        "js", "raw", "f4", "f8", "big", "mid",
+    ]
+}
+
+
+def test_file_c_wide_type_matrix():
+    """Every exotic column format decoded from golden bytes with the
+    expected values written down independently of any encoder."""
+    evs = decode_binlog(FILE_C, WIDE_CATALOG)
+    assert [e["op"] for e in evs] == [
+        "format_description", "table_map", "write_rows", "xid",
+    ]
+    assert [e["offset"] for e in evs] == [4, 126, 199, 307]
+    w = evs[2]
+    assert (w["db"], w["tbl"]) == ("lab", "wide")
+    assert w["before"] is None
+    assert w["after"] == [{
+        "dt": "2024-03-05 12:34:56.789",
+        "ts2": 1700000000,
+        "tm": "-01:02:03",
+        "d": "2023-12-31",
+        "yr": 2021,
+        "bits": 0x0ABC,
+        "col_enum": 2,
+        "col_set": b"\x05",
+        "js": '{"a": 1}',
+        "raw": b"blobby",
+        "f4": 0.5,
+        "f8": -2.25,
+        "big": -5,
+        "mid": 100000,
+    }]
+    assert evs[3]["xid"] == 424242
