@@ -44,6 +44,12 @@ PLANES_PER_BAND = 4          # 2 bands of 4 sign bits → 16 buckets/band
 DEFAULT_K = 5
 DEFAULT_N_QUERIES = 10
 NEARDUP_COS = 0.3
+# IVF coarse-quantizer probe count, shared with the DuckDB oracles
+# (queries/llm.py interpolates it).  2 -> 3 in r14: measured recall@5
+# on the noisy-copies fixture 0.864 -> 0.916 (tools/ann_recall.py)
+# for a 1.5x QUERY-side candidate fan-out only - the corpus side of
+# the inverted-file join is untouched.
+IVF_PROBES = 3
 # near-dup candidate fan-out per (band, bucket) member — the ONE
 # shared chain constant (see dedup.MAX_BAND_CHAIN for the measured
 # derivation; r11's embedding-only value of 8 measured 0.87 pair
@@ -375,7 +381,7 @@ def ann_ivf(
     emb: DataFrame,
     n_queries: int = DEFAULT_N_QUERIES,
     k: int = DEFAULT_K,
-    probes: int = 2,
+    probes: int = IVF_PROBES,
 ) -> DataFrame:
     """IVF-flavored ANN: the label centroids act as the coarse
     quantizer — every corpus vector is assigned to its nearest cell
@@ -656,7 +662,7 @@ def ann_ivfpq(
     k: int = DEFAULT_K,
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
-    probes: int = 2,
+    probes: int = IVF_PROBES,
 ) -> DataFrame:
     """The full compressed-index ANN pipeline (FAISS IVFADC, Jégou et
     al. 2011): coarse quantizer prunes the corpus to `probes` cells per

@@ -635,7 +635,7 @@ _IVF_CELL_COS = (
     "probe AS (SELECT vec_id, cell FROM ("
     "  SELECT n.vec_id, c.label AS cell, ROW_NUMBER() OVER (PARTITION BY n.vec_id "
     f"  ORDER BY ({_IVF_CELL_COS}) DESC, c.label) AS cr FROM n, cn c "
-    f"  WHERE n.vec_id < {similarity.DEFAULT_N_QUERIES}) WHERE cr <= 2), "
+    f"  WHERE n.vec_id < {similarity.DEFAULT_N_QUERIES}) WHERE cr <= {similarity.IVF_PROBES}), "
     "cand AS (SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id "
     "FROM probe p JOIN assign a ON a.cell = p.cell AND a.vec_id != p.vec_id), "
     "scored AS (SELECT cand.query_id, cand.neighbor_id, "
@@ -1711,7 +1711,7 @@ _IVF_SUFFIX = _IVF_CTE[len(_EMB_CTE):]
     "probe AS (SELECT vec_id, cell FROM ("
     "  SELECT n.vec_id, c.label AS cell, ROW_NUMBER() OVER (PARTITION BY n.vec_id "
     f"  ORDER BY ({_IVF_CELL_COS}) DESC, c.label) AS cr FROM n, cn c "
-    f"  WHERE n.vec_id < {similarity.DEFAULT_N_QUERIES}) WHERE cr <= 2), "
+    f"  WHERE n.vec_id < {similarity.DEFAULT_N_QUERIES}) WHERE cr <= {similarity.IVF_PROBES}), "
     "cand AS (SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id "
     "FROM probe p JOIN assign a ON a.cell = p.cell AND a.vec_id != p.vec_id), "
     "qsub AS ("

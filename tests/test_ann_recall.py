@@ -73,12 +73,15 @@ def adversarial_recall(spark):
 
 def test_copies_fixture_recall_floors(copies_recall):
     r = copies_recall
-    # measured r14 (multi-probe): lsh 0.924/0.8, ivf 0.864/0.8,
-    # adc 0.68, ivfpq 0.776 — floors at measured-with-margin
+    # measured r14 (multi-probe lsh; IVF_PROBES=3): lsh 0.924/0.8,
+    # ivf 0.916/0.8, adc 0.68, ivfpq 0.724 (PQ dips slightly with more
+    # probed cells — extra quantization-noise candidates crowd the
+    # top-k; quantization-bound either way) — floors at
+    # measured-with-margin
     assert r["ann_lsh"]["mean"] >= 0.88, r["ann_lsh"]
-    assert r["ann_ivf"]["mean"] >= 0.80, r["ann_ivf"]
+    assert r["ann_ivf"]["mean"] >= 0.85, r["ann_ivf"]
     assert r["ann_adc"]["mean"] >= 0.55, r["ann_adc"]
-    assert r["ann_ivfpq"]["mean"] >= 0.65, r["ann_ivfpq"]
+    assert r["ann_ivfpq"]["mean"] >= 0.60, r["ann_ivfpq"]
     # the bucketed paths must also never strand a single query
     assert r["ann_lsh"]["min"] >= 0.6, r["ann_lsh"]
     assert r["ann_ivf"]["min"] >= 0.6, r["ann_ivf"]
