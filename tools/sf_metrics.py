@@ -45,6 +45,10 @@ TARGET = [  # HEADLINE ∪ dedup/refresh family (r10 VERDICT #1 list)
     "mm_mp4_meta", "mm_mp4_keyframe_sample", "mm_mp4_quarantine",
     "mm_mp4_fragmented", "mm_mp4_fragmented_keyframes",
     "cdc_stream_latest_state_agg",
+    # r14: the ANN family changed this round (multi-probe lsh,
+    # IVF_PROBES=3) — its candidate fan-out is query-side-only by
+    # design; keep that claim measured at K×
+    "llm_ann_lsh", "llm_ann_ivf", "llm_ann_adc", "llm_ann_ivfpq",
 ]
 
 _FIELDS = {
