@@ -82,13 +82,10 @@ ORDER_PLANES = [[_weight(p, j) for j in range(DIMS)] for p in (N_PLANES, N_PLANE
 def quantized(emb: DataFrame) -> DataFrame:
     """Append the quantized integer vector `qv` and its squared norm
     `nq` (both exact BIGINT)."""
-    return (
-        emb.withColumn(
-            "qv",
-            F.expr(f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"),
-        )
-        .withColumn("nq", F.expr("aggregate(qv, 0L, (acc, v) -> acc + v * v)"))
-    )
+    return emb.selectExpr(
+        "*",
+        f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv",
+    ).selectExpr("*", "aggregate(qv, 0L, (acc, v) -> acc + v * v) AS nq")
 
 
 def _cosine(dot_col: str, na: str, nb: str) -> F.Column:
@@ -145,7 +142,7 @@ def knn(
     )
 
 
-def _band_bits(qv_col: str, band: int) -> F.Column:
+def _band_bits_sql(qv_col: str, band: int) -> str:
     """4 sign bits of the band's hyperplane projections, as a string
     bucket key.  Integer-exact: w·q is BIGINT arithmetic."""
     bits = []
@@ -153,24 +150,24 @@ def _band_bits(qv_col: str, band: int) -> F.Column:
         w = "array(" + ",".join(str(v) for v in WEIGHTS[p]) + ")"
         dot = _DOT.format(a=qv_col, b=w)
         bits.append(f"case when {dot} >= 0 then '1' else '0' end")
-    return F.expr("concat(" + ",".join(bits) + ")")
+    return "concat(" + ",".join(bits) + ")"
+
+
+def _band_bits(qv_col: str, band: int) -> F.Column:
+    return F.expr(_band_bits_sql(qv_col, band))
 
 
 def lsh_buckets(emb: DataFrame) -> DataFrame:
     """(vec_id, band, bucket) rows: one row per band per vector."""
     q = quantized(emb)
     n_bands = N_PLANES // PLANES_PER_BAND
-    return q.select(
-        "vec_id",
-        "qv",
-        "nq",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), _band_bits("qv", b).alias("bucket"))
-                for b in range(n_bands)
-            ])
-        ).alias("bb"),
-    ).select("vec_id", "qv", "nq", "bb.band", "bb.bucket")
+    structs = ", ".join(
+        f"named_struct('band', {b}, 'bucket', {_band_bits_sql('qv', b)})"
+        for b in range(n_bands)
+    )
+    return q.selectExpr(
+        "vec_id", "qv", "nq", f"explode(array({structs})) AS bb"
+    ).selectExpr("vec_id", "qv", "nq", "bb.band", "bb.bucket")
 
 
 def _probe_buckets(bucket_col: str = "bucket") -> F.Column:

@@ -196,27 +196,22 @@ def rows_delta_type(env: DataFrame) -> DataFrame:
     the parent offset; `inline` emits them in order within a record).
     Non-row events are dropped.
     """
-    row_struct = lambda id_col, val_col, tag: F.struct(  # noqa: E731
-        id_col.cast("bigint").alias("id"),
-        val_col.cast("double").alias("value"),
-        F.lit(tag).alias("_delta_type"),
-    )
+    def row_struct(id_col: str, val_col: str, tag: str) -> str:
+        return (
+            f"named_struct('id', CAST({id_col} AS BIGINT), "
+            f"'value', CAST({val_col} AS DOUBLE), '_delta_type', '{tag}')"
+        )
+
     pair = (
-        F.when(
-            F.col("op") == OP_UPDATE_ROWS,
-            F.array(
-                row_struct(F.col("before_id"), F.col("before_value"), DT_UPDATE_BEFORE),
-                row_struct(F.col("after_id"), F.col("after_value"), DT_UPDATE),
-            ),
-        )
-        .when(
-            F.col("op") == OP_WRITE_ROWS,
-            F.array(row_struct(F.col("after_id"), F.col("after_value"), DT_INSERT)),
-        )
-        .otherwise(F.array(row_struct(F.col("before_id"), F.col("before_value"), DT_DELETE)))
+        f"CASE WHEN op = '{OP_UPDATE_ROWS}' THEN array("
+        f"{row_struct('before_id', 'before_value', DT_UPDATE_BEFORE)}, "
+        f"{row_struct('after_id', 'after_value', DT_UPDATE)}) "
+        f"WHEN op = '{OP_WRITE_ROWS}' THEN array("
+        f"{row_struct('after_id', 'after_value', DT_INSERT)}) "
+        f"ELSE array({row_struct('before_id', 'before_value', DT_DELETE)}) END"
     )
-    return env.filter(F.col("op").isin(*ROW_OPS)).select(
-        "offset", "log_file", "ts", "db", "tbl", F.inline(pair)
+    return env.filter(F.col("op").isin(*ROW_OPS)).selectExpr(
+        "offset", "log_file", "ts", "db", "tbl", f"inline({pair})"
     )
 
 
