@@ -727,6 +727,103 @@ def ann_ivfpq(
     )
 
 
+def ann_ivfpq_residual(
+    emb: DataFrame,
+    n_queries: int = DEFAULT_N_QUERIES,
+    k: int = DEFAULT_K,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    probes: int = IVF_PROBES,
+) -> DataFrame:
+    """True FAISS IVFADC (Jégou et al. 2011 §III.C): PQ over RESIDUALS
+    `x − centroid(cell)`, not raw vectors.  On clustered corpora the
+    raw-vector PQ (`ann_ivfpq`) wastes its 16 codewords describing the
+    cluster CENTERS — which the coarse quantizer already encodes — so
+    within-cluster ranking is quantization noise (measured r14:
+    recall@5 0.572 on the adversarial clustered fixture).  Encoding
+    residuals spends the whole codebook on the within-cell geometry.
+
+    Shapes and determinism match the rest of the family: residuals are
+    exact BIGINT (qv − floor-centroid), ONE shared residual codebook
+    across cells (FAISS default; the ksub lowest vec_ids' residual
+    subvectors — the same deterministic seeding rule as `pq_codes`),
+    LUTs are per (query, probed cell) because the query residual
+    depends on the cell, all-integer distances, ties to the lower
+    code / neighbor id.  Scale: the corpus-side operand is m code rows
+    per vector; LUTs are (n_queries × probes × m × ksub) rows,
+    broadcast; candidates bounded by probed-cell population via the
+    (cell, sub, code) equi-join — no all-pairs anywhere.
+    """
+    d_sub = DIMS // m
+    q = quantized(emb)
+    cents = _quantized_centroids(emb)
+    cvec = cents.select(F.col("label").alias("cell"), "cqv")
+    sub_slices = (
+        "posexplode(transform(sequence(0, {m}), s -> "
+        "slice({vec}, s * {d} + 1, {d}))) AS (sub, {out})"
+    )
+
+    # corpus: cell assignment (1 probe) -> exact integer residuals ->
+    # per-subspace residual slices
+    corpus = _cell_assign(q, cents, probes=1)
+    rsub = (
+        corpus.join(F.broadcast(cvec), "cell")
+        .selectExpr("vec_id", "cell", "zip_with(qv, cqv, (x, y) -> x - y) AS rv")
+        .selectExpr(
+            "vec_id", "cell",
+            sub_slices.format(m=m - 1, vec="rv", d=d_sub, out="sv"),
+        )
+    )
+    # shared residual codebook: the ksub lowest vec_ids' residuals
+    cb = rsub.filter(F.col("vec_id") < ksub).selectExpr(
+        "vec_id AS code", "sub AS csub", "sv AS cv"
+    )
+    dist = "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+    w = Window.partitionBy("vec_id", "sub").orderBy(F.col("dist").asc(), F.col("code").asc())
+    codes = (
+        rsub.join(F.broadcast(cb), F.col("sub") == F.col("csub"))
+        .withColumn("dist", F.expr(dist))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .selectExpr("vec_id AS neighbor_id", "cell", "sub", "code")
+    )
+
+    # queries: probed cells -> PER-CELL residuals -> per-(query, cell)
+    # LUT against the shared codebook
+    qsub = (
+        _cell_assign(q.filter(F.col("vec_id") < n_queries), cents, probes=probes)
+        .join(F.broadcast(cvec), "cell")
+        .selectExpr(
+            "vec_id AS query_id", "cell",
+            "zip_with(qv, cqv, (x, y) -> x - y) AS qrv",
+        )
+        .selectExpr(
+            "query_id", "cell",
+            sub_slices.format(m=m - 1, vec="qrv", d=d_sub, out="qsv"),
+        )
+    )
+    lut_dist = "aggregate(zip_with(qsv, cv, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+    lut = (
+        qsub.join(F.broadcast(cb), F.col("sub") == F.col("csub"))
+        .withColumn("d", F.expr(lut_dist))
+        .select("query_id", "cell", "sub", "code", "d")
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["cell", "sub", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").cast("bigint").alias("adc_dist"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
 def embedding_covariance(emb: DataFrame) -> DataFrame:
     """Exact integer second-moment accumulation over the quantized
     embedding corpus: for every dimension pair i ≤ j, the count and

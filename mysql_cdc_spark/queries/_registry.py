@@ -238,6 +238,8 @@ REGISTRATION_ORDER: list[str] = [
     # r13 additions
     "mm_mp4_fragmented",
     "mm_mp4_fragmented_keyframes",
+    # r14 additions
+    "llm_ann_ivfpq_residual",
 ]
 
 

@@ -82,6 +82,7 @@ def test_copies_fixture_recall_floors(copies_recall):
     assert r["ann_ivf"]["mean"] >= 0.85, r["ann_ivf"]
     assert r["ann_adc"]["mean"] >= 0.55, r["ann_adc"]
     assert r["ann_ivfpq"]["mean"] >= 0.60, r["ann_ivfpq"]
+    assert r["ann_ivfpq_residual"]["mean"] >= 0.60, r["ann_ivfpq_residual"]
     # the bucketed paths must also never strand a single query
     assert r["ann_lsh"]["min"] >= 0.6, r["ann_lsh"]
     assert r["ann_ivf"]["min"] >= 0.6, r["ann_ivf"]
@@ -97,3 +98,7 @@ def test_adversarial_fixture_recall_floors(adversarial_recall):
     # measured 0.572 — pinned so it can only get better silently
     assert r["ann_adc"]["mean"] >= 0.45, r["ann_adc"]
     assert r["ann_ivfpq"]["mean"] >= 0.45, r["ann_ivfpq"]
+    # TRUE IVFADC (residual encoding, r14) must beat raw-vector PQ on
+    # clustered data — measured 0.696 vs 0.572
+    assert r["ann_ivfpq_residual"]["mean"] >= 0.60, r["ann_ivfpq_residual"]
+    assert r["ann_ivfpq_residual"]["mean"] >= r["ann_ivfpq"]["mean"], r

@@ -81,6 +81,9 @@ def measure(spark, emb, n_queries: int, k: int) -> list[dict]:
         "ann_ivf": lambda: sim.ann_ivf(emb, n_queries=n_queries, k=k),
         "ann_adc": lambda: sim.ann_adc(emb, n_queries=n_queries, k=k),
         "ann_ivfpq": lambda: sim.ann_ivfpq(emb, n_queries=n_queries, k=k),
+        "ann_ivfpq_residual": lambda: sim.ann_ivfpq_residual(
+            emb, n_queries=n_queries, k=k
+        ),
     }
     out = []
     for name, fn in paths.items():

@@ -49,6 +49,7 @@ TARGET = [  # HEADLINE ∪ dedup/refresh family (r10 VERDICT #1 list)
     # IVF_PROBES=3) — its candidate fan-out is query-side-only by
     # design; keep that claim measured at K×
     "llm_ann_lsh", "llm_ann_ivf", "llm_ann_adc", "llm_ann_ivfpq",
+    "llm_ann_ivfpq_residual",
 ]
 
 _FIELDS = {
