@@ -299,3 +299,61 @@ def test_file_c_wide_type_matrix():
         "mid": 100000,
     }]
     assert evs[3]["xid"] == 424242
+
+
+def test_transaction_payload_over_golden_inner_events():
+    """TRANSACTION_PAYLOAD (8.0.20 binlog_transaction_compression),
+    assembled from the PUBLIC layout (libbinlogevents
+    Transaction_payload_event): body = TLV fields, each
+    net_store_length (type, length, value) — 2 = compression type
+    (0 ZSTD), 3 = uncompressed size, 1 = compressed payload size —
+    terminated by the bare end mark 0, then the compressed payload to
+    end of body.  The INNER bytes are golden: FILE A's TABLE_MAP and
+    WRITE_ROWS event literals spliced out verbatim (inner events carry
+    no checksums, exactly like a real payload); compression is
+    pyarrow's zstd codec — an independent implementation, like
+    zlib.crc32 for the trailers.  Expected: the envelope row plus the
+    two spliced inner events with FILE A's written-down rows, inner
+    offsets based at payload_offset + 19 + header_len."""
+    import struct
+    import zlib
+
+    import pyarrow as pa
+
+    inner = FILE_A[149:203] + FILE_A[203:266]       # TABLE_MAP + WRITE_ROWS
+    comp = pa.Codec("zstd").compress(inner, asbytes=True)
+    assert len(inner) < 251 and len(comp) < 251     # single-byte varints
+    tlv = (
+        bytes([2, 1, 0])                 # compression type: ZSTD
+        + bytes([3, 1, len(inner)])      # uncompressed size
+        + bytes([1, 1, len(comp)])       # payload (compressed) size
+        + bytes([0])                     # header end mark
+    )
+    body = tlv + comp
+
+    # File D: 8.0 FDE (CRC32) + the payload event, headers hand-packed
+    fde = FILE_B[4:126]                  # golden FDE literal, CRC intact
+    event_len = 19 + len(body) + 4
+    offset = 4 + len(fde)
+    hdr = struct.pack("<IBIIIH", 1700000009, 40, 1, event_len,
+                      offset + event_len, 0)
+    ev = hdr + body
+    ev += struct.pack("<I", zlib.crc32(ev))
+    data = FILE_B[:126] + ev
+
+    evs = decode_binlog(data, CATALOG)
+    assert [e["op"] for e in evs] == [
+        "format_description", "transaction_payload", "table_map", "write_rows",
+    ]
+    env = evs[1]
+    assert env["offset"] == offset
+    assert env["sql"] == "payload: 2 events, zstd"
+    inner_base = offset + 19 + len(tlv)
+    assert evs[2]["offset"] == inner_base              # spliced TABLE_MAP
+    assert (evs[2]["db"], evs[2]["tbl"]) == ("shop", "orders")
+    w = evs[3]
+    assert w["offset"] == inner_base + 54              # spliced WRITE_ROWS
+    assert w["after"] == [
+        {"id": 1001, "name": "alice", "amount": "12345.67", "cur": "EUR"},
+        {"id": 1002, "name": None, "amount": "-0.50", "cur": "USD"},
+    ]
