@@ -357,3 +357,42 @@ def test_transaction_payload_over_golden_inner_events():
         {"id": 1001, "name": "alice", "amount": "12345.67", "cur": "EUR"},
         {"id": 1002, "name": None, "amount": "-0.50", "cur": "USD"},
     ]
+
+
+# ---------------------------------------------------------------------------
+# FILE E — 8.0-era CRC32, PARTIAL_UPDATE_ROWS (type 39, WL#2955 partial
+# JSON).  lab.docs = (LONG pk, JSON).  The before image carries the
+# full binary-JSON document {"a": 1, "b": "x"} (small object: count 2,
+# size 22, key entries at offsets 18/19, int16 value inlined, string
+# value at offset 20); the after image sets value_options bit 0
+# (PARTIAL_JSON), flags the JSON column in partial_bits, and carries a
+# length-prefixed DIFF VECTOR instead of a document:
+#   op 00 REPLACE, path "$.a" (lenc 3), value = binary-JSON int16 7
+#   op 02 REMOVE,  path "$.b"
+# Expected after document: {"a": 7}.
+# Events: FDE @4, TABLE_MAP @126, PARTIAL_UPDATE @174, XID @267; end 298.
+FILE_E = bytes.fromhex(
+    "fe62696e00f153650f010000007a0000007e00000000000400382e302e3336000000"
+    "00000000000000000000000000000000000000000000000000000000000000000000"
+    "0000000000000000f15365130102030405060708090a0b0c0d0e0f10111213141516"
+    "1718191a1b1c1d1e1f202122232425262728290124a6144501f15365130100000030"
+    "000000ae00000000000c00000000000100036c61620004646f6373000203f5010400"
+    "6f937bcb02f1536527010000005d0000000b01000000000c00000000000100020002"
+    "0303000b00000017000000000200160012000100130001000501000c140061620178"
+    "0101000b0000000e0000000003242e61030507000203242e625243bcb203f1536510"
+    "010000001f0000002a010000000063000000000000001baeb249"
+)
+
+
+def test_file_e_partial_json_update():
+    """The partial-JSON after image must surface the FULL document with
+    the diff vector applied against the before image."""
+    evs = decode_binlog(FILE_E, {("lab", "docs"): ["id", "doc"]})
+    assert [e["op"] for e in evs] == [
+        "format_description", "table_map", "update_rows", "xid",
+    ]
+    assert [e["offset"] for e in evs] == [4, 126, 174, 267]
+    u = evs[2]
+    assert u["before"] == [{"id": 11, "doc": '{"a": 1, "b": "x"}'}]
+    assert u["after"] == [{"id": 11, "doc": '{"a": 7}'}]
+    assert evs[3]["xid"] == 99
