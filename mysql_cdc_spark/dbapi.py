@@ -35,6 +35,7 @@ Contract notes:
 
 from __future__ import annotations
 
+import math
 import re
 from typing import Any, Iterable, Iterator, Sequence
 
@@ -136,17 +137,85 @@ def _literal(v: Any) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        # repr(inf) / repr(nan) is not valid SQL; Spark spells these
+        # as cast string literals (r14 ADVICE).
+        if math.isnan(v):
+            return "CAST('NaN' AS DOUBLE)"
+        if math.isinf(v):
+            sign = "" if v > 0 else "-"
+            return f"CAST('{sign}Infinity' AS DOUBLE)"
+        return repr(v)
+    if isinstance(v, int):
         return repr(v)
     if isinstance(v, bytes):
         return "X'" + v.hex() + "'"
-    return "'" + str(v).replace("'", "''") + "'"
+    # Spark's default parser treats backslash as an escape inside
+    # string literals (escapedStringLiterals=false), so a trailing
+    # '\' would escape our closing quote — double it first (r14
+    # ADVICE), then double single quotes.
+    return "'" + str(v).replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def _split_placeholders(operation: str) -> list[str]:
+    """Split on '?' placeholders OUTSIDE quoted literals and comments.
+
+    A '?' inside a single-/double-/backtick-quoted region (``'%?%'``)
+    or inside a ``--``/``/* */`` comment is statement text, not a
+    placeholder (r14 ADVICE: naive str.split miscounted and could
+    substitute a parameter into the middle of a string literal).
+    Handles both doubled-quote ('') and backslash escapes, matching
+    Spark's default lexer.
+    """
+    parts: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(operation)
+    while i < n:
+        c = operation[i]
+        if c == "?":
+            parts.append("".join(buf))
+            buf = []
+            i += 1
+        elif c in "'\"`":
+            q = c
+            buf.append(c)
+            i += 1
+            while i < n:
+                ch = operation[i]
+                if ch == "\\" and q != "`" and i + 1 < n:
+                    buf.append(ch)
+                    buf.append(operation[i + 1])
+                    i += 2
+                    continue
+                buf.append(ch)
+                i += 1
+                if ch == q:
+                    if i < n and operation[i] == q:  # '' / "" / `` escape
+                        buf.append(q)
+                        i += 1
+                        continue
+                    break
+        elif operation.startswith("--", i):
+            j = operation.find("\n", i)
+            j = n if j < 0 else j + 1
+            buf.append(operation[i:j])
+            i = j
+        elif operation.startswith("/*", i):
+            j = operation.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            buf.append(operation[i:j])
+            i = j
+        else:
+            buf.append(c)
+            i += 1
+    parts.append("".join(buf))
+    return parts
 
 
 def _bind(operation: str, parameters: Sequence[Any] | None) -> str:
     if not parameters:
         return operation
-    parts = operation.split("?")
+    parts = _split_placeholders(operation)
     if len(parts) - 1 != len(parameters):
         raise ProgrammingError(
             f"statement has {len(parts) - 1} placeholders, "
@@ -159,11 +228,97 @@ def _bind(operation: str, parameters: Sequence[Any] | None) -> str:
     return "".join(out)
 
 
-_WRITE_VERBS = re.compile(
-    r"^\s*(insert|update|delete|merge|replace|create|alter|drop|truncate|"
-    r"grant|revoke|set|call)\b",
-    re.IGNORECASE,
+_WRITE_VERB_SET = frozenset(
+    "insert update delete merge replace create alter drop truncate "
+    "grant revoke set call".split()
 )
+
+
+def _strip_leading_trivia(sql: str) -> str:
+    """Drop leading whitespace and ``--`` / ``/* */`` comments."""
+    i, n = 0, len(sql)
+    while i < n:
+        if sql[i].isspace():
+            i += 1
+        elif sql.startswith("--", i):
+            j = sql.find("\n", i)
+            i = n if j < 0 else j + 1
+        elif sql.startswith("/*", i):
+            j = sql.find("*/", i + 2)
+            if j < 0:
+                return ""  # unterminated comment: nothing executable follows
+            i = j + 2
+        else:
+            break
+    return sql[i:]
+
+
+def _leading_verb(sql: str) -> str:
+    """The statement's effective top-level verb, lowercased.
+
+    Skips leading comments and, when the statement opens with a WITH
+    clause, scans past the CTE definitions (quote- and paren-aware) to
+    the statement body — so ``/*x*/ INSERT ...`` and ``WITH c AS (...)
+    INSERT INTO ...`` are both classified as ``insert`` (r14 ADVICE:
+    the prefix regex let those through the read-only wall).  A CTE
+    whose NAME is itself a write verb is conservatively classified as
+    that verb — over-rejecting is safe on a read-only engine.
+    """
+    s = _strip_leading_trivia(sql)
+    m = re.match(r"(?is)with\b", s)
+    if not m:
+        m2 = re.match(r"[A-Za-z_]+", s)
+        return m2.group(0).lower() if m2 else ""
+    body_verbs = _WRITE_VERB_SET | {"select", "table", "values", "from"}
+    i, depth, n = m.end(), 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in "'\"`":
+            q = c
+            i += 1
+            while i < n:
+                ch = s[i]
+                if ch == "\\" and q != "`" and i + 1 < n:
+                    i += 2
+                    continue
+                i += 1
+                if ch == q:
+                    if i < n and s[i] == q:
+                        i += 1
+                        continue
+                    break
+        elif s.startswith("--", i):
+            j = s.find("\n", i)
+            i = n if j < 0 else j + 1
+        elif s.startswith("/*", i):
+            j = s.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+        elif c == "(":
+            depth += 1
+            i += 1
+        elif c == ")":
+            depth -= 1
+            i += 1
+        elif depth == 0 and (c.isalpha() or c == "_"):
+            j = i
+            while j < n and (s[j].isalnum() or s[j] == "_"):
+                j += 1
+            word = s[i:j].lower()
+            if word in body_verbs:
+                return word
+            i = j
+        else:
+            i += 1
+    return ""
+
+
+def _reject_writes(sql: str) -> None:
+    if _leading_verb(sql) in _WRITE_VERB_SET:
+        # the reference's read-only wall (jdbc.clj:368-371)
+        raise NotSupportedError(
+            "read-only engine: write statements are unsupported "
+            "(reference jdbc.clj:368-371)"
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -217,12 +372,7 @@ class Cursor:
         self._check()
         self._reset()
         sql = _bind(operation, parameters)
-        if _WRITE_VERBS.match(sql):
-            # the reference's read-only wall (jdbc.clj:368-371)
-            raise NotSupportedError(
-                "read-only engine: write statements are unsupported "
-                "(reference jdbc.clj:368-371)"
-            )
+        _reject_writes(sql)
         from mysql_cdc_spark.operators import query as q
         from mysql_cdc_spark.operators.cursor import ForwardOnlyCursor
         from mysql_cdc_spark.sources.events_cdc import changes
@@ -322,8 +472,7 @@ class Cursor:
         self._check()
         self._reset()
         sql = _bind(operation, parameters)
-        if _WRITE_VERBS.match(sql):
-            raise NotSupportedError("read-only engine")
+        _reject_writes(sql)
         stmt = self._conn._statement()
         try:
             cursor, handle = stmt.execute_query_stream(

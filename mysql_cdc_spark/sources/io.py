@@ -46,23 +46,33 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     import os
 
     path = f"{sf_dir}/{name}.parquet"
+    # Session confs are set BEFORE the memo lookup so a memo hit on a
+    # fresh/externally-built session still gets the one config the
+    # fixture reader cannot do without (r14 ADVICE: a hit skipped it).
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false":
+        # Naive us-precision fixture timestamps must read as TimestampType
+        # (UTC session), not TIMESTAMP_NTZ, for a stable envelope schema.
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     try:
         st = os.stat(path)
         key = (id(spark), path, st.st_mtime_ns, st.st_size)
+        if os.path.isdir(path):
+            # Rewriting a part file IN PLACE does not bump the directory
+            # mtime (only create/delete/rename do) — fold the newest part
+            # file's stat into the key so that case misses (r14 ADVICE).
+            newest = (0, 0)
+            for part in os.scandir(path):
+                pst = part.stat()
+                newest = max(newest, (pst.st_mtime_ns, pst.st_size))
+            key = key + newest
     except OSError:
         key = None
     if key is not None:
         memo = _READ_MEMO.get(key)
         if memo is not None:
             return memo
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-        # Defensive for externally-built sessions (e.g. the driver's):
-        # this is the one config the fixture reader cannot do without.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    if spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false":
-        # Naive us-precision fixture timestamps must read as TimestampType
-        # (UTC session), not TIMESTAMP_NTZ, for a stable envelope schema.
-        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     schema_file = path
     if os.path.isdir(path):

@@ -214,3 +214,78 @@ def test_executestream_continuous(conn):
     # the stream has no natural end: a short timeout returns None once
     # the existing log is drained, rather than raising
     cur.close()
+
+
+# ---------------------------------------------------------------------------
+# r14 ADVICE regressions: binding tokenizer, literal escaping, write wall
+# ---------------------------------------------------------------------------
+
+
+def test_placeholder_split_ignores_quoted_and_commented_qmarks():
+    """'?' inside string literals / comments is statement text, not a
+    placeholder (r14 ADVICE medium #1)."""
+    sql = db._bind(
+        "select * from v where s like '%?%' and id = ?", (5,)
+    )
+    assert sql == "select * from v where s like '%?%' and id = 5"
+    sql = db._bind(
+        'select "?" AS q, * from v -- trailing ? comment\n where id = ?',
+        (7,),
+    )
+    assert sql.endswith("where id = 7") and '"?"' in sql
+    sql = db._bind("select /* ? */ ? from v", (1,))
+    assert sql == "select /* ? */ 1 from v"
+    # doubled-quote escape keeps the literal open across ''
+    sql = db._bind("select 'it''s a ?' AS s, ? AS x", (2,))
+    assert sql == "select 'it''s a ?' AS s, 2 AS x"
+    # backslash escape inside a single-quoted literal
+    sql = db._bind(r"select 'a\'? still literal' AS s, ? AS x", (3,))
+    assert sql == r"select 'a\'? still literal' AS s, 3 AS x"
+
+
+def test_literal_escapes_backslash_and_nonfinite(conn):
+    """Backslash doubling + non-finite float spelling (r14 ADVICE
+    medium #2), proven end-to-end through spark.sql round-trips."""
+    assert db._literal("back\\slash") == "'back\\\\slash'"
+    assert db._literal("trail\\") == "'trail\\\\'"
+    assert db._literal(float("nan")) == "CAST('NaN' AS DOUBLE)"
+    assert db._literal(float("inf")) == "CAST('Infinity' AS DOUBLE)"
+    assert db._literal(float("-inf")) == "CAST('-Infinity' AS DOUBLE)"
+    cur = conn.cursor()
+    cur.execute("SELECT ? AS s, ? AS t", ("trail\\", "o'brien"))
+    assert cur.fetchone() == ("trail\\", "o'brien")
+    cur.execute("SELECT isnan(?) AS a, ? = double('inf') AS b",
+                (float("nan"), float("inf")))
+    assert cur.fetchone() == (True, True)
+
+
+def test_write_wall_survives_comments_and_ctes(conn):
+    """A leading comment or WITH clause must not smuggle a write past
+    the read-only wall (r14 ADVICE medium #3)."""
+    cur = conn.cursor()
+    for stmt in (
+        "/* hi */ INSERT INTO t VALUES (1)",
+        "-- note\nDELETE FROM t",
+        "/* a */ /* b */\n  -- c\nDROP TABLE t",
+        "WITH c AS (SELECT 1 AS x) INSERT INTO t SELECT * FROM c",
+        "WITH a AS (SELECT 1), b AS (SELECT ')' AS s) UPDATE t SET x = 1",
+        "with c as (select '?)' as tricky) merge into t using c on 1=1",
+    ):
+        with pytest.raises(db.NotSupportedError):
+            cur.execute(stmt)
+    # ...while comment-led and CTE-led READS still run
+    cur.execute("/* lead */ WITH c AS (SELECT 42 AS x) SELECT x FROM c")
+    assert cur.fetchone() == (42,)
+    cur.execute("-- lead\nSELECT 1 AS one")
+    assert cur.fetchone() == (1,)
+
+
+def test_leading_verb_classifier():
+    assert db._leading_verb("  SELECT 1") == "select"
+    assert db._leading_verb("/*x*/ insert into t values (1)") == "insert"
+    assert db._leading_verb("WITH c AS (insert) SELECT 1") == "select"
+    assert db._leading_verb(
+        "WITH c AS (SELECT 'with insert' AS s) SELECT * FROM c"
+    ) == "select"
+    assert db._leading_verb("with c as (select 1) table c") == "table"
+    assert db._leading_verb("/* unterminated") == ""

@@ -152,22 +152,29 @@ def run_once(spark, src: Path, provider: str | None, impl: str = "python") -> di
     }
 
 
+def _select_providers(argv: list[str]) -> dict:
+    """Resolve --provider= args.  EVERY unknown value is an error even
+    when others are valid — '--provider=python_dict --provider=typo'
+    must not silently drop the typo and run a narrowed subset (r14
+    ADVICE; same silent-widening/narrowing class as the r13 fix)."""
+    requested = [a.split("=", 1)[1] for a in argv if a.startswith("--provider=")]
+    unknown = [t for t in requested if t not in _PROVIDERS]
+    if unknown:
+        raise SystemExit(
+            f"unknown --provider value(s) {unknown}; "
+            f"known: {sorted(_PROVIDERS)}"
+        )
+    if not requested:
+        return dict(_PROVIDERS)
+    return {t: _PROVIDERS[t] for t in dict.fromkeys(requested)}
+
+
 def main() -> None:
     ks = [int(a) for a in sys.argv[1:] if a.isdigit()] or [10_000, 100_000, 500_000]
     # Validate --provider= BEFORE spinning up Spark: a mistyped name
     # must fail in milliseconds, not silently widen a multi-hour ramp
     # to every provider (r13 ADVICE).
-    provider_args = [a for a in sys.argv if a.startswith("--provider=")]
-    providers = {
-        t: p for t, p in _PROVIDERS.items()
-        if f"--provider={t}" in provider_args
-    }
-    if provider_args and not providers:
-        raise SystemExit(
-            f"unknown --provider value(s) {provider_args}; "
-            f"known: {sorted(_PROVIDERS)}"
-        )
-    providers = providers or _PROVIDERS
+    providers = _select_providers(sys.argv)
     from mysql_cdc_spark.session import get_spark
 
     spark = get_spark("state-scale")
