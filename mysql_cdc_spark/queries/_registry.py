@@ -240,6 +240,9 @@ REGISTRATION_ORDER: list[str] = [
     "mm_mp4_fragmented_keyframes",
     # r14 additions
     "llm_ann_ivfpq_residual",
+    # r15 additions
+    "cdc_binlog_pushdown",
+    "cdc_stream_txn_events",
 ]
 
 

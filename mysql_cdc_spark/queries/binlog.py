@@ -423,6 +423,71 @@ def cdc_binlog_typed_state(spark, sf_dir):
 
 
 @register(
+    "cdc_binlog_pushdown",
+    """
+WITH ev AS (
+  SELECT event_id,
+         CAST(event_id % 97 AS BIGINT) AS id,
+         CASE WHEN event_type IN ('signup','purchase') THEN 'write_rows'
+              WHEN event_type IN ('click','view') THEN 'update_rows'
+              ELSE 'delete_rows' END AS row_op,
+         printf('%d.%04d', event_id % 100000, event_id % 10000) AS v,
+         CASE WHEN event_id % 10 = 0 THEN NULL ELSE event_type END AS w
+  FROM events WHERE user_id % 2 = 0
+)
+SELECT id, val, word FROM (
+  SELECT id,
+         CASE WHEN row_op = 'delete_rows' THEN NULL ELSE v END AS val,
+         CASE WHEN row_op = 'delete_rows' THEN NULL ELSE w END AS word,
+         row_op,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY event_id DESC) AS rn
+  FROM ev
+) WHERE rn = 1 AND row_op <> 'delete_rows'
+""".strip(),
+)
+def cdc_binlog_pushdown(spark, sf_dir):
+    """Filter-before-decode pushdown end-to-end (r14 VERDICT #1): the
+    (db, tbl) predicate pushed INTO the byte codec via
+    `typed_changes_scan` — foreign tables' row events (half the
+    multi-table log) skip image parsing entirely; headers and
+    TABLE_MAPs still decode so map state threads across skipped
+    frames.  Replays foo.auto to latest state ordered by the stable
+    (file, offset) identity — envelope seq is delivery-order under
+    pushdown, so the byte offset is the replay key (reference anchor:
+    mysql_binlog.clj:592-604 decodes every used column; SURVEY §4
+    names the skip as the custom gain)."""
+    import pathlib
+
+    from mysql_cdc_spark.sources import binlog_source as bs
+
+    out_dir = pathlib.Path(_STREAM_TMP) / f"binlog_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
+    if not any(out_dir.glob("binlog.*")):
+        bs.generate_binlog_from_events(sf_dir, str(out_dir))
+    typed = bs.typed_changes_scan(
+        spark, str(out_dir), "foo", "auto",
+        {"id": "bigint", "val": "string", "word": "string"},
+    )
+    keyed = typed.selectExpr(
+        "coalesce(after_id, before_id) AS id",
+        "struct(CAST(regexp_extract(log_file, 'binlog\\\\.(\\\\d+)', 1) AS BIGINT)"
+        " AS file_idx, offset) AS ord",
+        "op",
+        "after_val AS val",
+        "after_word AS word",
+    )
+    return (
+        keyed.groupBy("id")
+        .agg(F.expr("max_by(struct(val, word, op), ord)").alias("last"))
+        .filter(F.col("last.op") != "delete_rows")
+        .select(
+            "id",
+            F.col("last.val").alias("val"),
+            F.col("last.word").alias("word"),
+        )
+    )
+
+
+@register(
     "cdc_binlog_tags_typed",
     """
 WITH ev AS (

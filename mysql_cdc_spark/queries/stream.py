@@ -474,3 +474,40 @@ def cdc_stream_bootstrap(spark, sf_dir):
         rows_delta_type(_stream_env(spark, sf_dir)).filter(F.col("offset") > mid)
     )
     return aggregates.apply_changes(snapshot, streamed)
+
+
+@register(
+    "cdc_stream_txn_events",
+    with_changes(
+        ", tagged AS (SELECT *, CAST(COALESCE(SUM(CASE WHEN op = 'xid' THEN 1 ELSE 0 END) "
+        'OVER (ORDER BY "offset" ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS txn '
+        "FROM changes)"
+        " SELECT txn, COUNT(*) AS n_events, "
+        'MIN("offset") AS first_offset, MAX("offset") AS last_offset, MAX(xid) AS xid, '
+        "CAST(MAX(CASE WHEN op = 'update_rows' THEN 1 ELSE 0 END) AS BIGINT) AS has_update "
+        "FROM tagged GROUP BY txn"
+    ),
+)
+def cdc_stream_txn_events(spark, sf_dir):
+    """STREAMING transaction assembly (r14 VERDICT #2, SURVEY §2.6):
+    per-log_file state buffers the open transaction and emits the
+    assembled commit in the micro-batch whose XID event completed it;
+    abandoned partials GC by processing-time timeout (pinned in
+    tests/test_streaming.py).  Hash-equal to the BATCH cdc_txn_events
+    oracle on the same log — the commit index `txn` is assigned over
+    the assembled output by first_offset order (presentation-level: a
+    window over one row per commit, not over the event stream).
+    Reference anchor: mysql_binlog.clj:393-394, :730-733 (serial
+    buffer-until-xid); the streaming form adds what the reference
+    never had — out-of-order holdback and state GC."""
+    from pyspark.sql import Window
+
+    from mysql_cdc_spark.streaming import stateful
+
+    env = _stream_env(spark, sf_dir)
+    assembled = _drain(stateful.txn_events_stateful(env), output_mode="append")
+    return assembled.select(
+        (F.row_number().over(Window.orderBy("first_offset")) - 1)
+        .cast("bigint").alias("txn"),
+        "n_events", "first_offset", "last_offset", "xid", "has_update",
+    )

@@ -117,6 +117,17 @@ TRANSACTION_PAYLOAD_EVENT = 40  # 8.0.20+ binlog_transaction_compression
 ANONYMOUS_GTID_EVENT = 34   # gtid_mode=OFF placeholder
 PREVIOUS_GTIDS_EVENT = 35   # executed-set snapshot at log start
 
+# All row-event type codes (v1 + v2 + partial) — the set the
+# `only_tables` filter-before-decode pushdown may skip (r14 VERDICT
+# #1: the one SURVEY §4 optimization the reference never had; it
+# decodes every used column of every row event, mysql_binlog.clj:
+# 592-604, then filters downstream).
+ROW_EVENT_TYPES = frozenset({
+    WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT, DELETE_ROWS_EVENT,
+    WRITE_ROWS_EVENT_V2, UPDATE_ROWS_EVENT_V2, DELETE_ROWS_EVENT_V2,
+    PARTIAL_UPDATE_ROWS_EVENT,
+})
+
 # Column type codes (public; reference table :430-457)
 TYPE_TINY = 1
 TYPE_SHORT = 2
@@ -1789,6 +1800,7 @@ def decode_binlog(
     table_map: TableMapState | None = None,
     on_error: str = "raise",
     checksum: str | None = None,
+    only_tables: "set[tuple[str, str]] | None" = None,
 ) -> list[dict]:
     """D1+S3/S4: walk the event chain from `start_offset`, threading
     table-map state, with the torn-tail guard (a header or body that
@@ -1803,7 +1815,7 @@ def decode_binlog(
     """
     events, _, _ = decode_binlog_incremental(
         data, start_offset, table_map, catalog, on_error=on_error,
-        checksum=checksum,
+        checksum=checksum, only_tables=only_tables,
     )
     return events
 
@@ -1818,6 +1830,7 @@ def decode_binlog_incremental(
     on_error: str = "raise",
     checksum: str | None = None,
     advance_by_length: bool = False,
+    only_tables: "set[tuple[str, str]] | None" = None,
 ) -> tuple[list[dict], int, TableMapState | None]:
     """S9 incremental-turn form: decode `[start_offset, end-of-data)`
     and return (events, next_offset, table_map_state) so the caller
@@ -1838,6 +1851,24 @@ def decode_binlog_incremental(
     the reason in ``sql``, and the walk CONTINUES at the next header
     (the event frame is intact — only the body failed).  Production
     CDC must drain past poison events; crashing loses the stream.
+
+    ``only_tables={(db, tbl), ...}`` is filter-BEFORE-decode pushdown
+    (SURVEY §4 — the reference decodes every used column of every row
+    event, mysql_binlog.clj:592-604, and filters afterwards): headers,
+    TABLE_MAPs, and all non-row events decode as usual, but a row
+    event whose current table map names a table NOT in the set skips
+    row-image body decode entirely and is dropped from the output —
+    the frame's event_len makes the skip free.  Parity contract:
+    emitted events (including their ``seq``, which still counts
+    skipped frames) are byte-identical to a full decode filtered to
+    ``keep(e) = e.op not a row op or (db, tbl) ∈ only_tables``.  CRC32
+    trailers are STILL verified on skipped frames (stream integrity is
+    not negotiable; the win is skipping the per-column Python image
+    parse, ~100× the crc cost).  The one intended asymmetry: body
+    corruption INSIDE a skipped row event on a checksum-free log is
+    never observed (no quarantine record), because the body is never
+    read.  A row event arriving with no table map yet (tmap None)
+    cannot be attributed and takes the normal decode/error path.
     """
     if base == 0 and not is_binlog(data):
         raise ValueError("not a binlog file (bad magic)")
@@ -1865,6 +1896,16 @@ def decode_binlog_incremental(
             "op": OP_NAMES.get(type_code), "db": None, "tbl": None,
             "xid": None, "sql": None, "before": None, "after": None,
         }
+        # Filter-before-decode: a row event for a table outside the
+        # pushdown set skips image parsing entirely (but still passes
+        # CRC framing below, and still consumes a seq slot so emitted
+        # events match a full decode's numbering exactly).
+        skip_body = (
+            only_tables is not None
+            and type_code in ROW_EVENT_TYPES
+            and tmap is not None
+            and (tmap.db, tmap.table) not in only_tables
+        )
         try:
             if type_code == FORMAT_DESCRIPTION_EVENT:
                 alg = _fde_checksum_alg(body)
@@ -1884,7 +1925,8 @@ def decode_binlog_incremental(
                         f"stored {expect:#010x}, computed {actual:#010x}"
                     )
                 body = body[:-4]
-            _decode_body(ev, type_code, body, catalog, tmap)
+            if not skip_body:
+                _decode_body(ev, type_code, body, catalog, tmap, only_tables)
         except Exception as exc:
             if on_error == "quarantine":
                 # Dead-letter the poison event and keep walking: the
@@ -1924,19 +1966,36 @@ def decode_binlog_incremental(
                 f"corrupt {OP_NAMES.get(type_code, type_code)} event at "
                 f"offset {base + pos}: {exc!r}"
             ) from exc
+        if skip_body:
+            # Dropped from the output; the frame still advances the
+            # walk and consumes one seq (parity with full decode).
+            seq += 1
+            rel_next = next_pos - base
+            if advance_by_length or rel_next <= pos:
+                pos = pos + event_len
+            else:
+                pos = rel_next
+            continue
         if ev.get("_new_table_map") is not None:
             tmap = ev.pop("_new_table_map")
         inner = ev.pop("_inner_events", None)
+        inner_frames = ev.pop("_inner_frames", 0)
         events.append(ev)
         seq += 1
-        if inner:
+        if inner is not None:
             # Splice a transaction payload's embedded events into the
-            # stream with contiguous seq numbers; the payload decode
-            # already threaded the table map and set absolute offsets.
+            # stream; the payload decode already threaded the table
+            # map and set absolute offsets.  Each inner event's local
+            # seq is its FRAME index within the payload (the nested
+            # decode counts skipped frames too), so offsetting by the
+            # envelope's successor seq keeps numbering identical to a
+            # full decode even when pushdown dropped some frames; the
+            # outer counter then advances by the payload's total frame
+            # count, not by how many events survived the filter.
             for iev in inner:
-                iev["seq"] = seq
-                seq += 1
+                iev["seq"] = seq + iev["seq"]
                 events.append(iev)
+            seq += inner_frames
         # header's `next` is absolute in the containing log; inside an
         # extracted transaction payload those positions refer to the
         # ORIGINAL log and must be ignored (advance_by_length).
@@ -1954,6 +2013,7 @@ def _decode_body(
     body: bytes,
     catalog: dict,
     tmap: TableMapState | None,
+    only_tables: "set[tuple[str, str]] | None" = None,
 ) -> None:
     """Type-specific body decode into `ev`.  A new TABLE_MAP is handed
     back via ev["_new_table_map"] (the caller threads it)."""
@@ -2115,12 +2175,25 @@ def _decode_body(
         inner, _, inner_tmap = decode_binlog_incremental(
             payload, inner_base, tmap, catalog,
             base=inner_base, on_error="raise", checksum=None,
-            advance_by_length=True,
+            advance_by_length=True, only_tables=only_tables,
         )
-        ev["sql"] = f"payload: {len(inner)} events, " + (
+        # Total frames inside the payload (cheap header walk): the
+        # envelope's sql text and the caller's seq accounting must
+        # reflect the payload's true size even when pushdown dropped
+        # row events — full decode emits one event per frame, so with
+        # only_tables=None this equals len(inner).
+        n_frames, q = 0, 0
+        while q + HEADER_LEN <= len(payload):
+            flen = int.from_bytes(payload[q + 9:q + 13], "little")
+            if flen < HEADER_LEN or q + flen > len(payload):
+                break
+            n_frames += 1
+            q += flen
+        ev["sql"] = f"payload: {n_frames} events, " + (
             "uncompressed" if comp_type == 255 else "zstd"
         )
         ev["_inner_events"] = inner
+        ev["_inner_frames"] = n_frames
         if inner_tmap is not tmap:
             ev["_new_table_map"] = inner_tmap
     elif type_code == INTVAR_EVENT:

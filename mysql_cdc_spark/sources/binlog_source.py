@@ -178,17 +178,35 @@ def _stringify(image: dict | None) -> dict | None:
 
 
 def envelope_records(
-    events: list[dict], log_file: str, seq_start: int = 0
+    events: list[dict], log_file: str, seq_start: int = 0,
+    only_tables: set[tuple[str, str]] | None = None,
 ) -> tuple[list[dict], int]:
     """Flatten decoded codec events into envelope records (one per row
     image pair; non-row events emit one record).  Returns (records,
     next_seq) so callers that deliver a file's events across several
     batches — the incremental tailer — keep per-file seq continuity.
-    Shared by the batch binaryFile path and the streaming bridge."""
+    Shared by the batch binaryFile path and the streaming bridge.
+
+    ``only_tables`` drops row-event records for tables outside the set
+    (non-row events always pass).  This is the record-level half of the
+    filter-before-decode pushdown: callers that control the decode pass
+    the same set to `decode_binlog(..., only_tables=...)` so skipped
+    tables never pay image parsing; passing it here as well keeps the
+    envelope correct for callers that receive pre-decoded events (the
+    streaming tailer bridge).  Envelope ``seq`` numbers DELIVERED
+    records — under pushdown it is not comparable to an unfiltered
+    run's seq; use (log_file, offset, row_idx) as the stable identity.
+    """
     out: list[dict] = []
     seq = seq_start
     for ev in events:
         if ev["op"] not in _ENVELOPE_OPS:
+            continue
+        if (
+            only_tables is not None
+            and ev["op"].endswith("_rows")
+            and (ev["db"], ev["tbl"]) not in only_tables
+        ):
             continue
         base = {
             "log_file": log_file, "seq": seq, "offset": ev["offset"],
@@ -220,9 +238,16 @@ def read_binlog_envelope(
     path: str,
     catalog: dict[tuple[str, str], list[str]] | None = None,
     on_error: str = "raise",
+    only_tables: set[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Decode every binlog file under `path` into envelope records
-    (one record per row image pair; non-row events emit one record)."""
+    (one record per row image pair; non-row events emit one record).
+
+    ``only_tables={(db, tbl), ...}`` pushes the table predicate INTO
+    the byte decode (filter-before-decode, SURVEY §4): row events for
+    other tables never pay image parsing — at 100 TB a per-table
+    consumer reads every frame header but decodes only its own rows.
+    """
     files = spark.read.format("binaryFile").load(path).select("path", "content")
     # binaryFile packs many small logs into one 128 MB split, which
     # would serialize the per-file Python decode onto one core; hash-
@@ -242,7 +267,11 @@ def read_binlog_envelope(
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 log_file = str(fpath).rsplit("/", 1)[-1]
                 recs, _ = envelope_records(
-                    decode_binlog(bytes(content), cat, on_error=on_error), log_file
+                    decode_binlog(
+                        bytes(content), cat, on_error=on_error,
+                        only_tables=only_tables,
+                    ),
+                    log_file,
                 )
                 out.extend(recs)
             yield pd.DataFrame(out, columns=cols)
@@ -275,6 +304,31 @@ def typed_changes(
         for name, dtype in columns.items()
     ]
     return rows.select("log_file", "seq", "offset", "op", "row_idx", *typed)
+
+
+def typed_changes_scan(
+    spark: SparkSession,
+    path: str,
+    db: str,
+    tbl: str,
+    columns: dict[str, str],
+    catalog: dict[tuple[str, str], list[str]] | None = None,
+    on_error: str = "raise",
+) -> DataFrame:
+    """`typed_changes` with the table predicate pushed INTO the byte
+    decode (filter-before-decode, SURVEY §4): row events for every
+    other table skip image parsing inside the codec instead of being
+    decoded and discarded by the DataFrame filter.  The reference
+    decodes every used column of every row event and filters after
+    (mysql_binlog.clj:592-604) — at 100 TB a per-table typed view
+    should pay header-walk cost for foreign tables, not row decode.
+    Results are identical to `typed_changes(read_binlog_envelope(...),
+    db, tbl, columns)` except envelope `seq` numbering (delivery-order;
+    use (log_file, offset, row_idx) as the stable identity)."""
+    env = read_binlog_envelope(
+        spark, path, catalog, on_error=on_error, only_tables={(db, tbl)}
+    )
+    return typed_changes(env, db, tbl, columns)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,229 @@
+"""Filter-before-decode pushdown tests (r14 VERDICT #1).
+
+The reference decodes every used column of every row event and filters
+downstream (mysql_binlog.clj:592-604); SURVEY §4 names skipping
+non-matching tables' row-image decode as the one custom gain.  The
+parity contract under test: `decode_binlog(data, only_tables=S)`
+produces exactly `[e for e in decode_binlog(data) if keep(e)]` with
+`keep(e) = e.op not a row op or (db, tbl) in S` — seq included, since
+skipped frames still consume a seq slot.  Documented asymmetry: body
+corruption inside a skipped row event on a checksum-free log is never
+observed (the body is never read); CRC trailers ARE still verified.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mysql_cdc_spark.sources.binlog_codec import (
+    TYPE_LONG,
+    TYPE_NEWDECIMAL,
+    TYPE_VARCHAR,
+    UPDATE_ROWS_EVENT,
+    WRITE_ROWS_EVENT,
+    WRITE_ROWS_EVENT_V2,
+    BinlogWriter,
+    TableDef,
+    decode_binlog,
+)
+from mysql_cdc_spark.sources.binlog_source import envelope_records
+
+COLS = [(TYPE_LONG, None), (TYPE_NEWDECIMAL, (12, 4)), (TYPE_VARCHAR, 50)]
+AUTO = TableDef("foo", "auto", COLS, table_id=1)
+BIG = TableDef("bench", "big", COLS, table_id=2)
+CAT = {("foo", "auto"): ["id", "val", "word"],
+       ("bench", "big"): ["id", "val", "word"]}
+ROW_OPS = ("write_rows", "update_rows", "delete_rows")
+ONLY_AUTO = {("foo", "auto")}
+
+
+def _keep(ev: dict) -> bool:
+    return ev["op"] not in ROW_OPS or (ev["db"], ev["tbl"]) in ONLY_AUTO
+
+
+def _interleaved_log(checksum: str | None = None) -> bytes:
+    w = BinlogWriter(checksum=checksum)
+    for i in range(6):
+        t = AUTO if i % 2 == 0 else BIG
+        w.write_query(t.db, f"INSERT INTO {t.db}.{t.table} VALUES (?)", ts=i)
+        w.write_table_map(t, ts=i)
+        w.write_rows(WRITE_ROWS_EVENT, t, [[i, f"{i}.0000", f"w{i}"]], ts=i)
+        w.write_rows(
+            UPDATE_ROWS_EVENT, t,
+            [([i, f"{i}.0000", f"w{i}"], [i, f"{i}.5000", None])], ts=i,
+        )
+        w.write_xid(i, ts=i)
+    return w.getvalue()
+
+
+def test_pushdown_parity_interleaved_tables():
+    data = _interleaved_log()
+    full = decode_binlog(data, CAT)
+    filtered = decode_binlog(data, CAT, only_tables=ONLY_AUTO)
+    assert filtered == [e for e in full if _keep(e)]
+    # sanity: something was actually skipped, and seq gaps prove the
+    # skipped frames still consumed numbering
+    assert len(filtered) < len(full)
+    seqs = [e["seq"] for e in filtered]
+    assert seqs == sorted(seqs) and seqs != list(range(len(seqs)))
+    # non-row events (query/table_map/xid) of BOTH tables all survive
+    assert sum(e["op"] == "table_map" and e["db"] == "bench" for e in filtered) == 3
+
+
+def test_pushdown_parity_with_crc32_and_rotation():
+    w = BinlogWriter(checksum="crc32")
+    w.write_table_map(AUTO)
+    w.write_rows(WRITE_ROWS_EVENT, AUTO, [[1, "1.0000", "a"]])
+    w.write_table_map(BIG)
+    w.write_rows(WRITE_ROWS_EVENT, BIG, [[2, "2.0000", "b"]])
+    w.write_rotate("binlog.000002")
+    w.write_table_map(BIG)
+    w.write_rows(WRITE_ROWS_EVENT, BIG, [[3, "3.0000", "c"]])
+    data = w.getvalue()
+    full = decode_binlog(data, CAT, checksum="crc32")
+    filtered = decode_binlog(data, CAT, checksum="crc32", only_tables=ONLY_AUTO)
+    assert filtered == [e for e in full if _keep(e)]
+    assert any(e["op"] == "rotate" for e in filtered)
+
+
+def test_pushdown_quarantine_parity_on_matching_table():
+    """Corruption in a MATCHING table's row body quarantines
+    identically in both modes (the body is decoded either way)."""
+    w = BinlogWriter()
+    w.write_table_map(AUTO)
+    w.write_rows(WRITE_ROWS_EVENT, AUTO, [[1, "1.0000", "ok"]])
+    # corrupt row event for the matching table: truncated image bytes
+    w._emit(WRITE_ROWS_EVENT, AUTO.table_id.to_bytes(6, "little") + bytes(2)
+            + b"\x03" + b"\x07" + b"\x00")
+    w.write_table_map(BIG)
+    w.write_rows(WRITE_ROWS_EVENT, BIG, [[2, "2.0000", "b"]])
+    data = w.getvalue()
+    full = decode_binlog(data, CAT, on_error="quarantine")
+    filtered = decode_binlog(
+        data, CAT, on_error="quarantine", only_tables=ONLY_AUTO
+    )
+    assert filtered == [e for e in full if _keep(e)]
+    assert sum(e["op"] == "quarantine" for e in filtered) == 1
+
+
+def test_pushdown_never_reads_skipped_checksum_free_body():
+    """The documented asymmetry: body corruption inside a SKIPPED row
+    event on a checksum-free log is never observed — no quarantine
+    record, no exception — because the body is never read."""
+    w = BinlogWriter()
+    w.write_table_map(BIG)
+    # declared width 5 vs the table map's 3 — full decode raises the
+    # "row event declares N columns" ValueError and quarantines
+    w._emit(WRITE_ROWS_EVENT, BIG.table_id.to_bytes(6, "little") + bytes(2)
+            + b"\x05" + b"\x1f" + b"\x00\xff")
+    w.write_table_map(AUTO)
+    w.write_rows(WRITE_ROWS_EVENT, AUTO, [[1, "1.0000", "a"]])
+    data = w.getvalue()
+    full = decode_binlog(data, CAT, on_error="quarantine")
+    assert sum(e["op"] == "quarantine" for e in full) == 1
+    filtered = decode_binlog(data, CAT, only_tables=ONLY_AUTO)  # raise mode!
+    assert [e for e in filtered if e["op"] in ROW_OPS + ("quarantine",)] == [
+        e for e in full if e["op"] in ROW_OPS
+    ]
+
+
+def test_pushdown_still_verifies_crc_on_skipped_frames():
+    """Stream integrity is not negotiable: a CRC-corrupt frame is
+    caught even when its table is filtered out."""
+    w = BinlogWriter(checksum="crc32")
+    w.write_table_map(BIG)
+    w.write_rows(WRITE_ROWS_EVENT, BIG, [[2, "2.0000", "b"]])
+    data = bytearray(w.getvalue())
+    data[-6] ^= 0xFF  # flip a byte inside the last event's body
+    with pytest.raises(ValueError, match="CRC32 mismatch"):
+        decode_binlog(bytes(data), CAT, checksum="crc32",
+                      only_tables=ONLY_AUTO)
+    q = decode_binlog(bytes(data), CAT, checksum="crc32",
+                      only_tables=ONLY_AUTO, on_error="quarantine")
+    assert q[-1]["op"] == "quarantine"
+
+
+def test_pushdown_row_before_any_table_map_still_errors():
+    """A row event with no table map cannot be attributed to a table,
+    so pushdown must NOT skip it — same error as full decode."""
+    w = BinlogWriter()
+    w.write_rows(WRITE_ROWS_EVENT, BIG, [[2, "2.0000", "b"]])
+    with pytest.raises(ValueError, match="without preceding TABLE_MAP"):
+        decode_binlog(w.getvalue(), CAT, only_tables=ONLY_AUTO)
+
+
+def test_pushdown_inside_transaction_payload():
+    """only_tables threads into TRANSACTION_PAYLOAD inner decode; the
+    envelope's frame count and every spliced event's seq keep full-
+    decode numbering."""
+    # build inner event bytes with one writer and strip magic+FDE
+    iw = BinlogWriter()
+    fde_end = len(iw.getvalue())
+    for i, t in enumerate((AUTO, BIG, AUTO)):
+        iw.write_table_map(t, ts=i)
+        iw.write_rows(WRITE_ROWS_EVENT, t, [[i, f"{i}.0000", "p"]], ts=i)
+    payload = iw.getvalue()[fde_end:]
+    for zstd in (255, 0):
+        w = BinlogWriter()
+        w.write_table_map(AUTO)
+        w.write_transaction_payload(payload, compression_type=zstd)
+        w.write_xid(9)
+        data = w.getvalue()
+        full = decode_binlog(data, CAT)
+        filtered = decode_binlog(data, CAT, only_tables=ONLY_AUTO)
+        assert filtered == [e for e in full if _keep(e)]
+        env_full = next(e for e in full if e["op"] == "transaction_payload")
+        env_filt = next(e for e in filtered if e["op"] == "transaction_payload")
+        assert env_filt["sql"] == env_full["sql"]  # frame count, not kept count
+        assert "6 events" in env_filt["sql"]
+
+
+def test_envelope_records_only_tables():
+    data = _interleaved_log()
+    events = decode_binlog(data, CAT)
+    recs_all, _ = envelope_records(events, "binlog.000001")
+    recs_f, _ = envelope_records(events, "binlog.000001",
+                                 only_tables=ONLY_AUTO)
+    kept = [r for r in recs_all
+            if not r["op"].endswith("_rows") or (r["db"], r["tbl"]) in ONLY_AUTO]
+    # identity (log_file, offset, row_idx) and payloads match; seq is
+    # delivery-order and intentionally renumbered
+    strip = lambda r: {k: v for k, v in r.items() if k != "seq"}
+    assert [strip(r) for r in recs_f] == [strip(r) for r in kept]
+
+
+def test_spark_envelope_pushdown_parity(spark, tmp_path):
+    """End-to-end through binaryFile + mapInPandas: read_binlog_envelope
+    with only_tables equals the full envelope filtered, on the stable
+    (log_file, offset, row_idx) identity."""
+    import pathlib
+
+    from mysql_cdc_spark.sources import binlog_source as bs
+
+    out = tmp_path / "logs"
+    out.mkdir()
+    (out / "binlog.000001").write_bytes(_interleaved_log())
+    (out / "binlog.000002").write_bytes(_interleaved_log(checksum="crc32"))
+    env_full = bs.read_binlog_envelope(spark, str(out), CAT)
+    env_push = bs.read_binlog_envelope(spark, str(out), CAT,
+                                       only_tables=ONLY_AUTO)
+
+    def rows(df):
+        # MAP columns don't support exceptAll; serialize each image to
+        # a sorted key=value string and compare as multisets
+        cols = [c for c in df.columns if c not in ("seq", "before", "after")]
+        out_rows = df.selectExpr(
+            *cols,
+            "array_join(transform(array_sort(map_keys(before)),"
+            " k -> concat(k, '=', coalesce(before[k], '<null>'))), ',') AS b",
+            "array_join(transform(array_sort(map_keys(after)),"
+            " k -> concat(k, '=', coalesce(after[k], '<null>'))), ',') AS a",
+        ).collect()
+        return sorted(tuple(r) for r in out_rows)
+
+    expect = rows(env_full.filter(
+        "op NOT IN ('write_rows','update_rows','delete_rows') "
+        "OR (db = 'foo' AND tbl = 'auto')"
+    ))
+    got = rows(env_push)
+    assert got == expect and len(got) > 0

@@ -373,6 +373,14 @@ def test_declarative_first_stateful_policy():
         # incremental DDL fold kept as the multi-batch state-transfer
         # proof over a second state shape (per-key dict)
         "cdc_stream_schema_version",
+        # transaction assembly (r14 VERDICT #2): commit-boundary
+        # folding in offset order with gap holdback and EVENT-TIME
+        # TIMEOUT GC of abandoned partials — exactly the two
+        # semantics this comment names as legitimate extensions
+        # (state expiry + custom non-window grouping); no windowed
+        # aggregation can express "emit when the XID event arrives,
+        # never emit uncommitted buffers"
+        "cdc_stream_txn_events",
     }
     assert offenders == allowed, (
         f"stateful-policy drift: {offenders ^ allowed} — new "

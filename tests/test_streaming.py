@@ -483,3 +483,84 @@ def test_stateful_queries_green_on_rocksdb_state_store(spark, sf_dir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, default)
+
+
+def test_txn_assembly_watermark_gc_and_reorder(spark):
+    """r14 VERDICT #2 'done' conditions beyond the oracle gate:
+
+    1. an ABANDONED transaction (events but no XID) never emits, and
+       its state is garbage-collected once the watermark passes its
+       newest event by the GC gap (event-time timeout);
+    2. a transaction whose events arrive out of order ACROSS batches
+       (the commit's tail before its head) emits exactly once, fully
+       assembled, in the batch that fills the gap.
+    """
+    import shutil
+    import uuid
+    from datetime import datetime, timedelta
+
+    from mysql_cdc_spark.model import ENVELOPE_SCHEMA
+    from mysql_cdc_spark.streaming import runtime as rt
+    from mysql_cdc_spark.streaming.stateful import txn_events_stateful
+
+    scratch = f"/root/repo/.stream_tmp/test/{uuid.uuid4().hex[:10]}"
+    log_dir = f"{scratch}/log"
+    t0 = datetime(2024, 1, 1)
+
+    def ev(log, offset, op, ts, xid=None):
+        return (offset, log, ts, 1, xid, "foo", "auto", op,
+                None, None, None, None, None)
+
+    # batch 1: log A = partial txn (no xid, ever); log C = head plus
+    # the txn's TAIL past a gap (offsets 0, 2, 3 — the xid arrives
+    # before the event at offset 1)
+    rows1 = [
+        ev("A", 0, "query", t0), ev("A", 1, "table_map", t0),
+        ev("A", 2, "write_rows", t0),
+        ev("C", 0, "query", t0), ev("C", 2, "update_rows", t0),
+        ev("C", 3, "xid", t0, xid=77),
+    ]
+    # batch 2: C's missing event fills the gap; log B is far in the
+    # future — its event time advances the watermark past A's GC
+    # deadline
+    rows2 = [
+        ev("C", 1, "table_map", t0 + timedelta(seconds=1)),
+        ev("B", 0, "query", t0 + timedelta(days=30)),
+        ev("B", 1, "write_rows", t0 + timedelta(days=30)),
+        ev("B", 2, "xid", t0 + timedelta(days=30), xid=88),
+    ]
+    try:
+        for rows in (rows1, rows2):
+            spark.createDataFrame(rows, ENVELOPE_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(log_dir)
+        stream = rt.open_stream(spark, log_dir, max_files_per_trigger=1)
+        asm = txn_events_stateful(
+            stream, gc_gap_ms=60_000, watermark_delay="0 seconds"
+        )
+        sink = f"txn_{uuid.uuid4().hex[:8]}"
+        cp = f"{scratch}/cp"
+        q = (
+            asm.writeStream.format("memory").queryName(sink)
+            .outputMode("append").option("checkpointLocation", cp)
+            .trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(180), "drain did not terminate"
+        state_rows = [
+            so.get("numRowsTotal")
+            for p in q.recentProgress
+            for so in p.get("stateOperators", [])
+        ]
+        out = {r["log_file"]: r for r in spark.sql(f"SELECT * FROM {sink}").collect()}
+        # (2) out-of-order commit assembled exactly once, complete
+        assert out["C"]["n_events"] == 4 and out["C"]["xid"] == 77
+        assert out["C"]["first_offset"] == 0 and out["C"]["last_offset"] == 3
+        assert out["B"]["n_events"] == 3 and out["B"]["xid"] == 88
+        # (1) the abandoned partial never emits...
+        assert "A" not in out
+        # ...and its state was reclaimed by the watermark timeout: at
+        # some point A (+C's holdback) held state, at the end zero
+        assert max(state_rows) >= 1
+        assert state_rows[-1] == 0, f"abandoned state not GC'd: {state_rows}"
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
