@@ -243,6 +243,7 @@ REGISTRATION_ORDER: list[str] = [
     # r15 additions
     "cdc_binlog_pushdown",
     "cdc_stream_txn_events",
+    "llm_ann_lsh_capped",
 ]
 
 

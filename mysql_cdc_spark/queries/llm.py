@@ -447,7 +447,7 @@ def _probe_union_sql() -> str:
             f"substring(bucket, {i + 2}, {n - i - 1})"
         )
     return " UNION ALL ".join(
-        f"SELECT vec_id, band, {v} AS bucket FROM bkt "
+        f"SELECT vec_id, band, {v} AS bucket, ord0, ord1 FROM bkt "
         f"WHERE vec_id < {similarity.DEFAULT_N_QUERIES}"
         for v in variants
     )
@@ -472,6 +472,46 @@ def llm_ann_lsh(spark, sf_dir):
     (MULTI-PROBE: own + Hamming-1 buckets per query) + exact re-rank
     (bucketed equi-join, never all-pairs)."""
     return similarity.ann_lsh(_emb(spark, sf_dir))
+
+
+# Re-rank fan-in bound for the capped gate: small enough to BIND at
+# sf0.01 (multi-probe candidate sets run well past it), large enough
+# that top-k quality is visibly a cap trade-off, not an accident.
+ANN_LSH_CAP = 24
+
+
+@register(
+    "llm_ann_lsh_capped",
+    _BKT_CTE + f", probes AS ({_probe_union_sql()})"
+    ", hits AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id, "
+    "COUNT(*) AS n_hits, "
+    "MAX(ABS(qq.ord0 - c.ord0) + ABS(qq.ord1 - c.ord1)) AS ord_dist "
+    "FROM probes qq JOIN bkt c ON qq.band = c.band AND qq.bucket = c.bucket "
+    "AND c.vec_id != qq.vec_id GROUP BY 1, 2), "
+    "capped AS (SELECT query_id, neighbor_id FROM ("
+    "  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+    "  ORDER BY n_hits DESC, ord_dist, neighbor_id) AS cand_rank FROM hits"
+    f") WHERE cand_rank <= {ANN_LSH_CAP}), "
+    "scored AS (SELECT capped.query_id, capped.neighbor_id, "
+    + _SQL_COS.format(a="a", b="b") + " AS cosine "
+    "FROM capped JOIN n a ON a.vec_id = capped.query_id "
+    "JOIN n b ON b.vec_id = capped.neighbor_id) "
+    "SELECT query_id, neighbor_id, cosine, rank FROM ("
+    "  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
+    "  ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM scored"
+    f") WHERE rank <= {similarity.DEFAULT_K}",
+)
+def llm_ann_lsh_capped(spark, sf_dir):
+    """ann_lsh with `max_candidates_per_query` binding (r14 VERDICT
+    #4): each query re-ranks at most ANN_LSH_CAP candidates, kept by
+    (band-hit count DESC, order-plane |Δ| ASC, neighbor_id) — the
+    multi-probe fan-in bound that makes the 170×-shuffle-at-x100
+    growth an explicit O(queries × cap) before the exact cosine
+    stage.  Oracle replicates the hit counting, the integer-exact
+    locality distances, the deterministic cut, and the re-rank."""
+    return similarity.ann_lsh(
+        _emb(spark, sf_dir), max_candidates_per_query=ANN_LSH_CAP
+    )
 
 
 # Chain-bounded candidate CTE (r11: the all-bucket-pairs cand was

@@ -102,3 +102,62 @@ def test_adversarial_fixture_recall_floors(adversarial_recall):
     # clustered data — measured 0.696 vs 0.572
     assert r["ann_ivfpq_residual"]["mean"] >= 0.60, r["ann_ivfpq_residual"]
     assert r["ann_ivfpq_residual"]["mean"] >= r["ann_ivfpq"]["mean"], r
+
+
+def test_ann_lsh_candidate_cap_bounds_and_recall(spark, copies_recall):
+    """r14 VERDICT #4: `max_candidates_per_query` must (a) actually
+    bound the re-rank fan-in per query, (b) cut deterministically, and
+    (c) at a generous cap reproduce the uncapped result exactly."""
+    from pyspark.sql import functions as F
+
+    emb = _copies_fixture(spark)
+    cap = 7
+    # (a) with k larger than the cap, output rows per query ≤ cap —
+    # the only way that holds is the candidate set itself being capped
+    capped = sim.ann_lsh(
+        emb, n_queries=N_QUERIES, k=10_000, max_candidates_per_query=cap
+    )
+    per_q = capped.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+    assert per_q and all(r["n"] <= cap for r in per_q), per_q
+    # (b) two runs agree row-for-row (n_hits DESC, neighbor_id cut)
+    a = sorted(map(tuple, capped.collect()))
+    b = sorted(map(tuple, sim.ann_lsh(
+        emb, n_queries=N_QUERIES, k=10_000, max_candidates_per_query=cap
+    ).collect()))
+    assert a == b
+    # capped candidates are a subset of the uncapped candidate set
+    uncapped = sim.ann_lsh(emb, n_queries=N_QUERIES, k=10_000)
+    un_pairs = {(r["query_id"], r["neighbor_id"]) for r in uncapped.collect()}
+    assert {(q, n) for q, n, *_ in a} <= un_pairs
+    # (c) cap ≥ every query's candidate count → identical to uncapped
+    max_cand = max(
+        r["n"] for r in uncapped.groupBy("query_id")
+        .agg(F.count("*").alias("n")).collect()
+    )
+    wide = sim.ann_lsh(
+        emb, n_queries=N_QUERIES, k=10_000,
+        max_candidates_per_query=max_cand,
+    )
+    assert sorted(map(tuple, wide.collect())) == sorted(
+        map(tuple, uncapped.collect())
+    )
+    # recall trade-off at an AGGRESSIVE cap, measured r15 and pinned at
+    # measured-with-margin (uncapped is 0.924/0.8 on this fixture):
+    #   (n_hits DESC, ord_dist, id):  cap7 0.76/0.4, cap24 0.788/0.4
+    #   (ord_dist, n_hits DESC, id):  cap7 0.628,    cap24 0.816
+    #   composite ord-2M*(hits-1):    cap7 0.76,     cap24 0.812/0.8
+    # The lexicographic hits-then-locality form is kept: it is the
+    # standard multi-probe priority, carries no fixture-tuned constant
+    # (the composite's 2M bonus is data-scale-dependent), and wins at
+    # tight caps where the knob actually matters.  Hit count ALONE
+    # (the first r15 attempt) collapsed to 0.596/0.0 — the ord_dist
+    # secondary key is load-bearing.
+    from tools.ann_recall import measure_one
+
+    rec = measure_one(
+        spark, emb, N_QUERIES, K,
+        lambda e: sim.ann_lsh(e, n_queries=N_QUERIES, k=K,
+                              max_candidates_per_query=7),
+    )
+    assert rec["mean"] >= 0.70, rec
+    assert rec["min"] >= 0.2, rec

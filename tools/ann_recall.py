@@ -70,6 +70,19 @@ def adversarial_embeddings(spark, k_clusters: int = 12, members: int = 10):
     )
 
 
+def measure_one(spark, emb, n_queries: int, k: int, path_fn) -> dict:
+    """recall@k of one ANN path (a callable emb -> result DataFrame)
+    against the exact knn on the same fixture."""
+    from mysql_cdc_spark.operators import similarity as sim
+
+    emb = emb.cache()
+    emb.count()
+    truth = topk_sets(sim.knn(emb, n_queries=n_queries, k=k))
+    got = topk_sets(path_fn(emb))
+    emb.unpersist()
+    return recall_at_k(truth, got)
+
+
 def measure(spark, emb, n_queries: int, k: int) -> list[dict]:
     from mysql_cdc_spark.operators import similarity as sim
 
