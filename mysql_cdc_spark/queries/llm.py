@@ -1840,6 +1840,22 @@ def llm_ann_ivfpq_residual(spark, sf_dir):
     return similarity.ann_ivfpq_residual(_emb(spark, sf_dir))
 
 
+@register("llm_ann_ivfpq_opq")  # rows-only: eigh is not SQL-expressible
+def llm_ann_ivfpq_opq(spark, sf_dir):
+    """IVFADC over OPQ-rotated residuals (r14 VERDICT #5): the corpus
+    covariance eigenbasis (exact integer moments via
+    embedding_covariance, driver-side eigh) balanced-allocated across
+    the PQ subspaces (Ge et al. 2013 parametric OPQ — pure PCA order
+    measured 0.36 vs 0.516 un-rotated: subspace 0 swallowed the
+    energy), applied as an integer-quantized rotation inside one JVM
+    expression.  No oracle: the eigendecomposition is an iterative
+    algorithm DuckDB SQL cannot replicate — the driver records the
+    rows-only check, and the recall floors in tests/test_ann_recall.py
+    (where OPQ beats ann_ivfpq_residual on all three fixtures) carry
+    the quality weight."""
+    return similarity.ann_ivfpq_opq(_emb(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Round 6 — πps weighted sampling, shard planning, profiling, anomaly,
 # incremental-view maintenance, schema evolution, BPE

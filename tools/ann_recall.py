@@ -97,6 +97,9 @@ def measure(spark, emb, n_queries: int, k: int) -> list[dict]:
         "ann_ivfpq_residual": lambda: sim.ann_ivfpq_residual(
             emb, n_queries=n_queries, k=k
         ),
+        "ann_ivfpq_opq": lambda: sim.ann_ivfpq_opq(
+            emb, n_queries=n_queries, k=k
+        ),
     }
     out = []
     for name, fn in paths.items():
