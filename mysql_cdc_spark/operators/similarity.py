@@ -943,9 +943,11 @@ def pca_rotation(cov_rows: list) -> "object":
 # exact, and the true quotient is ≥1e-4 away from any integer unless
 # exact, so the floor is bit-deterministic on any engine.  The
 # EIGENDECOMPOSITION itself (numpy eigh on the exact integer moments
-# from embedding_covariance) is not SQL-expressible — the OPQ gate is
-# a rows-only check and the recall floors (tests/test_ann_recall.py)
-# carry the correctness weight, exactly as the r13/r14 recall story
+# from embedding_covariance) is not SQL-expressible — so the GATE
+# (llm_ann_ivfpq_rr) hash-verifies the identical pipeline under the
+# deterministic data-independent `fixed_rotation_int()` instead, and
+# the learned rotation's QUALITY is pinned by the recall floors
+# (tests/test_ann_recall.py), exactly as the r13/r14 recall story
 # argued hash parity never could.
 # ---------------------------------------------------------------------------
 
@@ -1015,6 +1017,31 @@ def opq_rotation_int(emb: DataFrame, m: int = PQ_M) -> list[list[int]]:
     return r_int
 
 
+_FIXED_ROTATION: list[list[int]] | None = None
+
+
+def fixed_rotation_int() -> list[list[int]]:
+    """A DETERMINISTIC orthonormal rotation (QR of md5-style seeded
+    gaussians, quantized like the OPQ rotation): Jégou et al.'s
+    "random rotation" PQ baseline.  Data-independent, so — unlike the
+    eigh-derived OPQ rotation — it can be embedded verbatim in a
+    DuckDB oracle: the llm_ann_ivfpq_rr gate hash-verifies the entire
+    rotated-residual-PQ machinery (rotation application, floor
+    quantization, codebook, LUT, ADC) bit-for-bit; only the
+    eigendecomposition itself is left to the recall floors."""
+    global _FIXED_ROTATION
+    if _FIXED_ROTATION is None:
+        import numpy as np
+
+        rng = np.random.default_rng(15)
+        q, _ = np.linalg.qr(rng.normal(0, 1, (DIMS, DIMS)))
+        _FIXED_ROTATION = [
+            [int(round(float(q[j][k]) * OPQ_SCALE)) for j in range(DIMS)]
+            for k in range(DIMS)
+        ]
+    return _FIXED_ROTATION
+
+
 def _rotate_sql(vec: str, r_int: list[list[int]]) -> str:
     rows = ", ".join(
         "array(" + ",".join(str(v) for v in row) + ")" for row in r_int
@@ -1033,6 +1060,7 @@ def ann_ivfpq_opq(
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
     probes: int = IVF_PROBES,
+    rotation_int: list[list[int]] | None = None,
 ) -> DataFrame:
     """IVFADC over OPQ-rotated residuals: identical topology to
     `ann_ivfpq_residual` (coarse cells → exact integer residuals →
@@ -1040,10 +1068,14 @@ def ann_ivfpq_opq(
     residuals rotated into the covariance eigenbasis before the
     subspace split.  Orthonormal rotation preserves L2, so the ADC
     distance semantics are unchanged; what changes is how much of the
-    within-cell variance each PQ subspace can explain."""
+    within-cell variance each PQ subspace can explain.
+
+    `rotation_int` overrides the learned rotation with a caller-
+    supplied integer matrix (e.g. `fixed_rotation_int()` — the
+    oracle-verifiable random-rotation baseline)."""
     d_sub = DIMS // m
     q = quantized(emb)
-    r_int = opq_rotation_int(emb, m)
+    r_int = rotation_int if rotation_int is not None else opq_rotation_int(emb, m)
     cents = _quantized_centroids(emb)
     cvec = cents.select(F.col("label").alias("cell"), "cqv")
     sub_slices = (

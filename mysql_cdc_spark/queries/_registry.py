@@ -244,7 +244,7 @@ REGISTRATION_ORDER: list[str] = [
     "cdc_binlog_pushdown",
     "cdc_stream_txn_events",
     "llm_ann_lsh_capped",
-    "llm_ann_ivfpq_opq",
+    "llm_ann_ivfpq_rr",
 ]
 
 

@@ -1840,20 +1840,81 @@ def llm_ann_ivfpq_residual(spark, sf_dir):
     return similarity.ann_ivfpq_residual(_emb(spark, sf_dir))
 
 
-@register("llm_ann_ivfpq_opq")  # rows-only: eigh is not SQL-expressible
-def llm_ann_ivfpq_opq(spark, sf_dir):
-    """IVFADC over OPQ-rotated residuals (r14 VERDICT #5): the corpus
-    covariance eigenbasis (exact integer moments via
-    embedding_covariance, driver-side eigh) balanced-allocated across
-    the PQ subspaces (Ge et al. 2013 parametric OPQ — pure PCA order
-    measured 0.36 vs 0.516 un-rotated: subspace 0 swallowed the
-    energy), applied as an integer-quantized rotation inside one JVM
-    expression.  No oracle: the eigendecomposition is an iterative
-    algorithm DuckDB SQL cannot replicate — the driver records the
-    rows-only check, and the recall floors in tests/test_ann_recall.py
-    (where OPQ beats ann_ivfpq_residual on all three fixtures) carry
-    the quality weight."""
-    return similarity.ann_ivfpq_opq(_emb(spark, sf_dir))
+# Rotated-residual IVFADC oracle (r14 VERDICT #5).  The LEARNED OPQ
+# rotation (covariance eigh + balanced allocation,
+# similarity.ann_ivfpq_opq) is not SQL-expressible, so the gate
+# verifies the identical machinery under the deterministic
+# data-independent orthonormal rotation (Jégou et al.'s random-
+# rotation baseline, similarity.fixed_rotation_int): the rotation
+# matrix is embedded verbatim in BOTH the Spark plan and this SQL, and
+# the hash covers rotation application, floor quantization, codebook,
+# LUT and ADC bit-for-bit.  The learned-rotation quality is pinned by
+# the recall floors in tests/test_ann_recall.py (OPQ beats
+# ann_ivfpq_residual on all three fixtures there).
+_ROT_LIT = "[" + ", ".join(
+    "[" + ",".join(str(v) for v in row) + "]"
+    for row in similarity.fixed_rotation_int()
+) + "]"
+_ROT_APPLY = (
+    f"list_transform({_ROT_LIT}, row -> CAST(FLOOR(CAST("
+    "list_sum([row[i] * {vec}[i] for i in range(1, len({vec}) + 1)]) "
+    f"AS DOUBLE) / {similarity.OPQ_SCALE}.0) AS BIGINT))"
+)
+
+
+@register(
+    "llm_ann_ivfpq_rr",
+    _EMB_CTE + _IVF_SUFFIX + ", assign AS (SELECT vec_id, cell FROM ("
+    "  SELECT n.vec_id, c.label AS cell, ROW_NUMBER() OVER (PARTITION BY n.vec_id "
+    f"  ORDER BY ({_IVF_CELL_COS}) DESC, c.label) AS cr FROM n, cn c) WHERE cr = 1), "
+    "rres0 AS MATERIALIZED (SELECT a.vec_id, a.cell, " + _RES_LIST.format(a="n") + " AS rv0 "
+    "  FROM assign a JOIN n ON n.vec_id = a.vec_id JOIN cn c ON c.label = a.cell), "
+    "rres AS MATERIALIZED (SELECT vec_id, cell, "
+    + _ROT_APPLY.format(vec="rv0") + " AS rv FROM rres0), "
+    f"rsub AS MATERIALIZED (SELECT vec_id, cell, CAST(t.s AS INTEGER) AS sub, "
+    f"  rv[t.s * {_PQ_DSUB} + 1 : (t.s + 1) * {_PQ_DSUB}] AS sv "
+    f"  FROM rres CROSS JOIN range({similarity.PQ_M}) t(s)), "
+    f"rcb AS MATERIALIZED (SELECT vec_id AS code, sub AS csub, sv AS cv FROM rsub "
+    f"  WHERE vec_id < {similarity.PQ_KSUB}), "
+    f"rbest AS MATERIALIZED (SELECT vec_id, cell, sub, code FROM ("
+    f"  SELECT s.vec_id, s.cell, s.sub, c.code, "
+    f"  ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub ORDER BY {_RDIST}, c.code) AS rn "
+    f"  FROM rsub s JOIN rcb c ON s.sub = c.csub) WHERE rn = 1), "
+    "probe AS (SELECT vec_id, cell FROM ("
+    "  SELECT n.vec_id, c.label AS cell, ROW_NUMBER() OVER (PARTITION BY n.vec_id "
+    f"  ORDER BY ({_IVF_CELL_COS}) DESC, c.label) AS cr FROM n, cn c "
+    f"  WHERE n.vec_id < {similarity.DEFAULT_N_QUERIES}) WHERE cr <= {similarity.IVF_PROBES}), "
+    "qres0 AS (SELECT p.vec_id AS query_id, p.cell, " + _RES_LIST.format(a="n") + " AS qrv0 "
+    "  FROM probe p JOIN n ON n.vec_id = p.vec_id JOIN cn c ON c.label = p.cell), "
+    "qres AS (SELECT query_id, cell, "
+    + _ROT_APPLY.format(vec="qrv0") + " AS qrv FROM qres0), "
+    f"qrsub AS (SELECT query_id, cell, CAST(t.s AS INTEGER) AS sub, "
+    f"  qrv[t.s * {_PQ_DSUB} + 1 : (t.s + 1) * {_PQ_DSUB}] AS qsv "
+    f"  FROM qres CROSS JOIN range({similarity.PQ_M}) t(s)), "
+    f"rlut AS (SELECT qs.query_id, qs.cell, qs.sub, ce.code, {_RLUT_DIST} AS d "
+    "  FROM qrsub qs JOIN rcb ce ON qs.sub = ce.csub), "
+    "scored AS (SELECT l.query_id, b.vec_id AS neighbor_id, "
+    "  CAST(SUM(l.d) AS BIGINT) AS adc_dist "
+    "  FROM rbest b JOIN rlut l ON l.cell = b.cell AND b.sub = l.sub AND b.code = l.code "
+    "  WHERE b.vec_id <> l.query_id GROUP BY 1, 2) "
+    "SELECT query_id, neighbor_id, adc_dist, CAST(rank AS BIGINT) AS rank FROM ("
+    "  SELECT query_id, neighbor_id, adc_dist, "
+    "  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank "
+    f"  FROM scored) WHERE rank <= {similarity.DEFAULT_K}",
+)
+def llm_ann_ivfpq_rr(spark, sf_dir):
+    """Rotated-residual IVFADC under the FIXED orthonormal rotation
+    (random-rotation PQ baseline) — the hash-verifiable twin of the
+    learned-OPQ path: same pipeline (`similarity.ann_ivfpq_opq`), the
+    rotation passed explicitly so DuckDB replicates it literal-for-
+    literal.  The learned covariance-eigenbasis rotation (balanced-
+    allocated per Ge et al. 2013 — pure PCA ordering measured 0.36 vs
+    0.516 un-rotated) is exercised by the recall floors, where it wins
+    on all three fixtures (correlated 0.516→0.768, copies 0.724→0.784,
+    adversarial 0.696→0.732)."""
+    return similarity.ann_ivfpq_opq(
+        _emb(spark, sf_dir), rotation_int=similarity.fixed_rotation_int()
+    )
 
 
 # ---------------------------------------------------------------------------
