@@ -245,6 +245,7 @@ REGISTRATION_ORDER: list[str] = [
     "cdc_stream_txn_events",
     "llm_ann_lsh_capped",
     "llm_ann_ivfpq_rr",
+    "cdc_binlog_schema_evo",
 ]
 
 

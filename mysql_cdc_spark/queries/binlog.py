@@ -488,6 +488,77 @@ def cdc_binlog_pushdown(spark, sf_dir):
 
 
 @register(
+    "cdc_binlog_schema_evo",
+    """
+WITH ev AS (
+  SELECT event_id,
+         CAST(event_id % 97 AS BIGINT) AS id,
+         printf('%d.%04d', event_id % 100000, event_id % 10000) AS val,
+         ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS k,
+         COUNT(*) OVER () AS n
+  FROM events
+), typed AS (
+  SELECT event_id, id, val,
+         CASE WHEN k >= n // 2 AND event_id % 10 <> 0
+              THEN CAST(event_id % 1000 AS BIGINT) END AS score,
+         CASE WHEN k >= n // 2 THEN 1 ELSE 0 END AS phase
+  FROM ev
+)
+SELECT id, val, score, n_rows FROM (
+  SELECT id, val, score,
+         CAST(COUNT(*) OVER (PARTITION BY id) AS BIGINT) AS n_rows,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY event_id DESC) AS rn
+  FROM typed
+) WHERE rn = 1
+""".strip(),
+)
+def cdc_binlog_schema_evo(spark, sf_dir):
+    """Schema evolution through the BYTE path end-to-end (r14 VERDICT
+    #6): the log's first half writes lab.acct as (id, val); a mid-log
+    ALTER TABLE adds score, and every later transaction carries a
+    WIDER table map (bumped table_id) — envelope, typed view and
+    latest-state replay must stay correct across the boundary.  The
+    typed view reads `score` from rows on BOTH sides: absent key
+    (narrow map, column did not exist) and SQL NULL both surface as
+    NULL; n_rows counts every row event per key across the whole log
+    (envelope completeness), and the replay's winner may come from
+    either phase.  Reference anchor: mysql_binlog.clj:975-976 — the
+    planned-but-never-built DDL story.  Golden byte vector: FILE F in
+    tests/test_golden_vectors.py."""
+    import pathlib
+
+    from mysql_cdc_spark.sources import binlog_source as bs
+
+    out_dir = pathlib.Path(_STREAM_TMP) / f"binlog_sevo_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
+    if not any(out_dir.glob("binlog.*")):
+        bs.generate_schema_evo_binlog(sf_dir, str(out_dir))
+    typed = bs.typed_changes_scan(
+        spark, str(out_dir), "lab", "acct",
+        {"id": "bigint", "val": "string", "score": "bigint"},
+    )
+    keyed = typed.selectExpr(
+        "after_id AS id",
+        "struct(CAST(regexp_extract(log_file, 'binlog\\\\.(\\\\d+)', 1) AS BIGINT)"
+        " AS file_idx, offset) AS ord",
+        "after_val AS val",
+        "after_score AS score",
+    )
+    return (
+        keyed.groupBy("id")
+        .agg(
+            F.expr("max_by(struct(val, score), ord)").alias("last"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+        .select(
+            "id",
+            F.col("last.val").alias("val"),
+            F.col("last.score").alias("score"),
+            "n_rows",
+        )
+    )
+
+
+@register(
     "cdc_binlog_tags_typed",
     """
 WITH ev AS (

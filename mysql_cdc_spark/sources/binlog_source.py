@@ -72,6 +72,10 @@ FIXTURE_CATALOG = {
     ("bench", "docs"): ["id", "doc", "flags", "created", "updated", "took"],
     ("bench", "utf8"): ["id", "name", "tag", "bin", "txt"],
     ("bench", "pdocs"): ["id", "doc", "note"],
+    # schema-evolution table: 2 columns before the mid-log ALTER, 3
+    # after — catalog names cover the WIDEST shape; narrow table maps
+    # use the prefix (generate_schema_evo_binlog).
+    ("lab", "acct"): ["id", "val", "score"],
 }
 
 # (type, metadata) per column: INT, DECIMAL(12,4), VARCHAR(50) — the
@@ -830,3 +834,64 @@ def generate_enum_set_binlog(sf_dir: str, out_dir: str) -> str:
     return _atomic_gen(
         out_dir, lambda d: _write_rotated(d, pdf["event_id"], emit)
     )
+
+
+def generate_schema_evo_binlog(sf_dir: str, out_dir: str) -> str:
+    """Encode a SCHEMA-EVOLUTION change stream for `lab.acct` as real
+    binlog bytes (r14 VERDICT #6 — the reference's planned DDL story,
+    mysql_binlog.clj:975-976): the first half of the fixture writes a
+    2-column table (id LONG, val VARCHAR); at the midpoint one ALTER
+    TABLE QUERY event adds `score INT`, and every later transaction
+    carries a WIDER TABLE_MAP (bumped table_id, 3 columns) — the
+    public protocol's schema-change signal.  Values are closed-form in
+    event_id so the oracle recomputes them in SQL:
+
+        id    = event_id % 97
+        val   = printf('%d.%04d', event_id%100000, event_id%10000)
+        score = NULL if event_id % 10 = 0 else event_id % 1000
+                (second half only — the column does not exist before)
+    """
+    from mysql_cdc_spark.sources.binlog_codec import (
+        TYPE_LONG, TYPE_VARCHAR, WRITE_ROWS_EVENT, TableDef,
+    )
+
+    pdf = _fixture_rows(sf_dir)
+    n = len(pdf)
+    narrow = TableDef(
+        "lab", "acct", [(TYPE_LONG, None), (TYPE_VARCHAR, 50)], table_id=7
+    )
+    wide = TableDef(
+        "lab", "acct",
+        [(TYPE_LONG, None), (TYPE_VARCHAR, 50), (TYPE_LONG, None)],
+        table_id=8,
+    )
+    k = 0
+
+    def emit(writer: BinlogWriter, event_id: int) -> None:
+        nonlocal k
+        ts = event_id % (1 << 32)
+        if k == n // 2:
+            writer.write_query(
+                "lab", "ALTER TABLE acct ADD COLUMN score INT", ts=ts
+            )
+        row_id = event_id % 97
+        val = fixture_val(event_id)
+        if k < n // 2:
+            writer.write_table_map(narrow, ts=ts)
+            writer.write_rows(WRITE_ROWS_EVENT, narrow, [[row_id, val]], ts=ts)
+        else:
+            score = None if event_id % 10 == 0 else event_id % 1000
+            writer.write_table_map(wide, ts=ts)
+            writer.write_rows(
+                WRITE_ROWS_EVENT, wide, [[row_id, val, score]], ts=ts
+            )
+        writer.write_xid(event_id, ts=ts)
+        k += 1
+
+    def gen(tmp_dir: str) -> None:
+        nonlocal k
+        k = 0
+        _write_rotated(tmp_dir, pdf["event_id"], emit)
+
+    _atomic_gen(out_dir, gen)
+    return os.path.join(out_dir, "binlog.000000")
