@@ -141,6 +141,42 @@ def main() -> None:
         codec_best = min(codec_best, time.perf_counter() - t0)
     codec_rows_per_sec = round(n_codec_rows / codec_best)
 
+    # Filter-before-decode pushdown (r15 VERDICT #1): envelope decode
+    # of the multi-table byte log with foreign-table row images
+    # skipped INSIDE the codec, vs decoded-then-filtered.  Full sweep
+    # incl. x10 and the headers-only bound: tools/pushdown_bench.py.
+    from mysql_cdc_spark.queries._shared import _FIXTURE_VERSION, _STREAM_TMP
+    from mysql_cdc_spark.sources import binlog_source as bs
+
+    bl_dir = Path(_STREAM_TMP) / f"binlog_{Path(sf_dir).name}_v{_FIXTURE_VERSION}"
+    if not any(bl_dir.glob("binlog.*")):
+        bs.generate_binlog_from_events(sf_dir, str(bl_dir))
+
+    def _env_wall(only_tables=None, post_filter=False) -> float:
+        best = float("inf")
+        for i in range(3):  # 1 warm + best-of-2
+            env = bs.read_binlog_envelope(
+                spark, str(bl_dir), only_tables=only_tables
+            )
+            if post_filter:
+                env = env.filter(
+                    "op NOT IN ('write_rows','update_rows','delete_rows') "
+                    "OR (db = 'foo' AND tbl = 'auto')"
+                )
+            t0 = time.perf_counter()
+            env.write.format("noop").mode("overwrite").save()
+            if i:
+                best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
+
+    pd_filter = _env_wall(post_filter=True)
+    pd_push = _env_wall(only_tables={("foo", "auto")})
+    pushdown_decode = {
+        "then_filter_sec": pd_filter,
+        "pushdown_sec": pd_push,
+        "speedup": round(pd_filter / pd_push, 2),
+    }
+
     # Round 1's self-calibrated baseline (6.27s, BENCH_r01) covered
     # exactly these five queries; the headline set has since grown
     # (dedup/KNN/text shapes), so report the like-for-like subtotal
@@ -165,6 +201,7 @@ def main() -> None:
                 "state_scale_50k": state_scale,
                 "decode_rows_per_sec": decode_rows_per_sec,
                 "codec_rows_per_sec": codec_rows_per_sec,
+                "pushdown_decode": pushdown_decode,
                 "sf": sf,
             }
         )
