@@ -44,6 +44,7 @@ class BinlogTailer:
         event_fn: Callable[[list[dict]], None],
         catalog: dict[tuple[str, str], list[str]] | None = None,
         on_error: str = "raise",
+        only_tables: set[tuple[str, str]] | None = None,
     ) -> None:
         self.log_dir = log_dir
         self.current_log = first_log
@@ -51,6 +52,11 @@ class BinlogTailer:
         self.table_map: TableMapState | None = None
         self.event_fn = event_fn
         self.catalog = catalog or {}
+        # Filter-before-decode pushdown on the LIVE path (SURVEY §4):
+        # a per-table tail skips image parsing for foreign tables at
+        # every turn — headers/table-maps/rotation/checksum handling
+        # are unaffected (binlog_codec.decode_binlog_incremental).
+        self.only_tables = only_tables
         # 'quarantine' = dead-letter poison events and keep tailing —
         # a live tailer must not die on one malformed event.
         self.on_error = on_error
@@ -134,7 +140,7 @@ class BinlogTailer:
                 events, next_offset, tmap = decode_binlog_incremental(
                     tail, self.offset, self.table_map, self.catalog,
                     base=self.offset, on_error=self.on_error,
-                    checksum=self.checksum,
+                    checksum=self.checksum, only_tables=self.only_tables,
                 )
             finally:
                 if mm is not None:

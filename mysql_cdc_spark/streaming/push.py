@@ -135,6 +135,7 @@ class PushDelivery:
         poll_fallback_seconds: float = 0.05,
         on_error: str = "raise",
         journal_path: str | None = None,
+        only_tables: set[tuple[str, str]] | None = None,
     ) -> None:
         self.queue: queue.Queue[list[dict]] = queue.Queue(maxsize=queue_size)
         self._stop = threading.Event()
@@ -143,7 +144,8 @@ class PushDelivery:
         self._log_dir = log_dir
         self.error: BaseException | None = None
         self.tailer = BinlogTailer(
-            log_dir, first_log, self._deliver, catalog, on_error=on_error
+            log_dir, first_log, self._deliver, catalog, on_error=on_error,
+            only_tables=only_tables,
         )
         self._journal_path = journal_path
         self._restore_journal()

@@ -459,3 +459,47 @@ def test_mmap_zero_copy_path_and_buffered_fallback(log_dir, monkeypatch):
     assert [e["after"] for e in got_buf if e["op"] == "write_rows"] == [
         e["after"] for e in got_mmap if e["op"] == "write_rows"
     ]
+
+
+def test_tailer_pushdown_filters_rows_and_threads_maps(log_dir):
+    """only_tables on the LIVE path (r15): a per-table tail skips
+    foreign tables' row images at every turn — table-map state still
+    threads across turns and rotation, and matching rows decode
+    identically to an unfiltered tail."""
+    from mysql_cdc_spark.sources.binlog_codec import TableDef as TD
+
+    big = TD("bench", "big", T3.columns, table_id=2)
+    cat = {**CAT, ("bench", "big"): ["id", "val", "word"]}
+    w = BinlogWriter()
+    w.write_table_map(T3)
+    w.write_rows(WRITE_ROWS_EVENT, T3, [[1, "1.0000", "a"]])
+    w.write_table_map(big)
+    w.write_rows(WRITE_ROWS_EVENT, big, [[2, "2.0000", "b"]])
+    w.write_xid(1)
+    _write(log_dir, "binlog.000001", w.getvalue())
+
+    batches, batches_all = [], []
+    tailer = BinlogTailer(
+        log_dir, "binlog.000001", batches.append, cat,
+        only_tables={("foo", "auto")},
+    )
+    control = BinlogTailer(log_dir, "binlog.000001", batches_all.append, cat)
+    n_push, n_all = tailer.turn(), control.turn()
+    assert n_all - n_push == 1              # exactly big's row skipped
+    flat = [e for b in batches for e in b]
+    rows = [e for e in flat if e["op"] == "write_rows"]
+    assert [(r["db"], r["tbl"]) for r in rows] == [("foo", "auto")]
+    assert rows[0]["after"] == [{"id": 1, "val": "1.0000", "word": "a"}]
+    # non-row events (both table maps, xid) still delivered
+    assert sum(e["op"] == "table_map" for e in flat) == 2
+
+    # the log grows with a FOREIGN-table row first, then a matching
+    # one: the skip must leave the carried map state correct
+    w.write_rows(WRITE_ROWS_EVENT, big, [[3, "3.0000", "c"]])
+    w.write_table_map(T3)
+    w.write_rows(WRITE_ROWS_EVENT, T3, [[4, "4.0000", "d"]])
+    _write(log_dir, "binlog.000001", w.getvalue())
+    tailer.turn()
+    flat = [e for b in batches for e in b]
+    rows = [e for e in flat if e["op"] == "write_rows"]
+    assert [r["after"][0]["id"] for r in rows] == [1, 4]
