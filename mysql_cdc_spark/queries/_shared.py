@@ -58,7 +58,7 @@ def _head_offset(spark, sf_dir: str) -> int:
 _STREAM_TMP = "/root/repo/.stream_tmp"
 # Bump when the derivation rules change: versioned scratch dirs ensure
 # stale materializations from an older derivation are never reused.
-_FIXTURE_VERSION = 6
+_FIXTURE_VERSION = 7
 
 
 def _scratch_name(prefix: str) -> str:

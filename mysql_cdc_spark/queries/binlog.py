@@ -522,7 +522,10 @@ def cdc_binlog_schema_evo(spark, sf_dir):
     (narrow map, column did not exist) and SQL NULL both surface as
     NULL; n_rows counts every row event per key across the whole log
     (envelope completeness), and the replay's winner may come from
-    either phase.  Reference anchor: mysql_binlog.clj:975-976 — the
+    either phase.  The decode is CATALOG-FREE: both table maps carry
+    binlog_row_metadata=FULL COLUMN_NAME TLVs (lab.acct is absent
+    from FIXTURE_CATALOG by design), so names rebind with the schema
+    straight off the wire.  Reference anchor: mysql_binlog.clj:975-976 — the
     planned-but-never-built DDL story.  Golden byte vector: FILE F in
     tests/test_golden_vectors.py."""
     import pathlib

@@ -882,6 +882,10 @@ class TableDef:
     # per-character-column overrides keyed by index AMONG character
     # columns.  None = no charset TLV written (pre-8.0 layout).
     default_charset: int | None = None
+    # binlog_row_metadata=FULL: on-wire COLUMN_NAME TLV (type 04,
+    # length-prefixed names) — real column names with no out-of-band
+    # catalog.  None = MINIMAL (the 8.0 default layout).
+    column_names: list[str] | None = None
     charset_overrides: dict[int, int] | None = None
 
     def column_codecs(self) -> list:
@@ -1017,6 +1021,20 @@ class BinlogWriter:
             for ci, cid in sorted((t.charset_overrides or {}).items()):
                 val += enc_packed_int(ci) + enc_packed_int(cid)
             body += bytes([_OPT_META_DEFAULT_CHARSET])
+            body += enc_packed_int(len(val)) + val
+        if t.column_names is not None:
+            # binlog_row_metadata=FULL COLUMN_NAME TLV: one
+            # packed-length-prefixed name per column, in order.
+            if len(t.column_names) != len(t.columns):
+                raise ValueError(
+                    f"COLUMN_NAME TLV needs exactly one name per column "
+                    f"({len(t.column_names)} names, {len(t.columns)} columns)"
+                )
+            val = b"".join(
+                enc_packed_int(len(nb)) + nb
+                for nb in (n.encode("utf-8") for n in t.column_names)
+            )
+            body += bytes([_OPT_META_COLUMN_NAME])
             body += enc_packed_int(len(val)) + val
         self._emit(TABLE_MAP_EVENT, body, ts)
 

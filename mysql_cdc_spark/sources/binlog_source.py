@@ -72,10 +72,9 @@ FIXTURE_CATALOG = {
     ("bench", "docs"): ["id", "doc", "flags", "created", "updated", "took"],
     ("bench", "utf8"): ["id", "name", "tag", "bin", "txt"],
     ("bench", "pdocs"): ["id", "doc", "note"],
-    # schema-evolution table: 2 columns before the mid-log ALTER, 3
-    # after — catalog names cover the WIDEST shape; narrow table maps
-    # use the prefix (generate_schema_evo_binlog).
-    ("lab", "acct"): ["id", "val", "score"],
+    # NOTE: the schema-evolution table lab.acct is deliberately ABSENT:
+    # its fixture writes binlog_row_metadata=FULL COLUMN_NAME TLVs and
+    # the gate decodes catalog-free (names come off the wire).
 }
 
 # (type, metadata) per column: INT, DECIMAL(12,4), VARCHAR(50) — the
@@ -262,7 +261,10 @@ def read_binlog_envelope(
     files = files.repartition(
         spark.sparkContext.defaultParallelism, "path"
     )
-    cat = catalog or FIXTURE_CATALOG
+    # None → fixture defaults; an EXPLICIT empty dict means "no
+    # catalog at all" (names come from on-wire COLUMN_NAME TLVs or
+    # ordinals) — `or` would silently coerce {} to the fixtures.
+    cat = FIXTURE_CATALOG if catalog is None else catalog
 
     def decode_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in BINLOG_ENVELOPE_SCHEMA.fields]
@@ -857,13 +859,18 @@ def generate_schema_evo_binlog(sf_dir: str, out_dir: str) -> str:
 
     pdf = _fixture_rows(sf_dir)
     n = len(pdf)
+    # binlog_row_metadata=FULL: both maps carry on-wire COLUMN_NAME
+    # TLVs, so the decode side needs NO catalog — names rebind with
+    # the schema, exactly as a modern server ships them.
     narrow = TableDef(
-        "lab", "acct", [(TYPE_LONG, None), (TYPE_VARCHAR, 50)], table_id=7
+        "lab", "acct", [(TYPE_LONG, None), (TYPE_VARCHAR, 50)], table_id=7,
+        column_names=["id", "val"],
     )
     wide = TableDef(
         "lab", "acct",
         [(TYPE_LONG, None), (TYPE_VARCHAR, 50), (TYPE_LONG, None)],
         table_id=8,
+        column_names=["id", "val", "score"],
     )
     k = 0
 

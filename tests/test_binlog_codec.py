@@ -885,3 +885,30 @@ def test_minimal_row_image_maps_contain_only_present_columns():
     assert upd["after"] == [{"val": "9.9000"}]   # changed column only
     dele = next(e for e in evs if e["op"] == "delete_rows")
     assert dele["before"] == [{"id": 5}]
+
+
+def test_writer_column_name_tlv_roundtrip():
+    """binlog_row_metadata=FULL: TableDef(column_names=...) emits the
+    COLUMN_NAME TLV and the decoder names columns from the wire — no
+    catalog at all; a catalog entry still takes precedence when given
+    (the documented resolution order)."""
+    named = TableDef(
+        "lab", "acct", T3.columns, table_id=5,
+        column_names=["id", "val", "word"],
+    )
+    w = BinlogWriter()
+    w.write_table_map(named)
+    w.write_rows(WRITE_ROWS_EVENT, named, [[9, "9.0000", "z"]])
+    data = w.getvalue()
+    rows = [e for e in decode_binlog(data, {}) if e["op"] == "write_rows"]
+    assert rows[0]["after"] == [{"id": 9, "val": "9.0000", "word": "z"}]
+    # catalog wins over wire names when both exist
+    rows = [
+        e for e in decode_binlog(data, {("lab", "acct"): ["a", "b", "c"]})
+        if e["op"] == "write_rows"
+    ]
+    assert rows[0]["after"] == [{"a": 9, "b": "9.0000", "c": "z"}]
+    # name-count mismatch is a writer-side error, not silent truncation
+    with pytest.raises(ValueError, match="one name per column"):
+        bad = TableDef("lab", "acct", T3.columns, column_names=["only_one"])
+        BinlogWriter().write_table_map(bad)
