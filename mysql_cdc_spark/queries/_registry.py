@@ -246,6 +246,7 @@ REGISTRATION_ORDER: list[str] = [
     "llm_ann_lsh_capped",
     "llm_ann_ivfpq_rr",
     "cdc_binlog_schema_evo",
+    "cdc_binlog_since",
 ]
 
 

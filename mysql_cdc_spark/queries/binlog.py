@@ -562,6 +562,82 @@ def cdc_binlog_schema_evo(spark, sf_dir):
 
 
 @register(
+    "cdc_binlog_since",
+    """
+WITH ev AS (
+  SELECT event_id,
+         CASE WHEN user_id % 2 = 0 THEN 'foo' ELSE 'bench' END AS db,
+         CASE WHEN user_id % 2 = 0 THEN 'auto' ELSE 'big' END AS tbl,
+         CASE WHEN event_type IN ('signup','purchase') THEN 'write_rows'
+              WHEN event_type IN ('click','view') THEN 'update_rows'
+              ELSE 'delete_rows' END AS row_op,
+         ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS k,
+         COUNT(*) OVER () AS n
+  FROM events
+), since AS (
+  SELECT * FROM ev WHERE k >= ((n + 2499) // 2500 // 2) * 2500
+)
+SELECT op, db, tbl, n_events, n_ids FROM (
+  SELECT 'query' AS op, db, CAST(NULL AS VARCHAR) AS tbl,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(0 AS BIGINT) AS n_ids
+  FROM since GROUP BY db
+  UNION ALL
+  SELECT 'table_map', db, tbl, CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT)
+  FROM since GROUP BY db, tbl
+  UNION ALL
+  SELECT row_op, db, tbl, CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(DISTINCT event_id % 97) AS BIGINT)
+  FROM since GROUP BY row_op, db, tbl
+  UNION ALL
+  SELECT 'xid', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT)
+  FROM since
+)
+""".strip(),
+)
+def cdc_binlog_since(spark, sf_dir):
+    """Bounded replay from a journaled position (r15, the binlog
+    analog of PARTITION PRUNING): `read_binlog_envelope(since=
+    (log_file, offset))` prunes earlier rotated files DRIVER-SIDE —
+    they never enter the Spark scan — and cuts the boundary file at
+    the offset.  A 100 TB resume must not relist or redecode history.
+    The gate resumes at the midpoint FILE of the rotation chain
+    (binlog.%06d of file ⌈n/2500⌉//2, offset 4) and aggregates the
+    remaining stream per (op, db, tbl); the oracle replays the same
+    suffix from events by row number.  Mid-file offsets are pinned by
+    parity tests (byte offsets are not SQL-expressible)."""
+    import math
+    import pathlib
+
+    from mysql_cdc_spark.sources import binlog_source as bs
+    from mysql_cdc_spark.sources.io import read_table
+
+    out_dir = pathlib.Path(_STREAM_TMP) / f"binlog_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
+    if not any(out_dir.glob("binlog.*")):
+        bs.generate_binlog_from_events(sf_dir, str(out_dir))
+    n = read_table(spark, sf_dir, "events").count()
+    mid_file = math.ceil(n / bs.ROTATE_EVERY) // 2
+    env = bs.read_binlog_envelope(
+        spark, str(out_dir), since=(f"binlog.{mid_file:06d}", 4)
+    )
+    id_expr = (
+        "CAST(coalesce(element_at(after, 'id'), element_at(before, 'id')) AS BIGINT)"
+    )
+    return env.selectExpr(
+        "op",
+        # the oracle's derivation carries db/tbl only where the
+        # envelope does (query: db only; xid: neither)
+        "CASE WHEN op = 'xid' THEN NULL ELSE db END AS db",
+        "CASE WHEN op IN ('xid', 'query') THEN NULL ELSE tbl END AS tbl",
+        f"{id_expr} AS row_key",
+    ).groupBy("op", "db", "tbl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("row_key").cast("bigint").alias("n_ids"),
+    )
+
+
+@register(
     "cdc_binlog_tags_typed",
     """
 WITH ev AS (

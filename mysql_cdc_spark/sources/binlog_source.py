@@ -236,12 +236,33 @@ def envelope_records(
     return out, seq
 
 
+def _list_log_files(path: str, since_log: str | None = None) -> list[str]:
+    """Driver-side rotation-ordered listing of a binlog directory,
+    pruned to files >= `since_log`.  Rotated names are zero-padded
+    (binlog.%06d — the real server convention), so lexicographic
+    order IS rotation order and the prune is a string comparison.
+    This is FILE-LEVEL pruning, the binlog analog of partition
+    pruning: a replay resuming at a journaled position must never
+    rescan history — skipped files never even enter the Spark scan
+    (they are excluded from the load list, not filtered after read).
+    """
+    names = sorted(
+        f for f in os.listdir(path)
+        if not f.startswith(".") and not f.endswith(".tmp")
+        and os.path.isfile(os.path.join(path, f))
+    )
+    if since_log is not None:
+        names = [f for f in names if f >= since_log]
+    return [os.path.join(path, f) for f in names]
+
+
 def read_binlog_envelope(
     spark: SparkSession,
     path: str,
     catalog: dict[tuple[str, str], list[str]] | None = None,
     on_error: str = "raise",
     only_tables: set[tuple[str, str]] | None = None,
+    since: tuple[str, int] | None = None,
 ) -> DataFrame:
     """Decode every binlog file under `path` into envelope records
     (one record per row image pair; non-row events emit one record).
@@ -250,8 +271,27 @@ def read_binlog_envelope(
     the byte decode (filter-before-decode, SURVEY §4): row events for
     other tables never pay image parsing — at 100 TB a per-table
     consumer reads every frame header but decodes only its own rows.
+
+    ``since=(log_file, offset)`` is a bounded replay from a journaled
+    position: files BEFORE `log_file` in rotation order are pruned
+    DRIVER-SIDE and never enter the scan (the binlog analog of
+    partition pruning — a resume at 100 TB must not relist/redecode
+    history), and records of the boundary file before `offset` are
+    filtered out.  The boundary file is decoded from its start — a
+    mid-file seek would arrive without the table-map/checksum state
+    those earlier bytes establish (the tailer journals that state for
+    true mid-file resume; the batch scan re-derives it from the file
+    head).  Composes with ``only_tables``.
     """
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    if since is not None:
+        paths = _list_log_files(path, since[0])
+        if not paths:
+            # nothing at or past the resume point: empty envelope
+            return spark.createDataFrame([], BINLOG_ENVELOPE_SCHEMA)
+        reader = spark.read.format("binaryFile").load(paths)
+    else:
+        reader = spark.read.format("binaryFile").load(path)
+    files = reader.select("path", "content")
     # binaryFile packs many small logs into one 128 MB split, which
     # would serialize the per-file Python decode onto one core; hash-
     # distributing by path restores one-task-per-file parallelism
@@ -282,7 +322,16 @@ def read_binlog_envelope(
                 out.extend(recs)
             yield pd.DataFrame(out, columns=cols)
 
-    return files.mapInPandas(decode_part, BINLOG_ENVELOPE_SCHEMA)
+    env = files.mapInPandas(decode_part, BINLOG_ENVELOPE_SCHEMA)
+    if since is not None:
+        # boundary-file cut: later files pass whole, the resume file
+        # passes from the journaled offset (narrow filter, no shuffle)
+        from pyspark.sql import functions as F
+
+        env = env.filter(
+            (F.col("log_file") > since[0]) | (F.col("offset") >= since[1])
+        )
+    return env
 
 
 def typed_changes(

@@ -227,3 +227,94 @@ def test_spark_envelope_pushdown_parity(spark, tmp_path):
     ))
     got = rows(env_push)
     assert got == expect and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# Bounded replay: file-level pruning + boundary-offset cut (r15)
+# ---------------------------------------------------------------------------
+
+
+def test_list_log_files_prunes_by_rotation_order(tmp_path):
+    from mysql_cdc_spark.sources.binlog_source import _list_log_files
+
+    for i in range(5):
+        (tmp_path / f"binlog.{i:06d}").write_bytes(b"x")
+    (tmp_path / ".hidden").write_bytes(b"x")
+    (tmp_path / "binlog.000009.tmp").write_bytes(b"x")
+    all_files = _list_log_files(str(tmp_path))
+    assert [p.rsplit("/", 1)[-1] for p in all_files] == [
+        f"binlog.{i:06d}" for i in range(5)
+    ]
+    pruned = _list_log_files(str(tmp_path), "binlog.000003")
+    assert [p.rsplit("/", 1)[-1] for p in pruned] == [
+        "binlog.000003", "binlog.000004",
+    ]
+    assert _list_log_files(str(tmp_path), "binlog.000099") == []
+
+
+def test_since_replay_parity_and_pruning(spark, tmp_path):
+    """since=(log_file, offset): earlier files NEVER enter the scan
+    (driver-side pruning), the boundary file cuts at the offset
+    (mid-file positions included — byte offsets the SQL oracle cannot
+    express), and the result equals the full envelope filtered."""
+    import pathlib
+
+    from mysql_cdc_spark.sources import binlog_source as bs
+
+    out = tmp_path / "logs"
+    out.mkdir()
+    for i in range(1, 4):
+        (out / f"binlog.{i:06d}").write_bytes(_interleaved_log())
+    env_full = bs.read_binlog_envelope(spark, str(out), CAT)
+    rows_full = env_full.collect()
+    # mid-file boundary: an offset strictly inside file 2
+    offsets_f2 = sorted(
+        r["offset"] for r in rows_full if r["log_file"] == "binlog.000002"
+    )
+    cut = offsets_f2[len(offsets_f2) // 2]
+    env_since = bs.read_binlog_envelope(
+        spark, str(out), CAT, since=("binlog.000002", cut)
+    )
+    got = sorted(
+        (r["log_file"], r["offset"], r["row_idx"], r["op"])
+        for r in env_since.collect()
+    )
+    want = sorted(
+        (r["log_file"], r["offset"], r["row_idx"], r["op"])
+        for r in rows_full
+        if r["log_file"] > "binlog.000002"
+        or (r["log_file"] == "binlog.000002" and r["offset"] >= cut)
+    )
+    assert got == want and len(got) > 0
+    # pruning is real: the driver-side load list itself excludes the
+    # earlier file — it never enters the scan at all
+    from mysql_cdc_spark.sources.binlog_source import _list_log_files
+
+    assert all(
+        not p.endswith("binlog.000001")
+        for p in _list_log_files(str(out), "binlog.000002")
+    )
+    # composes with pushdown
+    env_both = bs.read_binlog_envelope(
+        spark, str(out), CAT, since=("binlog.000002", cut),
+        only_tables=ONLY_AUTO,
+    )
+    got_both = sorted(
+        (r["log_file"], r["offset"], r["row_idx"], r["op"])
+        for r in env_both.collect()
+    )
+    want_both = [
+        t for t in want
+        if t[3] not in ROW_OPS
+        or next(
+            (r["db"], r["tbl"]) for r in rows_full
+            if (r["log_file"], r["offset"], r["row_idx"]) == t[:3]
+        ) in ONLY_AUTO
+    ]
+    assert got_both == sorted(want_both)
+    # past-the-end resume: empty DataFrame with the envelope schema
+    env_empty = bs.read_binlog_envelope(
+        spark, str(out), CAT, since=("binlog.000099", 4)
+    )
+    assert env_empty.count() == 0
+    assert env_empty.schema == bs.BINLOG_ENVELOPE_SCHEMA
