@@ -463,7 +463,14 @@ def test_stateful_queries_green_on_rocksdb_state_store(spark, sf_dir):
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider"
     )
-    names = ["cdc_stream_latest_state", "cdc_stream_schema_version"]
+    names = [
+        "cdc_stream_latest_state",
+        "cdc_stream_schema_version",
+        # r15: the transaction assembler carries array-valued state
+        # (holdback buffers) and EVENT-TIME timers — both must
+        # round-trip RocksDB's serialization identically
+        "cdc_stream_txn_events",
+    ]
 
     def rows(name):
         df = QUERIES[name](spark, sf_dir)
@@ -563,4 +570,98 @@ def test_txn_assembly_watermark_gc_and_reorder(spark):
         assert max(state_rows) >= 1
         assert state_rows[-1] == 0, f"abandoned state not GC'd: {state_rows}"
     finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_txn_assembly_transformwithstate_twin(spark):
+    """The transformWithStateInPandas form of the transaction
+    assembler (MapState holdback, engine-managed event-time timers)
+    must reproduce the applyInPandasWithState form's output on the
+    same two-batch log — including the abandoned-partial GC and the
+    cross-batch gap fill — and terminate its availableNow drain.
+
+    SKIPS where the environment cannot run transformWithState at all:
+    its Python driver worker imports google.protobuf, which this
+    container's pyspark install does not ship (measured:
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE / ImportError) —
+    the guard is an environment capability probe, not a soft-pass."""
+    import shutil
+    import uuid
+    from datetime import datetime, timedelta
+
+    from mysql_cdc_spark.model import ENVELOPE_SCHEMA
+    from mysql_cdc_spark.streaming import runtime as rt
+    from mysql_cdc_spark.streaming.stateful import (
+        tws_available,
+        txn_events_stateful,
+        txn_events_tws,
+    )
+
+    if not tws_available():
+        pytest.skip(
+            "transformWithStateInPandas unavailable: pyspark's TWS "
+            "python worker needs google.protobuf, absent here"
+        )
+
+    scratch = f"/root/repo/.stream_tmp/test/{uuid.uuid4().hex[:10]}"
+    log_dir = f"{scratch}/log"
+    t0 = datetime(2024, 1, 1)
+
+    def ev(log, offset, op, ts, xid=None):
+        return (offset, log, ts, 1, xid, "foo", "auto", op,
+                None, None, None, None, None)
+
+    rows1 = [
+        ev("A", 0, "query", t0), ev("A", 1, "table_map", t0),
+        ev("A", 2, "write_rows", t0),
+        ev("C", 0, "query", t0), ev("C", 2, "update_rows", t0),
+        ev("C", 3, "xid", t0, xid=77),
+    ]
+    rows2 = [
+        ev("C", 1, "table_map", t0 + timedelta(seconds=1)),
+        ev("B", 0, "query", t0 + timedelta(days=30)),
+        ev("B", 1, "write_rows", t0 + timedelta(days=30)),
+        ev("B", 2, "xid", t0 + timedelta(days=30), xid=88),
+    ]
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = ("org.apache.spark.sql.execution.streaming.state."
+             "RocksDBStateStoreProvider")
+    try:
+        default = spark.conf.get(key)
+    except Exception:
+        default = None
+    try:
+        for rows in (rows1, rows2):
+            spark.createDataFrame(rows, ENVELOPE_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(log_dir)
+        spark.conf.set(key, rocks)  # transformWithState requires RocksDB
+
+        def drain(factory, cp_tag):
+            stream = rt.open_stream(spark, log_dir, max_files_per_trigger=1)
+            asm = factory(stream, gc_gap_ms=60_000, watermark_delay="0 seconds")
+            sink = f"tws_{uuid.uuid4().hex[:8]}"
+            q = (
+                asm.writeStream.format("memory").queryName(sink)
+                .outputMode("append")
+                .option("checkpointLocation", f"{scratch}/cp_{cp_tag}")
+                .trigger(availableNow=True).start()
+            )
+            assert q.awaitTermination(240), "drain did not terminate"
+            return sorted(
+                map(tuple, spark.sql(f"SELECT * FROM {sink}").collect())
+            )
+
+        got_tws = drain(txn_events_tws, "tws")
+        got_apw = drain(txn_events_stateful, "apw")
+        assert got_tws == got_apw, (got_tws, got_apw)
+        by_log = {r[0]: r for r in got_tws}
+        assert by_log["C"][1] == 4 and by_log["C"][4] == 77
+        assert by_log["B"][4] == 88
+        assert "A" not in by_log            # abandoned partial GC'd
+    finally:
+        if default is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, default)
         shutil.rmtree(scratch, ignore_errors=True)
