@@ -491,3 +491,51 @@ def test_file_f_crc_intact_and_flip_detected():
     bad[410] ^= 0x01                # inside the second WRITE_ROWS body
     with pytest.raises(ValueError, match="CRC32 mismatch"):
         decode_binlog(bytes(bad), {})
+
+
+# ---------------------------------------------------------------------------
+# FILE G — 8.0-era CRC32, ENUM/SET wire format (the reference's own
+# type territory: read-type mysql_binlog.clj:530-536 keeps SET as raw
+# byte[]).  ENUM and SET travel as MYSQL_TYPE_STRING (254) on the wire
+# with the REAL type in metadata byte 0 — the public "string hybrid"
+# layout every third-party decoder special-cases.
+#
+#   offset   4 FORMAT_DESCRIPTION (FILE B's golden CRC32 FDE)
+#   offset 126 TABLE_MAP: table_id=3, shop.items, 3 cols
+#              [LONG(03), wire 254 meta f7 01 (ENUM, 5 values →
+#              1-byte ordinal), wire 254 meta f8 02 (SET, 12 members
+#              → 2-byte bitset)], null bitmap 06
+#   offset 180 WRITE_ROWS v2, two rows:
+#              (7, ordinal 3, bitset 0x0A05 little-endian = bytes
+#              05 0a) and (8, NULL, NULL) — per-row null bitmap 06
+#   offset 228 XID: 4242;  end 259
+FILE_G = bytes.fromhex(
+    "fe62696e00f153650f010000007a0000007e00000000000400382e302e33360000"
+    "000000000000000000000000000000000000000000000000000000000000000000"
+    "00000000000000000000f15365130102030405060708090a0b0c0d0e0f10111213"
+    "1415161718191a1b1c1d1e1f202122232425262728290124a61445c8f153651301"
+    "00000036000000b4000000000003000000000001000473686f7000056974656d73"
+    "000303fefe04f701f802060d0f7790c8f153651e0100000030000000e400000000"
+    "00030000000000010002000307000700000003050a0608000000103e1c4fc9f153"
+    "6510010000001f0000000301000000009210000000000000efba905d"
+)
+
+
+def test_file_g_enum_set_wire_format():
+    """ENUM decodes to its ordinal (1-byte width from metadata), SET
+    to RAW bitset bytes (2-byte width; the reference keeps byte[] too),
+    and the null bitmap covers both — from bytes no repo writer
+    produced."""
+    evs = decode_binlog(FILE_G, {("shop", "items"): ["id", "status", "flags"]})
+    assert [e["op"] for e in evs] == [
+        "format_description", "table_map", "write_rows", "xid",
+    ]
+    assert [e["offset"] for e in evs] == [4, 126, 180, 228]
+    w = evs[2]
+    assert w["after"] == [
+        {"id": 7, "status": 3, "flags": (0x0A05).to_bytes(2, "little")},
+        {"id": 8, "status": None, "flags": None},
+    ]
+    assert evs[3]["xid"] == 4242
+    for prev, cur in zip(evs, evs[1:]):
+        assert cur["offset"] == prev["next"]
