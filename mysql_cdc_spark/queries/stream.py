@@ -492,8 +492,10 @@ def cdc_stream_txn_events(spark, sf_dir):
     """STREAMING transaction assembly (r14 VERDICT #2, SURVEY §2.6):
     per-log_file state buffers the open transaction and emits the
     assembled commit in the micro-batch whose XID event completed it;
-    abandoned partials GC by processing-time timeout (pinned in
-    tests/test_streaming.py).  Hash-equal to the BATCH cdc_txn_events
+    abandoned partials GC by event-time (watermark) timeout —
+    TXN_GC_GAP_MS past the key's newest event time (pinned in
+    tests/test_streaming.py; processing-time timeouts would keep
+    availableNow drains alive forever).  Hash-equal to the BATCH cdc_txn_events
     oracle on the same log — the commit index `txn` is assigned over
     the assembled output by first_offset order (presentation-level: a
     window over one row per commit, not over the event stream).

@@ -97,8 +97,8 @@ def latest_state_stateful(rows_dt_stream: DataFrame) -> DataFrame:
 # transaction, the commit is emitted exactly once when its XID event
 # is folded, and abandoned partial transactions (a server that died
 # before commit, a log that ends mid-transaction) are GARBAGE
-# COLLECTED by processing-time timeout — state cannot be allowed to
-# hold a dead transaction forever.
+# COLLECTED by an EVENT-TIME (watermark) timeout — state cannot be
+# allowed to hold a dead transaction forever.
 #
 # Ordering: a binlog is SERIAL per file (commit boundaries are
 # positions), so assembly is inherently per-log_file sequential.  The
@@ -250,7 +250,17 @@ def txn_events_stateful(
     (the binlog tailer's in-order guarantee; a single availableNow
     batch trivially satisfies it).  AFTER anchoring, events may arrive
     arbitrarily out of order: a gapped offset waits in the holdback
-    buffer and the commit emits in the batch that fills the gap."""
+    buffer and the commit emits in the batch that fills the gap.
+
+    Input contract — DENSE offsets: the assembly cursor advances by
+    `next_off += 1`, so per log_file the `offset` column must be a
+    dense, unique integer sequence (the synthetic ``changes()`` feed's
+    per-file offsets are; so is the envelope's per-file ``seq``).  The
+    raw binlog envelope's ``offset`` is a BYTE position and repeats
+    across `row_idx` — feeding it directly stalls the cursor at the
+    first gap and the watermark GC silently drops every transaction;
+    project ``seq`` (or a per-file ``row_number()``) into `offset`
+    first."""
     rows = env_stream.withWatermark("ts", watermark_delay).select(
         "log_file", "offset", "op", "xid", "ts"
     )
@@ -348,6 +358,16 @@ class _TxnAssemblyProcessor:
             ))
             wm = timerValues.getCurrentWatermarkInMs()
             base = wm if max_ts_ms is None else max(max_ts_ms, wm)
+            # REPLACE the abandonment timer, never accumulate: a timer
+            # registered by an older batch would expire while the
+            # transaction is still open and handleExpiredTimer would
+            # clear live cursor+buf mid-transaction (wrong/partial
+            # commits downstream).  applyInPandasWithState's
+            # setTimeoutTimestamp replaces implicitly — deleting prior
+            # timers keeps the two twins' semantics identical (r15
+            # ADVICE, pinned in tests/test_streaming.py).
+            for t in list(self.handle.listTimers()):
+                self.handle.deleteTimer(t)
             self.handle.registerTimer(max(base + self._gap, wm + 1))
         else:
             # commit boundary: nothing worth keeping, no timers behind
@@ -401,7 +421,13 @@ def txn_events_tws(
     timers for abandoned-transaction GC.  Output and semantics are
     identical to the applyInPandasWithState form (pinned by the parity
     test, which SKIPS where `tws_available()` is false); requires the
-    RocksDB state-store provider."""
+    RocksDB state-store provider.
+
+    Same DENSE-offset input contract as `txn_events_stateful`: per
+    log_file, `offset` must be a dense unique integer sequence (use
+    the envelope's per-file ``seq``, not the raw byte offset, which
+    repeats across row_idx and would stall the cursor until the
+    watermark GC drops the transaction)."""
     if not tws_available():
         raise RuntimeError(
             "transformWithStateInPandas needs google.protobuf, which "

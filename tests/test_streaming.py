@@ -665,3 +665,134 @@ def test_txn_assembly_transformwithstate_twin(spark):
         else:
             spark.conf.set(key, default)
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# r16 (r15 ADVICE, medium): the transformWithState twin must REPLACE
+# its abandonment timer each batch, not accumulate timers — a stale
+# timer from an older batch expiring while the transaction is still
+# open would fire handleExpiredTimer and clear live cursor+buf
+# mid-transaction (wrong/partial commits).  transformWithState itself
+# is env-blocked (protobuf), so the processor is driven directly with
+# duck-typed fakes of the public ValueState/MapState/handle API —
+# the timer discipline is pure processor logic, not engine logic.
+# ---------------------------------------------------------------------------
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeMapState:
+    def __init__(self):
+        self._m = {}
+
+    def containsKey(self, k):
+        return k in self._m
+
+    def getValue(self, k):
+        return self._m[k]
+
+    def removeKey(self, k):
+        self._m.pop(k)
+
+    def updateValue(self, k, v):
+        self._m[k] = v
+
+    def keys(self):
+        return iter(list(self._m.keys()))
+
+    def exists(self):
+        return bool(self._m)
+
+    def clear(self):
+        self._m.clear()
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.timers = []
+
+    def getValueState(self, name, schema):
+        return _FakeValueState()
+
+    def getMapState(self, name, kschema, vschema):
+        return _FakeMapState()
+
+    def registerTimer(self, ts):
+        self.timers.append(ts)
+
+    def deleteTimer(self, ts):
+        self.timers.remove(ts)
+
+    def listTimers(self):
+        return list(self.timers)
+
+
+class _FakeTimerValues:
+    def __init__(self, wm):
+        self._wm = wm
+
+    def getCurrentWatermarkInMs(self):
+        return self._wm
+
+
+def test_tws_processor_replaces_timer_while_holding():
+    """While a transaction stays open across batches, exactly ONE
+    timer may be live, and it must track the NEWEST event time —
+    matching applyInPandasWithState's replace-on-set semantics."""
+    import pandas as pd
+
+    from mysql_cdc_spark.streaming.stateful import _TxnAssemblyProcessor
+
+    gap = 60_000
+    proc = _TxnAssemblyProcessor(gap)
+    handle = _FakeHandle()
+    proc.init(handle)
+    key = ("binlog.000001",)
+
+    def batch(offsets, ops, xids, ts_ms, wm_ms):
+        pdf = pd.DataFrame(
+            {
+                "offset": offsets,
+                "op": ops,
+                "xid": xids,
+                "ts": [pd.Timestamp(t, unit="ms") for t in ts_ms],
+            }
+        )
+        return list(proc.handleInputRows(key, iter([pdf]), _FakeTimerValues(wm_ms)))
+
+    t1, t2, t3 = 1_000_000, 2_000_000, 3_000_000
+    out = batch([0], ["write_rows"], [float("nan")], [t1], wm_ms=0)
+    assert out == [] and handle.timers == [t1 + gap]
+
+    # still holding in batch 2: the older timer must be DELETED, not
+    # joined by a second one (the stale firing is the r15 ADVICE bug)
+    out = batch([1], ["write_rows"], [float("nan")], [t2], wm_ms=t1)
+    assert out == []
+    assert handle.timers == [t2 + gap], handle.timers
+
+    # xid closes the transaction: emit once, state gone, timers gone
+    out = batch([2], ["xid"], [7.0], [t3], wm_ms=t2)
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert (
+        row["n_events"] == 3
+        and row["first_offset"] == 0
+        and row["last_offset"] == 2
+        and row["xid"] == 7
+    )
+    assert handle.timers == [] and not proc.cursor.exists() and not proc.buf.exists()
