@@ -19,6 +19,7 @@ compare against the same derivation done in SQL by DuckDB.
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -183,6 +184,7 @@ def _stringify(image: dict | None) -> dict | None:
 def envelope_records(
     events: list[dict], log_file: str, seq_start: int = 0,
     only_tables: set[tuple[str, str]] | None = None,
+    only_ops: set[str] | None = None,
 ) -> tuple[list[dict], int]:
     """Flatten decoded codec events into envelope records (one per row
     image pair; non-row events emit one record).  Returns (records,
@@ -196,21 +198,26 @@ def envelope_records(
     the same set to `decode_binlog(..., only_tables=...)` so skipped
     tables never pay image parsing; passing it here as well keeps the
     envelope correct for callers that receive pre-decoded events (the
-    streaming tailer bridge).  Envelope ``seq`` numbers DELIVERED
-    records — under pushdown it is not comparable to an unfiltered
-    run's seq; use (log_file, offset, row_idx) as the stable identity.
+    streaming tailer bridge).  ``only_ops`` is the same record-level
+    half for the delta-type pushdown (r16): row-event records whose op
+    is outside the set drop; non-row events always pass.  Envelope
+    ``seq`` numbers DELIVERED records — under pushdown it is not
+    comparable to an unfiltered run's seq; use (log_file, offset,
+    row_idx) as the stable identity.
     """
     out: list[dict] = []
     seq = seq_start
     for ev in events:
         if ev["op"] not in _ENVELOPE_OPS:
             continue
-        if (
-            only_tables is not None
-            and ev["op"].endswith("_rows")
-            and (ev["db"], ev["tbl"]) not in only_tables
-        ):
-            continue
+        if ev["op"].endswith("_rows"):
+            if (
+                only_tables is not None
+                and (ev["db"], ev["tbl"]) not in only_tables
+            ):
+                continue
+            if only_ops is not None and ev["op"] not in only_ops:
+                continue
         base = {
             "log_file": log_file, "seq": seq, "offset": ev["offset"],
             "ts": ev["ts"], "server_id": ev["server_id"],
@@ -236,7 +243,18 @@ def envelope_records(
     return out, seq
 
 
-def _list_log_files(path: str, since_log: str | None = None) -> list[str]:
+# A rotated binlog name ends in the server's zero-padded counter
+# (binlog.%06d).  The listing filters on this so a stray non-binlog
+# file in the directory (an index file, a dump, a half-written temp)
+# never sweeps into the replay (r15 ADVICE).
+_ROTATED_LOG_RE = re.compile(r"\.\d{6}$")
+
+
+def _list_log_files(
+    path: str,
+    since_log: str | None = None,
+    spark: SparkSession | None = None,
+) -> list[str]:
     """Driver-side rotation-ordered listing of a binlog directory,
     pruned to files >= `since_log`.  Rotated names are zero-padded
     (binlog.%06d — the real server convention), so lexicographic
@@ -245,15 +263,34 @@ def _list_log_files(path: str, since_log: str | None = None) -> list[str]:
     pruning: a replay resuming at a journaled position must never
     rescan history — skipped files never even enter the Spark scan
     (they are excluded from the load list, not filtered after read).
+
+    With a `spark` session the listing goes through the Hadoop
+    FileSystem API, so `since=` works on any URI the binaryFile
+    reader can scan (hdfs://, s3a://, file:/ ...) — the same storage
+    contract as the since=None path (r15 ADVICE: os.listdir silently
+    restricted bounded replay to driver-local directories).  The
+    sparkless fallback lists locally.  Only names matching the
+    rotated-log pattern (`*.%06d`) are considered.
     """
-    names = sorted(
-        f for f in os.listdir(path)
-        if not f.startswith(".") and not f.endswith(".tmp")
-        and os.path.isfile(os.path.join(path, f))
-    )
+    if spark is not None:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        pairs = sorted(
+            (st.getPath().getName(), st.getPath().toString())
+            for st in fs.listStatus(hpath)
+            if st.isFile()
+        )
+    else:
+        pairs = sorted(
+            (f, os.path.join(path, f))
+            for f in os.listdir(path)
+            if os.path.isfile(os.path.join(path, f))
+        )
+    pairs = [(n, p) for n, p in pairs if _ROTATED_LOG_RE.search(n)]
     if since_log is not None:
-        names = [f for f in names if f >= since_log]
-    return [os.path.join(path, f) for f in names]
+        pairs = [(n, p) for n, p in pairs if n >= since_log]
+    return [p for _, p in pairs]
 
 
 def read_binlog_envelope(
@@ -263,6 +300,7 @@ def read_binlog_envelope(
     on_error: str = "raise",
     only_tables: set[tuple[str, str]] | None = None,
     since: tuple[str, int] | None = None,
+    only_ops: set[str] | None = None,
 ) -> DataFrame:
     """Decode every binlog file under `path` into envelope records
     (one record per row image pair; non-row events emit one record).
@@ -271,6 +309,11 @@ def read_binlog_envelope(
     the byte decode (filter-before-decode, SURVEY §4): row events for
     other tables never pay image parsing — at 100 TB a per-table
     consumer reads every frame header but decodes only its own rows.
+
+    ``only_ops={"write_rows", ...}`` pushes the DELTA-TYPE predicate
+    (R5) the same way (r16): an insert-only consumer skips update/
+    delete image parsing inside the codec.  Composes with
+    ``only_tables`` (both must pass).
 
     ``since=(log_file, offset)`` is a bounded replay from a journaled
     position: files BEFORE `log_file` in rotation order are pruned
@@ -284,7 +327,7 @@ def read_binlog_envelope(
     head).  Composes with ``only_tables``.
     """
     if since is not None:
-        paths = _list_log_files(path, since[0])
+        paths = _list_log_files(path, since[0], spark)
         if not paths:
             # nothing at or past the resume point: empty envelope
             return spark.createDataFrame([], BINLOG_ENVELOPE_SCHEMA)
@@ -315,7 +358,7 @@ def read_binlog_envelope(
                 recs, _ = envelope_records(
                     decode_binlog(
                         bytes(content), cat, on_error=on_error,
-                        only_tables=only_tables,
+                        only_tables=only_tables, only_ops=only_ops,
                     ),
                     log_file,
                 )

@@ -318,3 +318,36 @@ def test_since_replay_parity_and_pruning(spark, tmp_path):
     )
     assert env_empty.count() == 0
     assert env_empty.schema == bs.BINLOG_ENVELOPE_SCHEMA
+
+
+def test_list_log_files_filters_to_rotation_pattern(tmp_path):
+    """r15 ADVICE: a stray non-binlog file in the directory must not
+    sweep into the replay — only `*.%06d` rotation names list."""
+    from mysql_cdc_spark.sources.binlog_source import _list_log_files
+
+    for i in range(3):
+        (tmp_path / f"binlog.{i:06d}").write_bytes(b"x")
+    (tmp_path / "binlog.index").write_bytes(b"x")
+    (tmp_path / "dump.sql").write_bytes(b"x")
+    (tmp_path / "notes.txt").write_bytes(b"x")
+    got = [p.rsplit("/", 1)[-1] for p in _list_log_files(str(tmp_path))]
+    assert got == [f"binlog.{i:06d}" for i in range(3)]
+
+
+def test_list_log_files_hadoop_fs_parity(spark, tmp_path):
+    """With a session the listing goes through the Hadoop FileSystem
+    API (any binaryFile-readable URI, r15 ADVICE); on a local dir it
+    must agree with the sparkless os.listdir fallback, and the URIs
+    it returns must be loadable by the binaryFile reader."""
+    from mysql_cdc_spark.sources.binlog_source import _list_log_files
+
+    for i in range(4):
+        (tmp_path / f"binlog.{i:06d}").write_bytes(b"payload")
+    (tmp_path / "binlog.index").write_bytes(b"x")
+    local = _list_log_files(str(tmp_path), "binlog.000001")
+    via_fs = _list_log_files(str(tmp_path), "binlog.000001", spark)
+    assert [p.rsplit("/", 1)[-1] for p in via_fs] == [
+        p.rsplit("/", 1)[-1] for p in local
+    ]
+    n = spark.read.format("binaryFile").load(via_fs).count()
+    assert n == 3

@@ -267,3 +267,35 @@ def test_neardup_candidates_bounded_on_degenerate_bucket(spark):
     )
     comps = comp.select("component").distinct().count()
     assert comps == 1  # the clique stays fully connected under chaining
+
+
+def test_opq_rotation_memo_source_freshness(spark, tmp_path):
+    """r15 ADVICE: rewriting the corpus parquet under an IDENTICAL
+    plan must miss the rotation memo (the semanticHash alone is the
+    same; the source freshness stamp is what invalidates)."""
+    import numpy as np
+
+    from mysql_cdc_spark.operators.similarity import opq_rotation_int
+
+    path = str(tmp_path / "emb.parquet")
+
+    def write(anisotropy):
+        rng = np.random.default_rng(7)
+        scale = np.ones(8) if anisotropy is None else np.asarray(anisotropy)
+        rows = [
+            (i, [float(x) for x in rng.normal(0.0, 1.0, 8) * scale])
+            for i in range(96)
+        ]
+        spark.createDataFrame(
+            rows, "id long, embedding array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    write(None)
+    r1 = opq_rotation_int(spark.read.parquet(path), m=2)
+    # identical plan + identical bytes: stable answer (memo or not)
+    assert opq_rotation_int(spark.read.parquet(path), m=2) == r1
+    # rewrite IN PLACE with a different covariance structure: the plan
+    # hash is unchanged, so a stale memo would hand back r1
+    write([50.0, 1, 1, 1, 1, 1, 1, 0.02])
+    r2 = opq_rotation_int(spark.read.parquet(path), m=2)
+    assert r2 != r1
