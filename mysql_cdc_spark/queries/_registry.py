@@ -243,10 +243,12 @@ REGISTRATION_ORDER: list[str] = [
     # r15 additions
     "cdc_binlog_pushdown",
     "cdc_stream_txn_events",
-    "llm_ann_lsh_capped",
+    "llm_ann_lsh_uncapped",
     "llm_ann_ivfpq_rr",
     "cdc_binlog_schema_evo",
     "cdc_binlog_since",
+    # r16 additions
+    "cdc_binlog_only_ops",
 ]
 
 

@@ -453,35 +453,15 @@ def _probe_union_sql() -> str:
     )
 
 
-@register(
-    "llm_ann_lsh",
-    _BKT_CTE + f", probes AS ({_probe_union_sql()})"
-    ", cand AS (SELECT DISTINCT qq.vec_id AS query_id, c.vec_id AS neighbor_id "
-    "FROM probes qq JOIN bkt c ON qq.band = c.band AND qq.bucket = c.bucket "
-    "AND c.vec_id != qq.vec_id), "
-    "scored AS (SELECT cand.query_id, cand.neighbor_id, "
-    + _SQL_COS.format(a="a", b="b") + " AS cosine "
-    "FROM cand JOIN n a ON a.vec_id = cand.query_id JOIN n b ON b.vec_id = cand.neighbor_id) "
-    "SELECT query_id, neighbor_id, cosine, rank FROM ("
-    "  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
-    "  ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM scored"
-    f") WHERE rank <= {similarity.DEFAULT_K}",
-)
-def llm_ann_lsh(spark, sf_dir):
-    """Approximate top-k via sign-random-projection LSH buckets
-    (MULTI-PROBE: own + Hamming-1 buckets per query) + exact re-rank
-    (bucketed equi-join, never all-pairs)."""
-    return similarity.ann_lsh(_emb(spark, sf_dir))
+# Re-rank fan-in bound — similarity.ANN_DEFAULT_CAP (r16: the cap IS
+# the default; capped was measured bounded AND faster at x100).  Small
+# enough to BIND at sf0.01 (multi-probe candidate sets run well past
+# it), large enough that top-k quality is visibly a cap trade-off.
+ANN_LSH_CAP = similarity.ANN_DEFAULT_CAP
 
-
-# Re-rank fan-in bound for the capped gate: small enough to BIND at
-# sf0.01 (multi-probe candidate sets run well past it), large enough
-# that top-k quality is visibly a cap trade-off, not an accident.
-ANN_LSH_CAP = 24
-
-
-@register(
-    "llm_ann_lsh_capped",
+# The CAPPED candidate pipeline (hit counting, integer-exact locality
+# distances, deterministic cut, exact re-rank) — the default plan.
+_ANN_CAPPED_SQL = (
     _BKT_CTE + f", probes AS ({_probe_union_sql()})"
     ", hits AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id, "
     "COUNT(*) AS n_hits, "
@@ -499,18 +479,45 @@ ANN_LSH_CAP = 24
     "SELECT query_id, neighbor_id, cosine, rank FROM ("
     "  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
     "  ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM scored"
+    f") WHERE rank <= {similarity.DEFAULT_K}"
+)
+
+
+@register("llm_ann_lsh", _ANN_CAPPED_SQL)
+def llm_ann_lsh(spark, sf_dir):
+    """Approximate top-k via sign-random-projection LSH buckets
+    (MULTI-PROBE: own + Hamming-1 buckets per query) + exact re-rank
+    (bucketed equi-join, never all-pairs).  The DEFAULT form is
+    candidate-CAPPED (r16, x100-measured faster AND bounded): each
+    query re-ranks at most ANN_LSH_CAP candidates, kept by (band-hit
+    count DESC, order-plane |Δ| ASC, neighbor_id) — the multi-probe
+    fan-in bound that makes the 170×-shuffle-at-x100 growth an
+    explicit O(queries × cap) before the exact cosine stage."""
+    return similarity.ann_lsh(_emb(spark, sf_dir))
+
+
+@register(
+    "llm_ann_lsh_uncapped",
+    _BKT_CTE + f", probes AS ({_probe_union_sql()})"
+    ", cand AS (SELECT DISTINCT qq.vec_id AS query_id, c.vec_id AS neighbor_id "
+    "FROM probes qq JOIN bkt c ON qq.band = c.band AND qq.bucket = c.bucket "
+    "AND c.vec_id != qq.vec_id), "
+    "scored AS (SELECT cand.query_id, cand.neighbor_id, "
+    + _SQL_COS.format(a="a", b="b") + " AS cosine "
+    "FROM cand JOIN n a ON a.vec_id = cand.query_id JOIN n b ON b.vec_id = cand.neighbor_id) "
+    "SELECT query_id, neighbor_id, cosine, rank FROM ("
+    "  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
+    "  ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM scored"
     f") WHERE rank <= {similarity.DEFAULT_K}",
 )
-def llm_ann_lsh_capped(spark, sf_dir):
-    """ann_lsh with `max_candidates_per_query` binding (r14 VERDICT
-    #4): each query re-ranks at most ANN_LSH_CAP candidates, kept by
-    (band-hit count DESC, order-plane |Δ| ASC, neighbor_id) — the
-    multi-probe fan-in bound that makes the 170×-shuffle-at-x100
-    growth an explicit O(queries × cap) before the exact cosine
-    stage.  Oracle replicates the hit counting, the integer-exact
-    locality distances, the deterministic cut, and the re-rank."""
+def llm_ann_lsh_uncapped(spark, sf_dir):
+    """The `max_candidates_per_query=None` OPT-OUT of the default
+    candidate cap: the full multi-probe candidate set reaches the
+    exact re-rank (highest recall — copies fixture 0.924/0.8 vs
+    0.788/0.4 capped — at unbounded fan-in; the capped default is
+    the 100 TB plan)."""
     return similarity.ann_lsh(
-        _emb(spark, sf_dir), max_candidates_per_query=ANN_LSH_CAP
+        _emb(spark, sf_dir), max_candidates_per_query=None
     )
 
 
@@ -2121,11 +2128,18 @@ def llm_minhash_recall(spark, sf_dir):
     "  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
     "  ORDER BY cosine DESC, neighbor_id) AS rank FROM exact_pairs"
     f") WHERE rank <= {similarity.DEFAULT_K}), "
-    # multi-probe candidates, identical to llm_ann_lsh's construction
+    # multi-probe CAPPED candidates, identical to llm_ann_lsh's
+    # (r16: the cap is the default) construction
     f"probes AS ({_probe_union_sql()}), "
-    "cand AS (SELECT DISTINCT qq.vec_id AS query_id, c.vec_id AS neighbor_id "
+    "hits AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id, "
+    "COUNT(*) AS n_hits, "
+    "MAX(ABS(qq.ord0 - c.ord0) + ABS(qq.ord1 - c.ord1)) AS ord_dist "
     "FROM probes qq JOIN bkt c ON qq.band = c.band AND qq.bucket = c.bucket "
-    "AND c.vec_id != qq.vec_id), "
+    "AND c.vec_id != qq.vec_id GROUP BY 1, 2), "
+    "cand AS (SELECT query_id, neighbor_id FROM ("
+    "  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+    "  ORDER BY n_hits DESC, ord_dist, neighbor_id) AS cand_rank FROM hits"
+    f") WHERE cand_rank <= {ANN_LSH_CAP}), "
     "ann_scored AS (SELECT cand.query_id, cand.neighbor_id, "
     + _SQL_COS.format(a="a", b="b") + " AS cosine "
     "FROM cand JOIN n a ON a.vec_id = cand.query_id JOIN n b ON b.vec_id = cand.neighbor_id), "

@@ -90,7 +90,13 @@ def measure(spark, emb, n_queries: int, k: int) -> list[dict]:
     emb.count()
     truth = topk_sets(sim.knn(emb, n_queries=n_queries, k=k))
     paths = {
+        # default = capped at ANN_DEFAULT_CAP (r16); the uncapped
+        # opt-out is measured alongside so the cap's recall trade
+        # stays visible round over round
         "ann_lsh": lambda: sim.ann_lsh(emb, n_queries=n_queries, k=k),
+        "ann_lsh_uncapped": lambda: sim.ann_lsh(
+            emb, n_queries=n_queries, k=k, max_candidates_per_query=None
+        ),
         "ann_ivf": lambda: sim.ann_ivf(emb, n_queries=n_queries, k=k),
         "ann_adc": lambda: sim.ann_adc(emb, n_queries=n_queries, k=k),
         "ann_ivfpq": lambda: sim.ann_ivfpq(emb, n_queries=n_queries, k=k),

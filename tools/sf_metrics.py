@@ -53,7 +53,7 @@ TARGET = [  # HEADLINE ∪ dedup/refresh family (r10 VERDICT #1 list)
     # r15 surfaces: codec-level table pushdown, the capped multi-probe
     # re-rank, rotated-residual PQ, schema evolution through the byte
     # path, and streaming xid assembly
-    "cdc_binlog_pushdown", "llm_ann_lsh_capped", "llm_ann_ivfpq_rr",
+    "cdc_binlog_pushdown", "llm_ann_lsh_uncapped", "llm_ann_ivfpq_rr",
     "cdc_binlog_schema_evo", "cdc_stream_txn_events",
 ]
 
