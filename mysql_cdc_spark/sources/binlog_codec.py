@@ -186,6 +186,7 @@ OP_NAMES = {
 # ---------------------------------------------------------------------------
 
 _DIG2BYTES = [0, 1, 1, 2, 2, 3, 3, 4, 4, 4]
+_POW10 = [10 ** i for i in range(10)]
 
 
 def decimal_bin_size(precision: int, scale: int) -> int:
@@ -237,41 +238,62 @@ def encode_decimal(text: str, precision: int, scale: int) -> bytes:
     return bytes(out)
 
 
+# 256-byte complement table: bytes.translate runs the negative-value
+# bit flip at C speed (the r15 form's per-byte generator was the
+# decimal hot loop's worst allocation).
+_NEG_XLAT = bytes(x ^ 0xFF for x in range(256))
+
+
 def decode_decimal(data: bytes, precision: int, scale: int) -> str:
     """Decode MySQL packed decimal to its canonical string (integer
     part without leading zeros, fraction zero-padded to `scale` —
-    matching Decimal.toString, Decimal.java:264-279)."""
-    neg = (data[0] & 0x80) == 0       # stored MSB: 1 = non-negative
-    if neg:
-        b = bytearray(x ^ 0xFF for x in data)
-    else:
-        b = bytearray(data)
-    b[0] ^= 0x80
+    matching Decimal.toString, Decimal.java:264-279).
 
+    r16 hot-loop form: the base-10^9 groups accumulate into two
+    INTEGERS (ip, fp) instead of digit strings — str(int) strips
+    leading zeros and the one f-string zero-pads the fraction, so the
+    per-group rjust/concat churn and the final lstrip all vanish.
+    Group semantics are unchanged (same _DIG2BYTES walk)."""
+    neg = (data[0] & 0x80) == 0       # stored MSB: 1 = non-negative
+    b = data.translate(_NEG_XLAT) if neg else data
+    # The stored sign bit (byte 0's MSB) flips in INTEGER space on
+    # whichever packed group comes first — no mutable buffer copy.
     intg = precision - scale
     pos = 0
-    ip_digits = ""
+    fb = int.from_bytes
+    first = True
+    ip = 0
     lead = intg % 9
     if lead:
         n = _DIG2BYTES[lead]
-        ip_digits += str(int.from_bytes(b[pos:pos + n], "big")).rjust(lead, "0")
-        pos += n
+        ip = fb(b[:n], "big") ^ (1 << (8 * n - 1))
+        pos = n
+        first = False
     for _ in range(intg // 9):
-        ip_digits += str(int.from_bytes(b[pos:pos + 4], "big")).rjust(9, "0")
+        g = fb(b[pos:pos + 4], "big")
+        if first:
+            g ^= 0x8000_0000
+            first = False
+        ip = ip * 1_000_000_000 + g
         pos += 4
-    fp_digits = ""
+    fp = 0
     for _ in range(scale // 9):
-        fp_digits += str(int.from_bytes(b[pos:pos + 4], "big")).rjust(9, "0")
+        g = fb(b[pos:pos + 4], "big")
+        if first:
+            g ^= 0x8000_0000
+            first = False
+        fp = fp * 1_000_000_000 + g
         pos += 4
     tail = scale % 9
     if tail:
         n = _DIG2BYTES[tail]
-        fp_digits += str(int.from_bytes(b[pos:pos + n], "big")).rjust(tail, "0")
-        pos += n
+        g = fb(b[pos:pos + n], "big")
+        if first:
+            g ^= 1 << (8 * n - 1)
+        fp = fp * _POW10[tail] + g
 
-    ip_str = ip_digits.lstrip("0") or "0"
-    sign = "-" if neg and (ip_str != "0" or fp_digits.strip("0")) else ""
-    return f"{sign}{ip_str}.{fp_digits}" if scale else f"{sign}{ip_str}"
+    sign = "-" if neg and (ip or fp) else ""
+    return f"{sign}{ip}.{fp:0{scale}d}" if scale else f"{sign}{ip}"
 
 
 # ---------------------------------------------------------------------------
@@ -1734,29 +1756,136 @@ def _full_names(tmap: TableMapState) -> list[str]:
     return names
 
 
+def _make_field_decoder(tc: int, meta, unsigned: bool = False,
+                        charset: str | None = None):
+    """Specialize the D9 field dispatch for ONE column — the
+    compile-time form of `_read_value`'s per-value type chain (r16
+    codec campaign): metadata re-derivation (packed-CHAR real type,
+    length-prefix width, decimal storage size) happens once per
+    (table map, bitmap) shape instead of once per value, and the hot
+    OLTP types (ints, strings, decimals) get closures with zero
+    per-call branching.  Every other type falls back to `_read_value`
+    itself — one semantics, two speeds."""
+    if tc == TYPE_STRING and isinstance(meta, tuple):
+        m0, m1 = meta
+        if m0 == TYPE_ENUM:
+            def d_enum(body, pos, n=m1):
+                e = pos + n
+                return int.from_bytes(body[pos:e], "little"), e
+            return d_enum
+        if m0 == TYPE_SET:
+            def d_set(body, pos, n=m1):
+                e = pos + n
+                return bytes(body[pos:e]), e
+            return d_set
+        if m0 and (m0 & 0x30) != 0x30:
+            maxlen = m1 | (((m0 & 0x30) ^ 0x30) << 4)
+        else:
+            maxlen = m1
+        tc, meta = TYPE_VAR_STRING, maxlen
+    if tc in _INT_TYPES:
+        n = _INT_TYPES[tc]
+        signed = not unsigned
+        def d_int(body, pos, n=n, signed=signed):
+            e = pos + n
+            return int.from_bytes(body[pos:e], "little", signed=signed), e
+        return d_int
+    if tc in (TYPE_VARCHAR, TYPE_VAR_STRING):
+        if int(meta) < 256:
+            if charset is None:
+                def d_str1(body, pos):
+                    s = pos + 1
+                    e = s + body[pos]
+                    return body[s:e].decode("latin-1"), e
+                return d_str1
+            def d_str1c(body, pos, cs=charset):
+                s = pos + 1
+                e = s + body[pos]
+                return _decode_text(body[s:e], cs), e
+            return d_str1c
+        if charset is None:
+            def d_str2(body, pos):
+                s = pos + 2
+                e = s + (body[pos] | (body[pos + 1] << 8))
+                return body[s:e].decode("latin-1"), e
+            return d_str2
+        def d_str2c(body, pos, cs=charset):
+            s = pos + 2
+            e = s + (body[pos] | (body[pos + 1] << 8))
+            return _decode_text(body[s:e], cs), e
+        return d_str2c
+    if tc == TYPE_NEWDECIMAL:
+        p_, s_ = meta
+        size = decimal_bin_size(p_, s_)
+        def d_dec(body, pos, size=size, p=p_, s=s_):
+            e = pos + size
+            return decode_decimal(body[pos:e], p, s), e
+        return d_dec
+    def d_generic(body, pos, tc=tc, meta=meta, unsigned=unsigned,
+                  charset=charset):
+        return _read_value(body, pos, tc, meta, unsigned, charset)
+    return d_generic
+
+
+def _image_plan(tmap: TableMapState, used_bitmap: bytes):
+    """(name, decoder) pairs + null-bitmap width for one (table map,
+    used-columns bitmap) shape, cached on the map instance — a whole
+    log reuses a handful of shapes, so the bit scan, name resolution,
+    and decoder specialization are construction-time, not per-image."""
+    plans = tmap.__dict__.get("_img_plans")
+    if plans is None:
+        plans = tmap._img_plans = {}
+    plan = plans.get(used_bitmap)
+    if plan is None:
+        used = _used_cols(len(tmap.col_types), used_bitmap)
+        names = _full_names(tmap)
+        unsigned, charsets = tmap.unsigned, tmap.charsets
+        fields = [
+            (
+                names[i],
+                _make_field_decoder(
+                    tmap.col_types[i], tmap.col_meta[i],
+                    bool(unsigned) and unsigned[i],
+                    charsets[i] if charsets else None,
+                ),
+            )
+            for i in used
+        ]
+        plan = (fields, (len(used) + 7) // 8)
+        plans[used_bitmap] = plan
+    return plan
+
+
 def _read_image(
     body: bytes, pos: int, tmap: TableMapState, used_bitmap: bytes
 ) -> tuple[dict, int]:
     """One row image → {col_name: value}; SQL NULL → key with None,
-    column-not-in-image → key ABSENT (nil vs '_', reference :599-608)."""
-    col_types, col_meta = tmap.col_types, tmap.col_meta
-    unsigned, charsets = tmap.unsigned, tmap.charsets
-    used = _used_cols(len(col_types), used_bitmap)
-    names = _full_names(tmap)
-    null_bytes = (len(used) + 7) // 8
-    nulls = body[pos:pos + null_bytes]
+    column-not-in-image → key ABSENT (nil vs '_', reference :599-608).
+    Decodes through the compiled per-shape plan (`_image_plan`); the
+    null bitmap reads once as an int so the per-column test is a
+    shift, not a byte index + mask."""
+    return _read_image_plan(body, pos, _image_plan(tmap, used_bitmap))
+
+
+def _read_image_plan(body: bytes, pos: int, plan) -> tuple[dict, int]:
+    """`_read_image` with the plan lookup hoisted — `_decode_body`
+    resolves the plan once per EVENT and decodes every row image in
+    the event through it."""
+    fields, null_bytes = plan
+    nulls = int.from_bytes(body[pos:pos + null_bytes], "little")
     pos += null_bytes
     image: dict[str, object] = {}
-    for j, i in enumerate(used):
-        if nulls[j >> 3] & (1 << (j & 7)):
-            image[names[i]] = None
-        else:
-            v, pos = _read_value(
-                body, pos, col_types[i], col_meta[i],
-                bool(unsigned) and unsigned[i],
-                charsets[i] if charsets else None,
-            )
-            image[names[i]] = v
+    if nulls:
+        j = 0
+        for name, dec in fields:
+            if (nulls >> j) & 1:
+                image[name] = None
+            else:
+                image[name], pos = dec(body, pos)
+            j += 1
+    else:  # hot path: fully non-NULL image
+        for name, dec in fields:
+            image[name], pos = dec(body, pos)
     return image, pos
 
 
@@ -1819,6 +1948,7 @@ def decode_binlog(
     on_error: str = "raise",
     checksum: str | None = None,
     only_tables: "set[tuple[str, str]] | None" = None,
+    only_ops: "set[str] | None" = None,
 ) -> list[dict]:
     """D1+S3/S4: walk the event chain from `start_offset`, threading
     table-map state, with the torn-tail guard (a header or body that
@@ -1833,7 +1963,7 @@ def decode_binlog(
     """
     events, _, _ = decode_binlog_incremental(
         data, start_offset, table_map, catalog, on_error=on_error,
-        checksum=checksum, only_tables=only_tables,
+        checksum=checksum, only_tables=only_tables, only_ops=only_ops,
     )
     return events
 
@@ -1849,6 +1979,7 @@ def decode_binlog_incremental(
     checksum: str | None = None,
     advance_by_length: bool = False,
     only_tables: "set[tuple[str, str]] | None" = None,
+    only_ops: "set[str] | None" = None,
 ) -> tuple[list[dict], int, TableMapState | None]:
     """S9 incremental-turn form: decode `[start_offset, end-of-data)`
     and return (events, next_offset, table_map_state) so the caller
@@ -1887,6 +2018,21 @@ def decode_binlog_incremental(
     never observed (no quarantine record), because the body is never
     read.  A row event arriving with no table map yet (tmap None)
     cannot be attributed and takes the normal decode/error path.
+
+    ``only_ops={"write_rows", ...}`` is the DELTA-TYPE predicate (R5,
+    jdbc.clj:180-182 — the reference filters delta-type POST-decode)
+    pushed below decode, symmetric to ``only_tables``: a row event
+    whose op name (known from the type code alone, no table map
+    needed) is NOT in the set skips image parsing and is dropped,
+    with the same seq-slot and CRC-verification contract.  An
+    insert-only consumer passes {"write_rows"} and never pays
+    update/delete image decode.  Composes with ``only_tables`` (a
+    frame must pass BOTH predicates to decode).  Non-row events
+    (query/xid/table_map/...) always decode — only row-image parsing
+    is skippable.  Same corruption asymmetry as only_tables, plus
+    one more: a skipped-op row event arriving with NO table map is
+    dropped without the "row event without preceding TABLE_MAP"
+    error a full decode would raise (its op needs no attribution).
     """
     if base == 0 and not is_binlog(data):
         raise ValueError("not a binlog file (bad magic)")
@@ -1918,11 +2064,16 @@ def decode_binlog_incremental(
         # pushdown set skips image parsing entirely (but still passes
         # CRC framing below, and still consumes a seq slot so emitted
         # events match a full decode's numbering exactly).
-        skip_body = (
-            only_tables is not None
-            and type_code in ROW_EVENT_TYPES
-            and tmap is not None
-            and (tmap.db, tmap.table) not in only_tables
+        skip_body = type_code in ROW_EVENT_TYPES and (
+            (
+                only_tables is not None
+                and tmap is not None
+                and (tmap.db, tmap.table) not in only_tables
+            )
+            or (
+                only_ops is not None
+                and OP_NAMES[type_code] not in only_ops
+            )
         )
         try:
             if type_code == FORMAT_DESCRIPTION_EVENT:
@@ -1944,7 +2095,8 @@ def decode_binlog_incremental(
                     )
                 body = body[:-4]
             if not skip_body:
-                _decode_body(ev, type_code, body, catalog, tmap, only_tables)
+                _decode_body(ev, type_code, body, catalog, tmap,
+                             only_tables, only_ops)
         except Exception as exc:
             if on_error == "quarantine":
                 # Dead-letter the poison event and keep walking: the
@@ -2032,6 +2184,7 @@ def _decode_body(
     catalog: dict,
     tmap: TableMapState | None,
     only_tables: "set[tuple[str, str]] | None" = None,
+    only_ops: "set[str] | None" = None,
 ) -> None:
     """Type-specific body decode into `ev`.  A new TABLE_MAP is handed
     back via ev["_new_table_map"] (the caller threads it)."""
@@ -2092,14 +2245,17 @@ def _decode_body(
         if is_update:
             used2 = body[p:p + bm_bytes]; p += bm_bytes
         rows_before, rows_after = [], []
-        while p < len(body):
+        plan1 = _image_plan(tmap, used1)
+        plan2 = _image_plan(tmap, used2) if is_update and not is_partial else None
+        body_len = len(body)
+        while p < body_len:
             p0 = p
-            img1, p = _read_image(body, p, tmap, used1)
+            img1, p = _read_image_plan(body, p, plan1)
             if is_partial:
                 img2, p = _read_partial_image(body, p, tmap, used2, img1)
                 rows_before.append(img1); rows_after.append(img2)
             elif is_update:
-                img2, p = _read_image(body, p, tmap, used2)
+                img2, p = _read_image_plan(body, p, plan2)
                 rows_before.append(img1); rows_after.append(img2)
             elif is_write:
                 rows_after.append(img1)
@@ -2194,6 +2350,7 @@ def _decode_body(
             payload, inner_base, tmap, catalog,
             base=inner_base, on_error="raise", checksum=None,
             advance_by_length=True, only_tables=only_tables,
+            only_ops=only_ops,
         )
         # Total frames inside the payload (cheap header walk): the
         # envelope's sql text and the caller's seq accounting must
