@@ -488,6 +488,59 @@ def cdc_binlog_pushdown(spark, sf_dir):
 
 
 @register(
+    "cdc_binlog_only_ops",
+    """
+WITH ins AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'foo' ELSE 'bench' END AS db,
+         CASE WHEN user_id % 2 = 0 THEN 'auto' ELSE 'big' END AS tbl,
+         CAST(event_id % 97 AS BIGINT) AS id,
+         printf('%d.%04d', event_id % 100000, event_id % 10000) AS val,
+         CASE WHEN event_id % 10 = 0 THEN NULL ELSE event_type END AS word
+  FROM events WHERE event_type IN ('signup', 'purchase')
+)
+SELECT db, tbl, id,
+       CAST(COUNT(*) AS BIGINT) AS n_inserts,
+       MAX(val) AS max_val,
+       CAST(SUM(CASE WHEN word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_words
+FROM ins GROUP BY db, tbl, id
+""".strip(),
+)
+def cdc_binlog_only_ops(spark, sf_dir):
+    """Delta-type pushdown end-to-end (r15 VERDICT #7): an INSERT-ONLY
+    consumer passes ``only_ops={'write_rows'}`` and the codec never
+    parses update/delete row images — the frame length makes the skip
+    free, symmetric to the (db, tbl) pushdown (same seq-slot + CRC
+    contract; parity pinned in tests/test_binlog_only_ops.py).
+    Aggregates the insert stream per (db, tbl, id) over BOTH fixture
+    tables.  Reference anchor: jdbc.clj:180-182 filters delta-type
+    AFTER decode; SURVEY §4 names filter-before-decode as the custom
+    gain this completes."""
+    import pathlib
+
+    from mysql_cdc_spark.sources import binlog_source as bs
+
+    out_dir = pathlib.Path(_STREAM_TMP) / f"binlog_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
+    if not any(out_dir.glob("binlog.*")):
+        bs.generate_binlog_from_events(sf_dir, str(out_dir))
+    env = bs.read_binlog_envelope(
+        spark, str(out_dir), only_ops={"write_rows"}
+    )
+    ins = env.filter(F.col("op") == "write_rows").selectExpr(
+        "db", "tbl",
+        "CAST(after['id'] AS BIGINT) AS id",
+        "after['val'] AS val",
+        "after['word'] AS word",
+    )
+    return ins.groupBy("db", "tbl", "id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_inserts"),
+        F.max("val").alias("max_val"),
+        F.sum(F.when(F.col("word").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("null_words"),
+    )
+
+
+@register(
     "cdc_binlog_schema_evo",
     """
 WITH ev AS (

@@ -45,6 +45,7 @@ class BinlogTailer:
         catalog: dict[tuple[str, str], list[str]] | None = None,
         on_error: str = "raise",
         only_tables: set[tuple[str, str]] | None = None,
+        only_ops: set[str] | None = None,
     ) -> None:
         self.log_dir = log_dir
         self.current_log = first_log
@@ -56,7 +57,10 @@ class BinlogTailer:
         # a per-table tail skips image parsing for foreign tables at
         # every turn — headers/table-maps/rotation/checksum handling
         # are unaffected (binlog_codec.decode_binlog_incremental).
+        # `only_ops` is the delta-type predicate pushed the same way
+        # (r16): an insert-only tail never parses update/delete images.
         self.only_tables = only_tables
+        self.only_ops = only_ops
         # 'quarantine' = dead-letter poison events and keep tailing —
         # a live tailer must not die on one malformed event.
         self.on_error = on_error
@@ -141,6 +145,7 @@ class BinlogTailer:
                     tail, self.offset, self.table_map, self.catalog,
                     base=self.offset, on_error=self.on_error,
                     checksum=self.checksum, only_tables=self.only_tables,
+                    only_ops=self.only_ops,
                 )
             finally:
                 if mm is not None:

@@ -11,6 +11,10 @@ foo.auto / bench.big, ~50/50 by rows) three ways at a chosen scale:
                foreign row events skip image parsing
 - headers:     only_tables={nonexistent} — headers+table_maps only,
                the upper bound of the win at extreme selectivity
+- ops_then_filter / ops_pushdown: the DELTA-TYPE predicate (r16
+               only_ops): an insert-only consumer (write_rows is ~2/5
+               of row events; update pairs make it ~1/3 of row
+               IMAGES) post-filtered vs pushed into the codec
 
 Usage: python tools/pushdown_bench.py [sf_dir]
        (default /root/testdata/sf0.1; pass
@@ -47,6 +51,8 @@ def main() -> None:
         "then_filter": dict(only_tables=None, post_filter=True),
         "pushdown": dict(only_tables={("foo", "auto")}),
         "headers_only": dict(only_tables={("no", "table")}),
+        "ops_then_filter": dict(only_tables=None, post_filter_ops=True),
+        "ops_pushdown": dict(only_ops={"write_rows"}),
     }
     walls: dict[str, float] = {}
     counts: dict[str, int] = {}
@@ -54,12 +60,17 @@ def main() -> None:
         times = []
         for i in range(3):  # 1 warm + 2 timed
             env = bs.read_binlog_envelope(
-                spark, str(out_dir), only_tables=opts.get("only_tables")
+                spark, str(out_dir), only_tables=opts.get("only_tables"),
+                only_ops=opts.get("only_ops"),
             )
             if opts.get("post_filter"):
                 env = env.filter(
                     "op NOT IN ('write_rows','update_rows','delete_rows') "
                     "OR (db = 'foo' AND tbl = 'auto')"
+                )
+            if opts.get("post_filter_ops"):
+                env = env.filter(
+                    "op NOT IN ('update_rows','delete_rows')"
                 )
             t0 = time.perf_counter()
             counts[name] = env.count()
@@ -75,6 +86,8 @@ def main() -> None:
             walls["then_filter"] / walls["pushdown"], 2),
         "speedup_headers_only": round(
             walls["full"] / walls["headers_only"], 2),
+        "speedup_ops_vs_then_filter": round(
+            walls["ops_then_filter"] / walls["ops_pushdown"], 2),
     }))
 
 
