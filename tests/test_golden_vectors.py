@@ -539,3 +539,109 @@ def test_file_g_enum_set_wire_format():
     assert evs[3]["xid"] == 4242
     for prev, cur in zip(evs, evs[1:]):
         assert cur["offset"] == prev["next"]
+
+
+# ---------------------------------------------------------------------------
+# FILE H — CRC32, DROP COLUMN + type-WIDENING ALTER mid-log (r15
+# VERDICT #5; FILE F covers ADD only).  lab.acct starts 3 columns
+# (id LONG, name VARCHAR(40), score INT); ALTER DROP COLUMN name →
+# the server emits a NARROWER map (table_id 7→8, 3→2 cols); ALTER
+# MODIFY COLUMN score BIGINT → same width but a WIDER type (LONG 03 →
+# LONGLONG 08, table_id 9) — the rows after it carry 8-byte values
+# above 2^32, so a decoder still bound to the old 4-byte codec cannot
+# produce them.  All three maps carry binlog_row_metadata=FULL
+# COLUMN_NAME TLVs (empty catalog; names come off the wire).
+#
+#   offset   4 FORMAT_DESCRIPTION "5.6.51-spark-cdc", alg=CRC32
+#   offset 112 TABLE_MAP: table_id=7, lab.acct, 3 cols
+#              [LONG, VARCHAR(40) meta 28 00, LONG], COLUMN_NAME TLV
+#              ("\x02id\x04name\x05score")
+#   offset 178 WRITE_ROWS v2: (1, "ann", 5)
+#   offset 226 QUERY: thread_id=7, "ALTER TABLE acct DROP COLUMN name"
+#   offset 299 TABLE_MAP: table_id=8, SAME lab.acct, NOW 2 cols
+#              [LONG, LONG], COLUMN_NAME TLV ("\x02id\x05score")
+#   offset 357 WRITE_ROWS v2: (2, 7) and (3, NULL) — null bitmap 02
+#              marks the surviving score column SQL NULL
+#   offset 406 QUERY: "ALTER TABLE acct MODIFY COLUMN score BIGINT"
+#   offset 489 TABLE_MAP: table_id=9, 2 cols [LONG, LONGLONG]
+#   offset 547 WRITE_ROWS v2: (4, 5000000000)     — needs 8 bytes
+#   offset 595 UPDATE_ROWS v2: (4, 5e9) → (4, 6e9)
+#   offset 657 XID: 888;  end 688
+FILE_H = bytes.fromhex(
+    "fe62696e000000000f010000006c0000007000000000000400352e362e35312d73"
+    "7061726b2d63646300000000000000000000000000000000000000000000000000"
+    "000000000000000000000000001300000000000000000000000000000000000000"
+    "0000000000000000015bf966b901105365130100000042000000b2000000000007"
+    "00000000000000036c61620004616363740003030f0302280007040e026964046e"
+    "616d650573636f72656c08044f021053651e0100000030000000e2000000000007"
+    "0000000000000002000307000100000003616e6e05000000223451da0310536502"
+    "01000000490000002b0100000000070000000000000003000000006c616200414c"
+    "544552205441424c4520616363742044524f5020434f4c554d4e206e616d65380f"
+    "8bc40410536513010000003a0000006501000000000800000000000000036c6162"
+    "00046163637400020303000304090269640573636f7265e172ade9051053651e01"
+    "000000310000009601000000000800000000000000020002030002000000070000"
+    "0002030000002911507f06105365020100000053000000e9010000000007000000"
+    "0000000003000000006c616200414c544552205441424c452061636374204d4f44"
+    "49465920434f4c554d4e2073636f726520424947494e542b3ce3ac071053651301"
+    "0000003a0000002302000000000900000000000000036c61620004616363740002"
+    "0308000304090269640573636f7265b29b0eec081053651e010000003000000053"
+    "0200000000090000000000000002000203000400000000f2052a01000000746e7c"
+    "ea091053651f010000003e00000091020000000009000000000000000200020303"
+    "000400000000f2052a01000000000400000000bca06501000000829c86ac0a1053"
+    "6510010000001f000000b002000000007803000000000000e9886e81"
+)
+
+FILE_H_OFFSETS = [4, 112, 178, 226, 299, 357, 406, 489, 547, 595, 657]
+
+
+def test_file_h_drop_and_widen_mid_log():
+    """Narrowing rebind (DROP) and type-widening rebind (MODIFY) both
+    take effect at their map boundary: rows decode 3 → 2 columns, and
+    post-MODIFY score values exceed 2^32 (impossible under the old
+    4-byte codec).  Empty catalog — names come from COLUMN_NAME TLVs."""
+    evs = decode_binlog(FILE_H, {})
+    assert [e["op"] for e in evs] == [
+        "format_description", "table_map", "write_rows", "query",
+        "table_map", "write_rows", "query", "table_map", "write_rows",
+        "update_rows", "xid",
+    ]
+    assert [e["offset"] for e in evs] == FILE_H_OFFSETS
+    assert evs[2]["after"] == [{"id": 1, "name": "ann", "score": 5}]
+    assert evs[3]["sql"] == "ALTER TABLE acct DROP COLUMN name"
+    # post-DROP: name is GONE (not None — the key is absent)
+    assert evs[5]["after"] == [{"id": 2, "score": 7}, {"id": 3, "score": None}]
+    assert evs[6]["sql"] == "ALTER TABLE acct MODIFY COLUMN score BIGINT"
+    assert evs[8]["after"] == [{"id": 4, "score": 5_000_000_000}]
+    assert evs[9]["before"] == [{"id": 4, "score": 5_000_000_000}]
+    assert evs[9]["after"] == [{"id": 4, "score": 6_000_000_000}]
+    assert evs[10]["xid"] == 888
+    for prev, cur in zip(evs, evs[1:]):
+        assert cur["offset"] == prev["next"]
+
+
+def test_file_h_pushdown_threads_all_three_maps():
+    """only_tables skip must thread ALL THREE maps across both ALTER
+    boundaries (a stale map would mis-size the post-MODIFY 8-byte
+    image); the matching-set decode equals the full decode, and the
+    delta-type skip composes across the widened map too."""
+    full = decode_binlog(FILE_H, {})
+    keep = decode_binlog(FILE_H, {}, only_tables={("lab", "acct")})
+    assert keep == full
+    drop = decode_binlog(FILE_H, {}, only_tables={("no", "table")})
+    assert [e["op"] for e in drop] == [
+        "format_description", "table_map", "query", "table_map",
+        "query", "table_map", "xid",
+    ]
+    assert [e["seq"] for e in drop] == [0, 1, 3, 4, 6, 7, 10]
+    ins_only = decode_binlog(FILE_H, {}, only_ops={"write_rows"})
+    assert ins_only == [
+        e for e in full
+        if e["op"] not in ("update_rows", "delete_rows")
+    ]
+
+
+def test_file_h_crc_flip_detected():
+    bad = bytearray(FILE_H)
+    bad[620] ^= 0x01                # inside the UPDATE_ROWS body
+    with pytest.raises(ValueError, match="CRC32 mismatch"):
+        decode_binlog(bytes(bad), {})
