@@ -249,6 +249,7 @@ REGISTRATION_ORDER: list[str] = [
     "cdc_binlog_since",
     # r16 additions
     "cdc_binlog_only_ops",
+    "cdc_binlog_schema_evo_drop",
 ]
 
 

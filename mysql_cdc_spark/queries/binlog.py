@@ -615,6 +615,81 @@ def cdc_binlog_schema_evo(spark, sf_dir):
 
 
 @register(
+    "cdc_binlog_schema_evo_drop",
+    """
+WITH ev AS (
+  SELECT event_id,
+         CAST(event_id % 97 AS BIGINT) AS id,
+         printf('%d.%04d', event_id % 100000, event_id % 10000) AS val,
+         ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS k,
+         COUNT(*) OVER () AS n
+  FROM events
+), typed AS (
+  SELECT event_id, id,
+         CASE WHEN k < n // 3 THEN val END AS val,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              WHEN k >= (2 * n) // 3
+                THEN CAST(4000000000 + event_id % 1000 AS BIGINT)
+              ELSE CAST(event_id % 1000 AS BIGINT) END AS score
+  FROM ev
+)
+SELECT id, score, max_val, n_rows, n_wide FROM (
+  SELECT id, score, event_id,
+         MAX(val) OVER (PARTITION BY id) AS max_val,
+         CAST(COUNT(*) OVER (PARTITION BY id) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN score > 4294967296 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY id) AS BIGINT) AS n_wide,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY event_id DESC) AS rn
+  FROM typed
+) WHERE rn = 1
+""".strip(),
+)
+def cdc_binlog_schema_evo_drop(spark, sf_dir):
+    """Schema evolution BREADTH through the byte path (r15 VERDICT #5;
+    the ADD-only gate is cdc_binlog_schema_evo): lab.acct narrows
+    mid-log (ALTER DROP COLUMN val → a 2-column map AFTER a 3-column
+    one) and then WIDENS a type (ALTER MODIFY score BIGINT: LONG →
+    LONGLONG, same width, 8-byte values above 2^32) — envelope, typed
+    view, and latest-state replay must rebind across BOTH transitions.
+    `max_val` pins phase-0 val decode (post-DROP rows have no val key
+    → NULL → ignored by MAX); `n_wide` counts the post-MODIFY 8-byte
+    scores per key (impossible under a stale 4-byte codec); the
+    replay winner is phase-2.  Catalog-free: COLUMN_NAME TLVs on all
+    three maps.  Golden byte vector: FILE H in
+    tests/test_golden_vectors.py.  Reference anchor:
+    mysql_binlog.clj:975-976 (the planned DDL story)."""
+    import pathlib
+
+    from mysql_cdc_spark.sources import binlog_source as bs
+
+    out_dir = pathlib.Path(_STREAM_TMP) / f"binlog_sevod_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
+    if not any(out_dir.glob("binlog.*")):
+        bs.generate_schema_evo_drop_binlog(sf_dir, str(out_dir))
+    typed = bs.typed_changes_scan(
+        spark, str(out_dir), "lab", "acct",
+        {"id": "bigint", "val": "string", "score": "bigint"},
+    )
+    keyed = typed.selectExpr(
+        "after_id AS id",
+        "struct(CAST(regexp_extract(log_file, 'binlog\\\\.(\\\\d+)', 1) AS BIGINT)"
+        " AS file_idx, offset) AS ord",
+        "after_val AS val",
+        "after_score AS score",
+    )
+    return (
+        keyed.groupBy("id")
+        .agg(
+            F.expr("max_by(score, ord)").alias("score"),
+            F.max("val").alias("max_val"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("score") > 4294967296, 1).otherwise(0))
+            .cast("bigint").alias("n_wide"),
+        )
+        .select("id", "score", "max_val", "n_rows", "n_wide")
+    )
+
+
+@register(
     "cdc_binlog_since",
     """
 WITH ev AS (

@@ -994,3 +994,85 @@ def generate_schema_evo_binlog(sf_dir: str, out_dir: str) -> str:
 
     _atomic_gen(out_dir, gen)
     return os.path.join(out_dir, "binlog.000000")
+
+
+def generate_schema_evo_drop_binlog(sf_dir: str, out_dir: str) -> str:
+    """Three-phase schema evolution for `lab.acct` (r15 VERDICT #5 —
+    FILE F/`generate_schema_evo_binlog` cover ADD only): phase 0
+    (k < n//3) writes 3 columns (id LONG, val VARCHAR, score INT);
+    an ALTER DROP COLUMN val emits a NARROWER map (2 columns,
+    table_id bumped); an ALTER MODIFY score BIGINT emits a map of the
+    SAME width but a WIDER type (LONG 03 → LONGLONG 08) — phase-2
+    scores exceed 2^32, so a decoder still bound to the 4-byte codec
+    cannot produce them.  All maps carry COLUMN_NAME TLVs (no
+    catalog).  Closed-form in event_id for the SQL oracle:
+
+        id    = event_id % 97
+        val   = printf('%d.%04d', ...)          (phase 0 only)
+        score = NULL if event_id % 10 = 0 else
+                event_id % 1000                  (phases 0, 1)
+                4_000_000_000 + event_id % 1000  (phase 2)
+    """
+    from mysql_cdc_spark.sources.binlog_codec import (
+        TYPE_LONG, TYPE_LONGLONG, TYPE_VARCHAR, WRITE_ROWS_EVENT, TableDef,
+    )
+
+    pdf = _fixture_rows(sf_dir)
+    n = len(pdf)
+    wide = TableDef(
+        "lab", "acct",
+        [(TYPE_LONG, None), (TYPE_VARCHAR, 50), (TYPE_LONG, None)],
+        table_id=7, column_names=["id", "val", "score"],
+    )
+    dropped = TableDef(
+        "lab", "acct", [(TYPE_LONG, None), (TYPE_LONG, None)],
+        table_id=8, column_names=["id", "score"],
+    )
+    widened = TableDef(
+        "lab", "acct", [(TYPE_LONG, None), (TYPE_LONGLONG, None)],
+        table_id=9, column_names=["id", "score"],
+    )
+    b1, b2 = n // 3, (2 * n) // 3
+    k = 0
+
+    def emit(writer: BinlogWriter, event_id: int) -> None:
+        nonlocal k
+        ts = event_id % (1 << 32)
+        if k == b1:
+            writer.write_query(
+                "lab", "ALTER TABLE acct DROP COLUMN val", ts=ts
+            )
+        elif k == b2:
+            writer.write_query(
+                "lab", "ALTER TABLE acct MODIFY COLUMN score BIGINT", ts=ts
+            )
+        row_id = event_id % 97
+        score = None if event_id % 10 == 0 else event_id % 1000
+        if k < b1:
+            writer.write_table_map(wide, ts=ts)
+            writer.write_rows(
+                WRITE_ROWS_EVENT, wide,
+                [[row_id, fixture_val(event_id), score]], ts=ts,
+            )
+        elif k < b2:
+            writer.write_table_map(dropped, ts=ts)
+            writer.write_rows(
+                WRITE_ROWS_EVENT, dropped, [[row_id, score]], ts=ts
+            )
+        else:
+            if score is not None:
+                score += 4_000_000_000
+            writer.write_table_map(widened, ts=ts)
+            writer.write_rows(
+                WRITE_ROWS_EVENT, widened, [[row_id, score]], ts=ts
+            )
+        writer.write_xid(event_id, ts=ts)
+        k += 1
+
+    def gen(tmp_dir: str) -> None:
+        nonlocal k
+        k = 0
+        _write_rotated(tmp_dir, pdf["event_id"], emit)
+
+    _atomic_gen(out_dir, gen)
+    return os.path.join(out_dir, "binlog.000000")
