@@ -250,6 +250,104 @@ def envelope_records(
 _ROTATED_LOG_RE = re.compile(r"\.\d{6}$")
 
 
+_ENVELOPE_COLS = (
+    "log_file", "seq", "offset", "ts", "server_id", "xid", "db", "tbl",
+    "op", "row_idx", "before", "after", "sql", "thread_id", "exec_time",
+    "error_code",
+)
+
+
+def envelope_columns(
+    events: list[dict], log_file: str, seq_start: int = 0,
+    only_tables: set[tuple[str, str]] | None = None,
+    only_ops: set[str] | None = None,
+) -> tuple[dict[str, list], int]:
+    """`envelope_records` in COLUMNAR form (r15 VERDICT #1): one list
+    per envelope column, appended in a single pass — no per-record
+    dict allocation and no dict(base) copy per row image, and pandas
+    builds the mapInPandas batch from dict-of-lists (a C-speed column
+    zip) instead of re-inferring a list-of-dicts.  Content parity
+    with `envelope_records` is pinned by test; the record form stays
+    for the streaming tailer bridge (per-event callbacks)."""
+    cols: dict[str, list] = {c: [] for c in _ENVELOPE_COLS}
+    (c_log, c_seq, c_off, c_ts, c_sid, c_xid, c_db, c_tbl, c_op, c_ri,
+     c_before, c_after, c_sql, c_tid, c_et, c_ec) = (
+        cols[c] for c in _ENVELOPE_COLS
+    )
+    # pre-bound appends: the single-image branch runs once per event
+    (a_log, a_seq, a_off, a_ts, a_sid, a_xid, a_db, a_tbl, a_op,
+     a_sql, a_tid, a_et, a_ec) = (
+        c_log.append, c_seq.append, c_off.append, c_ts.append,
+        c_sid.append, c_xid.append, c_db.append, c_tbl.append,
+        c_op.append, c_sql.append, c_tid.append, c_et.append,
+        c_ec.append,
+    )
+    seq = seq_start
+    for ev in events:
+        op = ev["op"]
+        if op not in _ENVELOPE_OPS:
+            continue
+        is_rows = op.endswith("_rows")
+        if is_rows:
+            if (
+                only_tables is not None
+                and (ev["db"], ev["tbl"]) not in only_tables
+            ):
+                continue
+            if only_ops is not None and op not in only_ops:
+                continue
+        n_common = 1
+        if is_rows:
+            before = ev["before"] or []
+            after = ev["after"] or []
+            n = max(len(before), len(after))
+            n_common = n
+            for ri in range(n):
+                c_ri.append(ri)
+                c_before.append(
+                    _stringify(before[ri]) if ri < len(before) else None
+                )
+                c_after.append(
+                    _stringify(after[ri]) if ri < len(after) else None
+                )
+        else:
+            c_ri.append(0)
+            c_before.append(None)
+            c_after.append(None)
+        if n_common == 1:
+            # single-image events dominate real OLTP logs: plain
+            # pre-bound appends, no 1-element list churn
+            a_log(log_file)
+            a_seq(seq)
+            a_off(ev["offset"])
+            a_ts(ev["ts"])
+            a_sid(ev["server_id"])
+            a_xid(ev["xid"])
+            a_db(ev["db"])
+            a_tbl(ev["tbl"])
+            a_op(op)
+            a_sql(ev["sql"])
+            a_tid(ev.get("thread_id"))
+            a_et(ev.get("exec_time"))
+            a_ec(ev.get("error_code"))
+        elif n_common:
+            c_log.extend([log_file] * n_common)
+            c_seq.extend([seq] * n_common)
+            c_off.extend([ev["offset"]] * n_common)
+            c_ts.extend([ev["ts"]] * n_common)
+            c_sid.extend([ev["server_id"]] * n_common)
+            c_xid.extend([ev["xid"]] * n_common)
+            c_db.extend([ev["db"]] * n_common)
+            c_tbl.extend([ev["tbl"]] * n_common)
+            c_op.extend([op] * n_common)
+            c_sql.extend([ev["sql"]] * n_common)
+            c_tid.extend([ev.get("thread_id")] * n_common)
+            c_et.extend([ev.get("exec_time")] * n_common)
+            c_ec.extend([ev.get("error_code")] * n_common)
+        seq += 1
+    return cols, seq
+
+
 def _list_log_files(
     path: str,
     since_log: str | None = None,
@@ -350,20 +448,24 @@ def read_binlog_envelope(
     cat = FIXTURE_CATALOG if catalog is None else catalog
 
     def decode_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in BINLOG_ENVELOPE_SCHEMA.fields]
         for pdf in batches:
-            out: list[dict] = []
+            parts: dict[str, list] = {c: [] for c in _ENVELOPE_COLS}
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 log_file = str(fpath).rsplit("/", 1)[-1]
-                recs, _ = envelope_records(
+                cols, _ = envelope_columns(
                     decode_binlog(
                         bytes(content), cat, on_error=on_error,
                         only_tables=only_tables, only_ops=only_ops,
                     ),
                     log_file,
                 )
-                out.extend(recs)
-            yield pd.DataFrame(out, columns=cols)
+                for c in _ENVELOPE_COLS:
+                    parts[c].extend(cols[c])
+            for c in ("xid", "thread_id", "exec_time", "error_code"):
+                # nullable ints must not coerce to float64 (the
+                # None+int pandas trap — 64-bit values would round)
+                parts[c] = pd.array(parts[c], dtype="Int64")
+            yield pd.DataFrame(parts, columns=list(_ENVELOPE_COLS))
 
     env = files.mapInPandas(decode_part, BINLOG_ENVELOPE_SCHEMA)
     if since is not None:

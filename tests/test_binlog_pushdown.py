@@ -351,3 +351,27 @@ def test_list_log_files_hadoop_fs_parity(spark, tmp_path):
     ]
     n = spark.read.format("binaryFile").load(via_fs).count()
     assert n == 3
+
+
+def test_envelope_columns_parity_with_records():
+    """The columnar builder (r16 hot-loop form used by
+    read_binlog_envelope) must produce exactly envelope_records'
+    content, column for column — including under both pushdowns."""
+    from mysql_cdc_spark.sources.binlog_source import (
+        _ENVELOPE_COLS, envelope_columns,
+    )
+
+    data = _interleaved_log()
+    events = decode_binlog(data, CAT)
+    for kw in (
+        {},
+        {"only_tables": ONLY_AUTO},
+        {"only_ops": {"write_rows"}},
+        {"only_tables": ONLY_AUTO, "only_ops": {"write_rows"}},
+    ):
+        recs, next_rec = envelope_records(events, "binlog.000001", 5, **kw)
+        cols, next_col = envelope_columns(events, "binlog.000001", 5, **kw)
+        assert next_col == next_rec
+        assert set(cols) == set(_ENVELOPE_COLS)
+        for c in _ENVELOPE_COLS:
+            assert cols[c] == [r[c] for r in recs], (kw, c)

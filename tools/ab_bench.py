@@ -105,6 +105,14 @@ def decode_ab(old_root: str, new_root: str, rounds: int) -> None:
 
 def main() -> None:
     argv = [a for a in sys.argv[1:] if a != "--decode"]
+    # --queries=name1,name2 restricts the A/B to a subset (r15 VERDICT
+    # #6: a single query's cross-round move needs a targeted probe,
+    # not the whole headline's wall budget).  Unknown names error.
+    only: list[str] | None = None
+    for a in list(argv):
+        if a.startswith("--queries="):
+            only = [n for n in a.split("=", 1)[1].split(",") if n]
+            argv.remove(a)
     if "--decode" in sys.argv:
         old_root, new_root = argv[0], argv[1]
         decode_ab(old_root, new_root, int(argv[2]) if len(argv) > 2 else 9)
@@ -124,6 +132,11 @@ def main() -> None:
     sides = {"a": old_root, "b": new_root}
     q_old = _load_queries(old_root)
     headline = list(q_old.HEADLINE)
+    if only is not None:
+        unknown = [n for n in only if n not in q_old.QUERIES]
+        if unknown:
+            raise SystemExit(f"unknown --queries value(s) {unknown}")
+        headline = only
 
     def run_one(root: str, name: str) -> float:
         q = _load_queries(root)

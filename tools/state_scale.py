@@ -152,6 +152,136 @@ def run_once(spark, src: Path, provider: str | None, impl: str = "python") -> di
     }
 
 
+def build_txn_fixture(k: int, holdback: int = 0) -> Path:
+    """Fixture for the TRANSACTION-ASSEMBLER ramp (r15 VERDICT #3):
+    K concurrent OPEN transactions = K log_file keys, each
+    mid-transaction until the last batch's XID (a single file holds
+    one open transaction at a time by definition — commit boundaries
+    are serial per file; concurrency is across files/servers).
+
+    holdback=0 (in-order): batch b delivers offset b per key; the
+    reorder buffer stays empty and state is pure open-transaction
+    accumulators — the ramp isolates per-key state carry.
+
+    holdback=B (gapped): batch 0 delivers the anchor (offset 0) plus
+    offsets 2..B+1 — a GAP at offset 1 — and batches 1..2 deliver B
+    more gapped offsets each, so the single-value holdback buffer
+    holds B, 2B, 3B events per key and every batch REWRITES it (the
+    O(|buffer|) array round-trip stateful.py:265-276 documents); the
+    final batch fills the gap and commits, draining everything.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = SCRATCH / f"txn_k{k}_h{holdback}"
+    if d.exists():
+        return d
+    d.mkdir(parents=True)
+    files = np.array([f"f{i:07d}" for i in range(k)])
+    ts = np.full(k, 1_700_000_000_000_000, dtype="int64")  # µs epoch
+
+    def write(b: int, offsets: list[tuple[int, str, int | None]]) -> None:
+        n = len(offsets)
+        tbl = pa.table(
+            {
+                "log_file": pa.array(np.repeat(files, n)),
+                "offset": pa.array(
+                    np.tile(np.array([o for o, _, _ in offsets]), k)
+                ),
+                "op": pa.array(
+                    np.tile(np.array([op for _, op, _ in offsets]), k)
+                ),
+                "xid": pa.array(
+                    [x for _ in range(k) for _, _, x in offsets],
+                    type=pa.int64(),
+                ),
+                "ts": pa.array(
+                    np.repeat(ts, n), type=pa.timestamp("us")
+                ),
+            }
+        )
+        pq.write_table(tbl, d / f"batch_{b}.parquet")
+
+    if holdback == 0:
+        for b in range(N_BATCHES - 1):
+            write(b, [(b, "write_rows", None)])
+        write(N_BATCHES - 1, [(N_BATCHES - 1, "xid", 42)])
+    else:
+        nxt = 2
+        write(0, [(0, "write_rows", None)]
+              + [(nxt + j, "write_rows", None) for j in range(holdback)])
+        nxt += holdback
+        for b in range(1, N_BATCHES - 1):
+            write(b, [(nxt + j, "write_rows", None) for j in range(holdback)])
+            nxt += holdback
+        write(N_BATCHES - 1, [(1, "write_rows", None), (nxt, "xid", 42)])
+    return d
+
+
+def run_txn_once(spark, src: Path, provider: str | None) -> dict:
+    """One availableNow drain of txn_events_stateful over a txn
+    fixture; same metric surface as run_once."""
+    from pyspark.sql import types as T
+
+    from mysql_cdc_spark.streaming.stateful import txn_events_stateful
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    if provider is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, provider)
+    schema = T.StructType(
+        [
+            T.StructField("log_file", T.StringType(), False),
+            T.StructField("offset", T.LongType(), False),
+            T.StructField("op", T.StringType(), False),
+            T.StructField("xid", T.LongType(), True),
+            T.StructField("ts", T.TimestampType(), False),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    cp = SCRATCH / f"cp_{uuid.uuid4().hex[:10]}"
+    t0 = time.perf_counter()
+    q = (
+        txn_events_stateful(stream)
+        .writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", str(cp))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.perf_counter() - t0
+    rows_total = mem_bytes = commit_ms = updates_ms = 0
+    out_rows = 0
+    for p in q.recentProgress:
+        out_rows += p.get("sink", {}).get("numOutputRows", 0) or 0
+        for so in p.get("stateOperators", []):
+            rows_total = max(rows_total, so.get("numRowsTotal", 0))
+            mem_bytes = max(mem_bytes, so.get("memoryUsedBytes", 0))
+            commit_ms += so.get("commitTimeMs", 0)
+            updates_ms += so.get("allUpdatesTimeMs", 0)
+    du = subprocess.run(
+        ["du", "-sb", str(cp)], capture_output=True, text=True
+    ).stdout.split("\t")[0]
+    shutil.rmtree(cp, ignore_errors=True)
+    spark.conf.unset(key)
+    return {
+        "wall_sec": round(wall, 2),
+        "commits_emitted": int(out_rows),
+        "peak_open_state_rows": rows_total,
+        "state_mem_mb": round(mem_bytes / 1e6, 1),
+        "commit_ms_total": commit_ms,
+        "updates_ms_total": updates_ms,
+        "checkpoint_bytes": int(du or 0),
+    }
+
+
 def _select_providers(argv: list[str]) -> dict:
     """Resolve --provider= args.  EVERY unknown value is an error even
     when others are valid — '--provider=python_dict --provider=typo'
@@ -179,6 +309,29 @@ def main() -> None:
 
     spark = get_spark("state-scale")
     spark.sparkContext.setLogLevel("ERROR")
+    # --txn[=B]: the transaction-assembler ramp (r15 VERDICT #3) —
+    # K concurrent OPEN transactions per point; B>0 adds the gapped
+    # holdback-buffer stress (B buffered events added per batch).
+    txn_args = [a for a in sys.argv if a == "--txn" or a.startswith("--txn=")]
+    if txn_args:
+        holdback = (
+            int(txn_args[0].split("=", 1)[1]) if "=" in txn_args[0] else 0
+        )
+        warm = build_txn_fixture(1000, holdback)
+        for prov in providers.values():
+            run_txn_once(spark, warm, prov)
+        for k in ks:
+            src = build_txn_fixture(k, holdback)
+            for tag, prov in providers.items():
+                m = run_txn_once(spark, src, prov)
+                print(
+                    json.dumps({
+                        "open_txns": k, "holdback": holdback,
+                        "provider": tag, **m,
+                    }),
+                    flush=True,
+                )
+        return
     # warm both providers once at tiny K so JIT/provider init is out
     warm = build_fixture(1000)
     for prov in _PROVIDERS.values():
