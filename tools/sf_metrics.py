@@ -55,6 +55,9 @@ TARGET = [  # HEADLINE ∪ dedup/refresh family (r10 VERDICT #1 list)
     # path, and streaming xid assembly
     "cdc_binlog_pushdown", "llm_ann_lsh_uncapped", "llm_ann_ivfpq_rr",
     "cdc_binlog_schema_evo", "cdc_stream_txn_events",
+    # r16 surfaces: delta-type (only_ops) pushdown and the DROP/
+    # type-widening schema-evolution gate
+    "cdc_binlog_only_ops", "cdc_binlog_schema_evo_drop",
 ]
 
 _FIELDS = {
