@@ -2053,7 +2053,6 @@ def decode_binlog_incremental(
         )
         if event_len < HEADER_LEN or pos + event_len > len(data):
             break  # torn tail: incomplete trailing event, retry next turn
-        body = bytes(data[pos + HEADER_LEN:pos + event_len])
         ev: dict = {
             "seq": seq, "offset": base + pos, "ts": ts, "server_id": server_id,
             "event_len": event_len, "next": next_pos, "flags": flags,
@@ -2076,6 +2075,14 @@ def decode_binlog_incremental(
             )
         )
         try:
+            if skip_body:
+                # A skipped frame never materializes its body bytes at
+                # all (r16): CRC framing reads the trailer straight
+                # from the backing buffer, so the pushdown skip costs
+                # one header unpack + one crc32 — no per-frame copy.
+                body = b""
+            else:
+                body = bytes(data[pos + HEADER_LEN:pos + event_len])
             if type_code == FORMAT_DESCRIPTION_EVENT:
                 alg = _fde_checksum_alg(body)
                 ev["checksum_alg"] = "crc32" if alg == 1 else None
@@ -2085,7 +2092,9 @@ def decode_binlog_incremental(
                 # payload.  A mismatch is handled like any corrupt
                 # body: raise, or dead-letter in quarantine mode —
                 # the frame boundaries are still trustworthy.
-                expect = int.from_bytes(body[-4:], "little")
+                expect = int.from_bytes(
+                    data[pos + event_len - 4:pos + event_len], "little"
+                )
                 actual = zlib.crc32(data[pos:pos + event_len - 4])
                 if actual != expect:
                     raise ValueError(

@@ -53,6 +53,13 @@ def main() -> None:
         "headers_only": dict(only_tables={("no", "table")}),
         "ops_then_filter": dict(only_tables=None, post_filter_ops=True),
         "ops_pushdown": dict(only_ops={"write_rows"}),
+        # composed predicates: one table AND insert-only (~20% of row
+        # images on this fixture) — the deepest-selectivity point the
+        # two-table fixture can express short of headers-only
+        "tbl_ops_then_filter": dict(only_tables=None, post_filter_both=True),
+        "tbl_ops_pushdown": dict(
+            only_tables={("foo", "auto")}, only_ops={"write_rows"}
+        ),
     }
     walls: dict[str, float] = {}
     counts: dict[str, int] = {}
@@ -72,6 +79,11 @@ def main() -> None:
                 env = env.filter(
                     "op NOT IN ('update_rows','delete_rows')"
                 )
+            if opts.get("post_filter_both"):
+                env = env.filter(
+                    "op NOT IN ('write_rows','update_rows','delete_rows') "
+                    "OR (op = 'write_rows' AND db = 'foo' AND tbl = 'auto')"
+                )
             t0 = time.perf_counter()
             counts[name] = env.count()
             times.append(time.perf_counter() - t0)
@@ -88,6 +100,8 @@ def main() -> None:
             walls["full"] / walls["headers_only"], 2),
         "speedup_ops_vs_then_filter": round(
             walls["ops_then_filter"] / walls["ops_pushdown"], 2),
+        "speedup_tbl_ops_vs_then_filter": round(
+            walls["tbl_ops_then_filter"] / walls["tbl_ops_pushdown"], 2),
     }))
 
 
