@@ -219,6 +219,46 @@ def build_txn_fixture(k: int, holdback: int = 0) -> Path:
     return d
 
 
+def build_txn_deep_fixture(n_per_batch: int, commit_every: int = 100) -> Path:
+    """Degenerate single-file fixture (r15 VERDICT watch item c): ONE
+    log_file key receives n_per_batch dense in-order events per batch
+    (an xid every `commit_every` offsets), so the whole stream
+    serializes onto one task by commit-ordering necessity — this
+    measures the per-event cost of that serial tail, the bound a
+    3000-writes/s reference server must stay under."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = SCRATCH / f"txn_deep_{n_per_batch}_c{commit_every}"
+    if d.exists():
+        return d
+    d.mkdir(parents=True)
+    ts = 1_700_000_000_000_000
+    for b in range(N_BATCHES):
+        offs = np.arange(b * n_per_batch, (b + 1) * n_per_batch, dtype="int64")
+        is_xid = (offs % commit_every) == (commit_every - 1)
+        tbl = pa.table(
+            {
+                "log_file": pa.array(np.repeat("f0", n_per_batch)),
+                "offset": pa.array(offs),
+                "op": pa.array(
+                    np.where(is_xid, "xid", "write_rows")
+                ),
+                "xid": pa.array(
+                    [int(o) if x else None for o, x in zip(offs, is_xid)],
+                    type=pa.int64(),
+                ),
+                "ts": pa.array(
+                    np.full(n_per_batch, ts, dtype="int64"),
+                    type=pa.timestamp("us"),
+                ),
+            }
+        )
+        pq.write_table(tbl, d / f"batch_{b}.parquet")
+    return d
+
+
 def run_txn_once(spark, src: Path, provider: str | None) -> dict:
     """One availableNow drain of txn_events_stateful over a txn
     fixture; same metric surface as run_once."""
@@ -312,6 +352,25 @@ def main() -> None:
     # --txn[=B]: the transaction-assembler ramp (r15 VERDICT #3) —
     # K concurrent OPEN transactions per point; B>0 adds the gapped
     # holdback-buffer stress (B buffered events added per batch).
+    # --txn-deep: ONE key, K = events per batch (the serial-tail
+    # degenerate case; commits every 100 offsets)
+    if "--txn-deep" in sys.argv:
+        warm = build_txn_deep_fixture(5_000)
+        for prov in providers.values():
+            run_txn_once(spark, warm, prov)
+        for k in ks:
+            src = build_txn_deep_fixture(k)
+            for tag, prov in providers.items():
+                m = run_txn_once(spark, src, prov)
+                m["events_total"] = k * N_BATCHES
+                m["events_per_sec_serial"] = int(k * N_BATCHES / m["wall_sec"])
+                print(
+                    json.dumps({
+                        "events_per_batch": k, "provider": tag, **m,
+                    }),
+                    flush=True,
+                )
+        return
     txn_args = [a for a in sys.argv if a == "--txn" or a.startswith("--txn=")]
     if txn_args:
         holdback = (
