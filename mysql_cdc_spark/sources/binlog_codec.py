@@ -2047,16 +2047,21 @@ def decode_binlog_incremental(
     alg = 1 if checksum == "crc32" else 0
     seq = 0
     pos = start_offset - base  # index into `data`; absolute = base + pos
-    while pos + HEADER_LEN <= len(data):
-        ts, type_code, server_id, event_len, next_pos, flags = struct.unpack_from(
-            "<IBIIIH", data, pos
+    # hot-walk locals: one global/attr lookup per FRAME adds up at 40M
+    # frames per x100 log
+    data_len = len(data)
+    unpack_header = struct.Struct("<IBIIIH").unpack_from
+    op_name = OP_NAMES.get
+    while pos + HEADER_LEN <= data_len:
+        ts, type_code, server_id, event_len, next_pos, flags = unpack_header(
+            data, pos
         )
-        if event_len < HEADER_LEN or pos + event_len > len(data):
+        if event_len < HEADER_LEN or pos + event_len > data_len:
             break  # torn tail: incomplete trailing event, retry next turn
         ev: dict = {
             "seq": seq, "offset": base + pos, "ts": ts, "server_id": server_id,
             "event_len": event_len, "next": next_pos, "flags": flags,
-            "op": OP_NAMES.get(type_code), "db": None, "tbl": None,
+            "op": op_name(type_code), "db": None, "tbl": None,
             "xid": None, "sql": None, "before": None, "after": None,
         }
         # Filter-before-decode: a row event for a table outside the
