@@ -1177,3 +1177,163 @@ def cdc_binlog_quarantine(spark, sf_dir):
         .groupBy("op")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# The mysql_binlog Python DataSource (sources/binlog_datasource.py):
+# the same byte path exposed as a first-class Spark source —
+# format("mysql_binlog") batch scan with Catalyst pushFilters reaching
+# the codec, and readStream with frame-aligned offsets in Spark's own
+# checkpoint WAL.  Gates reuse the full-fidelity envelope oracle, so
+# every header/bitfield/decimal must round-trip through the DataSource
+# protocol (arrow RecordBatch ingest) too.
+# ---------------------------------------------------------------------------
+
+
+def _ds_fixture(spark, sf_dir, prefix: str = "binlog"):
+    """The standard envelope byte fixture + a registered DataSource."""
+    import pathlib
+
+    from mysql_cdc_spark.sources import binlog_source as bs
+    from mysql_cdc_spark.sources.binlog_datasource import (
+        register_binlog_source,
+    )
+
+    out_dir = (
+        pathlib.Path(_STREAM_TMP)
+        / f"{prefix}_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
+    )
+    if not any(out_dir.glob("binlog.*")):
+        bs.generate_binlog_from_events(sf_dir, str(out_dir))
+    register_binlog_source(spark)
+    return str(out_dir)
+
+
+def _ds_envelope_projected(env):
+    """Project a DataSource envelope onto the _BINLOG_ORACLE contract.
+
+    The DataSource emits `seq` as the codec FRAME index (pushdown-
+    invariant); the oracle numbers DELIVERED envelope events.  A
+    per-file dense_rank over the emitted frame seqs (non-envelope
+    frames are never emitted) recovers delivered numbering exactly,
+    then the rotation arithmetic lifts it to the global oracle
+    numbering.  The window is partitioned by log_file — at scale this
+    is one shuffle by the natural decode unit, and it exists only for
+    oracle presentation (consumers use (log_file, offset, row_idx))."""
+    from pyspark.sql import Window
+
+    from mysql_cdc_spark.sources import binlog_source as bs
+
+    w = Window.partitionBy("log_file").orderBy("seq")
+    env = env.withColumn(
+        "seq",
+        (F.dense_rank().over(w) - 1).cast("bigint")
+        + F.regexp_extract("log_file", r"binlog\.(\d+)", 1).cast("bigint")
+        * (4 * bs.ROTATE_EVERY),
+    )
+    return env.select(
+        "seq",
+        "op",
+        "db",
+        "tbl",
+        "xid",
+        "sql",
+        F.element_at("before", "id").cast("bigint").alias("before_id"),
+        F.element_at("before", "val").alias("before_val"),
+        F.element_at("before", "word").alias("before_word"),
+        F.element_at("after", "id").cast("bigint").alias("after_id"),
+        F.element_at("after", "val").alias("after_val"),
+        F.element_at("after", "word").alias("after_word"),
+        "thread_id",
+        "exec_time",
+        "error_code",
+    )
+
+
+@register("cdc_ds_envelope", _BINLOG_ORACLE)
+def cdc_ds_envelope(spark, sf_dir):
+    """Full envelope fidelity through the PySpark 4 Python Data Source
+    API: spark.read.format("mysql_binlog") plans one InputPartition
+    per rotated file, executors decode whole files and hand Spark
+    arrow RecordBatches.  Same oracle as cdc_binlog_envelope — the
+    two scan paths (binaryFile+mapInPandas vs DataSource) must agree
+    byte-for-byte.  Reference anchor: mysql_binlog.clj:907-938 is a
+    driver-side tailer; the DataSource is its Spark-native batch
+    form."""
+    env = spark.read.format("mysql_binlog").load(_ds_fixture(spark, sf_dir))
+    return _ds_envelope_projected(env)
+
+
+@register(
+    "cdc_ds_pushdown",
+    """
+WITH ev AS (
+  SELECT event_id,
+         CAST(event_id % 97 AS BIGINT) AS id,
+         CASE WHEN event_type IN ('signup','purchase') THEN 'write_rows'
+              WHEN event_type IN ('click','view') THEN 'update_rows'
+              ELSE 'delete_rows' END AS row_op,
+         printf('%d.%04d', event_id % 100000, event_id % 10000) AS v,
+         CASE WHEN event_id % 10 = 0 THEN NULL ELSE event_type END AS w
+  FROM events WHERE user_id % 2 = 0
+)
+SELECT id, val, word FROM (
+  SELECT id,
+         CASE WHEN row_op = 'delete_rows' THEN NULL ELSE v END AS val,
+         CASE WHEN row_op = 'delete_rows' THEN NULL ELSE w END AS word,
+         row_op,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY event_id DESC) AS rn
+  FROM ev
+) WHERE rn = 1 AND row_op <> 'delete_rows'
+""".strip(),
+)
+def cdc_ds_pushdown(spark, sf_dir):
+    """Catalyst filter pushdown reaching the byte codec through
+    Spark's OWN pushFilters protocol (PySpark 4.1): a plain
+    df.filter("db='foo' AND tbl='auto'") on the DataSource scan maps
+    onto the codec's only_tables skip — foreign tables' row images
+    never parse — while the filter is ALSO returned to Spark for
+    post-scan evaluation (partial pushdown: transparency is never
+    traded for the skip).  Replays foo.auto to latest state by the
+    stable (file, offset) identity.  Same result contract as
+    cdc_binlog_pushdown, which passes only_tables explicitly — the
+    keyword and the Catalyst routes must agree."""
+    env = spark.read.format("mysql_binlog").load(_ds_fixture(spark, sf_dir))
+    rows = env.filter(
+        (F.col("db") == "foo")
+        & (F.col("tbl") == "auto")
+        & F.col("op").isin("write_rows", "update_rows", "delete_rows")
+    )
+    keyed = rows.selectExpr(
+        "coalesce(element_at(after, 'id'), element_at(before, 'id')) AS id_s",
+        "struct(CAST(regexp_extract(log_file, 'binlog\\\\.(\\\\d+)', 1) AS BIGINT)"
+        " AS file_idx, offset) AS ord",
+        "op",
+        "element_at(after, 'val') AS val",
+        "element_at(after, 'word') AS word",
+    ).selectExpr("CAST(id_s AS BIGINT) AS id", "ord", "op", "val", "word")
+    return (
+        keyed.groupBy("id")
+        .agg(F.expr("max_by(struct(val, word, op), ord)").alias("last"))
+        .filter(F.col("last.op") != "delete_rows")
+        .select(
+            "id",
+            F.col("last.val").alias("val"),
+            F.col("last.word").alias("word"),
+        )
+    )
+
+
+@register("cdc_ds_stream_envelope", _BINLOG_ORACLE)
+def cdc_ds_stream_envelope(spark, sf_dir):
+    """The SAME byte log consumed as a Structured Streaming source:
+    spark.readStream.format("mysql_binlog") with frame-aligned
+    offsets checkpointed by Spark itself, drained availableNow to a
+    memory sink, then projected onto the batch oracle — streaming
+    delivery must lose and duplicate nothing vs the batch decode
+    (the full-fidelity analog of the reference's tailer loop,
+    mysql_binlog.clj:907-938, with offsets in the checkpoint instead
+    of agent memory)."""
+    fixture = _ds_fixture(spark, sf_dir)
+    stream = spark.readStream.format("mysql_binlog").load(fixture)
+    return _ds_envelope_projected(_drain(stream))

@@ -33,6 +33,11 @@ def get_spark(app_name: str = "mysql-cdc-spark") -> SparkSession:
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # Arrow for any pandas-UDF path (similarity / multimodal).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Catalyst filter pushdown into Python data sources (the
+        # mysql_binlog DataSource maps db/tbl/op filters onto the
+        # codec's filter-before-decode skip and log_file filters onto
+        # driver-side file pruning).
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Driver fixtures store ns-precision timestamps; read them as raw
         # int64 everywhere (sources/io.py converts with exact `div 1000`).
         # Set once here so per-read code never mutates session config.

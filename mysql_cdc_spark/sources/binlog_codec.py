@@ -1313,6 +1313,17 @@ class TableMapState:
         # jdbc.clj:82); a registered catalog supplies real names.
         return self.names[i] if i < len(self.names) else str(i + 1)
 
+    def __getstate__(self) -> dict:
+        # Pickle only the declared fields: the per-shape decoder plans
+        # cached on the instance (`_img_plans`) hold closures, which
+        # don't pickle — and a shipped map rebuilds them lazily on
+        # first image anyway.  Needed by the mysql_binlog DataSource,
+        # which ships mid-file decode state to executors inside
+        # InputPartitions.
+        return {
+            k: v for k, v in self.__dict__.items() if not k.startswith("_")
+        }
+
 
 def is_binlog(data: bytes) -> bool:
     """S1: 4-byte magic check (reference binlog-file?, :47-53)."""

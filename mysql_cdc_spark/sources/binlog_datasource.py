@@ -1,0 +1,694 @@
+"""``mysql_binlog`` Spark DataSource (PySpark 4 Python Data Source API).
+
+``spark.read.format("mysql_binlog").load(dir)`` scans a rotated binlog
+directory into the generic envelope with ONE input partition per log
+file (decode is inherently serial within a file — events are
+offset-chained and table-map state threads through — and
+embarrassingly parallel across files), and
+``spark.readStream.format("mysql_binlog").load(dir)`` tails the same
+directory as a Structured Streaming source: frame-aligned offsets are
+checkpointed in Spark's own offset WAL (exactly-once on restart),
+planning is driver-side and decode is executor-side.
+
+This is the Spark-native form of the reference's streaming surface — a
+driver-side tailer pushing decoded events into a bounded queue
+(mysql_binlog.clj:907-938 cdc-turn; jdbc.clj:44 queue capacity) — with
+three upgrades the reference never had:
+
+* offsets live in the streaming checkpoint, not agent memory
+  (mysql_binlog.clj keeps its position only in an agent and re-reads
+  from scratch after a crash);
+* decode runs distributed on executors (the reference decodes on the
+  single connection thread);
+* the filter-before-decode pushdown (SURVEY §4) arrives through
+  Spark's OWN ``pushFilters`` protocol — ``df.filter("db = 'foo' AND
+  tbl = 'auto'")`` reaches the byte codec as ``only_tables`` with no
+  custom keyword argument, and ``log_file`` comparisons prune whole
+  files from the scan driver-side (the binlog analog of partition
+  pruning).  All pushdown here is PARTIAL: every filter is also
+  returned to Spark for post-scan evaluation, so pushdown is purely a
+  scan-cost optimization, never a correctness transfer (the codec's
+  ``only_tables``/``only_ops`` skip row-image parsing but still emit
+  non-row events).
+
+Offsets and alignment
+---------------------
+A stream offset is ``{"file": <name>, "pos": <absolute byte>}`` where
+``pos`` is always an event-frame boundary.  The driver maintains an
+incremental STATE-ONLY walk of new bytes per trigger (headers + CRC
+framing + FDE/TABLE_MAP bodies; row images never decode on the driver
+— the walk reuses the codec's ``only_ops=frozenset()`` pushdown), so
+``latestOffset`` is frame-aligned by construction and the per-trigger
+driver cost is proportional to NEW bytes only.  Decoder state resets
+at every rotation (each file begins with magic + FDE), so shipping a
+mid-file partition needs only (checksum alg, current TableMapState) at
+the slice start — pickled into the InputPartition.  After a driver
+restart the plan-state cache is empty and the executor rebuilds the
+slice state from ITS OWN file's head (`prefix replay`, bounded by one
+file, never by history).
+
+Planning lists and reads files with local filesystem APIs: the
+directory must be reachable from the driver and executors via
+``open()`` (local disk / NFS / fuse mounts).  For object-store scans
+use :func:`mysql_cdc_spark.sources.binlog_source.read_binlog_envelope`,
+which plans through Spark's ``binaryFile`` source.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from bisect import bisect_left
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+from mysql_cdc_spark.sources.binlog_codec import (
+    TableMapState,
+    decode_binlog_incremental,
+)
+from mysql_cdc_spark.sources.binlog_source import (
+    BINLOG_ENVELOPE_SCHEMA,
+    FIXTURE_CATALOG,
+    _ENVELOPE_COLS,
+    _list_log_files,
+    envelope_columns,
+)
+
+# Where useful event bytes start in every binlog file: 4-byte magic.
+_DATA_START = 4
+
+
+# ---------------------------------------------------------------------------
+# Options
+# ---------------------------------------------------------------------------
+
+
+def _parse_tables(s: str | None) -> set[tuple[str, str]] | None:
+    """``"db.tbl,db2.tbl2"`` → ``{("db","tbl"), ("db2","tbl2")}``."""
+    if not s:
+        return None
+    out = set()
+    for part in s.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "." not in part:
+            raise ValueError(f"only_tables entry {part!r} is not db.tbl")
+        db, tbl = part.split(".", 1)
+        out.add((db, tbl))
+    return out or None
+
+
+def _parse_ops(s: str | None) -> set[str] | None:
+    if not s:
+        return None
+    out = {p.strip() for p in s.split(",") if p.strip()}
+    return out or None
+
+
+def _parse_catalog(s: str | None) -> dict[tuple[str, str], list[str]]:
+    """JSON ``{"db.tbl": ["col", ...]}`` → codec catalog.  Absent →
+    the fixture catalog (mirroring ``read_binlog_envelope``'s default);
+    an EXPLICIT ``"{}"`` means no catalog (names come from on-wire
+    COLUMN_NAME TLVs or ordinals)."""
+    if s is None:
+        return FIXTURE_CATALOG
+    raw = json.loads(s)
+    return {tuple(k.split(".", 1)): v for k, v in raw.items()}
+
+
+class _Opts:
+    """Shared option parsing for the batch and stream readers.  Spark
+    lowercases option keys, so all names here are lowercase."""
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError(
+                "mysql_binlog requires a path: .load('/dir/of/binlogs')"
+            )
+        # binaryFile-style URIs may arrive with a file: scheme; planning
+        # and reads use plain open(), so strip it.
+        if path.startswith("file:"):
+            path = path[len("file:"):]
+        self.path = path
+        self.only_tables = _parse_tables(options.get("only_tables"))
+        self.only_ops = _parse_ops(options.get("only_ops"))
+        self.on_error = options.get("on_error", "raise")
+        self.catalog = _parse_catalog(options.get("catalog"))
+        self.since_file = options.get("since_file")
+        so = options.get("since_offset")
+        self.since_offset = int(so) if so is not None else _DATA_START
+        mb = options.get("max_bytes_per_batch")
+        self.max_bytes = int(mb) if mb is not None else None
+
+
+# ---------------------------------------------------------------------------
+# Arrow output
+# ---------------------------------------------------------------------------
+
+
+def _arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("log_file", pa.string()),
+            ("seq", pa.int64()),
+            ("offset", pa.int64()),
+            ("ts", pa.int64()),
+            ("server_id", pa.int64()),
+            ("xid", pa.int64()),
+            ("db", pa.string()),
+            ("tbl", pa.string()),
+            ("op", pa.string()),
+            ("row_idx", pa.int64()),
+            ("before", pa.map_(pa.string(), pa.string())),
+            ("after", pa.map_(pa.string(), pa.string())),
+            ("sql", pa.string()),
+            ("thread_id", pa.int64()),
+            ("exec_time", pa.int64()),
+            ("error_code", pa.int64()),
+        ]
+    )
+
+
+def _arrow_batch(cols: dict[str, list]):
+    """Columnar envelope lists → one Arrow RecordBatch (the Python
+    Data Source fast path: Spark ingests RecordBatches without a
+    per-row Python→JVM conversion)."""
+    import pyarrow as pa
+
+    schema = _arrow_schema()
+    arrays = [
+        pa.array(cols[f.name], type=f.type) for f in schema
+    ]
+    return pa.RecordBatch.from_arrays(arrays, schema=schema)
+
+
+def _cut_offset_prefix(cols: dict[str, list], min_offset: int) -> dict[str, list]:
+    """Drop records with offset < min_offset.  Envelope offsets are
+    non-decreasing within one file's decode, so this is a bisect +
+    slice, not a scan."""
+    i = bisect_left(cols["offset"], min_offset)
+    if i == 0:
+        return cols
+    return {c: v[i:] for c, v in cols.items()}
+
+
+# ---------------------------------------------------------------------------
+# Batch reader
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    """One whole binlog file; ``cut`` drops envelope records before the
+    journaled resume offset on the `since` boundary file."""
+
+    path: str
+    cut: int = 0
+
+
+class _BinlogBatchReader(DataSourceReader):
+    """Partition-per-file batch scan with partial Catalyst pushdown.
+
+    ``pushFilters`` records what the codec can exploit and returns
+    EVERY filter back to Spark (partial pushdown):
+
+    * ``db``/``tbl`` equality or IN (both columns present) →
+      ``only_tables`` — row images for other tables skip body decode;
+    * ``op`` equality or IN → ``only_ops`` — row images for other
+      delta types skip body decode;
+    * ``log_file`` comparisons → driver-side FILE PRUNING — excluded
+      files never enter the scan at all.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self._o = _Opts(options)
+        # pushFilters results (None = not pushed)
+        self._f_dbs: set[str] | None = None
+        self._f_tbls: set[str] | None = None
+        self._f_ops: set[str] | None = None
+        self._f_file_eq: set[str] | None = None
+        self._f_file_lo: tuple[str, bool] | None = None  # (bound, inclusive)
+        self._f_file_hi: tuple[str, bool] | None = None
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if not (isinstance(attr, tuple) and len(attr) == 1):
+                continue
+            col = attr[0]
+            if isinstance(f, EqualTo) and isinstance(f.value, str):
+                if col == "db":
+                    self._f_dbs = {f.value}
+                elif col == "tbl":
+                    self._f_tbls = {f.value}
+                elif col == "op":
+                    self._f_ops = {f.value}
+                elif col == "log_file":
+                    self._f_file_eq = {f.value}
+            elif isinstance(f, In):
+                vals = {v for v in f.value if isinstance(v, str)}
+                if len(vals) != len(f.value):
+                    continue
+                if col == "db":
+                    self._f_dbs = vals
+                elif col == "tbl":
+                    self._f_tbls = vals
+                elif col == "op":
+                    self._f_ops = vals
+                elif col == "log_file":
+                    self._f_file_eq = vals
+            elif col == "log_file" and isinstance(getattr(f, "value", None), str):
+                if isinstance(f, GreaterThan):
+                    self._f_file_lo = (f.value, False)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self._f_file_lo = (f.value, True)
+                elif isinstance(f, LessThan):
+                    self._f_file_hi = (f.value, False)
+                elif isinstance(f, LessThanOrEqual):
+                    self._f_file_hi = (f.value, True)
+        # Partial pushdown: the codec skip keeps non-row events (a
+        # db='x' filter must still drop xid/gtid rows) and `seq`
+        # numbering under only_* differs from delivered positions —
+        # Spark re-evaluates everything post-scan.
+        return filters
+
+    def _effective_tables(self) -> set[tuple[str, str]] | None:
+        pushed = (
+            {(d, t) for d in self._f_dbs for t in self._f_tbls}
+            if self._f_dbs and self._f_tbls
+            else None
+        )
+        if pushed is None:
+            return self._o.only_tables
+        if self._o.only_tables is None:
+            return pushed
+        return pushed & self._o.only_tables
+
+    def _effective_ops(self) -> set[str] | None:
+        if self._f_ops is None:
+            return self._o.only_ops
+        if self._o.only_ops is None:
+            return self._f_ops
+        return self._f_ops & self._o.only_ops
+
+    def partitions(self) -> Sequence[InputPartition]:
+        o = self._o
+        paths = _list_log_files(o.path, o.since_file)
+        if self._f_file_eq is not None:
+            paths = [p for p in paths if os.path.basename(p) in self._f_file_eq]
+        if self._f_file_lo is not None:
+            b, inc = self._f_file_lo
+            paths = [
+                p for p in paths
+                if (os.path.basename(p) >= b if inc else os.path.basename(p) > b)
+            ]
+        if self._f_file_hi is not None:
+            b, inc = self._f_file_hi
+            paths = [
+                p for p in paths
+                if (os.path.basename(p) <= b if inc else os.path.basename(p) < b)
+            ]
+        return [
+            _FilePartition(
+                p,
+                o.since_offset
+                if o.since_file is not None
+                and os.path.basename(p) == o.since_file
+                else 0,
+            )
+            for p in paths
+        ]
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        o = self._o
+        if partition is None:
+            # Spark substitutes a single None partition when
+            # partitions() returned none (e.g. `since` pruned every
+            # file): an empty scan, not an error.
+            yield _arrow_batch({c: [] for c in _ENVELOPE_COLS})
+            return
+        with open(partition.path, "rb") as fh:
+            data = fh.read()
+        events, _, _ = decode_binlog_incremental(
+            data,
+            _DATA_START,
+            None,
+            o.catalog,
+            on_error=o.on_error,
+            only_tables=self._effective_tables(),
+            only_ops=self._effective_ops(),
+        )
+        cols, _ = envelope_columns(
+            events, os.path.basename(partition.path), frame_seq=True
+        )
+        if partition.cut:
+            cols = _cut_offset_prefix(cols, partition.cut)
+        yield _arrow_batch(cols)
+
+
+# ---------------------------------------------------------------------------
+# Stream reader
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _StreamPartition(InputPartition):
+    """One (file, [start, end)) byte slice.  ``alg``/``tmap`` carry the
+    decoder state at ``start`` when the driver planned this slice from
+    its live walk; ``prefix_replay`` is the restart path — the executor
+    rebuilds state from the file head (state never crosses files)."""
+
+    path: str
+    log_file: str
+    start: int
+    end: int
+    alg: str | None = None
+    tmap: TableMapState | None = None
+    prefix_replay: bool = False
+
+
+def _scan_state_events(events: list[dict], alg: str | None) -> str | None:
+    """Fold FDE declarations out of a state walk's event list."""
+    for ev in events:
+        if "checksum_alg" in ev:
+            alg = ev["checksum_alg"]
+    return alg
+
+
+class _BinlogStreamReader(DataSourceStreamReader):
+    """Structured Streaming over a live rotated binlog directory.
+
+    Per trigger the driver walks only the NEW bytes (state-only: the
+    codec's ``only_ops=frozenset()`` pushdown skips every row image —
+    headers, CRC framing, FDE and TABLE_MAP bodies still decode so
+    frame alignment and shipped decode state stay exact), advances
+    through rotations when a file is fully consumed and a successor
+    exists, and holds back torn tails for the next trigger (the
+    codec's fits-in-data guard).  ``max_bytes_per_batch`` caps how far
+    one trigger advances — the backpressure bound, playing the role of
+    the reference's queue capacity 10 (jdbc.clj:44) and Kafka's
+    maxOffsetsPerTrigger.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self._o = _Opts(options)
+        # Live driver walk (per query run; rebuilt after restart).
+        self._cur: dict | None = None
+        self._alg: str | None = None
+        self._tmap: TableMapState | None = None
+        # (file, pos) -> (alg, tmap) recorded at each planned offset so
+        # mid-file slices ship exact state; pruned on commit().
+        self._plan_state: dict[tuple[str, int], tuple] = {}
+
+    # -- offsets ----------------------------------------------------------
+
+    def initialOffset(self) -> dict:
+        o = self._o
+        if o.since_file is not None:
+            return {"file": o.since_file, "pos": o.since_offset}
+        files = _list_log_files(o.path)
+        if files:
+            return {"file": os.path.basename(files[0]), "pos": _DATA_START}
+        return {"file": "", "pos": _DATA_START}
+
+    def _anchor(self) -> None:
+        """First latestOffset of this reader instance: anchor the walk
+        at the head of the LAST file.  Decoder state resets per file
+        (magic + FDE), so alignment and table-map state never need
+        history — restart recovery is bounded by one file, not by the
+        log's lifetime."""
+        if self._cur is not None:
+            return
+        files = _list_log_files(self._o.path)
+        if not files:
+            self._cur = {"file": "", "pos": _DATA_START}
+            return
+        self._cur = {
+            "file": os.path.basename(files[-1]),
+            "pos": _DATA_START,
+        }
+        self._alg = None
+        self._tmap = None
+
+    def latestOffset(self) -> dict:
+        # The FIRST walk after (re)construction runs uncapped to the
+        # true head: a capped first walk could return an offset BEHIND
+        # a restored checkpoint (this reader anchors blind — the
+        # protocol gives it no start), and an end < start regresses
+        # the offset log into duplicate delivery.  From the second
+        # trigger on the cursor is ≥ every prior end, so the cap is
+        # regression-safe.  Net contract: max_bytes_per_batch bounds
+        # STEADY-STATE triggers; the first trigger after a (re)start
+        # drains the backlog in one (per-file-parallel) batch.
+        fresh = self._cur is None
+        self._anchor()
+        o = self._o
+        budget = None if fresh else o.max_bytes
+        while True:
+            cur_file = self._cur["file"]
+            pos = self._cur["pos"]
+            if cur_file == "":
+                files = _list_log_files(o.path)
+                if not files:
+                    break
+                self._cur = {
+                    "file": os.path.basename(files[0]),
+                    "pos": _DATA_START,
+                }
+                self._alg = None
+                self._tmap = None
+                continue
+            fpath = os.path.join(o.path, cur_file)
+            try:
+                size = os.path.getsize(fpath)
+            except OSError:
+                break
+            if pos < size:
+                want = size - pos
+                if budget is not None:
+                    want = min(want, budget)
+                if pos <= _DATA_START:
+                    # include the magic so the codec's header check and
+                    # FDE checksum autodetect run from a clean slate
+                    with open(fpath, "rb") as fh:
+                        data = fh.read(_DATA_START + want)
+                    start, base = _DATA_START, 0
+                    self._alg = None
+                    self._tmap = None
+                else:
+                    with open(fpath, "rb") as fh:
+                        fh.seek(pos)
+                        data = fh.read(want)
+                    start, base = pos, pos
+                events, nxt, self._tmap = decode_binlog_incremental(
+                    data,
+                    start,
+                    self._tmap,
+                    o.catalog,
+                    base=base,
+                    on_error="quarantine",
+                    checksum=self._alg,
+                    only_ops=frozenset(),
+                )
+                self._alg = _scan_state_events(events, self._alg)
+                advanced = nxt - pos
+                self._cur = {"file": cur_file, "pos": nxt}
+                if budget is not None:
+                    budget -= advanced
+                    if budget <= 0:
+                        break
+                if advanced == 0:
+                    # torn tail with no complete frame yet — or a
+                    # header-less stub: wait for more bytes
+                    if self._maybe_rotate(cur_file, nxt, size):
+                        continue
+                    break
+                continue
+            if self._maybe_rotate(cur_file, pos, size):
+                continue
+            break
+        end = dict(self._cur)
+        self._plan_state[(end["file"], end["pos"])] = (
+            self._alg,
+            self._tmap,
+        )
+        return end
+
+    def _maybe_rotate(self, cur_file: str, pos: int, size: int) -> bool:
+        """Advance to the successor file iff the current file is fully
+        consumed (every byte sits inside a decoded frame — real
+        writers emit ROTATE as the final event, so fully-consumed
+        means the rotation really happened)."""
+        if pos < size:
+            return False
+        files = _list_log_files(self._o.path)
+        names = [os.path.basename(p) for p in files]
+        succ = [n for n in names if n > cur_file]
+        if not succ:
+            return False
+        self._cur = {"file": succ[0], "pos": _DATA_START}
+        self._alg = None
+        self._tmap = None
+        return True
+
+    # -- planning ---------------------------------------------------------
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        o = self._o
+        if end.get("file", "") == "" or start == end:
+            return []
+        paths = _list_log_files(o.path)
+        out: list[_StreamPartition] = []
+        s_file = start.get("file", "")
+        for p in paths:
+            name = os.path.basename(p)
+            if (s_file and name < s_file) or name > end["file"]:
+                continue
+            s = start["pos"] if name == s_file else _DATA_START
+            e = end["pos"] if name == end["file"] else os.path.getsize(p)
+            if s >= e:
+                continue
+            if s <= _DATA_START:
+                out.append(_StreamPartition(p, name, s, e))
+            else:
+                st = self._plan_state.get((name, s))
+                if st is not None:
+                    alg, tmap = st
+                    out.append(_StreamPartition(p, name, s, e, alg, tmap))
+                else:
+                    # driver restarted since `s` was planned: the
+                    # executor rebuilds state from ITS file's head
+                    out.append(
+                        _StreamPartition(p, name, s, e, prefix_replay=True)
+                    )
+        return out
+
+    def commit(self, end: dict) -> None:
+        key = (end.get("file", ""), end.get("pos", 0))
+        self._plan_state = {
+            k: v for k, v in self._plan_state.items() if k >= key
+        }
+
+    # -- executor ---------------------------------------------------------
+
+    def read(self, partition: _StreamPartition) -> Iterator:
+        o = self._o
+        part = partition
+        if part.start <= _DATA_START:
+            with open(part.path, "rb") as fh:
+                data = fh.read(part.end)
+            events, _, _ = decode_binlog_incremental(
+                data,
+                _DATA_START,
+                None,
+                o.catalog,
+                on_error=o.on_error,
+                only_tables=o.only_tables,
+                only_ops=o.only_ops,
+            )
+        elif not part.prefix_replay:
+            with open(part.path, "rb") as fh:
+                fh.seek(part.start)
+                data = fh.read(part.end - part.start)
+            events, _, _ = decode_binlog_incremental(
+                data,
+                part.start,
+                part.tmap,
+                o.catalog,
+                base=part.start,
+                on_error=o.on_error,
+                checksum=part.alg,
+                only_tables=o.only_tables,
+                only_ops=o.only_ops,
+            )
+        else:
+            # Restart path: decode from the file head (state resets at
+            # rotation, so one file's prefix bounds the replay) and
+            # drop records before the slice start.
+            with open(part.path, "rb") as fh:
+                data = fh.read(part.end)
+            events, nxt, _ = decode_binlog_incremental(
+                data,
+                _DATA_START,
+                None,
+                o.catalog,
+                on_error=o.on_error,
+                only_tables=o.only_tables,
+                only_ops=o.only_ops,
+            )
+            if nxt < part.end:
+                raise ValueError(
+                    f"offset {part.end} of {part.log_file} is not "
+                    f"frame-aligned (walk stopped at {nxt})"
+                )
+            events = [ev for ev in events if ev["offset"] >= part.start]
+        cols, _ = envelope_columns(events, part.log_file, frame_seq=True)
+        yield _arrow_batch(cols)
+
+    def stop(self) -> None:
+        self._plan_state.clear()
+
+
+# ---------------------------------------------------------------------------
+# DataSource + registration
+# ---------------------------------------------------------------------------
+
+
+class BinlogDataSource(DataSource):
+    """``format("mysql_binlog")`` — batch scan and streaming tail of a
+    rotated binlog directory, decoded to the generic envelope.
+
+    Options (all strings; Spark lowercases keys):
+
+    * ``path``        directory of rotated ``binlog.%06d`` files
+    * ``only_tables`` ``"db.tbl,..."`` filter-before-decode pushdown
+    * ``only_ops``    ``"write_rows,..."`` delta-type pushdown
+    * ``on_error``    ``raise`` (default) or ``quarantine``
+    * ``catalog``     JSON ``{"db.tbl": ["col", ...]}`` column names
+      (default: fixture catalog; ``"{}"`` = wire TLVs / ordinals)
+    * ``since_file`` / ``since_offset``  bounded replay (batch: file
+      pruning + boundary cut; stream: initial offset)
+    * ``max_bytes_per_batch``  stream backpressure bound per trigger
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "mysql_binlog"
+
+    def schema(self) -> StructType:
+        return BINLOG_ENVELOPE_SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _BinlogBatchReader(dict(self.options))
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return _BinlogStreamReader(dict(self.options))
+
+
+def register_binlog_source(spark) -> None:
+    """Idempotently register ``mysql_binlog`` with this session, and
+    enable Python-data-source filter pushdown (a runtime-settable SQL
+    conf; without it Spark refuses a reader that implements
+    ``pushFilters``).  Sessions built by
+    :func:`mysql_cdc_spark.session.get_spark` already carry it."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(BinlogDataSource)

@@ -261,6 +261,7 @@ def envelope_columns(
     events: list[dict], log_file: str, seq_start: int = 0,
     only_tables: set[tuple[str, str]] | None = None,
     only_ops: set[str] | None = None,
+    frame_seq: bool = False,
 ) -> tuple[dict[str, list], int]:
     """`envelope_records` in COLUMNAR form (r15 VERDICT #1): one list
     per envelope column, appended in a single pass — no per-record
@@ -268,7 +269,15 @@ def envelope_columns(
     builds the mapInPandas batch from dict-of-lists (a C-speed column
     zip) instead of re-inferring a list-of-dicts.  Content parity
     with `envelope_records` is pinned by test; the record form stays
-    for the streaming tailer bridge (per-event callbacks)."""
+    for the streaming tailer bridge (per-event callbacks).
+
+    ``frame_seq=True`` switches `seq` from delivered-record numbering
+    to the codec's FRAME index (each event's position in the walk,
+    counting frames the pushdown skipped — the codec's seq-slot
+    contract): the numbering a db/tbl/op pushdown can never change,
+    which is what makes Catalyst filter pushdown in the mysql_binlog
+    DataSource semantically transparent.  The returned next_seq still
+    counts delivered records."""
     cols: dict[str, list] = {c: [] for c in _ENVELOPE_COLS}
     (c_log, c_seq, c_off, c_ts, c_sid, c_xid, c_db, c_tbl, c_op, c_ri,
      c_before, c_after, c_sql, c_tid, c_et, c_ec) = (
@@ -296,6 +305,7 @@ def envelope_columns(
                 continue
             if only_ops is not None and op not in only_ops:
                 continue
+        out_seq = ev["seq"] if frame_seq else seq
         n_common = 1
         if is_rows:
             before = ev["before"] or []
@@ -318,7 +328,7 @@ def envelope_columns(
             # single-image events dominate real OLTP logs: plain
             # pre-bound appends, no 1-element list churn
             a_log(log_file)
-            a_seq(seq)
+            a_seq(out_seq)
             a_off(ev["offset"])
             a_ts(ev["ts"])
             a_sid(ev["server_id"])
@@ -332,7 +342,7 @@ def envelope_columns(
             a_ec(ev.get("error_code"))
         elif n_common:
             c_log.extend([log_file] * n_common)
-            c_seq.extend([seq] * n_common)
+            c_seq.extend([out_seq] * n_common)
             c_off.extend([ev["offset"]] * n_common)
             c_ts.extend([ev["ts"]] * n_common)
             c_sid.extend([ev["server_id"]] * n_common)

@@ -1,0 +1,471 @@
+"""The ``mysql_binlog`` Python DataSource (sources/binlog_datasource.py).
+
+Batch parity is pinned against ``read_binlog_envelope`` (the
+binaryFile + mapInPandas path) — same envelope rows, byte-exact.  The
+streaming reader's protocol is exercised both manually (driver walk:
+torn-tail holdback, mid-file state shipping, rotation, backpressure,
+restart prefix-replay) and end-to-end through Structured Streaming
+with a checkpointed restart (exactly-once across the kill).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import shutil
+import uuid
+
+import pytest
+
+from mysql_cdc_spark.sources import binlog_source as bs
+from mysql_cdc_spark.sources.binlog_codec import (
+    WRITE_ROWS_EVENT,
+    BinlogWriter,
+    TableDef,
+    TYPE_LONG,
+    TYPE_VARCHAR,
+    decode_binlog,
+)
+from mysql_cdc_spark.sources.binlog_datasource import (
+    _BinlogBatchReader,
+    _BinlogStreamReader,
+    register_binlog_source,
+)
+
+TMP = "/root/repo/.stream_tmp/ds_tests"
+
+_T = TableDef("foo", "auto", [(TYPE_LONG, None), (TYPE_VARCHAR, 50)], table_id=7)
+_CAT_JSON = '{"foo.auto": ["id", "val"]}'
+_CAT = {("foo", "auto"): ["id", "val"]}
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(spark, sf_dir) -> str:
+    out = f"{TMP}/binlog_batch_v2"
+    if not any(pathlib.Path(out).glob("binlog.*")):
+        # rotate often enough that sf0.001 produces several files —
+        # rotation/pruning paths need a multi-file directory
+        bs.generate_binlog_from_events(
+            sf_dir, out, rotate_every=250, checksum="crc32"
+        )
+    register_binlog_source(spark)
+    return out
+
+
+def _txn(w: BinlogWriter, i: int) -> None:
+    w.write_query("foo", "BEGIN")
+    w.write_table_map(_T)
+    w.write_rows(WRITE_ROWS_EVENT, _T, [[i, f"v{i}"]])
+    w.write_xid(100 + i)
+
+
+def _rows(batches) -> list[dict]:
+    out: list[dict] = []
+    for b in batches:
+        out.extend(b.to_pylist())
+    return out
+
+
+def _key(rows: list[dict]) -> list[str]:
+    # seq is batch-local on the stream path; identity is
+    # (log_file, offset, row_idx) per the envelope contract
+    return sorted(
+        json.dumps({k: v for k, v in r.items() if k != "seq"},
+                   sort_keys=True, default=str)
+        for r in rows
+    )
+
+
+# ---------------------------------------------------------------------------
+# batch
+# ---------------------------------------------------------------------------
+
+
+class TestBatch:
+    def test_envelope_parity(self, spark, fixture_dir):
+        # seq semantics differ by design: the DataSource emits the
+        # codec FRAME index (pushdown-invariant), the mapInPandas path
+        # emits delivered-record numbering — everything else matches
+        # byte-exactly
+        ds = spark.read.format("mysql_binlog").load(fixture_dir)
+        ref = bs.read_binlog_envelope(spark, fixture_dir)
+        assert ds.schema == ref.schema
+        assert (
+            sorted(ds.drop("seq").collect())
+            == sorted(ref.drop("seq").collect())
+        )
+
+    def test_filter_pushdown_is_transparent(self, spark, fixture_dir):
+        # the Catalyst-pushdown contract: df.filter(cond) must equal a
+        # client-side filter of the full scan EXACTLY — including seq,
+        # which only holds because seq is the codec frame index (a
+        # skipped frame still consumes its slot)
+        cond = "db = 'foo' AND tbl = 'auto' AND op = 'write_rows'"
+        full = spark.read.format("mysql_binlog").load(fixture_dir).collect()
+        pushed = (
+            spark.read.format("mysql_binlog").load(fixture_dir)
+            .filter(cond).collect()
+        )
+        client = [
+            r for r in full
+            if r.db == "foo" and r.tbl == "auto" and r.op == "write_rows"
+        ]
+        assert sorted(pushed) == sorted(client)
+        ref = bs.read_binlog_envelope(spark, fixture_dir).filter(cond)
+        assert (
+            sorted((r.log_file, r.offset, r.row_idx) for r in pushed)
+            == sorted((r.log_file, r.offset, r.row_idx) for r in ref.collect())
+        )
+
+    def test_filter_keeps_non_row_semantics(self, spark, fixture_dir):
+        # db='foo' alone (no tbl) cannot form only_tables pairs; and
+        # even when pushed, Spark re-evaluates — xid/query rows with
+        # db=NULL/other must not leak through
+        ds = spark.read.format("mysql_binlog").load(fixture_dir)
+        ref = bs.read_binlog_envelope(spark, fixture_dir)
+        for cond in ("db = 'foo'", "op = 'xid'", "op IN ('xid','query')"):
+            assert (
+                sorted(ds.filter(cond).drop("seq").collect())
+                == sorted(ref.filter(cond).drop("seq").collect())
+            ), cond
+
+    def test_log_file_prune(self, spark, fixture_dir):
+        files = sorted(
+            os.path.basename(p) for p in pathlib.Path(fixture_dir).glob("binlog.*")
+        )
+        assert len(files) >= 2, "fixture must rotate"
+        reader = _BinlogBatchReader({"path": fixture_dir})
+        from pyspark.sql.datasource import GreaterThanOrEqual
+
+        kept = list(reader.pushFilters([GreaterThanOrEqual(("log_file",), files[1])]))
+        assert len(kept) == 1  # partial pushdown: filter still returned
+        parts = reader.partitions()
+        assert sorted(os.path.basename(p.path) for p in parts) == files[1:]
+
+    def test_only_tables_option_parity(self, spark, fixture_dir):
+        ds = (
+            spark.read.format("mysql_binlog")
+            .option("only_tables", "foo.auto")
+            .load(fixture_dir)
+        )
+        ref = bs.read_binlog_envelope(spark, fixture_dir, only_tables={("foo", "auto")})
+        assert (
+            sorted(ds.drop("seq").collect())
+            == sorted(ref.drop("seq").collect())
+        )
+
+    def test_since_parity(self, spark, fixture_dir):
+        files = sorted(
+            os.path.basename(p) for p in pathlib.Path(fixture_dir).glob("binlog.*")
+        )
+        boundary = files[len(files) // 2]
+        fsize = os.path.getsize(os.path.join(fixture_dir, boundary))
+        cut = fsize // 2
+        ds = (
+            spark.read.format("mysql_binlog")
+            .option("since_file", boundary)
+            .option("since_offset", str(cut))
+            .load(fixture_dir)
+        )
+        ref = bs.read_binlog_envelope(spark, fixture_dir, since=(boundary, cut))
+        assert (
+            sorted(ds.drop("seq").collect())
+            == sorted(ref.drop("seq").collect())
+        )
+
+    def test_since_past_everything_is_empty(self, spark, fixture_dir):
+        ds = (
+            spark.read.format("mysql_binlog")
+            .option("since_file", "binlog.999999")
+            .load(fixture_dir)
+        )
+        assert ds.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# stream protocol (manual drive — deterministic, no Spark runtime)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def live_dir(tmp_path) -> str:
+    d = tmp_path / "live"
+    d.mkdir()
+    return str(d)
+
+
+class TestStreamProtocol:
+    def test_torn_tail_holdback_then_resume(self, live_dir):
+        w = BinlogWriter(checksum="crc32")
+        for i in range(5):
+            _txn(w, i)
+        full = bytes(w.buf)
+        with open(f"{live_dir}/binlog.000000", "wb") as fh:
+            fh.write(full[:300])  # cut mid-frame
+
+        r = _BinlogStreamReader({"path": live_dir, "catalog": _CAT_JSON})
+        start = r.initialOffset()
+        end1 = r.latestOffset()
+        assert end1["pos"] < 300  # held back to the last complete frame
+        rows1 = _rows(
+            b for p in r.partitions(start, end1) for b in [*r.read(p)]
+        )
+        r.commit(end1)
+
+        with open(f"{live_dir}/binlog.000000", "wb") as fh:
+            fh.write(full)
+        end2 = r.latestOffset()
+        assert end2["pos"] == len(full)
+        parts = r.partitions(end1, end2)
+        # mid-file slice ships the checksum + table-map state
+        assert parts[0].start == end1["pos"]
+        assert parts[0].alg == "crc32" and parts[0].tmap is not None
+        rows2 = _rows(b for p in parts for b in [*r.read(p)])
+
+        expect = decode_binlog(full, _CAT)
+        cols, _ = bs.envelope_columns(expect, "binlog.000000")
+        assert len(rows1) + len(rows2) == len(cols["op"])
+
+    def test_rotation_and_restart_prefix_replay(self, live_dir):
+        w = BinlogWriter(checksum="crc32")
+        for i in range(3):
+            _txn(w, i)
+        with open(f"{live_dir}/binlog.000000", "wb") as fh:
+            fh.write(bytes(w.buf[: len(w.buf) // 2]))
+        r = _BinlogStreamReader({"path": live_dir, "catalog": _CAT_JSON})
+        start = r.initialOffset()
+        end1 = r.latestOffset()
+        r.commit(end1)
+
+        w.write_rotate("binlog.000001")
+        with open(f"{live_dir}/binlog.000000", "wb") as fh:
+            fh.write(bytes(w.buf))
+        w2 = BinlogWriter(checksum="crc32")
+        for i in range(3, 5):
+            _txn(w2, i)
+        with open(f"{live_dir}/binlog.000001", "wb") as fh:
+            fh.write(bytes(w2.buf))
+
+        end2 = r.latestOffset()
+        assert end2["file"] == "binlog.000001"
+        rows_live = _rows(b for p in r.partitions(end1, end2) for b in [*r.read(p)])
+
+        # driver restart: fresh reader, same checkpointed range — the
+        # mid-file slice flips to prefix_replay and yields identical rows
+        r2 = _BinlogStreamReader({"path": live_dir, "catalog": _CAT_JSON})
+        parts = r2.partitions(end1, end2)
+        assert any(p.prefix_replay for p in parts)
+        rows_replay = _rows(b for p in parts for b in [*r2.read(p)])
+        assert _key(rows_replay) == _key(rows_live)
+
+    def test_backpressure_bound_and_union(self, live_dir):
+        # the cap bounds STEADY-STATE triggers; the first trigger after
+        # a (re)start deliberately drains the backlog uncapped (a capped
+        # blind first walk could regress behind a restored checkpoint)
+        w = BinlogWriter(checksum="crc32")
+        _txn(w, 0)
+        with open(f"{live_dir}/binlog.000000", "wb") as fh:
+            fh.write(bytes(w.buf))
+
+        r = _BinlogStreamReader(
+            {"path": live_dir, "catalog": _CAT_JSON, "max_bytes_per_batch": "256"}
+        )
+        cur = r.initialOffset()
+        rows: list[dict] = []
+        batches = 0
+
+        def drain_once(cur):
+            nonlocal rows, batches
+            nxt = r.latestOffset()
+            if nxt == cur:
+                return cur, False
+            rows += _rows(b for p in r.partitions(cur, nxt) for b in [*r.read(p)])
+            r.commit(nxt)
+            batches += 1
+            return nxt, True
+
+        cur, moved = drain_once(cur)  # first trigger: backlog, uncapped
+        assert moved and batches == 1
+
+        # live appends: 7 more txns + rotation + a second file
+        for i in range(1, 8):
+            _txn(w, i)
+        w.write_rotate("binlog.000001")
+        with open(f"{live_dir}/binlog.000000", "wb") as fh:
+            fh.write(bytes(w.buf))
+        w2 = BinlogWriter(checksum="crc32")
+        for i in range(8, 11):
+            _txn(w2, i)
+        with open(f"{live_dir}/binlog.000001", "wb") as fh:
+            fh.write(bytes(w2.buf))
+
+        while True:
+            cur, moved = drain_once(cur)
+            if not moved:
+                break
+            assert batches < 100
+        assert batches > 4  # the cap split the steady-state drain
+
+        e0 = decode_binlog(bytes(w.buf), _CAT)
+        e1 = decode_binlog(bytes(w2.buf), _CAT)
+        c0, _ = bs.envelope_columns(e0, "binlog.000000")
+        c1, _ = bs.envelope_columns(e1, "binlog.000001")
+        assert len(rows) == len(c0["op"]) + len(c1["op"])
+
+    def test_empty_dir_then_first_file(self, live_dir):
+        r = _BinlogStreamReader({"path": live_dir, "catalog": _CAT_JSON})
+        start = r.initialOffset()
+        assert start == {"file": "", "pos": 4}
+        assert r.latestOffset() == start
+        assert r.partitions(start, start) == []
+
+        w = BinlogWriter()
+        _txn(w, 1)
+        with open(f"{live_dir}/binlog.000000", "wb") as fh:
+            fh.write(bytes(w.buf))
+        end = r.latestOffset()
+        assert end["file"] == "binlog.000000" and end["pos"] == len(w.buf)
+        rows = _rows(b for p in r.partitions(start, end) for b in [*r.read(p)])
+        assert [x["op"] for x in rows] == ["query", "table_map", "write_rows", "xid"]
+
+    def test_pushdown_options_on_stream(self, live_dir):
+        other = TableDef("bar", "other", [(TYPE_LONG, None)], table_id=9)
+        w = BinlogWriter(checksum="crc32")
+        _txn(w, 1)
+        w.write_query("bar", "BEGIN")
+        w.write_table_map(other)
+        w.write_rows(WRITE_ROWS_EVENT, other, [[5]])
+        w.write_xid(500)
+        with open(f"{live_dir}/binlog.000000", "wb") as fh:
+            fh.write(bytes(w.buf))
+        r = _BinlogStreamReader(
+            {"path": live_dir, "catalog": _CAT_JSON, "only_tables": "foo.auto"}
+        )
+        start = r.initialOffset()
+        end = r.latestOffset()
+        rows = _rows(b for p in r.partitions(start, end) for b in [*r.read(p)])
+        row_events = [x for x in rows if x["op"].endswith("_rows")]
+        assert {(x["db"], x["tbl"]) for x in row_events} == {("foo", "auto")}
+        # non-row events always pass (partial pushdown contract)
+        assert sum(1 for x in rows if x["op"] == "xid") == 2
+
+    def test_table_map_state_pickles_without_plans(self, live_dir):
+        import pickle
+
+        from mysql_cdc_spark.sources.binlog_codec import (
+            decode_binlog_incremental,
+        )
+
+        w = BinlogWriter()
+        _txn(w, 1)
+        _, _, tmap = decode_binlog_incremental(bytes(w.buf), 4, None, _CAT)
+        assert tmap is not None
+        # warm the unpicklable per-shape plan cache, then ship
+        from mysql_cdc_spark.sources.binlog_codec import _image_plan
+
+        _image_plan(tmap, b"\x03")
+        clone = pickle.loads(pickle.dumps(tmap))
+        assert (clone.db, clone.table, clone.col_types) == (
+            tmap.db,
+            tmap.table,
+            tmap.col_types,
+        )
+        assert "_img_plans" not in clone.__dict__
+
+
+# ---------------------------------------------------------------------------
+# stream end-to-end (Structured Streaming + checkpointed restart)
+# ---------------------------------------------------------------------------
+
+
+class TestStreamEndToEnd:
+    def test_available_now_drain_matches_batch(self, spark, fixture_dir):
+        register_binlog_source(spark)
+        name = "ds_e2e_" + uuid.uuid4().hex[:6]
+        cp = f"{TMP}/cp_{name}"
+        try:
+            q = (
+                spark.readStream.format("mysql_binlog")
+                .load(fixture_dir)
+                .writeStream.format("memory")
+                .queryName(name)
+                .option("checkpointLocation", cp)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            got = [r.asDict() for r in spark.table(name).collect()]
+            ref = [
+                r.asDict()
+                for r in bs.read_binlog_envelope(spark, fixture_dir).collect()
+            ]
+            assert _key(got) == _key(ref)
+        finally:
+            shutil.rmtree(cp, ignore_errors=True)
+
+    def test_checkpoint_restart_exactly_once(self, spark, tmp_path):
+        register_binlog_source(spark)
+        live = str(tmp_path / "live")
+        os.makedirs(live)
+        w = BinlogWriter(checksum="crc32")
+        for i in range(4):
+            _txn(w, i)
+        with open(f"{live}/binlog.000000", "wb") as fh:
+            fh.write(bytes(w.buf))
+
+        name = "ds_restart_" + uuid.uuid4().hex[:6]
+        cp = f"{TMP}/cp_{name}"
+        sink = f"{TMP}/sink_{name}"
+
+        def drain():
+            # a FILE sink: the memory sink cannot recover from a
+            # checkpoint, and recovery is the point of this test
+            q = (
+                spark.readStream.format("mysql_binlog")
+                .option("catalog", _CAT_JSON)
+                .load(live)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", cp)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return [r.asDict() for r in spark.read.parquet(sink).collect()]
+
+        try:
+            first = drain()
+            assert len(first) == 16  # 4 txns × 4 envelope events
+
+            # append mid-file + rotate + second file, then RESTART from
+            # the checkpoint: only the new range may appear
+            for i in range(4, 6):
+                _txn(w, i)
+            w.write_rotate("binlog.000001")
+            with open(f"{live}/binlog.000000", "wb") as fh:
+                fh.write(bytes(w.buf))
+            w2 = BinlogWriter(checksum="crc32")
+            for i in range(6, 8):
+                _txn(w2, i)
+            with open(f"{live}/binlog.000001", "wb") as fh:
+                fh.write(bytes(w2.buf))
+
+            both = drain()  # restart from the same checkpoint
+            # 2 new txns × 4 events in each file (rotate is not an
+            # envelope op) appended to the sink — nothing re-delivered
+            assert len(both) == 32
+
+            # exactly-once: sink contents == full batch decode, no
+            # duplicates across the restart — checked against the
+            # authoritative batch read
+            ref = [
+                r.asDict()
+                for r in bs.read_binlog_envelope(
+                    spark, live, catalog=_CAT
+                ).collect()
+            ]
+            assert _key(both) == _key(ref)
+        finally:
+            shutil.rmtree(cp, ignore_errors=True)
+            shutil.rmtree(sink, ignore_errors=True)
