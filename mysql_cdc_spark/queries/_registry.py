@@ -250,6 +250,9 @@ REGISTRATION_ORDER: list[str] = [
     # r16 additions
     "cdc_binlog_only_ops",
     "cdc_binlog_schema_evo_drop",
+    "cdc_ds_envelope",
+    "cdc_ds_pushdown",
+    "cdc_ds_stream_envelope",
 ]
 
 

@@ -463,24 +463,31 @@ class _BinlogStreamReader(DataSourceStreamReader):
         self._anchor()
         o = self._o
         budget = None if fresh else o.max_bytes
+        # One directory snapshot per call: sizes read once, so a
+        # writer appending faster than the walk can never keep this
+        # trigger alive forever — bytes landing after the snapshot
+        # belong to the next trigger (the head a Kafka source reports
+        # is a point-in-time snapshot for the same reason).
+        sizes: dict[str, int] = {}
+        for p in _list_log_files(o.path):
+            try:
+                sizes[os.path.basename(p)] = os.path.getsize(p)
+            except OSError:
+                continue
+        names = sorted(sizes)
         while True:
             cur_file = self._cur["file"]
             pos = self._cur["pos"]
             if cur_file == "":
-                files = _list_log_files(o.path)
-                if not files:
+                if not names:
                     break
-                self._cur = {
-                    "file": os.path.basename(files[0]),
-                    "pos": _DATA_START,
-                }
+                self._cur = {"file": names[0], "pos": _DATA_START}
                 self._alg = None
                 self._tmap = None
                 continue
             fpath = os.path.join(o.path, cur_file)
-            try:
-                size = os.path.getsize(fpath)
-            except OSError:
+            size = sizes.get(cur_file)
+            if size is None:
                 break
             if pos < size:
                 want = size - pos
@@ -519,11 +526,11 @@ class _BinlogStreamReader(DataSourceStreamReader):
                 if advanced == 0:
                     # torn tail with no complete frame yet — or a
                     # header-less stub: wait for more bytes
-                    if self._maybe_rotate(cur_file, nxt, size):
+                    if self._maybe_rotate(cur_file, nxt, size, names):
                         continue
                     break
                 continue
-            if self._maybe_rotate(cur_file, pos, size):
+            if self._maybe_rotate(cur_file, pos, size, names):
                 continue
             break
         end = dict(self._cur)
@@ -533,15 +540,16 @@ class _BinlogStreamReader(DataSourceStreamReader):
         )
         return end
 
-    def _maybe_rotate(self, cur_file: str, pos: int, size: int) -> bool:
+    def _maybe_rotate(
+        self, cur_file: str, pos: int, size: int, names: list[str]
+    ) -> bool:
         """Advance to the successor file iff the current file is fully
         consumed (every byte sits inside a decoded frame — real
         writers emit ROTATE as the final event, so fully-consumed
-        means the rotation really happened)."""
+        means the rotation really happened).  ``names`` is the
+        caller's per-trigger directory snapshot."""
         if pos < size:
             return False
-        files = _list_log_files(self._o.path)
-        names = [os.path.basename(p) for p in files]
         succ = [n for n in names if n > cur_file]
         if not succ:
             return False

@@ -1,0 +1,147 @@
+"""mysql_binlog DataSource vs binaryFile+mapInPandas: same codec, two
+scan protocols — measures what the Python Data Source path costs or
+saves at scale.
+
+Variants on one byte fixture (default the sf0.1 envelope fixture; pass
+`.stream_tmp/binlog_organic_x10_v{ver}` for the x10 line):
+
+- mapinpandas_full:   read_binlog_envelope count (the r15 baseline path)
+- datasource_full:    format("mysql_binlog") count — arrow RecordBatch
+                      ingest, one InputPartition per file
+- mapinpandas_push:   read_binlog_envelope(only_tables=foo.auto) row-
+                      event count (keyword pushdown)
+- datasource_push:    same predicate as a PLAIN Catalyst filter on the
+                      DataSource scan — pushFilters must route it into
+                      the codec, so this should match mapinpandas_push,
+                      not mapinpandas_full + filter
+- datasource_stream:  readStream availableNow catch-up drain to a
+                      foreachBatch row counter — the whole backlog
+                      through the streaming protocol (driver state walk
+                      + executor slice decode)
+
+Usage: python tools/ds_bench.py [fixture_dir]
+Output: one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import shutil
+import sys
+import time
+import uuid
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from mysql_cdc_spark.queries._shared import _FIXTURE_VERSION, _STREAM_TMP
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_spark.session import get_spark
+    from mysql_cdc_spark.sources import binlog_source as bs
+    from mysql_cdc_spark.sources.binlog_datasource import (
+        register_binlog_source,
+    )
+
+    fixture = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else f"{_STREAM_TMP}/binlog_sf0.1_v{_FIXTURE_VERSION}"
+    )
+    spark = get_spark("ds-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    register_binlog_source(spark)
+    n_files = len(list(pathlib.Path(fixture).glob("binlog.*")))
+
+    out: dict = {
+        "metric": "ds_bench",
+        "fixture": fixture,
+        "n_files": n_files,
+        "bytes": sum(
+            p.stat().st_size for p in pathlib.Path(fixture).glob("binlog.*")
+        ),
+    }
+
+    def timed(name, fn, reps: int = 2):
+        best, val = None, None
+        for _ in range(reps):
+            t0 = time.time()
+            val = fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = {"sec": round(best, 3), "rows": val}
+
+    row_ops = ("write_rows", "update_rows", "delete_rows")
+
+    # warmup: JVM/arrow/python-worker spin-up must not land on the
+    # first variant measured
+    spark.read.format("mysql_binlog").load(fixture).limit(1).count()
+    bs.read_binlog_envelope(spark, fixture).limit(1).count()
+
+    timed(
+        "mapinpandas_full",
+        lambda: bs.read_binlog_envelope(spark, fixture).count(),
+    )
+    timed(
+        "datasource_full",
+        lambda: spark.read.format("mysql_binlog").load(fixture).count(),
+    )
+    timed(
+        "mapinpandas_push",
+        lambda: bs.read_binlog_envelope(
+            spark, fixture, only_tables={("foo", "auto")}
+        )
+        .filter(F.col("op").isin(*row_ops))
+        .count(),
+    )
+    timed(
+        "datasource_push",
+        lambda: spark.read.format("mysql_binlog")
+        .load(fixture)
+        .filter(
+            (F.col("db") == "foo")
+            & (F.col("tbl") == "auto")
+            & F.col("op").isin(*row_ops)
+        )
+        .count(),
+    )
+
+    def stream_drain():
+        counts = []
+        name = "dsb_" + uuid.uuid4().hex[:6]
+        cp = f"{_STREAM_TMP}/cp_{name}"
+        try:
+            q = (
+                spark.readStream.format("mysql_binlog")
+                .load(fixture)
+                .writeStream.foreachBatch(
+                    lambda df, _id: counts.append(df.count())
+                )
+                .option("checkpointLocation", cp)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(1800)
+        finally:
+            shutil.rmtree(cp, ignore_errors=True)
+        return sum(counts)
+
+    timed("datasource_stream", stream_drain, reps=1)
+
+    out["ds_vs_mapinpandas_full"] = round(
+        out["datasource_full"]["sec"] / out["mapinpandas_full"]["sec"], 3
+    )
+    out["ds_push_speedup"] = round(
+        out["datasource_full"]["sec"] / out["datasource_push"]["sec"], 3
+    )
+    out["stream_vs_batch"] = round(
+        out["datasource_stream"]["sec"] / out["datasource_full"]["sec"], 3
+    )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
