@@ -253,6 +253,7 @@ REGISTRATION_ORDER: list[str] = [
     "cdc_ds_envelope",
     "cdc_ds_pushdown",
     "cdc_ds_stream_envelope",
+    "cdc_ds_stream_txn",
 ]
 
 

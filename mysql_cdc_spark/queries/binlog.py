@@ -1337,3 +1337,52 @@ def cdc_ds_stream_envelope(spark, sf_dir):
     fixture = _ds_fixture(spark, sf_dir)
     stream = spark.readStream.format("mysql_binlog").load(fixture)
     return _ds_envelope_projected(_drain(stream))
+
+
+@register(
+    "cdc_ds_stream_txn",
+    """
+SELECT CAST(event_id AS BIGINT) AS xid,
+       CAST(4 AS BIGINT) AS n_events,
+       CAST((event_id % 2500) * 4 + 1 AS BIGINT) AS first_offset,
+       CAST((event_id % 2500) * 4 + 4 AS BIGINT) AS last_offset,
+       CAST(CASE WHEN event_type IN ('click','view') THEN 1 ELSE 0 END
+            AS BIGINT) AS has_update,
+       printf('binlog.%06d', event_id // 2500) AS log_file
+FROM events
+""".strip(),
+)
+def cdc_ds_stream_txn(spark, sf_dir):
+    """Composition: the mysql_binlog STREAMING source feeding the
+    stateful transaction assembler — raw binlog bytes in, one row per
+    COMMITTED transaction out, all through Spark-native machinery
+    (DataSource offsets in the checkpoint WAL; applyInPandasWithState
+    assembly with event-time GC).  The assembler needs dense per-file
+    offsets (stateful.py's input contract), which is exactly what the
+    DataSource's frame-index `seq` provides — FDE (slot 0) sits below
+    the anchor and the trailing ROTATE slot is after the last commit,
+    so the dense window over emitted events holds.  The oracle derives
+    every commit closed-form from the events table (xid = event_id,
+    4 frames per transaction, rotation every 2500 source events).
+    Reference anchor: mysql_binlog.clj:393-394, :730-733 — the serial
+    buffer-until-xid loop, here distributed per file and exactly-once."""
+    from mysql_cdc_spark.streaming import stateful
+
+    env = spark.readStream.format("mysql_binlog").load(_ds_fixture(spark, sf_dir))
+    rows = env.select(
+        "log_file",
+        F.col("seq").alias("offset"),
+        "op",
+        "xid",
+        # The fixture's event clock starts at 0; epoch-0 event time
+        # collides with Spark's INITIAL watermark (also epoch 0) and
+        # the first transaction's rows would be dropped as late before
+        # reaching the stateful operator.  Shift the clock one day —
+        # presentation-level, the assembler only compares ts gaps.
+        F.timestamp_seconds(F.col("ts") + F.lit(86400)).alias("ts"),
+    )
+    assembled = _drain(stateful.txn_events_stateful(rows), output_mode="append")
+    return assembled.select(
+        "xid", "n_events", "first_offset", "last_offset", "has_update",
+        "log_file",
+    )
