@@ -177,6 +177,26 @@ def main() -> None:
         "speedup": round(pd_filter / pd_push, 2),
     }
 
+    # The mysql_binlog Python DataSource (r16): the same byte log
+    # through format("mysql_binlog") — arrow RecordBatch ingest, one
+    # input partition per file.  Tracked next to the mapInPandas
+    # envelope wall so a protocol-layer regression is visible in the
+    # bench line (full sweep incl. Catalyst pushdown and the streaming
+    # drain: tools/ds_bench.py).
+    from mysql_cdc_spark.sources.binlog_datasource import (
+        register_binlog_source,
+    )
+
+    register_binlog_source(spark)
+    ds_best = float("inf")
+    for i in range(3):  # 1 warm + best-of-2
+        df = spark.read.format("mysql_binlog").load(str(bl_dir))
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        if i:
+            ds_best = min(ds_best, time.perf_counter() - t0)
+    datasource_scan_sec = round(ds_best, 4)
+
     # Round 1's self-calibrated baseline (6.27s, BENCH_r01) covered
     # exactly these five queries; the headline set has since grown
     # (dedup/KNN/text shapes), so report the like-for-like subtotal
@@ -202,6 +222,7 @@ def main() -> None:
                 "decode_rows_per_sec": decode_rows_per_sec,
                 "codec_rows_per_sec": codec_rows_per_sec,
                 "pushdown_decode": pushdown_decode,
+                "datasource_scan_sec": datasource_scan_sec,
                 "sf": sf,
             }
         )

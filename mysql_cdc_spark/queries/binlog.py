@@ -1328,15 +1328,45 @@ def cdc_ds_pushdown(spark, sf_dir):
 def cdc_ds_stream_envelope(spark, sf_dir):
     """The SAME byte log consumed as a Structured Streaming source:
     spark.readStream.format("mysql_binlog") with frame-aligned
-    offsets checkpointed by Spark itself, drained availableNow to a
-    memory sink, then projected onto the batch oracle — streaming
-    delivery must lose and duplicate nothing vs the batch decode
-    (the full-fidelity analog of the reference's tailer loop,
-    mysql_binlog.clj:907-938, with offsets in the checkpoint instead
-    of agent memory)."""
+    offsets checkpointed by Spark itself, drained availableNow, then
+    projected onto the batch oracle — streaming delivery must lose
+    and duplicate nothing vs the batch decode (the full-fidelity
+    analog of the reference's tailer loop, mysql_binlog.clj:907-938,
+    with offsets in the checkpoint instead of agent memory).
+
+    This gate's output is O(input) — the whole envelope — so unlike
+    the other stream gates it drains to a PARQUET sink, not the
+    memory sink: the memory sink collects every row to the driver
+    and collapses at x100 (measured: 40M rows tripped
+    spark.driver.maxResultSize).  Executor-side sink, same
+    exactly-once contract."""
+    import pathlib
+    import shutil
+    import uuid
+
     fixture = _ds_fixture(spark, sf_dir)
     stream = spark.readStream.format("mysql_binlog").load(fixture)
-    return _ds_envelope_projected(_drain(stream))
+    prefix = f"ds_env_sink_{pathlib.Path(sf_dir).name}"
+    root = pathlib.Path(_STREAM_TMP)
+    # previous invocations' sink dirs (the returned DF reads lazily,
+    # so a run can only clean up its predecessors)
+    for old in root.glob(f"{prefix}_*"):
+        shutil.rmtree(old, ignore_errors=True)
+    tag = uuid.uuid4().hex[:8]
+    sink = str(root / f"{prefix}_{tag}")
+    cp = sink + "_cp"
+    try:
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(1800)
+    finally:
+        shutil.rmtree(cp, ignore_errors=True)
+    return _ds_envelope_projected(spark.read.parquet(sink))
 
 
 @register(

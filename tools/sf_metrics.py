@@ -58,6 +58,11 @@ TARGET = [  # HEADLINE ∪ dedup/refresh family (r10 VERDICT #1 list)
     # r16 surfaces: delta-type (only_ops) pushdown and the DROP/
     # type-widening schema-evolution gate
     "cdc_binlog_only_ops", "cdc_binlog_schema_evo_drop",
+    # r16 DataSource surfaces: the byte path through the Python Data
+    # Source protocol (batch + Catalyst pushdown + streaming drain +
+    # stateful assembly composition)
+    "cdc_ds_envelope", "cdc_ds_pushdown", "cdc_ds_stream_envelope",
+    "cdc_ds_stream_txn",
 ]
 
 _FIELDS = {
