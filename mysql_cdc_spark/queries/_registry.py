@@ -254,6 +254,7 @@ REGISTRATION_ORDER: list[str] = [
     "cdc_ds_pushdown",
     "cdc_ds_stream_envelope",
     "cdc_ds_stream_txn",
+    "cdc_ds_schema_evo",
 ]
 
 

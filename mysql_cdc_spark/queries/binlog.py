@@ -1416,3 +1416,59 @@ def cdc_ds_stream_txn(spark, sf_dir):
         "xid", "n_events", "first_offset", "last_offset", "has_update",
         "log_file",
     )
+
+
+from mysql_cdc_spark.queries._registry import ORACLES as _ORACLES  # noqa: E402
+
+
+@register("cdc_ds_schema_evo", _ORACLES["cdc_binlog_schema_evo"])
+def cdc_ds_schema_evo(spark, sf_dir):
+    """Mid-log schema evolution through the DataSource protocol: the
+    sevo fixture (lab.acct widened by a mid-log ALTER; both table maps
+    carry binlog_row_metadata=FULL COLUMN_NAME TLVs) scanned with
+    format("mysql_binlog") and an EXPLICIT empty catalog option — all
+    column names come off the wire, through arrow ingest, and the
+    typed view's (db, tbl, op) filter rides Spark's own pushFilters
+    into the codec's image-parse skip (no only_tables keyword
+    anywhere).  Same oracle as cdc_binlog_schema_evo: the two scan
+    protocols must agree across the schema boundary."""
+    import pathlib
+
+    from mysql_cdc_spark.sources import binlog_source as bs
+    from mysql_cdc_spark.sources.binlog_datasource import (
+        register_binlog_source,
+    )
+
+    out_dir = pathlib.Path(_STREAM_TMP) / f"binlog_sevo_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
+    if not any(out_dir.glob("binlog.*")):
+        bs.generate_schema_evo_binlog(sf_dir, str(out_dir))
+    register_binlog_source(spark)
+    env = (
+        spark.read.format("mysql_binlog")
+        .option("catalog", "{}")
+        .load(str(out_dir))
+    )
+    typed = bs.typed_changes(
+        env, "lab", "acct",
+        {"id": "bigint", "val": "string", "score": "bigint"},
+    )
+    keyed = typed.selectExpr(
+        "after_id AS id",
+        "struct(CAST(regexp_extract(log_file, 'binlog\\\\.(\\\\d+)', 1) AS BIGINT)"
+        " AS file_idx, offset) AS ord",
+        "after_val AS val",
+        "after_score AS score",
+    )
+    return (
+        keyed.groupBy("id")
+        .agg(
+            F.expr("max_by(struct(val, score), ord)").alias("last"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+        .select(
+            "id",
+            F.col("last.val").alias("val"),
+            F.col("last.score").alias("score"),
+            "n_rows",
+        )
+    )
