@@ -255,6 +255,7 @@ REGISTRATION_ORDER: list[str] = [
     "cdc_ds_stream_envelope",
     "cdc_ds_stream_txn",
     "cdc_ds_schema_evo",
+    "cdc_ds_archive_roundtrip",
 ]
 
 

@@ -1472,3 +1472,81 @@ def cdc_ds_schema_evo(spark, sf_dir):
             "n_rows",
         )
     )
+
+
+# Archive round-trip oracle: the envelope content WITHOUT positional
+# columns (seq) and WITHOUT table_map records (the archive regenerates
+# its own self-describing table maps) — derived from _BINLOG_ORACLE the
+# same way the GTID/MINIMAL variants are.
+_ARCHIVE_ORACLE = (
+    _BINLOG_ORACLE
+    .replace("CAST(event_id*4 AS BIGINT) AS seq, ", "")
+    .replace(
+        """  UNION ALL
+  SELECT CAST(event_id*4+1 AS BIGINT), 'table_map', db, tbl, NULL, NULL,
+         NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+  FROM ev
+""",
+        "",
+    )
+    .replace("CAST(event_id*4+2 AS BIGINT), ", "")
+    .replace("CAST(event_id*4+3 AS BIGINT), ", "")
+)
+assert "table_map" not in _ARCHIVE_ORACLE
+assert "seq" not in _ARCHIVE_ORACLE
+
+
+@register("cdc_ds_archive_roundtrip", _ARCHIVE_ORACLE)
+def cdc_ds_archive_roundtrip(spark, sf_dir):
+    """The WRITE half of the DataSource: archive the decoded envelope
+    back to REAL binlog bytes with df.write.format("mysql_binlog")
+    (each task encodes its partition into one self-contained file —
+    magic + FDE, a COLUMN_NAME-TLV table map before every rows event,
+    utf8mb4 charset TLVs, present-bitmaps preserving the key-absent vs
+    SQL-NULL distinction — temp-file + driver-rename commit), then
+    decode the ARCHIVE catalog-free and check the full content
+    round-trip against the relational oracle.  Every value that
+    survives this gate was encoded twice and decoded twice by two
+    independent scan protocols.  The reference has no writer at all;
+    this is the CDC archival story (binlog backup/compaction) made
+    Spark-native."""
+    import pathlib
+
+    fixture = _ds_fixture(spark, sf_dir)
+    arch = str(
+        pathlib.Path(_STREAM_TMP)
+        / f"ds_archive_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
+    )
+    env = spark.read.format("mysql_binlog").load(fixture)
+    (
+        env.repartition(8, "log_file")
+        .sortWithinPartitions("log_file", "offset", "row_idx")
+        .write.format("mysql_binlog")
+        .mode("overwrite")
+        .save(arch)
+    )
+    back = (
+        spark.read.format("mysql_binlog")
+        .option("catalog", "{}")
+        .load(arch)
+    )
+    return back.filter(
+        F.col("op").isin(
+            "query", "write_rows", "update_rows", "delete_rows", "xid"
+        )
+    ).select(
+        "op",
+        "db",
+        "tbl",
+        "xid",
+        "sql",
+        F.element_at("before", "id").cast("bigint").alias("before_id"),
+        F.element_at("before", "val").alias("before_val"),
+        F.element_at("before", "word").alias("before_word"),
+        F.element_at("after", "id").cast("bigint").alias("after_id"),
+        F.element_at("after", "val").alias("after_val"),
+        F.element_at("after", "word").alias("after_word"),
+        "thread_id",
+        "exec_time",
+        "error_code",
+    )

@@ -66,6 +66,8 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -74,10 +76,17 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
 from mysql_cdc_spark.sources.binlog_codec import (
+    DELETE_ROWS_EVENT,
+    TYPE_VARCHAR,
+    UPDATE_ROWS_EVENT,
+    WRITE_ROWS_EVENT,
+    BinlogWriter,
+    TableDef,
     TableMapState,
     decode_binlog_incremental,
 )
@@ -656,6 +665,222 @@ class _BinlogStreamReader(DataSourceStreamReader):
         self._plan_state.clear()
 
 
+
+
+# ---------------------------------------------------------------------------
+# Archival writer (the WRITE half): envelope rows → real binlog bytes
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _ArchiveCommit(WriterCommitMessage):
+    """One task's encoded file: temp path (None if the partition was
+    empty), event count, and the first record's identity for
+    deterministic final numbering."""
+
+    temp: str | None
+    n_events: int
+    first_key: tuple | None
+    n_skipped: int = 0
+
+
+_ARCHIVE_ROW_OPS = {
+    "write_rows": WRITE_ROWS_EVENT,
+    "update_rows": UPDATE_ROWS_EVENT,
+    "delete_rows": DELETE_ROWS_EVENT,
+}
+
+# utf8mb4_general_ci — string values round-trip any unicode through the
+# charset TLV instead of the legacy latin-1 default
+_UTF8MB4 = 45
+
+
+def _encode_partition(rows, checksum: str | None):
+    """Encode an iterator of envelope rows into one self-contained
+    binlog byte stream (magic + FDE; a TABLE_MAP with on-wire
+    COLUMN_NAME TLVs precedes EVERY rows event, so the archive decodes
+    catalog-free and column sets may vary per record — key-absent map
+    entries become not-in-image bitmap holes, value-None becomes SQL
+    NULL, exactly the envelope's own distinction).  Archived ops:
+    query, write/update/delete rows, xid.  Everything else (table_map
+    is regenerated; gtid/rotate/rows_query are positional metadata of
+    the SOURCE log, meaningless in the archive) is counted as skipped.
+    Returns (bytes, n_events, first_key, n_skipped)."""
+    w = BinlogWriter(checksum=checksum)
+    n = 0
+    skipped = 0
+    first_key = None
+    table_seq = 0
+    for row in rows:
+        op = row.op
+        ts = int(row.ts or 0)
+        if first_key is None:
+            first_key = (row.log_file, int(row.offset), int(row.row_idx))
+        if op == "query":
+            w.write_query(
+                row.db or "",
+                row.sql or "",
+                ts=ts,
+                thread_id=int(row.thread_id or 0),
+                exec_time=int(row.exec_time or 0),
+                error_code=int(row.error_code or 0),
+            )
+        elif op == "xid" and row.xid is not None:
+            w.write_xid(int(row.xid), ts=ts)
+        elif op in _ARCHIVE_ROW_OPS:
+            before = dict(row.before) if row.before is not None else None
+            after = dict(row.after) if row.after is not None else None
+            cols = sorted(set(before or ()) | set(after or ()))
+            if not cols:
+                skipped += 1
+                continue
+            table_seq += 1
+            t = TableDef(
+                row.db or "",
+                row.tbl or "",
+                [(TYPE_VARCHAR, 4096)] * len(cols),
+                table_id=table_seq,
+                default_charset=_UTF8MB4,
+                column_names=cols,
+            )
+            w.write_table_map(t, ts=ts)
+            code = _ARCHIVE_ROW_OPS[op]
+            if op == "update_rows":
+                b = before or {}
+                a = after or {}
+                w.write_rows(
+                    code,
+                    t,
+                    [(
+                        [b[c] for c in cols if c in b],
+                        [a[c] for c in cols if c in a],
+                    )],
+                    present=[c in b for c in cols],
+                    present_after=[c in a for c in cols],
+                    ts=ts,
+                )
+            else:
+                img = after if op == "write_rows" else before
+                img = img or {}
+                w.write_rows(
+                    code,
+                    t,
+                    [[img[c] for c in cols if c in img]],
+                    present=[c in img for c in cols],
+                    ts=ts,
+                )
+            n += 1
+            continue
+        else:
+            skipped += 1
+            continue
+        n += 1
+    return bytes(w.buf), n, first_key, skipped
+
+
+class _BinlogArchiveWriter(DataSourceWriter):
+    """Batch archival sink: df.write.format("mysql_binlog").save(dir).
+
+    Each task encodes its partition IN ITERATOR ORDER into one
+    self-contained file under <dir>/_tmp/; on driver commit the temp
+    files are renamed to rotation-numbered names (binlog.%06d,
+    continuing from what the directory already holds — append
+    semantics; overwrite clears existing logs first), ordered by each
+    partition's first (log_file, offset, row_idx).  Abort deletes the
+    temps — no torn output is ever visible under a rotated name.
+
+    Use `df.repartition(N, "log_file").sortWithinPartitions("log_file",
+    "offset", "row_idx")` upstream for a deterministic archive."""
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self._o = _Opts(options)
+        self._overwrite = overwrite
+        self._checksum = options.get("checksum", "crc32")
+        if self._checksum in ("", "none"):
+            self._checksum = None
+
+    def write(self, iterator) -> _ArchiveCommit:
+        import uuid
+
+        data, n, first_key, skipped = _encode_partition(
+            iterator, self._checksum
+        )
+        if n == 0:
+            return _ArchiveCommit(None, 0, None, skipped)
+        tmp_dir = os.path.join(self._o.path, "_tmp")
+        os.makedirs(tmp_dir, exist_ok=True)
+        temp = os.path.join(tmp_dir, f"part-{uuid.uuid4().hex}")
+        with open(temp, "wb") as fh:
+            fh.write(data)
+        return _ArchiveCommit(temp, n, first_key, skipped)
+
+    def _finalize(self, messages, clear: bool) -> list[str]:
+        path = self._o.path
+        if clear:
+            for p in _list_log_files(path):
+                os.unlink(p)
+        existing = [
+            int(os.path.basename(p).rsplit(".", 1)[1])
+            for p in _list_log_files(path)
+        ]
+        base = max(existing) + 1 if existing else 0
+        live = [
+            m for m in messages
+            if m is not None and m.temp and m.n_events
+        ]
+        live.sort(key=lambda m: m.first_key)
+        out = []
+        for i, m in enumerate(live):
+            final = os.path.join(path, f"binlog.{base + i:06d}")
+            os.replace(m.temp, final)
+            out.append(final)
+        self._cleanup(messages)
+        return out
+
+    def _cleanup(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.temp and os.path.exists(m.temp):
+                os.unlink(m.temp)
+
+    def commit(self, messages) -> None:
+        self._finalize(messages, clear=self._overwrite)
+
+    def abort(self, messages) -> None:
+        self._cleanup(messages)
+
+
+class _BinlogArchiveStreamWriter(_BinlogArchiveWriter, DataSourceStreamWriter):
+    """Streaming archival sink: writeStream.format("mysql_binlog").
+
+    Commit keeps a driver-side manifest (<dir>/_archive_manifest.json)
+    of batchId → final files; a REPLAYED batch (restart before the
+    checkpoint recorded the commit) first deletes its previous files,
+    so re-execution converges to exactly-once output.  The same
+    crash window Spark's own file sink closes with _spark_metadata
+    exists between the renames and the manifest write — one batch may
+    duplicate if the driver dies exactly between the two; the window
+    is documented, not hidden."""
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803 — API name
+        manifest_path = os.path.join(self._o.path, "_archive_manifest.json")
+        manifest = {}
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as fh:
+                manifest = json.load(fh)
+        for p in manifest.get(str(batchId), ()):
+            if os.path.exists(p):
+                os.unlink(p)
+        out = self._finalize(messages, clear=False)
+        manifest[str(batchId)] = out
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, manifest_path)
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803 — API name
+        self._cleanup(messages)
+
+
 # ---------------------------------------------------------------------------
 # DataSource + registration
 # ---------------------------------------------------------------------------
@@ -690,6 +915,14 @@ class BinlogDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _BinlogStreamReader(dict(self.options))
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return _BinlogArchiveWriter(dict(self.options), overwrite)
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> DataSourceStreamWriter:
+        return _BinlogArchiveStreamWriter(dict(self.options), overwrite)
 
 
 def register_binlog_source(spark) -> None:
