@@ -381,6 +381,11 @@ def test_declarative_first_stateful_policy():
         # aggregation can express "emit when the XID event arrives,
         # never emit uncommitted buffers"
         "cdc_stream_txn_events",
+        # the SAME justified assembler fed by the mysql_binlog
+        # streaming DataSource (r16 composition gate): raw bytes in,
+        # committed transactions out — the semantics are identical to
+        # cdc_stream_txn_events, only the source differs
+        "cdc_ds_stream_txn",
     }
     assert offenders == allowed, (
         f"stateful-policy drift: {offenders ^ allowed} — new "
