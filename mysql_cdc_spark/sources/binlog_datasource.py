@@ -165,6 +165,8 @@ class _Opts:
         self.since_offset = int(so) if so is not None else _DATA_START
         mb = options.get("max_bytes_per_batch")
         self.max_bytes = int(mb) if mb is not None else None
+        sb = options.get("split_bytes")
+        self.split_bytes = int(sb) if sb is not None else None
 
 
 # ---------------------------------------------------------------------------
@@ -223,6 +225,148 @@ def _cut_offset_prefix(cols: dict[str, list], min_offset: int) -> dict[str, list
 # ---------------------------------------------------------------------------
 # Batch reader
 # ---------------------------------------------------------------------------
+
+
+@dataclass
+class _StreamPartition(InputPartition):
+    """One (file, [start, end)) byte slice.  ``alg``/``tmap`` carry the
+    decoder state at ``start`` when the driver planned this slice from
+    its live walk; ``prefix_replay`` is the restart path — the executor
+    rebuilds state from the file head (state never crosses files)."""
+
+    path: str
+    log_file: str
+    start: int
+    end: int
+    alg: str | None = None
+    tmap: TableMapState | None = None
+    prefix_replay: bool = False
+
+
+def _scan_state_events(events: list[dict], alg: str | None) -> str | None:
+    """Fold FDE declarations out of a state walk's event list."""
+    for ev in events:
+        if "checksum_alg" in ev:
+            alg = ev["checksum_alg"]
+    return alg
+
+
+def _decode_slice(
+    part: _StreamPartition,
+    catalog: dict,
+    on_error: str,
+    only_tables,
+    only_ops,
+) -> list[dict]:
+    """Decode one frame-aligned byte slice on an executor.  Shared by
+    the streaming reader and the batch reader's oversized-file splits:
+    a file-head slice decodes fresh; a mid-file slice decodes from the
+    shipped (checksum, table-map) state; `prefix_replay` (driver
+    restart lost the planned state) rebuilds it from THIS file's head
+    — state resets at rotation, so one file bounds the replay."""
+    if part.start <= _DATA_START:
+        with open(part.path, "rb") as fh:
+            data = fh.read(part.end)
+        events, _, _ = decode_binlog_incremental(
+            data,
+            _DATA_START,
+            None,
+            catalog,
+            on_error=on_error,
+            only_tables=only_tables,
+            only_ops=only_ops,
+        )
+        return events
+    if not part.prefix_replay:
+        with open(part.path, "rb") as fh:
+            fh.seek(part.start)
+            data = fh.read(part.end - part.start)
+        events, _, _ = decode_binlog_incremental(
+            data,
+            part.start,
+            part.tmap,
+            catalog,
+            base=part.start,
+            on_error=on_error,
+            checksum=part.alg,
+            only_tables=only_tables,
+            only_ops=only_ops,
+        )
+        return events
+    with open(part.path, "rb") as fh:
+        data = fh.read(part.end)
+    events, nxt, _ = decode_binlog_incremental(
+        data,
+        _DATA_START,
+        None,
+        catalog,
+        on_error=on_error,
+        only_tables=only_tables,
+        only_ops=only_ops,
+    )
+    if nxt < part.end:
+        raise ValueError(
+            f"offset {part.end} of {part.log_file} is not "
+            f"frame-aligned (walk stopped at {nxt})"
+        )
+    return [ev for ev in events if ev["offset"] >= part.start]
+
+
+def _split_file(
+    path: str, catalog: dict, split_bytes: int
+) -> list[_StreamPartition]:
+    """Frame-aligned split plan for ONE oversized log file: a driver
+    state-only walk (row images skipped via the ``only_ops=frozenset()``
+    pushdown — headers, CRC framing, FDE and TABLE_MAP bodies still
+    decode) captures (offset, checksum, table-map) at ~``split_bytes``
+    boundaries, so executors decode the slices IN PARALLEL from shipped
+    state.  Real binlogs rotate at max_binlog_size (~1 GB), but an
+    operator who raised it should not be stuck with one 100 GB task:
+    the serial planner walk costs one state-pass; the decode fans out.
+    A frame larger than the window widens the read until it fits."""
+    size = os.path.getsize(path)
+    name = os.path.basename(path)
+    slices: list[_StreamPartition] = []
+    pos: int = _DATA_START
+    alg: str | None = None
+    tmap: TableMapState | None = None
+    with open(path, "rb") as fh:
+        while pos < size:
+            start = pos
+            start_alg, start_tmap = alg, tmap
+            want = split_bytes
+            while True:
+                if start <= _DATA_START:
+                    fh.seek(0)
+                    data = fh.read(_DATA_START + want)
+                    events, nxt, tmap = decode_binlog_incremental(
+                        data, _DATA_START, None, catalog,
+                        on_error="quarantine", only_ops=frozenset(),
+                    )
+                else:
+                    fh.seek(start)
+                    data = fh.read(want)
+                    events, nxt, tmap = decode_binlog_incremental(
+                        data, start, start_tmap, catalog, base=start,
+                        on_error="quarantine", checksum=start_alg,
+                        only_ops=frozenset(),
+                    )
+                if nxt > start or start + want >= size:
+                    break
+                want *= 2  # one frame larger than the window: widen
+            alg = _scan_state_events(events, alg)
+            if nxt <= start:
+                # torn tail / header-less remainder: nothing further
+                # is decodable, and the last slice already covers
+                # every complete frame
+                break
+            slices.append(
+                _StreamPartition(path, name, start, nxt, start_alg, start_tmap)
+            )
+            pos = nxt
+    return slices
+
+
 
 
 @dataclass
@@ -336,16 +480,30 @@ class _BinlogBatchReader(DataSourceReader):
                 p for p in paths
                 if (os.path.basename(p) <= b if inc else os.path.basename(p) < b)
             ]
-        return [
-            _FilePartition(
-                p,
+        out: list[InputPartition] = []
+        for p in paths:
+            cut = (
                 o.since_offset
                 if o.since_file is not None
                 and os.path.basename(p) == o.since_file
-                else 0,
+                else 0
             )
-            for p in paths
-        ]
+            if (
+                o.split_bytes is not None
+                and os.path.getsize(p) > o.split_bytes * 2
+            ):
+                # oversized log: frame-aligned intra-file splits from a
+                # driver state walk — slices decode in parallel from
+                # shipped state.  Slice `seq` is slice-local (split
+                # points are filter-invariant, so pushdown transparency
+                # holds; identity stays (log_file, offset, row_idx)).
+                for s in _split_file(p, o.catalog, o.split_bytes):
+                    if cut and s.end <= cut:
+                        continue  # wholly before the resume point
+                    out.append(s)
+            else:
+                out.append(_FilePartition(p, cut))
+        return out
 
     def read(self, partition: _FilePartition) -> Iterator:
         o = self._o
@@ -354,6 +512,25 @@ class _BinlogBatchReader(DataSourceReader):
             # partitions() returned none (e.g. `since` pruned every
             # file): an empty scan, not an error.
             yield _arrow_batch({c: [] for c in _ENVELOPE_COLS})
+            return
+        if isinstance(partition, _StreamPartition):
+            # an oversized-file slice (split_bytes planning)
+            events = _decode_slice(
+                partition,
+                o.catalog,
+                o.on_error,
+                self._effective_tables(),
+                self._effective_ops(),
+            )
+            cols, _ = envelope_columns(
+                events, partition.log_file, frame_seq=True
+            )
+            if (
+                o.since_file is not None
+                and partition.log_file == o.since_file
+            ):
+                cols = _cut_offset_prefix(cols, o.since_offset)
+            yield _arrow_batch(cols)
             return
         with open(partition.path, "rb") as fh:
             data = fh.read()
@@ -379,28 +556,6 @@ class _BinlogBatchReader(DataSourceReader):
 # ---------------------------------------------------------------------------
 
 
-@dataclass
-class _StreamPartition(InputPartition):
-    """One (file, [start, end)) byte slice.  ``alg``/``tmap`` carry the
-    decoder state at ``start`` when the driver planned this slice from
-    its live walk; ``prefix_replay`` is the restart path — the executor
-    rebuilds state from the file head (state never crosses files)."""
-
-    path: str
-    log_file: str
-    start: int
-    end: int
-    alg: str | None = None
-    tmap: TableMapState | None = None
-    prefix_replay: bool = False
-
-
-def _scan_state_events(events: list[dict], alg: str | None) -> str | None:
-    """Fold FDE declarations out of a state walk's event list."""
-    for ev in events:
-        if "checksum_alg" in ev:
-            alg = ev["checksum_alg"]
-    return alg
 
 
 class _BinlogStreamReader(DataSourceStreamReader):
@@ -585,6 +740,17 @@ class _BinlogStreamReader(DataSourceStreamReader):
             if s >= e:
                 continue
             if s <= _DATA_START:
+                if (
+                    o.split_bytes is not None
+                    and name != end["file"]
+                    and e > o.split_bytes * 2
+                ):
+                    # backlog catch-up over an oversized COMPLETE file:
+                    # frame-aligned intra-file splits so one historical
+                    # giant does not serialize the batch (the live tail
+                    # file stays a single in-order slice)
+                    out.extend(_split_file(p, o.catalog, o.split_bytes))
+                    continue
                 out.append(_StreamPartition(p, name, s, e))
             else:
                 st = self._plan_state.get((name, s))
@@ -609,56 +775,10 @@ class _BinlogStreamReader(DataSourceStreamReader):
 
     def read(self, partition: _StreamPartition) -> Iterator:
         o = self._o
-        part = partition
-        if part.start <= _DATA_START:
-            with open(part.path, "rb") as fh:
-                data = fh.read(part.end)
-            events, _, _ = decode_binlog_incremental(
-                data,
-                _DATA_START,
-                None,
-                o.catalog,
-                on_error=o.on_error,
-                only_tables=o.only_tables,
-                only_ops=o.only_ops,
-            )
-        elif not part.prefix_replay:
-            with open(part.path, "rb") as fh:
-                fh.seek(part.start)
-                data = fh.read(part.end - part.start)
-            events, _, _ = decode_binlog_incremental(
-                data,
-                part.start,
-                part.tmap,
-                o.catalog,
-                base=part.start,
-                on_error=o.on_error,
-                checksum=part.alg,
-                only_tables=o.only_tables,
-                only_ops=o.only_ops,
-            )
-        else:
-            # Restart path: decode from the file head (state resets at
-            # rotation, so one file's prefix bounds the replay) and
-            # drop records before the slice start.
-            with open(part.path, "rb") as fh:
-                data = fh.read(part.end)
-            events, nxt, _ = decode_binlog_incremental(
-                data,
-                _DATA_START,
-                None,
-                o.catalog,
-                on_error=o.on_error,
-                only_tables=o.only_tables,
-                only_ops=o.only_ops,
-            )
-            if nxt < part.end:
-                raise ValueError(
-                    f"offset {part.end} of {part.log_file} is not "
-                    f"frame-aligned (walk stopped at {nxt})"
-                )
-            events = [ev for ev in events if ev["offset"] >= part.start]
-        cols, _ = envelope_columns(events, part.log_file, frame_seq=True)
+        events = _decode_slice(
+            partition, o.catalog, o.on_error, o.only_tables, o.only_ops
+        )
+        cols, _ = envelope_columns(events, partition.log_file, frame_seq=True)
         yield _arrow_batch(cols)
 
     def stop(self) -> None:

@@ -584,3 +584,171 @@ class TestArchiveWriter:
             w.commit([msg], 999)
         files = sorted(p.name for p in pathlib.Path(arch).glob("binlog.*"))
         assert len(files) == len(before_files) + 1  # one copy, not two
+
+
+# ---------------------------------------------------------------------------
+# oversized-file intra-file splits (split_bytes)
+# ---------------------------------------------------------------------------
+
+
+class TestSplitBytes:
+    @pytest.fixture()
+    def big_file_dir(self, tmp_path) -> str:
+        d = tmp_path / "big"
+        d.mkdir()
+        w = BinlogWriter(checksum="crc32")
+        for i in range(400):
+            _txn(w, i)
+        (d / "binlog.000000").write_bytes(bytes(w.buf))
+        return str(d)
+
+    def test_split_parity_with_whole_file(self, spark, big_file_dir):
+        from mysql_cdc_spark.sources.binlog_datasource import (
+            _BinlogBatchReader,
+            _StreamPartition,
+        )
+
+        register_binlog_source(spark)
+        whole = (
+            spark.read.format("mysql_binlog")
+            .option("catalog", _CAT_JSON)
+            .load(big_file_dir)
+        )
+        split = (
+            spark.read.format("mysql_binlog")
+            .option("catalog", _CAT_JSON)
+            .option("split_bytes", "4096")
+            .load(big_file_dir)
+        )
+        # seq is slice-local under splits; identity is offset/row_idx
+        assert (
+            sorted(split.drop("seq").collect())
+            == sorted(whole.drop("seq").collect())
+        )
+        reader = _BinlogBatchReader(
+            {"path": big_file_dir, "catalog": _CAT_JSON, "split_bytes": "4096"}
+        )
+        parts = reader.partitions()
+        assert len(parts) > 4  # genuinely split
+        assert all(isinstance(p, _StreamPartition) for p in parts)
+        # slices tile the file exactly: contiguous, frame-aligned
+        assert parts[0].start == 4
+        for a, b in zip(parts, parts[1:]):
+            assert a.end == b.start
+        # mid-file slices ship decoder state
+        assert parts[1].alg == "crc32" and parts[1].tmap is not None
+
+    def test_split_with_pushdown_and_since(self, spark, big_file_dir):
+        register_binlog_source(spark)
+        cond = "db = 'foo' AND tbl = 'auto' AND op = 'write_rows'"
+        whole = (
+            spark.read.format("mysql_binlog")
+            .option("catalog", _CAT_JSON)
+            .load(big_file_dir)
+            .filter(cond)
+        )
+        split = (
+            spark.read.format("mysql_binlog")
+            .option("catalog", _CAT_JSON)
+            .option("split_bytes", "4096")
+            .load(big_file_dir)
+            .filter(cond)
+        )
+        assert (
+            sorted(split.drop("seq").collect())
+            == sorted(whole.drop("seq").collect())
+        )
+        cut = os.path.getsize(f"{big_file_dir}/binlog.000000") // 2
+        whole_s = (
+            spark.read.format("mysql_binlog")
+            .option("catalog", _CAT_JSON)
+            .option("since_file", "binlog.000000")
+            .option("since_offset", str(cut))
+            .load(big_file_dir)
+        )
+        split_s = (
+            spark.read.format("mysql_binlog")
+            .option("catalog", _CAT_JSON)
+            .option("since_file", "binlog.000000")
+            .option("since_offset", str(cut))
+            .option("split_bytes", "4096")
+            .load(big_file_dir)
+        )
+        assert (
+            sorted(split_s.drop("seq").collect())
+            == sorted(whole_s.drop("seq").collect())
+        )
+
+    def test_frame_larger_than_window_widens(self, tmp_path):
+        from mysql_cdc_spark.sources.binlog_datasource import _split_file
+
+        d = tmp_path / "giant"
+        d.mkdir()
+        wide = TableDef(
+            "foo", "big", [(TYPE_LONG, None), (TYPE_VARCHAR, 60000)],
+            table_id=3,
+        )
+        w = BinlogWriter(checksum="crc32")
+        _txn(w, 1)
+        w.write_query("foo", "BEGIN")
+        w.write_table_map(wide)
+        w.write_rows(WRITE_ROWS_EVENT, wide, [[9, "y" * 9000]])  # > window
+        w.write_xid(500)
+        _txn(w, 2)
+        p = d / "binlog.000000"
+        p.write_bytes(bytes(w.buf))
+        slices = _split_file(str(p), _CAT, 512)
+        assert slices[-1].end == len(w.buf)  # full coverage
+        for a, b in zip(slices, slices[1:]):
+            assert a.end == b.start
+        events = []
+        from mysql_cdc_spark.sources.binlog_datasource import _decode_slice
+
+        for s in slices:
+            events += _decode_slice(s, _CAT, "raise", None, None)
+        ref = decode_binlog(bytes(w.buf), _CAT)
+        assert [(e["op"], e["offset"]) for e in events] == [
+            (e["op"], e["offset"]) for e in ref
+        ]
+
+    def test_stream_catchup_splits_middle_files(self, spark, tmp_path):
+        # a deep backlog with an oversized COMPLETE file: the catch-up
+        # batch splits it; the live tail file stays one ordered slice
+        from mysql_cdc_spark.sources.binlog_datasource import (
+            _BinlogStreamReader,
+        )
+
+        d = tmp_path / "backlog"
+        d.mkdir()
+        w = BinlogWriter(checksum="crc32")
+        for i in range(200):
+            _txn(w, i)
+        w.write_rotate("binlog.000001")
+        (d / "binlog.000000").write_bytes(bytes(w.buf))
+        w2 = BinlogWriter(checksum="crc32")
+        for i in range(200, 205):
+            _txn(w2, i)
+        (d / "binlog.000001").write_bytes(bytes(w2.buf))
+
+        r = _BinlogStreamReader(
+            {"path": str(d), "catalog": _CAT_JSON, "split_bytes": "4096"}
+        )
+        start = r.initialOffset()
+        end = r.latestOffset()
+        parts = r.partitions(start, end)
+        mid = [p for p in parts if p.log_file == "binlog.000000"]
+        tail = [p for p in parts if p.log_file == "binlog.000001"]
+        assert len(mid) > 2  # oversized middle file genuinely split
+        assert len(tail) == 1  # live tail: one in-order slice
+        rows = _rows(b for p in parts for b in [*r.read(p)])
+        e0 = decode_binlog(bytes(w.buf), _CAT)
+        e1 = decode_binlog(bytes(w2.buf), _CAT)
+        c0, _ = bs.envelope_columns(e0, "binlog.000000")
+        c1, _ = bs.envelope_columns(e1, "binlog.000001")
+        assert len(rows) == len(c0["op"]) + len(c1["op"])
+        got = sorted((x["log_file"], x["offset"], x["row_idx"]) for x in rows)
+        exp = sorted(
+            list(zip(c0["log_file"], c0["offset"], c0["row_idx"]))
+            + list(zip(c1["log_file"], c1["offset"], c1["row_idx"]))
+        )
+        assert got == exp
