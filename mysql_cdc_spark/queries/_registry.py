@@ -256,6 +256,8 @@ REGISTRATION_ORDER: list[str] = [
     "cdc_ds_stream_txn",
     "cdc_ds_schema_evo",
     "cdc_ds_archive_roundtrip",
+    "cdc_ds_compact",
+    "cdc_ds_stream_since",
 ]
 
 

@@ -1550,3 +1550,159 @@ def cdc_ds_archive_roundtrip(spark, sf_dir):
         "exec_time",
         "error_code",
     )
+
+
+@register(
+    "cdc_ds_compact",
+    """
+WITH ev AS (
+  SELECT event_id,
+         CASE WHEN user_id % 2 = 0 THEN 'foo' ELSE 'bench' END AS db,
+         CASE WHEN user_id % 2 = 0 THEN 'auto' ELSE 'big' END AS tbl,
+         CAST(event_id % 97 AS BIGINT) AS id,
+         CASE WHEN event_type IN ('signup','purchase') THEN 'write_rows'
+              WHEN event_type IN ('click','view') THEN 'update_rows'
+              ELSE 'delete_rows' END AS row_op,
+         printf('%d.%04d', event_id % 100000, event_id % 10000) AS v,
+         CASE WHEN event_id % 10 = 0 THEN NULL ELSE event_type END AS w
+  FROM events
+)
+SELECT db, tbl, id, val, word FROM (
+  SELECT db, tbl, id,
+         CASE WHEN row_op = 'delete_rows' THEN NULL ELSE v END AS val,
+         CASE WHEN row_op = 'delete_rows' THEN NULL ELSE w END AS word,
+         row_op,
+         ROW_NUMBER() OVER (PARTITION BY db, tbl, id
+                            ORDER BY event_id DESC) AS rn
+  FROM ev
+) WHERE rn = 1 AND row_op <> 'delete_rows'
+""".strip(),
+)
+def cdc_ds_compact(spark, sf_dir):
+    """LOG COMPACTION through the DataSource round-trip: replay the
+    whole change log to latest state per (db, tbl, id), re-encode the
+    survivors as an INSERT-ONLY snapshot binlog (the archival sink),
+    and decode the compacted log back — a CDC bootstrap artifact that
+    replaces N log files with one insert pass, in the log's own wire
+    format (any binlog consumer can bootstrap from it).  Deleted keys
+    vanish; the last write/update wins by the stable (file, offset)
+    identity.  The oracle replays the same history relationally.
+    Composition: DataSource scan → max_by replay → archive write →
+    catalog-free DataSource scan of the archive."""
+    from mysql_cdc_spark.sources.binlog_datasource import (
+        register_binlog_source,
+    )
+    import pathlib
+
+    fixture = _ds_fixture(spark, sf_dir)
+    register_binlog_source(spark)
+    env = spark.read.format("mysql_binlog").load(fixture)
+    rows = env.filter(
+        F.col("op").isin("write_rows", "update_rows", "delete_rows")
+    )
+    keyed = rows.selectExpr(
+        "db",
+        "tbl",
+        "CAST(coalesce(element_at(after, 'id'), element_at(before, 'id'))"
+        " AS BIGINT) AS id",
+        "struct(CAST(regexp_extract(log_file, 'binlog\\\\.(\\\\d+)', 1) AS BIGINT)"
+        " AS file_idx, offset) AS ord",
+        "op",
+        "element_at(after, 'val') AS val",
+        "element_at(after, 'word') AS word",
+    )
+    latest = (
+        keyed.groupBy("db", "tbl", "id")
+        .agg(F.expr("max_by(struct(val, word, op), ord)").alias("last"))
+        .filter(F.col("last.op") != "delete_rows")
+        .select(
+            "db", "tbl", "id",
+            F.col("last.val").alias("val"),
+            F.col("last.word").alias("word"),
+        )
+    )
+    # survivors → synthetic insert envelope records for the sink
+    snapshot = latest.select(
+        F.lit("snapshot").alias("log_file"),
+        F.lit(0).cast("bigint").alias("seq"),
+        F.col("id").alias("offset"),
+        F.lit(0).cast("bigint").alias("ts"),
+        F.lit(1).cast("bigint").alias("server_id"),
+        F.lit(None).cast("bigint").alias("xid"),
+        "db",
+        "tbl",
+        F.lit("write_rows").alias("op"),
+        F.lit(0).cast("bigint").alias("row_idx"),
+        F.lit(None).cast("map<string,string>").alias("before"),
+        F.map_from_arrays(
+            F.array(F.lit("id"), F.lit("val"), F.lit("word")),
+            F.array(F.col("id").cast("string"), "val", "word"),
+        ).alias("after"),
+        F.lit(None).cast("string").alias("sql"),
+        F.lit(None).cast("bigint").alias("thread_id"),
+        F.lit(None).cast("bigint").alias("exec_time"),
+        F.lit(None).cast("bigint").alias("error_code"),
+    )
+    arch = str(
+        pathlib.Path(_STREAM_TMP)
+        / f"ds_compact_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
+    )
+    (
+        snapshot.repartition(4, "db", "tbl")
+        .sortWithinPartitions("db", "tbl", "offset")
+        .write.format("mysql_binlog")
+        .mode("overwrite")
+        .save(arch)
+    )
+    back = (
+        spark.read.format("mysql_binlog")
+        .option("catalog", "{}")
+        .load(arch)
+    )
+    return back.filter(F.col("op") == "write_rows").select(
+        "db",
+        "tbl",
+        F.element_at("after", "id").cast("bigint").alias("id"),
+        F.element_at("after", "val").alias("val"),
+        F.element_at("after", "word").alias("word"),
+    )
+
+
+@register("cdc_ds_stream_since", _ORACLES["cdc_binlog_since"])
+def cdc_ds_stream_since(spark, sf_dir):
+    """Bounded replay as the STREAMING source's initial position: the
+    same journaled resume point cdc_binlog_since replays in batch is
+    here the DataSource stream's `since_file` — initialOffset lands on
+    it, Spark's checkpoint owns it from then on, and files before it
+    never enter any micro-batch's partition plan (the 100 TB resume:
+    no relist, no redecode, and after the first checkpoint the option
+    is inert — the WAL decides).  Same oracle as the batch gate: the
+    two resume routes must agree on the suffix."""
+    import math
+    import pathlib
+
+    from mysql_cdc_spark.sources import binlog_source as bs
+    from mysql_cdc_spark.sources.io import read_table
+
+    fixture = _ds_fixture(spark, sf_dir)
+    n = read_table(spark, sf_dir, "events").count()
+    mid_file = math.ceil(n / bs.ROTATE_EVERY) // 2
+    stream = (
+        spark.readStream.format("mysql_binlog")
+        .option("since_file", f"binlog.{mid_file:06d}")
+        .option("since_offset", "4")
+        .load(fixture)
+    )
+    env = _drain(stream)
+    id_expr = (
+        "CAST(coalesce(element_at(after, 'id'), element_at(before, 'id')) AS BIGINT)"
+    )
+    return env.selectExpr(
+        "op",
+        "CASE WHEN op = 'xid' THEN NULL ELSE db END AS db",
+        "CASE WHEN op IN ('xid', 'query') THEN NULL ELSE tbl END AS tbl",
+        f"{id_expr} AS row_key",
+    ).groupBy("op", "db", "tbl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("row_key").cast("bigint").alias("n_ids"),
+    )
