@@ -62,7 +62,8 @@ TARGET = [  # HEADLINE ∪ dedup/refresh family (r10 VERDICT #1 list)
     # Source protocol (batch + Catalyst pushdown + streaming drain +
     # stateful assembly composition)
     "cdc_ds_envelope", "cdc_ds_pushdown", "cdc_ds_stream_envelope",
-    "cdc_ds_stream_txn",
+    "cdc_ds_stream_txn", "cdc_ds_archive_roundtrip", "cdc_ds_compact",
+    "cdc_ds_stream_since",
 ]
 
 _FIELDS = {
