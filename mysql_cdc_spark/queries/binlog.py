@@ -1250,6 +1250,47 @@ def _ds_envelope_projected(env):
     )
 
 
+
+
+def _sf_tag(sf_dir: str) -> str:
+    import pathlib
+
+    return pathlib.Path(sf_dir).name
+
+
+def _drain_files(spark, stream, prefix: str):
+    """Drain a streaming DataFrame availableNow through a PARQUET sink
+    and read the result back as a batch DataFrame.  For stream gates
+    whose output is O(input): the memory sink collects every row to
+    the driver and trips spark.driver.maxResultSize at x100 (measured
+    twice — the r16 sweep caught cdc_ds_stream_envelope at 40M rows
+    and cdc_ds_stream_since at the 20M-row suffix).  Executor-side
+    sink, same exactly-once contract.  Previous invocations' sink dirs
+    are cleaned up lazily (the returned DF reads its files lazily, so
+    a run can only delete its predecessors)."""
+    import pathlib
+    import shutil
+    import uuid
+
+    root = pathlib.Path(_STREAM_TMP)
+    for old in root.glob(f"{prefix}_*"):
+        shutil.rmtree(old, ignore_errors=True)
+    sink = str(root / f"{prefix}_{uuid.uuid4().hex[:8]}")
+    cp = sink + "_cp"
+    try:
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(1800)
+    finally:
+        shutil.rmtree(cp, ignore_errors=True)
+    return spark.read.parquet(sink)
+
+
 @register("cdc_ds_envelope", _BINLOG_ORACLE)
 def cdc_ds_envelope(spark, sf_dir):
     """Full envelope fidelity through the PySpark 4 Python Data Source
@@ -1340,33 +1381,11 @@ def cdc_ds_stream_envelope(spark, sf_dir):
     and collapses at x100 (measured: 40M rows tripped
     spark.driver.maxResultSize).  Executor-side sink, same
     exactly-once contract."""
-    import pathlib
-    import shutil
-    import uuid
-
     fixture = _ds_fixture(spark, sf_dir)
     stream = spark.readStream.format("mysql_binlog").load(fixture)
-    prefix = f"ds_env_sink_{pathlib.Path(sf_dir).name}"
-    root = pathlib.Path(_STREAM_TMP)
-    # previous invocations' sink dirs (the returned DF reads lazily,
-    # so a run can only clean up its predecessors)
-    for old in root.glob(f"{prefix}_*"):
-        shutil.rmtree(old, ignore_errors=True)
-    tag = uuid.uuid4().hex[:8]
-    sink = str(root / f"{prefix}_{tag}")
-    cp = sink + "_cp"
-    try:
-        q = (
-            stream.writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", cp)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(1800)
-    finally:
-        shutil.rmtree(cp, ignore_errors=True)
-    return _ds_envelope_projected(spark.read.parquet(sink))
+    return _ds_envelope_projected(
+        _drain_files(spark, stream, f"ds_env_sink_{_sf_tag(sf_dir)}")
+    )
 
 
 @register(
@@ -1518,13 +1537,13 @@ def cdc_ds_archive_roundtrip(spark, sf_dir):
         / f"ds_archive_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
     )
     env = spark.read.format("mysql_binlog").load(fixture)
-    (
-        env.repartition(8, "log_file")
-        .sortWithinPartitions("log_file", "offset", "row_idx")
-        .write.format("mysql_binlog")
-        .mode("overwrite")
-        .save(arch)
-    )
+    # ZERO-SHUFFLE archival: the scan is already one-partition-per-file
+    # in offset order, so the archive mirrors the source file-for-file
+    # with no exchange and no sort.  (The sweep measured the shuffled
+    # alternatives: repartition(8)+sort spilled 10.5 GB at x100 and
+    # repartition(32)+sort still spilled 8.5 GB — the sort buffers, not
+    # the encode, were the cost.  Mirroring is deterministic for free.)
+    env.write.format("mysql_binlog").mode("overwrite").save(arch)
     back = (
         spark.read.format("mysql_binlog")
         .option("catalog", "{}")
@@ -1693,7 +1712,9 @@ def cdc_ds_stream_since(spark, sf_dir):
         .option("since_offset", "4")
         .load(fixture)
     )
-    env = _drain(stream)
+    # O(suffix) output: parquet-sink drain (the memory sink collects
+    # to the driver and trips maxResultSize at x100 — sweep-measured)
+    env = _drain_files(spark, stream, f"ds_since_sink_{_sf_tag(sf_dir)}")
     id_expr = (
         "CAST(coalesce(element_at(after, 'id'), element_at(before, 'id')) AS BIGINT)"
     )
