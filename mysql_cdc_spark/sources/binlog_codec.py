@@ -1972,7 +1972,7 @@ def decode_binlog(
     via `decode_binlog_incremental`.  Row events without any TABLE_MAP
     raise, as in the reference (:727-729).
     """
-    events, _, _ = decode_binlog_incremental(
+    events, _, _, _ = decode_binlog_incremental(
         data, start_offset, table_map, catalog, on_error=on_error,
         checksum=checksum, only_tables=only_tables, only_ops=only_ops,
     )
@@ -1991,12 +1991,22 @@ def decode_binlog_incremental(
     advance_by_length: bool = False,
     only_tables: "set[tuple[str, str]] | None" = None,
     only_ops: "set[str] | None" = None,
-) -> tuple[list[dict], int, TableMapState | None]:
+    seq_base: int = 0,
+) -> tuple[list[dict], int, TableMapState | None, int]:
     """S9 incremental-turn form: decode `[start_offset, end-of-data)`
-    and return (events, next_offset, table_map_state) so the caller
-    can resume exactly where this read stopped (reference cdc-turn,
-    mysql_binlog.clj:907-919: offset ← (:next (peek events)),
-    table-map carried in agent state).
+    and return (events, next_offset, table_map_state, next_seq) so the
+    caller can resume exactly where this read stopped (reference
+    cdc-turn, mysql_binlog.clj:907-919: offset ← (:next (peek
+    events)), table-map carried in agent state).
+
+    ``seq_base`` seeds the frame counter and ``next_seq`` reports
+    where it stopped (counting skipped frames and spliced payload
+    frames — the seq-slot contract), so a resumed or sliced decode
+    numbers frames exactly as one contiguous decode of the whole file
+    would: pass the previous call's ``next_seq`` as the next call's
+    ``seq_base`` and ``seq`` stays FILE-GLOBAL across slice
+    boundaries (r16 ADVICE: slice-local seq collided when a capped
+    stream trigger cut a file mid-way).
 
     ``base`` is the absolute file position of ``data[0]``: a tailer
     that seeks to its saved offset and reads only the new tail passes
@@ -2056,7 +2066,7 @@ def decode_binlog_incremental(
     # auto-detected from this file's FDE; a tailer resuming mid-file
     # past the FDE passes the detected mode back in via `checksum`.
     alg = 1 if checksum == "crc32" else 0
-    seq = 0
+    seq = seq_base
     pos = start_offset - base  # index into `data`; absolute = base + pos
     # hot-walk locals: one global/attr lookup per FRAME adds up at 40M
     # frames per x100 log
@@ -2199,7 +2209,7 @@ def decode_binlog_incremental(
             pos = pos + event_len
         else:
             pos = rel_next
-    return events, base + pos, tmap
+    return events, base + pos, tmap, seq
 
 
 def _decode_body(
@@ -2371,7 +2381,7 @@ def _decode_body(
         elif comp_type != 255:
             raise ValueError(f"unknown payload compression type {comp_type}")
         inner_base = ev["offset"] + HEADER_LEN + pos
-        inner, _, inner_tmap = decode_binlog_incremental(
+        inner, _, inner_tmap, _ = decode_binlog_incremental(
             payload, inner_base, tmap, catalog,
             base=inner_base, on_error="raise", checksum=None,
             advance_by_length=True, only_tables=only_tables,

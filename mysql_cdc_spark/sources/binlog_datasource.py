@@ -241,6 +241,12 @@ class _StreamPartition(InputPartition):
     alg: str | None = None
     tmap: TableMapState | None = None
     prefix_replay: bool = False
+    # frame count consumed in [_DATA_START, start): seeds the codec's
+    # seq counter so a mid-file slice emits FILE-GLOBAL seq — capped
+    # stream triggers and split_bytes slices number frames exactly as
+    # one whole-file decode would (r16 ADVICE: slice-local seq
+    # collided within one log_file)
+    seq_base: int = 0
 
 
 def _scan_state_events(events: list[dict], alg: str | None) -> str | None:
@@ -267,7 +273,7 @@ def _decode_slice(
     if part.start <= _DATA_START:
         with open(part.path, "rb") as fh:
             data = fh.read(part.end)
-        events, _, _ = decode_binlog_incremental(
+        events, _, _, _ = decode_binlog_incremental(
             data,
             _DATA_START,
             None,
@@ -281,7 +287,7 @@ def _decode_slice(
         with open(part.path, "rb") as fh:
             fh.seek(part.start)
             data = fh.read(part.end - part.start)
-        events, _, _ = decode_binlog_incremental(
+        events, _, _, _ = decode_binlog_incremental(
             data,
             part.start,
             part.tmap,
@@ -291,11 +297,12 @@ def _decode_slice(
             checksum=part.alg,
             only_tables=only_tables,
             only_ops=only_ops,
+            seq_base=part.seq_base,
         )
         return events
     with open(part.path, "rb") as fh:
         data = fh.read(part.end)
-    events, nxt, _ = decode_binlog_incremental(
+    events, nxt, _, _ = decode_binlog_incremental(
         data,
         _DATA_START,
         None,
@@ -313,7 +320,7 @@ def _decode_slice(
 
 
 def _split_file(
-    path: str, catalog: dict, split_bytes: int
+    path: str, catalog: dict, split_bytes: int, end: int | None = None
 ) -> list[_StreamPartition]:
     """Frame-aligned split plan for ONE oversized log file: a driver
     state-only walk (row images skipped via the ``only_ops=frozenset()``
@@ -325,31 +332,34 @@ def _split_file(
     the serial planner walk costs one state-pass; the decode fans out.
     A frame larger than the window widens the read until it fits."""
     size = os.path.getsize(path)
+    if end is not None:
+        size = min(size, end)
     name = os.path.basename(path)
     slices: list[_StreamPartition] = []
     pos: int = _DATA_START
     alg: str | None = None
     tmap: TableMapState | None = None
+    seq: int = 0
     with open(path, "rb") as fh:
         while pos < size:
             start = pos
-            start_alg, start_tmap = alg, tmap
+            start_alg, start_tmap, start_seq = alg, tmap, seq
             want = split_bytes
             while True:
                 if start <= _DATA_START:
                     fh.seek(0)
-                    data = fh.read(_DATA_START + want)
-                    events, nxt, tmap = decode_binlog_incremental(
+                    data = fh.read(min(_DATA_START + want, size))
+                    events, nxt, tmap, seq = decode_binlog_incremental(
                         data, _DATA_START, None, catalog,
                         on_error="quarantine", only_ops=frozenset(),
                     )
                 else:
                     fh.seek(start)
-                    data = fh.read(want)
-                    events, nxt, tmap = decode_binlog_incremental(
+                    data = fh.read(min(want, size - start))
+                    events, nxt, tmap, seq = decode_binlog_incremental(
                         data, start, start_tmap, catalog, base=start,
                         on_error="quarantine", checksum=start_alg,
-                        only_ops=frozenset(),
+                        only_ops=frozenset(), seq_base=start_seq,
                     )
                 if nxt > start or start + want >= size:
                     break
@@ -361,7 +371,10 @@ def _split_file(
                 # every complete frame
                 break
             slices.append(
-                _StreamPartition(path, name, start, nxt, start_alg, start_tmap)
+                _StreamPartition(
+                    path, name, start, nxt, start_alg, start_tmap,
+                    seq_base=start_seq,
+                )
             )
             pos = nxt
     return slices
@@ -534,7 +547,7 @@ class _BinlogBatchReader(DataSourceReader):
             return
         with open(partition.path, "rb") as fh:
             data = fh.read()
-        events, _, _ = decode_binlog_incremental(
+        events, _, _, _ = decode_binlog_incremental(
             data,
             _DATA_START,
             None,
@@ -579,8 +592,13 @@ class _BinlogStreamReader(DataSourceStreamReader):
         self._cur: dict | None = None
         self._alg: str | None = None
         self._tmap: TableMapState | None = None
-        # (file, pos) -> (alg, tmap) recorded at each planned offset so
-        # mid-file slices ship exact state; pruned on commit().
+        # frames consumed since the CURRENT file's head — seeds
+        # mid-file slices' seq_base so emitted seq stays file-global
+        # under capped triggers (r16 ADVICE)
+        self._seq: int = 0
+        # (file, pos) -> (alg, tmap, seq) recorded at each planned
+        # offset so mid-file slices ship exact state; pruned on
+        # commit().
         self._plan_state: dict[tuple[str, int], tuple] = {}
 
     # -- offsets ----------------------------------------------------------
@@ -612,6 +630,7 @@ class _BinlogStreamReader(DataSourceStreamReader):
         }
         self._alg = None
         self._tmap = None
+        self._seq = 0
 
     def latestOffset(self) -> dict:
         # The FIRST walk after (re)construction runs uncapped to the
@@ -639,6 +658,22 @@ class _BinlogStreamReader(DataSourceStreamReader):
             except OSError:
                 continue
         names = sorted(sizes)
+        # Files fully consumed DURING this walk, name -> byte extent at
+        # consumption time: recorded into the offset JSON so a replayed
+        # batch reads exactly the bytes this walk saw even if a rotated
+        # file grows afterwards (late append — shouldn't happen with a
+        # real server, but determinism should not rest on "shouldn't").
+        ends: dict[str, int] = {}
+        # Planning decodes state-only but with the USER's on_error: in
+        # 'raise' mode a corrupt frame must fail HERE, before the
+        # offset WAL advances past it — planning with quarantine would
+        # commit an offset range whose executor decode (in raise mode)
+        # poisons every task retry behind an already-logged offset
+        # (r16 ADVICE).  Residual window, documented: on a checksum-
+        # free log, row-image body corruption is invisible to the
+        # state-only walk (images are skipped) and still surfaces
+        # executor-side only.
+        plan_on_error = o.on_error
         while True:
             cur_file = self._cur["file"]
             pos = self._cur["pos"]
@@ -648,38 +683,62 @@ class _BinlogStreamReader(DataSourceStreamReader):
                 self._cur = {"file": names[0], "pos": _DATA_START}
                 self._alg = None
                 self._tmap = None
+                self._seq = 0
                 continue
             fpath = os.path.join(o.path, cur_file)
             size = sizes.get(cur_file)
             if size is None:
                 break
             if pos < size:
-                want = size - pos
+                avail = size - pos
+                want = avail
                 if budget is not None:
                     want = min(want, budget)
-                if pos <= _DATA_START:
-                    # include the magic so the codec's header check and
-                    # FDE checksum autodetect run from a clean slate
-                    with open(fpath, "rb") as fh:
-                        data = fh.read(_DATA_START + want)
-                    start, base = _DATA_START, 0
+                head = pos <= _DATA_START
+                if head:
                     self._alg = None
                     self._tmap = None
-                else:
-                    with open(fpath, "rb") as fh:
-                        fh.seek(pos)
-                        data = fh.read(want)
-                    start, base = pos, pos
-                events, nxt, self._tmap = decode_binlog_incremental(
-                    data,
-                    start,
-                    self._tmap,
-                    o.catalog,
-                    base=base,
-                    on_error="quarantine",
-                    checksum=self._alg,
-                    only_ops=frozenset(),
+                    self._seq = 0
+                start_alg, start_tmap, start_seq = (
+                    self._alg, self._tmap, self._seq,
                 )
+                while True:
+                    if head:
+                        # include the magic so the codec's header
+                        # check and FDE checksum autodetect run from a
+                        # clean slate
+                        with open(fpath, "rb") as fh:
+                            data = fh.read(_DATA_START + want)
+                        start, base = _DATA_START, 0
+                    else:
+                        with open(fpath, "rb") as fh:
+                            fh.seek(pos)
+                            data = fh.read(want)
+                        start, base = pos, pos
+                    events, nxt, tmap, seq = decode_binlog_incremental(
+                        data,
+                        start,
+                        start_tmap,
+                        o.catalog,
+                        base=base,
+                        on_error=plan_on_error,
+                        checksum=start_alg,
+                        only_ops=frozenset(),
+                        seq_base=start_seq,
+                    )
+                    if nxt > pos or want >= avail:
+                        break
+                    # budget smaller than one event frame: a capped
+                    # read with no complete frame would otherwise
+                    # break without advancing and every later trigger
+                    # would repeat identically — the silent-stall mode
+                    # (r16 ADVICE).  Widen past the budget until one
+                    # frame decodes (mirrors _split_file's doubling);
+                    # the cap bounds steady-state triggers, never
+                    # below one frame.
+                    want = min(want * 2, avail)
+                self._tmap = tmap
+                self._seq = seq
                 self._alg = _scan_state_events(events, self._alg)
                 advanced = nxt - pos
                 self._cur = {"file": cur_file, "pos": nxt}
@@ -690,36 +749,48 @@ class _BinlogStreamReader(DataSourceStreamReader):
                 if advanced == 0:
                     # torn tail with no complete frame yet — or a
                     # header-less stub: wait for more bytes
-                    if self._maybe_rotate(cur_file, nxt, size, names):
+                    if self._maybe_rotate(cur_file, nxt, size, names, ends):
                         continue
                     break
                 continue
-            if self._maybe_rotate(cur_file, pos, size, names):
+            if self._maybe_rotate(cur_file, pos, size, names, ends):
                 continue
             break
         end = dict(self._cur)
+        if ends:
+            end["ends"] = ends
         self._plan_state[(end["file"], end["pos"])] = (
             self._alg,
             self._tmap,
+            self._seq,
         )
         return end
 
     def _maybe_rotate(
-        self, cur_file: str, pos: int, size: int, names: list[str]
+        self,
+        cur_file: str,
+        pos: int,
+        size: int,
+        names: list[str],
+        ends: dict[str, int],
     ) -> bool:
         """Advance to the successor file iff the current file is fully
         consumed (every byte sits inside a decoded frame — real
         writers emit ROTATE as the final event, so fully-consumed
         means the rotation really happened).  ``names`` is the
-        caller's per-trigger directory snapshot."""
+        caller's per-trigger directory snapshot; the consumed file's
+        byte extent is recorded into ``ends`` (→ the offset JSON) so
+        replay reads exactly these bytes."""
         if pos < size:
             return False
         succ = [n for n in names if n > cur_file]
         if not succ:
             return False
+        ends[cur_file] = size
         self._cur = {"file": succ[0], "pos": _DATA_START}
         self._alg = None
         self._tmap = None
+        self._seq = 0
         return True
 
     # -- planning ---------------------------------------------------------
@@ -731,32 +802,51 @@ class _BinlogStreamReader(DataSourceStreamReader):
         paths = _list_log_files(o.path)
         out: list[_StreamPartition] = []
         s_file = start.get("file", "")
+        # Byte extents of files fully consumed in the walk that
+        # produced `end`: replay must read the bytes THAT walk saw,
+        # not today's os.path.getsize (a rotated file that grew after
+        # consumption would otherwise make replayed batches
+        # non-deterministic).  Old checkpoints (pre-`ends` offsets)
+        # fall back to getsize under the rotated-files-are-immutable
+        # assumption that was previously implicit.
+        ends = end.get("ends", {})
         for p in paths:
             name = os.path.basename(p)
             if (s_file and name < s_file) or name > end["file"]:
                 continue
             s = start["pos"] if name == s_file else _DATA_START
-            e = end["pos"] if name == end["file"] else os.path.getsize(p)
+            if name == end["file"]:
+                e = end["pos"]
+            else:
+                e = ends.get(name, os.path.getsize(p))
             if s >= e:
                 continue
             if s <= _DATA_START:
                 if (
                     o.split_bytes is not None
-                    and name != end["file"]
                     and e > o.split_bytes * 2
                 ):
-                    # backlog catch-up over an oversized COMPLETE file:
-                    # frame-aligned intra-file splits so one historical
-                    # giant does not serialize the batch (the live tail
-                    # file stays a single in-order slice)
-                    out.extend(_split_file(p, o.catalog, o.split_bytes))
+                    # catch-up over an oversized file (a complete
+                    # historical giant, or the first uncapped drain of
+                    # a huge live tail): frame-aligned intra-file
+                    # splits so one file does not serialize the batch.
+                    # Slices carry file-global seq_base; downstream
+                    # per-file assembly (keyed by log_file) is
+                    # unaffected by the slicing.
+                    out.extend(
+                        _split_file(p, o.catalog, o.split_bytes, end=e)
+                    )
                     continue
                 out.append(_StreamPartition(p, name, s, e))
             else:
                 st = self._plan_state.get((name, s))
                 if st is not None:
-                    alg, tmap = st
-                    out.append(_StreamPartition(p, name, s, e, alg, tmap))
+                    alg, tmap, seq = st
+                    out.append(
+                        _StreamPartition(
+                            p, name, s, e, alg, tmap, seq_base=seq
+                        )
+                    )
                 else:
                     # driver restarted since `s` was planned: the
                     # executor rebuilds state from ITS file's head

@@ -141,7 +141,7 @@ class BinlogTailer:
             self.last_read_bytes = len(tail)
             self.last_read_mmap = mm is not None
             try:
-                events, next_offset, tmap = decode_binlog_incremental(
+                events, next_offset, tmap, _ = decode_binlog_incremental(
                     tail, self.offset, self.table_map, self.catalog,
                     base=self.offset, on_error=self.on_error,
                     checksum=self.checksum, only_tables=self.only_tables,

@@ -319,7 +319,7 @@ def test_enum_set_wire_format_is_string_hybrid():
 
     w = BinlogWriter()
     w.write_table_map(T_ES)
-    _, _, tmap = decode_binlog_incremental(w.getvalue(), catalog=CAT_ES)
+    _, _, tmap, _ = decode_binlog_incremental(w.getvalue(), catalog=CAT_ES)
     assert tmap.col_types == [TYPE_LONG, TYPE_STRING, TYPE_STRING, TYPE_STRING, TYPE_STRING]
     assert tmap.col_meta[1] == (TYPE_ENUM, 1)
     assert tmap.col_meta[2] == (TYPE_ENUM, 2)

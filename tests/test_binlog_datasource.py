@@ -350,6 +350,158 @@ class TestStreamProtocol:
         # non-row events always pass (partial pushdown contract)
         assert sum(1 for x in rows if x["op"] == "xid") == 2
 
+    def test_capped_trigger_seq_is_file_global(self, live_dir):
+        # r16 ADVICE: slice-local seq collided when a capped trigger
+        # cut a file mid-way.  The driver walk now threads seq_base, so
+        # every slice emits the FILE-GLOBAL frame index — identical to
+        # one uncapped whole-file decode.
+        w = BinlogWriter(checksum="crc32")
+        _txn(w, 0)
+        with open(f"{live_dir}/binlog.000000", "wb") as fh:
+            fh.write(bytes(w.buf))
+        r = _BinlogStreamReader(
+            {"path": live_dir, "catalog": _CAT_JSON,
+             "max_bytes_per_batch": "256"}
+        )
+        cur = r.initialOffset()
+        rows: list[dict] = []
+        nxt = r.latestOffset()  # first trigger: uncapped backlog drain
+        rows += _rows(b for p in r.partitions(cur, nxt) for b in [*r.read(p)])
+        r.commit(nxt)
+        cur = nxt
+        for i in range(1, 20):
+            _txn(w, i)
+        with open(f"{live_dir}/binlog.000000", "wb") as fh:
+            fh.write(bytes(w.buf))
+        capped_batches = 0
+        while True:
+            nxt = r.latestOffset()
+            if nxt == cur:
+                break
+            rows += _rows(
+                b for p in r.partitions(cur, nxt) for b in [*r.read(p)]
+            )
+            r.commit(nxt)
+            cur = nxt
+            capped_batches += 1
+        assert capped_batches > 3  # the cap genuinely sliced the file
+        ref = decode_binlog(bytes(w.buf), _CAT)
+        cols, _ = bs.envelope_columns(ref, "binlog.000000", frame_seq=True)
+        expect = dict(zip(cols["offset"], cols["seq"]))
+        got = {x["offset"]: x["seq"] for x in rows if x["row_idx"] == 0}
+        assert got == expect  # file-global, collision-free
+        assert len({x["seq"] for x in rows}) == len(
+            {x["offset"] for x in rows}
+        )
+
+    def test_budget_below_one_frame_widens_not_stalls(self, live_dir):
+        # r16 ADVICE: a budget smaller than one event frame used to
+        # break the walk without advancing — every later trigger
+        # repeated identically and the stream stalled forever.  The
+        # walk now widens past the budget until one frame decodes.
+        w = BinlogWriter(checksum="crc32")
+        _txn(w, 0)
+        with open(f"{live_dir}/binlog.000000", "wb") as fh:
+            fh.write(bytes(w.buf))
+        r = _BinlogStreamReader(
+            {"path": live_dir, "catalog": _CAT_JSON,
+             "max_bytes_per_batch": "8"}
+        )
+        cur = r.initialOffset()
+        cur = r.latestOffset()  # uncapped first drain
+        r.commit(cur)
+        for i in range(1, 4):
+            _txn(w, i)
+        with open(f"{live_dir}/binlog.000000", "wb") as fh:
+            fh.write(bytes(w.buf))
+        seen = 0
+        for _ in range(64):  # far more triggers than frames
+            nxt = r.latestOffset()
+            if nxt == cur:
+                break
+            assert nxt["pos"] > cur["pos"]  # ≥ one frame per trigger
+            seen += len(_rows(
+                b for p in r.partitions(cur, nxt) for b in [*r.read(p)]
+            ))
+            r.commit(nxt)
+            cur = nxt
+        else:
+            pytest.fail("stream did not drain: stalled under tiny budget")
+        assert cur["pos"] == len(w.buf)
+        assert seen == 4 * 3  # query/table_map/write_rows/xid per txn
+
+    def test_raise_mode_fails_at_planning_not_behind_offset(self, live_dir):
+        # r16 ADVICE: planning walked with quarantine while executors
+        # decoded with the user's on_error — in raise mode the offset
+        # WAL advanced past a poison frame that then failed every task
+        # retry.  Planning now uses the user's on_error: raise fails
+        # BEFORE the offset advances; quarantine still drains past.
+        w = BinlogWriter(checksum="crc32")
+        for i in range(3):
+            _txn(w, i)
+        data = bytearray(w.buf)
+        ref = decode_binlog(bytes(w.buf), _CAT)
+        poison = next(e for e in ref if e["op"] == "write_rows")
+        data[poison["offset"] + 21] ^= 0xFF  # flip a body byte → CRC fails
+        with open(f"{live_dir}/binlog.000000", "wb") as fh:
+            fh.write(bytes(data))
+
+        r = _BinlogStreamReader({"path": live_dir, "catalog": _CAT_JSON})
+        r.initialOffset()
+        with pytest.raises(ValueError, match="CRC32|corrupt"):
+            r.latestOffset()
+
+        rq = _BinlogStreamReader(
+            {"path": live_dir, "catalog": _CAT_JSON, "on_error": "quarantine"}
+        )
+        start = rq.initialOffset()
+        end = rq.latestOffset()
+        assert end["pos"] == len(data)  # quarantine drains past poison
+        rows = _rows(b for p in rq.partitions(start, end) for b in [*rq.read(p)])
+        assert sum(1 for x in rows if x["op"] == "quarantine") == 1
+
+    def test_rotated_file_extent_pinned_in_offset(self, live_dir):
+        # The walk records each fully-consumed file's byte extent into
+        # the offset JSON; replay plans against THAT extent, so a late
+        # append to a rotated file can never change a committed batch.
+        w = BinlogWriter(checksum="crc32")
+        _txn(w, 0)
+        with open(f"{live_dir}/binlog.000000", "wb") as fh:
+            fh.write(bytes(w.buf))
+        r = _BinlogStreamReader({"path": live_dir, "catalog": _CAT_JSON})
+        r.initialOffset()
+        start = r.latestOffset()  # consume file 0's current tail
+        r.commit(start)
+
+        # live rotation: file 0 gains a txn + ROTATE, file 1 appears
+        _txn(w, 1)
+        w.write_rotate("binlog.000001")
+        with open(f"{live_dir}/binlog.000000", "wb") as fh:
+            fh.write(bytes(w.buf))
+        size0 = len(w.buf)
+        w2 = BinlogWriter(checksum="crc32")
+        _txn(w2, 5)
+        with open(f"{live_dir}/binlog.000001", "wb") as fh:
+            fh.write(bytes(w2.buf))
+
+        end = r.latestOffset()  # one walk crosses the rotation
+        assert end["file"] == "binlog.000001"
+        assert end.get("ends") == {"binlog.000000": size0}
+        rows_live = _rows(
+            b for p in r.partitions(start, end) for b in [*r.read(p)]
+        )
+
+        # late append to the ROTATED file (no real server does this;
+        # determinism must not depend on that)
+        with open(f"{live_dir}/binlog.000000", "ab") as fh:
+            fh.write(bytes(w2.buf[4:]))
+        r2 = _BinlogStreamReader({"path": live_dir, "catalog": _CAT_JSON})
+        parts = r2.partitions(start, end)
+        f0 = [p for p in parts if p.log_file == "binlog.000000"]
+        assert len(f0) == 1 and f0[0].end == size0  # pinned extent
+        rows_replay = _rows(b for p in parts for b in [*r2.read(p)])
+        assert _key(rows_replay) == _key(rows_live)
+
     def test_table_map_state_pickles_without_plans(self, live_dir):
         import pickle
 
@@ -359,7 +511,7 @@ class TestStreamProtocol:
 
         w = BinlogWriter()
         _txn(w, 1)
-        _, _, tmap = decode_binlog_incremental(bytes(w.buf), 4, None, _CAT)
+        _, _, tmap, _ = decode_binlog_incremental(bytes(w.buf), 4, None, _CAT)
         assert tmap is not None
         # warm the unpicklable per-shape plan cache, then ship
         from mysql_cdc_spark.sources.binlog_codec import _image_plan
@@ -620,10 +772,10 @@ class TestSplitBytes:
             .option("split_bytes", "4096")
             .load(big_file_dir)
         )
-        # seq is slice-local under splits; identity is offset/row_idx
+        # slices carry seq_base: seq is FILE-GLOBAL under splits, so
+        # parity holds including seq
         assert (
-            sorted(split.drop("seq").collect())
-            == sorted(whole.drop("seq").collect())
+            sorted(split.collect()) == sorted(whole.collect())
         )
         reader = _BinlogBatchReader(
             {"path": big_file_dir, "catalog": _CAT_JSON, "split_bytes": "4096"}
@@ -655,8 +807,7 @@ class TestSplitBytes:
             .filter(cond)
         )
         assert (
-            sorted(split.drop("seq").collect())
-            == sorted(whole.drop("seq").collect())
+            sorted(split.collect()) == sorted(whole.collect())
         )
         cut = os.path.getsize(f"{big_file_dir}/binlog.000000") // 2
         whole_s = (
@@ -675,8 +826,7 @@ class TestSplitBytes:
             .load(big_file_dir)
         )
         assert (
-            sorted(split_s.drop("seq").collect())
-            == sorted(whole_s.drop("seq").collect())
+            sorted(split_s.collect()) == sorted(whole_s.collect())
         )
 
     def test_frame_larger_than_window_widens(self, tmp_path):

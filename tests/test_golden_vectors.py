@@ -204,10 +204,10 @@ def test_file_a_incremental_resume_mid_log():
     the table map carried forward must yield exactly the row events
     (the reference's cdc-turn resume, mysql_binlog.clj:907-919)."""
     head = decode_binlog_incremental(FILE_A[:203], 4)
-    evs1, next_off, tmap = head
+    evs1, next_off, tmap, _ = head
     assert [e["op"] for e in evs1] == ["format_description", "query", "table_map"]
     assert next_off == 203
-    evs2, end, _ = decode_binlog_incremental(
+    evs2, end, _, _ = decode_binlog_incremental(
         FILE_A[203:], 203, tmap, CATALOG, base=203
     )
     assert [e["op"] for e in evs2] == [
@@ -223,7 +223,7 @@ def test_file_a_incremental_resume_mid_log():
 def test_file_a_torn_tail_held_back():
     """Truncating mid-event must hold the torn event back, not raise
     and not emit a partial decode (reference :316, :326-328)."""
-    evs, next_off, _ = decode_binlog_incremental(FILE_A[:250], 4)
+    evs, next_off, _, _ = decode_binlog_incremental(FILE_A[:250], 4)
     assert [e["op"] for e in evs] == ["format_description", "query", "table_map"]
     assert next_off == 203
 

@@ -546,5 +546,5 @@ def test_mysql_manual_header_holds_back_as_torn_tail():
 
     data = MAGIC + _MANUAL_HEADER
     assert decode_binlog(data) == []
-    events, next_offset, tmap = decode_binlog_incremental(data, 4)
+    events, next_offset, tmap, _ = decode_binlog_incremental(data, 4)
     assert events == [] and next_offset == 4 and tmap is None
