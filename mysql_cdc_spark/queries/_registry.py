@@ -258,6 +258,8 @@ REGISTRATION_ORDER: list[str] = [
     "cdc_ds_archive_roundtrip",
     "cdc_ds_compact",
     "cdc_ds_stream_since",
+    # r17 additions
+    "cdc_ds_columns_pruned",
 ]
 
 

@@ -1727,3 +1727,44 @@ def cdc_ds_stream_since(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.countDistinct("row_key").cast("bigint").alias("n_ids"),
     )
+
+
+@register(
+    "cdc_ds_columns_pruned",
+    """
+SELECT CASE WHEN user_id % 2 = 0 THEN 'foo' ELSE 'bench' END AS db,
+       CASE WHEN user_id % 2 = 0 THEN 'auto' ELSE 'big' END AS tbl,
+       CASE WHEN event_type IN ('signup','purchase') THEN 'write_rows'
+            WHEN event_type IN ('click','view') THEN 'update_rows'
+            ELSE 'delete_rows' END AS op,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MAX(event_id % 2147483648) AS BIGINT) AS max_ts
+FROM events GROUP BY 1, 2, 3
+""".strip(),
+)
+def cdc_ds_columns_pruned(spark, sf_dir):
+    """Projection pruning BELOW decode on the mysql_binlog DataSource:
+    .option("columns", ...) narrows the scan schema to the five
+    columns this aggregate reads, and because neither image column is
+    projected the codec WIDTH-WALKS every row image instead of
+    materializing values (the column analog of the §4
+    filter-before-decode pushdown; the reference decodes every used
+    column of every row unconditionally, mysql_binlog.clj:592-604).
+    Row cardinality, row_idx and ts must be exactly what a full decode
+    yields — the oracle derives per-(db, tbl, op) row counts and max
+    frame timestamps closed-form from the events table.  Spark's
+    Python DS protocol does not prune projections into the reader
+    (probed, PLANS.md r17), so the projection arrives as an option."""
+    env = (
+        spark.read.format("mysql_binlog")
+        .option("columns", "db,tbl,op,ts,row_idx")
+        .load(_ds_fixture(spark, sf_dir))
+    )
+    return (
+        env.filter(F.col("op").isin("write_rows", "update_rows", "delete_rows"))
+        .groupBy("db", "tbl", "op")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.max("ts").cast("bigint").alias("max_ts"),
+        )
+    )

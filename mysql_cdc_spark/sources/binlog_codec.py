@@ -1900,6 +1900,124 @@ def _read_image_plan(body: bytes, pos: int, plan) -> tuple[dict, int]:
     return image, pos
 
 
+def _make_field_skipper(tc: int, meta):
+    """Byte-width walker for ONE column: a constant int for fixed-width
+    types, or a closure ``(body, pos) -> new_pos`` for length-prefixed
+    ones.  The projection-pruning fast path (`images=` pushdown): when
+    a scan's projection needs no before/after image values, row images
+    are WIDTH-WALKED — no value materialization, no per-field Python
+    object, no charset/decimal/JSON decode — while row cardinality and
+    frame alignment stay exact.  Width parity with
+    `_make_field_decoder` is pinned by test (test_binlog_codec):
+    every skipper must land exactly where its decoder lands."""
+    if tc == TYPE_STRING and isinstance(meta, tuple):
+        m0, m1 = meta
+        if m0 in (TYPE_ENUM, TYPE_SET):
+            return m1
+        if m0 and (m0 & 0x30) != 0x30:
+            maxlen = m1 | (((m0 & 0x30) ^ 0x30) << 4)
+        else:
+            maxlen = m1
+        tc, meta = TYPE_VAR_STRING, maxlen
+    if tc in _INT_TYPES:
+        return _INT_TYPES[tc]
+    if tc in (TYPE_VARCHAR, TYPE_VAR_STRING):
+        if int(meta) < 256:
+            def s_str1(body, pos):
+                return pos + 1 + body[pos]
+            return s_str1
+        def s_str2(body, pos):
+            return pos + 2 + (body[pos] | (body[pos + 1] << 8))
+        return s_str2
+    if tc == TYPE_NEWDECIMAL:
+        p_, s_ = meta
+        return decimal_bin_size(p_, s_)
+    if tc == TYPE_FLOAT:
+        return 4
+    if tc == TYPE_DOUBLE:
+        return 8
+    if tc == TYPE_YEAR:
+        return 1
+    if tc in (TYPE_DATE, TYPE_NEWDATE, TYPE_TIME):
+        return 3
+    if tc == TYPE_TIMESTAMP:
+        return 4
+    if tc == TYPE_DATETIME:
+        return 8
+    if tc == TYPE_DATETIME2:
+        return 5 + frac_bytes(int(meta))
+    if tc == TYPE_TIMESTAMP2:
+        return 4 + frac_bytes(int(meta))
+    if tc == TYPE_TIME2:
+        return 3 + frac_bytes(int(meta))
+    if tc == TYPE_BIT:
+        bits_rem, nbytes = meta
+        return nbytes + (1 if bits_rem else 0)
+    if tc in (TYPE_JSON, TYPE_BLOB):
+        n = int(meta or 4) if tc == TYPE_JSON else int(meta)
+        def s_len(body, pos, n=n):
+            return pos + n + int.from_bytes(body[pos:pos + n], "little")
+        return s_len
+    # unknown type: decode-and-discard keeps one width semantics
+    dec = _make_field_decoder(tc, meta)
+    def s_generic(body, pos, dec=dec):
+        return dec(body, pos)[1]
+    return s_generic
+
+
+def _skip_plan(tmap: TableMapState, used_bitmap: bytes):
+    """Compiled width-walk for one (table map, used-bitmap) shape,
+    cached on the map instance like `_image_plan`.  Three parts:
+    per-column entries (int width | var-width closure) for images with
+    NULLs, the same entries with ADJACENT fixed widths merged for the
+    fully-non-NULL hot path, and the all-fixed total (None when any
+    column is length-prefixed) which makes a non-NULL image skip O(1)."""
+    plans = tmap.__dict__.get("_skip_plans")
+    if plans is None:
+        plans = tmap._skip_plans = {}
+    plan = plans.get(used_bitmap)
+    if plan is None:
+        used = _used_cols(len(tmap.col_types), used_bitmap)
+        entries = [
+            _make_field_skipper(tmap.col_types[i], tmap.col_meta[i])
+            for i in used
+        ]
+        merged: list = []
+        for ent in entries:
+            if isinstance(ent, int) and merged and isinstance(merged[-1], int):
+                merged[-1] += ent
+            else:
+                merged.append(ent)
+        fixed_total = (
+            merged[0] if len(merged) == 1 and isinstance(merged[0], int)
+            else (0 if not merged else None)
+        )
+        plan = (entries, merged, (len(used) + 7) // 8, fixed_total)
+        plans[used_bitmap] = plan
+    return plan
+
+
+def _skip_image_plan(body: bytes, pos: int, plan) -> int:
+    """Walk one row image's bytes without materializing any value.
+    NULL columns consume zero bytes (their bit is set), so the
+    per-column null test only runs when the bitmap is non-zero."""
+    entries, merged, null_bytes, fixed_total = plan
+    nulls = int.from_bytes(body[pos:pos + null_bytes], "little")
+    pos += null_bytes
+    if not nulls:
+        if fixed_total is not None:
+            return pos + fixed_total
+        for ent in merged:
+            pos = pos + ent if isinstance(ent, int) else ent(body, pos)
+        return pos
+    j = 0
+    for ent in entries:
+        if not (nulls >> j) & 1:
+            pos = pos + ent if isinstance(ent, int) else ent(body, pos)
+        j += 1
+    return pos
+
+
 def _read_partial_image(
     body: bytes,
     pos: int,
@@ -1960,6 +2078,7 @@ def decode_binlog(
     checksum: str | None = None,
     only_tables: "set[tuple[str, str]] | None" = None,
     only_ops: "set[str] | None" = None,
+    images: str = "both",
 ) -> list[dict]:
     """D1+S3/S4: walk the event chain from `start_offset`, threading
     table-map state, with the torn-tail guard (a header or body that
@@ -1975,6 +2094,7 @@ def decode_binlog(
     events, _, _, _ = decode_binlog_incremental(
         data, start_offset, table_map, catalog, on_error=on_error,
         checksum=checksum, only_tables=only_tables, only_ops=only_ops,
+        images=images,
     )
     return events
 
@@ -1992,6 +2112,7 @@ def decode_binlog_incremental(
     only_tables: "set[tuple[str, str]] | None" = None,
     only_ops: "set[str] | None" = None,
     seq_base: int = 0,
+    images: str = "both",
 ) -> tuple[list[dict], int, TableMapState | None, int]:
     """S9 incremental-turn form: decode `[start_offset, end-of-data)`
     and return (events, next_offset, table_map_state, next_seq) so the
@@ -2007,6 +2128,20 @@ def decode_binlog_incremental(
     ``seq_base`` and ``seq`` stays FILE-GLOBAL across slice
     boundaries (r16 ADVICE: slice-local seq collided when a capped
     stream trigger cut a file mid-way).
+
+    ``images`` is PROJECTION pruning pushed below decode — the column
+    analog of only_tables/only_ops (the reference decodes every used
+    column of every row image unconditionally,
+    mysql_binlog.clj:592-604): ``"both"`` (default) decodes fully;
+    ``"after"``/``"before"`` width-walk the other side;  ``"none"``
+    width-walks both.  A pruned side's rows surface as None
+    placeholders, so row COUNT, row_idx and seq are identical to a
+    full decode — only the values are absent.  Width walks go through
+    compiled skip plans (`_skip_plan`): no per-field Python object,
+    no charset/decimal/JSON decode, adjacent fixed-width columns
+    collapse to one stride, and an all-fixed non-NULL image skips in
+    O(1).  PARTIAL_UPDATE events always decode fully (diff base) and
+    only apply the placeholder contract.
 
     ``base`` is the absolute file position of ``data[0]``: a tailer
     that seeks to its saved offset and reads only the new tail passes
@@ -2131,7 +2266,7 @@ def decode_binlog_incremental(
                 body = body[:-4]
             if not skip_body:
                 _decode_body(ev, type_code, body, catalog, tmap,
-                             only_tables, only_ops)
+                             only_tables, only_ops, images)
         except Exception as exc:
             if on_error == "quarantine":
                 # Dead-letter the poison event and keep walking: the
@@ -2220,6 +2355,7 @@ def _decode_body(
     tmap: TableMapState | None,
     only_tables: "set[tuple[str, str]] | None" = None,
     only_ops: "set[str] | None" = None,
+    images: str = "both",
 ) -> None:
     """Type-specific body decode into `ev`.  A new TABLE_MAP is handed
     back via ev["_new_table_map"] (the caller threads it)."""
@@ -2279,18 +2415,39 @@ def _decode_body(
         used2 = None
         if is_update:
             used2 = body[p:p + bm_bytes]; p += bm_bytes
+        # Projection pruning below decode (`images=` pushdown): a side
+        # the projection never reads is WIDTH-WALKED, not decoded —
+        # row cardinality, row_idx and frame alignment stay exact, the
+        # pruned side's rows surface as None placeholders.  PARTIAL
+        # after-images are JSON diffs against the before image, so
+        # partial events always decode fully and apply the placeholder
+        # contract afterwards (prune is then not-faster, never wrong).
+        need_b = images in ("both", "before") or is_partial
+        need_a = images in ("both", "after") or is_partial
+        # plan for image 1 (write_rows' single image IS the after side)
+        want1 = need_a if is_write else need_b
+        plan1 = _image_plan(tmap, used1) if want1 else None
+        skip1 = None if want1 else _skip_plan(tmap, used1)
+        plan2 = skip2 = None
+        if is_update and not is_partial:
+            plan2 = _image_plan(tmap, used2) if need_a else None
+            skip2 = None if need_a else _skip_plan(tmap, used2)
         rows_before, rows_after = [], []
-        plan1 = _image_plan(tmap, used1)
-        plan2 = _image_plan(tmap, used2) if is_update and not is_partial else None
         body_len = len(body)
         while p < body_len:
             p0 = p
-            img1, p = _read_image_plan(body, p, plan1)
+            if plan1 is not None:
+                img1, p = _read_image_plan(body, p, plan1)
+            else:
+                img1, p = None, _skip_image_plan(body, p, skip1)
             if is_partial:
                 img2, p = _read_partial_image(body, p, tmap, used2, img1)
                 rows_before.append(img1); rows_after.append(img2)
             elif is_update:
-                img2, p = _read_image_plan(body, p, plan2)
+                if plan2 is not None:
+                    img2, p = _read_image_plan(body, p, plan2)
+                else:
+                    img2, p = None, _skip_image_plan(body, p, skip2)
                 rows_before.append(img1); rows_after.append(img2)
             elif is_write:
                 rows_after.append(img1)
@@ -2298,6 +2455,20 @@ def _decode_body(
                 rows_before.append(img1)
             if p <= p0:  # zero-width image on a non-empty tail = corrupt
                 raise ValueError("row image consumed no bytes")
+        if (skip1 is not None or skip2 is not None) and p != body_len:
+            # a width walk that overshoots the body means skipper/
+            # decoder width divergence or corruption — surface it, a
+            # silent overshoot would drop rows the full decode keeps
+            raise ValueError(
+                f"row section misparse under image pruning: walked to "
+                f"{p}, body is {body_len}"
+            )
+        if is_partial and images != "both":
+            n = len(rows_before)
+            if images in ("after", "none"):
+                rows_before = [None] * n
+            if images in ("before", "none"):
+                rows_after = [None] * n
         ev["before"] = rows_before or None
         ev["after"] = rows_after or None
     elif type_code == XID_EVENT:
@@ -2385,7 +2556,7 @@ def _decode_body(
             payload, inner_base, tmap, catalog,
             base=inner_base, on_error="raise", checksum=None,
             advance_by_length=True, only_tables=only_tables,
-            only_ops=only_ops,
+            only_ops=only_ops, images=images,
         )
         # Total frames inside the payload (cheap header walk): the
         # envelope's sql text and the caller's seq accounting must

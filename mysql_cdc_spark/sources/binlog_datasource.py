@@ -167,6 +167,43 @@ class _Opts:
         self.max_bytes = int(mb) if mb is not None else None
         sb = options.get("split_bytes")
         self.split_bytes = int(sb) if sb is not None else None
+        # Projection pruning: .option("columns", "log_file,offset,op")
+        # narrows the DataSource's schema AND routes below decode —
+        # when the projection reads neither image column the codec
+        # width-walks row images instead of materializing values
+        # (images= pushdown).  Explicit option rather than Catalyst
+        # because Spark's Python Data Source protocol does not prune
+        # columns into the reader (probed on 4.1.2: DataSource.reader
+        # always receives the full schema and BatchScan outputs every
+        # column; see PLANS.md round 17).
+        cols = options.get("columns")
+        if cols is not None:
+            req = {c.strip() for c in cols.split(",") if c.strip()}
+            unknown = sorted(req - set(_ENVELOPE_COLS))
+            if unknown:
+                raise ValueError(
+                    f"unknown envelope columns {unknown}; valid: "
+                    f"{list(_ENVELOPE_COLS)}"
+                )
+            # canonical envelope order, not option order
+            self.columns = [c for c in _ENVELOPE_COLS if c in req]
+        else:
+            self.columns = None
+
+    @property
+    def images(self) -> str:
+        """Codec image mode implied by the projection."""
+        if self.columns is None:
+            return "both"
+        b = "before" in self.columns
+        a = "after" in self.columns
+        if b and a:
+            return "both"
+        if b:
+            return "before"
+        if a:
+            return "after"
+        return "none"
 
 
 # ---------------------------------------------------------------------------
@@ -174,10 +211,10 @@ class _Opts:
 # ---------------------------------------------------------------------------
 
 
-def _arrow_schema():
+def _arrow_schema(columns: list[str] | None = None):
     import pyarrow as pa
 
-    return pa.schema(
+    schema = pa.schema(
         [
             ("log_file", pa.string()),
             ("seq", pa.int64()),
@@ -197,15 +234,21 @@ def _arrow_schema():
             ("error_code", pa.int64()),
         ]
     )
+    if columns is None:
+        return schema
+    keep = set(columns)
+    return pa.schema([f for f in schema if f.name in keep])
 
 
-def _arrow_batch(cols: dict[str, list]):
+def _arrow_batch(cols: dict[str, list], columns: list[str] | None = None):
     """Columnar envelope lists → one Arrow RecordBatch (the Python
     Data Source fast path: Spark ingests RecordBatches without a
-    per-row Python→JVM conversion)."""
+    per-row Python→JVM conversion).  ``columns`` builds only the
+    projected arrays — a pruned scan never constructs the (expensive)
+    map arrays for image columns it doesn't ship."""
     import pyarrow as pa
 
-    schema = _arrow_schema()
+    schema = _arrow_schema(columns)
     arrays = [
         pa.array(cols[f.name], type=f.type) for f in schema
     ]
@@ -263,6 +306,7 @@ def _decode_slice(
     on_error: str,
     only_tables,
     only_ops,
+    images: str = "both",
 ) -> list[dict]:
     """Decode one frame-aligned byte slice on an executor.  Shared by
     the streaming reader and the batch reader's oversized-file splits:
@@ -281,6 +325,7 @@ def _decode_slice(
             on_error=on_error,
             only_tables=only_tables,
             only_ops=only_ops,
+            images=images,
         )
         return events
     if not part.prefix_replay:
@@ -298,6 +343,7 @@ def _decode_slice(
             only_tables=only_tables,
             only_ops=only_ops,
             seq_base=part.seq_base,
+            images=images,
         )
         return events
     with open(part.path, "rb") as fh:
@@ -310,6 +356,7 @@ def _decode_slice(
         on_error=on_error,
         only_tables=only_tables,
         only_ops=only_ops,
+        images=images,
     )
     if nxt < part.end:
         raise ValueError(
@@ -524,7 +571,7 @@ class _BinlogBatchReader(DataSourceReader):
             # Spark substitutes a single None partition when
             # partitions() returned none (e.g. `since` pruned every
             # file): an empty scan, not an error.
-            yield _arrow_batch({c: [] for c in _ENVELOPE_COLS})
+            yield _arrow_batch({c: [] for c in _ENVELOPE_COLS}, o.columns)
             return
         if isinstance(partition, _StreamPartition):
             # an oversized-file slice (split_bytes planning)
@@ -534,6 +581,7 @@ class _BinlogBatchReader(DataSourceReader):
                 o.on_error,
                 self._effective_tables(),
                 self._effective_ops(),
+                o.images,
             )
             cols, _ = envelope_columns(
                 events, partition.log_file, frame_seq=True
@@ -543,7 +591,7 @@ class _BinlogBatchReader(DataSourceReader):
                 and partition.log_file == o.since_file
             ):
                 cols = _cut_offset_prefix(cols, o.since_offset)
-            yield _arrow_batch(cols)
+            yield _arrow_batch(cols, o.columns)
             return
         with open(partition.path, "rb") as fh:
             data = fh.read()
@@ -555,13 +603,14 @@ class _BinlogBatchReader(DataSourceReader):
             on_error=o.on_error,
             only_tables=self._effective_tables(),
             only_ops=self._effective_ops(),
+            images=o.images,
         )
         cols, _ = envelope_columns(
             events, os.path.basename(partition.path), frame_seq=True
         )
         if partition.cut:
             cols = _cut_offset_prefix(cols, partition.cut)
-        yield _arrow_batch(cols)
+        yield _arrow_batch(cols, o.columns)
 
 
 # ---------------------------------------------------------------------------
@@ -866,10 +915,11 @@ class _BinlogStreamReader(DataSourceStreamReader):
     def read(self, partition: _StreamPartition) -> Iterator:
         o = self._o
         events = _decode_slice(
-            partition, o.catalog, o.on_error, o.only_tables, o.only_ops
+            partition, o.catalog, o.on_error, o.only_tables, o.only_ops,
+            o.images,
         )
         cols, _ = envelope_columns(events, partition.log_file, frame_seq=True)
-        yield _arrow_batch(cols)
+        yield _arrow_batch(cols, o.columns)
 
     def stop(self) -> None:
         self._plan_state.clear()
@@ -1111,6 +1161,13 @@ class BinlogDataSource(DataSource):
     * ``since_file`` / ``since_offset``  bounded replay (batch: file
       pruning + boundary cut; stream: initial offset)
     * ``max_bytes_per_batch``  stream backpressure bound per trigger
+    * ``columns``     projection pruning BELOW decode: narrows the
+      scan schema to the listed envelope columns (canonical order)
+      and, when neither/only one image column is projected, the codec
+      width-walks the un-projected row images instead of decoding
+      values (Spark's Python DS protocol does not prune columns into
+      the reader — probed on 4.1.2 — so the projection arrives as an
+      option; same result, declared by the user instead of Catalyst)
     """
 
     @classmethod
@@ -1118,7 +1175,13 @@ class BinlogDataSource(DataSource):
         return "mysql_binlog"
 
     def schema(self) -> StructType:
-        return BINLOG_ENVELOPE_SCHEMA
+        cols = _Opts(dict(self.options)).columns
+        if cols is None:
+            return BINLOG_ENVELOPE_SCHEMA
+        keep = set(cols)
+        return StructType(
+            [f for f in BINLOG_ENVELOPE_SCHEMA.fields if f.name in keep]
+        )
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _BinlogBatchReader(dict(self.options))

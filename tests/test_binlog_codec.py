@@ -912,3 +912,133 @@ def test_writer_column_name_tlv_roundtrip():
     with pytest.raises(ValueError, match="one name per column"):
         bad = TableDef("lab", "acct", T3.columns, column_names=["only_one"])
         BinlogWriter().write_table_map(bad)
+
+
+# --- projection pruning below decode (images= pushdown) ---------------------
+
+
+def _wide_matrix_log():
+    """One log exercising every width class the skipper handles: fixed
+    ints/floats/temporals, length-prefixed varchar/blob, packed
+    decimal, enum/set hybrids, BIT, JSON — write, update AND delete
+    events, multi-row, with NULLs sprinkled."""
+    from mysql_cdc_spark.sources.binlog_codec import (
+        TYPE_BIT, TYPE_BLOB, TYPE_DATETIME2, TYPE_DOUBLE, TYPE_ENUM,
+        TYPE_FLOAT, TYPE_JSON, TYPE_LONGLONG, TYPE_SET, TYPE_SHORT,
+        TYPE_STRING, TYPE_TIME2, TYPE_TIMESTAMP2, TYPE_TINY, TYPE_YEAR,
+        encode_binary_json,
+    )
+
+    cols = [
+        (TYPE_TINY, None), (TYPE_SHORT, None), (TYPE_LONGLONG, None),
+        (TYPE_FLOAT, None), (TYPE_DOUBLE, None), (TYPE_YEAR, None),
+        (TYPE_DATETIME2, 2), (TYPE_TIMESTAMP2, 3), (TYPE_TIME2, 4),
+        (TYPE_BLOB, 2), (TYPE_VARCHAR, 50), (TYPE_VARCHAR, 500),
+        (TYPE_NEWDECIMAL, (12, 4)), (TYPE_ENUM, 5),
+        (TYPE_SET, 12), (TYPE_BIT, (2, 1)),
+        (TYPE_JSON, 4), (TYPE_LONG, None),
+    ]
+    names = [f"c{i}" for i in range(len(cols))]
+    t = TableDef("db", "m", cols, table_id=11)
+    r1 = [
+        1, -7, 1 << 40, 0.5, -2.25, 2024, "2024-02-29 23:59:59.99",
+        "1700000000.123", "-838:59:59.0042", b"\x00\xff", "short",
+        "x" * 300, "12345678.9999", 2, b"\x03\x00", 5,
+        encode_binary_json({"k": [1, 2, {"n": None}]}), 42,
+    ]
+    r2 = [
+        None, 0, None, None, 1.0, 0, "1999-01-01 00:00:00.00",
+        "0.000", "00:00:00.0000", None, None, "y", None, 1,
+        b"\x00\x00", None, None, -42,
+    ]
+    w = BinlogWriter(checksum="crc32")
+    w.write_table_map(t)
+    w.write_rows(WRITE_ROWS_EVENT, t, [r1, r2])
+    w.write_table_map(t)
+    w.write_rows(UPDATE_ROWS_EVENT, t, [(r1, r2), (r2, r1)])
+    w.write_table_map(t)
+    w.write_rows(DELETE_ROWS_EVENT, t, [r2, r1])
+    w.write_xid(9)
+    return w.getvalue(), {("db", "m"): names}
+
+
+@pytest.mark.parametrize("mode", ["none", "after", "before"])
+def test_image_prune_parity_full_matrix(mode):
+    """images= width-walk parity over the full type matrix: structure
+    (op/offset/seq/row count) identical to a full decode, kept side
+    byte-identical, pruned side None placeholders.  A skipper/decoder
+    width divergence raises 'misparse' instead of passing — the walk
+    must land exactly on the body end."""
+    data, cat = _wide_matrix_log()
+    full = decode_binlog(data, cat)
+    pruned = decode_binlog(data, cat, images=mode)
+    assert [(e["op"], e["offset"], e["seq"]) for e in pruned] == [
+        (e["op"], e["offset"], e["seq"]) for e in full
+    ]
+    for f, p in zip(full, pruned):
+        if not f["op"].endswith("_rows"):
+            assert p == f
+            continue
+        for side in ("before", "after"):
+            fs, ps = f[side], p[side]
+            if fs is None:
+                assert ps is None
+                continue
+            assert len(ps) == len(fs)  # cardinality always exact
+            keep = (
+                (side == "after" and mode == "after")
+                or (side == "before" and mode == "before")
+            )
+            if keep:
+                assert ps == fs
+            else:
+                assert ps == [None] * len(fs)
+
+
+def test_image_prune_partial_update_full_decode_fallback():
+    """PARTIAL_UPDATE after-images are diffs against the before image:
+    pruning cannot skip the decode, so the values must still be EXACT
+    (full-decode fallback) with the placeholder contract applied."""
+    from mysql_cdc_spark.sources.binlog_codec import (
+        TYPE_JSON, JsonDiffs, encode_binary_json,
+    )
+
+    t = TableDef(
+        "db", "pj", [(TYPE_LONG, None), (TYPE_JSON, 4)], table_id=3
+    )
+    cat = {("db", "pj"): ["id", "doc"]}
+    w = BinlogWriter()
+    w.write_table_map(t)
+    w.write_partial_update_rows(
+        t,
+        [(
+            [7, encode_binary_json({"a": 1, "b": 2})],
+            [7, JsonDiffs([("replace", "$.a", 99)])],
+        )],
+    )
+    full = decode_binlog(w.getvalue(), cat)
+    after_only = decode_binlog(w.getvalue(), cat, images="after")
+    upd_f = next(e for e in full if e["op"] == "update_rows")
+    upd_p = next(e for e in after_only if e["op"] == "update_rows")
+    assert upd_p["after"] == upd_f["after"]      # diffs applied exactly
+    assert upd_p["before"] == [None]             # placeholder contract
+    none = decode_binlog(w.getvalue(), cat, images="none")
+    upd_n = next(e for e in none if e["op"] == "update_rows")
+    assert upd_n["before"] == [None] and upd_n["after"] == [None]
+
+
+def test_image_prune_composes_with_only_filters():
+    """images= composes with only_tables/only_ops: a frame skipped by
+    the row filters never walks at all; a kept frame prunes."""
+    data, cat = _wide_matrix_log()
+    evs = decode_binlog(
+        data, cat, only_ops={"update_rows"}, images="after"
+    )
+    row_ops = [e["op"] for e in evs if e["op"].endswith("_rows")]
+    assert row_ops == ["update_rows"]
+    upd = next(e for e in evs if e["op"] == "update_rows")
+    assert upd["before"] == [None, None]
+    full = decode_binlog(data, cat)
+    upd_f = next(e for e in full if e["op"] == "update_rows")
+    assert upd["after"] == upd_f["after"]
+    assert upd["seq"] == upd_f["seq"]  # seq slots unaffected

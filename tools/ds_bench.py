@@ -109,6 +109,32 @@ def main() -> None:
         .count(),
     )
 
+    # Projection pruning below decode (r17): the same narrow aggregate
+    # with and without the columns= option.  Without it the scan
+    # decodes every row image and Spark projects afterwards; with it
+    # the codec width-walks images (no value materialization) and the
+    # arrow batches never build the map columns.  The delta is the
+    # narrow-aggregate-over-wide-table win a real consumer sees.
+    narrow_agg = ["log_file", "offset", "op"]
+    timed(
+        "datasource_proj_nocolumns",
+        lambda: spark.read.format("mysql_binlog")
+        .load(fixture)
+        .select(*narrow_agg)
+        .groupBy("op")
+        .count()
+        .count(),
+    )
+    timed(
+        "datasource_proj_columns",
+        lambda: spark.read.format("mysql_binlog")
+        .option("columns", ",".join(narrow_agg))
+        .load(fixture)
+        .groupBy("op")
+        .count()
+        .count(),
+    )
+
     def stream_drain():
         counts = []
         name = "dsb_" + uuid.uuid4().hex[:6]
