@@ -260,6 +260,7 @@ REGISTRATION_ORDER: list[str] = [
     "cdc_ds_stream_since",
     # r17 additions
     "cdc_ds_columns_pruned",
+    "cdc_ds_ts_range",
 ]
 
 

@@ -1768,3 +1768,52 @@ def cdc_ds_columns_pruned(spark, sf_dir):
             F.max("ts").cast("bigint").alias("max_ts"),
         )
     )
+
+
+@register(
+    "cdc_ds_ts_range",
+    """
+WITH b AS (
+  SELECT (MAX(event_id % 2147483648) * 9) // 10 AS lo FROM events
+)
+SELECT CASE WHEN user_id % 2 = 0 THEN 'foo' ELSE 'bench' END AS db,
+       CASE WHEN user_id % 2 = 0 THEN 'auto' ELSE 'big' END AS tbl,
+       CASE WHEN event_type IN ('signup','purchase') THEN 'write_rows'
+            WHEN event_type IN ('click','view') THEN 'update_rows'
+            ELSE 'delete_rows' END AS op,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(event_id % 2147483648) AS BIGINT) AS min_ts
+FROM events, b WHERE event_id % 2147483648 >= b.lo
+GROUP BY 1, 2, 3
+""".strip(),
+)
+def cdc_ds_ts_range(spark, sf_dir):
+    """The real consumer's "last 10% of changes by time" audit query,
+    as a PLAIN Catalyst range filter on the DataSource scan: the
+    pushed ts bound prunes whole files driver-side from an O(1)
+    first-payload-timestamp peek (the mysqlbinlog --start-datetime
+    play — measured 5.0x at x10, tools/ds_bench.py) and skips image
+    parsing for the boundary file's out-of-range frames; Spark's
+    post-scan re-filter keeps transparency.  The oracle derives the
+    same per-(db, tbl, op) tail counts closed-form from events."""
+    fixture = _ds_fixture(spark, sf_dir)
+    tmax = (
+        spark.read.format("mysql_binlog")
+        .option("columns", "ts")
+        .load(fixture)
+        .agg(F.max("ts"))
+        .collect()[0][0]
+    )
+    lo = (tmax * 9) // 10
+    env = spark.read.format("mysql_binlog").load(fixture)
+    return (
+        env.filter(
+            (F.col("ts") >= lo)
+            & F.col("op").isin("write_rows", "update_rows", "delete_rows")
+        )
+        .groupBy("db", "tbl", "op")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("ts").cast("bigint").alias("min_ts"),
+        )
+    )

@@ -2113,6 +2113,9 @@ def decode_binlog_incremental(
     only_ops: "set[str] | None" = None,
     seq_base: int = 0,
     images: str = "both",
+    min_row_offset: int = 0,
+    row_ts_min: int | None = None,
+    row_ts_max: int | None = None,
 ) -> tuple[list[dict], int, TableMapState | None, int]:
     """S9 incremental-turn form: decode `[start_offset, end-of-data)`
     and return (events, next_offset, table_map_state, next_seq) so the
@@ -2234,6 +2237,15 @@ def decode_binlog_incremental(
                 only_ops is not None
                 and OP_NAMES[type_code] not in only_ops
             )
+            # offset/ts RANGE pushdown (r17): a row frame whose offset
+            # or timestamp falls outside the pushed bounds can never
+            # pass the post-scan re-filter, so its image parse is pure
+            # waste — skip it with the same seq-slot/CRC contract.
+            # Only row events skip; non-row events still decode (state
+            # and attribution) and Spark drops the out-of-range ones.
+            or base + pos < min_row_offset
+            or (row_ts_min is not None and ts < row_ts_min)
+            or (row_ts_max is not None and ts > row_ts_max)
         )
         try:
             if skip_body:
@@ -2266,7 +2278,8 @@ def decode_binlog_incremental(
                 body = body[:-4]
             if not skip_body:
                 _decode_body(ev, type_code, body, catalog, tmap,
-                             only_tables, only_ops, images)
+                             only_tables, only_ops, images,
+                             min_row_offset, row_ts_min, row_ts_max)
         except Exception as exc:
             if on_error == "quarantine":
                 # Dead-letter the poison event and keep walking: the
@@ -2356,6 +2369,9 @@ def _decode_body(
     only_tables: "set[tuple[str, str]] | None" = None,
     only_ops: "set[str] | None" = None,
     images: str = "both",
+    min_row_offset: int = 0,
+    row_ts_min: int | None = None,
+    row_ts_max: int | None = None,
 ) -> None:
     """Type-specific body decode into `ev`.  A new TABLE_MAP is handed
     back via ev["_new_table_map"] (the caller threads it)."""
@@ -2557,6 +2573,8 @@ def _decode_body(
             base=inner_base, on_error="raise", checksum=None,
             advance_by_length=True, only_tables=only_tables,
             only_ops=only_ops, images=images,
+            min_row_offset=min_row_offset,
+            row_ts_min=row_ts_min, row_ts_max=row_ts_max,
         )
         # Total frames inside the payload (cheap header walk): the
         # envelope's sql text and the caller's seq accounting must

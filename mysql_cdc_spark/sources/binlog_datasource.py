@@ -74,6 +74,7 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual,
     In,
     InputPartition,
+    IsNotNull,
     LessThan,
     LessThanOrEqual,
     WriterCommitMessage,
@@ -82,6 +83,10 @@ from pyspark.sql.types import StructType
 
 from mysql_cdc_spark.sources.binlog_codec import (
     DELETE_ROWS_EVENT,
+    FORMAT_DESCRIPTION_EVENT,
+    HEADER_LEN,
+    PREVIOUS_GTIDS_EVENT,
+    ROTATE_EVENT,
     TYPE_VARCHAR,
     UPDATE_ROWS_EVENT,
     WRITE_ROWS_EVENT,
@@ -100,6 +105,20 @@ from mysql_cdc_spark.sources.binlog_source import (
 
 # Where useful event bytes start in every binlog file: 4-byte magic.
 _DATA_START = 4
+
+# IsNotNull(col) → the set of ROW ops that can satisfy it.  Envelope
+# row-change rows never carry sql/xid (those live on query/xid/gtid/...
+# rows, which only_ops cannot skip anyway), before-images exist only on
+# update/delete, after-images only on write/update — so the pushed
+# constraint intersects into only_ops and the codec skips every image
+# that could not pass the post-scan re-filter.  frozenset() means "no
+# row event qualifies": every row image skips.
+_NOTNULL_OPS: dict[str, frozenset] = {
+    "sql": frozenset(),
+    "xid": frozenset(),
+    "before": frozenset({"update_rows", "delete_rows"}),
+    "after": frozenset({"write_rows", "update_rows"}),
+}
 
 
 # ---------------------------------------------------------------------------
@@ -176,6 +195,9 @@ class _Opts:
         # columns into the reader (probed on 4.1.2: DataSource.reader
         # always receives the full schema and BatchScan outputs every
         # column; see PLANS.md round 17).
+        self.ts_file_pruning = (
+            options.get("ts_file_pruning", "true").lower() != "false"
+        )
         cols = options.get("columns")
         if cols is not None:
             req = {c.strip() for c in cols.split(",") if c.strip()}
@@ -290,6 +312,36 @@ class _StreamPartition(InputPartition):
     # one whole-file decode would (r16 ADVICE: slice-local seq
     # collided within one log_file)
     seq_base: int = 0
+
+
+def _file_first_ts(path: str) -> int | None:
+    """Timestamp of the file's first PAYLOAD event from an O(1) header
+    peek: walk the first few frame headers (19 bytes each: LE32 ts,
+    type u8, ..., LE32 event_len at offset 9) and return the first
+    timestamp not belonging to a log-artifact event — the FDE,
+    PREVIOUS_GTIDS and ROTATE carry bookkeeping timestamps (often 0)
+    that say nothing about the data's time range.  Bounded to one 4 KB
+    read; None (= never prune) when no payload event starts there."""
+    try:
+        with open(path, "rb") as fh:
+            fh.seek(_DATA_START)
+            head = fh.read(4096)
+    except OSError:
+        return None
+    artifacts = (
+        FORMAT_DESCRIPTION_EVENT, PREVIOUS_GTIDS_EVENT, ROTATE_EVENT,
+    )
+    pos = 0
+    while pos + HEADER_LEN <= len(head):
+        ts = int.from_bytes(head[pos:pos + 4], "little")
+        type_code = head[pos + 4]
+        event_len = int.from_bytes(head[pos + 9:pos + 13], "little")
+        if event_len < HEADER_LEN:
+            return None
+        if type_code not in artifacts:
+            return ts
+        pos += event_len
+    return None
 
 
 def _scan_state_events(events: list[dict], alg: str | None) -> str | None:
@@ -449,7 +501,23 @@ class _BinlogBatchReader(DataSourceReader):
     * ``op`` equality or IN → ``only_ops`` — row images for other
       delta types skip body decode;
     * ``log_file`` comparisons → driver-side FILE PRUNING — excluded
-      files never enter the scan at all.
+      files never enter the scan at all;
+    * ``IsNotNull`` on an op-determined column (``sql``/``xid`` are
+      never non-null on row events; ``before`` only on update/delete,
+      ``after`` only on write/update) → an ``only_ops`` constraint —
+      e.g. ``after IS NOT NULL`` skips every delete image;
+    * ``offset`` ranges → the frame walk's natural cut: an upper
+      bound stops the file READ at the last needed frame (the same
+      machinery ``since=`` uses), a lower bound skips image parsing
+      below it;
+    * ``ts`` ranges → row frames outside the bounds skip image
+      parsing, and whole files outside the bounds are pruned
+      driver-side from an O(1) first-event-timestamp peek (the
+      mysqlbinlog --start/stop-datetime play: assumes the log
+      sequence's timestamps are non-decreasing, which a single
+      server's clock gives; .option("ts_file_pruning", "false")
+      disables the file-level prune, the frame-level skip is
+      assumption-free).
     """
 
     def __init__(self, options: dict) -> None:
@@ -458,9 +526,15 @@ class _BinlogBatchReader(DataSourceReader):
         self._f_dbs: set[str] | None = None
         self._f_tbls: set[str] | None = None
         self._f_ops: set[str] | None = None
+        self._f_notnull_ops: set[str] | None = None
         self._f_file_eq: set[str] | None = None
         self._f_file_lo: tuple[str, bool] | None = None  # (bound, inclusive)
         self._f_file_hi: tuple[str, bool] | None = None
+        # inclusive int bounds (normalized from >/>=/</<=)
+        self._f_off_lo: int | None = None
+        self._f_off_hi: int | None = None
+        self._f_ts_lo: int | None = None
+        self._f_ts_hi: int | None = None
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         for f in filters:
@@ -498,6 +572,49 @@ class _BinlogBatchReader(DataSourceReader):
                     self._f_file_hi = (f.value, False)
                 elif isinstance(f, LessThanOrEqual):
                     self._f_file_hi = (f.value, True)
+            elif isinstance(f, IsNotNull) and col in _NOTNULL_OPS:
+                ops = _NOTNULL_OPS[col]
+                self._f_notnull_ops = (
+                    ops if self._f_notnull_ops is None
+                    else self._f_notnull_ops & ops
+                )
+            elif col in ("offset", "ts") and isinstance(
+                getattr(f, "value", None), int
+            ) and not isinstance(f.value, bool):
+                v = f.value
+                lo = hi = None
+                if isinstance(f, GreaterThan):
+                    lo = v + 1
+                elif isinstance(f, GreaterThanOrEqual):
+                    lo = v
+                elif isinstance(f, LessThan):
+                    hi = v - 1
+                elif isinstance(f, LessThanOrEqual):
+                    hi = v
+                elif isinstance(f, EqualTo):
+                    lo = hi = v
+                if col == "offset":
+                    if lo is not None:
+                        self._f_off_lo = (
+                            lo if self._f_off_lo is None
+                            else max(self._f_off_lo, lo)
+                        )
+                    if hi is not None:
+                        self._f_off_hi = (
+                            hi if self._f_off_hi is None
+                            else min(self._f_off_hi, hi)
+                        )
+                else:
+                    if lo is not None:
+                        self._f_ts_lo = (
+                            lo if self._f_ts_lo is None
+                            else max(self._f_ts_lo, lo)
+                        )
+                    if hi is not None:
+                        self._f_ts_hi = (
+                            hi if self._f_ts_hi is None
+                            else min(self._f_ts_hi, hi)
+                        )
         # Partial pushdown: the codec skip keeps non-row events (a
         # db='x' filter must still drop xid/gtid rows) and `seq`
         # numbering under only_* differs from delivered positions —
@@ -517,11 +634,11 @@ class _BinlogBatchReader(DataSourceReader):
         return pushed & self._o.only_tables
 
     def _effective_ops(self) -> set[str] | None:
-        if self._f_ops is None:
-            return self._o.only_ops
-        if self._o.only_ops is None:
-            return self._f_ops
-        return self._f_ops & self._o.only_ops
+        eff = self._o.only_ops
+        for pushed in (self._f_ops, self._f_notnull_ops):
+            if pushed is not None:
+                eff = pushed if eff is None else eff & pushed
+        return eff
 
     def partitions(self) -> Sequence[InputPartition]:
         o = self._o
@@ -540,6 +657,11 @@ class _BinlogBatchReader(DataSourceReader):
                 p for p in paths
                 if (os.path.basename(p) <= b if inc else os.path.basename(p) < b)
             ]
+        if (
+            (self._f_ts_lo is not None or self._f_ts_hi is not None)
+            and self._o.ts_file_pruning
+        ):
+            paths = self._prune_by_ts(paths)
         out: list[InputPartition] = []
         for p in paths:
             cut = (
@@ -564,6 +686,37 @@ class _BinlogBatchReader(DataSourceReader):
             else:
                 out.append(_FilePartition(p, cut))
         return out
+
+    def _prune_by_ts(self, paths: list[str]) -> list[str]:
+        """mysqlbinlog --start/stop-datetime-style file pruning from an
+        O(1) per-file peek at the FIRST event's timestamp (bytes
+        [4, 8) — every file opens with its FDE header).  Assumes the
+        log sequence's timestamps are non-decreasing, the same
+        single-server-clock assumption every point-in-time-recovery
+        replay makes; .option("ts_file_pruning", "false") turns this
+        off (the frame-level ts skip in the codec needs no
+        assumption).  A file f is out below a lower bound only when
+        the NEXT file's first timestamp is strictly below it (every
+        event in f precedes the successor's first event); out above an
+        upper bound when f's OWN first timestamp exceeds it."""
+        firsts = [_file_first_ts(p) for p in paths]
+        keep = []
+        for i, p in enumerate(paths):
+            if (
+                self._f_ts_hi is not None
+                and firsts[i] is not None
+                and firsts[i] > self._f_ts_hi
+            ):
+                continue
+            if (
+                self._f_ts_lo is not None
+                and i + 1 < len(paths)
+                and firsts[i + 1] is not None
+                and firsts[i + 1] < self._f_ts_lo
+            ):
+                continue
+            keep.append(p)
+        return keep
 
     def read(self, partition: _FilePartition) -> Iterator:
         o = self._o
@@ -593,9 +746,19 @@ class _BinlogBatchReader(DataSourceReader):
                 cols = _cut_offset_prefix(cols, o.since_offset)
             yield _arrow_batch(cols, o.columns)
             return
+        size = os.path.getsize(partition.path)
+        hi = self._f_off_hi
         with open(partition.path, "rb") as fh:
-            data = fh.read()
-        events, _, _, _ = decode_binlog_incremental(
+            if hi is not None and hi + 1 < size:
+                # offset upper bound: stop the READ at the last frame
+                # that can pass the filter (frame starts are the
+                # envelope offsets, monotone by construction) — the
+                # same [start, end) cut since= uses.  A frame
+                # straddling the bound is completed below.
+                data = fh.read(hi + 1)
+            else:
+                data = fh.read()
+        events, nxt, tmap, seq = decode_binlog_incremental(
             data,
             _DATA_START,
             None,
@@ -604,7 +767,36 @@ class _BinlogBatchReader(DataSourceReader):
             only_tables=self._effective_tables(),
             only_ops=self._effective_ops(),
             images=o.images,
+            min_row_offset=max(self._f_off_lo or 0, partition.cut),
+            row_ts_min=self._f_ts_lo,
+            row_ts_max=self._f_ts_hi,
         )
+        if hi is not None and hi + 1 < size and nxt <= hi and nxt < size:
+            # one frame starts at <= hi but extends past the bounded
+            # read: complete exactly that frame (its successor starts
+            # past the bound, so one round suffices)
+            with open(partition.path, "rb") as fh:
+                fh.seek(nxt + 9)
+                flen = int.from_bytes(fh.read(4), "little")
+                fh.seek(nxt)
+                frame = fh.read(flen)
+            more, _, _, _ = decode_binlog_incremental(
+                frame,
+                nxt,
+                tmap,
+                o.catalog,
+                base=nxt,
+                on_error=o.on_error,
+                checksum=_scan_state_events(events, None),
+                only_tables=self._effective_tables(),
+                only_ops=self._effective_ops(),
+                images=o.images,
+                seq_base=seq,
+                min_row_offset=max(self._f_off_lo or 0, partition.cut),
+                row_ts_min=self._f_ts_lo,
+                row_ts_max=self._f_ts_hi,
+            )
+            events += more
         cols, _ = envelope_columns(
             events, os.path.basename(partition.path), frame_seq=True
         )

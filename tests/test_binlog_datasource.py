@@ -1000,3 +1000,125 @@ class TestColumnsPruning:
                 .load(fixture_dir)
                 .collect()
             )
+
+
+# ---------------------------------------------------------------------------
+# r17 pushFilters surface: IsNotNull → only_ops, offset/ts ranges
+# ---------------------------------------------------------------------------
+
+
+class TestRangeAndNotNullPushdown:
+    CONDS = [
+        "after IS NOT NULL",
+        "before IS NOT NULL",
+        "sql IS NOT NULL",
+        "xid IS NOT NULL",
+        "before IS NOT NULL AND after IS NOT NULL",
+    ]
+
+    @pytest.mark.parametrize("cond", CONDS)
+    def test_isnotnull_transparency(self, spark, fixture_dir, cond):
+        # pushed IsNotNull intersects into only_ops; the scan must
+        # equal a client-side filter of the full scan EXACTLY
+        full = spark.read.format("mysql_binlog").load(fixture_dir)
+        pushed = (
+            spark.read.format("mysql_binlog").load(fixture_dir).filter(cond)
+        )
+        assert (
+            sorted(pushed.collect()) == sorted(full.filter(cond).collect())
+        ), cond
+
+    def test_isnotnull_routes_into_codec_skip(self, fixture_dir):
+        from pyspark.sql.datasource import IsNotNull
+
+        r = _BinlogBatchReader({"path": fixture_dir})
+        kept = list(r.pushFilters([IsNotNull(("after",))]))
+        assert len(kept) == 1  # partial: returned to Spark
+        assert r._effective_ops() == {"write_rows", "update_rows"}
+        r2 = _BinlogBatchReader({"path": fixture_dir})
+        list(r2.pushFilters([IsNotNull(("xid",))]))
+        assert r2._effective_ops() == frozenset()  # no row image decodes
+
+    def test_offset_range_transparency(self, spark, fixture_dir):
+        # pick bounds that are NOT frame-aligned on purpose: the
+        # straddling frame at the upper bound must still be delivered
+        full = spark.read.format("mysql_binlog").load(fixture_dir)
+        some = sorted(
+            r.offset for r in full.select("offset").limit(500).collect()
+        )
+        lo, hi = some[len(some) // 4] + 3, some[3 * len(some) // 4] + 7
+        for cond in (
+            f"offset >= {lo}",
+            f"offset <= {hi}",
+            f"offset > {lo} AND offset < {hi}",
+            f"offset >= {lo} AND offset <= {hi} AND op = 'write_rows'",
+        ):
+            pushed = (
+                spark.read.format("mysql_binlog")
+                .load(fixture_dir).filter(cond)
+            )
+            assert (
+                sorted(pushed.collect())
+                == sorted(full.filter(cond).collect())
+            ), cond
+
+    def test_ts_range_transparency_and_file_prune(self, spark, fixture_dir):
+        # fixture ts = event_id (monotone across the rotated sequence),
+        # so the file-level prune assumption holds by construction
+        full = spark.read.format("mysql_binlog").load(fixture_dir)
+        tmax = full.agg({"ts": "max"}).collect()[0][0]
+        lo, hi = tmax // 3, 2 * tmax // 3
+        for cond in (
+            f"ts >= {lo}",
+            f"ts <= {hi}",
+            f"ts >= {lo} AND ts <= {hi}",
+        ):
+            pushed = (
+                spark.read.format("mysql_binlog")
+                .load(fixture_dir).filter(cond)
+            )
+            assert (
+                sorted(pushed.collect())
+                == sorted(full.filter(cond).collect())
+            ), cond
+            nofp = (
+                spark.read.format("mysql_binlog")
+                .option("ts_file_pruning", "false")
+                .load(fixture_dir).filter(cond)
+            )
+            assert (
+                sorted(nofp.collect())
+                == sorted(full.filter(cond).collect())
+            ), cond
+
+    def test_ts_prune_drops_files_driver_side(self, fixture_dir):
+        from pyspark.sql.datasource import LessThanOrEqual
+
+        files = sorted(pathlib.Path(fixture_dir).glob("binlog.*"))
+        assert len(files) >= 3
+        # upper bound below the LAST file's first event timestamp must
+        # prune that file from the plan entirely
+        from mysql_cdc_spark.sources.binlog_datasource import _file_first_ts
+
+        last_first = _file_first_ts(str(files[-1]))
+        r = _BinlogBatchReader({"path": fixture_dir})
+        list(r.pushFilters([LessThanOrEqual(("ts",), last_first - 1)]))
+        parts = r.partitions()
+        names = {os.path.basename(p.path) for p in parts}
+        assert os.path.basename(str(files[-1])) not in names
+        assert os.path.basename(str(files[0])) in names
+
+    def test_offset_hi_bounds_the_read(self, spark, fixture_dir):
+        # composition: offset hi + columns pruning + op pushdown
+        full = spark.read.format("mysql_binlog").load(fixture_dir)
+        cond = "offset <= 2000 AND op = 'write_rows'"
+        narrow = (
+            spark.read.format("mysql_binlog")
+            .option("columns", "log_file,offset,op,row_idx")
+            .load(fixture_dir)
+            .filter(cond)
+        )
+        assert (
+            sorted(narrow.collect())
+            == sorted(full.filter(cond).select(*narrow.columns).collect())
+        )

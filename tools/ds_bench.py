@@ -115,6 +115,34 @@ def main() -> None:
     # the codec width-walks images (no value materialization) and the
     # arrow batches never build the map columns.  The delta is the
     # narrow-aggregate-over-wide-table win a real consumer sees.
+    # Range pushdown (r17): "the last 10% of changes by time" — the
+    # real consumer's catch-up/audit query.  ts file pruning drops
+    # ~90% of files driver-side from an O(1) header peek; the frame-
+    # level ts skip and Spark's re-filter guarantee transparency.
+    tmax = (
+        spark.read.format("mysql_binlog")
+        .option("columns", "ts")
+        .load(fixture)
+        .agg(F.max("ts"))
+        .collect()[0][0]
+    )
+    ts_lo = int(tmax * 0.9)
+    timed(
+        "datasource_ts_range",
+        lambda: spark.read.format("mysql_binlog")
+        .load(fixture)
+        .filter(f"ts >= {ts_lo}")
+        .count(),
+    )
+    timed(
+        "datasource_ts_range_nofileprune",
+        lambda: spark.read.format("mysql_binlog")
+        .option("ts_file_pruning", "false")
+        .load(fixture)
+        .filter(f"ts >= {ts_lo}")
+        .count(),
+    )
+
     narrow_agg = ["log_file", "offset", "op"]
     timed(
         "datasource_proj_nocolumns",
