@@ -261,6 +261,7 @@ REGISTRATION_ORDER: list[str] = [
     # r17 additions
     "cdc_ds_columns_pruned",
     "cdc_ds_ts_range",
+    "cdc_ds_since_gtid",
 ]
 
 

@@ -1817,3 +1817,79 @@ def cdc_ds_ts_range(spark, sf_dir):
             F.min("ts").cast("bigint").alias("min_ts"),
         )
     )
+
+
+@register(
+    "cdc_ds_since_gtid",
+    """
+WITH b AS (
+  SELECT ((MAX(event_id) + 1) * 6) // 10 AS k FROM events
+),
+suffix AS (
+  SELECT * FROM events, b WHERE event_id + 1 > b.k
+)
+SELECT op, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT 'gtid' AS op FROM suffix
+  UNION ALL SELECT 'query' FROM suffix
+  UNION ALL SELECT 'table_map' FROM suffix
+  UNION ALL SELECT 'xid' FROM suffix
+  UNION ALL
+  SELECT CASE WHEN event_type IN ('signup','purchase') THEN 'write_rows'
+              WHEN event_type IN ('click','view') THEN 'update_rows'
+              ELSE 'delete_rows' END
+  FROM suffix
+) GROUP BY op
+""".strip(),
+)
+def cdc_ds_since_gtid(spark, sf_dir):
+    """GTID-set resume on the DataSource: since_gtid = "transactions
+    1..K already applied" resolves onto (file, offset) via the
+    PREVIOUS_GTIDS snapshots at each log head (file-level skip) plus
+    one state-only walk of the boundary file — the failover-safe
+    resume file+pos cannot give (file names reset on promotion; the
+    executed set does not).  K = 60% of the corpus, so the resume
+    lands mid-directory AND mid-file; the oracle derives the suffix's
+    per-op event counts closed-form (gno = event_id + 1, five
+    envelope events per transaction under gtid framing).  Reference
+    has no GTID handling at all (mysql_binlog.clj:222-259)."""
+    import pathlib
+
+    from mysql_cdc_spark.sources import binlog_source as bs
+    from mysql_cdc_spark.sources.binlog_datasource import (
+        register_binlog_source,
+    )
+
+    out_dir = (
+        pathlib.Path(_STREAM_TMP)
+        / f"binlog_gtidset_{_sf_tag(sf_dir)}_v{_FIXTURE_VERSION}"
+    )
+    if not any(out_dir.glob("binlog.*")):
+        bs.generate_binlog_from_events(
+            sf_dir, str(out_dir), gtid=True, prev_gtids=True,
+            checksum="crc32",
+        )
+    register_binlog_source(spark)
+    fixture = str(out_dir)
+    tmax = (
+        spark.read.format("mysql_binlog")
+        .option("columns", "ts")
+        .load(fixture)
+        .agg(F.max("ts"))
+        .collect()[0][0]
+    )
+    k = ((tmax + 1) * 6) // 10
+    env = (
+        spark.read.format("mysql_binlog")
+        .option("since_gtid", f"{bs.GTID_SID}:1-{k}")
+        .load(fixture)
+    )
+    return (
+        env.filter(
+            F.col("op").isin(
+                "gtid", "query", "table_map",
+                "write_rows", "update_rows", "delete_rows", "xid",
+            )
+        )
+        .groupBy("op")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

@@ -1325,6 +1325,73 @@ class TableMapState:
         }
 
 
+def parse_gtid_set(text: str) -> dict[str, list[tuple[int, int]]]:
+    """MySQL's canonical gtid_set text ("uuid:1-5:7,uuid2:3") → sorted,
+    merged, INCLUSIVE interval lists per lowercase server UUID (the
+    public format: intervals are end-exclusive on the wire but
+    inclusive in the text).  The empty string is the empty set."""
+    out: dict[str, list[tuple[int, int]]] = {}
+    for part in text.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        bits = part.split(":")
+        sid = bits[0].strip().lower()
+        if len(bits) < 2:
+            raise ValueError(f"gtid_set entry {part!r} has no intervals")
+        ivs = out.setdefault(sid, [])
+        for b in bits[1:]:
+            b = b.strip()
+            if "-" in b:
+                a, z = b.split("-", 1)
+                lo, hi = int(a), int(z)
+            else:
+                lo = hi = int(b)
+            if hi < lo:
+                raise ValueError(f"gtid interval {b!r} is inverted")
+            ivs.append((lo, hi))
+    for sid, ivs in out.items():
+        ivs.sort()
+        merged: list[tuple[int, int]] = []
+        for lo, hi in ivs:
+            if merged and lo <= merged[-1][1] + 1:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+            else:
+                merged.append((lo, hi))
+        out[sid] = merged
+    return out
+
+
+def gtid_in_set(sid: str, gno: int, gset: dict) -> bool:
+    """Is transaction sid:gno a member of the (parsed) gtid set?"""
+    ivs = gset.get(sid.lower())
+    if not ivs:
+        return False
+    from bisect import bisect_right
+
+    i = bisect_right(ivs, (gno, 1 << 62)) - 1
+    return i >= 0 and ivs[i][0] <= gno <= ivs[i][1]
+
+
+def gtid_set_subset(a: dict, b: dict) -> bool:
+    """a ⊆ b over parsed gtid sets (every interval point of a covered
+    by b's intervals — linear walk over the sorted merged lists)."""
+    for sid, ivs in a.items():
+        cover = b.get(sid, [])
+        for lo, hi in ivs:
+            pos = lo
+            for cs, ce in cover:
+                if cs > pos:
+                    break
+                if ce >= pos:
+                    pos = ce + 1
+                if pos > hi:
+                    break
+            if pos <= hi:
+                return False
+    return True
+
+
 def is_binlog(data: bytes) -> bool:
     """S1: 4-byte magic check (reference binlog-file?, :47-53)."""
     return data[:4] == MAGIC

@@ -182,6 +182,14 @@ class _Opts:
         self.since_file = options.get("since_file")
         so = options.get("since_offset")
         self.since_offset = int(so) if so is not None else _DATA_START
+        # GTID-set resume: survives server failover (file names reset;
+        # executed sets don't).  Resolved ONCE driver-side at reader
+        # construction onto the same since_file/since_offset machinery.
+        self.since_gtid = options.get("since_gtid")
+        if self.since_gtid and options.get("since_file"):
+            raise ValueError(
+                "since_gtid and since_file are mutually exclusive"
+            )
         mb = options.get("max_bytes_per_batch")
         self.max_bytes = int(mb) if mb is not None else None
         sb = options.get("split_bytes")
@@ -312,6 +320,24 @@ class _StreamPartition(InputPartition):
     # one whole-file decode would (r16 ADVICE: slice-local seq
     # collided within one log_file)
     seq_base: int = 0
+
+
+def _resolve_since_gtid(o: _Opts) -> None:
+    """Map a since_gtid= executed set onto (since_file, since_offset)
+    — once, driver-side, before the reader pickles to executors.  The
+    resolution (PREVIOUS_GTIDS file skip + one state-only walk) lives
+    in binlog_source.resolve_gtid_resume; an empty directory leaves
+    the resume unset (the scan is empty anyway)."""
+    if not o.since_gtid:
+        return
+    from mysql_cdc_spark.sources.binlog_codec import parse_gtid_set
+    from mysql_cdc_spark.sources.binlog_source import resolve_gtid_resume
+
+    hit = resolve_gtid_resume(
+        o.path, parse_gtid_set(o.since_gtid), o.catalog
+    )
+    if hit is not None:
+        o.since_file, o.since_offset = hit
 
 
 def _file_first_ts(path: str) -> int | None:
@@ -522,6 +548,7 @@ class _BinlogBatchReader(DataSourceReader):
 
     def __init__(self, options: dict) -> None:
         self._o = _Opts(options)
+        _resolve_since_gtid(self._o)
         # pushFilters results (None = not pushed)
         self._f_dbs: set[str] | None = None
         self._f_tbls: set[str] | None = None
@@ -829,6 +856,7 @@ class _BinlogStreamReader(DataSourceStreamReader):
 
     def __init__(self, options: dict) -> None:
         self._o = _Opts(options)
+        _resolve_since_gtid(self._o)
         # Live driver walk (per query run; rebuilt after restart).
         self._cur: dict | None = None
         self._alg: str | None = None
@@ -1352,6 +1380,10 @@ class BinlogDataSource(DataSource):
       (default: fixture catalog; ``"{}"`` = wire TLVs / ordinals)
     * ``since_file`` / ``since_offset``  bounded replay (batch: file
       pruning + boundary cut; stream: initial offset)
+    * ``since_gtid``  GTID-set resume ("uuid:1-5:7,..." = transactions
+      already applied): resolved onto (file, offset) via the
+      PREVIOUS_GTIDS snapshots + one state-only walk — survives a
+      failover that resets file names, which file+pos cannot
     * ``max_bytes_per_batch``  stream backpressure bound per trigger
     * ``columns``     projection pruning BELOW decode: narrows the
       scan schema to the listed envelope columns (canonical order)

@@ -593,6 +593,94 @@ def _atomic_gen(out_dir: str, gen):
 GTID_SID = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
 
 
+def _peek_previous_gtids(path: str) -> dict | None:
+    """Parsed PREVIOUS_GTIDS snapshot from a bounded head read (the
+    snapshot, when present, precedes any transaction — real servers
+    write it right after the FDE).  None when the head carries no
+    snapshot (pre-GTID logs, or a generator that omits it)."""
+    from mysql_cdc_spark.sources.binlog_codec import (
+        decode_binlog_incremental, parse_gtid_set,
+    )
+
+    try:
+        with open(path, "rb") as fh:
+            head = fh.read(65536)
+    except OSError:
+        return None
+    if len(head) < 4:
+        return None
+    events, _, _, _ = decode_binlog_incremental(
+        head, 4, None, {}, on_error="quarantine", only_ops=frozenset(),
+    )
+    for ev in events:
+        op = ev.get("op")
+        if op == "previous_gtids":
+            return parse_gtid_set(ev.get("sql") or "")
+        if op not in ("format_description", "rotate", "gtid"):
+            break  # past the head bookkeeping: no snapshot in this log
+    return None
+
+
+def resolve_gtid_resume(
+    dir_path: str, executed: dict, catalog: dict | None = None
+) -> tuple[str, int] | None:
+    """GTID-set resume (since_gtid=): map "transactions already
+    applied" onto the (file, offset) the file+pos machinery needs —
+    the resume survives a server failover that resets file names,
+    which raw file+pos cannot (the reason GTID replication exists).
+
+    File-level skip: PREVIOUS_GTIDS at each log head snapshots every
+    transaction logged BEFORE that file, so the LAST file whose
+    snapshot ⊆ executed is the first file that can contain unapplied
+    work (public semantics of the executed-set handshake).  Within it,
+    a state-only walk (row images skipped) finds the first GTID event
+    not in the executed set — the resume offset is that frame's start,
+    so the GTID event itself is delivered with its transaction.  Logs
+    without snapshots degrade to walking from the first file (correct,
+    just unpruned).  Returns None for an empty directory; a directory
+    whose FIRST snapshot already contains unapplied transactions
+    raises — the requested history is purged (MySQL error 1236's
+    condition)."""
+    from mysql_cdc_spark.sources.binlog_codec import (
+        decode_binlog_incremental, gtid_in_set, gtid_set_subset,
+    )
+
+    files = _list_log_files(dir_path)
+    if not files:
+        return None
+    start_idx = 0
+    for i, p in enumerate(files):
+        prev = _peek_previous_gtids(p)
+        if prev is None:
+            continue
+        if gtid_set_subset(prev, executed):
+            start_idx = i
+        elif i == 0:
+            raise ValueError(
+                "since_gtid: the first log's PREVIOUS_GTIDS already "
+                "contains transactions outside the executed set — the "
+                "required history has been purged from this directory"
+            )
+        else:
+            break  # snapshots only grow; later files start even further
+    for p in files[start_idx:]:
+        with open(p, "rb") as fh:
+            data = fh.read()
+        events, _, _, _ = decode_binlog_incremental(
+            data, 4, None, catalog or {}, on_error="quarantine",
+            only_ops=frozenset(),
+        )
+        for ev in events:
+            if ev.get("op") != "gtid":
+                continue
+            sid, gno = ev["gtid"].rsplit(":", 1)
+            if not gtid_in_set(sid, int(gno), executed):
+                return (os.path.basename(p), ev["offset"])
+    # everything already applied: resume past the end of the log
+    last = files[-1]
+    return (os.path.basename(last), os.path.getsize(last))
+
+
 def generate_binlog_from_events(
     sf_dir: str,
     out_dir: str,
@@ -604,6 +692,7 @@ def generate_binlog_from_events(
     payload_zstd: bool = False,
     rows_query: bool = False,
     row_image: str = "full",
+    prev_gtids: bool = False,
 ) -> list[str]:
     """Encode the derived change stream as REAL binlog bytes — the same
     derivation rules as sources/events_cdc.py (db/tbl from user_id
@@ -621,7 +710,7 @@ def generate_binlog_from_events(
         out_dir,
         lambda d: _generate_binlog_files(
             sf_dir, d, rotate_every, corrupt_every, checksum, gtid, rows_v2,
-            payload_zstd, rows_query, row_image,
+            payload_zstd, rows_query, row_image, prev_gtids,
         ),
     )
 
@@ -637,6 +726,7 @@ def _generate_binlog_files(
     payload_zstd: bool = False,
     rows_query: bool = False,
     row_image: str = "full",
+    prev_gtids: bool = False,
 ) -> list[str]:
     os.makedirs(out_dir, exist_ok=True)
     pdf = _fixture_rows(sf_dir)
@@ -660,6 +750,15 @@ def _generate_binlog_files(
                 written.append(fname)
             fname = f"binlog.{file_no:06d}"
             writer = BinlogWriter(checksum=checksum)
+            if prev_gtids:
+                # PREVIOUS_GTIDS right after the FDE (real 5.6+ layout):
+                # the executed-set snapshot = every gno logged before
+                # this file.  gno = event_id + 1, so a file starting at
+                # event_id E snapshots 1..E (empty set on the first log).
+                writer.write_previous_gtids(
+                    {GTID_SID: [(1, event_id)]} if event_id > 0 else {},
+                    ts=event_id % (1 << 31),
+                )
 
         db, tbl = ("foo", "auto") if user_id % 2 == 0 else ("bench", "big")
         t = tables[(db, tbl)]

@@ -1122,3 +1122,177 @@ class TestRangeAndNotNullPushdown:
             sorted(narrow.collect())
             == sorted(full.filter(cond).select(*narrow.columns).collect())
         )
+
+
+# ---------------------------------------------------------------------------
+# r17: GTID-set resume (since_gtid=)
+# ---------------------------------------------------------------------------
+
+
+class TestSinceGtid:
+    SID = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    SID2 = "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee"
+
+    def test_gtid_set_algebra(self):
+        from mysql_cdc_spark.sources.binlog_codec import (
+            gtid_in_set, gtid_set_subset, parse_gtid_set,
+        )
+
+        g = parse_gtid_set(f"{self.SID}:1-5:7:9-12,{self.SID2}:3")
+        assert g[self.SID] == [(1, 5), (7, 7), (9, 12)]
+        assert gtid_in_set(self.SID, 5, g) and gtid_in_set(self.SID, 7, g)
+        assert not gtid_in_set(self.SID, 6, g)
+        assert not gtid_in_set(self.SID2, 4, g)
+        # adjacent/overlapping intervals merge
+        assert parse_gtid_set(f"{self.SID}:1-3:4-6:6-8")[self.SID] == [(1, 8)]
+        sub = parse_gtid_set(f"{self.SID}:2-4:10")
+        assert gtid_set_subset(sub, g)
+        assert not gtid_set_subset(g, sub)
+        assert gtid_set_subset({}, g) and gtid_set_subset({}, {})
+        assert not gtid_set_subset(sub, {})
+
+    def _gtid_log(self, d: str, n: int = 12, rotate: int = 4) -> None:
+        """n transactions, PREVIOUS_GTIDS at every head, rotation every
+        `rotate` txns.  gno = i + 1."""
+        w = None
+        fname = None
+        for i in range(n):
+            fno = i // rotate
+            name = f"binlog.{fno:06d}"
+            if name != fname:
+                if w is not None:
+                    w.write_rotate(name)
+                    with open(f"{d}/{fname}", "wb") as fh:
+                        fh.write(bytes(w.buf))
+                fname = name
+                w = BinlogWriter(checksum="crc32")
+                w.write_previous_gtids(
+                    {self.SID: [(1, i)]} if i else {}
+                )
+            w.write_gtid(self.SID, i + 1)
+            _txn(w, i)
+        with open(f"{d}/{fname}", "wb") as fh:
+            fh.write(bytes(w.buf))
+
+    def test_resolution_skips_files_and_lands_on_gtid(self, tmp_path):
+        from mysql_cdc_spark.sources.binlog_codec import parse_gtid_set
+        from mysql_cdc_spark.sources.binlog_source import (
+            _peek_previous_gtids, resolve_gtid_resume,
+        )
+
+        d = str(tmp_path)
+        self._gtid_log(d)
+        assert _peek_previous_gtids(f"{d}/binlog.000000") == {}
+        assert _peek_previous_gtids(f"{d}/binlog.000001") == {
+            self.SID: [(1, 4)]
+        }
+        # applied 1-6 → resume inside file 1 (its snapshot 1-4 ⊆ set,
+        # file 2's snapshot 1-8 is not) at the gtid frame of gno 7
+        f, pos = resolve_gtid_resume(d, parse_gtid_set(f"{self.SID}:1-6"))
+        assert f == "binlog.000001"
+        evs = decode_binlog(
+            open(f"{d}/{f}", "rb").read(), _CAT, on_error="quarantine"
+        )
+        landed = next(e for e in evs if e["offset"] == pos)
+        assert landed["op"] == "gtid" and landed["gtid"].endswith(":7")
+        # everything applied → resume past the end of the last file
+        f2, pos2 = resolve_gtid_resume(d, parse_gtid_set(f"{self.SID}:1-12"))
+        assert f2 == "binlog.000002"
+        assert pos2 == os.path.getsize(f"{d}/{f2}")
+        # gaps in the executed set resume at the FIRST unapplied txn
+        f3, pos3 = resolve_gtid_resume(
+            d, parse_gtid_set(f"{self.SID}:1-2:4-12")
+        )
+        assert f3 == "binlog.000000"
+        evs0 = decode_binlog(
+            open(f"{d}/{f3}", "rb").read(), _CAT, on_error="quarantine"
+        )
+        landed3 = next(e for e in evs0 if e["offset"] == pos3)
+        assert landed3["gtid"].endswith(":3")
+
+    def test_purged_history_raises(self, tmp_path):
+        from mysql_cdc_spark.sources.binlog_codec import parse_gtid_set
+        from mysql_cdc_spark.sources.binlog_source import (
+            resolve_gtid_resume,
+        )
+
+        d = str(tmp_path)
+        self._gtid_log(d)
+        os.unlink(f"{d}/binlog.000000")  # purge the first log
+        # applied 1-2 needs gno 3-4 from the purged file
+        with pytest.raises(ValueError, match="purged"):
+            resolve_gtid_resume(d, parse_gtid_set(f"{self.SID}:1-2"))
+
+    def test_snapshotless_log_degrades_to_full_walk(self, tmp_path):
+        from mysql_cdc_spark.sources.binlog_codec import parse_gtid_set
+        from mysql_cdc_spark.sources.binlog_source import (
+            resolve_gtid_resume,
+        )
+
+        d = str(tmp_path)
+        w = BinlogWriter(checksum="crc32")
+        for i in range(5):
+            w.write_gtid(self.SID, i + 1)
+            _txn(w, i)
+        with open(f"{d}/binlog.000000", "wb") as fh:
+            fh.write(bytes(w.buf))
+        f, pos = resolve_gtid_resume(d, parse_gtid_set(f"{self.SID}:1-3"))
+        assert f == "binlog.000000"
+        evs = decode_binlog(open(f"{d}/{f}", "rb").read(), _CAT)
+        landed = next(e for e in evs if e["offset"] == pos)
+        assert landed["op"] == "gtid" and landed["gtid"].endswith(":4")
+
+    def test_batch_since_gtid_equals_since_file_pos(self, spark, tmp_path):
+        d = str(tmp_path / "g")
+        os.makedirs(d)
+        self._gtid_log(d)
+        register_binlog_source(spark)
+        from mysql_cdc_spark.sources.binlog_codec import parse_gtid_set
+        from mysql_cdc_spark.sources.binlog_source import (
+            resolve_gtid_resume,
+        )
+
+        f, pos = resolve_gtid_resume(d, parse_gtid_set(f"{self.SID}:1-6"))
+        by_gtid = (
+            spark.read.format("mysql_binlog")
+            .option("catalog", _CAT_JSON)
+            .option("since_gtid", f"{self.SID}:1-6")
+            .load(d)
+        )
+        by_pos = (
+            spark.read.format("mysql_binlog")
+            .option("catalog", _CAT_JSON)
+            .option("since_file", f)
+            .option("since_offset", str(pos))
+            .load(d)
+        )
+        got = sorted(by_gtid.collect())
+        assert got == sorted(by_pos.collect())
+        assert len(got) > 0
+        # first delivered row is the unapplied transaction's GTID
+        first = min(got, key=lambda r: (r.log_file, r.offset))
+        assert first.op == "gtid" and first.sql.endswith(":7")
+        with pytest.raises(Exception, match="mutually exclusive"):
+            (
+                spark.read.format("mysql_binlog")
+                .option("since_gtid", f"{self.SID}:1-6")
+                .option("since_file", f)
+                .load(d)
+                .collect()
+            )
+
+    def test_stream_since_gtid_initial_offset(self, tmp_path):
+        d = str(tmp_path / "gs")
+        os.makedirs(d)
+        self._gtid_log(d)
+        r = _BinlogStreamReader(
+            {"path": d, "catalog": _CAT_JSON,
+             "since_gtid": f"{self.SID}:1-6"}
+        )
+        start = r.initialOffset()
+        assert start["file"] == "binlog.000001"
+        end = r.latestOffset()
+        rows = _rows(b for p in r.partitions(start, end) for b in [*r.read(p)])
+        ops = [x["sql"] for x in rows if x["op"] == "gtid"]
+        assert ops and ops[0].endswith(":7")  # resumes at gno 7
+        assert all(int(g.rsplit(":", 1)[1]) >= 7 for g in ops)

@@ -645,3 +645,65 @@ def test_file_h_crc_flip_detected():
     bad[620] ^= 0x01                # inside the UPDATE_ROWS body
     with pytest.raises(ValueError, match="CRC32 mismatch"):
         decode_binlog(bytes(bad), {})
+
+
+# ---------------------------------------------------------------------------
+# FILE I — PREVIOUS_GTIDS wire layout (spec-derived, decoder-independent).
+#
+# Public format (MySQL internals, Gtid_set::encode / rpl_gtid_set.cc):
+#   body = n_sids u64 LE, then per sid:
+#     sid 16 bytes (server UUID, raw)
+#     n_intervals u64 LE
+#     per interval: start u64 LE, end u64 LE — END EXCLUSIVE on the
+#     wire; the canonical text renders inclusive ("1-5" = wire (1, 6)).
+# Event frame: v4 header (ts u32, type u8 = 35, server_id u32,
+# event_len u32, next_pos u32, flags u16), no checksum in this vector.
+# ---------------------------------------------------------------------------
+
+
+def test_file_i_previous_gtids_wire_layout():
+    import struct
+
+    from mysql_cdc_spark.sources.binlog_codec import (
+        MAGIC,
+        BinlogWriter,
+        parse_gtid_set,
+    )
+
+    sid1 = bytes.fromhex("3e11fa4771ca11e19e33c80aa9429562")
+    sid2 = bytes.fromhex("aaaaaaaabbbbccccddddeeeeeeeeeeee")
+    body = struct.pack("<Q", 2)
+    body += sid1 + struct.pack("<Q", 2)
+    body += struct.pack("<QQ", 1, 6)      # text "1-5" (end-exclusive 6)
+    body += struct.pack("<QQ", 7, 8)      # text "7"   (single txn)
+    body += sid2 + struct.pack("<Q", 1)
+    body += struct.pack("<QQ", 3, 11)     # text "3-10"
+    header = struct.pack(
+        "<IBIIIH", 1700000000, 35, 1, 19 + len(body), 4 + 19 + len(body), 0
+    )
+    # a bare FDE-less fragment decodes with base past the magic
+    data = MAGIC + header + body
+    evs = decode_binlog(data, {})
+    assert len(evs) == 1
+    ev = evs[0]
+    assert ev["op"] == "previous_gtids"
+    assert ev["sql"] == (
+        "3e11fa47-71ca-11e1-9e33-c80aa9429562:1-5:7,"
+        "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee:3-10"
+    )
+    # the canonical text round-trips through the set parser
+    parsed = parse_gtid_set(ev["sql"])
+    assert parsed["3e11fa47-71ca-11e1-9e33-c80aa9429562"] == [(1, 5), (7, 7)]
+    assert parsed["aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee"] == [(3, 10)]
+    # and the writer emits this exact body (encode/decode symmetry)
+    w = BinlogWriter()
+    w.write_previous_gtids(
+        {
+            "3e11fa47-71ca-11e1-9e33-c80aa9429562": [(1, 5), (7, 7)],
+            "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee": [(3, 10)],
+        },
+        ts=1700000000,
+    )
+    written = bytes(w.buf)
+    # strip magic + FDE: the last frame is the PREVIOUS_GTIDS event
+    assert written.endswith(body)
