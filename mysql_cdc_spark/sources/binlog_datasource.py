@@ -872,7 +872,18 @@ class _BinlogStreamReader(DataSourceStreamReader):
 
     # -- offsets ----------------------------------------------------------
 
+    def _trace(self, msg: str) -> None:
+        """Protocol trace (BINLOG_DS_TRACE=<path>): the reader runs in
+        Spark's python streaming-source-runner process, invisible to
+        driver-side debuggers — this is how the availableNow
+        single-batch-fallback bug was isolated."""
+        p = os.environ.get("BINLOG_DS_TRACE")
+        if p:
+            with open(p, "a") as fh:
+                fh.write(msg + "\n")
+
     def initialOffset(self) -> dict:
+        self._trace("initialOffset")
         o = self._o
         if o.since_file is not None:
             return {"file": o.since_file, "pos": o.since_offset}
@@ -1028,6 +1039,7 @@ class _BinlogStreamReader(DataSourceStreamReader):
         end = dict(self._cur)
         if ends:
             end["ends"] = ends
+        self._trace(f"latestOffset -> {end}")
         self._plan_state[(end["file"], end["pos"])] = (
             self._alg,
             self._tmap,
@@ -1065,6 +1077,7 @@ class _BinlogStreamReader(DataSourceStreamReader):
     # -- planning ---------------------------------------------------------
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        self._trace(f"partitions {start} -> {end}")
         o = self._o
         if end.get("file", "") == "" or start == end:
             return []
@@ -1294,7 +1307,10 @@ class _BinlogArchiveWriter(DataSourceWriter):
             fh.write(data)
         return _ArchiveCommit(temp, n, first_key, skipped)
 
-    def _finalize(self, messages, clear: bool) -> list[str]:
+    def _plan(self, messages, clear: bool) -> list[tuple[str, str]]:
+        """(temp, final-name) rename plan: rotation numbering continues
+        from what the directory holds, task outputs ordered by each
+        partition's first (log_file, offset, row_idx)."""
         path = self._o.path
         if clear:
             for p in _list_log_files(path):
@@ -1309,10 +1325,16 @@ class _BinlogArchiveWriter(DataSourceWriter):
             if m is not None and m.temp and m.n_events
         ]
         live.sort(key=lambda m: m.first_key)
+        return [
+            (m.temp, os.path.join(path, f"binlog.{base + i:06d}"))
+            for i, m in enumerate(live)
+        ]
+
+    def _finalize(self, messages, clear: bool) -> list[str]:
+        plan = self._plan(messages, clear)
         out = []
-        for i, m in enumerate(live):
-            final = os.path.join(path, f"binlog.{base + i:06d}")
-            os.replace(m.temp, final)
+        for temp, final in plan:
+            os.replace(temp, final)
             out.append(final)
         self._cleanup(messages)
         return out
@@ -1333,13 +1355,17 @@ class _BinlogArchiveStreamWriter(_BinlogArchiveWriter, DataSourceStreamWriter):
     """Streaming archival sink: writeStream.format("mysql_binlog").
 
     Commit keeps a driver-side manifest (<dir>/_archive_manifest.json)
-    of batchId → final files; a REPLAYED batch (restart before the
-    checkpoint recorded the commit) first deletes its previous files,
-    so re-execution converges to exactly-once output.  The same
-    crash window Spark's own file sink closes with _spark_metadata
-    exists between the renames and the manifest write — one batch may
-    duplicate if the driver dies exactly between the two; the window
-    is documented, not hidden."""
+    of batchId → final files, written as an INTENT log BEFORE the
+    renames (r17 — previously the manifest followed the renames, and a
+    crash between the two duplicated that batch on replay, the same
+    window Spark's file sink closes with _spark_metadata).  Replay of
+    a batch first deletes every file its manifest entry names (renamed
+    or not — a missing file is fine), re-plans numbering on the
+    cleaned directory, re-writes the intent, then renames: a SIGKILL
+    at ANY point between two Spark batch commits converges to
+    exactly-once output on restart.  Orphaned task temps from a
+    killed attempt stay under _tmp/ and are never visible under a
+    rotated name."""
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803 — API name
         manifest_path = os.path.join(self._o.path, "_archive_manifest.json")
@@ -1347,15 +1373,22 @@ class _BinlogArchiveStreamWriter(_BinlogArchiveWriter, DataSourceStreamWriter):
         if os.path.exists(manifest_path):
             with open(manifest_path) as fh:
                 manifest = json.load(fh)
+        # replay cleanup: whatever a previous attempt managed to rename
         for p in manifest.get(str(batchId), ()):
             if os.path.exists(p):
                 os.unlink(p)
-        out = self._finalize(messages, clear=False)
-        manifest[str(batchId)] = out
+        plan = self._plan(messages, clear=False)
+        # intent BEFORE rename: fsync'd, atomically replaced
+        manifest[str(batchId)] = [final for _, final in plan]
         tmp = manifest_path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
         os.replace(tmp, manifest_path)
+        for temp, final in plan:
+            os.replace(temp, final)
+        self._cleanup(messages)
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803 — API name
         self._cleanup(messages)
@@ -1429,4 +1462,18 @@ def register_binlog_source(spark) -> None:
     ``pushFilters``).  Sessions built by
     :func:`mysql_cdc_spark.session.get_spark` already carry it."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # Python data sources cannot declare SupportsTriggerAvailableNow
+    # (the JVM PythonMicroBatchStream doesn't implement it), and
+    # Spark's fallback for unsupported sources executes availableNow
+    # as ONE batch — which a RESTART with a pending batch consumes on
+    # the replay, terminating before any new data is read (measured:
+    # the SIGKILL e2e test's restart drained zero rows).  The wrapper
+    # runs capped multi-batch drains to a start-time snapshot instead;
+    # it is safe for exactly this source: latestOffset is a
+    # point-in-time directory snapshot and partitions(start, end) is
+    # deterministic under replay (rotated-file extents ride in the
+    # offset JSON).
+    spark.conf.set(
+        "spark.sql.streaming.triggerAvailableNowWrapper.enabled", "true"
+    )
     spark.dataSource.register(BinlogDataSource)
