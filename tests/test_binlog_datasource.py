@@ -1296,3 +1296,37 @@ class TestSinceGtid:
         ops = [x["sql"] for x in rows if x["op"] == "gtid"]
         assert ops and ops[0].endswith(":7")  # resumes at gno 7
         assert all(int(g.rsplit(":", 1)[1]) >= 7 for g in ops)
+
+    def test_stream_catchup_splits_the_end_file_too(self, tmp_path):
+        # r17 (r16 VERDICT #6): the first catch-up trigger's END file
+        # used to stay one serial slice; with split_bytes it now fans
+        # out like the batch path, with file-global seq
+        from mysql_cdc_spark.sources.binlog_datasource import (
+            _BinlogStreamReader,
+        )
+
+        d = tmp_path / "bigend"
+        d.mkdir()
+        w = BinlogWriter(checksum="crc32")
+        for i in range(300):
+            _txn(w, i)
+        (d / "binlog.000000").write_bytes(bytes(w.buf))
+
+        r = _BinlogStreamReader(
+            {"path": str(d), "catalog": _CAT_JSON, "split_bytes": "4096"}
+        )
+        start = r.initialOffset()
+        end = r.latestOffset()
+        parts = r.partitions(start, end)
+        assert len(parts) > 4  # the single backlog file genuinely split
+        for a, b in zip(parts, parts[1:]):
+            assert a.end == b.start  # contiguous frame-aligned tiling
+        rows = _rows(b for p in parts for b in [*r.read(p)])
+        ref = decode_binlog(bytes(w.buf), _CAT)
+        cols, _ = bs.envelope_columns(ref, "binlog.000000", frame_seq=True)
+        assert len(rows) == len(cols["op"])
+        # seq is file-global across slices — byte-identical to a
+        # whole-file decode, not slice-local
+        got = sorted((x["offset"], x["row_idx"], x["seq"]) for x in rows)
+        want = sorted(zip(cols["offset"], cols["row_idx"], cols["seq"]))
+        assert got == want

@@ -69,6 +69,24 @@ def test_codec_decode_throughput_floor():
     # per-core); floor at ~half-of-measured, above the old form's
     # ceiling so a revert fails.
     assert rows_per_sec >= 140_000, f"codec decode {rows_per_sec:,.0f} rows/s < 140k floor"
+    # r17 vectorization probe (PLANS.md): the width-walk path
+    # (images='none' — exact row cardinality, no value
+    # materialization) measured 1.54M rows/s on the 200 MB log, 6.1x
+    # the full decode.  Header/CRC/framing is 1.1% of full-decode
+    # wall (0.45 s of 39.9 s), so numpy-vectorizing headers is noise;
+    # the 6.1x IS reachable by consumers through the DataSource's
+    # columns= pruning.  Floor the fast path at ~60% of measured so a
+    # regression to per-value decode on the pruned path fails loudly.
+    decode_binlog(fixture, cat, images="none")  # warm skip plans
+    best_none = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        decode_binlog(fixture, cat, images="none")
+        best_none = min(best_none, time.perf_counter() - t0)
+    none_per_sec = n_rows / best_none
+    assert none_per_sec >= 900_000, (
+        f"width-walk decode {none_per_sec:,.0f} rows/s < 900k floor"
+    )
 
 
 @pytest.fixture(scope="module")

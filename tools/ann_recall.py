@@ -34,6 +34,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 ORGANIC_X10 = "/root/repo/.stream_tmp/stress/organic_x10"
+ORGANIC_X100 = "/root/repo/.stream_tmp/stress/organic_x100"
 
 
 def topk_sets(df) -> dict[int, set[int]]:
@@ -128,6 +129,11 @@ def main() -> None:
     fixtures = [("sf0.1", read_table(spark, "/root/testdata/sf0.1", "embeddings"))]
     if Path(ORGANIC_X10, "_done").exists():
         fixtures.append(("x10", read_table(spark, ORGANIC_X10, "embeddings")))
+    if Path(ORGANIC_X100, "_done").exists():
+        # r17: recall at REAL x100 bucket occupancy — the candidate
+        # cap went default in r16 on x10-and-below evidence; this row
+        # pins what the cap does where buckets are 100x fuller.
+        fixtures.append(("x100", read_table(spark, ORGANIC_X100, "embeddings")))
     fixtures.append(("adversarial", adversarial_embeddings(spark)))
 
     for label, emb in fixtures:

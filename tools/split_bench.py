@@ -96,6 +96,43 @@ def main() -> None:
         .load(str(out))
     )
     assert n1 == n2, (n1, n2)
+
+    # STREAM catch-up over the same single oversized file (r17): the
+    # first availableNow trigger used to plan the END file as one
+    # serial slice; split_bytes now fans its decode out exactly like
+    # the batch path (assembly stays keyed by log_file downstream).
+    import uuid
+
+    def stream_drain(split: bool):
+        counts = []
+        name = "spb_" + uuid.uuid4().hex[:6]
+        cp = f"{_STREAM_TMP}/cp_{name}"
+        rd = spark.readStream.format("mysql_binlog").option("catalog", cat)
+        if split:
+            rd = rd.option("split_bytes", str(split_mb * 1_000_000))
+        q = (
+            rd.load(str(out))
+            .writeStream.foreachBatch(
+                lambda df, _b: counts.append(df.count())
+            )
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(1800)
+        import shutil
+
+        shutil.rmtree(cp, ignore_errors=True)
+        return sum(counts)
+
+    t0 = time.time()
+    sn1 = stream_drain(split=False)
+    stream_whole_sec = round(time.time() - t0, 3)
+    t0 = time.time()
+    sn2 = stream_drain(split=True)
+    stream_split_sec = round(time.time() - t0, 3)
+    assert sn1 == sn2 == n1, (sn1, sn2, n1)
+
     print(json.dumps({
         "metric": "split_bench",
         "file_mb": round(size / 1e6, 1),
@@ -105,6 +142,9 @@ def main() -> None:
         "whole_file_sec": whole_sec,
         "split_sec": split_sec,
         "speedup": round(whole_sec / split_sec, 2),
+        "stream_whole_sec": stream_whole_sec,
+        "stream_split_sec": stream_split_sec,
+        "stream_speedup": round(stream_whole_sec / stream_split_sec, 2),
     }))
 
 
