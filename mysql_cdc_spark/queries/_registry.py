@@ -262,6 +262,7 @@ REGISTRATION_ORDER: list[str] = [
     "cdc_ds_columns_pruned",
     "cdc_ds_ts_range",
     "cdc_ds_since_gtid",
+    "cdc_ds_gtid_handoff",
 ]
 
 

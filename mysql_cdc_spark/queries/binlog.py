@@ -1893,3 +1893,41 @@ def cdc_ds_since_gtid(spark, sf_dir):
         .groupBy("op")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+@register(
+    "cdc_ds_gtid_handoff",
+    """
+SELECT '3e11fa47-71ca-11e1-9e33-c80aa9429562:1-'
+       || CAST(MAX(event_id) + 1 AS VARCHAR) AS executed
+FROM events
+""".strip(),
+)
+def cdc_ds_gtid_handoff(spark, sf_dir):
+    """The GTID handoff closing the failover loop: after a scan, the
+    consumer records the directory's executed set
+    (binlog_source.executed_gtid_set — the newest PREVIOUS_GTIDS
+    snapshot ∪ the GTID events after it, so the walk is bounded by
+    ONE file regardless of history) and passes it to since_gtid= on
+    the next scan, wherever that log now lives.  The oracle derives
+    the canonical text closed-form (single sid, gno = event_id + 1,
+    so the set is one dense interval 1..max+1).  Driver-side by
+    design — the executed set is an O(one-file) metadata read, not a
+    distributed computation."""
+    import pathlib
+
+    from mysql_cdc_spark.sources import binlog_source as bs
+
+    out_dir = (
+        pathlib.Path(_STREAM_TMP)
+        / f"binlog_gtidset_{_sf_tag(sf_dir)}_v{_FIXTURE_VERSION}"
+    )
+    if not any(out_dir.glob("binlog.*")):
+        bs.generate_binlog_from_events(
+            sf_dir, str(out_dir), gtid=True, prev_gtids=True,
+            checksum="crc32",
+        )
+    from mysql_cdc_spark.sources.binlog_codec import gtid_set_text
+
+    text = gtid_set_text(bs.executed_gtid_set(str(out_dir)))
+    return spark.createDataFrame([(text,)], "executed string")

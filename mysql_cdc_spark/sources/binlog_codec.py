@@ -1392,6 +1392,44 @@ def gtid_set_subset(a: dict, b: dict) -> bool:
     return True
 
 
+def gtid_set_add(gset: dict, sid: str, gno: int) -> None:
+    """Add one transaction to a parsed gtid set IN PLACE, keeping the
+    interval list sorted and merged (O(log n) locate + O(1) amortized
+    merge — gnos arrive mostly in order from a log walk)."""
+    from bisect import bisect_right
+
+    sid = sid.lower()
+    ivs = gset.setdefault(sid, [])
+    i = bisect_right(ivs, (gno, 1 << 62))
+    if i > 0 and ivs[i - 1][0] <= gno <= ivs[i - 1][1]:
+        return  # already a member
+    if i > 0 and ivs[i - 1][1] == gno - 1:
+        ivs[i - 1] = (ivs[i - 1][0], gno)
+        if i < len(ivs) and ivs[i][0] == gno + 1:  # bridged two runs
+            ivs[i - 1] = (ivs[i - 1][0], ivs[i][1])
+            del ivs[i]
+        return
+    if i < len(ivs) and ivs[i][0] == gno + 1:
+        ivs[i] = (gno, ivs[i][1])
+        return
+    ivs.insert(i, (gno, gno))
+
+
+def gtid_set_text(gset: dict) -> str:
+    """Parsed gtid set → MySQL's canonical text ("uuid:1-5:7,...");
+    sids sorted, single-gno intervals render bare."""
+    parts = []
+    for sid in sorted(gset):
+        ivs = gset[sid]
+        if not ivs:
+            continue
+        body = ":".join(
+            str(lo) if lo == hi else f"{lo}-{hi}" for lo, hi in ivs
+        )
+        parts.append(f"{sid}:{body}")
+    return ",".join(parts)
+
+
 def is_binlog(data: bytes) -> bool:
     """S1: 4-byte magic check (reference binlog-file?, :47-53)."""
     return data[:4] == MAGIC

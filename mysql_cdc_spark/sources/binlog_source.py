@@ -681,6 +681,44 @@ def resolve_gtid_resume(
     return (os.path.basename(last), os.path.getsize(last))
 
 
+def executed_gtid_set(dir_path: str, catalog: dict | None = None) -> dict:
+    """The executed GTID set of a binlog directory — what a consumer
+    records after a scan and hands to ``since_gtid=`` on its NEXT scan
+    (possibly against a failed-over server whose file names reset).
+    The newest PREVIOUS_GTIDS snapshot already covers every file
+    before it, so the walk is bounded: snapshot ∪ the GTID events of
+    the files from the snapshot onward (usually just the last file).
+    Returns a parsed set ({sid: [(lo, hi)...]}); render with
+    :func:`binlog_codec.gtid_set_text`."""
+    from mysql_cdc_spark.sources.binlog_codec import (
+        decode_binlog_incremental, gtid_set_add,
+    )
+
+    files = _list_log_files(dir_path)
+    if not files:
+        return {}
+    start_idx, base = 0, {}
+    for i in range(len(files) - 1, -1, -1):
+        prev = _peek_previous_gtids(files[i])
+        if prev is not None:
+            start_idx, base = i, prev
+            break
+    executed = {sid: list(ivs) for sid, ivs in base.items()}
+    for p in files[start_idx:]:
+        with open(p, "rb") as fh:
+            data = fh.read()
+        events, _, _, _ = decode_binlog_incremental(
+            data, 4, None, catalog or {}, on_error="quarantine",
+            only_ops=frozenset(),
+        )
+        for ev in events:
+            if ev.get("op") != "gtid":
+                continue
+            sid, gno = ev["gtid"].rsplit(":", 1)
+            gtid_set_add(executed, sid, int(gno))
+    return executed
+
+
 def generate_binlog_from_events(
     sf_dir: str,
     out_dir: str,

@@ -1330,3 +1330,54 @@ class TestSinceGtid:
         got = sorted((x["offset"], x["row_idx"], x["seq"]) for x in rows)
         want = sorted(zip(cols["offset"], cols["row_idx"], cols["seq"]))
         assert got == want
+
+    def test_gtid_set_add_and_text(self):
+        from mysql_cdc_spark.sources.binlog_codec import (
+            gtid_set_add, gtid_set_text, parse_gtid_set,
+        )
+
+        g: dict = {}
+        for gno in (3, 1, 2, 7, 5, 6, 10):
+            gtid_set_add(g, self.SID, gno)
+        assert g[self.SID] == [(1, 3), (5, 7), (10, 10)]
+        gtid_set_add(g, self.SID, 4)  # bridges (1,3) and (5,7)
+        assert g[self.SID] == [(1, 7), (10, 10)]
+        gtid_set_add(g, self.SID, 6)  # member: no-op
+        assert g[self.SID] == [(1, 7), (10, 10)]
+        text = gtid_set_text(g)
+        assert text == f"{self.SID}:1-7:10"
+        assert parse_gtid_set(text) == g
+
+    def test_executed_set_round_trips_into_resume(self, tmp_path):
+        # the handoff: scan a directory, record its executed set,
+        # resume with it → nothing replays (resume lands at log end);
+        # scan HALF, record, resume → exactly the other half
+        from mysql_cdc_spark.sources.binlog_codec import gtid_set_text
+        from mysql_cdc_spark.sources.binlog_source import (
+            executed_gtid_set, resolve_gtid_resume,
+        )
+
+        d = str(tmp_path)
+        self._gtid_log(d)  # 12 txns, snapshots at heads, rotate 4
+        full = executed_gtid_set(d)
+        assert full == {self.SID: [(1, 12)]}
+        f, pos = resolve_gtid_resume(d, full)
+        assert f == "binlog.000002" and pos == os.path.getsize(f"{d}/{f}")
+
+        # consumer that has applied only the first two files' txns
+        import shutil
+
+        half = str(tmp_path / "half")
+        os.makedirs(half)
+        for n in ("binlog.000000", "binlog.000001"):
+            shutil.copy(f"{d}/{n}", f"{half}/{n}")
+        applied = executed_gtid_set(half)
+        assert applied == {self.SID: [(1, 8)]}
+        f2, pos2 = resolve_gtid_resume(d, applied)
+        assert f2 == "binlog.000002"
+        evs = decode_binlog(
+            open(f"{d}/{f2}", "rb").read(), _CAT, on_error="quarantine"
+        )
+        landed = next(e for e in evs if e["offset"] == pos2)
+        assert landed["op"] == "gtid" and landed["gtid"].endswith(":9")
+        assert gtid_set_text(applied) == f"{self.SID}:1-8"
