@@ -2184,6 +2184,9 @@ def decode_binlog(
     only_tables: "set[tuple[str, str]] | None" = None,
     only_ops: "set[str] | None" = None,
     images: str = "both",
+    min_row_offset: int = 0,
+    row_ts_min: int | None = None,
+    row_ts_max: int | None = None,
 ) -> list[dict]:
     """D1+S3/S4: walk the event chain from `start_offset`, threading
     table-map state, with the torn-tail guard (a header or body that
@@ -2199,7 +2202,8 @@ def decode_binlog(
     events, _, _, _ = decode_binlog_incremental(
         data, start_offset, table_map, catalog, on_error=on_error,
         checksum=checksum, only_tables=only_tables, only_ops=only_ops,
-        images=images,
+        images=images, min_row_offset=min_row_offset,
+        row_ts_min=row_ts_min, row_ts_max=row_ts_max,
     )
     return events
 

@@ -256,3 +256,194 @@ def test_arbitrary_used_column_masks_roundtrip(present, present_after, vals, nul
     up = next(e for e in evs if e["op"] == "update_rows")
     assert up["before"] == [expect_before]
     assert up["after"] == [expect_after]
+
+
+# --- r17: width-walk (images=) parity under arbitrary tables/rows -----------
+#
+# The skip plans re-derive every column's byte width independently of
+# the decoders; a divergence silently corrupts the walk.  The decode
+# loop's body-end check turns divergence into a raised 'misparse', so
+# this property both fuzzes widths (random types, metadata, NULLs,
+# value sizes) and asserts structural parity with the full decode.
+
+
+@st.composite
+def _tables_and_rows(draw):
+    from mysql_cdc_spark.sources.binlog_codec import (
+        TYPE_BIT, TYPE_BLOB, TYPE_DATETIME2, TYPE_DOUBLE, TYPE_ENUM,
+        TYPE_FLOAT, TYPE_LONGLONG, TYPE_SET, TYPE_SHORT, TYPE_TIME2,
+        TYPE_TIMESTAMP2, TYPE_TINY, TYPE_YEAR,
+    )
+
+    def col(kind):
+        if kind == "tiny":
+            return (TYPE_TINY, None), st.integers(-128, 127)
+        if kind == "short":
+            return (TYPE_SHORT, None), st.integers(-(2**15), 2**15 - 1)
+        if kind == "long":
+            return (TYPE_LONG, None), st.integers(-(2**31), 2**31 - 1)
+        if kind == "longlong":
+            return (TYPE_LONGLONG, None), st.integers(-(2**62), 2**62)
+        if kind == "float":
+            return (TYPE_FLOAT, None), st.just(0.5)
+        if kind == "double":
+            return (TYPE_DOUBLE, None), st.floats(
+                allow_nan=False, allow_infinity=False, width=64
+            )
+        if kind == "year":
+            return (TYPE_YEAR, None), st.integers(1901, 2155)
+        if kind == "dt2":
+            fsp = draw(st.sampled_from([0, 2, 4, 6]))
+            return (TYPE_DATETIME2, fsp), st.just(
+                "2024-02-29 23:59:59" + (f".{'9' * fsp}" if fsp else "")
+            )
+        if kind == "ts2":
+            fsp = draw(st.sampled_from([0, 1, 3]))
+            return (TYPE_TIMESTAMP2, fsp), st.just(
+                "1700000000" + (f".{'1' * fsp}" if fsp else "")
+            )
+        if kind == "time2":
+            fsp = draw(st.sampled_from([0, 2]))
+            return (TYPE_TIME2, fsp), st.just(
+                "-99:59:59" + (f".{'4' * fsp}" if fsp else "")
+            )
+        if kind == "blob":
+            n = draw(st.sampled_from([1, 2, 3, 4]))
+            return (TYPE_BLOB, n), st.binary(max_size=200)
+        if kind == "varchar_short":
+            return (TYPE_VARCHAR, draw(st.integers(1, 255))), st.text(
+                alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                max_size=60,
+            )
+        if kind == "varchar_long":
+            return (TYPE_VARCHAR, draw(st.integers(256, 2000))), st.text(
+                alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                max_size=300,
+            )
+        if kind == "decimal":
+            p = draw(st.integers(1, 20))
+            s = draw(st.integers(0, min(p, 10)))
+            intd = 10 ** (p - s) - 1
+            v = draw(st.integers(0, intd))
+            txt = str(v) + (f".{'7' * s}" if s else "")
+            return (TYPE_NEWDECIMAL, (p, s)), st.just(txt)
+        if kind == "enum":
+            n = draw(st.integers(1, 400))
+            return (TYPE_ENUM, n), st.integers(1, n)
+        if kind == "set":
+            n = draw(st.integers(1, 24))
+            return (TYPE_SET, n), st.integers(0, 2**n - 1)
+        if kind == "bit":
+            bits = draw(st.integers(1, 24))
+            meta = (bits % 8, bits // 8)
+            return (TYPE_BIT, meta), st.integers(0, 2**bits - 1)
+        raise AssertionError(kind)
+
+    kinds = draw(
+        st.lists(
+            st.sampled_from([
+                "tiny", "short", "long", "longlong", "float", "double",
+                "year", "dt2", "ts2", "time2", "blob", "varchar_short",
+                "varchar_long", "decimal", "enum", "set", "bit",
+            ]),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    cols, val_strats = [], []
+    for k in kinds:
+        c, vs = col(k)
+        cols.append(c)
+        val_strats.append(vs)
+    n_rows = draw(st.integers(1, 4))
+    rows = []
+    for _ in range(n_rows):
+        row = []
+        for vs in val_strats:
+            v = draw(st.one_of(st.none(), vs))  # NULLs consume 0 bytes
+            row.append(v)
+        rows.append(row)
+    return cols, rows
+
+
+@given(_tables_and_rows(), st.booleans())
+@settings(max_examples=120, deadline=None)
+def test_image_prune_width_parity_property(tr, as_update):
+    cols, rows = tr
+    t = TableDef("db", "fz", cols, table_id=9)
+    names = [f"c{i}" for i in range(len(cols))]
+    cat = {("db", "fz"): names}
+    w = BinlogWriter(checksum="crc32")
+    w.write_table_map(t)
+    if as_update:
+        w.write_rows(UPDATE_ROWS_EVENT, t, [(r, r) for r in rows])
+    else:
+        w.write_rows(WRITE_ROWS_EVENT, t, rows)
+    data = w.getvalue()
+    full = decode_binlog(data, cat)
+    for mode in ("none", "after", "before"):
+        pruned = decode_binlog(data, cat, images=mode)  # misparse raises
+        assert [(e["op"], e["offset"], e["seq"]) for e in pruned] == [
+            (e["op"], e["offset"], e["seq"]) for e in full
+        ]
+        for f, p in zip(full, pruned):
+            if not f["op"].endswith("_rows"):
+                continue
+            for side in ("before", "after"):
+                fs, ps = f[side], p[side]
+                if fs is None:
+                    assert ps is None
+                    continue
+                assert len(ps) == len(fs)
+                keep = (side == "after") == (mode == "after") and mode != "none"
+                if keep:
+                    assert ps == fs
+                else:
+                    assert ps == [None] * len(fs)
+
+
+@given(
+    st.lists(_VALS, min_size=2, max_size=8),
+    st.data(),
+)
+@settings(max_examples=80, deadline=None)
+def test_range_skip_parity_property(vals, data):
+    """min_row_offset / row_ts_min / row_ts_max drop EXACTLY the row
+    events a client-side filter would — never a non-row event, never a
+    row inside the range — with seq slots preserved."""
+    t = TableDef(
+        "foo", "auto",
+        [(TYPE_LONG, None), (TYPE_NEWDECIMAL, (12, 4)), (TYPE_VARCHAR, 50)],
+    )
+    cat = {("foo", "auto"): ["id", "val", "word"]}
+    w = BinlogWriter(checksum="crc32")
+    for i, v in enumerate(vals):
+        w.write_table_map(t, ts=i * 10)
+        w.write_rows(WRITE_ROWS_EVENT, t, [_row(v)], ts=i * 10)
+        w.write_xid(100 + i, ts=i * 10)
+    blob = w.getvalue()
+    full = decode_binlog(blob, cat)
+    size = len(blob)
+    lo_off = data.draw(st.integers(0, size))
+    ts_lo = data.draw(st.one_of(st.none(), st.integers(0, len(vals) * 10)))
+    ts_hi = data.draw(st.one_of(st.none(), st.integers(0, len(vals) * 10)))
+    got = decode_binlog(
+        blob, cat, min_row_offset=lo_off, row_ts_min=ts_lo, row_ts_max=ts_hi
+    )
+
+    def keep(e):
+        if not e["op"].endswith("_rows"):
+            return True
+        if e["offset"] < lo_off:
+            return False
+        if ts_lo is not None and e["ts"] < ts_lo:
+            return False
+        if ts_hi is not None and e["ts"] > ts_hi:
+            return False
+        return True
+
+    want = [e for e in full if keep(e)]
+    assert [(e["op"], e["offset"], e["seq"]) for e in got] == [
+        (e["op"], e["offset"], e["seq"]) for e in want
+    ]
+    assert [e["after"] for e in got] == [e["after"] for e in want]
