@@ -106,6 +106,11 @@ from mysql_cdc_spark.sources.binlog_source import (
 # Where useful event bytes start in every binlog file: 4-byte magic.
 _DATA_START = 4
 
+# Small-file packing never produces fewer than ~this many partitions
+# (unless the 1 MB per-pack floor binds first): keeps pruned/small
+# scans parallel while pack_bytes bounds per-task work at scale.
+_PACK_MIN_FANOUT = 128
+
 # IsNotNull(col) → the set of ROW ops that can satisfy it.  Envelope
 # row-change rows never carry sql/xid (those live on query/xid/gtid/...
 # rows, which only_ops cannot skip anyway), before-images exist only on
@@ -206,6 +211,15 @@ class _Opts:
         self.ts_file_pruning = (
             options.get("ts_file_pruning", "true").lower() != "false"
         )
+        # Small-file packing: rotated production logs cap at
+        # max_binlog_size, but fixture/archive directories hold
+        # thousands of sub-MB files — one task per file makes the scan
+        # TASK-OVERHEAD-BOUND (measured at x100: every DataSource
+        # variant flatlined at the ~4000-wave scheduling floor while
+        # binaryFile bin-packed past it).  Whole files pack greedily
+        # into partitions of ~pack_bytes decode work; "0" disables.
+        pb = options.get("pack_bytes")
+        self.pack_bytes = int(pb) if pb is not None else 32_000_000
         cols = options.get("columns")
         if cols is not None:
             req = {c.strip() for c in cols.split(",") if c.strip()}
@@ -516,6 +530,16 @@ class _FilePartition(InputPartition):
     cut: int = 0
 
 
+@dataclass
+class _PackedPartition(InputPartition):
+    """Several whole small files in one task (greedy bin-pack to
+    ~pack_bytes): decode state never crosses files, so packing is pure
+    scheduling — each file still decodes independently and emits its
+    own arrow batch."""
+
+    files: list  # [(path, cut), ...]
+
+
 class _BinlogBatchReader(DataSourceReader):
     """Partition-per-file batch scan with partial Catalyst pushdown.
 
@@ -690,6 +714,7 @@ class _BinlogBatchReader(DataSourceReader):
         ):
             paths = self._prune_by_ts(paths)
         out: list[InputPartition] = []
+        whole: list[tuple[str, int, int]] = []  # (path, cut, size)
         for p in paths:
             cut = (
                 o.since_offset
@@ -697,13 +722,14 @@ class _BinlogBatchReader(DataSourceReader):
                 and os.path.basename(p) == o.since_file
                 else 0
             )
+            size = os.path.getsize(p)
             if (
                 o.split_bytes is not None
-                and os.path.getsize(p) > o.split_bytes * 2
+                and size > o.split_bytes * 2
             ):
                 # oversized log: frame-aligned intra-file splits from a
                 # driver state walk — slices decode in parallel from
-                # shipped state.  Slice `seq` is slice-local (split
+                # shipped state (file-global seq via seq_base; split
                 # points are filter-invariant, so pushdown transparency
                 # holds; identity stays (log_file, offset, row_idx)).
                 for s in _split_file(p, o.catalog, o.split_bytes):
@@ -711,7 +737,47 @@ class _BinlogBatchReader(DataSourceReader):
                         continue  # wholly before the resume point
                     out.append(s)
             else:
-                out.append(_FilePartition(p, cut))
+                whole.append((p, cut, size))
+        if o.pack_bytes > 0 and len(whole) > 1:
+            # greedy rotation-order bin-pack.  The per-pack target
+            # balances two scales: pack_bytes caps per-task decode
+            # work (python decode is ~5 MB/s/core — a 32 MB pack is a
+            # bounded ~6 s task), while total/_PACK_MIN_FANOUT keeps
+            # SMALL scans parallel (packing a pruned 20 MB scan into
+            # one 32 MB bin would serialize it onto one core —
+            # measured: the x10 ts-range scan regressed 4x before the
+            # fan-out floor).  Each packed file still emits its own
+            # arrow batch with its own file-local seq/offsets.
+            total = sum(size for _, _, size in whole)
+            # explicit pack_bytes is always honored as the cap; the
+            # 1 MB floor only applies when it doesn't contradict it
+            target = min(
+                o.pack_bytes,
+                max(
+                    min(1_000_000, o.pack_bytes),
+                    total // _PACK_MIN_FANOUT,
+                ),
+            )
+            pack: list[tuple[str, int]] = []
+            acc = 0
+            for p, cut, size in whole:
+                if pack and acc + size > target:
+                    out.append(
+                        _PackedPartition(pack)
+                        if len(pack) > 1
+                        else _FilePartition(*pack[0])
+                    )
+                    pack, acc = [], 0
+                pack.append((p, cut))
+                acc += size
+            if pack:
+                out.append(
+                    _PackedPartition(pack)
+                    if len(pack) > 1
+                    else _FilePartition(*pack[0])
+                )
+        else:
+            out.extend(_FilePartition(p, cut) for p, cut, _ in whole)
         return out
 
     def _prune_by_ts(self, paths: list[str]) -> list[str]:
@@ -753,6 +819,10 @@ class _BinlogBatchReader(DataSourceReader):
             # file): an empty scan, not an error.
             yield _arrow_batch({c: [] for c in _ENVELOPE_COLS}, o.columns)
             return
+        if isinstance(partition, _PackedPartition):
+            for path, cut in partition.files:
+                yield self._read_file(path, cut)
+            return
         if isinstance(partition, _StreamPartition):
             # an oversized-file slice (split_bytes planning)
             events = _decode_slice(
@@ -773,9 +843,15 @@ class _BinlogBatchReader(DataSourceReader):
                 cols = _cut_offset_prefix(cols, o.since_offset)
             yield _arrow_batch(cols, o.columns)
             return
-        size = os.path.getsize(partition.path)
+        yield self._read_file(partition.path, partition.cut)
+
+    def _read_file(self, fpath: str, cut: int):
+        """Decode one whole file (offset-hi bounded read, range/image
+        pushdown, since cut) into one arrow RecordBatch."""
+        o = self._o
+        size = os.path.getsize(fpath)
         hi = self._f_off_hi
-        with open(partition.path, "rb") as fh:
+        with open(fpath, "rb") as fh:
             if hi is not None and hi + 1 < size:
                 # offset upper bound: stop the READ at the last frame
                 # that can pass the filter (frame starts are the
@@ -794,7 +870,7 @@ class _BinlogBatchReader(DataSourceReader):
             only_tables=self._effective_tables(),
             only_ops=self._effective_ops(),
             images=o.images,
-            min_row_offset=max(self._f_off_lo or 0, partition.cut),
+            min_row_offset=max(self._f_off_lo or 0, cut),
             row_ts_min=self._f_ts_lo,
             row_ts_max=self._f_ts_hi,
         )
@@ -802,7 +878,7 @@ class _BinlogBatchReader(DataSourceReader):
             # one frame starts at <= hi but extends past the bounded
             # read: complete exactly that frame (its successor starts
             # past the bound, so one round suffices)
-            with open(partition.path, "rb") as fh:
+            with open(fpath, "rb") as fh:
                 fh.seek(nxt + 9)
                 flen = int.from_bytes(fh.read(4), "little")
                 fh.seek(nxt)
@@ -819,17 +895,17 @@ class _BinlogBatchReader(DataSourceReader):
                 only_ops=self._effective_ops(),
                 images=o.images,
                 seq_base=seq,
-                min_row_offset=max(self._f_off_lo or 0, partition.cut),
+                min_row_offset=max(self._f_off_lo or 0, cut),
                 row_ts_min=self._f_ts_lo,
                 row_ts_max=self._f_ts_hi,
             )
             events += more
         cols, _ = envelope_columns(
-            events, os.path.basename(partition.path), frame_seq=True
+            events, os.path.basename(fpath), frame_seq=True
         )
-        if partition.cut:
-            cols = _cut_offset_prefix(cols, partition.cut)
-        yield _arrow_batch(cols, o.columns)
+        if cut:
+            cols = _cut_offset_prefix(cols, cut)
+        return _arrow_batch(cols, o.columns)
 
 
 # ---------------------------------------------------------------------------

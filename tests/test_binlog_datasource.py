@@ -77,6 +77,21 @@ def _key(rows: list[dict]) -> list[str]:
     )
 
 
+
+def _part_paths(parts) -> list[str]:
+    """All file paths in a partition plan, whatever the partition kind
+    (whole files, packed small-file bins, or split slices)."""
+    from mysql_cdc_spark.sources.binlog_datasource import _PackedPartition
+
+    out = []
+    for p in parts:
+        if isinstance(p, _PackedPartition):
+            out.extend(path for path, _cut in p.files)
+        else:
+            out.append(p.path)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # batch
 # ---------------------------------------------------------------------------
@@ -141,7 +156,9 @@ class TestBatch:
         kept = list(reader.pushFilters([GreaterThanOrEqual(("log_file",), files[1])]))
         assert len(kept) == 1  # partial pushdown: filter still returned
         parts = reader.partitions()
-        assert sorted(os.path.basename(p.path) for p in parts) == files[1:]
+        assert sorted(
+            os.path.basename(p) for p in _part_paths(parts)
+        ) == files[1:]
 
     def test_only_tables_option_parity(self, spark, fixture_dir):
         ds = (
@@ -1104,7 +1121,7 @@ class TestRangeAndNotNullPushdown:
         r = _BinlogBatchReader({"path": fixture_dir})
         list(r.pushFilters([LessThanOrEqual(("ts",), last_first - 1)]))
         parts = r.partitions()
-        names = {os.path.basename(p.path) for p in parts}
+        names = {os.path.basename(p) for p in _part_paths(parts)}
         assert os.path.basename(str(files[-1])) not in names
         assert os.path.basename(str(files[0])) in names
 
@@ -1381,3 +1398,76 @@ class TestSinceGtid:
         landed = next(e for e in evs if e["offset"] == pos2)
         assert landed["op"] == "gtid" and landed["gtid"].endswith(":9")
         assert gtid_set_text(applied) == f"{self.SID}:1-8"
+
+
+class TestPacking:
+    def test_small_files_pack_and_parity(self, spark, fixture_dir):
+        reader = _BinlogBatchReader({"path": fixture_dir})
+        parts = reader.partitions()
+        n_files = len(list(pathlib.Path(fixture_dir).glob("binlog.*")))
+        assert len(parts) < n_files  # genuinely packed
+        unpacked = _BinlogBatchReader(
+            {"path": fixture_dir, "pack_bytes": "0"}
+        ).partitions()
+        assert len(unpacked) == n_files
+        packed_df = (
+            spark.read.format("mysql_binlog").load(fixture_dir)
+        )
+        plain_df = (
+            spark.read.format("mysql_binlog")
+            .option("pack_bytes", "0")
+            .load(fixture_dir)
+        )
+        assert sorted(packed_df.collect()) == sorted(plain_df.collect())
+
+    def test_pack_respects_budget_and_order(self, tmp_path):
+        d = tmp_path / "many"
+        d.mkdir()
+        sizes = {}
+        for k in range(10):
+            w = BinlogWriter(checksum="crc32")
+            for i in range(5):
+                _txn(w, k * 5 + i)
+            name = f"binlog.{k:06d}"
+            (d / name).write_bytes(bytes(w.buf))
+            sizes[name] = len(w.buf)
+        one = sizes["binlog.000000"]
+        reader = _BinlogBatchReader(
+            {"path": str(d), "pack_bytes": str(one * 3)}
+        )
+        parts = reader.partitions()
+        from mysql_cdc_spark.sources.binlog_datasource import (
+            _PackedPartition,
+        )
+
+        assert 3 <= len(parts) <= 5
+        got = _part_paths(parts)
+        assert [os.path.basename(p) for p in got] == sorted(sizes)
+        for p in parts:
+            if isinstance(p, _PackedPartition):
+                assert sum(sizes[os.path.basename(f)] for f, _ in p.files) <= one * 3
+
+    def test_pack_composes_with_since_and_filters(self, spark, fixture_dir):
+        files = sorted(
+            os.path.basename(p)
+            for p in pathlib.Path(fixture_dir).glob("binlog.*")
+        )
+        boundary = files[len(files) // 2]
+        cut = os.path.getsize(os.path.join(fixture_dir, boundary)) // 2
+        cond = "db = 'foo' AND op = 'write_rows'"
+        a = (
+            spark.read.format("mysql_binlog")
+            .option("since_file", boundary)
+            .option("since_offset", str(cut))
+            .load(fixture_dir)
+            .filter(cond)
+        )
+        b = (
+            spark.read.format("mysql_binlog")
+            .option("pack_bytes", "0")
+            .option("since_file", boundary)
+            .option("since_offset", str(cut))
+            .load(fixture_dir)
+            .filter(cond)
+        )
+        assert sorted(a.collect()) == sorted(b.collect())
