@@ -540,6 +540,16 @@ class _PackedPartition(InputPartition):
     files: list  # [(path, cut), ...]
 
 
+@dataclass
+class _PackedStreamPartition(InputPartition):
+    """The stream-side twin: several whole-file catch-up slices in one
+    task.  A deep backlog (thousands of rotated files in one trigger's
+    range) hits the same task-wave floor the batch scan did; packing
+    is again pure scheduling — each slice decodes independently."""
+
+    slices: list  # [_StreamPartition, ...]
+
+
 class _BinlogBatchReader(DataSourceReader):
     """Partition-per-file batch scan with partial Catalyst pushdown.
 
@@ -1168,6 +1178,9 @@ class _BinlogStreamReader(DataSourceStreamReader):
         # fall back to getsize under the rotated-files-are-immutable
         # assumption that was previously implicit.
         ends = end.get("ends", {})
+        # whole-file catch-up slices eligible for bin-packing:
+        # (index into out, byte size)
+        packable: list[tuple[int, int]] = []
         for p in paths:
             name = os.path.basename(p)
             if (s_file and name < s_file) or name > end["file"]:
@@ -1196,6 +1209,7 @@ class _BinlogStreamReader(DataSourceStreamReader):
                     )
                     continue
                 out.append(_StreamPartition(p, name, s, e))
+                packable.append((len(out) - 1, e - s))
             else:
                 st = self._plan_state.get((name, s))
                 if st is not None:
@@ -1211,6 +1225,36 @@ class _BinlogStreamReader(DataSourceStreamReader):
                     out.append(
                         _StreamPartition(p, name, s, e, prefix_replay=True)
                     )
+        if o.pack_bytes > 0 and len(packable) > 1:
+            # same packing policy as the batch scan (cap + fan-out
+            # floor); only whole-file slices pack — mid-file resume
+            # and split slices stay standalone
+            total = sum(sz for _, sz in packable)
+            target = min(
+                o.pack_bytes,
+                max(min(1_000_000, o.pack_bytes), total // _PACK_MIN_FANOUT),
+            )
+            packed: list[InputPartition] = []
+            keep = set()
+            group: list[_StreamPartition] = []
+            acc = 0
+            for idx, sz in packable:
+                if group and acc + sz > target:
+                    packed.append(
+                        _PackedStreamPartition(group)
+                        if len(group) > 1 else group[0]
+                    )
+                    group, acc = [], 0
+                group.append(out[idx])
+                keep.add(idx)
+                acc += sz
+            if group:
+                packed.append(
+                    _PackedStreamPartition(group)
+                    if len(group) > 1 else group[0]
+                )
+            rest = [p for i, p in enumerate(out) if i not in keep]
+            return rest + packed
         return out
 
     def commit(self, end: dict) -> None:
@@ -1223,12 +1267,18 @@ class _BinlogStreamReader(DataSourceStreamReader):
 
     def read(self, partition: _StreamPartition) -> Iterator:
         o = self._o
-        events = _decode_slice(
-            partition, o.catalog, o.on_error, o.only_tables, o.only_ops,
-            o.images,
+        slices = (
+            partition.slices
+            if isinstance(partition, _PackedStreamPartition)
+            else [partition]
         )
-        cols, _ = envelope_columns(events, partition.log_file, frame_seq=True)
-        yield _arrow_batch(cols, o.columns)
+        for sl in slices:
+            events = _decode_slice(
+                sl, o.catalog, o.on_error, o.only_tables, o.only_ops,
+                o.images,
+            )
+            cols, _ = envelope_columns(events, sl.log_file, frame_seq=True)
+            yield _arrow_batch(cols, o.columns)
 
     def stop(self) -> None:
         self._plan_state.clear()

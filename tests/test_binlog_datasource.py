@@ -1471,3 +1471,69 @@ class TestPacking:
             .filter(cond)
         )
         assert sorted(a.collect()) == sorted(b.collect())
+
+
+class TestStreamPacking:
+    def test_deep_backlog_packs_and_parity(self, tmp_path):
+        from mysql_cdc_spark.sources.binlog_datasource import (
+            _PackedStreamPartition,
+        )
+
+        d = tmp_path / "deep"
+        d.mkdir()
+        writers = []
+        for k in range(30):
+            w = BinlogWriter(checksum="crc32")
+            for i in range(3):
+                _txn(w, k * 3 + i)
+            if k < 29:
+                w.write_rotate(f"binlog.{k + 1:06d}")
+            (d / f"binlog.{k:06d}").write_bytes(bytes(w.buf))
+            writers.append(w)
+
+        # explicit small pack budget so the tiny fixture genuinely packs
+        one = os.path.getsize(d / "binlog.000000")
+        r = _BinlogStreamReader(
+            {"path": str(d), "catalog": _CAT_JSON,
+             "pack_bytes": str(one * 8)}
+        )
+        start = r.initialOffset()
+        end = r.latestOffset()
+        parts = r.partitions(start, end)
+        assert any(isinstance(p, _PackedStreamPartition) for p in parts)
+        assert len(parts) < 30  # genuinely fewer tasks than files
+        rows = _rows(b for p in parts for b in [*r.read(p)])
+        expect = 0
+        for k, w in enumerate(writers):
+            evs = decode_binlog(bytes(w.buf), _CAT)
+            cols, _ = bs.envelope_columns(evs, f"binlog.{k:06d}")
+            expect += len(cols["op"])
+        assert len(rows) == expect
+        # identity intact per file
+        assert len({(x["log_file"], x["offset"], x["row_idx"]) for x in rows}) == expect
+
+    def test_mid_file_resume_slice_never_packs(self, live_dir):
+        from mysql_cdc_spark.sources.binlog_datasource import (
+            _PackedStreamPartition, _StreamPartition,
+        )
+
+        w = BinlogWriter(checksum="crc32")
+        _txn(w, 0)
+        with open(f"{live_dir}/binlog.000000", "wb") as fh:
+            fh.write(bytes(w.buf))
+        r = _BinlogStreamReader(
+            {"path": live_dir, "catalog": _CAT_JSON, "pack_bytes": "1000000"}
+        )
+        r.initialOffset()
+        mid = r.latestOffset()
+        r.commit(mid)
+        for i in range(1, 4):
+            _txn(w, i)
+        with open(f"{live_dir}/binlog.000000", "wb") as fh:
+            fh.write(bytes(w.buf))
+        end = r.latestOffset()
+        parts = r.partitions(mid, end)
+        assert len(parts) == 1
+        assert isinstance(parts[0], _StreamPartition)
+        assert not isinstance(parts[0], _PackedStreamPartition)
+        assert parts[0].start == mid["pos"]  # mid-file slice standalone
