@@ -208,7 +208,10 @@ def encode_decimal(text: str, precision: int, scale: int) -> bytes:
     ip = (ip or "0").lstrip("0") or "0"
     fp = fp[:scale] if len(fp) > scale else fp
     intg = precision - scale
-    if len(ip) > intg:
+    # ip == "0" stores no integer digits, so it fits ANY width —
+    # including DECIMAL(p, p) where intg == 0 (found by the r17 width
+    # fuzz: encode rejected "0.7" as DECIMAL(1,1), a legal MySQL value)
+    if ip != "0" and len(ip) > intg:
         raise ValueError(f"integer part {ip!r} exceeds DECIMAL({precision},{scale})")
     if int(ip) == 0 and int(fp or "0") == 0:
         neg = False  # normalize -0

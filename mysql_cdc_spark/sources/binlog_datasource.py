@@ -1544,6 +1544,13 @@ class BinlogDataSource(DataSource):
       PREVIOUS_GTIDS snapshots + one state-only walk — survives a
       failover that resets file names, which file+pos cannot
     * ``max_bytes_per_batch``  stream backpressure bound per trigger
+    * ``pack_bytes``  small-file bin-packing budget (default 32 MB;
+      "0" disables): whole small files / catch-up slices pack into
+      ~min(pack_bytes, total/128) tasks so a directory of thousands
+      of rotated logs is decode-bound, not task-wave-bound
+    * ``ts_file_pruning``  "false" disables the O(1) first-payload-
+      timestamp file prune that pushed ts ranges use (the frame-level
+      skip stays on — it needs no monotonicity assumption)
     * ``columns``     projection pruning BELOW decode: narrows the
       scan schema to the listed envelope columns (canonical order)
       and, when neither/only one image column is projected, the codec
