@@ -409,6 +409,8 @@ def read_binlog_envelope(
     only_tables: set[tuple[str, str]] | None = None,
     since: tuple[str, int] | None = None,
     only_ops: set[str] | None = None,
+    images: str = "both",
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """Decode every binlog file under `path` into envelope records
     (one record per row image pair; non-row events emit one record).
@@ -433,12 +435,54 @@ def read_binlog_envelope(
     those earlier bytes establish (the tailer journals that state for
     true mid-file resume; the batch scan re-derives it from the file
     head).  Composes with ``only_tables``.
+
+    ``images``/``columns`` (r17): the same projection pruning the
+    mysql_binlog DataSource exposes as .option("columns", ...), on
+    THIS scan protocol — the binaryFile route is the object-store
+    path (s3a://, hdfs://), and a 100 TB consumer there needs the
+    narrow-aggregate-over-wide-table win just as much.  ``columns``
+    narrows the output schema (canonical envelope order); ``images``
+    defaults from it (un-projected image sides are width-walked in
+    the codec, never materialized).
     """
+    if columns is not None:
+        if since is not None:
+            # the boundary cut filters on (log_file, offset) — they
+            # must survive the projection; callers drop them after
+            need = {"log_file", "offset"} - set(columns)
+            if need:
+                raise ValueError(
+                    "columns= with since= must include log_file and "
+                    f"offset (missing {sorted(need)}) — the boundary "
+                    "cut filters on them; drop them after the scan"
+                )
+        unknown = sorted(set(columns) - set(_ENVELOPE_COLS))
+        if unknown:
+            raise ValueError(
+                f"unknown envelope columns {unknown}; "
+                f"valid: {list(_ENVELOPE_COLS)}"
+            )
+        columns = [c for c in _ENVELOPE_COLS if c in set(columns)]
+        if images == "both":
+            b, a = "before" in columns, "after" in columns
+            images = (
+                "both" if (b and a)
+                else "before" if b
+                else "after" if a
+                else "none"
+            )
+    out_cols = tuple(columns) if columns is not None else _ENVELOPE_COLS
+    out_schema = (
+        BINLOG_ENVELOPE_SCHEMA if columns is None
+        else T.StructType(
+            [f for f in BINLOG_ENVELOPE_SCHEMA.fields if f.name in set(columns)]
+        )
+    )
     if since is not None:
         paths = _list_log_files(path, since[0], spark)
         if not paths:
             # nothing at or past the resume point: empty envelope
-            return spark.createDataFrame([], BINLOG_ENVELOPE_SCHEMA)
+            return spark.createDataFrame([], out_schema)
         reader = spark.read.format("binaryFile").load(paths)
     else:
         reader = spark.read.format("binaryFile").load(path)
@@ -459,25 +503,27 @@ def read_binlog_envelope(
 
     def decode_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            parts: dict[str, list] = {c: [] for c in _ENVELOPE_COLS}
+            parts: dict[str, list] = {c: [] for c in out_cols}
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 log_file = str(fpath).rsplit("/", 1)[-1]
                 cols, _ = envelope_columns(
                     decode_binlog(
                         bytes(content), cat, on_error=on_error,
                         only_tables=only_tables, only_ops=only_ops,
+                        images=images,
                     ),
                     log_file,
                 )
-                for c in _ENVELOPE_COLS:
+                for c in out_cols:
                     parts[c].extend(cols[c])
             for c in ("xid", "thread_id", "exec_time", "error_code"):
                 # nullable ints must not coerce to float64 (the
                 # None+int pandas trap — 64-bit values would round)
-                parts[c] = pd.array(parts[c], dtype="Int64")
-            yield pd.DataFrame(parts, columns=list(_ENVELOPE_COLS))
+                if c in parts:
+                    parts[c] = pd.array(parts[c], dtype="Int64")
+            yield pd.DataFrame(parts, columns=list(out_cols))
 
-    env = files.mapInPandas(decode_part, BINLOG_ENVELOPE_SCHEMA)
+    env = files.mapInPandas(decode_part, out_schema)
     if since is not None:
         # boundary-file cut: later files pass whole, the resume file
         # passes from the journaled offset (narrow filter, no shuffle)

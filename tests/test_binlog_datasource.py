@@ -1537,3 +1537,42 @@ class TestStreamPacking:
         assert isinstance(parts[0], _StreamPartition)
         assert not isinstance(parts[0], _PackedStreamPartition)
         assert parts[0].start == mid["pos"]  # mid-file slice standalone
+
+
+class TestBinaryFileRoutePruning:
+    """read_binlog_envelope (the binaryFile / object-store protocol)
+    carries the same images/columns pruning as the DataSource — the
+    two scan routes must agree narrowed exactly as they do full."""
+
+    def test_columns_parity_with_datasource(self, spark, fixture_dir):
+        cols = ["log_file", "offset", "db", "tbl", "op", "row_idx"]
+        bf = bs.read_binlog_envelope(spark, fixture_dir, columns=cols)
+        assert bf.columns == cols
+        ds = (
+            spark.read.format("mysql_binlog")
+            .option("columns", ",".join(cols))
+            .load(fixture_dir)
+        )
+        assert sorted(bf.collect()) == sorted(ds.collect())
+
+    def test_single_image_side(self, spark, fixture_dir):
+        cols = ["log_file", "offset", "op", "row_idx", "after"]
+        bf = bs.read_binlog_envelope(spark, fixture_dir, columns=cols)
+        full = bs.read_binlog_envelope(spark, fixture_dir)
+        assert (
+            sorted(bf.collect())
+            == sorted(full.select(*cols).collect())
+        )
+
+    def test_since_requires_cut_columns(self, spark, fixture_dir):
+        with pytest.raises(ValueError, match="must include log_file"):
+            bs.read_binlog_envelope(
+                spark, fixture_dir,
+                since=("binlog.000000", 4), columns=["op"],
+            )
+        ok = bs.read_binlog_envelope(
+            spark, fixture_dir,
+            since=("binlog.000001", 4),
+            columns=["log_file", "offset", "op"],
+        )
+        assert ok.count() > 0
