@@ -197,6 +197,40 @@ def main() -> None:
             ds_best = min(ds_best, time.perf_counter() - t0)
     datasource_scan_sec = round(ds_best, 4)
 
+    # r17 scan pushdowns, tracked per round: the columns-pruned narrow
+    # aggregate (projection pruning below decode) and the last-10%-by-
+    # time range scan (ts file pruning + frame skip).  Regressions in
+    # either show up here without waiting for the x100 sweep.
+    from pyspark.sql import functions as SF
+
+    def best_of(fn, reps=3):
+        best = float("inf")
+        for i in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            if i:
+                best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
+
+    ds_narrow_sec = best_of(
+        lambda: spark.read.format("mysql_binlog")
+        .option("columns", "log_file,offset,op")
+        .load(str(bl_dir))
+        .groupBy("op").count()
+        .write.format("noop").mode("overwrite").save()
+    )
+    tmax = (
+        spark.read.format("mysql_binlog")
+        .option("columns", "ts").load(str(bl_dir))
+        .agg(SF.max("ts")).collect()[0][0]
+    )
+    ds_ts_range_sec = best_of(
+        lambda: spark.read.format("mysql_binlog")
+        .load(str(bl_dir))
+        .filter(f"ts >= {int(tmax * 0.9)}")
+        .write.format("noop").mode("overwrite").save()
+    )
+
     # Round 1's self-calibrated baseline (6.27s, BENCH_r01) covered
     # exactly these five queries; the headline set has since grown
     # (dedup/KNN/text shapes), so report the like-for-like subtotal
@@ -223,6 +257,8 @@ def main() -> None:
                 "codec_rows_per_sec": codec_rows_per_sec,
                 "pushdown_decode": pushdown_decode,
                 "datasource_scan_sec": datasource_scan_sec,
+                "datasource_narrow_sec": ds_narrow_sec,
+                "datasource_ts_range_sec": ds_ts_range_sec,
                 "sf": sf,
             }
         )
