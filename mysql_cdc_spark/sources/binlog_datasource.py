@@ -352,36 +352,54 @@ def _resolve_since_gtid(o: _Opts) -> None:
     )
     if hit is not None:
         o.since_file, o.since_offset = hit
+    o.since_gtid = None  # resolved once; repeated calls are no-ops
 
 
-def _file_first_ts(path: str) -> int | None:
-    """Timestamp of the file's first PAYLOAD event from an O(1) header
-    peek: walk the first few frame headers (19 bytes each: LE32 ts,
-    type u8, ..., LE32 event_len at offset 9) and return the first
-    timestamp not belonging to a log-artifact event — the FDE,
-    PREVIOUS_GTIDS and ROTATE carry bookkeeping timestamps (often 0)
-    that say nothing about the data's time range.  Bounded to one 4 KB
-    read; None (= never prune) when no payload event starts there."""
+def _file_head_ts(path: str) -> tuple[int | None, int | None]:
+    """(first payload ts, min head ts) from an O(1) header peek: walk
+    the first few frame headers (19 bytes each: LE32 ts, type u8, ...,
+    LE32 event_len at offset 9).  The FIRST PAYLOAD timestamp skips
+    log-artifact events (FDE/PREVIOUS_GTIDS/ROTATE carry bookkeeping
+    timestamps, often 0, that say nothing about the data's range) and
+    anchors the LOWER-bound prune.  The MIN over every walked header
+    whose op can SURFACE in the envelope (previous_gtids yes; FDE and
+    ROTATE never emit rows, so their bookkeeping timestamps are
+    irrelevant) anchors the UPPER-bound prune: a ``ts <= hi`` query
+    can match a previous_gtids row written with ts 0, so pruning on
+    payload ts alone would drop rows the re-filter keeps (found in
+    the r17 review).  Bounded to one 4 KB read; (None, None) when nothing
+    decodable starts there."""
     try:
         with open(path, "rb") as fh:
             fh.seek(_DATA_START)
             head = fh.read(4096)
     except OSError:
-        return None
+        return None, None
     artifacts = (
         FORMAT_DESCRIPTION_EVENT, PREVIOUS_GTIDS_EVENT, ROTATE_EVENT,
     )
     pos = 0
+    first_payload: int | None = None
+    min_ts: int | None = None
     while pos + HEADER_LEN <= len(head):
         ts = int.from_bytes(head[pos:pos + 4], "little")
         type_code = head[pos + 4]
         event_len = int.from_bytes(head[pos + 9:pos + 13], "little")
         if event_len < HEADER_LEN:
-            return None
+            break
+        if type_code not in (FORMAT_DESCRIPTION_EVENT, ROTATE_EVENT):
+            # only ops that can surface as envelope rows participate
+            min_ts = ts if min_ts is None else min(min_ts, ts)
         if type_code not in artifacts:
-            return ts
+            first_payload = ts
+            break
         pos += event_len
-    return None
+    return first_payload, min_ts
+
+
+def _file_first_ts(path: str) -> int | None:
+    """First payload timestamp (see :func:`_file_head_ts`)."""
+    return _file_head_ts(path)[0]
 
 
 def _scan_state_events(events: list[dict], alg: str | None) -> str | None:
@@ -634,6 +652,13 @@ class _BinlogBatchReader(DataSourceReader):
                 elif isinstance(f, LessThanOrEqual):
                     self._f_file_hi = (f.value, True)
             elif isinstance(f, IsNotNull) and col in _NOTNULL_OPS:
+                if col in ("sql", "xid") and self._o.on_error == "quarantine":
+                    # quarantine rows CARRY sql (the dead-letter
+                    # reason) and are produced by row-body decode —
+                    # skipping row bodies under 'sql IS NOT NULL'
+                    # would hide exactly the rows a dead-letter audit
+                    # queries for (r17 review)
+                    continue
                 ops = _NOTNULL_OPS[col]
                 self._f_notnull_ops = (
                     ops if self._f_notnull_ops is None
@@ -802,14 +827,18 @@ class _BinlogBatchReader(DataSourceReader):
         the NEXT file's first timestamp is strictly below it (every
         event in f precedes the successor's first event); out above an
         upper bound when f's OWN first timestamp exceeds it."""
-        firsts = [_file_first_ts(p) for p in paths]
+        heads = [_file_head_ts(p) for p in paths]
+        firsts = [h[0] for h in heads]
         keep = []
         for i, p in enumerate(paths):
             if (
                 self._f_ts_hi is not None
-                and firsts[i] is not None
-                and firsts[i] > self._f_ts_hi
+                and heads[i][1] is not None
+                and heads[i][1] > self._f_ts_hi
             ):
+                # upper bound compares the MIN head timestamp
+                # (artifacts included): an artifact envelope row with
+                # a small ts must keep its file in the scan
                 continue
             if (
                 self._f_ts_lo is not None
@@ -867,8 +896,10 @@ class _BinlogBatchReader(DataSourceReader):
                 # that can pass the filter (frame starts are the
                 # envelope offsets, monotone by construction) — the
                 # same [start, end) cut since= uses.  A frame
-                # straddling the bound is completed below.
-                data = fh.read(hi + 1)
+                # straddling the bound is completed below.  Clamp to
+                # the 4-byte magic: a bound below it (offset <= 0)
+                # must yield an EMPTY scan, not a bad-magic error.
+                data = fh.read(max(hi + 1, _DATA_START))
             else:
                 data = fh.read()
         events, nxt, tmap, seq = decode_binlog_incremental(
@@ -942,7 +973,11 @@ class _BinlogStreamReader(DataSourceStreamReader):
 
     def __init__(self, options: dict) -> None:
         self._o = _Opts(options)
-        _resolve_since_gtid(self._o)
+        # since_gtid resolves lazily in initialOffset(): only a FRESH
+        # query needs it, and a checkpoint restart never calls
+        # initialOffset — resolving here would read boundary files
+        # driver-side on every restart for a value that is discarded
+        # (r17 review).
         # Live driver walk (per query run; rebuilt after restart).
         self._cur: dict | None = None
         self._alg: str | None = None
@@ -970,6 +1005,7 @@ class _BinlogStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         self._trace("initialOffset")
+        _resolve_since_gtid(self._o)
         o = self._o
         if o.since_file is not None:
             return {"file": o.since_file, "pos": o.since_offset}

@@ -1576,3 +1576,79 @@ class TestBinaryFileRoutePruning:
             columns=["log_file", "offset", "op"],
         )
         assert ok.count() > 0
+
+
+class TestReviewRegressions:
+    """r17 review findings, pinned."""
+
+    def test_offset_bound_below_magic_is_empty_not_error(
+        self, spark, fixture_dir
+    ):
+        for cond in ("offset = 0", "offset <= 2", "offset < 3"):
+            got = (
+                spark.read.format("mysql_binlog")
+                .load(fixture_dir)
+                .filter(cond)
+                .collect()
+            )
+            assert got == [], cond  # no frame starts below the magic
+
+    def test_ts_hi_prune_keeps_artifact_rows(self, spark, tmp_path):
+        # previous_gtids rows surface in the envelope and are often
+        # written with bookkeeping ts (0 here); an upper-bound prune
+        # keyed on payload ts alone would drop the file — and with it
+        # rows the re-filter keeps.  Transparency must hold.
+        d = tmp_path / "art"
+        d.mkdir()
+        SID = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+        w = BinlogWriter(checksum="crc32")
+        w.write_previous_gtids({SID: [(1, 3)]})  # ts = 0
+        for i in range(3):
+            w.write_query("foo", "BEGIN", ts=5000 + i)
+            w.write_table_map(_T, ts=5000 + i)
+            w.write_rows(WRITE_ROWS_EVENT, _T, [[i, f"v{i}"]], ts=5000 + i)
+            w.write_xid(100 + i, ts=5000 + i)
+        (d / "binlog.000000").write_bytes(bytes(w.buf))
+        register_binlog_source(spark)
+        cond = "ts <= 100"  # below every payload ts, above the artifact's
+        pruned = (
+            spark.read.format("mysql_binlog")
+            .option("catalog", _CAT_JSON)
+            .load(str(d)).filter(cond).collect()
+        )
+        plain = (
+            spark.read.format("mysql_binlog")
+            .option("catalog", _CAT_JSON)
+            .option("ts_file_pruning", "false")
+            .load(str(d)).filter(cond).collect()
+        )
+        assert sorted(pruned) == sorted(plain)
+        assert len(pruned) == 1 and pruned[0].op == "previous_gtids"
+
+    def test_isnotnull_sql_does_not_hide_quarantine_rows(
+        self, spark, tmp_path
+    ):
+        # checksum-FREE log with a corrupt row body: quarantine rows
+        # carry the reason in sql, so 'sql IS NOT NULL' must return
+        # them — the IsNotNull→only_ops mapping is disabled for
+        # sql/xid under on_error=quarantine
+        d = tmp_path / "q"
+        d.mkdir()
+        w = BinlogWriter()  # no CRC framing: body corruption is real
+        _txn(w, 0)
+        data = bytearray(w.buf)
+        ref = decode_binlog(bytes(w.buf), _CAT)
+        poison = next(e for e in ref if e["op"] == "write_rows")
+        # corrupt the declared column-count varint inside the body
+        data[poison["offset"] + 19 + 8] = 0xC7
+        (d / "binlog.000000").write_bytes(bytes(data))
+        register_binlog_source(spark)
+        rows = (
+            spark.read.format("mysql_binlog")
+            .option("catalog", _CAT_JSON)
+            .option("on_error", "quarantine")
+            .load(str(d))
+            .filter("sql IS NOT NULL")
+            .collect()
+        )
+        assert any(r.op == "quarantine" for r in rows), rows
