@@ -101,6 +101,9 @@ from mysql_cdc_spark.sources.binlog_source import (
     _ENVELOPE_COLS,
     _list_log_files,
     envelope_columns,
+    images_for_columns,
+    narrowed_envelope_schema,
+    normalize_envelope_columns,
 )
 
 # Where useful event bytes start in every binlog file: 4-byte magic.
@@ -110,6 +113,33 @@ _DATA_START = 4
 # (unless the 1 MB per-pack floor binds first): keeps pruned/small
 # scans parallel while pack_bytes bounds per-task work at scale.
 _PACK_MIN_FANOUT = 128
+
+
+def _bin_pack(items: list, sizes: list, pack_bytes: int) -> list:
+    """Greedy order-preserving bin-pack shared by the batch scan and
+    the stream catch-up planner.  Per-bin target =
+    min(pack_bytes, max(1 MB floor, total / _PACK_MIN_FANOUT)):
+    pack_bytes caps per-task decode work at scale, the fan-out floor
+    keeps small/pruned scans parallel, and an explicit pack_bytes
+    below the floor is honored as given.  Returns a list of bins
+    (lists of items)."""
+    total = sum(sizes)
+    target = min(
+        pack_bytes,
+        max(min(1_000_000, pack_bytes), total // _PACK_MIN_FANOUT),
+    )
+    bins: list = []
+    cur: list = []
+    acc = 0
+    for it, sz in zip(items, sizes):
+        if cur and acc + sz > target:
+            bins.append(cur)
+            cur, acc = [], 0
+        cur.append(it)
+        acc += sz
+    if cur:
+        bins.append(cur)
+    return bins
 
 # IsNotNull(col) → the set of ROW ops that can satisfy it.  Envelope
 # row-change rows never carry sql/xid (those live on query/xid/gtid/...
@@ -222,32 +252,16 @@ class _Opts:
         self.pack_bytes = int(pb) if pb is not None else 32_000_000
         cols = options.get("columns")
         if cols is not None:
-            req = {c.strip() for c in cols.split(",") if c.strip()}
-            unknown = sorted(req - set(_ENVELOPE_COLS))
-            if unknown:
-                raise ValueError(
-                    f"unknown envelope columns {unknown}; valid: "
-                    f"{list(_ENVELOPE_COLS)}"
-                )
-            # canonical envelope order, not option order
-            self.columns = [c for c in _ENVELOPE_COLS if c in req]
+            self.columns = normalize_envelope_columns(
+                [c.strip() for c in cols.split(",") if c.strip()]
+            )
         else:
             self.columns = None
 
     @property
     def images(self) -> str:
         """Codec image mode implied by the projection."""
-        if self.columns is None:
-            return "both"
-        b = "before" in self.columns
-        a = "after" in self.columns
-        if b and a:
-            return "both"
-        if b:
-            return "before"
-        if a:
-            return "after"
-        return "none"
+        return images_for_columns(self.columns)
 
 
 # ---------------------------------------------------------------------------
@@ -774,42 +788,21 @@ class _BinlogBatchReader(DataSourceReader):
             else:
                 whole.append((p, cut, size))
         if o.pack_bytes > 0 and len(whole) > 1:
-            # greedy rotation-order bin-pack.  The per-pack target
-            # balances two scales: pack_bytes caps per-task decode
-            # work (python decode is ~5 MB/s/core — a 32 MB pack is a
-            # bounded ~6 s task), while total/_PACK_MIN_FANOUT keeps
-            # SMALL scans parallel (packing a pruned 20 MB scan into
-            # one 32 MB bin would serialize it onto one core —
-            # measured: the x10 ts-range scan regressed 4x before the
-            # fan-out floor).  Each packed file still emits its own
-            # arrow batch with its own file-local seq/offsets.
-            total = sum(size for _, _, size in whole)
-            # explicit pack_bytes is always honored as the cap; the
-            # 1 MB floor only applies when it doesn't contradict it
-            target = min(
+            # rotation-order bin-pack (shared policy: _bin_pack).
+            # Each packed file still emits its own arrow batch with
+            # its own file-local seq/offsets.  Measured: the x100 scan
+            # was task-wave-bound at one-partition-per-file; the first
+            # cut WITHOUT the fan-out floor serialized a pruned 20 MB
+            # scan onto one core (4x regression) — both in PLANS r17.
+            for bin_ in _bin_pack(
+                [(p, cut) for p, cut, _ in whole],
+                [size for _, _, size in whole],
                 o.pack_bytes,
-                max(
-                    min(1_000_000, o.pack_bytes),
-                    total // _PACK_MIN_FANOUT,
-                ),
-            )
-            pack: list[tuple[str, int]] = []
-            acc = 0
-            for p, cut, size in whole:
-                if pack and acc + size > target:
-                    out.append(
-                        _PackedPartition(pack)
-                        if len(pack) > 1
-                        else _FilePartition(*pack[0])
-                    )
-                    pack, acc = [], 0
-                pack.append((p, cut))
-                acc += size
-            if pack:
+            ):
                 out.append(
-                    _PackedPartition(pack)
-                    if len(pack) > 1
-                    else _FilePartition(*pack[0])
+                    _PackedPartition(bin_)
+                    if len(bin_) > 1
+                    else _FilePartition(*bin_[0])
                 )
         else:
             out.extend(_FilePartition(p, cut) for p, cut, _ in whole)
@@ -1262,32 +1255,19 @@ class _BinlogStreamReader(DataSourceStreamReader):
                         _StreamPartition(p, name, s, e, prefix_replay=True)
                     )
         if o.pack_bytes > 0 and len(packable) > 1:
-            # same packing policy as the batch scan (cap + fan-out
-            # floor); only whole-file slices pack — mid-file resume
-            # and split slices stay standalone
-            total = sum(sz for _, sz in packable)
-            target = min(
-                o.pack_bytes,
-                max(min(1_000_000, o.pack_bytes), total // _PACK_MIN_FANOUT),
-            )
+            # same packing policy as the batch scan (_bin_pack); only
+            # whole-file slices pack — mid-file resume and split
+            # slices stay standalone
+            keep = {idx for idx, _ in packable}
             packed: list[InputPartition] = []
-            keep = set()
-            group: list[_StreamPartition] = []
-            acc = 0
-            for idx, sz in packable:
-                if group and acc + sz > target:
-                    packed.append(
-                        _PackedStreamPartition(group)
-                        if len(group) > 1 else group[0]
-                    )
-                    group, acc = [], 0
-                group.append(out[idx])
-                keep.add(idx)
-                acc += sz
-            if group:
+            for bin_ in _bin_pack(
+                [out[idx] for idx, _ in packable],
+                [sz for _, sz in packable],
+                o.pack_bytes,
+            ):
                 packed.append(
-                    _PackedStreamPartition(group)
-                    if len(group) > 1 else group[0]
+                    _PackedStreamPartition(bin_)
+                    if len(bin_) > 1 else bin_[0]
                 )
             rest = [p for i, p in enumerate(out) if i not in keep]
             return rest + packed
@@ -1601,13 +1581,7 @@ class BinlogDataSource(DataSource):
         return "mysql_binlog"
 
     def schema(self) -> StructType:
-        cols = _Opts(dict(self.options)).columns
-        if cols is None:
-            return BINLOG_ENVELOPE_SCHEMA
-        keep = set(cols)
-        return StructType(
-            [f for f in BINLOG_ENVELOPE_SCHEMA.fields if f.name in keep]
-        )
+        return narrowed_envelope_schema(_Opts(dict(self.options)).columns)
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _BinlogBatchReader(dict(self.options))

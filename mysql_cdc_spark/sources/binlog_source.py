@@ -401,6 +401,46 @@ def _list_log_files(
     return [p for _, p in pairs]
 
 
+def normalize_envelope_columns(columns: list[str]) -> list[str]:
+    """Validate a projection against the envelope and return it in
+    canonical envelope order (shared by both scan protocols — the
+    mysql_binlog DataSource's columns= option and
+    read_binlog_envelope's columns= parameter)."""
+    unknown = sorted(set(columns) - set(_ENVELOPE_COLS))
+    if unknown:
+        raise ValueError(
+            f"unknown envelope columns {unknown}; "
+            f"valid: {list(_ENVELOPE_COLS)}"
+        )
+    keep = set(columns)
+    return [c for c in _ENVELOPE_COLS if c in keep]
+
+
+def images_for_columns(columns: list[str] | None) -> str:
+    """Codec image mode implied by a projection: sides the projection
+    never reads are width-walked, not materialized."""
+    if columns is None:
+        return "both"
+    b, a = "before" in columns, "after" in columns
+    if b and a:
+        return "both"
+    if b:
+        return "before"
+    if a:
+        return "after"
+    return "none"
+
+
+def narrowed_envelope_schema(columns: list[str] | None) -> T.StructType:
+    """The envelope schema restricted to a (normalized) projection."""
+    if columns is None:
+        return BINLOG_ENVELOPE_SCHEMA
+    keep = set(columns)
+    return T.StructType(
+        [f for f in BINLOG_ENVELOPE_SCHEMA.fields if f.name in keep]
+    )
+
+
 def read_binlog_envelope(
     spark: SparkSession,
     path: str,
@@ -456,28 +496,11 @@ def read_binlog_envelope(
                     f"offset (missing {sorted(need)}) — the boundary "
                     "cut filters on them; drop them after the scan"
                 )
-        unknown = sorted(set(columns) - set(_ENVELOPE_COLS))
-        if unknown:
-            raise ValueError(
-                f"unknown envelope columns {unknown}; "
-                f"valid: {list(_ENVELOPE_COLS)}"
-            )
-        columns = [c for c in _ENVELOPE_COLS if c in set(columns)]
+        columns = normalize_envelope_columns(columns)
         if images == "both":
-            b, a = "before" in columns, "after" in columns
-            images = (
-                "both" if (b and a)
-                else "before" if b
-                else "after" if a
-                else "none"
-            )
+            images = images_for_columns(columns)
     out_cols = tuple(columns) if columns is not None else _ENVELOPE_COLS
-    out_schema = (
-        BINLOG_ENVELOPE_SCHEMA if columns is None
-        else T.StructType(
-            [f for f in BINLOG_ENVELOPE_SCHEMA.fields if f.name in set(columns)]
-        )
-    )
+    out_schema = narrowed_envelope_schema(columns)
     if since is not None:
         paths = _list_log_files(path, since[0], spark)
         if not paths:
