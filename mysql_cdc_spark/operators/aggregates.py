@@ -131,7 +131,15 @@ def apply_changes(snapshot: DataFrame, rows_dt_batch: DataFrame) -> DataFrame:
     co-locate and the join never reshuffles the big side; the batch
     side is one map-side-combined aggregate of the NEW data only.
     Equivalence with full recompute is oracle-checked
-    (cdc_incremental_state)."""
+    (cdc_incremental_state).
+
+    The merge is OFFSET-AWARE (r18): the delta image wins only when it
+    is NEWER than the snapshot's as_of_offset, and a delete tombstone
+    only drops the row when the delete is the newer image.  With
+    in-order batches this is identical to last-batch-wins; with a
+    replayed or reordered batch it converges to the same state instead
+    of resurrecting stale images — the idempotence a production
+    stream-MERGE consumer (operators/state_table.py) needs."""
     delta = latest_state_with_tombstones(rows_dt_batch)
     keys = ["db", "tbl", "id"]
     s = snapshot.select(
@@ -142,15 +150,56 @@ def apply_changes(snapshot: DataFrame, rows_dt_batch: DataFrame) -> DataFrame:
     # "delta present" is keyed on as_of_offset (never NULL in a delta
     # row) — NOT a value coalesce, which would wrongly resurrect the
     # snapshot value if a batch update legitimately set NULL.
-    delta_present = F.col("as_of_offset").isNotNull()
+    newer = F.col("as_of_offset").isNotNull() & (
+        F.col("s_offset").isNull() | (F.col("as_of_offset") > F.col("s_offset"))
+    )
     return (
         s.join(delta, keys, "full_outer")
-        .filter(~F.coalesce(F.col("is_deleted"), F.lit(False)))
+        .filter(~(F.coalesce(F.col("is_deleted"), F.lit(False)) & newer))
         .select(
             *keys,
-            F.when(delta_present, F.col("value")).otherwise(F.col("s_value")).alias("value"),
-            F.coalesce(F.col("as_of_offset"), F.col("s_offset")).alias("as_of_offset"),
+            F.when(newer, F.col("value")).otherwise(F.col("s_value")).alias("value"),
+            # greatest() skips NULLs: the surviving image's offset
+            F.greatest(F.col("as_of_offset"), F.col("s_offset")).alias("as_of_offset"),
         )
+    )
+
+
+def apply_changes_keep_tombstones(
+    snapshot: DataFrame, rows_dt_batch: DataFrame
+) -> DataFrame:
+    """Out-of-order-safe MERGE: like :func:`apply_changes` but the
+    state RETAINS delete tombstones (db, tbl, id, value, as_of_offset,
+    is_deleted) instead of dropping the row.
+
+    Why: a file/micro-batch source does not guarantee offset-ordered
+    batches (measured: the event-log stream delivered batch offsets
+    [946..1946], [2958..3998], [1950..2954]).  If a delete physically
+    DROPS the row, an older batch applied later sees no snapshot entry
+    and resurrects a stale image — offset comparison alone cannot save
+    a row that no longer exists.  Keeping the tombstone (with its
+    offset) makes every per-key decision a pure newest-image-wins max,
+    so ANY batch permutation converges to the same state — the same
+    reason Cassandra/Delta CDF keep tombstones until a compaction
+    horizon.  Consumers read live rows only
+    (operators/state_table.py ``current``); at 100 TB, GC tombstones
+    once every replayable source offset is past them."""
+    delta = latest_state_with_tombstones(rows_dt_batch)
+    keys = ["db", "tbl", "id"]
+    s = snapshot.select(
+        *keys,
+        F.col("value").alias("s_value"),
+        F.col("as_of_offset").alias("s_offset"),
+        F.col("is_deleted").alias("s_deleted"),
+    )
+    newer = F.col("as_of_offset").isNotNull() & (
+        F.col("s_offset").isNull() | (F.col("as_of_offset") > F.col("s_offset"))
+    )
+    return s.join(delta, keys, "full_outer").select(
+        *keys,
+        F.when(newer, F.col("value")).otherwise(F.col("s_value")).alias("value"),
+        F.greatest(F.col("as_of_offset"), F.col("s_offset")).alias("as_of_offset"),
+        F.when(newer, F.col("is_deleted")).otherwise(F.col("s_deleted")).alias("is_deleted"),
     )
 
 

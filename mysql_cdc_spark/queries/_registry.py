@@ -263,6 +263,8 @@ REGISTRATION_ORDER: list[str] = [
     "cdc_ds_ts_range",
     "cdc_ds_since_gtid",
     "cdc_ds_gtid_handoff",
+    # r18 additions
+    "cdc_stream_merge_table",
 ]
 
 

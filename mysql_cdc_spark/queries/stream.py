@@ -513,3 +513,58 @@ def cdc_stream_txn_events(spark, sf_dir):
         .cast("bigint").alias("txn"),
         "n_events", "first_offset", "last_offset", "xid", "has_update",
     )
+
+
+@register(
+    "cdc_stream_merge_table",
+    with_changes(
+        "SELECT db, tbl, id, value, \"offset\" AS as_of_offset FROM ("
+        "  SELECT db, tbl, id, value, \"offset\", _delta_type, "
+        "         ROW_NUMBER() OVER (PARTITION BY db, tbl, id ORDER BY \"offset\" DESC) AS rn"
+        "  FROM rows_dt WHERE _delta_type <> 'update-before'"
+        ") WHERE rn = 1 AND _delta_type <> 'delete'"
+    ),
+)
+def cdc_stream_merge_table(spark, sf_dir):
+    """CDC → lakehouse incremental MERGE (r17 VERDICT #1): the change
+    stream maintains a QUERYABLE latest-state TABLE via
+    ``foreachBatch`` + StateTable (operators/state_table.py) — each
+    micro-batch MERGEs into a bucketed copy-on-write state version
+    behind an fsync'd pointer, idempotent by batch_id, so a writer
+    crash at any point converges to exactly-once state
+    (tests/test_state_sigkill.py proves it across a real SIGKILL).
+    Forced through four micro-batches (maxFilesPerTrigger=1) so the
+    incremental path is actually exercised; the oracle is the full-log
+    latest-state replay — equality proves the batch-by-batch MERGE
+    loses and duplicates nothing.  This is THE production consumer
+    shape the reference's JDBC users polled (a current-state table),
+    which the reference itself never materialized
+    (mysql_binlog.clj:730-733 hands frames to a callback and keeps no
+    table)."""
+    import pathlib
+    import shutil
+
+    from mysql_cdc_spark.operators.state_table import StateTable
+    from mysql_cdc_spark.queries._shared import _scratch_name
+    from mysql_cdc_spark.streaming import runtime as rt
+
+    log_dir = rt.ensure_event_log(spark, sf_dir, _STREAM_TMP, _FIXTURE_VERSION)
+    root = pathlib.Path(_STREAM_TMP)
+    for old in root.glob("mergetbl_*"):
+        shutil.rmtree(old, ignore_errors=True)
+    name = _scratch_name("mergetbl")
+    state = StateTable(str(root / name), name, n_buckets=8)
+    rows = rows_delta_type(rt.open_stream(spark, log_dir, max_files_per_trigger=1))
+    cp = str(root / (name + "_cp"))
+    q = (
+        rows.writeStream.foreachBatch(state.merger())
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(1800)
+    finally:
+        shutil.rmtree(cp, ignore_errors=True)
+    assert state.committed()["batch_id"] >= 3, "multi-batch path not exercised"
+    return state.current(spark).select("db", "tbl", "id", "value", "as_of_offset")

@@ -1,0 +1,148 @@
+"""StateTable (operators/state_table.py): the CDC→lakehouse MERGE sink.
+
+Covers the batch-level contract the SIGKILL test then proves across a
+real crash: idempotent replay, delete/NULL MERGE semantics (same as
+apply_changes), incremental == full-replay equivalence over forced
+micro-batches, and the zero-Exchange shape of the merge join's
+snapshot side (the bucketed-layout claim)."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_cdc_spark.operators.aggregates import latest_state
+from mysql_cdc_spark.operators.state_table import StateTable
+from mysql_cdc_spark.sources.events_cdc import changes, rows_delta_type
+
+
+@pytest.fixture()
+def rows_dt(spark, sf_dir):
+    return rows_delta_type(changes(spark, sf_dir))
+
+
+def _mk_state(tmp_path) -> StateTable:
+    return StateTable(str(tmp_path / "state"), f"st_{uuid.uuid4().hex[:8]}", n_buckets=4)
+
+
+def _as_set(df):
+    return {tuple(r) for r in df.select("db", "tbl", "id", "value", "as_of_offset").collect()}
+
+
+def test_incremental_merge_equals_full_replay(spark, rows_dt, tmp_path):
+    """Four offset-sliced merge batches must land on exactly the state
+    a single full-history latest_state replay computes."""
+    st = _mk_state(tmp_path)
+    hi = rows_dt.agg(F.max("offset")).collect()[0][0]
+    cuts = [0, hi // 4, hi // 2, (3 * hi) // 4, hi + 1]
+    for b, (lo, up) in enumerate(zip(cuts, cuts[1:])):
+        batch = rows_dt.filter((F.col("offset") >= lo) & (F.col("offset") < up))
+        assert st.merge_batch(batch, b) is True
+    assert _as_set(st.current(spark)) == _as_set(latest_state(rows_dt))
+    assert st.committed()["batch_id"] == 3
+
+
+def test_replayed_epoch_is_skipped(spark, rows_dt, tmp_path):
+    """Replaying an already-committed batch_id (Spark's post-crash
+    epoch replay) must change nothing — not even the version."""
+    st = _mk_state(tmp_path)
+    batch = rows_dt.limit(200)
+    assert st.merge_batch(batch, 0) is True
+    before = st.committed()
+    got = _as_set(st.current(spark))
+    # replay the same epoch — with DIFFERENT data to prove the guard
+    # keys on batch_id, not content
+    assert st.merge_batch(rows_dt.limit(50), 0) is False
+    assert st.committed() == before
+    assert _as_set(st.current(spark)) == got
+
+
+def test_delete_then_reinsert_across_batches(spark, tmp_path):
+    """MERGE semantics across batch boundaries: delete drops the key,
+    a later re-insert restores it, an update to NULL stays NULL."""
+    st = _mk_state(tmp_path)
+    schema = "db string, tbl string, id bigint, value double, offset bigint, _delta_type string"
+    s = spark
+    b0 = s.createDataFrame(
+        [("d", "t", 1, 1.0, 10, "insert"), ("d", "t", 2, 2.0, 11, "insert")], schema
+    )
+    b1 = s.createDataFrame(
+        [("d", "t", 1, None, 20, "update"), ("d", "t", 2, 9.9, 21, "delete")], schema
+    )
+    b2 = s.createDataFrame([("d", "t", 2, 5.0, 30, "insert")], schema)
+    for b, df in enumerate((b0, b1, b2)):
+        st.merge_batch(df, b)
+    got = {(r.id, r.value, r.as_of_offset) for r in st.current(s).collect()}
+    assert got == {(1, None, 20), (2, 5.0, 30)}
+
+
+def test_out_of_order_batches_converge(spark, rows_dt, tmp_path):
+    """The measured hazard: the file stream delivers batches offset-
+    REORDERED (r18: [946..1946], [2958..3998], [1950..2954]).  Every
+    permutation of the four offset slices must land on the same state
+    as the in-order replay — this is what tombstone retention buys
+    (a dropped-row delete would let an older slice resurrect the
+    key)."""
+    import itertools
+
+    hi = rows_dt.agg(F.max("offset")).collect()[0][0]
+    cuts = [0, hi // 4, hi // 2, (3 * hi) // 4, hi + 1]
+    slices = [
+        rows_dt.filter((F.col("offset") >= lo) & (F.col("offset") < up))
+        for lo, up in zip(cuts, cuts[1:])
+    ]
+    want = _as_set(latest_state(rows_dt))
+    for perm in ([0, 1, 2, 3], [1, 3, 2, 0], [3, 2, 1, 0]):
+        st = _mk_state(tmp_path)
+        for b, i in enumerate(perm):
+            st.merge_batch(slices[i], b)
+        assert _as_set(st.current(spark)) == want, f"diverged on order {perm}"
+
+
+def test_current_before_any_commit_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="no committed version"):
+        _mk_state(tmp_path).current(spark)
+
+
+def test_merge_join_snapshot_side_has_no_exchange(spark, rows_dt, tmp_path):
+    """The zero-Exchange claim: in the MERGE plan, the bucketed
+    snapshot scan feeds the join WITHOUT a shuffle — the only Exchange
+    in the plan belongs to the O(batch) delta side."""
+    from mysql_cdc_spark.operators.aggregates import apply_changes_keep_tombstones
+
+    st = _mk_state(tmp_path)
+    st.merge_batch(rows_dt.filter(F.col("offset") < 1000), 0)
+    snapshot = st.current_raw(spark)
+    # the exact delta shaping merge_batch applies
+    batch = rows_dt.filter(F.col("offset") >= 1000).repartition(
+        st.n_buckets, "db", "tbl", "id"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            apply_changes_keep_tombstones(snapshot, batch)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert "SortMergeJoin" in plan
+    # the snapshot scan actually reads as bucketed (co-partitioned
+    # with the join — the planner did NOT fall back to a shuffle) ...
+    assert "Bucketed: true" in plan, f"bucketed scan disabled:\n{plan}"
+    # ... and the only merge-key shuffle in the whole plan is the
+    # O(batch) delta repartition — the full state never reshuffles
+    assert plan.count("Exchange hashpartitioning(db") == 1, (
+        f"snapshot side reshuffled:\n{plan}"
+    )
+
+
+def test_gc_leaves_only_committed_version(spark, rows_dt, tmp_path):
+    import os
+
+    st = _mk_state(tmp_path)
+    for b in range(3):
+        st.merge_batch(rows_dt.filter(F.col("offset") % 3 == b).limit(100), b)
+    vdirs = [e for e in os.listdir(st.root) if e.startswith("v")]
+    assert vdirs == ["v000002"]
