@@ -21,6 +21,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
 def main() -> None:
+    load_start = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -40,12 +41,32 @@ def main() -> None:
     for name in HEADLINE:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    # Both timed passes are kept so the artifact carries its own
+    # noise estimate (r17 VERDICT #3: the driver headline swung +5.4%
+    # while the same-HEAD quiet run read −6.6% — ambient tenancy).
+    # The reported number stays min-of-2; `variance` records the
+    # per-query pass spread and the host load at both ends, so a
+    # reader can tell drift from regression without a re-run.  The
+    # hard regression gate remains the throughput floors
+    # (tests/test_throughput_floors.py), not this wall.
+    passes: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(2):
         for name in HEADLINE:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(min(timings[name], time.perf_counter() - t0), 4)
+            passes[name].append(time.perf_counter() - t0)
+    timings = {name: round(min(v), 4) for name, v in passes.items()}
+    rel_spread = sorted(
+        (max(v) - min(v)) / min(v) for v in passes.values() if min(v) > 0
+    )
+    variance = {
+        "method": "1 warm pass + min-of-2 timed passes per query",
+        "per_query_rel_spread_median": round(
+            rel_spread[len(rel_spread) // 2], 3
+        ) if rel_spread else None,
+        "per_query_rel_spread_max": round(rel_spread[-1], 3) if rel_spread else None,
+        "load_1m_start": load_start,
+    }
 
     # End-to-end CDC latency (BASELINE.md metric 3): the reference's
     # binlog2−binlog3−binlog4 decomposition — full turn minus pure
@@ -259,6 +280,7 @@ def main() -> None:
                 "datasource_scan_sec": datasource_scan_sec,
                 "datasource_narrow_sec": ds_narrow_sec,
                 "datasource_ts_range_sec": ds_ts_range_sec,
+                "variance": {**variance, "load_1m_end": round(os.getloadavg()[0], 2)},
                 "sf": sf,
             }
         )

@@ -265,6 +265,7 @@ REGISTRATION_ORDER: list[str] = [
     "cdc_ds_gtid_handoff",
     # r18 additions
     "cdc_stream_merge_table",
+    "cdc_ds_gtid_failover",
 ]
 
 

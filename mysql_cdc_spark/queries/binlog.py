@@ -1258,6 +1258,28 @@ def _sf_tag(sf_dir: str) -> str:
     return pathlib.Path(sf_dir).name
 
 
+def _max_event_id(sf_dir: str) -> int:
+    """max(event_id) from the parquet footer's row-group statistics —
+    a job-free metadata read (the _head_offset idiom,
+    queries/_shared.py), used by fixture generators that must size
+    event ranges BEFORE any fixture exists."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata
+    mx = None
+    for i in range(md.num_row_groups):
+        rg = md.row_group(i)
+        for j in range(rg.num_columns):
+            col = rg.column(j)
+            if col.path_in_schema == "event_id":
+                st = col.statistics
+                if st is not None and st.has_min_max:
+                    mx = st.max if mx is None else max(mx, st.max)
+    if mx is None:
+        raise ValueError(f"no event_id statistics in {sf_dir}/events.parquet")
+    return int(mx)
+
+
 def _drain_files(spark, stream, prefix: str):
     """Drain a streaming DataFrame availableNow through a PARQUET sink
     and read the result back as a batch DataFrame.  For stream gates
@@ -1931,3 +1953,83 @@ def cdc_ds_gtid_handoff(spark, sf_dir):
 
     text = gtid_set_text(bs.executed_gtid_set(str(out_dir)))
     return spark.createDataFrame([(text,)], "executed string")
+
+
+_FAILOVER_ORACLE = (
+    'SELECT op, db, tbl, xid, "sql", before_id, before_val, before_word, '
+    "after_id, after_val, after_word, thread_id, exec_time, error_code "
+    f"FROM ({_BINLOG_GTID_ORACLE}) f"
+)
+
+
+@register("cdc_ds_gtid_failover", _FAILOVER_ORACLE)
+def cdc_ds_gtid_failover(spark, sf_dir):
+    """Cross-DIRECTORY GTID failover resume (r17 VERDICT #2): the
+    consumer drains the OLD primary's log directory, records its
+    executed set (binlog_source.executed_gtid_set), then resumes
+    against the NEW primary's directory — whose file names restart at
+    binlog.000000 and whose content OVERLAPS the old one (the promoted
+    replica had replicated 40..60%% twice over) — with since_gtid=.
+    File+pos resume is impossible here (same names, different bytes);
+    the executed set is the whole reason GTID replication exists.
+
+    Old primary: events [0, 60%%).  New primary: events [40%%, 100%%),
+    renumbered files, first PREVIOUS_GTIDS snapshot = 1..40%% (what the
+    replica had executed when its binlog began).  The resume must skip
+    the 40-60%% overlap exactly — the oracle is the FULL corpus content
+    (seq excluded: the two directories number files differently), so
+    one duplicated or lost transaction fails the hash.  Purged-history
+    (executed set older than the new primary's first snapshot) raises —
+    pinned in tests/test_gtid_failover.py."""
+    import pathlib
+
+    from mysql_cdc_spark.sources import binlog_source as bs
+    from mysql_cdc_spark.sources.binlog_codec import gtid_set_text
+    from mysql_cdc_spark.sources.binlog_datasource import (
+        register_binlog_source,
+    )
+
+    n = _max_event_id(sf_dir) + 1
+    e40, e60 = (n * 4) // 10, (n * 6) // 10
+    tag = _sf_tag(sf_dir)
+    dir_a = pathlib.Path(_STREAM_TMP) / f"binlog_failover_a_{tag}_v{_FIXTURE_VERSION}"
+    dir_b = pathlib.Path(_STREAM_TMP) / f"binlog_failover_b_{tag}_v{_FIXTURE_VERSION}"
+    if not any(dir_a.glob("binlog.*")):
+        bs.generate_binlog_from_events(
+            sf_dir, str(dir_a), gtid=True, prev_gtids=True, checksum="crc32",
+            event_range=(0, e60),
+        )
+    if not any(dir_b.glob("binlog.*")):
+        bs.generate_binlog_from_events(
+            sf_dir, str(dir_b), gtid=True, prev_gtids=True, checksum="crc32",
+            event_range=(e40, n), renumber_files=True,
+        )
+    register_binlog_source(spark)
+
+    # the handoff: everything the consumer applied from the old primary
+    executed = gtid_set_text(bs.executed_gtid_set(str(dir_a)))
+
+    ops = [
+        "gtid", "query", "table_map",
+        "write_rows", "update_rows", "delete_rows", "xid",
+    ]
+
+    def content(env):
+        return env.filter(F.col("op").isin(ops)).select(
+            "op", "db", "tbl", "xid", "sql",
+            F.element_at("before", "id").cast("bigint").alias("before_id"),
+            F.element_at("before", "val").alias("before_val"),
+            F.element_at("before", "word").alias("before_word"),
+            F.element_at("after", "id").cast("bigint").alias("after_id"),
+            F.element_at("after", "val").alias("after_val"),
+            F.element_at("after", "word").alias("after_word"),
+            "thread_id", "exec_time", "error_code",
+        )
+
+    old = spark.read.format("mysql_binlog").load(str(dir_a))
+    resumed = (
+        spark.read.format("mysql_binlog")
+        .option("since_gtid", executed)
+        .load(str(dir_b))
+    )
+    return content(old).unionByName(content(resumed))

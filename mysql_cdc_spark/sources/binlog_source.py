@@ -800,6 +800,8 @@ def generate_binlog_from_events(
     rows_query: bool = False,
     row_image: str = "full",
     prev_gtids: bool = False,
+    event_range: tuple[int, int] | None = None,
+    renumber_files: bool = False,
 ) -> list[str]:
     """Encode the derived change stream as REAL binlog bytes — the same
     derivation rules as sources/events_cdc.py (db/tbl from user_id
@@ -812,12 +814,22 @@ def generate_binlog_from_events(
     TRANSACTION_PAYLOAD envelope (8.0.20+
     binlog_transaction_compression=ON framing; embedded events carry
     no checksums and foreign log_pos, exactly as servers store them).
+
+    ``event_range=(lo, hi)`` + ``renumber_files=True`` model a NEW
+    PRIMARY's log directory after a failover: the directory holds only
+    events lo..hi-1 (what the promoted replica had replicated / then
+    wrote itself), its file names restart at binlog.000000, and — with
+    ``prev_gtids`` — the first file's PREVIOUS_GTIDS snapshot is
+    1..lo (every transaction executed before this binlog began), which
+    is exactly what lets an executed-set consumer resume mid-overlap.
+
     Idempotent; the directory appears atomically (see _atomic_gen)."""
     return _atomic_gen(
         out_dir,
         lambda d: _generate_binlog_files(
             sf_dir, d, rotate_every, corrupt_every, checksum, gtid, rows_v2,
             payload_zstd, rows_query, row_image, prev_gtids,
+            event_range, renumber_files,
         ),
     )
 
@@ -834,9 +846,17 @@ def _generate_binlog_files(
     rows_query: bool = False,
     row_image: str = "full",
     prev_gtids: bool = False,
+    event_range: tuple[int, int] | None = None,
+    renumber_files: bool = False,
 ) -> list[str]:
     os.makedirs(out_dir, exist_ok=True)
     pdf = _fixture_rows(sf_dir)
+    file_base = 0
+    if event_range is not None:
+        lo, hi = event_range
+        pdf = pdf[(pdf["event_id"] >= lo) & (pdf["event_id"] < hi)]
+        if renumber_files:
+            file_base = lo  # file numbering restarts at binlog.000000
     tables = {
         db_tbl: TableDef(db_tbl[0], db_tbl[1], FIXTURE_COLUMNS, table_id=tid + 1)
         for tid, db_tbl in enumerate(FIXTURE_CATALOG)
@@ -848,7 +868,7 @@ def _generate_binlog_files(
         pdf["event_id"], pdf["user_id"], pdf["event_type"]
     ):
         event_id, user_id = int(event_id), int(user_id)
-        file_no = event_id // rotate_every
+        file_no = (event_id - file_base) // rotate_every
         if writer is None or fname != f"binlog.{file_no:06d}":
             if writer is not None:
                 writer.write_rotate(f"binlog.{file_no:06d}")
