@@ -163,6 +163,21 @@ def main() -> None:
         .count(),
     )
 
+    # Auto-derived projection (r18): read_binlog_pruned derives the
+    # columns= option from the query plan — this row proves the
+    # automatic path costs what the manual option costs (auto ==
+    # manual within noise; both well under datasource_proj_nocolumns).
+    from mysql_cdc_spark.sources.reader import read_binlog_pruned
+
+    timed(
+        "datasource_proj_auto",
+        lambda: read_binlog_pruned(
+            spark,
+            fixture,
+            lambda env: env.select(*narrow_agg).groupBy("op").count(),
+        ).count(),
+    )
+
     def stream_drain():
         counts = []
         name = "dsb_" + uuid.uuid4().hex[:6]
