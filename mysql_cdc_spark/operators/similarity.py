@@ -789,6 +789,16 @@ def ann_ivfpq(
     )
 
 
+# IVFADC+R shortlist multiplier: re-rank the top rerank·k ADC rows
+# exactly.  64 (shortlist 320 at k=5) is sized by measurement: at x100
+# occupancy one query's true neighbors sat between ADC ranks 80 and
+# 320 behind code-tuple-colliding lower-id families (rerank=16 left
+# min recall 0.0; 64 restores 1.0/1.0 at x10 AND x100) — collision
+# depth grows with corpus density, so the default carries the
+# measured x100 margin; the knob stays per-call for larger corpora.
+PQ_RERANK = 64
+
+
 def ann_ivfpq_residual(
     emb: DataFrame,
     n_queries: int = DEFAULT_N_QUERIES,
@@ -796,6 +806,7 @@ def ann_ivfpq_residual(
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
     probes: int = IVF_PROBES,
+    rerank: int | None = PQ_RERANK,
 ) -> DataFrame:
     """True FAISS IVFADC (Jégou et al. 2011 §III.C): PQ over RESIDUALS
     `x − centroid(cell)`, not raw vectors.  On clustered corpora the
@@ -815,6 +826,18 @@ def ann_ivfpq_residual(
     per vector; LUTs are (n_queries × probes × m × ksub) rows,
     broadcast; candidates bounded by probed-cell population via the
     (cell, sub, code) equi-join — no all-pairs anywhere.
+
+    r18 — IVFADC+R (the refinement stage of Jégou et al. 2011 §V /
+    FAISS IndexRefine): the ADC shortlist's top ``rerank·k`` rows are
+    RE-RANKED by exact integer L2 over the quantized vectors.  With
+    m=4/ksub=16 the code space holds 65k tuples, so distinct vector
+    families collide on code tuples and ADC alone ties them — measured
+    at x10/x100: one query's true neighbors sat at ADC ranks ≤20
+    behind a lower-id colliding family, min recall@5 = 0.0.  The
+    re-rank costs O(n_queries · rerank·k) exact distances (shortlist
+    broadcast — no corpus-side work) and restores min recall to 1.0
+    on the organic fixtures (tools/ann_recall.py; floor pinned in
+    tests/test_ann_recall.py).
     """
     d_sub = DIMS // m
     q = quantized(emb)
@@ -876,11 +899,42 @@ def ann_ivfpq_residual(
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("d").cast("bigint").alias("adc_dist"))
     )
-    wr = Window.partitionBy("query_id").orderBy(
+    ws = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id")
     )
+    if not rerank:
+        # pure-ADC ranking: the rotation-comparison baseline
+        # (tools/ann_recall.py's ann_ivfpq_residual_noR) and the
+        # pre-r18 behavior
+        return (
+            scored.withColumn("rank", F.row_number().over(ws).cast("bigint"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "adc_dist", "rank")
+        )
+    # IVFADC+R: exact-L2 re-rank of the ADC shortlist (see docstring)
+    short = (
+        scored.withColumn("srank", F.row_number().over(ws))
+        .filter(F.col("srank") <= rerank * k)
+        .drop("srank")
+    )
+    qv_n = q.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("n_qv"))
+    qv_q = q.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+    )
+    xdist = (
+        "aggregate(zip_with(q_qv, n_qv, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    rer = (
+        qv_n.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qv_q), "query_id")
+        .withColumn("xdist", F.expr(xdist).cast("bigint"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("xdist").asc(), F.col("neighbor_id")
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        rer.withColumn("rank", F.row_number().over(wr).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )

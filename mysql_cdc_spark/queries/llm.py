@@ -1831,11 +1831,23 @@ _RLUT_DIST = (
     "scored AS (SELECT l.query_id, b.vec_id AS neighbor_id, "
     "  CAST(SUM(l.d) AS BIGINT) AS adc_dist "
     "  FROM rbest b JOIN rlut l ON l.cell = b.cell AND b.sub = l.sub AND b.code = l.code "
-    "  WHERE b.vec_id <> l.query_id GROUP BY 1, 2) "
+    "  WHERE b.vec_id <> l.query_id GROUP BY 1, 2), "
+    # IVFADC+R (r18): exact-L2 re-rank of the top rerank*k ADC rows —
+    # the identical refinement the Spark operator runs (collision ties
+    # in the 65k-tuple code space made one organic query's recall 0.0)
+    "short AS (SELECT query_id, neighbor_id, adc_dist FROM ("
+    "  SELECT query_id, neighbor_id, adc_dist, "
+    "  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS srank "
+    f"  FROM scored) WHERE srank <= {similarity.PQ_RERANK * similarity.DEFAULT_K}), "
+    "rer AS (SELECT s.query_id, s.neighbor_id, s.adc_dist, "
+    "  list_sum([(nq.qv[i] - nn.qv[i]) * (nq.qv[i] - nn.qv[i]) "
+    f"  for i in range(1, {similarity.DIMS} + 1)]) AS xdist "
+    "  FROM short s JOIN n nq ON nq.vec_id = s.query_id "
+    "  JOIN n nn ON nn.vec_id = s.neighbor_id) "
     "SELECT query_id, neighbor_id, adc_dist, CAST(rank AS BIGINT) AS rank FROM ("
     "  SELECT query_id, neighbor_id, adc_dist, "
-    "  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank "
-    f"  FROM scored) WHERE rank <= {similarity.DEFAULT_K}",
+    "  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY xdist, neighbor_id) AS rank "
+    f"  FROM rer) WHERE rank <= {similarity.DEFAULT_K}",
 )
 def llm_ann_ivfpq_residual(spark, sf_dir):
     """TRUE FAISS IVFADC (r14): PQ over exact-integer RESIDUALS

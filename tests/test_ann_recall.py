@@ -86,7 +86,12 @@ def test_copies_fixture_recall_floors(copies_recall):
     assert r["ann_ivf"]["mean"] >= 0.85, r["ann_ivf"]
     assert r["ann_adc"]["mean"] >= 0.55, r["ann_adc"]
     assert r["ann_ivfpq"]["mean"] >= 0.60, r["ann_ivfpq"]
-    assert r["ann_ivfpq_residual"]["mean"] >= 0.60, r["ann_ivfpq_residual"]
+    # r18 IVFADC+R: exact re-rank of the ADC shortlist lifted the
+    # shipped residual from 0.724/0.0 to 0.916/0.8 here (the pure-ADC
+    # baseline stays visible as ann_ivfpq_residual_noR)
+    assert r["ann_ivfpq_residual"]["mean"] >= 0.85, r["ann_ivfpq_residual"]
+    assert r["ann_ivfpq_residual"]["min"] >= 0.6, r["ann_ivfpq_residual"]
+    assert r["ann_ivfpq_residual_noR"]["mean"] >= 0.60, r["ann_ivfpq_residual_noR"]
     # the bucketed paths must also never strand a single query
     assert r["ann_lsh"]["min"] >= 0.4, r["ann_lsh"]
     assert r["ann_lsh_uncapped"]["min"] >= 0.6, r["ann_lsh_uncapped"]
@@ -106,9 +111,12 @@ def test_adversarial_fixture_recall_floors(adversarial_recall):
     assert r["ann_adc"]["mean"] >= 0.45, r["ann_adc"]
     assert r["ann_ivfpq"]["mean"] >= 0.45, r["ann_ivfpq"]
     # TRUE IVFADC (residual encoding, r14) must beat raw-vector PQ on
-    # clustered data — measured 0.696 vs 0.572
-    assert r["ann_ivfpq_residual"]["mean"] >= 0.60, r["ann_ivfpq_residual"]
-    assert r["ann_ivfpq_residual"]["mean"] >= r["ann_ivfpq"]["mean"], r
+    # clustered data — measured 0.696 vs 0.572 pure-ADC; with the r18
+    # re-rank the shipped residual reads 1.0/1.0 here
+    assert r["ann_ivfpq_residual"]["mean"] >= 0.90, r["ann_ivfpq_residual"]
+    assert r["ann_ivfpq_residual"]["min"] >= 0.8, r["ann_ivfpq_residual"]
+    assert r["ann_ivfpq_residual_noR"]["mean"] >= 0.60, r["ann_ivfpq_residual_noR"]
+    assert r["ann_ivfpq_residual_noR"]["mean"] >= r["ann_ivfpq"]["mean"], r
 
 
 def test_ann_lsh_candidate_cap_bounds_and_recall(spark, copies_recall):
@@ -207,15 +215,48 @@ def test_opq_rotation_beats_residual_pq(spark, copies_recall, adversarial_recall
     Pure PCA ordering LOST to no rotation at all (subspace 0 swallowed
     nearly all variance and its 16 codewords drowned) — the balanced
     allocation is load-bearing, and floors are pinned only where the
-    rotation wins, which after balancing is all three fixtures."""
+    rotation wins, which after balancing is all three fixtures.
+
+    r18: the rotation comparison runs against the PURE-ADC residual
+    (``rerank=None``) — the shipped residual default now carries the
+    IVFADC+R exact re-rank, which would mask what the rotation itself
+    buys (re-ranked residual ties or beats OPQ on these fixtures)."""
     for r, floor in ((copies_recall, 0.70), (adversarial_recall, 0.65)):
         assert r["ann_ivfpq_opq"]["mean"] >= floor, r["ann_ivfpq_opq"]
         assert (
-            r["ann_ivfpq_opq"]["mean"] >= r["ann_ivfpq_residual"]["mean"]
-        ), (r["ann_ivfpq_opq"], r["ann_ivfpq_residual"])
+            r["ann_ivfpq_opq"]["mean"] >= r["ann_ivfpq_residual_noR"]["mean"]
+        ), (r["ann_ivfpq_opq"], r["ann_ivfpq_residual_noR"])
     cor = _by_path(measure(spark, _correlated_fixture(spark), N_QUERIES, K))
     assert cor["ann_ivfpq_opq"]["mean"] >= 0.70, cor["ann_ivfpq_opq"]
     assert (
         cor["ann_ivfpq_opq"]["mean"]
-        >= cor["ann_ivfpq_residual"]["mean"] + 0.15
-    ), (cor["ann_ivfpq_opq"], cor["ann_ivfpq_residual"])
+        >= cor["ann_ivfpq_residual_noR"]["mean"] + 0.15
+    ), (cor["ann_ivfpq_opq"], cor["ann_ivfpq_residual_noR"])
+
+
+def test_residual_rerank_organic_min_recall(spark):
+    """r17 VERDICT #5 closed: ann_ivfpq_residual's min recall@5 was
+    0.0 on one organic query at BOTH x10 and x100 (true neighbors sat
+    at ADC ranks 80-320 behind code-tuple-colliding lower-id families
+    — 65k tuples cannot separate an x100-dense corpus).  The IVFADC+R
+    exact re-rank (shortlist PQ_RERANK*k, measured to cover the x100
+    collision depth) restores 1.0/1.0 on the organic fixtures; pinned
+    here with margin.  Skips when the stress fixture has not been
+    generated (tools/scale_stress.py builds it)."""
+    from pathlib import Path
+
+    from mysql_cdc_spark.sources.io import read_table
+    from tools.ann_recall import ORGANIC_X10, topk_sets, recall_at_k
+
+    if not Path(ORGANIC_X10, "_done").exists():
+        pytest.skip("organic x10 stress fixture not generated")
+    emb = read_table(spark, ORGANIC_X10, "embeddings").cache()
+    emb.count()
+    try:
+        truth = topk_sets(sim.knn(emb, n_queries=N_QUERIES, k=K))
+        got = topk_sets(sim.ann_ivfpq_residual(emb, n_queries=N_QUERIES, k=K))
+    finally:
+        emb.unpersist()
+    r = recall_at_k(truth, got)
+    assert r["mean"] >= 0.95, r
+    assert r["min"] >= 0.6, r  # the r17 defect was min == 0.0

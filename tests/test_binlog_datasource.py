@@ -1652,3 +1652,142 @@ class TestReviewRegressions:
             .collect()
         )
         assert any(r.op == "quarantine" for r in rows), rows
+
+
+class TestStreamPackBudget:
+    """r17 VERDICT #6: max_bytes_per_batch and pack_bytes now BOTH
+    shape catch-up triggers — prove the interaction: a capped trigger
+    packs only within its own budgeted extent, a trigger over zero
+    files never deadlocks, and budget ≥ backlog drains in one packed
+    trigger (the x100 17.1 s drain shape; ds_bench's
+    datasource_stream / datasource_stream_capped rows carry the
+    walls)."""
+
+    def _files(self, d: str, n: int, txns: int = 4) -> list[bytes]:
+        blobs = []
+        for f in range(n):
+            w = BinlogWriter(checksum="crc32")
+            for i in range(txns):
+                _txn(w, f * txns + i)
+            if f < n - 1:
+                w.write_rotate(f"binlog.{f + 1:06d}")
+            blob = bytes(w.buf)
+            with open(f"{d}/binlog.{f:06d}", "wb") as fh:
+                fh.write(blob)
+            blobs.append(blob)
+        return blobs
+
+    def test_zero_files_trigger_never_deadlocks(self, tmp_path):
+        d = str(tmp_path / "empty")
+        os.makedirs(d)
+        r = _BinlogStreamReader(
+            {"path": d, "catalog": _CAT_JSON, "max_bytes_per_batch": "1024"}
+        )
+        cur = r.initialOffset()
+        for _ in range(3):  # repeated empty triggers stay no-ops
+            nxt = r.latestOffset()
+            assert nxt == cur or nxt.get("file", "") == ""
+            assert r.partitions(cur, nxt) == []
+            cur = nxt
+
+    def test_budget_ge_backlog_single_packed_trigger(self, tmp_path):
+        """Uncapped (first-walk) catch-up over many small files: ONE
+        trigger whose whole-file slices bin-pack — fewer partitions
+        than files, full parity with the batch decode."""
+        d = str(tmp_path / "bulk")
+        os.makedirs(d)
+        n_files = 12
+        blobs = self._files(d, n_files)
+        r = _BinlogStreamReader(
+            {"path": d, "catalog": _CAT_JSON, "pack_bytes": "4096"}
+        )
+        start = r.initialOffset()
+        end = r.latestOffset()
+        assert end["file"] == f"binlog.{n_files - 1:06d}"  # one trigger
+        parts = r.partitions(start, end)
+        assert len(parts) < n_files, "small files did not pack"
+        rows = _rows(b for p in parts for b in [*r.read(p)])
+        want = sum(
+            len(bs.envelope_columns(decode_binlog(blob, _CAT), "f")[0]["op"])
+            for blob in blobs
+        )
+        assert len(rows) == want
+
+    def test_capped_triggers_pack_within_budget_and_drain(self, tmp_path):
+        """Steady-state capped triggers over a 12-file backlog: every
+        trigger's packed partitions stay inside THAT trigger's offset
+        extent, progress is monotone (no stall, no repeat), and the
+        union of all triggers equals the full decode exactly once."""
+        from mysql_cdc_spark.sources.binlog_datasource import (
+            _PackedStreamPartition,
+            _StreamPartition,
+        )
+
+        d = str(tmp_path / "capped")
+        os.makedirs(d)
+        # seed one tiny file so the UNCAPPED first walk consumes little
+        w0 = BinlogWriter(checksum="crc32")
+        _txn(w0, 0)
+        w0.write_rotate("binlog.000001")
+        with open(f"{d}/binlog.000000", "wb") as fh:
+            fh.write(bytes(w0.buf))
+        budget = 4096
+        r = _BinlogStreamReader(
+            {
+                "path": d,
+                "catalog": _CAT_JSON,
+                "max_bytes_per_batch": str(budget),
+                "pack_bytes": "2048",
+            }
+        )
+        cur = r.initialOffset()
+        cur = r.latestOffset()  # uncapped first walk: the seed file
+        r.commit(cur)
+        # now the backlog lands: 12 more small files
+        blobs = []
+        for f in range(1, 13):
+            w = BinlogWriter(checksum="crc32")
+            for i in range(4):
+                _txn(w, 100 * f + i)
+            if f < 12:
+                w.write_rotate(f"binlog.{f + 1:06d}")
+            blob = bytes(w.buf)
+            with open(f"{d}/binlog.{f:06d}", "wb") as fh:
+                fh.write(blob)
+            blobs.append(blob)
+
+        rows: list[dict] = []
+        triggers = 0
+        saw_packed = False
+        while triggers < 100:
+            nxt = r.latestOffset()
+            if (nxt["file"], nxt["pos"]) == (cur["file"], cur["pos"]):
+                break
+            # monotone progress: (file, pos) strictly advances
+            assert (nxt["file"], nxt["pos"]) > (cur["file"], cur["pos"])
+            parts = r.partitions(cur, nxt)
+            for p in parts:
+                members = (
+                    p.slices if isinstance(p, _PackedStreamPartition) else [p]
+                )
+                if isinstance(p, _PackedStreamPartition):
+                    saw_packed = True
+                for m in members:
+                    assert isinstance(m, _StreamPartition)
+                    # every slice lies inside THIS trigger's extent
+                    assert cur["file"] <= m.log_file <= nxt["file"]
+                    if m.log_file == nxt["file"]:
+                        assert m.end <= nxt["pos"]
+                    if m.log_file == cur["file"]:
+                        assert m.start >= cur["pos"]
+            rows += _rows(b for p in parts for b in [*r.read(p)])
+            r.commit(nxt)
+            cur = nxt
+            triggers += 1
+        assert triggers > 1, "budget did not split the catch-up"
+        assert saw_packed, "capped catch-up never packed small files"
+        want = sum(
+            len(bs.envelope_columns(decode_binlog(b, _CAT), "f")[0]["op"])
+            for b in blobs
+        )
+        assert len(rows) == want, "capped drain lost or duplicated frames"

@@ -104,6 +104,12 @@ def measure(spark, emb, n_queries: int, k: int) -> list[dict]:
         "ann_ivfpq_residual": lambda: sim.ann_ivfpq_residual(
             emb, n_queries=n_queries, k=k
         ),
+        # pure-ADC residual (rerank off): the rotation-comparison
+        # baseline — r18's IVFADC+R default would mask what the OPQ
+        # rotation itself buys
+        "ann_ivfpq_residual_noR": lambda: sim.ann_ivfpq_residual(
+            emb, n_queries=n_queries, k=k, rerank=None
+        ),
         "ann_ivfpq_opq": lambda: sim.ann_ivfpq_opq(
             emb, n_queries=n_queries, k=k
         ),

@@ -178,14 +178,16 @@ def main() -> None:
         ).count(),
     )
 
-    def stream_drain():
+    def stream_drain(max_bytes: int | None = None):
         counts = []
         name = "dsb_" + uuid.uuid4().hex[:6]
         cp = f"{_STREAM_TMP}/cp_{name}"
         try:
+            reader = spark.readStream.format("mysql_binlog")
+            if max_bytes is not None:
+                reader = reader.option("max_bytes_per_batch", str(max_bytes))
             q = (
-                spark.readStream.format("mysql_binlog")
-                .load(fixture)
+                reader.load(fixture)
                 .writeStream.foreachBatch(
                     lambda df, _id: counts.append(df.count())
                 )
@@ -199,6 +201,45 @@ def main() -> None:
         return sum(counts)
 
     timed("datasource_stream", stream_drain, reps=1)
+
+    # r18: capped LIVE catch-up via the driver protocol (manual drive —
+    # a cold availableNow drain is always ONE uncapped batch by the
+    # fresh-reader rule, so the budget only shapes steady-state
+    # triggers; this row measures exactly those).  The reader consumes
+    # the whole fixture in max_bytes_per_batch = backlog/8 budgeted
+    # triggers, each trigger's whole-file slices bin-packed
+    # (TestStreamPackBudget pins the semantics; this row tracks the
+    # wall + trigger count so budgeting cost stays visible).
+    def capped_catchup():
+        from mysql_cdc_spark.sources.binlog_datasource import (
+            _BinlogStreamReader,
+        )
+
+        budget = max(1, out["bytes"] // 8)
+        r = _BinlogStreamReader(
+            {"path": fixture, "max_bytes_per_batch": str(budget)}
+        )
+        # Pre-anchor the cursor at the FIRST file: with a known cursor
+        # the reader is in steady state (fresh=False), so every walk
+        # honors the budget — the live-tail shape, driven on a static
+        # fixture.
+        cur = r.initialOffset()
+        r._cur = dict(cur)
+        n_rows, n_triggers = 0, 0
+        while True:
+            nxt = r.latestOffset()
+            if (nxt["file"], nxt["pos"]) == (cur.get("file"), cur.get("pos")):
+                break
+            for p in r.partitions(cur, nxt):
+                for b in r.read(p):
+                    n_rows += b.num_rows
+            r.commit(nxt)
+            cur = nxt
+            n_triggers += 1
+        out["datasource_capped_catchup_triggers"] = n_triggers
+        return n_rows
+
+    timed("datasource_capped_catchup", capped_catchup, reps=1)
 
     out["ds_vs_mapinpandas_full"] = round(
         out["datasource_full"]["sec"] / out["mapinpandas_full"]["sec"], 3
