@@ -1791,3 +1791,122 @@ class TestStreamPackBudget:
             for b in blobs
         )
         assert len(rows) == want, "capped drain lost or duplicated frames"
+
+
+class TestSchemaEvoRestart:
+    """r17 VERDICT #7: schema evolution ACROSS a stream restart — the
+    checkpoint is written pre-ALTER (or, worse, between the new
+    TABLE_MAP and its first row event); the resumed stream must decode
+    post-ALTER rows with the new shape.  Both maps carry on-wire
+    COLUMN_NAME TLVs (binlog_row_metadata=FULL), so names rebind with
+    no catalog anywhere."""
+
+    _NARROW = TableDef(
+        "lab", "acct", [(TYPE_LONG, None), (TYPE_VARCHAR, 50)],
+        table_id=7, column_names=["id", "val"],
+    )
+    _WIDE = TableDef(
+        "lab", "acct",
+        [(TYPE_LONG, None), (TYPE_VARCHAR, 50), (TYPE_LONG, None)],
+        table_id=8, column_names=["id", "val", "score"],
+    )
+
+    def test_restart_after_alter_full_stack(self, spark, tmp_path):
+        """Spark-runtime restart: checkpoint after the narrow half,
+        append ALTER + wider map + rows, resume the same checkpoint —
+        the post-ALTER rows arrive with the 3-column image."""
+        src, cp, sink = (
+            str(tmp_path / "src"), str(tmp_path / "cp"), str(tmp_path / "sink")
+        )
+        os.makedirs(src)
+        w = BinlogWriter(checksum="crc32")
+        for i in range(3):
+            w.write_query("lab", "BEGIN")
+            w.write_table_map(self._NARROW)
+            w.write_rows(WRITE_ROWS_EVENT, self._NARROW, [[i, f"v{i}"]])
+            w.write_xid(100 + i)
+        with open(f"{src}/binlog.000000", "wb") as fh:
+            fh.write(bytes(w.buf))
+        register_binlog_source(spark)
+
+        def drain():
+            q = (
+                spark.readStream.format("mysql_binlog")
+                .option("catalog", "{}")
+                .load(src)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", cp)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(300)
+            assert q.exception() is None
+
+        drain()  # checkpoint now sits at the pre-ALTER head
+
+        w.write_query("lab", "ALTER TABLE lab.acct ADD COLUMN score INT")
+        w.write_query("lab", "BEGIN")
+        w.write_table_map(self._WIDE)
+        w.write_rows(WRITE_ROWS_EVENT, self._WIDE, [[10, "v10", 77]])
+        w.write_xid(200)
+        with open(f"{src}/binlog.000000", "wb") as fh:
+            fh.write(bytes(w.buf))
+        drain()  # resume post-ALTER on the same checkpoint
+
+        got = spark.read.parquet(sink)
+        pre = got.filter("op = 'write_rows' AND size(after) = 2")
+        post = got.filter("op = 'write_rows' AND size(after) = 3")
+        assert pre.count() == 3
+        rows = post.collect()
+        assert len(rows) == 1
+        after = dict(rows[0]["after"])
+        assert after == {"id": "10", "val": "v10", "score": "77"}
+
+    def test_checkpoint_between_new_map_and_rows(self, tmp_path):
+        """The sharpest window: the torn-tail holdback commits an
+        offset AFTER the post-ALTER TABLE_MAP but BEFORE its first row
+        event; the driver then restarts (fresh reader, prefix_replay).
+        The replayed slice must rebuild state from the file head —
+        BOTH maps — and decode the row with the wide shape."""
+        d = str(tmp_path / "live")
+        os.makedirs(d)
+        w = BinlogWriter(checksum="crc32")
+        w.write_query("lab", "BEGIN")
+        w.write_table_map(self._NARROW)
+        w.write_rows(WRITE_ROWS_EVENT, self._NARROW, [[1, "v1"]])
+        w.write_xid(100)
+        w.write_query("lab", "ALTER TABLE lab.acct ADD COLUMN score INT")
+        w.write_table_map(self._WIDE)
+        map_end = len(w.buf)
+        w.write_rows(WRITE_ROWS_EVENT, self._WIDE, [[2, "v2", 42]])
+        w.write_xid(200)
+        full = bytes(w.buf)
+        # visible bytes end mid-row-event: holdback stops at map_end
+        with open(f"{d}/binlog.000000", "wb") as fh:
+            fh.write(full[: map_end + 10])
+
+        r = _BinlogStreamReader({"path": d, "catalog": "{}"})
+        start = r.initialOffset()
+        end1 = r.latestOffset()
+        assert end1["pos"] == map_end, "holdback should stop after the map"
+        rows1 = _rows(b for p in r.partitions(start, end1) for b in [*r.read(p)])
+        r.commit(end1)
+
+        # the rest of the row lands; the DRIVER RESTARTS (fresh reader)
+        with open(f"{d}/binlog.000000", "wb") as fh:
+            fh.write(full)
+        r2 = _BinlogStreamReader({"path": d, "catalog": "{}"})
+        end2 = r2.latestOffset()
+        parts = r2.partitions(end1, end2)
+        assert any(p.prefix_replay for p in parts)
+        rows2 = _rows(b for p in parts for b in [*r2.read(p)])
+
+        wide_rows = [x for x in rows2 if x["op"] == "write_rows"]
+        assert len(wide_rows) == 1
+        assert dict(wide_rows[0]["after"]) == {
+            "id": "2", "val": "v2", "score": "42"
+        }
+        # nothing duplicated across the restart boundary
+        pre_ops = [x["op"] for x in rows1]
+        assert pre_ops.count("write_rows") == 1  # the narrow row only
