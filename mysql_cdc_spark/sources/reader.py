@@ -107,6 +107,13 @@ def read_binlog_pruned(
     Matches the manual ``.option("columns", ...)`` plan exactly
     (parity pinned in tests/test_auto_prune.py; ds_bench's
     ``datasource_auto_pruned`` row tracks auto == manual wall)."""
+    if "columns" in options:
+        # a user-supplied projection would silently override the
+        # derived one in the rebuild — explicit wins, so just build
+        raise ValueError(
+            "read_binlog_pruned derives columns= itself; pass an "
+            "explicit projection through read_binlog(columns=...) instead"
+        )
     probe = build(read_binlog(spark, path, **options))
     cols = required_scan_columns(probe)
     if set(cols) == set(_ENVELOPE_COLS):

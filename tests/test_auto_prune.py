@@ -98,3 +98,13 @@ def test_count_star_prunes_to_one_column(spark, log_dir):
 def test_star_passthrough_skips_reread(spark, log_dir):
     env = read_binlog(spark, log_dir)
     assert required_scan_columns(env) == list(env.columns)
+
+
+def test_explicit_columns_option_is_rejected(spark, log_dir):
+    """A user-supplied columns= inside read_binlog_pruned would be
+    silently overridden by the derived set in the rebuild — explicit
+    projection belongs to read_binlog."""
+    with pytest.raises(ValueError, match="derives columns"):
+        read_binlog_pruned(
+            spark, log_dir, lambda e: e, columns="offset,op"
+        )
