@@ -146,3 +146,103 @@ def test_gc_leaves_only_committed_version(spark, rows_dt, tmp_path):
         st.merge_batch(rows_dt.filter(F.col("offset") % 3 == b).limit(100), b)
     vdirs = [e for e in os.listdir(st.root) if e.startswith("v")]
     assert vdirs == ["v000002"]
+
+
+class TestIncrementalBuckets:
+    """r18 second pass: the O(changed-buckets) MERGE fast path — when
+    a batch's keys hash into at most half the buckets, only those
+    buckets rewrite and the rest HARDLINK from the previous version.
+    Equality with the full path and with latest_state is the contract;
+    the bucket-membership assumption (pmod(hash(keys), n) == the
+    bucket id in Spark's file name) is pinned explicitly."""
+
+    def test_bucket_hash_matches_file_names(self, spark, rows_dt, tmp_path):
+        import os
+        import re
+
+        st = _mk_state(tmp_path)
+        st.merge_batch(rows_dt, 0)
+        vdir = st._vdir(0)
+        for fn in os.listdir(vdir):
+            if fn.startswith(".") or not fn.endswith(".parquet"):
+                continue
+            m = re.search(r"_(\d{5})\.c000", fn)
+            assert m, fn
+            got = {
+                r.b
+                for r in spark.read.schema(st.committed()["schema_ddl"])
+                .parquet(os.path.join(vdir, fn))
+                .selectExpr(f"pmod(hash(db, tbl, id), {st.n_buckets}) AS b")
+                .distinct()
+                .collect()
+            }
+            assert got <= {int(m.group(1))}, (fn, got)
+
+    def test_trickle_batches_take_incremental_path_and_converge(
+        self, spark, rows_dt, tmp_path
+    ):
+        import os
+
+        st = _mk_state(tmp_path)
+        hi = rows_dt.agg(F.max("offset")).collect()[0][0]
+        base = rows_dt.filter(F.col("offset") <= hi - 40)
+        st.merge_batch(base, 0)  # full path
+        files_v0 = set(os.listdir(st._vdir(0)))
+        # trickle: the tail, one tiny batch per offset — few keys,
+        # few buckets
+        tail = rows_dt.filter(F.col("offset") > hi - 40)
+        st.merge_batch(tail.filter(F.col("offset") <= hi - 20), 1)
+        st.merge_batch(tail.filter(F.col("offset") > hi - 20), 2)
+        ver = st.committed()["version"]
+        assert ver == 2
+        files_v2 = set(os.listdir(st._vdir(ver)))
+        # hardlink reuse: untouched bucket files keep their ORIGINAL
+        # names across versions (a full rewrite regenerates every name)
+        assert files_v0 & files_v2, "no bucket file survived — full rewrite?"
+        assert _as_set(st.current(spark)) == _as_set(latest_state(rows_dt))
+
+    def test_empty_batch_advances_epoch_without_new_version(
+        self, spark, rows_dt, tmp_path
+    ):
+        st = _mk_state(tmp_path)
+        st.merge_batch(rows_dt.limit(100), 0)
+        before = st.committed()
+        st.merge_batch(rows_dt.limit(0), 1)
+        after = st.committed()
+        assert after["version"] == before["version"]
+        assert after["batch_id"] == 1
+        # and the replay guard holds for the advanced epoch
+        assert st.merge_batch(rows_dt.limit(5), 1) is False
+
+    def test_crash_orphan_delta_dir_is_collected(self, spark, rows_dt, tmp_path):
+        import os
+
+        st = _mk_state(tmp_path)
+        st.merge_batch(rows_dt.limit(200), 0)
+        orphan = os.path.join(st.root, "v000001_delta")
+        os.makedirs(orphan)
+        st.merge_batch(rows_dt.limit(50), 1)
+        assert not os.path.exists(orphan)
+
+    def test_incremental_equals_full_on_same_batches(self, spark, rows_dt, tmp_path):
+        """Force both paths over the SAME batch sequence (n_buckets=1
+        never takes the fast path; n_buckets=8 does for small batches)
+        — identical final state."""
+        import uuid
+
+        hi = rows_dt.agg(F.max("offset")).collect()[0][0]
+        batches = [
+            rows_dt.filter(F.col("offset") <= hi // 2),
+            rows_dt.filter((F.col("offset") > hi // 2) & (F.col("offset") <= hi // 2 + 30)),
+            rows_dt.filter(F.col("offset") > hi // 2 + 30),
+        ]
+        states = []
+        for n_buckets in (1, 8):
+            st = StateTable(
+                str(tmp_path / f"s{n_buckets}"),
+                f"st_{uuid.uuid4().hex[:8]}", n_buckets=n_buckets,
+            )
+            for b, df in enumerate(batches):
+                st.merge_batch(df, b)
+            states.append(_as_set(st.current(spark)))
+        assert states[0] == states[1]
