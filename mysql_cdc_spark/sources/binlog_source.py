@@ -660,6 +660,11 @@ def _atomic_gen(out_dir: str, gen):
 # Fixed server UUID for GTID-framed fixtures (gno = event_id + 1, so
 # the oracle recomputes the gtid text in closed form).
 GTID_SID = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+# The PROMOTED replica's own server UUID (multi-UUID failover
+# fixtures): events at/after `promote_at` carry this sid with gno
+# restarting at 1 — exactly how a new primary tags its own writes
+# while the replicated history keeps the old primary's sid.
+GTID_SID_B = "7c915a21-0d04-11e2-a5f1-e4115b180938"
 
 
 def _peek_previous_gtids(path: str) -> dict | None:
@@ -802,6 +807,7 @@ def generate_binlog_from_events(
     prev_gtids: bool = False,
     event_range: tuple[int, int] | None = None,
     renumber_files: bool = False,
+    promote_at: int | None = None,
 ) -> list[str]:
     """Encode the derived change stream as REAL binlog bytes — the same
     derivation rules as sources/events_cdc.py (db/tbl from user_id
@@ -814,6 +820,11 @@ def generate_binlog_from_events(
     TRANSACTION_PAYLOAD envelope (8.0.20+
     binlog_transaction_compression=ON framing; embedded events carry
     no checksums and foreign log_pos, exactly as servers store them).
+
+    ``promote_at=P`` models the multi-UUID half of a failover: events
+    at/after P carry the NEW primary's own server UUID (GTID_SID_B)
+    with gno restarting at 1 — replicated history keeps the old sid —
+    and every PREVIOUS_GTIDS snapshot covers both sids.
 
     ``event_range=(lo, hi)`` + ``renumber_files=True`` model a NEW
     PRIMARY's log directory after a failover: the directory holds only
@@ -829,7 +840,7 @@ def generate_binlog_from_events(
         lambda d: _generate_binlog_files(
             sf_dir, d, rotate_every, corrupt_every, checksum, gtid, rows_v2,
             payload_zstd, rows_query, row_image, prev_gtids,
-            event_range, renumber_files,
+            event_range, renumber_files, promote_at,
         ),
     )
 
@@ -848,6 +859,7 @@ def _generate_binlog_files(
     prev_gtids: bool = False,
     event_range: tuple[int, int] | None = None,
     renumber_files: bool = False,
+    promote_at: int | None = None,
 ) -> list[str]:
     os.makedirs(out_dir, exist_ok=True)
     pdf = _fixture_rows(sf_dir)
@@ -881,11 +893,17 @@ def _generate_binlog_files(
                 # PREVIOUS_GTIDS right after the FDE (real 5.6+ layout):
                 # the executed-set snapshot = every gno logged before
                 # this file.  gno = event_id + 1, so a file starting at
-                # event_id E snapshots 1..E (empty set on the first log).
-                writer.write_previous_gtids(
-                    {GTID_SID: [(1, event_id)]} if event_id > 0 else {},
-                    ts=event_id % (1 << 31),
-                )
+                # event_id E snapshots 1..E (empty set on the first
+                # log); past a promotion the snapshot carries BOTH
+                # sids — old-primary gnos cap at promote_at, the new
+                # primary's own count from 1.
+                snap: dict = {}
+                a_hi = event_id if promote_at is None else min(event_id, promote_at)
+                if a_hi > 0:
+                    snap[GTID_SID] = [(1, a_hi)]
+                if promote_at is not None and event_id > promote_at:
+                    snap[GTID_SID_B] = [(1, event_id - promote_at)]
+                writer.write_previous_gtids(snap, ts=event_id % (1 << 31))
 
         db, tbl = ("foo", "auto") if user_id % 2 == 0 else ("bench", "big")
         t = tables[(db, tbl)]
@@ -916,8 +934,13 @@ def _generate_binlog_files(
             # the global txn counter (event_id is corpus-unique).  On
             # real 8.0 servers the GTID event stays OUTSIDE any
             # TRANSACTION_PAYLOAD wrapper, so it goes to `writer`
-            # regardless of payload_zstd.
-            writer.write_gtid(GTID_SID, event_id + 1, ts)
+            # regardless of payload_zstd.  Past a promotion the new
+            # primary tags its OWN writes with its own sid, gno
+            # restarting at 1 (replicated history keeps the old sid).
+            if promote_at is not None and event_id >= promote_at:
+                writer.write_gtid(GTID_SID_B, event_id - promote_at + 1, ts)
+            else:
+                writer.write_gtid(GTID_SID, event_id + 1, ts)
         # payload_zstd: the transaction's events are encoded into a
         # scratch writer (no magic/FDE/checksums — the server stores
         # embedded events bare) and ZSTD-wrapped at transaction end.
