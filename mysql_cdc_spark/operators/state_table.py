@@ -40,6 +40,13 @@ Design — copy-on-write versions + an fsync'd pointer:
   exactly-once (tests/test_state_sigkill.py kills a real subprocess
   mid-stream and proves it).
 
+Cross-failover note: the `offset` column is the image version, and
+byte offsets do NOT order across a primary failover (the new
+directory's file numbering restarts) — version images with a
+(generation, local_order) pair, generation bumping at each failover
+(an LSN epoch).  tests/test_failover_state.py pins both the working
+pattern and the stale-overlap failure without it.
+
 At 100 TB: copy-on-write of the FULL state per batch is the
 correctness baseline; the bucketed layout already makes the merge
 join's big side shuffle-free, and a format with file-level MERGE
