@@ -75,6 +75,49 @@ _POINTER = "_state_pointer.json"
 _BUCKET_RE = re.compile(r"_(\d{5})\.c000.*\.parquet$")
 
 
+def envelope_to_rows(
+    env: DataFrame,
+    id_col: str = "id",
+    value_col: str = "val",
+    generation: int = 0,
+) -> DataFrame:
+    """Binlog envelope (the mysql_binlog DataSource / binaryFile scan
+    shape) → the rows_dt MERGE input (db, tbl, id, value, offset,
+    _delta_type) a StateTable consumes:
+
+        rows = envelope_to_rows(spark.readStream.format("mysql_binlog")
+                                .option("catalog", ...).load(log_dir))
+        rows.writeStream.foreachBatch(state.merger()).start()
+
+    ``offset`` is the image version: file-global byte order prefixed
+    by ``generation`` — the failover epoch.  Byte offsets do NOT order
+    across a primary swap (the new directory's file numbering
+    restarts), so bump ``generation`` each time the consumer resumes a
+    NEW directory (tests/test_failover_state.py pins both the pattern
+    and the stale-overlap failure without it).  Deletes carry the key
+    from the before-image and a NULL value."""
+    return env.filter(
+        env.op.isin("write_rows", "update_rows", "delete_rows")
+    ).select(
+        "db",
+        "tbl",
+        F.coalesce(
+            F.element_at("after", id_col), F.element_at("before", id_col)
+        ).cast("bigint").alias("id"),
+        F.element_at("after", value_col).alias("value"),
+        (
+            F.lit(generation * (1 << 50))
+            + F.regexp_extract("log_file", r"binlog\.(\d+)", 1).cast("bigint")
+            * F.lit(1 << 40)
+            + F.col("offset")
+        ).alias("offset"),
+        F.when(F.col("op") == "write_rows", "insert")
+        .when(F.col("op") == "update_rows", "update")
+        .otherwise("delete")
+        .alias("_delta_type"),
+    )
+
+
 class StateTable:
     """A versioned, bucketed latest-state table maintained by
     idempotent MERGE batches (see module docstring)."""

@@ -266,6 +266,7 @@ REGISTRATION_ORDER: list[str] = [
     # r18 additions
     "cdc_stream_merge_table",
     "cdc_ds_gtid_failover",
+    "cdc_ds_failover_state",
 ]
 
 

@@ -215,3 +215,21 @@ _CKSUM_ROW_SPARK = (
     "concat(cast(`offset` as string), '|', coalesce(cast(id as string), 'N'), '|', "
     "coalesce(cast(cast(value as decimal(12,2)) as string), 'N'), '|', _delta_type)"
 )
+
+
+def _gc_scratch(root: str, prefix: str) -> None:
+    """Remove previous invocations' scratch dirs for `prefix`,
+    PID-aware (the _scratch_name convention): two repo processes
+    routinely overlap — never delete a LIVE sibling's dir, only
+    orphans whose owning process is gone."""
+    import pathlib
+    import shutil
+
+    for old in pathlib.Path(root).glob(f"{prefix}_*"):
+        try:
+            owner = int(old.name.split("_")[len(prefix.split("_"))])
+        except (IndexError, ValueError):
+            owner = -1
+        if owner != -1 and _pid_alive(owner):
+            continue
+        shutil.rmtree(old, ignore_errors=True)

@@ -2033,3 +2033,93 @@ def cdc_ds_gtid_failover(spark, sf_dir):
         .load(str(dir_b))
     )
     return content(old).unionByName(content(resumed))
+
+
+@register(
+    "cdc_ds_failover_state",
+    """
+WITH ev AS (
+  SELECT event_id,
+         CASE WHEN user_id % 2 = 0 THEN 'foo' ELSE 'bench' END AS db,
+         CASE WHEN user_id % 2 = 0 THEN 'auto' ELSE 'big' END AS tbl,
+         CAST(event_id % 97 AS BIGINT) AS id,
+         CASE WHEN event_type IN ('signup','purchase') THEN 'insert'
+              WHEN event_type IN ('click','view') THEN 'update'
+              ELSE 'delete' END AS op,
+         printf('%d.%04d', event_id % 100000, event_id % 10000) AS val
+  FROM events
+)
+SELECT db, tbl, id, value FROM (
+  SELECT db, tbl, id,
+         CASE WHEN op = 'delete' THEN NULL ELSE val END AS value, op,
+         ROW_NUMBER() OVER (PARTITION BY db, tbl, id ORDER BY event_id DESC) AS rn
+  FROM ev
+) WHERE rn = 1 AND op <> 'delete'
+""".strip(),
+)
+def cdc_ds_failover_state(spark, sf_dir):
+    """THE production CDC consumer story end-to-end, across a primary
+    FAILOVER: maintain a queryable latest-state table from the old
+    primary's log, hand off the executed GTID set, resume the new
+    primary's directory (file names reset, 40-60%% content overlap)
+    with since_gtid=, and keep MERGING into the same StateTable.  The
+    oracle is the logical full-history latest state — one duplicated,
+    lost, or stale-resurrected key in the overlap fails the hash.
+    Image versions carry a (generation, local_order) pair because byte
+    offsets do not order across directories (envelope_to_rows'
+    generation= — the stale-overlap failure without it is pinned by
+    tests/test_failover_state.py).  as_of_offset is deliberately
+    excluded from the result: it encodes consumer-side epoch
+    arithmetic, not source facts."""
+    from mysql_cdc_spark.operators.state_table import (
+        StateTable,
+        envelope_to_rows,
+    )
+    from mysql_cdc_spark.queries._shared import _gc_scratch, _scratch_name
+    from mysql_cdc_spark.sources import binlog_source as bs
+    from mysql_cdc_spark.sources.binlog_codec import gtid_set_text
+    from mysql_cdc_spark.sources.binlog_datasource import (
+        register_binlog_source,
+    )
+    import pathlib
+
+    n = _max_event_id(sf_dir) + 1
+    e40, e60 = (n * 4) // 10, (n * 6) // 10
+    tag = _sf_tag(sf_dir)
+    dir_a = pathlib.Path(_STREAM_TMP) / f"binlog_failover_a_{tag}_v{_FIXTURE_VERSION}"
+    dir_b = pathlib.Path(_STREAM_TMP) / f"binlog_failover_b_{tag}_v{_FIXTURE_VERSION}"
+    if not any(dir_a.glob("binlog.*")):
+        bs.generate_binlog_from_events(
+            sf_dir, str(dir_a), gtid=True, prev_gtids=True, checksum="crc32",
+            event_range=(0, e60),
+        )
+    if not any(dir_b.glob("binlog.*")):
+        bs.generate_binlog_from_events(
+            sf_dir, str(dir_b), gtid=True, prev_gtids=True, checksum="crc32",
+            event_range=(e40, n), renumber_files=True,
+        )
+    register_binlog_source(spark)
+
+    _gc_scratch(_STREAM_TMP, "fostate")
+    name = _scratch_name("fostate")
+    state = StateTable(str(pathlib.Path(_STREAM_TMP) / name), name, n_buckets=8)
+
+    # generation 0: the old primary's full log
+    state.merge_batch(
+        envelope_to_rows(
+            spark.read.format("mysql_binlog").load(str(dir_a)), generation=0
+        ),
+        0,
+    )
+    # the handoff, then generation 1: the new primary, exactly-once
+    executed = gtid_set_text(bs.executed_gtid_set(str(dir_a)))
+    state.merge_batch(
+        envelope_to_rows(
+            spark.read.format("mysql_binlog")
+            .option("since_gtid", executed)
+            .load(str(dir_b)),
+            generation=1,
+        ),
+        1,
+    )
+    return state.current(spark).select("db", "tbl", "id", "value")

@@ -545,22 +545,12 @@ def cdc_stream_merge_table(spark, sf_dir):
     import shutil
 
     from mysql_cdc_spark.operators.state_table import StateTable
-    from mysql_cdc_spark.queries._shared import _pid_alive, _scratch_name
+    from mysql_cdc_spark.queries._shared import _gc_scratch, _scratch_name
     from mysql_cdc_spark.streaming import runtime as rt
 
     log_dir = rt.ensure_event_log(spark, sf_dir, _STREAM_TMP, _FIXTURE_VERSION)
     root = pathlib.Path(_STREAM_TMP)
-    # PID-aware cleanup (the _scratch_name convention): two repo
-    # processes routinely overlap — never delete a LIVE sibling's
-    # state dir, only orphans whose owner is gone
-    for old in root.glob("mergetbl_*"):
-        try:
-            owner = int(old.name.split("_")[1])
-        except (IndexError, ValueError):
-            owner = -1
-        if owner != -1 and _pid_alive(owner):
-            continue
-        shutil.rmtree(old, ignore_errors=True)
+    _gc_scratch(_STREAM_TMP, "mergetbl")
     name = _scratch_name("mergetbl")
     state = StateTable(str(root / name), name, n_buckets=8)
     rows = rows_delta_type(rt.open_stream(spark, log_dir, max_files_per_trigger=1))

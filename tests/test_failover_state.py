@@ -28,7 +28,6 @@ from mysql_cdc_spark.sources.binlog_datasource import register_binlog_source
 
 SF = "/root/testdata/sf0.001"
 N, E40, E60 = 1000, 400, 600
-GEN_SHIFT = 50  # generation (failover epoch) leads the version order
 
 
 @pytest.fixture(scope="module")
@@ -45,27 +44,9 @@ def dirs(tmp_path_factory):
 
 
 def _rows(env, generation: int):
-    return (
-        env.filter(env.op.isin("write_rows", "update_rows", "delete_rows"))
-        .select(
-            "db",
-            "tbl",
-            F.coalesce(
-                F.element_at("after", "id"), F.element_at("before", "id")
-            ).cast("bigint").alias("id"),
-            F.element_at("after", "val").alias("value"),
-            (
-                F.lit(generation * (1 << GEN_SHIFT))
-                + F.regexp_extract("log_file", r"binlog\.(\d+)", 1).cast("bigint")
-                * F.lit(1 << 40)
-                + F.col("offset")
-            ).alias("offset"),
-            F.when(F.col("op") == "write_rows", "insert")
-            .when(F.col("op") == "update_rows", "update")
-            .otherwise("delete")
-            .alias("_delta_type"),
-        )
-    )
+    from mysql_cdc_spark.operators.state_table import envelope_to_rows
+
+    return envelope_to_rows(env, generation=generation)
 
 
 def _live(df):

@@ -41,35 +41,13 @@ from mysql_cdc_spark.sources.binlog_codec import (
 _T = TableDef("foo", "auto", [(TYPE_LONG, None), (TYPE_VARCHAR, 50)], table_id=7)
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# envelope → rows_dt bridge shared verbatim by the child script and the
-# parent's restart/oracle (keep the two in lockstep): global offset
-# orders across rotated files; updates carry the after-image.
+# envelope → rows_dt bridge: the LIBRARY entry point, used by both the
+# child script and the parent's restart/oracle — the SIGKILL run
+# exercises the real consumer API end-to-end.
 _ROWS_SRC = """
-def _to_rows(env):
-    from pyspark.sql import functions as F
-
-    return (
-        env.filter(env.op.isin("write_rows", "update_rows", "delete_rows"))
-        .select(
-            "db",
-            "tbl",
-            F.coalesce(
-                F.element_at("after", "id"), F.element_at("before", "id")
-            ).cast("bigint").alias("id"),
-            F.element_at("after", "val").alias("value"),
-            (
-                F.regexp_extract("log_file", r"binlog\\.(\\d+)", 1).cast("bigint")
-                * F.lit(1 << 40)
-                + F.col("offset")
-            ).alias("offset"),
-            F.when(F.col("op") == "write_rows", "insert")
-            .when(F.col("op") == "update_rows", "update")
-            .otherwise("delete")
-            .alias("_delta_type"),
-        )
-    )
+from mysql_cdc_spark.operators.state_table import envelope_to_rows as _to_rows
 """
-exec(_ROWS_SRC)
+from mysql_cdc_spark.operators.state_table import envelope_to_rows as _to_rows
 
 
 def _txn(w: BinlogWriter, i: int) -> None:
