@@ -393,6 +393,48 @@ class StateTable:
             spark.sql(f"DROP TABLE IF EXISTS {self._vtable(ver)}{suffix}")
             shutil.rmtree(os.path.join(self.root, entry), ignore_errors=True)
 
+    def compact(self, spark: SparkSession, watermark_offset: int) -> bool:
+        """Drop tombstones older than ``watermark_offset`` — the GC
+        half of tombstone retention.
+
+        CONTRACT: the watermark must be at or below the lowest image
+        version any FUTURE batch (including a crash-replayed epoch)
+        can carry — i.e. the stream's committed low-water mark.  A
+        tombstone at or above the watermark must stay: it is what
+        blocks an out-of-order older image from resurrecting the key
+        (apply_changes_keep_tombstones' docstring has the measured
+        reordering).  Compacting above the horizon re-opens exactly
+        that hazard — pinned both ways in tests/test_state_table.py.
+
+        Mechanics: a new version with the filtered rows, committed
+        through the same fsync'd pointer swap (batch_id unchanged, so
+        epoch replay semantics are untouched); crash at any point
+        leaves the previous version current.  Returns False when no
+        batch has committed yet."""
+        ptr = self.committed()
+        if ptr is None:
+            return False
+        version = ptr["version"] + 1
+        kept = self.current_raw(spark).filter(
+            ~(
+                F.coalesce(F.col("is_deleted"), F.lit(False))
+                & (F.col("as_of_offset") < watermark_offset)
+            )
+        )
+        vdir, vtable = self._vdir(version), self._vtable(version)
+        spark.sql(f"DROP TABLE IF EXISTS {vtable}")
+        shutil.rmtree(vdir, ignore_errors=True)
+        (
+            kept.repartition(self.n_buckets, *_KEYS)
+            .write.bucketBy(self.n_buckets, *_KEYS)
+            .sortBy(*_KEYS)
+            .option("path", vdir)
+            .saveAsTable(vtable)
+        )
+        self._swap_pointer({**ptr, "version": version})
+        self._gc(spark, keep=version)
+        return True
+
     # -- streaming entry ------------------------------------------------
 
     def merger(self):

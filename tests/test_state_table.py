@@ -246,3 +246,65 @@ class TestIncrementalBuckets:
                 st.merge_batch(df, b)
             states.append(_as_set(st.current(spark)))
         assert states[0] == states[1]
+
+
+class TestCompaction:
+    """Tombstone GC (compact): tombstones below the replay watermark
+    go; at/above it they stay — and the test shows WHY both directions
+    matter (the resurrect hazard)."""
+
+    def _mini(self, spark, tmp_path):
+        schema = (
+            "db string, tbl string, id bigint, value double, "
+            "offset bigint, _delta_type string"
+        )
+        st = _mk_state(tmp_path)
+        st.merge_batch(
+            spark.createDataFrame(
+                [("d", "t", 1, 1.0, 10, "insert"), ("d", "t", 2, 2.0, 11, "insert")],
+                schema,
+            ),
+            0,
+        )
+        st.merge_batch(
+            spark.createDataFrame([("d", "t", 1, None, 20, "delete")], schema), 1
+        )
+        return st, schema
+
+    def test_compact_drops_old_tombstones_keeps_live(self, spark, tmp_path):
+        st, _ = self._mini(spark, tmp_path)
+        raw_before = {tuple(r) for r in st.current_raw(spark).collect()}
+        assert any(r[-1] for r in raw_before)  # tombstone present
+        assert st.compact(spark, watermark_offset=100) is True
+        raw = {tuple(r) for r in st.current_raw(spark).collect()}
+        assert not any(r[-1] for r in raw), raw  # tombstone gone
+        live = {(r.id, r.value) for r in st.current(spark).collect()}
+        assert live == {(2, 2.0)}
+        # batch_id unchanged: the NEXT epoch still merges normally
+        assert st.committed()["batch_id"] == 1
+
+    def test_tombstone_at_or_above_watermark_survives(self, spark, tmp_path):
+        st, schema = self._mini(spark, tmp_path)
+        st.compact(spark, watermark_offset=20)  # tombstone offset == 20
+        raw = {tuple(r) for r in st.current_raw(spark).collect()}
+        assert any(r[-1] for r in raw), "watermark-boundary tombstone dropped"
+        # ...and it still blocks a late older image (the whole point)
+        st.merge_batch(
+            spark.createDataFrame([("d", "t", 1, 5.0, 15, "update")], schema), 2
+        )
+        assert {(r.id,) for r in st.current(spark).collect()} == {(2,)}
+
+    def test_compacting_above_horizon_reopens_resurrection(self, spark, tmp_path):
+        """The documented hazard, demonstrated: compact past a
+        tombstone the source can still replay below, and the late
+        older image resurrects the deleted key."""
+        st, schema = self._mini(spark, tmp_path)
+        st.compact(spark, watermark_offset=1000)  # WRONG: above the horizon
+        st.merge_batch(
+            spark.createDataFrame([("d", "t", 1, 5.0, 15, "update")], schema), 2
+        )
+        live = {(r.id,) for r in st.current(spark).collect()}
+        assert (1,) in live  # resurrected — why the contract exists
+
+    def test_compact_before_any_commit_is_noop(self, spark, tmp_path):
+        assert _mk_state(tmp_path).compact(spark, 10) is False
