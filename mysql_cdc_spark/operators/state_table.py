@@ -95,7 +95,36 @@ def envelope_to_rows(
     restarts), so bump ``generation`` each time the consumer resumes a
     NEW directory (tests/test_failover_state.py pins both the pattern
     and the stale-overlap failure without it).  Deletes carry the key
-    from the before-image and a NULL value."""
+    from the before-image and a NULL value.
+
+    Bit layout (int64): generation<<54 | file_index<<34 | byte_offset.
+    Log names carry at most six digits (binlog.000000..999999 < 2^20)
+    and max_binlog_size caps files at 1 GB (a single oversized
+    transaction still stays far under the 16 GB field) — so the fields
+    cannot bleed into each other across up to 511 failovers.  The
+    r18 review caught the previous <<40 file shift colliding with the
+    generation field at file 1024 — stale images from late old-primary
+    files would have outranked the new primary's early writes.  Any
+    log basename works (mysql-bin.000001, binlog.000123, ...); a name
+    without a numeric suffix raises rather than producing NULL
+    versions that would silently freeze the merge."""
+    file_idx = F.regexp_extract("log_file", r"\.(\d+)$", 1)
+    version = (
+        F.lit(generation * (1 << 54))
+        + F.when(
+            file_idx != "", file_idx.cast("bigint")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("envelope_to_rows: log_file has no numeric "
+                          "suffix: "),
+                    F.col("log_file"),
+                )
+            ).cast("bigint")
+        )
+        * F.lit(1 << 34)
+        + F.col("offset")
+    )
     return env.filter(
         env.op.isin("write_rows", "update_rows", "delete_rows")
     ).select(
@@ -105,12 +134,7 @@ def envelope_to_rows(
             F.element_at("after", id_col), F.element_at("before", id_col)
         ).cast("bigint").alias("id"),
         F.element_at("after", value_col).alias("value"),
-        (
-            F.lit(generation * (1 << 50))
-            + F.regexp_extract("log_file", r"binlog\.(\d+)", 1).cast("bigint")
-            * F.lit(1 << 40)
-            + F.col("offset")
-        ).alias("offset"),
+        version.alias("offset"),
         F.when(F.col("op") == "write_rows", "insert")
         .when(F.col("op") == "update_rows", "update")
         .otherwise("delete")
@@ -200,8 +224,6 @@ class StateTable:
         The tombstones themselves stay in the raw table — they are
         what makes out-of-order batch application convergent (see
         apply_changes_keep_tombstones)."""
-        import pyspark.sql.functions as F
-
         return (
             self.current_raw(spark)
             .filter(~F.coalesce(F.col("is_deleted"), F.lit(False)))
@@ -233,22 +255,43 @@ class StateTable:
             return False  # replayed epoch: the previous attempt committed
 
         if ptr is not None:
-            changed = sorted(
-                r.b
-                for r in batch_df.select(
-                    F.pmod(F.hash(*_KEYS), F.lit(self.n_buckets)).alias("b")
+            # the changed-bucket probe AND the merge both evaluate the
+            # batch: cache it for the merge's lifetime (r18 review —
+            # the un-cached probe re-ran the batch's full lineage)
+            batch_df = batch_df.persist()
+            try:
+                changed = sorted(
+                    r.b
+                    for r in batch_df.select(
+                        F.pmod(F.hash(*_KEYS), F.lit(self.n_buckets)).alias("b")
+                    )
+                    .distinct()
+                    .collect()
                 )
-                .distinct()
-                .collect()
-            )
-            if not changed:
-                # empty batch: nothing to merge — advance the epoch
-                # guard without writing a new version
-                self._swap_pointer({**ptr, "batch_id": batch_id})
-                return True
-            if len(changed) <= self.n_buckets // 2:
-                return self._merge_incremental(spark, ptr, batch_df, changed, batch_id)
+                if not changed:
+                    # empty batch: nothing to merge — advance the epoch
+                    # guard without writing a new version
+                    self._swap_pointer({**ptr, "batch_id": batch_id})
+                    return True
+                if len(changed) <= self.n_buckets // 2:
+                    return self._merge_incremental(
+                        spark, ptr, batch_df, changed, batch_id
+                    )
+                return self._merge_full(spark, ptr, batch_df, batch_id)
+            finally:
+                batch_df.unpersist()
 
+        # first batch ever: full path with an empty snapshot
+        return self._merge_full(spark, None, batch_df, batch_id)
+
+    def _merge_full(
+        self,
+        spark: SparkSession,
+        ptr: dict | None,
+        batch_df: DataFrame,
+        batch_id: int,
+    ) -> bool:
+        """O(state) copy-on-write MERGE (the correctness baseline)."""
         if ptr is None:
             schema_ddl = (
                 "db STRING, tbl STRING, id "

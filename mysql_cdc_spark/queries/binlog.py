@@ -1259,25 +1259,44 @@ def _sf_tag(sf_dir: str) -> str:
 
 
 def _max_event_id(sf_dir: str) -> int:
-    """max(event_id) from the parquet footer's row-group statistics —
-    a job-free metadata read (the _head_offset idiom,
-    queries/_shared.py), used by fixture generators that must size
-    event ranges BEFORE any fixture exists."""
-    import pyarrow.parquet as pq
+    """max(event_id) via the shared footer-statistics helper
+    (queries/_shared.py) — fixture generators must size event ranges
+    BEFORE any fixture exists, so no Spark fallback here: missing
+    statistics are a loud error."""
+    from mysql_cdc_spark.queries._shared import _footer_max_event_id
 
-    md = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata
-    mx = None
-    for i in range(md.num_row_groups):
-        rg = md.row_group(i)
-        for j in range(rg.num_columns):
-            col = rg.column(j)
-            if col.path_in_schema == "event_id":
-                st = col.statistics
-                if st is not None and st.has_min_max:
-                    mx = st.max if mx is None else max(mx, st.max)
+    mx = _footer_max_event_id(sf_dir)
     if mx is None:
         raise ValueError(f"no event_id statistics in {sf_dir}/events.parquet")
-    return int(mx)
+    return mx
+
+
+def _failover_dirs(sf_dir: str) -> tuple[str, str]:
+    """The shared failover fixture pair (old primary [0, 60%%), new
+    primary [40%%, 100%%) renumbered) — ONE builder for both
+    cdc_ds_gtid_failover and cdc_ds_failover_state: the gates share
+    the directories by name, so a drifting copy of this block would
+    silently reuse a stale fixture against a changed oracle."""
+    import pathlib
+
+    from mysql_cdc_spark.sources import binlog_source as bs
+
+    n = _max_event_id(sf_dir) + 1
+    e40, e60 = (n * 4) // 10, (n * 6) // 10
+    tag = _sf_tag(sf_dir)
+    dir_a = pathlib.Path(_STREAM_TMP) / f"binlog_failover_a_{tag}_v{_FIXTURE_VERSION}"
+    dir_b = pathlib.Path(_STREAM_TMP) / f"binlog_failover_b_{tag}_v{_FIXTURE_VERSION}"
+    if not any(dir_a.glob("binlog.*")):
+        bs.generate_binlog_from_events(
+            sf_dir, str(dir_a), gtid=True, prev_gtids=True, checksum="crc32",
+            event_range=(0, e60),
+        )
+    if not any(dir_b.glob("binlog.*")):
+        bs.generate_binlog_from_events(
+            sf_dir, str(dir_b), gtid=True, prev_gtids=True, checksum="crc32",
+            event_range=(e40, n), renumber_files=True,
+        )
+    return str(dir_a), str(dir_b)
 
 
 def _drain_files(spark, stream, prefix: str):
@@ -1981,33 +2000,17 @@ def cdc_ds_gtid_failover(spark, sf_dir):
     one duplicated or lost transaction fails the hash.  Purged-history
     (executed set older than the new primary's first snapshot) raises —
     pinned in tests/test_gtid_failover.py."""
-    import pathlib
-
     from mysql_cdc_spark.sources import binlog_source as bs
     from mysql_cdc_spark.sources.binlog_codec import gtid_set_text
     from mysql_cdc_spark.sources.binlog_datasource import (
         register_binlog_source,
     )
 
-    n = _max_event_id(sf_dir) + 1
-    e40, e60 = (n * 4) // 10, (n * 6) // 10
-    tag = _sf_tag(sf_dir)
-    dir_a = pathlib.Path(_STREAM_TMP) / f"binlog_failover_a_{tag}_v{_FIXTURE_VERSION}"
-    dir_b = pathlib.Path(_STREAM_TMP) / f"binlog_failover_b_{tag}_v{_FIXTURE_VERSION}"
-    if not any(dir_a.glob("binlog.*")):
-        bs.generate_binlog_from_events(
-            sf_dir, str(dir_a), gtid=True, prev_gtids=True, checksum="crc32",
-            event_range=(0, e60),
-        )
-    if not any(dir_b.glob("binlog.*")):
-        bs.generate_binlog_from_events(
-            sf_dir, str(dir_b), gtid=True, prev_gtids=True, checksum="crc32",
-            event_range=(e40, n), renumber_files=True,
-        )
+    dir_a, dir_b = _failover_dirs(sf_dir)
     register_binlog_source(spark)
 
     # the handoff: everything the consumer applied from the old primary
-    executed = gtid_set_text(bs.executed_gtid_set(str(dir_a)))
+    executed = gtid_set_text(bs.executed_gtid_set(dir_a))
 
     ops = [
         "gtid", "query", "table_map",
@@ -2026,11 +2029,11 @@ def cdc_ds_gtid_failover(spark, sf_dir):
             "thread_id", "exec_time", "error_code",
         )
 
-    old = spark.read.format("mysql_binlog").load(str(dir_a))
+    old = spark.read.format("mysql_binlog").load(dir_a)
     resumed = (
         spark.read.format("mysql_binlog")
         .option("since_gtid", executed)
-        .load(str(dir_b))
+        .load(dir_b)
     )
     return content(old).unionByName(content(resumed))
 
@@ -2071,6 +2074,8 @@ def cdc_ds_failover_state(spark, sf_dir):
     tests/test_failover_state.py).  as_of_offset is deliberately
     excluded from the result: it encodes consumer-side epoch
     arithmetic, not source facts."""
+    import pathlib
+
     from mysql_cdc_spark.operators.state_table import (
         StateTable,
         envelope_to_rows,
@@ -2081,23 +2086,8 @@ def cdc_ds_failover_state(spark, sf_dir):
     from mysql_cdc_spark.sources.binlog_datasource import (
         register_binlog_source,
     )
-    import pathlib
 
-    n = _max_event_id(sf_dir) + 1
-    e40, e60 = (n * 4) // 10, (n * 6) // 10
-    tag = _sf_tag(sf_dir)
-    dir_a = pathlib.Path(_STREAM_TMP) / f"binlog_failover_a_{tag}_v{_FIXTURE_VERSION}"
-    dir_b = pathlib.Path(_STREAM_TMP) / f"binlog_failover_b_{tag}_v{_FIXTURE_VERSION}"
-    if not any(dir_a.glob("binlog.*")):
-        bs.generate_binlog_from_events(
-            sf_dir, str(dir_a), gtid=True, prev_gtids=True, checksum="crc32",
-            event_range=(0, e60),
-        )
-    if not any(dir_b.glob("binlog.*")):
-        bs.generate_binlog_from_events(
-            sf_dir, str(dir_b), gtid=True, prev_gtids=True, checksum="crc32",
-            event_range=(e40, n), renumber_files=True,
-        )
+    dir_a, dir_b = _failover_dirs(sf_dir)
     register_binlog_source(spark)
 
     _gc_scratch(_STREAM_TMP, "fostate")
@@ -2107,17 +2097,17 @@ def cdc_ds_failover_state(spark, sf_dir):
     # generation 0: the old primary's full log
     state.merge_batch(
         envelope_to_rows(
-            spark.read.format("mysql_binlog").load(str(dir_a)), generation=0
+            spark.read.format("mysql_binlog").load(dir_a), generation=0
         ),
         0,
     )
     # the handoff, then generation 1: the new primary, exactly-once
-    executed = gtid_set_text(bs.executed_gtid_set(str(dir_a)))
+    executed = gtid_set_text(bs.executed_gtid_set(dir_a))
     state.merge_batch(
         envelope_to_rows(
             spark.read.format("mysql_binlog")
             .option("since_gtid", executed)
-            .load(str(dir_b)),
+            .load(dir_b),
             generation=1,
         ),
         1,

@@ -562,7 +562,11 @@ def cdc_stream_merge_table(spark, sf_dir):
         .start()
     )
     try:
-        q.awaitTermination(1800)
+        if not q.awaitTermination(1800):
+            # a live stream must NOT lose its checkpoint (the finally
+            # below) nor be read half-merged: stop it and fail loudly
+            q.stop()
+            raise RuntimeError("cdc_stream_merge_table: drain timed out")
     finally:
         shutil.rmtree(cp, ignore_errors=True)
     assert state.committed()["batch_id"] >= 3, "multi-batch path not exercised"

@@ -12,8 +12,10 @@ require knowing that trick:
 * :func:`read_binlog` — the explicit form, ``columns=`` as a python
   list.
 * :func:`read_binlog_pruned` — the automatic form: build the query
-  against a full-schema scan, read the OPTIMIZED plan's references,
-  re-read with exactly the envelope columns the plan needs, rebuild.
+  against a full-schema scan, read the ANALYZED plan's references
+  (the optimized plan prunes harder than the rebuild can re-apply —
+  see required_scan_columns), re-read with exactly the envelope
+  columns the query text touches, rebuild.
 
 Deriving the projection from the optimized plan is safe because
 over-inclusion is harmless (a superset decodes more than needed but
@@ -95,9 +97,9 @@ def read_binlog_pruned(
     """Automatic projection pruning: ``build`` is a function
     DataFrame → DataFrame expressing the query; it is applied once to
     a full-schema scan to learn the required envelope columns (no job
-    runs — only the optimized plan is inspected), then re-applied to a
+    runs — only the analyzed plan is inspected), then re-applied to a
     scan narrowed with ``columns=`` so the codec skips image decode
-    for everything the plan never reads.
+    for everything the query never reads.
 
         top_xids = read_binlog_pruned(
             spark, log_dir,

@@ -99,3 +99,37 @@ def test_without_generation_prefix_overlap_keys_go_stale(spark, dirs, tmp_path):
         spark.read.format("mysql_binlog").load(full), generation=0
     )))
     assert _live(st.current(spark)) != want
+
+
+def test_envelope_to_rows_basename_handling(spark):
+    """r18 review fixes pinned: any numeric-suffixed log basename works
+    (mysql-bin.000007 — the classic log_bin name), and a name without a
+    numeric suffix raises instead of silently producing NULL versions;
+    file index 1024 no longer bleeds into the generation field."""
+    from mysql_cdc_spark.operators.state_table import envelope_to_rows
+
+    schema = (
+        "log_file string, offset bigint, op string, db string, tbl string, "
+        "before map<string,string>, after map<string,string>"
+    )
+    good = spark.createDataFrame(
+        [
+            ("mysql-bin.000007", 99, "write_rows", "d", "t", None, {"id": "1", "val": "x"}),
+            ("mysql-bin.001024", 5, "write_rows", "d", "t", None, {"id": "2", "val": "y"}),
+        ],
+        schema,
+    )
+    rows = {r.id: r.offset for r in envelope_to_rows(good, generation=0).collect()}
+    assert rows[1] == 7 * (1 << 34) + 99
+    assert rows[2] == 1024 * (1 << 34) + 5
+    # generation 1's floor sits ABOVE any generation-0 file index —
+    # the pre-fix <<40 layout collided exactly here (file 1024)
+    gen1 = {r.id: r.offset for r in envelope_to_rows(good, generation=1).collect()}
+    assert min(gen1.values()) > max(rows.values())
+
+    bad = spark.createDataFrame(
+        [("binlog-without-number", 4, "write_rows", "d", "t", None, {"id": "1", "val": "x"})],
+        schema,
+    )
+    with pytest.raises(Exception, match="no numeric suffix"):
+        envelope_to_rows(bad).collect()
