@@ -1090,6 +1090,38 @@ class _BinlogStreamReader(DataSourceStreamReader):
                 if budget is not None:
                     want = min(want, budget)
                 head = pos <= _DATA_START
+                if (
+                    head
+                    and budget is not None
+                    and budget >= avail
+                    and names
+                    and names[-1] > cur_file
+                ):
+                    # FAST-FORWARD a fully-budgeted, already-rotated
+                    # file (r18): decoder state resets at every file
+                    # head and rotated files are immutable, so the
+                    # state-only walk adds nothing the executor decode
+                    # doesn't redo — and at a deep backlog it is THE
+                    # driver-side serial bottleneck (measured x100:
+                    # 100 s of budgeted planning walks over 2 GB vs
+                    # 0.1 s for the anchor-at-head first walk).  This
+                    # matches the FIRST batch, which plans whole
+                    # rotated files without walking them — so a
+                    # corrupt frame inside such a file surfaces
+                    # executor-side in raise mode on both paths, while
+                    # mid-file slices (the live tail, the budget
+                    # boundary file) keep the walk and its plan-time
+                    # raise (r16 ADVICE).  The last file never
+                    # fast-forwards: its tail may be torn and the walk
+                    # is the hold-back.
+                    self._alg = None
+                    self._tmap = None
+                    self._seq = 0
+                    self._cur = {"file": cur_file, "pos": size}
+                    budget -= avail
+                    if budget <= 0:
+                        break
+                    continue
                 if head:
                     self._alg = None
                     self._tmap = None

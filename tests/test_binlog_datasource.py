@@ -1910,3 +1910,123 @@ class TestSchemaEvoRestart:
         # nothing duplicated across the restart boundary
         pre_ops = [x["op"] for x in rows1]
         assert pre_ops.count("write_rows") == 1  # the narrow row only
+
+
+class TestPlanFastForward:
+    """r18: budgeted planning walks fast-forward fully-covered ROTATED
+    files — the state-only walk is O(boundary files), not O(backlog)
+    (measured x100: 100 s of driver-side walks over a 2 GB burst
+    collapse to the boundary-file walks).  The last file and mid-file
+    budget cuts keep the walk (torn-tail hold-back, frame alignment,
+    plan-time raise)."""
+
+    def _backlog(self, d: str, n_files: int = 5, txns: int = 6):
+        for f in range(n_files):
+            w = BinlogWriter(checksum="crc32")
+            for i in range(txns):
+                _txn(w, f * txns + i)
+            if f < n_files - 1:
+                w.write_rotate(f"binlog.{f + 1:06d}")
+            with open(f"{d}/binlog.{f:06d}", "wb") as fh:
+                fh.write(bytes(w.buf))
+
+    def test_rotated_files_not_walked_under_budget(self, tmp_path):
+        from unittest import mock
+
+        from mysql_cdc_spark.sources import binlog_datasource as ds
+
+        d = str(tmp_path / "bl")
+        os.makedirs(d)
+        # seed so the first (uncapped, anchor-at-tail) walk is tiny
+        w0 = BinlogWriter(checksum="crc32")
+        _txn(w0, 999)
+        w0.write_rotate("binlog.000001")
+        with open(f"{d}/binlog.000000", "wb") as fh:
+            fh.write(bytes(w0.buf))
+        r = _BinlogStreamReader(
+            {"path": d, "catalog": _CAT_JSON, "max_bytes_per_batch": "1000000"}
+        )
+        cur = r.initialOffset()
+        cur = r.latestOffset()
+        r.commit(cur)
+        # the backlog lands: 5 files, all inside one budgeted trigger
+        self._backlog_offset = 1
+        for f in range(1, 6):
+            w = BinlogWriter(checksum="crc32")
+            for i in range(4):
+                _txn(w, 100 * f + i)
+            if f < 5:
+                w.write_rotate(f"binlog.{f + 1:06d}")
+            with open(f"{d}/binlog.{f:06d}", "wb") as fh:
+                fh.write(bytes(w.buf))
+
+        calls: list[int] = []
+        real = ds.decode_binlog_incremental
+
+        def counting(*a, **k):
+            calls.append(len(a[0]))
+            return real(*a, **k)
+
+        with mock.patch.object(ds, "decode_binlog_incremental", counting):
+            nxt = r.latestOffset()
+        assert nxt["file"] == "binlog.000005"
+        # only the LAST file (torn-tail candidate) was walked — the
+        # four rotated backlog files fast-forwarded without a decode
+        assert len(calls) == 1, f"planner walked {len(calls)} slices"
+
+        # delivery unaffected: the budgeted trigger's partitions decode
+        # the fast-forwarded files executor-side, rows exactly once
+        rows = _rows(b for p in r.partitions(cur, nxt) for b in [*r.read(p)])
+        want = 0
+        for f in range(1, 6):
+            w = BinlogWriter(checksum="crc32")
+            for i in range(4):
+                _txn(w, 100 * f + i)
+            if f < 5:
+                w.write_rotate(f"binlog.{f + 1:06d}")
+            want += len(
+                bs.envelope_columns(decode_binlog(bytes(w.buf), _CAT), "f")[0]["op"]
+            )
+        assert len(rows) == want
+
+    def test_corrupt_rotated_file_surfaces_executor_side(self, tmp_path):
+        """Behavioral alignment with the first batch: raise-mode
+        corruption inside a fast-forwarded ROTATED file is an executor
+        error (read), not a planning error; the mid-file/last-file walk
+        keeps the plan-time raise."""
+        d = str(tmp_path / "bl")
+        os.makedirs(d)
+        w0 = BinlogWriter(checksum="crc32")
+        _txn(w0, 0)
+        w0.write_rotate("binlog.000001")
+        with open(f"{d}/binlog.000000", "wb") as fh:
+            fh.write(bytes(w0.buf))
+        r = _BinlogStreamReader(
+            {"path": d, "catalog": _CAT_JSON, "max_bytes_per_batch": "1000000"}
+        )
+        cur = r.initialOffset()
+        cur = r.latestOffset()
+        r.commit(cur)
+
+        w1 = BinlogWriter(checksum="crc32")
+        for i in range(3):
+            _txn(w1, 10 + i)
+        data = bytearray(w1.buf)
+        ref = decode_binlog(bytes(w1.buf), _CAT)
+        poison = next(e for e in ref if e["op"] == "write_rows")
+        data[poison["offset"] + 21] ^= 0xFF
+        w1.write_rotate("binlog.000002")  # unused; keep bytes pre-rotate
+        with open(f"{d}/binlog.000001", "wb") as fh:
+            fh.write(bytes(data))
+        with open(f"{d}/binlog.000001", "ab") as fh:
+            fh.write(bytes(w1.buf[len(data):]))
+        w2 = BinlogWriter(checksum="crc32")
+        _txn(w2, 99)
+        with open(f"{d}/binlog.000002", "wb") as fh:
+            fh.write(bytes(w2.buf))
+
+        nxt = r.latestOffset()  # planning fast-forwards the corrupt file
+        assert nxt["file"] == "binlog.000002"
+        with pytest.raises(ValueError, match="CRC32|corrupt"):
+            for p in r.partitions(cur, nxt):
+                [*r.read(p)]
