@@ -99,6 +99,7 @@ from mysql_cdc_spark.sources.binlog_source import (
     BINLOG_ENVELOPE_SCHEMA,
     FIXTURE_CATALOG,
     _ENVELOPE_COLS,
+    LogDiscovery,
     _list_log_files,
     envelope_columns,
     images_for_columns,
@@ -257,6 +258,14 @@ class _Opts:
             )
         else:
             self.columns = None
+        # Incremental discovery reconcile cadence (r18 VERDICT #1):
+        # steady-state triggers probe the dense rotated namespace
+        # forward (O(new files)); every N triggers a full listing
+        # re-syncs.  "0" disables probing — every trigger full-lists
+        # (the pre-r19 behavior; the A/B knob ds_bench uses).
+        self.list_reconcile = int(
+            options.get("list_reconcile_triggers", "64")
+        )
 
     @property
     def images(self) -> str:
@@ -983,6 +992,12 @@ class _BinlogStreamReader(DataSourceStreamReader):
         # offset so mid-file slices ship exact state; pruned on
         # commit().
         self._plan_state: dict[tuple[str, int], tuple] = {}
+        # O(new-files) discovery (r18 VERDICT #1): steady-state
+        # triggers probe the dense rotated namespace forward instead
+        # of full-listing the directory per call.
+        self._disc = LogDiscovery(
+            self._o.path, reconcile_every=self._o.list_reconcile
+        )
 
     # -- offsets ----------------------------------------------------------
 
@@ -1007,7 +1022,7 @@ class _BinlogStreamReader(DataSourceStreamReader):
             return {"file": os.path.basename(files[0]), "pos": _DATA_START}
         return {"file": "", "pos": _DATA_START}
 
-    def _anchor(self) -> None:
+    def _anchor(self, names: list[str]) -> None:
         """First latestOffset of this reader instance: anchor the walk
         at the head of the LAST file.  Decoder state resets per file
         (magic + FDE), so alignment and table-map state never need
@@ -1015,12 +1030,11 @@ class _BinlogStreamReader(DataSourceStreamReader):
         log's lifetime."""
         if self._cur is not None:
             return
-        files = _list_log_files(self._o.path)
-        if not files:
+        if not names:
             self._cur = {"file": "", "pos": _DATA_START}
             return
         self._cur = {
-            "file": os.path.basename(files[-1]),
+            "file": names[-1],
             "pos": _DATA_START,
         }
         self._alg = None
@@ -1038,21 +1052,39 @@ class _BinlogStreamReader(DataSourceStreamReader):
         # STEADY-STATE triggers; the first trigger after a (re)start
         # drains the backlog in one (per-file-parallel) batch.
         fresh = self._cur is None
-        self._anchor()
         o = self._o
+        # One NAMESPACE snapshot per call — O(new files) in steady
+        # state (LogDiscovery probes the dense rotated numbering
+        # forward; r18 VERDICT #1); the first call full-lists once to
+        # anchor.  Sizes are stat'd lazily and memoized for the call,
+        # so the per-trigger stat cost is O(files the walk visits),
+        # never O(backlog) — and each file's size is still read at
+        # most ONCE per trigger: a writer appending faster than the
+        # walk can never keep this trigger alive forever; bytes
+        # landing after a file's first stat belong to the next trigger
+        # (the head a Kafka source reports is a point-in-time snapshot
+        # for the same reason).
+        names = self._disc.refresh(
+            min_name=self._cur["file"] or None if self._cur else None
+        )
+        self._anchor(names)
+        if fresh and self._cur["file"]:
+            # the anchor sits at the LAST file: everything before it
+            # is behind the cursor for good
+            names = [n for n in names if n >= self._cur["file"]]
+            self._disc.prune(self._cur["file"])
         budget = None if fresh else o.max_bytes
-        # One directory snapshot per call: sizes read once, so a
-        # writer appending faster than the walk can never keep this
-        # trigger alive forever — bytes landing after the snapshot
-        # belong to the next trigger (the head a Kafka source reports
-        # is a point-in-time snapshot for the same reason).
-        sizes: dict[str, int] = {}
-        for p in _list_log_files(o.path):
-            try:
-                sizes[os.path.basename(p)] = os.path.getsize(p)
-            except OSError:
-                continue
-        names = sorted(sizes)
+        sizes: dict[str, int | None] = {}
+
+        def _size(name: str) -> int | None:
+            if name not in sizes:
+                try:
+                    sizes[name] = os.path.getsize(
+                        os.path.join(o.path, name)
+                    )
+                except OSError:
+                    sizes[name] = None
+            return sizes[name]
         # Files fully consumed DURING this walk, name -> byte extent at
         # consumption time: recorded into the offset JSON so a replayed
         # batch reads exactly the bytes this walk saw even if a rotated
@@ -1081,7 +1113,7 @@ class _BinlogStreamReader(DataSourceStreamReader):
                 self._seq = 0
                 continue
             fpath = os.path.join(o.path, cur_file)
-            size = sizes.get(cur_file)
+            size = _size(cur_file)
             if size is None:
                 break
             if pos < size:
@@ -1223,14 +1255,48 @@ class _BinlogStreamReader(DataSourceStreamReader):
 
     # -- planning ---------------------------------------------------------
 
+    def _range_files(self, s_file: str, e_file: str) -> list[str]:
+        """Full paths of the rotated logs in [s_file, e_file], by
+        dense-index enumeration — O(files in the batch) existence
+        checks instead of a full directory listing (r18 VERDICT #1:
+        planning cost must follow the batch, not the backlog).  Falls
+        back to the pruned full listing when the boundary names don't
+        share a stem/width (mixed directories; an open start).  A name
+        missing from the dense range is skipped — exactly what the
+        listing did."""
+        o = self._o
+        if s_file:
+            try:
+                s_stem, s_suf = s_file.rsplit(".", 1)
+                e_stem, e_suf = e_file.rsplit(".", 1)
+                lo, hi = int(s_suf), int(e_suf)
+            except ValueError:
+                s_stem, e_stem = None, ""
+            if s_stem == e_stem and len(s_suf) == len(e_suf) and lo <= hi:
+                width = len(s_suf)
+                return [
+                    p
+                    for idx in range(lo, hi + 1)
+                    if os.path.isfile(
+                        p := os.path.join(
+                            o.path, f"{s_stem}.{idx:0{width}d}"
+                        )
+                    )
+                ]
+        return [
+            p
+            for p in _list_log_files(o.path, s_file or None)
+            if os.path.basename(p) <= e_file
+        ]
+
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         self._trace(f"partitions {start} -> {end}")
         o = self._o
         if end.get("file", "") == "" or start == end:
             return []
-        paths = _list_log_files(o.path)
-        out: list[_StreamPartition] = []
         s_file = start.get("file", "")
+        paths = self._range_files(s_file, end["file"])
+        out: list[_StreamPartition] = []
         # Byte extents of files fully consumed in the walk that
         # produced `end`: replay must read the bytes THAT walk saw,
         # not today's os.path.getsize (a rotated file that grew after
@@ -1244,13 +1310,27 @@ class _BinlogStreamReader(DataSourceStreamReader):
         packable: list[tuple[int, int]] = []
         for p in paths:
             name = os.path.basename(p)
-            if (s_file and name < s_file) or name > end["file"]:
-                continue
             s = start["pos"] if name == s_file else _DATA_START
             if name == end["file"]:
                 e = end["pos"]
+            elif name in ends:
+                e = ends[name]
+                try:
+                    now = os.path.getsize(p)
+                except OSError:
+                    now = e
+                if now > e:
+                    # a rotated file GREW after the walk consumed it —
+                    # outside the rotated-files-are-immutable contract
+                    # that `ends` replay and the budgeted fast-forward
+                    # rely on; make the skipped tail observable
+                    # instead of silent (r18 ADVICE).
+                    self._trace(
+                        f"consumed file grew after snapshot: {name} "
+                        f"{e} -> {now} (tail not replayed)"
+                    )
             else:
-                e = ends.get(name, os.path.getsize(p))
+                e = os.path.getsize(p)
             if s >= e:
                 continue
             if s <= _DATA_START:

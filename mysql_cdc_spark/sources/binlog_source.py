@@ -401,6 +401,101 @@ def _list_log_files(
     return [p for _, p in pairs]
 
 
+class LogDiscovery:
+    """O(new-files) incremental rotated-log discovery (r18 VERDICT #1).
+
+    A steady-state stream trigger's only job is to notice the ONE file
+    the server just rotated to, yet `_list_log_files` pays a full
+    directory listStatus + sort on every call — at the target scale
+    (millions of retained logs on object storage) that is minutes of
+    driver time per trigger to discover one name.  Rotated names are
+    dense and zero-padded (`<stem>.%06d`, `_ROTATED_LOG_RE`; a real
+    server increments the suffix by exactly one per rotation), so the
+    successor namespace is CLOSED-FORM: remember the highest known
+    name and probe `<stem>.%0Nd` forward with existence checks until
+    the first miss — O(new files + 1) stats, independent of backlog
+    size.  This is the same design as the reference's index-file
+    lookup (`most_recent_binlog`, src/cdc/mysql_binlog.clj:813-817):
+    the server's own namespace is self-describing, so discovery never
+    needs a walk.
+
+    Safety rails, each preserving the full-listing semantics exactly:
+
+    * the FIRST refresh (and any refresh after the known set emptied)
+      full-lists — initial discovery is O(directory) once, as before;
+    * every ``reconcile_every`` calls a full list re-syncs, healing
+      anything probing cannot see (an out-of-sequence name appearing
+      mid-directory — not a thing real servers do, but cheap
+      insurance; ``reconcile_every=0`` disables probing entirely);
+    * a directory holding MORE THAN ONE stem (mixed `binlog.*` +
+      `mysql-bin.*`) disables probing permanently for this instance —
+      a single closed-form successor doesn't exist there;
+    * `prune(min_name)` forgets names behind the consumer's cursor so
+      the retained set tracks the UNCONSUMED backlog, not history.
+
+    A lowered numbering restart (RESET MASTER writing binlog.000001
+    below a consumed binlog.000008) is invisible to probing — and was
+    equally invisible to the full listing, whose lexicographic
+    successor rule (`_maybe_rotate`: succ > cur) never looks backward;
+    that scenario is a new directory/consumer generation by contract
+    (see operators/state_table.py failover notes).
+    """
+
+    def __init__(self, path: str, reconcile_every: int = 64) -> None:
+        self.path = path
+        self.reconcile_every = reconcile_every
+        self._names: list[str] = []  # sorted known rotated basenames
+        self._dense = True  # single-stem directory → probing is sound
+        self._calls = 0
+        # instrumentation (tools/ds_bench.py discovery rows)
+        self.full_lists = 0
+        self.probes = 0
+
+    def _full_list(self) -> None:
+        self.full_lists += 1
+        self._names = sorted(
+            os.path.basename(p) for p in _list_log_files(self.path)
+        )
+        stems = {n.rsplit(".", 1)[0] for n in self._names}
+        if len(stems) > 1:
+            self._dense = False
+
+    def _probe_forward(self) -> None:
+        stem, suffix = self._names[-1].rsplit(".", 1)
+        idx, width = int(suffix), len(suffix)
+        while True:
+            idx += 1
+            cand = f"{stem}.{idx:0{width}d}"
+            self.probes += 1
+            if not os.path.isfile(os.path.join(self.path, cand)):
+                return
+            self._names.append(cand)
+
+    def refresh(self, min_name: str | None = None) -> list[str]:
+        """The sorted rotated basenames currently known (>= min_name),
+        re-synced with the directory: a probe in steady state, a full
+        list on first call / reconcile / non-dense directories."""
+        self._calls += 1
+        if (
+            not self._names
+            or not self._dense
+            or self.reconcile_every == 0
+            or self._calls % max(self.reconcile_every, 1) == 0
+        ):
+            self._full_list()
+        else:
+            self._probe_forward()
+        if min_name is not None:
+            self.prune(min_name)
+        return list(self._names)
+
+    def prune(self, min_name: str) -> None:
+        """Forget names behind the cursor (consumed files never come
+        back into a walk: the successor rule only moves forward)."""
+        if self._names and self._names[0] < min_name:
+            self._names = [n for n in self._names if n >= min_name]
+
+
 def normalize_envelope_columns(columns: list[str]) -> list[str]:
     """Validate a projection against the envelope and return it in
     canonical envelope order (shared by both scan protocols — the

@@ -375,3 +375,130 @@ def test_envelope_columns_parity_with_records():
         assert set(cols) == set(_ENVELOPE_COLS)
         for c in _ENVELOPE_COLS:
             assert cols[c] == [r[c] for r in recs], (kw, c)
+
+
+# ---------------------------------------------------------------------------
+# O(new-files) incremental discovery (r18 VERDICT #1)
+# ---------------------------------------------------------------------------
+
+
+def _mk_logs(d, idxs, stem="binlog"):
+    for i in idxs:
+        (d / f"{stem}.{i:06d}").write_bytes(b"x")
+
+
+def test_log_discovery_probes_forward_without_listing(tmp_path):
+    """Steady state: one initial full list, then rotation discovery is
+    pure forward probing — O(new files) existence checks."""
+    from mysql_cdc_spark.sources.binlog_source import LogDiscovery
+
+    _mk_logs(tmp_path, range(4))
+    d = LogDiscovery(str(tmp_path), reconcile_every=1000)
+    names = d.refresh()
+    assert names == [f"binlog.{i:06d}" for i in range(4)]
+    assert d.full_lists == 1
+
+    _mk_logs(tmp_path, (4, 5))
+    names = d.refresh()
+    assert names == [f"binlog.{i:06d}" for i in range(6)]
+    assert d.full_lists == 1  # discovered by probing, not listing
+    assert d.probes == 3  # 000004 hit, 000005 hit, 000006 miss
+
+    # idle trigger: exactly one probe (the miss), still no listing
+    assert d.refresh() == names
+    assert d.full_lists == 1
+    assert d.probes == 4
+
+
+def test_log_discovery_reconcile_heals_out_of_sequence(tmp_path):
+    """A name probing cannot see (a hole in the numbering) is picked
+    up by the periodic full-list reconcile."""
+    from mysql_cdc_spark.sources.binlog_source import LogDiscovery
+
+    _mk_logs(tmp_path, (0, 1))
+    d = LogDiscovery(str(tmp_path), reconcile_every=4)
+    d.refresh()
+    _mk_logs(tmp_path, (5,))  # hole at 2-4: forward probe misses it
+    assert "binlog.000005" not in d.refresh()
+    healed = False
+    for _ in range(4):
+        healed = "binlog.000005" in d.refresh()
+        if healed:
+            break
+    assert healed and d.full_lists >= 2
+
+
+def test_log_discovery_mixed_stems_always_lists(tmp_path):
+    """More than one stem in the directory: no closed-form successor
+    exists, so every refresh falls back to the full listing and stays
+    exactly equivalent to _list_log_files."""
+    from mysql_cdc_spark.sources.binlog_source import (
+        LogDiscovery, _list_log_files,
+    )
+
+    _mk_logs(tmp_path, (0, 1), stem="binlog")
+    _mk_logs(tmp_path, (0,), stem="mysql-bin")
+    d = LogDiscovery(str(tmp_path), reconcile_every=1000)
+    expect = [p.rsplit("/", 1)[-1] for p in _list_log_files(str(tmp_path))]
+    assert d.refresh() == expect
+    _mk_logs(tmp_path, (1,), stem="mysql-bin")
+    expect = [p.rsplit("/", 1)[-1] for p in _list_log_files(str(tmp_path))]
+    assert d.refresh() == expect
+    assert d.full_lists == 2
+
+
+def test_log_discovery_empty_dir_then_first_file(tmp_path):
+    from mysql_cdc_spark.sources.binlog_source import LogDiscovery
+
+    d = LogDiscovery(str(tmp_path), reconcile_every=1000)
+    assert d.refresh() == []
+    _mk_logs(tmp_path, (0,))
+    assert d.refresh() == ["binlog.000000"]
+
+
+def test_log_discovery_prune_drops_consumed(tmp_path):
+    from mysql_cdc_spark.sources.binlog_source import LogDiscovery
+
+    _mk_logs(tmp_path, range(6))
+    d = LogDiscovery(str(tmp_path), reconcile_every=1000)
+    d.refresh()
+    assert d.refresh(min_name="binlog.000004") == [
+        "binlog.000004", "binlog.000005",
+    ]
+    # pruned names stay gone on later probes
+    assert d.refresh() == ["binlog.000004", "binlog.000005"]
+
+
+def test_log_discovery_reconcile_zero_disables_probing(tmp_path):
+    from mysql_cdc_spark.sources.binlog_source import LogDiscovery
+
+    _mk_logs(tmp_path, (0,))
+    d = LogDiscovery(str(tmp_path), reconcile_every=0)
+    d.refresh()
+    d.refresh()
+    assert d.full_lists == 2 and d.probes == 0
+
+
+def test_range_files_dense_enumeration_matches_listing(tmp_path):
+    """partitions' range enumeration == the pruned listing, including
+    a hole in the numbering; mixed stems fall back to the listing."""
+    from mysql_cdc_spark.sources.binlog_datasource import (
+        _BinlogStreamReader as _SR,
+    )
+
+    # build a reader without running a stream
+    _mk_logs(tmp_path, (0, 1, 2, 4, 5))
+    r = _SR.__new__(_SR)
+    from mysql_cdc_spark.sources.binlog_datasource import _Opts
+
+    r._o = _Opts({"path": str(tmp_path)})
+    got = [p.rsplit("/", 1)[-1] for p in
+           r._range_files("binlog.000001", "binlog.000004")]
+    assert got == ["binlog.000001", "binlog.000002", "binlog.000004"]
+    # open start: everything up to the end bound
+    got = [p.rsplit("/", 1)[-1] for p in r._range_files("", "binlog.000002")]
+    assert got == ["binlog.000000", "binlog.000001", "binlog.000002"]
+    # mixed stems: listing fallback, lexicographic bounds
+    got = [p.rsplit("/", 1)[-1] for p in
+           r._range_files("binlog.000004", "mysql-bin.000001")]
+    assert got == ["binlog.000004", "binlog.000005"]

@@ -255,6 +255,60 @@ def main() -> None:
             reps=1,
         )
 
+    # r19 (r18 VERDICT #1): steady-state DISCOVERY cost must be flat
+    # in the backlog size.  Synthetic dirs with N retained logs and a
+    # consumer at the tail; each trigger appends ONE new file and pays
+    # latestOffset + partitions + commit.  `incr` = forward probing
+    # (default), `full` = list_reconcile_triggers=0 (every trigger
+    # full-lists — the pre-r19 shape).  Flat incr across backlog sizes
+    # and a full column growing with N is the claim.
+    def _discovery_bench() -> dict:
+        import os
+
+        from mysql_cdc_spark.sources.binlog_codec import BinlogWriter
+        from mysql_cdc_spark.sources.binlog_datasource import (
+            _BinlogStreamReader,
+        )
+
+        w = BinlogWriter()
+        w.write_query("d", "BEGIN", ts=1)
+        w.write_xid(1, ts=1)
+        blob = w.getvalue()
+        res: dict = {}
+        root = pathlib.Path(_STREAM_TMP) / f"disc_bench_{uuid.uuid4().hex[:6]}"
+        try:
+            for n_backlog in (1_000, 20_000):
+                d = root / f"n{n_backlog}"
+                d.mkdir(parents=True)
+                tpl = d / "binlog.000000"
+                tpl.write_bytes(blob)
+                for i in range(1, n_backlog):
+                    os.link(tpl, d / f"binlog.{i:06d}")
+                nxt = n_backlog
+                for mode, opt in (("full", "0"), ("incr", "64")):
+                    r = _BinlogStreamReader(
+                        {"path": str(d), "list_reconcile_triggers": opt}
+                    )
+                    cur = r.latestOffset()  # anchor: decodes tail file only
+                    r.commit(cur)
+                    k = 30
+                    t0 = time.time()
+                    for _ in range(k):
+                        os.link(tpl, d / f"binlog.{nxt:06d}")
+                        nxt += 1
+                        end = r.latestOffset()
+                        r.partitions(cur, end)
+                        r.commit(end)
+                        cur = end
+                    res[f"{mode}_backlog{n_backlog}_ms_per_trigger"] = round(
+                        (time.time() - t0) / k * 1000, 3
+                    )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        return res
+
+    out["discovery"] = _discovery_bench()
+
     out["ds_vs_mapinpandas_full"] = round(
         out["datasource_full"]["sec"] / out["mapinpandas_full"]["sec"], 3
     )
