@@ -99,19 +99,63 @@ def ddl_alerts(env: DataFrame) -> DataFrame:
     ).select("offset", "ts", "db", "tbl", "sql")
 
 
-def latest_state_with_tombstones(rows_dt: DataFrame) -> DataFrame:
+_RESERVED_STATE_COLS = frozenset(
+    {"offset", "as_of_offset", "is_deleted", "_delta_type", "row_idx"}
+)
+
+
+def _check_state_cols(keys, value_cols) -> None:
+    bad = (set(keys) | set(value_cols)) & _RESERVED_STATE_COLS
+    if bad:
+        raise ValueError(
+            f"key/value columns collide with reserved state columns: "
+            f"{sorted(bad)}"
+        )
+    if set(keys) & set(value_cols):
+        raise ValueError(
+            f"columns cannot be both key and value: "
+            f"{sorted(set(keys) & set(value_cols))}"
+        )
+    shadow = [c for c in value_cols if c.startswith("_s_")]
+    if shadow:
+        raise ValueError(
+            f"value columns may not start with '_s_' (merge-internal "
+            f"snapshot aliases): {shadow}"
+        )
+
+
+def latest_state_with_tombstones(
+    rows_dt: DataFrame,
+    keys: tuple[str, ...] = ("db", "tbl", "id"),
+    value_cols: tuple[str, ...] = ("value",),
+) -> DataFrame:
     """Per-key last image INCLUDING delete tombstones — the delta shape
     incremental maintenance needs (a delete must override an older
-    snapshot row, so it cannot be filtered out of the delta)."""
+    snapshot row, so it cannot be filtered out of the delta).
+
+    Generalized (r18 VERDICT #2): arbitrary composite ``keys`` and N
+    typed ``value_cols``.  When the input carries ``row_idx`` it
+    breaks within-frame ties (a multi-row event shares one offset; a
+    key-changing UPDATE split into delete+insert lands two images at
+    the same offset — see envelope_to_typed_rows), so the last image
+    within a frame is the last row of the frame, not a value-order
+    accident.  Cross-batch ordering stays pure offset: one frame never
+    spans two micro-batches."""
+    _check_state_cols(keys, value_cols)
+    order = ["offset"] + (
+        ["row_idx"] if "row_idx" in rows_dt.columns else []
+    )
     return (
         rows_dt.filter(F.col("_delta_type") != DT_UPDATE_BEFORE)
-        .groupBy("db", "tbl", "id")
-        .agg(F.max(F.struct("offset", "value", "_delta_type")).alias("last"))
+        .groupBy(*keys)
+        .agg(
+            F.max(
+                F.struct(*order, *value_cols, "_delta_type")
+            ).alias("last")
+        )
         .select(
-            "db",
-            "tbl",
-            "id",
-            F.col("last.value").alias("value"),
+            *keys,
+            *[F.col(f"last.{c}").alias(c) for c in value_cols],
             F.col("last.offset").alias("as_of_offset"),
             (F.col("last._delta_type") == DT_DELETE).alias("is_deleted"),
         )
@@ -166,11 +210,16 @@ def apply_changes(snapshot: DataFrame, rows_dt_batch: DataFrame) -> DataFrame:
 
 
 def apply_changes_keep_tombstones(
-    snapshot: DataFrame, rows_dt_batch: DataFrame
+    snapshot: DataFrame,
+    rows_dt_batch: DataFrame,
+    keys: tuple[str, ...] = ("db", "tbl", "id"),
+    value_cols: tuple[str, ...] = ("value",),
 ) -> DataFrame:
     """Out-of-order-safe MERGE: like :func:`apply_changes` but the
-    state RETAINS delete tombstones (db, tbl, id, value, as_of_offset,
-    is_deleted) instead of dropping the row.
+    state RETAINS delete tombstones (*keys, *value_cols, as_of_offset,
+    is_deleted) instead of dropping the row.  Generalized over
+    composite keys and N value columns (r18 VERDICT #2); the default
+    arguments are the original (db, tbl, id) → value shape.
 
     Why: a file/micro-batch source does not guarantee offset-ordered
     batches (measured: the event-log stream delivered batch offsets
@@ -184,22 +233,25 @@ def apply_changes_keep_tombstones(
     horizon.  Consumers read live rows only
     (operators/state_table.py ``current``); at 100 TB, GC tombstones
     once every replayable source offset is past them."""
-    delta = latest_state_with_tombstones(rows_dt_batch)
-    keys = ["db", "tbl", "id"]
+    delta = latest_state_with_tombstones(rows_dt_batch, keys, value_cols)
+    keys = list(keys)
     s = snapshot.select(
         *keys,
-        F.col("value").alias("s_value"),
-        F.col("as_of_offset").alias("s_offset"),
-        F.col("is_deleted").alias("s_deleted"),
+        *[F.col(c).alias(f"_s_{c}") for c in value_cols],
+        F.col("as_of_offset").alias("_s_offset"),
+        F.col("is_deleted").alias("_s_deleted"),
     )
     newer = F.col("as_of_offset").isNotNull() & (
-        F.col("s_offset").isNull() | (F.col("as_of_offset") > F.col("s_offset"))
+        F.col("_s_offset").isNull() | (F.col("as_of_offset") > F.col("_s_offset"))
     )
     return s.join(delta, keys, "full_outer").select(
         *keys,
-        F.when(newer, F.col("value")).otherwise(F.col("s_value")).alias("value"),
-        F.greatest(F.col("as_of_offset"), F.col("s_offset")).alias("as_of_offset"),
-        F.when(newer, F.col("is_deleted")).otherwise(F.col("s_deleted")).alias("is_deleted"),
+        *[
+            F.when(newer, F.col(c)).otherwise(F.col(f"_s_{c}")).alias(c)
+            for c in value_cols
+        ],
+        F.greatest(F.col("as_of_offset"), F.col("_s_offset")).alias("as_of_offset"),
+        F.when(newer, F.col("is_deleted")).otherwise(F.col("_s_deleted")).alias("is_deleted"),
     )
 
 

@@ -267,6 +267,8 @@ REGISTRATION_ORDER: list[str] = [
     "cdc_stream_merge_table",
     "cdc_ds_gtid_failover",
     "cdc_ds_failover_state",
+    # r19 additions
+    "cdc_state_typed_tables",
 ]
 
 

@@ -2113,3 +2113,105 @@ def cdc_ds_failover_state(spark, sf_dir):
         1,
     )
     return state.current(spark).select("db", "tbl", "id", "value")
+
+
+@register(
+    "cdc_state_typed_tables",
+    """
+WITH ev AS (
+  SELECT event_id,
+         CASE WHEN user_id % 2 = 0 THEN 'foo' ELSE 'bench' END AS db,
+         CAST(event_id % 97 AS BIGINT) AS id,
+         CASE WHEN event_type IN ('signup','purchase') THEN 'insert'
+              WHEN event_type IN ('click','view') THEN 'update'
+              ELSE 'delete' END AS op,
+         printf('%d.%04d', event_id % 100000, event_id % 10000) AS val,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              ELSE event_type END AS word
+  FROM events
+), latest AS (
+  SELECT db, id, val, word, op FROM (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY db, id ORDER BY event_id DESC) AS rn
+    FROM ev
+  ) WHERE rn = 1 AND op <> 'delete'
+)
+SELECT 'auto' AS tbl, id,
+       CAST(CAST(val AS DECIMAL(12,4)) AS VARCHAR) AS val_dec,
+       CAST(NULL AS DOUBLE) AS val_dbl, word
+FROM latest WHERE db = 'foo'
+UNION ALL
+SELECT 'big' AS tbl, id, CAST(NULL AS VARCHAR) AS val_dec,
+       CAST(val AS DOUBLE) AS val_dbl, CAST(NULL AS VARCHAR) AS word
+FROM latest WHERE db = 'bench'
+""".strip(),
+)
+def cdc_state_typed_tables(spark, sf_dir):
+    """GENERALIZED consumer (r18 VERDICT #2): one byte-envelope scan
+    maintains TWO StateTables of DIFFERENT schemas — foo.auto as
+    (id) → (val DECIMAL(12,4), word STRING) and bench.big as
+    (id) → (val DOUBLE) — through the typed bridge
+    envelope_to_typed_rows (per-table keys, typed payloads, the
+    delete+insert split for key-changing updates).  Each table's
+    pointer records its own keys/value_cols/col_types; the oracle is
+    the typed latest-state replay of both tables, so one mistyped
+    cast, lost key, or cross-table leak fails the hash.  The result
+    is a presentation union of the two differently-shaped tables
+    (NULL-padded columns); the SIGKILL twin of this path is
+    tests/test_state_sigkill.py::test_sigkill_multi_table_*."""
+    import pathlib
+
+    from mysql_cdc_spark.operators.state_table import (
+        StateTable,
+        envelope_to_typed_rows,
+    )
+    from mysql_cdc_spark.queries._shared import _gc_scratch, _scratch_name
+
+    log_dir = _ds_fixture(spark, sf_dir)
+    _gc_scratch(_STREAM_TMP, "typedtbl")
+    name = _scratch_name("typedtbl")
+    root = pathlib.Path(_STREAM_TMP) / name
+    auto = StateTable(
+        str(root / "auto"), name + "_auto", n_buckets=8, keys=("id",)
+    )
+    big = StateTable(
+        str(root / "big"), name + "_big", n_buckets=8, keys=("id",)
+    )
+    env = spark.read.format("mysql_binlog").load(log_dir)
+    auto.merge_batch(
+        envelope_to_typed_rows(
+            env,
+            {"id": "bigint"},
+            {"val": "decimal(12,4)", "word": "string"},
+            table=("foo", "auto"),
+        ),
+        0,
+    )
+    big.merge_batch(
+        envelope_to_typed_rows(
+            env, {"id": "bigint"}, {"val": "double"},
+            table=("bench", "big"),
+        ),
+        0,
+    )
+    # presentation: the DECIMAL column hashes as its exact string
+    # rendering (both engines print scale-4 decimals identically;
+    # DuckDB's pandas bridge would otherwise degrade DECIMAL to
+    # float64) — the STORED column stays DECIMAL(12,4), which is the
+    # claim under test (ptr col_types assert below)
+    assert auto.committed()["col_types"]["val"] == "DECIMAL(12,4)"
+    a = auto.current(spark).select(
+        F.lit("auto").alias("tbl"),
+        "id",
+        F.col("val").cast("string").alias("val_dec"),
+        F.lit(None).cast("double").alias("val_dbl"),
+        "word",
+    )
+    b = big.current(spark).select(
+        F.lit("big").alias("tbl"),
+        "id",
+        F.lit(None).cast("string").alias("val_dec"),
+        F.col("val").alias("val_dbl"),
+        F.lit(None).cast("string").alias("word"),
+    )
+    return a.unionByName(b)

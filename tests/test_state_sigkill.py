@@ -212,3 +212,210 @@ def test_sigkill_mid_stream_state_table_is_exactly_once(spark, tmp_path):
     # deletes actually exercised: keys 0,5,...,110 minus re-inserts stay gone
     live_ids = {t[2] for t in got}
     assert 110 not in live_ids and 119 in live_ids
+
+
+# ---------------------------------------------------------------------------
+# Multi-table path (r18 VERDICT #2): one stream, TWO StateTables of
+# different schemas, SIGKILL mid-epoch — exactly-once PER TABLE
+# ---------------------------------------------------------------------------
+
+_T2 = TableDef(
+    "bench", "big", [(TYPE_LONG, None), (TYPE_LONG, None)], table_id=8
+)
+_CATALOG2 = '{"foo.auto": ["id", "val"], "bench.big": ["id", "score"]}'
+
+
+def _txn2(w: BinlogWriter, i: int) -> None:
+    """Transaction i touches BOTH tables: foo.auto insert/update/delete
+    as in _txn; bench.big upserts a cycling key (i%7) and every 4th txn
+    deletes the previous cycle's key."""
+    w.write_query("foo", "BEGIN")
+    w.write_table_map(_T)
+    w.write_rows(WRITE_ROWS_EVENT, _T, [[i, f"v{i}"]])
+    w.write_table_map(_T2)
+    w.write_rows(WRITE_ROWS_EVENT, _T2, [[i % 7, i]])
+    if i % 4 == 0 and i >= 4:
+        w.write_table_map(_T2)
+        w.write_rows(DELETE_ROWS_EVENT, _T2, [[(i - 4) % 7, None]])
+    if i % 5 == 0 and i >= 5:
+        w.write_table_map(_T)
+        w.write_rows(DELETE_ROWS_EVENT, _T, [[i - 5, None]])
+    w.write_xid(100 + i)
+
+
+_CHILD2_SRC = """
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from mysql_cdc_spark.sources.binlog_datasource import register_binlog_source
+from mysql_cdc_spark.operators.state_table import (
+    MultiTableState, StateTable, envelope_to_typed_rows,
+)
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .getOrCreate()
+)
+register_binlog_source(spark)
+auto = StateTable({root_a!r}, "mt_auto", n_buckets=2, keys=("id",))
+big = StateTable({root_b!r}, "mt_big", n_buckets=2, keys=("id",))
+routes = [
+    (auto, lambda env: envelope_to_typed_rows(
+        env, {{"id": "bigint"}}, {{"val": "string"}}, table=("foo", "auto"))),
+    (big, lambda env: envelope_to_typed_rows(
+        env, {{"id": "bigint"}}, {{"score": "bigint"}}, table=("bench", "big"))),
+]
+env = (
+    spark.readStream.format("mysql_binlog")
+    .option("catalog", {catalog!r})
+    .option("max_bytes_per_batch", "1024")
+    .load({src!r})
+)
+q = (
+    env.writeStream.foreachBatch(MultiTableState(routes).merger())
+    .option("checkpointLocation", {cp!r})
+    .trigger(processingTime="0 seconds")
+    .start()
+)
+q.awaitTermination()
+"""
+
+
+@pytest.mark.timeout(600)
+def test_sigkill_multi_table_is_exactly_once_per_table(spark, tmp_path):
+    src = str(tmp_path / "src")
+    root_a = str(tmp_path / "state_a")
+    root_b = str(tmp_path / "state_b")
+    cp = str(tmp_path / "cp")
+    os.makedirs(src)
+    ptr_a = pathlib.Path(root_a) / "_state_pointer.json"
+    ptr_b = pathlib.Path(root_b) / "_state_pointer.json"
+
+    w = BinlogWriter(checksum="crc32")
+    for i in range(30):
+        _txn2(w, i)
+    (pathlib.Path(src) / "binlog.000000").write_bytes(bytes(w.buf))
+
+    child = tmp_path / "consumer2.py"
+    child.write_text(
+        _CHILD2_SRC.format(
+            repo=_REPO, root_a=root_a, root_b=root_b, src=src, cp=cp,
+            catalog=_CATALOG2,
+        )
+    )
+    proc = subprocess.Popen(
+        [sys.executable, str(child)],
+        start_new_session=True,
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+
+    def _committed_batch(p) -> int:
+        try:
+            return json.loads(p.read_text())["batch_id"]
+        except (OSError, json.JSONDecodeError, KeyError):
+            return -1
+
+    def _wait_batch(k: int, deadline_s: float = 180) -> None:
+        # wait on table A only: killing while B may or may not have
+        # committed the same epoch EXERCISES the between-tables window
+        deadline = time.monotonic() + deadline_s
+        while _committed_batch(ptr_a) < k and time.monotonic() < deadline:
+            assert proc.poll() is None, "consumer child died early"
+            time.sleep(0.1)
+        assert _committed_batch(ptr_a) >= k
+
+    try:
+        _wait_batch(0)
+        for i in range(30, 50):
+            _txn2(w, i)
+        w.write_rotate("binlog.000001")
+        (pathlib.Path(src) / "binlog.000000").write_bytes(bytes(w.buf))
+        w2 = BinlogWriter(checksum="crc32")
+        for i in range(50, 70):
+            _txn2(w2, i)
+        (pathlib.Path(src) / "binlog.000001").write_bytes(bytes(w2.buf))
+        _wait_batch(2)
+    finally:
+        os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+        proc.wait(timeout=30)
+
+    w3 = BinlogWriter(checksum="crc32")
+    for i in range(70, 85):
+        _txn2(w3, i)
+    w2.write_rotate("binlog.000002")
+    (pathlib.Path(src) / "binlog.000001").write_bytes(bytes(w2.buf))
+    (pathlib.Path(src) / "binlog.000002").write_bytes(bytes(w3.buf))
+
+    from mysql_cdc_spark.operators.state_table import (
+        MultiTableState,
+        StateTable,
+        envelope_to_typed_rows,
+    )
+    from mysql_cdc_spark.sources.binlog_datasource import (
+        register_binlog_source,
+    )
+
+    register_binlog_source(spark)
+    auto = StateTable(root_a, "mt_auto", n_buckets=2, keys=("id",))
+    big = StateTable(root_b, "mt_big", n_buckets=2, keys=("id",))
+    routes = [
+        (auto, lambda env: envelope_to_typed_rows(
+            env, {"id": "bigint"}, {"val": "string"}, table=("foo", "auto"))),
+        (big, lambda env: envelope_to_typed_rows(
+            env, {"id": "bigint"}, {"score": "bigint"},
+            table=("bench", "big"))),
+    ]
+    env = (
+        spark.readStream.format("mysql_binlog")
+        .option("catalog", _CATALOG2)
+        .option("max_bytes_per_batch", "1024")
+        .load(src)
+    )
+    q = (
+        env.writeStream.foreachBatch(MultiTableState(routes).merger())
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(300)
+    assert q.exception() is None, f"restart stream failed: {q.exception()}"
+    assert finished
+
+    from mysql_cdc_spark.operators.aggregates import (
+        latest_state_with_tombstones,
+    )
+
+    ref_env = (
+        spark.read.format("mysql_binlog")
+        .option("catalog", _CATALOG2)
+        .load(src)
+    )
+
+    def _oracle(table, values):
+        rows = envelope_to_typed_rows(
+            ref_env, {"id": "bigint"}, values, table=table
+        )
+        st = latest_state_with_tombstones(
+            rows, ("id",), tuple(values)
+        )
+        return st.filter(~F.col("is_deleted")).drop("is_deleted")
+
+    want_a = {
+        (r.id, r.val) for r in _oracle(("foo", "auto"), {"val": "string"}).collect()
+    }
+    got_a = {(r.id, r.val) for r in auto.current(spark).collect()}
+    assert got_a == want_a and len(got_a) == len(want_a)
+
+    want_b = {
+        (r.id, r.score)
+        for r in _oracle(("bench", "big"), {"score": "bigint"}).collect()
+    }
+    got_b = {(r.id, r.score) for r in big.current(spark).collect()}
+    assert got_b == want_b
+    # the two tables really have different schemas
+    assert auto.committed()["value_cols"] == ["val"]
+    assert big.committed()["value_cols"] == ["score"]
+    assert big.committed()["col_types"]["score"] == "BIGINT"
