@@ -269,6 +269,7 @@ REGISTRATION_ORDER: list[str] = [
     "cdc_ds_failover_state",
     # r19 additions
     "cdc_state_typed_tables",
+    "cdc_stream_state_schema_evo",
 ]
 
 

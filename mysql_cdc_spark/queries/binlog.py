@@ -2215,3 +2215,150 @@ def cdc_state_typed_tables(spark, sf_dir):
         F.lit(None).cast("string").alias("word"),
     )
     return a.unionByName(b)
+
+
+@register(
+    "cdc_stream_state_schema_evo",
+    """
+WITH ev AS (
+  SELECT event_id,
+         CAST(event_id % 97 AS BIGINT) AS id,
+         printf('%d.%04d', event_id % 100000, event_id % 10000) AS val,
+         ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS k,
+         COUNT(*) OVER () AS n
+  FROM events
+), typed AS (
+  SELECT event_id, id, val,
+         CASE WHEN k >= n // 2 AND event_id % 10 <> 0
+              THEN CAST(event_id % 1000 AS BIGINT) END AS score
+  FROM ev
+)
+SELECT id, val, score FROM (
+  SELECT id, val, score,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY event_id DESC) AS rn
+  FROM typed
+) WHERE rn = 1
+""".strip(),
+)
+def cdc_stream_state_schema_evo(spark, sf_dir):
+    """Schema evolution THROUGH the StateTable (r18 VERDICT #5): the
+    log ALTERs mid-stream and the maintained latest-state table
+    WIDENS.  The sevo byte fixture (lab.acct: (id, val), a mid-log
+    ALTER adds score, binlog_row_metadata=FULL TLVs so decode is
+    catalog-free) is delivered in two stream runs over one checkpoint:
+    run 1 ends at the ALTER frame's byte offset (the directory is
+    staged truncated there), run 2 appends the rest — so the widening
+    arrives in a LATER micro-batch of a resumed stream, exactly the
+    production shape.  The consumer derives each batch's value
+    columns from the after-image keys actually present (pre-ALTER
+    batches build the narrow delta; post-ALTER batches carry score and
+    the StateTable NULL-backfills history).  Mid-gate asserts pin that
+    run 1 really committed the NARROW schema; the oracle is the typed
+    full-history latest state with score NULL for pre-ALTER winners."""
+    import pathlib
+    import shutil
+
+    from mysql_cdc_spark.operators.state_table import (
+        StateTable,
+        envelope_to_typed_rows,
+    )
+    from mysql_cdc_spark.queries._shared import _gc_scratch, _scratch_name
+    from mysql_cdc_spark.sources import binlog_source as bs
+    from mysql_cdc_spark.sources.binlog_codec import (
+        decode_binlog_incremental,
+    )
+    from mysql_cdc_spark.sources.binlog_datasource import (
+        register_binlog_source,
+    )
+
+    sevo_dir = pathlib.Path(_STREAM_TMP) / (
+        f"binlog_sevo_{pathlib.Path(sf_dir).name}_v{_FIXTURE_VERSION}"
+    )
+    if not any(sevo_dir.glob("binlog.*")):
+        bs.generate_schema_evo_binlog(sf_dir, str(sevo_dir))
+    register_binlog_source(spark)
+
+    _gc_scratch(_STREAM_TMP, "sevostate")
+    name = _scratch_name("sevostate")
+    root = pathlib.Path(_STREAM_TMP) / name
+    src = root / "src"
+    src.mkdir(parents=True)
+    state = StateTable(str(root / "state"), name, n_buckets=8, keys=("id",))
+    cp = str(root / "cp")
+
+    # stage 1: every file before the ALTER, plus the ALTER's file
+    # truncated at the ALTER frame's start (a clean frame boundary)
+    files = sorted(sevo_dir.glob("binlog.*"))
+    alter_file, alter_off = None, None
+    for p in files:
+        data = p.read_bytes()
+        events, _, _, _ = decode_binlog_incremental(
+            data, 4, None, {}, on_error="quarantine", only_ops=frozenset()
+        )
+        for ev in events:
+            if ev.get("op") == "query" and (
+                ev.get("sql") or ""
+            ).startswith("ALTER"):
+                alter_file, alter_off = p, ev["offset"]
+                break
+        if alter_file is not None:
+            break
+    assert alter_file is not None, "sevo fixture lost its ALTER event"
+    for p in files:
+        if p.name < alter_file.name:
+            shutil.copyfile(p, src / p.name)
+    (src / alter_file.name).write_bytes(
+        alter_file.read_bytes()[:alter_off]
+    )
+
+    TYPES = {"val": "string", "score": "bigint"}
+
+    def merge(batch, batch_id):
+        present = {
+            r[0]
+            for r in batch.select(
+                F.explode(F.map_keys("after"))
+            ).distinct().collect()
+        }
+        vals = {c: t for c, t in TYPES.items() if c in present}
+        if not vals:
+            return  # empty/replayed batch with no after-images
+        state.merge_batch(
+            envelope_to_typed_rows(
+                batch, {"id": "bigint"}, vals, table=("lab", "acct")
+            ),
+            batch_id,
+        )
+
+    def drain():
+        q = (
+            spark.readStream.format("mysql_binlog")
+            .load(str(src))
+            .writeStream.foreachBatch(merge)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(1800):
+            q.stop()
+            raise RuntimeError("cdc_stream_state_schema_evo: drain timed out")
+
+    try:
+        drain()
+        # run 1 committed the NARROW table — the widening really is
+        # a later-batch event, not a first-batch accident
+        assert state.committed()["value_cols"] == ["val"], (
+            state.committed()["value_cols"]
+        )
+        # the ALTER + post-ALTER rows land; the stream resumes the
+        # same checkpoint mid-file
+        for p in files:
+            if p.name >= alter_file.name:
+                shutil.copyfile(p, src / p.name)
+        drain()
+    finally:
+        shutil.rmtree(cp, ignore_errors=True)
+    ptr = state.committed()
+    assert ptr["value_cols"] == ["val", "score"], ptr["value_cols"]
+    assert ptr["col_types"]["score"] == "BIGINT"
+    return state.current(spark).select("id", "val", "score")
