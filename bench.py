@@ -68,6 +68,24 @@ def main() -> None:
         "load_1m_start": load_start,
     }
 
+    # Per-query floors (r18 VERDICT #4): compare this run's min wall
+    # against the recorded quiet floor so the artifact itself names
+    # any query that drifted — empty means every query is inside the
+    # 1.5x(+0.3s) band of queries/floors.py.
+    from mysql_cdc_spark.queries.floors import (
+        HEADLINE_FLOORS, allowed_wall,
+    )
+
+    floors_exceeded = {
+        name: {
+            "wall": timings[name],
+            "floor": HEADLINE_FLOORS[name],
+            "allowed": round(allowed_wall(name), 4),
+        }
+        for name in timings
+        if name in HEADLINE_FLOORS and timings[name] > allowed_wall(name)
+    }
+
     # End-to-end CDC latency (BASELINE.md metric 3): the reference's
     # binlog2−binlog3−binlog4 decomposition — full turn minus pure
     # byte-write minus pure incremental-decode = the streaming
@@ -281,6 +299,7 @@ def main() -> None:
                 "datasource_narrow_sec": ds_narrow_sec,
                 "datasource_ts_range_sec": ds_ts_range_sec,
                 "variance": {**variance, "load_1m_end": round(os.getloadavg()[0], 2)},
+                "floors_exceeded": floors_exceeded,
                 "sf": sf,
             }
         )

@@ -1,0 +1,46 @@
+"""Per-query HEADLINE wall floors (r18 VERDICT #4): each headline
+query's min-of-3 wall at sf0.1 must stay inside a generous band of
+its recorded quiet floor (queries/floors.py) — so cross-round
+headline drift is attributable to a NAMED query, not ambient
+tenancy.  The band (1.5x + absolute slack) absorbs the measured
+±15% host swing; a real plan regression (a new shuffle, a lost
+pushdown) lands well outside it."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from mysql_cdc_spark.queries.floors import HEADLINE_FLOORS, allowed_wall
+
+SF01 = "/root/testdata/sf0.1"
+
+
+@pytest.fixture(scope="module")
+def warmed(spark):
+    from mysql_cdc_spark.queries import QUERIES
+
+    for name in HEADLINE_FLOORS:
+        QUERIES[name](spark, SF01).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    return QUERIES
+
+
+@pytest.mark.parametrize("name", sorted(HEADLINE_FLOORS))
+def test_headline_wall_within_floor_band(spark, warmed, name):
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        warmed[name](spark, SF01).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        best = min(best, time.perf_counter() - t0)
+        if best <= allowed_wall(name):
+            break  # early out: already inside the band
+    assert best <= allowed_wall(name), (
+        f"{name}: min wall {best:.3f}s exceeds band "
+        f"{allowed_wall(name):.3f}s (floor {HEADLINE_FLOORS[name]:.3f}s) "
+        "— attribute or re-record the floor with a PLANS.md note"
+    )
