@@ -70,8 +70,28 @@ def required_scan_columns(df: DataFrame) -> list[str]:
     union the final frame's envelope-named output columns.  Returns at
     least one column — a pure ``count(*)`` plan references nothing,
     but a zero-column Arrow batch carries no row count, so the
-    cheapest envelope column (``offset``) stands in."""
-    plan = df._jdf.queryExecution().analyzed().toString()
+    cheapest envelope column (``offset``) stands in.
+
+    The plan renders with spark.sql.debug.maxToStringFields raised for
+    the probe (r18 ADVICE): the default (25) elides operator fields as
+    '... N more fields', and a wide query could hide a referenced
+    envelope column inside the ellipsis — the rebuild against the
+    under-included ``columns=`` scan would then fail analysis on a
+    valid query (pinned by test_auto_prune's wide-projection case)."""
+    spark = df.sparkSession
+    _key = "spark.sql.debug.maxToStringFields"
+    try:
+        old = spark.conf.get(_key)
+    except Exception:
+        old = None
+    spark.conf.set(_key, "100000")
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    finally:
+        if old is None:
+            spark.conf.unset(_key)
+        else:
+            spark.conf.set(_key, old)
     body = "\n".join(
         ln
         for ln in plan.splitlines()

@@ -108,3 +108,31 @@ def test_explicit_columns_option_is_rejected(spark, log_dir):
         read_binlog_pruned(
             spark, log_dir, lambda e: e, columns="offset,op"
         )
+
+
+def test_wide_projection_survives_tostring_truncation(spark, log_dir):
+    """r18 ADVICE: the analyzed plan's toString elides operator fields
+    past spark.sql.debug.maxToStringFields (default 25) — a WIDE query
+    whose only reference to an envelope column sits past the ellipsis
+    must still derive it (the probe raises the conf), and the rebuild
+    must equal the unpruned query."""
+
+    def build(env):
+        # >25 projected fields; the LAST expressions are the only
+        # references to `after` and `before` — exactly the fields the
+        # default toString would elide
+        wide = [F.lit(i).alias(f"pad{i}") for i in range(26)]
+        return env.filter("op = 'update_rows'").select(
+            "offset",
+            *wide,
+            F.element_at("after", "id").alias("aid"),
+            F.element_at("before", "id").alias("bid"),
+        )
+
+    cols = required_scan_columns(build(read_binlog(spark, log_dir)))
+    assert "after" in cols and "before" in cols
+    pruned = read_binlog_pruned(spark, log_dir, build)
+    full = build(read_binlog(spark, log_dir))
+    assert _rows(pruned) == _rows(full)
+    # the conf is restored after the probe
+    assert spark.conf.get("spark.sql.debug.maxToStringFields") != "100000"
