@@ -107,7 +107,21 @@ def cdc_stream_join(spark, sf_dir):
     within 7 days, both sides watermarked so the join state is GC-able
     (Spark buffers each side keyed by id + event-time range; the
     watermark bounds how long an insert waits for updates).  Append
-    mode, batch-equivalent by oracle."""
+    mode, batch-equivalent by oracle.
+
+    State partitioning is pinned to the DATA scale (r18 VERDICT #6):
+    the r15-r18 sweep walls (9.6-21.2 s, bimodal under co-load) were
+    measured to be per-partition state-store COMMIT overhead, not
+    data — the drain is 2 batches (data + watermark finalize) and a
+    stream-stream join keeps 4 HDFS-backed stores per partition, so
+    32 partitions pay 2x32x4 store commits per run (instrumented:
+    46-76 s summed commitTimeMs at 32 partitions vs 2.2-2.9 s at 8,
+    same 800k rows; wall 8-14 s vs 2.7-3.0 s, co-load swinging the
+    latency-bound commit fan-out).  A production deployment sizes
+    this by join-state volume; 8 partitions is that sizing for the
+    sf-scale fixture.  The conf is restored after the synchronous
+    drain."""
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     rows = rows_delta_type(_stream_env(spark, sf_dir))
     base = rows.filter((F.col("db") == "foo") & (F.col("tbl") == "auto"))
     ins = (
@@ -130,7 +144,11 @@ def cdc_stream_join(spark, sf_dir):
         & (F.col("upd_ts") >= F.col("ins_ts"))
         & (F.col("upd_ts") <= F.col("ins_ts") + F.expr("INTERVAL 7 DAY")),
     ).select("id", "ins_ts", "ins_value", "upd_ts", "upd_value")
-    return _drain(joined, output_mode="append")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _drain(joined, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
 @register(

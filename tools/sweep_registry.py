@@ -38,11 +38,27 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — report, keep sweeping
             errors[name] = f"{type(exc).__name__}: {exc}"
 
+    # Rotation staleness audit (r18 VERDICT #7): with a 50-query
+    # driver window over 200+ names, print how far behind the
+    # least-recently-verified query is, so window-policy drift is
+    # visible in every sweep log.
+    from mysql_cdc_spark.queries.rotation import driver_verified_rounds
+
+    rounds = driver_verified_rounds()
+    latest = max(rounds.values(), default=0)
+    stale = [latest - rounds[n] for n in QUERIES if n in rounds]
+    rotation = {
+        "latest_driver_round": latest,
+        "max_staleness_rounds": max(stale, default=None),
+        "never_verified": sorted(n for n in QUERIES if n not in rounds),
+    }
+
     ordered = dict(sorted(walls.items(), key=lambda kv: kv[1]))
     print(json.dumps({
         "sf_dir": sf_dir,
         "n_queries": len(walls),
         "total_sec": round(sum(walls.values()), 1),
+        "rotation": rotation,
         "slowest": dict(list(ordered.items())[-top_n:]),
         "walls": ordered,
         "errors": errors,
