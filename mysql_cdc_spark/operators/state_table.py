@@ -152,6 +152,88 @@ def _image_version(generation: int):
     return F.lit(generation * (1 << 54)) + file_idx * F.lit(1 << 34) + off
 
 
+def checkpoint_safe_watermark(
+    checkpoint_dir: str,
+    generation: int = 0,
+    source_index: int = 0,
+) -> int | None:
+    """The compaction watermark a consumer may SAFELY pass to
+    :meth:`StateTable.compact`, derived from the stream's own
+    checkpoint — the committed low-water mark the compact contract
+    demands, computed instead of hand-supplied (hand-computing it is
+    the contract's one easy-to-misuse edge: too high re-opens
+    tombstone resurrection, pinned as a failing control in
+    tests/test_state_table.py).
+
+    Reads the LAST COMMITTED batch's end offset from
+    ``<cp>/commits`` + ``<cp>/offsets`` (the HDFSOffsetSeqLog layout:
+    a version line, a metadata line, then one offset JSON per source)
+    and packs the mysql_binlog source's ``{file, pos}`` into the same
+    int64 image-version layout :func:`_image_version` stamps on every
+    merge row.  Every image a FUTURE batch (including a replay of the
+    first uncommitted epoch) can carry sits at or past that offset,
+    because the mysql_binlog DataSource's batches are offset-MONOTONE
+    within a directory generation — its walk only moves forward and a
+    replayed batch re-reads the exact recorded extents.  So
+    ``compact(spark, checkpoint_safe_watermark(cp))`` can never drop
+    a tombstone that still guards an in-flight older image.
+
+    Scope: mysql_binlog DataSource streams only.  The parquet
+    event-log FILE stream is measurably NOT offset-ordered across
+    micro-batches (operators/aggregates.py has the numbers), so no
+    checkpoint-derived watermark exists there — compact by the
+    source's replayable-offset horizon instead.  ``generation`` is
+    the consumer's failover epoch for the CURRENT directory (the same
+    value it passes to :func:`envelope_to_typed_rows`); after a
+    failover, offsets of the new generation outrank every old-
+    generation version by construction, so the old generation's
+    tombstones compact away once the checkpoint has any committed
+    batch in the new directory.
+
+    Returns None when no batch has committed yet, or the committed
+    offset names no file (an empty directory's initial offset).
+    """
+    commits_dir = os.path.join(checkpoint_dir, "commits")
+    try:
+        committed = [
+            int(fn) for fn in os.listdir(commits_dir) if fn.isdigit()
+        ]
+    except OSError:
+        return None
+    if not committed:
+        return None
+    batch = max(committed)
+    with open(os.path.join(checkpoint_dir, "offsets", str(batch))) as fh:
+        lines = [ln.strip() for ln in fh if ln.strip()]
+    # lines: "v1", OffsetSeqMetadata JSON, then one entry per source
+    # (a source with no offset yet serializes as the literal "-")
+    line = lines[2 + source_index]
+    if line == "-":
+        return None
+    off = json.loads(line)
+    if isinstance(off, str):  # python-datasource offsets JSON-wrap once
+        off = json.loads(off)
+    name, pos = off.get("file", ""), int(off.get("pos", 0))
+    if not name:
+        return None
+    m = re.search(r"\.(\d+)$", name)
+    if m is None:
+        raise ValueError(
+            f"checkpoint offset file has no numeric suffix: {name!r}"
+        )
+    file_idx = int(m.group(1))
+    if not 0 <= generation <= 511:
+        raise ValueError(
+            f"image version: generation out of range 0..511: {generation}"
+        )
+    if file_idx >= 1 << 20 or pos >= 1 << 34:
+        raise ValueError(
+            f"checkpoint offset overflows the image-version layout: "
+            f"{name!r} pos={pos}"
+        )
+    return (generation << 54) | (file_idx << 34) | pos
+
+
 def envelope_to_typed_rows(
     env: DataFrame,
     key_cols: dict[str, str],
@@ -805,6 +887,28 @@ class StateTable:
         self._swap_pointer({**ptr, "version": version})
         self._gc(spark, keep=version)
         return True
+
+    def compact_to_checkpoint(
+        self,
+        spark: SparkSession,
+        checkpoint_dir: str,
+        generation: int = 0,
+        source_index: int = 0,
+    ) -> bool:
+        """:meth:`compact` at the watermark the stream's OWN
+        checkpoint proves safe (:func:`checkpoint_safe_watermark`) —
+        the production compaction call for a mysql_binlog-DataSource
+        consumer: no hand-computed horizon, so the contract's
+        resurrection hazard is unreachable by construction.  Returns
+        False when the checkpoint has no committed batch (nothing is
+        provably replay-safe yet) or the table has no committed
+        version."""
+        wm = checkpoint_safe_watermark(
+            checkpoint_dir, generation=generation, source_index=source_index
+        )
+        if wm is None:
+            return False
+        return self.compact(spark, wm)
 
     def rebucket(self, spark: SparkSession, n_buckets: int) -> bool:
         """Explicit re-bucket migration (r18 VERDICT #3): one full

@@ -270,6 +270,7 @@ REGISTRATION_ORDER: list[str] = [
     # r19 additions
     "cdc_state_typed_tables",
     "cdc_stream_state_schema_evo",
+    "cdc_state_lifecycle",
 ]
 
 

@@ -2362,3 +2362,133 @@ def cdc_stream_state_schema_evo(spark, sf_dir):
     assert ptr["value_cols"] == ["val", "score"], ptr["value_cols"]
     assert ptr["col_types"]["score"] == "BIGINT"
     return state.current(spark).select("id", "val", "score")
+
+
+@register(
+    "cdc_state_lifecycle",
+    """
+WITH ev AS (
+  SELECT event_id,
+         CASE WHEN user_id % 2 = 0 THEN 'foo' ELSE 'bench' END AS db,
+         CAST(event_id % 97 AS BIGINT) AS id,
+         CASE WHEN event_type IN ('signup','purchase') THEN 'insert'
+              WHEN event_type IN ('click','view') THEN 'update'
+              ELSE 'delete' END AS op,
+         printf('%d.%04d', event_id % 100000, event_id % 10000) AS val,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              ELSE event_type END AS word
+  FROM events
+)
+SELECT id, val, word FROM (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY db, id ORDER BY event_id DESC) AS rn
+  FROM ev
+) WHERE rn = 1 AND op <> 'delete' AND db = 'foo'
+""".strip(),
+)
+def cdc_state_lifecycle(spark, sf_dir):
+    """StateTable LIFECYCLE under a live stream (r19): the maintained
+    table survives a mid-stream REBUCKET migration (8 → 16) and a
+    mid-stream checkpoint-watermark COMPACTION with merges continuing
+    after both — the two operations a long-lived deployment performs
+    while its consumer keeps running, under the external hash gate
+    instead of unit tests alone.
+
+    The byte log is delivered in three stream runs over ONE
+    checkpoint (staged by byte truncation at decoded frame
+    boundaries, so it works at any file count — sf0.001's fixture is
+    a single file): run 1 commits ~1/3 of the first file, then
+    ``rebucket(16)`` migrates the layout; run 2 resumes MID-FILE into
+    the re-bucketed table, then ``compact_to_checkpoint`` drops
+    tombstones below the watermark the checkpoint itself proves safe
+    (checkpoint_safe_watermark — the committed low-water mark,
+    computed not hand-supplied); run 3 delivers the rest.  Mid-gate
+    asserts pin that the rebucket really committed (pointer
+    n_buckets), the compaction really dropped tombstones (raw count
+    decreases), and ≥3 micro-batches ran; the oracle is the typed
+    full-history latest state of foo.auto — equality proves neither
+    rewrite lost or duplicated a row and post-migration merges
+    converge exactly."""
+    import pathlib
+    import shutil
+
+    from mysql_cdc_spark.operators.state_table import (
+        StateTable,
+        envelope_to_typed_rows,
+    )
+    from mysql_cdc_spark.queries._shared import _gc_scratch, _scratch_name
+    from mysql_cdc_spark.sources.binlog_codec import (
+        decode_binlog_incremental,
+    )
+
+    log_dir = pathlib.Path(_ds_fixture(spark, sf_dir))
+    files = sorted(log_dir.glob("binlog.*"))
+    first = files[0].read_bytes()
+    events, _, _, _ = decode_binlog_incremental(
+        first, 4, None, {}, on_error="quarantine", only_ops=frozenset()
+    )
+    # frame-boundary cut points at ~1/3 and ~2/3 of the first file
+    cut1 = events[len(events) // 3]["offset"]
+    cut2 = events[(2 * len(events)) // 3]["offset"]
+    assert 4 < cut1 < cut2 < len(first), (cut1, cut2, len(first))
+
+    _gc_scratch(_STREAM_TMP, "lifecycle")
+    name = _scratch_name("lifecycle")
+    root = pathlib.Path(_STREAM_TMP) / name
+    src = root / "src"
+    src.mkdir(parents=True)
+    state = StateTable(str(root / "state"), name, n_buckets=8, keys=("id",))
+    cp = str(root / "cp")
+
+    def merge(batch, batch_id):
+        state.merge_batch(
+            envelope_to_typed_rows(
+                batch,
+                {"id": "bigint"},
+                {"val": "string", "word": "string"},
+                table=("foo", "auto"),
+            ),
+            batch_id,
+        )
+
+    def drain():
+        q = (
+            spark.readStream.format("mysql_binlog")
+            .load(str(src))
+            .writeStream.foreachBatch(merge)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(1800):
+            q.stop()
+            raise RuntimeError("cdc_state_lifecycle: drain timed out")
+
+    try:
+        (src / files[0].name).write_bytes(first[:cut1])
+        drain()
+        assert state.committed() is not None, "run 1 committed nothing"
+        assert state.committed()["n_buckets"] == 8
+        assert state.rebucket(spark, 16)
+        assert state.committed()["n_buckets"] == 16
+
+        (src / files[0].name).write_bytes(first[:cut2])
+        drain()  # resumes MID-FILE into the re-bucketed table
+        tombs_before = (
+            state.current_raw(spark).filter(F.col("is_deleted")).count()
+        )
+        assert state.compact_to_checkpoint(spark, cp), (
+            "no committed batch to compact to"
+        )
+        tombs_after = (
+            state.current_raw(spark).filter(F.col("is_deleted")).count()
+        )
+        assert tombs_after < tombs_before, (tombs_before, tombs_after)
+
+        for p in files:
+            shutil.copyfile(p, src / p.name)
+        drain()  # the rest of the log, post-rebucket + post-compact
+    finally:
+        shutil.rmtree(cp, ignore_errors=True)
+    assert state.committed()["batch_id"] >= 2, state.committed()
+    return state.current(spark).select("id", "val", "word")

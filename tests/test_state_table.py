@@ -583,3 +583,185 @@ class TestTypedEnvelopeRows:
             envelope_to_typed_rows(
                 self._env(spark, []), {"offset": "bigint"}, {"v": "string"}
             )
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint-derived compaction watermark (r19): the committed
+# low-water mark computed from the stream's own checkpoint, so the
+# compact contract's resurrection hazard is unreachable by
+# construction (hand-computing the horizon was the one easy-to-misuse
+# edge — TestCompaction demonstrates what going above it costs).
+# ---------------------------------------------------------------------------
+
+
+class TestCheckpointWatermark:
+    def _cp(self, tmp_path, committed: dict[int, dict], pending: dict[int, dict] | None = None,
+            wrap: bool = False) -> str:
+        """Fake HDFSOffsetSeqLog layout: commits/<b> marks batch b
+        committed; offsets/<b> holds version line + metadata line +
+        one offset JSON per source."""
+        import json as _json
+
+        cp = tmp_path / "cp"
+        (cp / "commits").mkdir(parents=True)
+        (cp / "offsets").mkdir()
+        for b in committed:
+            (cp / "commits" / str(b)).write_text('v1\n{"nextBatchWatermarkMs":0}')
+        for b, off in {**committed, **(pending or {})}.items():
+            body = _json.dumps(off)
+            if wrap:  # the python-datasource offsets wrap once more
+                body = _json.dumps(body)
+            (cp / "offsets" / str(b)).write_text(
+                'v1\n{"batchWatermarkMs":0,"batchTimestampMs":0}\n' + body
+            )
+        return str(cp)
+
+    def test_packs_last_committed_offset_not_pending(self, tmp_path):
+        from mysql_cdc_spark.operators.state_table import (
+            checkpoint_safe_watermark,
+        )
+
+        cp = self._cp(
+            tmp_path,
+            committed={
+                0: {"file": "binlog.000000", "pos": 700},
+                1: {"file": "binlog.000002", "pos": 901},
+            },
+            pending={2: {"file": "binlog.000005", "pos": 50}},
+        )
+        # batch 2 has an offsets entry but no commit: watermark is
+        # batch 1's end — (file 2, pos 901)
+        assert checkpoint_safe_watermark(cp) == (2 << 34) | 901
+
+    def test_generation_prefixes_the_version(self, tmp_path):
+        from mysql_cdc_spark.operators.state_table import (
+            checkpoint_safe_watermark,
+        )
+
+        cp = self._cp(
+            tmp_path, committed={0: {"file": "mysql-bin.000007", "pos": 44}}
+        )
+        assert checkpoint_safe_watermark(cp, generation=3) == (
+            (3 << 54) | (7 << 34) | 44
+        )
+
+    def test_json_wrapped_offsets_parse(self, tmp_path):
+        from mysql_cdc_spark.operators.state_table import (
+            checkpoint_safe_watermark,
+        )
+
+        cp = self._cp(
+            tmp_path,
+            committed={0: {"file": "binlog.000001", "pos": 10}},
+            wrap=True,
+        )
+        assert checkpoint_safe_watermark(cp) == (1 << 34) | 10
+
+    def test_no_commits_or_empty_offset_is_none(self, tmp_path):
+        from mysql_cdc_spark.operators.state_table import (
+            checkpoint_safe_watermark,
+        )
+
+        assert checkpoint_safe_watermark(str(tmp_path / "nope")) is None
+        cp = self._cp(tmp_path, committed={})
+        assert checkpoint_safe_watermark(cp) is None
+
+    def test_initial_empty_directory_offset_is_none(self, tmp_path):
+        from mysql_cdc_spark.operators.state_table import (
+            checkpoint_safe_watermark,
+        )
+
+        cp = self._cp(tmp_path, committed={0: {"file": "", "pos": 4}})
+        assert checkpoint_safe_watermark(cp) is None
+
+    def test_layout_guards_raise(self, tmp_path):
+        from mysql_cdc_spark.operators.state_table import (
+            checkpoint_safe_watermark,
+        )
+
+        cp = self._cp(
+            tmp_path, committed={0: {"file": "binlog.nosuffix", "pos": 4}}
+        )
+        with pytest.raises(ValueError, match="numeric suffix"):
+            checkpoint_safe_watermark(cp)
+        cp2 = self._cp(
+            tmp_path / "b",
+            committed={0: {"file": "binlog.1048576", "pos": 4}},
+        )
+        with pytest.raises(ValueError, match="overflows"):
+            checkpoint_safe_watermark(cp2)
+        cp3 = self._cp(
+            tmp_path / "c",
+            committed={0: {"file": "binlog.000001", "pos": 1 << 34}},
+        )
+        with pytest.raises(ValueError, match="overflows"):
+            checkpoint_safe_watermark(cp3)
+
+    def test_compact_to_checkpoint_matches_manual_compact(
+        self, spark, tmp_path
+    ):
+        """End-to-end against a real StateTable: the derived watermark
+        drops exactly the tombstones a manual compact at the committed
+        offset would, and a boundary tombstone survives."""
+        from mysql_cdc_spark.operators.state_table import StateTable
+
+        schema = (
+            "db string, tbl string, id bigint, value double, "
+            "offset bigint, _delta_type string"
+        )
+        st = StateTable(str(tmp_path / "st"), f"wm_{uuid.uuid4().hex[:8]}")
+        st.merge_batch(
+            spark.createDataFrame(
+                [("d", "t", 1, 1.0, 10, "insert"),
+                 ("d", "t", 2, 2.0, 11, "insert")],
+                schema,
+            ),
+            0,
+        )
+        st.merge_batch(
+            spark.createDataFrame(
+                [("d", "t", 1, None, 20, "delete")], schema
+            ),
+            1,
+        )
+        # committed end offset pos=21 > tombstone offset 20: drops it
+        cp = self._cp(
+            tmp_path, committed={1: {"file": "binlog.000000", "pos": 21}}
+        )
+        assert st.compact_to_checkpoint(spark, cp) is True
+        raw = st.current_raw(spark).collect()
+        assert not any(r.is_deleted for r in raw), raw
+        assert {(r.id,) for r in st.current(spark).collect()} == {(2,)}
+
+    def test_compact_to_checkpoint_boundary_tombstone_survives(
+        self, spark, tmp_path
+    ):
+        from mysql_cdc_spark.operators.state_table import StateTable
+
+        schema = (
+            "db string, tbl string, id bigint, value double, "
+            "offset bigint, _delta_type string"
+        )
+        st = StateTable(str(tmp_path / "st"), f"wmb_{uuid.uuid4().hex[:8]}")
+        st.merge_batch(
+            spark.createDataFrame(
+                [("d", "t", 1, None, 20, "delete")], schema
+            ),
+            0,
+        )
+        # committed end == the tombstone's offset: a replayed batch
+        # could still carry an image at 20 — the tombstone must stay
+        cp = self._cp(
+            tmp_path, committed={0: {"file": "binlog.000000", "pos": 20}}
+        )
+        assert st.compact_to_checkpoint(spark, cp) is True
+        assert any(r.is_deleted for r in st.current_raw(spark).collect())
+
+    def test_compact_to_checkpoint_uncommitted_cp_is_noop(
+        self, spark, tmp_path
+    ):
+        from mysql_cdc_spark.operators.state_table import StateTable
+
+        st = StateTable(str(tmp_path / "st"), f"wmn_{uuid.uuid4().hex[:8]}")
+        cp = self._cp(tmp_path, committed={})
+        assert st.compact_to_checkpoint(spark, cp) is False
