@@ -56,9 +56,15 @@ new columns NULL-backfill every pre-ALTER row, exactly what the
 source table's historical rows would read after the ALTER.  Widening
 forces the O(state) full path once (every retained bucket must carry
 the new columns).  A batch MISSING committed columns (the source
-dropped one) keeps the legacy column: it simply stops being updated
-(NULL in the delta never wins — the merge is per-row image, not
-per-column).  A TYPE change on an existing column raises: re-typing
+dropped one) keeps the legacy COLUMN in the schema, and the merge
+stays per-ROW image: a key updated after the drop reads NULL in the
+legacy column (its full row image genuinely no longer carries a
+value — binlog_row_image=FULL means the image IS the whole current
+row), while keys never touched again keep their last pre-drop value.
+Per-column coalesce-the-old-value semantics would present a stale
+value as current — that is a different operator, not this merge.
+Both directions are test-pinned (test_dropped_column_row_image_
+semantics).  A TYPE change on an existing column raises: re-typing
 history is a migration, not a merge.
 
 Cross-failover note: the `offset` column is the image version, and
@@ -104,17 +110,48 @@ _POINTER = "_state_pointer.json"
 _BUCKET_RE = re.compile(r"_(\d{5})\.c\d{3}.*\.parquet$")
 
 
-def _image_version(generation: int):
-    """The int64 image version column: generation<<54 | file_index<<34
-    | byte_offset (layout rationale in :func:`envelope_to_rows`).
-    Runtime-guarded (r18 ADVICE): a field overflowing its bit range
-    would silently corrupt version ORDER (stale images outranking new
-    ones), so out-of-range inputs raise instead — generation > 511
-    Python-side, file index >= 2^20 and byte offset >= 2^34 (16 GiB;
-    max_binlog_size caps real files at 1 GiB) row-side."""
-    if not 0 <= generation <= 511:
+# The int64 image-version bit layout, defined ONCE (r19 review: the
+# r18 review already caught one layout bug — <<40 colliding with the
+# generation field at file 1024 — so the layout must not exist as two
+# hand-rolled copies that can diverge): generation<<54 | file_idx<<34
+# | byte_offset.  Both the column-side stamp (_image_version) and the
+# Python-side pack (pack_image_version, used by the checkpoint
+# watermark) read these constants.
+_GEN_SHIFT = 54
+_GEN_MAX = 511  # failover epochs
+_FILE_SHIFT = 34
+_FILE_IDX_MAX = 1 << 20  # six-digit rotated-log suffixes
+_OFFSET_MAX = 1 << 34  # 16 GiB; max_binlog_size caps real files at 1 GiB
+
+
+def pack_image_version(generation: int, file_idx: int, pos: int) -> int:
+    """Python-side image-version pack with the same range guards the
+    column-side :func:`_image_version` applies — out-of-range fields
+    raise instead of silently corrupting version ORDER."""
+    if not 0 <= generation <= _GEN_MAX:
         raise ValueError(
-            f"image version: generation out of range 0..511: {generation}"
+            f"image version: generation out of range 0..{_GEN_MAX}: "
+            f"{generation}"
+        )
+    if file_idx < 0 or file_idx >= _FILE_IDX_MAX or not 0 <= pos < _OFFSET_MAX:
+        raise ValueError(
+            f"image version overflows the bit layout: file_idx={file_idx} "
+            f"pos={pos}"
+        )
+    return (generation << _GEN_SHIFT) | (file_idx << _FILE_SHIFT) | pos
+
+
+def _image_version(generation: int):
+    """The int64 image version column (bit layout above; rationale in
+    :func:`envelope_to_rows`).  Runtime-guarded (r18 ADVICE): a field
+    overflowing its bit range would silently corrupt version ORDER
+    (stale images outranking new ones), so out-of-range inputs raise
+    instead — generation Python-side, file index and byte offset
+    row-side."""
+    if not 0 <= generation <= _GEN_MAX:
+        raise ValueError(
+            f"image version: generation out of range 0..{_GEN_MAX}: "
+            f"{generation}"
         )
     file_idx_s = F.regexp_extract("log_file", r"\.(\d+)$", 1)
     file_idx = F.when(
@@ -127,7 +164,7 @@ def _image_version(generation: int):
             )
         ).cast("bigint")
     )
-    file_idx = F.when(file_idx < (1 << 20), file_idx).otherwise(
+    file_idx = F.when(file_idx < _FILE_IDX_MAX, file_idx).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(
@@ -138,7 +175,7 @@ def _image_version(generation: int):
             )
         ).cast("bigint")
     )
-    off = F.when(F.col("offset") < (1 << 34), F.col("offset")).otherwise(
+    off = F.when(F.col("offset") < _OFFSET_MAX, F.col("offset")).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(
@@ -149,7 +186,11 @@ def _image_version(generation: int):
             )
         ).cast("bigint")
     )
-    return F.lit(generation * (1 << 54)) + file_idx * F.lit(1 << 34) + off
+    return (
+        F.lit(generation * (1 << _GEN_SHIFT))
+        + file_idx * F.lit(1 << _FILE_SHIFT)
+        + off
+    )
 
 
 def checkpoint_safe_watermark(
@@ -221,17 +262,7 @@ def checkpoint_safe_watermark(
         raise ValueError(
             f"checkpoint offset file has no numeric suffix: {name!r}"
         )
-    file_idx = int(m.group(1))
-    if not 0 <= generation <= 511:
-        raise ValueError(
-            f"image version: generation out of range 0..511: {generation}"
-        )
-    if file_idx >= 1 << 20 or pos >= 1 << 34:
-        raise ValueError(
-            f"checkpoint offset overflows the image-version layout: "
-            f"{name!r} pos={pos}"
-        )
-    return (generation << 54) | (file_idx << 34) | pos
+    return pack_image_version(generation, int(m.group(1)), pos)
 
 
 def envelope_to_typed_rows(
@@ -434,10 +465,16 @@ class StateTable:
                 ptr = json.load(fh)
         except (OSError, json.JSONDecodeError):
             return None
-        if tuple(ptr.get("keys", self.keys)) != self.keys:
+        # A pointer with no "keys" entry predates the generalized
+        # surface and was committed with the legacy fixture spec — NOT
+        # whatever this instance was constructed with (defaulting to
+        # self.keys would let a mismatched reopen slip past the guard
+        # and merge/bucket on the wrong keys, silently).
+        committed_keys = tuple(ptr.get("keys", ("db", "tbl", "id")))
+        if committed_keys != self.keys:
             raise ValueError(
                 f"state table {self.name!r} was committed with keys "
-                f"{ptr['keys']}, reopened with {list(self.keys)}"
+                f"{list(committed_keys)}, reopened with {list(self.keys)}"
             )
         return ptr
 

@@ -2314,21 +2314,33 @@ def cdc_stream_state_schema_evo(spark, sf_dir):
     TYPES = {"val": "string", "score": "bigint"}
 
     def merge(batch, batch_id):
-        present = {
-            r[0]
-            for r in batch.select(
-                F.explode(F.map_keys("after"))
-            ).distinct().collect()
-        }
-        vals = {c: t for c, t in TYPES.items() if c in present}
-        if not vals:
-            return  # empty/replayed batch with no after-images
-        state.merge_batch(
-            envelope_to_typed_rows(
-                batch, {"id": "bigint"}, vals, table=("lab", "acct")
-            ),
-            batch_id,
-        )
+        # Filter to THIS table before probing, and persist across the
+        # probe + merge so the batch's decode lineage runs once, not
+        # twice.  The probe coalesces after|before images: a
+        # delete-only micro-batch carries keys ONLY in before-images
+        # (after is NULL on delete_rows) — probing `after` alone
+        # would silently drop its tombstones.
+        rows = batch.filter(
+            (F.col("db") == "lab") & (F.col("tbl") == "acct")
+        ).persist()
+        try:
+            present = {
+                r[0]
+                for r in rows.select(
+                    F.explode(F.map_keys(F.coalesce("after", "before")))
+                ).distinct().collect()
+            }
+            vals = {c: t for c, t in TYPES.items() if c in present}
+            if not vals:
+                return  # batch with no row images for this table
+            state.merge_batch(
+                envelope_to_typed_rows(
+                    rows, {"id": "bigint"}, vals, table=("lab", "acct")
+                ),
+                batch_id,
+            )
+        finally:
+            rows.unpersist()
 
     def drain():
         q = (

@@ -765,3 +765,82 @@ class TestCheckpointWatermark:
         st = StateTable(str(tmp_path / "st"), f"wmn_{uuid.uuid4().hex[:8]}")
         cp = self._cp(tmp_path, committed={})
         assert st.compact_to_checkpoint(spark, cp) is False
+
+
+class TestReviewPins:
+    """r19 self-review pins: the legacy-pointer key guard and the
+    dropped-column row-image semantics."""
+
+    def test_legacy_pointer_reopen_with_other_keys_raises(
+        self, spark, tmp_path
+    ):
+        """A pre-generalization pointer has no "keys" entry; it was
+        committed with the legacy (db, tbl, id) spec.  Reopening with
+        a DIFFERENT key spec must raise — defaulting the missing
+        entry to the reopening instance's keys would let the mismatch
+        slip through and merge/bucket on the wrong keys silently."""
+        import json
+        import os
+
+        from mysql_cdc_spark.operators.state_table import StateTable
+
+        schema = (
+            "db string, tbl string, id bigint, value double, "
+            "offset bigint, _delta_type string"
+        )
+        st = StateTable(str(tmp_path / "st"), f"lg_{uuid.uuid4().hex[:8]}")
+        st.merge_batch(
+            spark.createDataFrame(
+                [("d", "t", 1, 1.0, 10, "insert")], schema
+            ),
+            0,
+        )
+        # strip the pointer back to the pre-r19 shape
+        p = os.path.join(str(tmp_path / "st"), "_state_pointer.json")
+        with open(p) as fh:
+            ptr = json.load(fh)
+        for k in ("keys", "value_cols", "col_types"):
+            ptr.pop(k, None)
+        with open(p, "w") as fh:
+            json.dump(ptr, fh)
+
+        reopened_wrong = StateTable(
+            str(tmp_path / "st"), st.name, keys=("id",)
+        )
+        with pytest.raises(ValueError, match="committed with keys"):
+            reopened_wrong.committed()
+        # the legacy default still reads it fine
+        reopened_ok = StateTable(str(tmp_path / "st"), st.name)
+        assert reopened_ok.committed()["version"] == 0
+
+    def test_dropped_column_row_image_semantics(self, spark, tmp_path):
+        """The documented drop rule, both directions: after the
+        source drops a committed column, a key UPDATED post-drop
+        reads NULL in the legacy column (its full row image genuinely
+        carries no value any more), while a key never touched again
+        keeps its last pre-drop value."""
+        from mysql_cdc_spark.operators.state_table import StateTable
+
+        wide = (
+            "id bigint, amount double, note string, "
+            "offset bigint, _delta_type string"
+        )
+        narrow = "id bigint, amount double, offset bigint, _delta_type string"
+        st = StateTable(
+            str(tmp_path / "st"), f"dc_{uuid.uuid4().hex[:8]}", keys=("id",)
+        )
+        st.merge_batch(
+            spark.createDataFrame(
+                [(1, 10.0, "keep", 10, "insert"),
+                 (2, 20.0, "stale", 11, "insert")],
+                wide,
+            ),
+            0,
+        )
+        # the source drops `note`; key 2 is updated afterwards
+        st.merge_batch(
+            spark.createDataFrame([(2, 21.0, 20, "update")], narrow), 1
+        )
+        live = {r.id: (r.amount, r.note) for r in st.current(spark).collect()}
+        assert live[1] == (10.0, "keep")   # untouched: last pre-drop value
+        assert live[2] == (21.0, None)     # updated post-drop: row image wins
