@@ -78,19 +78,21 @@ def main() -> None:
 
     # The floors were recorded at sf0.1 (queries/floors.py) — at any
     # other SPARK_GRAFT_SF_DIR the comparison is meaningless (10x the
-    # data trips every floor; 1/10th can never trip one), so it is
-    # skipped rather than reported wrong.
-    floors_exceeded = {
-        name: {
-            "wall": timings[name],
-            "floor": HEADLINE_FLOORS[name],
-            "allowed": round(allowed_wall(name), 4),
+    # data trips every floor; 1/10th can never trip one).  Skipped
+    # runs report None, NOT {}, so the artifact itself distinguishes
+    # "comparison never ran" from "every floor passed".
+    if os.path.basename(sf_dir.rstrip("/")) == "sf0.1":
+        floors_exceeded = {
+            name: {
+                "wall": timings[name],
+                "floor": HEADLINE_FLOORS[name],
+                "allowed": round(allowed_wall(name), 4),
+            }
+            for name in timings
+            if name in HEADLINE_FLOORS and timings[name] > allowed_wall(name)
         }
-        for name in timings
-        if os.path.basename(sf_dir.rstrip("/")) == "sf0.1"
-        and name in HEADLINE_FLOORS
-        and timings[name] > allowed_wall(name)
-    }
+    else:
+        floors_exceeded = None
 
     # End-to-end CDC latency (BASELINE.md metric 3): the reference's
     # binlog2−binlog3−binlog4 decomposition — full turn minus pure

@@ -148,11 +148,7 @@ def _image_version(generation: int):
     (stale images outranking new ones), so out-of-range inputs raise
     instead — generation Python-side, file index and byte offset
     row-side."""
-    if not 0 <= generation <= _GEN_MAX:
-        raise ValueError(
-            f"image version: generation out of range 0..{_GEN_MAX}: "
-            f"{generation}"
-        )
+    pack_image_version(generation, 0, 0)  # the ONE generation guard
     file_idx_s = F.regexp_extract("log_file", r"\.(\d+)$", 1)
     file_idx = F.when(
         file_idx_s != "", file_idx_s.cast("bigint")
@@ -248,6 +244,12 @@ def checkpoint_safe_watermark(
         lines = [ln.strip() for ln in fh if ln.strip()]
     # lines: "v1", OffsetSeqMetadata JSON, then one entry per source
     # (a source with no offset yet serializes as the literal "-")
+    if 2 + source_index >= len(lines):
+        raise ValueError(
+            f"checkpoint offsets file for batch {batch} has "
+            f"{len(lines) - 2} source entries; source_index="
+            f"{source_index} is out of range"
+        )
     line = lines[2 + source_index]
     if line == "-":
         return None
