@@ -82,8 +82,9 @@ buckets) incremental path, and a format with file-level MERGE
 commit — the foreachBatch + idempotent-by-batch_id contract is
 identical.  Size ``n_buckets`` so one bucket ~ one task at the
 deployment's scale, and :meth:`StateTable.rebucket` migrates a table
-whose initial choice stopped fitting (state grows; hardlinked
-versions accumulate small files — see its docstring).
+whose initial choice stopped fitting (state grows, buckets outgrow
+tasks — the file count itself stays at n_buckets; see its
+docstring).
 """
 
 from __future__ import annotations
@@ -905,13 +906,17 @@ class StateTable:
         Mechanics: a new version with the filtered rows, committed
         through the same fsync'd pointer swap (batch_id unchanged, so
         epoch replay semantics are untouched); crash at any point
-        leaves the previous version current.  Compaction also rewrites
-        every bucket FRESH — the file-count GC for a long chain of
-        incremental merges, whose hardlinked versions accumulate one
-        small parquet file per touched bucket per batch (a lakehouse
-        OPTIMIZE; pair with :meth:`rebucket` when the bucket count
-        itself stopped fitting).  Returns False when no batch has
-        committed yet."""
+        leaves the previous version current.  Compaction's job is
+        tombstone GC and bucket-size restoration after heavy deletes
+        — NOT small-file GC: a version always holds exactly one file
+        per bucket (a touched bucket's incremental rewrite REPLACES
+        its file with the full merged bucket; untouched buckets
+        hardlink their single file), measured flat at n_buckets files
+        across a 10-trickle chain at 10M keys (tools/
+        rebucket_scale.py: 1M tombstones dropped in 3.5 s, trickles
+        flat after).  Pair with :meth:`rebucket` when the bucket
+        count itself stopped fitting.  Returns False when no batch
+        has committed yet."""
         ptr = self.committed()
         if ptr is None:
             return False
@@ -959,11 +964,12 @@ class StateTable:
         unchanged: a rebucket is a physical migration, not an epoch.
 
         Why it exists: ``n_buckets`` is chosen at creation, and at
-        100 TB state growth makes the initial choice wrong (one bucket
-        ~ one task stops holding); the incremental path's hardlinked
-        versions also accumulate small files per bucket, so a
-        migration doubles as a full compaction of layout.  Returns
-        False when the table already has ``n_buckets`` buckets."""
+        100 TB state growth makes the initial choice wrong (one
+        bucket ~ one task stops holding — the file count itself stays
+        exactly n_buckets across incremental chains, measured in
+        tools/rebucket_scale.py, so bucket SIZE, not file count, is
+        what outgrows the layout).  Returns False when the table
+        already has ``n_buckets`` buckets."""
         ptr = self.committed()
         if ptr is None:
             raise ValueError(

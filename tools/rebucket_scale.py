@@ -12,6 +12,15 @@ buckets) shape at the new count — and with 4x the buckets each touched
 bucket is ~4x smaller, so the per-trickle rewrite wall should not
 regress (it usually improves once buckets outgrow a task).
 
+A second leg measures compact() at the same scale (r19): delete 10%
+of the keys, run 10 trickle merges, then compact at a watermark above
+the deletes — the wall of the one-time rewrite, the tombstones it
+drops, and the trickle wall after it.  The file counts it records
+settled a doc claim the wrong way: a version holds exactly one file
+per bucket across the whole trickle chain (touched buckets REPLACE
+their file, untouched hardlink theirs), so compact is tombstone GC,
+not small-file GC.
+
 Usage: python tools/rebucket_scale.py [K] [n_before] [n_after]
 Output: one JSON line.
 """
@@ -88,6 +97,40 @@ def main() -> None:
     assert st.committed()["n_buckets"] == n_after
     n_live = st.current(spark).count()
     assert n_live == k, n_live
+
+    # -- compact leg (r19): tombstone GC + file-count GC at scale ----
+    n_del = k // 10
+    deletes = (
+        spark.range(0, n_del)
+        .select(
+            F.lit("d").alias("db"),
+            F.lit("t").alias("tbl"),
+            F.col("id"),
+            F.lit(None).cast("double").alias("value"),
+            (F.col("id") + 5 * k).alias("offset"),
+            F.lit("delete").alias("_delta_type"),
+        )
+    )
+    t0 = time.time()
+    st.merge_batch(deletes, 5)
+    out["delete_batch_sec"] = round(time.time() - t0, 2)
+    for i in range(10):  # accumulate the hardlinked incremental chain
+        st.merge_batch(batch((0, 10), (6 + i) * k), 6 + i)
+    out["files_after_trickles"] = files()
+    tombs = st.current_raw(spark).filter("is_deleted").count()
+    t0 = time.time()
+    assert st.compact(spark, watermark_offset=20 * k) is True
+    out["compact_sec"] = round(time.time() - t0, 2)
+    out["tombstones_dropped"] = tombs - (
+        st.current_raw(spark).filter("is_deleted").count()
+    )
+    out["files_after_compact"] = files()
+    out["trickle_after_compact_sec"] = min(
+        trickle(16, 16 * k), trickle(17, 17 * k)
+    )
+    n_live = st.current(spark).count()
+    # the 10 post-delete trickles re-upserted ids 0..9
+    assert n_live == k - n_del + 10, n_live
 
     shutil.rmtree(SCRATCH, ignore_errors=True)
     print(json.dumps(out))
