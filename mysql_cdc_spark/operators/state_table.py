@@ -453,6 +453,12 @@ class StateTable:
         self.name = name  # catalog prefix: versions register as {name}_v{N}
         self.n_buckets = int(n_buckets)  # creation default; pointer wins
         self.keys = tuple(keys)
+        # The incremental path hardlinks untouched bucket files; a
+        # filesystem without hardlink support (some object-store
+        # mounts) raises OSError there — the merge then falls back to
+        # the full path and REMEMBERS, so later trickles don't retry
+        # a link that can never succeed.
+        self._hardlinks_ok = True
         os.makedirs(root, exist_ok=True)
 
     # -- pointer ------------------------------------------------------
@@ -661,10 +667,32 @@ class StateTable:
                     # guard without writing a new version
                     self._swap_pointer({**ptr, "batch_id": batch_id})
                     return True
-                if not new_cols and len(changed) <= n_buckets // 2:
-                    return self._merge_incremental(
-                        spark, ptr, batch_df, changed, batch_id
-                    )
+                if (
+                    self._hardlinks_ok
+                    and not new_cols
+                    and len(changed) <= n_buckets // 2
+                ):
+                    try:
+                        return self._merge_incremental(
+                            spark, ptr, batch_df, changed, batch_id
+                        )
+                    except OSError:
+                        # no hardlink support here: clean the partial
+                        # attempt (nothing committed — the pointer
+                        # swap is the last step; the committed
+                        # version is untouched) and take the full
+                        # path, now and for every later batch
+                        self._hardlinks_ok = False
+                        v1 = ptr["version"] + 1
+                        for t, d in (
+                            (self._vtable(v1), self._vdir(v1)),
+                            (
+                                self._vtable(v1) + "_delta",
+                                self._vdir(v1) + "_delta",
+                            ),
+                        ):
+                            spark.sql(f"DROP TABLE IF EXISTS {t}")
+                            shutil.rmtree(d, ignore_errors=True)
                 return self._merge_full(
                     spark, ptr, batch_df, batch_id,
                     value_cols, col_types,

@@ -844,3 +844,45 @@ class TestReviewPins:
         live = {r.id: (r.amount, r.note) for r in st.current(spark).collect()}
         assert live[1] == (10.0, "keep")   # untouched: last pre-drop value
         assert live[2] == (21.0, None)     # updated post-drop: row image wins
+
+
+def test_incremental_falls_back_without_hardlinks(
+    spark, rows_dt, tmp_path, monkeypatch
+):
+    """A filesystem without hardlink support raises OSError in the
+    incremental path's link step; the merge must fall back to the
+    full path (converging to the same state) and remember, so later
+    trickles don't retry a link that can never succeed."""
+    import os as _os
+
+    from mysql_cdc_spark.operators import state_table as st_mod
+
+    st = _mk_state(tmp_path)
+    st.merge_batch(rows_dt, 0)
+
+    # one row → one changed bucket, inside the ≤ n_buckets//2
+    # incremental threshold (n_buckets=4 here)
+    trickle = rows_dt.limit(1)
+    expected = _as_set(
+        st_mod.apply_changes_keep_tombstones(
+            st.current_raw(spark), trickle
+        )
+    )
+
+    calls = {"n": 0}
+
+    def no_link(src, dst):
+        calls["n"] += 1
+        raise OSError(1, "Operation not permitted")
+
+    monkeypatch.setattr(st_mod.os, "link", no_link)
+    assert st.merge_batch(trickle, 1) is True
+    assert calls["n"] > 0, "incremental path never attempted the link"
+    assert st._hardlinks_ok is False
+    assert _as_set(st.current_raw(spark)) == expected
+
+    # later trickles go straight to the full path: no more link calls
+    calls["n"] = 0
+    assert st.merge_batch(rows_dt.limit(1), 2) is True
+    assert calls["n"] == 0
+    assert st.committed()["batch_id"] == 2
