@@ -886,3 +886,33 @@ def test_incremental_falls_back_without_hardlinks(
     assert st.merge_batch(rows_dt.limit(1), 2) is True
     assert calls["n"] == 0
     assert st.committed()["batch_id"] == 2
+
+
+def test_image_version_pack_preserves_lexicographic_order():
+    """THE invariant the bit layout exists for: packed int64 versions
+    order exactly as (generation, file_idx, byte_offset) tuples — a
+    violation anywhere in the range means a stale image can outrank a
+    newer one (the r18 review's <<40 collision was exactly such a
+    violation, at file 1024).  Property-checked across the full field
+    ranges including every boundary."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mysql_cdc_spark.operators.state_table import pack_image_version
+
+    gens = st.integers(min_value=0, max_value=511)
+    idxs = st.sampled_from(
+        [0, 1, 2, 999, 1000, 1023, 1024, 1025, 999_999, (1 << 20) - 1]
+    ) | st.integers(min_value=0, max_value=(1 << 20) - 1)
+    offs = st.sampled_from(
+        [0, 4, (1 << 34) - 1, 1 << 30, (1 << 32) + 1]
+    ) | st.integers(min_value=0, max_value=(1 << 34) - 1)
+
+    @settings(max_examples=300, deadline=None)
+    @given(a=st.tuples(gens, idxs, offs), b=st.tuples(gens, idxs, offs))
+    def check(a, b):
+        pa, pb = pack_image_version(*a), pack_image_version(*b)
+        assert (pa < pb) == (a < b)
+        assert 0 <= pa < 1 << 63  # stays a positive int64
+
+    check()
