@@ -193,6 +193,13 @@ def _parse_catalog(s: str | None) -> dict[tuple[str, str], list[str]]:
     if s is None:
         return FIXTURE_CATALOG
     raw = json.loads(s)
+    for k in raw:
+        if "." not in k:
+            # a 1-tuple key can never match a (db, tbl) lookup — the
+            # entry would be silently dead (names falling back to
+            # TLVs/ordinals with no error); reject it like
+            # _parse_tables does for the same mistake
+            raise ValueError(f"catalog key is not db.tbl: {k!r}")
     return {tuple(k.split(".", 1)): v for k, v in raw.items()}
 
 
@@ -226,10 +233,18 @@ class _Opts:
             raise ValueError(
                 "since_gtid and since_file are mutually exclusive"
             )
+        # "0" disables, like the sibling knobs (list_reconcile_
+        # triggers, pack_bytes): a literal zero budget would
+        # otherwise pin the frame-widening loops at want=0 — an
+        # infinite driver-side loop, not a cap.
         mb = options.get("max_bytes_per_batch")
         self.max_bytes = int(mb) if mb is not None else None
+        if self.max_bytes is not None and self.max_bytes <= 0:
+            self.max_bytes = None
         sb = options.get("split_bytes")
         self.split_bytes = int(sb) if sb is not None else None
+        if self.split_bytes is not None and self.split_bytes <= 0:
+            self.split_bytes = None
         # Projection pruning: .option("columns", "log_file,offset,op")
         # narrows the DataSource's schema AND routes below decode —
         # when the projection reads neither image column the codec
@@ -543,7 +558,9 @@ def _split_file(
                     )
                 if nxt > start or start + want >= size:
                     break
-                want *= 2  # one frame larger than the window: widen
+                # one frame larger than the window: widen (floored at
+                # 1 so a degenerate budget can never pin the loop)
+                want = max(want, 1) * 2
             alg = _scan_state_events(events, alg)
             if nxt <= start:
                 # torn tail / header-less remainder: nothing further
@@ -998,6 +1015,10 @@ class _BinlogStreamReader(DataSourceStreamReader):
         self._disc = LogDiscovery(
             self._o.path, reconcile_every=self._o.list_reconcile
         )
+        # last offset this reader returned — echoed verbatim on
+        # no-data triggers so offset JSON equality holds (see
+        # latestOffset)
+        self._last_end: dict | None = None
 
     # -- offsets ----------------------------------------------------------
 
@@ -1194,8 +1215,9 @@ class _BinlogStreamReader(DataSourceStreamReader):
                     # (r16 ADVICE).  Widen past the budget until one
                     # frame decodes (mirrors _split_file's doubling);
                     # the cap bounds steady-state triggers, never
-                    # below one frame.
-                    want = min(want * 2, avail)
+                    # below one frame.  Floored at 1 so a degenerate
+                    # budget can never pin the loop at want=0.
+                    want = min(max(want, 1) * 2, avail)
                 self._tmap = tmap
                 self._seq = seq
                 self._alg = _scan_state_events(events, self._alg)
@@ -1218,6 +1240,19 @@ class _BinlogStreamReader(DataSourceStreamReader):
         end = dict(self._cur)
         if ends:
             end["ends"] = ends
+        elif (
+            self._last_end is not None
+            and self._last_end["file"] == end["file"]
+            and self._last_end["pos"] == end["pos"]
+        ):
+            # No new data this trigger: echo the PREVIOUS offset
+            # verbatim (including its "ends" key).  Spark compares
+            # offsets as JSON — a {file,pos} that drops the committed
+            # offset's "ends" reads as "new data" and schedules one
+            # spurious empty micro-batch after every
+            # rotation-containing batch (r19 review).
+            end = self._last_end
+        self._last_end = end
         self._trace(f"latestOffset -> {end}")
         self._plan_state[(end["file"], end["pos"])] = (
             self._alg,
@@ -1261,11 +1296,18 @@ class _BinlogStreamReader(DataSourceStreamReader):
         checks instead of a full directory listing (r18 VERDICT #1:
         planning cost must follow the batch, not the backlog).  Falls
         back to the pruned full listing when the boundary names don't
-        share a stem/width (mixed directories; an open start).  A name
-        missing from the dense range is skipped — exactly what the
-        listing did."""
+        share a stem/width (mixed directories; an open start), or when
+        discovery has not yet CONFIRMED the directory is single-stem
+        dense (r19 review: a nested stem like binlog.000001.000002
+        matches the rotated pattern and sits between dense neighbors
+        — the walk consumes it, so enumeration skipping it would be
+        silent data loss; LogDiscovery.dense_verified carries the
+        confirmation, and a restart replay that plans before any
+        latestOffset simply pays one full listing).  A name missing
+        from the dense range is skipped — exactly what the listing
+        did."""
         o = self._o
-        if s_file:
+        if s_file and self._disc.dense_verified():
             try:
                 s_stem, s_suf = s_file.rsplit(".", 1)
                 e_stem, e_suf = e_file.rsplit(".", 1)
@@ -1579,6 +1621,21 @@ class _BinlogArchiveWriter(DataSourceWriter):
             if m is not None and m.temp and m.n_events
         ]
         live.sort(key=lambda m: m.first_key)
+        if live and base + len(live) - 1 > 999999:
+            # The engine's rotated-name contract is a six-digit
+            # suffix ordered lexicographically (_ROTATED_LOG_RE, every
+            # `name >=` comparison).  A seven-digit name would be
+            # invisible to listings AND sort BEFORE binlog.999999 —
+            # the next commit would recompute the same base and
+            # silently overwrite it.  Refuse loudly instead: at this
+            # point the deployment rotates to a fresh directory (the
+            # same directory-generation move the failover machinery
+            # already versions with `generation=`).
+            raise ValueError(
+                f"archive directory {path!r} exhausted the six-digit "
+                f"rotation namespace at binlog.999999; start a new "
+                f"directory (next index would be {base + len(live) - 1})"
+            )
         return [
             (m.temp, os.path.join(path, f"binlog.{base + i:06d}"))
             for i, m in enumerate(live)
@@ -1632,7 +1689,17 @@ class _BinlogArchiveStreamWriter(_BinlogArchiveWriter, DataSourceStreamWriter):
             if os.path.exists(p):
                 os.unlink(p)
         plan = self._plan(messages, clear=False)
-        # intent BEFORE rename: fsync'd, atomically replaced
+        # intent BEFORE rename: fsync'd, atomically replaced.  Replay
+        # only ever consults the CURRENT batch's entry (Spark replays
+        # sequentially from the last uncommitted epoch), so entries
+        # more than one batch behind are dead — prune them, or a
+        # long-running stream re-reads/re-writes/fsyncs an unbounded
+        # manifest on every commit (r19 review).
+        manifest = {
+            b: files
+            for b, files in manifest.items()
+            if int(b) >= batchId - 1
+        }
         manifest[str(batchId)] = [final for _, final in plan]
         tmp = manifest_path + ".tmp"
         with open(tmp, "w") as fh:

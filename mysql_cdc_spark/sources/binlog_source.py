@@ -495,6 +495,17 @@ class LogDiscovery:
         if self._names and self._names[0] < min_name:
             self._names = [n for n in self._names if n >= min_name]
 
+    def dense_verified(self) -> bool:
+        """True once a full listing has CONFIRMED this directory holds
+        a single dense stem — the precondition for ANY closed-form
+        successor math (probing here; the planner's dense range
+        enumeration).  A nested stem like ``binlog.000001.000002``
+        matches the rotated pattern and sits lexicographically
+        BETWEEN dense neighbors, so the offset walk consumes it while
+        index enumeration would skip it — enumerating without this
+        check is silent data loss, not a fast path."""
+        return self.full_lists > 0 and self._dense
+
 
 def normalize_envelope_columns(columns: list[str]) -> list[str]:
     """Validate a projection against the envelope and return it in

@@ -490,8 +490,14 @@ def test_range_files_dense_enumeration_matches_listing(tmp_path):
     _mk_logs(tmp_path, (0, 1, 2, 4, 5))
     r = _SR.__new__(_SR)
     from mysql_cdc_spark.sources.binlog_datasource import _Opts
+    from mysql_cdc_spark.sources.binlog_source import LogDiscovery
 
     r._o = _Opts({"path": str(tmp_path)})
+    # dense enumeration requires discovery-VERIFIED single-stem state
+    # (r19 review: nested stems would otherwise be silently skipped)
+    r._disc = LogDiscovery(str(tmp_path))
+    r._disc.refresh()
+    assert r._disc.dense_verified() is True
     got = [p.rsplit("/", 1)[-1] for p in
            r._range_files("binlog.000001", "binlog.000004")]
     assert got == ["binlog.000001", "binlog.000002", "binlog.000004"]
@@ -502,3 +508,117 @@ def test_range_files_dense_enumeration_matches_listing(tmp_path):
     got = [p.rsplit("/", 1)[-1] for p in
            r._range_files("binlog.000004", "mysql-bin.000001")]
     assert got == ["binlog.000004", "binlog.000005"]
+
+
+# ---------------------------------------------------------------------------
+# r19 review hardening: zero-knob hangs, nested-stem planning, archive
+# rollover, manifest growth, catalog key validation
+# ---------------------------------------------------------------------------
+
+
+def test_zero_valued_byte_knobs_mean_uncapped_not_hang(tmp_path):
+    """"0" disables, like the sibling knobs — a literal zero budget
+    would pin the frame-widening loops at want=0 (an infinite
+    driver-side loop, not a cap)."""
+    from mysql_cdc_spark.sources.binlog_datasource import _Opts
+
+    o = _Opts({
+        "path": str(tmp_path),
+        "max_bytes_per_batch": "0",
+        "split_bytes": "0",
+    })
+    assert o.max_bytes is None
+    assert o.split_bytes is None
+
+
+def test_catalog_key_without_db_raises(tmp_path):
+    """A catalog key without a dot builds a 1-tuple that can never
+    match a (db, tbl) lookup — silently dead config; reject it like
+    only_tables does."""
+    from mysql_cdc_spark.sources.binlog_datasource import _parse_catalog
+
+    with pytest.raises(ValueError, match="db.tbl"):
+        _parse_catalog('{"orders": ["id", "amount"]}')
+
+
+def test_range_files_listing_until_dense_verified(tmp_path):
+    """A nested stem (binlog.000001.000002) matches the rotated
+    pattern and sits lexicographically BETWEEN dense neighbors — the
+    offset walk consumes it, so planning must include it.  Dense
+    index enumeration may only run once discovery has CONFIRMED the
+    directory is single-stem; before that (and in mixed directories
+    forever) planning takes the listing."""
+    from mysql_cdc_spark.sources.binlog_datasource import (
+        _BinlogStreamReader,
+    )
+
+    _mk_logs(tmp_path, (1, 2))
+    (tmp_path / "binlog.000001.000002").write_bytes(b"x")
+    r = _BinlogStreamReader({"path": str(tmp_path)})
+    want = ["binlog.000001", "binlog.000001.000002", "binlog.000002"]
+
+    # before any refresh: unverified -> listing
+    assert r._disc.dense_verified() is False
+    got = [p.rsplit("/", 1)[-1]
+           for p in r._range_files("binlog.000001", "binlog.000002")]
+    assert got == want
+
+    # after a refresh this directory is verified NON-dense -> listing
+    r._disc.refresh()
+    assert r._disc.dense_verified() is False
+    got = [p.rsplit("/", 1)[-1]
+           for p in r._range_files("binlog.000001", "binlog.000002")]
+    assert got == want
+
+
+def test_range_files_dense_enumeration_when_verified(tmp_path):
+    from mysql_cdc_spark.sources.binlog_datasource import (
+        _BinlogStreamReader,
+    )
+
+    _mk_logs(tmp_path, range(5))
+    r = _BinlogStreamReader({"path": str(tmp_path)})
+    r._disc.refresh()
+    assert r._disc.dense_verified() is True
+    got = [p.rsplit("/", 1)[-1]
+           for p in r._range_files("binlog.000001", "binlog.000003")]
+    assert got == [f"binlog.{i:06d}" for i in (1, 2, 3)]
+
+
+def test_archive_refuses_six_digit_rollover(tmp_path):
+    """binlog.999999 + 1 would be a seven-digit name: invisible to the
+    listing regex AND lexicographically BEFORE 999999 — the next
+    commit would recompute the same base and silently overwrite it.
+    The sink must refuse loudly (new directory = the documented
+    rotation move)."""
+    from mysql_cdc_spark.sources.binlog_datasource import (
+        _ArchiveCommit,
+        _BinlogArchiveWriter,
+    )
+
+    _mk_logs(tmp_path, (999998, 999999))
+    w = _BinlogArchiveWriter({"path": str(tmp_path)}, overwrite=False)
+    msg = _ArchiveCommit(temp="/nonexistent", n_events=1,
+                         first_key=("binlog.000000", 4, 0))
+    with pytest.raises(ValueError, match="six-digit"):
+        w._plan([msg], clear=False)
+
+
+def test_archive_manifest_prunes_committed_batches(tmp_path):
+    """The stream sink's manifest is an INTENT log for the CURRENT
+    epoch's replay; entries more than one batch behind are dead — an
+    unbounded manifest would be re-read/re-written/fsync'd on every
+    commit of a long-running stream."""
+    import json as _json
+
+    from mysql_cdc_spark.sources.binlog_datasource import (
+        _BinlogArchiveStreamWriter,
+    )
+
+    w = _BinlogArchiveStreamWriter({"path": str(tmp_path)}, overwrite=False)
+    for b in range(6):
+        w.commit([], batchId=b)
+    manifest = _json.loads(
+        (tmp_path / "_archive_manifest.json").read_text()
+    )
+    assert set(manifest) == {"4", "5"}, manifest
