@@ -395,7 +395,30 @@ def _list_log_files(
             for f in os.listdir(path)
             if os.path.isfile(os.path.join(path, f))
         )
-    pairs = [(n, p) for n, p in pairs if _ROTATED_LOG_RE.search(n)]
+    kept = [(n, p) for n, p in pairs if _ROTATED_LOG_RE.search(n)]
+    # Rollover guard (r19 review): past binlog.999999 a real server
+    # writes binlog.1000000 — a SEVEN-digit suffix the six-digit
+    # contract cannot represent (this regex skips it; every `name >=`
+    # comparison in the engine mis-orders it BEFORE 999999).  Dropping
+    # such a file silently would be data loss, so its presence raises
+    # instead: the engine's documented namespace is %06d per
+    # directory; split the log history across directories at rollover
+    # (the same directory-generation move the failover machinery
+    # versions with `generation=`).
+    stems = {n.rsplit(".", 1)[0] for n, _ in kept}
+    overflow = [
+        n
+        for n, _ in pairs
+        if re.search(r"\.\d{7,}$", n) and n.rsplit(".", 1)[0] in stems
+    ]
+    if overflow:
+        raise ValueError(
+            f"{path!r}: rotated-log suffix beyond the six-digit "
+            f"namespace ({overflow[:3]}) — lexicographic name order "
+            "no longer matches rotation order; split the directory "
+            "at rollover"
+        )
+    pairs = kept
     if since_log is not None:
         pairs = [(n, p) for n, p in pairs if n >= since_log]
     return [p for _, p in pairs]
@@ -432,6 +455,16 @@ class LogDiscovery:
       a single closed-form successor doesn't exist there;
     * `prune(min_name)` forgets names behind the consumer's cursor so
       the retained set tracks the UNCONSUMED backlog, not history.
+
+    Storage scope: this class (and the streaming DataSource reader
+    that owns it) addresses the DRIVER-LOCAL filesystem — os.listdir
+    / os.path.isfile; the Python DataSource runs in a worker process
+    with no JVM handle, so the Hadoop FS API is out of reach there.
+    Remote-URI directories (s3a://, hdfs://) are served by the BATCH
+    scan path, whose listing goes through the spark-aware
+    `_list_log_files`.  The O(new-files) probe design itself is
+    storage-agnostic — an object-store port swaps the two filesystem
+    calls for HEAD requests.
 
     A lowered numbering restart (RESET MASTER writing binlog.000001
     below a consumed binlog.000008) is invisible to probing — and was
@@ -614,14 +647,29 @@ def read_binlog_envelope(
             return spark.createDataFrame([], out_schema)
         reader = spark.read.format("binaryFile").load(paths)
     else:
-        reader = spark.read.format("binaryFile").load(path)
+        # pathGlobFilter = the listing-time twin of _list_log_files'
+        # rotated-name regex: a real binlog directory always holds
+        # stray non-log files (binlog.index at minimum), and without
+        # the filter they sweep into the scan and fail the job on bad
+        # magic regardless of on_error (r19 review — the since= branch
+        # was already filtered; this one was not).
+        reader = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.[0-9][0-9][0-9][0-9][0-9][0-9]")
+            .load(path)
+        )
     files = reader.select("path", "content")
     # binaryFile packs many small logs into one 128 MB split, which
     # would serialize the per-file Python decode onto one core; hash-
     # distributing by path restores one-task-per-file parallelism
-    # (measured 4× on the sf0.1 fixtures).  At 100 TB (files ≫ cores)
-    # the hash distribution is equally valid — each task decodes its
-    # own subset of whole files.
+    # (measured 4× on the sf0.1 fixtures).  Cost honesty (r19 review):
+    # this repartition shuffles the file CONTENT, so at a large
+    # backlog it writes the corpus through shuffle disk once — the
+    # price of keeping this route storage-agnostic (any URI
+    # binaryFile can read, no per-executor filesystem access).  The
+    # scale path for local/posix directories is the DataSource route
+    # (format("mysql_binlog")), whose greedy bin-packed partitions
+    # give one-task-per-file parallelism with NO shuffle.
     files = files.repartition(
         spark.sparkContext.defaultParallelism, "path"
     )
@@ -801,6 +849,24 @@ def _peek_previous_gtids(path: str) -> dict | None:
     return None
 
 
+_ANONYMOUS_SID = "00000000-0000-0000-0000-000000000000"
+
+
+def _reject_anonymous_gtid(sid: str) -> None:
+    """A gtid_mode=OFF server writes ANONYMOUS_GTID events (codec op
+    "gtid" with an all-zeros sid, gno 0).  Treating them as real GTIDs
+    would make every anonymous transaction look already-executed
+    ((0,0) enters the set once) and the resume would silently SKIP all
+    new work — the one failure mode a resume API must never have
+    (r19 review).  Raise instead: GTID-set resume is undefined without
+    gtid_mode=ON; use since_file/since_offset on such logs."""
+    if sid == _ANONYMOUS_SID:
+        raise ValueError(
+            "anonymous GTID events in the log (gtid_mode=OFF server): "
+            "GTID-set resume is undefined — use since_file/since_offset"
+        )
+
+
 def resolve_gtid_resume(
     dir_path: str, executed: dict, catalog: dict | None = None
 ) -> tuple[str, int] | None:
@@ -854,6 +920,7 @@ def resolve_gtid_resume(
             if ev.get("op") != "gtid":
                 continue
             sid, gno = ev["gtid"].rsplit(":", 1)
+            _reject_anonymous_gtid(sid)
             if not gtid_in_set(sid, int(gno), executed):
                 return (os.path.basename(p), ev["offset"])
     # everything already applied: resume past the end of the log
@@ -895,6 +962,7 @@ def executed_gtid_set(dir_path: str, catalog: dict | None = None) -> dict:
             if ev.get("op") != "gtid":
                 continue
             sid, gno = ev["gtid"].rsplit(":", 1)
+            _reject_anonymous_gtid(sid)
             gtid_set_add(executed, sid, int(gno))
     return executed
 
@@ -975,9 +1043,16 @@ def _generate_binlog_files(
         pdf = pdf[(pdf["event_id"] >= lo) & (pdf["event_id"] < hi)]
         if renumber_files:
             file_base = lo  # file numbering restarts at binlog.000000
+    # Only the two tables this generator actually writes: the other
+    # FIXTURE_CATALOG tables have 5-13 column shapes that do NOT match
+    # FIXTURE_COLUMNS, so defining them here would plant TABLE_MAPs
+    # that contradict the decode catalog if a future branch ever
+    # routed a row to one (r19 review).  table_ids 1 and 2 are
+    # byte-identical to the previous full enumeration (foo.auto and
+    # bench.big are FIXTURE_CATALOG's first two entries).
     tables = {
         db_tbl: TableDef(db_tbl[0], db_tbl[1], FIXTURE_COLUMNS, table_id=tid + 1)
-        for tid, db_tbl in enumerate(FIXTURE_CATALOG)
+        for tid, db_tbl in enumerate([("foo", "auto"), ("bench", "big")])
     }
     written: list[str] = []
     writer: BinlogWriter | None = None

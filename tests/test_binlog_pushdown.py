@@ -622,3 +622,63 @@ def test_archive_manifest_prunes_committed_batches(tmp_path):
         (tmp_path / "_archive_manifest.json").read_text()
     )
     assert set(manifest) == {"4", "5"}, manifest
+
+
+def test_batch_scan_ignores_stray_files(spark, tmp_path):
+    """since=None scan: a real binlog directory always holds stray
+    non-log files (binlog.index at minimum); they must never sweep
+    into the binaryFile scan — bad magic fails the job regardless of
+    on_error."""
+    from mysql_cdc_spark.sources import binlog_source as bs
+
+    out = tmp_path / "logs"
+    out.mkdir()
+    (out / "binlog.000001").write_bytes(_interleaved_log())
+    (out / "binlog.index").write_text("binlog.000001\n")
+    (out / "dump.sql").write_text("SELECT 1;\n")
+    env = bs.read_binlog_envelope(spark, str(out), CAT)
+    seen = {r.log_file for r in env.select("log_file").distinct().collect()}
+    assert seen == {"binlog.000001"}
+
+
+def test_list_log_files_raises_on_six_digit_rollover(tmp_path):
+    """binlog.1000000 cannot be represented in the six-digit contract
+    (the regex skips it; lexicographic order puts it BEFORE 999999).
+    Silently dropping it is data loss — its presence must raise."""
+    from mysql_cdc_spark.sources.binlog_source import _list_log_files
+
+    _mk_logs(tmp_path, (999998, 999999))
+    (tmp_path / "binlog.1000000").write_bytes(b"x")
+    with pytest.raises(ValueError, match="six-digit"):
+        _list_log_files(str(tmp_path))
+
+
+def test_list_log_files_ignores_unrelated_seven_digit_names(tmp_path):
+    """A 7+-digit suffix on a DIFFERENT stem is a stray file, not a
+    rollover — it must not trip the guard."""
+    from mysql_cdc_spark.sources.binlog_source import _list_log_files
+
+    _mk_logs(tmp_path, (0, 1))
+    (tmp_path / "data.1234567").write_bytes(b"x")
+    names = [p.rsplit("/", 1)[-1] for p in _list_log_files(str(tmp_path))]
+    assert names == ["binlog.000000", "binlog.000001"]
+
+
+def test_gtid_resume_rejects_anonymous_logs(tmp_path):
+    """gtid_mode=OFF servers write ANONYMOUS_GTID events (all-zeros
+    sid): treating them as real GTIDs makes every later anonymous
+    transaction look already-executed and the resume silently SKIPS
+    all new work.  Both GTID helpers must raise instead."""
+    from mysql_cdc_spark.sources import binlog_source as bs
+    from mysql_cdc_spark.sources.binlog_codec import BinlogWriter
+
+    w = BinlogWriter()
+    w.write_gtid("00000000-0000-0000-0000-000000000000", 0, ts=1)
+    w.write_table_map(AUTO, ts=1)
+    w.write_rows(WRITE_ROWS_EVENT, AUTO, [[1, "1.0000", "a"]], ts=1)
+    w.write_xid(1, ts=1)
+    (tmp_path / "binlog.000001").write_bytes(w.getvalue())
+    with pytest.raises(ValueError, match="anonymous"):
+        bs.executed_gtid_set(str(tmp_path), CAT)
+    with pytest.raises(ValueError, match="anonymous"):
+        bs.resolve_gtid_resume(str(tmp_path), {}, CAT)
