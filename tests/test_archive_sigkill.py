@@ -108,12 +108,16 @@ def test_sigkill_mid_stream_archive_is_exactly_once(spark, tmp_path):
     )
 
     def _n_batches() -> int:
+        # progress = highest committed batch id + 1, NOT the entry
+        # count: the manifest prunes entries >1 batch behind the
+        # current epoch (r19), so its size caps at 2
         if not manifest.exists():
             return 0
         try:
-            return len(json.loads(manifest.read_text()))
+            entries = json.loads(manifest.read_text())
         except (json.JSONDecodeError, OSError):
             return 0  # racing the atomic replace
+        return max((int(b) for b in entries), default=-1) + 1
 
     def _wait_batches(k: int, deadline_s: float = 180) -> None:
         deadline = time.monotonic() + deadline_s
