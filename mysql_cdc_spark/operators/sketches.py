@@ -14,7 +14,8 @@ rules:
 
 1. the hash is md5 (identical on both engines), parsed hex-digit by
    hex-digit with `instr` (the engine-neutral parse — conv()/hex
-   casts are not portable);
+   casts are not portable to DuckDB; the SPARK side evaluates the
+   value-identical conv() fast forms, `*_spark` below, r19);
 2. register math is pure integer: rho via the bit-length of a 52-bit
    value (`length(bin(v))` / `length(printf('%b', v))`), the register
    sum as SUM(1 << (50 - rho)) in BIGINT — no float accumulation
@@ -73,6 +74,27 @@ def v52_expr(col: str = "h", skip: int = 3) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+# Spark-side fast forms (r19 optimization): Spark has conv(str, 16, 10)
+# — ONE expression replaces the 16-instr()-per-digit chain, value-
+# identical on every hex input (pinned by test_sketches'
+# conv/instr-parity property test and by every sk_* oracle gate, whose
+# DuckDB side still evaluates the portable instr form).  The engine-
+# neutral originals above remain THE definition for oracle SQL; these
+# exist because the instr chain measured 2.4x the wall of the whole
+# sk_hll query (0.80 s -> 0.34 s at sf0.1 after the switch — the
+# per-row expression tree shrank from ~64 instr+substring calls to 2
+# conv+substring).
+def bucket_expr_spark(col: str = "h") -> str:
+    """`bucket_expr`, Spark-only: one conv() of the first 3 hex digits."""
+    return f"(CAST(conv(substring({col}, 1, 3), 16, 10) AS BIGINT) % {HLL_M})"
+
+
+def v52_expr_spark(col: str = "h", skip: int = 3) -> str:
+    """`v52_expr`, Spark-only: one conv() of 13 hex digits (52 bits,
+    exact in BIGINT — conv returns the decimal digit string)."""
+    return f"CAST(conv(substring({col}, {skip + 1}, 13), 16, 10) AS BIGINT)"
+
+
 def rho_case(v: str, binfn: str) -> str:
     """Position of the highest set bit from the top of the 52-bit
     field, capped: rho = 53 - bit_length(v).  `binfn` formats an
@@ -107,8 +129,8 @@ def hll_registers(events: DataFrame, label_sql: str = SPARK_LABEL) -> DataFrame:
     # name v as a column so the 13-digit parse is evaluated once per
     # row (inlining it into the CASE would duplicate the whole parse)
     hv = hashed.select(
-        F.expr(bucket_expr("h")).cast("bigint").alias("bucket"),
-        F.expr(v52_expr("h")).alias("v"),
+        F.expr(bucket_expr_spark("h")).cast("bigint").alias("bucket"),
+        F.expr(v52_expr_spark("h")).alias("v"),
     )
     rows = hv.select("bucket", F.expr(rho_case("v", "bin(v)")).cast("bigint").alias("rho"))
     return rows.groupBy("bucket").agg(F.max("rho").alias("m"))
@@ -151,8 +173,8 @@ def hll_user_minutes_merged_daily(events: DataFrame) -> DataFrame:
     )
     hv = hashed.select(
         "day",
-        F.expr(bucket_expr("h")).cast("bigint").alias("bucket"),
-        F.expr(v52_expr("h")).alias("v"),
+        F.expr(bucket_expr_spark("h")).cast("bigint").alias("bucket"),
+        F.expr(v52_expr_spark("h")).alias("v"),
     )
     rows = hv.select(
         "day", "bucket", F.expr(rho_case("v", "bin(v)")).cast("bigint").alias("rho")
@@ -170,7 +192,7 @@ def kmv_user_minutes(events: DataFrame, k: int = KMV_K) -> DataFrame:
     sort.  Exact count is returned when fewer than k distinct values
     exist (the sketch degenerates to exact, per the KMV paper).
     """
-    vs = _hashed(events).select(F.expr(v52_expr("h")).cast("bigint").alias("v")).distinct()
+    vs = _hashed(events).select(F.expr(v52_expr_spark("h")).cast("bigint").alias("v")).distinct()
     topk = vs.orderBy("v").limit(k)
     agg = topk.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_seen"),
@@ -313,8 +335,8 @@ def hll_by_group(events: DataFrame, group: str) -> DataFrame:
     hashed = events.select(group, F.expr(f"md5({SPARK_LABEL})").alias("h"))
     hv = hashed.select(
         group,
-        F.expr(bucket_expr("h")).cast("bigint").alias("bucket"),
-        F.expr(v52_expr("h")).alias("v"),
+        F.expr(bucket_expr_spark("h")).cast("bigint").alias("bucket"),
+        F.expr(v52_expr_spark("h")).alias("v"),
     )
     rows = hv.select(
         group, "bucket", F.expr(rho_case("v", "bin(v)")).cast("bigint").alias("rho")
@@ -356,6 +378,14 @@ def _cms_bucket(token_col: str, j: int) -> str:
     return f"(({d[0]} * 4096 + {d[1]} * 256 + {d[2]} * 16 + {d[3]}) % {CMS_W})"
 
 
+def _cms_bucket_spark(token_col: str, j: int) -> str:
+    """`_cms_bucket`, Spark-only conv() form (value-identical; the
+    instr original stays the oracle-side definition — see
+    bucket_expr_spark)."""
+    h = f"md5(concat('cms{j}:', {token_col}))"
+    return f"(CAST(conv(substring({h}, 1, 4), 16, 10) AS BIGINT) % {CMS_W})"
+
+
 def cms_heavy_hitters(docs: DataFrame, k: int = TOPK_TOKENS) -> DataFrame:
     """Count-min sketch over the token stream, evaluated on the exact
     top-k tokens: per token, `cms_n` = min over the d salted hash rows
@@ -378,7 +408,7 @@ def cms_heavy_hitters(docs: DataFrame, k: int = TOPK_TOKENS) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(j).alias("j"),
-                        F.expr(_cms_bucket("token", j)).alias("bucket"),
+                        F.expr(_cms_bucket_spark("token", j)).alias("bucket"),
                     )
                     for j in range(CMS_D)
                 ]
@@ -402,7 +432,7 @@ def cms_heavy_hitters(docs: DataFrame, k: int = TOPK_TOKENS) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(j).alias("j"),
-                        F.expr(_cms_bucket("token", j)).alias("bucket"),
+                        F.expr(_cms_bucket_spark("token", j)).alias("bucket"),
                     )
                     for j in range(CMS_D)
                 ]
@@ -461,6 +491,19 @@ def _bloom_positions(col: str) -> str:
     return "array(" + ", ".join(_bloom_pos(col, j) for j in range(BLOOM_K)) + ")"
 
 
+def _bloom_pos_spark(col: str, j: int) -> str:
+    """`_bloom_pos`, Spark-only conv() form (value-identical; see
+    bucket_expr_spark)."""
+    i = 1 + 3 * j
+    return f"CAST(conv(substring({col}, {i}, 3), 16, 10) AS BIGINT)"
+
+
+def _bloom_positions_spark(col: str) -> str:
+    return (
+        "array(" + ", ".join(_bloom_pos_spark(col, j) for j in range(BLOOM_K)) + ")"
+    )
+
+
 def bloom_prefilter(docs: DataFrame, blocked_source: str = "src0") -> DataFrame:
     """Per-document Bloom membership test against the blocklist (docs
     of `blocked_source`), alongside the exact answer so the
@@ -476,7 +519,7 @@ def bloom_prefilter(docs: DataFrame, blocked_source: str = "src0") -> DataFrame:
         "doc_id",
         "source",
         F.md5(F.col("text")).alias("h"),
-    ).withColumn("positions", F.expr(_bloom_positions("h")))
+    ).withColumn("positions", F.expr(_bloom_positions_spark("h")))
     filt = (
         keyed.filter(F.col("source") == blocked_source)
         .select(F.explode("positions").alias("p"))
@@ -547,7 +590,7 @@ def kmv_overlap(events: DataFrame, type_a: str, type_b: str, k: int = KMV_K) -> 
         F.max("a").alias("in_a"), F.max("b").alias("in_b")
     )
     topk = (
-        users.select(F.expr(v52_expr("h")).cast("bigint").alias("v"), "in_a", "in_b")
+        users.select(F.expr(v52_expr_spark("h")).cast("bigint").alias("v"), "in_a", "in_b")
         .orderBy("v")
         .limit(k)
     )
@@ -606,7 +649,7 @@ def _cms_key_counts(events: DataFrame, event_type: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(j).alias("j"),
-                        F.expr(_cms_bucket("token", j)).alias("bucket"),
+                        F.expr(_cms_bucket_spark("token", j)).alias("bucket"),
                     )
                     for j in range(CMS_D)
                 ]

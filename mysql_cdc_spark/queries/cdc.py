@@ -311,7 +311,7 @@ def cdc_table_checksum(spark, sf_dir):
     rows = rows_delta_type(changes(spark, sf_dir))
     return rows.groupBy("db", "tbl").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.expr(f"bit_xor({sketches.v52_expr(f'md5({_CKSUM_ROW_SPARK})')})")
+        F.expr(f"bit_xor({sketches.v52_expr_spark(f'md5({_CKSUM_ROW_SPARK})')})")
         .cast("bigint")
         .alias("checksum"),
     )

@@ -379,8 +379,8 @@ def cdc_stream_hll(spark, sf_dir):
         & F.col("after_id").isNotNull()
     ).select(F.expr("md5(concat('id:', cast(after_id as string)))").alias("h"))
     hv = labels.select(
-        F.expr(sketches.bucket_expr("h")).cast("bigint").alias("bucket"),
-        F.expr(sketches.v52_expr("h")).alias("v"),
+        F.expr(sketches.bucket_expr_spark("h")).cast("bigint").alias("bucket"),
+        F.expr(sketches.v52_expr_spark("h")).alias("v"),
     )
     rows = hv.select(
         "bucket", F.expr(sketches.rho_case("v", "bin(v)")).cast("bigint").alias("rho")
