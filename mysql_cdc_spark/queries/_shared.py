@@ -3,12 +3,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from mysql_cdc_spark.sources.events_cdc import changes, rows_delta_type, with_changes
-
+from mysql_cdc_spark.sources.events_cdc import (
+    changes,
+    rows_changes,
+    rows_delta_type,
+    with_changes,
+)
 
 
 def _rows_dt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return rows_delta_type(changes(spark, sf_dir))
+    # The direct derivation (no 4-way envelope explode) — row-identical
+    # to rows_delta_type(changes(...)), see events_cdc.rows_changes.
+    return rows_changes(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -231,3 +231,20 @@ class TestIvmJoinView:
         # bag semantics: 2 copies x 1 -> n_pairs 2, sum 2 * (5*7)
         assert len(got) == 1
         assert got[0]["n_pairs"] == 2 and got[0]["sum_ab"] == 70.0
+
+
+def test_rows_changes_matches_explode_form(spark):
+    """The r19 direct row-delta derivation (no 4-way envelope explode)
+    must be ROW-identical — every column, including log_file/ts — to
+    the envelope form it replaces in _rows_dt."""
+    from mysql_cdc_spark.sources.events_cdc import (
+        changes,
+        rows_changes,
+        rows_delta_type,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    via_env = sorted(map(tuple, rows_delta_type(changes(spark, sf)).collect()))
+    direct = sorted(map(tuple, rows_changes(spark, sf).collect()))
+    assert direct == via_env
+    assert rows_changes(spark, sf).columns == rows_delta_type(changes(spark, sf)).columns
