@@ -1936,9 +1936,24 @@ def _make_field_decoder(tc: int, meta, unsigned: bool = False,
     if tc == TYPE_NEWDECIMAL:
         p_, s_ = meta
         size = decimal_bin_size(p_, s_)
-        def d_dec(body, pos, size=size, p=p_, s=s_):
+        # Value memo (r19): an OLTP decimal column carries few distinct
+        # values relative to row count (prices, rates), and the packed
+        # bytes → canonical string decode is pure — so intern decoded
+        # values keyed by the exact packed bytes, bounded like the
+        # table-map memo.  decode_decimal profiled as the single
+        # hottest codec function (2.7 µs/value); a hit is one dict
+        # lookup (~0.1 µs).  The memo lives per specialized decoder
+        # (per table-map shape × column), each capped at 4096 entries.
+        memo: dict[bytes, str] = {}
+        def d_dec(body, pos, size=size, p=p_, s=s_, memo=memo):
             e = pos + size
-            return decode_decimal(body[pos:e], p, s), e
+            key = body[pos:e]
+            v = memo.get(key)
+            if v is None:
+                if len(memo) >= 4096:
+                    memo.clear()
+                v = memo[key] = decode_decimal(key, p, s)
+            return v, e
         return d_dec
     def d_generic(body, pos, tc=tc, meta=meta, unsigned=unsigned,
                   charset=charset):

@@ -190,20 +190,46 @@ def changes(spark: SparkSession, sf_dir: str, rebalance: bool = True) -> DataFra
     # Every 50th statement is DDL; the ADD/DROP alternation over a
     # 3-column cycle gives the schema-evolution queries a real
     # column-set timeline to fold (cdc_schema_evolution).
-    ddl_text = (
-        "CASE WHEN (event_id div 50) % 2 = 0 THEN "
-        "CONCAT('ALTER TABLE ', db, '.', tbl, ' ADD COLUMN c', "
-        "CAST((event_id div 50) % 3 AS STRING), ' INT') "
-        "ELSE CONCAT('ALTER TABLE ', db, '.', tbl, ' DROP COLUMN c', "
-        "CAST((event_id div 50) % 3 AS STRING)) END"
-    )
+    #
+    # r19: the SQL text is selected from PRE-FOLDED string literals
+    # instead of per-row CONCAT chains.  db/tbl take exactly two
+    # values by the derivation rules and the column digit exactly
+    # three, so every possible statement text is one of 18 constants —
+    # hand constant-folding the templates (Catalyst cannot fold
+    # through the db CASE) turns the hottest envelope expression from
+    # string building into a literal pick.  Byte-identical output
+    # (pinned by the cdc_envelope/cdc_ddl_alerts oracles and the
+    # rows_changes parity test); measured interleaved at sf0.1:
+    # envelope 0.42→0.35 s min, 0.57→0.41 s median.
+    def _ddl(tbl_full: str) -> str:
+        add = " ".join(
+            f"WHEN (event_id div 50) % 3 = {k} THEN "
+            f"'ALTER TABLE {tbl_full} ADD COLUMN c{k} INT'"
+            for k in range(3)
+        )
+        drop = " ".join(
+            f"WHEN (event_id div 50) % 3 = {k} THEN "
+            f"'ALTER TABLE {tbl_full} DROP COLUMN c{k}'"
+            for k in range(3)
+        )
+        return (
+            f"CASE WHEN (event_id div 50) % 2 = 0 THEN CASE {add} END "
+            f"ELSE CASE {drop} END END"
+        )
+
+    def _dml(tbl_full: str) -> str:
+        return (
+            f"CASE WHEN row_op = '{OP_WRITE_ROWS}' THEN "
+            f"'INSERT INTO {tbl_full} (id, value) VALUES (?, ?)' "
+            f"WHEN row_op = '{OP_UPDATE_ROWS}' THEN "
+            f"'UPDATE {tbl_full} SET value = ? WHERE id = ?' "
+            f"ELSE 'DELETE FROM {tbl_full} WHERE id = ?' END"
+        )
+
     sql_text = (
-        f"CASE WHEN event_id % 50 = 0 THEN {ddl_text} "
-        f"WHEN row_op = '{OP_WRITE_ROWS}' THEN "
-        "CONCAT('INSERT INTO ', db, '.', tbl, ' (id, value) VALUES (?, ?)') "
-        f"WHEN row_op = '{OP_UPDATE_ROWS}' THEN "
-        "CONCAT('UPDATE ', db, '.', tbl, ' SET value = ? WHERE id = ?') "
-        "ELSE CONCAT('DELETE FROM ', db, '.', tbl, ' WHERE id = ?') END"
+        "CASE WHEN event_id % 50 = 0 THEN "
+        f"(CASE WHEN db = 'foo' THEN {_ddl('foo.auto')} ELSE {_ddl('bench.big')} END) "
+        f"WHEN db = 'foo' THEN {_dml('foo.auto')} ELSE {_dml('bench.big')} END"
     )
     before_id = f"CASE WHEN row_op = '{OP_WRITE_ROWS}' THEN NULL ELSE row_id END"
     before_value = (
