@@ -1961,11 +1961,120 @@ def _make_field_decoder(tc: int, meta, unsigned: bool = False,
     return d_generic
 
 
+def _field_inline_src(i: int, tc: int, meta, unsigned: bool,
+                      charset, env: dict) -> list[str] | None:
+    """Source lines decoding column i inline inside the compiled image
+    decoder (`_compile_image_plan`), or None to fall back to a
+    `_make_field_decoder` closure call.  Covers exactly the hot OLTP
+    types the closures specialize (ints, length-prefixed strings,
+    packed CHAR, ENUM/SET, memoized NEWDECIMAL) and MUST stay value-
+    and width-identical to them (pinned by
+    test_binlog_codec parity + the codec property fuzz)."""
+    if tc == TYPE_STRING and isinstance(meta, tuple):
+        m0, m1 = meta
+        if m0 == TYPE_ENUM:
+            return [f"e = pos + {m1}",
+                    f"v{i} = ifb(body[pos:e], 'little')",
+                    "pos = e"]
+        if m0 == TYPE_SET:
+            return [f"e = pos + {m1}",
+                    f"v{i} = bytes(body[pos:e])",
+                    "pos = e"]
+        if m0 and (m0 & 0x30) != 0x30:
+            maxlen = m1 | (((m0 & 0x30) ^ 0x30) << 4)
+        else:
+            maxlen = m1
+        tc, meta = TYPE_VAR_STRING, maxlen
+    if tc in _INT_TYPES:
+        n = _INT_TYPES[tc]
+        sg = "" if unsigned else ", signed=True"
+        return [f"e = pos + {n}",
+                f"v{i} = ifb(body[pos:e], 'little'{sg})",
+                "pos = e"]
+    if tc in (TYPE_VARCHAR, TYPE_VAR_STRING):
+        if int(meta) < 256:
+            pre = ["s = pos + 1", "e = s + body[pos]"]
+        else:
+            pre = ["s = pos + 2",
+                   "e = s + (body[pos] | (body[pos + 1] << 8))"]
+        if charset is None:
+            return pre + [f"v{i} = body[s:e].decode('latin-1')", "pos = e"]
+        env[f"cs{i}"] = charset
+        return pre + [f"v{i} = dtxt(body[s:e], cs{i})", "pos = e"]
+    if tc == TYPE_NEWDECIMAL:
+        p_, s_ = meta
+        size = decimal_bin_size(p_, s_)
+        env[f"m{i}"] = {}  # per-shape bounded value memo (see d_dec)
+        return [f"e = pos + {size}",
+                f"k = body[pos:e]",
+                f"v{i} = m{i}.get(k)",
+                f"if v{i} is None:",
+                f"    if len(m{i}) >= 4096:",
+                f"        m{i}.clear()",
+                f"    v{i} = m{i}[k] = ddec(k, {p_}, {s_})",
+                "pos = e"]
+    return None
+
+
+def _compile_image_plan(specs: list, null_bytes: int):
+    """Compile ONE (table map, used-bitmap) shape into a straight-line
+    ``(body, pos) -> (image_dict, new_pos)`` function (r19, guide §4.2
+    per-task work): the interpreted per-field loop paid, per row image,
+    a (name, decoder) tuple unpack + closure call + (value, pos) tuple
+    allocation + dict __setitem__ per column — 42 % of the codec wall
+    in the bench profile.  The generated source decodes hot types
+    inline (no call, no tuple), falls back to the existing specialized
+    closures for everything else (one semantics), and builds the image
+    as a single dict display.  NULL-bitmap semantics unchanged: bit j
+    set → key present with None; column-not-in-image → key absent
+    (specs already restricted to the used bitmap).
+
+    ``specs``: list of (name, type_code, meta, unsigned, charset)."""
+    env: dict = {"ifb": int.from_bytes, "ddec": decode_decimal,
+                 "dtxt": _decode_text}
+    blocks: list[list[str]] = []
+    for i, (name, tc, meta, unsigned, charset) in enumerate(specs):
+        src = _field_inline_src(i, tc, meta, unsigned, charset, env)
+        if src is None:
+            env[f"d{i}"] = _make_field_decoder(tc, meta, unsigned, charset)
+            src = [f"v{i}, pos = d{i}(body, pos)"]
+        blocks.append(src)
+    ret = "return {" + ", ".join(
+        f"{name!r}: v{i}" for i, (name, *_rest) in enumerate(specs)
+    ) + "}, pos"
+    # env members bound as default args: locals-speed access in the
+    # compiled body instead of a globals-dict lookup per reference.
+    args = ", ".join(f"{k}={k}" for k in env)
+    if null_bytes == 1:  # ≤8 used columns: direct byte index, no call
+        null_read = ["    nulls = body[pos]", "    pos += 1"]
+    else:
+        null_read = [
+            f"    nulls = ifb(body[pos:pos + {null_bytes}], 'little')",
+            f"    pos += {null_bytes}",
+        ]
+    lines = [f"def _img(body, pos, {args}):", *null_read]
+    if specs:
+        lines.append("    if nulls:")
+        for i, blk in enumerate(blocks):
+            lines.append(f"        if nulls & {1 << i}:")
+            lines.append(f"            v{i} = None")
+            lines.append("        else:")
+            lines.extend(f"            {ln}" for ln in blk)
+        lines.append("    else:")  # hot path: fully non-NULL image
+        for blk in blocks:
+            lines.extend(f"        {ln}" for ln in blk)
+    lines.append(f"    {ret}")
+    exec("\n".join(lines), env)  # noqa: S102 — source built from
+    # type codes and repr'd column names only, no external input
+    return env["_img"]
+
+
 def _image_plan(tmap: TableMapState, used_bitmap: bytes):
-    """(name, decoder) pairs + null-bitmap width for one (table map,
-    used-columns bitmap) shape, cached on the map instance — a whole
-    log reuses a handful of shapes, so the bit scan, name resolution,
-    and decoder specialization are construction-time, not per-image."""
+    """Compiled ``(body, pos) -> (image_dict, new_pos)`` decoder for
+    one (table map, used-columns bitmap) shape, cached on the map
+    instance — a whole log reuses a handful of shapes, so the bit
+    scan, name resolution, decoder specialization AND the codegen are
+    construction-time, not per-image."""
     plans = tmap.__dict__.get("_img_plans")
     if plans is None:
         plans = tmap._img_plans = {}
@@ -1974,18 +2083,17 @@ def _image_plan(tmap: TableMapState, used_bitmap: bytes):
         used = _used_cols(len(tmap.col_types), used_bitmap)
         names = _full_names(tmap)
         unsigned, charsets = tmap.unsigned, tmap.charsets
-        fields = [
+        specs = [
             (
                 names[i],
-                _make_field_decoder(
-                    tmap.col_types[i], tmap.col_meta[i],
-                    bool(unsigned) and unsigned[i],
-                    charsets[i] if charsets else None,
-                ),
+                tmap.col_types[i],
+                tmap.col_meta[i],
+                bool(unsigned) and unsigned[i],
+                charsets[i] if charsets else None,
             )
             for i in used
         ]
-        plan = (fields, (len(used) + 7) // 8)
+        plan = _compile_image_plan(specs, (len(used) + 7) // 8)
         plans[used_bitmap] = plan
     return plan
 
@@ -1998,29 +2106,14 @@ def _read_image(
     Decodes through the compiled per-shape plan (`_image_plan`); the
     null bitmap reads once as an int so the per-column test is a
     shift, not a byte index + mask."""
-    return _read_image_plan(body, pos, _image_plan(tmap, used_bitmap))
+    return _image_plan(tmap, used_bitmap)(body, pos)
 
 
 def _read_image_plan(body: bytes, pos: int, plan) -> tuple[dict, int]:
     """`_read_image` with the plan lookup hoisted — `_decode_body`
     resolves the plan once per EVENT and decodes every row image in
     the event through it."""
-    fields, null_bytes = plan
-    nulls = int.from_bytes(body[pos:pos + null_bytes], "little")
-    pos += null_bytes
-    image: dict[str, object] = {}
-    if nulls:
-        j = 0
-        for name, dec in fields:
-            if (nulls >> j) & 1:
-                image[name] = None
-            else:
-                image[name], pos = dec(body, pos)
-            j += 1
-    else:  # hot path: fully non-NULL image
-        for name, dec in fields:
-            image[name], pos = dec(body, pos)
-    return image, pos
+    return plan(body, pos)
 
 
 def _make_field_skipper(tc: int, meta):
@@ -2580,7 +2673,7 @@ def _decode_body(
         while p < body_len:
             p0 = p
             if plan1 is not None:
-                img1, p = _read_image_plan(body, p, plan1)
+                img1, p = plan1(body, p)
             else:
                 img1, p = None, _skip_image_plan(body, p, skip1)
             if is_partial:
@@ -2588,7 +2681,7 @@ def _decode_body(
                 rows_before.append(img1); rows_after.append(img2)
             elif is_update:
                 if plan2 is not None:
-                    img2, p = _read_image_plan(body, p, plan2)
+                    img2, p = plan2(body, p)
                 else:
                     img2, p = None, _skip_image_plan(body, p, skip2)
                 rows_before.append(img1); rows_after.append(img2)
