@@ -1962,23 +1962,32 @@ def _make_field_decoder(tc: int, meta, unsigned: bool = False,
 
 
 def _field_inline_src(i: int, tc: int, meta, unsigned: bool,
-                      charset, env: dict) -> list[str] | None:
+                      charset, env: dict,
+                      stringify: bool = False) -> list[str] | None:
     """Source lines decoding column i inline inside the compiled image
     decoder (`_compile_image_plan`), or None to fall back to a
     `_make_field_decoder` closure call.  Covers exactly the hot OLTP
     types the closures specialize (ints, length-prefixed strings,
     packed CHAR, ENUM/SET, memoized NEWDECIMAL) and MUST stay value-
     and width-identical to them (pinned by
-    test_binlog_codec parity + the codec property fuzz)."""
+    test_binlog_codec parity + the codec property fuzz).
+
+    ``stringify=True`` emits the MAP-envelope string form directly
+    (`stringify_image` semantics fused into the decode: int → str,
+    bytes → hex, str passthrough) so the envelope builder does not
+    re-walk every image dict."""
     if tc == TYPE_STRING and isinstance(meta, tuple):
         m0, m1 = meta
         if m0 == TYPE_ENUM:
+            ev_ = f"ifb(body[pos:e], 'little')"
             return [f"e = pos + {m1}",
-                    f"v{i} = ifb(body[pos:e], 'little')",
+                    f"v{i} = str({ev_})" if stringify else f"v{i} = {ev_}",
                     "pos = e"]
         if m0 == TYPE_SET:
+            sv_ = ("body[pos:e].hex()" if stringify
+                   else "bytes(body[pos:e])")
             return [f"e = pos + {m1}",
-                    f"v{i} = bytes(body[pos:e])",
+                    f"v{i} = {sv_}",
                     "pos = e"]
         if m0 and (m0 & 0x30) != 0x30:
             maxlen = m1 | (((m0 & 0x30) ^ 0x30) << 4)
@@ -1988,8 +1997,9 @@ def _field_inline_src(i: int, tc: int, meta, unsigned: bool,
     if tc in _INT_TYPES:
         n = _INT_TYPES[tc]
         sg = "" if unsigned else ", signed=True"
+        iv_ = f"ifb(body[pos:e], 'little'{sg})"
         return [f"e = pos + {n}",
-                f"v{i} = ifb(body[pos:e], 'little'{sg})",
+                f"v{i} = str({iv_})" if stringify else f"v{i} = {iv_}",
                 "pos = e"]
     if tc in (TYPE_VARCHAR, TYPE_VAR_STRING):
         if int(meta) < 256:
@@ -1999,6 +2009,10 @@ def _field_inline_src(i: int, tc: int, meta, unsigned: bool,
                    "e = s + (body[pos] | (body[pos + 1] << 8))"]
         if charset is None:
             return pre + [f"v{i} = body[s:e].decode('latin-1')", "pos = e"]
+        if charset == "binary" and stringify:
+            # VARBINARY: _decode_text keeps bytes; the MAP-envelope
+            # string form hexes them (stringify_image parity)
+            return pre + [f"v{i} = body[s:e].hex()", "pos = e"]
         env[f"cs{i}"] = charset
         return pre + [f"v{i} = dtxt(body[s:e], cs{i})", "pos = e"]
     if tc == TYPE_NEWDECIMAL:
@@ -2016,7 +2030,8 @@ def _field_inline_src(i: int, tc: int, meta, unsigned: bool,
     return None
 
 
-def _compile_image_plan(specs: list, null_bytes: int):
+def _compile_image_plan(specs: list, null_bytes: int,
+                        stringify: bool = False):
     """Compile ONE (table map, used-bitmap) shape into a straight-line
     ``(body, pos) -> (image_dict, new_pos)`` function (r19, guide §4.2
     per-task work): the interpreted per-field loop paid, per row image,
@@ -2034,10 +2049,18 @@ def _compile_image_plan(specs: list, null_bytes: int):
                  "dtxt": _decode_text}
     blocks: list[list[str]] = []
     for i, (name, tc, meta, unsigned, charset) in enumerate(specs):
-        src = _field_inline_src(i, tc, meta, unsigned, charset, env)
+        src = _field_inline_src(i, tc, meta, unsigned, charset, env,
+                                stringify)
         if src is None:
             env[f"d{i}"] = _make_field_decoder(tc, meta, unsigned, charset)
             src = [f"v{i}, pos = d{i}(body, pos)"]
+            if stringify:
+                env.setdefault("isin", isinstance)
+                src += [
+                    f"if v{i} is not None:",
+                    f"    v{i} = (v{i}.hex() if isin(v{i}, bytes)"
+                    f" else str(v{i}))",
+                ]
         blocks.append(src)
     ret = "return {" + ", ".join(
         f"{name!r}: v{i}" for i, (name, *_rest) in enumerate(specs)
@@ -2069,16 +2092,19 @@ def _compile_image_plan(specs: list, null_bytes: int):
     return env["_img"]
 
 
-def _image_plan(tmap: TableMapState, used_bitmap: bytes):
+def _image_plan(tmap: TableMapState, used_bitmap: bytes,
+                stringify: bool = False):
     """Compiled ``(body, pos) -> (image_dict, new_pos)`` decoder for
     one (table map, used-columns bitmap) shape, cached on the map
     instance — a whole log reuses a handful of shapes, so the bit
     scan, name resolution, decoder specialization AND the codegen are
-    construction-time, not per-image."""
+    construction-time, not per-image.  ``stringify=True`` compiles the
+    MAP-envelope string form (cached separately)."""
     plans = tmap.__dict__.get("_img_plans")
     if plans is None:
         plans = tmap._img_plans = {}
-    plan = plans.get(used_bitmap)
+    key = (used_bitmap, stringify)
+    plan = plans.get(key)
     if plan is None:
         used = _used_cols(len(tmap.col_types), used_bitmap)
         names = _full_names(tmap)
@@ -2093,9 +2119,24 @@ def _image_plan(tmap: TableMapState, used_bitmap: bytes):
             )
             for i in used
         ]
-        plan = _compile_image_plan(specs, (len(used) + 7) // 8)
-        plans[used_bitmap] = plan
+        plan = _compile_image_plan(specs, (len(used) + 7) // 8, stringify)
+        plans[key] = plan
     return plan
+
+
+def stringify_image(image: dict | None) -> dict | None:
+    """MAP-envelope string form of a typed row image: None → None,
+    bytes → lowercase hex (SET columns decode to raw bitset bytes;
+    the reference keeps byte[], mysql_binlog.clj:530-531), everything
+    else → str.  The compiled string-mode plans fuse this into the
+    decode; this standalone form serves the paths that must decode
+    typed first (partial-update diffs, the streaming record bridge)."""
+    if image is None:
+        return None
+    return {
+        k: (None if v is None else (v.hex() if isinstance(v, bytes) else str(v)))
+        for k, v in image.items()
+    }
 
 
 def _read_image(
@@ -2298,6 +2339,7 @@ def decode_binlog(
     min_row_offset: int = 0,
     row_ts_min: int | None = None,
     row_ts_max: int | None = None,
+    stringify: bool = False,
 ) -> list[dict]:
     """D1+S3/S4: walk the event chain from `start_offset`, threading
     table-map state, with the torn-tail guard (a header or body that
@@ -2315,6 +2357,7 @@ def decode_binlog(
         checksum=checksum, only_tables=only_tables, only_ops=only_ops,
         images=images, min_row_offset=min_row_offset,
         row_ts_min=row_ts_min, row_ts_max=row_ts_max,
+        stringify=stringify,
     )
     return events
 
@@ -2336,6 +2379,7 @@ def decode_binlog_incremental(
     min_row_offset: int = 0,
     row_ts_min: int | None = None,
     row_ts_max: int | None = None,
+    stringify: bool = False,
 ) -> tuple[list[dict], int, TableMapState | None, int]:
     """S9 incremental-turn form: decode `[start_offset, end-of-data)`
     and return (events, next_offset, table_map_state, next_seq) so the
@@ -2412,6 +2456,13 @@ def decode_binlog_incremental(
     one more: a skipped-op row event arriving with NO table map is
     dropped without the "row event without preceding TABLE_MAP"
     error a full decode would raise (its op needs no attribution).
+
+    ``stringify=True`` decodes row images straight into the
+    MAP-envelope string form — value-for-value `stringify_image` of
+    the typed decode (int → str, bytes → hex, str passthrough), fused
+    into the compiled image plans so envelope builders skip the
+    per-image re-walk.  Everything else (structure, seq, offsets,
+    non-row events) is identical to a typed decode.
     """
     if base == 0 and not is_binlog(data):
         raise ValueError("not a binlog file (bad magic)")
@@ -2499,7 +2550,8 @@ def decode_binlog_incremental(
             if not skip_body:
                 _decode_body(ev, type_code, body, catalog, tmap,
                              only_tables, only_ops, images,
-                             min_row_offset, row_ts_min, row_ts_max)
+                             min_row_offset, row_ts_min, row_ts_max,
+                             stringify)
         except Exception as exc:
             if on_error == "quarantine":
                 # Dead-letter the poison event and keep walking: the
@@ -2592,9 +2644,17 @@ def _decode_body(
     min_row_offset: int = 0,
     row_ts_min: int | None = None,
     row_ts_max: int | None = None,
+    stringify: bool = False,
 ) -> None:
     """Type-specific body decode into `ev`.  A new TABLE_MAP is handed
-    back via ev["_new_table_map"] (the caller threads it)."""
+    back via ev["_new_table_map"] (the caller threads it).
+
+    ``stringify=True`` decodes row images straight into the
+    MAP-envelope string form (string-mode compiled plans) — the
+    values are exactly ``stringify_image`` of the typed decode, fused
+    so envelope builders skip the per-image re-walk.  Partial-update
+    events still decode typed (the after-image is a JSON diff against
+    the typed before image) and stringify afterwards."""
     if type_code == QUERY_EVENT:
         # post-header: thread_id u32, exec_time u32, db_len u8,
         # error_code u16, status_vars_len u16 (v4).  The reference
@@ -2662,11 +2722,12 @@ def _decode_body(
         need_a = images in ("both", "after") or is_partial
         # plan for image 1 (write_rows' single image IS the after side)
         want1 = need_a if is_write else need_b
-        plan1 = _image_plan(tmap, used1) if want1 else None
+        use_str = stringify and not is_partial
+        plan1 = _image_plan(tmap, used1, use_str) if want1 else None
         skip1 = None if want1 else _skip_plan(tmap, used1)
         plan2 = skip2 = None
         if is_update and not is_partial:
-            plan2 = _image_plan(tmap, used2) if need_a else None
+            plan2 = _image_plan(tmap, used2, use_str) if need_a else None
             skip2 = None if need_a else _skip_plan(tmap, used2)
         rows_before, rows_after = [], []
         body_len = len(body)
@@ -2705,6 +2766,11 @@ def _decode_body(
                 rows_before = [None] * n
             if images in ("before", "none"):
                 rows_after = [None] * n
+        if stringify and is_partial:
+            # partial events decoded typed (diff base) — convert now so
+            # the event's string contract matches the string-mode plans
+            rows_before = [stringify_image(r) for r in rows_before]
+            rows_after = [stringify_image(r) for r in rows_after]
         ev["before"] = rows_before or None
         ev["after"] = rows_after or None
     elif type_code == XID_EVENT:
@@ -2795,6 +2861,7 @@ def _decode_body(
             only_ops=only_ops, images=images,
             min_row_offset=min_row_offset,
             row_ts_min=row_ts_min, row_ts_max=row_ts_max,
+            stringify=stringify,
         )
         # Total frames inside the payload (cheap header walk): the
         # envelope's sql text and the caller's seq accounting must

@@ -455,6 +455,7 @@ def _decode_slice(
     only_tables,
     only_ops,
     images: str = "both",
+    stringify: bool = False,
 ) -> list[dict]:
     """Decode one frame-aligned byte slice on an executor.  Shared by
     the streaming reader and the batch reader's oversized-file splits:
@@ -474,6 +475,7 @@ def _decode_slice(
             only_tables=only_tables,
             only_ops=only_ops,
             images=images,
+            stringify=stringify,
         )
         return events
     if not part.prefix_replay:
@@ -492,6 +494,7 @@ def _decode_slice(
             only_ops=only_ops,
             seq_base=part.seq_base,
             images=images,
+            stringify=stringify,
         )
         return events
     with open(part.path, "rb") as fh:
@@ -505,6 +508,7 @@ def _decode_slice(
         only_tables=only_tables,
         only_ops=only_ops,
         images=images,
+        stringify=stringify,
     )
     if nxt < part.end:
         raise ValueError(
@@ -890,9 +894,11 @@ class _BinlogBatchReader(DataSourceReader):
                 self._effective_tables(),
                 self._effective_ops(),
                 o.images,
+                stringify=True,
             )
             cols, _ = envelope_columns(
-                events, partition.log_file, frame_seq=True
+                events, partition.log_file, frame_seq=True,
+                stringified=True,
             )
             if (
                 o.since_file is not None
@@ -933,6 +939,7 @@ class _BinlogBatchReader(DataSourceReader):
             min_row_offset=max(self._f_off_lo or 0, cut),
             row_ts_min=self._f_ts_lo,
             row_ts_max=self._f_ts_hi,
+            stringify=True,
         )
         if hi is not None and hi + 1 < size and nxt <= hi and nxt < size:
             # one frame starts at <= hi but extends past the bounded
@@ -958,10 +965,12 @@ class _BinlogBatchReader(DataSourceReader):
                 min_row_offset=max(self._f_off_lo or 0, cut),
                 row_ts_min=self._f_ts_lo,
                 row_ts_max=self._f_ts_hi,
+                stringify=True,
             )
             events += more
         cols, _ = envelope_columns(
-            events, os.path.basename(fpath), frame_seq=True
+            events, os.path.basename(fpath), frame_seq=True,
+            stringified=True,
         )
         if cut:
             cols = _cut_offset_prefix(cols, cut)
@@ -1445,9 +1454,11 @@ class _BinlogStreamReader(DataSourceStreamReader):
         for sl in slices:
             events = _decode_slice(
                 sl, o.catalog, o.on_error, o.only_tables, o.only_ops,
-                o.images,
+                o.images, stringify=True,
             )
-            cols, _ = envelope_columns(events, sl.log_file, frame_seq=True)
+            cols, _ = envelope_columns(
+                events, sl.log_file, frame_seq=True, stringified=True
+            )
             yield _arrow_batch(cols, o.columns)
 
     def stop(self) -> None:

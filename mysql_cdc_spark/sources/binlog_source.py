@@ -181,10 +181,17 @@ def _stringify(image: dict | None) -> dict | None:
     }
 
 
+def _IDENTITY(image):
+    # stringified=True fast path: the codec already emitted the string
+    # form (decode_binlog(..., stringify=True)); nothing to re-walk
+    return image
+
+
 def envelope_records(
     events: list[dict], log_file: str, seq_start: int = 0,
     only_tables: set[tuple[str, str]] | None = None,
     only_ops: set[str] | None = None,
+    stringified: bool = False,
 ) -> tuple[list[dict], int]:
     """Flatten decoded codec events into envelope records (one per row
     image pair; non-row events emit one record).  Returns (records,
@@ -204,7 +211,13 @@ def envelope_records(
     ``seq`` numbers DELIVERED records — under pushdown it is not
     comparable to an unfiltered run's seq; use (log_file, offset,
     row_idx) as the stable identity.
+
+    ``stringified=True`` asserts the caller decoded with
+    ``decode_binlog(..., stringify=True)`` — images are already in the
+    MAP-envelope string form, so the per-image `_stringify` walk is
+    skipped (r19 §4: one dict build per image, not two).
     """
+    sfy = _IDENTITY if stringified else _stringify
     out: list[dict] = []
     seq = seq_start
     for ev in events:
@@ -235,8 +248,8 @@ def envelope_records(
             for ri in range(max(len(before), len(after))):
                 rec = dict(base)
                 rec["row_idx"] = ri
-                rec["before"] = _stringify(before[ri]) if ri < len(before) else None
-                rec["after"] = _stringify(after[ri]) if ri < len(after) else None
+                rec["before"] = sfy(before[ri]) if ri < len(before) else None
+                rec["after"] = sfy(after[ri]) if ri < len(after) else None
                 out.append(rec)
         else:
             out.append(base)
@@ -262,6 +275,7 @@ def envelope_columns(
     only_tables: set[tuple[str, str]] | None = None,
     only_ops: set[str] | None = None,
     frame_seq: bool = False,
+    stringified: bool = False,
 ) -> tuple[dict[str, list], int]:
     """`envelope_records` in COLUMNAR form (r15 VERDICT #1): one list
     per envelope column, appended in a single pass — no per-record
@@ -277,7 +291,11 @@ def envelope_columns(
     contract): the numbering a db/tbl/op pushdown can never change,
     which is what makes Catalyst filter pushdown in the mysql_binlog
     DataSource semantically transparent.  The returned next_seq still
-    counts delivered records."""
+    counts delivered records.
+
+    ``stringified=True``: see `envelope_records` — images arrived
+    pre-stringified from ``decode_binlog(..., stringify=True)``."""
+    sfy = _IDENTITY if stringified else _stringify
     cols: dict[str, list] = {c: [] for c in _ENVELOPE_COLS}
     (c_log, c_seq, c_off, c_ts, c_sid, c_xid, c_db, c_tbl, c_op, c_ri,
      c_before, c_after, c_sql, c_tid, c_et, c_ec) = (
@@ -315,10 +333,10 @@ def envelope_columns(
             for ri in range(n):
                 c_ri.append(ri)
                 c_before.append(
-                    _stringify(before[ri]) if ri < len(before) else None
+                    sfy(before[ri]) if ri < len(before) else None
                 )
                 c_after.append(
-                    _stringify(after[ri]) if ri < len(after) else None
+                    sfy(after[ri]) if ri < len(after) else None
                 )
         else:
             c_ri.append(0)
@@ -687,9 +705,10 @@ def read_binlog_envelope(
                     decode_binlog(
                         bytes(content), cat, on_error=on_error,
                         only_tables=only_tables, only_ops=only_ops,
-                        images=images,
+                        images=images, stringify=True,
                     ),
                     log_file,
+                    stringified=True,
                 )
                 for c in out_cols:
                     parts[c].extend(cols[c])
