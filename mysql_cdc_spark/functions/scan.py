@@ -48,7 +48,7 @@ def _chunked(df: DataFrame, order_col: str, chunk_span: int) -> DataFrame:
 def running_agg(
     df: DataFrame,
     order_col: str,
-    value: Column,
+    value: Column | str,
     out_col: str,
     *,
     inclusive: bool = True,
@@ -61,6 +61,38 @@ def running_agg(
     "count of markers before me" scans, e.g. transaction tagging).
     """
     tagged = _chunked(df, order_col, chunk_span)
+
+    # ``value`` as a SQL string takes the batched-construction path
+    # (one selectExpr per plan node instead of a Py4J round-trip per
+    # builder call — r19 §1 construction-cost fix); a Column routes
+    # through the identical expression tree built piecewise.  Parity
+    # between the two is pinned by test_scan_properties.
+    if isinstance(value, str):
+        end_sql = "CURRENT ROW" if inclusive else "1 PRECEDING"
+        intra = tagged.selectExpr(
+            "*",
+            f"sum({value}) OVER (PARTITION BY {_CHUNK} "
+            f"ORDER BY `{order_col}` ROWS BETWEEN UNBOUNDED PRECEDING "
+            f"AND {end_sql}) AS {_INTRA}",
+        )
+        chunk_totals = tagged.groupBy(_CHUNK).agg(
+            F.expr(f"sum({value}) AS __chunk_total")
+        )
+        carries = chunk_totals.selectExpr(
+            _CHUNK,
+            f"sum(__chunk_total) OVER (ORDER BY {_CHUNK} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+            f"AS {_CARRY}",
+        )
+        return (
+            intra.join(F.broadcast(carries), _CHUNK, "left")
+            .selectExpr(
+                "*",
+                f"coalesce({_CARRY}, 0) + coalesce({_INTRA}, 0) "
+                f"AS `{out_col}`",
+            )
+            .drop(_CHUNK, _INTRA, _CARRY)
+        )
 
     end = Window.currentRow if inclusive else -1
     intra_w = (

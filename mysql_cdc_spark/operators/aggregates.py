@@ -41,8 +41,11 @@ def running_sum(rows_dt: DataFrame) -> DataFrame:
     sequential form.
     """
     upd = rows_dt.filter(F.col("_delta_type") == DT_UPDATE).select("offset", "id", "value")
-    out = running_agg(upd, "offset", F.col("value").cast(_DEC), "running_sum")
-    return out.select("offset", "id", "value", F.col("running_sum").cast("double").alias("running_sum"))
+    out = running_agg(upd, "offset", f"CAST(value AS {_DEC})", "running_sum")
+    return out.selectExpr(
+        "`offset`", "id", "value",
+        "CAST(running_sum AS DOUBLE) AS running_sum",
+    )
 
 
 def update_sum(rows_dt: DataFrame) -> DataFrame:

@@ -105,7 +105,7 @@ def pack_sequences(docs: DataFrame, capacity: int = 512) -> DataFrame:
         F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("bigint").alias("n_tokens"),
     )
     placed = running_agg(
-        toks, "doc_id", F.col("n_tokens"), "tok_start", inclusive=False
+        toks, "doc_id", "n_tokens", "tok_start", inclusive=False
     ).withColumn("tok_end", F.col("tok_start") + F.col("n_tokens"))
     return placed.select(
         "doc_id",
@@ -608,7 +608,7 @@ def shard_plan(docs: DataFrame, target_chars: int = SHARD_TARGET_CHARS) -> DataF
     from mysql_cdc_spark.functions.scan import running_agg
 
     sized = docs.select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
-    placed = running_agg(sized, "doc_id", F.col("n_chars"), "char_start", inclusive=False)
+    placed = running_agg(sized, "doc_id", "n_chars", "char_start", inclusive=False)
     return (
         placed.select(
             "doc_id",

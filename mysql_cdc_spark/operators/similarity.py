@@ -204,13 +204,13 @@ def knn(
     scored = q.select("vec_id", "qv", "nq").mapInArrow(
         score, "query_id long, neighbor_id long, cosine double"
     )
-    order = [F.col("cosine").desc(), F.col("neighbor_id")]
-    final = Window.partitionBy("query_id").orderBy(*order)
-    return (
-        scored.withColumn("rank", F.row_number().over(final).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return scored.selectExpr(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        "CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank",
+    ).filter(f"rank <= {k}")
 
 
 def _band_bits_sql(qv_col: str, band: int) -> str:

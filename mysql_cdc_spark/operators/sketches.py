@@ -119,7 +119,7 @@ ORACLE_LABEL = (
 
 
 def _hashed(events: DataFrame, label_sql: str = SPARK_LABEL) -> DataFrame:
-    return events.select(F.expr(f"md5({label_sql})").alias("h"))
+    return events.selectExpr(f"md5({label_sql}) AS h")
 
 
 def hll_registers(events: DataFrame, label_sql: str = SPARK_LABEL) -> DataFrame:
@@ -128,12 +128,14 @@ def hll_registers(events: DataFrame, label_sql: str = SPARK_LABEL) -> DataFrame:
     hashed = _hashed(events, label_sql)
     # name v as a column so the 13-digit parse is evaluated once per
     # row (inlining it into the CASE would duplicate the whole parse)
-    hv = hashed.select(
-        F.expr(bucket_expr_spark("h")).cast("bigint").alias("bucket"),
-        F.expr(v52_expr_spark("h")).alias("v"),
+    hv = hashed.selectExpr(
+        f"CAST({bucket_expr_spark('h')} AS BIGINT) AS bucket",
+        f"{v52_expr_spark('h')} AS v",
     )
-    rows = hv.select("bucket", F.expr(rho_case("v", "bin(v)")).cast("bigint").alias("rho"))
-    return rows.groupBy("bucket").agg(F.max("rho").alias("m"))
+    rows = hv.selectExpr(
+        "bucket", f"CAST({rho_case('v', 'bin(v)')} AS BIGINT) AS rho"
+    )
+    return rows.groupBy("bucket").agg(F.expr("max(rho) AS m"))
 
 
 def hll_estimate(registers: DataFrame) -> DataFrame:
@@ -141,14 +143,21 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
     estimate).  s_total is the exact integer register sum including
     the 2^50 contribution of every empty register."""
     agg = registers.agg(
-        F.count(F.lit(1)).cast("bigint").alias("registers_used"),
-        F.sum(F.expr("shiftleft(cast(1 as bigint), cast(50 - m as int))")).alias("s_present"),
+        F.expr("CAST(count(1) AS BIGINT) AS registers_used"),
+        F.expr(
+            "sum(shiftleft(cast(1 as bigint), cast(50 - m as int)))"
+            " AS s_present"
+        ),
     )
-    s_total = (F.col("s_present") + (F.lit(HLL_M) - F.col("registers_used")) * F.lit(1 << RHO_CAP)).cast("bigint")
-    return agg.select(
-        F.col("registers_used"),
-        s_total.alias("s_total"),
-        (F.expr(f"CAST({_ALPHA_M2_SHIFT} AS DOUBLE)") / s_total.cast("double")).alias("estimate"),
+    s_total = (
+        f"CAST(s_present + ({HLL_M} - registers_used) * "
+        f"{1 << RHO_CAP}L AS BIGINT)"
+    )
+    return agg.selectExpr(
+        "registers_used",
+        f"{s_total} AS s_total",
+        f"CAST({_ALPHA_M2_SHIFT} AS DOUBLE) / CAST({s_total} AS DOUBLE)"
+        " AS estimate",
     )
 
 

@@ -197,39 +197,45 @@ def asof_join(
                 tolerance_seconds=tolerance_seconds,
                 chunk_seconds=chunk_seconds,
             )
+    # Construction below is batched into one selectExpr per plan node
+    # (r19 §1: plan construction is pure Py4J round-trips and ~23 % of
+    # the headline wall at sf0.1 — the per-column withColumn/F.* form
+    # paid ~4x the round trips for the IDENTICAL logical plan).
     lcols = left.columns
-    l = left.withColumn("_side", F.lit(1)).withColumn("_tie", F.col(tie))
-    for c in payload:
-        l = l.withColumn(f"_r_{c}", F.lit(None).cast(right.schema[c].dataType))
-    r = right.select(
-        *on,
-        F.col(ts),
-        F.lit(0).alias("_side"),
-        F.col(tie).alias("_tie"),
-        *[F.col(c).alias(f"_r_{c}") for c in payload],
+    ltype = {f.name: f.dataType.simpleString() for f in left.schema.fields}
+    rtype = {f.name: f.dataType.simpleString() for f in right.schema.fields}
+    lq = [f"`{c}`" for c in lcols]
+    skip_r = set(on) | {ts}
+    l = left.selectExpr(
+        *lq, "1 AS _side", f"`{tie}` AS _tie",
+        *[f"CAST(NULL AS {rtype[c]}) AS `_r_{c}`" for c in payload],
     )
-    for c in lcols:
-        if c not in r.columns:
-            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    u = l.select(*lcols, "_side", "_tie", *[f"_r_{c}" for c in payload]).unionByName(
-        r.select(*lcols, "_side", "_tie", *[f"_r_{c}" for c in payload])
+    r = right.selectExpr(
+        *[f"`{c}`" for c in on], f"`{ts}`",
+        "0 AS _side", f"`{tie}` AS _tie",
+        *[f"`{c}` AS `_r_{c}`" for c in payload],
+        *[f"CAST(NULL AS {ltype[c]}) AS `{c}`"
+          for c in lcols if c not in skip_r],
     )
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col(ts).asc(), F.col("_side").asc(), F.col("_tie").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u = l.unionByName(r)
+    win = (
+        "OVER (PARTITION BY " + ", ".join(f"`{k}`" for k in on)
+        + f" ORDER BY `{ts}` ASC, _side ASC, _tie ASC"
+        + " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
-    matched = u.select(
-        *lcols,
-        "_side",
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}") for c in payload],
-    ).filter(F.col("_side") == 1)
+    matched = u.selectExpr(
+        *lq, "_side",
+        *[f"last(`_r_{c}`, true) {win} AS `_m_{c}`" for c in payload],
+    ).filter("_side = 1")
     if tolerance_seconds is not None:
-        fresh = F.col(f"_m_{ts}") >= F.col(ts) - F.expr(f"INTERVAL {tolerance_seconds} SECOND")
-        out_payload = [F.when(fresh, F.col(f"_m_{c}")).alias(f"{prefix}{c}") for c in payload]
+        out_payload = [
+            f"CASE WHEN `_m_{ts}` >= `{ts}` - INTERVAL {tolerance_seconds} "
+            f"SECOND THEN `_m_{c}` END AS `{prefix}{c}`"
+            for c in payload
+        ]
     else:
-        out_payload = [F.col(f"_m_{c}").alias(f"{prefix}{c}") for c in payload]
-    return matched.select(*lcols, *out_payload)
+        out_payload = [f"`_m_{c}` AS `{prefix}{c}`" for c in payload]
+    return matched.selectExpr(*lq, *out_payload)
 
 
 def asof_join_chunked(
@@ -392,19 +398,17 @@ def range_join(
     matches only (bounded frames), so output is O(points × k) no
     matter how dense the intervals get.
     """
-    iv = intervals.withColumn(
-        "_b",
-        F.explode(
-            F.sequence(
-                F.expr(f"unix_timestamp({start}) div {bucket_seconds}"),
-                F.expr(f"unix_timestamp({end}) div {bucket_seconds}"),
-            )
-        ),
+    iv = intervals.selectExpr(
+        "*",
+        f"explode(sequence(unix_timestamp({start}) div {bucket_seconds}, "
+        f"unix_timestamp({end}) div {bucket_seconds})) AS _b",
     )
-    pt = points.withColumn("_b", F.expr(f"unix_timestamp({ts}) div {bucket_seconds}"))
+    pt = points.selectExpr(
+        "*", f"unix_timestamp({ts}) div {bucket_seconds} AS _b"
+    )
     out = (
         pt.join(iv, "_b")
-        .where((F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end)))
+        .where(f"{ts} >= {start} AND {ts} < {end}")
         .drop("_b")
     )
     if max_matches_per_point is not None:
@@ -412,12 +416,13 @@ def range_join(
             raise ValueError(
                 "max_matches_per_point requires point_key and tiebreak"
             )
-        w = Window.partitionBy(point_key).orderBy(
-            F.col(start).desc(), F.col(tiebreak).asc()
-        )
         out = (
-            out.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= max_matches_per_point)
+            out.selectExpr(
+                "*",
+                f"row_number() OVER (PARTITION BY {point_key} "
+                f"ORDER BY {start} DESC, {tiebreak} ASC) AS _rn",
+            )
+            .where(f"_rn <= {max_matches_per_point}")
             .drop("_rn")
         )
     return out
@@ -426,11 +431,11 @@ def range_join(
 def incident_windows(events: DataFrame, threshold: float, half_window_minutes: int) -> DataFrame:
     """Intervals around high-value error events: [ts-w, ts+w)."""
     return events.filter(
-        (F.col("event_type") == "error") & (F.col("value") > threshold)
-    ).select(
-        F.col("event_id").alias("incident_id"),
-        (F.col("ts") - F.expr(f"INTERVAL {half_window_minutes} MINUTE")).alias("w_start"),
-        (F.col("ts") + F.expr(f"INTERVAL {half_window_minutes} MINUTE")).alias("w_end"),
+        f"event_type = 'error' AND value > {threshold!r}"
+    ).selectExpr(
+        "event_id AS incident_id",
+        f"ts - INTERVAL {half_window_minutes} MINUTE AS w_start",
+        f"ts + INTERVAL {half_window_minutes} MINUTE AS w_end",
     )
 
 
@@ -444,8 +449,10 @@ def incident_window_stats(
     pts = events.select("event_id", "ts", "value")
     joined = range_join(pts, iv, ts="ts", start="w_start", end="w_end")
     return joined.groupBy("incident_id", "w_start", "w_end").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        F.expr("CAST(count(1) AS BIGINT) AS n_events"),
+        F.expr(
+            "CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value"
+        ),
     )
 
 

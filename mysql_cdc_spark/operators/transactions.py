@@ -32,7 +32,7 @@ from mysql_cdc_spark.model import OP_UPDATE_ROWS, OP_XID, ROW_OPS
 def with_txn(env: DataFrame) -> DataFrame:
     """Tag every event with its transaction block id (count of xid
     commits strictly before it in the log)."""
-    is_xid = F.when(F.col("op") == OP_XID, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+    is_xid = f"CAST(CASE WHEN op = '{OP_XID}' THEN 1 ELSE 0 END AS BIGINT)"
     out = running_agg(env, "offset", is_xid, "txn", inclusive=False)
     return out.withColumn("txn", F.col("txn").cast("bigint"))
 
@@ -52,11 +52,14 @@ def events_per_transaction(env: DataFrame) -> DataFrame:
         with_txn(env.select("offset", "xid", "op"))
         .groupBy("txn")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.min("offset").alias("first_offset"),
-            F.max("offset").alias("last_offset"),
-            F.max("xid").alias("xid"),
-            F.max(F.when(F.col("op") == OP_UPDATE_ROWS, 1).otherwise(0)).cast("bigint").alias("has_update"),
+            F.expr("CAST(count(1) AS BIGINT) AS n_events"),
+            F.expr("min(`offset`) AS first_offset"),
+            F.expr("max(`offset`) AS last_offset"),
+            F.expr("max(xid) AS xid"),
+            F.expr(
+                f"CAST(max(CASE WHEN op = '{OP_UPDATE_ROWS}' THEN 1 "
+                "ELSE 0 END) AS BIGINT) AS has_update"
+            ),
         )
     )
 

@@ -36,6 +36,27 @@ def test_running_sum_equals_sequential_fold(spark, vals, chunk_span):
         assert got[i] == acc
 
 
+@given(_VALUES, st.integers(1, 16), st.booleans())
+@settings(max_examples=10, deadline=None)
+def test_string_value_path_matches_column_path(spark, vals, chunk_span, inclusive):
+    """The batched-construction path (``value`` as a SQL string) must
+    be row-identical to the Column-builder path for any values, span
+    and inclusivity — pins the r19 construction-cost rewrite."""
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "offset long, v decimal(18,2)"
+    )
+    via_col = running_agg(
+        df, "offset", F.col("v"), "rs", inclusive=inclusive, chunk_span=chunk_span
+    )
+    via_str = running_agg(
+        df, "offset", "v", "rs", inclusive=inclusive, chunk_span=chunk_span
+    )
+    assert via_str.schema == via_col.schema
+    a = sorted(map(tuple, via_col.collect()))
+    b = sorted(map(tuple, via_str.collect()))
+    assert a == b
+
+
 @given(st.lists(st.booleans(), min_size=1, max_size=60), st.integers(1, 16))
 @settings(max_examples=15, deadline=None)
 def test_marker_prefix_count_equals_sequential(spark, markers, chunk_span):
