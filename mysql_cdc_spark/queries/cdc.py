@@ -3,7 +3,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 from mysql_cdc_spark.operators import aggregates, query, relational, transactions
-from mysql_cdc_spark.sources.events_cdc import changes, rows_delta_type, with_changes
+from mysql_cdc_spark.sources.events_cdc import (
+    changes,
+    committed_rows_direct,
+    rows_delta_type,
+    txn_summary,
+    with_changes,
+)
 from mysql_cdc_spark.operators import sketches, timeseries
 from mysql_cdc_spark.operators import history
 from mysql_cdc_spark.queries._registry import register  # noqa: E402
@@ -191,8 +197,11 @@ def cdc_incremental_state(spark, sf_dir):
 def cdc_txn_events(spark, sf_dir):
     """Transaction assembly at xid boundaries (general rule; the
     derived stream reproduces the 4-events-per-statement invariant,
-    mysql_bench.clj:248-258)."""
-    return transactions.events_per_transaction(changes(spark, sf_dir, rebalance=False))
+    mysql_bench.clj:248-258).  Computed via the direct derivation
+    (events_cdc.txn_summary — r19; row-identical to
+    transactions.events_per_transaction over the envelope, pinned by
+    parity test + this oracle)."""
+    return txn_summary(spark, sf_dir)
 
 
 @register(
@@ -206,7 +215,11 @@ def cdc_txn_events(spark, sf_dir):
 )
 def cdc_txn_histogram(spark, sf_dir):
     """Distribution of events per transaction (expect a single (4, N) row)."""
-    return transactions.transaction_size_histogram(changes(spark, sf_dir, rebalance=False))
+    return (
+        txn_summary(spark, sf_dir)
+        .groupBy("n_events")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_txns"))
+    )
 
 
 @register(
@@ -221,9 +234,12 @@ def cdc_txn_histogram(spark, sf_dir):
     ),
 )
 def cdc_committed_rows(spark, sf_dir):
-    """Row events with their commit xid attached (single-pass window,
-    no self-join — reference commit assembly, mysql_binlog.clj:393-394)."""
-    return transactions.committed_rows(changes(spark, sf_dir, rebalance=False))
+    """Row events with their commit xid attached (reference commit
+    assembly, mysql_binlog.clj:393-394).  Computed via the direct
+    derivation (events_cdc.committed_rows_direct — r19; row-identical
+    to transactions.committed_rows over the envelope, pinned by parity
+    test + this oracle)."""
+    return committed_rows_direct(spark, sf_dir)
 
 
 @register(

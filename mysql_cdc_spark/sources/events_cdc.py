@@ -162,6 +162,68 @@ def rows_changes(spark: SparkSession, sf_dir: str, rebalance: bool = True) -> Da
     )
 
 
+def txn_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``transactions.events_per_transaction(changes(...))`` computed
+    WITHOUT the explode, prefix scan, or groupBy (r19 optimization).
+
+    By the derivation rules every source event emits exactly one
+    transaction: its 4 envelope events occupy offsets ``event_id*4 ..
+    event_id*4+3`` and its single xid commit (xid = event_id) sits at
+    seq 3.  The general tagging rule — txn(e) = count of xids strictly
+    below e.offset — therefore assigns txn = event_id to all 4 events
+    (the closing xid of event k is at ``4k+3``, which is below
+    ``4e+seq`` iff k < e for any seq in 0..3).  So the per-transaction
+    summary is a pure projection of the pre-explode events scan: no
+    Generate, no chunk-window prefix scan, no groupBy exchange.
+    Row-identical to the general form (pinned by
+    tests/test_scan_txn.py parity test and the cdc_txn_events oracle).
+    The xid-boundary-general operator (`transactions.py`) remains THE
+    path for real envelope sources (binlog scans, streams), whose
+    transactions are NOT fixed-size.
+    """
+    ev = _ev_projected(spark, sf_dir, rebalance=False)
+    return ev.selectExpr(
+        "CAST(event_id AS BIGINT) AS txn",
+        "CAST(4 AS BIGINT) AS n_events",
+        "CAST(event_id * 4 AS BIGINT) AS first_offset",
+        "CAST(event_id * 4 + 3 AS BIGINT) AS last_offset",
+        "CAST(event_id AS BIGINT) AS xid",
+        f"CAST(CASE WHEN row_op = '{OP_UPDATE_ROWS}' THEN 1 ELSE 0 END "
+        "AS BIGINT) AS has_update",
+    )
+
+
+def committed_rows_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``transactions.committed_rows(changes(...))`` without the
+    explode or the per-txn window (r19 optimization; same derivation
+    argument as `txn_summary`): each transaction's single row event
+    sits at offset ``event_id*4+2`` with txn = commit_xid = event_id,
+    and the commit is always present (seq 3 exists for every event),
+    so the uncommitted-tail filter drops nothing.  Row-identical to
+    the general form (pinned by tests/test_scan_txn.py parity test and
+    the cdc_committed_rows oracle)."""
+    ev = _ev_projected(spark, sf_dir, rebalance=False)
+    before_id = f"CASE WHEN row_op = '{OP_WRITE_ROWS}' THEN NULL ELSE row_id END"
+    before_value = (
+        f"CASE WHEN row_op = '{OP_WRITE_ROWS}' THEN NULL "
+        f"WHEN row_op = '{OP_DELETE_ROWS}' THEN value ELSE value - 1.0 END"
+    )
+    after_id = f"CASE WHEN row_op = '{OP_DELETE_ROWS}' THEN NULL ELSE row_id END"
+    after_value = f"CASE WHEN row_op = '{OP_DELETE_ROWS}' THEN NULL ELSE value END"
+    return ev.selectExpr(
+        "CAST(event_id * 4 + 2 AS BIGINT) AS `offset`",
+        "CAST(event_id AS BIGINT) AS txn",
+        "db",
+        "tbl",
+        "row_op AS op",
+        f"CAST({before_id} AS BIGINT) AS before_id",
+        f"CAST({before_value} AS DOUBLE) AS before_value",
+        f"CAST({after_id} AS BIGINT) AS after_id",
+        f"CAST({after_value} AS DOUBLE) AS after_value",
+        "CAST(event_id AS BIGINT) AS commit_xid",
+    )
+
+
 def changes(spark: SparkSession, sf_dir: str, rebalance: bool = True) -> DataFrame:
     """The change-event envelope stream (batch mode).
 

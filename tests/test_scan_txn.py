@@ -109,3 +109,37 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert sorted(map(tuple, salted)) == sorted(map(tuple, plain))
     left = salted_join(rows, dim, ["id"], n_salts=4, how="left").collect()
     assert len(left) >= len(plain)
+
+
+def test_txn_summary_matches_general_operator(spark):
+    """The r19 direct txn derivation (no explode / prefix scan /
+    groupBy) must be ROW-identical to the xid-boundary-general
+    operator over the derived envelope stream."""
+    from mysql_cdc_spark.sources.events_cdc import changes, txn_summary
+
+    sf = "/root/testdata/sf0.001"
+    direct = txn_summary(spark, sf)
+    general = transactions.events_per_transaction(
+        changes(spark, sf, rebalance=False)
+    )
+    assert direct.columns == general.columns
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, general.collect())
+    )
+
+
+def test_committed_rows_direct_matches_general_operator(spark):
+    """Same pin for the direct committed-rows derivation (no explode,
+    no per-txn window)."""
+    from mysql_cdc_spark.sources.events_cdc import (
+        changes,
+        committed_rows_direct,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    direct = committed_rows_direct(spark, sf)
+    general = transactions.committed_rows(changes(spark, sf, rebalance=False))
+    assert direct.columns == general.columns
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, general.collect())
+    )
