@@ -17,6 +17,14 @@ def _rows_dt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows_changes(spark, sf_dir)
 
 
+def _rows_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # After-images only (r19): row-identical to
+    # _rows_dt(...).filter(_delta_type != 'update-before') but with no
+    # inline() Generate — for consumers that exclude or never select
+    # the update-before retract rows.  See events_cdc.rows_changes.
+    return rows_changes(spark, sf_dir, update_pairs=False)
+
+
 # ---------------------------------------------------------------------------
 # CDC core — the reference's own query surface (SURVEY §2.3, §3.1)
 # ---------------------------------------------------------------------------

@@ -17,6 +17,7 @@ from mysql_cdc_spark.queries._shared import (  # noqa: E402
     _CKSUM_ROW_SPARK,
     _ROW_COLS,
     _head_offset,
+    _rows_after,
     _rows_dt,
 )
 
@@ -82,7 +83,7 @@ def cdc_running_sum(spark, sf_dir):
 
     Distributed chunked prefix scan (functions/scan.py) — bit-identical
     to the oracle's sequential cumsum, but partition-parallel."""
-    return aggregates.running_sum(_rows_dt(spark, sf_dir))
+    return aggregates.running_sum(_rows_after(spark, sf_dir))
 
 
 @register(
@@ -96,7 +97,7 @@ def cdc_running_sum(spark, sf_dir):
 )
 def cdc_update_sum(spark, sf_dir):
     """A1 (scalable form): per-table update totals."""
-    return aggregates.update_sum(_rows_dt(spark, sf_dir))
+    return aggregates.update_sum(_rows_after(spark, sf_dir))
 
 
 @register(
@@ -110,7 +111,7 @@ def cdc_update_sum(spark, sf_dir):
 )
 def cdc_all_equal(spark, sf_dir):
     """A2: all-after-images-equal invariant (mysql_bench.clj:138-148)."""
-    return aggregates.all_equal_check(_rows_dt(spark, sf_dir))
+    return aggregates.all_equal_check(_rows_after(spark, sf_dir))
 
 
 @register(
@@ -148,7 +149,7 @@ def cdc_ddl_alerts(spark, sf_dir):
 )
 def cdc_latest_state(spark, sf_dir):
     """Materialize current table state from the change stream."""
-    return aggregates.latest_state(_rows_dt(spark, sf_dir))
+    return aggregates.latest_state(_rows_after(spark, sf_dir))
 
 
 # Oracle-side general transaction tagging: count of xid commits
@@ -177,7 +178,7 @@ def cdc_incremental_state(spark, sf_dir):
     half as a change batch (full-outer merge with tombstones,
     operators/aggregates.py:apply_changes) — the result must equal a
     full recompute over the whole log (the oracle)."""
-    rows = _rows_dt(spark, sf_dir)
+    rows = _rows_after(spark, sf_dir)
     mid = _head_offset(spark, sf_dir) // 2
     snapshot = aggregates.latest_state(rows.filter(F.col("offset") <= mid))
     batch = rows.filter(F.col("offset") > mid)
@@ -354,7 +355,7 @@ def cdc_state_asof(spark, sf_dir):
     """Time travel: table state as of the offset-range midpoint —
     same one-shuffle max(struct) replay as cdc_latest_state over the
     cutoff-filtered stream."""
-    return aggregates.state_asof(_rows_dt(spark, sf_dir))
+    return aggregates.state_asof(_rows_after(spark, sf_dir))
 
 
 @register(
@@ -371,7 +372,7 @@ def cdc_state_asof(spark, sf_dir):
 def cdc_scd2(spark, sf_dir):
     """Type-2 dimension: every version of every key with its offset
     validity interval (lead-window close, deletes terminate)."""
-    return history.scd2_intervals(_rows_dt(spark, sf_dir))
+    return history.scd2_intervals(_rows_after(spark, sf_dir))
 
 
 @register(
@@ -406,7 +407,7 @@ def cdc_net_changes(spark, sf_dir):
     """Net-change compaction between the 1/3 and 2/3 offsets of the
     stream: one classified row per touched key (single conditional
     max(struct) aggregate, one shuffle)."""
-    rows = _rows_dt(spark, sf_dir)
+    rows = _rows_after(spark, sf_dir)
     bounds = rows.agg(
         F.expr("max(offset) * 1 div 3").cast("bigint").alias("lo"),
         F.expr("max(offset) * 2 div 3").cast("bigint").alias("hi"),
@@ -462,7 +463,7 @@ def cdc_ivm_state_sum(spark, sf_dir):
     maintenance algebra.  At 100 TB the batch side is one
     map-side-combined aggregate of NEW data only — the materialized
     view refresh cost is O(delta), not O(history)."""
-    rows = _rows_dt(spark, sf_dir)
+    rows = _rows_after(spark, sf_dir)
     mid = _head_offset(spark, sf_dir) // 2
     snapshot = aggregates.latest_state(rows.filter(F.col("offset") <= mid))
     merged = aggregates.apply_changes(snapshot, rows.filter(F.col("offset") > mid))
@@ -560,4 +561,4 @@ def cdc_scd2_lookup(spark, sf_dir):
     the version of its key valid just before it (equi-key shuffle join
     + interval filter, never all-pairs); first inserts keep NULL
     priors."""
-    return history.scd2_lookup(_rows_dt(spark, sf_dir))
+    return history.scd2_lookup(_rows_after(spark, sf_dir))

@@ -13,6 +13,7 @@ from mysql_cdc_spark.queries._shared import (  # noqa: E402
     _STREAM_TMP,
     _drain,
     _head_offset,
+    _rows_after,
     _rows_dt,
 )
 
@@ -485,7 +486,7 @@ def cdc_stream_bootstrap(spark, sf_dir):
     STREAMING runtime and merged with the bucketed apply_changes
     incremental-maintenance operator.  Oracle: a full-history replay —
     equality proves the switchover loses and duplicates nothing."""
-    rows = _rows_dt(spark, sf_dir)
+    rows = _rows_after(spark, sf_dir)
     mid = _head_offset(spark, sf_dir) // 2
     snapshot = aggregates.latest_state(rows.filter(F.col("offset") <= mid))
     streamed = _drain(

@@ -124,7 +124,12 @@ def _ev_projected(spark: SparkSession, sf_dir: str, rebalance: bool) -> DataFram
     return ev
 
 
-def rows_changes(spark: SparkSession, sf_dir: str, rebalance: bool = True) -> DataFrame:
+def rows_changes(
+    spark: SparkSession,
+    sf_dir: str,
+    rebalance: bool = True,
+    update_pairs: bool = True,
+) -> DataFrame:
     """``rows_delta_type(changes(...))`` computed WITHOUT the 4-way
     envelope explode (r19 optimization): only the seq-2 row event of
     each statement frame carries delta rows, and its offset is
@@ -137,8 +142,32 @@ def rows_changes(spark: SparkSession, sf_dir: str, rebalance: bool = True) -> Da
     update_sum 0.47→0.39 s min, 0.59→0.50 s median).  The envelope
     form (`changes` → `rows_delta_type`) remains THE path for real
     envelope sources (binlog scans, streams) — this fast path exists
-    because batch rows_dt queries never look at the non-row events."""
+    because batch rows_dt queries never look at the non-row events.
+
+    ``update_pairs=False`` (r19) additionally drops the update-before
+    retract images at the SOURCE: the result is row-identical to
+    ``rows_changes(...).filter(_delta_type != 'update-before')`` (one
+    after-image per event), but as a pure single-row projection — no
+    inline() Generate at all.  Used by the latest-state family
+    (latest_state / state_asof / scd2 / apply_changes and the
+    update-only sums), all of which exclude or never select
+    update-before rows; consumers of the retract algebra (ivm,
+    count_changes, hot_keys, update_pairs) keep the pair form."""
     ev = _ev_projected(spark, sf_dir, rebalance)
+
+    if not update_pairs:
+        return ev.selectExpr(
+            "CAST(event_id * 4 + 2 AS BIGINT) AS offset",
+            "format_string('binlog.%06d', CAST(event_id div 250000 AS INT)) AS log_file",
+            "ts",
+            "db",
+            "tbl",
+            "CAST(row_id AS BIGINT) AS id",
+            "CAST(value AS DOUBLE) AS value",
+            f"CASE WHEN row_op = '{OP_UPDATE_ROWS}' THEN '{DT_UPDATE}' "
+            f"WHEN row_op = '{OP_WRITE_ROWS}' THEN '{DT_INSERT}' "
+            f"ELSE '{DT_DELETE}' END AS _delta_type",
+        )
 
     def img(val: str, tag: str) -> str:
         return (

@@ -248,3 +248,20 @@ def test_rows_changes_matches_explode_form(spark):
     direct = sorted(map(tuple, rows_changes(spark, sf).collect()))
     assert direct == via_env
     assert rows_changes(spark, sf).columns == rows_delta_type(changes(spark, sf)).columns
+
+
+def test_rows_after_matches_filtered_pair_form(spark):
+    """The r19 after-images-only derivation (update_pairs=False; no
+    inline Generate) must be ROW-identical to the pair form with
+    update-before rows filtered out."""
+    from mysql_cdc_spark.sources.events_cdc import rows_changes
+
+    sf = "/root/testdata/sf0.001"
+    direct = rows_changes(spark, sf, update_pairs=False)
+    filtered = rows_changes(spark, sf).filter(
+        F.col("_delta_type") != "update-before"
+    )
+    assert direct.columns == filtered.columns
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, filtered.collect())
+    )
