@@ -350,38 +350,49 @@ def cross_dup_fraction(docs: DataFrame) -> DataFrame:
     score used to rank documents for substring-level dedup (a doc
     scoring ~1.0 is boilerplate or a copy; ~0.0 is unique text).
 
-    Scale shape: explode distinct shingles (one row per (doc, shingle)),
-    a map-side-combined count per shingle (document frequency), one
-    equi-join back on the shingle, one count per doc — two shuffle keys
-    (shingle, then doc_id), both uniformly distributed, no pair
-    explosion anywhere (unlike near-dup joins this never materializes
-    doc×doc candidates, so no frequency cap is needed).
+    Scale shape (r19): ONE shingling pass — `explode_outer` keeps
+    zero-shingle docs — cached as the narrow (doc_id, shingle) stream,
+    then ONE map-side-combined aggregation per shingle computing
+    (document frequency, owner-if-unique).  A doc's duplicated-shingle
+    count is derived by complement — n_dup = n_sh − #(its shingles
+    with df == 1) — and a df==1 shingle's single owner IS its
+    min(doc_id), so the per-doc unique counts come from the tiny
+    df==1 slice (no document payload).  The old form ran the
+    tokenize+shingle projection TWICE (sizes branch + cached inv) and
+    joined the full inverted index back on the shingle key — a second
+    data-sized shuffle plus a join; both are gone.  Equivalence is
+    integer-exact and pinned by the llm_cross_dup oracle.
     """
     from mysql_cdc_spark.operators.dedup import with_shingles
 
-    shingled = with_shingles(_spread(docs)).select(
-        "doc_id", F.col("shingles"), F.size("shingles").alias("n_sh")
+    # cache(): the exploded stream feeds both the per-doc size count
+    # and the document-frequency aggregation — one shingling pass.
+    ex = (
+        with_shingles(_spread(docs))
+        .select("doc_id", F.explode_outer("shingles").alias("shingle"))
+        .cache()
     )
-    sizes = shingled.select("doc_id", "n_sh")
-    # cache(): the inverted set feeds both the document-frequency count
-    # and the join back — without it the shingle explode runs twice.
-    inv = shingled.select("doc_id", F.explode("shingles").alias("shingle")).cache()
-    # df counts docs per shingle (shingle sets are distinct within a
-    # doc, so COUNT(*) == document frequency).
-    df = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    dup_counts = (
-        inv.join(df.filter(F.col("df") > 1), "shingle")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_dup"))
+    # count(shingle) skips the explode_outer NULL of a zero-shingle doc.
+    sizes = ex.groupBy("doc_id").agg(F.count("shingle").alias("n_sh"))
+    # Shingle sets are distinct within a doc, so COUNT(*) == document
+    # frequency; min(doc_id) is the unique owner exactly when df == 1.
+    per_sh = ex.filter(F.col("shingle").isNotNull()).groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("only_doc")
     )
+    uniq_counts = (
+        per_sh.filter(F.col("df") == 1)
+        .groupBy("only_doc")
+        .agg(F.count(F.lit(1)).alias("n_uniq"))
+        .withColumnRenamed("only_doc", "doc_id")
+    )
+    n_dup = F.col("n_sh") - F.coalesce(F.col("n_uniq"), F.lit(0))
     return (
-        sizes.join(dup_counts, "doc_id", "left")
+        sizes.join(uniq_counts, "doc_id", "left")
         .select(
             "doc_id",
             F.col("n_sh").cast("bigint").alias("n_shingles"),
-            F.coalesce(F.col("n_dup"), F.lit(0)).cast("bigint").alias("n_shared"),
-            F.when(F.col("n_sh") > 0,
-                   F.coalesce(F.col("n_dup"), F.lit(0)).cast("double") / F.col("n_sh").cast("double"))
+            n_dup.cast("bigint").alias("n_shared"),
+            F.when(F.col("n_sh") > 0, n_dup.cast("double") / F.col("n_sh").cast("double"))
             .otherwise(F.lit(0.0))
             .alias("shared_frac"),
         )
@@ -452,29 +463,50 @@ def source_overlap(docs: DataFrame) -> DataFrame:
     redundancy report that tells a curation pipeline which source pairs
     to cross-deduplicate first.
 
-    Scale shape: the unit of joining is the DISTINCT (source, shingle)
-    pair — bounded by |sources| × |vocab³|, not by document count — and
-    the shingle-keyed self-join fans out to at most
-    |sources|·(|sources|−1)/2 rows per shingle (sources are ~tens, so
-    no frequency cap is needed, unlike document-keyed near-dup joins).
-    Two shuffles total: the distinct, then the join+pair groupBy.
+    Scale shape (r19): the unit of aggregation is the DISTINCT
+    (source, shingle) pair — bounded by |sources| × |vocab³|, not by
+    document count.  One shingle-keyed aggregation collects each
+    shingle's source SET (bounded by |sources| ≈ tens, so collect_set
+    is a bounded buffer, never a doc-keyed blowup), per-source sizes
+    fall out of the same pass via explode, and the pair counts come
+    from expanding each set's a<b combinations IN the array (a pure
+    codegen'd higher-order expression) followed by a map-side-combined
+    count on the tiny pair key space.  The old form self-joined the
+    inverted index on shingle — shuffling the data-sized inv TWICE
+    (once per join side) plus a third time for sizes, behind a
+    cache(); now inv is shuffled ONCE and never cached (plan: 7
+    Exchange → 5, no data-sized join).  Equivalence is set-exact and
+    pinned by the llm_source_overlap oracle.
     """
     from mysql_cdc_spark.operators.dedup import with_shingles
 
-    # cache(): consumed three times (sizes + both sides of the
-    # self-join) — without it the explode+distinct runs three times.
     inv = (
         with_shingles(_spread(docs))
         .select("source", F.explode("shingles").alias("shingle"))
-        .distinct()
-        .cache()
     )
-    sizes = inv.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = inv.select(F.col("source").alias("source_a"), "shingle")
-    b = inv.select(F.col("source").alias("source_b"), "shingle")
+    # One pass: each shingle's distinct source set (collect_set is the
+    # distinct — bounded by the source count).  cache(): consumed by
+    # both the per-source sizes and the pair expansion — the shingling
+    # pass and the shingle-keyed shuffle run once.
+    sh_sources = inv.groupBy("shingle").agg(
+        F.expr("sort_array(collect_set(source)) AS srcs")
+    ).cache()
+    sizes = (
+        sh_sources.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+    )
+    # a<b pair expansion inside the sorted array: pairs (srcs[i],
+    # srcs[j]) for i<j — the same rows the shingle self-join produced.
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("source_a") < F.col("source_b"))
+        sh_sources.select(
+            F.expr(
+                "explode(flatten(transform(srcs, (x, i) -> "
+                "transform(slice(srcs, i + 2, size(srcs)), y -> "
+                "struct(x AS source_a, y AS source_b))))) AS p"
+            )
+        )
+        .select("p.source_a", "p.source_b")
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
