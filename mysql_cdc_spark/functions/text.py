@@ -270,6 +270,41 @@ def classifier_weight_sql(token_expr: str) -> str:
     return f"({hex_int_sql(wh, 1, 4)} % {CLASSIFIER_WEIGHT_MOD} - 1000)"
 
 
+def classifier_weights() -> list[int]:
+    """The model's full weight table, bucket id → weight — the same
+    md5 derivation as `classifier_weight_sql`, evaluated once in
+    Python (CLASSIFIER_DIM entries; value parity with the SQL form is
+    pinned by tests/test_text_functions.py)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"w:{b}".encode()).hexdigest()[:4], 16)
+        % CLASSIFIER_WEIGHT_MOD
+        - 1000
+        for b in range(CLASSIFIER_DIM)
+    ]
+
+
+def classifier_weight_spark(token_expr: str) -> str:
+    """Spark-side weight lookup, value-identical to
+    `classifier_weight_sql` (r19 optimization, same pattern as the
+    sketch family's conv() forms): the engine-neutral instr-chain form
+    inlines `md5(token)` once per hex digit — ~20 md5 evaluations per
+    token once the weight md5 re-inlines the bucket — and Catalyst's
+    subexpression elimination does not reach inside array-lambda
+    bodies.  Here the token md5 is parsed with ONE conv() and the
+    1024-entry weight table (a pure function of the bucket id) is a
+    folded array literal, so the per-token cost is one md5 + one
+    element_at.  The instr form stays the definition for DuckDB
+    oracle SQL."""
+    w = ", ".join(str(v) for v in classifier_weights())
+    bucket = (
+        f"cast(conv(substring(md5({token_expr}), 1, 4), 16, 10) as bigint)"
+        f" % {CLASSIFIER_DIM}"
+    )
+    return f"element_at(array({w}), cast({bucket} as int) + 1)"
+
+
 def quality_classifier(docs: DataFrame) -> DataFrame:
     """fastText-style hashed linear classifier over the token stream:
     logit = Σ_tokens weight[md5-bucket(token)], keep = logit ≥ 0.
@@ -284,16 +319,19 @@ def quality_classifier(docs: DataFrame) -> DataFrame:
     keep decision an integer comparison — bit-identical on any
     engine, no sigmoid needed for a threshold test.
     """
-    w = classifier_weight_sql("t")
+    # Spark-side conv + folded-weight-table form (value-identical to
+    # classifier_weight_sql — see classifier_weight_spark docstring).
+    w = classifier_weight_spark("t")
     # single flat fold: the earlier transform-then-aggregate pair ran
-    # TWO interpreted lambda passes over every token array
+    # TWO interpreted lambda passes over every token array — and the
+    # fold result is named once so `keep` reuses it instead of folding
+    # the whole array a second time (r19).
     logit = f"aggregate(tokens, 0L, (acc, t) -> acc + cast({w} as bigint))"
     return with_tokens(docs).select(
         "doc_id",
         F.size("tokens").cast("bigint").alias("n_tokens"),
         F.expr(logit).alias("logit"),
-        (F.expr(logit) >= 0).alias("keep"),
-    )
+    ).withColumn("keep", F.col("logit") >= 0)
 
 
 def bigram_lm(docs: DataFrame, min_count: int = 5) -> DataFrame:

@@ -200,3 +200,30 @@ class TestLmPerplexity:
         assert got[1]["n_bigrams"] == 1
         assert abs(got[1]["sum_logp"] - round(math.log(1 / 4), 6)) < 1e-9
         assert abs(got[1]["ppl"] - 4.0) < 1e-3
+
+
+def test_classifier_weight_spark_matches_sql_form(spark):
+    """The r19 conv + folded-weight-table form must be value-identical
+    to the engine-neutral instr-chain definition for arbitrary tokens
+    (incl. leading-zero and all-f md5 edges via a broad sample)."""
+    toks = [f"tok{i}" for i in range(500)] + ["", "a", "ZZZZ", "w:7", "0"]
+    df = spark.createDataFrame([(t,) for t in toks], "t string")
+    both = df.selectExpr(
+        f"CAST({T.classifier_weight_sql('t')} AS BIGINT) AS w_sql",
+        f"CAST({T.classifier_weight_spark('t')} AS BIGINT) AS w_spark",
+    ).collect()
+    assert all(r["w_sql"] == r["w_spark"] for r in both)
+
+
+def test_classifier_weights_table_matches_sql_derivation(spark):
+    """The Python-evaluated weight table equals the SQL md5 derivation
+    for every bucket id."""
+    w = T.classifier_weights()
+    assert len(w) == T.CLASSIFIER_DIM
+    wh = "md5(concat('w:', cast(id as string)))"
+    df = spark.range(T.CLASSIFIER_DIM).selectExpr(
+        "id",
+        f"CAST({T.hex_int_sql(wh, 1, 4)} "
+        f"% {T.CLASSIFIER_WEIGHT_MOD} - 1000 AS BIGINT) AS w_sql",
+    ).collect()
+    assert all(w[r["id"]] == r["w_sql"] for r in df)
