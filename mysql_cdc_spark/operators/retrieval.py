@@ -112,7 +112,12 @@ def bm25_search(
     spark = docs.sparkSession
     qterms = spark.createDataFrame(queries or BM25_QUERIES, ["qid", "term"])
     toks = with_tokens(docs)
-    lens = toks.select("doc_id", F.size("tokens").alias("dl"))
+    # cache() both narrow intermediates (r19): lens feeds the corpus
+    # stats AND the contrib join, hits feeds the df count AND contrib
+    # — uncached, the initial plan scanned + tokenized the corpus FOUR
+    # times (8 parquet scans).  Both are bounded: lens is one (id, int)
+    # row per doc, hits only the query-term matches.
+    lens = toks.select("doc_id", F.size("tokens").alias("dl")).cache()
     stats = lens.agg(
         F.count("*").alias("n"), F.avg("dl").alias("avgdl")
     )  # one tiny row, broadcast below
@@ -124,6 +129,7 @@ def bm25_search(
         .join(F.broadcast(qterms.select("term").distinct()), "term")
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        .cache()
     )
     df_ = hits.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
 

@@ -401,17 +401,29 @@ def cms_heavy_hitters(docs: DataFrame, k: int = TOPK_TOKENS) -> DataFrame:
     of that row's counter — always >= the true count (one-sided error,
     the CMS guarantee), equal when no collision hit all d rows.
 
-    Scale shape: the sketch is d*w = 2048 integer counters however
-    large the corpus (one map-side-combined shuffle on (row, bucket));
-    the exact top-k here exists only to EVALUATE the sketch against
-    ground truth and is itself a TakeOrdered, not a global sort.
-    All-integer math — bit-identical across engines.
+    Scale shape (r19): tokenize ONCE into a cached per-token count
+    frame (one map-side-combined shuffle of the token stream — the
+    only data-sized move), then both the sketch and the exact top-k
+    derive from the |vocab|-sized counts: each CMS counter is the SUM
+    of the counts of the tokens hashing into it (value-identical to
+    counting raw instances), so the d-way bucket explode and its md5s
+    run over the vocabulary, not over every token occurrence.  The
+    old form tokenized the corpus twice and exploded the FULL token
+    stream ×d through the bucket shuffle.  The sketch stays d*w =
+    2048 integer counters however large the corpus; the exact top-k
+    exists only to EVALUATE the sketch and is a TakeOrdered, not a
+    global sort.  All-integer math — bit-identical across engines.
     """
     toks = docs.select(
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
     ).where(F.col("token") != "")
-    pairs = toks.select(
-        "token",
+    counts = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+        .cache()
+    )
+    pairs = counts.select(
+        "exact_n",
         F.explode(
             F.array(
                 *[
@@ -423,16 +435,11 @@ def cms_heavy_hitters(docs: DataFrame, k: int = TOPK_TOKENS) -> DataFrame:
                 ]
             )
         ).alias("jb"),
-    ).select("token", "jb.j", "jb.bucket")
+    ).select("exact_n", "jb.j", "jb.bucket")
     sketch = pairs.groupBy("j", "bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("counter")
+        F.sum("exact_n").cast("bigint").alias("counter")
     )
-    exact = (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
-        .orderBy(F.col("exact_n").desc(), F.col("token").asc())
-        .limit(k)
-    )
+    exact = counts.orderBy(F.col("exact_n").desc(), F.col("token").asc()).limit(k)
     probes = exact.select(
         "token",
         "exact_n",
