@@ -2177,23 +2177,39 @@ def cdc_state_typed_tables(spark, sf_dir):
     big = StateTable(
         str(root / "big"), name + "_big", n_buckets=8, keys=("id",)
     )
-    env = spark.read.format("mysql_binlog").load(log_dir)
-    auto.merge_batch(
-        envelope_to_typed_rows(
-            env,
-            {"id": "bigint"},
-            {"val": "decimal(12,4)", "word": "string"},
-            table=("foo", "auto"),
-        ),
-        0,
+    # persist(): both merge_batch actions evaluate a typed bridge over
+    # this scan — uncached, the byte envelope is DataSource-decoded
+    # once per table (r19; N tables would decode N times).  Narrowed
+    # to the columns the bridge reads so the cache holds no payloads
+    # it doesn't need.
+    env = (
+        spark.read.format("mysql_binlog")
+        .load(log_dir)
+        .select(
+            "offset", "log_file", "row_idx", "db", "tbl", "op",
+            "before", "after",
+        )
+        .persist()
     )
-    big.merge_batch(
-        envelope_to_typed_rows(
-            env, {"id": "bigint"}, {"val": "double"},
-            table=("bench", "big"),
-        ),
-        0,
-    )
+    try:
+        auto.merge_batch(
+            envelope_to_typed_rows(
+                env,
+                {"id": "bigint"},
+                {"val": "decimal(12,4)", "word": "string"},
+                table=("foo", "auto"),
+            ),
+            0,
+        )
+        big.merge_batch(
+            envelope_to_typed_rows(
+                env, {"id": "bigint"}, {"val": "double"},
+                table=("bench", "big"),
+            ),
+            0,
+        )
+    finally:
+        env.unpersist()
     # presentation: the DECIMAL column hashes as its exact string
     # rendering (both engines print scale-4 decimals identically;
     # DuckDB's pandas bridge would otherwise degrade DECIMAL to
