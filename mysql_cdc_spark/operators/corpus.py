@@ -215,11 +215,19 @@ def duplicate_components(
 def _duplicate_components_loop(
     docs: DataFrame, p: DataFrame, max_iter: int
 ) -> DataFrame:
-    edges = (
-        p.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(p.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .localCheckpoint(eager=True)
-    )
+    # Checkpoint the PAIR set once, then derive the symmetric edge
+    # list from the cached rows (r19 opt: the old form checkpointed
+    # the doubled union, whose plan held the whole candidate+verify
+    # pipeline TWICE — exchange reuse recovered only part of it;
+    # measured 2.97 s vs 2.2 s for a single pipeline run at sf0.1).
+    # The union itself stays lazy: each round's join re-shuffles the
+    # edge side regardless (checkpoint partitioning is opaque to
+    # Catalyst), so re-projecting the cached pair blocks per round is
+    # the same work minus one up-front materialization of 2|E| rows.
+    p_ck = p.localCheckpoint(eager=True)
+    edges = p_ck.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(p_ck.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     labels = docs.select("doc_id", F.col("doc_id").alias("component")).localCheckpoint(
         eager=True
     )
@@ -229,12 +237,19 @@ def _duplicate_components_loop(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
+        # `_prev` (r19 opt): carry the incoming label through the
+        # round so convergence is a NARROW filter+count over the
+        # checkpointed rows — the old form paid a full two-sided
+        # shuffle join (new ⋈ old on doc_id) per round just to count
+        # changes.  Label content is untouched; `_prev` is dropped
+        # before the next round's joins.
         stepped = labels.join(nbr_min, labels.doc_id == nbr_min.src, "left").select(
             "doc_id",
             F.least(
                 F.col("component"),
                 F.coalesce(F.col("nbr_component"), F.col("component")),
             ).alias("component"),
+            F.col("component").alias("_prev"),
         )
         # pointer jumping: component := component's own component.
         # label(label) ≤ label always (labels are min-monotone), so
@@ -243,24 +258,24 @@ def _duplicate_components_loop(
         parent = stepped.select(
             F.col("doc_id").alias("p_id"), F.col("component").alias("p_comp")
         )
+        # Lazy checkpoint (r19 opt): the `changed` count below is the
+        # first action over the round's plan, so it both materializes
+        # the checkpoint blocks and counts in ONE job — the old
+        # eager-checkpoint + join-count pair was two jobs per round.
         new_labels = (
             stepped.join(parent, stepped.component == parent.p_id, "left")
             .select(
                 "doc_id",
                 F.coalesce(F.col("p_comp"), F.col("component")).alias("component"),
+                "_prev",
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # without this, the inherited size estimate SQUARES per round
         # (self-join) and planning cost doubles — see _reset_inherited_stats
         new_labels = _reset_inherited_stats(new_labels)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("component") != F.col("_prev")).count()
+        labels = new_labels.drop("_prev")
         if changed == 0:
             break
     else:

@@ -78,6 +78,16 @@ def test_components_chain_needs_multiple_rounds(spark):
     assert got[9] == (9, 1, True)
 
 
+def test_components_output_schema_has_no_internal_columns(spark):
+    """The r19 convergence-count optimization carries a `_prev` label
+    through the per-round checkpoint; it must never leak into the
+    operator's output schema."""
+    docs = _docs_df(spark, 4)
+    pairs = _pairs_df(spark, [(0, 1)])
+    out = corpus.duplicate_components(docs, pairs)
+    assert out.columns == ["doc_id", "component", "component_size", "is_canonical"]
+
+
 def test_components_two_clusters_and_convergence_guard(spark):
     docs = _docs_df(spark, 6)
     pairs = _pairs_df(spark, [(0, 1), (1, 2), (4, 5)])
