@@ -773,6 +773,13 @@ def incremental_components(
         )
         .filter(F.col("doc_a") != F.col("doc_b"))
         .distinct()
+        # Materialize ONCE (r19 opt): cond_pairs' lineage holds the
+        # delta LSH + incremental cross-probe + label-mapping joins;
+        # without this checkpoint that pipeline executed TWICE — once
+        # under the CC loop's own pair checkpoint and again under
+        # cond_nodes' distinct (measured: the condensed CC phase was
+        # 5.97 s of the 7.07 s fold at sf0.1, dominated by the re-run).
+        .localCheckpoint(eager=True)
     )
     cond_nodes = (
         cond_pairs.select(F.col("doc_a").alias("doc_id"))
