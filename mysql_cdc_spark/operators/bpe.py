@@ -244,22 +244,32 @@ def encode_token_counts(docs: DataFrame, merges: list[tuple[str, str, int]]) -> 
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
     ).where(F.col("w").rlike(_WORD_RE))
+    # r19 opt (guide: decide with small rows): the regex chain is a
+    # pure function of the WORD, so evaluate it once per DISTINCT word
+    # (vocab-sized — ~10^7 at web scale) instead of once per word
+    # INSTANCE (corpus-sized), and weight by the per-(doc, word)
+    # count.  sum(c * per_word_syms) is exact integer arithmetic, so
+    # the per-doc totals are identical to the per-instance form.
+    # The vocab side is a bounded aggregate; the planner broadcasts it
+    # when small and shuffle-joins when not — no forced hint.
+    dw = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
     ws = _spaced(F.col("w"))
     n_chars = F.size(F.split(ws, " "))
     merged = ws
     for left, right, _ in merges:
         merged = F.regexp_replace(merged, f"\\b{left} {right}\\b", left + right)
+    wcost = dw.select("w").distinct().select(
+        "w",
+        n_chars.cast("bigint").alias("_ncs"),
+        F.size(F.split(merged, " ")).cast("bigint").alias("_nbs"),
+    )
     return (
-        toks.select(
-            "doc_id",
-            n_chars.cast("bigint").alias("n_char_syms"),
-            F.size(F.split(merged, " ")).cast("bigint").alias("n_bpe_syms"),
-        )
+        dw.join(wcost, "w")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_words"),
-            F.sum("n_char_syms").cast("bigint").alias("n_char_syms"),
-            F.sum("n_bpe_syms").cast("bigint").alias("n_bpe_syms"),
+            F.sum("c").cast("bigint").alias("n_words"),
+            F.sum(F.col("c") * F.col("_ncs")).cast("bigint").alias("n_char_syms"),
+            F.sum(F.col("c") * F.col("_nbs")).cast("bigint").alias("n_bpe_syms"),
         )
     )
 
