@@ -73,7 +73,7 @@ def main() -> None:
     # any query that drifted — empty means every query is inside the
     # 1.5x(+0.3s) band of queries/floors.py.
     from mysql_cdc_spark.queries.floors import (
-        HEADLINE_FLOORS, allowed_wall,
+        FLOORS_CPUS, HEADLINE_FLOORS, allowed_wall,
     )
 
     # The floors were recorded at sf0.1 (queries/floors.py) — at any
@@ -81,7 +81,12 @@ def main() -> None:
     # data trips every floor; 1/10th can never trip one).  Skipped
     # runs report None, NOT {}, so the artifact itself distinguishes
     # "comparison never ran" from "every floor passed".
-    if os.path.basename(sf_dir.rstrip("/")) == "sf0.1":
+    # Same guard for the core count: the driver also benches at a
+    # lower $SPARK_GRAFT_CPUS to measure scaling, where longer walls
+    # are the expected answer — floors only discriminate at the count
+    # they were recorded at (queries/floors.py FLOORS_CPUS).
+    cpus_match = os.environ.get("SPARK_GRAFT_CPUS", "32") == str(FLOORS_CPUS)
+    if os.path.basename(sf_dir.rstrip("/")) == "sf0.1" and cpus_match:
         floors_exceeded = {
             name: {
                 "wall": timings[name],

@@ -51,6 +51,15 @@ HEADLINE_FLOORS: dict[str, float] = {
 REL_BAND = 1.5
 ABS_SLACK = 0.6
 
+# The floors are min walls at THIS core count; at any other
+# local[$SPARK_GRAFT_CPUS] the comparison is meaningless (the driver
+# also benches at a lower core count to measure scaling, where longer
+# walls are the expected answer, not a regression — measured at
+# cpus=8 on a quiet host: cdc_envelope 0.98 s vs its 32-core 0.87 s
+# band).  bench.py reports floors_exceeded=None when the core count
+# differs, exactly like its sf-dir guard.
+FLOORS_CPUS = 32
+
 
 def allowed_wall(name: str) -> float:
     floor = HEADLINE_FLOORS[name]

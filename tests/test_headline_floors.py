@@ -12,9 +12,21 @@ import time
 
 import pytest
 
-from mysql_cdc_spark.queries.floors import HEADLINE_FLOORS, allowed_wall
+from mysql_cdc_spark.queries.floors import (
+    FLOORS_CPUS,
+    HEADLINE_FLOORS,
+    allowed_wall,
+)
 
 SF01 = "/root/testdata/sf0.1"
+
+# Floors were recorded at local[FLOORS_CPUS]; at any other core count
+# longer walls are expected, not a regression (bench.py applies the
+# same guard).
+pytestmark = pytest.mark.skipif(
+    __import__("os").environ.get("SPARK_GRAFT_CPUS", "32") != str(FLOORS_CPUS),
+    reason=f"headline floors recorded at local[{FLOORS_CPUS}]",
+)
 
 
 @pytest.fixture(scope="module")
