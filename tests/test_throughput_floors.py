@@ -56,12 +56,26 @@ def test_codec_decode_throughput_floor():
         )
         n_rows += 150
     fixture = w.getvalue()
+    # Measurement isolation: inside the full pytest process the live heap
+    # (every collected test module + pyspark) is large, and the cyclic GC
+    # walks ALL of it whenever the allocation-heavy decode loop trips a
+    # collection — measured 1.41M -> 0.68-0.88M rows/s on the width-walk
+    # leg from GC alone, i.e. the floor was timing the ambient heap, not
+    # the codec.  Collect once, then keep the collector out of the timed
+    # regions (decode output is acyclic, so refcounting still frees it).
+    import gc
+
     decode_binlog(fixture, cat)  # warm (parse memos, bytecode)
+    gc.collect()
     best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        decode_binlog(fixture, cat)
-        best = min(best, time.perf_counter() - t0)
+    gc.disable()
+    try:
+        for _ in range(3):
+            t0 = time.perf_counter()
+            decode_binlog(fixture, cat)
+            best = min(best, time.perf_counter() - t0)
+    finally:
+        gc.enable()
     rows_per_sec = n_rows / best
     # r16 codec campaign: compiled per-shape field decoders +
     # integer-domain decimal decode measured 288k rows/s on this
@@ -77,15 +91,28 @@ def test_codec_decode_throughput_floor():
     # the 6.1x IS reachable by consumers through the DataSource's
     # columns= pruning.  Floor the fast path at ~60% of measured so a
     # regression to per-value decode on the pruned path fails loudly.
+    # r19 recalibration: the 900k floor (60% of the r17 host's measured
+    # 1.54M) flaked on the r19 sandbox, whose per-rep spread is wide
+    # (same-session 10-rep interleaved: width-walk 584k-1,119k, best
+    # 1.12M; per-value full decode 428k-609k, best 609k).  Keep the
+    # discrimination the floor exists for — "pruned path regressed to
+    # per-value decode" caps at ~610k best-of-N here — but place the
+    # floor between the two populations (750k) and take best-of-7 so a
+    # single downclocked rep cannot fail a healthy fast path.
     decode_binlog(fixture, cat, images="none")  # warm skip plans
+    gc.collect()
     best_none = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        decode_binlog(fixture, cat, images="none")
-        best_none = min(best_none, time.perf_counter() - t0)
+    gc.disable()
+    try:
+        for _ in range(7):
+            t0 = time.perf_counter()
+            decode_binlog(fixture, cat, images="none")
+            best_none = min(best_none, time.perf_counter() - t0)
+    finally:
+        gc.enable()
     none_per_sec = n_rows / best_none
-    assert none_per_sec >= 900_000, (
-        f"width-walk decode {none_per_sec:,.0f} rows/s < 900k floor"
+    assert none_per_sec >= 750_000, (
+        f"width-walk decode {none_per_sec:,.0f} rows/s < 750k floor"
     )
 
 
