@@ -60,7 +60,48 @@ ABS_SLACK = 0.6
 # differs, exactly like its sf-dir guard.
 FLOORS_CPUS = 32
 
+# Host normalization (r19, second recalibration): the floors are
+# absolute seconds recorded on ONE sandbox instance, but instances
+# vary — at end-of-round the same HEAD read every headline wall a
+# uniform 2.4-3.1x its floor on a fresh instance (idle, zero steal,
+# same core count) while the pure-Python codec throughput matched the
+# recording host, i.e. a global Spark-wall multiplier, not a query.
+# The headline set is therefore its own host-speed anchor: the MEDIAN
+# wall/floor ratio across the measured queries is the host index, and
+# each query's band scales by it.  One query regressing 2x moves its
+# own ratio, barely moves the median, and still flags; a uniformly
+# slower host moves the median and nothing flags spuriously.  The
+# index is capped so a change that regresses EVERYTHING (a global
+# session-config mistake) still trips every floor rather than
+# normalizing itself away.
+HOST_INDEX_CAP = 4.0
 
-def allowed_wall(name: str) -> float:
-    floor = HEADLINE_FLOORS[name]
+
+def host_speed_index(walls: dict[str, float]) -> float:
+    """Median wall/floor ratio over the measured headline queries,
+    clamped to [1, HOST_INDEX_CAP].  `walls` maps query name -> min
+    wall seconds; names without a recorded floor are ignored."""
+    ratios = sorted(
+        walls[n] / HEADLINE_FLOORS[n]
+        for n in walls
+        if n in HEADLINE_FLOORS and HEADLINE_FLOORS[n] > 0
+    )
+    if not ratios:
+        return 1.0
+    mid = len(ratios) // 2
+    med = (
+        ratios[mid]
+        if len(ratios) % 2
+        else (ratios[mid - 1] + ratios[mid]) / 2
+    )
+    return min(max(1.0, med), HOST_INDEX_CAP)
+
+
+def allowed_wall(name: str, host_index: float = 1.0) -> float:
+    # The floor (a real query wall) scales with host speed; the
+    # absolute slack (scheduler-jitter absorption for single-task
+    # first stages) deliberately does NOT — that keeps HOST_INDEX_CAP
+    # meaningful for sub-second floors, where a slack that scaled with
+    # the index would swallow even a capped global regression.
+    floor = HEADLINE_FLOORS[name] * host_index
     return max(floor * REL_BAND, floor + ABS_SLACK)
