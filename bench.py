@@ -214,25 +214,30 @@ def main() -> None:
     if not any(bl_dir.glob("binlog.*")):
         bs.generate_binlog_from_events(sf_dir, str(bl_dir))
 
-    def _env_wall(only_tables=None, post_filter=False) -> float:
-        best = float("inf")
-        for i in range(3):  # 1 warm + best-of-2
-            env = bs.read_binlog_envelope(
-                spark, str(bl_dir), only_tables=only_tables
+    def _env_run(only_tables=None, post_filter=False) -> float:
+        env = bs.read_binlog_envelope(
+            spark, str(bl_dir), only_tables=only_tables
+        )
+        if post_filter:
+            env = env.filter(
+                "op NOT IN ('write_rows','update_rows','delete_rows') "
+                "OR (db = 'foo' AND tbl = 'auto')"
             )
-            if post_filter:
-                env = env.filter(
-                    "op NOT IN ('write_rows','update_rows','delete_rows') "
-                    "OR (db = 'foo' AND tbl = 'auto')"
-                )
-            t0 = time.perf_counter()
-            env.write.format("noop").mode("overwrite").save()
-            if i:
-                best = min(best, time.perf_counter() - t0)
-        return round(best, 4)
+        t0 = time.perf_counter()
+        env.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
 
-    pd_filter = _env_wall(post_filter=True)
-    pd_push = _env_wall(only_tables={("foo", "auto")})
+    # 1 warm + best-of-2 per side, reps INTERLEAVED (A,B,A,B,...) so a
+    # co-tenant burst hits both sides of the ratio instead of skewing
+    # one — a sequential best-of-2 recorded speedup=0.49 under a burst
+    # that landed entirely on the pushdown side (true ratio ~1.2).
+    pd_filter = pd_push = float("inf")
+    for i in range(3):
+        f = _env_run(post_filter=True)
+        p = _env_run(only_tables={("foo", "auto")})
+        if i:
+            pd_filter = round(min(pd_filter, f), 4)
+            pd_push = round(min(pd_push, p), 4)
     pushdown_decode = {
         "then_filter_sec": pd_filter,
         "pushdown_sec": pd_push,
