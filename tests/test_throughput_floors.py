@@ -133,7 +133,12 @@ def test_envelope_construction_cost_floor(spark, _warm_envelope):
     from mysql_cdc_spark.queries import QUERIES
 
     best = float("inf")
-    for _ in range(3):
+    # best-of-7 (was 3): construction is ~0.2 s here, so extra reps are
+    # cheap, and a single ambient burst spanning three reps once failed
+    # a healthy plan (0.557 s under load-3 co-tenancy, 0.13-0.21 quiet)
+    # — the bound itself stays, the r12-r13 regression form cannot
+    # clear it on any rep.
+    for _ in range(7):
         t0 = time.perf_counter()
         QUERIES["cdc_envelope"](spark, SF_SMOKE)
         best = min(best, time.perf_counter() - t0)
