@@ -55,16 +55,43 @@ def main() -> None:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             passes[name].append(time.perf_counter() - t0)
+    # Load-gated retry (r19 VERDICT "what's wrong" #1 / next-round #2):
+    # the r19 driver run recorded 10 spurious "regressions" because a
+    # co-tenant burst (load_1m 5 -> 20 mid-run) landed on single
+    # queries' reps.  A query whose two reps spread more than 2x was
+    # hit by a burst on at least one rep — ONE more timed pass gives
+    # the min a burst-free sample without changing the reported
+    # statistic (still the min wall).  Bounded at one retry per query
+    # so a genuinely loaded host can't loop the bench.
+    retried: list[str] = []
+    for name in HEADLINE:
+        v = passes[name]
+        if min(v) > 0 and (max(v) - min(v)) / min(v) > 2.0:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            passes[name].append(time.perf_counter() - t0)
+            retried.append(name)
     timings = {name: round(min(v), 4) for name, v in passes.items()}
-    rel_spread = sorted(
-        (max(v) - min(v)) / min(v) for v in passes.values() if min(v) > 0
-    )
+    per_query_spread = {
+        name: round((max(v) - min(v)) / min(v), 3)
+        for name, v in passes.items()
+        if min(v) > 0
+    }
+    rel_spread = sorted(per_query_spread.values())
     variance = {
-        "method": "1 warm pass + min-of-2 timed passes per query",
+        "method": (
+            "1 warm pass + min-of-2 timed passes per query"
+            " (+1 retry when rep spread > 2x)"
+        ),
         "per_query_rel_spread_median": round(
             rel_spread[len(rel_spread) // 2], 3
         ) if rel_spread else None,
         "per_query_rel_spread_max": round(rel_spread[-1], 3) if rel_spread else None,
+        # additions (r20): the full per-query spread map and which
+        # queries earned a retry pass — so a reader can attribute a
+        # high wall to a recorded burst without a re-run.
+        "per_query_rel_spread": per_query_spread,
+        "retried": retried,
         "load_1m_start": load_start,
     }
 
@@ -162,6 +189,15 @@ def main() -> None:
     n_envelope = (
         spark.read.parquet(f"{sf_dir}/events.parquet").count() * 4
     )
+    # Scan parallelism (r19 VERDICT "what's wrong" #4): the fixtures
+    # are single-row-group parquet files, so every first stage is one
+    # task and walls are scheduling-dominated at driver SF.  Reporting
+    # the split count makes that legible inside the artifact instead
+    # of leaving "why doesn't 32 cores help" to archaeology.
+    scan_partitions = {
+        t: spark.read.parquet(f"{sf_dir}/{t}.parquet").rdd.getNumPartitions()
+        for t in ("events", "documents", "embeddings")
+    }
     decode_rows_per_sec = (
         round(n_envelope / timings["cdc_envelope"]) if timings.get("cdc_envelope") else None
     )
@@ -298,6 +334,24 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
+    # Transaction ASSEMBLY over a real envelope source (r19 VERDICT
+    # "what's wrong" #2 / next-round #6): the headline cdc_txn_events
+    # binding was provably rewritten to a scan+project for the derived
+    # fixture stream, so the general xid-boundary assembler
+    # (operators/transactions.py — chunked prefix scan + per-txn
+    # groupBy, the machinery that matters at 100 TB) lost its wall
+    # number.  This metric runs it over the mysql_binlog DataSource
+    # envelope end-to-end (decode -> with_txn -> per-transaction
+    # aggregate), 1 warm + best-of-2 through the noop sink.
+    # Additions-only: new key, no existing key changed.
+    from mysql_cdc_spark.operators.transactions import events_per_transaction
+
+    txn_assembly_sec = best_of(
+        lambda: events_per_transaction(
+            spark.read.format("mysql_binlog").load(str(bl_dir))
+        ).write.format("noop").mode("overwrite").save()
+    )
+
     # Round 1's self-calibrated baseline (6.27s, BENCH_r01) covered
     # exactly these five queries; the headline set has since grown
     # (dedup/KNN/text shapes), so report the like-for-like subtotal
@@ -326,6 +380,8 @@ def main() -> None:
                 "datasource_scan_sec": datasource_scan_sec,
                 "datasource_narrow_sec": ds_narrow_sec,
                 "datasource_ts_range_sec": ds_ts_range_sec,
+                "scan_partitions": scan_partitions,
+                "txn_assembly_sec": txn_assembly_sec,
                 "variance": {**variance, "load_1m_end": round(os.getloadavg()[0], 2)},
                 "floors_exceeded": floors_exceeded,
                 "floors_host_index": floors_host_index,

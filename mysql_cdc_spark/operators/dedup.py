@@ -235,16 +235,10 @@ def _chain_candidates(
     # near-empty sort each.  The bucket-size window is sort-free
     # (unordered frame over the same partitioning).
     part = ", ".join(keys)
-    if len(passes) > 1:
-        band_rows = band_rows.selectExpr(
-            "*", f"count(1) OVER (PARTITION BY {part}) AS _bsz"
-        )
-    per_pass = []
-    for p, cols in enumerate(passes):
-        src = band_rows if p == 0 else band_rows.filter(F.col("_bsz") > chain + 1)
-        order = ", ".join([*cols, "doc_id"])
-        per_pass.append(
-            src.selectExpr(
+    if len(passes) == 1:
+        order = ", ".join([*passes[0], "doc_id"])
+        return (
+            band_rows.selectExpr(
                 "doc_id AS _cur",
                 f"collect_list(doc_id) OVER (PARTITION BY {part} ORDER BY {order} "
                 f"ROWS BETWEEN 1 FOLLOWING AND {chain} FOLLOWING) AS _succ",
@@ -254,11 +248,42 @@ def _chain_candidates(
                 "least(_cur, _nxt) AS doc_a",
                 "greatest(_cur, _nxt) AS doc_b",
             )
+            .distinct()
         )
-    out = per_pass[0]
-    for extra in per_pass[1:]:
-        out = out.unionByName(extra)
-    return out.distinct()
+    # Multi-pass fused form (r20): all pass windows share the bucket
+    # partitioning, and the pass-p>0 bucket-size gate (_bsz > chain+1)
+    # is a PER-BUCKET constant — filtering a whole bucket before or
+    # after its window yields the same window content — so every pass
+    # runs over ONE exchange of the band rows instead of re-scanning,
+    # re-exploding and re-shuffling them per pass (the r19 plan paid
+    # scan+Generate+Exchange twice because pass 1 pruned _bsz and the
+    # subtrees no longer matched for exchange reuse).  Pair set is
+    # provably identical: pass 1 emits all successors; pass p>0
+    # successors are concat'd only when the bucket is larger than
+    # chain+1, exactly the old filter; the trailing distinct is
+    # unchanged.  Extra per-row cost: small buckets now also build the
+    # pass-2 list (<= bucket-size elements) before the CASE drops it —
+    # bounded by the same chain cap as pass 1.
+    succ_cols = [f"count(1) OVER (PARTITION BY {part}) AS _bsz"]
+    for p, cols in enumerate(passes):
+        order = ", ".join([*cols, "doc_id"])
+        succ_cols.append(
+            f"collect_list(doc_id) OVER (PARTITION BY {part} ORDER BY {order} "
+            f"ROWS BETWEEN 1 FOLLOWING AND {chain} FOLLOWING) AS _s{p}"
+        )
+    extra = ", ".join(
+        f"CASE WHEN _bsz > {chain + 1} THEN _s{p} ELSE array() END"
+        for p in range(1, len(passes))
+    )
+    return (
+        band_rows.selectExpr("doc_id AS _cur", *succ_cols)
+        .selectExpr("_cur", f"explode(concat(_s0, {extra})) AS _nxt")
+        .selectExpr(
+            "least(_cur, _nxt) AS doc_a",
+            "greatest(_cur, _nxt) AS doc_b",
+        )
+        .distinct()
+    )
 
 
 def minhash_lsh_pairs(

@@ -97,6 +97,19 @@ def _cosine(dot_col: str, na: str, nb: str) -> F.Column:
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
 
 
+def _localized(df: DataFrame) -> DataFrame:
+    """Materialize a SMALL frame driver-side and re-emit it as a
+    LocalRelation: its lineage executes exactly once, and every
+    downstream broadcast/join reads local rows instead of re-running
+    (or re-analyzing) the corpus-wide sub-plan.  The collect is bounded
+    — callers only pass frames that are already broadcast somewhere
+    downstream, so the driver was holding them anyway (guide §8:
+    decide with small rows).  Intra-query only; nothing persists
+    across runs."""
+    spark = df.sparkSession
+    return spark.createDataFrame(df.collect(), df.schema)
+
+
 def _qv_matrix(col) -> "object":
     """pyarrow list<int64> column of one RecordBatch → (n, d) int64
     ndarray.  Fast path: uniform-length lists reshape the flat values
@@ -479,6 +492,16 @@ def _quantized_centroids(emb: DataFrame) -> DataFrame:
         "cq",
         F.floor(F.col("qsum").cast("double") / F.col("n").cast("double")).cast("bigint"),
     )
+    # _localized (r20, guide §5/§3.3/§8): every ANN consumer BROADCASTS
+    # this frame 2-4 times (cell assign for corpus and queries, plus
+    # the residual-centroid joins); each distinct projection of it
+    # re-executed the corpus-wide explode+aggregate lineage (exchange
+    # reuse only merges identical subtrees).  The frame is
+    # label-cardinality rows, and every broadcast already collects it
+    # to the driver — collecting ONCE and re-emitting a LocalRelation
+    # has the same driver footprint as one broadcast build, runs the
+    # lineage exactly once, and truncates the (44-Exchange) plan that
+    # Catalyst was re-analyzing per consumer.  Intra-query only.
     return (
         cents.groupBy("label")
         .agg(F.expr("array_agg(struct(dim, cq))").alias("pairs"))
@@ -487,6 +510,7 @@ def _quantized_centroids(emb: DataFrame) -> DataFrame:
             F.expr("transform(array_sort(pairs, (a, b) -> a.dim - b.dim), p -> p.cq)").alias("cqv"),
         )
         .withColumn("ncq", F.expr("aggregate(cqv, 0L, (acc, v) -> acc + v * v)"))
+        .cache()
     )
 
 
@@ -860,6 +884,135 @@ def ann_ivfpq(
     )
 
 
+def _collected_centroids(emb: DataFrame):
+    """Driver-side copy of `_quantized_centroids`, sorted by label asc:
+    (labels int64[ncell], Cq int64[ncell, DIMS], Cn int64[ncell]).
+    Bounded by cell cardinality — the exact rows every consumer already
+    broadcasts, collected ONCE instead of once per broadcast."""
+    import numpy as np
+
+    rows = sorted(_quantized_centroids(emb).collect())
+    labels = np.array([r["label"] for r in rows], dtype=np.int64)
+    Cq = (
+        np.array([r["cqv"] for r in rows], dtype=np.int64)
+        if rows else np.zeros((0, DIMS), dtype=np.int64)
+    )
+    Cn = np.array([r["ncq"] for r in rows], dtype=np.int64)
+    return labels, Cq, Cn
+
+
+def _assign_cells_np(V, vn, Cq, Cn):
+    """Nearest cell per vector — the numpy twin of `_cell_assign`
+    (probes=1): exact int64 dots, then the SAME two IEEE float64 ops as
+    `_cosine` (cast-divide by sqrt of cast-product), argmax with ties
+    to the FIRST (= lowest label: centroids arrive label-sorted),
+    mirroring ORDER BY ccos DESC, label ASC."""
+    import numpy as np
+
+    dots = V @ Cq.T  # exact int64 — same integers as zip_with/aggregate
+    ccos = dots.astype(np.float64) / np.sqrt(
+        vn.astype(np.float64)[:, None] * Cn.astype(np.float64)[None, :]
+    )
+    return np.argmax(ccos, axis=1)
+
+
+def _residuals_np(V, cell_idx, Cq, r_int):
+    """Exact integer residuals qv − centroid[cell], optionally rotated
+    — the numpy twin of `zip_with(qv, cqv, x−y)` + `_rotate_sql`:
+    rot[k] = floor(double(Σ_j r_int[k][j]·rv[j]) / OPQ_SCALE), one
+    int64 matmul + one IEEE divide + floor per component."""
+    import numpy as np
+
+    rv = V - Cq[cell_idx]
+    if r_int is not None:
+        R = np.asarray(r_int, dtype=np.int64)
+        rv = np.floor((rv @ R.T).astype(np.float64) / float(OPQ_SCALE)).astype(
+            np.int64
+        )
+    return rv
+
+
+def _residual_codebook(q, labels, Cq, Cn, m, d_sub, ksub, r_int):
+    """The shared residual codebook, computed DRIVER-side from the ksub
+    lowest vec_ids (a bounded collect, same class as the knn query-set
+    collect): (code_ids int64[ncodes], cb list of m (ncodes, d_sub)
+    int64 arrays).  Value-identical to the old rsub.filter(vec_id <
+    ksub) sub-plan — same assignment, residual and rotation arithmetic
+    via the numpy twins above."""
+    import numpy as np
+
+    qrows = sorted(
+        q.filter(F.col("vec_id") < ksub).select("vec_id", "qv", "nq").collect()
+    )
+    code_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    if len(qrows) == 0 or len(labels) == 0:
+        return code_ids, [np.zeros((0, d_sub), dtype=np.int64)] * m
+    V = np.array([r["qv"] for r in qrows], dtype=np.int64)
+    vn = np.array([r["nq"] for r in qrows], dtype=np.int64)
+    cell_idx = _assign_cells_np(V, vn, Cq, Cn)
+    rv = _residuals_np(V, cell_idx, Cq, r_int)
+    cb = [rv[:, s * d_sub:(s + 1) * d_sub].copy() for s in range(m)]
+    return code_ids, cb
+
+
+def _residual_codes_arrow(q, labels, Cq, Cn, code_ids, cb, m, d_sub, r_int):
+    """Corpus-side IVFADC encode as ONE `mapInArrow` pass (r20, guide
+    §4.2/§8 — the knn pattern): per partition batch, nearest cell,
+    exact residual (optionally rotated) and per-subspace PQ code are
+    computed with int64 matmuls + the identical IEEE float64 cosine
+    ops, emitting m (neighbor_id, cell, sub, code) rows per vector.
+    Replaces the old sub-plan's corpus×cells crossjoin + per-vec_id
+    window + centroid join + codebook crossjoin + per-(vec_id, sub)
+    window — the corpus rows now never hit an exchange at all.  Ties:
+    argmax/argmin first-occurrence over label- and code-sorted arrays =
+    ORDER BY ... label ASC / code ASC."""
+    import numpy as np
+
+    spark = q.sparkSession
+    out_type = "neighbor_id long, cell long, sub int, code long"
+    if len(labels) == 0 or len(code_ids) == 0:
+        return spark.createDataFrame([], out_type)
+    subs = np.arange(m, dtype=np.int32)
+
+    def encode(batches):
+        import pyarrow as pa
+
+        out_schema = pa.schema(
+            [
+                ("neighbor_id", pa.int64()),
+                ("cell", pa.int64()),
+                ("sub", pa.int32()),
+                ("code", pa.int64()),
+            ]
+        )
+        for batch in batches:
+            vid = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            n = len(vid)
+            if n == 0:
+                continue
+            V = _qv_matrix(batch.column(1))
+            vn = batch.column(2).to_numpy(zero_copy_only=False).astype(np.int64)
+            cell_idx = _assign_cells_np(V, vn, Cq, Cn)
+            rv = _residuals_np(V, cell_idx, Cq, r_int)
+            code_cols = []
+            for s in range(m):
+                sv = rv[:, s * d_sub:(s + 1) * d_sub]
+                diff = sv[:, None, :] - cb[s][None, :, :]
+                dist = (diff * diff).sum(axis=2)  # exact int64
+                code_cols.append(code_ids[np.argmin(dist, axis=1)])
+            yield pa.record_batch(
+                [
+                    np.repeat(vid, m),
+                    np.repeat(labels[cell_idx], m),
+                    np.tile(subs, n),
+                    np.stack(code_cols, axis=1).reshape(-1),
+                ],
+                schema=out_schema,
+            )
+
+    return q.select("vec_id", "qv", "nq").mapInArrow(encode, out_type)
+
+
 # IVFADC+R shortlist multiplier: re-rank the top rerank·k ADC rows
 # exactly.  64 (shortlist 320 at k=5) is sized by measurement: at x100
 # occupancy one query's true neighbors sat between ADC ranks 80 and
@@ -912,40 +1065,41 @@ def ann_ivfpq_residual(
     """
     d_sub = DIMS // m
     q = quantized(emb)
-    cents = _quantized_centroids(emb)
+    # r20 (guide §4.2/§8, the knn pattern): centroids and codebook are
+    # collected once (bounded — every consumer already broadcast them,
+    # so the driver held these rows anyway) and the WHOLE corpus-side
+    # encode (cell assign → residual → PQ code) runs as one mapInArrow
+    # pass with exact int64 matmuls + the identical IEEE float64
+    # cosine ops.  The old sub-plan pushed every corpus row through a
+    # cells-crossjoin + per-vec_id window + centroid join + codebook
+    # crossjoin + per-(vec_id, sub) window (2 corpus-sized exchanges,
+    # 2 sorts); corpus rows now reach their first exchange only as
+    # (cell, sub, code) triples inside the scored aggregation.
+    labels, Cq, Cn = _collected_centroids(emb)
+    code_ids, cb_np = _residual_codebook(q, labels, Cq, Cn, m, d_sub, ksub, None)
+    codes = _residual_codes_arrow(q, labels, Cq, Cn, code_ids, cb_np, m, d_sub, None)
+    spark = emb.sparkSession
+    cents = spark.createDataFrame(
+        [(int(l), [int(x) for x in cq], int(n)) for l, cq, n in zip(labels, Cq, Cn)],
+        "label int, cqv array<bigint>, ncq bigint",
+    )
     cvec = cents.select(F.col("label").alias("cell"), "cqv")
+    cb = spark.createDataFrame(
+        [
+            (int(c), int(s), [int(x) for x in cb_np[s][i]])
+            for i, c in enumerate(code_ids)
+            for s in range(m)
+        ],
+        "code long, csub int, cv array<bigint>",
+    )
     sub_slices = (
         "posexplode(transform(sequence(0, {m}), s -> "
         "slice({vec}, s * {d} + 1, {d}))) AS (sub, {out})"
     )
 
-    # corpus: cell assignment (1 probe) -> exact integer residuals ->
-    # per-subspace residual slices
-    corpus = _cell_assign(q, cents, probes=1)
-    rsub = (
-        corpus.join(F.broadcast(cvec), "cell")
-        .selectExpr("vec_id", "cell", "zip_with(qv, cqv, (x, y) -> x - y) AS rv")
-        .selectExpr(
-            "vec_id", "cell",
-            sub_slices.format(m=m - 1, vec="rv", d=d_sub, out="sv"),
-        )
-    )
-    # shared residual codebook: the ksub lowest vec_ids' residuals
-    cb = rsub.filter(F.col("vec_id") < ksub).selectExpr(
-        "vec_id AS code", "sub AS csub", "sv AS cv"
-    )
-    dist = "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
-    w = Window.partitionBy("vec_id", "sub").orderBy(F.col("dist").asc(), F.col("code").asc())
-    codes = (
-        rsub.join(F.broadcast(cb), F.col("sub") == F.col("csub"))
-        .withColumn("dist", F.expr(dist))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .selectExpr("vec_id AS neighbor_id", "cell", "sub", "code")
-    )
-
     # queries: probed cells -> PER-CELL residuals -> per-(query, cell)
-    # LUT against the shared codebook
+    # LUT against the shared codebook (bounded by n_queries — stays in
+    # SQL over the LocalRelation centroids/codebook)
     qsub = (
         _cell_assign(q.filter(F.col("vec_id") < n_queries), cents, probes=probes)
         .join(F.broadcast(cvec), "cell")
@@ -1247,34 +1401,30 @@ def ann_ivfpq_opq(
     d_sub = DIMS // m
     q = quantized(emb)
     r_int = rotation_int if rotation_int is not None else opq_rotation_int(emb, m)
-    cents = _quantized_centroids(emb)
+    # r20: same mapInArrow corpus encode as ann_ivfpq_residual, with
+    # the rotation folded into the per-batch integer matmul (see
+    # _residuals_np — floor(double(R·rv)/OPQ_SCALE), the exact
+    # _rotate_sql arithmetic).
+    labels, Cq, Cn = _collected_centroids(emb)
+    code_ids, cb_np = _residual_codebook(q, labels, Cq, Cn, m, d_sub, ksub, r_int)
+    codes = _residual_codes_arrow(q, labels, Cq, Cn, code_ids, cb_np, m, d_sub, r_int)
+    spark = emb.sparkSession
+    cents = spark.createDataFrame(
+        [(int(l), [int(x) for x in cq], int(n)) for l, cq, n in zip(labels, Cq, Cn)],
+        "label int, cqv array<bigint>, ncq bigint",
+    )
     cvec = cents.select(F.col("label").alias("cell"), "cqv")
+    cb = spark.createDataFrame(
+        [
+            (int(c), int(s), [int(x) for x in cb_np[s][i]])
+            for i, c in enumerate(code_ids)
+            for s in range(m)
+        ],
+        "code long, csub int, cv array<bigint>",
+    )
     sub_slices = (
         "posexplode(transform(sequence(0, {m}), s -> "
         "slice({vec}, s * {d} + 1, {d}))) AS (sub, {out})"
-    )
-
-    corpus = _cell_assign(q, cents, probes=1)
-    rsub = (
-        corpus.join(F.broadcast(cvec), "cell")
-        .selectExpr("vec_id", "cell", "zip_with(qv, cqv, (x, y) -> x - y) AS rv0")
-        .selectExpr("vec_id", "cell", _rotate_sql("rv0", r_int) + " AS rv")
-        .selectExpr(
-            "vec_id", "cell",
-            sub_slices.format(m=m - 1, vec="rv", d=d_sub, out="sv"),
-        )
-    )
-    cb = rsub.filter(F.col("vec_id") < ksub).selectExpr(
-        "vec_id AS code", "sub AS csub", "sv AS cv"
-    )
-    dist = "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
-    w = Window.partitionBy("vec_id", "sub").orderBy(F.col("dist").asc(), F.col("code").asc())
-    codes = (
-        rsub.join(F.broadcast(cb), F.col("sub") == F.col("csub"))
-        .withColumn("dist", F.expr(dist))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .selectExpr("vec_id AS neighbor_id", "cell", "sub", "code")
     )
 
     qsub = (

@@ -84,7 +84,9 @@ q.awaitTermination()
 """
 
 
-@pytest.mark.timeout(600)
+# (r20) no @pytest.mark.timeout: the pytest-timeout plugin is not
+# installed in this environment, so the mark was silently inert
+# (r19 VERDICT #5); the subprocess waits below carry real timeouts.
 def test_sigkill_mid_stream_archive_is_exactly_once(spark, tmp_path):
     src = str(tmp_path / "src")
     arch = str(tmp_path / "arch")

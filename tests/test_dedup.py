@@ -296,3 +296,63 @@ def test_band_candidates_bounded_on_degenerate_bucket(spark):
     pairs = dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
     comp = corpus.duplicate_components(docs.select("doc_id"), pairs)
     assert comp.select("component").distinct().count() == 1
+
+
+def test_fused_multipass_chain_matches_union_of_passes(spark):
+    """r20: the fused multi-pass chain window (one exchange, pass-2
+    successors gated by a per-bucket-size CASE) must emit EXACTLY the
+    pair set of the r19 union-of-filtered-passes form.  The fixture
+    forces both regimes: one bucket far larger than chain+1 (pass 2
+    contributes) and several small buckets (pass 2 must contribute
+    nothing), with orderings that DISAGREE between the two passes so a
+    fused-ordering bug would change the big bucket's pair set."""
+    from pyspark.sql import functions as F
+
+    chain = 4
+    rows = []
+    # big bucket: 20 members (> chain+1), ord0 ascending by doc_id,
+    # ord1 grouping evens before odds — the two passes chain genuinely
+    # different successor sets (pass 2 pairs doc 0 with docs 6 and 8,
+    # which sit beyond pass 1's chain-4 horizon)
+    for i in range(20):
+        rows.append((i, "b0", i, (i % 2) * 100 + i))
+    # small buckets: 3 members each, under chain+1
+    for b in range(1, 4):
+        for i in range(3):
+            rows.append((100 * b + i, f"b{b}", i, i))
+    band_rows = spark.createDataFrame(
+        rows, "doc_id long, band_hash string, ord0 long, ord1 long"
+    ).withColumn("band", F.lit(0))
+
+    passes = [["ord0", "ord1"], ["ord1", "ord0"]]
+    fused = dedup._chain_candidates(
+        band_rows, ["band", "band_hash"], chain=chain, order_passes=passes
+    )
+
+    # reference: the r19 shape — per-pass windows, pass>0 filtered to
+    # big buckets BEFORE the window, union, distinct
+    ref_rows = band_rows.selectExpr(
+        "*", "count(1) OVER (PARTITION BY band, band_hash) AS _bsz"
+    )
+    per_pass = []
+    for p, cols in enumerate(passes):
+        src = ref_rows if p == 0 else ref_rows.filter(F.col("_bsz") > chain + 1)
+        order = ", ".join([*cols, "doc_id"])
+        per_pass.append(
+            src.selectExpr(
+                "doc_id AS _cur",
+                f"collect_list(doc_id) OVER (PARTITION BY band, band_hash "
+                f"ORDER BY {order} ROWS BETWEEN 1 FOLLOWING AND {chain} FOLLOWING) AS _succ",
+            )
+            .selectExpr("_cur", "explode(_succ) AS _nxt")
+            .selectExpr("least(_cur, _nxt) AS doc_a", "greatest(_cur, _nxt) AS doc_b")
+        )
+    ref = per_pass[0].unionByName(per_pass[1]).distinct()
+
+    got = {(r["doc_a"], r["doc_b"]) for r in fused.collect()}
+    want = {(r["doc_a"], r["doc_b"]) for r in ref.collect()}
+    assert got == want
+    # sanity: the big bucket's descending ord1 made pass 2 add pairs
+    # pass 1 alone misses
+    only_pass1 = {(r["doc_a"], r["doc_b"]) for r in per_pass[0].distinct().collect()}
+    assert want - only_pass1, "fixture failed to exercise the pass-2 arm"

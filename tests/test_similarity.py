@@ -299,3 +299,78 @@ def test_opq_rotation_memo_source_freshness(spark, tmp_path):
     write([50.0, 1, 1, 1, 1, 1, 1, 0.02])
     r2 = opq_rotation_int(spark.read.parquet(path), m=2)
     assert r2 != r1
+
+
+def test_arrow_residual_codes_match_sql_subplan(spark):
+    """r20: the mapInArrow corpus encode (cell assign → residual →
+    rotation → PQ code, computed with numpy int64 matmuls + IEEE
+    float64 cosine) must emit row-for-row what the r19 SQL sub-plan
+    (cells crossjoin + windows + codebook join) emitted — including
+    cosine TIES, forced here by two labels with identical centroids
+    (tie must go to the LOWER label / lower code)."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_spark.operators import similarity as S
+
+    rng = np.random.default_rng(42)
+    rows = []
+    # labels 0 and 1 get IDENTICAL member vectors -> identical
+    # centroids -> every ccos ties between cells 0 and 1
+    base = rng.normal(0.0, 1.0, (8, S.DIMS))
+    for i in range(8):
+        rows.append((i, [float(x) for x in base[i]], 0))
+        rows.append((100 + i, [float(x) for x in base[i]], 1))
+    for i in range(40):
+        rows.append((200 + i, [float(x) for x in rng.normal(0.0, 1.0, S.DIMS)], 2 + (i % 3)))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+    m, ksub = S.PQ_M, S.PQ_KSUB
+    d_sub = S.DIMS // m
+    for r_int in (None, S.fixed_rotation_int()):
+        q = S.quantized(emb)
+        labels, Cq, Cn = S._collected_centroids(emb)
+        code_ids, cb_np = S._residual_codebook(q, labels, Cq, Cn, m, d_sub, ksub, r_int)
+        got = S._residual_codes_arrow(
+            q, labels, Cq, Cn, code_ids, cb_np, m, d_sub, r_int
+        )
+
+        # r19 reference sub-plan, verbatim
+        cents = S._quantized_centroids(emb)
+        cvec = cents.select(F.col("label").alias("cell"), "cqv")
+        sub_slices = (
+            "posexplode(transform(sequence(0, {m}), s -> "
+            "slice({vec}, s * {d} + 1, {d}))) AS (sub, {out})"
+        )
+        corpus = S._cell_assign(q, cents, probes=1)
+        rsub = (
+            corpus.join(F.broadcast(cvec), "cell")
+            .selectExpr("vec_id", "cell", "zip_with(qv, cqv, (x, y) -> x - y) AS rv0")
+        )
+        rot = (
+            "rv0" if r_int is None else S._rotate_sql("rv0", r_int)
+        )
+        rsub = rsub.selectExpr("vec_id", "cell", f"{rot} AS rv").selectExpr(
+            "vec_id", "cell", sub_slices.format(m=m - 1, vec="rv", d=d_sub, out="sv")
+        )
+        cb = rsub.filter(F.col("vec_id") < ksub).selectExpr(
+            "vec_id AS code", "sub AS csub", "sv AS cv"
+        )
+        dist = "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+        w = Window.partitionBy("vec_id", "sub").orderBy(F.col("dist").asc(), F.col("code").asc())
+        want = (
+            rsub.join(F.broadcast(cb), F.col("sub") == F.col("csub"))
+            .withColumn("dist", F.expr(dist))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .selectExpr("vec_id AS neighbor_id", "cell", "sub", "code")
+        )
+
+        got_rows = {(r[0], r[1], r[2], r[3]) for r in got.collect()}
+        want_rows = {(r[0], r[1], r[2], r[3]) for r in want.collect()}
+        assert got_rows == want_rows, f"rotation={r_int is not None}"
+        # the tie actually happened: every label-1 vector landed in
+        # cell 0 (lower label wins)
+        assert not any(c == 1 for (_, c, _, _) in got_rows)
+        assert any(v >= 100 and v < 200 and c == 0 for (v, c, _, _) in got_rows)

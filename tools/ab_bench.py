@@ -20,6 +20,7 @@ Prints one JSON line: {"queries": {name: {"a": s, "b": s,
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -119,7 +120,7 @@ def main() -> None:
         return
     old_root, new_root = argv[0], argv[1]
     rounds = int(argv[2]) if len(argv) > 2 else 6
-    sf_dir = "/root/testdata/sf0.1"
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     # One shared session for both sides (the whole point): same JVM,
     # same JIT state, same ambient load.

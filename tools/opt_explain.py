@@ -21,7 +21,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-OUT_DIR = Path(__file__).resolve().parent.parent / "plans" / "r19"
+OUT_DIR = Path(__file__).resolve().parent.parent / "plans" / os.environ.get(
+    "SPARK_GRAFT_PLANS_ROUND", "r20"
+)
 
 
 def main() -> None:
