@@ -176,12 +176,23 @@ def main() -> None:
     # bytes alongside the wall (tools/state_scale.py runs the full
     # 10k→500k ramp; this row keeps one elevated point tracked
     # round-over-round).
-    from tools.state_scale import _PROVIDERS, build_fixture, run_once
+    from tools.state_scale import (
+        CHANGELOG_CONF, _PROVIDERS, build_fixture, run_once,
+    )
 
     _src = build_fixture(50_000)
     state_scale = {
         tag: run_once(spark, _src, prov) for tag, prov in _PROVIDERS.items()
     }
+    # r20 (guide §5, r19 VERDICT #4): RocksDB + changelog checkpointing
+    # — commits upload the batch changelog instead of snapshotting the
+    # store (snapshots move to async maintenance).  Tracked as a THIRD
+    # variant (additions-only key) so the commit-share reduction is
+    # visible round-over-round next to the providers it tunes.
+    state_scale["rocksdb_changelog"] = run_once(
+        spark, _src, _PROVIDERS["rocksdb"],
+        extra_confs={CHANGELOG_CONF: "true"},
+    )
 
     # Decode throughput (BASELINE.md metric 1): envelope events/sec
     # through the full scan→explode→project pipeline (4 events per

@@ -147,7 +147,12 @@ def extract_features(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(run, FEATURE_SCHEMA)
+    # r20 (guide §4.1): mapInPandas is opaque to the column pruner —
+    # without this select the unused `meta` struct is both COMPUTED
+    # per row and shipped across the Arrow boundary.
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, FEATURE_SCHEMA
+    )
 
 
 REAL_FEATURE_SCHEMA = T.StructType(
@@ -285,7 +290,12 @@ def extract_decoded_features(media: DataFrame, on_error: str = "raise") -> DataF
                 for i, (c, vals) in enumerate(zip(cols, by_col))
             })
 
-    return media.mapInPandas(run, REAL_FEATURE_SCHEMA)
+    # r20 (guide §4.1): explicit projection before the opaque boundary
+    # (synth_real_media emits exactly these columns today, but the
+    # select keeps the pruning guaranteed if a caller widens the input).
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, REAL_FEATURE_SCHEMA
+    )
 
 
 def sample_frames(media: DataFrame, step: int = 2) -> DataFrame:
@@ -296,16 +306,20 @@ def sample_frames(media: DataFrame, step: int = 2) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs = [], []
-            for mid, kind, meta in zip(pdf["media_id"], pdf["kind"], pdf["meta"]):
-                if kind != "video":
-                    continue
-                n = int(meta["n_frames"])
-                for i in range(0, n, step):
+            for mid, n in zip(pdf["media_id"], pdf["n_frames"]):
+                for i in range(0, int(n), step):
                     ids.append(mid)
                     idxs.append(i)
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs})
 
-    return media.mapInPandas(run, FRAME_SCHEMA)
+    # r20 (guide §4.1): the function reads only video rows' frame
+    # counts — filter + project in Spark BEFORE the opaque boundary,
+    # so the payload blob is neither computed nor shipped and 2/3 of
+    # the rows never reach Python.  Row-identical: non-video rows were
+    # skipped inside the loop.
+    return media.filter(F.col("kind") == "video").select(
+        "media_id", F.col("meta.n_frames").alias("n_frames")
+    ).mapInPandas(run, FRAME_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
