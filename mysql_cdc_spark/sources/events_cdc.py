@@ -127,7 +127,7 @@ def _ev_projected(spark: SparkSession, sf_dir: str, rebalance: bool) -> DataFram
 def rows_changes(
     spark: SparkSession,
     sf_dir: str,
-    rebalance: bool = True,
+    rebalance: bool = False,
     update_pairs: bool = True,
 ) -> DataFrame:
     """``rows_delta_type(changes(...))`` computed WITHOUT the 4-way
@@ -152,7 +152,20 @@ def rows_changes(
     (latest_state / state_asof / scd2 / apply_changes and the
     update-only sums), all of which exclude or never select
     update-before rows; consumers of the retract algebra (ivm,
-    count_changes, hot_keys, update_pairs) keep the pair form."""
+    count_changes, hot_keys, update_pairs) keep the pair form.
+
+    ``rebalance`` defaults to False here (r20) — OPPOSITE of
+    `changes()`.  The small-input rebalance exists to fan out the
+    envelope's 4× explode + 13 heavy expressions; this fast path has
+    neither (one light projection, at most a 2-row inline), and every
+    rows_dt consumer aggregates or windows immediately after, whose
+    own exchange redistributes anyway — so the extra exchange was pure
+    cost.  Measured (interleaved on/off, min-of-4, all 11 rows_dt
+    consumers, sf0.1 AND organic x10): off wins 1.4–2.9× everywhere
+    (e.g. latest_state 0.60→0.31 s, scd2 0.63→0.25 s at sf0.1;
+    ratios 0.38–0.54 at x10).  At production scale the flag is moot:
+    the input splits naturally and the rebalance is a no-op either
+    way."""
     ev = _ev_projected(spark, sf_dir, rebalance)
 
     if not update_pairs:

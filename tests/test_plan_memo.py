@@ -50,6 +50,14 @@ def test_memo_safe_plans_carry_no_materialization(spark, sf_dir):
     plan across reps would cross from plan memoization into result
     caching."""
     clear_plan_memo()
+    # Other tests legitimately cache shared subtrees (e.g. the events
+    # scan); the CacheManager substitutes those into ANY later plan,
+    # memoized or not, which is orthogonal to this audit (the memo is
+    # no worse than a fresh construction there).  Clear the session
+    # cache so the audit sees only what the query ITSELF constructs;
+    # dropped caches re-materialize on demand, so no other test's
+    # correctness depends on them.
+    spark.catalog.clearCache()
     for name in sorted(MEMO_SAFE):
         df = QUERIES[name](spark, sf_dir)
         buf = io.StringIO()
