@@ -19,24 +19,26 @@ Re-record (only with a justification in PLANS.md):
 
 from __future__ import annotations
 
-# Re-recorded at the END of optimization round 19 (PLANS.md): the
-# round's plan changes moved most headline walls far below the floors
-# recorded at its start (cdc_txn_events 1.127 -> ~0.07), which would
-# have let a 10x regression pass inside the band.  Values are the
-# per-query min across two independent quiet passes (load_1m 1.6-1.9,
-# min-of-5 each), sf0.1, local[32].
+# Re-recorded at the END of optimization round 20 (PLANS.md): the
+# round's changes moved most headline minima well below the r19
+# floors (cdc_latest_state 0.452 -> 0.166 after the rows_dt rebalance
+# removal; cdc_select_all 0.248 -> 0.098; construction memo zeroes
+# nine queries' plan-build wall) — a regression back to the r19 plan
+# shapes would have passed inside the old bands.  Values are the
+# per-query min across two independent quiet passes (load_1m 2.1-5.7
+# falling, min-of-5 each, separate sessions), sf0.1, local[32].
 HEADLINE_FLOORS: dict[str, float] = {
-    "cdc_envelope": 0.271,
-    "cdc_select_all": 0.248,
-    "cdc_update_sum": 0.276,
-    "cdc_latest_state": 0.452,
-    "cdc_txn_events": 0.063,
-    "llm_dedup_minhash": 0.540,
-    "llm_knn": 0.337,
-    "llm_text_stats": 0.208,
-    "ts_asof_join": 0.266,
-    "ts_range_join": 0.481,
-    "sk_hll_user_minutes": 0.297,
+    "cdc_envelope": 0.198,
+    "cdc_select_all": 0.098,
+    "cdc_update_sum": 0.124,
+    "cdc_latest_state": 0.166,
+    "cdc_txn_events": 0.059,
+    "llm_dedup_minhash": 0.555,
+    "llm_knn": 0.342,
+    "llm_text_stats": 0.158,
+    "ts_asof_join": 0.196,
+    "ts_range_join": 0.321,
+    "sk_hll_user_minutes": 0.248,
 }
 
 # band: 1.5x relative, with absolute slack so sub-second queries
