@@ -97,19 +97,6 @@ def _cosine(dot_col: str, na: str, nb: str) -> F.Column:
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
 
 
-def _localized(df: DataFrame) -> DataFrame:
-    """Materialize a SMALL frame driver-side and re-emit it as a
-    LocalRelation: its lineage executes exactly once, and every
-    downstream broadcast/join reads local rows instead of re-running
-    (or re-analyzing) the corpus-wide sub-plan.  The collect is bounded
-    — callers only pass frames that are already broadcast somewhere
-    downstream, so the driver was holding them anyway (guide §8:
-    decide with small rows).  Intra-query only; nothing persists
-    across runs."""
-    spark = df.sparkSession
-    return spark.createDataFrame(df.collect(), df.schema)
-
-
 def _qv_matrix(col) -> "object":
     """pyarrow list<int64> column of one RecordBatch → (n, d) int64
     ndarray.  Fast path: uniform-length lists reshape the flat values
@@ -492,16 +479,16 @@ def _quantized_centroids(emb: DataFrame) -> DataFrame:
         "cq",
         F.floor(F.col("qsum").cast("double") / F.col("n").cast("double")).cast("bigint"),
     )
-    # _localized (r20, guide §5/§3.3/§8): every ANN consumer BROADCASTS
-    # this frame 2-4 times (cell assign for corpus and queries, plus
-    # the residual-centroid joins); each distinct projection of it
-    # re-executed the corpus-wide explode+aggregate lineage (exchange
-    # reuse only merges identical subtrees).  The frame is
-    # label-cardinality rows, and every broadcast already collects it
-    # to the driver — collecting ONCE and re-emitting a LocalRelation
-    # has the same driver footprint as one broadcast build, runs the
-    # lineage exactly once, and truncates the (44-Exchange) plan that
-    # Catalyst was re-analyzing per consumer.  Intra-query only.
+    # cache() (r20, guide §5): the remaining DataFrame consumers
+    # (ann_ivf / ann_ivfpq) broadcast this frame twice with DIFFERENT
+    # projections, and exchange reuse only merges identical subtrees —
+    # the cache makes the corpus-wide explode+aggregate lineage
+    # materialize once (lazily: no barrier job; measured −4–9 % on the
+    # ivf family vs both a localCheckpoint and a driver LocalRelation,
+    # which each cost more than they saved at sf0.1).  The residual /
+    # opq paths instead COLLECT this frame once via
+    # _collected_centroids for their mapInArrow encode.  Tiny
+    # (label-cardinality rows); intra-query intermediate.
     return (
         cents.groupBy("label")
         .agg(F.expr("array_agg(struct(dim, cq))").alias("pairs"))
